@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for session config shared by Verify / Bench / tests so every
+  * entry point reads the fixtures identically.
+  */
+object Sessions {
+
+  /** Local session: UTC, shuffle partitions = cores (not the 200 default —
+    * at sf0.1 and below 200 partitions is pure scheduling overhead; a real
+    * cluster deployment sets this to ~2-3× total cores or relies on AQE
+    * coalescing), AQE on, and the nanos-as-long parquet flag required to
+    * read the `events` fixture (see [[Tables.events]]).
+    */
+  def local(cpus: String): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}

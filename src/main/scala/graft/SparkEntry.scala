@@ -1,13 +1,696 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Agg, Dedup, EventsOps, Multimodal, Sentiment, Sim, Star, Text}
+
+/** Driver contract — one named query per operator from SURVEY.md §2 plus the
+  * north-star extensions (dedup family, similarity search, text analysis,
+  * event windows, multimodal plumbing), each with DuckDB-runnable oracle SQL
+  * over the same parquet tables.
+  *
+  * Cross-engine determinism rules (SURVEY.md §7.4) used throughout:
+  *   - money sums go through DECIMAL(18,2) (exact, order-insensitive) and
+  *     are surfaced as DOUBLE, matching `CAST(SUM(CAST(x AS DECIMAL(18,2)))
+  *     AS DOUBLE)` bit-for-bit;
+  *   - every hash is md5 (identical in Spark and DuckDB);
+  *   - every query ends in a total ORDER BY with explicit tie-breaks;
+  *   - window keys are epoch seconds (BIGINT), never engine timestamps.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact order-insensitive sum of a 2-dp double column, as double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's whole analytics spine (SURVEY.md §7.3 M1): clean →
+    * sentiment → label → dims → fact → star-join-back → distribution.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    labelDistribution(spark, "/root/testdata/sf0.001")
+
+  /** M1 spine (ops 8,10,11,13,14,15,16). */
+  private def labelDistribution(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val enriched = docs
+      .withColumn("clean_text", Text.cleanText(col("text")))
+      .withColumn("sentiment", Sentiment.score(col("clean_text")))
+      .withColumn("label", Text.sentimentLabel(col("sentiment")))
+    val dimSrc = Star.dim(enriched, "source", "source_id")
+    val fact = Star.lookup(enriched, dimSrc, "source")
+      .select(col("doc_id"), col("sentiment"), col("label"), col("source_id"))
+    Star.starJoin(fact, Seq((dimSrc, "source_id")))
+      .groupBy("label").agg(count(lit(1)).as("n"))
+      .orderBy("label")
+  }
+
+  // ---- oracle SQL fragments shared by several queries -------------------
+
+  /** DuckDB expression for Text.cleanText over a raw text expr. */
+  private def cleanSql(c: String): String =
+    s"lower(trim(regexp_replace($c, 'http\\S+|www\\S+|[^a-zA-Z\\s]', '', 'g')))"
+
+  /** DuckDB expression for Text.tokens over a text expr. */
+  private def toksSql(c: String): String =
+    s"list_filter(string_split($c, ' '), t -> t <> '')"
+
+  private val labelCase =
+    "CASE WHEN sentiment > 0.1 THEN 'positive' " +
+      "WHEN sentiment < -0.1 THEN 'negative' ELSE 'neutral' END"
+
+  /** DuckDB: epoch seconds (floor) of a timestamp, BIGINT — matches Spark's
+    * unix_timestamp (floorDiv of microseconds).
+    */
+  private def epochSql(c: String): String = s"(epoch_us($c) // 1000000)"
+
+  /** DuckDB expression mirroring Dedup.shingles(clean, w) over a token-list
+    * expr.
+    */
+  private def shinglesSql(toks: String, w: Int = 3): String = {
+    val parts = (0 until w).map(k => s"t[i+${k + 1}]")
+      .mkString(" || ' ' || ")
+    s"CASE WHEN len($toks) < $w THEN [] ELSE " +
+      s"list_transform(range(0, len($toks) - $w + 1), i -> $parts) END"
+  }
+
+  // ---- the inventory ----------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+
+    // op 16+ flagship: TPC-H-Q1-shaped pricing summary over lineitem.
+    "q01_pricing_summary" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val dec = (c: String) => col(c).cast("decimal(18,2)")
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec("l_extendedprice") *
+            (lit(1.0).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ops 1-2: multi-pattern keyword search + top-N (extract shape).
+    "q02_keyword_topn" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .where(Text.regexFlag(col("text"), "(?i)stream|window|merge"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+        .limit(50)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))),
+
+    // op 7: deterministic keep-first dedup.
+    "q07_dedup_keepfirst" -> ((s, dir) =>
+      Dedup.keepFirst(t(s, dir, "documents"), Seq("source"),
+          Seq(col("doc_id").asc))
+        .select(col("doc_id"), col("source"))
+        .orderBy("source")),
+
+    // op 8: clean_text normalization.
+    "q08_clean_text" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.cleanText(col("text")).as("clean_text"))
+        .orderBy("doc_id")),
+
+    // op 9: regex boolean predicates (na=false semantics).
+    "q09_regex_flag" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Text.regexFlag(col("text")).as("dropout_mentioned"),
+        Text.regexFlag(col("text"), "(?i)spark|stream").as("mentions_spark"))
+        .orderBy("doc_id")),
+
+    // op 10: lexicon-average sentiment.
+    "q10_sentiment" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          Sentiment.score(Text.cleanText(col("text"))).as("sentiment"))
+        .orderBy("doc_id")),
+
+    // op 11: CASE bucketing into sentiment labels.
+    "q11_sentiment_label" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("sentiment",
+          Sentiment.score(Text.cleanText(col("text"))))
+        .select(col("doc_id"), col("sentiment"),
+          Text.sentimentLabel(col("sentiment")).as("label"))
+        .orderBy("doc_id")),
+
+    // op 12: date-part extraction.
+    "q12_year_extract" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("year"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("year")),
+
+    // op 13: fact ⋈ dims star join with broadcast dims.
+    "q13_star_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+      Star.starJoin(orders, Seq((cust, "o_custkey"), (nat, "c_nationkey")))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("n_name")
+    }),
+
+    // op 14: dim-key lookup join (broadcast map side).
+    "q14_dim_lookup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dim = Star.dim(docs, "source", "source_id")
+      Star.lookup(docs, dim, "source")
+        .select(col("doc_id"), col("source"), col("source_id"))
+        .orderBy("doc_id")
+    }),
+
+    // op 15: deterministic surrogate-key dimension build.
+    "q15_surrogate_dim" -> ((s, dir) =>
+      Star.dim(t(s, dir, "documents"), "source", "source_id")
+        .orderBy("source_id")),
+
+    // op 16 + M1 spine: sentiment label distribution.
+    "q16_label_distribution" -> ((s, dir) => labelDistribution(s, dir)),
+
+    // op 17: two-key group-by count.
+    "q17_count_2keys" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("year", "o_orderstatus")),
+
+    // op 18: group-by + pivot + null-fill (explicit pivot values).
+    "q18_pivot_counts" -> ((s, dir) =>
+      Agg.pivotCounts(t(s, dir, "documents"), "source", "lang",
+          Seq("de", "en", "es", "fr", "zh"))
+        .orderBy("source")),
+
+    // op 19: whole-table scalar insights.
+    "q19_scalar_insights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("sentiment", Sentiment.score(Text.cleanText(col("text"))))
+        .withColumn("label", Text.sentimentLabel(col("sentiment")))
+        .withColumn("flagged", Text.regexFlag(col("text"), "(?i)spark|stream"))
+      docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("flagged").cast("long")).as("n_flagged"),
+        round(avg((col("label") === "neutral").cast("double")) * 100, 2)
+          .as("pct_neutral"))
+    }),
+
+    // op 20: argmax by frequency with deterministic tie-break.
+    "q20_argmax" -> ((s, dir) =>
+      Agg.argmaxByCount(t(s, dir, "documents"), "source")),
+
+    // op 21: sorted DISTINCT.
+    "q21_distinct_sorted" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("lang")).distinct().orderBy("lang")),
+
+    // op 22 + window ext: top-N per group.
+    "q22_topn_per_group" -> ((s, dir) =>
+      Agg.topNPerGroup(t(s, dir, "orders"), Seq("o_orderstatus"),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          col("o_totalprice"), col("rk"))
+        .orderBy("o_orderstatus", "rk")),
+
+    // op 4/15: INSERT IGNORE as left-anti join.
+    "q23_upsert_ignore" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val existing = docs.where(col("doc_id") % 3 === 0)
+      Star.upsertIgnore(existing, docs, Seq("doc_id"))
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // op 15 incremental: dim upsert assigns new ids after current max.
+    "q24_dim_upsert" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val existing = Star.dim(
+        docs.where(col("source").isin("src0", "src1", "src2")),
+        "source", "source_id")
+      Star.dimUpsert(existing, docs, "source", "source_id")
+        .orderBy("source_id")
+    }),
+
+    // north star — document fingerprinting (rolling/content hash).
+    "q30_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // north star — exact near-dup dedup via content fingerprint.
+    "q31_fingerprint_dedup" -> ((s, dir) =>
+      Dedup.keepFirst(
+          t(s, dir, "documents")
+            .withColumn("fp", Text.fingerprint(col("text"))),
+          Seq("fp"), Seq(col("doc_id").asc))
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")),
+
+    // north star — MinHash+LSH near-dup candidate pairs.
+    "q32_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 8, bands = 4)
+        .orderBy("id_a", "id_b")),
+
+    // north star — exact n-gram Jaccard (bounded subset; at scale this runs
+    // after LSH bucketing, see Dedup scaladoc).
+    "q33_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(
+          t(s, dir, "documents").where(col("doc_id") < 200),
+          "doc_id", "text", w = 3, minJaccard = 0.1)
+        .orderBy("id_a", "id_b")),
+
+    // north star — SimHash signatures.
+    "q34_simhash" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("th", Dedup.tokenHashes16(Text.cleanText(col("text"))))
+        .select(col("doc_id"), Dedup.simhash16(col("th")).as("simhash"))
+        .orderBy("doc_id")),
+
+    // north star — brute-force top-k cosine (broadcast query set).
+    "q40_topk_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Sim.topK(emb.where(col("vec_id") < 10), emb, 5)
+        .orderBy("q_id", "rk")
+    }),
+
+    // north star — IVF-bucketed top-k cosine (scale path).
+    "q41_topk_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Sim.topKIvf(emb.where(col("vec_id") < 10), emb, 5, "label")
+        .orderBy("q_id", "rk")
+    }),
+
+    // north star — embedding-cosine near-dup pairs within cells.
+    "q42_near_dup_cosine" -> ((s, dir) =>
+      Sim.nearDupPairs(t(s, dir, "embeddings"), 0.2, "label")
+        .orderBy("id_a", "id_b")),
+
+    // north star — text statistics (token counts, quality, lang-id).
+    "q50_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        Text.tokenEstimate(col("text")).as("n_tokens_est"),
+        Text.stopwordCount(col("text")).as("n_stopwords"),
+        Text.qualityScore(col("text")).as("quality"),
+        Text.langIdHeuristic(col("text")).as("lang_id"))
+        .orderBy("doc_id")),
+
+    // north star — language-ID breakdown.
+    "q51_lang_breakdown" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(Text.langIdHeuristic(col("text")).as("lang_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang_id")),
+
+    // north star — tumbling-window counts (batch form of streaming agg).
+    "q60_tumbling_counts" -> ((s, dir) =>
+      EventsOps.tumblingCounts(t(s, dir, "events"), 3600)
+        .orderBy("window_start", "event_type")),
+
+    // north star — sliding-window counts.
+    "q61_sliding_counts" -> ((s, dir) =>
+      EventsOps.slidingCounts(t(s, dir, "events"), 7200, 3600)
+        .orderBy("window_start", "event_type")),
+
+    // north star — gap-based sessionization.
+    "q62_sessionize" -> ((s, dir) =>
+      EventsOps.sessionize(t(s, dir, "events"), 1800)
+        .orderBy("user_id", "session_id")),
+
+    // north star — as-of join (purchase ← most recent click per user).
+    "q63_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      EventsOps.asOfJoin(
+          ev.where(col("event_type") === "purchase"),
+          ev.where(col("event_type") === "click"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // north star — JSON property extraction.
+    "q64_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          EventsOps.jsonProp(col("props"), "k").as("k"))
+        .orderBy("event_id")),
+
+    // north star — multimodal plumbing (typed Dataset mapPartitions decode).
+    "q70_media_features" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      Multimodal.decode(media).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("width"), col("height"), col("fingerprint"))
+        .orderBy("media_id")
+    })
+  )
+
+  // ---- oracle SQL (DuckDB) ----------------------------------------------
+
+  def oracleSql: Map[String, String] = {
+    val dsumS = (c: String) => s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+    val clean = cleanSql("text")
+    val toks = toksSql("text")
+    val cleanToks = toksSql("c")
+
+    ListMap(
+      "q01_pricing_summary" ->
+        s"""SELECT l_returnflag, l_linestatus,
+           | SUM(l_quantity) AS sum_qty,
+           | ${dsumS("l_extendedprice")} AS sum_base_price,
+           | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           | SUM(l_quantity) / COUNT(*) AS avg_qty,
+           | ${dsumS("l_extendedprice")} / COUNT(*) AS avg_price,
+           | COUNT(*) AS n_rows
+           |FROM lineitem GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q02_keyword_topn" ->
+        """SELECT doc_id, source, lang, n_chars FROM documents
+          |WHERE COALESCE(regexp_matches(text, '(?i)stream|window|merge'), FALSE)
+          |ORDER BY n_chars DESC, doc_id LIMIT 50""".stripMargin,
+
+      "q07_dedup_keepfirst" ->
+        """SELECT doc_id, source FROM (
+          |  SELECT doc_id, source,
+          |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          |  FROM documents) WHERE rn = 1 ORDER BY source""".stripMargin,
+
+      "q08_clean_text" ->
+        s"SELECT doc_id, $clean AS clean_text FROM documents ORDER BY doc_id",
+
+      "q09_regex_flag" ->
+        """SELECT doc_id,
+          | COALESCE(regexp_matches(text, '(?i)drop[\s-]?out|dropped out'), FALSE) AS dropout_mentioned,
+          | COALESCE(regexp_matches(text, '(?i)spark|stream'), FALSE) AS mentions_spark
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q10_sentiment" ->
+        s"""WITH cleaned AS (SELECT doc_id, $clean AS c FROM documents)
+           |SELECT doc_id, ${Sentiment.scoreSqlInline("c")} AS sentiment
+           |FROM cleaned ORDER BY doc_id""".stripMargin,
+
+      "q11_sentiment_label" ->
+        s"""WITH cleaned AS (SELECT doc_id, $clean AS c FROM documents),
+           |scored AS (SELECT doc_id, ${Sentiment.scoreSqlInline("c")} AS sentiment FROM cleaned)
+           |SELECT doc_id, sentiment, $labelCase AS label
+           |FROM scored ORDER BY doc_id""".stripMargin,
+
+      "q12_year_extract" ->
+        """SELECT CAST(year(o_orderdate) AS INTEGER) AS year, COUNT(*) AS n
+          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q13_star_join" ->
+        s"""SELECT n_name, COUNT(*) AS n_orders,
+           | ${dsumS("o_totalprice")} AS total_price
+           |FROM orders
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+      "q14_dim_lookup" ->
+        """WITH dim AS (
+          |  SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS source_id
+          |  FROM (SELECT DISTINCT source FROM documents WHERE source IS NOT NULL))
+          |SELECT doc_id, documents.source AS source, source_id
+          |FROM documents LEFT JOIN dim USING (source) ORDER BY doc_id""".stripMargin,
+
+      "q15_surrogate_dim" ->
+        """SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS source_id
+          |FROM (SELECT DISTINCT source FROM documents WHERE source IS NOT NULL)
+          |ORDER BY source_id""".stripMargin,
+
+      "q16_label_distribution" ->
+        s"""WITH cleaned AS (SELECT doc_id, $clean AS c FROM documents),
+           |scored AS (SELECT doc_id, ${Sentiment.scoreSqlInline("c")} AS sentiment FROM cleaned)
+           |SELECT $labelCase AS label, COUNT(*) AS n
+           |FROM scored GROUP BY label ORDER BY label""".stripMargin,
+
+      "q17_count_2keys" ->
+        """SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderstatus, COUNT(*) AS n
+          |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q18_pivot_counts" ->
+        """SELECT source,
+          | COUNT(*) FILTER (WHERE lang = 'de') AS de,
+          | COUNT(*) FILTER (WHERE lang = 'en') AS en,
+          | COUNT(*) FILTER (WHERE lang = 'es') AS es,
+          | COUNT(*) FILTER (WHERE lang = 'fr') AS fr,
+          | COUNT(*) FILTER (WHERE lang = 'zh') AS zh
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+      "q19_scalar_insights" ->
+        s"""WITH cleaned AS (SELECT doc_id, text, $clean AS c FROM documents),
+           |scored AS (SELECT doc_id, text, ${Sentiment.scoreSqlInline("c")} AS sentiment FROM cleaned),
+           |labeled AS (SELECT doc_id, text, $labelCase AS label FROM scored)
+           |SELECT COUNT(*) AS n_docs,
+           | SUM(CAST(COALESCE(regexp_matches(text, '(?i)spark|stream'), FALSE) AS BIGINT)) AS n_flagged,
+           | round(AVG(CASE WHEN label = 'neutral' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * 100, 2) AS pct_neutral
+           |FROM labeled""".stripMargin,
+
+      "q20_argmax" ->
+        """SELECT source, COUNT(*) AS n FROM documents
+          |GROUP BY source ORDER BY n DESC, source ASC LIMIT 1""".stripMargin,
+
+      "q21_distinct_sorted" ->
+        "SELECT DISTINCT lang FROM documents ORDER BY lang",
+
+      "q22_topn_per_group" ->
+        """SELECT o_orderstatus, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
+          |FROM (
+          |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+          |         row_number() OVER (PARTITION BY o_orderstatus
+          |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+          |  FROM orders) WHERE rk <= 3 ORDER BY o_orderstatus, rk""".stripMargin,
+
+      "q23_upsert_ignore" ->
+        """SELECT doc_id FROM documents
+          |WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+          |ORDER BY doc_id""".stripMargin,
+
+      "q24_dim_upsert" ->
+        """WITH ex AS (
+          |  SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS source_id
+          |  FROM (SELECT DISTINCT source FROM documents
+          |        WHERE source IN ('src0','src1','src2') AND source IS NOT NULL)),
+          |mx AS (SELECT COALESCE(MAX(source_id), 0) AS base FROM ex),
+          |nw AS (
+          |  SELECT source, CAST(base + rn AS BIGINT) AS source_id
+          |  FROM (SELECT source, row_number() OVER (ORDER BY source) AS rn
+          |        FROM (SELECT DISTINCT source FROM documents
+          |              WHERE source IS NOT NULL
+          |                AND source NOT IN (SELECT source FROM ex)))
+          |  CROSS JOIN mx)
+          |SELECT source, source_id FROM ex
+          |UNION ALL SELECT source, source_id FROM nw
+          |ORDER BY source_id""".stripMargin,
+
+      "q30_fingerprint" ->
+        s"SELECT doc_id, md5($clean) AS fp FROM documents ORDER BY doc_id",
+
+      "q31_fingerprint_dedup" ->
+        s"""WITH fp AS (SELECT doc_id, lang, md5($clean) AS fp FROM documents),
+           |dedup AS (SELECT doc_id, lang FROM (
+           |  SELECT doc_id, lang,
+           |         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+           |  FROM fp) WHERE rn = 1)
+           |SELECT lang, COUNT(*) AS n FROM dedup GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q32_minhash_pairs" ->
+        s"""WITH cleaned AS (SELECT doc_id AS id, $clean AS c FROM documents),
+           |sh AS (SELECT id, ${shinglesSql("t")} AS shs
+           |       FROM (SELECT id, $cleanToks AS t FROM cleaned)),
+           |sig AS (SELECT id,
+           |  list_transform(range(0, 8), s ->
+           |    COALESCE(list_min(list_transform(shs, x -> md5(CAST(s AS VARCHAR) || ':' || x))), '~empty')) AS sig
+           |  FROM sh),
+           |banded AS (
+           |  SELECT id, sig, CAST(b.i AS INTEGER) AS band,
+           |         md5(sig[CAST(b.i*2+1 AS INTEGER)] || '|' || sig[CAST(b.i*2+2 AS INTEGER)]) AS bkey
+           |  FROM sig CROSS JOIN range(0, 4) AS b(i))
+           |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           |  CAST(len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 8 AS est_jaccard
+           |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+           |WHERE a.id < b.id
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q33_jaccard_pairs" ->
+        s"""WITH cleaned AS (SELECT doc_id AS id, $clean AS c FROM documents WHERE doc_id < 200),
+           |tok AS (SELECT id, $cleanToks AS t FROM cleaned),
+           |sh AS (SELECT id, UNNEST(list_distinct(${shinglesSql("t")})) AS sh FROM tok),
+           |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+           |common AS (
+           |  SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS c
+           |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.id < y.id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |  round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 4) AS jaccard
+           |FROM common
+           |JOIN sizes na ON na.id = id_a
+           |JOIN sizes nb ON nb.id = id_b
+           |WHERE round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 4) >= 0.1
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q34_simhash" ->
+        s"""WITH tok AS (SELECT doc_id, $cleanToks AS t
+           |             FROM (SELECT doc_id, $clean AS c FROM documents)),
+           |hashed AS (SELECT doc_id,
+           |  list_transform(t, tk ->
+           |    (strpos('0123456789abcdef', substring(md5(tk), 1, 1)) - 1) * 4096 +
+           |    (strpos('0123456789abcdef', substring(md5(tk), 2, 1)) - 1) * 256 +
+           |    (strpos('0123456789abcdef', substring(md5(tk), 3, 1)) - 1) * 16 +
+           |    (strpos('0123456789abcdef', substring(md5(tk), 4, 1)) - 1)) AS hs
+           |  FROM tok)
+           |SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), b ->
+           |  CASE WHEN COALESCE(list_sum(list_transform(hs, h -> ((h >> b) & 1) * 2 - 1)), 0) > 0
+           |       THEN (1 << b) ELSE 0 END)) AS INTEGER) AS simhash
+           |FROM hashed ORDER BY doc_id""".stripMargin,
+
+      "q40_topk_cosine" ->
+        """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+          |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+          |scored AS (
+          |  SELECT q_id, c_id,
+          |    round(
+          |      list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+          |      / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+          |       * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))), 4) AS sim
+          |  FROM c CROSS JOIN q WHERE q_id <> c_id)
+          |SELECT q_id, c_id, sim, CAST(rk AS INTEGER) AS rk FROM (
+          |  SELECT q_id, c_id, sim,
+          |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
+          |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+      "q41_topk_ivf" ->
+        """WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS cell FROM embeddings WHERE vec_id < 10),
+          |c AS (SELECT vec_id AS c_id, embedding AS cv, label AS cell FROM embeddings),
+          |scored AS (
+          |  SELECT q_id, c_id,
+          |    round(
+          |      list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+          |      / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+          |       * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))), 4) AS sim
+          |  FROM c JOIN q USING (cell) WHERE q_id <> c_id)
+          |SELECT q_id, c_id, sim, CAST(rk AS INTEGER) AS rk FROM (
+          |  SELECT q_id, c_id, sim,
+          |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
+          |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+      "q42_near_dup_cosine" ->
+        """WITH a AS (SELECT label AS cell, vec_id AS id_a, embedding AS va FROM embeddings),
+          |b AS (SELECT label AS cell, vec_id AS id_b, embedding AS vb FROM embeddings),
+          |scored AS (
+          |  SELECT id_a, id_b,
+          |    round(
+          |      list_sum(list_transform(range(1, len(va)+1), i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))
+          |      / (sqrt(list_sum(list_transform(range(1, len(va)+1), i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE))))
+          |       * sqrt(list_sum(list_transform(range(1, len(vb)+1), i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))))), 4) AS sim
+          |  FROM a JOIN b USING (cell) WHERE id_a < id_b)
+          |SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.2
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      "q50_text_stats" ->
+        s"""WITH base AS (SELECT doc_id, text, $toks AS t FROM documents),
+           |stats AS (SELECT doc_id, text,
+           |  CAST(len(t) AS INTEGER) AS n_tokens,
+           |  CAST(len(t) + COALESCE(list_sum(list_transform(t, w ->
+           |    CASE WHEN length(w) > 8 THEN (length(w) - 1) // 4 ELSE 0 END)), 0) AS INTEGER) AS n_tokens_est,
+           |  CAST(len(list_filter(t, x -> x IN ('the','a','of','to','and','in','is'))) AS INTEGER) AS n_stopwords
+           |  FROM base)
+           |SELECT doc_id, n_tokens, n_tokens_est, n_stopwords,
+           |  round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+           |    * (CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+           |       / CAST(greatest(length(text), 1) AS DOUBLE))
+           |    * (1.0 - least(CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0), 1.0)), 4) AS quality,
+           |  CASE WHEN n_tokens = 0 THEN 'und'
+           |       WHEN CAST(n_stopwords AS DOUBLE) / n_tokens > 0.05 THEN 'en'
+           |       WHEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           |            / greatest(length(text), 1) > 0.7 THEN 'latin'
+           |       ELSE 'other' END AS lang_id
+           |FROM stats ORDER BY doc_id""".stripMargin,
+
+      "q51_lang_breakdown" ->
+        s"""WITH base AS (SELECT text, $toks AS t FROM documents),
+           |stats AS (SELECT text, len(t) AS n_tokens,
+           |  len(list_filter(t, x -> x IN ('the','a','of','to','and','in','is'))) AS n_stopwords
+           |  FROM base)
+           |SELECT CASE WHEN n_tokens = 0 THEN 'und'
+           |       WHEN CAST(n_stopwords AS DOUBLE) / n_tokens > 0.05 THEN 'en'
+           |       WHEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           |            / greatest(length(text), 1) > 0.7 THEN 'latin'
+           |       ELSE 'other' END AS lang_id, COUNT(*) AS n
+           |FROM stats GROUP BY lang_id ORDER BY lang_id""".stripMargin,
+
+      "q60_tumbling_counts" ->
+        s"""SELECT (${epochSql("ts")} // 3600) * 3600 AS window_start, event_type,
+           | COUNT(*) AS n, ${dsumS("value")} AS total_value
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q61_sliding_counts" ->
+        s"""WITH es AS (SELECT event_type, ${epochSql("ts")} AS es FROM events),
+           |win AS (SELECT event_type,
+           |  ((es - CAST(i.i AS BIGINT) * 3600) // 3600) * 3600 AS window_start
+           |  FROM es CROSS JOIN range(0, 2) AS i(i))
+           |SELECT window_start, event_type, COUNT(*) AS n
+           |FROM win WHERE window_start >= 0
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q62_sessionize" ->
+        s"""WITH es AS (SELECT user_id, event_id, ${epochSql("ts")} AS es FROM events),
+           |flagged AS (SELECT user_id, event_id, es,
+           |  CASE WHEN es - lag(es, 1) OVER w > 1800 THEN 1
+           |       WHEN lag(es, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+           |  FROM es WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+           |sessions AS (SELECT user_id, event_id, es,
+           |  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY es, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           |  FROM flagged)
+           |SELECT user_id, session_id, MIN(es) AS session_start,
+           |  MAX(es) AS session_end, COUNT(*) AS n_events
+           |FROM sessions GROUP BY user_id, session_id
+           |ORDER BY user_id, session_id""".stripMargin,
+
+      "q63_asof_join" ->
+        s"""WITH l AS (SELECT user_id, event_id, ${epochSql("ts")} AS es,
+           |                  1 AS is_left, CAST(NULL AS BIGINT) AS r_id
+           |           FROM events WHERE event_type = 'purchase'),
+           |r AS (SELECT user_id, event_id, ${epochSql("ts")} AS es,
+           |             0 AS is_left, event_id AS r_id
+           |      FROM events WHERE event_type = 'click'),
+           |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+           |m AS (SELECT *,
+           |  last_value(r_id IGNORE NULLS) OVER (PARTITION BY user_id
+           |    ORDER BY es, is_left, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_event_id
+           |  FROM u)
+           |SELECT user_id, event_id, es, matched_event_id FROM m
+           |WHERE is_left = 1 ORDER BY user_id, event_id""".stripMargin,
+
+      "q64_json_extract" ->
+        """SELECT event_id,
+          | CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+          |FROM events ORDER BY event_id""".stripMargin,
+
+      "q70_media_features" ->
+        """SELECT doc_id AS media_id, source AS kind,
+          | CAST(strlen(text) AS BIGINT) AS n_bytes,
+          | CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
+          | CAST(strlen(text) % 480 + 1 AS INTEGER) AS height,
+          | md5(text) AS fingerprint
+          |FROM documents ORDER BY media_id""".stripMargin
+    )
+  }
 }

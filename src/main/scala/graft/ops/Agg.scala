@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation-shaped operators (SURVEY.md §2.4 ops 16-22) plus the window
+  * / grouping-set surface the reference lacks (§2.5) that any engine user
+  * expects.
+  *
+  * All are single-shuffle partial+final hash aggregates or single-shuffle
+  * window evaluations; pivots use explicit value lists (one pass, no
+  * values-discovery job).
+  */
+object Agg {
+
+  /** Group-by + pivot + null-fill (op 18; reference etl_pipeline.py:183).
+    * Explicit pivot values = deterministic column order and a single pass
+    * (Spark otherwise runs an extra distinct job to discover them).
+    */
+  def pivotCounts(df: DataFrame, rowKey: String, pivotKey: String,
+                  values: Seq[String]): DataFrame =
+    df.groupBy(col(rowKey)).pivot(pivotKey, values).count().na.fill(0)
+
+  /** Top-1 by frequency with deterministic tie-break on the key (op 20;
+    * reference `value_counts().idxmax()` etl_pipeline.py:197-198 — pandas
+    * takes the first, i.e. smallest-key-wins after its internal sort).
+    */
+  def argmaxByCount(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(key).asc)
+      .limit(1)
+
+  /** Top-n rows per group by an ordering — rank window, single shuffle. */
+  def topNPerGroup(df: DataFrame, partKeys: Seq[String],
+                   order: Seq[Column], n: Int): DataFrame = {
+    val w = Window.partitionBy(partKeys.map(col): _*).orderBy(order: _*)
+    df.withColumn("rk", row_number().over(w)).where(col("rk") <= n)
+  }
+}

@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact (reference op 7 — reddit_etl_proj/
+  * etl_pipeline.py:41,49-50 keep-first set dedup) plus the north-star
+  * near-duplicate family (MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine).
+  *
+  * Hash-function portability: every hash used here is md5 (bit-identical in
+  * Spark and DuckDB), so the DuckDB oracle can replay each operator
+  * exactly. MinHash "permutations" are lexicographic minima over seeded md5
+  * hex strings — a standard universal-hash approximation.
+  *
+  * Scale notes:
+  *  - exact dedup = one hash-aggregate shuffle on the dedup key.
+  *  - keep-first = window `row_number` over the key: same single shuffle,
+  *    deterministic winner (Spark's dropDuplicates winner is
+  *    partition-order dependent; this is not).
+  *  - MinHash+LSH = linear signature pass (no shuffle), then a shuffle on
+  *    (band, bandKey) whose fan-in is the bucket size — the standard
+  *    near-dup design that avoids the O(n²) pair space.
+  *  - n-gram Jaccard is the exact (quadratic-in-colliding-pairs) check; use
+  *    it after LSH bucketing at scale, standalone only at small SF.
+  */
+object Dedup {
+
+  /** Exact dedup, arbitrary winner (pure hash aggregate — cheapest). */
+  def exact(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+
+  /** Deterministic keep-first dedup: first row per key under `order`
+    * (reference keeps the first-seen post per id; etl_pipeline.py:49-50).
+    */
+  def keepFirst(df: DataFrame, keys: Seq[String],
+                order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** w-word shingles of a cleaned text column, as an array column. */
+  def shingles(cleaned: Column, w: Int = 3): Column = {
+    val t = Text.tokens(cleaned)
+    when(size(t) < w, array())
+      .otherwise(transform(sequence(lit(0), size(t) - w),
+        i => concat_ws(" ", (0 until w).map(k => element_at(t, i + k + 1)): _*)))
+  }
+
+  /** MinHash signature: for seed s in [0, k), min over shingles of
+    * md5(s || ':' || shingle), as an array of hex strings. Empty shingle
+    * sets get a sentinel so the row still carries a signature.
+    */
+  def minhashSignature(shingleArr: Column, k: Int = 8): Column =
+    transform(sequence(lit(0), lit(k - 1)), s =>
+      coalesce(
+        array_min(transform(shingleArr,
+          sh => md5(concat(s.cast("string"), lit(":"), sh)))),
+        lit("~empty")))
+
+  /** LSH band keys: the signature split into `bands` contiguous bands,
+    * each band's key = md5 of its concatenated minhashes.
+    */
+  def lshBandKeys(sig: Column, k: Int = 8, bands: Int = 4): Column = {
+    val rowsPerBand = k / bands
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r =>
+          element_at(sig, b * rowsPerBand + r + 1)): _*)))
+  }
+
+  /** MinHash+LSH candidate pairs over a text table: docs sharing at least
+    * one LSH band, with the estimated Jaccard = fraction of matching
+    * minhashes. Output: (id_a, id_b, est_jaccard) with id_a < id_b.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 8, bands: Int = 4): DataFrame = {
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(shingles(Text.cleanText(col(textCol))), k).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+        posexplode(lshBandKeys(col("sig"), k, bands)).as(Seq("band", "bkey")))
+    val a = banded.select(col("band"), col("bkey"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), e => e)).cast("double") / k).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
+    * Output: (id_a, id_b, jaccard) for pairs above `minJaccard`.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   w: Int = 3, minJaccard: Double = 0.1): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(array_distinct(
+          shingles(Text.cleanText(col(textCol)), w))).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val common = sh.as("x").join(sh.as("y"), Seq("sh"))
+      .where(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4)
+          .as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** 16-bit SimHash over the token multiset: bit j of the signature is the
+    * sign of sum over tokens of (2*bit_j(h(token)) - 1), where h = first 4
+    * md5 hex nibbles. Hex decoding via character position keeps it
+    * oracle-expressible (DuckDB has no hex-to-int conversion).
+    */
+  /** Per-token 16-bit hashes (first 4 md5 hex nibbles), as an int array.
+    * Materialize this once per row (withColumn) before folding the 16 bit
+    * planes so the token hashing isn't recomputed per bit.
+    */
+  def tokenHashes16(cleaned: Column): Column = {
+    val hexMap = map("0123456789abcdef".zipWithIndex.flatMap {
+      case (ch, v) => Seq(lit(ch.toString), lit(v))
+    }: _*)
+    transform(Text.tokens(cleaned), t => {
+      val h = md5(t)
+      (0 until 4).map(i =>
+        element_at(hexMap, substring(h, i + 1, 1)) * (1 << (4 * (3 - i))))
+        .reduce(_ + _)
+    })
+  }
+
+  /** SimHash signature from materialized token hashes: bit b of the output
+    * is set iff the sum over tokens of (2*bit_b(h) - 1) is positive.
+    */
+  def simhash16(tokenHashArr: Column): Column =
+    (0 until 16).map { b =>
+      when(aggregate(tokenHashArr, lit(0),
+        (acc, v) => acc + (shiftright(v, b).bitwiseAND(1) * 2 - 1)) > 0,
+        1 << b).otherwise(0)
+    }.reduce(_ + _)
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-window and event-stream operators over the `events` fixture
+  * (north-star streaming extension, SURVEY.md §7.3 M4). Batch forms here
+  * are oracle-checkable; graft.streaming.StreamOps applies the same
+  * aggregations under Structured Streaming with watermarks.
+  *
+  * Window starts are emitted as epoch seconds (BIGINT) rather than
+  * timestamps: identical in both engines regardless of timestamp-type /
+  * timezone representation.
+  */
+object EventsOps {
+
+  /** Tumbling-window counts: one shuffle keyed on (window, type). */
+  def tumblingCounts(events: DataFrame, slideSeconds: Long): DataFrame =
+    events.groupBy(
+        (floor(unix_timestamp(col("ts")) / slideSeconds) * slideSeconds)
+          .cast("long").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        // sum in decimal (exact, order-insensitive), surface as double so
+        // the schema matches DuckDB's CAST(SUM(...) AS DOUBLE) bit-for-bit
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+
+  /** Sliding-window counts (width = `size`, step = `slide`): each event is
+    * assigned to size/slide windows via an inline explode — map-side fanout
+    * then a single shuffle, same as Spark's built-in `window()` but with a
+    * flat BIGINT window key for oracle parity.
+    */
+  def slidingCounts(events: DataFrame, sizeSeconds: Long,
+                    slideSeconds: Long): DataFrame = {
+    val k = (sizeSeconds / slideSeconds).toInt
+    events
+      .select(col("event_type"), unix_timestamp(col("ts")).as("es"))
+      .select(col("event_type"), explode(
+        transform(sequence(lit(0), lit(k - 1)), i =>
+          (floor((col("es") - i * slideSeconds) / slideSeconds)
+            * slideSeconds).cast("long"))).as("window_start"))
+      .where(col("window_start") >= 0)
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Session windows per user (gap-based): classic gaps-and-islands with a
+    * lag + running-sum window — one shuffle on user_id, no state explosion.
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("es", "event_id")
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"))
+      .withColumn("new_session",
+        when(col("es") - lag(col("es"), 1).over(byUser) > gapSeconds, 1)
+          .when(lag(col("es"), 1).over(byUser).isNull, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("es")).as("session_start"),
+        max(col("es")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** JSON property extraction — regex-based so the oracle needs no JSON
+    * extension; `props` is flat `{"k": <int>}` in the fixture.
+    */
+  def jsonProp(props: Column, key: String): Column =
+    // nullif guards the no-match case: regexp_extract yields '' and ANSI
+    // mode (Spark 4 default) makes ''::BIGINT throw rather than null
+    nullif(regexp_extract(props, "\"" + key + "\":\\s*(-?\\d+)", 1), lit(""))
+      .cast("long")
+
+  /** As-of join: for each left event, the most recent right event of the
+    * same user at-or-before its timestamp. Implemented as the scalable
+    * union + last_value-ignore-nulls window (ONE shuffle on user_id) —
+    * not a non-equi join, which would be a broadcast-nested-loop disaster
+    * at scale.
+    *
+    * Inputs are (user_id, event_id, ts)-shaped; returns left rows with
+    * `matched_event_id` (nullable long) of the as-of right row.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.select(col("user_id"), col("event_id"),
+      unix_timestamp(col("ts")).as("es"), lit(1).as("is_left"),
+      lit(null).cast("long").as("r_id"))
+    val r = right.select(col("user_id"), col("event_id"),
+      unix_timestamp(col("ts")).as("es"), lit(0).as("is_left"),
+      col("event_id").as("r_id"))
+    // Right rows sort before left rows at equal timestamps (is_left asc) so
+    // an exactly-simultaneous right row is visible to the left row.
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("es").asc, col("is_left").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(r)
+      .withColumn("matched_event_id",
+        last(col("r_id"), ignoreNulls = true).over(w))
+      .where(col("is_left") === 1)
+      .select(col("user_id"), col("event_id"), col("es"),
+        col("matched_event_id"))
+  }
+}

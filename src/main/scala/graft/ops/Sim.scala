@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`), north-star
+  * extension (SURVEY.md §7.3 M4).
+  *
+  * All arithmetic is element-wise in DOUBLE with strict left-to-right
+  * accumulation (`aggregate`), matching the DuckDB oracle's `list_sum` over
+  * the same doubles; similarities are rounded before ranking so last-ulp
+  * drift can never flip an ordering between engines.
+  *
+  * Scale notes:
+  *  - `topK` broadcasts the (small) query set and computes partial top-k
+  *    per partition via the ranking window on (query, candidate) pairs —
+  *    the crossJoin is broadcast-nested-loop with the tiny side broadcast,
+  *    so the big side never shuffles.
+  *  - `topKIvf` is the scale path: candidates are pre-bucketed by a coarse
+  *    quantizer (here the `label` cell id) and each query probes only its
+  *    own cell — turning the O(N) scan per query into O(N / cells).
+  */
+object Sim {
+
+  /** dot(a, b) over float arrays, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity rounded to `scale` decimals (ranking-stable). */
+  def cosine(a: Column, b: Column, scale: Int = 4): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), scale)
+
+  /** Brute-force top-k: for each query vector, the k nearest candidates by
+    * cosine (ties broken by candidate id — deterministic).
+    */
+  def topK(queries: DataFrame, candidates: DataFrame, k: Int,
+           idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = candidates.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosine(col("q_vec"), col("c_vec")).as("sim"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rk"))
+  }
+
+  /** IVF-style top-k: probe only the candidate cell that matches the
+    * query's cell (`cellCol` = coarse-quantizer assignment). Same output
+    * shape as `topK` but each query scans ~N/cells candidates.
+    */
+  def topKIvf(queries: DataFrame, candidates: DataFrame, k: Int,
+              cellCol: String, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      col(cellCol).as("cell"))
+    val c = candidates.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      col(cellCol).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosine(col("q_vec"), col("c_vec")).as("sim"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold,
+    * bucketed by cell to bound the pair space (id_a < id_b).
+    */
+  def nearDupPairs(df: DataFrame, threshold: Double, cellCol: String,
+                   idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val a = df.select(col(cellCol).as("cell"), col(idCol).as("id_a"),
+      col(vecCol).as("va"))
+    val b = df.select(col(cellCol).as("cell"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"))
+    a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("va"), col("vb")).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Star-schema build / join operators (SURVEY.md §2.3 ops 13-15 and §2.1
+  * op 4's INSERT IGNORE semantics; reference reddit_etl_proj/
+  * etl_pipeline.py:94-129,144-150).
+  *
+  * Scale notes:
+  *  - Dimensions are by definition low-cardinality, so the global
+  *    `row_number` window over the distinct keys is a deliberate
+  *    single-partition step over a tiny input — the distinct itself is a
+  *    proper distributed partial/final hash aggregate.
+  *  - Fact-to-dim key lookups broadcast the dim (reference does the same
+  *    thing with a driver-side Python dict — etl_pipeline.py:95-116).
+  */
+object Star {
+
+  /** Deterministic surrogate-key dimension from the distinct values of a
+    * natural key (reference: MySQL auto-increment + INSERT IGNORE,
+    * etl_pipeline.py:96-109). Ranked distinct gives stable ids, unlike
+    * `monotonically_increasing_id` which depends on partitioning.
+    */
+  def dim(df: DataFrame, naturalKey: String, idCol: String): DataFrame =
+    df.select(col(naturalKey)).where(col(naturalKey).isNotNull).distinct()
+      .withColumn(idCol,
+        row_number().over(Window.orderBy(col(naturalKey))).cast("long"))
+
+  /** Incremental dim maintenance with upsert-ignore semantics: only keys
+    * absent from `existing` get new ids, appended after the current max
+    * (reference INSERT IGNORE, etl_pipeline.py:97,106,122). The anti join
+    * broadcasts `existing` when small; new ids are again ranked distinct.
+    */
+  def dimUpsert(existing: DataFrame, incoming: DataFrame,
+                naturalKey: String, idCol: String): DataFrame = {
+    val newKeys = incoming.select(col(naturalKey))
+      .where(col(naturalKey).isNotNull).distinct()
+      .join(existing.select(naturalKey), Seq(naturalKey), "left_anti")
+    val base = existing.agg(coalesce(max(col(idCol)), lit(0L)).as("base"))
+    val assigned = newKeys
+      .withColumn("rk", row_number().over(Window.orderBy(col(naturalKey))))
+      .crossJoin(broadcast(base))
+      .select(col(naturalKey), (col("base") + col("rk")).cast("long").as(idCol))
+    existing.select(col(naturalKey), col(idCol)).unionByName(assigned)
+  }
+
+  /** Map-side dim-key lookup (op 14): attach the surrogate id by joining
+    * the fact on the natural key; the dim side is broadcast.
+    */
+  def lookup(factSide: DataFrame, dimSide: DataFrame,
+             naturalKey: String): DataFrame =
+    factSide.join(broadcast(dimSide), Seq(naturalKey), "left")
+
+  /** Fact ⋈ dims star join (op 13): inner equi-joins with explicit
+    * broadcast hints on the dim sides.
+    */
+  def starJoin(fact: DataFrame, dims: Seq[(DataFrame, String)]): DataFrame =
+    dims.foldLeft(fact) { case (acc, (d, key)) =>
+      acc.join(broadcast(d), Seq(key))
+    }
+
+  /** INSERT IGNORE as a distributed operator: rows of `incoming` whose key
+    * is not already present in `existing` (left anti join). This is the
+    * honest Spark equivalent of the reference's upsert-ignore fact load
+    * (etl_pipeline.py:121-127).
+    */
+  def upsertIgnore(existing: DataFrame, incoming: DataFrame,
+                   keys: Seq[String]): DataFrame =
+    incoming.join(existing.select(keys.map(col): _*).distinct(),
+      keys, "left_anti")
+}

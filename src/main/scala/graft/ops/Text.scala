@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Row-level text operators (SURVEY.md §2.2 ops 8-12 + north-star text
+  * analysis). All pure `Column => Column` built-ins — no UDFs — so every
+  * operator stays inside whole-stage codegen and is expressible as ANSI SQL
+  * for the DuckDB oracle.
+  */
+object Text {
+
+  /** Reference `clean_text` (reddit_etl_proj/etl_pipeline.py:73-75):
+    * strip URLs and every non-letter/non-whitespace char, lowercase, trim.
+    * The pattern is valid and equivalent in Java regex and RE2 (DuckDB).
+    */
+  val CleanRegex = "http\\S+|www\\S+|[^a-zA-Z\\s]"
+
+  def cleanText(c: Column): Column =
+    lower(trim(regexp_replace(c, CleanRegex, "")))
+
+  /** Reference dropout flag (etl_pipeline.py:80): case-insensitive regex
+    * containment with `na=False` null semantics.
+    */
+  val FlagRegex = "(?i)drop[\\s-]?out|dropped out"
+
+  def regexFlag(c: Column, pattern: String = FlagRegex): Column =
+    coalesce(c.rlike(pattern), lit(false))
+
+  /** Reference CASE bucketing (etl_pipeline.py:79,152-154). Thresholds are
+    * exclusive: exactly ±0.1 maps to neutral.
+    */
+  def sentimentLabel(sentiment: Column): Column =
+    when(sentiment > 0.1, "positive")
+      .when(sentiment < -0.1, "negative")
+      .otherwise("neutral")
+
+  /** Whitespace tokenizer shared by sentiment / dedup / text-analysis ops.
+    * Splitting on single spaces then filtering empties matches DuckDB's
+    * `string_split(text, ' ')` element-for-element.
+    */
+  def tokens(c: Column): Column =
+    filter(split(c, " "), t => t =!= "")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token estimate: whitespace words plus an extra token per 4
+    * chars of long words (a cheap deterministic stand-in for subword
+    * tokenizers; real BPE needs a vocab we don't ship).
+    */
+  def tokenEstimate(c: Column): Column = {
+    val t = tokens(c)
+    size(t) + aggregate(t, lit(0),
+      (acc, w) => acc + when(length(w) > 8,
+        floor((length(w) - 1) / 4).cast("int")).otherwise(0))
+  }
+
+  /** English stopwords used by the language-ID heuristic and the quality
+    * score. Tiny by design: deterministic and oracle-expressible.
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is")
+
+  def stopwordCount(c: Column): Column =
+    size(filter(tokens(c), t => t.isin(Stopwords.map(lit): _*)))
+
+  /** n-gram-flavoured language ID heuristic: English stopword density plus
+    * ASCII-letter density. Deterministic; mirrors the shape (character/word
+    * profile scoring) of real lang-ID without shipping models.
+    */
+  def langIdHeuristic(c: Column): Column = {
+    val n = tokenCount(c)
+    val stop = stopwordCount(c)
+    val letters = length(regexp_replace(c, "[^a-zA-Z]", ""))
+    val total = greatest(length(c), lit(1))
+    when(n === 0, "und")
+      .when(stop.cast("double") / n > 0.05, "en")
+      .when(letters.cast("double") / total > 0.7, "latin")
+      .otherwise("other")
+  }
+
+  /** Composite quality score in [0,1]: length saturation x alpha ratio x
+    * (1 - stopword excess). Deterministic, codegen-friendly.
+    */
+  def qualityScore(c: Column): Column = {
+    val n = tokenCount(c).cast("double")
+    val lenScore = least(n / 100.0, lit(1.0))
+    val alphaRatio =
+      length(regexp_replace(c, "[^a-zA-Z ]", "")).cast("double") /
+        greatest(length(c), lit(1)).cast("double")
+    val stopRatio = stopwordCount(c).cast("double") / greatest(n, lit(1.0))
+    round(lenScore * alphaRatio * (lit(1.0) - least(stopRatio, lit(1.0))), 4)
+  }
+
+  /** Document fingerprint: md5 of the normalized text plus a 60-bit prefix
+    * as a numeric key. md5 is bit-identical across Spark and DuckDB, so the
+    * oracle reproduces it exactly (unlike murmur/xxhash which differ).
+    */
+  def fingerprint(c: Column): Column = md5(cleanText(c))
+
+  def fingerprint60(c: Column): Column =
+    conv(substring(fingerprint(c), 1, 15), 16, 10).cast("long")
+}

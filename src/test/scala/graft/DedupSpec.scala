@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Text}
+
+/** Op 7 (keep-first dedup) and the near-dup family (MinHash+LSH, SimHash,
+  * n-gram Jaccard).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup
+    (3L, "the quick brown fox jumps over the lazy cat tonight"), // near dup
+    (4L, "completely different words about spark and big data engines"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("keepFirst keeps exactly the first row per key under the order") {
+    val df = Seq(("a", 3, "x3"), ("a", 1, "x1"), ("b", 2, "y2"), ("a", 2, "x2"))
+      .toDF("k", "seq", "v")
+    val got = Dedup.keepFirst(df, Seq("k"), Seq(col("seq").asc))
+      .select("k", "v").as[(String, String)].collect().toSet
+    assert(got === Set(("a", "x1"), ("b", "y2")))
+  }
+
+  test("keepFirst output keys are unique and a subset of input") {
+    val out = Dedup.keepFirst(docs, Seq("text"), Seq(col("doc_id").asc))
+    assert(out.count() === out.select("text").distinct().count())
+    assert(out.join(docs, Seq("doc_id"), "left_anti").count() === 0)
+  }
+
+  test("shingles: w-grams in order, short docs yield empty") {
+    val got = Seq("a b c d").toDF("t")
+      .select(Dedup.shingles(col("t"), 3)).as[Seq[String]].head()
+    assert(got === Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(Dedup.shingles(col("t"), 3)).as[Seq[String]].head()
+    assert(short === Seq())
+  }
+
+  test("minhash: identical docs share full signature, est_jaccard = 1.0") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", k = 8, bands = 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exact.exists(_._3 == 1.0))
+    // near-dup 1-3 should collide on at least one band with high estimate
+    assert(pairs.find(p => p._1 == 1L && p._2 == 3L).exists(_._3 >= 0.5))
+    // unrelated doc 4 never pairs with 1
+    assert(!pairs.exists(p => p._2 == 4L && p._1 <= 3L && p._3 > 0.5))
+  }
+
+  test("jaccardPairs: exact dup = 1.0; disjoint docs absent") {
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", w = 3,
+        minJaccard = 0.05)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(got((1L, 2L)) === 1.0)
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) < 1.0)
+    assert(!got.keys.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("simhash: identical docs equal; near dups within small hamming") {
+    def hamming(a: Int, b: Int) = Integer.bitCount(a ^ b)
+    val sig = docs
+      .withColumn("th", Dedup.tokenHashes16(Text.cleanText(col("text"))))
+      .select(col("doc_id"), Dedup.simhash16(col("th")).as("sh"))
+      .as[(Long, Int)].collect().toMap
+    assert(sig(1L) === sig(2L))
+    assert(hamming(sig(1L), sig(3L)) <= 6)
+    assert(sig(5L) === 0) // empty doc: all bit-sums 0, no bits set
+  }
+}

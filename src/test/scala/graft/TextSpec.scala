@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.{Sentiment, Text}
+
+/** Ops 8-12 (clean_text, regex flag, sentiment, label) over the golden edge
+  * rows from FIXTURES.md §1 plus hand-rolled scalacheck properties (the
+  * scalatestplus bridge isn't on the offline classpath, so we sample Gen
+  * directly).
+  */
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic N samples from a Gen. */
+  private def samples[A](g: Gen[A], n: Int = 40): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def clean(ss: Seq[String]): Seq[String] =
+    ss.toDF("t").select(Text.cleanText(col("t"))).as[String].collect().toSeq
+
+  test("cleanText strips urls, digits, punctuation; lowercases; trims") {
+    assert(clean(Seq("Visit http://x.co/a?b=1 NOW!! 42 times"))
+      === Seq("visit  now  times"))
+    assert(clean(Seq("www.spam.com only")) === Seq("only"))
+    assert(clean(Seq("")) === Seq(""))
+    assert(clean(Seq("?!?!...  42 --")) === Seq(""))
+  }
+
+  test("cleanText is idempotent (property)") {
+    val gen = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '.', '!', '?', '\t'),
+      1 -> Gen.oneOf('é', '中', ' '))).map(_.mkString)
+    val xs = samples(gen)
+    val once = clean(xs)
+    val twice = clean(once)
+    assert(twice === once)
+  }
+
+  test("regexFlag matches dropout variants, null yields false (na=False)") {
+    val df = Seq(
+      (1L, "thinking of dropping college"),
+      (2L, "i will drop out soon"),
+      (3L, "DROP-OUT risk"),
+      (4L, "dropped out last year"),
+      (5L, null.asInstanceOf[String]),
+      (6L, "nothing here")
+    ).toDF("id", "text")
+    val got = df.select(col("id"), Text.regexFlag(col("text")).as("f"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> true, 4L -> true,
+      5L -> false, 6L -> false))
+  }
+
+  test("sentimentLabel thresholds are exclusive at ±0.1") {
+    val got = Seq(0.1, -0.1, 0.100001, -0.100001, 0.0)
+      .toDF("s").select(Text.sentimentLabel(col("s"))).as[String].collect()
+    assert(got.toSeq === Seq("neutral", "neutral", "positive", "negative",
+      "neutral"))
+  }
+
+  test("tokens drops empty strings from repeated spaces") {
+    val got = Seq("a  b   c ").toDF("t")
+      .select(Text.tokens(col("t"))).as[Seq[String]].head()
+    assert(got === Seq("a", "b", "c"))
+  }
+
+  test("sentiment score: mean of matched lexicon words, 0.0 when none") {
+    val df = Seq(
+      (1L, "spark is fast"),        // (0.5 + 0.875) / 2 = 0.6875
+      (2L, "no lexicon words xyz"), // 0.0
+      (3L, ""),                     // 0.0
+      (4L, "bad bad good")          // (-0.75 - 0.75 + 0.75) / 3 = -0.25
+    ).toDF("id", "t")
+    val got = df.select(col("id"),
+        Sentiment.score(Text.cleanText(col("t"))).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(got === Map(1L -> 0.6875, 2L -> 0.0, 3L -> 0.0, 4L -> -0.25))
+  }
+
+  test("sentiment score stays in [-1, 1] (property)") {
+    val word = Gen.oneOf(Sentiment.Lexicon.map(_._1) ++ Seq("zz", "qq"))
+    val texts = samples(Gen.listOf(word).map(_.mkString(" ")))
+    val vs = texts.toDF("t").select(Sentiment.score(col("t")))
+      .as[Double].collect()
+    assert(vs.forall(v => v >= -1.0 && v <= 1.0))
+  }
+
+  test("every sentiment maps to exactly one label (partition totality)") {
+    val vs = samples(Gen.chooseNum(-1.0, 1.0), 200)
+    val labels = vs.toDF("s").select(Text.sentimentLabel(col("s")))
+      .as[String].collect()
+    assert(labels.forall(Set("positive", "negative", "neutral")))
+    assert(labels.length === vs.length)
+  }
+
+  test("quality / lang-id / token-count edge rows") {
+    val row = Seq((1L, "")).toDF("id", "t")
+      .select(Text.tokenCount(col("t")).as("n"),
+        Text.langIdHeuristic(col("t")).as("lang"),
+        Text.qualityScore(col("t")).as("q"))
+      .collect().head
+    assert(row === Row(0, "und", 0.0))
+    val en = Seq("the cat sat on the mat and the dog is in a box of hats")
+      .toDF("t").select(Text.langIdHeuristic(col("t"))).as[String].head()
+    assert(en === "en")
+  }
+}
