@@ -15,6 +15,9 @@ object Sessions {
     */
   def local(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
+    // native functions (SQL names) — e.g. dot_f32 for similarity search
+    .withExtensions(ext =>
+      ext.injectFunction(graft.functions.DotProductF32.descriptor))
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")

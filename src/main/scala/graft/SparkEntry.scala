@@ -244,6 +244,45 @@ object SparkEntry {
         .orderBy("source_id")
     }),
 
+    // §2.5 gap — set operations (union / intersect / except): symmetric
+    // difference of two keyed subsets.
+    "q25_set_ops" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = docs.where(col("doc_id") % 2 === 0).select("doc_id")
+      val b = docs.where(col("doc_id") % 3 === 0).select("doc_id")
+      a.union(b).distinct().except(a.intersect(b)).orderBy("doc_id")
+    }),
+
+    // §2.5 gap — rollup with subtotal rows (null grouping keys).
+    "q26_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("total"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // §2.5 gap — cube over (year, status).
+    "q27_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(year(col("o_orderdate")).as("year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("year").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)),
+
+    // §2.5 gap — non-equi range join against a broadcast band table.
+    "q28_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq((0.0, 50000.0, "low"), (50000.0, 150000.0, "mid"),
+        (150000.0, 1.0e9, "high")).toDF("lo", "hi", "band")
+      t(s, dir, "orders")
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("band")
+    }),
+
     // north star — document fingerprinting (rolling/content hash).
     "q30_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -273,11 +312,11 @@ object SparkEntry {
           "doc_id", "text", w = 3, minJaccard = 0.1)
         .orderBy("id_a", "id_b")),
 
-    // north star — SimHash signatures.
+    // north star — SimHash signatures (native single-pass expression).
     "q34_simhash" -> ((s, dir) =>
       t(s, dir, "documents")
-        .withColumn("th", Dedup.tokenHashes16(Text.cleanText(col("text"))))
-        .select(col("doc_id"), Dedup.simhash16(col("th")).as("simhash"))
+        .withColumn("t", Text.tokens(Text.cleanText(col("text"))))
+        .select(col("doc_id"), Dedup.simhash16Native(col("t")).as("simhash"))
         .orderBy("doc_id")),
 
     // north star — brute-force top-k cosine (broadcast query set).
@@ -300,20 +339,24 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     // north star — text statistics (token counts, quality, lang-id).
+    // the token array is materialized once; every stat scans the attribute
     "q50_text_stats" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        Text.tokenCount(col("text")).as("n_tokens"),
-        Text.tokenEstimate(col("text")).as("n_tokens_est"),
-        Text.stopwordCount(col("text")).as("n_stopwords"),
-        Text.qualityScore(col("text")).as("quality"),
-        Text.langIdHeuristic(col("text")).as("lang_id"))
+      t(s, dir, "documents")
+        .withColumn("t", Text.tokens(col("text")))
+        .select(
+          col("doc_id"),
+          Text.tokenCount(col("t")).as("n_tokens"),
+          Text.tokenEstimate(col("t")).as("n_tokens_est"),
+          Text.stopwordCount(col("t")).as("n_stopwords"),
+          Text.qualityScore(col("text"), col("t")).as("quality"),
+          Text.langIdHeuristic(col("text"), col("t")).as("lang_id"))
         .orderBy("doc_id")),
 
     // north star — language-ID breakdown.
     "q51_lang_breakdown" -> ((s, dir) =>
       t(s, dir, "documents")
-        .groupBy(Text.langIdHeuristic(col("text")).as("lang_id"))
+        .withColumn("t", Text.tokens(col("text")))
+        .groupBy(Text.langIdHeuristic(col("text"), col("t")).as("lang_id"))
         .agg(count(lit(1)).as("n"))
         .orderBy("lang_id")),
 
@@ -497,6 +540,38 @@ object SparkEntry {
           |SELECT source, source_id FROM ex
           |UNION ALL SELECT source, source_id FROM nw
           |ORDER BY source_id""".stripMargin,
+
+      "q25_set_ops" ->
+        """WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+          |b AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+          |SELECT doc_id FROM (
+          |  (SELECT doc_id FROM a UNION SELECT doc_id FROM b)
+          |  EXCEPT
+          |  (SELECT doc_id FROM a INTERSECT SELECT doc_id FROM b))
+          |ORDER BY doc_id""".stripMargin,
+
+      "q26_rollup" ->
+        s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           | ${dsumS("l_extendedprice")} AS total
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+           |ORDER BY l_returnflag ASC NULLS FIRST,
+           | l_linestatus ASC NULLS FIRST""".stripMargin,
+
+      "q27_cube" ->
+        """SELECT year, o_orderstatus, COUNT(*) AS n FROM
+          | (SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderstatus
+          |  FROM orders)
+          |GROUP BY CUBE (year, o_orderstatus)
+          |ORDER BY year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+      "q28_range_join" ->
+        s"""WITH bands(lo, hi, band) AS (VALUES
+           | (0.0, 50000.0, 'low'), (50000.0, 150000.0, 'mid'),
+           | (150000.0, 1000000000.0, 'high'))
+           |SELECT band, COUNT(*) AS n, ${dsumS("o_totalprice")} AS total
+           |FROM orders JOIN bands
+           |  ON o_totalprice >= lo AND o_totalprice < hi
+           |GROUP BY band ORDER BY band""".stripMargin,
 
       "q30_fingerprint" ->
         s"SELECT doc_id, md5($clean) AS fp FROM documents ORDER BY doc_id",

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Deduplication operators: exact (reference op 7 — reddit_etl_proj/
   * etl_pipeline.py:41,49-50 keep-first set dedup) plus the north-star
@@ -41,19 +42,33 @@ object Dedup {
       .where(col("__rn") === 1).drop("__rn")
   }
 
-  /** w-word shingles of a cleaned text column, as an array column. */
-  def shingles(cleaned: Column, w: Int = 3): Column = {
-    val t = Text.tokens(cleaned)
-    when(size(t) < w, array())
-      .otherwise(transform(sequence(lit(0), size(t) - w),
-        i => concat_ws(" ", (0 until w).map(k => element_at(t, i + k + 1)): _*)))
-  }
+  /** w-word shingles of a MATERIALIZED token-array column.
+    *
+    * The input must be an attribute (a `withColumn`-materialized array),
+    * not a computed expression: this body references `toks` w+2 times and
+    * Catalyst re-evaluates lambda-captured subexpressions per array
+    * element — an inline tokenize here turns O(n_tokens) into
+    * O(n_tokens * w * n_shingles) regex passes per row.
+    */
+  def shingles(toks: Column, w: Int = 3): Column =
+    when(size(toks) < w, array())
+      .otherwise(transform(sequence(lit(0), size(toks) - w),
+        i => concat_ws(" ",
+          (0 until w).map(k => element_at(toks, i + k + 1)): _*)))
 
   /** MinHash signature: for seed s in [0, k), min over shingles of
     * md5(s || ':' || shingle), as an array of hex strings. Empty shingle
     * sets get a sentinel so the row still carries a signature.
+    *
+    * Native single-pass expression; [[minhashSignatureHof]] is the
+    * built-in-HOF reference formulation (bit-identical, ~50× slower —
+    * see graft.functions.TextHashExprs).
     */
   def minhashSignature(shingleArr: Column, k: Int = 8): Column =
+    Bridge.column(graft.functions.MinHashSigExpr(
+      Bridge.expression(shingleArr), k))
+
+  def minhashSignatureHof(shingleArr: Column, k: Int = 8): Column =
     transform(sequence(lit(0), lit(k - 1)), s =>
       coalesce(
         array_min(transform(shingleArr,
@@ -75,20 +90,31 @@ object Dedup {
     * one LSH band, with the estimated Jaccard = fraction of matching
     * minhashes. Output: (id_a, id_b, est_jaccard) with id_a < id_b.
     */
+  /** Materialized signature pipeline: clean → tokens → shingles → minhash,
+    * each stage a separate projection so every array is computed exactly
+    * once per row (see [[shingles]] scaladoc for why inlining is fatal).
+    */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+                 k: Int): DataFrame =
+    df.select(col(idCol).as("id"), Text.cleanText(col(textCol)).as("c"))
+      .withColumn("t", Text.tokens(col("c")))
+      .withColumn("shs", shingles(col("t")))
+      .withColumn("sig", minhashSignature(col("shs"), k))
+      .select(col("id"), col("sig"))
+
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 8, bands: Int = 4): DataFrame = {
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(shingles(Text.cleanText(col(textCol))), k).as("sig"))
+    val sig = signatures(df, idCol, textCol, k)
     val banded = sig.select(col("id"), col("sig"),
         posexplode(lshBandKeys(col("sig"), k, bands)).as(Seq("band", "bkey")))
-    val a = banded.select(col("band"), col("bkey"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bkey"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bkey"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+    // alias self-join (not two renamed projections): both sides share one
+    // canonical subplan, so ReuseExchange computes the signature pipeline
+    // once instead of twice
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"),
           (x, y) => x === y), e => e)).cast("double") / k).as("est_jaccard"))
       .distinct()
   }
@@ -98,9 +124,11 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    w: Int = 3, minJaccard: Double = 0.1): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        explode(array_distinct(
-          shingles(Text.cleanText(col(textCol)), w))).as("sh"))
+    val sh = df
+      .select(col(idCol).as("id"), Text.cleanText(col(textCol)).as("c"))
+      .withColumn("t", Text.tokens(col("c")))
+      .select(col("id"),
+        explode(array_distinct(shingles(col("t"), w))).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val common = sh.as("x").join(sh.as("y"), Seq("sh"))
       .where(col("x.id") < col("y.id"))
@@ -138,6 +166,8 @@ object Dedup {
 
   /** SimHash signature from materialized token hashes: bit b of the output
     * is set iff the sum over tokens of (2*bit_b(h) - 1) is positive.
+    * HOF reference form (16 interpreted array passes); production path is
+    * [[simhash16Native]].
     */
   def simhash16(tokenHashArr: Column): Column =
     (0 until 16).map { b =>
@@ -145,4 +175,10 @@ object Dedup {
         (acc, v) => acc + (shiftright(v, b).bitwiseAND(1) * 2 - 1)) > 0,
         1 << b).otherwise(0)
     }.reduce(_ + _)
+
+  /** Native single-pass SimHash over the token array itself (md5_16 per
+    * token + 16 bit-plane accumulators in one compiled loop).
+    */
+  def simhash16Native(toks: Column): Column =
+    Bridge.column(graft.functions.SimHash16Expr(Bridge.expression(toks)))
 }

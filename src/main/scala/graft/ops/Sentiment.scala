@@ -32,17 +32,28 @@ object Sentiment {
 
   /** Mean polarity of lexicon tokens in [-1, 1]; 0.0 when none match.
     * Input is expected to be cleaned text (Text.cleanText).
+    *
+    * Single `aggregate` pass with a (sum, count) struct accumulator: a
+    * filter-then-average formulation would reference the matched-scores
+    * array three times, and Catalyst does not hoist loop-invariant
+    * subexpressions out of lambda bodies — the whole tokenize pipeline
+    * would re-run per reference. Adding 0.0 for unmatched tokens is exact
+    * (scores are binary fractions), so the result is bit-identical to the
+    * oracle's filter-then-average.
     */
-  def score(cleaned: Column): Column = {
-    val matched = filter(
-      transform(Text.tokens(cleaned), t => element_at(lexMap, t)),
-      s => s.isNotNull)
+  def score(cleaned: Column): Column =
     round(
-      when(size(matched) > 0,
-        aggregate(matched, lit(0.0), (acc, s) => acc + s) / size(matched))
-        .otherwise(0.0),
+      aggregate(Text.tokens(cleaned),
+        struct(lit(0.0).as("s"), lit(0).as("n")),
+        (acc, t) => {
+          val v = element_at(lexMap, t)
+          struct(
+            (acc.getField("s") + coalesce(v, lit(0.0))).as("s"),
+            (acc.getField("n") + when(v.isNotNull, 1).otherwise(0)).as("n"))
+        },
+        acc => when(acc.getField("n") > 0,
+          acc.getField("s") / acc.getField("n")).otherwise(lit(0.0))),
       4)
-  }
 
   /** The oracle-side lexicon as a SQL VALUES list (scores cast to DOUBLE —
     * DuckDB would otherwise type bare decimals as DECIMAL and change the

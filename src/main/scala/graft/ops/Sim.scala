@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Similarity search over an embedding column (`array<float>`), north-star
   * extension (SURVEY.md §7.3 M4).
@@ -23,8 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object Sim {
 
-  /** dot(a, b) over float arrays, accumulated in double. */
+  /** dot(a, b) over float arrays, accumulated in double — the native
+    * codegen'd expression (see graft.functions.DotProductF32 for why the
+    * HOF formulation is too slow on the pair-scoring hot path).
+    */
   def dot(a: Column, b: Column): Column =
+    Bridge.column(graft.functions.DotProductF32(
+      Bridge.expression(a), Bridge.expression(b)))
+
+  /** Built-in higher-order-function formulation of the same dot product;
+    * kept as the reference semantics (tests assert dot == dotHof).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -40,12 +51,17 @@ object Sim {
   def topK(queries: DataFrame, candidates: DataFrame, k: Int,
            idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
+    // norms are materialized per side BEFORE the join: n + m norm
+    // computations instead of n·m (each pair then costs one dot product)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
     val c = candidates.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", norm(col("c_vec")))
     val scored = c.crossJoin(broadcast(q))
       .where(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        cosine(col("q_vec"), col("c_vec")).as("sim"))
+        round(dot(col("q_vec"), col("c_vec")) /
+          (col("q_norm") * col("c_norm")), 4).as("sim"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("sim").desc, col("c_id").asc)
     scored.withColumn("rk", row_number().over(w))
@@ -62,12 +78,15 @@ object Sim {
               vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       col(cellCol).as("cell"))
+      .withColumn("q_norm", norm(col("q_vec")))
     val c = candidates.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
       col(cellCol).as("cell"))
+      .withColumn("c_norm", norm(col("c_vec")))
     val scored = c.join(broadcast(q), Seq("cell"))
       .where(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        cosine(col("q_vec"), col("c_vec")).as("sim"))
+        round(dot(col("q_vec"), col("c_vec")) /
+          (col("q_norm") * col("c_norm")), 4).as("sim"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("sim").desc, col("c_id").asc)
     scored.withColumn("rk", row_number().over(w))
@@ -83,12 +102,15 @@ object Sim {
       : DataFrame = {
     val a = df.select(col(cellCol).as("cell"), col(idCol).as("id_a"),
       col(vecCol).as("va"))
+      .withColumn("na", norm(col("va")))
     val b = df.select(col(cellCol).as("cell"), col(idCol).as("id_b"),
       col(vecCol).as("vb"))
+      .withColumn("nb", norm(col("vb")))
     a.join(b, Seq("cell"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("va"), col("vb")).as("sim"))
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+          .as("sim"))
       .where(col("sim") >= threshold)
   }
 }

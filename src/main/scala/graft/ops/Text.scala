@@ -42,34 +42,40 @@ object Text {
   def tokens(c: Column): Column =
     filter(split(c, " "), t => t =!= "")
 
-  def tokenCount(c: Column): Column = size(tokens(c))
+  /** The text-stats operators below take a MATERIALIZED token-array column
+    * (`withColumn("t", Text.tokens(...))`), not raw text: Catalyst
+    * re-evaluates lambda-captured subexpressions per array element and per
+    * reference, so an inline tokenize would re-run the whole
+    * regex+split+filter pipeline many times per row. On an attribute each
+    * pass is a single O(n_tokens) scan of an already-built array.
+    */
+  def tokenCount(toks: Column): Column = size(toks)
 
   /** BPE-ish token estimate: whitespace words plus an extra token per 4
     * chars of long words (a cheap deterministic stand-in for subword
     * tokenizers; real BPE needs a vocab we don't ship).
     */
-  def tokenEstimate(c: Column): Column = {
-    val t = tokens(c)
-    size(t) + aggregate(t, lit(0),
+  def tokenEstimate(toks: Column): Column =
+    size(toks) + aggregate(toks, lit(0),
       (acc, w) => acc + when(length(w) > 8,
         floor((length(w) - 1) / 4).cast("int")).otherwise(0))
-  }
 
   /** English stopwords used by the language-ID heuristic and the quality
     * score. Tiny by design: deterministic and oracle-expressible.
     */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is")
 
-  def stopwordCount(c: Column): Column =
-    size(filter(tokens(c), t => t.isin(Stopwords.map(lit): _*)))
+  def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => t.isin(Stopwords.map(lit): _*)))
 
   /** n-gram-flavoured language ID heuristic: English stopword density plus
-    * ASCII-letter density. Deterministic; mirrors the shape (character/word
-    * profile scoring) of real lang-ID without shipping models.
+    * ASCII-letter density over the raw text. Deterministic; mirrors the
+    * shape (character/word profile scoring) of real lang-ID without
+    * shipping models.
     */
-  def langIdHeuristic(c: Column): Column = {
-    val n = tokenCount(c)
-    val stop = stopwordCount(c)
+  def langIdHeuristic(c: Column, toks: Column): Column = {
+    val n = size(toks)
+    val stop = stopwordCount(toks)
     val letters = length(regexp_replace(c, "[^a-zA-Z]", ""))
     val total = greatest(length(c), lit(1))
     when(n === 0, "und")
@@ -81,13 +87,13 @@ object Text {
   /** Composite quality score in [0,1]: length saturation x alpha ratio x
     * (1 - stopword excess). Deterministic, codegen-friendly.
     */
-  def qualityScore(c: Column): Column = {
-    val n = tokenCount(c).cast("double")
+  def qualityScore(c: Column, toks: Column): Column = {
+    val n = size(toks).cast("double")
     val lenScore = least(n / 100.0, lit(1.0))
     val alphaRatio =
       length(regexp_replace(c, "[^a-zA-Z ]", "")).cast("double") /
         greatest(length(c), lit(1)).cast("double")
-    val stopRatio = stopwordCount(c).cast("double") / greatest(n, lit(1.0))
+    val stopRatio = stopwordCount(toks).cast("double") / greatest(n, lit(1.0))
     round(lenScore * alphaRatio * (lit(1.0) - least(stopRatio, lit(1.0))), 4)
   }
 

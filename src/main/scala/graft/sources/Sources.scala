@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (SURVEY.md §2.1 ops 1-6).
+  *
+  * The reference's sources/sinks are a Reddit HTTP loop, a CSV backup sink
+  * (reddit_etl_proj/etl_pipeline.py:66-70) and a MySQL JDBC star-schema
+  * load (etl_pipeline.py:84-129). The engine equivalents are schema-declared
+  * batch readers and task-parallel writers; the upsert-ignore JDBC
+  * semantics live in graft.ops.Star.upsertIgnore (left-anti before append).
+  *
+  * Scale notes:
+  *  - every reader takes an explicit schema — inference is a full extra
+  *    scan at 100 TB and breaks column pruning for CSV/JSON;
+  *  - `writePartitioned` is the scale path for fact tables: partition
+  *    columns become directory keys, so downstream queries with partition
+  *    predicates prune whole directories (Catalyst PartitionFilters);
+  *  - CSV keeps the reference's header/UTF-8/skip-empty behavior.
+  */
+object Sources {
+
+  def readParquet(spark: SparkSession, path: String,
+                  schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(path)
+
+  def readCsv(spark: SparkSession, path: String,
+              schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** JSON-lines reader (one object per line — the splittable layout). */
+  def readJsonLines(spark: SparkSession, path: String,
+                    schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** CSV sink mirroring the reference backup (etl_pipeline.py:66-70):
+    * header row, UTF-8, and skip-when-empty. Returns true iff written.
+    * The empty-guard uses `isEmpty` (reads at most one row), not count().
+    */
+  def writeCsv(df: DataFrame, path: String): Boolean =
+    if (df.isEmpty) false
+    else {
+      df.write.mode("overwrite").option("header", "true")
+        .option("encoding", "UTF-8").csv(path)
+      true
+    }
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** Partitioned parquet sink: directory-partition by low-cardinality
+    * keys so partition predicates prune at the file listing.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+}

@@ -34,10 +34,12 @@ class DedupSpec extends SparkSpec {
 
   test("shingles: w-grams in order, short docs yield empty") {
     val got = Seq("a b c d").toDF("t")
-      .select(Dedup.shingles(col("t"), 3)).as[Seq[String]].head()
+      .withColumn("toks", Text.tokens(col("t")))
+      .select(Dedup.shingles(col("toks"), 3)).as[Seq[String]].head()
     assert(got === Seq("a b c", "b c d"))
     val short = Seq("a b").toDF("t")
-      .select(Dedup.shingles(col("t"), 3)).as[Seq[String]].head()
+      .withColumn("toks", Text.tokens(col("t")))
+      .select(Dedup.shingles(col("toks"), 3)).as[Seq[String]].head()
     assert(short === Seq())
   }
 
@@ -65,11 +67,28 @@ class DedupSpec extends SparkSpec {
   test("simhash: identical docs equal; near dups within small hamming") {
     def hamming(a: Int, b: Int) = Integer.bitCount(a ^ b)
     val sig = docs
-      .withColumn("th", Dedup.tokenHashes16(Text.cleanText(col("text"))))
-      .select(col("doc_id"), Dedup.simhash16(col("th")).as("sh"))
+      .withColumn("t", Text.tokens(Text.cleanText(col("text"))))
+      .select(col("doc_id"), Dedup.simhash16Native(col("t")).as("sh"))
       .as[(Long, Int)].collect().toMap
     assert(sig(1L) === sig(2L))
     assert(hamming(sig(1L), sig(3L)) <= 6)
     assert(sig(5L) === 0) // empty doc: all bit-sums 0, no bits set
+  }
+
+  test("native simhash == HOF simhash; native minhash == HOF minhash") {
+    val base = docs
+      .withColumn("c", Text.cleanText(col("text")))
+      .withColumn("t", Text.tokens(col("c")))
+      .withColumn("shs", Dedup.shingles(col("t")))
+    val rows = base.select(col("doc_id"),
+        Dedup.simhash16Native(col("t")).as("sh_native"),
+        Dedup.simhash16(Dedup.tokenHashes16(col("c"))).as("sh_hof"),
+        Dedup.minhashSignature(col("shs"), 8).as("mh_native"),
+        Dedup.minhashSignatureHof(col("shs"), 8).as("mh_hof"))
+      .as[(Long, Int, Int, Seq[String], Seq[String])].collect()
+    rows.foreach { case (id, shN, shH, mhN, mhH) =>
+      assert(shN === shH, s"simhash mismatch doc $id")
+      assert(mhN === mhH, s"minhash mismatch doc $id")
+    }
   }
 }

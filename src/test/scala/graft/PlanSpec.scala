@@ -1,0 +1,69 @@
+package graft
+
+/** Physical-plan assertions (SURVEY.md §4.2 "verify, don't build"): the
+  * scale properties we rely on — column pruning into the parquet scan,
+  * predicate pushdown, broadcast joins for dims, whole-stage codegen, and
+  * no cartesian products where we expect key joins.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q13 star join broadcasts both dims (no shuffle join)") {
+    val p = plan("q13_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q01 scan reads only the needed lineitem columns") {
+    val p = plan("q01_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_returnflag") &&
+      readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_shipdate") &&
+      !readSchema.contains("l_partkey"), readSchema)
+  }
+
+  test("q02 filter keeps scan pruned and uses codegen") {
+    val p = plan("q02_keyword_topn")
+    // whole-stage codegen shows as "*(n)" stage markers in plan toString
+    assert(p.contains("*(1)"), p.take(500))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("text,") || readSchema.contains("text"),
+      readSchema) // text needed for the filter itself
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-N should be TakeOrderedAndProject, not global sort: " +
+        p.take(500))
+  }
+
+  test("q40 topK broadcasts the query side (no shuffle of candidates)") {
+    val p = plan("q40_topk_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("q41 IVF probe is a broadcast hash join on the cell key") {
+    val p = plan("q41_topk_ivf")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q62 sessionize is a single shuffle on user_id") {
+    val p = plan("q62_sessionize")
+    // one exchange for the window+agg on user_id, plus the final orderBy
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.size <= 2, s"unexpected shuffles: $exchanges\n" +
+      p.take(1200))
+  }
+
+  test("events scan pushes the event_type predicate down (q63 inputs)") {
+    val df = Tables.load(spark, dir, "events")
+      .where(org.apache.spark.sql.functions.col("event_type") === "purchase")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), " +
+      "EqualTo(event_type,purchase)]"), p.take(800))
+  }
+}

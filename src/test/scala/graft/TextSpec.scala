@@ -100,13 +100,15 @@ class TextSpec extends SparkSpec {
 
   test("quality / lang-id / token-count edge rows") {
     val row = Seq((1L, "")).toDF("id", "t")
-      .select(Text.tokenCount(col("t")).as("n"),
-        Text.langIdHeuristic(col("t")).as("lang"),
-        Text.qualityScore(col("t")).as("q"))
+      .withColumn("toks", Text.tokens(col("t")))
+      .select(Text.tokenCount(col("toks")).as("n"),
+        Text.langIdHeuristic(col("t"), col("toks")).as("lang"),
+        Text.qualityScore(col("t"), col("toks")).as("q"))
       .collect().head
     assert(row === Row(0, "und", 0.0))
     val en = Seq("the cat sat on the mat and the dog is in a box of hats")
-      .toDF("t").select(Text.langIdHeuristic(col("t"))).as[String].head()
+      .toDF("t").withColumn("toks", Text.tokens(col("t")))
+      .select(Text.langIdHeuristic(col("t"), col("toks"))).as[String].head()
     assert(en === "en")
   }
 }
