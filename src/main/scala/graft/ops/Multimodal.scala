@@ -47,6 +47,52 @@ object Multimodal {
     }
   }
 
+  /** Resized media row (payload re-encoded at the target geometry). */
+  case class ResizedMedia(media_id: Long, kind: String, width: Int,
+                          height: Int, payload: Array[Byte])
+
+  /** STUB resize: deterministic fake re-encode — scales the payload to
+    * width*height/64 bytes by cyclic sampling. A real implementation
+    * would decode, resample, and re-encode here; the Spark plumbing
+    * (typed Dataset, per-partition batching) is the real part.
+    */
+  def resize(ds: Dataset[MediaRow], width: Int, height: Int)
+      : Dataset[ResizedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val n = math.max(1, width * height / 64)
+      val out = new Array[Byte](n)
+      if (r.payload.nonEmpty) {
+        var i = 0
+        while (i < n) { out(i) = r.payload(i % r.payload.length); i += 1 }
+      }
+      ResizedMedia(r.media_id, r.kind, width, height, out)
+    })
+  }
+
+  /** One sampled frame of a (fake) video payload. */
+  case class Frame(media_id: Long, frame_idx: Int, n_bytes: Long,
+                   fingerprint: String)
+
+  /** STUB frame sampling: treats the payload as fixed-size frames and
+    * keeps every `everyNth` one — the flatMap shape (1 row → n frames)
+    * and per-frame fingerprints are what a real video pipeline needs from
+    * the engine; swap the slicer for a container demuxer to productionize.
+    */
+  def frameSample(ds: Dataset[MediaRow], frameBytes: Int,
+                  everyNth: Int): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      r.payload.grouped(frameBytes).zipWithIndex
+        .filter { case (_, i) => i % everyNth == 0 }
+        .map { case (bytes, i) =>
+          Frame(r.media_id, i, bytes.length.toLong,
+            md.digest(bytes).map("%02x".format(_)).mkString)
+        }
+    }
+  }
+
   /** Build a media table from the documents fixture: text bytes stand in
     * for the binary payload (UTF-8), `source` for the media kind.
     */

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface (north-star extension; SURVEY.md §7.3 M4).
   *
@@ -37,6 +38,54 @@ object StreamOps {
         unix_timestamp(col("session_window.start")).as("session_start"),
         unix_timestamp(col("session_window.end")).as("session_end"),
         col("n_events"))
+
+  /** Open gap-session carried across micro-batches. */
+  case class OpenSession(start: Long, end: Long, n: Long)
+
+  /** Closed session emitted once its gap has elapsed. */
+  case class ClosedSession(user_id: Long, session_start: Long,
+                           session_end: Long, n_events: Long)
+
+  /** Custom-state sessionization with flatMapGroupsWithState: one
+    * OpenSession per user carried across micro-batches; a session closes
+    * (and is emitted) when a later event arrives more than `gapSeconds`
+    * after it. Semantics match the batch EventsOps.sessionize exactly for
+    * every session except the final still-open one per user (a stream
+    * never knows its input ended).
+    *
+    * State is O(1) per active user — the scale-safe shape for
+    * billions-of-events sessionization.
+    */
+  def statefulSessionize(events: DataFrame, gapSeconds: Long)
+      : Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[OpenSession]) =>
+          val ts = rows.map(_._2).toArray.sorted
+          val closed = Array.newBuilder[ClosedSession]
+          var cur = state.getOption
+          ts.foreach { t =>
+            cur match {
+              case Some(s) if t - s.end <= gapSeconds =>
+                cur = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1))
+              case Some(s) =>
+                closed += ClosedSession(uid, s.start, s.end, s.n)
+                cur = Some(OpenSession(t, t, 1))
+              case None =>
+                cur = Some(OpenSession(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
 
   /** Read a directory of events-schema parquet files as a (bounded) stream
     * — tests stage `events.parquet` into a temp dir and drive the query

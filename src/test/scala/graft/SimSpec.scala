@@ -38,6 +38,22 @@ class SimSpec extends SparkSpec {
     assert(got.map(p => (p._1, p._2)) === Set((1L, 2L), (1L, 5L), (2L, 5L)))
   }
 
+  test("multimodal resize + frameSample plumbing") {
+    val docs = Seq((1L, "abcdefghij" * 10, "en", "vid", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val resized = Multimodal.resize(media, 64, 64).collect().head
+    assert(resized.width === 64 && resized.height === 64)
+    assert(resized.payload.length === 64) // 64*64/64
+    val frames = Multimodal.frameSample(media, frameBytes = 16, everyNth = 2)
+      .collect()
+    // 100 bytes → 7 frames (last partial), keep idx 0,2,4,6
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2, 4, 6))
+    assert(frames.take(3).forall(_.n_bytes === 16) &&
+      frames.last.n_bytes === 4)
+    assert(frames.map(_.fingerprint).distinct.length === 4)
+  }
+
   test("multimodal decode: schema and deterministic stub features") {
     val docs = Seq((7L, "hello world", "en", "srcX", 11L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -13,6 +13,53 @@ import graft.streaming.StreamOps
   */
 class StreamingSpec extends SparkSpec {
 
+  test("stateful sessionize across two micro-batches == batch sessions " +
+      "(minus each user's still-open last session)") {
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001"
+    val events = Tables.load(spark, src, "events")
+      .withColumn("ts_num", unix_timestamp(col("ts")).cast("double"))
+    val median = events.stat.approxQuantile("ts_num", Array(0.5), 0.0)(0)
+    val stage = Files.createTempDirectory("graft-sess").toFile
+    try {
+      // batch 1: first half by time; batch 2: second half — the stream
+      // must merge sessions that straddle the boundary via state
+      events.where(col("ts_num") <= median).drop("ts_num")
+        .coalesce(1).write.mode("append").parquet(stage.getAbsolutePath)
+      val stream = StreamOps.statefulSessionize(
+        spark.readStream.schema(events.drop("ts_num").schema)
+          .parquet(stage.getAbsolutePath), 1800)
+      val q = stream.writeStream.format("memory").queryName("sess")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        events.where(col("ts_num") > median).drop("ts_num")
+          .coalesce(1).write.mode("append").parquet(stage.getAbsolutePath)
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val streamed = spark.table("sess")
+        .as[StreamOps.ClosedSession].collect()
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events))
+        .toSet
+
+      val batch = graft.ops.EventsOps.sessionize(
+        Tables.load(spark, src, "events"), 1800)
+      val lastPerUser = batch.groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("session_id")
+          .as("session_id"))
+      val closedBatch = batch.join(lastPerUser,
+          Seq("user_id", "session_id"), "left_anti")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+
+      assert(streamed === closedBatch)
+      assert(streamed.nonEmpty)
+    } finally {
+      stage.listFiles().foreach(_.delete()); stage.delete()
+    }
+  }
+
   test("streaming windowedCounts == batch tumblingCounts on events sf0.001") {
     val src = "/root/testdata/sf0.001"
     val stage = Files.createTempDirectory("graft-stream").toFile
