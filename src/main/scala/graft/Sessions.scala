@@ -22,6 +22,9 @@ object Sessions {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // managed (bucketed) tables land in tmp, not the project cwd
+    .config("spark.sql.warehouse.dir",
+      sys.props("java.io.tmpdir") + "/graft-warehouse")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -333,6 +333,14 @@ object SparkEntry {
         .orderBy("q_id", "rk")
     }),
 
+    // north star — sign-LSH bucketed top-k cosine (data-independent scale
+    // path; no oracle entry — approximate recall, driver rows-only check).
+    "q43_topk_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Sim.topKLsh(emb.where(col("vec_id") < 10), emb, 5, bits = 4, dim = 64)
+        .orderBy("q_id", "rk")
+    }),
+
     // north star — embedding-cosine near-dup pairs within cells.
     "q42_near_dup_cosine" -> ((s, dir) =>
       Sim.nearDupPairs(t(s, dir, "embeddings"), 0.2, "label")

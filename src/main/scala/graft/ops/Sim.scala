@@ -94,6 +94,38 @@ object Sim {
       .select(col("q_id"), col("c_id"), col("sim"), col("rk"))
   }
 
+  /** Deterministic random hyperplanes for sign-LSH (seeded; ship as code
+    * so every run buckets identically).
+    */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Seq[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+  }
+
+  /** Sign-LSH bucket id: bit i = sign of dot(v, hyperplane_i). Cosine-close
+    * vectors land in the same bucket with high probability — the
+    * data-independent alternative to IVF when no quantizer/labels exist.
+    * The per-plane dots are native codegen'd loops against array literals.
+    */
+  def lshBucket(vec: Column, planes: Seq[Array[Float]]): Column =
+    planes.zipWithIndex.map { case (h, i) =>
+      when(dot(vec, typedLit(h.toSeq)) > 0, 1 << i).otherwise(0)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed top-k cosine: same probe shape as [[topKIvf]] but the
+    * cell is the sign-LSH bucket (approximate — same-bucket probing trades
+    * recall for an N/2^bits candidate scan per query).
+    */
+  def topKLsh(queries: DataFrame, candidates: DataFrame, k: Int,
+              bits: Int, dim: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(bits, dim)
+    topKIvf(
+      queries.withColumn("__cell", lshBucket(col(vecCol), planes)),
+      candidates.withColumn("__cell", lshBucket(col(vecCol), planes)),
+      k, "__cell", idCol, vecCol)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * bucketed by cell to bound the pair space (id_a < id_b).
     */

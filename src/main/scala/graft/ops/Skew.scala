@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling aggregation (SURVEY.md §7 / SCALE.md): two-phase salted
+  * aggregates for hot keys.
+  *
+  * AQE's skew-join splitting covers joins, but a groupBy whose hottest key
+  * holds a double-digit share of all rows still funnels that key's rows
+  * into one reducer. Salting splits each key into `salts` sub-keys for the
+  * partial phase, then re-reduces — both phases are ordinary partial+final
+  * hash aggregates, so the technique composes with codegen and AQE.
+  *
+  * Only algebraic aggregates (count / sum / min / max) can be re-reduced;
+  * avg is derived from (sum, count).
+  */
+object Skew {
+
+  /** Deterministic row salt in [0, salts): hash of the whole row, so
+    * re-runs salt identically (no rand(), which would break retries and
+    * the oracle).
+    */
+  def rowSalt(df: DataFrame, salts: Int): Column =
+    pmod(hash(df.columns.map(col): _*), lit(salts))
+
+  /** groupBy(keys).count() with a salted partial phase. */
+  def saltedCount(df: DataFrame, keys: Seq[String],
+                  salts: Int = 16): DataFrame =
+    df.withColumn("__salt", rowSalt(df, salts))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as("n"))
+
+  /** groupBy(keys).agg(sum, count, min, max) with a salted partial phase;
+    * `avg` derived from the re-reduced sum/count.
+    */
+  def saltedStats(df: DataFrame, keys: Seq[String], valueCol: String,
+                  salts: Int = 16): DataFrame =
+    df.withColumn("__salt", rowSalt(df, salts))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(col(valueCol)).as("__sum"), count(col(valueCol)).as("__cnt"),
+        min(col(valueCol)).as("__min"), max(col(valueCol)).as("__max"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__sum")).as("sum"), sum(col("__cnt")).as("n"),
+        (sum(col("__sum")) / sum(col("__cnt"))).as("avg"),
+        min(col("__min")).as("min"), max(col("__max")).as("max"))
+}

@@ -55,4 +55,15 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String,
                        partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed+sorted managed table: two tables bucketed the same way on
+    * their join key join WITHOUT a shuffle (the 100 TB co-located-join
+    * path; SCALE.md). Requires saveAsTable — bucket metadata lives in the
+    * catalog, not in plain parquet paths.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
 }

@@ -38,6 +38,23 @@ class SimSpec extends SparkSpec {
     assert(got.map(p => (p._1, p._2)) === Set((1L, 2L), (1L, 5L), (2L, 5L)))
   }
 
+  test("lshBucket groups cosine-identical vectors; topKLsh self-consistent") {
+    val planes = Sim.hyperplanes(bits = 4, dim = 3)
+    val buckets = emb.select($"vec_id",
+        Sim.lshBucket($"embedding", planes).as("b"))
+      .as[(Long, Int)].collect().toMap
+    // parallel vectors (1 and 5) always share a bucket; antiparallel (4)
+    // lands in the complement bucket
+    assert(buckets(1L) === buckets(5L))
+    assert(buckets(4L) === (~buckets(1L) & 0xf))
+    val got = Sim.topKLsh(emb.where($"vec_id" === 1L), emb, 3,
+        bits = 4, dim = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    // every returned candidate shares vec 1's bucket and ranks by cosine
+    assert(got.forall(r => buckets(r._2) === buckets(1L)))
+    assert(got.map(_._3).toSeq === got.map(_._3).sorted.reverse.toSeq)
+  }
+
   test("multimodal resize + frameSample plumbing") {
     val docs = Seq((1L, "abcdefghij" * 10, "en", "vid", 100L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
