@@ -100,6 +100,10 @@ object Tables {
 
   /** Load one fixture table with its declared schema. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events")
+      // defensive: the flag is required to read TIMESTAMP(NANOS); set it
+      // here too so a caller-supplied session (e.g. the driver's) works
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
     if (name == "events")
       // ns → µs with integer `div` (a double round-trip would lose precision
