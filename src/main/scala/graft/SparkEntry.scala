@@ -283,6 +283,17 @@ object SparkEntry {
         .orderBy("band")
     }),
 
+    // §2.5 gap — exact interpolated percentiles per group (rounded to 2dp
+    // so both engines' identical interpolation arithmetic hashes equal).
+    "q29_quantiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // north star — document fingerprinting (rolling/content hash).
     "q30_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -580,6 +591,13 @@ object SparkEntry {
            |FROM orders JOIN bands
            |  ON o_totalprice >= lo AND o_totalprice < hi
            |GROUP BY band ORDER BY band""".stripMargin,
+
+      "q29_quantiles" ->
+        """SELECT l_returnflag,
+          | round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+          | round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+          | COUNT(*) AS n
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
       "q30_fingerprint" ->
         s"SELECT doc_id, md5($clean) AS fp FROM documents ORDER BY doc_id",
