@@ -283,16 +283,22 @@ object SparkEntry {
         .orderBy("band")
     }),
 
-    // §2.5 gap — exact interpolated percentiles per group (rounded to 2dp
-    // so both engines' identical interpolation arithmetic hashes equal).
-    "q29_quantiles" -> ((s, dir) =>
+    // §2.5 gap — exact interpolated percentiles per group. Stabilized with
+    // floor(x*100)/100, NOT round(): Spark rounds the shortest decimal
+    // repr (BigDecimal HALF_UP) while DuckDB rounds the binary value
+    // (std::round(x*100)/100), and interpolating 2dp money at f=0.5
+    // produces .xx5 ties where they disagree. floor over identical doubles
+    // is bit-deterministic in both engines.
+    "q29_quantiles" -> ((s, dir) => {
+      val f2 = (c: Column) => floor(c * 100) / 100
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+          f2(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+          f2(expr("percentile(l_extendedprice, 0.9)")).as("p90"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag")),
+        .orderBy("l_returnflag")
+    }),
 
     // north star — document fingerprinting (rolling/content hash).
     "q30_fingerprint" -> ((s, dir) =>
@@ -348,7 +354,7 @@ object SparkEntry {
     // path; no oracle entry — approximate recall, driver rows-only check).
     "q43_topk_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Sim.topKLsh(emb.where(col("vec_id") < 10), emb, 5, bits = 4, dim = 64)
+      Sim.topKLsh(emb.where(col("vec_id") < 10), emb, 5, bits = 4)
         .orderBy("q_id", "rk")
     }),
 
@@ -496,7 +502,10 @@ object SparkEntry {
           |ORDER BY source_id""".stripMargin,
 
       "q16_label_distribution" ->
-        s"""WITH cleaned AS (SELECT doc_id, $clean AS c FROM documents),
+        // source IS NOT NULL mirrors the inner star-join path: a null
+        // source has no dim row, so the fact row drops out of the join
+        s"""WITH cleaned AS (SELECT doc_id, $clean AS c FROM documents
+           |                 WHERE source IS NOT NULL),
            |scored AS (SELECT doc_id, ${Sentiment.scoreSqlInline("c")} AS sentiment FROM cleaned)
            |SELECT $labelCase AS label, COUNT(*) AS n
            |FROM scored GROUP BY label ORDER BY label""".stripMargin,
@@ -594,8 +603,8 @@ object SparkEntry {
 
       "q29_quantiles" ->
         """SELECT l_returnflag,
-          | round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-          | round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+          | floor(quantile_cont(l_extendedprice, 0.5) * 100) / 100 AS p50,
+          | floor(quantile_cont(l_extendedprice, 0.9) * 100) / 100 AS p90,
           | COUNT(*) AS n
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
@@ -617,7 +626,7 @@ object SparkEntry {
            |sig AS (SELECT id,
            |  list_transform(range(0, 8), s ->
            |    COALESCE(list_min(list_transform(shs, x -> md5(CAST(s AS VARCHAR) || ':' || x))), '~empty')) AS sig
-           |  FROM sh),
+           |  FROM sh WHERE len(shs) > 0),
            |banded AS (
            |  SELECT id, sig, CAST(b.i AS INTEGER) AS band,
            |         md5(sig[CAST(b.i*2+1 AS INTEGER)] || '|' || sig[CAST(b.i*2+2 AS INTEGER)]) AS bkey

@@ -79,6 +79,9 @@ object Dedup {
     * each band's key = md5 of its concatenated minhashes.
     */
   def lshBandKeys(sig: Column, k: Int = 8, bands: Int = 4): Column = {
+    require(k % bands == 0,
+      s"signature length $k must divide evenly into $bands bands " +
+        "(trailing minhash positions would be silently dropped)")
     val rowsPerBand = k / bands
     transform(sequence(lit(0), lit(bands - 1)), b =>
       md5(concat_ws("|",
@@ -100,11 +103,16 @@ object Dedup {
       .withColumn("t", Text.tokens(col("c")))
       .withColumn("shs", shingles(col("t")))
       .withColumn("sig", minhashSignature(col("shs"), k))
-      .select(col("id"), col("sig"))
+      .select(col("id"), col("shs"), col("sig"))
 
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 8, bands: Int = 4): DataFrame = {
+    // docs with no shingles (null text or < w tokens) are excluded: their
+    // '~empty' sentinel signatures would otherwise all collide into one
+    // bucket and pairwise-join quadratically as bogus est_jaccard=1 pairs
     val sig = signatures(df, idCol, textCol, k)
+      .where(size(col("shs")) > 0)
+      .select(col("id"), col("sig"))
     val banded = sig.select(col("id"), col("sig"),
         posexplode(lshBandKeys(col("sig"), k, bands)).as(Seq("band", "bkey")))
     // alias self-join (not two renamed projections): both sides share one

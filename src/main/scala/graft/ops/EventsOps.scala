@@ -70,9 +70,11 @@ object EventsOps {
     */
   def jsonProp(props: Column, key: String): Column =
     // nullif guards the no-match case: regexp_extract yields '' and ANSI
-    // mode (Spark 4 default) makes ''::BIGINT throw rather than null
-    nullif(regexp_extract(props, "\"" + key + "\":\\s*(-?\\d+)", 1), lit(""))
-      .cast("long")
+    // mode (Spark 4 default) makes ''::BIGINT throw rather than null;
+    // the key is quoted so regex metacharacters can't distort the match
+    nullif(regexp_extract(props,
+        "\"" + java.util.regex.Pattern.quote(key) + "\":\\s*(-?\\d+)", 1),
+      lit("")).cast("long")
 
   /** As-of join: for each left event, the most recent right event of the
     * same user at-or-before its timestamp. Implemented as the scalable

@@ -115,10 +115,15 @@ object Sim {
   /** LSH-bucketed top-k cosine: same probe shape as [[topKIvf]] but the
     * cell is the sign-LSH bucket (approximate — same-bucket probing trades
     * recall for an N/2^bits candidate scan per query).
+    *
+    * The hyperplane dimensionality is read from the data (one tiny job):
+    * a mismatched `dim` parameter would make every plane-dot NULL and
+    * silently collapse all vectors into bucket 0.
     */
   def topKLsh(queries: DataFrame, candidates: DataFrame, k: Int,
-              bits: Int, dim: Int, idCol: String = "vec_id",
+              bits: Int, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    val dim = candidates.select(size(col(vecCol))).head().getInt(0)
     val planes = hyperplanes(bits, dim)
     topKIvf(
       queries.withColumn("__cell", lshBucket(col(vecCol), planes)),

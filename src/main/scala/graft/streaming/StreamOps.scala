@@ -21,7 +21,11 @@ object StreamOps {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), size, slide), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      // exact decimal sum, matching batch EventsOps.tumblingCounts — a
+      // double sum would be order-dependent across partitions/retries
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
       .select(unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
@@ -49,9 +53,15 @@ object StreamOps {
   /** Custom-state sessionization with flatMapGroupsWithState: one
     * OpenSession per user carried across micro-batches; a session closes
     * (and is emitted) when a later event arrives more than `gapSeconds`
-    * after it. Semantics match the batch EventsOps.sessionize exactly for
-    * every session except the final still-open one per user (a stream
-    * never knows its input ended).
+    * after it. For in-order input across micro-batches the semantics match
+    * batch EventsOps.sessionize exactly, minus each user's final
+    * still-open session (a stream never knows its input ended).
+    *
+    * Late events (earlier than the open session's reach): within
+    * `gapSeconds` of the open session they merge (extending its start);
+    * beyond that they are emitted as their own late singleton session
+    * rather than silently absorbed. A production deployment bounds
+    * lateness with `withWatermark` + event-time timeout instead.
     *
     * State is O(1) per active user — the scale-safe shape for
     * billions-of-events sessionization.
@@ -73,8 +83,12 @@ object StreamOps {
           var cur = state.getOption
           ts.foreach { t =>
             cur match {
+              case Some(s) if t < s.start - gapSeconds =>
+                // late beyond the open session's reach: own late session
+                closed += ClosedSession(uid, t, t, 1)
               case Some(s) if t - s.end <= gapSeconds =>
-                cur = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1))
+                cur = Some(OpenSession(math.min(s.start, t),
+                  math.max(s.end, t), s.n + 1))
               case Some(s) =>
                 closed += ClosedSession(uid, s.start, s.end, s.n)
                 cur = Some(OpenSession(t, t, 1))

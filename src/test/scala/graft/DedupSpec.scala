@@ -15,7 +15,8 @@ class DedupSpec extends SparkSpec {
     (2L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup
     (3L, "the quick brown fox jumps over the lazy cat tonight"), // near dup
     (4L, "completely different words about spark and big data engines"),
-    (5L, "")
+    (5L, ""),
+    (6L, "too short") // < w tokens: no shingles, like doc 5
   ).toDF("doc_id", "text")
 
   test("keepFirst keeps exactly the first row per key under the order") {
@@ -52,6 +53,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs.find(p => p._1 == 1L && p._2 == 3L).exists(_._3 >= 0.5))
     // unrelated doc 4 never pairs with 1
     assert(!pairs.exists(p => p._2 == 4L && p._1 <= 3L && p._3 > 0.5))
+    // shingle-less docs (5: empty, 6: < w tokens) are excluded entirely —
+    // their '~empty' sentinel signatures must not pair them together
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L ||
+      p._1 == 6L || p._2 == 6L))
+  }
+
+  test("lshBandKeys rejects k not divisible by bands") {
+    intercept[IllegalArgumentException] {
+      Dedup.lshBandKeys(col("sig"), k = 10, bands = 4)
+    }
   }
 
   test("jaccardPairs: exact dup = 1.0; disjoint docs absent") {

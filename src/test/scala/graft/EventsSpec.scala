@@ -74,5 +74,11 @@ class EventsSpec extends SparkSpec {
         EventsOps.jsonProp(col("props"), "k").as("k"))
       .as[(Long, Option[Long])].collect().toMap
     assert(got === Map(1L -> Some(87L), 2L -> None, 3L -> Some(-4L)))
+    // regex metacharacters in the key must be treated literally
+    val meta = Seq((1L, """{"a.b": 7, "axb": 9}"""))
+      .toDF("event_id", "props")
+      .select(EventsOps.jsonProp(col("props"), "a.b"))
+      .as[Option[Long]].head()
+    assert(meta === Some(7L))
   }
 }

@@ -47,8 +47,7 @@ class SimSpec extends SparkSpec {
     // lands in the complement bucket
     assert(buckets(1L) === buckets(5L))
     assert(buckets(4L) === (~buckets(1L) & 0xf))
-    val got = Sim.topKLsh(emb.where($"vec_id" === 1L), emb, 3,
-        bits = 4, dim = 3)
+    val got = Sim.topKLsh(emb.where($"vec_id" === 1L), emb, 3, bits = 4)
       .as[(Long, Long, Double, Int)].collect()
     // every returned candidate shares vec 1's bucket and ranks by cosine
     assert(got.forall(r => buckets(r._2) === buckets(1L)))
