@@ -5,7 +5,7 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Agg, Dedup, EventsOps, Multimodal, Sentiment, Sim, Star, Text}
+import graft.ops.{Agg, Dedup, EventsOps, Multimodal, Num, Sentiment, Sim, Star, Text}
 
 /** Driver contract — one named query per operator from SURVEY.md §2 plus the
   * north-star extensions (dedup family, similarity search, text analysis,
@@ -205,7 +205,8 @@ object SparkEntry {
       docs.agg(
         count(lit(1)).as("n_docs"),
         sum(col("flagged").cast("long")).as("n_flagged"),
-        round(avg((col("label") === "neutral").cast("double")) * 100, 2)
+        Num.floorAt(
+          avg((col("label") === "neutral").cast("double")) * 100, 2)
           .as("pct_neutral"))
     }),
 
@@ -529,7 +530,7 @@ object SparkEntry {
            |labeled AS (SELECT doc_id, text, $labelCase AS label FROM scored)
            |SELECT COUNT(*) AS n_docs,
            | SUM(CAST(COALESCE(regexp_matches(text, '(?i)spark|stream'), FALSE) AS BIGINT)) AS n_flagged,
-           | round(AVG(CASE WHEN label = 'neutral' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * 100, 2) AS pct_neutral
+           | ${Num.floorAtSql("AVG(CASE WHEN label = 'neutral' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * 100", 2)} AS pct_neutral
            |FROM labeled""".stripMargin,
 
       "q20_argmax" ->
@@ -647,11 +648,11 @@ object SparkEntry {
            |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.id < y.id
            |  GROUP BY 1, 2)
            |SELECT id_a, id_b,
-           |  round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 4) AS jaccard
+           |  ${Num.floorAtSql("CAST(c AS DOUBLE) / (na.n + nb.n - c)", 4)} AS jaccard
            |FROM common
            |JOIN sizes na ON na.id = id_a
            |JOIN sizes nb ON nb.id = id_b
-           |WHERE round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 4) >= 0.1
+           |WHERE ${Num.floorAtSql("CAST(c AS DOUBLE) / (na.n + nb.n - c)", 4)} >= 0.1
            |ORDER BY id_a, id_b""".stripMargin,
 
       "q34_simhash" ->
@@ -674,10 +675,10 @@ object SparkEntry {
           |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
           |scored AS (
           |  SELECT q_id, c_id,
-          |    round(
+          |    floor((
           |      list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
           |      / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
-          |       * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))), 4) AS sim
+          |       * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))) * 10000) / 10000 AS sim
           |  FROM c CROSS JOIN q WHERE q_id <> c_id)
           |SELECT q_id, c_id, sim, CAST(rk AS INTEGER) AS rk FROM (
           |  SELECT q_id, c_id, sim,
@@ -689,10 +690,10 @@ object SparkEntry {
           |c AS (SELECT vec_id AS c_id, embedding AS cv, label AS cell FROM embeddings),
           |scored AS (
           |  SELECT q_id, c_id,
-          |    round(
+          |    floor((
           |      list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
           |      / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
-          |       * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))), 4) AS sim
+          |       * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))) * 10000) / 10000 AS sim
           |  FROM c JOIN q USING (cell) WHERE q_id <> c_id)
           |SELECT q_id, c_id, sim, CAST(rk AS INTEGER) AS rk FROM (
           |  SELECT q_id, c_id, sim,
@@ -704,10 +705,10 @@ object SparkEntry {
           |b AS (SELECT label AS cell, vec_id AS id_b, embedding AS vb FROM embeddings),
           |scored AS (
           |  SELECT id_a, id_b,
-          |    round(
+          |    floor((
           |      list_sum(list_transform(range(1, len(va)+1), i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))
           |      / (sqrt(list_sum(list_transform(range(1, len(va)+1), i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE))))
-          |       * sqrt(list_sum(list_transform(range(1, len(vb)+1), i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))))), 4) AS sim
+          |       * sqrt(list_sum(list_transform(range(1, len(vb)+1), i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))))) * 10000) / 10000 AS sim
           |  FROM a JOIN b USING (cell) WHERE id_a < id_b)
           |SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.2
           |ORDER BY id_a, id_b""".stripMargin,
@@ -721,10 +722,10 @@ object SparkEntry {
            |  CAST(len(list_filter(t, x -> x IN ('the','a','of','to','and','in','is'))) AS INTEGER) AS n_stopwords
            |  FROM base)
            |SELECT doc_id, n_tokens, n_tokens_est, n_stopwords,
-           |  round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+           |  floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
            |    * (CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
            |       / CAST(greatest(length(text), 1) AS DOUBLE))
-           |    * (1.0 - least(CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0), 1.0)), 4) AS quality,
+           |    * (1.0 - least(CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0), 1.0))) * 10000) / 10000 AS quality,
            |  CASE WHEN n_tokens = 0 THEN 'und'
            |       WHEN CAST(n_stopwords AS DOUBLE) / n_tokens > 0.05 THEN 'en'
            |       WHEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)

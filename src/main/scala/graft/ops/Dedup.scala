@@ -146,7 +146,8 @@ object Dedup {
       .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4)
+        Num.floorAt(
+          col("c").cast("double") / (col("na") + col("nb") - col("c")), 4)
           .as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }

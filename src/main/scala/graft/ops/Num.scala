@@ -1,0 +1,27 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.floor
+
+/** Cross-engine numeric stabilization.
+  *
+  * `round()` is NOT portable between Spark and DuckDB on doubles: Spark
+  * rounds the shortest decimal representation (BigDecimal HALF_UP) while
+  * DuckDB rounds the binary value (std::round(x*10^dp)/10^dp), and they
+  * disagree whenever the true value sits on a .5 tie whose double is just
+  * below it (e.g. interpolated 2dp money at f=0.5 — found via q29).
+  * floor(x*10^dp)/10^dp runs the identical IEEE ops on identical doubles
+  * in both engines, so results are bit-equal by construction.
+  */
+object Num {
+  def floorAt(c: Column, dp: Int): Column = {
+    val p = math.pow(10, dp)
+    floor(c * p) / p
+  }
+
+  /** The DuckDB expression mirroring [[floorAt]]. */
+  def floorAtSql(expr: String, dp: Int): String = {
+    val p = BigDecimal(math.pow(10, dp)).toBigInt
+    s"floor(($expr) * $p) / $p"
+  }
+}

@@ -130,8 +130,9 @@ object Pipeline {
     view.agg(
         count(lit(1)).as("total_posts"),
         sum(col("dropout_mentioned").cast("long")).as("dropout_mentions"),
-        round(avg((col("sentiment_label") === "neutral").cast("double"))
-          * 100, 2).as("pct_neutral"))
+        Num.floorAt(
+          avg((col("sentiment_label") === "neutral").cast("double")) * 100,
+          2).as("pct_neutral"))
       .crossJoin(top("year").withColumnRenamed("year", "most_active_year"))
       .crossJoin(top("subreddit")
         .withColumnRenamed("subreddit", "top_subreddit"))

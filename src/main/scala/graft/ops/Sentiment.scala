@@ -42,7 +42,7 @@ object Sentiment {
     * oracle's filter-then-average.
     */
   def score(cleaned: Column): Column =
-    round(
+    Num.floorAt(
       aggregate(Text.tokens(cleaned),
         struct(lit(0.0).as("s"), lit(0).as("n")),
         (acc, t) => {
@@ -73,6 +73,8 @@ object Sentiment {
     }.mkString(" ")
     val matched =
       s"list_filter(list_transform(list_filter(string_split($cleanedExpr, ' '), t -> t <> ''), t -> CASE t $caseExpr ELSE NULL END), s -> s IS NOT NULL)"
-    s"round(CASE WHEN len($matched) > 0 THEN list_sum($matched) / len($matched) ELSE 0.0 END, 4)"
+    Num.floorAtSql(
+      s"CASE WHEN len($matched) > 0 THEN list_sum($matched) / len($matched) ELSE 0.0 END",
+      4)
   }
 }

@@ -41,9 +41,11 @@ object Sim {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity rounded to `scale` decimals (ranking-stable). */
+  /** Cosine similarity truncated to `scale` decimals (ranking-stable and
+    * bit-portable across engines — see Num.floorAt).
+    */
   def cosine(a: Column, b: Column, scale: Int = 4): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), scale)
+    Num.floorAt(dot(a, b) / (norm(a) * norm(b)), scale)
 
   /** Brute-force top-k: for each query vector, the k nearest candidates by
     * cosine (ties broken by candidate id — deterministic).
@@ -60,7 +62,7 @@ object Sim {
     val scored = c.crossJoin(broadcast(q))
       .where(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        round(dot(col("q_vec"), col("c_vec")) /
+        Num.floorAt(dot(col("q_vec"), col("c_vec")) /
           (col("q_norm") * col("c_norm")), 4).as("sim"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("sim").desc, col("c_id").asc)
@@ -85,7 +87,7 @@ object Sim {
     val scored = c.join(broadcast(q), Seq("cell"))
       .where(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        round(dot(col("q_vec"), col("c_vec")) /
+        Num.floorAt(dot(col("q_vec"), col("c_vec")) /
           (col("q_norm") * col("c_norm")), 4).as("sim"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("sim").desc, col("c_id").asc)
@@ -146,7 +148,7 @@ object Sim {
     a.join(b, Seq("cell"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+        Num.floorAt(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
           .as("sim"))
       .where(col("sim") >= threshold)
   }

@@ -94,7 +94,8 @@ object Text {
       length(regexp_replace(c, "[^a-zA-Z ]", "")).cast("double") /
         greatest(length(c), lit(1)).cast("double")
     val stopRatio = stopwordCount(toks).cast("double") / greatest(n, lit(1.0))
-    round(lenScore * alphaRatio * (lit(1.0) - least(stopRatio, lit(1.0))), 4)
+    Num.floorAt(
+      lenScore * alphaRatio * (lit(1.0) - least(stopRatio, lit(1.0))), 4)
   }
 
   /** Document fingerprint: md5 of the normalized text plus a 60-bit prefix
