@@ -109,9 +109,15 @@ object Dedup {
                    k: Int = 8, bands: Int = 4): DataFrame = {
     // docs with no shingles (null text or < w tokens) are excluded: their
     // '~empty' sentinel signatures would otherwise all collide into one
-    // bucket and pairwise-join quadratically as bogus est_jaccard=1 pairs
-    val sig = signatures(df, idCol, textCol, k)
-      .where(size(col("shs")) > 0)
+    // bucket and pairwise-join quadratically as bogus est_jaccard=1 pairs.
+    // The predicate is token-count over the RAW input (equivalent:
+    // shingles(t, w) is empty iff size(t) < w) — a filter on the derived
+    // shs column gets pushed below the projection and inlines the whole
+    // shingle expression into the Filter, re-triggering the per-element
+    // re-evaluation blowup this module exists to avoid.
+    val sig = signatures(
+        df.where(size(Text.tokens(Text.cleanText(col(textCol)))) >= 3),
+        idCol, textCol, k)
       .select(col("id"), col("sig"))
     val banded = sig.select(col("id"), col("sig"),
         posexplode(lshBandKeys(col("sig"), k, bands)).as(Seq("band", "bkey")))
