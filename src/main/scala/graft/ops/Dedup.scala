@@ -121,10 +121,12 @@ object Dedup {
       .select(col("id"), col("sig"))
     val banded = sig.select(col("id"), col("sig"),
         posexplode(lshBandKeys(col("sig"), k, bands)).as(Seq("band", "bkey")))
-    // alias self-join (not two renamed projections): both sides share one
-    // canonical subplan, so ReuseExchange computes the signature pipeline
-    // once instead of twice
-    banded.as("a").join(banded.as("b"),
+    // alias self-join with a shuffle-hash hint: broadcast would build the
+    // signature pipeline twice (streamed + build side); as a shuffle join
+    // both sides are identical exchanges, so ReuseExchange materializes
+    // the signatures ONCE — and a shuffle join is the only shape that
+    // survives 100 TB anyway (the banded table can't broadcast)
+    banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

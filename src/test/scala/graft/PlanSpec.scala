@@ -59,6 +59,15 @@ class PlanSpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("q32 LSH self-join computes the signature pipeline once (reuse)") {
+    val df = SparkEntry.queries("q32_minhash_pairs")(spark, dir)
+    df.collect() // run THIS QueryExecution so AQE finalizes it with reuse
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      "minhash_sig".r.findAllIn(p).size <= 1,
+      "expected exchange reuse in:\n" + p.take(1500))
+  }
+
   test("events scan pushes the event_type predicate down (q63 inputs)") {
     val df = Tables.load(spark, dir, "events")
       .where(org.apache.spark.sql.functions.col("event_type") === "purchase")
