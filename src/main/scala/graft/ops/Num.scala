@@ -15,12 +15,14 @@ import org.apache.spark.sql.functions.floor
   */
 object Num {
   def floorAt(c: Column, dp: Int): Column = {
+    require(dp >= 0, s"floorAt requires dp >= 0, got $dp")
     val p = math.pow(10, dp)
     floor(c * p) / p
   }
 
   /** The DuckDB expression mirroring [[floorAt]]. */
   def floorAtSql(expr: String, dp: Int): String = {
+    require(dp >= 0, s"floorAtSql requires dp >= 0, got $dp")
     val p = BigDecimal(math.pow(10, dp)).toBigInt
     s"floor(($expr) * $p) / $p"
   }

@@ -26,6 +26,9 @@ object Pipeline {
     */
   def extract(raw: DataFrame, keywords: Seq[String],
               limitPerSubreddit: Int): DataFrame = {
+    require(keywords.nonEmpty,
+      "extract requires at least one keyword (an empty list would build " +
+        "the match-everything pattern '(?i)')")
     val pattern = "(?i)" + keywords.map(java.util.regex.Pattern.quote)
       .mkString("|")
     val projected = raw.select(
@@ -54,6 +57,19 @@ object Pipeline {
         Text.regexFlag(col("clean_content")))
       .withColumn("year", year(col("date")))
 
+  /** Fact rows: enriched posts with both dim keys resolved (shared by
+    * [[load]] and [[loadIncremental]]).
+    */
+  private def buildFact(enriched: DataFrame, dimSubreddit: DataFrame,
+                        dimTime: DataFrame): DataFrame =
+    Star.lookup(
+        Star.lookup(enriched,
+          dimSubreddit.withColumnRenamed("name", "subreddit"), "subreddit"),
+        dimTime, "year")
+      .select(col("id").as("post_id"), col("clean_content").as("content"),
+        col("url"), col("sentiment"), col("dropout_mentioned"),
+        col("subreddit_id"), col("time_id"))
+
   /** Load (etl.py:84-129): star schema with deterministic surrogate keys
     * and upsert-ignore semantics. Returns (dimSubreddit, dimTime, fact).
     */
@@ -62,14 +78,7 @@ object Pipeline {
     val dimSubreddit = Star.dim(enriched, "subreddit", "subreddit_id")
       .withColumnRenamed("subreddit", "name")
     val dimTime = Star.dim(enriched, "year", "time_id")
-    val fact = Star.lookup(
-        Star.lookup(enriched,
-          dimSubreddit.withColumnRenamed("name", "subreddit"), "subreddit"),
-        dimTime, "year")
-      .select(col("id").as("post_id"), col("clean_content").as("content"),
-        col("url"), col("sentiment"), col("dropout_mentioned"),
-        col("subreddit_id"), col("time_id"))
-    (dimSubreddit, dimTime, fact)
+    (dimSubreddit, dimTime, buildFact(enriched, dimSubreddit, dimTime))
   }
 
   /** Incremental load with INSERT IGNORE semantics (etl.py:97,106,122):
@@ -83,13 +92,12 @@ object Pipeline {
       exDimSub.withColumnRenamed("name", "subreddit"), enriched,
       "subreddit", "subreddit_id").withColumnRenamed("subreddit", "name")
     val dimTime = Star.dimUpsert(exDimTime, enriched, "year", "time_id")
-    val newFact = Star.lookup(
-        Star.lookup(enriched,
-          dimSubreddit.withColumnRenamed("name", "subreddit"), "subreddit"),
-        dimTime, "year")
-      .select(col("id").as("post_id"), col("clean_content").as("content"),
-        col("url"), col("sentiment"), col("dropout_mentioned"),
-        col("subreddit_id"), col("time_id"))
+    // dedup the incoming batch against ITSELF too — a PK (INSERT IGNORE)
+    // admits one row per post_id even when the batch carries duplicates;
+    // deterministic winner via content/url order
+    val newFact = Dedup.keepFirst(
+      buildFact(enriched, dimSubreddit, dimTime), Seq("post_id"),
+      Seq(col("content").asc_nulls_last, col("url").asc_nulls_last))
     val fact = exFact.unionByName(
       Star.upsertIgnore(exFact, newFact, Seq("post_id")))
     (dimSubreddit, dimTime, fact)

@@ -47,23 +47,18 @@ object Sim {
   def cosine(a: Column, b: Column, scale: Int = 4): Column =
     Num.floorAt(dot(a, b) / (norm(a) * norm(b)), scale)
 
-  /** Brute-force top-k: for each query vector, the k nearest candidates by
-    * cosine (ties broken by candidate id — deterministic).
+  /** Score a joined (q_id, q_vec, q_norm, c_id, c_vec, c_norm) pair set
+    * and keep the top k per query (ties broken by candidate id). Shared by
+    * every top-k variant so the scale (4dp floor), self-filter, and
+    * tie-break live in exactly one place.
     */
-  def topK(queries: DataFrame, candidates: DataFrame, k: Int,
-           idCol: String = "vec_id", vecCol: String = "embedding")
-      : DataFrame = {
-    // norms are materialized per side BEFORE the join: n + m norm
-    // computations instead of n·m (each pair then costs one dot product)
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .withColumn("q_norm", norm(col("q_vec")))
-    val c = candidates.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
-      .withColumn("c_norm", norm(col("c_vec")))
-    val scored = c.crossJoin(broadcast(q))
-      .where(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"),
-        Num.floorAt(dot(col("q_vec"), col("c_vec")) /
-          (col("q_norm") * col("c_norm")), 4).as("sim"))
+  private def rankPairs(pairs: DataFrame, k: Int,
+                        excludeSelf: Boolean): DataFrame = {
+    val filtered =
+      if (excludeSelf) pairs.where(col("q_id") =!= col("c_id")) else pairs
+    val scored = filtered.select(col("q_id"), col("c_id"),
+      Num.floorAt(dot(col("q_vec"), col("c_vec")) /
+        (col("q_norm") * col("c_norm")), 4).as("sim"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("sim").desc, col("c_id").asc)
     scored.withColumn("rk", row_number().over(w))
@@ -71,30 +66,49 @@ object Sim {
       .select(col("q_id"), col("c_id"), col("sim"), col("rk"))
   }
 
+  // norms are materialized per side BEFORE the join: n + m norm
+  // computations instead of n·m (each pair then costs one dot product)
+  private def qSide(queries: DataFrame, idCol: String, vecCol: String,
+                    extra: Seq[(String, String)] = Nil): DataFrame =
+    queries.select((Seq(col(idCol).as("q_id"), col(vecCol).as("q_vec")) ++
+        extra.map { case (c, a) => col(c).as(a) }): _*)
+      .withColumn("q_norm", norm(col("q_vec")))
+
+  private def cSide(candidates: DataFrame, idCol: String, vecCol: String,
+                    extra: Seq[(String, String)] = Nil): DataFrame =
+    candidates.select((Seq(col(idCol).as("c_id"), col(vecCol).as("c_vec")) ++
+        extra.map { case (c, a) => col(c).as(a) }): _*)
+      .withColumn("c_norm", norm(col("c_vec")))
+
+  /** Brute-force top-k: for each query vector, the k nearest candidates by
+    * cosine (ties broken by candidate id — deterministic).
+    *
+    * `excludeSelf` (default true) drops pairs whose ids are equal — the
+    * self-similarity convention when queries ⊆ candidates. Pass false when
+    * queries and candidates are DIFFERENT tables whose id spaces may
+    * collide, or coincidentally-equal ids would lose a valid neighbor.
+    */
+  def topK(queries: DataFrame, candidates: DataFrame, k: Int,
+           idCol: String = "vec_id", vecCol: String = "embedding",
+           excludeSelf: Boolean = true): DataFrame =
+    rankPairs(
+      cSide(candidates, idCol, vecCol)
+        .crossJoin(broadcast(qSide(queries, idCol, vecCol))),
+      k, excludeSelf)
+
   /** IVF-style top-k: probe only the candidate cell that matches the
     * query's cell (`cellCol` = coarse-quantizer assignment). Same output
     * shape as `topK` but each query scans ~N/cells candidates.
     */
   def topKIvf(queries: DataFrame, candidates: DataFrame, k: Int,
               cellCol: String, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      col(cellCol).as("cell"))
-      .withColumn("q_norm", norm(col("q_vec")))
-    val c = candidates.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
-      col(cellCol).as("cell"))
-      .withColumn("c_norm", norm(col("c_vec")))
-    val scored = c.join(broadcast(q), Seq("cell"))
-      .where(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"),
-        Num.floorAt(dot(col("q_vec"), col("c_vec")) /
-          (col("q_norm") * col("c_norm")), 4).as("sim"))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("sim").desc, col("c_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select(col("q_id"), col("c_id"), col("sim"), col("rk"))
-  }
+              vecCol: String = "embedding",
+              excludeSelf: Boolean = true): DataFrame =
+    rankPairs(
+      cSide(candidates, idCol, vecCol, Seq(cellCol -> "cell"))
+        .join(broadcast(qSide(queries, idCol, vecCol,
+          Seq(cellCol -> "cell"))), Seq("cell")),
+      k, excludeSelf)
 
   /** Deterministic random hyperplanes for sign-LSH (seeded; ship as code
     * so every run buckets identically).
@@ -125,7 +139,26 @@ object Sim {
   def topKLsh(queries: DataFrame, candidates: DataFrame, k: Int,
               bits: Int, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val dim = candidates.select(size(col(vecCol))).head().getInt(0)
+    // max over all candidates (null-safe), not head(): an empty input or
+    // a null first row must not crash, and ragged arrays shorter than the
+    // max dim get null plane-dots -> excluded rather than mis-bucketed
+    val dimRow = candidates.agg(max(size(col(vecCol)))).head()
+    val dim = if (dimRow.isNullAt(0)) 0 else dimRow.getInt(0)
+    if (dim <= 0) {
+      // no scorable candidates: empty result with the contract schema
+      val spark = candidates.sparkSession
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("q_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("c_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sim",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("rk",
+            org.apache.spark.sql.types.IntegerType))))
+    }
     val planes = hyperplanes(bits, dim)
     topKIvf(
       queries.withColumn("__cell", lshBucket(col(vecCol), planes)),

@@ -20,9 +20,18 @@ object Skew {
   /** Deterministic row salt in [0, salts): hash of the whole row, so
     * re-runs salt identically (no rand(), which would break retries and
     * the oracle).
+    *
+    * Caveat: rows that are FULLY identical (hot key AND identical payload)
+    * hash to one salt, so this breaks value-skew but not duplicate-row
+    * skew. For the latter, pass a distinct `saltSource` to the overload —
+    * e.g. a pre-assigned row id, or `monotonically_increasing_id()` if
+    * retry-determinism may be sacrificed.
     */
   def rowSalt(df: DataFrame, salts: Int): Column =
     pmod(hash(df.columns.map(col): _*), lit(salts))
+
+  def rowSalt(saltSource: Column, salts: Int): Column =
+    pmod(hash(saltSource), lit(salts))
 
   /** groupBy(keys).count() with a salted partial phase. */
   def saltedCount(df: DataFrame, keys: Seq[String],

@@ -59,8 +59,9 @@ object StreamOps {
     *
     * Late events (earlier than the open session's reach): within
     * `gapSeconds` of the open session they merge (extending its start);
-    * beyond that they are emitted as their own late singleton session
-    * rather than silently absorbed. A production deployment bounds
+    * beyond that each is emitted as its own late singleton session —
+    * consecutive late events are NOT retroactively merged with each
+    * other (that needs buffered state). A production deployment bounds
     * lateness with `withWatermark` + event-time timeout instead.
     *
     * State is O(1) per active user — the scale-safe shape for
@@ -105,10 +106,13 @@ object StreamOps {
     * — tests stage `events.parquet` into a temp dir and drive the query
     * with one processAllAvailable() pass.
     */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // same defensive conf as Tables.load: events.ts is TIMESTAMP(NANOS)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(graft.Tables.events)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      // same ns→µs conversion as Tables.load (events.ts is TIMESTAMP(NANOS))
+      // same ns→µs conversion as Tables.load
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }
