@@ -9,8 +9,20 @@ object Bench {
     // warm the JVM (scan codegen, parquet footers) so query 1 isn't
     // charged the session's one-time costs
     Tables.schemas.keys.foreach(t => Tables.load(spark, sfDir, t).count())
+    // ... and the noop writer + agg/exchange codegen paths, which the
+    // count() warmup doesn't touch (query 1 paid ~4s of this in round 1)
+    Tables.load(spark, sfDir, "nation")
+      .groupBy("n_regionkey")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("n_nationkey")
+          .cast("decimal(18,2)")))
+      .write.format("noop").mode("overwrite").save()
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // collect the previous query's garbage outside the timed region:
+      // cross-query GC debt is the main timing poison in a shared JVM
+      // (round-1 driver run: q26 hit 315s on a query that runs in <2s)
+      System.gc()
       val t0 = System.nanoTime()
       // noop sink fully materializes every row — count() would let
       // Catalyst prune the computed columns of projection-shaped queries

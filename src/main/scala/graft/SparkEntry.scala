@@ -70,6 +70,15 @@ object SparkEntry {
     */
   private def epochSql(c: String): String = s"(epoch_us($c) // 1000000)"
 
+  /** DuckDB: first 4 md5 hex nibbles of `arg` as an INTEGER in [0, 65535]
+    * (no hex→int builtin; decode via character position — same trick as the
+    * q34 oracle). Shared by the SimHash and sign-LSH oracles.
+    */
+  private def md5Hex4Sql(arg: String): String =
+    (0 until 4).map { i =>
+      s"(strpos('0123456789abcdef', substring(md5($arg), ${i + 1}, 1)) - 1) * ${1 << (4 * (3 - i))}"
+    }.mkString("(", " + ", ")")
+
   /** DuckDB expression mirroring Dedup.shingles(clean, w) over a token-list
     * expr.
     */
@@ -202,12 +211,17 @@ object SparkEntry {
         .withColumn("sentiment", Sentiment.score(Text.cleanText(col("text"))))
         .withColumn("label", Text.sentimentLabel(col("sentiment")))
         .withColumn("flagged", Text.regexFlag(col("text"), "(?i)spark|stream"))
+      // pct as floor((10000 * k) / n) / 100 over exact integer counts:
+      // avg() of 0/1 doubles is summed in engine-specific order/precision
+      // (DuckDB AVG != Spark sum/count in the last ulp), which flipped the
+      // floor at a 2dp boundary in round 1 — k and n are exact, so the
+      // single double division is bit-identical in both engines.
       docs.agg(
         count(lit(1)).as("n_docs"),
         sum(col("flagged").cast("long")).as("n_flagged"),
-        Num.floorAt(
-          avg((col("label") === "neutral").cast("double")) * 100, 2)
-          .as("pct_neutral"))
+        (floor(lit(10000.0) *
+            sum((col("label") === "neutral").cast("long")) / count(lit(1)))
+          / 100).as("pct_neutral"))
     }),
 
     // op 20: argmax by frequency with deterministic tie-break.
@@ -352,7 +366,9 @@ object SparkEntry {
     }),
 
     // north star — sign-LSH bucketed top-k cosine (data-independent scale
-    // path; no oracle entry — approximate recall, driver rows-only check).
+    // path). The hyperplanes are md5-derived (Sim.hyperplanes), so the
+    // oracle rebuilds the exact buckets in SQL — approximate recall, but a
+    // deterministic, fully hash-checkable result.
     "q43_topk_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Sim.topKLsh(emb.where(col("vec_id") < 10), emb, 5, bits = 4)
@@ -530,7 +546,7 @@ object SparkEntry {
            |labeled AS (SELECT doc_id, text, $labelCase AS label FROM scored)
            |SELECT COUNT(*) AS n_docs,
            | SUM(CAST(COALESCE(regexp_matches(text, '(?i)spark|stream'), FALSE) AS BIGINT)) AS n_flagged,
-           | ${Num.floorAtSql("AVG(CASE WHEN label = 'neutral' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * 100", 2)} AS pct_neutral
+           | floor((10000.0 * SUM(CASE WHEN label = 'neutral' THEN 1 ELSE 0 END)) / COUNT(*)) / 100 AS pct_neutral
            |FROM labeled""".stripMargin,
 
       "q20_argmax" ->
@@ -699,6 +715,37 @@ object SparkEntry {
           |  SELECT q_id, c_id, sim,
           |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
           |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+      "q43_topk_lsh" ->
+        s"""WITH dims AS (SELECT MAX(len(embedding)) AS dim FROM embeddings),
+           |planes AS (
+           |  SELECT CAST(t.i AS INTEGER) AS i,
+           |    list_transform(range(0, (SELECT dim FROM dims)), j ->
+           |      CAST(CAST((${md5Hex4Sql("CAST(t.i AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} / 65535.0) * 2 - 1 AS FLOAT) AS DOUBLE)) AS pv
+           |  FROM range(0, 4) t(i)),
+           |bucket AS (
+           |  SELECT vec_id, SUM(CASE WHEN dot > 0 THEN (1 << i) ELSE 0 END) AS cell
+           |  FROM (
+           |    SELECT e.vec_id, p.i,
+           |      list_sum(list_transform(range(1, len(e.embedding) + 1), x ->
+           |        CAST(e.embedding[x] AS DOUBLE) * p.pv[x])) AS dot
+           |    FROM embeddings e CROSS JOIN planes p)
+           |  GROUP BY vec_id),
+           |q AS (SELECT cell, e.vec_id AS q_id, e.embedding AS qv
+           |      FROM embeddings e JOIN bucket USING (vec_id) WHERE e.vec_id < 10),
+           |c AS (SELECT cell, e.vec_id AS c_id, e.embedding AS cv
+           |      FROM embeddings e JOIN bucket USING (vec_id)),
+           |scored AS (
+           |  SELECT q_id, c_id,
+           |    floor((
+           |      list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+           |      / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+           |       * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))) * 10000) / 10000 AS sim
+           |  FROM c JOIN q USING (cell) WHERE q_id <> c_id)
+           |SELECT q_id, c_id, sim, CAST(rk AS INTEGER) AS rk FROM (
+           |  SELECT q_id, c_id, sim,
+           |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
+           |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
       "q42_near_dup_cosine" ->
         """WITH a AS (SELECT label AS cell, vec_id AS id_a, embedding AS va FROM embeddings),

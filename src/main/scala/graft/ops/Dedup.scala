@@ -198,4 +198,35 @@ object Dedup {
     */
   def simhash16Native(toks: Column): Column =
     Bridge.column(graft.functions.SimHash16Expr(Bridge.expression(toks)))
+
+  /** SimHash near-duplicate pairs: docs whose 16-bit SimHash signatures
+    * differ in at most `maxHamming` bits. Candidate generation is the
+    * standard signature-banding trick (4 nibble bands — two signatures
+    * within hamming distance 3 of each other must agree on at least one
+    * whole nibble), so the join fans out on (band, nibble) buckets instead
+    * of the O(n²) pair space; the exact hamming filter then runs only on
+    * colliding pairs. Same shuffle shape as [[minhashPairs]] — survives
+    * 100 TB because nothing ever materializes all-pairs.
+    */
+  def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val sigs = df
+      .select(col(idCol).as("id"), Text.cleanText(col(textCol)).as("c"))
+      .withColumn("t", Text.tokens(col("c")))
+      .select(col("id"), simhash16Native(col("t")).as("sh"))
+    val banded = sigs.select(col("id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), 4 * b).bitwiseAND(15).as("nib"))): _*))
+        .as("bn"))
+      .select(col("id"), col("sh"),
+        col("bn.band").as("band"), col("bn.nib").as("nib"))
+    banded.as("a").hint("shuffle_hash").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -138,9 +138,11 @@ object Pipeline {
     view.agg(
         count(lit(1)).as("total_posts"),
         sum(col("dropout_mentioned").cast("long")).as("dropout_mentions"),
-        Num.floorAt(
-          avg((col("sentiment_label") === "neutral").cast("double")) * 100,
-          2).as("pct_neutral"))
+        // floor((10000*k)/n)/100 over exact integer counts — avg() of 0/1
+        // doubles is engine-order-sensitive in the last ulp (see q19)
+        (floor(lit(10000.0) *
+            sum((col("sentiment_label") === "neutral").cast("long")) /
+            count(lit(1))) / 100).as("pct_neutral"))
       .crossJoin(top("year").withColumnRenamed("year", "most_active_year"))
       .crossJoin(top("subreddit")
         .withColumnRenamed("subreddit", "top_subreddit"))

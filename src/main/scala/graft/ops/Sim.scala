@@ -110,13 +110,22 @@ object Sim {
           Seq(cellCol -> "cell"))), Seq("cell")),
       k, excludeSelf)
 
-  /** Deterministic random hyperplanes for sign-LSH (seeded; ship as code
-    * so every run buckets identically).
+  /** Deterministic hyperplanes for sign-LSH, derived from md5 rather than a
+    * PRNG: weight(i, j) = ((hex4 / 65535) * 2 - 1) as float, where hex4 is
+    * the first 4 hex nibbles of md5("i:j"). md5 is bit-identical on the JVM,
+    * in Spark SQL and in DuckDB, so the oracle can rebuild the exact planes
+    * (and therefore the exact buckets) in pure SQL — a seeded
+    * `scala.util.Random` would make the operator unverifiable cross-engine.
     */
-  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Seq[Array[Float]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(bits)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
-  }
+  def hyperplanes(bits: Int, dim: Int): Seq[Array[Float]] =
+    Seq.tabulate(bits) { i =>
+      Array.tabulate(dim) { j =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex4 = md.digest(s"$i:$j".getBytes("UTF-8"))
+          .take(2).map(b => f"$b%02x").mkString
+        ((Integer.parseInt(hex4, 16) / 65535.0) * 2 - 1).toFloat
+      }
+    }
 
   /** Sign-LSH bucket id: bit i = sign of dot(v, hyperplane_i). Cosine-close
     * vectors land in the same bucket with high probability — the

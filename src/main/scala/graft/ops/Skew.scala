@@ -42,6 +42,21 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__partial")).as("n"))
 
+  /** Salted 2dp-money sum: the partial sums are DECIMAL(18,2) (exact, so
+    * re-reducing over an arbitrary salt split is order-insensitive and
+    * bit-identical to an unsalted sum — a double partial sum would drift
+    * with the salt count), surfaced as DOUBLE.
+    */
+  def saltedMoneySum(df: DataFrame, keys: Seq[String], valueCol: String,
+                     salts: Int = 16): DataFrame =
+    df.withColumn("__salt", rowSalt(df, salts))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("__sum"),
+        count(lit(1)).as("__cnt"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__sum")).cast("double").as("total"),
+        sum(col("__cnt")).as("n"))
+
   /** groupBy(keys).agg(sum, count, min, max) with a salted partial phase;
     * `avg` derived from the re-reduced sum/count.
     */

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Row-level text operators (SURVEY.md §2.2 ops 8-12 + north-star text
@@ -106,4 +106,27 @@ object Text {
 
   def fingerprint60(c: Column): Column =
     conv(substring(fingerprint(c), 1, 15), 16, 10).cast("long")
+
+  /** Top-k terms per document by TF-IDF with smoothed
+    * idf = ln((N+1)/(df+1)). Three hash-aggregate shuffles (term counts,
+    * doc frequencies, corpus size) and one broadcast of the tiny (term, df)
+    * side — no all-pairs structure, so the shape holds at corpus scale.
+    * Scores are floor-truncated to 4dp before ranking (Num.floorAt) so a
+    * last-ulp ln() difference between engines cannot flip an ordering.
+    */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    val terms = docs.select(col(idCol).as("id"),
+      explode(tokens(cleanText(col(textCol)))).as("term"))
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        Num.floorAt(col("tf") *
+          log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 4)
+          .as("tfidf"))
+    Agg.topNPerGroup(scored, Seq("id"),
+      Seq(col("tfidf").desc, col("term").asc), k)
+  }
 }

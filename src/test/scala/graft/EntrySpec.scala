@@ -15,8 +15,9 @@ class EntrySpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
-    // every non-oracle query is a deliberate approximate/recall op
-    assert((qs -- os) === Set("q43_topk_lsh"), (qs -- os).toString)
+    // every query carries an oracle (q43's md5-derived hyperplanes made
+    // even the sign-LSH path SQL-replayable in round 2)
+    assert((qs -- os) === Set.empty, (qs -- os).toString)
   }
 
   test("query names are well-formed and oracle SQL non-empty") {
