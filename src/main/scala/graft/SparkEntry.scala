@@ -5,7 +5,8 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Agg, Dedup, EventsOps, Multimodal, Num, Sentiment, Sim, Star, Text}
+import graft.ops.{Agg, Dedup, EventsOps, Multimodal, Num, Sentiment, Sim, Skew, Star, Text}
+import graft.sources.Sources
 
 /** Driver contract — one named query per operator from SURVEY.md §2 plus the
   * north-star extensions (dedup family, similarity search, text analysis,
@@ -117,6 +118,49 @@ object SparkEntry {
         .orderBy(col("n_chars").desc, col("doc_id").asc)
         .limit(50)
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))),
+
+    // op 3: CSV sink + source round-trip (the reference's backup file,
+    // etl_pipeline.py:66-70) — write, re-read with the declared schema,
+    // aggregate the re-read copy. documents.text is ASCII word-soup, so
+    // the trip is lossless.
+    "q03_csv_roundtrip" -> ((s, dir) => {
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft-q03-${ProcessHandle.current().pid}"
+      Sources.writeCsv(t(s, dir, "documents"), path)
+      Sources.readCsv(s, path, Tables.documents)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("source")
+    }),
+
+    // scale path — directory-partitioned sink + partition-pruned read:
+    // the lang predicate prunes whole directories at file listing
+    // (PartitionFilters, not data filters).
+    "q04_partitioned_prune" -> ((s, dir) => {
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft-q04-${ProcessHandle.current().pid}"
+      Sources.writePartitioned(t(s, dir, "documents"), path, Seq("lang"))
+      s.read.schema(Tables.documents).parquet(path)
+        .where(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("source")
+    }),
+
+    // scale path — co-located bucketed join: both sides bucketed+sorted on
+    // the join key, so the SortMergeJoin runs with NO exchange (the 100 TB
+    // fact⋈fact shape; see SCALE.md and SkewBucketSpec's plan assertion).
+    "q05_bucketed_join" -> ((s, dir) => {
+      val pid = ProcessHandle.current().pid
+      val ot = s"graft_q05_orders_$pid"
+      val ct = s"graft_q05_customer_$pid"
+      Sources.writeBucketed(t(s, dir, "orders"), ot, "o_custkey", 8)
+      Sources.writeBucketed(t(s, dir, "customer"), ct, "c_custkey", 8)
+      s.table(ot).join(s.table(ct), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment")
+    }),
 
     // op 7: deterministic keep-first dedup.
     "q07_dedup_keepfirst" -> ((s, dir) =>
@@ -351,6 +395,49 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simhash16Native(col("t")).as("simhash"))
         .orderBy("doc_id")),
 
+    // north star — SimHash near-dup pairs via nibble banding + exact
+    // hamming filter (no all-pairs materialization).
+    "q35_simhash_dups" -> ((s, dir) =>
+      Dedup.simhashDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    // scale path — salted two-phase aggregation for hot keys: partial sums
+    // in DECIMAL(18,2) so the re-reduce over salt sub-keys is exact and
+    // bit-identical to the unsalted oracle.
+    "q36_skew_salted_agg" -> ((s, dir) =>
+      Skew.saltedMoneySum(t(s, dir, "events"), Seq("event_type"), "value")
+        .orderBy("event_type")),
+
+    // §2.5 gap — left-semi join (existence filter without row duplication).
+    "q37_semi_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val big = t(s, dir, "orders").where(col("o_totalprice") > 200000)
+      cust.join(big, cust("c_custkey") === big("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // §2.5 gap — full outer join of two aggregates (null-preserving).
+    "q38_outer_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("year"))
+        .agg(count(lit(1)).as("n_orders"))
+      val l = t(s, dir, "lineitem")
+        .groupBy(year(col("l_shipdate")).as("year"))
+        .agg(count(lit(1)).as("n_ship"))
+      o.join(l, Seq("year"), "full_outer")
+        .orderBy(col("year").asc_nulls_first)
+    }),
+
+    // §2.5 gap — distinct aggregate (expands to a two-phase de-dup agg).
+    "q39_count_distinct" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(count_distinct(col("o_custkey")).as("n_custs"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")),
+
     // north star — brute-force top-k cosine (broadcast query set).
     "q40_topk_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -402,6 +489,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy("lang_id")),
 
+    // north star — corpus-level top-k n-grams (bigram frequency).
+    "q52_ngram_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(Text.cleanText(col("text")).as("c"))
+        .withColumn("t", Text.tokens(col("c")))
+        .select(explode(Dedup.shingles(col("t"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(20)),
+
+    // north star — TF-IDF top terms per document (smoothed idf).
+    "q53_tfidf" -> ((s, dir) =>
+      Text.tfIdfTopK(t(s, dir, "documents"), "doc_id", "text", 3)
+        .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
+          col("tfidf"), col("rk"))
+        .orderBy("doc_id", "rk")),
+
     // north star — tumbling-window counts (batch form of streaming agg).
     "q60_tumbling_counts" -> ((s, dir) =>
       EventsOps.tumblingCounts(t(s, dir, "events"), 3600)
@@ -433,12 +537,53 @@ object SparkEntry {
           EventsOps.jsonProp(col("props"), "k").as("k"))
         .orderBy("event_id")),
 
+    // §2.5 gap — explicit GROUPING SETS (rollup/cube generalization).
+    "q65_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // §2.5 gap — lag + moving-frame aggregates per user (ordered stream).
+    "q66_moving_stats" -> ((s, dir) =>
+      EventsOps.movingStats(t(s, dir, "events"))
+        .orderBy("user_id", "rn")),
+
+    // north star — built-in session_window sessionization (the operator
+    // Structured Streaming shares; q62 is the window-function formulation).
+    "q67_session_window" -> ((s, dir) =>
+      EventsOps.sessionWindows(t(s, dir, "events"), 1800)
+        .orderBy("user_id", "session_start")),
+
     // north star — multimodal plumbing (typed Dataset mapPartitions decode).
     "q70_media_features" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
       Multimodal.decode(media).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("width"), col("height"), col("fingerprint"))
+        .orderBy("media_id")
+    }),
+
+    // north star — multimodal frame sampling (1 row → n frames flatMap;
+    // payload is ASCII text bytes, so frame fingerprints are
+    // oracle-expressible as substring+md5).
+    "q71_media_frames" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      Multimodal.frameSample(media, frameBytes = 256, everyNth = 2).toDF()
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    // north star — multimodal resize plumbing (payload re-encoded at the
+    // target geometry; fingerprint compared, not the raw bytes).
+    "q72_media_resize" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(
+        t(s, dir, "documents").where(length(col("text")) > 0))
+      Multimodal.resize(media, 64, 64).toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          md5(col("payload")).as("payload_md5"))
         .orderBy("media_id")
     })
   )
@@ -467,6 +612,19 @@ object SparkEntry {
         """SELECT doc_id, source, lang, n_chars FROM documents
           |WHERE COALESCE(regexp_matches(text, '(?i)stream|window|merge'), FALSE)
           |ORDER BY n_chars DESC, doc_id LIMIT 50""".stripMargin,
+
+      "q03_csv_roundtrip" ->
+        """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+      "q04_partitioned_prune" ->
+        """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          |FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source""".stripMargin,
+
+      "q05_bucketed_join" ->
+        s"""SELECT c_mktsegment, COUNT(*) AS n, ${dsumS("o_totalprice")} AS total
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
       "q07_dedup_keepfirst" ->
         """SELECT doc_id, source FROM (
@@ -686,6 +844,50 @@ object SparkEntry {
            |       THEN (1 << b) ELSE 0 END)) AS INTEGER) AS simhash
            |FROM hashed ORDER BY doc_id""".stripMargin,
 
+      "q35_simhash_dups" ->
+        s"""WITH tok AS (SELECT doc_id, $cleanToks AS t
+           |             FROM (SELECT doc_id, $clean AS c FROM documents)),
+           |hashed AS (SELECT doc_id,
+           |  list_transform(t, tk -> ${md5Hex4Sql("tk")}) AS hs
+           |  FROM tok),
+           |sim AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), b ->
+           |  CASE WHEN COALESCE(list_sum(list_transform(hs, h -> ((h >> b) & 1) * 2 - 1)), 0) > 0
+           |       THEN (1 << b) ELSE 0 END)) AS INTEGER) AS sh
+           |  FROM hashed),
+           |banded AS (SELECT doc_id AS id, sh, CAST(b.i AS INTEGER) AS band,
+           |  (sh >> (CAST(b.i AS INTEGER) * 4)) & 15 AS nib
+           |  FROM sim CROSS JOIN range(0, 4) b(i)),
+           |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.nib = b.nib AND a.id < b.id)
+           |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q36_skew_salted_agg" ->
+        s"""SELECT event_type, ${dsumS("value")} AS total, COUNT(*) AS n
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "q37_semi_join" ->
+        """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders
+          |              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+      "q38_outer_join" ->
+        """WITH o AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+          |                  COUNT(*) AS n_orders FROM orders GROUP BY 1),
+          |l AS (SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
+          |             COUNT(*) AS n_ship FROM lineitem GROUP BY 1)
+          |SELECT COALESCE(o.year, l.year) AS year, n_orders, n_ship
+          |FROM o FULL JOIN l ON o.year = l.year
+          |ORDER BY year ASC NULLS FIRST""".stripMargin,
+
+      "q39_count_distinct" ->
+        """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_custs,
+          | COUNT(*) AS n_orders
+          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
       "q40_topk_cosine" ->
         """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
           |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
@@ -792,6 +994,28 @@ object SparkEntry {
            |       ELSE 'other' END AS lang_id, COUNT(*) AS n
            |FROM stats GROUP BY lang_id ORDER BY lang_id""".stripMargin,
 
+      "q52_ngram_topk" ->
+        s"""WITH tok AS (SELECT $cleanToks AS t
+           |             FROM (SELECT $clean AS c FROM documents)),
+           |grams AS (SELECT UNNEST(${shinglesSql("t", 2)}) AS bigram FROM tok)
+           |SELECT bigram, COUNT(*) AS n FROM grams GROUP BY bigram
+           |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+      "q53_tfidf" ->
+        s"""WITH terms AS (SELECT id, UNNEST($cleanToks) AS term
+           |  FROM (SELECT doc_id AS id, $clean AS c FROM documents)),
+           |tf AS (SELECT id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+           |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+           |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+           |scored AS (SELECT id, term, tf, df,
+           |  floor((tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1))) * 10000) / 10000 AS tfidf
+           |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+           |ranked AS (SELECT id, term, tf, df, tfidf,
+           |  row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term ASC) AS rk
+           |  FROM scored)
+           |SELECT id AS doc_id, term, tf, df, tfidf, CAST(rk AS INTEGER) AS rk
+           |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
       "q60_tumbling_counts" ->
         s"""SELECT (${epochSql("ts")} // 3600) * 3600 AS window_start, event_type,
            | COUNT(*) AS n, ${dsumS("value")} AS total_value
@@ -842,13 +1066,65 @@ object SparkEntry {
           | CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
           |FROM events ORDER BY event_id""".stripMargin,
 
+      "q65_grouping_sets" ->
+        s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           | ${dsumS("l_extendedprice")} AS total
+           |FROM lineitem
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           |ORDER BY l_returnflag ASC NULLS FIRST,
+           | l_linestatus ASC NULLS FIRST""".stripMargin,
+
+      "q66_moving_stats" ->
+        s"""WITH ev AS (SELECT user_id, event_id, ${epochSql("ts")} AS es, value
+           |            FROM events)
+           |SELECT user_id, event_id, es, value,
+           |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY es, event_id) AS prev_value,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+           |    ORDER BY es, event_id
+           |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mv_sum,
+           |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY es, event_id) AS INTEGER) AS rn
+           |FROM ev ORDER BY user_id, rn""".stripMargin,
+
+      "q67_session_window" ->
+        s"""WITH es AS (SELECT user_id, event_id, ${epochSql("ts")} AS es FROM events),
+           |flagged AS (SELECT user_id, event_id, es,
+           |  CASE WHEN es - lag(es, 1) OVER w > 1800 THEN 1
+           |       WHEN lag(es, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+           |  FROM es WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+           |sessions AS (SELECT user_id, es,
+           |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY es, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           |  FROM flagged)
+           |SELECT user_id, MIN(es) AS session_start, MAX(es) + 1800 AS session_end,
+           |  COUNT(*) AS n_events
+           |FROM sessions GROUP BY user_id, session_id
+           |ORDER BY user_id, session_start""".stripMargin,
+
       "q70_media_features" ->
         """SELECT doc_id AS media_id, source AS kind,
           | CAST(strlen(text) AS BIGINT) AS n_bytes,
           | CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
           | CAST(strlen(text) % 480 + 1 AS INTEGER) AS height,
           | md5(text) AS fingerprint
-          |FROM documents ORDER BY media_id""".stripMargin
+          |FROM documents ORDER BY media_id""".stripMargin,
+
+      // payload is UTF-8 text and the corpus is pure ASCII, so byte
+      // slicing == character slicing and the frame md5s reproduce in SQL
+      "q71_media_frames" ->
+        """WITH f AS (SELECT doc_id AS media_id,
+          |  CAST(UNNEST(list_filter(range(0, (strlen(text) + 255) // 256),
+          |    i -> i % 2 = 0)) AS INTEGER) AS frame_idx, text
+          |  FROM documents WHERE strlen(text) > 0)
+          |SELECT media_id, frame_idx,
+          |  CAST(strlen(substring(text, frame_idx * 256 + 1, 256)) AS BIGINT) AS n_bytes,
+          |  md5(substring(text, frame_idx * 256 + 1, 256)) AS fingerprint
+          |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+      "q72_media_resize" ->
+        """SELECT doc_id AS media_id, source AS kind,
+          | CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
+          | md5(substring(repeat(text, CAST(64 // strlen(text) + 1 AS INTEGER)), 1, 64)) AS payload_md5
+          |FROM documents WHERE strlen(text) > 0 ORDER BY media_id""".stripMargin
     )
   }
 }

@@ -65,6 +65,44 @@ object EventsOps {
         count(lit(1)).as("n_events"))
   }
 
+  /** Per-user ordered event stream with lag + moving-window aggregates
+    * (one shuffle on user_id, all window functions share the frame sort).
+    * The moving sum runs in DECIMAL(18,2) — exact, so the 3-row frame sum
+    * is bit-identical cross-engine regardless of accumulation order —
+    * surfaced as DOUBLE.
+    */
+  def movingStats(events: DataFrame, frameRows: Int = 3): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("es").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"), col("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("mv_sum", sum(col("value").cast("decimal(18,2)"))
+        .over(w.rowsBetween(-(frameRows - 1), 0)).cast("double"))
+      .withColumn("rn", row_number().over(w))
+  }
+
+  /** Gap-based sessions via Spark's built-in `session_window` (the same
+    * operator Structured Streaming uses for streaming sessionization).
+    * Semantically identical to [[sessionize]] including the boundary: an
+    * event exactly `gap` after its predecessor MERGES (Spark treats the
+    * touching intervals [t, t+gap) and [t+gap, ...) as one session —
+    * verified empirically in Round2OpsSpec); only a strictly larger gap
+    * splits. Timestamps are floored to whole seconds first so the gap
+    * comparisons are second-granular in both engines.
+    */
+  def sessionWindows(events: DataFrame, gapSeconds: Long): DataFrame =
+    events
+      .select(col("user_id"),
+        timestamp_seconds(unix_timestamp(col("ts"))).as("tss"))
+      .groupBy(col("user_id"), session_window(col("tss"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        unix_timestamp(col("session_window.end")).as("session_end"),
+        col("n_events"))
+
   /** JSON property extraction — regex-based so the oracle needs no JSON
     * extension; `props` is flat `{"k": <int>}` in the fixture.
     */
