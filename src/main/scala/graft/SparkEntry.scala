@@ -156,7 +156,11 @@ object SparkEntry {
       val ct = s"graft_q05_customer_$pid"
       Sources.writeBucketed(t(s, dir, "orders"), ot, "o_custkey", 8)
       Sources.writeBucketed(t(s, dir, "customer"), ct, "c_custkey", 8)
-      s.table(ot).join(s.table(ct), col("o_custkey") === col("c_custkey"))
+      // merge hint: at harness scale Catalyst would broadcast the small
+      // side, which hides the point — at 100 TB neither side broadcasts,
+      // and the bucketed SMJ runs with NO exchange (PlanSpec asserts it)
+      s.table(ot).hint("merge")
+        .join(s.table(ct), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy("c_mktsegment")

@@ -68,6 +68,37 @@ class PlanSpec extends SparkSpec {
       "expected exchange reuse in:\n" + p.take(1500))
   }
 
+  test("q05 bucketed join: SortMergeJoin with no exchange on either side") {
+    val p = plan("q05_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p.take(800))
+    // the post-join groupBy shuffle is expected; the JOIN KEYS must not be
+    // exchanged — bucketing already co-located them
+    assert(!p.contains("Exchange hashpartitioning(o_custkey") &&
+      !p.contains("Exchange hashpartitioning(c_custkey"), p.take(1500))
+    assert(p.contains("SelectedBucketsCount: 8 out of 8"), p.take(1500))
+  }
+
+  test("q04 partitioned read prunes lang at the partition level") {
+    val p = plan("q04_partitioned_prune")
+    assert(p.contains("PartitionFilters: [isnotnull(lang"), p.take(1200))
+  }
+
+  test("q66 all window functions share one user_id shuffle") {
+    val p = plan("q66_moving_stats")
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).toSeq
+    // one hash exchange for the shared window sort + the final orderBy
+    assert(exchanges.size <= 2, s"unexpected shuffles: $exchanges\n" +
+      p.take(1200))
+  }
+
+  test("q35 simhash banding self-join materializes signatures once") {
+    val df = SparkEntry.queries("q35_simhash_dups")(spark, dir)
+    df.collect() // run THIS QueryExecution so AQE finalizes it with reuse
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      "expected exchange reuse in:\n" + p.take(1500))
+  }
+
   test("events scan pushes the event_type predicate down (q63 inputs)") {
     val df = Tables.load(spark, dir, "events")
       .where(org.apache.spark.sql.functions.col("event_type") === "purchase")
