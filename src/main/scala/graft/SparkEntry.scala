@@ -3,6 +3,7 @@ package graft
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Agg, Dedup, EventsOps, Multimodal, Num, Sentiment, Sim, Skew, Star, Text}
@@ -166,6 +167,32 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // API surface — the same engine drives ANSI SQL over registered views
+    // (spark.sql entry point; the DataFrame queries and this compile to
+    // identical plans through Catalyst).
+    "q06_sql_api" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      s.sql("""
+        SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_orderstatus
+        ORDER BY c_mktsegment, o_orderstatus""")
+    }),
+
+    // op 1 variant — JSON-lines source with declared schema (splittable
+    // layout; no inference scan).
+    "q44_jsonl_roundtrip" -> ((s, dir) => {
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft-q44-${ProcessHandle.current().pid}"
+      t(s, dir, "documents").write.mode("overwrite").json(path)
+      Sources.readJsonLines(s, path, Tables.documents)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang")
+    }),
+
     // op 7: deterministic keep-first dedup.
     "q07_dedup_keepfirst" -> ((s, dir) =>
       Dedup.keepFirst(t(s, dir, "documents"), Seq("source"),
@@ -315,6 +342,24 @@ object SparkEntry {
       val b = docs.where(col("doc_id") % 3 === 0).select("doc_id")
       a.union(b).distinct().except(a.intersect(b)).orderBy("doc_id")
     }),
+
+    // §2.5 gap — bag-semantics set ops (EXCEPT ALL keeps multiplicity).
+    "q68_except_all" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+      val a = li.where(col("l_orderkey") % 2 === 0)
+      val b = li.where(col("l_orderkey") % 3 === 0)
+      a.exceptAll(b)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+        .orderBy("l_orderkey")
+    }),
+
+    // §2.5 gap — deterministic array aggregation (sorted collect_set).
+    "q69_collect_agg" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(sort_array(collect_set(col("lang"))).as("langs"),
+          count(lit(1)).as("n"))
+        .orderBy("source")),
 
     // §2.5 gap — rollup with subtotal rows (null grouping keys).
     "q26_rollup" -> ((s, dir) =>
@@ -562,6 +607,22 @@ object SparkEntry {
       EventsOps.sessionWindows(t(s, dir, "events"), 1800)
         .orderBy("user_id", "session_start")),
 
+    // §2.5 gap — ranking-function family beyond row_number: dense_rank,
+    // percent_rank, ntile, cume_dist over one shared window sort.
+    "q73_rank_family" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .where(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          dense_rank().over(w).as("drk"),
+          Num.floorAt(percent_rank().over(w), 6).as("prk"),
+          ntile(4).over(w).as("quartile"),
+          Num.floorAt(cume_dist().over(w), 6).as("cd"),
+          row_number().over(w).as("rn"))
+        .orderBy("o_orderstatus", "rn")
+    }),
+
     // north star — multimodal plumbing (typed Dataset mapPartitions decode).
     "q70_media_features" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
@@ -629,6 +690,17 @@ object SparkEntry {
         s"""SELECT c_mktsegment, COUNT(*) AS n, ${dsumS("o_totalprice")} AS total
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+      "q06_sql_api" ->
+        s"""SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
+           | ${dsumS("o_totalprice")} AS total
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment, o_orderstatus
+           |ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
+
+      "q44_jsonl_roundtrip" ->
+        """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
       "q07_dedup_keepfirst" ->
         """SELECT doc_id, source FROM (
@@ -756,6 +828,17 @@ object SparkEntry {
           |  EXCEPT
           |  (SELECT doc_id FROM a INTERSECT SELECT doc_id FROM b))
           |ORDER BY doc_id""".stripMargin,
+
+      "q68_except_all" ->
+        """WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_orderkey % 2 = 0),
+          |b AS (SELECT l_orderkey FROM lineitem WHERE l_orderkey % 3 = 0)
+          |SELECT l_orderkey, COUNT(*) AS n FROM
+          |  (SELECT l_orderkey FROM a EXCEPT ALL SELECT l_orderkey FROM b)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q69_collect_agg" ->
+        """SELECT source, list_sort(list(DISTINCT lang)) AS langs, COUNT(*) AS n
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
       "q26_rollup" ->
         s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
@@ -1103,6 +1186,18 @@ object SparkEntry {
            |  COUNT(*) AS n_events
            |FROM sessions GROUP BY user_id, session_id
            |ORDER BY user_id, session_start""".stripMargin,
+
+      "q73_rank_family" ->
+        s"""SELECT o_orderstatus, o_orderkey, o_totalprice,
+           |  CAST(dense_rank() OVER w AS INTEGER) AS drk,
+           |  ${Num.floorAtSql("percent_rank() OVER w", 6)} AS prk,
+           |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           |  ${Num.floorAtSql("cume_dist() OVER w", 6)} AS cd,
+           |  CAST(row_number() OVER w AS INTEGER) AS rn
+           |FROM orders WHERE o_orderkey % 10 = 0
+           |WINDOW w AS (PARTITION BY o_orderstatus
+           |             ORDER BY o_totalprice DESC, o_orderkey ASC)
+           |ORDER BY o_orderstatus, rn""".stripMargin,
 
       "q70_media_features" ->
         """SELECT doc_id AS media_id, source AS kind,

@@ -102,6 +102,18 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of graft.ops.Dedup.exact:
+    * duplicates of a key arriving within the watermark delay of its first
+    * occurrence are dropped, and key state older than the watermark is
+    * evicted (unbounded state otherwise — the reference's in-memory `set`
+    * dedup, reddit_etl_proj/etl_pipeline.py:41,49-50, is exactly that
+    * unbounded shape).
+    */
+  def streamingDedup(events: DataFrame, keys: Seq[String],
+                     watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Read a directory of events-schema parquet files as a (bounded) stream
     * — tests stage `events.parquet` into a temp dir and drive the query
     * with one processAllAvailable() pass.

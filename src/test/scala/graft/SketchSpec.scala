@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Approximate/sketch aggregates (HyperLogLog++, quantile summaries).
+  * These have no DuckDB oracle — sketch internals differ per engine — so
+  * their contract is verified here against exact results with error
+  * bounds instead of hash equality.
+  */
+class SketchSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("approx_count_distinct (HLL++) is within 3x rsd of exact") {
+    val orders = Tables.load(spark, dir, "orders")
+    val rsd = 0.05
+    val row = orders.agg(
+      approx_count_distinct(col("o_custkey"), rsd).as("approx"),
+      count_distinct(col("o_custkey")).as("exact")).head()
+    val (a, e) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(a - e) / e <= 3 * rsd, s"approx=$a exact=$e")
+  }
+
+  test("approxQuantile(relErr=0) equals an exact rank element; " +
+    "relErr>0 brackets it") {
+    val li = Tables.load(spark, dir, "lineitem")
+    val exact = li.stat.approxQuantile("l_extendedprice", Array(0.5), 0.0)(0)
+    val sketch = li.stat.approxQuantile("l_extendedprice", Array(0.5), 0.01)(0)
+    val n = li.count()
+    val below = li.where(col("l_extendedprice") <= lit(sketch)).count()
+    val rank = below.toDouble / n
+    assert(math.abs(rank - 0.5) <= 0.02, s"sketch p50 at rank $rank")
+    assert(li.where(col("l_extendedprice") === exact).count() > 0,
+      "exact-mode quantile must be an actual data element")
+  }
+}

@@ -60,6 +60,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup drops cross-micro-batch duplicates == batch " +
+      "distinct") {
+    val src = "/root/testdata/sf0.001"
+    val stage = Files.createTempDirectory("graft-dedup").toFile
+    try {
+      // the same fixture staged twice: every event_id arrives in two
+      // different micro-batches (maxFilesPerTrigger=1)
+      for (i <- 1 to 2)
+        Files.copy(new java.io.File(s"$src/events.parquet").toPath,
+          new java.io.File(stage, s"copy$i.parquet").toPath)
+      val stream = StreamOps.streamingDedup(
+        StreamOps.eventsStream(spark, stage.getAbsolutePath),
+        Seq("event_id"), watermark = "30 days")
+      val q = stream.writeStream.format("memory").queryName("dedup")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = spark.table("dedup").count()
+      val exact = Tables.load(spark, src, "events")
+        .select("event_id").distinct().count()
+      assert(streamed === exact)
+    } finally {
+      stage.listFiles().foreach(_.delete()); stage.delete()
+    }
+  }
+
   test("streaming windowedCounts == batch tumblingCounts on events sf0.001") {
     val src = "/root/testdata/sf0.001"
     val stage = Files.createTempDirectory("graft-stream").toFile
