@@ -623,6 +623,45 @@ object SparkEntry {
         .orderBy("o_orderstatus", "rn")
     }),
 
+    // north star — reproducible train/eval split: the split is a pure
+    // function of the row key (md5), so it's stable across runs, engines,
+    // repartitioning, and incremental loads — never rand()-based.
+    "q74_hash_split" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("int") % 10 < 8, "train").otherwise("eval"))
+        .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+        .orderBy("split", "lang")),
+
+    // north star — token-length histogram (corpus profiling).
+    "q75_token_histogram" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("t", Text.tokens(col("text")))
+        .groupBy((floor(size(col("t")) / 10) * 10).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
+    // north star — deterministic uniform sample (hash-ordered top-N): same
+    // rows every run on every engine, unlike sample()/rand().
+    "q76_det_sample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+        .limit(100)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")),
+
+    // north star — one-pass column profile (completeness/cardinality/range)
+    // — the data-quality gate a pipeline runs before training ingestion.
+    "q77_profile" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_custkey").isNull.cast("long")).as("null_custkey"),
+        count_distinct(col("o_orderstatus")).as("n_statuses"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        dsum(col("o_totalprice")).as("sum_price"))),
+
     // north star — multimodal plumbing (typed Dataset mapPartitions decode).
     "q70_media_features" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
@@ -1198,6 +1237,33 @@ object SparkEntry {
            |WINDOW w AS (PARTITION BY o_orderstatus
            |             ORDER BY o_totalprice DESC, o_orderkey ASC)
            |ORDER BY o_orderstatus, rn""".stripMargin,
+
+      "q74_hash_split" ->
+        s"""SELECT CASE WHEN ${md5Hex4Sql("CAST(doc_id AS VARCHAR)")} % 10 < 8
+           |            THEN 'train' ELSE 'eval' END AS split,
+           |       lang, COUNT(*) AS n
+           |FROM documents GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
+      "q75_token_histogram" ->
+        s"""WITH tok AS (SELECT ${toksSql("text")} AS t FROM documents)
+           |SELECT CAST(floor(len(t) / 10) * 10 AS INTEGER) AS bucket,
+           |       COUNT(*) AS n
+           |FROM tok GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+      "q76_det_sample" ->
+        """SELECT doc_id, lang, source FROM (
+          |  SELECT doc_id, lang, source FROM documents
+          |  ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC LIMIT 100)
+          |ORDER BY doc_id""".stripMargin,
+
+      "q77_profile" ->
+        s"""SELECT COUNT(*) AS n_rows,
+           | SUM(CAST(o_custkey IS NULL AS BIGINT)) AS null_custkey,
+           | COUNT(DISTINCT o_orderstatus) AS n_statuses,
+           | MIN(o_totalprice) AS min_price,
+           | MAX(o_totalprice) AS max_price,
+           | ${dsumS("o_totalprice")} AS sum_price
+           |FROM orders""".stripMargin,
 
       "q70_media_features" ->
         """SELECT doc_id AS media_id, source AS kind,

@@ -175,6 +175,53 @@ object Sim {
       k, "__cell", idCol, vecCol)
   }
 
+  /** Deterministic k-means coarse quantizer (Lloyd's, cosine assignment):
+    * builds the cell column that [[topKIvf]] probes when no natural label
+    * exists. No rand() anywhere — init is the k lowest-id vectors, so
+    * cells are identical across runs/retries/engines.
+    *
+    * Scale shape per iteration: one broadcast of k centroids (k·dim
+    * doubles — tiny) into a codegen'd argmax projection, then one shuffle
+    * keyed on (cell, dim) to average coordinates. The driver only ever
+    * holds centroids, never data rows. Returns the input plus a `cell`
+    * column.
+    */
+  def kmeansCells(df: DataFrame, k: Int, iters: Int = 2,
+                  idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    require(k > 0 && iters >= 0, s"need k>0, iters>=0; got k=$k iters=$iters")
+    var centroids: Seq[Seq[Float]] = df.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+
+    // argmax cosine via lexicographic struct max; centroid norms are
+    // driver-side constants, the row's own norm cancels in the argmax.
+    // cell id enters negated so ties resolve to the LOWEST cell.
+    def assign(c: Seq[Seq[Float]]): Column = {
+      val scored = array(c.zipWithIndex.map { case (cv, i) =>
+        val n = math.sqrt(cv.map(x => x.toDouble * x.toDouble).sum)
+        struct((dot(col(vecCol), typedLit(cv)) / lit(n)).as("sim"),
+          lit(-i).as("negCell"))
+      }: _*)
+      (-array_max(scored).getField("negCell")).as("cell")
+    }
+
+    for (_ <- 1 to iters) {
+      val perDim = df.withColumn("cell", assign(centroids))
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m").cast("float")).as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
+      centroids = centroids.indices
+        .map(i => perDim.getOrElse(i, centroids(i)))
+    }
+    df.withColumn("cell", assign(centroids))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * bucketed by cell to bound the pair space (id_a < id_b).
     */

@@ -90,6 +90,21 @@ class Round2OpsSpec extends SparkSpec {
     assert(viaLag.where(col("user_id") === 1).count() === 2)
   }
 
+  test("kmeansCells: deterministic assignment feeding topKIvf") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val c1 = graft.ops.Sim.kmeansCells(emb, k = 8, iters = 2)
+    val c2 = graft.ops.Sim.kmeansCells(emb, k = 8, iters = 2)
+    val a1 = c1.select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(a1 === c2.select("vec_id", "cell").as[(Long, Int)].collect().toMap)
+    assert(a1.size === emb.count())
+    assert(a1.values.toSet.size > 1 && a1.values.forall(c => c >= 0 && c < 8))
+    val probed = graft.ops.Sim.topKIvf(
+      c1.where(col("vec_id") < 5), c1, 3, "cell")
+    assert(probed.groupBy("q_id").count()
+      .agg(max("count")).head().getLong(0) <= 3)
+    assert(probed.count() > 0)
+  }
+
   test("tfIdfTopK: a doc-unique term outranks corpus-wide terms") {
     // distinct terms must differ in LETTERS: cleanText strips digits, so
     // "unique1"/"unique2" would collapse into one corpus-wide term
