@@ -1,0 +1,20 @@
+package graft
+
+/** Dev utility: print the formatted physical plan of named queries.
+  *
+  *   sbt "runMain graft.Explain /root/testdata/sf0.001 q53_tfidf ..."
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"===== $n")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

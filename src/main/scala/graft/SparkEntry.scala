@@ -662,6 +662,34 @@ object SparkEntry {
         max(col("o_totalprice")).as("max_price"),
         dsum(col("o_totalprice")).as("sum_price"))),
 
+    // north star FLAGSHIP composite — the full training-data prep pipeline
+    // in one query: quality gate → exact (fingerprint) dedup → MinHash
+    // near-dup removal → reproducible hash split → corpus summary.
+    // Near-dup rule: drop every doc that has a SMALLER near-dup neighbor
+    // (est_jaccard >= 0.5) — deterministic and join-expressible, no
+    // connected-components pass (the standard large-corpus approximation).
+    "q78_prep_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val quality = docs.withColumn("t", Text.tokens(col("text")))
+        .where(Text.qualityScore(col("text"), col("t")) >= 0.1)
+        .select("doc_id", "text", "n_chars")
+      val exact = Dedup.keepFirst(
+          quality.withColumn("fp", Text.fingerprint(col("text"))),
+          Seq("fp"), Seq(col("doc_id").asc))
+        .select("doc_id", "text", "n_chars")
+      val nearDupLosers = Dedup
+        .minhashPairs(exact, "doc_id", "text", k = 8, bands = 4)
+        .where(col("est_jaccard") >= 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+      exact.join(nearDupLosers, Seq("doc_id"), "left_anti")
+        .withColumn("split",
+          when(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("int") % 10 < 8, "train").otherwise("eval"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("split")
+    }),
+
     // north star — multimodal plumbing (typed Dataset mapPartitions decode).
     "q70_media_features" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
@@ -1264,6 +1292,43 @@ object SparkEntry {
            | MAX(o_totalprice) AS max_price,
            | ${dsumS("o_totalprice")} AS sum_price
            |FROM orders""".stripMargin,
+
+      "q78_prep_pipeline" ->
+        s"""WITH toks0 AS (SELECT doc_id, text, n_chars, ${toksSql("text")} AS t
+           |               FROM documents),
+           |quality AS (SELECT doc_id, text, n_chars FROM toks0 WHERE
+           |  floor((least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+           |    * (CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+           |       / CAST(greatest(length(text), 1) AS DOUBLE))
+           |    * (1.0 - least(CAST(len(list_filter(t, x -> x IN ('the','a','of','to','and','in','is'))) AS DOUBLE)
+           |             / greatest(CAST(len(t) AS DOUBLE), 1.0), 1.0))) * 10000) / 10000 >= 0.1),
+           |fp AS (SELECT doc_id, text, n_chars, md5(${cleanSql("text")}) AS fp
+           |       FROM quality),
+           |exact AS (SELECT doc_id, text, n_chars FROM (
+           |  SELECT doc_id, text, n_chars,
+           |         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+           |  FROM fp) WHERE rn = 1),
+           |sh AS (SELECT doc_id, ${shinglesSql("t")} AS shs FROM
+           |  (SELECT doc_id, $cleanToks AS t FROM
+           |    (SELECT doc_id, ${cleanSql("text")} AS c FROM exact))),
+           |sig AS (SELECT doc_id,
+           |  list_transform(range(0, 8), s ->
+           |    COALESCE(list_min(list_transform(shs, x -> md5(CAST(s AS VARCHAR) || ':' || x))), '~empty')) AS sig
+           |  FROM sh WHERE len(shs) > 0),
+           |banded AS (
+           |  SELECT doc_id, sig, CAST(b.i AS INTEGER) AS band,
+           |         md5(sig[CAST(b.i*2+1 AS INTEGER)] || '|' || sig[CAST(b.i*2+2 AS INTEGER)]) AS bkey
+           |  FROM sig CROSS JOIN range(0, 4) AS b(i)),
+           |losers AS (SELECT DISTINCT b.doc_id AS doc_id
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 8 >= 0.5),
+           |final AS (SELECT doc_id, n_chars FROM exact
+           |          WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+           |SELECT CASE WHEN ${md5Hex4Sql("CAST(doc_id AS VARCHAR)")} % 10 < 8
+           |            THEN 'train' ELSE 'eval' END AS split,
+           |       COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+           |FROM final GROUP BY split ORDER BY split""".stripMargin,
 
       "q70_media_features" ->
         """SELECT doc_id AS media_id, source AS kind,

@@ -113,6 +113,11 @@ object Text {
     * side — no all-pairs structure, so the shape holds at corpus scale.
     * Scores are floor-truncated to 4dp before ranking (Num.floorAt) so a
     * last-ulp ln() difference between engines cannot flip an ordering.
+    *
+    * Note: the df branch re-derives (id, term) counts from the scan (no
+    * CTE materialization in a one-shot plan — the broadcast and shuffle
+    * exchanges don't unify for reuse). A pipeline that runs TF-IDF
+    * repeatedly should persist or write out `tf` between stages.
     */
   def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
                 k: Int): DataFrame = {
