@@ -76,10 +76,17 @@ object SparkEntry {
     * (no hex→int builtin; decode via character position — same trick as the
     * q34 oracle). Shared by the SimHash and sign-LSH oracles.
     */
-  private def md5Hex4Sql(arg: String): String =
-    (0 until 4).map { i =>
-      s"(strpos('0123456789abcdef', substring(md5($arg), ${i + 1}, 1)) - 1) * ${1 << (4 * (3 - i))}"
+  private def md5Hex4Sql(arg: String): String = md5HexNSql(arg, 4)
+
+  /** DuckDB: first `n` md5 hex nibbles of `arg` as a BIGINT (n <= 15 so
+    * the value stays positive in a signed 64-bit int).
+    */
+  private def md5HexNSql(arg: String, n: Int): String = {
+    require(n >= 1 && n <= 15, s"need 1 <= n <= 15 nibbles, got $n")
+    (0 until n).map { i =>
+      s"(strpos('0123456789abcdef', substring(md5($arg), ${i + 1}, 1)) - 1) * ${1L << (4 * (n - 1 - i))}"
     }.mkString("(", " + ", ")")
+  }
 
   /** DuckDB expression mirroring Dedup.shingles(clean, w) over a token-list
     * expr.
@@ -448,6 +455,14 @@ object SparkEntry {
     // hamming filter (no all-pairs materialization).
     "q35_simhash_dups" -> ((s, dir) =>
       Dedup.simhashDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    // north star — 60-bit SimHash near-dup pairs: the corpus-scale variant
+    // of q35 (32768 LSH buckets per band instead of 16 — sub-quadratic
+    // pair fan-in on large corpora, same exact hamming<=3 recall).
+    "q55_simhash60_dups" -> ((s, dir) =>
+      Dedup.simhashDupPairs60(t(s, dir, "documents"), "doc_id", "text",
           maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
@@ -1010,6 +1025,26 @@ object SparkEntry {
            |  FROM hashed),
            |banded AS (SELECT doc_id AS id, sh, CAST(b.i AS INTEGER) AS band,
            |  (sh >> (CAST(b.i AS INTEGER) * 4)) & 15 AS nib
+           |  FROM sim CROSS JOIN range(0, 4) b(i)),
+           |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.nib = b.nib AND a.id < b.id)
+           |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q55_simhash60_dups" ->
+        s"""WITH tok AS (SELECT doc_id, $cleanToks AS t
+           |             FROM (SELECT doc_id, $clean AS c FROM documents)),
+           |hashed AS (SELECT doc_id,
+           |  list_transform(t, tk -> ${md5HexNSql("tk", 15)}) AS hs
+           |  FROM tok),
+           |sim AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
+           |  CASE WHEN COALESCE(list_sum(list_transform(hs, h -> ((h >> b) & 1) * 2 - 1)), 0) > 0
+           |       THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sh
+           |  FROM hashed),
+           |banded AS (SELECT doc_id AS id, sh, CAST(b.i AS INTEGER) AS band,
+           |  (sh >> (CAST(b.i AS INTEGER) * 15)) & 32767 AS nib
            |  FROM sim CROSS JOIN range(0, 4) b(i)),
            |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
            |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native single-pass implementations of the hash-sketch hot loops.
@@ -40,6 +40,18 @@ object HashUtil {
   def md5_16(bytes: Array[Byte]): Int = {
     val d = MessageDigest.getInstance("MD5").digest(bytes)
     ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+  }
+
+  /** First 60 bits of md5 (== first 15 hex nibbles) as a non-negative
+    * long — 60 rather than 64 keeps the value positive in both engines
+    * (DuckDB BIGINT is signed; a 64-bit value's top bit would flip sign).
+    */
+  def md5_60(bytes: Array[Byte]): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
   }
 }
 
@@ -132,4 +144,51 @@ case class SimHash16Expr(child: Expression)
       : Expression = copy(child = newChild)
 
   override def prettyName: String = "simhash16"
+}
+
+/** 60-bit SimHash over a token array — the corpus-scale variant: 4 bands
+  * of 15 bits give 32768 LSH buckets per band (vs 16 for the 16-bit
+  * signature), which is what keeps the banded pair join sub-quadratic on
+  * large corpora. Same algorithm as [[SimHash16Expr]] over md5_60.
+  */
+case class SimHash60Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash60 requires array<string>, got $t")
+  }
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val planes = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = HashUtil.md5_60(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 60) {
+          planes(b) += (((h >> b) & 1L).toInt * 2) - 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (planes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+
+  override def prettyName: String = "simhash60"
 }

@@ -199,6 +199,38 @@ object Dedup {
   def simhash16Native(toks: Column): Column =
     Bridge.column(graft.functions.SimHash16Expr(Bridge.expression(toks)))
 
+  /** 60-bit SimHash (corpus-scale signature; see [[simhashDupPairs60]]). */
+  def simhash60Native(toks: Column): Column =
+    Bridge.column(graft.functions.SimHash60Expr(Bridge.expression(toks)))
+
+  /** 60-bit SimHash near-dup pairs — the CORPUS-SCALE variant of
+    * [[simhashDupPairs]]: 4 bands of 15 bits give 32768 buckets per band,
+    * so expected bucket size (and the pair join's fan-in) is n/32768
+    * instead of n/16. Recall for hamming <= 3 is still exact by pigeonhole
+    * (3 flipped bits cannot touch all 4 bands).
+    */
+  def simhashDupPairs60(df: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val sigs = df
+      .select(col(idCol).as("id"), Text.cleanText(col(textCol)).as("c"))
+      .withColumn("t", Text.tokens(col("c")))
+      .select(col("id"), simhash60Native(col("t")).as("sh"))
+    val banded = sigs.select(col("id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), 15 * b).bitwiseAND(32767).as("nib"))): _*))
+        .as("bn"))
+      .select(col("id"), col("sh"),
+        col("bn.band").as("band"), col("bn.nib").as("nib"))
+    banded.as("a").hint("shuffle_hash").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** SimHash near-duplicate pairs: docs whose 16-bit SimHash signatures
     * differ in at most `maxHamming` bits. Candidate generation is the
     * standard signature-banding trick (4 nibble bands — two signatures

@@ -31,6 +31,25 @@ class Round2OpsSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("simhashDupPairs60 equals brute-force hamming<=3 over 60-bit sigs") {
+    val docs = (0 until 30).map { i =>
+      (i.toLong, s"shared words alpha beta gamma delta token$i extra${i % 5}")
+    }.toDF("doc_id", "text")
+    val got = Dedup.simhashDupPairs60(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val sigs = docs
+      .select(col("doc_id"), Text.cleanText(col("text")).as("c"))
+      .withColumn("t", Text.tokens(col("c")))
+      .select(col("doc_id"), Dedup.simhash60Native(col("t")).as("sh"))
+    val brute = sigs.as("a").crossJoin(sigs.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("h"))
+      .where(col("h") <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === brute)
+  }
+
   test("simhashDupPairs: exact duplicates pair at hamming 0") {
     val docs = Seq(
       (1L, "identical content about spark engines and data"),
