@@ -594,6 +594,17 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // north star — as-of join with staleness tolerance (feature join with
+    // a max-lookback bound: stale features become NULL, never silently
+    // used).
+    "q79_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      EventsOps.asOfJoinTolerance(
+          ev.where(col("event_type") === "purchase"),
+          ev.where(col("event_type") === "click"), tolSeconds = 900)
+        .orderBy("user_id", "event_id")
+    }),
+
     // north star — JSON property extraction.
     "q64_json_extract" -> ((s, dir) =>
       t(s, dir, "events")
@@ -1249,6 +1260,25 @@ object SparkEntry {
            |  FROM u)
            |SELECT user_id, event_id, es, matched_event_id FROM m
            |WHERE is_left = 1 ORDER BY user_id, event_id""".stripMargin,
+
+      "q79_asof_tolerance" ->
+        s"""WITH l AS (SELECT user_id, event_id, ${epochSql("ts")} AS es,
+           |                  1 AS is_left
+           |           FROM events WHERE event_type = 'purchase'),
+           |r AS (SELECT user_id, event_id, ${epochSql("ts")} AS es,
+           |             0 AS is_left
+           |      FROM events WHERE event_type = 'click'),
+           |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+           |m AS (SELECT *,
+           |  last_value(CASE WHEN is_left = 0
+           |                  THEN struct_pack(r_es := es, r_id := event_id)
+           |             END IGNORE NULLS) OVER (PARTITION BY user_id
+           |    ORDER BY es, is_left, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mm
+           |  FROM u)
+           |SELECT user_id, event_id, es,
+           |  CASE WHEN es - mm.r_es <= 900 THEN mm.r_id END AS matched_event_id
+           |FROM m WHERE is_left = 1 ORDER BY user_id, event_id""".stripMargin,
 
       "q64_json_extract" ->
         """SELECT event_id,

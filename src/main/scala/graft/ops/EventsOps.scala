@@ -142,4 +142,32 @@ object EventsOps {
       .select(col("user_id"), col("event_id"), col("es"),
         col("matched_event_id"))
   }
+
+  /** As-of join with a staleness tolerance: like [[asOfJoin]] but a match
+    * only counts if the right event is at most `tolSeconds` old at the
+    * left event's time — the feature-join-with-max-lookback shape a
+    * training pipeline needs (a feature older than the bound is treated
+    * as missing, not silently used). Same single user_id shuffle; the
+    * window carries (es, id) of the last right row so the tolerance check
+    * is a post-window projection.
+    */
+  def asOfJoinTolerance(left: DataFrame, right: DataFrame,
+                        tolSeconds: Long): DataFrame = {
+    val l = left.select(col("user_id"), col("event_id"),
+      unix_timestamp(col("ts")).as("es"), lit(1).as("is_left"))
+    val r = right.select(col("user_id"), col("event_id"),
+      unix_timestamp(col("ts")).as("es"), lit(0).as("is_left"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("es").asc, col("is_left").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(r)
+      .withColumn("m", last(
+        when(col("is_left") === 0,
+          struct(col("es").as("r_es"), col("event_id").as("r_id"))),
+        ignoreNulls = true).over(w))
+      .where(col("is_left") === 1)
+      .select(col("user_id"), col("event_id"), col("es"),
+        when(col("es") - col("m.r_es") <= tolSeconds, col("m.r_id"))
+          .as("matched_event_id"))
+  }
 }

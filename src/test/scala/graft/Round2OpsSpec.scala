@@ -124,6 +124,18 @@ class Round2OpsSpec extends SparkSpec {
     assert(probed.count() > 0)
   }
 
+  test("asOfJoinTolerance: a match older than the bound becomes null") {
+    def ev(rows: (Long, Long, Long)*) =
+      rows.toSeq.toDF("user_id", "event_id", "epoch")
+        .withColumn("ts", timestamp_seconds(col("epoch")))
+    val left = ev((1L, 100L, 1000L), (1L, 101L, 2000L))
+    val right = ev((1L, 50L, 100L))   // 900s before left 100, 1900s before 101
+    val got = EventsOps.asOfJoinTolerance(left, right, tolSeconds = 900)
+      .select("event_id", "matched_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got === Map(100L -> Some(50L), 101L -> None))
+  }
+
   test("tfIdfTopK: a doc-unique term outranks corpus-wide terms") {
     // distinct terms must differ in LETTERS: cleanText strips digits, so
     // "unique1"/"unique2" would collapse into one corpus-wide term
