@@ -200,6 +200,19 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // op 3 variant — ORC sink + source round-trip (columnar alternative;
+    // same declared-schema discipline as parquet/CSV/JSON).
+    "q45_orc_roundtrip" -> ((s, dir) => {
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft-q45-${ProcessHandle.current().pid}"
+      t(s, dir, "documents").write.mode("overwrite").orc(path)
+      s.read.schema(Tables.documents).orc(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("n_chars")) / count(lit(1))).as("avg_chars"))
+        .orderBy("lang")
+    }),
+
     // op 7: deterministic keep-first dedup.
     "q07_dedup_keepfirst" -> ((s, dir) =>
       Dedup.keepFirst(t(s, dir, "documents"), Seq("source"),
@@ -793,6 +806,11 @@ object SparkEntry {
 
       "q44_jsonl_roundtrip" ->
         """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q45_orc_roundtrip" ->
+        """SELECT lang, COUNT(*) AS n,
+          | SUM(n_chars) / COUNT(*) AS avg_chars
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
       "q07_dedup_keepfirst" ->

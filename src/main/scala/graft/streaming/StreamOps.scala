@@ -102,6 +102,31 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream inner join with watermarks: left events joined to the
+    * right events of the same user within the PRECEDING `windowSeconds`.
+    * Both sides carry watermarks and the join condition bounds event-time
+    * distance, so Spark can expire join state — the required shape for an
+    * unbounded stream-stream join (an unbounded-condition join would hold
+    * both streams in state forever).
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       windowSeconds: Long, watermark: String = "1 hour")
+      : DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("l_id"),
+        col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+    l.join(r,
+        col("user_id") === col("r_user") &&
+          col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowSeconds SECOND") &&
+          col("r_ts") <= col("l_ts"))
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        unix_timestamp(col("l_ts")).as("l_es"),
+        unix_timestamp(col("r_ts")).as("r_es"))
+  }
+
   /** Streaming exact dedup — the streaming twin of graft.ops.Dedup.exact:
     * duplicates of a key arriving within the watermark delay of its first
     * occurrence are dropped, and key state older than the watermark is

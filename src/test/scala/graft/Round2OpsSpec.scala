@@ -124,6 +124,19 @@ class Round2OpsSpec extends SparkSpec {
     assert(probed.count() > 0)
   }
 
+  test("md5 hash split: deterministic, disjoint, and near the 80/20 target") {
+    val q = SparkEntry.queries("q74_hash_split")
+    val dir = "/root/testdata/sf0.01"
+    val a = q(spark, dir).collect().map(_.toSeq).toSeq
+    val b = q(spark, dir).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    val bySplit = q(spark, dir).groupBy("split")
+      .agg(sum("n").as("n")).as[(String, Long)].collect().toMap
+    val frac = bySplit("train").toDouble /
+      (bySplit("train") + bySplit("eval"))
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+  }
+
   test("asOfJoinTolerance: a match older than the bound becomes null") {
     def ev(rows: (Long, Long, Long)*) =
       rows.toSeq.toDF("user_id", "event_id", "epoch")

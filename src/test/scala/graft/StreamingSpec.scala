@@ -85,6 +85,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream windowed join == the same join run in batch") {
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001"
+    val stage = Files.createTempDirectory("graft-ssj").toFile
+    try {
+      Files.copy(new java.io.File(s"$src/events.parquet").toPath,
+        new java.io.File(stage, "events.parquet").toPath)
+      def purchases(df: org.apache.spark.sql.DataFrame) =
+        df.where(col("event_type") === "purchase")
+      def clicks(df: org.apache.spark.sql.DataFrame) =
+        df.where(col("event_type") === "click")
+
+      val in = StreamOps.eventsStream(spark, stage.getAbsolutePath)
+      val q = StreamOps.streamStreamJoin(purchases(in), clicks(in), 3600)
+        .writeStream.format("memory").queryName("ssj")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = spark.table("ssj")
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+
+      val batchIn = Tables.load(spark, src, "events")
+      val batch = StreamOps.streamStreamJoin(
+          purchases(batchIn), clicks(batchIn), 3600)
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally {
+      stage.listFiles().foreach(_.delete()); stage.delete()
+    }
+  }
+
   test("streaming windowedCounts == batch tumblingCounts on events sf0.001") {
     val src = "/root/testdata/sf0.001"
     val stage = Files.createTempDirectory("graft-stream").toFile
