@@ -374,10 +374,12 @@ object SparkEntry {
     }),
 
     // §2.5 gap — deterministic array aggregation (sorted collect_set).
+    // Surfaced as a joined string: the driver's comparator is pandas-based
+    // and cannot sort/hash raw array cells (round-2 q69 comparator crash).
     "q69_collect_agg" -> ((s, dir) =>
       t(s, dir, "documents")
         .groupBy("source")
-        .agg(sort_array(collect_set(col("lang"))).as("langs"),
+        .agg(array_join(sort_array(collect_set(col("lang"))), ",").as("langs"),
           count(lit(1)).as("n"))
         .orderBy("source")),
 
@@ -890,7 +892,7 @@ object SparkEntry {
            |scored AS (SELECT doc_id, text, ${Sentiment.scoreSqlInline("c")} AS sentiment FROM cleaned),
            |labeled AS (SELECT doc_id, text, $labelCase AS label FROM scored)
            |SELECT COUNT(*) AS n_docs,
-           | SUM(CAST(COALESCE(regexp_matches(text, '(?i)spark|stream'), FALSE) AS BIGINT)) AS n_flagged,
+           | CAST(SUM(CAST(COALESCE(regexp_matches(text, '(?i)spark|stream'), FALSE) AS BIGINT)) AS BIGINT) AS n_flagged,
            | floor((10000.0 * SUM(CASE WHEN label = 'neutral' THEN 1 ELSE 0 END)) / COUNT(*)) / 100 AS pct_neutral
            |FROM labeled""".stripMargin,
 
@@ -948,7 +950,9 @@ object SparkEntry {
           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q69_collect_agg" ->
-        """SELECT source, list_sort(list(DISTINCT lang)) AS langs, COUNT(*) AS n
+        """SELECT source,
+          | array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs,
+          | COUNT(*) AS n
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
       "q26_rollup" ->
@@ -1369,7 +1373,7 @@ object SparkEntry {
 
       "q77_profile" ->
         s"""SELECT COUNT(*) AS n_rows,
-           | SUM(CAST(o_custkey IS NULL AS BIGINT)) AS null_custkey,
+           | CAST(SUM(CAST(o_custkey IS NULL AS BIGINT)) AS BIGINT) AS null_custkey,
            | COUNT(DISTINCT o_orderstatus) AS n_statuses,
            | MIN(o_totalprice) AS min_price,
            | MAX(o_totalprice) AS max_price,

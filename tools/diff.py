@@ -26,12 +26,16 @@ def norm_cell(v):
     return repr(v)
 
 
-def table_key(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(norm_cell(r[i]) for i in order))
-    return sorted(out)
+def table_key(rel):
+    # Mirror the driver: go through pandas (so DuckDB HUGEINT -> float64 and
+    # unhashable array cells surface locally exactly as they do in the gate),
+    # sort columns by name, then compare normalized cell values.
+    df = rel.df()
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns))  # raises on unhashable cells
+    return sorted(
+        tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False)
+    ), list(df.columns), len(df)
 
 
 def main():
@@ -44,38 +48,32 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            spark_rel = con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            s_cols = list(spark_rel.columns)
-            s_rows = spark_rel.fetchall()
+            sk, s_cols, s_n = table_key(
+                con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
         except Exception as e:
-            print(f"FAIL {name}: spark output unreadable: {e}")
+            print(f"FAIL {name}: spark output unreadable/uncomparable: {e}")
             n_fail += 1
             continue
         try:
-            duck_rel = con.sql(sql)
-            d_cols = list(duck_rel.columns)
-            d_rows = duck_rel.fetchall()
+            dk, d_cols, d_n = table_key(con.sql(sql))
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
+            print(f"FAIL {name}: oracle SQL error/uncomparable: {e}")
             n_fail += 1
             continue
-        if sorted(s_cols) != sorted(d_cols):
-            print(f"FAIL {name}: columns spark={sorted(s_cols)} "
-                  f"duck={sorted(d_cols)}")
+        if s_cols != d_cols:
+            print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}")
             n_fail += 1
             continue
-        if len(s_rows) != len(d_rows):
-            print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
+        if s_n != d_n:
+            print(f"FAIL {name}: rows spark={s_n} duck={d_n}")
             n_fail += 1
             continue
-        sk, dk = table_key(s_rows, s_cols), table_key(d_rows, d_cols)
         if sk != dk:
             bad = [(a, b) for a, b in zip(sk, dk) if a != b][:3]
             print(f"FAIL {name}: value mismatch, first diffs: {bad}")
             n_fail += 1
             continue
-        print(f"PASS {name} ({len(s_rows)} rows)")
+        print(f"PASS {name} ({s_n} rows)")
         n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
