@@ -758,7 +758,117 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("width"), col("height"),
           md5(col("payload")).as("payload_md5"))
         .orderBy("media_id")
-    })
+    }),
+
+    // §2.5 gap — lateral explode with position (LATERAL VIEW / UNNEST WITH
+    // ORDINALITY shape): first 3 tokens of each document, flattened.
+    "q80_posexplode_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("t", Text.tokens(col("text")))
+        .select(col("doc_id"), posexplode(slice(col("t"), 1, 3)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("tok"))
+        .orderBy("doc_id", "pos")),
+
+    // §2.5 gap — correlated EXISTS / NOT EXISTS subqueries (Catalyst
+    // decorrelates both into one semi and one anti hash join).
+    "q81_exists_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("v81_customer")
+      t(s, dir, "orders").createOrReplaceTempView("v81_orders")
+      s.sql("""
+        SELECT c_custkey, c_name FROM v81_customer c
+        WHERE EXISTS (SELECT 1 FROM v81_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+          AND NOT EXISTS (SELECT 1 FROM v81_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'P')
+        ORDER BY c_custkey""")
+    }),
+
+    // §2.5 gap — uncorrelated scalar subquery (planned as a one-row
+    // subquery broadcast into the filter; threshold is 0.5 * MAX, which is
+    // exact in binary floating point, so the comparison is stable
+    // cross-engine).
+    "q82_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("v82_orders")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice FROM v82_orders
+        WHERE o_totalprice > 0.5 * (SELECT MAX(o_totalprice) FROM v82_orders)
+        ORDER BY o_orderkey""")
+    }),
+
+    // §2.5 gap — time-RANGE window frame (value-bounded, not row-bounded):
+    // trailing 10-minute per-user moving sum.
+    "q83_range_frame" -> ((s, dir) =>
+      EventsOps.rangeMovingSum(t(s, dir, "events"), 600)
+        .orderBy("user_id", "event_id")),
+
+    // §2.5 gap — lead/lag inter-event features (dwell time, previous
+    // action) over one per-user window sort.
+    "q84_lead_lag_gaps" -> ((s, dir) =>
+      EventsOps.eventGaps(t(s, dir, "events"))
+        .orderBy("user_id", "event_id")),
+
+    // §2.5 gap — first_value/last_value over an unbounded frame, collapsed
+    // to a per-user journey summary.
+    "q85_first_last" -> ((s, dir) =>
+      EventsOps.firstLast(t(s, dir, "events")).orderBy("user_id")),
+
+    // §2.5 gap — union-by-name with missing columns (schema-evolution
+    // append: the open-orders branch lacks o_totalprice → null-filled).
+    "q86_union_by_name" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val fin = o.where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          lit("fin").as("src"))
+      val open = o.where(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), lit("open").as("src"))
+      fin.unionByName(open, allowMissingColumns = true)
+        .orderBy("o_orderkey", "src")
+    }),
+
+    // §2.5 gap — MapType aggregate: per-user event_type→count map,
+    // surfaced as canonical JSON for the comparator.
+    "q87_map_counts" -> ((s, dir) =>
+      Agg.mapCounts(t(s, dir, "events"), "user_id", "event_type")
+        .orderBy("user_id")),
+
+    // data management — SCD type-2 dimension history: versioned
+    // [valid_from, valid_to) rows per run of equal user state.
+    "q88_scd2_intervals" -> ((s, dir) =>
+      EventsOps.scd2Intervals(t(s, dir, "events"))
+        .orderBy("user_id", "run_id")),
+
+    // data management — referential-integrity audit via broadcast anti
+    // joins reduced to orphan counts (the pre-load FK gate).
+    "q89_integrity_orphans" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      Star.orphanCount(orders, "o_custkey",
+          t(s, dir, "customer"), "c_custkey", "orphan_orders")
+        .crossJoin(Star.orphanCount(t(s, dir, "lineitem"), "l_orderkey",
+          orders, "o_orderkey", "orphan_lineitems"))
+    }),
+
+    // sketch surface — HLL++ distinct + KLL-style quantile per group. No
+    // oracleSql on purpose: approx answers are estimator-specific, so the
+    // driver records the weaker rows-only check (SketchSpec pins the
+    // estimates against exact values within rsd bounds).
+    "q90_approx_profile" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000))
+            .as("p50_value"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // data management — deterministic stratified sample (20 docs per lang
+    // by md5 rank; reproducible, unlike seed-dependent sampleBy).
+    "q91_stratified_sample" -> ((s, dir) =>
+      Agg.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id", 20)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id"))
   )
 
   // ---- oracle SQL (DuckDB) ----------------------------------------------
@@ -1441,7 +1551,125 @@ object SparkEntry {
         """SELECT doc_id AS media_id, source AS kind,
           | CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
           | md5(substring(repeat(text, CAST(64 // strlen(text) + 1 AS INTEGER)), 1, 64)) AS payload_md5
-          |FROM documents WHERE strlen(text) > 0 ORDER BY media_id""".stripMargin
+          |FROM documents WHERE strlen(text) > 0 ORDER BY media_id""".stripMargin,
+
+      "q80_posexplode_tokens" ->
+        s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t
+           |              FROM documents),
+           |p AS (SELECT doc_id, t,
+           |        unnest(range(0, least(len(t), 3))) AS pos FROM toks)
+           |SELECT doc_id, pos, t[pos + 1] AS tok FROM p
+           |ORDER BY doc_id, pos""".stripMargin,
+
+      "q81_exists_subquery" ->
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_orderstatus = 'F')
+          |  AND NOT EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_orderstatus = 'P')
+          |ORDER BY c_custkey""".stripMargin,
+
+      "q82_scalar_subquery" ->
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_totalprice > 0.5 * (SELECT MAX(o_totalprice) FROM orders)
+          |ORDER BY o_orderkey""".stripMargin,
+
+      "q83_range_frame" ->
+        s"""WITH e AS (SELECT user_id, event_id, ${epochSql("ts")} AS es,
+           |             value FROM events)
+           |SELECT user_id, event_id, es,
+           | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mv_sum,
+           | COUNT(*) OVER w AS n_frame
+           |FROM e
+           |WINDOW w AS (PARTITION BY user_id ORDER BY es
+           |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+           |ORDER BY user_id, event_id""".stripMargin,
+
+      "q84_lead_lag_gaps" ->
+        s"""WITH e AS (SELECT user_id, event_id, ${epochSql("ts")} AS es,
+           |             event_type FROM events)
+           |SELECT user_id, event_id, es, event_type,
+           | es - lag(es) OVER w AS gap_s,
+           | lag(event_type) OVER w AS prev_type
+           |FROM e
+           |WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+           |ORDER BY user_id, event_id""".stripMargin,
+
+      "q85_first_last" ->
+        s"""WITH e AS (SELECT user_id, event_id, ${epochSql("ts")} AS es,
+           |             event_type FROM events),
+           |f AS (SELECT user_id,
+           |  first_value(event_type) OVER w AS first_type,
+           |  last_value(event_type) OVER (PARTITION BY user_id
+           |    ORDER BY es, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+           |    AND UNBOUNDED FOLLOWING) AS last_type,
+           |  COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+           |  row_number() OVER w AS rn
+           | FROM e
+           | WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id))
+           |SELECT user_id, first_type, last_type, n_events FROM f
+           |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+      "q86_union_by_name" ->
+        """SELECT * FROM (
+          |  SELECT o_orderkey, o_totalprice, 'fin' AS src FROM orders
+          |  WHERE o_orderstatus = 'F'
+          |  UNION ALL BY NAME
+          |  SELECT o_orderkey, 'open' AS src FROM orders
+          |  WHERE o_orderstatus = 'O')
+          |ORDER BY o_orderkey, src""".stripMargin,
+
+      "q87_map_counts" ->
+        """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+          |           FROM events GROUP BY 1, 2)
+          |SELECT user_id,
+          | '{' || string_agg('"' || event_type || '":' || n, ','
+          |                   ORDER BY event_type) || '}' AS counts_json
+          |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q88_scd2_intervals" ->
+        s"""WITH e AS (SELECT user_id, event_id, ${epochSql("ts")} AS es,
+           |             event_type FROM events),
+           |m AS (SELECT user_id, event_id, es, event_type,
+           |  CASE WHEN lag(event_type) OVER w IS NULL
+           |         OR lag(event_type) OVER w <> event_type
+           |       THEN 1 ELSE 0 END AS new_run
+           | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+           |r AS (SELECT user_id, es, event_type,
+           |  CAST(SUM(new_run) OVER (PARTITION BY user_id
+           |    ORDER BY es, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+           |    AND CURRENT ROW) AS BIGINT) AS run_id FROM m),
+           |g AS (SELECT user_id, run_id, min(event_type) AS event_type,
+           |        min(es) AS valid_from, COUNT(*) AS n_events
+           |      FROM r GROUP BY 1, 2)
+           |SELECT user_id, run_id, event_type, valid_from,
+           | lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+           |   AS valid_to,
+           | n_events
+           |FROM g ORDER BY user_id, run_id""".stripMargin,
+
+      "q89_integrity_orphans" ->
+        """SELECT
+          | (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+          |   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+          |   AS orphan_orders,
+          | (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+          |   (SELECT 1 FROM orders o2 WHERE o2.o_orderkey = l.l_orderkey))
+          |   AS orphan_lineitems""".stripMargin,
+
+      // q90_approx_profile: intentionally no oracle — approx sketches are
+      // estimator-specific; the driver records a rows-only check and
+      // SketchSpec pins the estimates against exact counts.
+
+      "q91_stratified_sample" ->
+        """SELECT doc_id, lang, source FROM (
+          |  SELECT doc_id, lang, source,
+          |    row_number() OVER (PARTITION BY lang
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+          |  FROM documents)
+          |WHERE rn <= 20 ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -37,4 +37,32 @@ object Agg {
     val w = Window.partitionBy(partKeys.map(col): _*).orderBy(order: _*)
     df.withColumn("rk", row_number().over(w)).where(col("rk") <= n)
   }
+
+  /** Per-key MapType aggregate: counts of `valKey` per `rowKey`, built as
+    * a real `map<string,long>` column (sorted entries → deterministic
+    * iteration order) and surfaced as its canonical JSON rendering so the
+    * oracle/driver can compare it as a string. Two-level hash agg: the
+    * inner (rowKey, valKey) count shrinks the data before the per-rowKey
+    * collect, so the collected lists are bounded by the value-domain
+    * cardinality, never the row count.
+    */
+  def mapCounts(df: DataFrame, rowKey: String, valKey: String): DataFrame =
+    df.groupBy(col(rowKey), col(valKey)).agg(count(lit(1)).as("n"))
+      .groupBy(col(rowKey))
+      .agg(to_json(map_from_entries(array_sort(
+        collect_list(struct(col(valKey), col("n"))))))
+        .as("counts_json"))
+
+  /** Deterministic stratified sample: the `n` smallest md5-ranked rows per
+    * stratum — reproducible across runs/engines (vs `sampleBy`, which is
+    * seed- and partitioning-dependent), uniform within each stratum
+    * because md5 is uniform on the id. Single shuffle on the stratum key.
+    */
+  def stratifiedSample(df: DataFrame, stratum: String, idCol: String,
+                       n: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("rn", row_number().over(w)).where(col("rn") <= n)
+      .drop("rn")
+  }
 }

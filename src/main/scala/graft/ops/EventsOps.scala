@@ -103,6 +103,92 @@ object EventsOps {
         unix_timestamp(col("session_window.end")).as("session_end"),
         col("n_events"))
 
+  /** Time-RANGE moving aggregate: per user, sum/count of events within the
+    * trailing `windowSeconds` of each event (frame bounded by the ORDER BY
+    * VALUE, not row offsets — Spark's RANGE BETWEEN over an epoch-seconds
+    * long). Peer rows (equal es) share one frame, so the result is
+    * deterministic without an event_id tie-break in the frame sort. One
+    * shuffle on user_id; the sum runs in DECIMAL(18,2) for cross-engine
+    * exactness.
+    */
+  def rangeMovingSum(events: DataFrame, windowSeconds: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("es"))
+      .rangeBetween(-windowSeconds, 0)
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"), col("value"))
+      .withColumn("mv_sum",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .withColumn("n_frame", count(lit(1)).over(w))
+      .select("user_id", "event_id", "es", "mv_sum", "n_frame")
+  }
+
+  /** Inter-event gap per user: `es - lag(es)` over (es, event_id) order —
+    * the dwell-time / inactivity feature. Null gap on each user's first
+    * event.
+    */
+  def eventGaps(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("es").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"), col("event_type"))
+      .withColumn("gap_s", col("es") - lag(col("es"), 1).over(w))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+  }
+
+  /** Per-user first/last event summary via first_value/last_value over an
+    * unbounded frame (ordered by es with event_id tie-break), collapsed to
+    * one row per user.
+    */
+  def firstLast(events: DataFrame): DataFrame = {
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("es").asc, col("event_id").asc)
+    val full = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"), col("event_type"))
+      .withColumn("first_type", first(col("event_type")).over(full))
+      .withColumn("last_type", last(col("event_type")).over(full))
+      .withColumn("n_events", count(lit(1)).over(full))
+      .withColumn("rn", row_number().over(ord))
+      .where(col("rn") === 1)
+      .select("user_id", "first_type", "last_type", "n_events")
+  }
+
+  /** SCD type-2 interval build: collapse each user's event stream into
+    * runs of consecutive equal `event_type` (gaps-and-islands), emitting
+    * one versioned row per run with [valid_from, valid_to) epoch-second
+    * bounds — valid_to is the next run's start, null on the open run.
+    * This is the slowly-changing-dimension history a warehouse keeps for
+    * late-arriving joins; one shuffle on user_id, all windows share the
+    * (es, event_id) sort.
+    */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("es").asc, col("event_id").asc)
+    val runs = events
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"), col("event_type"))
+      .withColumn("new_run",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1)
+          .otherwise(0))
+      .withColumn("run_id", sum(col("new_run"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("run_id"))
+      // all rows in a run share event_type; min() is order-insensitive
+      // where first() under shuffle would not be
+      .agg(min(col("event_type")).as("event_type"),
+        min(col("es")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val byRun = Window.partitionBy("user_id").orderBy(col("run_id"))
+    runs.withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
+      .select("user_id", "run_id", "event_type", "valid_from", "valid_to",
+        "n_events")
+  }
+
   /** JSON property extraction — regex-based so the oracle needs no JSON
     * extension; `props` is flat `{"k": <int>}` in the fixture.
     */

@@ -70,4 +70,18 @@ object Star {
                    keys: Seq[String]): DataFrame =
     incoming.join(existing.select(keys.map(col): _*).distinct(),
       keys, "left_anti")
+
+  /** Referential-integrity audit: count of `fact` rows whose `factKey` has
+    * no match in `dim.dimKey` — a left anti join against the (broadcast)
+    * distinct dim keys, reduced to one number. The pre-load FK check a
+    * warehouse runs before accepting a batch; at 100 TB the anti join's
+    * build side is only the distinct dim keys, so it stays a broadcast
+    * hash join with zero fact-side shuffle.
+    */
+  def orphanCount(fact: DataFrame, factKey: String,
+                  dim: DataFrame, dimKey: String, as: String): DataFrame =
+    fact.join(
+        broadcast(dim.select(col(dimKey).as(factKey)).distinct()),
+        Seq(factKey), "left_anti")
+      .agg(count(lit(1)).as(as))
 }

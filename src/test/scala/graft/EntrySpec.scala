@@ -15,9 +15,10 @@ class EntrySpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
-    // every query carries an oracle (q43's md5-derived hyperplanes made
-    // even the sign-LSH path SQL-replayable in round 2)
-    assert((qs -- os) === Set.empty, (qs -- os).toString)
+    // every query carries an oracle except the approx-sketch profile,
+    // whose estimates are estimator-specific by design (the driver records
+    // a rows-only check; SketchSpec bounds the estimates against exact)
+    assert((qs -- os) === Set("q90_approx_profile"), (qs -- os).toString)
   }
 
   test("query names are well-formed and oracle SQL non-empty") {

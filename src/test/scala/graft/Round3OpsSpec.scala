@@ -1,0 +1,146 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Agg, EventsOps, Star}
+
+/** Round-3 operators: RANGE frames, lead/lag gaps, first/last, SCD2
+  * intervals, map aggregates, orphan audits, stratified sampling.
+  */
+class Round3OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, Long, String, Double)*): DataFrame =
+    rows.toDF("event_id", "user_id", "es0", "event_type", "value")
+      .select(col("event_id"), col("user_id"),
+        timestamp_seconds(col("es0")).as("ts"), col("event_type"),
+        col("value"))
+
+  test("rangeMovingSum frame is value-bounded: only events within the " +
+    "trailing window count, and equal-es peers share a frame") {
+    val events = ev(
+      (1L, 7L, 1000L, "a", 1.0),
+      (2L, 7L, 1500L, "a", 2.0),   // 500s after e1  -> frame {e1,e2}
+      (3L, 7L, 1601L, "a", 4.0),   // 601s after e1  -> frame {e2,e3}
+      (4L, 7L, 1601L, "a", 8.0),   // peer of e3     -> same frame + e4
+      (5L, 9L, 1000L, "a", 16.0))  // other user
+    val got = EventsOps.rangeMovingSum(events, 600)
+      .orderBy("event_id")
+      .select("event_id", "mv_sum", "n_frame")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1.0, 1L), (2L, 3.0, 2L),
+      (3L, 14.0, 3L), (4L, 14.0, 3L),  // peers: identical frame
+      (5L, 16.0, 1L)))
+  }
+
+  test("eventGaps: null on each user's first event, event_id breaks ties") {
+    val events = ev(
+      (1L, 7L, 1000L, "a", 0.0),
+      (2L, 7L, 1250L, "b", 0.0),
+      (3L, 7L, 1250L, "c", 0.0),  // same es as e2: e2 first by event_id
+      (4L, 9L, 5000L, "d", 0.0))
+    val got = EventsOps.eventGaps(events).orderBy("event_id")
+      .select("event_id", "gap_s", "prev_type")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    assert(got.toSeq === Seq(
+      (1L, None, None),
+      (2L, Some(250L), Some("a")),
+      (3L, Some(0L), Some("b")),
+      (4L, None, None)))
+  }
+
+  test("firstLast collapses to one row per user with ordered endpoints") {
+    val events = ev(
+      (2L, 7L, 1000L, "signup", 0.0),
+      (1L, 7L, 2000L, "purchase", 0.0),  // later despite smaller id
+      (3L, 7L, 1500L, "browse", 0.0),
+      (4L, 9L, 100L, "error", 0.0))
+    val got = EventsOps.firstLast(events).orderBy("user_id")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (7L, "signup", "purchase", 3L),
+      (9L, "error", "error", 1L)))
+  }
+
+  test("scd2Intervals builds versioned runs with [from, to) chaining") {
+    val events = ev(
+      (1L, 7L, 1000L, "trial", 0.0),
+      (2L, 7L, 1100L, "trial", 0.0),
+      (3L, 7L, 1200L, "paid", 0.0),
+      (4L, 7L, 1300L, "trial", 0.0),  // back to trial: NEW run, not merged
+      (5L, 9L, 50L, "free", 0.0))
+    val got = EventsOps.scd2Intervals(events).orderBy("user_id", "run_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), Option(r.get(4)), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (7L, 1L, "trial", 1000L, Some(1200L), 2L),
+      (7L, 2L, "paid", 1200L, Some(1300L), 1L),
+      (7L, 3L, "trial", 1300L, None, 1L),
+      (9L, 1L, "free", 50L, None, 1L)))
+  }
+
+  test("scd2 valid_to of each closed run equals next run's valid_from " +
+    "(intervals tile the user's timeline)") {
+    val events = ev((1 to 40).map { i =>
+      (i.toLong, (i % 3).toLong, i * 100L, s"t${i % 4}", 0.0)
+    }: _*)
+    val scd = EventsOps.scd2Intervals(events).cache()
+    val broken = scd.as("a").join(scd.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.run_id") + 1 === col("b.run_id") &&
+          col("a.valid_to") =!= col("b.valid_from"))
+      .count()
+    assert(broken === 0)
+    val openPerUser = scd.where(col("valid_to").isNull)
+      .groupBy("user_id").count().where(col("count") =!= 1).count()
+    assert(openPerUser === 0)  // exactly one open version per user
+  }
+
+  test("mapCounts emits canonical sorted-key JSON of a real map column") {
+    val events = ev(
+      (1L, 7L, 1L, "b", 0.0), (2L, 7L, 2L, "a", 0.0),
+      (3L, 7L, 3L, "b", 0.0), (4L, 9L, 4L, "z", 0.0))
+    val rows = Agg.mapCounts(events, "user_id", "event_type")
+      .orderBy("user_id").as[(Long, String)].collect().toSeq
+    assert(rows === Seq(
+      (7L, """{"a":1,"b":2}"""),
+      (9L, """{"z":1}""")))
+  }
+
+  test("orphanCount: null and missing FKs are orphans, matches are not") {
+    val fact = Seq((1L, Some(10L)), (2L, Some(99L)), (3L, None))
+      .toDF("k", "fk")
+      .select(col("k"), col("fk").as("dk"))
+    val dim = Seq(10L, 11L).toDF("dk")
+    val got = Star.orphanCount(fact, "dk", dim, "dk", "orphans")
+      .as[Long].head()
+    assert(got === 2L)  // fk=99 and fk=null
+  }
+
+  test("stratifiedSample takes exactly min(n, stratum size) per stratum " +
+    "and is stable across runs") {
+    val docs = (1 to 50).map(i => (i.toLong, if (i <= 40) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val s1 = Agg.stratifiedSample(docs, "lang", "doc_id", 15)
+    val counts = s1.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts === Map("en" -> 15L, "zh" -> 10L))
+    val s2 = Agg.stratifiedSample(docs, "lang", "doc_id", 15)
+    assert(s1.orderBy("doc_id").collect().toSeq ===
+      s2.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("unionByName(allowMissing) null-fills the absent column") {
+    val a = Seq((1L, 5.0)).toDF("k", "price")
+      .withColumn("src", lit("fin"))
+    val b = Seq(2L).toDF("k").withColumn("src", lit("open"))
+    val got = a.unionByName(b, allowMissingColumns = true)
+      .orderBy("k")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getString(2)))
+    assert(got.toSeq === Seq((1L, Some(5.0), "fin"), (2L, None, "open")))
+  }
+}
