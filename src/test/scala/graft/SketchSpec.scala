@@ -33,4 +33,31 @@ class SketchSpec extends SparkSpec {
     assert(li.where(col("l_extendedprice") === exact).count() > 0,
       "exact-mode quantile must be an actual data element")
   }
+
+  test("q90_approx_profile (the rows-only query) stays within sketch " +
+    "bounds of exact per-group values") {
+    val got = SparkEntry.queries("q90_approx_profile")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val events = Tables.load(spark, dir, "events")
+    val exact = events.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("du"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got.keySet === exact.keySet)
+    got.foreach { case (et, (approxUsers, p50, n)) =>
+      val (du, en) = exact(et)
+      assert(n === en, s"$et: count must be exact")
+      // default HLL++ rsd is 0.05; allow 3x
+      assert(math.abs(approxUsers - du).toDouble / du <= 0.15,
+        s"$et: approx=$approxUsers exact=$du")
+      // accuracy=1000 => rank error <= n/1000; assert the estimate's
+      // actual rank is within 5% of the median
+      val below = events.where(col("event_type") === et &&
+        col("value") <= p50).count()
+      assert(math.abs(below.toDouble / en - 0.5) <= 0.05,
+        s"$et: p50 estimate at rank ${below.toDouble / en}")
+    }
+  }
 }

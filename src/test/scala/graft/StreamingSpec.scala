@@ -148,4 +148,89 @@ class StreamingSpec extends SparkSpec {
       stage.listFiles().foreach(_.delete()); stage.delete()
     }
   }
+
+  test("watermarked sessionize emits closed sessions via event-time " +
+      "timeout once the watermark passes end+gap") {
+    import spark.implicits._
+    val stage = Files.createTempDirectory("graft-wmsess").toFile
+    def writeBatch(name: String, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("user_id", "es")
+        .select(col("user_id"), timestamp_seconds(col("es")).as("ts"))
+        .coalesce(1).write.mode("append")
+        .parquet(new java.io.File(stage, name).getAbsolutePath)
+    // the stream reads the staged subdirs as one glob; each batch is
+    // driven explicitly (write → processAllAvailable) so ordering is
+    // deterministic regardless of file mtimes
+    try {
+      writeBatch("b1", Seq((1L, 1000L), (1L, 1100L),   // session A
+        (1L, 10000L), (1L, 10050L)))                   // session B (open)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      val stream = StreamOps.statefulSessionizeWatermarked(
+        spark.readStream.schema(schema)
+          .parquet(stage.getAbsolutePath + "/*"), gapSeconds = 1800,
+        watermark = "30 minutes")
+      val q = stream.writeStream.format("memory").queryName("wmsess")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // advance the watermark far past session B's end + gap...
+        writeBatch("b2", Seq((2L, 100000L)))
+        q.processAllAvailable()
+        // ...then one more batch so the timeout actually fires (timeouts
+        // run on the batch AFTER the watermark advances)
+        writeBatch("b3", Seq((2L, 100001L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("wmsess").as[StreamOps.ClosedSession].collect()
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events))
+        .toSet
+      // session A closed in-batch by B's arrival; B closed by timeout;
+      // user 2's session still open (no later batch) -> not emitted
+      assert(got === Set((1L, 1000L, 1100L, 2L), (1L, 10000L, 10050L, 2L)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(stage)
+    }
+  }
+
+  test("upsertIgnoreSink is idempotent: duplicate micro-batches and full " +
+      "replays add zero rows") {
+    val src = "/root/testdata/sf0.001"
+    val stage = Files.createTempDirectory("graft-upsink").toFile
+    val target = Files.createTempDirectory("graft-uptarget").toFile
+    val chk1 = Files.createTempDirectory("graft-upchk1").toFile
+    val chk2 = Files.createTempDirectory("graft-upchk2").toFile
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    try {
+      // the same fixture staged twice: every event_id arrives in two
+      // different micro-batches
+      for (i <- 1 to 2)
+        Files.copy(new java.io.File(s"$src/events.parquet").toPath,
+          new java.io.File(stage, s"copy$i.parquet").toPath)
+      val targetPath = target.getAbsolutePath + "/t"
+      val q1 = StreamOps.upsertIgnoreSink(
+        StreamOps.eventsStream(spark, stage.getAbsolutePath),
+        Seq("event_id"), targetPath, chk1.getAbsolutePath)
+      try q1.processAllAvailable() finally q1.stop()
+      val exact = Tables.load(spark, src, "events")
+        .select("event_id").distinct().count()
+      assert(spark.read.parquet(targetPath).count() === exact)
+      // full replay from a fresh checkpoint: anti-join absorbs everything
+      val q2 = StreamOps.upsertIgnoreSink(
+        StreamOps.eventsStream(spark, stage.getAbsolutePath),
+        Seq("event_id"), targetPath, chk2.getAbsolutePath)
+      try q2.processAllAvailable() finally q2.stop()
+      assert(spark.read.parquet(targetPath).count() === exact)
+    } finally {
+      rm(stage); rm(target); rm(chk1); rm(chk2)
+    }
+  }
 }
