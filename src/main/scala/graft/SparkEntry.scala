@@ -421,12 +421,16 @@ object SparkEntry {
     // is bit-deterministic in both engines.
     "q29_quantiles" -> ((s, dir) => {
       val f2 = (c: Column) => floor(c * 100) / 100
+      // one percentile buffer for both percentages (array form) — two
+      // separate percentile() aggs each keep their own per-group value
+      // buffer and double the aggregation cost
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          f2(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-          f2(expr("percentile(l_extendedprice, 0.9)")).as("p90"),
+          expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("ps"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          f2(col("ps")(0)).as("p50"), f2(col("ps")(1)).as("p90"), col("n"))
         .orderBy("l_returnflag")
     }),
 

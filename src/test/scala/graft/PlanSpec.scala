@@ -106,4 +106,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(event_type), " +
       "EqualTo(event_type,purchase)]"), p.take(800))
   }
+
+  test("q81 correlated subqueries decorrelate to hash joins (no " +
+    "per-row subquery execution)") {
+    val p = plan("q81_exists_subquery")
+    assert(p.contains("LeftSemi"), p.take(1200))
+    assert(p.contains("LeftAnti"), p.take(1200))
+    assert(!p.contains("InSubquery") && !p.contains("exists#"),
+      "subquery survived decorrelation:\n" + p.take(1200))
+  }
+
+  test("q89 orphan audit anti-joins broadcast the dim key side") {
+    val p = plan("q89_integrity_orphans")
+    assert("BroadcastHashJoin .* LeftAnti".r.findAllIn(p).size === 2,
+      p.take(1200))
+  }
+
+  test("q83/q84/q88 event window family: one user_id shuffle each") {
+    for (q <- Seq("q83_range_frame", "q84_lead_lag_gaps",
+        "q88_scd2_intervals")) {
+      val p = plan(q)
+      val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).toSeq
+      assert(hashEx.size === 1, s"$q: expected exactly one user_id " +
+        s"shuffle, got ${hashEx.size}:\n" + p.take(1200))
+    }
+  }
+
+  test("q29 computes both percentiles in ONE aggregation buffer") {
+    val p = plan("q29_quantiles")
+    assert("percentile\\(".r.findAllIn(p).size <= 2,  // partial+final of one agg
+      "two separate percentile buffers:\n" + p.take(1200))
+  }
 }
