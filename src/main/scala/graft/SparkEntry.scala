@@ -872,7 +872,27 @@ object SparkEntry {
     "q91_stratified_sample" -> ((s, dir) =>
       Agg.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id", 20)
         .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // north star — near-dup CLUSTER assignment: MinHash pair graph →
+    // bounded-round min-id label propagation (the corpus dup-clustering
+    // step that follows pair generation; 2 rounds = ids within 2 hops).
+    "q92_dup_clusters" -> ((s, dir) =>
+      Dedup.minLabelPropagate(
+          Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+              k = 8, bands = 4)
+            .where(col("est_jaccard") >= 0.5),
+          rounds = 2)
+        .orderBy("doc_id")),
+
+    // north star — BM25 top-k terms per doc (the retrieval-grade scoring
+    // TF-IDF approximates; exact-binary-fraction constants, see
+    // Text.bm25TopK).
+    "q93_bm25" -> ((s, dir) =>
+      Text.bm25TopK(t(s, dir, "documents"), "doc_id", "text", 3)
+        .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
+          col("dl"), col("score"), col("rk"))
+        .orderBy("doc_id", "rk"))
   )
 
   // ---- oracle SQL (DuckDB) ----------------------------------------------
@@ -1673,7 +1693,54 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY lang
           |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
           |  FROM documents)
-          |WHERE rn <= 20 ORDER BY doc_id""".stripMargin
+          |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+      "q92_dup_clusters" ->
+        s"""WITH cleaned AS (SELECT doc_id AS id, $clean AS c FROM documents),
+           |sh AS (SELECT id, ${shinglesSql("t")} AS shs
+           |       FROM (SELECT id, $cleanToks AS t FROM cleaned)),
+           |sig AS (SELECT id,
+           |  list_transform(range(0, 8), s ->
+           |    COALESCE(list_min(list_transform(shs, x -> md5(CAST(s AS VARCHAR) || ':' || x))), '~empty')) AS sig
+           |  FROM sh WHERE len(shs) > 0),
+           |banded AS (
+           |  SELECT id, sig, CAST(b.i AS INTEGER) AS band,
+           |         md5(sig[CAST(b.i*2+1 AS INTEGER)] || '|' || sig[CAST(b.i*2+2 AS INTEGER)]) AS bkey
+           |  FROM sig CROSS JOIN range(0, 4) AS b(i)),
+           |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+           |  WHERE a.id < b.id
+           |    AND CAST(len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 8 >= 0.5),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+           |l0 AS (SELECT src AS id, least(src, MIN(dst)) AS lbl
+           |       FROM edges GROUP BY src),
+           |n1 AS (SELECT e.src AS id, MIN(l.lbl) AS nlbl
+           |       FROM edges e JOIN l0 l ON l.id = e.dst GROUP BY e.src)
+           |SELECT l0.id AS doc_id, least(l0.lbl, n1.nlbl) AS cluster_id
+           |FROM l0 JOIN n1 ON n1.id = l0.id
+           |ORDER BY doc_id""".stripMargin,
+
+      "q93_bm25" ->
+        s"""WITH cleaned AS (SELECT doc_id AS id, $clean AS c FROM documents),
+           |terms AS (SELECT id, UNNEST($cleanToks) AS term FROM cleaned),
+           |tf AS (SELECT id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+           |dl AS (SELECT id, COUNT(*) AS dl FROM terms GROUP BY 1),
+           |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+           |stats AS (SELECT (SELECT COUNT(*) FROM terms) AS n_terms,
+           |                 (SELECT COUNT(*) FROM documents) AS n_docs),
+           |scored AS (SELECT id, term, tf, df, dl,
+           |  floor((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           |    * (tf * 2.5)
+           |    / (tf + 1.5 * (0.25 + 0.75 * dl / (CAST(n_terms AS DOUBLE) / n_docs)))) * 10000) / 10000 AS score
+           |  FROM tf JOIN dl USING (id) JOIN dfreq USING (term)
+           |  CROSS JOIN stats),
+           |ranked AS (SELECT id, term, tf, df, dl, score,
+           |  row_number() OVER (PARTITION BY id ORDER BY score DESC, term ASC) AS rk
+           |  FROM scored)
+           |SELECT id AS doc_id, term, tf, df, dl, score,
+           |  CAST(rk AS INTEGER) AS rk
+           |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
     )
   }
 }

@@ -261,4 +261,40 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Min-id label propagation over a near-dup pair graph: after `rounds`
+    * rounds each node's label is the smallest id within `rounds` hops —
+    * the bounded-round approximation of connected components used for
+    * corpus dup-cluster assignment (full CC needs O(log diameter)
+    * alternating-star rounds, Kiveris et al. "Connected Components in
+    * MapReduce"; near-dup clusters are star-shaped in practice, so 2
+    * rounds captures them, and the round count is an explicit knob).
+    * Deterministic: min() is order-insensitive. Each round is one
+    * self-contained shuffle join on the edge endpoints — no driver-side
+    * iteration state, so the loop unrolls into a single Catalyst plan.
+    *
+    * `pairs` must carry (id_a, id_b) columns; returns (doc_id,
+    * cluster_id) for every node that appears in at least one pair.
+    */
+  def minLabelPropagate(pairs: DataFrame, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    // Materialize the pair graph once: every round references the edges
+    // 1-2 more times, and an unmaterialized expensive generator (the
+    // MinHash pipeline) would be recomputed per reference. Iterative
+    // graph algorithms on Spark always checkpoint between rounds (GraphX
+    // does the same) — the pair graph is orders of magnitude smaller than
+    // the corpus, so this is cheap at any scale.
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var lbl = edges.groupBy("src").agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
+    for (_ <- 2 to rounds) {
+      val nbr = edges.join(lbl.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy("src").agg(min(col("lbl")).as("nlbl"))
+      lbl = lbl.join(nbr.withColumnRenamed("src", "id"), Seq("id"))
+        .select(col("id"), least(col("lbl"), col("nlbl")).as("lbl"))
+    }
+    lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
 }

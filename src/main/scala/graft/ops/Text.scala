@@ -119,6 +119,41 @@ object Text {
     * exchanges don't unify for reuse). A pipeline that runs TF-IDF
     * repeatedly should persist or write out `tf` between stages.
     */
+  /** BM25 per-(doc, term) relevance with top-k terms per doc. Constants
+    * k1=1.5, b=0.75 are chosen as EXACT binary fractions (so are 0.25,
+    * 2.5, 0.5 derived from them): every literal in the scoring expression
+    * round-trips bit-identically through the DuckDB oracle — a k1 of 1.2
+    * would already diverge at the (k1+1) fold. All inputs (tf, df, dl,
+    * n_docs, n_terms) are exact integers; the only inexact steps are the
+    * final double divisions and ln, mirrored operation-for-operation in
+    * SQL and floor-stabilized at 4 dp.
+    *
+    * Same shuffle shape as [[tfIdfTopK]] plus one extra broadcast (the
+    * per-doc length join rides the same id-hash partitioning as tf).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               k: Int): DataFrame = {
+    val terms = docs.select(col(idCol).as("id"),
+      explode(tokens(cleanText(col(textCol)))).as("term"))
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy("id").agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = terms.agg(count(lit(1)).as("n_terms"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+    val scored = tf.join(dl, "id").join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("n_terms").cast("double") / col("n_docs"))
+      .select(col("id"), col("term"), col("tf"), col("df"), col("dl"),
+        Num.floorAt(
+          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+            * (col("tf") * 2.5)
+            / (col("tf") + lit(1.5) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))),
+          4).as("score"))
+    Agg.topNPerGroup(scored, Seq("id"),
+      Seq(col("score").desc, col("term").asc), k)
+  }
+
   def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
                 k: Int): DataFrame = {
     val terms = docs.select(col(idCol).as("id"),

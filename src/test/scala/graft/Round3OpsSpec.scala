@@ -134,6 +134,46 @@ class Round3OpsSpec extends SparkSpec {
       s2.orderBy("doc_id").collect().toSeq)
   }
 
+  test("minLabelPropagate: 2 rounds reach ids two hops away; longer " +
+    "chains need more rounds (bounded-round semantics are explicit)") {
+    import graft.ops.Dedup
+    // chain 1-2-3-4-5 plus isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val r2 = Dedup.minLabelPropagate(pairs, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    // node 4 is 3 hops from 1: after 2 rounds its label is 2 (= min id
+    // within 2 hops), not yet 1
+    assert(r2 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L,
+      10L -> 10L, 11L -> 10L))
+    val r4 = Dedup.minLabelPropagate(pairs, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r4 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("bm25: term in fewer docs outscores the everywhere-term; ranks " +
+    "are dense per doc") {
+    import graft.ops.Text
+    val docs = Seq(
+      (1L, "common rare common filler words here"),
+      (2L, "common filler words more padding tokens"),
+      (3L, "common other vocabulary entirely padding")).toDF("doc_id", "text")
+    val got = Text.bm25TopK(docs, "doc_id", "text", 6)
+      .where(col("id") === 1)
+      .select("term", "score", "rk")
+      .as[(String, Double, Int)].collect()
+    val byTerm = got.map(r => r._1 -> r._2).toMap
+    assert(byTerm("rare") > byTerm("common"),
+      s"idf must dominate: $byTerm")
+    assert(got.map(_._3).sorted.toSeq === (1 to got.length))
+    // every score is finite and floor-stabilized to 4dp
+    got.foreach { case (_, s, _) =>
+      assert(!s.isNaN && !s.isInfinite)
+      assert(s === math.floor(s * 10000) / 10000)
+    }
+  }
+
   test("unionByName(allowMissing) null-fills the absent column") {
     val a = Seq((1L, 5.0)).toDF("k", "price")
       .withColumn("src", lit("fin"))
