@@ -892,7 +892,18 @@ object SparkEntry {
       Text.bm25TopK(t(s, dir, "documents"), "doc_id", "text", 3)
         .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
           col("dl"), col("score"), col("rk"))
-        .orderBy("doc_id", "rk"))
+        .orderBy("doc_id", "rk")),
+
+    // north star — time-series gap fill + forward fill (dense hourly
+    // per-user series generated from sparse events).
+    "q94_gap_fill" -> ((s, dir) =>
+      EventsOps.gapFillForwardFill(t(s, dir, "events"), 3600)
+        .orderBy("user_id", "bucket")),
+
+    // §2.5 gap — share-of-total window ratios (per-source language mix).
+    "q95_share_of_total" -> ((s, dir) =>
+      Agg.shareOfTotal(t(s, dir, "documents"), "source", "lang")
+        .orderBy("source", "rk"))
   )
 
   // ---- oracle SQL (DuckDB) ----------------------------------------------
@@ -1740,7 +1751,35 @@ object SparkEntry {
            |  FROM scored)
            |SELECT id AS doc_id, term, tf, df, dl, score,
            |  CAST(rk AS INTEGER) AS rk
-           |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+           |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+      "q94_gap_fill" ->
+        s"""WITH b AS (SELECT user_id,
+           |    (${epochSql("ts")} // 3600) * 3600 AS bucket,
+           |    COUNT(*) AS n, ${dsumS("value")} AS total
+           |  FROM events GROUP BY 1, 2),
+           |frame AS (SELECT user_id,
+           |    UNNEST(generate_series(MIN(bucket), MAX(bucket), 3600))
+           |      AS bucket
+           |  FROM b GROUP BY user_id),
+           |j AS (SELECT f.user_id, f.bucket, COALESCE(b.n, 0) AS n, b.total
+           |      FROM frame f LEFT JOIN b
+           |        ON b.user_id = f.user_id AND b.bucket = f.bucket)
+           |SELECT user_id, bucket, n,
+           |  last_value(total IGNORE NULLS) OVER (PARTITION BY user_id
+           |    ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+           |    AND CURRENT ROW) AS ffill_total
+           |FROM j ORDER BY user_id, bucket""".stripMargin,
+
+      "q95_share_of_total" ->
+        """WITH c AS (SELECT source, lang, COUNT(*) AS n
+          |           FROM documents GROUP BY 1, 2)
+          |SELECT source, lang, n,
+          |  floor((n / CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT))
+          |    * 1000000) / 1000000 AS share,
+          |  CAST(row_number() OVER (PARTITION BY source
+          |    ORDER BY n DESC, lang ASC) AS INTEGER) AS rk
+          |FROM c ORDER BY source, rk""".stripMargin
     )
   }
 }

@@ -53,6 +53,23 @@ object Agg {
         collect_list(struct(col(valKey), col("n"))))))
         .as("counts_json"))
 
+  /** Share-of-total ratios: per (partKey, key) counts with each row's
+    * fraction of its partition total (window sum over the already-reduced
+    * counts — the window input is |distinct keys| rows, never the raw
+    * table) and a frequency rank. The label-balance / source-mix report a
+    * training pipeline runs per snapshot. Share is a single long/long
+    * double division, floor-stabilized.
+    */
+  def shareOfTotal(df: DataFrame, partKey: String, key: String): DataFrame = {
+    val counts = df.groupBy(col(partKey), col(key))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("share", Num.floorAt(
+        col("n") / sum(col("n")).over(Window.partitionBy(partKey)), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(partKey).orderBy(col("n").desc, col(key).asc)))
+  }
+
   /** Deterministic stratified sample: the `n` smallest md5-ranked rows per
     * stratum — reproducible across runs/engines (vs `sampleBy`, which is
     * seed- and partitioning-dependent), uniform within each stratum

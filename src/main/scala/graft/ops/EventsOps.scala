@@ -189,6 +189,40 @@ object EventsOps {
         "n_events")
   }
 
+  /** Time-series gap fill + forward fill: bucket each user's events into
+    * `stepSeconds` windows, GENERATE the missing buckets between each
+    * user's first and last (explode of a sequence — no driver loop), and
+    * carry the last observed aggregate forward across empty buckets
+    * (last-ignore-nulls window). The feature-engineering shape that turns
+    * sparse event streams into dense, regularly-sampled training series.
+    * Scale: the generated frame is |users| x |buckets-in-range| rows of
+    * three longs — bounded by the time horizon, not the event count; one
+    * shuffle for the bucket agg, one for the join+window (both on
+    * user_id).
+    */
+  def gapFillForwardFill(events: DataFrame, stepSeconds: Long): DataFrame = {
+    val bucketed = events
+      .select(col("user_id"),
+        (floor(unix_timestamp(col("ts")) / stepSeconds) * stepSeconds)
+          .cast("long").as("bucket"),
+        col("value"))
+      .groupBy("user_id", "bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+    val frame = bucketed.groupBy("user_id")
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col("user_id"),
+        explode(sequence(col("b0"), col("b1"), lit(stepSeconds)))
+          .as("bucket"))
+    val w = Window.partitionBy("user_id").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    frame.join(bucketed, Seq("user_id", "bucket"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("ffill_total",
+        last(col("total"), ignoreNulls = true).over(w))
+      .select("user_id", "bucket", "n", "ffill_total")
+  }
+
   /** JSON property extraction — regex-based so the oracle needs no JSON
     * extension; `props` is flat `{"k": <int>}` in the fixture.
     */

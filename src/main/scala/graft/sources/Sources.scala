@@ -66,4 +66,38 @@ object Sources {
     df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(totalBytes / targetFileBytes) files, optionally sorted within
+    * files by `sortCols` so column min/max statistics cluster and
+    * downstream range predicates skip row groups. The streaming-ingest
+    * maintenance job: micro-batch sinks produce one file per trigger per
+    * partition, and at 100 TB an uncompacted table's file count (not its
+    * bytes) becomes the bottleneck — driver listing, footer reads, and
+    * task-per-file scheduling all scale with it.
+    *
+    * Returns (filesBefore, filesAfter). Writes to `outPath` — parquet
+    * has no transactional in-place rewrite; the swap is the caller's
+    * rename (a table format like Iceberg/Delta makes it atomic).
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              schema: StructType, targetFileBytes: Long,
+              sortCols: Seq[String] = Nil): (Int, Int) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(p: String): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.globStatus(new org.apache.hadoop.fs.Path(p + "/*.parquet")).toSeq
+    val before = parquetFiles(inPath)
+    val totalBytes = before.map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(
+      totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.schema(schema).parquet(inPath)
+    val arranged =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols.map(df(_)): _*)
+          .sortWithinPartitions(sortCols.map(df(_)): _*)
+      else df.repartition(nFiles)
+    arranged.write.mode("overwrite").parquet(outPath)
+    (before.size, parquetFiles(outPath).size)
+  }
 }

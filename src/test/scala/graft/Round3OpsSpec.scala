@@ -174,6 +174,37 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("gapFillForwardFill: missing buckets appear with n=0 and carry " +
+    "the last observed total forward") {
+    val events = ev(
+      (1L, 7L, 3600L, "a", 2.0),
+      (2L, 7L, 3700L, "a", 3.0),   // same bucket as e1
+      (3L, 7L, 5 * 3600L, "a", 10.0))  // 3 empty buckets between
+    val got = EventsOps.gapFillForwardFill(events, 3600)
+      .orderBy("user_id", "bucket")
+      .collect().map(r => (r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq === Seq(
+      (3600L, 2L, Some(5.0)),
+      (7200L, 0L, Some(5.0)),   // forward-filled
+      (10800L, 0L, Some(5.0)),
+      (14400L, 0L, Some(5.0)),
+      (18000L, 1L, Some(10.0))))
+  }
+
+  test("shareOfTotal: shares sum to ~1 per partition and rank follows " +
+    "frequency with key tie-break") {
+    val docs = Seq(
+      ("s1", "en"), ("s1", "en"), ("s1", "en"), ("s1", "de"),
+      ("s2", "fr"), ("s2", "zh")).toDF("source", "lang")
+    val got = Agg.shareOfTotal(docs, "source", "lang")
+      .orderBy("source", "rk")
+      .as[(String, String, Long, Double, Int)].collect().toSeq
+    assert(got === Seq(
+      ("s1", "en", 3L, 0.75, 1), ("s1", "de", 1L, 0.25, 2),
+      ("s2", "fr", 1L, 0.5, 1), ("s2", "zh", 1L, 0.5, 2)))
+  }
+
   test("unionByName(allowMissing) null-fills the absent column") {
     val a = Seq((1L, 5.0)).toDF("k", "price")
       .withColumn("src", lit("fin"))

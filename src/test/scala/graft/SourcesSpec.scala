@@ -47,6 +47,38 @@ class SourcesSpec extends SparkSpec {
     assert(got === Set(("x", "c1", "s1"), ("y", "c2", "s2")))
   }
 
+  test("compact rewrites a many-file dir into few files, preserves rows, " +
+    "and range-clusters the sort column") {
+    val in = tmp() + "/many"
+    val out = tmp() + "/compacted"
+    val df = spark.range(0, 2000).toDF("id")
+      .withColumn("v", col("id") % 97)
+    df.repartition(40).write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val (before, after) = Sources.compact(spark, in, out, schema,
+      targetFileBytes = 1L << 20, sortCols = Seq("id"))
+    assert(before === 40)
+    assert(after < before, s"expected fewer files, got $after")
+    val back = spark.read.schema(schema).parquet(out)
+    assert(back.count() === 2000)
+    assert(back.select("id").distinct().count() === 2000)
+    // range clustering: with one output file per range, per-file min/max
+    // of id must not overlap — read each file separately and check
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val ranges = files.map { f =>
+      val r = spark.read.schema(schema).parquet(f.getAbsolutePath)
+        .agg(org.apache.spark.sql.functions.min("id"),
+          org.apache.spark.sql.functions.max("id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2,
+        s"file ranges overlap: ${ranges.toSeq}")
+      case _ =>
+    }
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = tmp() + "/part"
     val df = Seq((1L, "en", "a"), (2L, "es", "b"), (3L, "en", "c"))
