@@ -903,7 +903,40 @@ object SparkEntry {
     // §2.5 gap — share-of-total window ratios (per-source language mix).
     "q95_share_of_total" -> ((s, dir) =>
       Agg.shareOfTotal(t(s, dir, "documents"), "source", "lang")
-        .orderBy("source", "rk"))
+        .orderBy("source", "rk")),
+
+    // §2.5 gap — multi-match regex extraction (regexp_extract_all).
+    "q96_extract_all" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"), lit("[a-z]+er\\b"), lit(0))
+            .as("m"))
+        .select(col("doc_id"), size(col("m")).as("n_matches"),
+          array_join(col("m"), ",").as("matches"))
+        .orderBy("doc_id")),
+
+    // north star — blocked fuzzy matching over the distinct name
+    // vocabulary (entity-resolution shape: block on first token, exact
+    // levenshtein within blocks only).
+    "q97_fuzzy_pairs" -> ((s, dir) =>
+      Dedup.fuzzyPairs(
+          t(s, dir, "part").select(col("p_name").as("name")).distinct(),
+          "name", "name", maxDist = 3)
+        .orderBy("id_a", "id_b")),
+
+    // §2.5 gap — exact-decimal variance/stddev (order-insensitive power
+    // sums; builtin var_samp is accumulation-order-dependent and
+    // cross-engine-divergent, see Agg.exactMoments).
+    "q98_exact_variance" -> ((s, dir) =>
+      Agg.exactMoments(t(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice")
+        .orderBy("l_returnflag")),
+
+    // §2.5 gap — exact-decimal Pearson correlation per group.
+    "q99_exact_corr" -> ((s, dir) =>
+      Agg.exactCorr(t(s, dir, "lineitem"), "l_returnflag",
+          "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag"))
   )
 
   // ---- oracle SQL (DuckDB) ----------------------------------------------
@@ -1779,7 +1812,53 @@ object SparkEntry {
           |    * 1000000) / 1000000 AS share,
           |  CAST(row_number() OVER (PARTITION BY source
           |    ORDER BY n DESC, lang ASC) AS INTEGER) AS rk
-          |FROM c ORDER BY source, rk""".stripMargin
+          |FROM c ORDER BY source, rk""".stripMargin,
+
+      "q96_extract_all" ->
+        """SELECT doc_id,
+          | CAST(len(regexp_extract_all(text, '[a-z]+er\b')) AS INTEGER)
+          |   AS n_matches,
+          | COALESCE(array_to_string(regexp_extract_all(text, '[a-z]+er\b'),
+          |   ','), '') AS matches
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q97_fuzzy_pairs" ->
+        """WITH k AS (SELECT DISTINCT p_name AS name FROM part),
+          |b AS (SELECT name, string_split(name, ' ')[1] AS blk FROM k)
+          |SELECT a.name AS id_a, b.name AS id_b,
+          |  CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+          |FROM b a JOIN b b ON a.blk = b.blk AND a.name < b.name
+          |WHERE levenshtein(a.name, b.name) <= 3
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      "q98_exact_variance" ->
+        """WITH g AS (SELECT l_returnflag, COUNT(*) AS n,
+          |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sx,
+          |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+          |    * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxx
+          | FROM lineitem GROUP BY l_returnflag)
+          |SELECT l_returnflag, n,
+          | floor((CAST(sx AS DOUBLE) / n) * 1000000) / 1000000 AS mean,
+          | floor(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) * 10000) / 10000 AS var_samp,
+          | floor(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) * 10000) / 10000 AS stddev
+          |FROM g ORDER BY l_returnflag""".stripMargin,
+
+      "q99_exact_corr" ->
+        """WITH g AS (SELECT l_returnflag, COUNT(*) AS n,
+          |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+          |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+          |  SUM(CAST(l_quantity AS DECIMAL(18,2))
+          |    * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+          |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+          |    * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+          |  SUM(CAST(l_quantity AS DECIMAL(18,2))
+          |    * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+          | FROM lineitem GROUP BY l_returnflag)
+          |SELECT l_returnflag, n,
+          | floor(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |   / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |    * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1000000) / 1000000 AS corr
+          |FROM g ORDER BY l_returnflag""".stripMargin
     )
   }
 }

@@ -70,6 +70,55 @@ object Agg {
         Window.partitionBy(partKey).orderBy(col("n").desc, col(key).asc)))
   }
 
+  /** Per-group mean/variance/stddev computed from EXACT decimal power
+    * sums (sum x, sum x² in DECIMAL — order-insensitive, so bit-stable
+    * under any partitioning), converted to double only for the final
+    * closed-form arithmetic, which is mirrored operation-for-operation in
+    * the oracle. Spark's builtin var_samp/stddev stream Welford-style
+    * updates whose result depends on accumulation order AND differs from
+    * DuckDB's algorithm — unusable for cross-engine equality. One
+    * partial+final hash agg, same cost shape as any sum.
+    */
+  def exactMoments(df: DataFrame, key: String, x: String): DataFrame = {
+    val xd = col(x).cast("decimal(18,2)")
+    val grouped = df.groupBy(col(key)).agg(
+      count(lit(1)).as("n"),
+      sum(xd).as("sx"),
+      sum(xd * xd).as("sxx"))
+    val n = col("n")
+    val sx = col("sx").cast("double")
+    val sxx = col("sxx").cast("double")
+    val varRaw = (sxx - sx * sx / n) / (n - 1)
+    grouped.select(col(key), n,
+      Num.floorAt(sx / n, 6).as("mean"),
+      Num.floorAt(varRaw, 4).as("var_samp"),
+      Num.floorAt(sqrt(varRaw), 4).as("stddev"))
+  }
+
+  /** Per-group Pearson correlation from exact decimal power sums (see
+    * [[exactMoments]] for why not the builtin corr()). Single pass, five
+    * decimal sums, closed form in double.
+    */
+  def exactCorr(df: DataFrame, key: String, x: String,
+                y: String): DataFrame = {
+    val xd = col(x).cast("decimal(18,2)")
+    val yd = col(y).cast("decimal(18,2)")
+    val g = df.groupBy(col(key)).agg(
+      count(lit(1)).as("n"),
+      sum(xd).as("sx"), sum(yd).as("sy"),
+      sum(xd * xd).as("sxx"), sum(yd * yd).as("syy"),
+      sum(xd * yd).as("sxy"))
+    val n = col("n")
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val (sxx, syy) = (col("sxx").cast("double"), col("syy").cast("double"))
+    val sxy = col("sxy").cast("double")
+    g.select(col(key), n,
+      Num.floorAt(
+        (n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        .as("corr"))
+  }
+
   /** Deterministic stratified sample: the `n` smallest md5-ranked rows per
     * stratum — reproducible across runs/engines (vs `sampleBy`, which is
     * seed- and partitioning-dependent), uniform within each stratum

@@ -262,6 +262,27 @@ object Dedup {
       .distinct()
   }
 
+  /** Blocked fuzzy matching: candidate pairs share a BLOCK KEY (first
+    * token of the name — the standard entity-resolution blocking that
+    * turns the O(n²) pair space into per-block joins), then the exact
+    * Levenshtein filter runs only within blocks. Recall contract is
+    * explicit: pairs whose first token differs are not candidates (at
+    * scale you run multiple blocking passes — first token, last token,
+    * sorted-token fingerprint — and union the candidates; one pass here
+    * keeps the oracle 1:1). Same shuffle-on-block-key shape as the LSH
+    * band join — nothing materializes all-pairs.
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
+                 maxDist: Int): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"), col(nameCol).as("name"),
+      split(col(nameCol), " ").getItem(0).as("blk"))
+    keyed.as("a").hint("shuffle_hash").join(keyed.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        levenshtein(col("a.name"), col("b.name")).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   /** Min-id label propagation over a near-dup pair graph: after `rounds`
     * rounds each node's label is the smallest id within `rounds` hops —
     * the bounded-round approximation of connected components used for

@@ -205,6 +205,48 @@ class Round3OpsSpec extends SparkSpec {
       ("s2", "fr", 1L, 0.5, 1), ("s2", "zh", 1L, 0.5, 2)))
   }
 
+  test("exactMoments equals the closed-form on a hand-checked table and " +
+    "is invariant to row order/partitioning") {
+    import graft.ops.Agg
+    val vals = Seq(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0)
+    val df = vals.map(("k", _)).toDF("key", "x")
+    val r = Agg.exactMoments(df, "key", "x").head()
+    assert(r.getLong(1) === 8L)
+    assert(r.getDouble(2) === 5.0)      // mean
+    // sample variance of the classic 2,4,4,4,5,5,7,9 set = 32/7
+    assert(math.abs(r.getDouble(3) - 32.0 / 7) < 1e-4)
+    val shuffled = scala.util.Random.shuffle(vals).map(("k", _))
+      .toDF("key", "x").repartition(7)
+    assert(Agg.exactMoments(shuffled, "key", "x").head().getDouble(3)
+      === r.getDouble(3))  // bit-equal despite different accumulation order
+  }
+
+  test("exactCorr is 1 for a perfect linear relation, ~0 for a balanced " +
+    "anti-pattern") {
+    import graft.ops.Agg
+    val linear = (1 to 20).map(i => ("a", i.toDouble, 3.0 * i + 7))
+    val df = linear.toDF("key", "x", "y")
+    val r = Agg.exactCorr(df, "key", "x", "y").head()
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-6)
+    val anti = Seq(("b", 1.0, 1.0), ("b", 1.0, -1.0),
+      ("b", -1.0, 1.0), ("b", -1.0, -1.0)).toDF("key", "x", "y")
+    assert(math.abs(Agg.exactCorr(anti, "key", "x", "y")
+      .head().getDouble(2)) < 1e-6)
+  }
+
+  test("fuzzyPairs finds within-block near matches only (blocking " +
+    "contract is explicit)") {
+    import graft.ops.Dedup
+    val names = Seq("red bolt", "red bolts", "red widget", "blue bolt")
+      .toDF("name")
+    val got = Dedup.fuzzyPairs(names, "name", "name", maxDist = 2)
+      .select("id_a", "id_b", "dist").as[(String, String, Int)]
+      .collect().toSet
+    // "red bolt"~"red bolts" dist 1; "blue bolt" blocked apart despite
+    // dist 3 to "red bolt"; "red widget" too far within block
+    assert(got === Set(("red bolt", "red bolts", 1)))
+  }
+
   test("unionByName(allowMissing) null-fills the absent column") {
     val a = Seq((1L, 5.0)).toDF("k", "price")
       .withColumn("src", lit("fin"))
