@@ -15,9 +15,12 @@ object Sessions {
     */
   def local(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
-    // native functions (SQL names) — e.g. dot_f32 for similarity search
-    .withExtensions(ext =>
-      ext.injectFunction(graft.functions.DotProductF32.descriptor))
+    // native functions (SQL names) — e.g. dot_f32 for similarity search —
+    // and the bounded-edit-distance filter rewrite (fuzzy-match scale path)
+    .withExtensions { ext =>
+      ext.injectFunction(graft.functions.DotProductF32.descriptor)
+      ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
+    }
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
