@@ -162,8 +162,15 @@ object SparkEntry {
       val pid = ProcessHandle.current().pid
       val ot = s"graft_q05_orders_$pid"
       val ct = s"graft_q05_customer_$pid"
-      Sources.writeBucketed(t(s, dir, "orders"), ot, "o_custkey", 8)
-      Sources.writeBucketed(t(s, dir, "customer"), ct, "c_custkey", 8)
+      // bucket only the columns the downstream join/agg needs — a real
+      // bucketed-load would too (the write cost scales with bytes, and
+      // bucketing pays off per retained column read back)
+      Sources.writeBucketed(
+        t(s, dir, "orders").select("o_custkey", "o_totalprice"),
+        ot, "o_custkey", 8)
+      Sources.writeBucketed(
+        t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        ct, "c_custkey", 8)
       // merge hint: at harness scale Catalyst would broadcast the small
       // side, which hides the point — at 100 TB neither side broadcasts,
       // and the bucketed SMJ runs with NO exchange (PlanSpec asserts it)
@@ -936,7 +943,21 @@ object SparkEntry {
     "q99_exact_corr" -> ((s, dir) =>
       Agg.exactCorr(t(s, dir, "lineitem"), "l_returnflag",
           "l_quantity", "l_extendedprice")
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // §2.5 gap — calendar bucketing (date_trunc + day-of-week): the
+    // date-function family beyond q12's year extract. Buckets surface as
+    // epoch seconds / 0-based dow ints for cross-engine parity.
+    "q100_date_buckets" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          unix_timestamp(date_trunc("month", col("o_orderdate")))
+            .as("month_start"),
+          (dayofweek(col("o_orderdate")) - 1).cast("int").as("dow"),
+          col("o_totalprice"))
+        .groupBy("month_start", "dow")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("month_start", "dow"))
   )
 
   // ---- oracle SQL (DuckDB) ----------------------------------------------
@@ -1858,7 +1879,14 @@ object SparkEntry {
           | floor(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
           |   / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
           |    * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1000000) / 1000000 AS corr
-          |FROM g ORDER BY l_returnflag""".stripMargin
+          |FROM g ORDER BY l_returnflag""".stripMargin,
+
+      "q100_date_buckets" ->
+        s"""SELECT ${epochSql("date_trunc('month', o_orderdate)")}
+           |   AS month_start,
+           | CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
+           | COUNT(*) AS n, ${dsumS("o_totalprice")} AS total
+           |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     )
   }
 }
