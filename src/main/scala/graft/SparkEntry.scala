@@ -957,7 +957,36 @@ object SparkEntry {
           col("o_totalprice"))
         .groupBy("month_start", "dow")
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
-        .orderBy("month_start", "dow"))
+        .orderBy("month_start", "dow")),
+
+    // data management — CDC snapshot diff (added/deleted/changed/
+    // unchanged) between two derived snapshots of orders. Fingerprints
+    // use DECIMAL-exact money (cents as BIGINT) — double→string rendering
+    // is engine-specific.
+    "q101_snapshot_diff" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cents = (p: Column) =>
+        (p.cast("decimal(18,2)") * 100).cast("bigint").cast("string")
+      val oldSnap = orders.where(col("o_orderkey") % 11 =!= 0)
+      val newSnap = orders.where(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+      Star.snapshotDiff(oldSnap, newSnap, "o_orderkey",
+          Seq(col("o_orderstatus"), cents(col("o_totalprice"))))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    }),
+
+    // north star — top-k cosine via the typed TopKAgg Aggregator:
+    // result-identical to q40 (shared tie-break and floor), but partitions
+    // reduce to k-buffers BEFORE the shuffle (map-side combine) instead of
+    // window-sorting every scored pair.
+    "q102_topk_agg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Sim.topKAgg(emb.where(col("vec_id") < 10), emb, 5)
+        .orderBy("q_id", "rk")
+    })
   )
 
   // ---- oracle SQL (DuckDB) ----------------------------------------------
@@ -1886,7 +1915,44 @@ object SparkEntry {
            |   AS month_start,
            | CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
            | COUNT(*) AS n, ${dsumS("o_totalprice")} AS total
-           |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+           |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q101_snapshot_diff" -> {
+        val cents = (p: String) =>
+          s"CAST(CAST(CAST($p AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
+        s"""WITH oldsnap AS (SELECT o_orderkey AS k,
+           |    md5(o_orderstatus || '|' || ${cents("o_totalprice")}) AS fo
+           |  FROM orders WHERE o_orderkey % 11 <> 0),
+           |newsnap AS (SELECT o_orderkey AS k,
+           |    md5(o_orderstatus || '|' || ${cents(
+              "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 " +
+                "ELSE o_totalprice END")}) AS fn
+           |  FROM orders WHERE o_orderkey % 13 <> 0),
+           |j AS (SELECT fo, fn FROM oldsnap FULL OUTER JOIN newsnap
+           |      ON oldsnap.k = newsnap.k)
+           |SELECT CASE WHEN fo IS NULL THEN 'added'
+           |            WHEN fn IS NULL THEN 'deleted'
+           |            WHEN fo <> fn THEN 'changed'
+           |            ELSE 'unchanged' END AS status, COUNT(*) AS n
+           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+      },
+
+      // same oracle as q40: the Aggregator plan is result-identical to
+      // the window plan by construction (shared floor + tie-break)
+      "q102_topk_agg" ->
+        """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+          |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+          |scored AS (
+          |  SELECT q_id, c_id,
+          |    floor((
+          |      list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+          |      / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+          |       * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))) * 10000) / 10000 AS sim
+          |  FROM c CROSS JOIN q WHERE q_id <> c_id)
+          |SELECT q_id, c_id, sim, CAST(rk AS INTEGER) AS rk FROM (
+          |  SELECT q_id, c_id, sim,
+          |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
+          |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
     )
   }
 }

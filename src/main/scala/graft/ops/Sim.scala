@@ -96,6 +96,37 @@ object Sim {
         .crossJoin(broadcast(qSide(queries, idCol, vecCol))),
       k, excludeSelf)
 
+  /** Brute-force top-k via the typed [[graft.functions.TopKAgg]]
+    * Aggregator instead of the ranking window: result-identical to
+    * [[topK]] (same floor-stabilized sim, same (sim desc, c_id asc)
+    * tie-break — they share one oracle), but each partition reduces its
+    * scored pairs to a k-buffer BEFORE the shuffle and the exchange
+    * carries O(k · partitions) rows per query instead of every pair.
+    * This is the plan to prefer when the scored pair stream is large
+    * relative to k — exactly the 100 TB case.
+    */
+  def topKAgg(queries: DataFrame, candidates: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              excludeSelf: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val pairs = cSide(candidates, idCol, vecCol)
+      .crossJoin(broadcast(qSide(queries, idCol, vecCol)))
+    val filtered =
+      if (excludeSelf) pairs.where(col("q_id") =!= col("c_id")) else pairs
+    val scored = filtered.select(col("q_id"), col("c_id"),
+      Num.floorAt(dot(col("q_vec"), col("c_vec")) /
+        (col("q_norm") * col("c_norm")), 4).as("sim"))
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => graft.functions.ScoredId(t._2, t._3))
+      .agg(new graft.functions.TopKAgg(k).toColumn.name("topk"))
+      .toDF("q_id", "topk")
+      .select(col("q_id"), posexplode(col("topk")))
+      .select(col("q_id"), col("col.c_id").as("c_id"),
+        col("col.sim").as("sim"), (col("pos") + 1).cast("int").as("rk"))
+  }
+
   /** IVF-style top-k: probe only the candidate cell that matches the
     * query's cell (`cellCol` = coarse-quantizer assignment). Same output
     * shape as `topK` but each query scans ~N/cells candidates.

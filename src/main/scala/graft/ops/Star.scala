@@ -84,4 +84,26 @@ object Star {
         broadcast(dim.select(col(dimKey).as(factKey)).distinct()),
         Seq(factKey), "left_anti")
       .agg(count(lit(1)).as(as))
+
+  /** CDC snapshot diff: classify every key across two table snapshots as
+    * added / deleted / changed / unchanged by full-outer-joining on the
+    * key and comparing md5 row fingerprints over `fpCols`. The
+    * incremental-load primitive: at 100 TB both sides shuffle once on the
+    * key (no broadcast — snapshots are the same order of magnitude) and
+    * the fingerprint reduces arbitrary row width to 32 bytes before the
+    * join. Callers fingerprint NUMERIC columns via exact representations
+    * (e.g. DECIMAL) — a raw double→string render is engine-specific.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+                   fpCols: Seq[Column]): DataFrame = {
+    def fp(df: DataFrame, as: String) = df.select(col(key),
+      md5(concat_ws("|", fpCols: _*)).as(as))
+    fp(oldSnap, "fp_old").join(fp(newSnap, "fp_new"), Seq(key),
+        "full_outer")
+      .withColumn("status",
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "deleted")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged"))
+  }
 }

@@ -247,6 +247,46 @@ class Round3OpsSpec extends SparkSpec {
     assert(got === Set(("red bolt", "red bolts", 1)))
   }
 
+  test("topKAgg (typed Aggregator) is result-identical to the window " +
+    "topK plan on the fixture") {
+    import graft.ops.Sim
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.where(col("vec_id") < 10)
+    val viaWindow = Sim.topK(q, emb, 5).orderBy("q_id", "rk")
+      .collect().map(_.toSeq).toSeq
+    val viaAgg = Sim.topKAgg(q, emb, 5).orderBy("q_id", "rk")
+      .collect().map(_.toSeq).toSeq
+    assert(viaAgg === viaWindow)
+    assert(viaAgg.nonEmpty)
+  }
+
+  test("TopKAgg keeps k best with deterministic tie-break across " +
+    "partition splits") {
+    import graft.functions.{ScoredId, TopKAgg}
+    val agg = new TopKAgg(3)
+    val items = Seq(ScoredId(5, 0.9), ScoredId(2, 0.9), ScoredId(9, 0.5),
+      ScoredId(1, 0.7), ScoredId(7, 0.9), ScoredId(3, 0.2))
+    // reduce in one pass vs merge of arbitrary splits: same answer
+    val whole = items.foldLeft(agg.zero)(agg.reduce)
+    val (l, r) = items.splitAt(2)
+    val split = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(whole) === agg.finish(split))
+    // ties on sim 0.9 break by smaller c_id first
+    assert(agg.finish(whole) ===
+      Seq(ScoredId(2, 0.9), ScoredId(5, 0.9), ScoredId(7, 0.9)))
+  }
+
+  test("snapshotDiff classifies added/deleted/changed/unchanged") {
+    import graft.ops.Star
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val newSnap = Seq((2L, "b"), (3L, "CHANGED"), (4L, "d")).toDF("k", "v")
+    val got = Star.snapshotDiff(oldSnap, newSnap, "k", Seq(col("v")))
+      .select("k", "status").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "deleted", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("unionByName(allowMissing) null-fills the absent column") {
     val a = Seq((1L, 5.0)).toDF("k", "price")
       .withColumn("src", lit("fin"))
