@@ -127,6 +127,34 @@ object StreamOps {
         unix_timestamp(col("r_ts")).as("r_es"))
   }
 
+  /** Stream-stream LEFT OUTER join: same watermark + event-time-bounded
+    * condition as [[streamStreamJoin]], but left rows with no right match
+    * are emitted (null-padded) once the watermark proves no matching
+    * right row can still arrive — Spark holds the left row in state until
+    * `l_ts + windowSeconds` passes the right watermark, then releases it.
+    * This is the "purchase with no preceding click" / unattributed-event
+    * shape; the watermark is what makes the null verdict safe to emit on
+    * an unbounded stream.
+    */
+  def streamStreamLeftJoin(left: DataFrame, right: DataFrame,
+                           windowSeconds: Long, watermark: String = "1 hour")
+      : DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("l_id"),
+        col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+    l.join(r,
+        col("user_id") === col("r_user") &&
+          col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowSeconds SECOND") &&
+          col("r_ts") <= col("l_ts"),
+        "left_outer")
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        unix_timestamp(col("l_ts")).as("l_es"),
+        unix_timestamp(col("r_ts")).as("r_es"))
+  }
+
   /** Streaming exact dedup — the streaming twin of graft.ops.Dedup.exact:
     * duplicates of a key arriving within the watermark delay of its first
     * occurrence are dropped, and key state older than the watermark is

@@ -149,6 +149,80 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream LEFT OUTER join emits null-padded unmatched lefts " +
+      "after the watermark passes, matching the batch left join") {
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001"
+    val stage = Files.createTempDirectory("graft-ssoj").toFile
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    try {
+      Files.copy(new java.io.File(s"$src/events.parquet").toPath,
+        new java.io.File(stage, "a_events.parquet").toPath)
+      def purchases(df: org.apache.spark.sql.DataFrame) =
+        df.where(col("event_type") === "purchase")
+      def clicks(df: org.apache.spark.sql.DataFrame) =
+        df.where(col("event_type") === "click")
+
+      val in = StreamOps.eventsStream(spark, stage.getAbsolutePath)
+      val q = StreamOps.streamStreamLeftJoin(purchases(in), clicks(in),
+          3600, watermark = "10 minutes")
+        .writeStream.format("memory").queryName("ssoj")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // sentinel batches far in the future advance both watermarks so
+        // every remaining unmatched left row gets its null verdict; three
+        // batches because the watermark is computed at end-of-batch and
+        // outer-join state eviction runs a batch after it crosses
+        val far = Tables.load(spark, src, "events")
+          .agg(org.apache.spark.sql.functions.max(
+            unix_timestamp(col("ts")))).head().getLong(0) + 10 * 24 * 3600L
+        for (i <- 1 to 3) {
+          // eventsStream reads the fixture layout: ts is NANOS as long.
+          // BOTH event types: each side's watermark operator only sees
+          // rows passing its own filter, and the query watermark is the
+          // min across operators — a purchase-only sentinel would leave
+          // the click-side watermark (and so the global one) behind.
+          val tmpOut = Files.createTempDirectory("graft-ssoj-sent").toFile
+          Seq(
+            (900000L + 2 * i, (far + i) * 1000000000L, 999L, "purchase",
+              0.0, "{}"),
+            (900001L + 2 * i, (far + i) * 1000000000L, 999L, "click",
+              0.0, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value",
+              "props")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(tmpOut.getAbsolutePath)
+          // move the part file in FLAT — the file source lists the stage
+          // dir's immediate files, and a nested sentinelN.parquet/ dir
+          // would be invisible, silently pinning the watermark
+          val part = tmpOut.listFiles()
+            .find(f => f.getName.endsWith(".parquet")).get
+          Files.move(part.toPath,
+            new java.io.File(stage, s"sentinel$i.parquet").toPath)
+          rm(tmpOut)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamed = spark.table("ssoj")
+        .where(col("user_id") =!= 999)
+        .select("l_id", "r_id")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+
+      val batchIn = Tables.load(spark, src, "events")
+      val batch = StreamOps.streamStreamLeftJoin(
+          purchases(batchIn), clicks(batchIn), 3600)
+        .select("l_id", "r_id")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(streamed === batch)
+      assert(streamed.exists(_._2.isEmpty),
+        "expected at least one null-padded unmatched left")
+      assert(streamed.exists(_._2.nonEmpty))
+    } finally rm(stage)
+  }
+
   test("watermarked sessionize emits closed sessions via event-time " +
       "timeout once the watermark passes end+gap") {
     import spark.implicits._
