@@ -986,7 +986,20 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Sim.topKAgg(emb.where(col("vec_id") < 10), emb, 5)
         .orderBy("q_id", "rk")
-    })
+    }),
+
+    // data management — deterministic weighted sample (A-Res by
+    // ln(u)/weight with a 48-bit md5 uniform; P(include) ∝ n_chars).
+    "q103_weighted_sample" -> ((s, dir) =>
+      Agg.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars", 100)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")),
+
+    // north star — funnel conversion (first signup → first purchase
+    // within 24h, per user, as a one-row summary).
+    "q104_funnel" -> ((s, dir) =>
+      EventsOps.funnelConversion(t(s, dir, "events"),
+        "signup", "purchase", 86400))
   )
 
   // ---- oracle SQL (DuckDB) ----------------------------------------------
@@ -1952,7 +1965,34 @@ object SparkEntry {
           |SELECT q_id, c_id, sim, CAST(rk AS INTEGER) AS rk FROM (
           |  SELECT q_id, c_id, sim,
           |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
-          |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+          |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+      "q103_weighted_sample" ->
+        s"""SELECT doc_id, lang, n_chars FROM (
+           |  SELECT doc_id, lang, n_chars,
+           |    floor((ln((${md5HexNSql("CAST(doc_id AS VARCHAR)", 12)} + 1)
+           |      / 281474976710656.0) / n_chars) * 100000000) / 100000000
+           |      AS sample_key
+           |  FROM documents
+           |  ORDER BY sample_key DESC, doc_id ASC LIMIT 100)
+           |ORDER BY doc_id""".stripMargin,
+
+      "q104_funnel" ->
+        s"""WITH e AS (SELECT user_id, event_type, ${epochSql("ts")} AS es
+           |           FROM events),
+           |s AS (SELECT user_id, MIN(es) AS s_es FROM e
+           |      WHERE event_type = 'signup' GROUP BY 1),
+           |p AS (SELECT user_id, es FROM e WHERE event_type = 'purchase'),
+           |j AS (SELECT s.user_id, s.s_es,
+           |        MIN(CASE WHEN p.es >= s.s_es THEN p.es END) AS p_es
+           |      FROM s LEFT JOIN p ON p.user_id = s.user_id
+           |      GROUP BY 1, 2)
+           |SELECT COUNT(*) AS n_start,
+           | CAST(SUM(COALESCE(CAST(p_es - s_es <= 86400 AS BIGINT), 0))
+           |   AS BIGINT) AS n_converted,
+           | floor((10000.0 * SUM(COALESCE(CAST(p_es - s_es <= 86400 AS BIGINT), 0)))
+           |   / COUNT(*)) / 100 AS pct_converted
+           |FROM j""".stripMargin
     )
   }
 }

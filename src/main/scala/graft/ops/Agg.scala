@@ -119,6 +119,30 @@ object Agg {
         .as("corr"))
   }
 
+  /** Deterministic WEIGHTED sample (A-Res, Efraimidis–Spirakis): rank
+    * rows by ln(u)/w descending — the monotonic equivalent of the
+    * classic u^(1/w) key (both maximize exp(ln(u)/w)), chosen because
+    * u^(1/w) compresses all keys against 1.0 for large weights and a
+    * floor-stabilized comparison would collapse them, while ln(u)/w
+    * keeps ~1e-7 spacing at 8-dp floors. u is a 48-bit md5-derived
+    * uniform — no PRNG state, bit-identical in Spark and DuckDB, so the
+    * sample is reproducible across runs AND engines. Inclusion
+    * probability ∝ weight; plan is one TakeOrderedAndProject (no global
+    * sort). The training-data curation shape: sample long documents
+    * more often without giving up determinism.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     n: Int): DataFrame = {
+    // u in (0,1]: (v + 1) / 2^48 over the first 12 md5 nibbles
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("double") + 1) / 281474976710656.0
+    val key = log(u) / col(weightCol)
+    df.withColumn("sample_key", Num.floorAt(key, 8))
+      .orderBy(col("sample_key").desc, col(idCol).asc)
+      .limit(n)
+      .drop("sample_key")
+  }
+
   /** Deterministic stratified sample: the `n` smallest md5-ranked rows per
     * stratum — reproducible across runs/engines (vs `sampleBy`, which is
     * seed- and partitioning-dependent), uniform within each stratum

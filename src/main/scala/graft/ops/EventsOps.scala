@@ -223,6 +223,33 @@ object EventsOps {
       .select("user_id", "bucket", "n", "ffill_total")
   }
 
+  /** Funnel conversion: per user, the FIRST `fromType` event and the
+    * first `toType` event at-or-after it; a user converts if the gap is
+    * within `windowSeconds`. Returns the one-row summary (starts,
+    * conversions, pct) — the product-analytics primitive. Two keyed aggs
+    * and one join, all hashed on user_id, so the exchanges line up; the
+    * percentage follows the q19 rule (floor over exact integer counts —
+    * cross-engine-stable).
+    */
+  def funnelConversion(events: DataFrame, fromType: String, toType: String,
+                       windowSeconds: Long): DataFrame = {
+    val es = events.select(col("user_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("es"))
+    val starts = es.where(col("event_type") === fromType)
+      .groupBy("user_id").agg(min(col("es")).as("s_es"))
+    val targets = es.where(col("event_type") === toType)
+      .select(col("user_id"), col("es"))
+    val converted = (col("p_es") - col("s_es") <= windowSeconds)
+      .cast("long")
+    starts.join(targets, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("s_es"))
+      .agg(min(when(col("es") >= col("s_es"), col("es"))).as("p_es"))
+      .agg(count(lit(1)).as("n_start"),
+        sum(coalesce(converted, lit(0L))).as("n_converted"),
+        (floor(lit(10000.0) * sum(coalesce(converted, lit(0L)))
+          / count(lit(1))) / 100).as("pct_converted"))
+  }
+
   /** JSON property extraction — regex-based so the oracle needs no JSON
     * extension; `props` is flat `{"k": <int>}` in the fixture.
     */

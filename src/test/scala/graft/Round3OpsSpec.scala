@@ -287,6 +287,40 @@ class Round3OpsSpec extends SparkSpec {
       3L -> "changed", 4L -> "added"))
   }
 
+  test("weightedSample: stable across runs, and heavier rows are " +
+    "overrepresented vs a uniform sample") {
+    val docs = (1 to 2000).map { i =>
+      (i.toLong, if (i % 10 == 0) 1000L else 10L)  // 10% heavy rows
+    }.toDF("doc_id", "w")
+    val s1 = Agg.weightedSample(docs, "doc_id", "w", 200)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Agg.weightedSample(docs, "doc_id", "w", 200)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2)
+    val heavyShare = s1.count(_ % 10 == 0).toDouble / s1.size
+    // heavy rows are 10% of the population but 100x weight: their sample
+    // share must far exceed 10% (they should dominate)
+    assert(heavyShare > 0.5, s"heavy share only $heavyShare")
+  }
+
+  test("funnelConversion golden: converts within window only, first " +
+    "events only, never-purchasers counted as starts") {
+    val events = ev(
+      (1L, 1L, 1000L, "signup", 0.0),
+      (2L, 1L, 2000L, "purchase", 0.0),   // converts (gap 1000)
+      (3L, 2L, 1000L, "signup", 0.0),
+      (4L, 2L, 999L, "purchase", 0.0),    // BEFORE signup: no conversion
+      (5L, 3L, 1000L, "signup", 0.0),
+      (6L, 3L, 90000L, "purchase", 0.0),  // past the 24h window
+      (7L, 4L, 1000L, "signup", 0.0),     // never purchases
+      (8L, 5L, 500L, "purchase", 0.0))    // purchase with no signup
+    val r = EventsOps.funnelConversion(events, "signup", "purchase", 86400)
+      .head()
+    assert(r.getLong(0) === 4L)   // users 1-4 signed up
+    assert(r.getLong(1) === 1L)   // only user 1 converted
+    assert(r.getDouble(2) === 25.0)
+  }
+
   test("unionByName(allowMissing) null-fills the absent column") {
     val a = Seq((1L, 5.0)).toDF("k", "price")
       .withColumn("src", lit("fin"))
