@@ -137,4 +137,28 @@ class PlanSpec extends SparkSpec {
     assert("percentile\\(".r.findAllIn(p).size <= 2,  // partial+final of one agg
       "two separate percentile buffers:\n" + p.take(1200))
   }
+
+  test("q101 snapshot diff is a sort-merge FULL OUTER join on the key " +
+    "(neither snapshot broadcasts)") {
+    val p = plan("q101_snapshot_diff")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      p.take(1200))
+    assert(!p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("q102 typed top-k plans as an object hash aggregate, NOT a " +
+    "window sort over all pairs") {
+    val p = plan("q102_topk_agg")
+    assert(p.contains("ObjectHashAggregate"), p.take(1200))
+    assert(!p.contains("Window"), "window plan crept back in:\n" +
+      p.take(1200))
+  }
+
+  test("q103/q76 sampling plans use TakeOrderedAndProject (partial " +
+    "per-partition top-n, no global sort)") {
+    for (q <- Seq("q103_weighted_sample", "q76_det_sample")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n" + p.take(1200))
+    }
+  }
 }
