@@ -1010,6 +1010,24 @@ object SparkEntry {
     val toks = toksSql("text")
     val cleanToks = toksSql("c")
 
+    // ONE oracle for both brute-force top-k plans: q40 (window) and
+    // q102 (typed Aggregator) are result-identical by construction —
+    // binding them to the same string makes divergence impossible.
+    val topkCosineSql =
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT q_id, c_id,
+        |    floor((
+        |      list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))) * 10000) / 10000 AS sim
+        |  FROM c CROSS JOIN q WHERE q_id <> c_id)
+        |SELECT q_id, c_id, sim, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT q_id, c_id, sim,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
+        |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
     ListMap(
       "q01_pricing_summary" ->
         s"""SELECT l_returnflag, l_linestatus,
@@ -1351,20 +1369,7 @@ object SparkEntry {
           | COUNT(*) AS n_orders
           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
-      "q40_topk_cosine" ->
-        """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-          |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
-          |scored AS (
-          |  SELECT q_id, c_id,
-          |    floor((
-          |      list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
-          |      / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
-          |       * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))) * 10000) / 10000 AS sim
-          |  FROM c CROSS JOIN q WHERE q_id <> c_id)
-          |SELECT q_id, c_id, sim, CAST(rk AS INTEGER) AS rk FROM (
-          |  SELECT q_id, c_id, sim,
-          |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
-          |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+      "q40_topk_cosine" -> topkCosineSql,
 
       "q41_topk_ivf" ->
         """WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS cell FROM embeddings WHERE vec_id < 10),
@@ -1684,11 +1689,15 @@ object SparkEntry {
           | md5(substring(repeat(text, CAST(64 // strlen(text) + 1 AS INTEGER)), 1, 64)) AS payload_md5
           |FROM documents WHERE strlen(text) > 0 ORDER BY media_id""".stripMargin,
 
+      // t IS NOT NULL mirrors Spark's posexplode-of-null => zero rows
+      // (DuckDB least(NULL, 3) is 3, which would fabricate 3 null-token
+      // rows for a null-text document)
       "q80_posexplode_tokens" ->
         s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t
            |              FROM documents),
            |p AS (SELECT doc_id, t,
-           |        unnest(range(0, least(len(t), 3))) AS pos FROM toks)
+           |        unnest(range(0, least(len(t), 3))) AS pos FROM toks
+           |      WHERE t IS NOT NULL)
            |SELECT doc_id, pos, t[pos + 1] AS tok FROM p
            |ORDER BY doc_id, pos""".stripMargin,
 
@@ -1752,12 +1761,16 @@ object SparkEntry {
           |  WHERE o_orderstatus = 'O')
           |ORDER BY o_orderkey, src""".stripMargin,
 
+      // backslash/quote escapes mirror Spark's to_json for the common
+      // cases (full JSON escaping also covers control chars — the
+      // contract documented on Agg.mapCounts excludes those from keys)
       "q87_map_counts" ->
         """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
           |           FROM events GROUP BY 1, 2)
           |SELECT user_id,
-          | '{' || string_agg('"' || event_type || '":' || n, ','
-          |                   ORDER BY event_type) || '}' AS counts_json
+          | '{' || string_agg(
+          |   '"' || replace(replace(event_type, '\', '\\'), '"', '\"')
+          |     || '":' || n, ',' ORDER BY event_type) || '}' AS counts_json
           |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
 
       "q88_scd2_intervals" ->
@@ -1950,22 +1963,9 @@ object SparkEntry {
            |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
       },
 
-      // same oracle as q40: the Aggregator plan is result-identical to
-      // the window plan by construction (shared floor + tie-break)
-      "q102_topk_agg" ->
-        """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-          |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
-          |scored AS (
-          |  SELECT q_id, c_id,
-          |    floor((
-          |      list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
-          |      / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
-          |       * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))) * 10000) / 10000 AS sim
-          |  FROM c CROSS JOIN q WHERE q_id <> c_id)
-          |SELECT q_id, c_id, sim, CAST(rk AS INTEGER) AS rk FROM (
-          |  SELECT q_id, c_id, sim,
-          |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
-          |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+      // bound to the SAME string as q40: the Aggregator plan is
+      // result-identical to the window plan by construction
+      "q102_topk_agg" -> topkCosineSql,
 
       "q103_weighted_sample" ->
         s"""SELECT doc_id, lang, n_chars FROM (

@@ -45,6 +45,10 @@ object Agg {
     * inner (rowKey, valKey) count shrinks the data before the per-rowKey
     * collect, so the collected lists are bounded by the value-domain
     * cardinality, never the row count.
+    *
+    * Contract: `valKey` values must not contain JSON control characters
+    * (< U+0020) — to_json escapes them, and the oracle's string rendering
+    * only mirrors the backslash/quote escapes.
     */
   def mapCounts(df: DataFrame, rowKey: String, valKey: String): DataFrame =
     df.groupBy(col(rowKey), col(valKey)).agg(count(lit(1)).as("n"))
@@ -137,7 +141,11 @@ object Agg {
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
       .cast("double") + 1) / 281474976710656.0
     val key = log(u) / col(weightCol)
-    df.withColumn("sample_key", Num.floorAt(key, 8))
+    // weights must be > 0 for A-Res: a negative weight would flip the key
+    // sign and deterministically outrank every valid row, a zero weight
+    // divides to null — filter rather than silently mis-sample
+    df.where(col(weightCol) > 0)
+      .withColumn("sample_key", Num.floorAt(key, 8))
       .orderBy(col("sample_key").desc, col(idCol).asc)
       .limit(n)
       .drop("sample_key")

@@ -311,9 +311,16 @@ object Dedup {
     var lbl = edges.groupBy("src").agg(min(col("dst")).as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
     for (_ <- 2 to rounds) {
-      val nbr = edges.join(lbl.withColumnRenamed("id", "dst"), Seq("dst"))
+      // materialize the label frame each round: it is referenced TWICE
+      // per round (neighbor join + self join), so an unmaterialized loop
+      // doubles the plan tree per round — exponential optimizer cost by
+      // ~round 10. Per-round checkpointing is what GraphX's
+      // checkpointInterval exists for; the label frame is one (id, lbl)
+      // row per node, far smaller than the corpus.
+      val cur = lbl.localCheckpoint()
+      val nbr = edges.join(cur.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy("src").agg(min(col("lbl")).as("nlbl"))
-      lbl = lbl.join(nbr.withColumnRenamed("src", "id"), Seq("id"))
+      lbl = cur.join(nbr.withColumnRenamed("src", "id"), Seq("id"))
         .select(col("id"), least(col("lbl"), col("nlbl")).as("lbl"))
     }
     lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))

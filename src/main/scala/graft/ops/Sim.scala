@@ -52,16 +52,27 @@ object Sim {
     * every top-k variant so the scale (4dp floor), self-filter, and
     * tie-break live in exactly one place.
     */
-  private def rankPairs(pairs: DataFrame, k: Int,
-                        excludeSelf: Boolean): DataFrame = {
+  /** The one scoring projection every top-k variant shares: optional
+    * self-pair filter + 4dp-floored cosine. Scoring semantics (floor
+    * scale, column names) live HERE and nowhere else — the window plan
+    * (rankPairs) and the Aggregator plan (topKAgg) must stay
+    * result-identical, they share one oracle.
+    */
+  private def scoredPairs(pairs: DataFrame,
+                          excludeSelf: Boolean): DataFrame = {
     val filtered =
       if (excludeSelf) pairs.where(col("q_id") =!= col("c_id")) else pairs
-    val scored = filtered.select(col("q_id"), col("c_id"),
+    filtered.select(col("q_id"), col("c_id"),
       Num.floorAt(dot(col("q_vec"), col("c_vec")) /
         (col("q_norm") * col("c_norm")), 4).as("sim"))
+  }
+
+  private def rankPairs(pairs: DataFrame, k: Int,
+                        excludeSelf: Boolean): DataFrame = {
     val w = Window.partitionBy("q_id")
       .orderBy(col("sim").desc, col("c_id").asc)
-    scored.withColumn("rk", row_number().over(w))
+    scoredPairs(pairs, excludeSelf)
+      .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("q_id"), col("c_id"), col("sim"), col("rk"))
   }
@@ -112,12 +123,7 @@ object Sim {
     import spark.implicits._
     val pairs = cSide(candidates, idCol, vecCol)
       .crossJoin(broadcast(qSide(queries, idCol, vecCol)))
-    val filtered =
-      if (excludeSelf) pairs.where(col("q_id") =!= col("c_id")) else pairs
-    val scored = filtered.select(col("q_id"), col("c_id"),
-      Num.floorAt(dot(col("q_vec"), col("c_vec")) /
-        (col("q_norm") * col("c_norm")), 4).as("sim"))
-    scored.as[(Long, Long, Double)]
+    scoredPairs(pairs, excludeSelf).as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues(t => graft.functions.ScoredId(t._2, t._3))
       .agg(new graft.functions.TopKAgg(k).toColumn.name("topk"))

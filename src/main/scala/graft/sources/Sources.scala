@@ -83,10 +83,15 @@ object Sources {
   def compact(spark: SparkSession, inPath: String, outPath: String,
               schema: StructType, targetFileBytes: Long,
               sortCols: Seq[String] = Nil): (Int, Int) = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    def parquetFiles(p: String): Seq[org.apache.hadoop.fs.FileStatus] =
-      fs.globStatus(new org.apache.hadoop.fs.Path(p + "/*.parquet")).toSeq
+    // resolve the filesystem FROM the path (inPath may live on a non-
+    // default FS, e.g. an object store while the default is HDFS), and
+    // null-guard globStatus (Hadoop returns null, not empty, for a
+    // nonexistent parent)
+    def parquetFiles(p: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val path = new org.apache.hadoop.fs.Path(p + "/*.parquet")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+    }
     val before = parquetFiles(inPath)
     val totalBytes = before.map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(

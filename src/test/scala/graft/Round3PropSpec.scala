@@ -90,7 +90,10 @@ class Round3PropSpec extends SparkSpec {
       val df = pairs.toDF("id_a", "id_b")
       val r2 = Dedup.minLabelPropagate(df, rounds = 2)
         .as[(Long, Long)].collect().toMap
-      val r8 = Dedup.minLabelPropagate(df, rounds = 8)
+      // 14 rounds = node count - 1: guaranteed to cover the diameter of
+      // ANY 15-node graph, so the exact-component assertion cannot fail
+      // on a path-shaped component however the generator seeds shift
+      val r8 = Dedup.minLabelPropagate(df, rounds = 14)
         .as[(Long, Long)].collect().toMap
       // brute-force components on the driver (15 nodes)
       var comp = pairs.flatMap(p => Seq(p._1, p._2)).distinct
@@ -105,7 +108,7 @@ class Round3PropSpec extends SparkSpec {
           }
         }
       }
-      assert(r8 === comp, "8 rounds must reach the true component min " +
+      assert(r8 === comp, "n-1 rounds must reach the true component min " +
         "on a 15-node graph")
       r2.foreach { case (id, l2) =>
         assert(l2 >= r8(id), s"more rounds can only lower labels: $id")
