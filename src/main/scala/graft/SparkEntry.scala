@@ -999,7 +999,18 @@ object SparkEntry {
     // within 24h, per user, as a one-row summary).
     "q104_funnel" -> ((s, dir) =>
       EventsOps.funnelConversion(t(s, dir, "events"),
-        "signup", "purchase", 86400))
+        "signup", "purchase", 86400)),
+
+    // north star — first-order event-transition counts (behavioral
+    // Markov baseline).
+    "q105_transitions" -> ((s, dir) =>
+      EventsOps.transitionCounts(t(s, dir, "events"))
+        .orderBy("prev_type", "event_type")),
+
+    // north star — weekly cohort retention matrix.
+    "q106_retention" -> ((s, dir) =>
+      EventsOps.cohortRetention(t(s, dir, "events"))
+        .orderBy("cohort_week", "week_offset"))
   )
 
   // ---- oracle SQL (DuckDB) ----------------------------------------------
@@ -1992,7 +2003,29 @@ object SparkEntry {
            |   AS BIGINT) AS n_converted,
            | floor((10000.0 * SUM(COALESCE(CAST(p_es - s_es <= 86400 AS BIGINT), 0)))
            |   / COUNT(*)) / 100 AS pct_converted
-           |FROM j""".stripMargin
+           |FROM j""".stripMargin,
+
+      "q105_transitions" ->
+        s"""WITH e AS (SELECT user_id, event_id, ${epochSql("ts")} AS es,
+           |             event_type FROM events),
+           |l AS (SELECT event_type,
+           |        lag(event_type) OVER (PARTITION BY user_id
+           |          ORDER BY es, event_id) AS prev_type
+           |      FROM e)
+           |SELECT prev_type, event_type, COUNT(*) AS n FROM l
+           |WHERE prev_type IS NOT NULL
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q106_retention" ->
+        s"""WITH w AS (SELECT user_id, ${epochSql("ts")} // 604800 AS week
+           |           FROM events),
+           |f AS (SELECT user_id, MIN(week) AS cohort_week FROM w
+           |      GROUP BY 1),
+           |o AS (SELECT DISTINCT w.user_id, f.cohort_week,
+           |        w.week - f.cohort_week AS week_offset
+           |      FROM w JOIN f ON f.user_id = w.user_id)
+           |SELECT cohort_week, week_offset, COUNT(*) AS n_users
+           |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     )
   }
 }

@@ -250,6 +250,45 @@ object EventsOps {
           / count(lit(1))) / 100).as("pct_converted"))
   }
 
+  /** Event-transition counts (first-order Markov): per user, pair each
+    * event with its predecessor's type via one lag window, then count
+    * (prev_type, event_type) transitions globally. Two shuffles: user_id
+    * for the lag sort, then the transition-pair agg (which reduces
+    * map-side). The behavioral-model / anomaly-baseline primitive.
+    */
+  def transitionCounts(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("es").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Cohort retention: users grouped by their FIRST-seen week (cohort),
+    * counted as retained in week offset k if they have any event k weeks
+    * after their first. Weeks are epoch-day/7 buckets (engine-neutral
+    * integers). Two aggs on user_id + one distinct on (cohort, offset,
+    * user) — the offset matrix rows are bounded by |users| × horizon,
+    * never raw events.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val weeks = events.select(col("user_id"),
+      (floor(unix_timestamp(col("ts")) / (7 * 86400)).cast("long"))
+        .as("week"))
+    val firstWeek = weeks.groupBy("user_id")
+      .agg(min(col("week")).as("cohort_week"))
+    weeks.join(firstWeek, Seq("user_id"))
+      .select(col("user_id"), col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** JSON property extraction — regex-based so the oracle needs no JSON
     * extension; `props` is flat `{"k": <int>}` in the fixture.
     */

@@ -321,6 +321,33 @@ class Round3OpsSpec extends SparkSpec {
     assert(r.getDouble(2) === 25.0)
   }
 
+  test("transitionCounts golden: per-user ordering, no cross-user pairs, " +
+    "first events excluded") {
+    val events = ev(
+      (1L, 1L, 100L, "a", 0.0), (2L, 1L, 200L, "b", 0.0),
+      (3L, 1L, 300L, "b", 0.0),
+      (4L, 2L, 150L, "c", 0.0), (5L, 2L, 250L, "a", 0.0))
+    val got = EventsOps.transitionCounts(events)
+      .as[(String, String, Long)].collect().toSet
+    // NOT (b -> c): users never share a chain
+    assert(got === Set(("a", "b", 1L), ("b", "b", 1L), ("c", "a", 1L)))
+  }
+
+  test("cohortRetention golden: offsets relative to first week, multiple " +
+    "events in one week count once") {
+    val wk = 7 * 86400L
+    val events = ev(
+      (1L, 1L, 0 * wk + 10, "a", 0.0),       // u1 cohort week 0
+      (2L, 1L, 0 * wk + 20, "a", 0.0),       // same week: counted once
+      (3L, 1L, 2 * wk + 10, "a", 0.0),       // offset 2
+      (4L, 2L, 1 * wk + 10, "a", 0.0),       // u2 cohort week 1
+      (5L, 2L, 2 * wk + 10, "a", 0.0))       // offset 1
+    val got = EventsOps.cohortRetention(events)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((0L, 0L, 1L), (0L, 2L, 1L),
+      (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+
   test("unionByName(allowMissing) null-fills the absent column") {
     val a = Seq((1L, 5.0)).toDF("k", "price")
       .withColumn("src", lit("fin"))
