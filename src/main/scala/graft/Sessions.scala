@@ -19,6 +19,7 @@ object Sessions {
     // and the bounded-edit-distance filter rewrite (fuzzy-match scale path)
     .withExtensions { ext =>
       ext.injectFunction(graft.functions.DotProductF32.descriptor)
+      ext.injectFunction(graft.functions.CleanTextFast.descriptor)
       ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
     }
     .config("spark.sql.shuffle.partitions", cpus)

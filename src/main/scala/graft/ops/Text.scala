@@ -13,10 +13,23 @@ object Text {
   /** Reference `clean_text` (reddit_etl_proj/etl_pipeline.py:73-75):
     * strip URLs and every non-letter/non-whitespace char, lowercase, trim.
     * The pattern is valid and equivalent in Java regex and RE2 (DuckDB).
+    *
+    * The production path is the native single-scan expression
+    * (graft.functions.CleanTextFast, codegen'd — no per-char regex NFA on
+    * the engine's hottest pass); [[cleanTextRegex]] keeps the regex
+    * formulation as the semantic reference, and TextSpec proves the two
+    * byte-equal on adversarial inputs and the full fixture corpus. The
+    * DuckDB oracle always uses the regex form.
     */
   val CleanRegex = "http\\S+|www\\S+|[^a-zA-Z\\s]"
 
   def cleanText(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.CleanTextFast(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+
+  /** The regex formulation — the reference semantics cleanText must match. */
+  def cleanTextRegex(c: Column): Column =
     lower(trim(regexp_replace(c, CleanRegex, "")))
 
   /** Reference dropout flag (etl_pipeline.py:80): case-insensitive regex

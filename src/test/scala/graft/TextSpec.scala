@@ -31,6 +31,43 @@ class TextSpec extends SparkSpec {
     assert(clean(Seq("?!?!...  42 --")) === Seq(""))
   }
 
+  test("native cleanText == regex formulation, byte for byte, on " +
+    "adversarial inputs (property) and the fixture corpus") {
+    // adversarial: url literals split/joined/cased, unicode, all Java \s
+    // whitespace chars, digits, edge positions
+    val frag = Gen.frequency(
+      5 -> Gen.oneOf("http", "www", "HTTP", "Www", "ttp", "ww", "xhttp",
+        "https://a.b/c?d=1", "www.x.co", "http", "w", "h"),
+      5 -> Gen.listOf(Gen.alphaNumChar).map(_.mkString),
+      3 -> Gen.oneOf(" ", "\t", "\n", "", "\f", "\r", "  "),
+      2 -> Gen.oneOf("é", "中文", "!?#;", "..", "-", "_", "42"))
+    val gen = Gen.listOf(frag).map(_.mkString)
+    val xs = samples(gen, 120) ++ Seq("", " ", "http", "http ", "httpx",
+      "www", "wwww", "a http://x b", "whttp://x", "HTTP://x.co",
+      "http\thttp x", "wwwhttp zz", "http!")
+    val df = xs.toDF("t")
+    val got = df.select(Text.cleanText(col("t")).as("fast"),
+        Text.cleanTextRegex(col("t")).as("ref"))
+      .collect()
+    got.zip(xs).foreach { case (r, in) =>
+      assert(r.getString(0) === r.getString(1), s"input: <$in>")
+    }
+    // and the whole documents fixture at sf0.01
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val diff = docs.select(Text.cleanText(col("text")).as("fast"),
+        Text.cleanTextRegex(col("text")).as("ref"))
+      .where(!(col("fast") <=> col("ref"))).count()
+    assert(diff === 0)
+  }
+
+  test("native cleanText null -> null, and works via SQL registration") {
+    val r = spark.sql(
+      "SELECT clean_text_fast(CAST(NULL AS STRING)) AS a, " +
+        "clean_text_fast('Mixed http://x.co CASE 42!') AS b").head()
+    assert(r.isNullAt(0))
+    assert(r.getString(1) === "mixed  case")
+  }
+
   test("cleanText is idempotent (property)") {
     val gen = Gen.listOf(Gen.frequency(
       8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '.', '!', '?', '\t'),
