@@ -20,6 +20,7 @@ object Sessions {
     .withExtensions { ext =>
       ext.injectFunction(graft.functions.DotProductF32.descriptor)
       ext.injectFunction(graft.functions.CleanTextFast.descriptor)
+      ext.injectFunction(graft.functions.CleanTokensFast.descriptor)
       ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
     }
     .config("spark.sql.shuffle.partitions", cpus)

@@ -473,7 +473,7 @@ object SparkEntry {
     // north star — SimHash signatures (native single-pass expression).
     "q34_simhash" -> ((s, dir) =>
       t(s, dir, "documents")
-        .withColumn("t", Text.tokens(Text.cleanText(col("text"))))
+        .withColumn("t", Text.cleanTokens(col("text")))
         .select(col("doc_id"), Dedup.simhash16Native(col("t")).as("simhash"))
         .orderBy("doc_id")),
 

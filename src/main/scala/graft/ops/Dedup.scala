@@ -99,8 +99,7 @@ object Dedup {
     */
   def signatures(df: DataFrame, idCol: String, textCol: String,
                  k: Int): DataFrame =
-    df.select(col(idCol).as("id"), Text.cleanText(col(textCol)).as("c"))
-      .withColumn("t", Text.tokens(col("c")))
+    df.select(col(idCol).as("id"), Text.cleanTokens(col(textCol)).as("t"))
       .withColumn("shs", shingles(col("t")))
       .withColumn("sig", minhashSignature(col("shs"), k))
       .select(col("id"), col("shs"), col("sig"))
@@ -116,7 +115,7 @@ object Dedup {
     // shingle expression into the Filter, re-triggering the per-element
     // re-evaluation blowup this module exists to avoid.
     val sig = signatures(
-        df.where(size(Text.tokens(Text.cleanText(col(textCol)))) >= 3),
+        df.where(size(Text.cleanTokens(col(textCol))) >= 3),
         idCol, textCol, k)
       .select(col("id"), col("sig"))
     val banded = sig.select(col("id"), col("sig"),
@@ -141,8 +140,7 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    w: Int = 3, minJaccard: Double = 0.1): DataFrame = {
     val sh = df
-      .select(col(idCol).as("id"), Text.cleanText(col(textCol)).as("c"))
-      .withColumn("t", Text.tokens(col("c")))
+      .select(col(idCol).as("id"), Text.cleanTokens(col(textCol)).as("t"))
       .select(col("id"),
         explode(array_distinct(shingles(col("t"), w))).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
@@ -212,8 +210,7 @@ object Dedup {
   def simhashDupPairs60(df: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3): DataFrame = {
     val sigs = df
-      .select(col(idCol).as("id"), Text.cleanText(col(textCol)).as("c"))
-      .withColumn("t", Text.tokens(col("c")))
+      .select(col(idCol).as("id"), Text.cleanTokens(col(textCol)).as("t"))
       .select(col("id"), simhash60Native(col("t")).as("sh"))
     val banded = sigs.select(col("id"), col("sh"),
       explode(array((0 until 4).map(b =>
@@ -243,8 +240,7 @@ object Dedup {
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
     val sigs = df
-      .select(col(idCol).as("id"), Text.cleanText(col(textCol)).as("c"))
-      .withColumn("t", Text.tokens(col("c")))
+      .select(col(idCol).as("id"), Text.cleanTokens(col(textCol)).as("t"))
       .select(col("id"), simhash16Native(col("t")).as("sh"))
     val banded = sigs.select(col("id"), col("sh"),
       explode(array((0 until 4).map(b =>

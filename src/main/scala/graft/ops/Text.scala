@@ -55,6 +55,17 @@ object Text {
   def tokens(c: Column): Column =
     filter(split(c, " "), t => t =!= "")
 
+  /** Fused clean_text + tokenize — ONE native scan replacing the
+    * clean-NFA + materialize + split-regex three-pass composition
+    * (graft.functions.CleanTokensFast; equivalence to
+    * `tokens(cleanTextRegex(c))` is spec'd). Use this at the front of
+    * every tokenizing pipeline over RAW text.
+    */
+  def cleanTokens(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.CleanTokensFast(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+
   /** The text-stats operators below take a MATERIALIZED token-array column
     * (`withColumn("t", Text.tokens(...))`), not raw text: Catalyst
     * re-evaluates lambda-captured subexpressions per array element and per
@@ -120,18 +131,6 @@ object Text {
   def fingerprint60(c: Column): Column =
     conv(substring(fingerprint(c), 1, 15), 16, 10).cast("long")
 
-  /** Top-k terms per document by TF-IDF with smoothed
-    * idf = ln((N+1)/(df+1)). Three hash-aggregate shuffles (term counts,
-    * doc frequencies, corpus size) and one broadcast of the tiny (term, df)
-    * side — no all-pairs structure, so the shape holds at corpus scale.
-    * Scores are floor-truncated to 4dp before ranking (Num.floorAt) so a
-    * last-ulp ln() difference between engines cannot flip an ordering.
-    *
-    * Note: the df branch re-derives (id, term) counts from the scan (no
-    * CTE materialization in a one-shot plan — the broadcast and shuffle
-    * exchanges don't unify for reuse). A pipeline that runs TF-IDF
-    * repeatedly should persist or write out `tf` between stages.
-    */
   /** BM25 per-(doc, term) relevance with top-k terms per doc. Constants
     * k1=1.5, b=0.75 are chosen as EXACT binary fractions (so are 0.25,
     * 2.5, 0.5 derived from them): every literal in the scoring expression
@@ -147,7 +146,7 @@ object Text {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                k: Int): DataFrame = {
     val terms = docs.select(col(idCol).as("id"),
-      explode(tokens(cleanText(col(textCol)))).as("term"))
+      explode(cleanTokens(col(textCol))).as("term"))
     val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dl = terms.groupBy("id").agg(count(lit(1)).as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -167,10 +166,22 @@ object Text {
       Seq(col("score").desc, col("term").asc), k)
   }
 
+  /** Top-k terms per document by TF-IDF with smoothed
+    * idf = ln((N+1)/(df+1)). Three hash-aggregate shuffles (term counts,
+    * doc frequencies, corpus size) and one broadcast of the tiny (term, df)
+    * side — no all-pairs structure, so the shape holds at corpus scale.
+    * Scores are floor-truncated to 4dp before ranking (Num.floorAt) so a
+    * last-ulp ln() difference between engines cannot flip an ordering.
+    *
+    * Note: the df branch re-derives (id, term) counts from the scan (no
+    * CTE materialization in a one-shot plan — the broadcast and shuffle
+    * exchanges don't unify for reuse). A pipeline that runs TF-IDF
+    * repeatedly should persist or write out `tf` between stages.
+    */
   def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
                 k: Int): DataFrame = {
     val terms = docs.select(col(idCol).as("id"),
-      explode(tokens(cleanText(col(textCol)))).as("term"))
+      explode(cleanTokens(col(textCol))).as("term"))
     val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))

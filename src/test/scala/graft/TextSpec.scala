@@ -60,6 +60,31 @@ class TextSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("fused cleanTokens == tokens(cleanTextRegex), element for " +
+    "element, on adversarial inputs and the fixture corpus") {
+    val frag = Gen.frequency(
+      5 -> Gen.oneOf("http", "www", "HTTP", "https://a.b/c", "www.x.co",
+        "xhttp", "w", "h", "ww"),
+      5 -> Gen.listOf(Gen.alphaNumChar).map(_.mkString),
+      3 -> Gen.oneOf(" ", "\t", "\n", "", "\r", "  ", " \t "),
+      2 -> Gen.oneOf("é", "中", "!?", "-", "42"))
+    val gen = Gen.listOf(frag).map(_.mkString)
+    val xs = samples(gen, 120) ++ Seq("", " ", "a\tb c", "\ta b\t",
+      " http://x a", "a  b", "http x www y z")
+    val df = xs.toDF("t")
+    val got = df.select(Text.cleanTokens(col("t")).as("fast"),
+        Text.tokens(Text.cleanTextRegex(col("t"))).as("ref"))
+      .collect()
+    got.zip(xs).foreach { case (r, in) =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1), s"input: <$in>")
+    }
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val diff = docs.select(Text.cleanTokens(col("text")).as("fast"),
+        Text.tokens(Text.cleanTextRegex(col("text"))).as("ref"))
+      .where(!(col("fast") <=> col("ref"))).count()
+    assert(diff === 0)
+  }
+
   test("native cleanText null -> null, and works via SQL registration") {
     val r = spark.sql(
       "SELECT clean_text_fast(CAST(NULL AS STRING)) AS a, " +
