@@ -1010,7 +1010,20 @@ object SparkEntry {
     // north star — weekly cohort retention matrix.
     "q106_retention" -> ((s, dir) =>
       EventsOps.cohortRetention(t(s, dir, "events"))
-        .orderBy("cohort_week", "week_offset"))
+        .orderBy("cohort_week", "week_offset")),
+
+    // north star — embedding DEDUP (not just pair detection): drop every
+    // vector with a SMALLER near-dup neighbor (same min-id survivor rule
+    // as q78's text near-dup removal), summarized per label. Completes
+    // the dedup story for the embedding modality.
+    "q107_embedding_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val losers = Sim.nearDupPairs(emb, 0.2, "label")
+        .select(col("id_b").as("vec_id")).distinct()
+      emb.join(losers, Seq("vec_id"), "left_anti")
+        .groupBy("label").agg(count(lit(1)).as("n_kept"))
+        .orderBy("label")
+    })
   )
 
   // ---- oracle SQL (DuckDB) ----------------------------------------------
@@ -2025,7 +2038,22 @@ object SparkEntry {
            |        w.week - f.cohort_week AS week_offset
            |      FROM w JOIN f ON f.user_id = w.user_id)
            |SELECT cohort_week, week_offset, COUNT(*) AS n_users
-           |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+           |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q107_embedding_dedup" ->
+        """WITH a AS (SELECT label AS cell, vec_id AS id_a, embedding AS va FROM embeddings),
+          |b AS (SELECT label AS cell, vec_id AS id_b, embedding AS vb FROM embeddings),
+          |scored AS (
+          |  SELECT id_a, id_b,
+          |    floor((
+          |      list_sum(list_transform(range(1, len(va)+1), i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))
+          |      / (sqrt(list_sum(list_transform(range(1, len(va)+1), i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE))))
+          |       * sqrt(list_sum(list_transform(range(1, len(vb)+1), i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))))) * 10000) / 10000 AS sim
+          |  FROM a JOIN b USING (cell) WHERE id_a < id_b),
+          |losers AS (SELECT DISTINCT id_b FROM scored WHERE sim >= 0.2)
+          |SELECT label, COUNT(*) AS n_kept FROM embeddings
+          |WHERE vec_id NOT IN (SELECT id_b FROM losers)
+          |GROUP BY label ORDER BY label""".stripMargin
     )
   }
 }
