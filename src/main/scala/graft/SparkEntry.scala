@@ -582,8 +582,7 @@ object SparkEntry {
     // north star — corpus-level top-k n-grams (bigram frequency).
     "q52_ngram_topk" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(Text.cleanText(col("text")).as("c"))
-        .withColumn("t", Text.tokens(col("c")))
+        .select(Text.cleanTokens(col("text")).as("t"))
         .select(explode(Dedup.shingles(col("t"), 2)).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram").asc)

@@ -276,15 +276,17 @@ object EventsOps {
     * never raw events.
     */
   def cohortRetention(events: DataFrame): DataFrame = {
+    // dedupe to (user, week) BEFORE the join: the downstream join and
+    // offset math then consume |users| x horizon rows, not raw events
     val weeks = events.select(col("user_id"),
       (floor(unix_timestamp(col("ts")) / (7 * 86400)).cast("long"))
         .as("week"))
+      .distinct()
     val firstWeek = weeks.groupBy("user_id")
       .agg(min(col("week")).as("cohort_week"))
     weeks.join(firstWeek, Seq("user_id"))
       .select(col("user_id"), col("cohort_week"),
         (col("week") - col("cohort_week")).as("week_offset"))
-      .distinct()
       .groupBy("cohort_week", "week_offset")
       .agg(count(lit(1)).as("n_users"))
   }

@@ -39,7 +39,7 @@ class TextSpec extends SparkSpec {
       5 -> Gen.oneOf("http", "www", "HTTP", "Www", "ttp", "ww", "xhttp",
         "https://a.b/c?d=1", "www.x.co", "http", "w", "h"),
       5 -> Gen.listOf(Gen.alphaNumChar).map(_.mkString),
-      3 -> Gen.oneOf(" ", "\t", "\n", "", "\f", "\r", "  "),
+      3 -> Gen.oneOf(" ", "\t", "\n", "\u000B", "\f", "\r", "  "),
       2 -> Gen.oneOf("é", "中文", "!?#;", "..", "-", "_", "42"))
     val gen = Gen.listOf(frag).map(_.mkString)
     val xs = samples(gen, 120) ++ Seq("", " ", "http", "http ", "httpx",
@@ -66,7 +66,8 @@ class TextSpec extends SparkSpec {
       5 -> Gen.oneOf("http", "www", "HTTP", "https://a.b/c", "www.x.co",
         "xhttp", "w", "h", "ww"),
       5 -> Gen.listOf(Gen.alphaNumChar).map(_.mkString),
-      3 -> Gen.oneOf(" ", "\t", "\n", "", "\r", "  ", " \t "),
+      3 -> Gen.oneOf(" ", "\t", "\n", "", "\u000B", "\f", "\r", "  ",
+        " \t "),
       2 -> Gen.oneOf("é", "中", "!?", "-", "42"))
     val gen = Gen.listOf(frag).map(_.mkString)
     val xs = samples(gen, 120) ++ Seq("", " ", "a\tb c", "\ta b\t",
