@@ -1,9 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Benchmark main. Contract with the driver: print ONE compact JSON line on
+  * stdout — `{"metric":"total","value":N,"unit":"sec",...}` — small enough
+  * that the driver's line capture can always parse it (rounds 1-3 shipped
+  * the full 98-entry per-query map on stdout and the driver recorded
+  * `"parsed": null` from the truncated tail every time). The per-query
+  * detail goes to stderr AND to `bench_details.json` in the cwd.
+  *
+  * Timing methodology: `reps` full passes over the query set (default 3,
+  * env SPARK_GRAFT_BENCH_REPS), per-query MEDIAN reported. Round-over-round
+  * deltas from single-shot timings were dominated by shared-JVM noise (the
+  * round-3 "regressions" q41/q60/q62/q65 all evaporated on rerun); medians
+  * across in-process reps are stable to ~10%.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM (scan codegen, parquet footers) so query 1 isn't
@@ -17,8 +31,13 @@ object Bench {
         org.apache.spark.sql.functions.col("n_nationkey")
           .cast("decimal(18,2)")))
       .write.format("noop").mode("overwrite").save()
-    val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    val names = SparkEntry.queries.keys.toSeq
+    // times(name) = one entry per rep that completed
+    val times = scala.collection.mutable.LinkedHashMap(
+      names.map(_ -> scala.collection.mutable.ListBuffer.empty[Double]): _*)
+    for (rep <- 1 to reps; name <- names) {
+      val fn = SparkEntry.queries(name)
       // collect the previous query's garbage outside the timed region:
       // cross-query GC debt is the main timing poison in a shared JVM
       // (round-1 driver run: q26 hit 315s on a query that runs in <2s)
@@ -26,18 +45,36 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink fully materializes every row — count() would let
       // Catalyst prune the computed columns of projection-shaped queries
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        times(name) += (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         errors += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        System.err.println(s"[bench] $name failed (rep $rep): ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) Double.NaN
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val med = names.map(n => n -> median(times(n).toSeq))
+    val ok = med.filterNot { case (_, v) => v.isNaN }
+    val total = ok.map(_._2).sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    System.err.println(detail)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_details.json"), detail + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_details.json: $e")
+    }
+    // the one stdout line — compact on purpose, see scaladoc
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":${ok.size},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -420,7 +420,13 @@ object SparkEntry {
         .orderBy("band")
     }),
 
-    // §2.5 gap — exact interpolated percentiles per group. Stabilized with
+    // §2.5 gap — exact interpolated percentiles per group. SCALE CEILING
+    // (documented in SCALE.md): exact percentile() keeps a per-group value
+    // buffer, so memory is O(largest group) per task — groups must fit
+    // executor memory. This is the exact variant of the q90 sketch path
+    // (percentile_approx = fixed-size KLL-style state); at 100 TB run q90,
+    // or pre-aggregate values to a bounded grid before q29.
+    // Stabilized with
     // floor(x*100)/100, NOT round(): Spark rounds the shortest decimal
     // repr (BigDecimal HALF_UP) while DuckDB rounds the binary value
     // (std::round(x*100)/100), and interpolating 2dp money at f=0.5
@@ -714,8 +720,9 @@ object SparkEntry {
         dsum(col("o_totalprice")).as("sum_price"))),
 
     // north star FLAGSHIP composite — the full training-data prep pipeline
-    // in one query: quality gate → exact (fingerprint) dedup → MinHash
-    // near-dup removal → reproducible hash split → corpus summary.
+    // in one query: quality gate → repetition gate (Gopher top-bigram
+    // share, see q109) → exact (fingerprint) dedup → MinHash near-dup
+    // removal → reproducible hash split → corpus summary.
     // Near-dup rule: drop every doc that has a SMALLER near-dup neighbor
     // (est_jaccard >= 0.5) — deterministic and join-expressible, no
     // connected-components pass (the standard large-corpus approximation).
@@ -724,8 +731,12 @@ object SparkEntry {
       val quality = docs.withColumn("t", Text.tokens(col("text")))
         .where(Text.qualityScore(col("text"), col("t")) >= 0.1)
         .select("doc_id", "text", "n_chars")
+      val unrepetitive = Text.repetitionStats(quality, "doc_id", "text")
+        .where(col("top_bigram_frac") <= 0.2)
+        .select(col("id").as("doc_id"))
+      val gated = quality.join(unrepetitive, Seq("doc_id"), "left_semi")
       val exact = Dedup.keepFirst(
-          quality.withColumn("fp", Text.fingerprint(col("text"))),
+          gated.withColumn("fp", Text.fingerprint(col("text"))),
           Seq("fp"), Seq(col("doc_id").asc))
         .select("doc_id", "text", "n_chars")
       val nearDupLosers = Dedup
@@ -863,7 +874,9 @@ object SparkEntry {
     // sketch surface — HLL++ distinct + KLL-style quantile per group. No
     // oracleSql on purpose: approx answers are estimator-specific, so the
     // driver records the weaker rows-only check (SketchSpec pins the
-    // estimates against exact values within rsd bounds).
+    // estimates against exact values within rsd bounds, and
+    // q108_exact_profile is the oracle-checked exact twin of this exact
+    // grouping — see README "Driver contract" for the rows-only set).
     "q90_approx_profile" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy("event_type")
@@ -1022,6 +1035,79 @@ object SparkEntry {
       emb.join(losers, Seq("vec_id"), "left_anti")
         .groupBy("label").agg(count(lit(1)).as("n_kept"))
         .orderBy("label")
+    }),
+
+    // sketch surface companion — the EXACT twin of q90's approx profile:
+    // same grouping, exact count_distinct + interpolated median, fully
+    // DuckDB-checkable. Pairs q90 (scales: fixed-size sketch state) with
+    // a verifiable baseline (exact: count_distinct shuffles the key set,
+    // percentile buffers per-group values — fine at gate SF, see SCALE.md).
+    "q108_exact_profile" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          count_distinct(col("user_id")).as("n_users"),
+          (floor(expr("percentile(value, 0.5D)") * 100) / 100)
+            .as("p50_value"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // north star — Gopher-style repetition/quality flags (Rae et al. 2021,
+    // arXiv:2112.11446): per-doc mean word length, symbol-to-word ratio,
+    // top-bigram share, and the combined keep gate.
+    "q109_quality_flags" -> ((s, dir) => {
+      val st = Text.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+      st.select(col("id").as("doc_id"), col("n_tokens"),
+          col("mean_word_len"), col("symbol_ratio"), col("top_bigram_frac"),
+          Text.gopherKeep(col("n_tokens"), col("mean_word_len"),
+            col("symbol_ratio"), col("top_bigram_frac")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // north star — URL/domain curation: domain extraction (regexp over a
+    // synthetic per-doc URL — documents carry no raw URLs, so the URL is
+    // derived from source deterministically), per-domain counts, and a
+    // deterministic per-domain quota sample (the standard pretraining
+    // domain-balancing pass; same md5-rank sampler as q91).
+    "q110_domain_quota" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/doc/"), col("doc_id").cast("string")))
+        .withColumn("domain",
+          regexp_extract(col("url"), "^https?://([^/]+)/", 1))
+      val counts = docs.groupBy("domain")
+        .agg(count(lit(1)).as("n_domain"))
+      Agg.stratifiedSample(docs, "domain", "doc_id", 50)
+        .join(broadcast(counts), Seq("domain"))
+        .select(col("doc_id"), col("domain"), col("n_domain"))
+        .orderBy("doc_id")
+    }),
+
+    // north star — the PRODUCTION near-dup composition (SCALE.md's
+    // documented shape, previously prose-only): LSH band collisions
+    // generate candidates, exact n-gram Jaccard verifies ONLY those
+    // candidates — never the all-pairs space.
+    "q111_lsh_verified_pairs" -> ((s, dir) =>
+      Dedup.lshVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 8, bands = 4, minJaccard = 0.2)
+        .orderBy("id_a", "id_b")),
+
+    // ops 4-5 PHYSICAL twin — a real df.write.jdbc / spark.read.jdbc
+    // round-trip against embedded Derby (in-memory; the sandbox ships no
+    // server DB, but Derby is on Spark's own classpath). The reference's
+    // MySQL load (etl_pipeline.py:84-129) is this path; its upsert-ignore
+    // LOGIC is oracle-checked separately as q23/q24. INT/VARCHAR survive
+    // the dialect mapping losslessly, so the re-read copy aggregates to
+    // the same answer as the parquet table.
+    "q112_jdbc_roundtrip" -> ((s, dir) => {
+      val url =
+        s"jdbc:derby:memory:graft${ProcessHandle.current().pid};create=true"
+      Sources.writeJdbc(t(s, dir, "nation"), url, "nation_jdbc",
+        Map("n_name" -> 64))
+      Sources.readJdbc(s, url, "nation_jdbc")
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("sum_key"))
+        .orderBy("n_regionkey")
     })
   )
 
@@ -1652,14 +1738,21 @@ object SparkEntry {
       "q78_prep_pipeline" ->
         s"""WITH toks0 AS (SELECT doc_id, text, n_chars, ${toksSql("text")} AS t
            |               FROM documents),
-           |quality AS (SELECT doc_id, text, n_chars FROM toks0 WHERE
+           |quality AS (SELECT doc_id, text, n_chars, t FROM toks0 WHERE
            |  floor((least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
            |    * (CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
            |       / CAST(greatest(length(text), 1) AS DOUBLE))
            |    * (1.0 - least(CAST(len(list_filter(t, x -> x IN ('the','a','of','to','and','in','is'))) AS DOUBLE)
            |             / greatest(CAST(len(t) AS DOUBLE), 1.0), 1.0))) * 10000) / 10000 >= 0.1),
+           |bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM (
+           |  SELECT doc_id, UNNEST(${shinglesSql("t", 2)}) AS bg
+           |  FROM quality) GROUP BY doc_id, bg),
+           |repbad AS (SELECT doc_id FROM bgc GROUP BY doc_id
+           |  HAVING floor(CAST(MAX(c) AS DOUBLE) / SUM(c) * 10000) / 10000 > 0.2),
+           |gated AS (SELECT doc_id, text, n_chars FROM quality
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM repbad)),
            |fp AS (SELECT doc_id, text, n_chars, md5(${cleanSql("text")}) AS fp
-           |       FROM quality),
+           |       FROM gated),
            |exact AS (SELECT doc_id, text, n_chars FROM (
            |  SELECT doc_id, text, n_chars,
            |         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
@@ -2052,7 +2145,90 @@ object SparkEntry {
           |losers AS (SELECT DISTINCT id_b FROM scored WHERE sim >= 0.2)
           |SELECT label, COUNT(*) AS n_kept FROM embeddings
           |WHERE vec_id NOT IN (SELECT id_b FROM losers)
-          |GROUP BY label ORDER BY label""".stripMargin
+          |GROUP BY label ORDER BY label""".stripMargin,
+
+      // exact twin of q90: quantile_cont == Spark percentile (both linear
+      // interpolation); floor-at-2dp stabilizes the interpolated double
+      // (same recipe as q29)
+      "q108_exact_profile" ->
+        """SELECT event_type,
+          | COUNT(DISTINCT user_id) AS n_users,
+          | floor(quantile_cont(value, 0.5) * 100) / 100 AS p50_value,
+          | COUNT(*) AS n
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "q109_quality_flags" ->
+        s"""WITH base AS (SELECT doc_id, text, $toks AS t FROM documents),
+           |rowstats AS (SELECT doc_id,
+           |  len(t) AS n_tokens,
+           |  floor(CAST(COALESCE(list_sum(list_transform(t, w -> strlen(w))), 0) AS DOUBLE)
+           |    / greatest(len(t), 1) * 10000) / 10000 AS mean_word_len,
+           |  floor(CAST((strlen(text) - strlen(replace(text, '#', '')))
+           |      + (strlen(text) - strlen(replace(text, '...', ''))) // 3 AS DOUBLE)
+           |    / greatest(len(t), 1) * 10000) / 10000 AS symbol_ratio
+           |  FROM base),
+           |bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM (
+           |  SELECT doc_id, UNNEST(${shinglesSql("t", 2)}) AS bg
+           |  FROM base) GROUP BY doc_id, bg),
+           |rep AS (SELECT doc_id,
+           |  floor(CAST(MAX(c) AS DOUBLE) / SUM(c) * 10000) / 10000 AS top_bigram_frac
+           |  FROM bgc GROUP BY doc_id)
+           |SELECT r.doc_id, r.n_tokens, r.mean_word_len, r.symbol_ratio,
+           |  COALESCE(p.top_bigram_frac, 0.0) AS top_bigram_frac,
+           |  (r.n_tokens >= 10 AND r.mean_word_len >= 3.0
+           |   AND r.mean_word_len <= 10.0 AND r.symbol_ratio <= 0.1
+           |   AND COALESCE(p.top_bigram_frac, 0.0) <= 0.2) AS keep
+           |FROM rowstats r LEFT JOIN rep p USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
+
+      "q110_domain_quota" ->
+        """WITH d AS (SELECT doc_id,
+          |  regexp_extract('https://' || source || '.example.com/doc/'
+          |      || CAST(doc_id AS VARCHAR),
+          |    '^https?://([^/]+)/', 1) AS domain
+          |  FROM documents),
+          |counts AS (SELECT domain, COUNT(*) AS n_domain FROM d GROUP BY 1),
+          |s AS (SELECT doc_id, domain,
+          |  row_number() OVER (PARTITION BY domain
+          |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+          |  FROM d)
+          |SELECT doc_id, domain, n_domain FROM s JOIN counts USING (domain)
+          |WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
+
+      "q111_lsh_verified_pairs" ->
+        s"""WITH cleaned AS (SELECT doc_id AS id, $clean AS c FROM documents),
+           |sh AS (SELECT id, ${shinglesSql("t")} AS shs
+           |       FROM (SELECT id, $cleanToks AS t FROM cleaned)),
+           |sig AS (SELECT id,
+           |  list_transform(range(0, 8), s ->
+           |    COALESCE(list_min(list_transform(shs, x -> md5(CAST(s AS VARCHAR) || ':' || x))), '~empty')) AS sig
+           |  FROM sh WHERE len(shs) > 0),
+           |banded AS (
+           |  SELECT id, sig, CAST(b.i AS INTEGER) AS band,
+           |         md5(sig[CAST(b.i*2+1 AS INTEGER)] || '|' || sig[CAST(b.i*2+2 AS INTEGER)]) AS bkey
+           |  FROM sig CROSS JOIN range(0, 4) AS b(i)),
+           |cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+           |  WHERE a.id < b.id),
+           |dsh AS (SELECT id, list_distinct(shs) AS shs FROM sh
+           |        WHERE len(shs) > 0),
+           |scored AS (SELECT id_a, id_b,
+           |  len(list_filter(x.shs, e -> list_contains(y.shs, e))) AS c,
+           |  len(x.shs) AS na, len(y.shs) AS nb
+           |  FROM cands JOIN dsh x ON x.id = cands.id_a
+           |             JOIN dsh y ON y.id = cands.id_b)
+           |SELECT id_a, id_b,
+           |  floor(CAST(c AS DOUBLE) / (na + nb - c) * 10000) / 10000 AS jaccard
+           |FROM scored
+           |WHERE floor(CAST(c AS DOUBLE) / (na + nb - c) * 10000) / 10000 >= 0.2
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      // the JDBC trip is lossless for INT/VARCHAR, so the oracle is the
+      // same aggregate straight over the parquet table
+      "q112_jdbc_roundtrip" ->
+        """SELECT n_regionkey, COUNT(*) AS n,
+          | CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+          |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
     )
   }
 }

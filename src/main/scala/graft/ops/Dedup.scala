@@ -158,6 +158,40 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** LSH-then-verify: the production near-dup composition (candidates from
+    * [[minhashPairs]] band collisions, exact n-gram Jaccard computed ONLY
+    * on those candidates). This is the shape SCALE.md documents for corpus
+    * scale — [[jaccardPairs]] standalone re-derives candidates from a full
+    * shingle self-join, which is only safe at small SF.
+    *
+    * Scale shape: candidate generation is the banded signature join
+    * (bucket-bounded fan-in, never all-pairs); verification is two
+    * id-keyed joins of the candidate list against per-doc distinct-shingle
+    * arrays, so verify cost is O(candidates × shingles/doc), proportional
+    * to true near-dup density.
+    */
+  def lshVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8, bands: Int = 4,
+                       minJaccard: Double = 0.2): DataFrame = {
+    val cands = minhashPairs(df, idCol, textCol, k, bands)
+      .select(col("id_a"), col("id_b"))
+    val sh = df
+      .select(col(idCol).as("id"), Text.cleanTokens(col(textCol)).as("t"))
+      .withColumn("shs", array_distinct(shingles(col("t"))))
+      .where(size(col("shs")) > 0)
+      .select(col("id"), col("shs"))
+    cands
+      .join(sh.select(col("id").as("id_a"), col("shs").as("sa")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shs").as("sb")), "id_b")
+      // materialize the intersection size once — it feeds both numerator
+      // and denominator, and Catalyst does not CSE across a projection
+      .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
+      .select(col("id_a"), col("id_b"),
+        Num.floorAt(col("c").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("c")), 4).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
   /** 16-bit SimHash over the token multiset: bit j of the signature is the
     * sign of sum over tokens of (2*bit_j(h(token)) - 1), where h = first 4
     * md5 hex nibbles. Hex decoding via character position keeps it

@@ -122,6 +122,71 @@ object Text {
       lenScore * alphaRatio * (lit(1.0) - least(stopRatio, lit(1.0))), 4)
   }
 
+  // ---- Gopher-style repetition / quality filters -------------------------
+  // Public heuristics from Rae et al. 2021 (arXiv:2112.11446, Table A1):
+  // mean-word-length bounds, symbol-to-word ratio, and repeated-n-gram
+  // fraction — the standard pretraining quality gate beyond [[qualityScore]].
+
+  /** Mean token length (floored at 4 dp; 0.0 for empty docs). One
+    * O(n_tokens) fold over a MATERIALIZED token array.
+    */
+  def meanWordLen(toks: Column): Column =
+    Num.floorAt(
+      coalesce(aggregate(toks, lit(0), (acc, w) => acc + length(w)), lit(0))
+        .cast("double") / greatest(size(toks), lit(1)),
+      4)
+
+  /** Symbol-to-word ratio: occurrences of '#' plus non-overlapping '...'
+    * per token (Gopher's symbol set), via length deltas — no regex pass.
+    */
+  def symbolToWordRatio(c: Column, toks: Column): Column = {
+    val hashes = length(c) - length(replace(c, lit("#"), lit("")))
+    // replace() removes non-overlapping occurrences left-to-right, so the
+    // delta is always an exact multiple of 3
+    val ellipses = (length(c) - length(replace(c, lit("..."), lit("")))) / 3
+    Num.floorAt(
+      (hashes + ellipses).cast("double") / greatest(size(toks), lit(1)), 4)
+  }
+
+  /** Per-document repetition + word-shape metrics: (id, n_tokens,
+    * mean_word_len, symbol_ratio, top_bigram_frac) where top_bigram_frac is
+    * the most-frequent token-bigram's share of all bigram occurrences
+    * (Gopher's duplicate-2-gram axis; 0.0 for docs with < 2 tokens).
+    *
+    * Shape at scale: the per-row metrics are scan-local; the bigram share
+    * is two keyed aggregations on (id, bigram) → (id) plus one id-keyed
+    * left join — everything partitions by document, nothing is corpus-wide.
+    */
+  def repetitionStats(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+      .withColumn("t", tokens(col("txt")))
+    val row = base.select(col("id"),
+      size(col("t")).as("n_tokens"),
+      meanWordLen(col("t")).as("mean_word_len"),
+      symbolToWordRatio(col("txt"), col("t")).as("symbol_ratio"))
+    val rep = base
+      .select(col("id"), explode(Dedup.shingles(col("t"), 2)).as("bg"))
+      .groupBy("id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+      .select(col("id"),
+        Num.floorAt(col("mx").cast("double") / col("tot"), 4)
+          .as("top_bigram_frac"))
+    row.join(rep, Seq("id"), "left")
+      .withColumn("top_bigram_frac",
+        coalesce(col("top_bigram_frac"), lit(0.0)))
+  }
+
+  /** The Gopher keep-gate over [[repetitionStats]] columns. Thresholds are
+    * the published ones where the corpus makes them meaningful (symbol
+    * ratio 0.1, top-bigram share 0.2, mean word length in [3, 10]); the
+    * min-length gate is 10 tokens.
+    */
+  def gopherKeep(nTokens: Column, meanLen: Column, symRatio: Column,
+                 topBigram: Column): Column =
+    nTokens >= 10 && meanLen >= 3.0 && meanLen <= 10.0 &&
+      symRatio <= 0.1 && topBigram <= 0.2
+
   /** Document fingerprint: md5 of the normalized text plus a 60-bit prefix
     * as a numeric key. md5 is bit-identical across Spark and DuckDB, so the
     * oracle reproduces it exactly (unlike murmur/xxhash which differ).

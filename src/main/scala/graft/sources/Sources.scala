@@ -67,6 +67,39 @@ object Sources {
       .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
 
+  /** JDBC sink — the physical twin of the reference's MySQL star-schema
+    * load (etl_pipeline.py:84-129; the upsert-ignore LOGIC is
+    * graft.ops.Star.upsertIgnore). The sandbox ships no server database,
+    * but Spark's own Derby (the embedded Hive-metastore DB) is on the
+    * classpath, so `jdbc:derby:memory:` exercises the real
+    * `df.write.jdbc` path: dialect type mapping, batched INSERTs, and
+    * numPartitions-parallel writers.
+    *
+    * Scale notes: JDBC writes run one INSERT batch stream per partition —
+    * `df.coalesce(n)` bounds connection count; the reference's
+    * one-row-per-roundtrip executemany is the anti-pattern this replaces.
+    * VARCHAR lengths are explicit (`createTableColumnTypes`) because the
+    * Derby dialect's default StringType mapping is CLOB, which Derby
+    * refuses in GROUP BY/DISTINCT.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                stringCols: Map[String, Int] = Map.empty): Unit = {
+    val props = new java.util.Properties()
+    val w = df.write.mode("overwrite")
+    val typed =
+      if (stringCols.isEmpty) w
+      else w.option("createTableColumnTypes",
+        stringCols.map { case (c, n) => s"$c VARCHAR($n)" }.mkString(", "))
+    typed.jdbc(url, table, props)
+  }
+
+  /** JDBC source: reads `table` back through the dialect's type mapping.
+    * At scale the reader takes partitionColumn/bounds to parallelize; a
+    * single-partition read is correct for dimension-sized tables.
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String): DataFrame =
+    spark.read.jdbc(url, table, new java.util.Properties())
+
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(totalBytes / targetFileBytes) files, optionally sorted within
     * files by `sortCols` so column min/max statistics cluster and

@@ -155,6 +155,34 @@ object StreamOps {
         unix_timestamp(col("r_ts")).as("r_es"))
   }
 
+  /** Stream-stream FULL OUTER join — completes the join matrix
+    * (inner/[[streamStreamJoin]], left/[[streamStreamLeftJoin]]): unmatched
+    * LEFT and unmatched RIGHT rows both emit null-padded once the
+    * watermark proves no partner can still arrive. The event-time-bounded
+    * condition is required on BOTH sides for full outer (each side's state
+    * is released against the other side's watermark); same
+    * [l_ts - window, l_ts] bound as the other variants.
+    */
+  def streamStreamFullOuterJoin(left: DataFrame, right: DataFrame,
+                                windowSeconds: Long,
+                                watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("l_id"),
+        col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+    l.join(r,
+        col("user_id") === col("r_user") &&
+          col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowSeconds SECOND") &&
+          col("r_ts") <= col("l_ts"),
+        "full_outer")
+      .select(coalesce(col("user_id"), col("r_user")).as("user_id"),
+        col("l_id"), col("r_id"),
+        unix_timestamp(col("l_ts")).as("l_es"),
+        unix_timestamp(col("r_ts")).as("r_es"))
+  }
+
   /** Streaming exact dedup — the streaming twin of graft.ops.Dedup.exact:
     * duplicates of a key arriving within the watermark delay of its first
     * occurrence are dropped, and key state older than the watermark is

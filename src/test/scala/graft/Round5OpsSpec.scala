@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Text}
+import graft.sources.Sources
+
+/** Round-5 additions: Gopher-style repetition/quality filters, the
+  * LSH-then-verify near-dup composition, and the physical JDBC round-trip.
+  */
+class Round5OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("repetitionStats: top-bigram share, mean word length, symbol ratio") {
+    val docs = Seq(
+      (1L, "a b a b a b"),          // bigrams: ab,ba,ab,ba,ab -> 3/5
+      (2L, "aa bbbb"),              // mean len 3.0, one bigram -> 1/1
+      (3L, "x # y ... z"),          // 5 tokens, 1 '#' + 1 '...' -> 0.4
+      (4L, "solo"),                 // no bigrams -> 0.0
+      (5L, "")                      // empty -> all zeros
+    ).toDF("id", "txt")
+    val st = Text.repetitionStats(docs, "id", "txt")
+      .orderBy("id")
+      .select("id", "n_tokens", "mean_word_len", "symbol_ratio",
+        "top_bigram_frac")
+      .as[(Long, Int, Double, Double, Double)].collect()
+    assert(st(0) === ((1L, 6, 1.0, 0.0, 0.6)))
+    assert(st(1) === ((2L, 2, 3.0, 0.0, 1.0)))
+    assert(st(2) === ((3L, 5, 1.4, 0.4, 0.25)))
+    assert(st(3) === ((4L, 1, 4.0, 0.0, 0.0)))
+    assert(st(4) === ((5L, 0, 0.0, 0.0, 0.0)))
+  }
+
+  test("gopherKeep applies the published bounds") {
+    val rows = Seq(
+      // n_tokens, mean_len, sym, bigram -> expected keep
+      (10, 5.0, 0.0, 0.1, true),
+      (9, 5.0, 0.0, 0.1, false),   // too short
+      (10, 2.9, 0.0, 0.1, false),  // words too short
+      (10, 10.5, 0.0, 0.1, false), // words too long
+      (10, 5.0, 0.2, 0.1, false),  // symbol-heavy
+      (10, 5.0, 0.0, 0.5, false)   // repetitive
+    ).toDF("n", "ml", "sr", "bf", "expected")
+    val got = rows.select(col("expected"),
+        Text.gopherKeep(col("n"), col("ml"), col("sr"), col("bf"))
+          .as("keep"))
+      .as[(Boolean, Boolean)].collect()
+    got.foreach { case (expected, keep) => assert(keep === expected) }
+  }
+
+  test("lshVerifiedPairs == exact jaccard on LSH candidates (recall on " +
+      "exact duplicates is certain)") {
+    // exact duplicates collide on every band; distinct word-soup does not
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
+      (3L, "iota kappa lambda mu nu xi omicron pi"),
+      (4L, "iota kappa lambda mu nu xi omicron pi"),         // dup of 3
+      (5L, "rho sigma tau upsilon phi chi psi omega")
+    ).toDF("doc_id", "text")
+    val got = Dedup.lshVerifiedPairs(docs, "doc_id", "text",
+        k = 8, bands = 4, minJaccard = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 2L, 1.0), (3L, 4L, 1.0)))
+    // the verified jaccard must equal the standalone exact computation
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text",
+        w = 3, minJaccard = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === exact)
+  }
+
+  test("JDBC round-trip through embedded Derby preserves rows and types") {
+    val df = Seq((1, "ares", 10L), (2, "boreas", 20L), (3, "cronus", 30L))
+      .toDF("id", "name", "v")
+    val url =
+      s"jdbc:derby:memory:graftspec${ProcessHandle.current().pid};create=true"
+    Sources.writeJdbc(df, url, "t_spec", Map("name" -> 32))
+    val back = Sources.readJdbc(spark, url, "t_spec")
+    assert(back.schema.fieldNames.sorted === Array("id", "name", "v"))
+    assert(back.orderBy("id").as[(Int, String, Long)].collect().toSeq ===
+      Seq((1, "ares", 10L), (2, "boreas", 20L), (3, "cronus", 30L)))
+    // overwrite is idempotent (the Bench reps re-run the same write)
+    Sources.writeJdbc(df, url, "t_spec", Map("name" -> 32))
+    assert(Sources.readJdbc(spark, url, "t_spec").count() === 3)
+  }
+}

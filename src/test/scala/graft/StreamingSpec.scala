@@ -223,6 +223,73 @@ class StreamingSpec extends SparkSpec {
     } finally rm(stage)
   }
 
+  test("stream-stream FULL OUTER join null-pads BOTH sides after the " +
+      "watermark passes, matching the batch full outer join") {
+    val src = "/root/testdata/sf0.001"
+    val stage = Files.createTempDirectory("graft-ssfoj").toFile
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    try {
+      Files.copy(new java.io.File(s"$src/events.parquet").toPath,
+        new java.io.File(stage, "a_events.parquet").toPath)
+      def purchases(df: org.apache.spark.sql.DataFrame) =
+        df.where(col("event_type") === "purchase")
+      def clicks(df: org.apache.spark.sql.DataFrame) =
+        df.where(col("event_type") === "click")
+
+      val in = StreamOps.eventsStream(spark, stage.getAbsolutePath)
+      val q = StreamOps.streamStreamFullOuterJoin(purchases(in), clicks(in),
+          3600, watermark = "10 minutes")
+        .writeStream.format("memory").queryName("ssfoj")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // same sentinel protocol as the left-outer test: both event types
+        // per sentinel (min-across-operators watermark), flat files, three
+        // batches so both sides' outer state fully evicts
+        val far = Tables.load(spark, src, "events")
+          .agg(org.apache.spark.sql.functions.max(
+            unix_timestamp(col("ts")))).head().getLong(0) + 10 * 24 * 3600L
+        for (i <- 1 to 3) {
+          import spark.implicits._
+          val tmpOut = Files.createTempDirectory("graft-ssfoj-sent").toFile
+          Seq(
+            (910000L + 2 * i, (far + i) * 1000000000L, 999L, "purchase",
+              0.0, "{}"),
+            (910001L + 2 * i, (far + i) * 1000000000L, 999L, "click",
+              0.0, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value",
+              "props")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(tmpOut.getAbsolutePath)
+          val part = tmpOut.listFiles()
+            .find(f => f.getName.endsWith(".parquet")).get
+          Files.move(part.toPath,
+            new java.io.File(stage, s"sentinel$i.parquet").toPath)
+          rm(tmpOut)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamed = spark.table("ssfoj")
+        .where(col("user_id") =!= 999)
+        .select("l_id", "r_id")
+        .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+
+      val batchIn = Tables.load(spark, src, "events")
+      val batch = StreamOps.streamStreamFullOuterJoin(
+          purchases(batchIn), clicks(batchIn), 3600)
+        .select("l_id", "r_id")
+        .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+      assert(streamed === batch)
+      assert(streamed.exists(_._2.isEmpty),
+        "expected at least one null-padded unmatched left")
+      assert(streamed.exists(_._1.isEmpty),
+        "expected at least one null-padded unmatched right")
+      assert(streamed.exists(p => p._1.nonEmpty && p._2.nonEmpty))
+    } finally rm(stage)
+  }
+
   test("watermarked sessionize emits closed sessions via event-time " +
       "timeout once the watermark passes end+gap") {
     import spark.implicits._
