@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Agg, Dedup, EventsOps, Multimodal, Num, Sentiment, Sim, Skew, Star, Text}
+import graft.ops.{Agg, Curate, Dedup, EventsOps, Multimodal, Num, Sentiment, Sim, Skew, Star, Text}
 import graft.sources.Sources
 
 /** Driver contract — one named query per operator from SURVEY.md §2 plus the
@@ -731,10 +731,21 @@ object SparkEntry {
       val quality = docs.withColumn("t", Text.tokens(col("text")))
         .where(Text.qualityScore(col("text"), col("t")) >= 0.1)
         .select("doc_id", "text", "n_chars")
-      val unrepetitive = Text.repetitionStats(quality, "doc_id", "text")
-        .where(col("top_bigram_frac") <= 0.2)
-        .select(col("id").as("doc_id"))
-      val gated = quality.join(unrepetitive, Seq("doc_id"), "left_semi")
+      // repetition losers computed from the RAW scan, not from `quality`:
+      // the metric is per-doc (quality-independent), and referencing the
+      // quality subtree here would re-run its tokenize+filter once per
+      // branch (Catalyst re-executes shared subtrees). A loser that
+      // already failed the quality gate anti-joins to nothing — harmless.
+      val repetitive = docs
+        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+        .select(col("doc_id"),
+          explode(Dedup.shingles(col("t"), 2)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+        .where(Num.floorAt(col("mx").cast("double") / col("tot"), 4) > 0.2)
+        .select("doc_id")
+      val gated = quality.join(repetitive, Seq("doc_id"), "left_anti")
       val exact = Dedup.keepFirst(
           gated.withColumn("fp", Text.fingerprint(col("text"))),
           Seq("fp"), Seq(col("doc_id").asc))
@@ -1108,7 +1119,38 @@ object SparkEntry {
         .groupBy("n_regionkey")
         .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("sum_key"))
         .orderBy("n_regionkey")
-    })
+    }),
+
+    // north star — GPT-style sequence packing: per-shard concat-and-chunk
+    // of the token stream into 4096-token packs (docs may straddle pack
+    // boundaries; shard = md5 of id so the layout reproduces anywhere).
+    "q113_sequence_packing" -> ((s, dir) =>
+      Curate.packSequences(t(s, dir, "documents"), "doc_id", "text",
+          ctxTokens = 4096, shards = 32)
+        .orderBy("doc_id")),
+
+    // north star — eval-set decontamination: train docs sharing >= 1
+    // distinct 3-shingle with the (deterministic) eval split, with the
+    // shared-shingle count — the n-gram-overlap contamination check.
+    "q114_decontamination" -> ((s, dir) =>
+      Curate.decontaminate(t(s, dir, "documents"), "doc_id", "text",
+          isEval = col("doc_id") % 97 === 0, w = 3)
+        .orderBy("doc_id")),
+
+    // north star — PII redaction (emails + phone runs): the corpus text
+    // carries no PII, so a synthetic contact tail derived from doc_id is
+    // appended first — the redaction pass itself is the operator under
+    // test, surfaced as match counts + md5 of the redacted text.
+    "q115_pii_redact" -> ((s, dir) =>
+      Curate.redactPii(
+          t(s, dir, "documents").select(col("doc_id"),
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"),
+              lit("@example.com or +1-555-0100")).as("raw")),
+          "raw")
+        .select(col("doc_id"), col("n_pii"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id"))
   )
 
   // ---- oracle SQL (DuckDB) ----------------------------------------------
@@ -2228,7 +2270,45 @@ object SparkEntry {
       "q112_jdbc_roundtrip" ->
         """SELECT n_regionkey, COUNT(*) AS n,
           | CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
-          |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+          |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+      "q113_sequence_packing" ->
+        s"""WITH t AS (SELECT doc_id,
+           |  CAST(len($toks) AS BIGINT) AS n_tokens,
+           |  CAST(${md5Hex4Sql("CAST(doc_id AS VARCHAR)")} % 32 AS INTEGER) AS shard
+           |  FROM documents),
+           |o AS (SELECT doc_id, n_tokens, shard,
+           |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+           |    ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    AS BIGINT) AS start_offset
+           |  FROM t)
+           |SELECT doc_id, n_tokens, shard, start_offset,
+           |  CAST(start_offset // 4096 AS BIGINT) AS pack_id
+           |FROM o ORDER BY doc_id""".stripMargin,
+
+      "q114_decontamination" ->
+        s"""WITH cleaned AS (SELECT doc_id AS id, (doc_id % 97 = 0) AS ev,
+           |                        $clean AS c FROM documents),
+           |sh AS (SELECT id, ev, UNNEST(list_distinct(${shinglesSql("t")})) AS sh
+           |       FROM (SELECT id, ev, $cleanToks AS t FROM cleaned)),
+           |evalsh AS (SELECT DISTINCT sh FROM sh WHERE ev)
+           |SELECT id AS doc_id, COUNT(*) AS n_shared
+           |FROM sh JOIN evalsh USING (sh) WHERE NOT ev
+           |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+      "q115_pii_redact" ->
+        """WITH r AS (SELECT doc_id,
+          |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+          |       || '@example.com or +1-555-0100' AS raw
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          |     + len(regexp_extract_all(raw, '\+?\d[\d-]{7,}\d')) AS INTEGER) AS n_pii,
+          |  md5(regexp_replace(
+          |        regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |        '\+?\d[\d-]{7,}\d', '<PHONE>', 'g')) AS redacted_md5
+          |FROM r ORDER BY doc_id""".stripMargin
     )
   }
 }

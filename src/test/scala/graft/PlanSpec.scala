@@ -59,6 +59,31 @@ class PlanSpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("q109 repetition stats: doc-keyed aggs only, no cartesian") {
+    val p = plan("q109_quality_flags")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("q110 quota sample pushes the per-domain rank limit below the " +
+      "exchange (WindowGroupLimit) and broadcasts the tiny counts side") {
+    val p = plan("q110_domain_quota")
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("q111 LSH-verify generates candidates via key joins only (no " +
+      "all-pairs operator anywhere in the plan)") {
+    val p = plan("q111_lsh_verified_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("q78 repetition gate is an anti join against the loser set") {
+    val p = plan("q78_prep_pipeline")
+    assert(p.contains("LeftAnti"), p.take(1500))
+  }
+
   test("q32 LSH self-join computes the signature pipeline once (reuse)") {
     val df = SparkEntry.queries("q32_minhash_pairs")(spark, dir)
     df.collect() // run THIS QueryExecution so AQE finalizes it with reuse

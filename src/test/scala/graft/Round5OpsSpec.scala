@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Text}
+import graft.ops.{Curate, Dedup, Text}
 import graft.sources.Sources
 
 /** Round-5 additions: Gopher-style repetition/quality filters, the
@@ -70,6 +70,45 @@ class Round5OpsSpec extends SparkSpec {
       .select("id_a", "id_b", "jaccard")
       .as[(Long, Long, Double)].collect().toSet
     assert(got === exact)
+  }
+
+  test("packSequences: concat-and-chunk offsets and pack ids per shard") {
+    val docs = Seq(
+      (1L, "a b c"),        // 3 tokens -> offset 0, pack 0
+      (2L, "d e"),          // 2 tokens -> offset 3, pack 0
+      (3L, "f g h i")       // 4 tokens -> offset 5, pack 1 (ctx=4)
+    ).toDF("doc_id", "text")
+    val got = Curate.packSequences(docs, "doc_id", "text",
+        ctxTokens = 4, shards = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "shard", "start_offset", "pack_id")
+      .as[(Long, Long, Int, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 3L, 0, 0L, 0L), (2L, 2L, 0, 3L, 0L),
+      (3L, 4L, 0, 5L, 1L)))
+  }
+
+  test("decontaminate flags train docs sharing shingles with the eval " +
+      "set, with the shared count") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),   // eval
+      (1L, "alpha beta gamma delta"),   // shares both shingles -> 2
+      (2L, "iota kappa lambda mu")      // disjoint -> absent
+    ).toDF("doc_id", "text")
+    val got = Curate.decontaminate(docs, "doc_id", "text",
+        isEval = col("doc_id") === 0, w = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L)))
+  }
+
+  test("redactPii counts and replaces emails then phones") {
+    val df = Seq((1L, "mail bob@x.co or +1-555-0100 now"),
+      (2L, "nothing here")).toDF("id", "txt")
+    val got = Curate.redactPii(df, "txt")
+      .orderBy("id").select("n_pii", "redacted")
+      .as[(Int, String)].collect().toSeq
+    assert(got === Seq(
+      (2, "mail <EMAIL> or <PHONE> now"),
+      (0, "nothing here")))
   }
 
   test("JDBC round-trip through embedded Derby preserves rows and types") {
