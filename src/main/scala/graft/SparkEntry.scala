@@ -1150,6 +1150,52 @@ object SparkEntry {
           "raw")
         .select(col("doc_id"), col("n_pii"),
           md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")),
+
+    // north star — incremental aggregate maintenance (materialized-view
+    // pattern): standing per-type state over the base events merged with
+    // a new batch's state via Agg.mergeAggStates; DECIMAL components make
+    // merge-of-parts bit-identical to the full recompute the oracle runs.
+    // Merge cost ∝ state rows (|keys|), not the 100 TB that produced them.
+    "q116_incremental_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.where(col("event_id") % 10 =!= 0)
+      val delta = ev.where(col("event_id") % 10 === 0)
+      Agg.mergeAggStates(Seq(
+          Agg.aggState(base, "event_type", "value"),
+          Agg.aggState(delta, "event_type", "value")), "event_type")
+        .select(col("event_type"), col("n"),
+          col("sx").cast("double").as("sum_value"),
+          col("mn").cast("double").as("min_value"),
+          col("mx").cast("double").as("max_value"))
+        .orderBy("event_type")
+    }),
+
+    // north star — source-mixture sampling: per-source keep RATES via a
+    // scan-local md5 threshold (zero shuffles — cheaper than the q110
+    // quota form, which pays a per-domain window). The corpus-assembly
+    // reweighting step: up/down-weight sources by sampling rate.
+    "q117_mixture_sample" -> ((s, dir) => {
+      val rates = (0 until 20).map(i => s"src$i" ->
+        (i % 3 match { case 0 => 1.0; case 1 => 0.5; case _ => 0.25 }))
+        .toMap
+      Curate.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
+          rates, default = 0.1)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // north star — per-doc OOV rate vs the corpus' own top-10 vocabulary
+    // (broadcast): the cheap gibberish/wrong-language quality signal.
+    "q118_vocab_oov" -> ((s, dir) =>
+      Curate.oovRate(t(s, dir, "documents"), "doc_id", "text", v = 10)
+        .orderBy("doc_id")),
+
+    // north star — per-doc duplicated-n-gram share (distinct 5-shingles
+    // present in >= 2 docs): the boilerplate/duplication signal, TF-IDF's
+    // df-pass shuffle skeleton, never all-pairs.
+    "q119_dup_ngram_share" -> ((s, dir) =>
+      Curate.dupNgramShare(t(s, dir, "documents"), "doc_id", "text", w = 5)
         .orderBy("doc_id"))
   )
 
@@ -2308,7 +2354,45 @@ object SparkEntry {
           |  md5(regexp_replace(
           |        regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
           |        '\+?\d[\d-]{7,}\d', '<PHONE>', 'g')) AS redacted_md5
-          |FROM r ORDER BY doc_id""".stripMargin
+          |FROM r ORDER BY doc_id""".stripMargin,
+
+      "q116_incremental_agg" ->
+        s"""SELECT event_type, COUNT(*) AS n,
+           |  ${dsumS("value")} AS sum_value,
+           |  CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+           |  CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "q117_mixture_sample" ->
+        s"""SELECT doc_id, source, lang FROM documents
+           |WHERE ${md5HexNSql("CAST(doc_id AS VARCHAR)", 8)} / 4294967296.0 <
+           |  CASE (CAST(substring(source, 4) AS INT) % 3)
+           |    WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 ELSE 0.25 END
+           |ORDER BY doc_id""".stripMargin,
+
+      "q118_vocab_oov" ->
+        s"""WITH toks AS (SELECT id AS doc_id, UNNEST($cleanToks) AS term
+           |              FROM (SELECT doc_id AS id, $clean AS c FROM documents)),
+           |vocab AS (SELECT term FROM (
+           |  SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+           |  ORDER BY n DESC, term ASC LIMIT 10)),
+           |j AS (SELECT t.doc_id, (v.term IS NOT NULL) AS iv
+           |      FROM toks t LEFT JOIN vocab v ON t.term = v.term)
+           |SELECT doc_id, COUNT(*) AS n_tokens,
+           |  CAST(SUM(CASE WHEN NOT iv THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           |  CAST(SUM(CASE WHEN NOT iv THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_rate
+           |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q119_dup_ngram_share" ->
+        s"""WITH cleaned AS (SELECT doc_id AS id, $clean AS c FROM documents),
+           |sh AS (SELECT id, UNNEST(list_distinct(${shinglesSql("t", 5)})) AS sh
+           |       FROM (SELECT id, $cleanToks AS t FROM cleaned)),
+           |dfq AS (SELECT sh, COUNT(*) AS n_docs FROM sh GROUP BY sh)
+           |SELECT id AS doc_id, COUNT(*) AS n_shingles,
+           |  CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           |  CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_share
+           |FROM sh JOIN dfq USING (sh)
+           |GROUP BY id ORDER BY doc_id""".stripMargin
     )
   }
 }

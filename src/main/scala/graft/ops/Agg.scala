@@ -151,6 +151,38 @@ object Agg {
       .drop("sample_key")
   }
 
+  /** Incremental-aggregation STATE: per-key mergeable partial aggregates
+    * (count, DECIMAL sum, min, max) — the materialized-view-maintenance
+    * pattern. A 100 TB fact table is never re-aggregated from scratch on
+    * each ingest batch: the standing state (|keys| rows, not |rows|) is
+    * merged with the new batch's state via [[mergeAggStates]], and because
+    * every component is associative+commutative (DECIMAL sum is
+    * order-insensitive, unlike double), merge-of-parts is bit-identical to
+    * a full recompute — which is exactly what the q116 oracle checks.
+    * One partial+final hash agg over the input.
+    */
+  def aggState(df: DataFrame, key: String, x: String): DataFrame = {
+    val xd = col(x).cast("decimal(18,2)")
+    df.groupBy(col(key)).agg(
+      count(lit(1)).as("n"),
+      sum(xd).as("sx"),
+      min(xd).as("mn"),
+      max(xd).as("mx"))
+  }
+
+  /** Merge incremental-aggregation states (see [[aggState]]): union the
+    * state tables and re-reduce per key. Cost ∝ total state rows (|keys| ×
+    * #states), independent of the row counts that produced them — the
+    * whole point of incremental maintenance at scale.
+    */
+  def mergeAggStates(states: Seq[DataFrame], key: String): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(col(key)).agg(
+        sum(col("n")).as("n"),
+        sum(col("sx")).as("sx"),
+        min(col("mn")).as("mn"),
+        max(col("mx")).as("mx"))
+
   /** Deterministic stratified sample: the `n` smallest md5-ranked rows per
     * stratum — reproducible across runs/engines (vs `sampleBy`, which is
     * seed- and partitioning-dependent), uniform within each stratum

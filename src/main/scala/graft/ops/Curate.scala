@@ -63,6 +63,91 @@ object Curate {
       .select(col("id").as("doc_id"), col("n_shared"))
   }
 
+  /** Deterministic md5-derived uniform fraction of an id in [0, 1):
+    * first 8 md5 nibbles / 2^32. No PRNG state → reproducible across
+    * engines (DuckDB oracle replays it nibble-for-nibble) and across
+    * cluster re-runs, unlike rand(seed) whose draw depends on row order
+    * and partitioning.
+    */
+  def md5Frac(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+
+  /** Source-mixture sampling: keep each row with probability = its
+    * source's target rate (the domain-reweighting step of corpus assembly
+    * — up/down-weight web vs books vs code by sampling rate). The keep
+    * decision is a scan-local md5-threshold on the row id: ZERO shuffles,
+    * no window, no per-stratum sort — strictly cheaper at 100 TB than the
+    * quota form (q110), which needs a per-domain window; use quotas only
+    * when a hard per-domain row CAP is required rather than a rate.
+    *
+    * Rates are a literal map (source → [0,1]); unlisted sources use
+    * `default`.
+    */
+  def mixtureSample(docs: DataFrame, idCol: String, sourceCol: String,
+                    rates: Map[String, Double],
+                    default: Double): DataFrame = {
+    val rate = rates.foldLeft(lit(default)) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, lit(r)).otherwise(acc)
+    }
+    docs.where(md5Frac(col(idCol)) < rate)
+  }
+
+  /** Per-document duplicated-n-gram share: of a doc's DISTINCT w-shingles,
+    * the fraction also present in at least one OTHER document (the
+    * boilerplate/duplication signal corpus reports track per source —
+    * Dolma's "duplicate paragraph fraction" generalized to shingles, which
+    * this corpus' unpunctuated text calls for).
+    *
+    * Shape at scale: distinct (doc, shingle) pairs → one shingle-keyed agg
+    * for cross-doc document frequency → join back on the shingle → one
+    * doc-keyed agg. Same two-shuffle skeleton as TF-IDF's df pass; nothing
+    * is all-pairs and no doc's shingle set leaves its executor un-reduced.
+    *
+    * Output: (doc_id, n_shingles, n_dup, dup_share).
+    */
+  def dupNgramShare(docs: DataFrame, idCol: String, textCol: String,
+                    w: Int = 5): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(
+          Dedup.shingles(Text.cleanTokens(col(textCol)), w))).as("sh"))
+    val df_ = sh.groupBy("sh")
+      .agg(count(lit(1)).as("n_docs"))
+    sh.join(df_, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_share",
+        col("n_dup").cast("double") / col("n_shingles"))
+  }
+
+  /** Per-document out-of-vocabulary rate against the corpus' own top-`v`
+    * vocabulary (frequency-ranked, term-asc tie-break): the cheap
+    * quality/abnormality signal — gibberish, boilerplate codes, and
+    * wrong-language docs all spike OOV. The vocab is v rows → broadcast;
+    * the token stream is scanned once and reduced per doc. Two keyed aggs
+    * + one broadcast join; the vocab build is a TakeOrdered, not a global
+    * sort.
+    *
+    * Output: (doc_id, n_tokens, n_oov, oov_rate).
+    */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              v: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(Text.cleanTokens(col(textCol))).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(v)
+      .select(col("term"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens"))
+  }
+
   /** Email pattern (RE2-compatible — identical semantics in Java regex
     * and DuckDB, so the oracle replays it exactly).
     */

@@ -183,6 +183,19 @@ object StreamOps {
         unix_timestamp(col("r_ts")).as("r_es"))
   }
 
+  /** Stream-static enrichment: a streaming fact side joined to a STATIC
+    * dimension — the streaming twin of the batch star join (q13/q14).
+    * Unlike stream-stream joins this holds NO join state and needs no
+    * watermark: each micro-batch plans an ordinary broadcast hash join
+    * against the dim snapshot, so a dim refresh is picked up by the next
+    * batch (Spark re-resolves static sources per batch for file sources).
+    * At 100 TB/day of stream, dim size is the only knob: past ~8 GB flip
+    * the broadcast to a shuffle join keyed like the batch path.
+    */
+  def streamStaticEnrich(stream: DataFrame, dim: DataFrame,
+                         key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key))
+
   /** Streaming exact dedup — the streaming twin of graft.ops.Dedup.exact:
     * duplicates of a key arriving within the watermark delay of its first
     * occurrence are dropped, and key state older than the watermark is

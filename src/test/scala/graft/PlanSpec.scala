@@ -186,4 +186,34 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("TakeOrderedAndProject"), s"$q:\n" + p.take(1200))
     }
   }
+
+  test("q117 mixture sample is a scan-local filter: the only exchange is " +
+    "the final ORDER BY") {
+    val p = plan("q117_mixture_sample")
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.size <= 1 &&
+      exchanges.forall(_.contains("rangepartitioning")),
+      s"sampling itself must not shuffle: $exchanges\n" + p.take(1200))
+  }
+
+  test("q118 OOV join broadcasts the vocabulary side") {
+    val p = plan("q118_vocab_oov")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q119 dup-ngram share joins on the shingle key (no cartesian, " +
+    "no nested loop)") {
+    val p = plan("q119_dup_ngram_share")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("q116 incremental merge re-aggregates state rows only (two " +
+    "partial states union into one final agg, no join)") {
+    val p = plan("q116_incremental_agg")
+    assert(p.contains("Union"), p.take(1200))
+    assert(!p.contains("Join"), "state merge must be agg-only:\n" +
+      p.take(1200))
+  }
 }

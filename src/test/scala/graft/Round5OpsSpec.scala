@@ -111,6 +111,68 @@ class Round5OpsSpec extends SparkSpec {
       (0, "nothing here")))
   }
 
+  test("aggState + mergeAggStates == full recompute, for any split") {
+    val ev = Seq((1L, "a", 1.5), (2L, "a", 2.5), (3L, "b", -1.0),
+      (4L, "b", 4.0), (5L, "a", 0.25)).toDF("id", "k", "v")
+    val full = graft.ops.Agg.aggState(ev, "k", "v")
+    // split on id parity, then merge the two partial states
+    val merged = graft.ops.Agg.mergeAggStates(Seq(
+      graft.ops.Agg.aggState(ev.where($"id" % 2 === 0), "k", "v"),
+      graft.ops.Agg.aggState(ev.where($"id" % 2 =!= 0), "k", "v")), "k")
+    val norm = (df: org.apache.spark.sql.DataFrame) => df.orderBy("k")
+      .select($"k", $"n", $"sx".cast("double"), $"mn".cast("double"),
+        $"mx".cast("double"))
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(norm(merged) === norm(full))
+    assert(norm(full) === Seq(("a", 3L, 4.25, 0.25, 2.5),
+      ("b", 2L, 3.0, -1.0, 4.0)))
+  }
+
+  test("mixtureSample keeps by per-source rate, deterministically") {
+    val docs = (0L until 200L).map(i => (i, s"src${i % 2}"))
+      .toDF("doc_id", "source")
+    val got = Curate.mixtureSample(docs, "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.0), default = 0.5)
+    // rate 1.0 keeps everything, rate 0.0 keeps nothing
+    assert(got.where($"source" === "src0").count() === 100)
+    assert(got.where($"source" === "src1").count() === 0)
+    // unlisted source falls back to default and is reproducible
+    val other = (0L until 1000L).map(i => (i, "srcX")).toDF("doc_id", "source")
+    val a = Curate.mixtureSample(other, "doc_id", "source", Map.empty, 0.5)
+    val n = a.count()
+    assert(n > 400 && n < 600) // md5 is uniform
+    assert(Curate.mixtureSample(other, "doc_id", "source", Map.empty, 0.5)
+      .count() === n)
+  }
+
+  test("dupNgramShare: shingles shared across docs vs doc-local ones") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // shingles(5): "a b c d e", "b c d e f"
+      (2L, "a b c d e zz"),  // shares "a b c d e" with doc 1
+      (3L, "q r s t u v")    // all doc-local
+    ).toDF("doc_id", "text")
+    val got = Curate.dupNgramShare(docs, "doc_id", "text", w = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_dup", "dup_share")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5),
+      (3L, 2L, 0L, 0.0)))
+  }
+
+  test("oovRate against the corpus' own top-v vocabulary") {
+    val docs = Seq(
+      (1L, "the the the cat"),   // vocab(1) = {the}; 1 OOV of 4
+      (2L, "dog dog"),           // all OOV
+      (3L, "the")                // none OOV
+    ).toDF("doc_id", "text")
+    val got = Curate.oovRate(docs, "doc_id", "text", v = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_oov", "oov_rate")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 4L, 1L, 0.25), (2L, 2L, 2L, 1.0),
+      (3L, 1L, 0L, 0.0)))
+  }
+
   test("JDBC round-trip through embedded Derby preserves rows and types") {
     val df = Seq((1, "ares", 10L), (2, "boreas", 20L), (3, "cronus", 30L))
       .toDF("id", "name", "v")

@@ -116,6 +116,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static enrich == the batch join, with no streaming state") {
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001"
+    val stage = Files.createTempDirectory("graft-sse").toFile
+    try {
+      Files.copy(new java.io.File(s"$src/events.parquet").toPath,
+        new java.io.File(stage, "events.parquet").toPath)
+      // static dim: one label row per event_type
+      val dim = Tables.load(spark, src, "events")
+        .select("event_type").distinct()
+        .withColumn("type_label", upper(col("event_type")))
+
+      val in = StreamOps.eventsStream(spark, stage.getAbsolutePath)
+      val q = StreamOps.streamStaticEnrich(in, dim, "event_type")
+        .writeStream.format("memory").queryName("sse")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = spark.table("sse")
+        .select("event_id", "type_label").as[(Long, String)].collect().toSet
+
+      val batch = StreamOps.streamStaticEnrich(
+          Tables.load(spark, src, "events"), dim, "event_type")
+        .select("event_id", "type_label").as[(Long, String)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+      // enrichment must not register any stateful operator
+      assert(spark.table("sse").count() ===
+        Tables.load(spark, src, "events").count())
+    } finally {
+      stage.listFiles().foreach(_.delete()); stage.delete()
+    }
+  }
+
   test("streaming windowedCounts == batch tumblingCounts on events sf0.001") {
     val src = "/root/testdata/sf0.001"
     val stage = Files.createTempDirectory("graft-stream").toFile
