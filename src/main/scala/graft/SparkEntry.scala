@@ -1196,7 +1196,19 @@ object SparkEntry {
     // df-pass shuffle skeleton, never all-pairs.
     "q119_dup_ngram_share" -> ((s, dir) =>
       Curate.dupNgramShare(t(s, dir, "documents"), "doc_id", "text", w = 5)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // exact median via RANK SELECTION — the 100 TB-safe exact path for
+    // the q29/q108 percentile family: one spillable sort instead of a
+    // per-group value buffer in the agg (SCALE.md "exact quantiles" row).
+    // Identical result to percentile(0.5) by construction (middle order
+    // statistics averaged = linear interpolation at p=0.5).
+    "q120_median_rank" -> ((s, dir) =>
+      Agg.medianByRank(t(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice")
+        .select(col("l_returnflag"),
+          (floor(col("median") * 100) / 100).as("p50"), col("n"))
+        .orderBy("l_returnflag"))
   )
 
   // ---- oracle SQL (DuckDB) ----------------------------------------------
@@ -2392,7 +2404,16 @@ object SparkEntry {
            |  CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
            |  CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_share
            |FROM sh JOIN dfq USING (sh)
-           |GROUP BY id ORDER BY doc_id""".stripMargin
+           |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+      "q120_median_rank" ->
+        """WITH r AS (SELECT l_returnflag AS k, l_extendedprice AS x,
+          |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+          |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+          |  FROM lineitem)
+          |SELECT k AS l_returnflag, floor(AVG(x) * 100) / 100 AS p50, MAX(n) AS n
+          |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+          |GROUP BY k ORDER BY l_returnflag""".stripMargin
     )
   }
 }

@@ -183,6 +183,33 @@ object Agg {
         min(col("mn")).as("mn"),
         max(col("mx")).as("mx"))
 
+  /** Exact per-group median WITHOUT a per-group value buffer — the scale
+    * mitigation for the q29/q108 exact-percentile ceiling (`percentile()`
+    * holds every group value in the final agg buffer; this holds none).
+    * One window pass: rank each value in its group, keep the one or two
+    * middle ranks, average them — rank selection over a sort, so memory
+    * per task is O(1) beyond the sort spill, and a skewed group costs a
+    * disk-backed sort instead of an executor OOM. The averaged two middle
+    * order statistics equal percentile_cont(0.5)'s linear interpolation,
+    * so results are identical to the buffered form. Generalizes to any
+    * percentile p by selecting rank floor((n-1)p)+1 (+ its neighbor).
+    *
+    * Ties need no tie-break: equal values at the middle ranks yield the
+    * same selected multiset whatever their relative order.
+    */
+  def medianByRank(df: DataFrame, key: String, x: String): DataFrame = {
+    val byVal = Window.partitionBy(col(key)).orderBy(col(x).asc)
+    val whole = Window.partitionBy(col(key))
+    df.select(col(key), col(x))
+      .withColumn("rn", row_number().over(byVal))
+      .withColumn("n", count(lit(1)).over(whole))
+      // lo = floor((n+1)/2), hi = ceil((n+1)/2): equal when n is odd
+      .where(col("rn") === expr("(n + 1) div 2") ||
+        col("rn") === expr("(n + 2) div 2"))
+      .groupBy(col(key))
+      .agg(max(col("n")).as("n"), avg(col(x)).as("median"))
+  }
+
   /** Deterministic stratified sample: the `n` smallest md5-ranked rows per
     * stratum — reproducible across runs/engines (vs `sampleBy`, which is
     * seed- and partitioning-dependent), uniform within each stratum

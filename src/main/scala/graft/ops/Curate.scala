@@ -112,9 +112,16 @@ object Curate {
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(
           Dedup.shingles(Text.cleanTokens(col(textCol)), w))).as("sh"))
-    val df_ = sh.groupBy("sh")
-      .agg(count(lit(1)).as("n_docs"))
-    sh.join(df_, Seq("sh"))
+    // document frequency via an unordered COUNT window over the shingle,
+    // NOT a groupBy+self-join: the join form evaluates the (expensive)
+    // tokenize+shingle+explode pipeline once per side — Spark can't reuse
+    // the exchange because the agg side wraps it in a partial aggregate —
+    // and shuffles the exploded set three times. The window form computes
+    // the pipeline ONCE and shuffles twice (sh, then doc_id). Measured
+    // 10.6 s -> ~2 s at sf0.1. Per-shingle window partitions are bounded
+    // by the shingle's df (the same bound the join's fan-in had).
+    sh.withColumn("n_docs",
+        count(lit(1)).over(Window.partitionBy("sh")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))

@@ -173,13 +173,31 @@ object Dedup {
   def lshVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 8, bands: Int = 4,
                        minJaccard: Double = 0.2): DataFrame = {
+    // the candidate pair set is orders of magnitude smaller than the
+    // corpus; localCheckpoint materializes it ONCE (it feeds both the
+    // id-reduction and the final join — without it the whole MinHash
+    // pipeline re-runs per consumer; same hygiene as q92's pair graph)
     val cands = minhashPairs(df, idCol, textCol, k, bands)
       .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    // build verify-side shingle arrays ONLY for docs in some candidate
+    // pair (broadcast semi-reduction BEFORE the tokenize): verify cost
+    // scales with candidate density, not corpus size — tokenizing the
+    // full corpus again cost more than the whole verify at sf0.1
+    // (4.8 s -> ~2.4 s, vs 2.3 s for candidate generation alone)
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    // NO size(shs)>0 guard here: candidate docs have >= w tokens by
+    // construction (they produced signatures), and a filter on the
+    // derived shs column would be pushed below the broadcast join —
+    // re-evaluating the whole shingle expression over the FULL corpus,
+    // which is precisely what the semi-reduction avoids (measured 3.2 s
+    // of the 5.2 s total at sf0.1)
     val sh = df
-      .select(col(idCol).as("id"), Text.cleanTokens(col(textCol)).as("t"))
-      .withColumn("shs", array_distinct(shingles(col("t"))))
-      .where(size(col("shs")) > 0)
-      .select(col("id"), col("shs"))
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(broadcast(candIds), Seq("id"))
+      .select(col("id"), array_distinct(
+        shingles(Text.cleanTokens(col("__text")))).as("shs"))
     cands
       .join(sh.select(col("id").as("id_a"), col("shs").as("sa")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shs").as("sb")), "id_b")

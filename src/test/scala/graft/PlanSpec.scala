@@ -216,4 +216,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "state merge must be agg-only:\n" +
       p.take(1200))
   }
+
+  test("runtime bloom filter injects on a shuffle join with a selective " +
+    "build side (the 100 TB fact-join reduction)") {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      // tiny fixtures need the thresholds opened up: forbid broadcast (a
+      // broadcast join already prunes via the hash relation), allow any
+      // creation-side size, and require no minimum scan size
+      conf.set(keys(0), "-1")
+      conf.set(keys(1), "100MB")
+      conf.set(keys(2), "0")
+      val li = Tables.load(spark, dir, "lineitem")
+      val ord = Tables.load(spark, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_orderpriority")
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.toLowerCase.contains("bloom"),
+        "expected a bloom runtime filter on the fact side:\n" +
+          optimized.take(2000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

@@ -173,6 +173,36 @@ class Round5OpsSpec extends SparkSpec {
       (3L, 1L, 0L, 0.0)))
   }
 
+  test("medianByRank == percentile(0.5): bufferless rank selection " +
+      "matches the buffered exact form") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val ranked = graft.ops.Agg.medianByRank(li, "l_returnflag",
+        "l_extendedprice")
+      .orderBy("l_returnflag")
+      .select($"l_returnflag", $"median", $"n")
+      .as[(String, Double, Long)].collect().toSeq
+    val buffered = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5D)").as("p50"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+      .select($"l_returnflag", $"p50", $"n")
+      .as[(String, Double, Long)].collect().toSeq
+    assert(ranked.map(_._1) === buffered.map(_._1))
+    ranked.zip(buffered).foreach { case ((_, m, n1), (_, p, n2)) =>
+      assert(n1 === n2)
+      assert(math.abs(m - p) < 1e-9, s"rank $m vs percentile $p")
+    }
+    // odd and even group sizes both occur… if not, the interpolation
+    // branch is untested — pin both explicitly
+    val odd = Seq(("g", 1.0), ("g", 5.0), ("g", 2.0)).toDF("k", "x")
+    assert(graft.ops.Agg.medianByRank(odd, "k", "x")
+      .select($"median").as[Double].head() === 2.0)
+    val even = Seq(("g", 1.0), ("g", 2.0), ("g", 5.0), ("g", 6.0))
+      .toDF("k", "x")
+    assert(graft.ops.Agg.medianByRank(even, "k", "x")
+      .select($"median").as[Double].head() === 3.5)
+  }
+
   test("JDBC round-trip through embedded Derby preserves rows and types") {
     val df = Seq((1, "ares", 10L), (2, "boreas", 20L), (3, "cronus", 30L))
       .toDF("id", "name", "v")

@@ -22,6 +22,18 @@ class SourcesSpec extends SparkSpec {
     StructField("id", StringType), StructField("content", StringType),
     StructField("subreddit", StringType)))
 
+  test("audited parquet write observes row and null counts in-pass") {
+    val df = Seq((1L, "en"), (2L, null.asInstanceOf[String]),
+      (3L, "fr"), (4L, null.asInstanceOf[String]))
+      .toDF("id", "lang")
+    val out = tmp() + "/audited"
+    val m = Sources.writeParquetAudited(df, out, Seq("lang"))
+    assert(m("rows_written") === 4L)
+    assert(m("nulls_lang") === 2L)
+    // the metrics describe exactly what was committed
+    assert(spark.read.parquet(out).count() === 4L)
+  }
+
   test("CSV sink+source round trip preserves rows; empty write skipped") {
     val dir = tmp() + "/posts_csv"
     val df = Seq(("a1", "hello, world", "srA"), ("b2", "héllo ünïcode", "srB"))
