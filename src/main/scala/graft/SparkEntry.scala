@@ -1208,7 +1208,20 @@ object SparkEntry {
           "l_extendedprice")
         .select(col("l_returnflag"),
           (floor(col("median") * 100) / 100).as("p50"), col("n"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // north star — EXACT-recall threshold similarity join via prefix
+    // filtering (SSJoin/PPJoin): all pairs with jaccard >= 0.8 over the
+    // FULL corpus, candidates bounded by rare-shingle df (vs q33's
+    // doc_id<200 cap, which the quadratic brute join needs — this corpus
+    // has 1.1M shingle-sharing pairs at sf0.1 that prefix filtering never
+    // materializes). 0.8 is the near-dup regime the op exists for; prefix
+    // length scales as m·(1-t), so the threshold is also the cost knob.
+    // The deterministic complement to the LSH path (q32/q111).
+    "q121_prefix_filter_pairs" -> ((s, dir) =>
+      Dedup.prefixFilterPairs(t(s, dir, "documents"), "doc_id", "text",
+          w = 3, minJaccard = 0.8)
+        .orderBy("id_a", "id_b"))
   )
 
   // ---- oracle SQL (DuckDB) ----------------------------------------------
@@ -2413,7 +2426,26 @@ object SparkEntry {
           |  FROM lineitem)
           |SELECT k AS l_returnflag, floor(AVG(x) * 100) / 100 AS p50, MAX(n) AS n
           |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
-          |GROUP BY k ORDER BY l_returnflag""".stripMargin
+          |GROUP BY k ORDER BY l_returnflag""".stripMargin,
+
+      // exact-by-definition oracle: the brute all-pairs form — the engine
+      // must produce the SAME pairs through prefix filtering
+      "q121_prefix_filter_pairs" ->
+        s"""WITH cleaned AS (SELECT doc_id AS id, $clean AS c FROM documents),
+           |tok AS (SELECT id, $cleanToks AS t FROM cleaned),
+           |sh AS (SELECT id, UNNEST(list_distinct(${shinglesSql("t")})) AS sh FROM tok),
+           |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+           |common AS (
+           |  SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS c
+           |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.id < y.id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |  ${Num.floorAtSql("CAST(c AS DOUBLE) / (na.n + nb.n - c)", 4)} AS jaccard
+           |FROM common
+           |JOIN sizes na ON na.id = id_a
+           |JOIN sizes nb ON nb.id = id_b
+           |WHERE ${Num.floorAtSql("CAST(c AS DOUBLE) / (na.n + nb.n - c)", 4)} >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin
     )
   }
 }

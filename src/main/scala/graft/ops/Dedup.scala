@@ -56,6 +56,19 @@ object Dedup {
         i => concat_ws(" ",
           (0 until w).map(k => element_at(toks, i + k + 1)): _*)))
 
+  /** w-gram shingle IDENTITIES as xxhash64 of the w tokens — no string
+    * concatenation, 8-byte keys. For candidate-generation stages whose
+    * output is verified exactly afterwards (see prefixFilterPairs): a
+    * collision merges two shingles, which can only raise apparent
+    * similarity, never lower it — recall-safe, precision restored by the
+    * verify.
+    */
+  def hashedShingles(toks: Column, w: Int = 3): Column =
+    when(size(toks) < w, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - w),
+        i => xxhash64(
+          (0 until w).map(k => element_at(toks, i + k + 1)): _*)))
+
   /** MinHash signature: for seed s in [0, k), min over shingles of
     * md5(s || ':' || shingle), as an array of hex strings. Empty shingle
     * sets get a sentinel so the row still carries a signature.
@@ -137,6 +150,104 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
     * Output: (id_a, id_b, jaccard) for pairs above `minJaccard`.
     */
+  /** Exact-threshold similarity join via PREFIX FILTERING (SSJoin/PPJoin
+    * family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08): all pairs
+    * with Jaccard >= t, with EXACT recall and no all-pairs work — the
+    * deterministic complement to the probabilistic LSH path (q32/q111).
+    *
+    * Principle: order every doc's shingles by a GLOBAL total order and
+    * keep only each doc's PREFIX of length m - ceil(t*m) + 1. Two sets
+    * with Jaccard >= t must share at least one prefix element (pigeonhole
+    * on the order), so joining on prefix shingles loses nothing — recall
+    * is exact for ANY total order, which DedupSpec proves for both orders
+    * against the brute join.
+    *
+    * The order is the cost/skew knob:
+    *  - `dfOrdered = true` (default): document-frequency-ascending order
+    *    (the PPJoin heuristic) — prefixes hold each doc's RAREST
+    *    shingles, so candidate fan-in is bounded by rare-shingle df even
+    *    when boilerplate shingles are hot (the LSH hot-bucket problem,
+    *    solved here by ordering instead of banding). Costs one corpus df
+    *    agg + a doc-keyed re-sort pass — PPJoin is inherently two-pass.
+    *  - `dfOrdered = false`: plain lexicographic order — the prefix is
+    *    `slice(sort_array(shingles))`, entirely SCAN-LOCAL: no corpus
+    *    pass before the candidate join. ONLY for near-uniform shingle
+    *    dfs: on the fixture corpus (small vocab, hot shingles) the
+    *    lexicographic prefixes land on common shingles and the candidate
+    *    join blows up — measurably slower than df-ordered despite
+    *    skipping the df pass.
+    *
+    * Candidate join + exact verify share the lshVerifiedPairs shape
+    * (checkpointed candidates, broadcast semi-reduction); the oracle
+    * checks the result against the brute all-pairs definition.
+    */
+  def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
+                        w: Int = 3, minJaccard: Double = 0.5,
+                        dfOrdered: Boolean = true): DataFrame = {
+    // Candidate generation runs on HASHED shingles: xxhash64 of the w
+    // tokens directly — no concat_ws string materialization (the 15M-row
+    // string shingle stream measured ~3 s/pass at sf0.1; the long stream
+    // is a fraction of that, and df/sort/join all run on 8-byte keys).
+    // Hashing can only MERGE shingle identities, and merging can only
+    // RAISE apparent Jaccard (|A∩B| can grow, |A∪B| can shrink), so every
+    // true pair still reaches the candidate set — recall survives; the
+    // exact verify below runs on true string shingles and rejects any
+    // hash-induced false positive, so the RESULT is exact either way.
+    // tokens are MATERIALIZED in their own projection before any
+    // array-lambda touches them (Text.scala contract: a lambda-captured
+    // cleanTokens expression is re-evaluated per array element — inlining
+    // it here measured 3.0 s for this scan vs 0.6 s materialized)
+    val toks = df.select(col(idCol).as("id"),
+      Text.cleanTokens(col(textCol)).as("t"))
+    val sh = toks
+      .select(col("id"),
+        explode(array_distinct(hashedShingles(col("t"), w))).as("sh"))
+    val ordsh =
+      if (!dfOrdered)
+        toks.select(col("id"),
+          sort_array(array_distinct(hashedShingles(col("t"), w)))
+            .as("ordsh"))
+      else
+        // document frequency via an unordered COUNT window over the
+        // hashed shingle — ONE pipeline (a groupBy+join-back branch would
+        // re-evaluate the scan+hash+explode per consumer); sorting 8-byte
+        // keys keeps the window cheap where the string form was not
+        sh.withColumn("d", count(lit(1)).over(Window.partitionBy("sh")))
+          .groupBy("id")
+          .agg(sort_array(collect_list(struct(col("d"), col("sh"))))
+            .as("ord"))
+          .select(col("id"),
+            transform(col("ord"), e => e("sh")).as("ordsh"))
+    val prefix = ordsh
+      .select(col("id"), explode(slice(col("ordsh"), lit(1),
+        (size(col("ordsh")) -
+          ceil(size(col("ordsh")) * minJaccard) + 1).cast("int")))
+        .as("sh"))
+    val cands = prefix.as("a").hint("shuffle_hash")
+      .join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+      .localCheckpoint()
+    // exact verify on candidates only (broadcast semi-reduction; see
+    // lshVerifiedPairs for why there is no derived-column filter here)
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val arrs = df
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(broadcast(candIds), Seq("id"))
+      .select(col("id"), Text.cleanTokens(col("__text")).as("t"))
+      .select(col("id"), array_distinct(shingles(col("t"), w)).as("shs"))
+    cands
+      .join(arrs.select(col("id").as("id_a"), col("shs").as("sa")), "id_a")
+      .join(arrs.select(col("id").as("id_b"), col("shs").as("sb")), "id_b")
+      .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
+      .select(col("id_a"), col("id_b"),
+        Num.floorAt(col("c").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("c")), 4).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    w: Int = 3, minJaccard: Double = 0.1): DataFrame = {
     val sh = df
@@ -196,8 +307,8 @@ object Dedup {
     val sh = df
       .select(col(idCol).as("id"), col(textCol).as("__text"))
       .join(broadcast(candIds), Seq("id"))
-      .select(col("id"), array_distinct(
-        shingles(Text.cleanTokens(col("__text")))).as("shs"))
+      .select(col("id"), Text.cleanTokens(col("__text")).as("t"))
+      .select(col("id"), array_distinct(shingles(col("t"))).as("shs"))
     cands
       .join(sh.select(col("id").as("id_a"), col("shs").as("sa")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shs").as("sb")), "id_b")

@@ -75,6 +75,33 @@ class DedupSpec extends SparkSpec {
     assert(!got.keys.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("prefixFilterPairs == brute jaccardPairs (exact recall of the " +
+      "prefix filter), on the unit docs and the sf0.001 corpus") {
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    // unit docs: the exact dup (1,2) and near-dup pairs with j >= 0.5
+    val brute = norm(Dedup.jaccardPairs(docs, "doc_id", "text",
+      w = 3, minJaccard = 0.5))
+    for (byDf <- Seq(false, true)) {
+      val pf = norm(Dedup.prefixFilterPairs(docs, "doc_id", "text",
+        w = 3, minJaccard = 0.5, dfOrdered = byDf))
+      assert(pf === brute, s"dfOrdered=$byDf")
+      assert(pf.contains((1L, 2L, 1.0)))
+    }
+    // fixture corpus: same equivalence at a lower threshold so the
+    // candidate set is non-trivial — recall must be exact under BOTH
+    // canonical orders (the guarantee is order-independent)
+    val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val bruteC = norm(Dedup.jaccardPairs(corpus, "doc_id", "text",
+      w = 3, minJaccard = 0.3))
+    for (byDf <- Seq(false, true)) {
+      val pfC = norm(Dedup.prefixFilterPairs(corpus, "doc_id", "text",
+        w = 3, minJaccard = 0.3, dfOrdered = byDf))
+      assert(pfC === bruteC, s"dfOrdered=$byDf")
+    }
+  }
+
   test("simhash: identical docs equal; near dups within small hamming") {
     def hamming(a: Int, b: Int) = Integer.bitCount(a ^ b)
     val sig = docs
