@@ -746,10 +746,16 @@ object SparkEntry {
         .where(Num.floorAt(col("mx").cast("double") / col("tot"), 4) > 0.2)
         .select("doc_id")
       val gated = quality.join(repetitive, Seq("doc_id"), "left_anti")
+      // the survivor set feeds THREE consumers (minhash signatures, the
+      // anti-join left side, and transitively the split/summary);
+      // localCheckpoint materializes the gate+dedup work once instead of
+      // re-running the scan+tokenize+window per consumer (q92/q111
+      // precedent — the checkpoint is corpus-survivors-sized, not raw)
       val exact = Dedup.keepFirst(
           gated.withColumn("fp", Text.fingerprint(col("text"))),
           Seq("fp"), Seq(col("doc_id").asc))
         .select("doc_id", "text", "n_chars")
+        .localCheckpoint()
       val nearDupLosers = Dedup
         .minhashPairs(exact, "doc_id", "text", k = 8, bands = 4)
         .where(col("est_jaccard") >= 0.5)
@@ -1221,7 +1227,58 @@ object SparkEntry {
     "q121_prefix_filter_pairs" -> ((s, dir) =>
       Dedup.prefixFilterPairs(t(s, dir, "documents"), "doc_id", "text",
           w = 3, minJaccard = 0.8)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // north star — incremental DISTINCT maintenance via mergeable HLL
+    // sketches (DataSketches hll_sketch_agg/hll_union_agg): the standing
+    // per-type sketch unions with each batch's sketch, and because HLL
+    // registers are element-wise maxima, union-of-parts is BIT-IDENTICAL
+    // to the one-shot sketch — `merge_equals_full` asserts that inside
+    // the query (the 100 TB property: distinct-count state is KB-sized
+    // and mergeable, vs q108's exact 2-phase dedup re-scan). The exact
+    // count rides along so the oracle pins real values, not just the
+    // mergeability bit.
+    "q122_incremental_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.where(col("event_id") % 10 =!= 0)
+      val delta = ev.where(col("event_id") % 10 === 0)
+      val merged = base.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .unionByName(delta.groupBy("event_type")
+          .agg(hll_sketch_agg(col("user_id")).as("sk")))
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("merged_est"))
+      val full = ev.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+          .as("full_est"),
+          count_distinct(col("user_id")).as("n_users"))
+      merged.join(full, Seq("event_type"))
+        .select(col("event_type"),
+          (col("merged_est") === col("full_est")).as("merge_equals_full"),
+          col("n_users"))
+        .orderBy("event_type")
+    }),
+
+    // north star — overlapping token-window chunking (the RAG /
+    // context-window splitter): 64-token chunks, stride 48 (16-token
+    // overlap), scan-local slice per chunk — zero shuffles before the
+    // final ORDER BY.
+    "q123_chunk_windows" -> ((s, dir) =>
+      Curate.chunkWindows(t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // north star — deterministic contrastive negative sampling: per
+    // anchor, k md5-ranked different-label candidates (reproducible
+    // negatives for embedding training; broadcast anchors + per-anchor
+    // WindowGroupLimit, the q40 skeleton).
+    "q124_negative_sample" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Sim.negativeSample(emb.where(col("vec_id") < 10), emb,
+          "vec_id", "label", k = 5)
+        .orderBy("q_id", "rk")
+    })
   )
 
   // ---- oracle SQL (DuckDB) ----------------------------------------------
@@ -2445,7 +2502,44 @@ object SparkEntry {
            |JOIN sizes na ON na.id = id_a
            |JOIN sizes nb ON nb.id = id_b
            |WHERE ${Num.floorAtSql("CAST(c AS DOUBLE) / (na.n + nb.n - c)", 4)} >= 0.8
-           |ORDER BY id_a, id_b""".stripMargin
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      // the mergeability flag is TRUE by construction (HLL registers are
+      // element-wise maxima; union is associative) — the oracle pins it
+      // as a literal plus the exact distinct counts
+      "q122_incremental_distinct" ->
+        """SELECT event_type, TRUE AS merge_equals_full,
+          |  COUNT(DISTINCT user_id) AS n_users
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "q123_chunk_windows" ->
+        s"""WITH toks AS (SELECT doc_id, $cleanToks AS t
+           |              FROM (SELECT doc_id, $clean AS c FROM documents)),
+           |b AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+           |idx AS (SELECT doc_id, t, UNNEST(range(0,
+           |          CASE WHEN n <= 64 THEN 1
+           |               ELSE (n - 64 + 47) // 48 + 1 END)) AS chunk_idx
+           |        FROM b),
+           |ch AS (SELECT doc_id, chunk_idx,
+           |         t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64] AS chunk
+           |       FROM idx)
+           |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           |  CAST(len(chunk) AS INT) AS n_chunk_tokens,
+           |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+           |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      "q124_negative_sample" ->
+        """WITH a AS (SELECT vec_id AS q_id, label AS q_label
+          |           FROM embeddings WHERE vec_id < 10),
+          |c AS (SELECT vec_id AS neg_id, label AS neg_label FROM embeddings),
+          |j AS (SELECT q_id, neg_id, neg_label,
+          |        row_number() OVER (PARTITION BY q_id
+          |          ORDER BY md5(CAST(q_id AS VARCHAR) || ':' ||
+          |                       CAST(neg_id AS VARCHAR)) ASC,
+          |                   neg_id ASC) AS rk
+          |      FROM a JOIN c ON q_label <> neg_label)
+          |SELECT q_id, rk, neg_id, neg_label FROM j
+          |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
     )
   }
 }

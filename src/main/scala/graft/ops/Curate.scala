@@ -160,6 +160,45 @@ object Curate {
         col("n_oov").cast("double") / col("n_tokens"))
   }
 
+  /** Overlapping token-window chunking (the RAG / context-window document
+    * splitter): each doc becomes ceil((n - overlap) / stride) chunks of
+    * up to `chunkTokens` tokens, consecutive chunks sharing
+    * `chunkTokens - stride` tokens. Entirely SCAN-LOCAL: the token array
+    * is materialized once per row and sliced per chunk — no shuffle, no
+    * state; short docs yield exactly one chunk, empty docs none.
+    *
+    * Output: (doc_id, chunk_idx, n_chunk_tokens, chunk_md5) — the hash
+    * stands in for chunk text so downstream equality checks don't carry
+    * the payload.
+    */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   chunkTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && stride <= chunkTokens,
+      s"need 0 < stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      Text.cleanTokens(col(textCol)).as("t"))
+    // chunk count: 1 if n <= chunkTokens, else ceil((n - chunkTokens) /
+    // stride) + 1 — chunk k starts at k*stride; the last chunk is the
+    // first one whose window reaches the end, so no chunk is fully
+    // contained in its predecessor (the degenerate tail a naive
+    // "while start < n" loop emits)
+    toks
+      .withColumn("n", size(col("t")))
+      .where(col("n") > 0)
+      .withColumn("max_idx",
+        when(col("n") <= chunkTokens, lit(0))
+          .otherwise(floor((col("n") - chunkTokens + stride - 1) /
+            lit(stride)).cast("int")))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), col("max_idx"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("t"), col("chunk_idx") * stride + 1, lit(chunkTokens))
+          .as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+  }
+
   /** Email pattern (RE2-compatible — identical semantics in Java regex
     * and DuckDB, so the oracle replays it exactly).
     */

@@ -24,6 +24,34 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 object Sim {
 
+  /** Deterministic contrastive NEGATIVE sampling: for each anchor, the k
+    * md5-ranked candidates whose label differs from the anchor's — the
+    * in-batch-negatives replacement a contrastive/embedding training
+    * pipeline runs when it needs reproducible negatives (a PRNG draw is
+    * neither engine- nor rerun-stable; the md5 rank is both, and uniform
+    * per anchor). Hard-negative mining would swap the md5 rank for a
+    * similarity rank over the same join — identical plan shape.
+    *
+    * Shape at scale: anchors broadcast (the tiny side), candidates
+    * stream through the non-equi label filter, and `WindowGroupLimit`
+    * prunes each partition to k per anchor before the single rank
+    * shuffle — same skeleton as [[topK]].
+    */
+  def negativeSample(anchors: DataFrame, candidates: DataFrame,
+                     idCol: String, labelCol: String, k: Int): DataFrame = {
+    val a = anchors.select(col(idCol).as("q_id"),
+      col(labelCol).as("q_label"))
+    val c = candidates.select(col(idCol).as("neg_id"),
+      col(labelCol).as("neg_label"))
+    val w = Window.partitionBy("q_id").orderBy(
+      md5(concat_ws(":", col("q_id"), col("neg_id"))).asc,
+      col("neg_id").asc)
+    broadcast(a).join(c, col("q_label") =!= col("neg_label"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("neg_id"), col("neg_label"))
+  }
+
   /** dot(a, b) over float arrays, accumulated in double — the native
     * codegen'd expression (see graft.functions.DotProductF32 for why the
     * HOF formulation is too slow on the pair-scoring hot path).

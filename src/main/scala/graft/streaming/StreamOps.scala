@@ -196,6 +196,41 @@ object StreamOps {
                          key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key))
 
+  /** Streaming NEAR-dup suppression by CONTENT signature: documents whose
+    * full k-MinHash signature was already seen within the watermark are
+    * dropped — the streaming admission filter a continuously-ingesting
+    * corpus pipeline runs (the batch pair-join near-dup pass can't run
+    * on a stream; signature-identity can, with one stateful op).
+    *
+    * Signature identity = est_jaccard 1.0 (near-exact dups). `k` is the
+    * sensitivity knob: lower k → coarser signatures → more aggressive
+    * suppression. This deliberately does NOT do banded LSH matching in
+    * the stream: a doc owns `bands` band keys, and "emit iff ALL bands
+    * unseen" needs cross-group coordination no single stateful operator
+    * provides — the batch q32/q111 pass remains the recall path, run
+    * periodically over the admitted corpus.
+    *
+    * State: one entry per distinct signature inside the watermark
+    * horizon, evicted by Spark as the watermark passes — bounded like
+    * [[streamingDedup]].
+    */
+  def streamingNearDupFilter(docs: DataFrame, textCol: String,
+                             tsCol: String, k: Int = 8,
+                             watermark: String = "1 hour"): DataFrame = {
+    import graft.ops.{Dedup, Text}
+    docs
+      .withWatermark(tsCol, watermark)
+      // tokens materialized before the signature lambda consumes them
+      // (Text.scala contract)
+      .withColumn("__t", Text.cleanTokens(col(textCol)))
+      .withColumn("__shs", Dedup.shingles(col("__t")))
+      .withColumn("sig_key",
+        md5(concat_ws(" ",
+          Dedup.minhashSignature(col("__shs"), k))))
+      .drop("__t", "__shs")
+      .dropDuplicatesWithinWatermark("sig_key")
+  }
+
   /** Streaming exact dedup — the streaming twin of graft.ops.Dedup.exact:
     * duplicates of a key arriving within the watermark delay of its first
     * occurrence are dropped, and key state older than the watermark is

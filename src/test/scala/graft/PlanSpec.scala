@@ -217,6 +217,13 @@ class PlanSpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("q124 negative sampling broadcasts anchors and prunes to k per " +
+    "anchor before the rank shuffle") {
+    val p = plan("q124_negative_sample")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
+
   test("runtime bloom filter injects on a shuffle join with a selective " +
     "build side (the 100 TB fact-join reduction)") {
     import org.apache.spark.sql.functions.col

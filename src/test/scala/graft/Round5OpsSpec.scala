@@ -203,6 +203,28 @@ class Round5OpsSpec extends SparkSpec {
       .select($"median").as[Double].head() === 3.5)
   }
 
+  test("chunkWindows: overlap, short-doc single chunk, no contained tail") {
+    // letters only: cleanTokens strips digits, so "w1".."w10" would all
+    // collapse to "w" and every chunk would hash identically
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "a b c"),                                   // shorter than chunk
+      (3L, "")                                         // empty -> no chunks
+    ).toDF("doc_id", "text")
+    // chunk=4, stride=3 -> doc 1: ceil((10-4)/3)+1 = 3 chunks at 0,3,6
+    val got = Curate.chunkWindows(docs, "doc_id", "text",
+        chunkTokens = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "n_chunk_tokens")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(got === Seq((1L, 0, 4), (1L, 1, 4), (1L, 2, 4), (2L, 0, 3)))
+    // consecutive chunks overlap by chunk - stride = 1 token
+    val hashes = Curate.chunkWindows(docs.where($"doc_id" === 1),
+        "doc_id", "text", 4, 3)
+      .orderBy("chunk_idx").select("chunk_md5").as[String].collect()
+    assert(hashes.distinct.length === 3)
+  }
+
   test("JDBC round-trip through embedded Derby preserves rows and types") {
     val df = Seq((1, "ares", 10L), (2, "boreas", 20L), (3, "cronus", 30L))
       .toDF("id", "name", "v")

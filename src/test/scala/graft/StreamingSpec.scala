@@ -116,6 +116,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup filter suppresses signature twins across " +
+      "micro-batches, keeps distinct content") {
+    import spark.implicits._
+    val stage = Files.createTempDirectory("graft-ndup").toFile
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val batch1 = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta", t0),
+        (2L, "iota kappa lambda mu nu xi", t0))
+        .toDF("doc_id", "text", "ts")
+      val batch2 = Seq(
+        (3L, "alpha beta gamma delta epsilon zeta", t0), // dup of 1
+        (4L, "rho sigma tau upsilon phi chi", t0))       // fresh
+        .toDF("doc_id", "text", "ts")
+      batch1.coalesce(1).write.mode("append").parquet(stage.getAbsolutePath)
+      val in = spark.readStream.schema(schema)
+        .parquet(stage.getAbsolutePath)
+      val q = graft.streaming.StreamOps
+        .streamingNearDupFilter(in, "text", "ts", k = 8)
+        .writeStream.format("memory").queryName("ndup")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        batch2.coalesce(1).write.mode("append")
+          .parquet(stage.getAbsolutePath)
+        q.processAllAvailable()
+      } finally q.stop()
+      // doc 3 (content twin of doc 1, later micro-batch) must be dropped
+      assert(spark.table("ndup").select("doc_id").as[Long].collect().toSet
+        === Set(1L, 2L, 4L))
+    } finally {
+      stage.listFiles().foreach(_.delete()); stage.delete()
+    }
+  }
+
   test("stream-static enrich == the batch join, with no streaming state") {
     import spark.implicits._
     val src = "/root/testdata/sf0.001"
