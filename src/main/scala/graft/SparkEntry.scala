@@ -1278,7 +1278,63 @@ object SparkEntry {
       Sim.negativeSample(emb.where(col("vec_id") < 10), emb,
           "vec_id", "label", k = 5)
         .orderBy("q_id", "rk")
-    })
+    }),
+
+    // north star — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    // deterministic k-means clusters as the blocking step, cosine min-id
+    // dedup WITHIN each cluster. First oracle coverage of the Lloyd's
+    // quantizer itself — the DuckDB oracle replays both unrolled
+    // iterations (decimal-exact centroid means, 9dp-floored assignment
+    // argmax) and must land every vector in the same cell.
+    "q125_semdedup" -> ((s, dir) =>
+      Sim.semDedup(t(s, dir, "embeddings"), k = 8, iters = 2,
+          threshold = 0.2)
+        .orderBy("cell")),
+
+    // north star — corpus-wide exact segment dedup (CCNet/RefinedWeb line
+    // dedup over fixed 16-token blocks): keep-first on the segment hash,
+    // per-doc survival share.
+    "q126_segment_dedup" -> ((s, dir) =>
+      Curate.dedupSegments(t(s, dir, "documents"), "doc_id", "text",
+          segTokens = 16)
+        .orderBy("doc_id")),
+
+    // north star — unigram-LM mean log2 prob per doc (the KenLM-style
+    // perplexity proxy quality filter, model-free).
+    "q127_unigram_logprob" -> ((s, dir) =>
+      Curate.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // north star — EXACT connected components (fixpoint label propagation)
+    // over the production near-dup pair graph (q111's LSH-then-verify
+    // edges): the full-graph upgrade of q92's bounded-round clusters,
+    // checked against a recursive-CTE oracle. survivor = the component's
+    // min id, i.e. the doc kept by every min-id dedup rule upstream.
+    "q128_cc_converged" -> ((s, dir) => {
+      val comp = Dedup.componentsConverged(
+        Dedup.lshVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 8, bands = 4, minJaccard = 0.2))
+      comp
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy("component")))
+        .select(col("doc_id"), col("component"),
+          col("n_members"), (col("doc_id") === col("component"))
+            .as("is_survivor"))
+        .orderBy("doc_id")
+    }),
+
+    // north star — salt-replicated skew join (manual AQE-skew-split for
+    // known-hot keys): lineitem ⋈ orders on the salted key, then the
+    // priority rollup. The salt never reaches the output, so the oracle is
+    // the PLAIN join — result-identity with the unsalted plan is the
+    // entire correctness claim.
+    "q129_skew_salted_join" -> ((s, dir) =>
+      Skew.saltedJoin(t(s, dir, "lineitem"), t(s, dir, "orders"),
+          "l_orderkey", "o_orderkey", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(dsum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"))
   )
 
   // ---- oracle SQL (DuckDB) ----------------------------------------------
@@ -2539,7 +2595,159 @@ object SparkEntry {
           |                   neg_id ASC) AS rk
           |      FROM a JOIN c ON q_label <> neg_label)
           |SELECT q_id, rk, neg_id, neg_label FROM j
-          |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+          |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+      // replays BOTH Lloyd's iterations: assignment = 9dp-floored cosine
+      // argmax (ties -> lowest cell), centroid mean = exact DECIMAL sum /
+      // count cast through REAL — bit-identical to the engine's
+      // decimal-stable kmeansCells at every step, then the within-cell
+      // min-id cosine dedup on the final assignment
+      "q125_semdedup" -> {
+        // assignment of every e-row to its argmax-cosine centroid in $cents
+        def kmAssign(cents: String, out: String): String =
+          s"""$out AS (
+             |  SELECT vec_id, v, cell FROM (
+             |    SELECT e.vec_id, e.v, c.cell,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        floor(list_sum(list_transform(range(1, 65),
+             |          i -> e.v[i] * c.cv[i])) / c.cn * 1000000000) DESC,
+             |        c.cell ASC) AS rn
+             |    FROM e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+        // recompute centroids from an assignment; empty cells keep $prev's
+        def kmUpdate(assign: String, prev: String, out: String): String =
+          s"""${out}m AS (
+             |  SELECT cell, p.pos AS pos,
+             |    CAST(SUM(CAST(a.v[p.pos] AS DECIMAL(27,10))) AS DOUBLE)
+             |      / COUNT(*) AS m
+             |  FROM $assign a CROSS JOIN range(1, 65) AS p(pos)
+             |  GROUP BY cell, p.pos),
+             |${out}l AS (
+             |  SELECT cell,
+             |    list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS cv
+             |  FROM ${out}m GROUP BY cell),
+             |$out AS (
+             |  SELECT p.cell, COALESCE(l.cv, p.cv) AS cv,
+             |    sqrt(list_sum(list_transform(COALESCE(l.cv, p.cv),
+             |      x -> x * x))) AS cn
+             |  FROM $prev p LEFT JOIN ${out}l l ON l.cell = p.cell)"""
+            .stripMargin
+        s"""WITH e AS (SELECT vec_id,
+           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |c0 AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           |    v AS cv, sqrt(list_sum(list_transform(v, x -> x * x))) AS cn
+           |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+           |${kmAssign("c0", "a1")},
+           |${kmUpdate("a1", "c0", "c1")},
+           |${kmAssign("c1", "a2")},
+           |${kmUpdate("a2", "c1", "c2")},
+           |${kmAssign("c2", "af")},
+           |n AS (SELECT vec_id, v, cell,
+           |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nr FROM af),
+           |pairs AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  WHERE floor(list_sum(list_transform(range(1, 65),
+           |      i -> a.v[i] * b.v[i])) / (a.nr * b.nr) * 10000) / 10000
+           |    >= 0.2),
+           |losers AS (SELECT DISTINCT id_b FROM pairs)
+           |SELECT CAST(af.cell AS INT) AS cell, COUNT(*) AS n_total,
+           |  COUNT(*) - COUNT(l.id_b) AS n_kept,
+           |  COUNT(l.id_b) AS n_dropped
+           |FROM af LEFT JOIN losers l ON af.vec_id = l.id_b
+           |GROUP BY af.cell ORDER BY cell""".stripMargin
+      },
+
+      // q123's chunk fragment at 16/16 (non-overlapping), then keep-first
+      // on the segment hash and the per-doc survival rollup
+      "q126_segment_dedup" ->
+        s"""WITH toks AS (SELECT doc_id, $cleanToks AS t
+           |              FROM (SELECT doc_id, $clean AS c FROM documents)),
+           |b AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+           |idx AS (SELECT doc_id, t, UNNEST(range(0,
+           |          CASE WHEN n <= 16 THEN 1
+           |               ELSE (n - 16 + 15) // 16 + 1 END)) AS chunk_idx
+           |        FROM b),
+           |seg AS (SELECT doc_id, chunk_idx,
+           |          md5(array_to_string(
+           |            t[chunk_idx * 16 + 1 : chunk_idx * 16 + 16], ' '))
+           |            AS chunk_md5
+           |        FROM idx),
+           |rn AS (SELECT doc_id, chunk_idx,
+           |         row_number() OVER (PARTITION BY chunk_md5
+           |           ORDER BY doc_id ASC, chunk_idx ASC) AS rn
+           |       FROM seg)
+           |SELECT doc_id, COUNT(*) AS n_segments,
+           |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_kept,
+           |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / COUNT(*) AS kept_share
+           |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q127_unigram_logprob" ->
+        s"""WITH toks AS (SELECT doc_id, UNNEST($cleanToks) AS term
+           |              FROM (SELECT doc_id, $clean AS c FROM documents)),
+           |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM toks),
+           |tf AS (SELECT doc_id, term,
+           |         COUNT(*) OVER (PARTITION BY term) AS tf
+           |       FROM toks)
+           |SELECT doc_id, COUNT(*) AS n_tokens,
+           |  floor(AVG(log2(tf / tot.n_total)) * 1000000) / 1000000
+           |    AS mean_log2p
+           |FROM tf CROSS JOIN tot
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // q111's LSH-then-verify pair CTEs verbatim, then reachability via a
+      // recursive CTE: component = min id reachable (exact CC — the
+      // fixpoint the engine's label-propagation loop converges to)
+      "q128_cc_converged" ->
+        s"""WITH RECURSIVE
+           |cleaned AS (SELECT doc_id AS id, $clean AS c FROM documents),
+           |sh AS (SELECT id, ${shinglesSql("t")} AS shs
+           |       FROM (SELECT id, $cleanToks AS t FROM cleaned)),
+           |sig AS (SELECT id,
+           |  list_transform(range(0, 8), s ->
+           |    COALESCE(list_min(list_transform(shs, x -> md5(CAST(s AS VARCHAR) || ':' || x))), '~empty')) AS sig
+           |  FROM sh WHERE len(shs) > 0),
+           |banded AS (
+           |  SELECT id, sig, CAST(b.i AS INTEGER) AS band,
+           |         md5(sig[CAST(b.i*2+1 AS INTEGER)] || '|' || sig[CAST(b.i*2+2 AS INTEGER)]) AS bkey
+           |  FROM sig CROSS JOIN range(0, 4) AS b(i)),
+           |cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+           |  WHERE a.id < b.id),
+           |dsh AS (SELECT id, list_distinct(shs) AS shs FROM sh
+           |        WHERE len(shs) > 0),
+           |scored AS (SELECT id_a, id_b,
+           |  len(list_filter(x.shs, e -> list_contains(y.shs, e))) AS c,
+           |  len(x.shs) AS na, len(y.shs) AS nb
+           |  FROM cands JOIN dsh x ON x.id = cands.id_a
+           |             JOIN dsh y ON y.id = cands.id_b),
+           |pairs AS (SELECT id_a, id_b FROM scored
+           |  WHERE floor(CAST(c AS DOUBLE) / (na + nb - c) * 10000) / 10000
+           |    >= 0.2),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |          UNION SELECT id_b, id_a FROM pairs),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |reach(id, lbl) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+           |comp AS (SELECT id AS doc_id, MIN(lbl) AS component
+           |         FROM reach GROUP BY id)
+           |SELECT doc_id, component,
+           |  COUNT(*) OVER (PARTITION BY component) AS n_members,
+           |  (doc_id = component) AS is_survivor
+           |FROM comp ORDER BY doc_id""".stripMargin,
+
+      // the salt is engine-internal, so the oracle is the PLAIN join —
+      // result-identity with the unsalted plan is the correctness claim
+      "q129_skew_salted_join" ->
+        s"""SELECT o_orderpriority,
+           |  ${dsumS("l_extendedprice")} AS revenue, COUNT(*) AS n
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
     )
   }
 }

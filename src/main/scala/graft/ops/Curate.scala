@@ -199,6 +199,62 @@ object Curate {
         md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
   }
 
+  /** Corpus-wide exact SEGMENT-level dedup (the line/paragraph dedup pass
+    * of CCNet / RefinedWeb, generalized to fixed token blocks because this
+    * corpus' text carries no newlines): split every doc into
+    * non-overlapping `segTokens`-token segments, keep only the FIRST
+    * occurrence of each distinct segment corpus-wide (order = (doc_id,
+    * chunk_idx) — deterministic), and report per-doc survival.
+    *
+    * Shape at scale: segmentation is scan-local ([[chunkWindows]] with
+    * stride = chunk); first-occurrence is ONE row_number window keyed on
+    * the segment hash (partition fan-in bounded by a segment's duplication
+    * count — the same bound any keep-first dedup has), then one doc-keyed
+    * agg. Nothing is all-pairs; the segment payload never shuffles (only
+    * its md5 does).
+    *
+    * Output: (doc_id, n_segments, n_kept, kept_share).
+    */
+  def dedupSegments(docs: DataFrame, idCol: String, textCol: String,
+                    segTokens: Int): DataFrame = {
+    val segs = chunkWindows(docs, idCol, textCol, segTokens, segTokens)
+    val w = Window.partitionBy("chunk_md5")
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+    segs.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_share",
+        col("n_kept").cast("double") / col("n_segments"))
+  }
+
+  /** Per-doc mean log2 probability under the corpus' own unigram MLE
+    * language model — the classic cheap perplexity proxy (a KenLM-style
+    * quality filter without shipping a model: docs of rare/gibberish
+    * tokens score low, boilerplate scores high). p(w) = tf(w) / N over the
+    * whole corpus.
+    *
+    * Shape at scale: term frequencies via an unordered COUNT window over
+    * the term (the [[dupNgramShare]] df-pass skeleton — one term-keyed
+    * shuffle, no self-join), N as a broadcast 1-row crossJoin, then one
+    * doc-keyed agg: two shuffles total. The mean is floored at 6 dp so
+    * cross-engine last-ulp drift in log2/avg cannot flip the hash.
+    *
+    * Output: (doc_id, n_tokens, mean_log2p).
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(Text.cleanTokens(col(textCol))).as("term"))
+    val total = toks.agg(count(lit(1)).cast("double").as("n_total"))
+    toks.withColumn("tf", count(lit(1)).over(Window.partitionBy("term")))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        Num.floorAt(avg(log2(col("tf") / col("n_total"))), 6)
+          .as("mean_log2p"))
+  }
+
   /** Email pattern (RE2-compatible — identical semantics in Java regex
     * and DuckDB, so the oracle replays it exactly).
     */

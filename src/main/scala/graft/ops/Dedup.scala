@@ -484,4 +484,49 @@ object Dedup {
     }
     lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
+
+  /** Min-label propagation run to FIXPOINT: the exact connected components
+    * of the pair graph (vs [[minLabelPropagate]]'s bounded-round
+    * approximation). Each round is one edge-keyed join + min-agg; the loop
+    * stops when a round changes no label (one cheap count() on the
+    * checkpointed label frame per round — the frame is one row per node,
+    * orders of magnitude smaller than the corpus). Labels only ever
+    * decrease and are bounded below by the component min, so termination
+    * is guaranteed; rounds needed = graph diameter, and near-dup graphs
+    * are star-/clique-shaped in practice (diameter 2-3). `maxRounds` is
+    * the runaway backstop — at 100 TB with an adversarial long-chain graph
+    * switch to alternating large-star/small-star (Kiveris et al.), which
+    * converges in O(log n) rounds with the same per-round shape.
+    *
+    * Returns (doc_id, component) for every node in some pair; component =
+    * smallest doc_id in the node's connected component.
+    */
+  def componentsConverged(pairs: DataFrame, maxRounds: Int = 50)
+      : DataFrame = {
+    require(maxRounds >= 1, s"need maxRounds >= 1, got $maxRounds")
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var lbl = edges.groupBy("src").agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 1
+    while (changed > 0 && round < maxRounds) {
+      val nbr = edges
+        .join(lbl.select(col("id").as("dst"), col("lbl").as("nlbl")),
+          Seq("dst"))
+        .groupBy("src").agg(min(col("nlbl")).as("nlbl"))
+      val next = lbl
+        .join(nbr.withColumnRenamed("src", "id"), Seq("id"))
+        .select(col("id"), least(col("lbl"), col("nlbl")).as("lbl"),
+          (col("nlbl") < col("lbl")).as("chg"))
+        .localCheckpoint()
+      changed = next.where(col("chg")).count()
+      lbl = next.drop("chg")
+      round += 1
+    }
+    lbl.select(col("id").as("doc_id"), col("lbl").as("component"))
+  }
 }

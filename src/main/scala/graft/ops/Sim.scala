@@ -245,6 +245,13 @@ object Sim {
     * exists. No rand() anywhere — init is the k lowest-id vectors, so
     * cells are identical across runs/retries/engines.
     *
+    * Cross-engine exactness (the q125 oracle replays every iteration in
+    * SQL): the assignment score is floored at 9 dp before the argmax (so a
+    * last-ulp double difference can never flip a cell), and the centroid
+    * mean is an exact DECIMAL sum divided by the count (order-insensitive,
+    * unlike a double `avg` whose value depends on partition order) cast to
+    * float — both steps are bit-reproducible in DuckDB.
+    *
     * Scale shape per iteration: one broadcast of k centroids (k·dim
     * doubles — tiny) into a codegen'd argmax projection, then one shuffle
     * keyed on (cell, dim) to average coordinates. The driver only ever
@@ -265,7 +272,8 @@ object Sim {
     def assign(c: Seq[Seq[Float]]): Column = {
       val scored = array(c.zipWithIndex.map { case (cv, i) =>
         val n = math.sqrt(cv.map(x => x.toDouble * x.toDouble).sum)
-        struct((dot(col(vecCol), typedLit(cv)) / lit(n)).as("sim"),
+        struct(Num.floorAt(dot(col(vecCol), typedLit(cv)) / lit(n), 9)
+            .as("sim"),
           lit(-i).as("negCell"))
       }: _*)
       (-array_max(scored).getField("negCell")).as("cell")
@@ -275,7 +283,11 @@ object Sim {
       val perDim = df.withColumn("cell", assign(centroids))
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("v")).as("m"))
+        // float → double is exact; double → DECIMAL(27,10) rounds to a
+        // fixed grid, so the sum is order-insensitive and the mean is
+        // bit-identical to DuckDB's over any row order
+        .agg((sum(col("v").cast("double").cast("decimal(27,10)"))
+          .cast("double") / count(lit(1))).as("m"))
         .groupBy(col("cell"))
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
           e => e.getField("m").cast("float")).as("centroid"))
@@ -285,6 +297,39 @@ object Sim {
         .map(i => perDim.getOrElse(i, centroids(i)))
     }
     df.withColumn("cell", assign(centroids))
+  }
+
+  /** SemDeDup-style semantic deduplication (public method: Abbas et al.
+    * 2023, arXiv:2303.09540): cluster embeddings with the deterministic
+    * [[kmeansCells]] quantizer, then WITHIN each cluster drop every vector
+    * that has a cosine near-duplicate with a smaller id (the min-id
+    * survivor rule q78/q107 use). Clustering is the blocking step — pair
+    * generation is bounded per cell, never all-pairs, which is the whole
+    * point of the method at corpus scale (the paper prunes web-scale
+    * corpora with exactly this cluster-then-dedup-within shape).
+    *
+    * Scale shape: k-means cost is iters × (broadcast argmax projection +
+    * one (cell, dim)-keyed shuffle); dedup cost is one cell-keyed
+    * self-join whose fan-in is bounded by cell size (hot cells → raise k,
+    * same knob as IVF). The assigned frame is localCheckpoint'd once —
+    * three consumers (pair sides a/b and the final agg) would otherwise
+    * each recompute the k-dot argmax projection.
+    *
+    * Output: (cell, n_total, n_kept, n_dropped) per cluster.
+    */
+  def semDedup(df: DataFrame, k: Int, iters: Int, threshold: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val cells = kmeansCells(df, k, iters, idCol, vecCol).localCheckpoint()
+    val losers = nearDupPairs(cells, threshold, "cell", idCol, vecCol)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("__lose", lit(true))
+    cells.join(broadcast(losers), Seq(idCol), "left")
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("__lose"), 1L).otherwise(0L)).as("n_dropped"))
+      .select(col("cell"), col("n_total"),
+        (col("n_total") - col("n_dropped")).as("n_kept"), col("n_dropped"))
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,

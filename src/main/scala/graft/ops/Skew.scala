@@ -57,6 +57,33 @@ object Skew {
       .agg(sum(col("__sum")).cast("double").as("total"),
         sum(col("__cnt")).as("n"))
 
+  /** Salt-replicated equi-join for skewed keys where NEITHER side fits a
+    * broadcast: the big side gets a deterministic row salt in [0, salts),
+    * the small(er) side is replicated once per salt value, and the join
+    * runs on (key, salt) — a hot key's rows now spread over `salts`
+    * reducers instead of funneling into one. This is the manual form of
+    * AQE's skew-join split; use it when skew is KNOWN up front (AQE only
+    * reacts after a stage straggles) or under a fixed non-AQE plan.
+    * `salts` multiplies the replicated side's shuffle volume — size it to
+    * the skew factor, not higher. The salt is engine-internal (it never
+    * reaches the output), so row-hash determinism is only needed for
+    * retry stability, not cross-engine replay.
+    *
+    * The shuffle_hash hint pins the physical join so the demo cannot
+    * silently degrade to a broadcast (which would bypass the salt
+    * entirely at test SF).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                 smallKey: String, salts: Int = 8): DataFrame = {
+    require(salts >= 1, s"need salts >= 1, got $salts")
+    val b = big.withColumn("__salt", rowSalt(big, salts))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    b.join(s.hint("shuffle_hash"),
+        b(bigKey) === s(smallKey) && b("__salt") === s("__salt"))
+      .drop("__salt")
+  }
+
   /** groupBy(keys).agg(sum, count, min, max) with a salted partial phase;
     * `avg` derived from the re-reduced sum/count.
     */

@@ -225,7 +225,7 @@ object StreamOps {
       .withColumn("__t", Text.cleanTokens(col(textCol)))
       .withColumn("__shs", Dedup.shingles(col("__t")))
       .withColumn("sig_key",
-        md5(concat_ws(" ",
+        md5(concat_ws("\u0000",
           Dedup.minhashSignature(col("__shs"), k))))
       .drop("__t", "__shs")
       .dropDuplicatesWithinWatermark("sig_key")

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Curate, Dedup, Sim, Skew}
+
+/** Round-5 second wave: SemDeDup (cluster-blocked embedding dedup), exact
+  * segment-level corpus dedup, the unigram-LM quality proxy, fixpoint
+  * connected components, and the salt-replicated skew join.
+  */
+class Round5bOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("semDedup: cells partition the corpus; kept+dropped = total; " +
+      "deterministic across runs") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = Sim.semDedup(emb, k = 8, iters = 2, threshold = 0.2)
+      .orderBy("cell")
+      .as[(Int, Long, Long, Long)].collect()
+    val b = Sim.semDedup(emb, k = 8, iters = 2, threshold = 0.2)
+      .orderBy("cell")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(a === b)
+    assert(a.map(_._2).sum === emb.count())
+    a.foreach { case (cell, total, kept, dropped) =>
+      assert(cell >= 0 && cell < 8)
+      assert(kept + dropped === total)
+      assert(kept >= 1) // min-id survivor: every cell keeps its smallest id
+    }
+  }
+
+  test("dedupSegments: first occurrence survives, later copies are dropped") {
+    val block = (1 to 16).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 16).map(i => s"alt$i").mkString(" ")
+    val docs = Seq(
+      (1L, block),                    // defines the segment
+      (2L, block),                    // exact dup -> keeps nothing
+      (3L, other),                    // distinct -> keeps its one segment
+      (4L, block + " tail one two three") // dup block + unique 4-token tail
+    ).toDF("doc_id", "text")
+    val got = Curate.dedupSegments(docs, "doc_id", "text", segTokens = 16)
+      .orderBy("doc_id")
+      .select("doc_id", "n_segments", "n_kept")
+      .as[(Long, Long, Long)].collect()
+    assert(got === Array((1L, 1L, 1L), (2L, 1L, 0L), (3L, 1L, 1L),
+      (4L, 2L, 1L)))
+  }
+
+  test("unigramLogProb matches the hand-computed corpus MLE") {
+    val docs = Seq((1L, "aa aa bb"), (2L, "aa")).toDF("doc_id", "text")
+    // corpus: tf(aa)=3, tf(bb)=1, N=4
+    val l34 = math.log(3.0 / 4) / math.log(2)
+    val l14 = math.log(1.0 / 4) / math.log(2)
+    def fl6(x: Double): Double = math.floor(x * 1e6) / 1e6
+    val got = Curate.unigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "mean_log2p")
+      .as[(Long, Long, Double)].collect()
+    assert(got(0)._1 === 1L && got(0)._2 === 3L)
+    assert(got(0)._3 === fl6((l34 + l34 + l14) / 3))
+    assert(got(1) === ((2L, 1L, fl6(l34))))
+  }
+
+  test("componentsConverged reaches labels beyond bounded-round " +
+      "propagation (chain of diameter 4) and keeps components separate") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.componentsConverged(pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // the bounded 2-round pass provably has NOT converged on this chain —
+    // that gap is what the fixpoint loop exists to close
+    val bounded = Dedup.minLabelPropagate(pairs, rounds = 2)
+      .orderBy("doc_id").as[(Long, Long)].collect().toMap
+    assert(bounded(5L) !== 1L)
+  }
+
+  test("saltedJoin == plain join, salt never escapes, and the physical " +
+      "plan is a shuffled hash join (not broadcast)") {
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+    val salted = Skew.saltedJoin(li, ord, "l_orderkey", "o_orderkey",
+      salts = 8)
+    assert(!salted.columns.contains("__salt"))
+    val gotRows = salted.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n")).orderBy("o_orderpriority")
+      .as[(String, Long)].collect()
+    val expRows = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n")).orderBy("o_orderpriority")
+      .as[(String, Long)].collect()
+    assert(gotRows === expRows)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"))
+    assert(!plan.contains("BroadcastHashJoin"))
+  }
+}
