@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Agg, Curate, Dedup, EventsOps, Multimodal, Num, Sentiment, Sim, Skew, Star, Text}
+import graft.ops.{Agg, Curate, Dedup, EventsOps, Multimodal, Num, Prune, Sentiment, Sim, Skew, Star, Text}
 import graft.sources.Sources
 
 /** Driver contract — one named query per operator from SURVEY.md §2 plus the
@@ -1323,6 +1323,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // north star — the SAME components via alternating large-star /
+    // small-star (Kiveris et al. 2014): O(log n) rounds on any graph
+    // shape vs q128's O(diameter) propagation. Shares q128's oracle —
+    // two CC engines, one contract.
+    "q130_cc_bigstar" -> ((s, dir) => {
+      val comp = Dedup.componentsBigStar(
+        Dedup.lshVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 8, bands = 4, minJaccard = 0.2))
+      comp
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy("component")))
+        .select(col("doc_id"), col("component"),
+          col("n_members"), (col("doc_id") === col("component"))
+            .as("is_survivor"))
+        .orderBy("doc_id")
+    }),
+
     // north star — salt-replicated skew join (manual AQE-skew-split for
     // known-hot keys): lineitem ⋈ orders on the salted key, then the
     // priority rollup. The salt never reaches the output, so the oracle is
@@ -1334,7 +1351,21 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(dsum(col("l_extendedprice")).as("revenue"),
           count(lit(1)).as("n"))
-        .orderBy("o_orderpriority"))
+        .orderBy("o_orderpriority")),
+
+    // north star — Bloom-filter semi-join reduction (the explicit form of
+    // Spark's AQE runtime filter): prune lineitem at the scan with a
+    // might_contain probe over the urgent orders' key Bloom, then close
+    // with the exact semi join. False positives are removed by the join;
+    // false negatives are impossible — so the oracle is the plain
+    // IN-subquery and result identity is the claim.
+    "q131_bloom_prune" -> ((s, dir) =>
+      Prune.bloomSemiJoin(t(s, dir, "lineitem"),
+          t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT"),
+          "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag"))
   )
 
   // ---- oracle SQL (DuckDB) ----------------------------------------------
@@ -1362,6 +1393,51 @@ object SparkEntry {
         |  SELECT q_id, c_id, sim,
         |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
         |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+    // ONE oracle for both connected-components engines: q128 (fixpoint
+    // label propagation) and q130 (alternating large-star/small-star)
+    // must produce the identical component map over the identical q111
+    // pair graph — sharing the string makes divergence impossible to
+    // miss. Reachability via a recursive CTE; component = min reachable.
+    val ccOracleSql =
+      s"""WITH RECURSIVE
+         |cleaned AS (SELECT doc_id AS id, ${cleanSql("text")} AS c FROM documents),
+         |sh AS (SELECT id, ${shinglesSql("t")} AS shs
+         |       FROM (SELECT id, ${toksSql("c")} AS t FROM cleaned)),
+         |sig AS (SELECT id,
+         |  list_transform(range(0, 8), s ->
+         |    COALESCE(list_min(list_transform(shs, x -> md5(CAST(s AS VARCHAR) || ':' || x))), '~empty')) AS sig
+         |  FROM sh WHERE len(shs) > 0),
+         |banded AS (
+         |  SELECT id, sig, CAST(b.i AS INTEGER) AS band,
+         |         md5(sig[CAST(b.i*2+1 AS INTEGER)] || '|' || sig[CAST(b.i*2+2 AS INTEGER)]) AS bkey
+         |  FROM sig CROSS JOIN range(0, 4) AS b(i)),
+         |cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.id < b.id),
+         |dsh AS (SELECT id, list_distinct(shs) AS shs FROM sh
+         |        WHERE len(shs) > 0),
+         |scored AS (SELECT id_a, id_b,
+         |  len(list_filter(x.shs, e -> list_contains(y.shs, e))) AS c,
+         |  len(x.shs) AS na, len(y.shs) AS nb
+         |  FROM cands JOIN dsh x ON x.id = cands.id_a
+         |             JOIN dsh y ON y.id = cands.id_b),
+         |pairs AS (SELECT id_a, id_b FROM scored
+         |  WHERE floor(CAST(c AS DOUBLE) / (na + nb - c) * 10000) / 10000
+         |    >= 0.2),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, lbl) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id AS doc_id, MIN(lbl) AS component
+         |         FROM reach GROUP BY id)
+         |SELECT doc_id, component,
+         |  COUNT(*) OVER (PARTITION BY component) AS n_members,
+         |  (doc_id = component) AS is_survivor
+         |FROM comp ORDER BY doc_id""".stripMargin
 
     ListMap(
       "q01_pricing_summary" ->
@@ -2700,46 +2776,13 @@ object SparkEntry {
 
       // q111's LSH-then-verify pair CTEs verbatim, then reachability via a
       // recursive CTE: component = min id reachable (exact CC — the
-      // fixpoint the engine's label-propagation loop converges to)
-      "q128_cc_converged" ->
-        s"""WITH RECURSIVE
-           |cleaned AS (SELECT doc_id AS id, $clean AS c FROM documents),
-           |sh AS (SELECT id, ${shinglesSql("t")} AS shs
-           |       FROM (SELECT id, $cleanToks AS t FROM cleaned)),
-           |sig AS (SELECT id,
-           |  list_transform(range(0, 8), s ->
-           |    COALESCE(list_min(list_transform(shs, x -> md5(CAST(s AS VARCHAR) || ':' || x))), '~empty')) AS sig
-           |  FROM sh WHERE len(shs) > 0),
-           |banded AS (
-           |  SELECT id, sig, CAST(b.i AS INTEGER) AS band,
-           |         md5(sig[CAST(b.i*2+1 AS INTEGER)] || '|' || sig[CAST(b.i*2+2 AS INTEGER)]) AS bkey
-           |  FROM sig CROSS JOIN range(0, 4) AS b(i)),
-           |cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-           |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
-           |  WHERE a.id < b.id),
-           |dsh AS (SELECT id, list_distinct(shs) AS shs FROM sh
-           |        WHERE len(shs) > 0),
-           |scored AS (SELECT id_a, id_b,
-           |  len(list_filter(x.shs, e -> list_contains(y.shs, e))) AS c,
-           |  len(x.shs) AS na, len(y.shs) AS nb
-           |  FROM cands JOIN dsh x ON x.id = cands.id_a
-           |             JOIN dsh y ON y.id = cands.id_b),
-           |pairs AS (SELECT id_a, id_b FROM scored
-           |  WHERE floor(CAST(c AS DOUBLE) / (na + nb - c) * 10000) / 10000
-           |    >= 0.2),
-           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-           |          UNION SELECT id_b, id_a FROM pairs),
-           |nodes AS (SELECT DISTINCT src AS id FROM edges),
-           |reach(id, lbl) AS (
-           |  SELECT id, id FROM nodes
-           |  UNION
-           |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-           |comp AS (SELECT id AS doc_id, MIN(lbl) AS component
-           |         FROM reach GROUP BY id)
-           |SELECT doc_id, component,
-           |  COUNT(*) OVER (PARTITION BY component) AS n_members,
-           |  (doc_id = component) AS is_survivor
-           |FROM comp ORDER BY doc_id""".stripMargin,
+      // fixpoint the engine's label-propagation loop converges to).
+      // q130 runs the alternating large-star/small-star algorithm over
+      // the SAME pair graph — binding both to ONE oracle string makes
+      // divergence between the two CC engines impossible to miss.
+      "q128_cc_converged" -> ccOracleSql,
+
+      "q130_cc_bigstar" -> ccOracleSql,
 
       // the salt is engine-internal, so the oracle is the PLAIN join —
       // result-identity with the unsalted plan is the correctness claim
@@ -2747,7 +2790,18 @@ object SparkEntry {
         s"""SELECT o_orderpriority,
            |  ${dsumS("l_extendedprice")} AS revenue, COUNT(*) AS n
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+      // the Bloom probe is a pre-filter whose false positives the exact
+      // semi join removes — the oracle is the plain IN-subquery
+      // (l_quantity is integral-valued double, so SUM is exact and
+      // order-insensitive in both engines)
+      "q131_bloom_prune" ->
+        """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+          |FROM lineitem
+          |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+          |                     WHERE o_orderpriority = '1-URGENT')
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     )
   }
 }

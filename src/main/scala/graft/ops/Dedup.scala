@@ -529,4 +529,92 @@ object Dedup {
     }
     lbl.select(col("id").as("doc_id"), col("lbl").as("component"))
   }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") — the O(log n)-round algorithm [[componentsConverged]]'s
+    * scaladoc names as the long-chain backstop, implemented rather than
+    * cited. Per round each operation is one neighborhood groupBy + one
+    * re-explode (two shuffles); the edge set only contracts toward stars
+    * centered at component minima, so rounds = O(log n) even on
+    * adversarial path graphs where plain min-propagation needs
+    * O(diameter).
+    *
+    *  - large-star(u): m = min(N(u) ∪ u); for every neighbor v > u emit
+    *    (v, m) — strictly-greater neighbors re-hang under the local min.
+    *  - small-star(u): m = min(N(u) ∪ u); for every neighbor v <= u,
+    *    v != m emit (v, m) — the rest of the neighborhood collapses onto
+    *    the min.
+    *
+    * Convergence: a large-star round that changes nothing means every
+    * edge already points at its component's center. The check is two
+    * counts on checkpointed frames (edge frames are O(nodes) after the
+    * first rounds, far smaller than the corpus).
+    *
+    * Returns (doc_id, component) for every node in some pair, component =
+    * the smallest doc_id in the node's connected component — identical
+    * output contract to [[componentsConverged]] (q128/q130 share one
+    * oracle).
+    */
+  def componentsBigStar(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    require(maxRounds >= 1, s"need maxRounds >= 1, got $maxRounds")
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    // node set pinned up front: star contraction drops isolated centers
+    // from the edge list, but every input node still needs a label row
+    val nodes = p.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct().localCheckpoint()
+
+    // One star operation, in the list-free two-aggregate form (a
+    // collect_list of the neighborhood would put a whole component's
+    // node set in one row at the hub — the min+join form never
+    // materializes a neighborhood): m(u) = min(N(u) ∪ u) via a keyed
+    // agg, then each selected edge re-hangs v under m(u) via a join
+    // back on u (same key → exchange reuse).
+    //   large-star: re-hang every neighbor v > u under m(u).
+    //   small-star: re-hang every neighbor v <= u, v != m, AND u itself
+    //   (the paper's Γ(u) ∪ {u} \ {m} — dropping u's own link to m
+    //   would disconnect the center from its re-hung leaves).
+    def star(edges: DataFrame, large: Boolean): DataFrame = {
+      val mins = edges.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val joined = edges.join(mins, Seq("u"))
+      val rehung =
+        if (large)
+          joined.where(col("v") > col("u"))
+            .select(col("m").as("u"), col("v"))
+        else
+          joined.where(col("v") <= col("u") && col("v") =!= col("m"))
+            .select(col("m").as("u"), col("v"))
+            .union(mins.where(col("u") =!= col("m"))
+              .select(col("m").as("u"), col("u").as("v")))
+      rehung.where(col("v") =!= col("u")).distinct()
+    }
+    // symmetric adjacency; star ops read (u -> its neighbor list)
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+
+    var edges = sym(p.select(col("id_a").as("u"), col("id_b").as("v")))
+      .localCheckpoint()
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val afterLarge = sym(star(edges, large = true)).localCheckpoint()
+      // fixpoint: large-star left the (deduped, symmetric) edge set
+      // unchanged — every edge already points at its star's center
+      done = afterLarge.count() == edges.count() &&
+        afterLarge.except(edges).isEmpty
+      if (!done) {
+        edges = sym(star(afterLarge, large = false)).localCheckpoint()
+      } else {
+        edges = afterLarge
+      }
+      round += 1
+    }
+    // stars: every node's component = min over its neighborhood ∪ self
+    val lbl = edges.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u").as("id"), least(col("u"), col("mn")).as("comp"))
+    nodes.join(lbl, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("comp"), col("id")).as("component"))
+  }
 }

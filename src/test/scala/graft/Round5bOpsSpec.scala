@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curate, Dedup, Sim, Skew}
+import graft.ops.{Curate, Dedup, Prune, Sim, Skew}
 
 /** Round-5 second wave: SemDeDup (cluster-blocked embedding dedup), exact
   * segment-level corpus dedup, the unigram-LM quality proxy, fixpoint
@@ -75,6 +75,57 @@ class Round5bOpsSpec extends SparkSpec {
     val bounded = Dedup.minLabelPropagate(pairs, rounds = 2)
       .orderBy("doc_id").as[(Long, Long)].collect().toMap
     assert(bounded(5L) !== 1L)
+  }
+
+  test("componentsBigStar == componentsConverged on chains, cliques, and " +
+      "a seeded random graph") {
+    // worst case for propagation (diameter = n), trivial for star rounds
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val viaStar = Dedup.componentsBigStar(chain)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(viaStar.forall(_._2 === 1L) && viaStar.length === 40)
+    // seeded random graph: both engines must agree exactly
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(60)((rnd.nextInt(50).toLong,
+        rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("id_a", "id_b")
+    val a = Dedup.componentsBigStar(pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    val b = Dedup.componentsConverged(pairs, maxRounds = 60)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(a === b)
+  }
+
+  test("bloom pre-filter: no false negatives, prunes most non-members, " +
+      "bloomSemiJoin == exact semi join; empty build side yields empty") {
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+    val Some(bf) = Prune.bloomFilterOf(ord, "o_orderkey")
+    // no false negatives: every true member passes the probe
+    val members = ord.select(col("o_orderkey")).distinct()
+    assert(members.where(!Prune.mightContain(bf, col("o_orderkey")))
+      .count() === 0)
+    // pre-filter keeps all matching lineitem rows and prunes most others
+    val trueMatches = li.join(members,
+      col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    val pruned = li.where(Prune.mightContain(bf, col("l_orderkey"))).count()
+    assert(pruned >= trueMatches)
+    assert(pruned < li.count()) // it actually prunes at default fpp
+    // end-to-end identity with the exact semi join
+    val got = Prune.bloomSemiJoin(li, ord, "l_orderkey", "o_orderkey")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag").as[(String, Long)].collect()
+    val exp = li.join(members, col("l_orderkey") === col("o_orderkey"),
+        "left_semi")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag").as[(String, Long)].collect()
+    assert(got === exp)
+    assert(Prune.bloomSemiJoin(li, ord.where(lit(false)),
+      "l_orderkey", "o_orderkey").count() === 0)
   }
 
   test("saltedJoin == plain join, salt never escapes, and the physical " +
