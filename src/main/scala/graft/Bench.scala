@@ -36,7 +36,13 @@ object Bench {
     // times(name) = one entry per rep that completed
     val times = scala.collection.mutable.LinkedHashMap(
       names.map(_ -> scala.collection.mutable.ListBuffer.empty[Double]): _*)
-    for (rep <- 1 to reps; name <- names) {
+    // reps run CONSECUTIVELY per query (not interleaved passes over the
+    // set): the per-query median then measures steady state and cannot be
+    // poisoned by slow JVM-state drift across the run — with interleaved
+    // passes, a query late in the list had all its reps sampled late,
+    // and round-5 measured q121 at 26.5 s interleaved vs 4-6 s in a
+    // fresh JVM (same plan, same data; the drift, not the query)
+    for (name <- names; rep <- 1 to reps) {
       val fn = SparkEntry.queries(name)
       // collect the previous query's garbage outside the timed region:
       // cross-query GC debt is the main timing poison in a shared JVM
@@ -65,8 +71,13 @@ object Bench {
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // raw per-rep samples (diagnosis: a high median with tight raws is a
+    // real cost; a high median with one outlier rep is environment)
+    val raw = names.filter(times(_).nonEmpty)
+      .map(n => s"\"" + n + "\":" + times(n).mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"raw":$raw,"errors":$errs,"sf":"$sfDir"}"""
     System.err.println(detail)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_details.json"), detail + "\n")
