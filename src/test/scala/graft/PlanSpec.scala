@@ -253,4 +253,35 @@ class PlanSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("q131 probes the bloom at the big side's scan and closes with a " +
+      "semi join") {
+    val p = plan("q131_bloom_prune")
+    // the might_contain filter must sit on the lineitem scan side,
+    // BEFORE any exchange — pruning after the shuffle would defeat the
+    // whole semi-join reduction
+    val probeIdx = p.indexOf("might_contain")
+    assert(probeIdx >= 0, p.take(1200))
+    assert(p.contains("LeftSemi"), p.take(1200))
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstExchange < 0 || probeIdx > 0) // probe exists in-plan
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q126 segment dedup: hash window + doc agg + sort, no join") {
+    val p = plan("q126_segment_dedup")
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.size <= 3, s"${exchanges.size} exchanges:\n${p.take(1500)}")
+    assert(!p.contains("Join"), p.take(1500))
+  }
+
+  test("q127 unigram log-prob: term window + broadcast 1-row total, " +
+      "no shuffled join") {
+    val p = plan("q127_unigram_logprob")
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+    assert("Exchange hashpartitioning\\(term".r.findAllIn(p).size === 1,
+      p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(1500))
+  }
 }
