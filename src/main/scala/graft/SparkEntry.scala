@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Agg, Curate, Dedup, EventsOps, Multimodal, Num, Prune, Sentiment, Sim, Skew, Star, Text}
+import graft.ops.{Agg, Curate, Dedup, EventsOps, Layout, Multimodal, Num, Prune, Sentiment, Sim, Skew, Star, Text}
 import graft.sources.Sources
 
 /** Driver contract — one named query per operator from SURVEY.md §2 plus the
@@ -1365,7 +1365,23 @@ object SparkEntry {
           "l_orderkey", "o_orderkey")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // north star — Z-order (Morton) clustering key over (customer, order
+    // day): the multi-dimensional layout key every lakehouse format uses
+    // for scan pruning on EITHER dimension. Pure integer bit-interleave —
+    // the oracle replays it bit for bit; the layout property itself (per
+    // file bounding boxes tight on BOTH dims after Layout.zOrderWrite) is
+    // asserted in Round5bOpsSpec against real parquet files. Day base
+    // 7305 = 1990-01-01, so both dims fit 16 bits at any test SF.
+    "q132_zorder_key" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          Layout.zValue(col("o_custkey"),
+            Layout.normalize(
+              floor(unix_timestamp(col("o_orderdate")) / 86400), 7305L),
+            bits = 16).as("zval"))
+        .orderBy("o_orderkey"))
   )
 
   // ---- oracle SQL (DuckDB) ----------------------------------------------
@@ -2801,7 +2817,20 @@ object SparkEntry {
           |FROM lineitem
           |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
           |                     WHERE o_orderpriority = '1-URGENT')
-          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+      // bit-for-bit replay of the Morton interleave (a's bit i at 2i,
+      // b's at 2i+1); day base 7305 = 1990-01-01
+      "q132_zorder_key" -> {
+        def zSql(a: String, b: String, bits: Int): String =
+          (0 until bits).map(i =>
+            s"((($a) & ${1L << i}) << $i) | ((($b) & ${1L << i}) << ${i + 1})")
+            .mkString("(", " | ", ")")
+        val day = s"(${epochSql("o_orderdate")} // 86400 - 7305)"
+        s"""SELECT o_orderkey,
+           |  CAST(${zSql("o_custkey", day, 16)} AS BIGINT) AS zval
+           |FROM orders ORDER BY o_orderkey""".stripMargin
+      }
     )
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curate, Dedup, Prune, Sim, Skew}
+import graft.ops.{Curate, Dedup, Layout, Prune, Sim, Skew}
 
 /** Round-5 second wave: SemDeDup (cluster-blocked embedding dedup), exact
   * segment-level corpus dedup, the unigram-LM quality proxy, fixpoint
@@ -126,6 +126,49 @@ class Round5bOpsSpec extends SparkSpec {
     assert(got === exp)
     assert(Prune.bloomSemiJoin(li, ord.where(lit(false)),
       "l_orderkey", "o_orderkey").count() === 0)
+  }
+
+  test("zValue interleaves bits exactly; zOrderWrite bounds BOTH dims " +
+      "per file where a single-dim sort leaves one dim unbounded") {
+    // hand-checked interleave: a=0b101 (bits 0,2), b=0b011 (bits 0,1)
+    // -> a bits at 0,4; b bits at 1,3 -> 0b11011 = 27
+    val z = Seq((5L, 3L)).toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b"), 16).as("z"))
+      .as[Long].head()
+    assert(z === 27L)
+
+    val ord = Tables.load(spark, "/root/testdata/sf0.01", "orders")
+      .withColumn("day",
+        floor(unix_timestamp(col("o_orderdate")) / 86400) - 7305)
+    val zdir = "/tmp/graft_zorder_test"
+    val cdir = "/tmp/graft_custsort_test"
+    Layout.zOrderWrite(ord,
+      Layout.zValue(col("o_custkey"), col("day"), 16), 16, zdir)
+    ord.repartitionByRange(16, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(cdir)
+    // per-file fraction of each dimension's total span (what parquet
+    // min/max skipping sees): z-order must bound BOTH dims; the
+    // single-dim sort leaves day unbounded (~every file spans all days)
+    def spanFracs(path: String): (Double, Double) = {
+      val df = spark.read.parquet(path)
+        .withColumn("f", input_file_name())
+        .groupBy("f")
+        .agg(max("o_custkey").minus(min("o_custkey")).as("ck"),
+          max("day").minus(min("day")).as("dy"))
+        .agg(avg("ck").as("ck"), avg("dy").as("dy"))
+        .head()
+      val (ckAll, dyAll) = (
+        ord.agg(max("o_custkey").minus(min("o_custkey"))).head().getLong(0),
+        ord.agg(max("day").minus(min("day"))).head().getLong(0))
+      (df.getDouble(0) / ckAll, df.getDouble(1) / dyAll)
+    }
+    val (zCk, zDy) = spanFracs(zdir)
+    val (cCk, cDy) = spanFracs(cdir)
+    assert(zCk < 0.9 && zDy < 0.9,
+      s"z-order should bound both dims: custkey=$zCk day=$zDy")
+    assert(cDy > 0.9, s"single-dim sort should NOT bound day: $cDy")
+    assert(cCk < zCk) // ...but beats z-order on its own sort dimension
   }
 
   test("saltedJoin == plain join, salt never escapes, and the physical " +
