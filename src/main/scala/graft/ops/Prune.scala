@@ -66,7 +66,10 @@ object Prune {
     val pruned = bloomFilterOf(small, smallKey, expectedItems, numBits)
       .map(bf => big.where(mightContain(bf, col(bigKey))))
       .getOrElse(big.where(lit(false))) // empty build side: nothing joins
-    pruned.join(small.select(col(smallKey)).distinct(),
-      pruned(bigKey) === col(smallKey), "left_semi")
+    // key renamed on the build side so bigKey == smallKey can't make the
+    // join condition ambiguous (semi join output carries big's columns
+    // only, so the rename never escapes)
+    pruned.join(small.select(col(smallKey).as("__bloom_k")).distinct(),
+      pruned(bigKey) === col("__bloom_k"), "left_semi")
   }
 }

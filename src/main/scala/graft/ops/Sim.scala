@@ -321,10 +321,13 @@ object Sim {
                idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
     val cells = kmeansCells(df, k, iters, idCol, vecCol).localCheckpoint()
+    // NO broadcast hint on the loser set: near-dup density at corpus
+    // scale can put a large fraction of all ids in it — AQE broadcasts
+    // when it measures small, shuffles when it doesn't
     val losers = nearDupPairs(cells, threshold, "cell", idCol, vecCol)
       .select(col("id_b").as(idCol)).distinct()
       .withColumn("__lose", lit(true))
-    cells.join(broadcast(losers), Seq(idCol), "left")
+    cells.join(losers, Seq(idCol), "left")
       .groupBy("cell")
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("__lose"), 1L).otherwise(0L)).as("n_dropped"))
