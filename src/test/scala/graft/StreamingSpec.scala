@@ -191,6 +191,64 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("windowed agg RESTARTS from checkpoint: a new query over the same " +
+      "checkpoint merges run-1 state with run-2 data (exactly-once state)") {
+    val src = "/root/testdata/sf0.001"
+    val events = Tables.load(spark, src, "events")
+      .withColumn("ts_num", unix_timestamp(col("ts")).cast("double"))
+    val median = events.stat.approxQuantile("ts_num", Array(0.5), 0.0)(0)
+    val stage = Files.createTempDirectory("graft-restart-in").toFile
+    val ckpt = Files.createTempDirectory("graft-restart-ck").toFile
+    // complete-mode foreachBatch re-emits the FULL aggregation each batch;
+    // the map holds the latest snapshot (driver-side: local mode)
+    val out = new java.util.concurrent.ConcurrentHashMap[(Long, String), Long]
+    def run(): Unit = {
+      // staged files carry the CONVERTED ts (timestamp, not raw nanos),
+      // so read with the staged schema — same pattern as the sessionize
+      // restart staging above, not eventsStream's raw-fixture schema
+      val q = StreamOps.windowedCounts(
+          spark.readStream.schema(events.drop("ts_num").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage.getAbsolutePath),
+          "1 hour", "1 hour")
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          df.collect().foreach(r =>
+            out.put((r.getLong(0), r.getString(1)), r.getLong(2)))
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      events.where(col("ts_num") <= median).drop("ts_num")
+        .coalesce(1).write.mode("append").parquet(stage.getAbsolutePath)
+      run() // run 1: first half, then the query STOPS
+      events.where(col("ts_num") > median).drop("ts_num")
+        .coalesce(1).write.mode("append").parquet(stage.getAbsolutePath)
+      run() // run 2: a NEW query recovers state + offsets from checkpoint
+      val batch = EventsOps.tumblingCounts(
+          Tables.load(spark, src, "events"), 3600)
+        .select("window_start", "event_type", "n")
+        .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+        .toMap
+      import scala.jdk.CollectionConverters._
+      // windows straddling the split are only correct if run 2 recovered
+      // run 1's state — a fresh-state run 2 would undercount them
+      assert(out.asScala.toMap === batch)
+      assert(batch.nonEmpty)
+    } finally {
+      stage.listFiles().foreach(_.delete()); stage.delete()
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(ckpt)
+    }
+  }
+
   test("streaming windowedCounts == batch tumblingCounts on events sf0.001") {
     val src = "/root/testdata/sf0.001"
     val stage = Files.createTempDirectory("graft-stream").toFile
