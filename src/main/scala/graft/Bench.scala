@@ -44,6 +44,15 @@ object Bench {
     // fresh JVM (same plan, same data; the drift, not the query)
     for (name <- names; rep <- 1 to reps) {
       val fn = SparkEntry.queries(name)
+      // Drop the previous query's localCheckpoint blocks: checkpointed
+      // RDDs stay pinned in the block manager until the ContextCleaner
+      // gets to them, so a 100+-query session otherwise accumulates GBs
+      // of live storage and every allocation-heavy stage late in the run
+      // drowns in full GCs (measured: the same aging pass 193 s with the
+      // leak vs 125 s without; q121 stages with 300+ s of summed task
+      // GC). Long-lived production sessions need this same hygiene.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       // collect the previous query's garbage outside the timed region:
       // cross-query GC debt is the main timing poison in a shared JVM
       // (round-1 driver run: q26 hit 315s on a query that runs in <2s)

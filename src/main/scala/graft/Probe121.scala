@@ -56,12 +56,35 @@ object Probe121 {
           val dur = (for {
             s <- si.submissionTime; c <- si.completionTime
           } yield c - s).getOrElse(-1L)
-          val gc = si.taskMetrics.jvmGCTime
-          stages.add((si.stageId, dur, gc, si.name.take(60)))
+          val tm = si.taskMetrics
+          val info = f"run ${tm.executorRunTime / 1000.0}%.1f cpu ${tm.executorCpuTime / 1e9}%.1f " +
+            f"spillM ${tm.memoryBytesSpilled / 1e6}%.0f spillD ${tm.diskBytesSpilled / 1e6}%.0f " +
+            f"tasks ${si.numTasks} rdd=${si.rddInfos.map(_.name).mkString("/").take(40)}"
+          stages.add((si.stageId, dur, tm.jvmGCTime, info))
         }
       })
-    for (i <- 1 to 6) {
+    val unpersist = sys.env.get("PROBE_UNPERSIST").contains("1")
+    // age the JVM exactly like a bench run: every other query once
+    if (sys.env.get("PROBE_AGE").contains("1")) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries.keys.filterNot(_ == "q121_prefix_filter_pairs")
+        .foreach { n =>
+          System.gc()
+          try SparkEntry.queries(n)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable => println(s"   [age] $n failed: $e") }
+          if (unpersist)
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
+        }
+      println(f"== aged JVM with all other queries: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      println(s"   persistent RDDs now: ${spark.sparkContext.getPersistentRDDs.size}")
+    }
+    for (i <- 1 to 4) {
       System.gc()
+      if (unpersist)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       stages.clear()
       time(s"q121 noop write (bench shape) rep $i")(
         SparkEntry.queries("q121_prefix_filter_pairs")(spark, dir)

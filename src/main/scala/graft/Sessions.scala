@@ -31,5 +31,14 @@ object Sessions {
     .config("spark.sql.warehouse.dir",
       sys.props("java.io.tmpdir") + "/graft-warehouse")
     .config("spark.ui.enabled", "false")
+    // the UI is off but the SQL listener still RETAINS per-execution plan
+    // data (default 1000 executions) — and some plans embed megabyte
+    // literals (q131's serialized Bloom filter), so a 100+-query session
+    // accumulates hundreds of MB of old-gen and every late-query GC pays
+    // for it (observed: q121 at 4-6 s in a fresh JVM vs 26-58 s late in a
+    // bench run). A long-lived ETL/bench session wants a tight cap.
+    .config("spark.sql.ui.retainedExecutions", "8")
+    .config("spark.ui.retainedJobs", "100")
+    .config("spark.ui.retainedStages", "200")
     .getOrCreate()
 }

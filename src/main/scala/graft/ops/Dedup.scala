@@ -202,27 +202,32 @@ object Dedup {
     val sh = toks
       .select(col("id"),
         explode(array_distinct(hashedShingles(col("t"), w))).as("sh"))
-    val ordsh =
-      if (!dfOrdered)
-        toks.select(col("id"),
-          sort_array(array_distinct(hashedShingles(col("t"), w)))
-            .as("ordsh"))
-      else
+    // prefix = each doc's first (n - ceil(n·t) + 1) shingles in the
+    // chosen order, KEPT AS ROWS via window ranking — the earlier
+    // collect_list(struct)+sort_array+slice+explode form materialized a
+    // per-doc struct array only to re-explode it, and was the single
+    // most allocation-heavy stage in the whole query set (1.5 s of GC
+    // per pass in a fresh JVM; dominated aged-JVM bench runs)
+    val prefix =
+      if (!dfOrdered) {
+        val wDoc = Window.partitionBy("id")
+        sh.withColumn("n", count(lit(1)).over(wDoc))
+          .withColumn("rk", row_number().over(wDoc.orderBy(col("sh"))))
+          .where(col("rk") <= col("n") - ceil(col("n") * minJaccard) + 1)
+          .select(col("id"), col("sh"))
+      } else {
         // document frequency via an unordered COUNT window over the
         // hashed shingle — ONE pipeline (a groupBy+join-back branch would
-        // re-evaluate the scan+hash+explode per consumer); sorting 8-byte
-        // keys keeps the window cheap where the string form was not
+        // re-evaluate the scan+hash+explode per consumer); both doc-keyed
+        // windows share one exchange+sort on id
+        val wDoc = Window.partitionBy("id")
         sh.withColumn("d", count(lit(1)).over(Window.partitionBy("sh")))
-          .groupBy("id")
-          .agg(sort_array(collect_list(struct(col("d"), col("sh"))))
-            .as("ord"))
-          .select(col("id"),
-            transform(col("ord"), e => e("sh")).as("ordsh"))
-    val prefix = ordsh
-      .select(col("id"), explode(slice(col("ordsh"), lit(1),
-        (size(col("ordsh")) -
-          ceil(size(col("ordsh")) * minJaccard) + 1).cast("int")))
-        .as("sh"))
+          .withColumn("n", count(lit(1)).over(wDoc))
+          .withColumn("rk",
+            row_number().over(wDoc.orderBy(col("d"), col("sh"))))
+          .where(col("rk") <= col("n") - ceil(col("n") * minJaccard) + 1)
+          .select(col("id"), col("sh"))
+      }
     val cands = prefix.as("a").hint("shuffle_hash")
       .join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
