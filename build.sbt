@@ -34,4 +34,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // other JVMs concurrently (round-1 bench showed 100x query-time outliers
   // under memory pressure that never reproduce in isolation)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // whole-stage codegen mints UNIQUE classes per execution (expression
+  // ids differ), so a 123-query × 3-rep run JIT-compiles thousands of
+  // one-shot methods. Headroom over the JDK-17 default 240m keeps code
+  // cache flushing out of the picture for long sessions (telemetry via
+  // Probe121: ~130M used after 366 executions, so the default sits at
+  // >50% and climbs). Reserved ≠ committed — only used pages cost RAM.
+  "-XX:ReservedCodeCacheSize=1g",
 )

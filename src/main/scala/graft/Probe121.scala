@@ -63,28 +63,41 @@ object Probe121 {
           stages.add((si.stageId, dur, tm.jvmGCTime, info))
         }
       })
+    import scala.jdk.CollectionConverters._
+    def pools(): String =
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.contains("CodeHeap") ||
+          p.getName.contains("Metaspace") || p.getName.contains("Old"))
+        .map(p => f"${p.getName.replace("CodeHeap ", "")}=" +
+          f"${p.getUsage.getUsed / 1e6}%.0fM")
+        .mkString(" ")
     val unpersist = sys.env.get("PROBE_UNPERSIST").contains("1")
-    // age the JVM exactly like a bench run: every other query once
-    if (sys.env.get("PROBE_AGE").contains("1")) {
+    // age the JVM like a bench run; PROBE_AGE = reps per aging query
+    // (bench runs 3, so 3 here reproduces its ~330 executions)
+    val ageReps = sys.env.get("PROBE_AGE").map(_.toInt).getOrElse(0)
+    if (ageReps > 0) {
       val t0 = System.nanoTime()
       SparkEntry.queries.keys.filterNot(_ == "q121_prefix_filter_pairs")
         .foreach { n =>
-          System.gc()
-          try SparkEntry.queries(n)(spark, dir)
-            .write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable => println(s"   [age] $n failed: $e") }
-          if (unpersist)
-            spark.sparkContext.getPersistentRDDs.values
-              .foreach(_.unpersist(blocking = false))
+          for (_ <- 1 to ageReps) {
+            System.gc()
+            try SparkEntry.queries(n)(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+            catch { case e: Throwable => println(s"   [age] $n failed: $e") }
+            if (unpersist)
+              spark.sparkContext.getPersistentRDDs.values
+                .foreach(_.unpersist(blocking = false))
+          }
         }
-      println(f"== aged JVM with all other queries: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      println(s"   persistent RDDs now: ${spark.sparkContext.getPersistentRDDs.size}")
+      println(f"== aged JVM, ${ageReps}x all other queries: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      println(s"   pools: ${pools()}")
     }
     for (i <- 1 to 4) {
       System.gc()
       if (unpersist)
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+      println(s"   pools: ${pools()}")
       stages.clear()
       time(s"q121 noop write (bench shape) rep $i")(
         SparkEntry.queries("q121_prefix_filter_pairs")(spark, dir)

@@ -268,6 +268,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q125 semdedup: cell-keyed joins only — no cartesian, no " +
+      "nested-loop; the kmeans argmax is a projection, not a join") {
+    val p = plan("q125_semdedup")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   test("q126 segment dedup: hash window + doc agg + sort, no join") {
     val p = plan("q126_segment_dedup")
     val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).toSeq
