@@ -7,11 +7,12 @@ import org.apache.spark.sql.SparkSession
   * `"parsed": null` from the truncated tail every time). The per-query
   * detail goes to stderr AND to `bench_details.json` in the cwd.
   *
-  * Timing methodology: `reps` full passes over the query set (default 3,
-  * env SPARK_GRAFT_BENCH_REPS), per-query MEDIAN reported. Round-over-round
-  * deltas from single-shot timings were dominated by shared-JVM noise (the
+  * Timing methodology: per query, one UNTIMED warm-up rep then `reps`
+  * timed reps run consecutively (default 3, env SPARK_GRAFT_BENCH_REPS);
+  * per-query MEDIAN reported, raw samples dumped. Round-over-round deltas
+  * from single-shot timings were dominated by shared-JVM noise (the
   * round-3 "regressions" q41/q60/q62/q65 all evaporated on rerun); medians
-  * across in-process reps are stable to ~10%.
+  * across warmed in-process reps are stable to ~10%.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -42,7 +43,13 @@ object Bench {
     // passes, a query late in the list had all its reps sampled late,
     // and round-5 measured q121 at 26.5 s interleaved vs 4-6 s in a
     // fresh JVM (same plan, same data; the drift, not the query)
-    for (name <- names; rep <- 1 to reps) {
+    // rep 0 is an UNTIMED warm-up: it pays the query's one-time costs
+    // (whole-stage codegen compilation, broadcast builds, shuffle-file
+    // page-cache warming) so the timed reps measure steady state. The
+    // round-5 tail had single reps 4x the median with no JVM cause
+    // (host noise lands hardest on cold first executions); warm-up plus
+    // median-of-3 keeps every query's max/median rep ratio bounded.
+    for (name <- names; rep <- 0 to reps) {
       val fn = SparkEntry.queries(name)
       // Drop the previous query's localCheckpoint blocks: checkpointed
       // RDDs stay pinned in the block manager until the ContextCleaner
@@ -62,7 +69,7 @@ object Bench {
       // Catalyst prune the computed columns of projection-shaped queries
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        times(name) += (System.nanoTime() - t0) / 1e9
+        if (rep > 0) times(name) += (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         errors += name
         System.err.println(s"[bench] $name failed (rep $rep): ${e.getMessage}")

@@ -1373,7 +1373,10 @@ object SparkEntry {
     // the oracle replays it bit for bit; the layout property itself (per
     // file bounding boxes tight on BOTH dims after Layout.zOrderWrite) is
     // asserted in Round5bOpsSpec against real parquet files. Day base
-    // 7305 = 1990-01-01, so both dims fit 16 bits at any test SF.
+    // 7305 = 1990-01-01. 16 bits bound both dims at the TEST SFs only:
+    // o_custkey reaches 150000*SF, exceeding 65535 at SF >= ~0.44 —
+    // beyond that zValue's per-row assert_true guard fails LOUDLY
+    // (never a silent high-bit fold) and the caller must raise `bits`.
     "q132_zorder_key" -> ((s, dir) =>
       t(s, dir, "orders")
         .select(col("o_orderkey"),

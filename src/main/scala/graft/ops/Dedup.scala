@@ -202,32 +202,7 @@ object Dedup {
     val sh = toks
       .select(col("id"),
         explode(array_distinct(hashedShingles(col("t"), w))).as("sh"))
-    // prefix = each doc's first (n - ceil(n·t) + 1) shingles in the
-    // chosen order, KEPT AS ROWS via window ranking — the earlier
-    // collect_list(struct)+sort_array+slice+explode form materialized a
-    // per-doc struct array only to re-explode it, and was the single
-    // most allocation-heavy stage in the whole query set (1.5 s of GC
-    // per pass in a fresh JVM; dominated aged-JVM bench runs)
-    val prefix =
-      if (!dfOrdered) {
-        val wDoc = Window.partitionBy("id")
-        sh.withColumn("n", count(lit(1)).over(wDoc))
-          .withColumn("rk", row_number().over(wDoc.orderBy(col("sh"))))
-          .where(col("rk") <= col("n") - ceil(col("n") * minJaccard) + 1)
-          .select(col("id"), col("sh"))
-      } else {
-        // document frequency via an unordered COUNT window over the
-        // hashed shingle — ONE pipeline (a groupBy+join-back branch would
-        // re-evaluate the scan+hash+explode per consumer); both doc-keyed
-        // windows share one exchange+sort on id
-        val wDoc = Window.partitionBy("id")
-        sh.withColumn("d", count(lit(1)).over(Window.partitionBy("sh")))
-          .withColumn("n", count(lit(1)).over(wDoc))
-          .withColumn("rk",
-            row_number().over(wDoc.orderBy(col("d"), col("sh"))))
-          .where(col("rk") <= col("n") - ceil(col("n") * minJaccard) + 1)
-          .select(col("id"), col("sh"))
-      }
+    val prefix = prefixRows(sh, minJaccard, dfOrdered)
     val cands = prefix.as("a").hint("shuffle_hash")
       .join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -252,6 +227,48 @@ object Dedup {
           (size(col("sa")) + size(col("sb")) - col("c")), 4).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
+
+  /** Prefix rows for [[prefixFilterPairs]]' candidate stage: each doc's
+    * first (n - ceil(n·t) + 1) shingles in the chosen order, KEPT AS ROWS
+    * via window ranking — the earlier collect_list(struct)+sort_array+
+    * slice+explode form materialized a per-doc struct array only to
+    * re-explode it, and was the single most allocation-heavy stage in the
+    * whole query set (1.5 s of GC per pass in a fresh JVM; dominated
+    * aged-JVM bench runs). `sh` carries (id, sh) one row per distinct
+    * doc-shingle. Exposed `private[graft]` so PlanSpec can pin the
+    * df-aggregation shape.
+    */
+  private[graft] def prefixRows(sh: DataFrame, minJaccard: Double,
+                                dfOrdered: Boolean): DataFrame =
+    if (!dfOrdered) {
+      val wDoc = Window.partitionBy("id")
+      sh.withColumn("n", count(lit(1)).over(wDoc))
+        .withColumn("rk", row_number().over(wDoc.orderBy(col("sh"))))
+        .where(col("rk") <= col("n") - ceil(col("n") * minJaccard) + 1)
+        .select(col("id"), col("sh"))
+    } else {
+      // document frequency via groupBy("sh").count() joined back onto a
+      // CHECKPOINTED shingle frame. NOT a count window over
+      // partitionBy("sh"): an unordered count window has no partial
+      // aggregation — every row of a hot (boilerplate) shingle shuffles
+      // to one reducer and buffers there, a straggler/OOM at corpus
+      // scale. groupBy+count partial-aggregates map-side (skew-immune:
+      // the reducer sees one pre-combined row per map partition), and
+      // the join back streams rows instead of buffering the group (AQE
+      // skew-split applies to joins, never to window buffers). The
+      // localCheckpoint materializes scan+hash+explode ONCE for its two
+      // consumers (df agg + join-back) — without it each branch
+      // re-evaluates the whole upstream pipeline.
+      val shCk = sh.localCheckpoint()
+      val dfCounts = shCk.groupBy("sh").agg(count(lit(1)).as("d"))
+      val wDoc = Window.partitionBy("id")
+      shCk.join(dfCounts, Seq("sh"))
+        .withColumn("n", count(lit(1)).over(wDoc))
+        .withColumn("rk",
+          row_number().over(wDoc.orderBy(col("d"), col("sh"))))
+        .where(col("rk") <= col("n") - ceil(col("n") * minJaccard) + 1)
+        .select(col("id"), col("sh"))
+    }
 
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    w: Int = 3, minJaccard: Double = 0.1): DataFrame = {
@@ -517,7 +534,7 @@ object Dedup {
       .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
       .localCheckpoint()
     var changed = 1L
-    var round = 1
+    var round = 0
     while (changed > 0 && round < maxRounds) {
       val nbr = edges
         .join(lbl.select(col("id").as("dst"), col("lbl").as("nlbl")),
@@ -532,6 +549,15 @@ object Dedup {
       lbl = next.drop("chg")
       round += 1
     }
+    // the contract is EXACT components: a tripped backstop must be loud —
+    // returning approximate labels here would surface only as an opaque
+    // oracle mismatch downstream with no pointer at the truncation
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"componentsConverged did not reach fixpoint in $maxRounds rounds " +
+          s"($changed labels still changing) — graph diameter exceeds the " +
+          "backstop; raise maxRounds or use componentsBigStar (O(log n) " +
+          "rounds on high-diameter graphs)")
     lbl.select(col("id").as("doc_id"), col("lbl").as("component"))
   }
 
@@ -615,6 +641,12 @@ object Dedup {
       }
       round += 1
     }
+    // same loud-backstop contract as componentsConverged: non-converged
+    // stars are approximate components, never return them silently
+    if (!done)
+      throw new IllegalStateException(
+        s"componentsBigStar did not converge in $maxRounds rounds — " +
+          "unexpected for an O(log n) algorithm; raise maxRounds")
     // stars: every node's component = min over its neighborhood ∪ self
     val lbl = edges.groupBy("u").agg(min(col("v")).as("mn"))
       .select(col("u").as("id"), least(col("u"), col("mn")).as("comp"))

@@ -24,17 +24,26 @@ object Layout {
     * 2i+1). Inputs must already be normalized to [0, 2^bits) —
     * [[normalize]] builds that from any monotonic int dimension;
     * clamping would silently fold distant values into one cell, so out
-    * of range inputs are a contract violation, not handled data.
+    * of range inputs are a contract violation ENFORCED per row via
+    * `assert_true` (a silent high-bit drop would degrade the layout with
+    * no signal, and the oracle — which masks identically — could never
+    * catch it). The guard folds to `+ 0` on valid data, so oracle replay
+    * of the bare interleave stays bit-identical.
     */
   def zValue(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"need 1 <= bits <= 31, got $bits")
     val al = a.cast("long")
     val bl = b.cast("long")
+    val lim = lit(1L << bits)
+    val guard = assert_true(
+      al >= 0 && al < lim && bl >= 0 && bl < lim,
+      concat(lit(s"zValue: dimensions must be in [0, 2^$bits): a="),
+        al.cast("string"), lit(" b="), bl.cast("string")))
     (0 until bits).map { i =>
       // bit i of a, shifted to 2i; bit i of b, shifted to 2i+1
       shiftleft(al.bitwiseAND(lit(1L << i)), i)
         .bitwiseOR(shiftleft(bl.bitwiseAND(lit(1L << i)), i + 1))
-    }.reduce(_.bitwiseOR(_))
+    }.reduce(_.bitwiseOR(_)) + coalesce(guard.cast("long"), lit(0L))
   }
 
   /** Shift-to-zero normalization: `c - lo`, for dimensions whose span

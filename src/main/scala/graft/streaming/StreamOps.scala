@@ -224,6 +224,13 @@ object StreamOps {
       // (Text.scala contract)
       .withColumn("__t", Text.cleanTokens(col(textCol)))
       .withColumn("__shs", Dedup.shingles(col("__t")))
+      // NB the separator below is part of the STATE FORMAT: sig_key is
+      // the dedup state key, so changing it (round 5 moved " " -> NUL)
+      // invalidates any pre-existing checkpoint's
+      // dropDuplicatesWithinWatermark state — old keys silently stop
+      // matching and each in-flight signature is re-admitted once.
+      // Acceptable pre-release; after release such a change needs a
+      // checkpoint migration or a new operator name.
       .withColumn("sig_key",
         md5(concat_ws("\u0000",
           Dedup.minhashSignature(col("__shs"), k))))

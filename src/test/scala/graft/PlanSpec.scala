@@ -263,8 +263,21 @@ class PlanSpec extends SparkSpec {
     val probeIdx = p.indexOf("might_contain")
     assert(probeIdx >= 0, p.take(1200))
     assert(p.contains("LeftSemi"), p.take(1200))
-    val firstExchange = p.indexOf("Exchange")
-    assert(firstExchange < 0 || probeIdx > 0) // probe exists in-plan
+    // the probe must sit DIRECTLY over the big side's scan: plan toString
+    // prints parents above children, so any Exchange between the
+    // might_contain filter line and the scan line it guards means the
+    // probe runs on post-shuffle rows — defeating the semi-join
+    // reduction. (A plain `probeIdx vs first Exchange` comparison is
+    // wrong in both directions: the final ORDER BY's exchange prints
+    // before the join subtree, and the build side's BroadcastExchange
+    // prints after the streamed side.)
+    val scanIdx = p.indexOf("Scan", probeIdx)
+    assert(scanIdx > probeIdx,
+      "no scan below the bloom probe:\n" + p.take(1500))
+    val between = p.substring(probeIdx, scanIdx)
+    assert(!between.contains("Exchange"),
+      "Exchange between the bloom probe and the scan it guards — " +
+        "probe runs post-shuffle:\n" + p.take(1500))
     assert(!p.contains("CartesianProduct"))
   }
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.Dedup
+import graft.ops.{Dedup, Text}
 
 /** graft.plans optimizer rules: the bounded-Levenshtein filter rewrite
   * must fire on the plan AND preserve semantics exactly.
@@ -60,6 +60,25 @@ class PlansSpec extends SparkSpec {
       truth(col("d") === 1))
     assert(ids(lit(3) >= levenshtein(col("a"), col("b"))) ===
       truth(col("d") <= 3))
+  }
+
+  test("q121 prefix document-frequency is a partial-aggregated groupBy " +
+    "joined back — never a count window over the shingle key") {
+    // the count-window form (Window.partitionBy("sh")) has no partial
+    // aggregation: every row of a hot boilerplate shingle buffers on one
+    // reducer — a straggler/OOM at corpus scale. The pinned shape is
+    // partial_count + final count on the shingle key (map-side combine)
+    // joined back; doc-keyed windows (bounded by doc length) stay.
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val sh = docs.select(col("doc_id").as("id"),
+      explode(array_distinct(
+        Dedup.hashedShingles(Text.cleanTokens(col("text"))))).as("sh"))
+    val prefix = Dedup.prefixRows(sh, 0.8, dfOrdered = true)
+    val p = prefix.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"),
+      "df must partial-aggregate map-side:\n" + p.take(1500))
+    assert(!p.contains("windowspecdefinition(sh#"),
+      "count window over the shingle key crept back in:\n" + p.take(1500))
   }
 
   test("fuzzyPairs' plan gets the banded rewrite end-to-end") {
