@@ -1384,7 +1384,20 @@ object SparkEntry {
             Layout.normalize(
               floor(unix_timestamp(col("o_orderdate")) / 86400), 7305L),
             bits = 16).as("zval"))
-        .orderBy("o_orderkey"))
+        .orderBy("o_orderkey")),
+
+    // north star — deterministic corpus shuffle (the step between q78's
+    // dedup and q113's packing): training order as a pure function of doc
+    // ids. Shard = scan-local fixed md5 hash-range bucket (NOT ntile —
+    // exactly-equal shard sizes would cost a global single-reducer rank;
+    // md5 uniformity makes fixed buckets near-equal at any scale); pos =
+    // per-shard rank by the md5 shuffle key. The physical shard files
+    // (Sources.writeShards) are byte-determinism-asserted in SourcesSpec.
+    "q133_det_shuffle" -> ((s, dir) =>
+      Curate.deterministicShuffle(t(s, dir, "documents"), "doc_id",
+          shards = 32)
+        .select(col("doc_id"), col("shuffle_key"), col("shard"), col("pos"))
+        .orderBy("shard", "pos"))
   )
 
   // ---- oracle SQL (DuckDB) ----------------------------------------------
@@ -2833,7 +2846,21 @@ object SparkEntry {
         s"""SELECT o_orderkey,
            |  CAST(${zSql("o_custkey", day, 16)} AS BIGINT) AS zval
            |FROM orders ORDER BY o_orderkey""".stripMargin
-      }
+      },
+
+      // shard = first-8-nibble md5 fraction bucketed into 32 fixed
+      // ranges (Curate.md5Frac replayed nibble-for-nibble); pos = rank
+      // within shard by the full md5 hex key
+      "q133_det_shuffle" ->
+        s"""WITH t AS (SELECT doc_id,
+           |    md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           |    CAST(FLOOR(${md5HexNSql("CAST(doc_id AS VARCHAR)", 8)}
+           |      / 4294967296.0 * 32) AS INTEGER) AS shard
+           |  FROM documents)
+           |SELECT doc_id, shuffle_key, shard,
+           |  CAST(row_number() OVER (PARTITION BY shard
+           |    ORDER BY shuffle_key, doc_id) - 1 AS INTEGER) AS pos
+           |FROM t ORDER BY shard, pos""".stripMargin
     )
   }
 }

@@ -40,6 +40,41 @@ object Curate {
         floor(col("start_offset") / ctxTokens).cast("long"))
   }
 
+  /** Deterministic corpus shuffle — the standard pretraining step between
+    * dedup and [[packSequences]]: a reproducible global shuffle emitting
+    * numbered shards, so training order is a pure function of the doc ids
+    * — identical across engines, runs, and cluster partitionings
+    * (`rand(seed)` is none of these: its draw depends on row order within
+    * partitions, `repartitionByRange` samples data-dependent boundaries).
+    *
+    *  - `shuffle_key` = md5 of the id: the pseudo-random total order.
+    *  - `shard` = FIXED hash-range bucket `floor(md5frac(id) * shards)` —
+    *    scan-local, zero shuffles. NOT ntile: ntile's exactly-equal shard
+    *    sizes need a global rank, i.e. a single-reducer sort of the
+    *    corpus; md5 uniformity makes fixed buckets near-equal (±O(√n))
+    *    at any scale, which is what shard sizing actually needs.
+    *  - `pos` = rank of the doc within its shard by `shuffle_key` (id
+    *    tie-break for md5-collision paranoia): the training order.
+    *
+    * Shape at scale: shard assignment is scan-local; `pos` is one hash
+    * shuffle on shard + a spillable per-shard sort — exactly the sort the
+    * shard writer must run anyway to emit deterministic file contents.
+    * `shards` is the parallelism knob (corpus/shards rows per reducer).
+    *
+    * Output: input columns + (shuffle_key, shard, pos).
+    */
+  def deterministicShuffle(docs: DataFrame, idCol: String,
+                           shards: Int): DataFrame = {
+    require(shards >= 1, s"need shards >= 1, got $shards")
+    docs
+      .withColumn("shuffle_key", md5(col(idCol).cast("string")))
+      .withColumn("shard",
+        floor(md5Frac(col(idCol)) * shards).cast("int"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("shard")
+          .orderBy(col("shuffle_key"), col(idCol))) - 1)
+  }
+
   /** Eval-set decontamination: train docs sharing at least one distinct
     * w-shingle with ANY doc of the eval set, with the shared-shingle
     * count (the standard n-gram-overlap contamination check run before

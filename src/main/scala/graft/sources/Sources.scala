@@ -121,6 +121,26 @@ object Sources {
   def readJdbc(spark: SparkSession, url: String, table: String): DataFrame =
     spark.read.jdbc(url, table, new java.util.Properties())
 
+  /** Numbered-shard corpus writer: materialize
+    * [[graft.ops.Curate.deterministicShuffle]]'s layout as one parquet
+    * file per shard directory (`shard=K/part-*.parquet`), rows sorted by
+    * `pos` within the file — so the bytes a trainer streams are a pure
+    * function of the doc ids, independent of engine, run, or cluster
+    * partitioning (asserted across two writes in SourcesSpec).
+    *
+    * One `repartition(shards, col("shard"))` hash shuffle co-locates each
+    * shard on one task; the within-task sort is the same spillable sort
+    * `pos` already paid for — at 100 TB, `shards` bounds both reducer
+    * memory and output file size.
+    */
+  def writeShards(shuffled: DataFrame, shards: Int, path: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    shuffled
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(totalBytes / targetFileBytes) files, optionally sorted within
     * files by `sortCols` so column min/max statistics cluster and

@@ -103,4 +103,41 @@ class SourcesSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters: [isnotnull(lang"),
       s"expected partition filter in scan: $scan")
   }
+
+  test("writeShards emits one file per shard whose row sequence is " +
+      "identical across two independent writes (deterministic layout)") {
+    import graft.ops.Curate
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val shards = 8
+    // per-file row sequence, keyed by the shard directory name. Each
+    // shard dir must hold exactly ONE parquet file; tiny fixture files
+    // are single-split reads, so collect() preserves file row order —
+    // which is the byte order a trainer would stream.
+    def layout(path: String): Map[String, Seq[Long]] = {
+      val root = new java.io.File(path)
+      val shardDirs = root.listFiles().filter(_.getName.startsWith("shard="))
+      shardDirs.map { d =>
+        val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(parts.length === 1,
+          s"${d.getName}: expected 1 parquet file, got ${parts.length}")
+        d.getName ->
+          spark.read.parquet(parts.head.getAbsolutePath)
+            .select("doc_id").as[Long].collect().toSeq
+      }.toMap
+    }
+    val shuffled = Curate.deterministicShuffle(docs, "doc_id", shards)
+    val d1 = tmp() + "/shards1"
+    val d2 = tmp() + "/shards2"
+    Sources.writeShards(shuffled, shards, d1)
+    Sources.writeShards(shuffled, shards, d2)
+    val (l1, l2) = (layout(d1), layout(d2))
+    assert(l1.keySet === (0 until shards).map(i => s"shard=$i").toSet)
+    assert(l1 === l2, "shard row sequences differ across writes")
+    // and the in-file order IS the declared training order: pos-ascending
+    // per shard, pos = rank by the md5 shuffle key
+    val expected = shuffled.orderBy("shard", "pos")
+      .select("shard", "doc_id").as[(Int, Long)].collect()
+      .groupBy(_._1).map { case (s, a) => s"shard=$s" -> a.map(_._2).toSeq }
+    assert(l1 === expected, "file order != pos order")
+  }
 }
