@@ -721,8 +721,9 @@ object SparkEntry {
 
     // north star FLAGSHIP composite — the full training-data prep pipeline
     // in one query: quality gate → repetition gate (Gopher top-bigram
-    // share, see q109) → exact (fingerprint) dedup → MinHash near-dup
-    // removal → reproducible hash split → corpus summary.
+    // share, see q109) → model-based gate (q134's hashed-n-gram
+    // classifier, the DCLM ordering) → exact (fingerprint) dedup →
+    // MinHash near-dup removal → reproducible hash split → corpus summary.
     // Near-dup rule: drop every doc that has a SMALLER near-dup neighbor
     // (est_jaccard >= 0.5) — deterministic and join-expressible, no
     // connected-components pass (the standard large-corpus approximation).
@@ -745,7 +746,13 @@ object SparkEntry {
         .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
         .where(Num.floorAt(col("mx").cast("double") / col("tot"), 4) > 0.2)
         .select("doc_id")
+      // model-based gate (q134's hashed-n-gram classifier) after the rule
+      // gates — the DCLM ordering. Same raw-scan-not-quality-subtree
+      // reasoning as `repetitive` above; 0.484 ≈ the corpus' lower decile.
+      val lowScore = Curate.ngramQualityScore(docs, "doc_id", "text")
+        .where(col("quality_score") < 0.484).select("doc_id")
       val gated = quality.join(repetitive, Seq("doc_id"), "left_anti")
+        .join(lowScore, Seq("doc_id"), "left_anti")
       // the survivor set feeds THREE consumers (minhash signatures, the
       // anti-join left side, and transitively the split/summary);
       // localCheckpoint materializes the gate+dedup work once instead of
@@ -1397,7 +1404,16 @@ object SparkEntry {
       Curate.deterministicShuffle(t(s, dir, "documents"), "doc_id",
           shards = 32)
         .select(col("doc_id"), col("shuffle_key"), col("shard"), col("pos"))
-        .orderBy("shard", "pos"))
+        .orderBy("shard", "pos")),
+
+    // north star — hashed-n-gram linear quality classifier (fastText
+    // shape, Joulin et al. 2016; DCLM 2024's model-based filter): the
+    // learned scorer real pipelines run after the q109 rule gates. Weight
+    // lookup is a scan-local array-literal index (no join); one explode +
+    // one doc-keyed agg. Also wired into q78 as its final gate.
+    "q134_quality_score" -> ((s, dir) =>
+      Curate.ngramQualityScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   // ---- oracle SQL (DuckDB) ----------------------------------------------
@@ -2083,8 +2099,23 @@ object SparkEntry {
            |  FROM quality) GROUP BY doc_id, bg),
            |repbad AS (SELECT doc_id FROM bgc GROUP BY doc_id
            |  HAVING floor(CAST(MAX(c) AS DOUBLE) / SUM(c) * 10000) / 10000 > 0.2),
+           |qg AS (SELECT doc_id,
+           |    UNNEST(list_concat(t, ${shinglesSql("t", 2)})) AS g
+           |  FROM (SELECT doc_id, ${toksSql("c2")} AS t
+           |        FROM (SELECT doc_id, ${cleanSql("text")} AS c2
+           |              FROM documents))),
+           |qwt AS (SELECT doc_id,
+           |    CAST((${Curate.QualityWeights.mkString("[", ", ", "]")})[
+           |      CAST(${md5HexNSql("g", 8)} % ${Curate.QualityBuckets}
+           |        AS INTEGER) + 1] AS DECIMAL(18,6)) AS wt
+           |  FROM qg),
+           |qlow AS (SELECT doc_id FROM qwt GROUP BY doc_id
+           |  HAVING ${Num.floorAtSql(
+                s"1.0 / (1.0 + exp(-((${Curate.QualityBias}) " +
+                  "+ CAST(SUM(wt) AS DOUBLE) / COUNT(*))))", 6)} < 0.484),
            |gated AS (SELECT doc_id, text, n_chars FROM quality
-           |  WHERE doc_id NOT IN (SELECT doc_id FROM repbad)),
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM repbad)
+           |    AND doc_id NOT IN (SELECT doc_id FROM qlow)),
            |fp AS (SELECT doc_id, text, n_chars, md5(${cleanSql("text")}) AS fp
            |       FROM gated),
            |exact AS (SELECT doc_id, text, n_chars FROM (
@@ -2860,7 +2891,26 @@ object SparkEntry {
            |SELECT doc_id, shuffle_key, shard,
            |  CAST(row_number() OVER (PARTITION BY shard
            |    ORDER BY shuffle_key, doc_id) - 1 AS INTEGER) AS pos
-           |FROM t ORDER BY shard, pos""".stripMargin
+           |FROM t ORDER BY shard, pos""".stripMargin,
+
+      // weight lookup replayed as the same array-literal index; DECIMAL
+      // sum (order-independent) then floor-at-6dp sigmoid
+      "q134_quality_score" ->
+        s"""WITH cleaned AS (SELECT doc_id, $clean AS c FROM documents),
+           |tok AS (SELECT doc_id, $cleanToks AS t FROM cleaned),
+           |g AS (SELECT doc_id,
+           |    UNNEST(list_concat(t, ${shinglesSql("t", 2)})) AS g FROM tok),
+           |wt AS (SELECT doc_id,
+           |    CAST((${Curate.QualityWeights.mkString("[", ", ", "]")})[
+           |      CAST(${md5HexNSql("g", 8)} % ${Curate.QualityBuckets}
+           |        AS INTEGER) + 1] AS DECIMAL(18,6)) AS wt
+           |  FROM g)
+           |SELECT doc_id, COUNT(*) AS n_grams,
+           |  ${Num.floorAtSql(
+               s"1.0 / (1.0 + exp(-((${Curate.QualityBias}) " +
+                 "+ CAST(SUM(wt) AS DOUBLE) / COUNT(*))))", 6)}
+           |    AS quality_score
+           |FROM wt GROUP BY doc_id ORDER BY doc_id""".stripMargin
     )
   }
 }

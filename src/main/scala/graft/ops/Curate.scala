@@ -290,6 +290,71 @@ object Curate {
           .as("mean_log2p"))
   }
 
+  /** Fixed weight table of the hashed-n-gram quality classifier
+    * ([[ngramQualityScore]]): `QualityBuckets` 4-dp values in [-0.5, 0.5],
+    * shipped as code the way a small trained linear model ships with a
+    * pipeline (the VALUES are a stand-in; the OPERATOR — hash, lookup,
+    * mean, sigmoid — is what production swaps real weights into). Kept as
+    * decimal STRINGS so Spark and the DuckDB oracle parse the identical
+    * literals.
+    */
+  val QualityBuckets = 64
+  val QualityBias = "-0.05"
+  val QualityWeights: IndexedSeq[String] = Vector(
+    "-0.3734", "-0.4054", "-0.0323", "0.1766", "-0.04", "0.2299", "-0.222", "-0.0005",
+    "0.4069", "-0.2153", "0.34", "0.237", "0.2365", "0.1727", "0.0406", "-0.3761",
+    "-0.3987", "0.4765", "0.377", "-0.3664", "0.3721", "0.4601", "0.0857", "0.1603",
+    "0.2202", "-0.3862", "0.0815", "-0.1151", "0.3068", "0.2258", "0.3519", "0.4143",
+    "0.1224", "0.0902", "0.0214", "0.3296", "-0.309", "-0.2145", "-0.2941", "-0.062",
+    "-0.1364", "-0.2311", "-0.0676", "0.295", "-0.4954", "-0.4003", "0.4112", "0.2843",
+    "0.3018", "-0.294", "-0.295", "0.0427", "0.2419", "-0.0108", "0.0852", "-0.3246",
+    "-0.0015", "-0.2", "0.414", "-0.1732", "0.2499", "0.4901", "0.2218", "0.0098")
+
+  /** Hashed-n-gram linear quality classifier — the fastText-style scorer
+    * (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+    * Classification") real pipelines run AFTER the rule gates (DCLM 2024
+    * uses exactly this shape as its model-based filter):
+    *
+    *   score = sigmoid(bias + mean over n-grams of w[h(g) mod D])
+    *
+    * n-grams = word unigrams + bigrams of the cleaned tokens; h = first 8
+    * md5 nibbles (engine-portable); w = [[QualityWeights]]. The weight
+    * lookup is an ARRAY-LITERAL index — scan-local, codegen'd, no join at
+    * all (a broadcast join would also work but ships a hash relation per
+    * executor for a 64-entry table) — so the whole scorer is one
+    * explode + one doc-keyed agg: the same single-shuffle shape as token
+    * counting, at any corpus size.
+    *
+    * Determinism: weights sum as DECIMAL(18,6) (order-independent), the
+    * sigmoid is floored at 6 dp ([[Num.floorAt]]) so last-ulp exp()
+    * differences between engines cannot flip the hash.
+    *
+    * Output: (doc_id, n_grams, quality_score) for docs with >= 1 token;
+    * score ∈ [0, 1] (TextSpec property).
+    */
+  def ngramQualityScore(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val warr = array(QualityWeights.map(w =>
+      lit(w).cast("decimal(18,6)")): _*)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      Text.cleanTokens(col(textCol)).as("t"))
+    val grams = toks
+      .select(col("doc_id"),
+        explode(concat(col("t"), Dedup.shingles(col("t"), 2))).as("g"))
+    val bucket = (conv(substring(md5(col("g")), 1, 8), 16, 10)
+      .cast("long") % QualityBuckets).cast("int")
+    grams
+      .select(col("doc_id"), element_at(warr, bucket + 1).as("wt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("wt")).as("sw"))
+      .select(col("doc_id"), col("n_grams"),
+        Num.floorAt(
+          lit(1.0) / (lit(1.0) +
+            exp(-(lit(QualityBias).cast("double") +
+              col("sw").cast("double") / col("n_grams")))), 6)
+          .as("quality_score"))
+  }
+
   /** Email pattern (RE2-compatible — identical semantics in Java regex
     * and DuckDB, so the oracle replays it exactly).
     */

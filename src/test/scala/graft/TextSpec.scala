@@ -161,6 +161,32 @@ class TextSpec extends SparkSpec {
     assert(labels.length === vs.length)
   }
 
+  test("ngramQualityScore stays in [0, 1] and is deterministic " +
+      "(property)") {
+    import graft.ops.Curate
+    val frag = Gen.frequency(
+      5 -> Gen.listOf(Gen.alphaNumChar).map(_.mkString),
+      3 -> Gen.oneOf(" ", "  ", "\t"),
+      2 -> Gen.oneOf("the", "http://x.y", "é", "!?", "42"))
+    val texts = samples(Gen.listOf(frag).map(_.mkString))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    def run() = Curate.ngramQualityScore(df, "doc_id", "text")
+      .select("doc_id", "quality_score").as[(Long, Double)]
+      .collect().toMap
+    val s1 = run()
+    assert(s1.values.forall(v => v >= 0.0 && v <= 1.0),
+      s"out-of-range scores: ${s1.filterNot(kv => kv._2 >= 0 && kv._2 <= 1)}")
+    assert(s1 === run(), "score not deterministic across runs")
+    // docs with at least one clean token are scored, token-less docs are
+    // absent (the documented contract)
+    val tokenless = df
+      .where(size(graft.ops.Text.cleanTokens(col("text"))) === 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1.keySet.intersect(tokenless).isEmpty)
+    assert(s1.size === texts.size - tokenless.size)
+  }
+
   test("quality / lang-id / token-count edge rows") {
     val row = Seq((1L, "")).toDF("id", "t")
       .withColumn("toks", Text.tokens(col("t")))
