@@ -776,12 +776,18 @@ object SparkEntry {
         .orderBy("split")
     }),
 
-    // north star — multimodal plumbing (typed Dataset mapPartitions decode).
+    // north star — multimodal decode with a REAL pure-JVM codec: every
+    // payload is a spec-valid P6 PPM built deterministically from doc_id
+    // (the corpus ships no image files), parsed by the real header+raster
+    // decoder, and measured per pixel; the oracle replays the closed-form
+    // pixel rule. JPEG/PNG stay behind the labeled stub (q71/q72) — the
+    // container has no codec libs.
     "q70_media_features" -> ((s, dir) => {
-      val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
-      Multimodal.decode(media).toDF()
+      val media = Multimodal.ppmMediaFromDocuments(t(s, dir, "documents"))
+      Multimodal.decodeImages(media).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          col("width"), col("height"), col("fingerprint"))
+          col("width"), col("height"), col("n_pixels"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
         .orderBy("media_id")
     }),
 
@@ -2144,13 +2150,26 @@ object SparkEntry {
            |       COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
            |FROM final GROUP BY split ORDER BY split""".stripMargin,
 
+      // replay of the PPM fixture rule: byte j of a (4+id%5)x(3+id%4)
+      // image is (id+j)%256; header "P6\n<w> <h>\n255\n" is always 11
+      // bytes (w,h single-digit). Channel means = exact integer sums /
+      // n_pixels — one IEEE division, bit-equal across engines.
       "q70_media_features" ->
-        """SELECT doc_id AS media_id, source AS kind,
-          | CAST(strlen(text) AS BIGINT) AS n_bytes,
-          | CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
-          | CAST(strlen(text) % 480 + 1 AS INTEGER) AS height,
-          | md5(text) AS fingerprint
-          |FROM documents ORDER BY media_id""".stripMargin,
+        """WITH m AS (SELECT doc_id, source,
+          |    CAST(4 + doc_id % 5 AS INTEGER) AS w,
+          |    CAST(3 + doc_id % 4 AS INTEGER) AS h
+          |  FROM documents)
+          |SELECT doc_id AS media_id, source AS kind,
+          |  CAST(11 + 3 * w * h AS BIGINT) AS n_bytes,
+          |  w AS width, h AS height,
+          |  CAST(w * h AS BIGINT) AS n_pixels,
+          |  CAST(list_sum(list_transform(range(0, w*h),
+          |    p -> (doc_id + 3*p) % 256)) AS DOUBLE) / (w*h) AS mean_r,
+          |  CAST(list_sum(list_transform(range(0, w*h),
+          |    p -> (doc_id + 3*p + 1) % 256)) AS DOUBLE) / (w*h) AS mean_g,
+          |  CAST(list_sum(list_transform(range(0, w*h),
+          |    p -> (doc_id + 3*p + 2) % 256)) AS DOUBLE) / (w*h) AS mean_b
+          |FROM m ORDER BY media_id""".stripMargin,
 
       // payload is UTF-8 text and the corpus is pure ASCII, so byte
       // slicing == character slicing and the frame md5s reproduce in SQL

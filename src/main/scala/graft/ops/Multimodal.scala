@@ -7,16 +7,140 @@ import org.apache.spark.sql.functions._
   * travel as opaque `binary` columns with typed metadata, processed
   * per-partition in batches.
   *
-  * The container ships no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic fake (header-derived dimensions + md5
-  * fingerprint) — the Spark-side plumbing (schema, batch iteration,
-  * partition-parallel execution) is real. Swap `fakeDecode` for a codec
-  * call to productionize.
+  * Codec status: PPM (P6) and BMP (24-bit BI_RGB) are REAL pure-JVM
+  * decoders — both formats are public and header+raster simple, so no
+  * codec library is needed; q70 runs them over real image bytes and the
+  * oracle replays the per-pixel statistics. Compressed formats
+  * (JPEG/PNG/audio) remain a clearly-marked deterministic stub
+  * ([[fakeDecode]]) because the container ships no codec libs — the
+  * Spark-side plumbing (schema, batch iteration, partition-parallel
+  * execution) is identical either way; swap the stub for a codec call to
+  * productionize.
   */
 object Multimodal {
 
   /** Typed media row: the binary payload plus source metadata. */
   case class MediaRow(media_id: Long, payload: Array[Byte], kind: String)
+
+  /** Decoded raster: dimensions + 8-bit RGB interleaved pixel bytes. */
+  case class Raster(width: Int, height: Int, pixels: Array[Byte])
+
+  /** REAL P6 (binary) PPM encoder — fixture builder for specs/queries. */
+  def ppmEncode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3,
+      s"need ${width * height * 3} bytes, got ${rgb.length}")
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    header ++ rgb
+  }
+
+  /** REAL P6 PPM decoder (format spec: netpbm, public): ASCII header
+    * `P6 <w> <h> <maxval>` with `#` comments and any whitespace, then
+    * w*h*3 raw RGB bytes. Returns None on any malformation (wrong magic,
+    * maxval != 1..255, truncated raster) — never a guess.
+    */
+  def decodePpm(payload: Array[Byte]): Option[Raster] = {
+    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
+      return None
+    var i = 2
+    // read the next whitespace-delimited ASCII int, skipping # comments
+    def nextInt(): Option[Int] = {
+      while (i < payload.length &&
+        (payload(i).toChar.isWhitespace || payload(i) == '#')) {
+        if (payload(i) == '#')
+          while (i < payload.length && payload(i) != '\n') i += 1
+        else i += 1
+      }
+      val start = i
+      while (i < payload.length && payload(i).toChar.isDigit) i += 1
+      if (i == start) None
+      else Some(new String(payload, start, i - start, "US-ASCII").toInt)
+    }
+    for {
+      w <- nextInt(); h <- nextInt(); maxval <- nextInt()
+      if w > 0 && h > 0 && maxval > 0 && maxval <= 255
+      // exactly ONE whitespace byte separates maxval from the raster
+      if i < payload.length && payload(i).toChar.isWhitespace
+      raster = payload.drop(i + 1)
+      if raster.length >= w * h * 3
+    } yield Raster(w, h, raster.take(w * h * 3))
+  }
+
+  /** REAL BMP decoder for the uncompressed 24-bit BI_RGB subset (format
+    * spec: Windows BITMAPINFOHEADER, public): rows are stored bottom-up,
+    * BGR byte order, each row padded to a 4-byte boundary. Output raster
+    * is normalized to top-down RGB so PPM and BMP decode to identical
+    * [[Raster]]s for the same image. None on anything outside the subset
+    * (compression, other bit depths, top-down negative heights).
+    */
+  def decodeBmp(payload: Array[Byte]): Option[Raster] = {
+    def u16(o: Int): Int =
+      (payload(o) & 0xFF) | ((payload(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long =
+      (payload(o) & 0xFFL) | ((payload(o + 1) & 0xFFL) << 8) |
+        ((payload(o + 2) & 0xFFL) << 16) | ((payload(o + 3) & 0xFFL) << 24)
+    if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M')
+      return None
+    val dataOffset = u32(10).toInt
+    val w = u32(18).toInt
+    val h = u32(22).toInt // negative (top-down) is outside the subset
+    val bpp = u16(28)
+    val compression = u32(30)
+    if (w <= 0 || h <= 0 || bpp != 24 || compression != 0L) return None
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    if (payload.length < dataOffset + rowSize * h) return None
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      // bottom-up: stored row (h-1-y) is display row y
+      val src = dataOffset + (h - 1 - y) * rowSize
+      var x = 0
+      while (x < w) {
+        out((y * w + x) * 3) = payload(src + x * 3 + 2)     // R <- BGR
+        out((y * w + x) * 3 + 1) = payload(src + x * 3 + 1) // G
+        out((y * w + x) * 3 + 2) = payload(src + x * 3)     // B
+        x += 1
+      }
+      y += 1
+    }
+    Some(Raster(w, h, out))
+  }
+
+  /** Per-channel pixel statistics of a decoded raster (the "feature
+    * extract" step): exact integer sums divided once, so the doubles are
+    * bit-identical to any engine computing the same mean.
+    */
+  case class ImageStats(media_id: Long, kind: String, n_bytes: Long,
+                        width: Int, height: Int, n_pixels: Long,
+                        mean_r: Double, mean_g: Double, mean_b: Double)
+
+  def rasterStats(id: Long, kind: String, nBytes: Long,
+                  r: Raster): ImageStats = {
+    val n = r.width.toLong * r.height
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var p = 0
+    while (p < n) {
+      sr += r.pixels(p * 3) & 0xFF
+      sg += r.pixels(p * 3 + 1) & 0xFF
+      sb += r.pixels(p * 3 + 2) & 0xFF
+      p += 1
+    }
+    ImageStats(id, kind, nBytes, r.width, r.height, n,
+      sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+  }
+
+  /** Partition-parallel REAL image decode: PPM and BMP payloads are
+    * parsed and measured for real; anything else fails loudly (the
+    * caller routes compressed formats to the labeled stub instead).
+    */
+  def decodeImages(ds: Dataset[MediaRow]): Dataset[ImageStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val raster = decodePpm(r.payload).orElse(decodeBmp(r.payload))
+        .getOrElse(throw new IllegalArgumentException(
+          s"media ${r.media_id}: not a decodable PPM/BMP payload"))
+      rasterStats(r.media_id, r.kind, r.payload.length.toLong, raster)
+    })
+  }
 
   /** Decoded feature row produced by the (stub) decoder. */
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
@@ -102,5 +226,23 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("payload"),
         col("source").as("kind"))
       .as[MediaRow]
+  }
+
+  /** Build a table of REAL P6 PPM payloads, deterministically derived
+    * from the documents fixture (the corpus ships no image files): doc
+    * id → a (4 + id%5) × (3 + id%4) image whose byte j is (id + j) mod
+    * 256. Every payload is a real, spec-valid PPM file; the closed-form
+    * pixel rule is what lets the DuckDB oracle replay the decoded
+    * statistics exactly (q70).
+    */
+  def ppmMediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .map { case (id, src) =>
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val rgb = Array.tabulate(w * h * 3)(j => ((id + j) % 256).toByte)
+        MediaRow(id, ppmEncode(w, h, rgb), src)
+      }
   }
 }

@@ -70,6 +70,78 @@ class SimSpec extends SparkSpec {
     assert(frames.map(_.fingerprint).distinct.length === 4)
   }
 
+  test("PPM decoder: known pixel values round-trip, comments skipped, " +
+      "malformed payloads rejected") {
+    val rgb = Array(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+      .map(_.toByte)
+    val ppm = Multimodal.ppmEncode(2, 2, rgb)
+    val r = Multimodal.decodePpm(ppm).get
+    assert(r.width === 2 && r.height === 2)
+    assert(r.pixels.toSeq === rgb.toSeq)
+    val stats = Multimodal.rasterStats(1L, "img", ppm.length.toLong, r)
+    assert(stats.mean_r === 55.0 && stats.mean_g === 65.0 &&
+      stats.mean_b === 75.0)
+    assert(stats.n_pixels === 4L && stats.n_bytes === ppm.length.toLong)
+    // header comments are part of the netpbm spec
+    val commented =
+      "P6\n# a comment\n2 2\n# another\n255\n".getBytes("US-ASCII") ++ rgb
+    assert(Multimodal.decodePpm(commented).get.pixels.toSeq === rgb.toSeq)
+    // malformed: wrong magic, truncated raster, maxval out of range
+    assert(Multimodal.decodePpm("P5\n2 2\n255\n".getBytes ++ rgb).isEmpty)
+    assert(Multimodal.decodePpm(ppm.dropRight(1)).isEmpty)
+    assert(Multimodal.decodePpm(
+      "P6\n2 2\n65535\n".getBytes ++ rgb ++ rgb).isEmpty)
+  }
+
+  test("BMP decoder: bottom-up BGR padded rows normalize to the same " +
+      "raster as the equivalent PPM") {
+    def bmpEncode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val data = new Array[Byte](rowSize * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val src = (y * w + x) * 3
+        val dst = (h - 1 - y) * rowSize + x * 3
+        data(dst) = rgb(src + 2)
+        data(dst + 1) = rgb(src + 1)
+        data(dst + 2) = rgb(src)
+      }
+      val bb = java.nio.ByteBuffer.allocate(54 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + data.length)
+        .putInt(0).putInt(54)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(data.length)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.put(data)
+      bb.array()
+    }
+    val rgb = Array(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+      .map(_.toByte)
+    val bmp = bmpEncode(2, 2, rgb)
+    val r = Multimodal.decodeBmp(bmp).get
+    assert(r.width === 2 && r.height === 2)
+    assert(r.pixels.toSeq ===
+      Multimodal.decodePpm(Multimodal.ppmEncode(2, 2, rgb)).get.pixels.toSeq)
+    // outside the subset: 8bpp and compressed are refused, not guessed
+    val bad = bmp.clone(); bad(28) = 8
+    assert(Multimodal.decodeBmp(bad).isEmpty)
+  }
+
+  test("decodeImages over the deterministic PPM fixture computes real " +
+      "per-pixel stats (hand-checked for one doc)") {
+    val docs = Seq((7L, "x", "en", "img", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.decodeImages(
+      Multimodal.ppmMediaFromDocuments(docs)).collect().head
+    // id=7: w = 4 + 7%5 = 6, h = 3 + 7%4 = 6, byte j = (7 + j) % 256
+    assert(out.width === 6 && out.height === 6 && out.n_pixels === 36L)
+    assert(out.n_bytes === 11L + 3 * 36)
+    val exp = (ch: Int) =>
+      (0 until 36).map(p => (7 + 3 * p + ch) % 256).sum.toDouble / 36
+    assert(out.mean_r === exp(0) && out.mean_g === exp(1) &&
+      out.mean_b === exp(2))
+  }
+
   test("multimodal decode: schema and deterministic stub features") {
     val docs = Seq((7L, "hello world", "en", "srcX", 11L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
