@@ -171,6 +171,68 @@ class Round5bOpsSpec extends SparkSpec {
     assert(cCk < zCk) // ...but beats z-order on its own sort dimension
   }
 
+  test("z-order read-side payoff: a day-range predicate skips most " +
+      "files/row-groups on the clustered layout and none on the " +
+      "single-dim sort") {
+    val ord = Tables.load(spark, "/root/testdata/sf0.01", "orders")
+      .withColumn("day",
+        floor(unix_timestamp(col("o_orderdate")) / 86400) - 7305)
+    val zdir = "/tmp/graft_zorder_read_test"
+    val cdir = "/tmp/graft_custsort_read_test"
+    Layout.zOrderWrite(ord,
+      Layout.zValue(col("o_custkey"), col("day"), 16), 16, zdir)
+    ord.repartitionByRange(16, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(cdir)
+    // ~1/8 of the day span, in the middle
+    val (dLo, dHi) = {
+      val r = ord.agg(min("day"), max("day")).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val w = (hi - lo) / 8
+      (lo + 3 * w, lo + 4 * w)
+    }
+    // (1) what parquet min/max skipping sees: files whose day bounds
+    // intersect the range. Z-order boxes both dims per file, so most
+    // files miss the range; the custkey sort leaves day unbounded, so
+    // EVERY file intersects.
+    def filesIntersecting(path: String): (Long, Long) = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("day").as("lo"), max("day").as("hi"))
+      (perFile.where(col("lo") <= dHi && col("hi") >= dLo).count(),
+        perFile.count())
+    }
+    val (zHit, zAll) = filesIntersecting(zdir)
+    val (cHit, cAll) = filesIntersecting(cdir)
+    assert(cHit === cAll, s"custkey sort should bound no file: $cHit/$cAll")
+    assert(zHit.toDouble / zAll <= 0.5,
+      s"z-order should skip at least half the files: $zHit/$zAll")
+    // (2) the same skip through Spark's own reader: the scan's
+    // numOutputRows (rows surviving pushed-down row-group/page skipping,
+    // before Spark's Filter) must be far smaller on the z layout
+    def scanRows(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .where(col("day") >= dLo && col("day") <= dHi)
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.get
+      scan.metrics("numOutputRows").value
+    }
+    val (zRows, cRows) = (scanRows(zdir), scanRows(cdir))
+    val total = ord.count()
+    assert(cRows === total,
+      s"custkey layout should skip nothing: scan emitted $cRows of $total")
+    assert(zRows.toDouble / cRows <= 0.6,
+      s"z layout should skip row groups: z=$zRows vs c=$cRows")
+    // both layouts agree on the answer, of course
+    assert(spark.read.parquet(zdir)
+      .where(col("day") >= dLo && col("day") <= dHi).count() ===
+      spark.read.parquet(cdir)
+        .where(col("day") >= dLo && col("day") <= dHi).count())
+  }
+
   test("saltedJoin == plain join, salt never escapes, and the physical " +
       "plan is a shuffled hash join (not broadcast)") {
     val dir = "/root/testdata/sf0.001"

@@ -85,6 +85,68 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sessionize and dedup state run identically on the RocksDB state " +
+      "store provider (the at-scale backend: state off-heap on local " +
+      "disk, not executor heap)") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    val src = "/root/testdata/sf0.001"
+    val stage = Files.createTempDirectory("graft-rocks").toFile
+    try {
+      // cross-micro-batch dedup state on RocksDB: fixture staged twice,
+      // every event_id arrives in two different micro-batches
+      for (i <- 1 to 2)
+        Files.copy(new java.io.File(s"$src/events.parquet").toPath,
+          new java.io.File(stage, s"copy$i.parquet").toPath)
+      val dedup = StreamOps.streamingDedup(
+        StreamOps.eventsStream(spark, stage.getAbsolutePath),
+        Seq("event_id"), watermark = "30 days")
+      val q1 = dedup.writeStream.format("memory").queryName("rocks_dedup")
+        .outputMode("append").start()
+      try q1.processAllAvailable() finally q1.stop()
+      assert(spark.table("rocks_dedup").count() ===
+        Tables.load(spark, src, "events")
+          .select("event_id").distinct().count())
+
+      // flatMapGroupsWithState session state on RocksDB: single batch,
+      // closed sessions must match the batch sessionizer minus each
+      // user's still-open last session. Staged through a Spark rewrite
+      // (not a file copy): the raw fixture's ts is TIMESTAMP(NANOS),
+      // which only Tables.load's nanos handling can read
+      val sessStage = Files.createTempDirectory("graft-rocks-sess").toFile
+      val events = Tables.load(spark, src, "events")
+      events.coalesce(1).write.mode("overwrite")
+        .parquet(sessStage.getAbsolutePath)
+      val sess = StreamOps.statefulSessionize(
+        spark.readStream.schema(events.schema)
+          .parquet(sessStage.getAbsolutePath), 1800)
+      val q2 = sess.writeStream.format("memory").queryName("rocks_sess")
+        .outputMode("append").start()
+      try q2.processAllAvailable() finally q2.stop()
+      val streamed = spark.table("rocks_sess")
+        .as[StreamOps.ClosedSession].collect()
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events))
+        .toSet
+      val batch = EventsOps.sessionize(events, 1800)
+      val lastPerUser = batch.groupBy("user_id")
+        .agg(max("session_id").as("session_id"))
+      val closedBatch = batch
+        .join(lastPerUser, Seq("user_id", "session_id"), "left_anti")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed === closedBatch && streamed.nonEmpty)
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      stage.listFiles().foreach(_.delete()); stage.delete()
+    }
+  }
+
   test("stream-stream windowed join == the same join run in batch") {
     import spark.implicits._
     val src = "/root/testdata/sf0.001"
