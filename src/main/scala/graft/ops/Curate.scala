@@ -151,17 +151,20 @@ object Curate {
         Text.cleanTokens(col(textCol)).as("t"))
       .select(col("doc_id"),
         explode(array_distinct(Dedup.shingles(col("t"), w))).as("sh"))
-    // document frequency via an unordered COUNT window over the shingle,
-    // NOT a groupBy+self-join: the join form evaluates the (expensive)
-    // tokenize+shingle+explode pipeline once per side — Spark can't reuse
-    // the exchange because the agg side wraps it in a partial aggregate —
-    // and shuffles the exploded set three times. The window form computes
-    // the pipeline ONCE and shuffles twice (sh, then doc_id). Measured
-    // 10.6 s -> 0.7 s at sf0.1 (with the materialized-token projection
-    // above). Per-shingle window partitions are bounded by the shingle's
-    // df (the same bound the join's fan-in had).
-    sh.withColumn("n_docs",
-        count(lit(1)).over(Window.partitionBy("sh")))
+    // document frequency via groupBy("sh").count() joined back onto a
+    // CHECKPOINTED (doc, shingle) frame — the round-6 q121 shape, and NOT
+    // the earlier unordered COUNT window over the shingle: a count window
+    // has no partial aggregation, so a hot boilerplate shingle's entire
+    // row set buffers on ONE reducer (straggler/OOM at corpus scale),
+    // while groupBy+count pre-combines map-side and the join back streams
+    // (AQE skew-split applies to joins, never to window buffers). The
+    // localCheckpoint materializes the tokenize+shingle+explode pipeline
+    // ONCE for its two consumers — the naive join-back re-evaluated it
+    // per side (measured 10.6 s at sf0.1; checkpointed join-back times
+    // within noise of the window form it replaces).
+    val shCk = sh.localCheckpoint()
+    val dfCounts = shCk.groupBy("sh").agg(count(lit(1)).as("n_docs"))
+    shCk.join(dfCounts, Seq("sh"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
@@ -269,10 +272,14 @@ object Curate {
     * tokens score low, boilerplate scores high). p(w) = tf(w) / N over the
     * whole corpus.
     *
-    * Shape at scale: term frequencies via an unordered COUNT window over
-    * the term (the [[dupNgramShare]] df-pass skeleton — one term-keyed
-    * shuffle, no self-join), N as a broadcast 1-row crossJoin, then one
-    * doc-keyed agg: two shuffles total. The mean is floored at 6 dp so
+    * Shape at scale: term frequencies via `groupBy(term).count()` joined
+    * back onto a CHECKPOINTED (doc, term) frame — the [[dupNgramShare]]
+    * df-pass skeleton. NOT a count window over the term: stopwords are
+    * the hottest keys in any corpus ("the" ~5% of English tokens), and a
+    * count window has no partial aggregation, so one reducer would buffer
+    * 5% of a 100 TB token stream; groupBy+count pre-combines map-side and
+    * the join back streams under AQE skew-split. N is a broadcast 1-row
+    * crossJoin; one doc-keyed agg closes. The mean is floored at 6 dp so
     * cross-engine last-ulp drift in log2/avg cannot flip the hash.
     *
     * Output: (doc_id, n_tokens, mean_log2p).
@@ -281,8 +288,10 @@ object Curate {
       : DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(Text.cleanTokens(col(textCol))).as("term"))
+      .localCheckpoint()
     val total = toks.agg(count(lit(1)).cast("double").as("n_total"))
-    toks.withColumn("tf", count(lit(1)).over(Window.partitionBy("term")))
+    val tf = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+    toks.join(tf, Seq("term"))
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),

@@ -202,11 +202,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q119 dup-ngram share joins on the shingle key (no cartesian, " +
-    "no nested loop)") {
+  test("q119 dup-ngram share: df is a partial-aggregated groupBy joined " +
+    "back on the shingle key — no count window, no cartesian") {
     val p = plan("q119_dup_ngram_share")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // a count window over the shingle has no partial aggregation — a hot
+    // boilerplate shingle would buffer on one reducer at corpus scale
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(!p.contains("windowspecdefinition(sh#"),
+      "count window over the shingle key crept back in:\n" + p.take(1500))
   }
 
   test("q116 incremental merge re-aggregates state rows only (two " +
@@ -295,13 +300,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(1500))
   }
 
-  test("q127 unigram log-prob: term window + broadcast 1-row total, " +
-      "no shuffled join") {
+  test("q127 unigram log-prob: term frequency is a partial-aggregated " +
+      "groupBy joined back (never a count window on the hot term key); " +
+      "corpus total broadcasts") {
     val p = plan("q127_unigram_logprob")
     assert(p.contains("BroadcastExchange"), p.take(1500))
-    assert("Exchange hashpartitioning\\(term".r.findAllIn(p).size === 1,
-      p.take(1500))
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      p.take(1500))
+    // stopwords are the hottest keys in any corpus: tf MUST pre-combine
+    // map-side (partial_count), and no window may partition by term
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(!p.contains("windowspecdefinition(term"),
+      "count window over the term key crept back in:\n" + p.take(1500))
   }
 }
