@@ -1324,12 +1324,17 @@ object SparkEntry {
     // checked against a recursive-CTE oracle. survivor = the component's
     // min id, i.e. the doc kept by every min-id dedup rule upstream.
     "q128_cc_converged" -> ((s, dir) => {
+      // member counts via groupBy+join-back, not a count window over the
+      // component: a viral boilerplate cluster is exactly the hot key the
+      // CC pass exists to find, and a count window would buffer its whole
+      // membership on one reducer (q121/q119/q127 shape). The label frame
+      // is checkpoint-backed, so the two consumers don't re-run the loop.
       val comp = Dedup.componentsConverged(
         Dedup.lshVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
           k = 8, bands = 4, minJaccard = 0.2))
-      comp
-        .withColumn("n_members",
-          count(lit(1)).over(Window.partitionBy("component")))
+      val sizes = comp.groupBy("component")
+        .agg(count(lit(1)).as("n_members"))
+      comp.join(sizes, Seq("component"))
         .select(col("doc_id"), col("component"),
           col("n_members"), (col("doc_id") === col("component"))
             .as("is_survivor"))
@@ -1341,12 +1346,16 @@ object SparkEntry {
     // shape vs q128's O(diameter) propagation. Shares q128's oracle —
     // two CC engines, one contract.
     "q130_cc_bigstar" -> ((s, dir) => {
+      // same groupBy+join-back member count as q128 (see comment there);
+      // checkpointed so the star-round output is computed once for its
+      // two consumers
       val comp = Dedup.componentsBigStar(
         Dedup.lshVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
           k = 8, bands = 4, minJaccard = 0.2))
-      comp
-        .withColumn("n_members",
-          count(lit(1)).over(Window.partitionBy("component")))
+        .localCheckpoint()
+      val sizes = comp.groupBy("component")
+        .agg(count(lit(1)).as("n_members"))
+      comp.join(sizes, Seq("component"))
         .select(col("doc_id"), col("component"),
           col("n_members"), (col("doc_id") === col("component"))
             .as("is_survivor"))
