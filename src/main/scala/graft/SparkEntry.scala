@@ -1428,7 +1428,22 @@ object SparkEntry {
     // one doc-keyed agg. Also wired into q78 as its final gate.
     "q134_quality_score" -> ((s, dir) =>
       Curate.ngramQualityScore(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // north star — batch near-dup ADMISSION against a standing corpus
+    // (the daily-ingest materialized-view twin of the streaming
+    // near-dup filter, and the oracle check its signature logic never
+    // had): base = 80% of docs, batch = the doc_id%5==0 slice; admit
+    // batch docs whose MinHash signature is unseen in the base and
+    // first among in-batch twins.
+    "q135_dedup_admission" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.admitBySignature(
+          docs.where(col("doc_id") % 5 =!= 0),
+          docs.where(col("doc_id") % 5 === 0),
+          "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    })
   )
 
   // ---- oracle SQL (DuckDB) ----------------------------------------------
@@ -2938,7 +2953,30 @@ object SparkEntry {
                s"1.0 / (1.0 + exp(-((${Curate.QualityBias}) " +
                  "+ CAST(SUM(wt) AS DOUBLE) / COUNT(*))))", 6)}
            |    AS quality_score
-           |FROM wt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+           |FROM wt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // the q78 sig CTE's minhash replay, keyed as md5 of the
+      // '|'-joined signature (elements are md5 hex or '~empty', so '|'
+      // cannot collide); short docs keep the all-sentinel signature
+      "q135_dedup_admission" ->
+        s"""WITH tok AS (SELECT doc_id, $cleanToks AS t
+           |  FROM (SELECT doc_id, $clean AS c FROM documents)),
+           |sig AS (SELECT doc_id,
+           |    md5(array_to_string(list_transform(range(0, 8), s ->
+           |      COALESCE(list_min(list_transform(${shinglesSql("t")},
+           |        x -> md5(CAST(s AS VARCHAR) || ':' || x))), '~empty')),
+           |      '|')) AS sig_key
+           |  FROM tok),
+           |basek AS (SELECT DISTINCT sig_key FROM sig WHERE doc_id % 5 <> 0),
+           |cand AS (SELECT doc_id, sig_key FROM sig
+           |  WHERE doc_id % 5 = 0
+           |    AND sig_key NOT IN (SELECT sig_key FROM basek)),
+           |ranked AS (SELECT doc_id, sig_key,
+           |    row_number() OVER (PARTITION BY sig_key ORDER BY doc_id)
+           |      AS rn
+           |  FROM cand)
+           |SELECT doc_id, sig_key FROM ranked WHERE rn = 1
+           |ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -343,6 +343,44 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Batch ADMISSION against a standing corpus — the materialized-view /
+    * daily-ingest twin of
+    * [[graft.streaming.StreamOps.streamingNearDupFilter]]: from a new
+    * batch, keep only docs whose full k-MinHash signature (a) appears
+    * nowhere in the standing corpus and (b) is first (smallest id) among
+    * its in-batch twins. Signature identity = est_jaccard 1.0, the same
+    * admission rule the streaming filter applies — this operator is how
+    * that rule gets an exact SQL oracle (streaming ops are spec-tested
+    * only; q135 hash-checks the identical signature logic in batch).
+    *
+    * Shape at scale: standing signatures are ONE distinct agg over the
+    * base (map-side partial; at 100 TB you persist this table and merge
+    * per ingest instead of recomputing — the q116/q122 incremental-state
+    * pattern); the batch anti-joins it on the 32-byte key and keep-first
+    * is one WindowGroupLimit-pruned window. No pair join anywhere —
+    * admission cost ∝ batch size, not corpus size.
+    *
+    * Output: admitted (doc_id, sig_key) rows.
+    */
+  def admitBySignature(base: DataFrame, batch: DataFrame, idCol: String,
+                       textCol: String, k: Int = 8): DataFrame = {
+    // signature elements are md5 hex or '~empty', so '|' cannot collide
+    // (same framing as lshBandKeys). Short docs (< w tokens) share the
+    // all-sentinel signature BY CONTRACT — content-empty docs dedup to
+    // one survivor, matching the streaming filter's state key.
+    def keyed(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("doc_id"),
+        Text.cleanTokens(col(textCol)).as("t"))
+      .withColumn("shs", shingles(col("t")))
+      .select(col("doc_id"),
+        md5(concat_ws("|", minhashSignature(col("shs"), k))).as("sig_key"))
+    val baseKeys = keyed(base).select("sig_key").distinct()
+    keepFirst(
+      keyed(batch).join(baseKeys, Seq("sig_key"), "left_anti"),
+      Seq("sig_key"), Seq(col("doc_id").asc))
+      .select(col("doc_id"), col("sig_key"))
+  }
+
   /** 16-bit SimHash over the token multiset: bit j of the signature is the
     * sign of sum over tokens of (2*bit_j(h(token)) - 1), where h = first 4
     * md5 hex nibbles. Hex decoding via character position keeps it

@@ -19,6 +19,32 @@ class DedupSpec extends SparkSpec {
     (6L, "too short") // < w tokens: no shingles, like doc 5
   ).toDF("doc_id", "text")
 
+  test("admitBySignature: base twins excluded, in-batch twins keep the " +
+      "smallest id, short docs share the sentinel signature — the batch " +
+      "replay of the streaming near-dup filter's admission rule") {
+    // with an EMPTY base, admission = first occurrence per signature:
+    // exactly what streamingNearDupFilter admits from the same rows
+    // (StreamingSpec's fixture: docs 1,2 then 3=twin-of-1, 4)
+    val four = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "iota kappa lambda mu nu xi"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "rho sigma tau upsilon phi chi")).toDF("doc_id", "text")
+    val empty = four.where(lit(false))
+    assert(Dedup.admitBySignature(empty, four, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 4L))
+    // a standing base excludes its content twins from the batch
+    val base = four.where(col("doc_id") === 1)
+    val batch = four.where(col("doc_id") >= 3)
+    assert(Dedup.admitBySignature(base, batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet === Set(4L))
+    // short/empty docs (< w tokens) all carry the sentinel signature:
+    // one survivor among them, by smallest id
+    val shorts = Seq((7L, ""), (8L, "too short"), (9L, "x")).toDF("doc_id", "text")
+    assert(Dedup.admitBySignature(empty, shorts, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet === Set(7L))
+  }
+
   test("keepFirst keeps exactly the first row per key under the order") {
     val df = Seq(("a", 3, "x3"), ("a", 1, "x1"), ("b", 2, "y2"), ("a", 2, "x2"))
       .toDF("k", "seq", "v")
