@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Agg, Curate, Dedup, EventsOps, Layout, Multimodal, Num, Prune, Sentiment, Sim, Skew, Star, Text}
+import graft.ops.{Agg, Curate, Dedup, EventsOps, Graph, Layout, Multimodal, Num, Prune, Sentiment, Sim, Sketch, Skew, Star, Text}
 import graft.sources.Sources
 
 /** Driver contract — one named query per operator from SURVEY.md §2 plus the
@@ -1443,8 +1443,92 @@ object SparkEntry {
           docs.where(col("doc_id") % 5 === 0),
           "doc_id", "text", k = 8)
         .orderBy("doc_id")
-    })
+    }),
+
+    // north star — count-min frequency sketch AS A KEYED AGGREGATION
+    // (Sketch.scala scaladoc): the counter matrix is a d*w-row frame, so
+    // CMS union is a cell-sum groupBy — asserted in-query against the
+    // one-shot matrix (merge_equals_full, the q122 pattern) — and the
+    // oracle replays the exact md5 cells a binary sketch blob would hide.
+    // Heavy hitters >= 80 events carry exact count, sketch estimate, and
+    // the one-sided CMS guarantee bit (estimates only ever overcount).
+    "q136_cms_heavy_hitters" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val (d, w) = (CmsD, CmsW)
+      val merged = Sketch.mergeCounters(Seq(
+        Sketch.cmsCounters(ev.where(col("event_id") % 10 =!= 0),
+          "user_id", d, w),
+        Sketch.cmsCounters(ev.where(col("event_id") % 10 === 0),
+          "user_id", d, w)))
+      val full = Sketch.cmsCounters(ev, "user_id", d, w)
+      val nDiff = merged.join(full.withColumnRenamed("cnt", "cnt_full"),
+          Seq("r", "b"), "full")
+        .where(coalesce(col("cnt"), lit(-1L)) =!=
+          coalesce(col("cnt_full"), lit(-1L)))
+        .agg(count(lit(1)).as("n_cell_diff"))
+      val hh = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+        .where(col("exact_cnt") >= 80)
+      Sketch.cmsEstimate(merged, hh.select("user_id"), "user_id", d, w)
+        .join(hh, "user_id")
+        .crossJoin(broadcast(nDiff))
+        .select(col("user_id"), col("exact_cnt"), col("cms_est"),
+          (col("cms_est") >= col("exact_cnt")).as("never_under"),
+          (col("n_cell_diff") === 0).as("merge_equals_full"))
+        .orderBy("user_id")
+    }),
+
+    // north star — link-graph importance (fixed-point integer PageRank,
+    // Graph.scala scaladoc): the symmetrized customer—supplier fact graph
+    // (edge weight = lineitem count), 3 damped rounds, every share an
+    // exact 64-bit integer op, so the ranking is bit-identical on any
+    // partitioning AND in the oracle's unrolled-CTE replay. Top 25 hubs.
+    "q137_pagerank" -> ((s, dir) => {
+      val e0 = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("s:"), col("l_suppkey")).as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      Graph.pageRankFixed(edges, iters = 3,
+          scale = PrScale, dampPct = PrDampPct)
+        .orderBy(col("r").desc, col("node").asc).limit(25)
+    }),
+
+    // north star — collocation mining: corpus-level top-30 bigrams by
+    // PMI (Church & Hanks 1990), count >= 5 — the phrase/tokenizer-merge
+    // signal. Exact integer counts; one checkpointed token scan feeds
+    // both n-gram orders (Text.pmiTopK scaladoc for the shuffle shape).
+    "q138_pmi_collocations" -> ((s, dir) =>
+      Text.pmiTopK(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 5, k = 30)),
+
+    // north star — mergeable-sketch percentiles with the error bound
+    // VERIFIED IN-QUERY (Agg.approxMedianVerified scaladoc): GK-summary
+    // approx median per event type, its rank error integer-checked
+    // against the n/accuracy guarantee, exact median riding along so the
+    // oracle pins values. The bounded-state percentile path SCALE.md's
+    // exact-quantile row points to at 100 TB.
+    "q139_approx_median_bound" -> ((s, dir) =>
+      Agg.approxMedianVerified(t(s, dir, "events"), "event_type", "value",
+          accuracy = 100)
+        .orderBy("event_type"))
   )
+
+  /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
+    * 64 buckets — small enough that the 150-user fixture collides (the
+    * overcount the guarantee bit is ABOUT), large enough for sane
+    * estimates.
+    */
+  private val CmsD = 4
+  private val CmsW = 64
+
+  /** PageRank knobs shared by q137's query and oracle: integer mass out
+    * of 1e12, 85% damping (Graph.scala scaladoc for the overflow math).
+    */
+  private val PrScale = 1000000000000L
+  private val PrDampPct = 85
 
   // ---- oracle SQL (DuckDB) ----------------------------------------------
 
@@ -2976,7 +3060,108 @@ object SparkEntry {
            |      AS rn
            |  FROM cand)
            |SELECT doc_id, sig_key FROM ranked WHERE rn = 1
-           |ORDER BY doc_id""".stripMargin
+           |ORDER BY doc_id""".stripMargin,
+
+      // exact cell replay: the counter matrix, the probes, and the min
+      // are all reconstructed from the same md5-salted bucket function
+      // the engine uses; merged==full is arithmetic identity (cell sums
+      // commute), so the oracle pins it as the literal TRUE
+      "q136_cms_heavy_hitters" -> {
+        def bucket(j: Int) =
+          s"(${md5HexNSql(s"'$j:' || CAST(user_id AS VARCHAR)", 8)} % $CmsW)"
+        val cells = (0 until CmsD)
+          .map(j => s"SELECT $j AS r, ${bucket(j)} AS b FROM events")
+          .mkString("\n  UNION ALL ")
+        val probeCells = (0 until CmsD)
+          .map(j => s"SELECT user_id, $j AS r, ${bucket(j)} AS b FROM hh")
+          .mkString("\n  UNION ALL ")
+        s"""WITH hh AS (SELECT user_id, count(*) AS exact_cnt
+           |  FROM events GROUP BY 1 HAVING count(*) >= 80),
+           |cells AS ($cells),
+           |counters AS (SELECT r, b, count(*) AS cnt FROM cells
+           |  GROUP BY 1, 2),
+           |pc AS ($probeCells),
+           |est AS (SELECT user_id, min(COALESCE(cnt, CAST(0 AS BIGINT)))
+           |    AS cms_est
+           |  FROM pc LEFT JOIN counters USING (r, b) GROUP BY 1)
+           |SELECT hh.user_id, exact_cnt, cms_est,
+           |  cms_est >= exact_cnt AS never_under,
+           |  TRUE AS merge_equals_full
+           |FROM hh JOIN est USING (user_id)
+           |ORDER BY user_id""".stripMargin
+      },
+
+      // the three damped rounds unrolled as CTE pairs; every arithmetic
+      // op is BIGINT `//`, mirroring the engine's `div` exactly
+      "q137_pagerank" -> {
+        val S = PrScale
+        val D = PrDampPct
+        val iter = (k: Int) =>
+          s"""i$k AS (SELECT ew.dst AS node,
+             |    CAST(sum(p.r * ew.w // ew.outw) AS BIGINT) AS inflow
+             |  FROM ew JOIN r${k - 1} p ON ew.src = p.node GROUP BY 1),
+             |r$k AS (SELECT nodes.node,
+             |    (($S - $S * $D // 100) // n)
+             |      + $D * COALESCE(inflow, CAST(0 AS BIGINT)) // 100 AS r
+             |  FROM nodes CROSS JOIN nn
+             |  LEFT JOIN i$k ON nodes.node = i$k.node)"""
+        s"""WITH e0 AS (
+           |  SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+           |         's:' || CAST(l_suppkey AS VARCHAR) AS dst,
+           |         count(*) AS w
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  GROUP BY 1, 2),
+           |e AS (SELECT src, dst, w FROM e0
+           |  UNION ALL SELECT dst, src, w FROM e0),
+           |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e
+           |  GROUP BY 1),
+           |ew AS (SELECT e.src, e.dst, e.w, outw.outw
+           |  FROM e JOIN outw ON e.src = outw.src),
+           |nodes AS (SELECT DISTINCT src AS node FROM e),
+           |nn AS (SELECT count(*) AS n FROM nodes),
+           |r0 AS (SELECT node, $S // n AS r FROM nodes CROSS JOIN nn),
+           |${iter(1).stripMargin},
+           |${iter(2).stripMargin},
+           |${iter(3).stripMargin}
+           |SELECT node, r FROM r3
+           |ORDER BY r DESC, node LIMIT 25""".stripMargin
+      },
+
+      "q138_pmi_collocations" ->
+        s"""WITH tok AS (SELECT $cleanToks AS t
+           |  FROM (SELECT $clean AS c FROM documents)),
+           |uni AS (SELECT UNNEST(t) AS term FROM tok),
+           |uc AS (SELECT term, count(*) AS c FROM uni GROUP BY 1),
+           |bgl AS (SELECT UNNEST(${shinglesSql("t", 2)}) AS bigram
+           |  FROM tok),
+           |bc AS (SELECT bigram, count(*) AS c_ab FROM bgl GROUP BY 1
+           |  HAVING count(*) >= 5),
+           |tot AS (SELECT (SELECT count(*) FROM uni) AS n_uni,
+           |               (SELECT count(*) FROM bgl) AS n_bg),
+           |scored AS (SELECT bigram, c_ab, a.c AS c_a, b.c AS c_b,
+           |    ${Num.floorAtSql(
+               "ln((CAST(c_ab AS DOUBLE) / CAST(n_bg AS DOUBLE)) / " +
+               "((CAST(a.c AS DOUBLE) / CAST(n_uni AS DOUBLE)) * " +
+               "(CAST(b.c AS DOUBLE) / CAST(n_uni AS DOUBLE))))", 6)} AS pmi
+           |  FROM bc CROSS JOIN tot
+           |  JOIN uc a ON a.term = string_split(bigram, ' ')[1]
+           |  JOIN uc b ON b.term = string_split(bigram, ' ')[2])
+           |SELECT bigram, c_ab, c_a, c_b, pmi FROM scored
+           |ORDER BY pmi DESC, bigram LIMIT 30""".stripMargin,
+
+      // the q120 rank-selection oracle shape on events; within_bound is
+      // the GK guarantee — TRUE by contract, integer-checked in-query
+      "q139_approx_median_bound" ->
+        """WITH r AS (SELECT event_type AS k, value AS x,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY value)
+          |      AS rn,
+          |    COUNT(*) OVER (PARTITION BY event_type) AS n
+          |  FROM events)
+          |SELECT k AS event_type,
+          |  floor(AVG(x) * 10000) / 10000 AS p50, MAX(n) AS n,
+          |  TRUE AS within_bound
+          |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+          |GROUP BY k ORDER BY event_type""".stripMargin
     )
   }
 }

@@ -210,6 +210,41 @@ object Agg {
       .agg(max(col("n")).as("n"), avg(col(x)).as("median"))
   }
 
+  /** Sketch-based per-group median with its ERROR BOUND VERIFIED IN-QUERY —
+    * the third mitigation in SCALE.md's exact-percentile row, made
+    * first-class. `percentile_approx` (Greenwald-Khanna summaries) keeps
+    * O(accuracy * log n) state per group instead of q29's every-value
+    * buffer or [[medianByRank]]'s full sort — the only percentile shape
+    * whose state is both bounded AND mergeable, i.e. the 100 TB default.
+    *
+    * The GK guarantee (rank error <= n/accuracy) is checked inside the
+    * query the way q122 checks HLL mergeability: the approx value's exact
+    * rank is recomputed with one broadcast join + keyed agg, and the
+    * comparison `|2*rank - n| <= 2*n/accuracy + 2` is all-integer (the +2
+    * absorbs the even-n midpoint straddle and the div floor). The exact
+    * median rides along so the oracle pins real values — the approx value
+    * itself is NOT emitted (GK merge results are partition-order
+    * sensitive; its verified BOUND is the portable fact).
+    */
+  def approxMedianVerified(df: DataFrame, key: String, x: String,
+                           accuracy: Int = 100): DataFrame = {
+    require(accuracy >= 2, s"need accuracy >= 2, got $accuracy")
+    val approx = df.groupBy(col(key))
+      .agg(percentile_approx(col(x), lit(0.5), lit(accuracy))
+        .as("p50_approx"))
+    val bound = df.join(broadcast(approx), key)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(x) <= col("p50_approx"), 1L).otherwise(0L)).as("rk"))
+      .select(col(key),
+        (abs(col("rk") * 2 - col("n")) <=
+          expr(s"n * 2 div $accuracy") + 2).as("within_bound"))
+    medianByRank(df, key, x)
+      .join(bound, key)
+      .select(col(key), Num.floorAt(col("median"), 4).as("p50"),
+        col("n"), col("within_bound"))
+  }
+
   /** Deterministic stratified sample: the `n` smallest md5-ranked rows per
     * stratum — reproducible across runs/engines (vs `sampleBy`, which is
     * seed- and partitioning-dependent), uniform within each stratum

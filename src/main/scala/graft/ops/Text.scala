@@ -258,4 +258,48 @@ object Text {
     Agg.topNPerGroup(scored, Seq("id"),
       Seq(col("tfidf").desc, col("term").asc), k)
   }
+
+  /** Corpus-level collocation mining: top-k token bigrams by pointwise
+    * mutual information, pmi = ln( (c_ab/N_bg) / ((c_a/N_uni)*(c_b/N_uni)) )
+    * (Church & Hanks 1990) over bigrams with count >= `minCount` (the
+    * standard low-frequency guard — PMI explodes on hapax pairs). The
+    * phrase/named-entity signal a curation pipeline mines before building
+    * tokenizer merges or phrase dictionaries.
+    *
+    * Shuffle shape: two partial-aggregated counts (bigrams, unigrams) off
+    * one checkpointed token scan, then the bigram frame joins the unigram
+    * frame TWICE on its left/right token — both joins key on the term, so
+    * a hot unigram ("the") is one hash-table entry on the build side, not
+    * a straggler; corpus totals ride a broadcast scalar. Final ranking is
+    * a TakeOrderedAndProject (per-partition partial top-k), never a global
+    * sort. All counts are exact BIGINTs; the single double expression is
+    * mirrored operation-for-operation in the oracle and floor-stabilized
+    * at 6 dp so last-ulp ln() skew cannot flip the ranking.
+    */
+  def pmiTopK(docs: DataFrame, idCol: String, textCol: String,
+              minCount: Long, k: Int): DataFrame = {
+    val toks = docs.select(cleanTokens(col(textCol)).as("t"))
+      .localCheckpoint()
+    val uni = toks.select(explode(col("t")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val bg = toks.select(explode(Dedup.shingles(col("t"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    val totals = toks.select(explode(col("t")).as("term"))
+      .agg(count(lit(1)).as("n_uni"))
+      .crossJoin(toks.select(explode(Dedup.shingles(col("t"), 2)).as("bg"))
+        .agg(count(lit(1)).as("n_bg")))
+    val scored = bg
+      .withColumn("ta", split(col("bigram"), " ").getItem(0))
+      .withColumn("tb", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("term").as("ta"), col("c").as("c_a")), "ta")
+      .join(uni.select(col("term").as("tb"), col("c").as("c_b")), "tb")
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        Num.floorAt(
+          log((col("c_ab") / col("n_bg")) /
+            ((col("c_a") / col("n_uni")) * (col("c_b") / col("n_uni")))),
+          6).as("pmi"))
+    scored.orderBy(col("pmi").desc, col("bigram").asc).limit(k)
+  }
 }

@@ -311,4 +311,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition(term"),
       "count window over the term key crept back in:\n" + p.take(1500))
   }
+
+  test("q136 CMS: the counter matrix BROADCASTS to the probe side and " +
+      "every count is a partial+final hash agg — no window, no " +
+      "shuffle of the probe join") {
+    val p = plan("q136_cms_heavy_hitters")
+    // the probe join keys on (r, b) and the matrix side broadcasts
+    assert("BroadcastHashJoin \\[r#\\d+, b#\\d+\\]".r.findFirstIn(p).isDefined,
+      p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(!p.contains("windowspecdefinition"), p.take(1500))
+    // the only sort-merge allowed is the d*w-row cell-diff FULL OUTER
+    // (full outer cannot broadcast); the corpus-side joins must not SMJ
+    val smj = "SortMergeJoin.*".r.findAllIn(p).toSeq
+    assert(smj.forall(_.contains("FullOuter")), smj.mkString("\n"))
+  }
+
+  test("q138 PMI: unigram/bigram counts partial-aggregate (hot terms " +
+      "pre-combine map-side), ranking is TakeOrderedAndProject, no " +
+      "cartesian pair space") {
+    val p = plan("q138_pmi_collocations")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(!p.contains("windowspecdefinition"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q139 verified approx median: the GK sketch is a partial+final " +
+      "ObjectHashAggregate and the rank check joins the tiny approx " +
+      "side by BROADCAST (the corpus never shuffles for it)") {
+    val p = plan("q139_approx_median_bound")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // exactly one exchange feeds the rank-selection window family
+    assert(p.contains("windowspecdefinition(event_type"), p.take(1500))
+  }
 }

@@ -60,4 +60,58 @@ class SketchSpec extends SparkSpec {
         s"$et: p50 estimate at rank ${below.toDouble / en}")
     }
   }
+
+  test("CMS estimates never undercount, and merged shard counters are " +
+      "cell-identical to the one-shot matrix") {
+    import graft.ops.Sketch
+    val ev = Tables.load(spark, dir, "events")
+    val (d, w) = (4, 64)
+    val full = Sketch.cmsCounters(ev, "user_id", d, w)
+    val merged = Sketch.mergeCounters(Seq(
+      Sketch.cmsCounters(ev.where(col("event_id") % 2 === 0),
+        "user_id", d, w),
+      Sketch.cmsCounters(ev.where(col("event_id") % 2 =!= 0),
+        "user_id", d, w)))
+    val fullCells = full.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val mergedCells = merged.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(mergedCells === fullCells)
+    assert(fullCells.size <= d * w)
+
+    // one-sided guarantee over EVERY key: collisions only add
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+    val est = Sketch.cmsEstimate(full, exact.select("user_id"),
+      "user_id", d, w)
+    val under = est.join(exact, "user_id")
+      .where(col("cms_est") < col("exact_cnt")).count()
+    assert(under === 0L, "CMS must never undercount")
+  }
+
+  test("approxMedianVerified: exact p50 matches rank selection and the " +
+      "GK bound holds, down to a coarse sketch") {
+    import graft.ops.Agg
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    for (acc <- Seq(10000, 100, 10)) {
+      val got = Agg.approxMedianVerified(ev, "event_type", "value", acc)
+        .orderBy("event_type")
+        .as[(String, Double, Long, Boolean)].collect()
+      assert(got.nonEmpty)
+      got.foreach { case (et, p50, n, ok) =>
+        assert(ok, s"$et: rank bound violated at accuracy=$acc")
+        // the emitted median is the exact one: its rank brackets n/2
+        val below = ev.where(col("event_type") === et &&
+          col("value") <= p50).count()
+        assert(math.abs(below.toDouble / n - 0.5) <= 0.01,
+          s"$et: exact p50 at rank ${below.toDouble / n}")
+      }
+    }
+
+    // odd-n fixture with a known middle element
+    val fix = (1 to 101).map(i => ("g", i.toDouble)).toDF("k", "x")
+    val row = Agg.approxMedianVerified(fix, "k", "x", 100)
+      .as[(String, Double, Long, Boolean)].head()
+    assert(row === (("g", 51.0, 101L, true)))
+  }
 }
