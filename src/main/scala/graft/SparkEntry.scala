@@ -1513,7 +1513,45 @@ object SparkEntry {
     "q139_approx_median_bound" -> ((s, dir) =>
       Agg.approxMedianVerified(t(s, dir, "events"), "event_type", "value",
           accuracy = 100)
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // north star — INCREMENTAL connected components
+    // (Dedup.componentsIncremental scaladoc): 1/5 of the near-dup pairs
+    // (deterministic md5 split) arrive as the ingest batch; standing
+    // labels are exact CC over the rest, and the batch folds in through
+    // label contraction WITHOUT re-reading the standing edge set. Shares
+    // q128/q130's oracle — THREE CC engines now pinned to one answer.
+    "q140_cc_incremental" -> ((s, dir) => {
+      val pairs = Dedup.lshVerifiedPairs(t(s, dir, "documents"), "doc_id",
+          "text", k = 8, bands = 4, minJaccard = 0.2)
+        .localCheckpoint()
+      val pairHash = conv(substring(md5(concat(col("id_a"), lit(":"),
+        col("id_b"))), 1, 8), 16, 10).cast("long")
+      val base = pairs.where(pairHash % 5 =!= 0)
+      val delta = pairs.where(pairHash % 5 === 0)
+      val comp = Dedup.componentsIncremental(
+          Dedup.componentsConverged(base), delta)
+        .localCheckpoint()
+      // same groupBy+join-back member count as q128 (see comment there)
+      val sizes = comp.groupBy("component")
+        .agg(count(lit(1)).as("n_members"))
+      comp.join(sizes, Seq("component"))
+        .select(col("doc_id"), col("component"),
+          col("n_members"), (col("doc_id") === col("component"))
+            .as("is_survivor"))
+        .orderBy("doc_id")
+    }),
+
+    // north star — HARD-negative mining (Sim.hardNegatives scaladoc):
+    // per anchor, the 5 most-similar DIFFERENT-label embeddings — the
+    // high-loss negatives contrastive training mixes with q124's random
+    // ones. q40's brute top-k skeleton with the label inequality on the
+    // broadcast join.
+    "q141_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Sim.hardNegatives(emb.where(col("vec_id") < 10), emb, k = 5)
+        .orderBy("q_id", "rk")
+    })
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -2973,6 +3011,30 @@ object SparkEntry {
       "q128_cc_converged" -> ccOracleSql,
 
       "q130_cc_bigstar" -> ccOracleSql,
+
+      // incremental fold of a delta batch into standing labels — must
+      // equal the from-scratch components exactly (contraction argument
+      // in Dedup.componentsIncremental's scaladoc)
+      "q140_cc_incremental" -> ccOracleSql,
+
+      // q40's brute-force oracle with the label inequality — hard
+      // negatives are exact by definition (no blocking step to trust)
+      "q141_hard_negatives" ->
+        """WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS ql
+          |  FROM embeddings WHERE vec_id < 10),
+          |c AS (SELECT vec_id AS c_id, embedding AS cv, label AS cl
+          |  FROM embeddings),
+          |scored AS (
+          |  SELECT q_id, c_id,
+          |    floor((
+          |      list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+          |      / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+          |       * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))) * 10000) / 10000 AS sim
+          |  FROM c CROSS JOIN q WHERE ql <> cl)
+          |SELECT q_id, c_id, sim, CAST(rk AS INTEGER) AS rk FROM (
+          |  SELECT q_id, c_id, sim,
+          |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
+          |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
       // the salt is engine-internal, so the oracle is the PLAIN join —
       // result-identity with the unsalted plan is the correctness claim

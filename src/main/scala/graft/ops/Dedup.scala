@@ -692,4 +692,67 @@ object Dedup {
       .select(col("id").as("doc_id"),
         coalesce(col("comp"), col("id")).as("component"))
   }
+
+  /** INCREMENTAL connected components: fold a delta edge batch into
+    * standing component labels without re-running CC over the full graph
+    * — the ingest-time form of [[componentsConverged]]/
+    * [[componentsBigStar]], the same way q135 is the ingest-time form of
+    * the q32 dedup self-join.
+    *
+    * The classic contraction argument (used by every union-find-on-
+    * MapReduce scheme, e.g. Kiveris et al. 2014 §2): components are
+    * invariant under contracting each existing component to its root, so
+    * CC(G ∪ ΔE) = relabel(CC(contract(ΔE))) — map each delta endpoint to
+    * its standing root (new nodes map to themselves), drop now-internal
+    * edges, run exact CC on what remains, and compose. Because every
+    * standing root is the MIN id of its component, the contracted CC's
+    * min-id labels are exactly the merged components' min ids — so the
+    * output is IDENTICAL to a from-scratch run (q140 shares q128/q130's
+    * oracle; three engines, one answer).
+    *
+    * Cost: two endpoint-keyed joins over the DELTA (|ΔE| rows) + exact CC
+    * over the contracted graph (one node per TOUCHED component + new
+    * nodes) + one broadcast-size relabel join over the standing label
+    * frame. Nothing rescans the corpus or the standing edge set — at
+    * 100 TB the standing graph's edges are never even read, only its
+    * (node, root) labels, which is what makes per-batch ingest viable.
+    *
+    * `baseLabels` must be a (doc_id, component) frame whose component ids
+    * are the component-min doc_ids (the [[componentsConverged]] output
+    * contract). Returns the same shape covering base ∪ delta nodes.
+    */
+  def componentsIncremental(baseLabels: DataFrame, deltaPairs: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    val lbl = baseLabels
+      .select(col("doc_id").as("id"), col("component").as("lbl"))
+      .localCheckpoint()
+    val d = deltaPairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    // contract: endpoints -> standing roots; unseen nodes stay themselves;
+    // edges internal to one existing component vanish
+    val mapped = d
+      .join(lbl.select(col("id").as("id_a"), col("lbl").as("la")),
+        Seq("id_a"), "left")
+      .join(lbl.select(col("id").as("id_b"), col("lbl").as("lb")),
+        Seq("id_b"), "left")
+      .select(coalesce(col("la"), col("id_a")).as("id_a"),
+        coalesce(col("lb"), col("id_b")).as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+    // exact CC on the contracted graph — roots + new nodes only
+    val relabel = componentsConverged(mapped, maxRounds)
+      .select(col("doc_id").as("key"), col("component").as("newlbl"))
+      .localCheckpoint()
+    // compose: base nodes re-route through their root's new label (only
+    // touched roots appear in `relabel`); delta-only nodes route by id
+    val baseFinal = lbl
+      .join(relabel, lbl("lbl") === relabel("key"), "left")
+      .select(col("id"), coalesce(col("newlbl"), col("lbl")).as("component"))
+    val deltaOnly = d
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      .join(lbl.select("id"), Seq("id"), "left_anti")
+    val deltaFinal = deltaOnly
+      .join(relabel, deltaOnly("id") === relabel("key"), "left")
+      .select(col("id"), coalesce(col("newlbl"), col("id")).as("component"))
+    baseFinal.unionByName(deltaFinal)
+      .select(col("id").as("doc_id"), col("component"))
+  }
 }

@@ -135,6 +135,25 @@ object Sim {
         .crossJoin(broadcast(qSide(queries, idCol, vecCol))),
       k, excludeSelf)
 
+  /** HARD-negative mining: per anchor, the k most-similar candidates with
+    * a DIFFERENT label — the highest-loss negatives contrastive embedding
+    * training actually wants (vs [[negativeSample]]'s md5-ranked RANDOM
+    * negatives; real pipelines mix both). Same scoring, floor
+    * stabilization, and (sim desc, id) tie-break as [[topK]], so the two
+    * share one oracle shape; the label inequality rides the broadcast
+    * join condition, so wrong-label pairs are dropped BEFORE scoring.
+    * Anchors broadcast; candidates never shuffle until the per-anchor
+    * rank (WindowGroupLimit-pruned, the q40 skeleton).
+    */
+  def hardNegatives(anchors: DataFrame, candidates: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = qSide(anchors, idCol, vecCol, Seq(labelCol -> "q_label"))
+    val c = cSide(candidates, idCol, vecCol, Seq(labelCol -> "c_label"))
+    rankPairs(c.join(broadcast(q), col("q_label") =!= col("c_label")),
+      k, excludeSelf = false)
+  }
+
   /** Brute-force top-k via the typed [[graft.functions.TopKAgg]]
     * Aggregator instead of the ranking window: result-identical to
     * [[topK]] (same floor-stabilized sim, same (sim desc, c_id asc)

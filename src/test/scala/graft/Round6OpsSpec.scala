@@ -77,6 +77,79 @@ class Round6OpsSpec extends SparkSpec {
     assert(got2 === Array("a b"))
   }
 
+  test("componentsIncremental: delta fold equals from-scratch CC — " +
+      "merge of two standing components, attach, and new component") {
+    import graft.ops.Dedup
+    // standing graph: {1,2} root 1, {5,6} root 5, {10,11,12} root 10
+    val base = Seq((1L, 2L), (5L, 6L), (10L, 11L), (11L, 12L))
+      .toDF("id_a", "id_b")
+    // delta: merges {1,2}+{5,6} (via 2-5), attaches new node 13 to root
+    // 10's component, creates brand-new {20,21}, and one edge internal
+    // to an existing component (11-12, must be a no-op)
+    val delta = Seq((2L, 5L), (13L, 12L), (20L, 21L), (11L, 12L))
+      .toDF("id_a", "id_b")
+    val standing = Dedup.componentsConverged(base)
+    val inc = Dedup.componentsIncremental(standing, delta)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    val scratch = Dedup.componentsConverged(base.unionByName(delta))
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(inc === scratch)
+    assert(inc.toMap === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("componentsIncremental: empty contracted graph (all-internal " +
+      "delta) keeps standing labels; equality holds on the real " +
+      "near-dup pair graph") {
+    import graft.ops.Dedup
+    val base = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val standing = Dedup.componentsConverged(base)
+    val inc = Dedup.componentsIncremental(standing,
+        Seq((1L, 3L)).toDF("id_a", "id_b"))
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(inc === Array((1L, 1L), (2L, 1L), (3L, 1L)))
+
+    // the q140 composition on real data: incremental == from-scratch
+    val pairs = Dedup.lshVerifiedPairs(
+        Tables.load(spark, "/root/testdata/sf0.001", "documents"),
+        "doc_id", "text", k = 8, bands = 4, minJaccard = 0.2)
+      .localCheckpoint()
+    val h = conv(substring(md5(concat(col("id_a"), lit(":"),
+      col("id_b"))), 1, 8), 16, 10).cast("long")
+    val incReal = Dedup.componentsIncremental(
+        Dedup.componentsConverged(pairs.where(h % 5 =!= 0)),
+        pairs.where(h % 5 === 0))
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    val scratchReal = Dedup.componentsConverged(pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(incReal === scratchReal)
+    assert(incReal.nonEmpty)
+  }
+
+  test("hardNegatives: every mined negative has a different label, ranks " +
+      "are dense, and similarity is non-increasing per anchor") {
+    import graft.ops.Sim
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val labels = emb.select(col("vec_id"), col("label"))
+    val got = Sim.hardNegatives(emb.where(col("vec_id") < 5), emb, k = 5)
+    val withLabels = got
+      .join(labels.select(col("vec_id").as("q_id"),
+        col("label").as("ql")), "q_id")
+      .join(labels.select(col("vec_id").as("c_id"),
+        col("label").as("cl")), "c_id")
+    assert(withLabels.where(col("ql") === col("cl")).count() === 0L,
+      "a hard negative shares its anchor's label")
+    val rows = got.orderBy("q_id", "rk")
+      .as[(Long, Long, Double, Int)].collect()
+    rows.groupBy(_._1).foreach { case (qId, rs) =>
+      assert(rs.map(_._4).sorted === (1 to rs.length).toArray, s"q$qId")
+      assert(rs.sortBy(_._4).map(_._3).sliding(2).forall(p =>
+        p.length < 2 || p(0) >= p(1)), s"q$qId: sim not non-increasing")
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("pmiTopK: independent tokens score near zero, coupled pair ranks " +
       "first") {
     // "p q" always together (coupled); "u"/"v" mixed across docs so the
