@@ -1482,17 +1482,26 @@ object SparkEntry {
     // (edge weight = lineitem count), 3 damped rounds, every share an
     // exact 64-bit integer op, so the ranking is bit-identical on any
     // partitioning AND in the oracle's unrolled-CTE replay. Top 25 hubs.
+    // Nodes iterate as LONGS (custkey*2 / suppkey*2+1) — integer keys
+    // shuffle and aggregate far cheaper than 'c:…' strings at corpus
+    // scale; the display label is re-derived only for the final 25 rows.
+    // Raw w=1 edge rows go straight in: pageRankFixed's own groupBy is
+    // the single aggregation pass (a caller-side pre-agg would just add
+    // a second full shuffle of the same rows).
     "q137_pagerank" -> ((s, dir) => {
       val e0 = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"),
           col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c:"), col("o_custkey")).as("src"),
-          concat(lit("s:"), col("l_suppkey")).as("dst"))
-        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .select((col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"),
+          lit(1L).as("w"))
       val edges = e0.unionByName(
         e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       Graph.pageRankFixed(edges, iters = 3,
           scale = PrScale, dampPct = PrDampPct)
+        .select(concat(
+            when(col("node") % 2 === 0, lit("c:")).otherwise(lit("s:")),
+            expr("node div 2")).as("node"), col("r"))
         .orderBy(col("r").desc, col("node").asc).limit(25)
     }),
 
@@ -3154,7 +3163,10 @@ object SparkEntry {
       },
 
       // the three damped rounds unrolled as CTE pairs; every arithmetic
-      // op is BIGINT `//`, mirroring the engine's `div` exactly
+      // op is BIGINT `//`, mirroring the engine's `div` exactly. Nodes
+      // iterate as BIGINTs (custkey*2 / suppkey*2+1, same encoding as
+      // the engine); the 'c:'/'s:' label is derived only in the final
+      // projection, and the top-25 tie-break orders by that label.
       "q137_pagerank" -> {
         val S = PrScale
         val D = PrDampPct
@@ -3168,24 +3180,28 @@ object SparkEntry {
              |  FROM nodes CROSS JOIN nn
              |  LEFT JOIN i$k ON nodes.node = i$k.node)"""
         s"""WITH e0 AS (
-           |  SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
-           |         's:' || CAST(l_suppkey AS VARCHAR) AS dst,
-           |         count(*) AS w
-           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  SELECT CAST(o_custkey AS BIGINT) * 2 AS src,
+           |         CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst,
+           |         CAST(1 AS BIGINT) AS w
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |eg AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+           |    SELECT src, dst, w FROM e0
+           |    UNION ALL SELECT dst, src, w FROM e0)
            |  GROUP BY 1, 2),
-           |e AS (SELECT src, dst, w FROM e0
-           |  UNION ALL SELECT dst, src, w FROM e0),
-           |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e
+           |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM eg
            |  GROUP BY 1),
-           |ew AS (SELECT e.src, e.dst, e.w, outw.outw
-           |  FROM e JOIN outw ON e.src = outw.src),
-           |nodes AS (SELECT DISTINCT src AS node FROM e),
+           |ew AS (SELECT eg.src, eg.dst, eg.w, outw.outw
+           |  FROM eg JOIN outw ON eg.src = outw.src),
+           |nodes AS (SELECT DISTINCT src AS node FROM eg),
            |nn AS (SELECT count(*) AS n FROM nodes),
            |r0 AS (SELECT node, $S // n AS r FROM nodes CROSS JOIN nn),
            |${iter(1).stripMargin},
            |${iter(2).stripMargin},
            |${iter(3).stripMargin}
-           |SELECT node, r FROM r3
+           |SELECT node, r FROM (
+           |  SELECT CASE WHEN node % 2 = 0 THEN 'c:' ELSE 's:' END
+           |      || CAST(node // 2 AS VARCHAR) AS node, r
+           |  FROM r3)
            |ORDER BY r DESC, node LIMIT 25""".stripMargin
       },
 
