@@ -1560,7 +1560,17 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Sim.hardNegatives(emb.where(col("vec_id") < 10), emb, k = 5)
         .orderBy("q_id", "rk")
-    })
+    }),
+
+    // north star — triangle census of the near-dup graph
+    // (Graph.triangleStats scaladoc): degree-ordered orientation, so no
+    // hub ever drives the wedge self-join. The clustering coefficient is
+    // the cluster-coherence health metric for the q111 pair generator —
+    // dup clusters should be near-cliques, not chains.
+    "q142_triangle_census" -> ((s, dir) =>
+      Graph.triangleStats(
+        Dedup.lshVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 8, bands = 4, minJaccard = 0.2)))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -1603,14 +1613,12 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
         |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
-    // ONE oracle for both connected-components engines: q128 (fixpoint
-    // label propagation) and q130 (alternating large-star/small-star)
-    // must produce the identical component map over the identical q111
-    // pair graph — sharing the string makes divergence impossible to
-    // miss. Reachability via a recursive CTE; component = min reachable.
-    val ccOracleSql =
-      s"""WITH RECURSIVE
-         |cleaned AS (SELECT doc_id AS id, ${cleanSql("text")} AS c FROM documents),
+    // the q111 LSH-then-verify pair generation as a reusable CTE chain
+    // ending in `pairs(id_a, id_b)` — shared by the CC oracle and the
+    // triangle-census oracle so every graph query provably runs on the
+    // identical edge set
+    val verifiedPairsCte =
+      s"""cleaned AS (SELECT doc_id AS id, ${cleanSql("text")} AS c FROM documents),
          |sh AS (SELECT id, ${shinglesSql("t")} AS shs
          |       FROM (SELECT id, ${toksSql("c")} AS t FROM cleaned)),
          |sig AS (SELECT id,
@@ -1633,7 +1641,16 @@ object SparkEntry {
          |             JOIN dsh y ON y.id = cands.id_b),
          |pairs AS (SELECT id_a, id_b FROM scored
          |  WHERE floor(CAST(c AS DOUBLE) / (na + nb - c) * 10000) / 10000
-         |    >= 0.2),
+         |    >= 0.2)""".stripMargin
+
+    // ONE oracle for both connected-components engines: q128 (fixpoint
+    // label propagation) and q130 (alternating large-star/small-star)
+    // must produce the identical component map over the identical q111
+    // pair graph — sharing the string makes divergence impossible to
+    // miss. Reachability via a recursive CTE; component = min reachable.
+    val ccOracleSql =
+      s"""WITH RECURSIVE
+         |$verifiedPairsCte,
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
          |          UNION SELECT id_b, id_a FROM pairs),
          |nodes AS (SELECT DISTINCT src AS id FROM edges),
@@ -3044,6 +3061,37 @@ object SparkEntry {
           |  SELECT q_id, c_id, sim,
           |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
           |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+      // same degree-ordered orientation as the engine: an edge (or
+      // wedge leg) goes from its (deg, id)-smaller endpoint via DuckDB
+      // row-value comparison, so the closing probe is a plain equi-join
+      "q142_triangle_census" ->
+        s"""WITH $verifiedPairsCte,
+           |deg AS (SELECT node, COUNT(*) AS deg FROM (
+           |    SELECT id_a AS node FROM pairs
+           |    UNION ALL SELECT id_b FROM pairs) GROUP BY 1),
+           |dir AS (SELECT
+           |    CASE WHEN (da.deg, p.id_a) < (db.deg, p.id_b)
+           |         THEN p.id_a ELSE p.id_b END AS src,
+           |    CASE WHEN (da.deg, p.id_a) < (db.deg, p.id_b)
+           |         THEN p.id_b ELSE p.id_a END AS dst
+           |  FROM pairs p JOIN deg da ON da.node = p.id_a
+           |               JOIN deg db ON db.node = p.id_b),
+           |dird AS (SELECT dir.src, dir.dst, d.deg AS ddst
+           |  FROM dir JOIN deg d ON d.node = dir.dst),
+           |wedge AS (SELECT x.dst AS src, y.dst AS dst
+           |  FROM dird x JOIN dird y ON x.src = y.src
+           |    AND (x.ddst, x.dst) < (y.ddst, y.dst)),
+           |tri AS (SELECT COUNT(*) AS n_triangles
+           |  FROM wedge JOIN dir USING (src, dst)),
+           |m AS (SELECT COUNT(*) AS n_edges FROM pairs),
+           |w AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT)
+           |    AS n_wedges FROM deg)
+           |SELECT n_edges, n_wedges, n_triangles,
+           |  CASE WHEN n_wedges = 0 THEN 0.0 ELSE
+           |    floor(3.0 * n_triangles / n_wedges * 1000000) / 1000000
+           |  END AS clustering_coeff
+           |FROM m CROSS JOIN w CROSS JOIN tri""".stripMargin,
 
       // the salt is engine-internal, so the oracle is the PLAIN join —
       // result-identity with the unsalted plan is the correctness claim

@@ -47,6 +47,69 @@ object Graph {
     *
     * Output: (node, rank) with rank an integer out of `scale`.
     */
+  /** Exact triangle count + global clustering coefficient over an
+    * undirected, deduplicated pair list `pairs(id_a, id_b)` (id_a <
+    * id_b). On a near-dup graph this measures clique-ness: dup clusters
+    * are (near-)cliques, so a high coefficient over LSH-verified pairs
+    * says the pair generator is finding coherent groups, not chains of
+    * borderline matches.
+    *
+    * The algorithm is the degree-ordered orientation of Suri &
+    * Vassilvitskii (WWW 2011) / Chiba–Nishizeki: orient every edge from
+    * its (degree, id)-smaller endpoint to the larger, enumerate wedges
+    * by self-joining the directed edges on their source, and close each
+    * wedge against the directed edge set. Orientation is the whole
+    * scale story — out-degree is bounded by O(sqrt(|E|)), so a celebrity
+    * node with millions of neighbors contributes wedges from its LOW
+    * degree incident edges only; the self-join never explodes on the
+    * hub. Every step is a keyed join or partial-aggregated count — no
+    * windows, no driver-side data.
+    *
+    * Output: one row — n_edges, n_wedges (over undirected degrees),
+    * n_triangles, and the global clustering coefficient
+    * 3·triangles/wedges floored at 6 dp.
+    */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    // checkpointed: the pair list feeds degrees, orientation, and the
+    // closing-edge probe — without it the (possibly expensive) upstream
+    // pair generator would re-evaluate three times
+    val e = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .localCheckpoint()
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val dir = e.join(du, "u").join(dv, "v")
+      .select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+      .localCheckpoint()
+    // wedge (v, w) around each src, ordered by (deg, id) so the closing
+    // edge — if present — is oriented exactly v->w in `dir`
+    val wedgePairs = dir.as("x").join(dir.as("y"),
+        col("x.src") === col("y.src") &&
+          struct(col("x.ddst"), col("x.dst")) <
+            struct(col("y.ddst"), col("y.dst")))
+      .select(col("x.dst").as("src"), col("y.dst").as("dst"))
+    val tri = wedgePairs.join(dir.select("src", "dst"), Seq("src", "dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    // deg*(deg-1) is even, `div` keeps the whole sum in exact 64-bit
+    // integers (a double `/` would sum doubles — fine until 2^53, but
+    // there is no reason to leave integer arithmetic)
+    val nWedges = deg.agg(
+      sum(expr("deg * (deg - 1) div 2")).cast("long").as("n_wedges"))
+    nEdges.crossJoin(broadcast(nWedges)).crossJoin(broadcast(tri))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0, lit(0.0)).otherwise(
+          Num.floorAt(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .as("clustering_coeff"))
+  }
+
   def pageRankFixed(edges0: DataFrame, iters: Int = 3,
       scale: Long = 1000000000000L, dampPct: Int = 85): DataFrame = {
     require(iters >= 1 && iters <= 50, s"need 1 <= iters <= 50, got $iters")

@@ -160,4 +160,31 @@ class Round6OpsSpec extends SparkSpec {
       .select("bigram").as[String].head()
     assert(top === "p q")
   }
+
+  test("triangleStats: 4-clique counts C(4,3)=4 triangles, coeff 1.0") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("id_a", "id_b")
+    val r = Graph.triangleStats(pairs)
+      .as[(Long, Long, Long, Double)].head()
+    // 6 edges; wedges = 4 nodes * C(3,2) = 12; 3*4/12 = 1.0
+    assert(r === ((6L, 12L, 4L, 1.0)))
+  }
+
+  test("triangleStats: path graph has wedges but zero triangles") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val r = Graph.triangleStats(pairs)
+      .as[(Long, Long, Long, Double)].head()
+    assert(r === ((3L, 2L, 0L, 0.0)))
+  }
+
+  test("triangleStats: star hub contributes wedges, never triangles — " +
+      "and the orientation sends every edge AWAY from the leaves") {
+    // hub 0 connected to 5 leaves: wedges = C(5,2) = 10, triangles 0.
+    // With degree ordering every edge orients leaf->hub, so the wedge
+    // self-join on src matches nothing — the hub never fans out.
+    val pairs = (1L to 5L).map(l => (0L, l)).toDF("id_a", "id_b")
+    val r = Graph.triangleStats(pairs)
+      .as[(Long, Long, Long, Double)].head()
+    assert(r === ((5L, 10L, 0L, 0.0)))
+  }
 }
