@@ -1570,7 +1570,15 @@ object SparkEntry {
     "q142_triangle_census" -> ((s, dir) =>
       Graph.triangleStats(
         Dedup.lshVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
-          k = 8, bands = 4, minJaccard = 0.2)))
+          k = 8, bands = 4, minJaccard = 0.2))),
+
+    // north star — int8 embedding storage (Sim.quantizeInt8 scaladoc):
+    // symmetric round-half-up quantization with per-vector quality
+    // metrics (max elementwise error, l2 error, cosine to the dequant)
+    // so the 4x memory cut is measured, not assumed. Scan-local.
+    "q143_int8_quant" -> ((s, dir) =>
+      Sim.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -3092,6 +3100,41 @@ object SparkEntry {
            |    floor(3.0 * n_triangles / n_wedges * 1000000) / 1000000
            |  END AS clustering_coeff
            |FROM m CROSS JOIN w CROSS JOIN tri""".stripMargin,
+
+      // identical IEEE-double expression tree as the engine: one
+      // round-half-up divide per element, sequential list_sum folds
+      "q143_int8_quant" ->
+        s"""WITH v AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+           |  FROM embeddings),
+           |m AS (SELECT vec_id, vd, len(vd) AS n_dims,
+           |    list_max(list_transform(vd, x -> abs(x))) AS maxabs
+           |  FROM v),
+           |e AS (SELECT vec_id, vd, n_dims, maxabs,
+           |    list_transform(vd, x ->
+           |      x - floor(x * 127 / maxabs + 0.5) * (maxabs / 127))
+           |      AS errs,
+           |    list_transform(vd, x ->
+           |      floor(x * 127 / maxabs + 0.5) * (maxabs / 127)) AS recon
+           |  FROM m)
+           |SELECT vec_id, CAST(n_dims AS INTEGER) AS n_dims,
+           |  CASE WHEN maxabs = 0 THEN 0.0
+           |    ELSE ${Num.floorAtSql("maxabs / 127", 8)} END AS qscale,
+           |  CASE WHEN maxabs = 0 THEN 0.0
+           |    ELSE ${Num.floorAtSql(
+               "list_max(list_transform(errs, x -> abs(x)))", 8)}
+           |  END AS max_abs_err,
+           |  CASE WHEN maxabs = 0 THEN 0.0
+           |    ELSE ${Num.floorAtSql(
+               "list_sum(list_transform(errs, x -> x * x))", 8)}
+           |  END AS l2_err,
+           |  CASE WHEN maxabs = 0 THEN 1.0
+           |    ELSE ${Num.floorAtSql(
+               "list_sum(list_transform(range(1, len(vd)+1), i -> vd[i] * recon[i])) / " +
+               "(sqrt(list_sum(list_transform(vd, x -> x * x))) * " +
+               "sqrt(list_sum(list_transform(recon, x -> x * x))))", 6)}
+           |  END AS cos_recon
+           |FROM e ORDER BY vec_id""".stripMargin,
 
       // the salt is engine-internal, so the oracle is the PLAIN join —
       // result-identity with the unsalted plan is the correctness claim

@@ -52,6 +52,55 @@ object Sim {
       .select(col("q_id"), col("rk"), col("neg_id"), col("neg_label"))
   }
 
+  /** Symmetric per-vector int8 quantization with its quality metrics —
+    * the STORAGE path for ANN at corpus scale: int8 cuts embedding
+    * memory/bandwidth 4× (the difference between an in-memory index and
+    * a spilled one at 10 B vectors), at a bounded reconstruction cost
+    * this operator measures instead of assumes.
+    *
+    * q_i = floor(v_i · 127 / maxabs + 0.5)  (round-half-up; every step
+    * is one IEEE-double expression evaluated identically by Spark and
+    * the DuckDB oracle), dequant = q_i · maxabs/127. Per vector emits
+    * the scale, the max |v − dequant| (bounded by scale/2 by
+    * construction — asserted in SimSpec), the l2 reconstruction error,
+    * and cosine(v, dequant). Zero vectors quantize to scale 0, error 0,
+    * cosine 1 by convention.
+    *
+    * Everything is scan-local elementwise arithmetic — no shuffle, no
+    * join, whole-stage-codegen'd; at 100 TB this runs at read
+    * throughput alongside the ingest pass that writes the int8 copy.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val stage = df.select(col(idCol), vd.as("vd"),
+      size(col(vecCol)).as("n_dims"),
+      array_max(transform(vd, x => abs(x))).as("maxabs"))
+    val ma = col("maxabs")
+    val errs = transform(col("vd"),
+      x => x - floor(x * lit(127) / ma + lit(0.5)) * (ma / lit(127)))
+    val recon = transform(col("vd"),
+      x => floor(x * lit(127) / ma + lit(0.5)) * (ma / lit(127)))
+    val dotRecon = aggregate(zip_with(col("vd"), recon, (a, b) => a * b),
+      lit(0.0), (acc, v) => acc + v)
+    val normSq = aggregate(col("vd"), lit(0.0), (acc, v) => acc + v * v)
+    val reconNormSq = aggregate(recon, lit(0.0), (acc, v) => acc + v * v)
+    stage.select(col(idCol), col("n_dims"),
+      when(ma === 0, lit(0.0))
+        .otherwise(Num.floorAt(ma / lit(127), 8)).as("qscale"),
+      when(ma === 0, lit(0.0))
+        .otherwise(Num.floorAt(
+          array_max(transform(errs, e => abs(e))), 8)).as("max_abs_err"),
+      when(ma === 0, lit(0.0))
+        .otherwise(Num.floorAt(
+          aggregate(errs, lit(0.0), (acc, e) => acc + e * e), 8))
+        .as("l2_err"),
+      when(ma === 0, lit(1.0))
+        .otherwise(Num.floorAt(
+          dotRecon / (sqrt(normSq) * sqrt(reconNormSq)), 6))
+        .as("cos_recon"))
+  }
+
   /** dot(a, b) over float arrays, accumulated in double — the native
     * codegen'd expression (see graft.functions.DotProductF32 for why the
     * HOF formulation is too slow on the pair-scoring hot path).

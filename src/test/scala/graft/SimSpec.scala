@@ -152,4 +152,34 @@ class SimSpec extends SparkSpec {
     assert(f.width === 12 && f.height === 12)
     assert(f.fingerprint === "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
   }
+
+  test("quantizeInt8: max elementwise error bounded by scale/2, extreme " +
+      "element reconstructs exactly, zero vector hits the convention") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, -1.0f, 0.0f)),
+      (2L, Array(0.003f, -0.001f, 0.002f, 0.0015f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val rows = Sim.quantizeInt8(vecs, "vec_id", "embedding")
+      .orderBy("vec_id")
+      .as[(Long, Int, Double, Double, Double, Double)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    rows.foreach { case (id, nDims, qscale, maxErr, l2, cosR) =>
+      assert(nDims === 4, s"vec $id")
+      // floor-at-8dp can only shrink values, so the bound still holds
+      assert(maxErr <= qscale / 2 + 1e-8, s"vec $id: $maxErr > $qscale/2")
+      assert(l2 >= 0.0 && cosR <= 1.0, s"vec $id")
+    }
+    // +-maxabs maps to exactly +-127 and 0 to 0, so vec 1 reconstructs
+    // losslessly (0.5 would NOT: 63.5 rounds up — only 0 and +-maxabs
+    // are guaranteed exact)
+    // cos floors at 6dp, and an ulp-below-1 quotient truncates to
+    // 0.999999 — the error metrics are the exactness claim, the cosine
+    // only corroborates
+    assert(byId(1L)._4 === 0.0 && byId(1L)._5 === 0.0 &&
+      byId(1L)._6 >= 0.999999)
+    // near-parallel reconstruction even for sub-scale values
+    assert(byId(2L)._6 >= 0.99, s"cos_recon ${byId(2L)._6}")
+    // zero vector: scale 0, no error, cosine 1 by convention
+    assert(byId(3L) === ((3L, 4, 0.0, 0.0, 0.0, 1.0)))
+  }
 }
