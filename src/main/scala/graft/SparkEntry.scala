@@ -1578,7 +1578,24 @@ object SparkEntry {
     // so the 4x memory cut is measured, not assumed. Scan-local.
     "q143_int8_quant" -> ((s, dir) =>
       Sim.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // north star — per-source token-budget admission
+    // (Curate.tokenBudgetSample scaladoc): the mixture recipe's quota is
+    // in TOKENS, not documents — greedy md5-ordered prefix per source,
+    // so the admitted set is a pure function of doc ids.
+    "q144_token_budget" -> ((s, dir) =>
+      Curate.tokenBudgetSample(t(s, dir, "documents"), "doc_id",
+          "source", "text", budget = 800L)
+        .orderBy("doc_id")),
+
+    // §2.5 gap — per-group OLS regression (slope/intercept/r2) from the
+    // q99 exact decimal power sums (Agg.exactOls scaladoc): the regr_*
+    // SQL family, decimal-exact and mergeable across shards.
+    "q145_group_ols" -> ((s, dir) =>
+      Agg.exactOls(t(s, dir, "lineitem"), "l_returnflag",
+          "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -3135,6 +3152,47 @@ object SparkEntry {
                "sqrt(list_sum(list_transform(recon, x -> x * x))))", 6)}
            |  END AS cos_recon
            |FROM e ORDER BY vec_id""".stripMargin,
+
+      "q144_token_budget" ->
+        s"""WITH t AS (SELECT doc_id, source AS grp,
+           |    CAST(len($toks) AS BIGINT) AS n_tokens,
+           |    md5(CAST(doc_id AS VARCHAR)) AS okey FROM documents),
+           |o AS (SELECT doc_id, grp, n_tokens,
+           |    CAST(SUM(n_tokens) OVER (PARTITION BY grp
+           |      ORDER BY okey ASC, doc_id ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum_tokens
+           |  FROM t)
+           |SELECT doc_id, grp, n_tokens, cum_tokens FROM o
+           |WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin,
+
+      // same five decimal sums as q99; closed forms evaluated in the
+      // identical double op order as Agg.exactOls
+      "q145_group_ols" -> {
+        val (sx, sy) = ("CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)")
+        val (sxx, syy) = ("CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)")
+        val sxy = "CAST(sxy AS DOUBLE)"
+        val cov = s"(n * $sxy - $sx * $sy)"
+        val varx = s"(n * $sxx - $sx * $sx)"
+        val vary = s"(n * $syy - $sy * $sy)"
+        s"""WITH g AS (SELECT l_returnflag, COUNT(*) AS n,
+           |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+           |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+           |  SUM(CAST(l_quantity AS DECIMAL(18,2))
+           |    * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+           |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           |    * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+           |  SUM(CAST(l_quantity AS DECIMAL(18,2))
+           |    * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+           | FROM lineitem GROUP BY l_returnflag)
+           |SELECT l_returnflag, n,
+           | ${Num.floorAtSql(s"$cov / $varx", 6)} AS slope,
+           | ${Num.floorAtSql(s"($sy - ($cov / $varx) * $sx) / n", 4)}
+           |   AS intercept,
+           | ${Num.floorAtSql(s"($cov / $varx) * ($cov / $vary)", 6)}
+           |   AS r2
+           |FROM g ORDER BY l_returnflag""".stripMargin
+      },
 
       // the salt is engine-internal, so the oracle is the PLAIN join —
       // result-identity with the unsalted plan is the correctness claim

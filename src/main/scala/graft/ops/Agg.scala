@@ -123,6 +123,37 @@ object Agg {
         .as("corr"))
   }
 
+  /** Per-group ordinary least squares y = slope·x + intercept from the
+    * same exact decimal power sums as [[exactCorr]] — one pass, five
+    * decimal sums, closed forms evaluated once in double and floored.
+    * r2 is the squared Pearson correlation (single-regressor identity),
+    * so the goodness-of-fit shares the numerator/denominator products
+    * with the slope instead of a second residual pass. The mergeable-
+    * state shape: the five sums union across shards/days exactly
+    * (q116's incremental-aggregation contract applies verbatim).
+    */
+  def exactOls(df: DataFrame, key: String, x: String,
+               y: String): DataFrame = {
+    val xd = col(x).cast("decimal(18,2)")
+    val yd = col(y).cast("decimal(18,2)")
+    val g = df.groupBy(col(key)).agg(
+      count(lit(1)).as("n"),
+      sum(xd).as("sx"), sum(yd).as("sy"),
+      sum(xd * xd).as("sxx"), sum(yd * yd).as("syy"),
+      sum(xd * yd).as("sxy"))
+    val n = col("n")
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val (sxx, syy) = (col("sxx").cast("double"), col("syy").cast("double"))
+    val sxy = col("sxy").cast("double")
+    val cov = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    g.select(col(key), n,
+      Num.floorAt(cov / varx, 6).as("slope"),
+      Num.floorAt((sy - (cov / varx) * sx) / n, 4).as("intercept"),
+      Num.floorAt((cov / varx) * (cov / vary), 6).as("r2"))
+  }
+
   /** Deterministic WEIGHTED sample (A-Res, Efraimidis–Spirakis): rank
     * rows by ln(u)/w descending — the monotonic equivalent of the
     * classic u^(1/w) key (both maximize exp(ln(u)/w)), chosen because

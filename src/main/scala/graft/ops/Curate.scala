@@ -11,6 +11,41 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
+  /** Per-group token-budget admission: within each group (domain,
+    * source, language), walk documents in deterministic md5 order and
+    * keep the greedy prefix whose cumulative token count stays within
+    * `budget`. This is how a mixture recipe's per-source token quota is
+    * actually enforced in pretraining corpora (sample N tokens — not N
+    * documents — per domain); the md5 walk makes the admitted set a pure
+    * function of doc ids, engine- and rerun-stable.
+    *
+    * Prefix semantics (not knapsack): the first document that would
+    * overflow the budget ends the group's admission — every admitted
+    * doc's cumulative count is <= budget. One ordered prefix-sum window
+    * per group: the rank-family shape whose ORDER the semantics require,
+    * so it legitimately stays a window (spillable sort, bounded by group
+    * size). A pathological mega-group is handled the same way q113
+    * handles the global stream: split the budget across md5-range
+    * sub-buckets (budget/k each) and admit per sub-bucket — same
+    * output contract, k-way parallel.
+    *
+    * Output: (doc_id, group, n_tokens, cum_tokens) for admitted docs.
+    */
+  def tokenBudgetSample(docs: DataFrame, idCol: String, groupCol: String,
+                        textCol: String, budget: Long): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"),
+      col(groupCol).as("grp"),
+      size(Text.cleanTokens(col(textCol))).cast("long").as("n_tokens"),
+      md5(col(idCol).cast("string")).as("okey"))
+    val w = Window.partitionBy("grp")
+      .orderBy(col("okey").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("grp"), col("n_tokens"),
+        col("cum_tokens"))
+  }
+
   /** GPT-style sequence packing: concatenate documents in a deterministic
     * order and chunk the token stream into `ctxTokens`-sized packs. Each
     * doc's pack is derived from its START OFFSET in the stream (docs may

@@ -177,6 +177,47 @@ class Round6OpsSpec extends SparkSpec {
     assert(r === ((3L, 2L, 0L, 0.0)))
   }
 
+  test("exactOls: perfect line recovers slope/intercept exactly, r2 -> 1") {
+    // y = 2x + 3 over two groups; integer sums are decimal-exact so the
+    // closed forms are exact up to the output floors
+    val rows = for (g <- Seq("a", "b"); x <- 1 to 10)
+      yield (g, x.toDouble, 2.0 * x + 3.0)
+    val got = graft.ops.Agg.exactOls(rows.toDF("k", "x", "y"), "k", "x", "y")
+      .orderBy("k").as[(String, Long, Double, Double, Double)].collect()
+    got.foreach { case (k, n, slope, intercept, r2) =>
+      assert(n === 10L, k)
+      assert(slope === 2.0, s"$k slope")
+      assert(intercept === 3.0, s"$k intercept")
+      assert(r2 >= 0.999999, s"$k r2 $r2") // 6dp floor of an ulp-below-1
+    }
+  }
+
+  test("tokenBudgetSample: admitted sets are prefix-closed per group, " +
+      "within budget, and monotone in the budget") {
+    val docs = (1L to 40L).map(i =>
+      (i, s"src${i % 4}", Seq.fill((i % 7 + 1).toInt)("tok").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val small = graft.ops.Curate.tokenBudgetSample(
+      docs, "doc_id", "source", "text", budget = 12L)
+      .as[(Long, String, Long, Long)].collect()
+    val big = graft.ops.Curate.tokenBudgetSample(
+      docs, "doc_id", "source", "text", budget = 25L)
+      .as[(Long, String, Long, Long)].collect()
+    assert(small.nonEmpty && small.length < 40)
+    small.groupBy(_._2).foreach { case (g, rs) =>
+      assert(rs.map(_._4).max <= 12L, s"group $g over budget")
+      // cum_tokens of the admitted rows must be exactly the running sum
+      // of their own token counts in cum order — i.e. a closed prefix
+      val inOrder = rs.sortBy(_._4)
+      assert(inOrder.map(_._3).scanLeft(0L)(_ + _).tail.toSeq ===
+        inOrder.map(_._4).toSeq, s"group $g not a closed prefix")
+    }
+    val smallIds = small.map(_._1).toSet
+    val bigIds = big.map(_._1).toSet
+    assert(smallIds.subsetOf(bigIds), "larger budget must be a superset")
+    assert(bigIds.size > smallIds.size)
+  }
+
   test("triangleStats: star hub contributes wedges, never triangles — " +
       "and the orientation sends every edge AWAY from the leaves") {
     // hub 0 connected to 5 leaves: wedges = C(5,2) = 10, triangles 0.
