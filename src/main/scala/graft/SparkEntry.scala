@@ -1595,7 +1595,23 @@ object SparkEntry {
     "q145_group_ols" -> ((s, dir) =>
       Agg.exactOls(t(s, dir, "lineitem"), "l_returnflag",
           "l_quantity", "l_extendedprice")
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // north star — cross-source contamination matrix
+    // (Curate.crossSourceOverlap scaladoc): q114's decontamination
+    // lifted to the corpus grain — which training sources share shingle
+    // mass (mirror/scrape pairs that would double-count in the mixture).
+    "q146_source_overlap" -> ((s, dir) =>
+      Curate.crossSourceOverlap(t(s, dir, "documents"), "source", "text")
+        .orderBy("source_a", "source_b")),
+
+    // north star — ingest drift monitoring (EventsOps.dailyAnomalies
+    // scaladoc): per-type daily counts z-scored from exact decimal
+    // moments; the broken-producer / traffic-spike alarm a pipeline
+    // runs over its own telemetry.
+    "q147_daily_anomalies" -> ((s, dir) =>
+      EventsOps.dailyAnomalies(t(s, dir, "events"))
+        .orderBy("event_type", "day"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -3192,6 +3208,48 @@ object SparkEntry {
            | ${Num.floorAtSql(s"($cov / $varx) * ($cov / $vary)", 6)}
            |   AS r2
            |FROM g ORDER BY l_returnflag""".stripMargin
+      },
+
+      "q146_source_overlap" ->
+        s"""WITH base AS (SELECT source AS src, $cleanToks AS t
+           |  FROM (SELECT source, $clean AS c FROM documents)),
+           |ssh AS (SELECT DISTINCT src, sh FROM (
+           |  SELECT src, UNNEST(list_distinct(${shinglesSql("t", 3)}))
+           |    AS sh FROM base)),
+           |tot AS (SELECT src, COUNT(*) AS n_sh FROM ssh GROUP BY 1),
+           |shared AS (SELECT a.src AS source_a, b.src AS source_b,
+           |    COUNT(*) AS n_shared
+           |  FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.src < b.src
+           |  GROUP BY 1, 2)
+           |SELECT source_a, source_b, n_shared,
+           |  ${Num.floorAtSql(
+             "CAST(n_shared AS DOUBLE) / least(ta.n_sh, tb.n_sh)", 6)}
+           |    AS overlap_coeff
+           |FROM shared JOIN tot ta ON ta.src = source_a
+           |            JOIN tot tb ON tb.src = source_b
+           |ORDER BY source_a, source_b""".stripMargin,
+
+      // same exact-decimal moment sums as q98; z floored at 4 dp and
+      // the flag tests the floored z, mirroring the engine exactly
+      "q147_daily_anomalies" -> {
+        val (sn, snn) = ("CAST(sn AS DOUBLE)", "CAST(snn AS DOUBLE)")
+        s"""WITH daily AS (SELECT event_type,
+           |    CAST(${epochSql("ts")} // 86400 AS BIGINT) AS day,
+           |    COUNT(*) AS n
+           |  FROM events GROUP BY 1, 2),
+           |stats AS (SELECT event_type, COUNT(*) AS n_days,
+           |    SUM(CAST(n AS DECIMAL(18,2))) AS sn,
+           |    SUM(CAST(n AS DECIMAL(18,2)) * CAST(n AS DECIMAL(18,2)))
+           |      AS snn
+           |  FROM daily GROUP BY 1),
+           |z AS (SELECT d.event_type, d.day, d.n,
+           |    ${Num.floorAtSql(
+             s"(CAST(n AS DOUBLE) - $sn / n_days) / " +
+             s"sqrt(($snn - $sn * $sn / n_days) / (n_days - 1))", 4)} AS z
+           |  FROM daily d JOIN stats s ON s.event_type = d.event_type
+           |  WHERE n_days > 1 AND $snn - $sn * $sn / n_days > 0)
+           |SELECT event_type, day, n, z, abs(z) >= 3.0 AS is_anomaly
+           |FROM z ORDER BY event_type, day""".stripMargin
       },
 
       // the salt is engine-internal, so the oracle is the PLAIN join —

@@ -11,6 +11,46 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
+  /** Cross-source contamination matrix: for every pair of sources, the
+    * number of w-gram shingles they share and the overlap coefficient
+    * |A∩B| / min(|A|,|B|). The corpus-level view of q114's
+    * decontamination (doc vs eval-set): run it across training SOURCES
+    * to find the mirror/scrape pairs that would otherwise double-count
+    * a crawl in the mixture weights.
+    *
+    * Shape at scale: the (source, shingle) frame is DISTINCT first (a
+    * partial-aggregated shuffle — a shingle hot across every doc
+    * collapses map-side), so the shingle self-join sees at most S rows
+    * per key for S sources: per-shingle join output is bounded by S²/2,
+    * never by document count. Totals are S rows, broadcast back. For
+    * thousands of sources, aggregate each shingle to its source-set
+    * (bounded by S) and emit pairs from the set — same contract, one
+    * less join.
+    *
+    * Output: (source_a, source_b, n_shared, overlap_coeff), pairs with
+    * at least one shared shingle.
+    */
+  def crossSourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
+                         w: Int = 3): DataFrame = {
+    val sh = docs.select(col(srcCol).as("src"),
+        explode(array_distinct(Dedup.shingles(
+          Text.cleanTokens(col(textCol)), w))).as("sh"))
+      .distinct()
+      .localCheckpoint()
+    val totals = sh.groupBy("src").agg(count(lit(1)).as("n_sh"))
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals.select(col("src").as("source_a"),
+        col("n_sh").as("na"))), Seq("source_a"))
+      .join(broadcast(totals.select(col("src").as("source_b"),
+        col("n_sh").as("nb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        Num.floorAt(col("n_shared").cast("double") /
+          least(col("na"), col("nb")), 6).as("overlap_coeff"))
+  }
+
   /** Per-group token-budget admission: within each group (domain,
     * source, language), walk documents in deterministic md5 order and
     * keep the greedy prefix whose cumulative token count stays within

@@ -15,6 +15,49 @@ import org.apache.spark.sql.functions._
   */
 object EventsOps {
 
+  /** Daily event-count drift/anomaly detection: per (event_type, day)
+    * count, z-scored against the type's own daily distribution — the
+    * monitoring query a pipeline runs over its ingest telemetry to
+    * catch a broken producer or a traffic spike before it skews the
+    * corpus mixture.
+    *
+    * Moments come from exact decimal power sums ([[Agg.exactMoments]]'s
+    * argument applies: double accumulation is shuffle-order-dependent,
+    * decimal sums are not), evaluated once in double; z is floored at
+    * 4 dp and the anomaly flag tests the FLOORED z, so the flag is
+    * bit-portable too. Two keyed aggregations (day grain, then type
+    * grain — both fully partial-aggregated) and one broadcast join of
+    * the per-type stats (|types| rows) back onto the daily frame. Types
+    * observed on fewer than 2 days carry no distribution — dropped.
+    *
+    * Output: (event_type, day, n, z, is_anomaly).
+    */
+  def dailyAnomalies(events: DataFrame, zThresh: Double = 3.0)
+      : DataFrame = {
+    val daily = events.groupBy(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds both the stats agg and the join back
+    val nd = col("n").cast("decimal(18,2)")
+    val stats = daily.groupBy("event_type").agg(
+      count(lit(1)).as("n_days"),
+      sum(nd).as("sn"), sum(nd * nd).as("snn"))
+    val sn = col("sn").cast("double")
+    val snn = col("snn").cast("double")
+    val mean = sn / col("n_days")
+    val variance =
+      (snn - sn * sn / col("n_days")) / (col("n_days") - 1)
+    // n_days > 1 and positive variance: both degenerate distributions
+    // (single day, constant counts) would put NaN in z — drop them in
+    // the stats frame so the guard is one filter on |types| rows
+    daily.join(broadcast(stats.where(col("n_days") > 1 &&
+        snn - sn * sn / col("n_days") > 0)), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n"),
+        Num.floorAt((col("n").cast("double") - mean) / sqrt(variance), 4)
+          .as("z"))
+      .withColumn("is_anomaly", abs(col("z")) >= zThresh)
+  }
+
   /** Tumbling-window counts: one shuffle keyed on (window, type). */
   def tumblingCounts(events: DataFrame, slideSeconds: Long): DataFrame =
     events.groupBy(

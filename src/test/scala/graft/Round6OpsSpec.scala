@@ -218,6 +218,42 @@ class Round6OpsSpec extends SparkSpec {
     assert(bigIds.size > smallIds.size)
   }
 
+  test("crossSourceOverlap: identical sources overlap fully, disjoint " +
+      "vocab never pairs") {
+    val docs = Seq(
+      (1L, "A", "alpha beta gamma delta"),
+      (2L, "B", "alpha beta gamma delta"),
+      (3L, "C", "zig zag zoom whirl")).toDF("doc_id", "source", "text")
+    val got = graft.ops.Curate.crossSourceOverlap(docs, "source", "text")
+      .as[(String, String, Long, Double)].collect()
+    assert(got.length === 1)
+    val (a, b, n, coeff) = got.head
+    assert(a === "A" && b === "B")
+    assert(n === 2L) // two 3-gram shingles in a 4-token doc
+    assert(coeff === 1.0)
+  }
+
+  test("dailyAnomalies: a 10x day trips the z-threshold, steady days " +
+      "do not, and constant-count types are dropped") {
+    // type "spiky": 11 days of 10 events + one day of 100 (z ~ 3.17);
+    // type "flat": constant counts -> zero variance -> dropped
+    val rows =
+      (for (d <- 0 until 12; i <- 0 until (if (d == 11) 100 else 10))
+        yield ("spiky", d.toLong * 86400 + i)) ++
+      (for (d <- 0 until 12; i <- 0 until 5)
+        yield ("flat", d.toLong * 86400 + i))
+    val events = rows.toDF("event_type", "es")
+      .select(col("event_type"), to_timestamp(col("es")).as("ts"))
+    val got = graft.ops.EventsOps.dailyAnomalies(events)
+      .as[(String, Long, Long, Double, Boolean)].collect()
+    assert(got.forall(_._1 === "spiky"), "flat type must be dropped")
+    assert(got.length === 12)
+    val flagged = got.filter(_._5)
+    assert(flagged.map(_._2).toSeq === Seq(11L), "only the spike day")
+    assert(flagged.head._4 >= 3.0 && flagged.head._4 <= 3.2)
+    assert(got.filterNot(_._5).forall(r => math.abs(r._4) < 3.0))
+  }
+
   test("triangleStats: star hub contributes wedges, never triangles — " +
       "and the orientation sends every edge AWAY from the leaves") {
     // hub 0 connected to 5 leaves: wedges = C(5,2) = 10, triangles 0.
