@@ -1611,7 +1611,41 @@ object SparkEntry {
     // runs over its own telemetry.
     "q147_daily_anomalies" -> ((s, dir) =>
       EventsOps.dailyAnomalies(t(s, dir, "events"))
-        .orderBy("event_type", "day"))
+        .orderBy("event_type", "day")),
+
+    // north star — join-key skew profiler (Skew.keyProfile scaladoc):
+    // the decision input for q129/q36 — measure a key's distribution
+    // (hot key, skew factor, top-1 share analog) BEFORE salting it.
+    "q148_key_profile" -> ((s, dir) =>
+      Skew.keyProfile(t(s, dir, "lineitem"), "l_suppkey")
+        .unionByName(Skew.keyProfile(t(s, dir, "documents"), "lang"))
+        .orderBy("key_col")),
+
+    // §2.5 gap — interval-OVERLAP join via range binning
+    // (EventsOps.overlapJoinBinned scaladoc): q28's band join needs a
+    // broadcastable side; this is the neither-side-small shape. Transit
+    // intervals [ship, ship + 1..45 days) (deterministic per-line span —
+    // the fixture carries only l_shipdate) × order months; binning
+    // manufactures the equi-key, the plain overlap predicate is the
+    // oracle.
+    "q149_interval_overlap" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        unix_date(col("l_shipdate").cast("date")).cast("long").as("s"))
+        .withColumn("e", col("s") + lit(1L) +
+          expr("(l_orderkey * 7 + l_linenumber) % 45"))
+      val months = t(s, dir, "orders")
+        .select(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("m")).distinct()
+        .select(unix_date(col("m")).cast("long").as("bs"),
+          unix_date(add_months(col("m"), 1)).cast("long").as("be"))
+      EventsOps.overlapJoinBinned(li, months, cell = 32L)
+        .select(col("l_orderkey"), col("l_linenumber"), col("bs"))
+        .distinct() // a pair sharing k cells appears k times
+        .groupBy(col("bs").as("month_start_day"))
+        .agg(count(lit(1)).as("n_shipments"))
+        .orderBy("month_start_day")
+    })
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -3251,6 +3285,54 @@ object SparkEntry {
            |SELECT event_type, day, n, z, abs(z) >= 3.0 AS is_anomaly
            |FROM z ORDER BY event_type, day""".stripMargin
       },
+
+      // hot-key tie-break mirrors the engine's max_by(k, (cnt, k)):
+      // ORDER BY cnt DESC, k DESC LIMIT 1. skew uses the RAW mean;
+      // needs_salt tests the floored skew — both as in Skew.keyProfile.
+      "q148_key_profile" -> {
+        val profile = (tbl: String, key: String) =>
+          s"""(WITH c AS (SELECT CAST($key AS VARCHAR) AS k,
+             |    COUNT(*) AS cnt FROM $tbl GROUP BY 1),
+             |p AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             |    COUNT(*) AS n_keys, CAST(MAX(cnt) AS BIGINT) AS max_cnt
+             |  FROM c),
+             |h AS (SELECT k AS hot_key FROM c
+             |  ORDER BY cnt DESC, k DESC LIMIT 1)
+             |SELECT '$key' AS key_col, n_rows, n_keys, max_cnt, hot_key,
+             |  ${Num.floorAtSql("CAST(n_rows AS DOUBLE) / n_keys", 4)}
+             |    AS mean_cnt,
+             |  ${Num.floorAtSql("CAST(max_cnt AS DOUBLE) / " +
+                 "(CAST(n_rows AS DOUBLE) / n_keys)", 4)} AS skew_factor
+             |FROM p CROSS JOIN h)"""
+        s"""SELECT key_col, n_rows, n_keys, max_cnt, hot_key, mean_cnt,
+           |  skew_factor, skew_factor >= 5.0 AS needs_salt
+           |FROM (${profile("lineitem", "l_suppkey").stripMargin}
+           |  UNION ALL ${profile("documents", "lang").stripMargin})
+           |ORDER BY key_col""".stripMargin
+      },
+
+      // the oracle is the PLAIN overlap predicate — result identity
+      // with the binned equi-join plan is the correctness claim (the
+      // q129 pattern: the mitigation must not change the answer)
+      "q149_interval_overlap" ->
+        """WITH li AS (SELECT l_orderkey, l_linenumber,
+          |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+          |      AS BIGINT) AS s,
+          |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+          |      AS BIGINT) + 1 + (l_orderkey * 7 + l_linenumber) % 45
+          |      AS e
+          |  FROM lineitem),
+          |mo AS (SELECT DISTINCT date_trunc('month', o_orderdate) AS m
+          |  FROM orders),
+          |mb AS (SELECT
+          |    CAST(CAST(m AS DATE) - DATE '1970-01-01' AS BIGINT) AS bs,
+          |    CAST(CAST(m + INTERVAL 1 MONTH AS DATE)
+          |      - DATE '1970-01-01' AS BIGINT) AS be
+          |  FROM mo),
+          |j AS (SELECT DISTINCT li.l_orderkey, li.l_linenumber, mb.bs
+          |  FROM mb JOIN li ON li.s < mb.be AND mb.bs < li.e)
+          |SELECT bs AS month_start_day, COUNT(*) AS n_shipments
+          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // the salt is engine-internal, so the oracle is the PLAIN join —
       // result-identity with the unsalted plan is the correctness claim

@@ -58,6 +58,36 @@ object EventsOps {
       .withColumn("is_anomaly", abs(col("z")) >= zThresh)
   }
 
+  /** Interval-overlap join via range binning — the shape for joining
+    * two INTERVAL sets when neither side is broadcastable (q28's band
+    * join handles the small-side case). A plain overlap predicate
+    * (`a.s < b.e AND b.s < a.e`) has no equi-key, so Spark would fall
+    * back to a broadcast-nested-loop or cartesian plan; binning
+    * manufactures the equi-key: each half-open interval [s, e) explodes
+    * to the `cell`-sized time cells it touches, the join runs keyed on
+    * the cell, and the overlap predicate closes exactly. A pair sharing
+    * k cells appears k times — caller dedups on its id columns (k is
+    * bounded by interval span / cell, the knob: cells ~ the typical
+    * span give ~2 cells per interval).
+    *
+    * Per-cell join work is bounded by the number of intervals ALIVE in
+    * that cell (the interval-join literature's partition bound), never
+    * by either table's total size. Inputs: `a(s, e, …)`, `b(bs, be, …)`
+    * with long half-open bounds; output: matched rows, all columns,
+    * still containing the bin duplicates.
+    */
+  def overlapJoinBinned(a: DataFrame, b: DataFrame, cell: Long)
+      : DataFrame = {
+    require(cell > 0, s"cell must be positive, got $cell")
+    val ac = a.withColumn("__cell",
+      explode(expr(s"sequence(s div $cell, (e - 1) div $cell)")))
+    val bc = b.withColumn("__cell",
+      explode(expr(s"sequence(bs div $cell, (be - 1) div $cell)")))
+    ac.join(bc, Seq("__cell"))
+      .where(col("s") < col("be") && col("bs") < col("e"))
+      .drop("__cell")
+  }
+
   /** Tumbling-window counts: one shuffle keyed on (window, type). */
   def tumblingCounts(events: DataFrame, slideSeconds: Long): DataFrame =
     events.groupBy(

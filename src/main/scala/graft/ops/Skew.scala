@@ -17,6 +17,41 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Key-distribution profile — the DECISION INPUT for every mitigation
+    * in this file: before salting a join or agg key (q129/q36) or
+    * trusting AQE to split it, measure the skew. One row per profiled
+    * key: row/key counts, the hottest key's count and identity, the
+    * skew factor (max/mean — AQE's skewedPartitionFactor analog at the
+    * KEY grain, ahead of any shuffle), and the top-1 share.
+    *
+    * Shape at scale: `groupBy(key).count()` partial-aggregates the hot
+    * key map-side (this profiler must never itself be the straggler —
+    * the reason it is not a count window), then ONE scalar aggregation
+    * over the |keys| counts frame with max_by for the hot key's
+    * identity. Advisory threshold: salt when skew_factor >= `saltAt`
+    * (AQE's default skew factor is 5 — same order).
+    *
+    * Output: (key_col, n_rows, n_keys, max_cnt, hot_key, mean_cnt,
+    * skew_factor, needs_salt).
+    */
+  def keyProfile(df: DataFrame, keyCol: String,
+                 saltAt: Double = 5.0): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val mean = col("n_rows").cast("double") / col("n_keys")
+    counts.agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"),
+        max_by(col("k"), struct(col("cnt"), col("k"))).as("hot_key"))
+      .select(lit(keyCol).as("key_col"), col("n_rows"), col("n_keys"),
+        col("max_cnt"), col("hot_key"),
+        Num.floorAt(mean, 4).as("mean_cnt"),
+        Num.floorAt(col("max_cnt").cast("double") / mean, 4)
+          .as("skew_factor"))
+      .withColumn("needs_salt", col("skew_factor") >= saltAt)
+  }
+
   /** Deterministic row salt in [0, salts): hash of the whole row, so
     * re-runs salt identically (no rand(), which would break retries and
     * the oracle).

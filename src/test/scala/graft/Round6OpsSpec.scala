@@ -254,6 +254,49 @@ class Round6OpsSpec extends SparkSpec {
     assert(got.filterNot(_._5).forall(r => math.abs(r._4) < 3.0))
   }
 
+  test("keyProfile: hand-computed skew stats, deterministic hot-key " +
+      "tie-break, advisory threshold") {
+    // key a: 8 rows, b: 1, c: 1 -> mean 10/3, skew = 8/(10/3) = 2.4
+    val df = (Seq.fill(8)("a") ++ Seq("b", "c")).toDF("k")
+    val r = graft.ops.Skew.keyProfile(df, "k")
+      .as[(String, Long, Long, Long, String, Double, Double, Boolean)]
+      .head()
+    assert(r === (("k", 10L, 3L, 8L, "a", 3.3333, 2.4, false)))
+    // tied counts resolve to the LARGEST key string (max_by on (cnt, k))
+    val tied = Seq("x", "y").toDF("k")
+    val rt = graft.ops.Skew.keyProfile(tied, "k")
+      .as[(String, Long, Long, Long, String, Double, Double, Boolean)]
+      .head()
+    assert(rt._5 === "y" && rt._7 === 1.0 && !rt._8)
+    // a genuinely hot key trips the advisory at the AQE-like factor
+    val hot = (Seq.fill(96)("hot") ++ (1 to 16).map(_.toString)).toDF("k")
+    val rh = graft.ops.Skew.keyProfile(hot, "k")
+      .as[(String, Long, Long, Long, String, Double, Double, Boolean)]
+      .head()
+    // mean = 112/17 ~ 6.588, skew = 96/6.588 ~ 14.57 -> salt
+    assert(rh._5 === "hot" && rh._8, s"skew ${rh._7} should advise salt")
+  }
+
+  test("overlapJoinBinned: equals the plain overlap predicate across " +
+      "cell sizes; touching half-open intervals never match") {
+    val a = Seq((1L, 0L, 10L), (2L, 30L, 35L), (3L, 95L, 130L))
+      .toDF("a_id", "s", "e")
+    val b = Seq((10L, 5L, 12L), (20L, 10L, 20L), (30L, 100L, 101L),
+      (40L, 34L, 40L)).toDF("b_id", "bs", "be")
+    val plain = a.crossJoin(b)
+      .where(col("s") < col("be") && col("bs") < col("e"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // a1-b10 overlap; a1-b20 touch at 10 (half-open: NO); a2-b40 overlap
+    // at 34; a3-b30 spans a cell boundary for any cell <= 35
+    assert(plain === Set((1L, 10L), (2L, 40L), (3L, 30L)))
+    for (cell <- Seq(1L, 7L, 32L, 1000L)) {
+      val binned = graft.ops.EventsOps.overlapJoinBinned(a, b, cell)
+        .select("a_id", "b_id").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(binned === plain, s"cell=$cell")
+    }
+  }
+
   test("triangleStats: star hub contributes wedges, never triangles — " +
       "and the orientation sends every edge AWAY from the leaves") {
     // hub 0 connected to 5 leaves: wedges = C(5,2) = 10, triangles 0.
