@@ -1645,7 +1645,31 @@ object SparkEntry {
         .groupBy(col("bs").as("month_start_day"))
         .agg(count(lit(1)).as("n_shipments"))
         .orderBy("month_start_day")
-    })
+    }),
+
+    // north star — right-to-be-forgotten sweep (Curate.tombstoneSweep
+    // scaladoc): anti-join a tombstone list across every table carrying
+    // the entity, emit the audit summary a governance run has to file.
+    // Tombstones here = doc_id % 101 == 0, the deterministic stand-in
+    // for a removal-request list.
+    "q150_tombstone_sweep" -> ((s, dir) => {
+      val tomb = t(s, dir, "documents")
+        .where(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("tomb_id"))
+      Curate.tombstoneSweep(Seq(
+          ("documents", t(s, dir, "documents"), "doc_id"),
+          ("embeddings", t(s, dir, "embeddings"), "vec_id"),
+          ("events", t(s, dir, "events"), "user_id")),
+        tomb).orderBy("table_name")
+    }),
+
+    // north star — vocabulary-diversity entropy per source
+    // (Text.vocabEntropy scaladoc): template/generated text scores low;
+    // the integer-count identity keeps floats to one log per term.
+    "q151_vocab_entropy" -> ((s, dir) =>
+      Text.vocabEntropy(t(s, dir, "documents"), "source", "text")
+        .withColumnRenamed("grp", "source")
+        .orderBy("source"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -3333,6 +3357,41 @@ object SparkEntry {
           |  FROM mb JOIN li ON li.s < mb.be AND mb.bs < li.e)
           |SELECT bs AS month_start_day, COUNT(*) AS n_shipments
           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q150_tombstone_sweep" -> {
+        val per = (tbl: String, id: String) =>
+          s"""SELECT '$tbl' AS table_name,
+             |  (SELECT COUNT(*) FROM $tbl) AS n_before,
+             |  (SELECT COUNT(*) FROM $tbl x WHERE EXISTS
+             |    (SELECT 1 FROM tomb WHERE tid = x.$id)) AS n_removed,
+             |  (SELECT COUNT(*) FROM $tbl x WHERE NOT EXISTS
+             |    (SELECT 1 FROM tomb WHERE tid = x.$id)) AS n_after"""
+        s"""WITH tomb AS (SELECT doc_id AS tid FROM documents
+           |  WHERE doc_id % 101 = 0)
+           |SELECT table_name, n_before, n_removed, n_after FROM (
+           |${per("documents", "doc_id").stripMargin}
+           |UNION ALL
+           |${per("embeddings", "vec_id").stripMargin}
+           |UNION ALL
+           |${per("events", "user_id").stripMargin})
+           |ORDER BY table_name""".stripMargin
+      },
+
+      // same integer-count identity as the engine:
+      // H = log2(n) - sum(c*log2(c)) / n, floored at 6 dp
+      "q151_vocab_entropy" ->
+        s"""WITH tf AS (SELECT source, term, COUNT(*) AS c FROM (
+           |    SELECT source, UNNEST($toks) AS term FROM documents)
+           |  GROUP BY 1, 2),
+           |g AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           |    COUNT(*) AS n_terms,
+           |    SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS sclgc
+           |  FROM tf GROUP BY 1)
+           |SELECT source, n_tokens, n_terms,
+           |  ${Num.floorAtSql(
+             "log2(CAST(n_tokens AS DOUBLE)) - sclgc / n_tokens", 6)}
+           |    AS entropy_bits
+           |FROM g ORDER BY source""".stripMargin,
 
       // the salt is engine-internal, so the oracle is the PLAIN join —
       // result-identity with the unsalted plan is the correctness claim

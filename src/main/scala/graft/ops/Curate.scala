@@ -11,6 +11,39 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
+  /** Right-to-be-forgotten sweep: remove every row whose id appears in
+    * the tombstone list, across all tables that carry the entity, and
+    * emit the audit summary (before/removed/after per table) that a
+    * data-governance run has to file. Dataset deletion requests are a
+    * standing obligation for any training corpus assembled from user
+    * content — this is the batch form (the q135 admission filter is the
+    * ingest-time form: tombstones can also be folded into its standing
+    * signature set so removed content cannot re-enter).
+    *
+    * Tombstone lists are request-sized (thousands), so the anti-join
+    * broadcasts them — each table is one scan with a hash-probe filter,
+    * no shuffle. A court-ordered bulk purge (millions of ids) flips to
+    * a shuffle anti-join; same plan otherwise. Counts are one scalar
+    * agg per table, unioned.
+    *
+    * Output: (table_name, n_before, n_removed, n_after) per table.
+    */
+  def tombstoneSweep(tables: Seq[(String, DataFrame, String)],
+                     tombstones: DataFrame): DataFrame = {
+    val tomb = tombstones.select(col(tombstones.columns.head)
+      .as("__tomb_id"))
+    tables.map { case (name, df, idCol) =>
+      val after = df.join(broadcast(tomb),
+          col(idCol) === col("__tomb_id"), "left_anti")
+        .agg(count(lit(1)).as("n_after"))
+      df.agg(count(lit(1)).as("n_before"))
+        .crossJoin(after)
+        .select(lit(name).as("table_name"), col("n_before"),
+          (col("n_before") - col("n_after")).as("n_removed"),
+          col("n_after"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Cross-source contamination matrix: for every pair of sources, the
     * number of w-gram shingles they share and the overlap coefficient
     * |A∩B| / min(|A|,|B|). The corpus-level view of q114's

@@ -276,6 +276,36 @@ object Text {
     * mirrored operation-for-operation in the oracle and floor-stabilized
     * at 6 dp so last-ulp ln() skew cannot flip the ranking.
     */
+  /** Per-group token-distribution Shannon entropy — the vocabulary-
+    * diversity quality signal (template/generated text and scraped
+    * boilerplate score LOW; natural prose sits near the corpus norm).
+    * Uses the integer-count identity H = log2(n) − Σ c·log2(c) / n so
+    * the only float work is one log per DISTINCT term; counts stay
+    * exact BIGINTs through both shuffles. The float sum is floored at
+    * 6 dp (the q127 stance: ulp-order accumulation drift sits ~1e-13,
+    * far below the floor).
+    *
+    * Shape at scale: (group, term) counts partial-aggregate map-side —
+    * a stopword collapses before the shuffle — then one group-keyed
+    * agg. No windows, no joins.
+    *
+    * Output: (group, n_tokens, n_terms, entropy_bits).
+    */
+  def vocabEntropy(docs: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val tf = docs.select(col(groupCol).as("grp"),
+        explode(cleanTokens(col(textCol))).as("term"))
+      .groupBy("grp", "term").agg(count(lit(1)).as("c"))
+    tf.groupBy("grp").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(col("c").cast("double") * log2(col("c").cast("double")))
+          .as("sclgc"))
+      .select(col("grp"), col("n_tokens"), col("n_terms"),
+        Num.floorAt(log2(col("n_tokens").cast("double")) -
+          col("sclgc") / col("n_tokens"), 6).as("entropy_bits"))
+  }
+
   def pmiTopK(docs: DataFrame, idCol: String, textCol: String,
               minCount: Long, k: Int): DataFrame = {
     val toks = docs.select(cleanTokens(col(textCol)).as("t"))

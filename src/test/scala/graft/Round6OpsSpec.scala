@@ -297,6 +297,31 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("tombstoneSweep: removes exactly the tombstoned ids per table, " +
+      "counts reconcile") {
+    val d1 = (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+    val d2 = (5L to 14L).map(i => (i, i * 2)).toDF("k", "w")
+    val tomb = Seq(2L, 5L, 14L, 99L).toDF("tomb_id") // 99 hits nothing
+    val got = graft.ops.Curate.tombstoneSweep(
+        Seq(("t1", d1, "id"), ("t2", d2, "k")), tomb)
+      .orderBy("table_name")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got === Array(("t1", 10L, 2L, 8L), ("t2", 10L, 2L, 8L)))
+  }
+
+  test("vocabEntropy: uniform vocabulary scores log2(V) bits, " +
+      "single-token text scores zero") {
+    val docs = Seq(
+      (1L, "u", "aa bb cc dd aa bb cc dd"), // uniform over 4 terms
+      (2L, "m", "aa aa aa aa")).toDF("doc_id", "source", "text")
+    val got = graft.ops.Text.vocabEntropy(docs, "source", "text")
+      .orderBy("grp").as[(String, Long, Long, Double)].collect()
+    val byG = got.map(r => r._1 -> r).toMap
+    assert(byG("u")._2 === 8L && byG("u")._3 === 4L)
+    assert(byG("u")._4 === 2.0, "uniform over 4 terms = 2 bits exactly")
+    assert(byG("m")._2 === 4L && byG("m")._3 === 1L && byG("m")._4 === 0.0)
+  }
+
   test("triangleStats: star hub contributes wedges, never triangles — " +
       "and the orientation sends every edge AWAY from the leaves") {
     // hub 0 connected to 5 leaves: wedges = C(5,2) = 10, triangles 0.
