@@ -1669,6 +1669,16 @@ object SparkEntry {
     "q151_vocab_entropy" -> ((s, dir) =>
       Text.vocabEntropy(t(s, dir, "documents"), "source", "text")
         .withColumnRenamed("grp", "source")
+        .orderBy("source")),
+
+    // north star — alpha-temperature mixture weights
+    // (Curate.mixtureWeights scaladoc): the rebalancing math between
+    // proportional (α=1) and uniform (α=0) that feeds q117's rates and
+    // q144's budgets; α=0.5, 1M-token budget.
+    "q152_mixture_weights" -> ((s, dir) =>
+      Curate.mixtureWeights(t(s, dir, "documents"), "source", "text",
+          alpha = 0.5, budget = 1000000L)
+        .withColumnRenamed("grp", "source")
         .orderBy("source"))
   )
 
@@ -3392,6 +3402,24 @@ object SparkEntry {
              "log2(CAST(n_tokens AS DOUBLE)) - sclgc / n_tokens", 6)}
            |    AS entropy_bits
            |FROM g ORDER BY source""".stripMargin,
+
+      // pow/normalizer evaluated in the same double op order; floor
+      // (not CAST) for expected_tokens — DuckDB CAST rounds, Spark
+      // truncates, floor agrees
+      "q152_mixture_weights" ->
+        s"""WITH c AS (SELECT source, CAST(SUM(len($toks)) AS BIGINT)
+           |    AS n_tokens
+           |  FROM documents GROUP BY 1),
+           |z AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           |    SUM(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS z FROM c)
+           |SELECT source, n_tokens,
+           |  ${Num.floorAtSql(
+             "CAST(n_tokens AS DOUBLE) / total_tokens", 6)} AS share,
+           |  ${Num.floorAtSql(
+             "pow(CAST(n_tokens AS DOUBLE), 0.5) / z", 6)} AS weight,
+           |  CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.5) / z
+           |    * 1000000) AS BIGINT) AS expected_tokens
+           |FROM c CROSS JOIN z ORDER BY source""".stripMargin,
 
       // the salt is engine-internal, so the oracle is the PLAIN join —
       // result-identity with the unsalted plan is the correctness claim

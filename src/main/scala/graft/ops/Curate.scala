@@ -236,6 +236,43 @@ object Curate {
     docs.where(md5Frac(col(idCol)) < rate)
   }
 
+  /** Temperature-scaled mixture weights: given per-group token counts,
+    * the alpha-temperature sampling weights w_g = n_g^α / Σ n^α — the
+    * standard rebalancing between "proportional to size" (α = 1) and
+    * "uniform across groups" (α = 0) used for multilingual and
+    * multi-source pretraining mixes. Emits, per group, its natural
+    * share, its α-weight, and the expected token draw under a total
+    * budget — the numbers that feed [[mixtureSample]]'s per-source
+    * rates and [[tokenBudgetSample]]'s per-group budgets.
+    *
+    * Shape at scale: one corpus-keyed agg (token counts per group,
+    * partial-aggregated) and one broadcast scalar for the Σ n^α
+    * normalizer — |groups| rows end to end after the first agg. All
+    * doubles floored at 6 dp; the pow/sum drift sits orders below.
+    *
+    * Output: (group, n_tokens, share, weight, expected_tokens).
+    */
+  def mixtureWeights(docs: DataFrame, groupCol: String, textCol: String,
+                     alpha: Double, budget: Long): DataFrame = {
+    val counts = docs.select(col(groupCol).as("grp"),
+        size(Text.cleanTokens(col(textCol))).cast("long").as("nt"))
+      .groupBy("grp").agg(sum(col("nt")).as("n_tokens"))
+      .localCheckpoint() // feeds the normalizer agg and the final select
+    val norm = counts.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      sum(pow(col("n_tokens").cast("double"), alpha)).as("z"))
+    counts.crossJoin(broadcast(norm))
+      .select(col("grp"), col("n_tokens"),
+        Num.floorAt(col("n_tokens").cast("double") /
+          col("total_tokens"), 6).as("share"),
+        Num.floorAt(pow(col("n_tokens").cast("double"), alpha) /
+          col("z"), 6).as("weight"),
+        // floor, not cast: DuckDB's CAST(double AS BIGINT) rounds to
+        // nearest while Spark's truncates — floor() agrees everywhere
+        floor(pow(col("n_tokens").cast("double"), alpha) / col("z") *
+          budget).cast("long").as("expected_tokens"))
+  }
+
   /** Per-document duplicated-n-gram share: of a doc's DISTINCT w-shingles,
     * the fraction also present in at least one OTHER document (the
     * boilerplate/duplication signal corpus reports track per source —

@@ -322,6 +322,29 @@ class Round6OpsSpec extends SparkSpec {
     assert(byG("m")._2 === 4L && byG("m")._3 === 1L && byG("m")._4 === 0.0)
   }
 
+  test("mixtureWeights: alpha=1 reproduces shares, alpha=0 is uniform, " +
+      "weights always sum to ~1") {
+    val docs = Seq(
+      (1L, "big", Seq.fill(90)("t").mkString(" ")),
+      (2L, "sml", Seq.fill(10)("t").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    def run(a: Double) = graft.ops.Curate.mixtureWeights(
+        docs, "source", "text", alpha = a, budget = 1000L)
+      .orderBy("grp").as[(String, Long, Double, Double, Long)].collect()
+    val prop = run(1.0)
+    assert(prop.map(r => (r._1, r._2, r._3, r._4)) ===
+      Array(("big", 90L, 0.9, 0.9), ("sml", 10L, 0.1, 0.1)))
+    assert(prop.map(_._5).toSeq === Seq(900L, 100L))
+    val unif = run(0.0)
+    assert(unif.forall(_._4 === 0.5), "alpha=0 must be uniform")
+    // alpha=0.5 sits strictly between: sml upweighted, big downweighted
+    val mid = run(0.5)
+    val byG = mid.map(r => r._1 -> r._4).toMap
+    assert(byG("sml") > 0.1 && byG("sml") < 0.5)
+    assert(byG("big") < 0.9 && byG("big") > 0.5)
+    assert(math.abs(mid.map(_._4).sum - 1.0) < 1e-4)
+  }
+
   test("triangleStats: star hub contributes wedges, never triangles — " +
       "and the orientation sends every edge AWAY from the leaves") {
     // hub 0 connected to 5 leaves: wedges = C(5,2) = 10, triangles 0.
