@@ -346,4 +346,47 @@ class PlanSpec extends SparkSpec {
     // exactly one exchange feeds the rank-selection window family
     assert(p.contains("windowspecdefinition(event_type"), p.take(1500))
   }
+
+  test("q142 triangle census: every join is keyed (no cartesian, no " +
+      "BNL), wedge count comes from partial-aggregated degrees, not a " +
+      "window") {
+    val p = plan("q142_triangle_census")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500))
+    // the only nested-loop allowed is the final 1-row×1-row stat glue
+    assert(!p.contains("windowspecdefinition(node"), p.take(1500))
+  }
+
+  test("q146 source overlap: the (source, shingle) frame partial-" +
+      "aggregates before the self-join; totals come back by broadcast") {
+    val p = plan("q146_source_overlap")
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q148 key profile: groupBy(key).count partial-aggregates (the " +
+      "profiler can never be the straggler it hunts) and no key window " +
+      "exists") {
+    val p = plan("q148_key_profile")
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(!p.contains("windowspecdefinition"), p.take(1500))
+  }
+
+  test("q149 interval overlap: the binned join is an EQUI hash join on " +
+      "the manufactured cell key — never BNL/cartesian on the raw " +
+      "overlap predicate") {
+    val p = plan("q149_interval_overlap")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("__cell"), p.take(1500))
+  }
+
+  test("q151 vocab entropy: (group, term) counts partial-aggregate " +
+      "map-side — a stopword collapses before the exchange") {
+    val p = plan("q151_vocab_entropy")
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(!p.contains("windowspecdefinition"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
 }
