@@ -1679,7 +1679,16 @@ object SparkEntry {
       Curate.mixtureWeights(t(s, dir, "documents"), "source", "text",
           alpha = 0.5, budget = 1000000L)
         .withColumnRenamed("grp", "source")
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // north star — multi-touch funnel (EventsOps.multiTouchFunnel
+    // scaladoc): every view→purchase conversion within 2h, daily rates;
+    // q104's first-touch form generalized to every occurrence via one
+    // ordered following-window, never a stream self-join.
+    "q153_multitouch_funnel" -> ((s, dir) =>
+      EventsOps.multiTouchFunnel(t(s, dir, "events"),
+          "view", "purchase", 7200)
+        .orderBy("day"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -3420,6 +3429,26 @@ object SparkEntry {
            |  CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.5) / z
            |    * 1000000) AS BIGINT) AS expected_tokens
            |FROM c CROSS JOIN z ORDER BY source""".stripMargin,
+
+      // identical following-window: the next B strictly AFTER this row
+      // in (es, event_id) order, then day-grain conversion rates
+      "q153_multitouch_funnel" ->
+        s"""WITH e AS (SELECT user_id, event_type, event_id,
+           |    ${epochSql("ts")} AS es FROM events),
+           |n AS (SELECT user_id, event_type, es,
+           |    MIN(CASE WHEN event_type = 'purchase' THEN es END)
+           |      OVER (PARTITION BY user_id ORDER BY es, event_id
+           |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           |      AS next_b
+           |  FROM e)
+           |SELECT CAST(es // 86400 AS BIGINT) AS day,
+           |  COUNT(*) AS n_from,
+           |  CAST(SUM(COALESCE(CAST(next_b - es <= 7200 AS BIGINT), 0))
+           |    AS BIGINT) AS n_converted,
+           |  floor(10000.0 * SUM(COALESCE(CAST(next_b - es <= 7200
+           |    AS BIGINT), 0)) / COUNT(*)) / 100 AS pct_converted
+           |FROM n WHERE event_type = 'view'
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // the salt is engine-internal, so the oracle is the PLAIN join —
       // result-identity with the unsalted plan is the correctness claim

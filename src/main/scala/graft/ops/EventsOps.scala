@@ -323,6 +323,38 @@ object EventsOps {
           / count(lit(1))) / 100).as("pct_converted"))
   }
 
+  /** Per-OCCURRENCE time-bounded funnel (multi-touch): EVERY `fromType`
+    * event converts iff the same user's next `toType` event lands
+    * within `windowSeconds` — vs [[funnelConversion]]'s first-touch
+    * per-user form. Daily conversion rates out.
+    *
+    * One user-keyed ordered window (the rank-family exemption: the
+    * "next B after this A" semantics ARE the order; state is bounded
+    * per user, spillable sort) computes each event's next-B timestamp
+    * via min-over-following; one day-keyed agg closes. Two shuffles
+    * total, both partial-aggregated or sort-based — no self-join of
+    * the event stream against itself.
+    *
+    * Output: (day, n_from, n_converted, pct_converted).
+    */
+  def multiTouchFunnel(events: DataFrame, fromType: String, toType: String,
+                       windowSeconds: Long): DataFrame = {
+    val es = events.select(col("user_id"), col("event_type"),
+      col("event_id"), unix_timestamp(col("ts")).as("es"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("es").asc, col("event_id").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val conv = (col("next_b") - col("es") <= windowSeconds).cast("long")
+    es.withColumn("next_b",
+        min(when(col("event_type") === toType, col("es"))).over(w))
+      .where(col("event_type") === fromType)
+      .groupBy(floor(col("es") / 86400).cast("long").as("day"))
+      .agg(count(lit(1)).as("n_from"),
+        sum(coalesce(conv, lit(0L))).as("n_converted"),
+        (floor(lit(10000.0) * sum(coalesce(conv, lit(0L)))
+          / count(lit(1))) / 100).as("pct_converted"))
+  }
+
   /** Event-transition counts (first-order Markov): per user, pair each
     * event with its predecessor's type via one lag window, then count
     * (prev_type, event_type) transitions globally. Two shuffles: user_id

@@ -345,6 +345,29 @@ class Round6OpsSpec extends SparkSpec {
     assert(math.abs(mid.map(_._4).sum - 1.0) < 1e-4)
   }
 
+  test("multiTouchFunnel: every occurrence judged against the NEXT " +
+      "target; same-timestamp target counts via event_id order; window " +
+      "bound is inclusive") {
+    val rows = Seq(
+      // u1: view@0 -> purchase@100 (converts); view@8000 -> nothing
+      (1L, 1L, "view", 0L), (2L, 1L, "purchase", 100L),
+      (3L, 1L, "view", 8000L),
+      // u2: view@0 -> purchase@9000 (outside 7200; no conversion)
+      (4L, 2L, "view", 0L), (5L, 2L, "purchase", 9000L),
+      // u3: purchase BEFORE the view never counts; same-ts purchase
+      // with a LARGER event_id is "following" and converts at bound 0
+      (6L, 3L, "purchase", 50L), (7L, 3L, "view", 200L),
+      (8L, 3L, "purchase", 200L))
+      .toDF("event_id", "user_id", "event_type", "es")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("es")).as("ts"))
+    val got = graft.ops.EventsOps.multiTouchFunnel(
+        rows, "view", "purchase", 7200)
+      .orderBy("day").as[(Long, Long, Long, Double)].collect()
+    // all events are on day 0: 4 views, converted = u1@0 and u3@200
+    assert(got === Array((0L, 4L, 2L, 50.0)))
+  }
+
   test("triangleStats: star hub contributes wedges, never triangles — " +
       "and the orientation sends every edge AWAY from the leaves") {
     // hub 0 connected to 5 leaves: wedges = C(5,2) = 10, triangles 0.
