@@ -1688,7 +1688,16 @@ object SparkEntry {
     "q153_multitouch_funnel" -> ((s, dir) =>
       EventsOps.multiTouchFunnel(t(s, dir, "events"),
           "view", "purchase", 7200)
-        .orderBy("day"))
+        .orderBy("day")),
+
+    // north star — Neyman budget allocation (Agg.neymanAllocation
+    // scaladoc): spend a 10k-row labeling/eval budget across event
+    // types ∝ N_h·σ_h — the variance-minimizing stratification that
+    // q91's stratified sampler then executes.
+    "q154_neyman_alloc" -> ((s, dir) =>
+      Agg.neymanAllocation(t(s, dir, "events"), "event_type", "value",
+          budget = 10000L)
+        .orderBy("stratum"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -3449,6 +3458,27 @@ object SparkEntry {
            |    AS BIGINT), 0)) / COUNT(*)) / 100 AS pct_converted
            |FROM n WHERE event_type = 'view'
            |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // q98's decimal moment sums; same double op order; floor (not
+      // CAST) closes the sample counts
+      "q154_neyman_alloc" -> {
+        val (sx, sxx) = ("CAST(sx AS DOUBLE)", "CAST(sxx AS DOUBLE)")
+        val sd = s"CASE WHEN n > 1 THEN " +
+          s"sqrt(($sxx - $sx * $sx / n) / (n - 1)) ELSE 0.0 END"
+        s"""WITH g AS (SELECT event_type AS stratum, COUNT(*) AS n,
+           |    SUM(CAST(value AS DECIMAL(18,2))) AS sx,
+           |    SUM(CAST(value AS DECIMAL(18,2))
+           |      * CAST(value AS DECIMAL(18,2))) AS sxx
+           |  FROM events GROUP BY 1),
+           |ns AS (SELECT stratum, n, $sd AS sd, n * ($sd) AS nsd
+           |  FROM g),
+           |z AS (SELECT SUM(nsd) AS z FROM ns)
+           |SELECT stratum, n AS n_rows,
+           |  ${Num.floorAtSql("sd", 4)} AS stddev,
+           |  ${Num.floorAtSql("nsd / z", 6)} AS alloc_weight,
+           |  CAST(floor(nsd / z * 10000) AS BIGINT) AS n_sample
+           |FROM ns CROSS JOIN z ORDER BY stratum""".stripMargin
+      },
 
       // the salt is engine-internal, so the oracle is the PLAIN join —
       // result-identity with the unsalted plan is the correctness claim

@@ -154,6 +154,46 @@ object Agg {
       Num.floorAt((cov / varx) * (cov / vary), 6).as("r2"))
   }
 
+  /** Neyman allocation: split a sampling budget across strata
+    * proportionally to N_h·σ_h — the variance-minimizing allocation for
+    * stratified estimation (Neyman 1934), which is how a labeling or
+    * eval budget should actually be spent across sources/languages
+    * (uniform and proportional allocation both waste budget on
+    * low-variance strata). σ_h comes from the [[exactMoments]] decimal
+    * power sums, so the allocation is deterministic and mergeable
+    * across shards; zero-variance and single-row strata get weight 0
+    * (a constant stratum needs one probe, not a share — callers add
+    * their floor).
+    *
+    * One keyed agg (the moment sums) + one broadcast scalar for the
+    * Σ N·σ normalizer — |strata| rows after the first agg. Floors on
+    * the emitted doubles; the sample count uses floor (DuckDB CAST
+    * rounds, Spark truncates).
+    *
+    * Output: (stratum, n_rows, stddev, alloc_weight, n_sample).
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+                       valueCol: String, budget: Long): DataFrame = {
+    val xd = col(valueCol).cast("decimal(18,2)")
+    val g = df.groupBy(col(stratumCol).as("stratum")).agg(
+      count(lit(1)).as("n"), sum(xd).as("sx"), sum(xd * xd).as("sxx"))
+    val (sx, sxx) = (col("sx").cast("double"), col("sxx").cast("double"))
+    // sample stddev; 0 for degenerate strata so they drop out of the
+    // allocation instead of poisoning it with NaN
+    val sd = when(col("n") > 1,
+        sqrt((sxx - sx * sx / col("n")) / (col("n") - 1)))
+      .otherwise(lit(0.0))
+    val ns = g.select(col("stratum"), col("n"),
+      (col("n") * sd).as("nsd"), sd.as("sd"))
+    val norm = ns.agg(sum(col("nsd")).as("z"))
+    ns.crossJoin(broadcast(norm))
+      .select(col("stratum"), col("n").as("n_rows"),
+        Num.floorAt(col("sd"), 4).as("stddev"),
+        Num.floorAt(col("nsd") / col("z"), 6).as("alloc_weight"),
+        floor(col("nsd") / col("z") * budget).cast("long")
+          .as("n_sample"))
+  }
+
   /** Deterministic WEIGHTED sample (A-Res, Efraimidis–Spirakis): rank
     * rows by ln(u)/w descending — the monotonic equivalent of the
     * classic u^(1/w) key (both maximize exp(ln(u)/w)), chosen because

@@ -368,6 +368,29 @@ class Round6OpsSpec extends SparkSpec {
     assert(got === Array((0L, 4L, 2L, 50.0)))
   }
 
+  test("neymanAllocation: budget splits proportional to N*sigma, " +
+      "constant strata get zero, weights sum to 1") {
+    // stratum a: 4 rows of {0,0,10,10} -> sd = sqrt(100/3) ~ 5.7735
+    // stratum b: 8 rows alternating {0,20} -> sd = sqrt(800/7) ~ 10.6904
+    // stratum c: constant -> sd 0 -> weight 0
+    val rows = Seq(("a", 0.0), ("a", 0.0), ("a", 10.0), ("a", 10.0)) ++
+      (1 to 8).map(i => ("b", if (i % 2 == 0) 20.0 else 0.0)) ++
+      Seq(("c", 7.0), ("c", 7.0))
+    val got = graft.ops.Agg.neymanAllocation(
+        rows.toDF("k", "v"), "k", "v", budget = 1000L)
+      .orderBy("stratum").as[(String, Long, Double, Double, Long)]
+      .collect()
+    val byK = got.map(r => r._1 -> r).toMap
+    assert(byK("c")._3 === 0.0 && byK("c")._4 === 0.0 &&
+      byK("c")._5 === 0L)
+    // N*sd: a = 4*5.7735 = 23.094, b = 8*10.6904 = 85.523 -> a gets
+    // ~21.26%, b ~78.73%
+    assert(byK("a")._4 > 0.21 && byK("a")._4 < 0.22, byK("a").toString)
+    assert(byK("b")._4 > 0.78 && byK("b")._4 < 0.79, byK("b").toString)
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-4)
+    assert(got.map(_._5).sum <= 1000L, "floor can undershoot, never over")
+  }
+
   test("triangleStats: star hub contributes wedges, never triangles — " +
       "and the orientation sends every edge AWAY from the leaves") {
     // hub 0 connected to 5 leaves: wedges = C(5,2) = 10, triangles 0.
