@@ -1697,7 +1697,36 @@ object SparkEntry {
     "q154_neyman_alloc" -> ((s, dir) =>
       Agg.neymanAllocation(t(s, dir, "events"), "event_type", "value",
           budget = 10000L)
-        .orderBy("stratum"))
+        .orderBy("stratum")),
+
+    // north star — dedup-pipeline EVALUATION: the LSH path's recall
+    // MEASURED against exact ground truth at the same threshold. Truth
+    // = q121's exact-recall prefix-filter pairs (Jaccard >= 0.8); LSH =
+    // q111's band-then-verify at 0.8. Verified admission has no false
+    // positives by construction (measured precision must come out 1.0);
+    // what banding can lose is recall — this query puts a number on it
+    // instead of trusting the (k, bands) collision analysis.
+    "q155_dedup_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val truth = Dedup.prefixFilterPairs(docs, "doc_id", "text",
+          w = 3, minJaccard = 0.8)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val lsh = Dedup.lshVerifiedPairs(docs, "doc_id", "text",
+          k = 8, bands = 4, minJaccard = 0.8)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      val nL = lsh.agg(count(lit(1)).as("n_lsh"))
+      val nC = truth.join(lsh, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_common"))
+      nT.crossJoin(broadcast(nL)).crossJoin(broadcast(nC))
+        .select(col("n_truth"), col("n_lsh"), col("n_common"),
+          when(col("n_truth") === 0, lit(1.0)).otherwise(
+            Num.floorAt(col("n_common").cast("double") /
+              col("n_truth"), 4)).as("recall"),
+          when(col("n_lsh") === 0, lit(1.0)).otherwise(
+            Num.floorAt(col("n_common").cast("double") /
+              col("n_lsh"), 4)).as("precision"))
+    })
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -1766,7 +1795,10 @@ object SparkEntry {
          |  len(x.shs) AS na, len(y.shs) AS nb
          |  FROM cands JOIN dsh x ON x.id = cands.id_a
          |             JOIN dsh y ON y.id = cands.id_b),
-         |pairs AS (SELECT id_a, id_b FROM scored
+         |pairs AS (SELECT id_a, id_b,
+         |    floor(CAST(c AS DOUBLE) / (na + nb - c) * 10000) / 10000
+         |      AS jacc
+         |  FROM scored
          |  WHERE floor(CAST(c AS DOUBLE) / (na + nb - c) * 10000) / 10000
          |    >= 0.2)""".stripMargin
 
@@ -3479,6 +3511,35 @@ object SparkEntry {
            |  CAST(floor(nsd / z * 10000) AS BIGINT) AS n_sample
            |FROM ns CROSS JOIN z ORDER BY stratum""".stripMargin
       },
+
+      // truth = brute exact Jaccard >= 0.8 over the same shingle space
+      // (reusing the verified-pairs chain's dsh frame); lsh = the
+      // chain's pairs at the 0.8 floor — both 4dp-floored exactly as
+      // the engine floors
+      "q155_dedup_eval" ->
+        s"""WITH $verifiedPairsCte,
+           |tsh AS (SELECT id, UNNEST(shs) AS s FROM dsh),
+           |sizes AS (SELECT id, len(shs) AS n FROM dsh),
+           |tcommon AS (SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS c
+           |  FROM tsh x JOIN tsh y ON x.s = y.s AND x.id < y.id
+           |  GROUP BY 1, 2),
+           |truth AS (SELECT id_a, id_b FROM tcommon
+           |  JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b
+           |  WHERE ${Num.floorAtSql(
+             "CAST(c AS DOUBLE) / (na.n + nb.n - c)", 4)} >= 0.8),
+           |lsh AS (SELECT id_a, id_b FROM pairs WHERE jacc >= 0.8),
+           |nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+           |nl AS (SELECT COUNT(*) AS n_lsh FROM lsh),
+           |nc AS (SELECT COUNT(*) AS n_common
+           |  FROM truth JOIN lsh USING (id_a, id_b))
+           |SELECT n_truth, n_lsh, n_common,
+           |  CASE WHEN n_truth = 0 THEN 1.0 ELSE
+           |    floor(CAST(n_common AS DOUBLE) / n_truth * 10000) / 10000
+           |  END AS recall,
+           |  CASE WHEN n_lsh = 0 THEN 1.0 ELSE
+           |    floor(CAST(n_common AS DOUBLE) / n_lsh * 10000) / 10000
+           |  END AS precision
+           |FROM nt CROSS JOIN nl CROSS JOIN nc""".stripMargin,
 
       // the salt is engine-internal, so the oracle is the PLAIN join —
       // result-identity with the unsalted plan is the correctness claim
