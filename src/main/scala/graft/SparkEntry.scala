@@ -1726,7 +1726,16 @@ object SparkEntry {
           when(col("n_lsh") === 0, lit(1.0)).otherwise(
             Num.floorAt(col("n_common").cast("double") /
               col("n_lsh"), 4)).as("precision"))
-    })
+    }),
+
+    // north star — mix-shift drift (EventsOps.psiDrift scaladoc): PSI
+    // between the first and second half of the stream's day range.
+    // q147 alarms on per-type volume; this alarms on the MIX — a
+    // producer swapping click for error traffic at constant volume
+    // only shows up here.
+    "q156_psi_drift" -> ((s, dir) =>
+      EventsOps.psiDrift(t(s, dir, "events"))
+        .orderBy("event_type"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -3540,6 +3549,38 @@ object SparkEntry {
            |    floor(CAST(n_common AS DOUBLE) / n_lsh * 10000) / 10000
            |  END AS precision
            |FROM nt CROSS JOIN nl CROSS JOIN nc""".stripMargin,
+
+      // same integer-midpoint era split, Laplace shares, and double op
+      // order as EventsOps.psiDrift; ln is DuckDB's natural log
+      "q156_psi_drift" ->
+        s"""WITH d AS (SELECT event_type,
+           |    CAST(${epochSql("ts")} // 86400 AS BIGINT) AS day
+           |  FROM events),
+           |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+           |c AS (SELECT event_type,
+           |    CAST(SUM(CASE WHEN day <= (d0 + d1) // 2 THEN 1 ELSE 0
+           |      END) AS BIGINT) AS ca,
+           |    CAST(SUM(CASE WHEN day > (d0 + d1) // 2 THEN 1 ELSE 0
+           |      END) AS BIGINT) AS cb
+           |  FROM d CROSS JOIN b GROUP BY 1),
+           |n AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+           |    CAST(SUM(cb) AS BIGINT) AS nb, COUNT(*) AS k FROM c),
+           |t AS (SELECT event_type,
+           |    CAST(ca + 1 AS DOUBLE) / (na + k) AS share_a,
+           |    CAST(cb + 1 AS DOUBLE) / (nb + k) AS share_b,
+           |    (CAST(ca + 1 AS DOUBLE) / (na + k)
+           |      - CAST(cb + 1 AS DOUBLE) / (nb + k))
+           |      * ln((CAST(ca + 1 AS DOUBLE) / (na + k))
+           |          / (CAST(cb + 1 AS DOUBLE) / (nb + k))) AS psi_term
+           |  FROM c CROSS JOIN n),
+           |tot AS (SELECT SUM(psi_term) AS tp FROM t)
+           |SELECT event_type,
+           |  ${Num.floorAtSql("share_a", 6)} AS share_a,
+           |  ${Num.floorAtSql("share_b", 6)} AS share_b,
+           |  ${Num.floorAtSql("psi_term", 6)} AS psi_term,
+           |  ${Num.floorAtSql("tp", 6)} AS total_psi,
+           |  ${Num.floorAtSql("tp", 6)} >= 0.2 AS drifted
+           |FROM t CROSS JOIN tot ORDER BY event_type""".stripMargin,
 
       // the salt is engine-internal, so the oracle is the PLAIN join —
       // result-identity with the unsalted plan is the correctness claim

@@ -355,6 +355,58 @@ object EventsOps {
           / count(lit(1))) / 100).as("pct_converted"))
   }
 
+  /** Population Stability Index between the first and second half of
+    * the event stream's time range — the standard distribution-shift
+    * metric (PSI = Σ (p−q)·ln(p/q) over categories; > 0.2 is the
+    * conventional "significant drift" line). [[dailyAnomalies]] alarms
+    * on per-type VOLUME; PSI alarms on the MIX — a producer that
+    * swaps click traffic for error traffic at constant volume only
+    * shows up here.
+    *
+    * Laplace-smoothed shares ((c+1)/(n+|types|)) so a category absent
+    * from one era contributes a finite, large term instead of ±∞ —
+    * smoothing constants are exact integers, deterministic in both
+    * engines. One keyed agg per era off one (type, era) count frame,
+    * broadcast era totals, one join on type. The era split is the
+    * integer midpoint of the observed day range — a pure function of
+    * the data.
+    *
+    * Output: (event_type, share_a, share_b, psi_term, total_psi,
+    * drifted) — one row per type, total repeated for the read-off.
+    */
+  def psiDrift(events: DataFrame, driftAt: Double = 0.2): DataFrame = {
+    val daily = events.select(col("event_type"),
+      floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+    val bounds = daily.agg(min(col("day")).as("d0"),
+      max(col("day")).as("d1"))
+    // one conditional agg per type gives both era counts in one pass —
+    // a type absent from an era gets an explicit 0 (so smoothing always
+    // applies; no missing-row ±∞ path exists)
+    val counts = daily.crossJoin(broadcast(bounds))
+      .groupBy("event_type").agg(
+        sum(when(col("day") <= (col("d0") + col("d1")) / 2, 1L)
+          .otherwise(0L)).as("ca"),
+        sum(when(col("day") > (col("d0") + col("d1")) / 2, 1L)
+          .otherwise(0L)).as("cb"))
+      .localCheckpoint() // feeds the normalizer agg and the final terms
+    val norm = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("k"))
+    val shareA = (col("ca") + 1).cast("double") / (col("na") + col("k"))
+    val shareB = (col("cb") + 1).cast("double") / (col("nb") + col("k"))
+    val terms = counts.crossJoin(broadcast(norm))
+      .select(col("event_type"), shareA.as("share_a"),
+        shareB.as("share_b"),
+        ((shareA - shareB) * log(shareA / shareB)).as("psi_term"))
+    val total = terms.agg(sum(col("psi_term")).as("tp"))
+    terms.crossJoin(broadcast(total))
+      .select(col("event_type"),
+        Num.floorAt(col("share_a"), 6).as("share_a"),
+        Num.floorAt(col("share_b"), 6).as("share_b"),
+        Num.floorAt(col("psi_term"), 6).as("psi_term"),
+        Num.floorAt(col("tp"), 6).as("total_psi"),
+        (Num.floorAt(col("tp"), 6) >= driftAt).as("drifted"))
+  }
+
   /** Event-transition counts (first-order Markov): per user, pair each
     * event with its predecessor's type via one lag window, then count
     * (prev_type, event_type) transitions globally. Two shuffles: user_id

@@ -391,6 +391,33 @@ class Round6OpsSpec extends SparkSpec {
     assert(got.map(_._5).sum <= 1000L, "floor can undershoot, never over")
   }
 
+  test("psiDrift: a mix swap across the midpoint trips the 0.2 line, " +
+      "a stable mix does not, and absent-in-one-era types stay finite") {
+    // days 0..9; era a = days 0..4, era b = 5..9 (midpoint 4.5)
+    def ev(ty: String, day: Long, i: Long) = (ty, day * 86400 + i)
+    // drifted: 'x' dominates era a, 'y' era b, 'z' ONLY in era b
+    val drift = ((0L to 4L).flatMap(d => (0L until 20L).map(ev("x", d, _))) ++
+      (5L to 9L).flatMap(d => (0L until 20L).map(ev("y", d, _))) ++
+      (5L to 9L).flatMap(d => (0L until 4L).map(ev("z", d, _))))
+      .toDF("event_type", "es")
+      .select(col("event_type"), to_timestamp(col("es")).as("ts"))
+    val got = graft.ops.EventsOps.psiDrift(drift)
+      .as[(String, Double, Double, Double, Double, Boolean)].collect()
+    assert(got.forall(_._6), "swap must read as drifted")
+    assert(got.forall(r => !r._4.isNaN && !r._4.isInfinite),
+      "smoothing must keep absent-era types finite")
+    assert(got.head._5 > 0.2)
+    // stable: the same mix in both eras
+    val stable = ((0L to 9L).flatMap(d => (0L until 10L).map(ev("x", d, _))) ++
+      (0L to 9L).flatMap(d => (0L until 10L).map(ev("y", d, _))))
+      .toDF("event_type", "es")
+      .select(col("event_type"), to_timestamp(col("es")).as("ts"))
+    val s = graft.ops.EventsOps.psiDrift(stable)
+      .as[(String, Double, Double, Double, Double, Boolean)].collect()
+    assert(s.forall(!_._6), s"stable mix flagged: ${s.head._5}")
+    assert(math.abs(s.head._5) < 0.01)
+  }
+
   test("triangleStats: star hub contributes wedges, never triangles — " +
       "and the orientation sends every edge AWAY from the leaves") {
     // hub 0 connected to 5 leaves: wedges = C(5,2) = 10, triangles 0.
