@@ -1735,7 +1735,29 @@ object SparkEntry {
     // only shows up here.
     "q156_psi_drift" -> ((s, dir) =>
       EventsOps.psiDrift(t(s, dir, "events"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // north star — KEEP-THE-BEST canonical selection: within each
+    // near-dup component the survivor is the highest q134 quality
+    // score (min doc_id only breaks score ties) — the policy real
+    // curation wants instead of q128's keep-lowest-id. One rank window
+    // over component-sized groups on top of the CC labels; quality
+    // joins in doc-keyed.
+    "q157_survivor_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val comp = Dedup.componentsConverged(
+        Dedup.lshVerifiedPairs(docs, "doc_id", "text",
+          k = 8, bands = 4, minJaccard = 0.2)).localCheckpoint()
+      val q = Curate.ngramQualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      val w = Window.partitionBy("component")
+        .orderBy(col("quality_score").desc, col("doc_id").asc)
+      comp.join(q, Seq("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .select(col("doc_id"), col("component"), col("quality_score"),
+          (col("rk") === 1).as("is_survivor"))
+        .orderBy("doc_id")
+    })
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -1816,18 +1838,24 @@ object SparkEntry {
     // must produce the identical component map over the identical q111
     // pair graph — sharing the string makes divergence impossible to
     // miss. Reachability via a recursive CTE; component = min reachable.
+    // exact components over the verified pairs as a reusable CTE chain
+    // ending in `comp(doc_id, component)` — reachability via a
+    // recursive CTE; component = min reachable id
+    val ccCte =
+      """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, lbl) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id AS doc_id, MIN(lbl) AS component
+        |         FROM reach GROUP BY id)""".stripMargin
+
     val ccOracleSql =
       s"""WITH RECURSIVE
          |$verifiedPairsCte,
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach(id, lbl) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-         |comp AS (SELECT id AS doc_id, MIN(lbl) AS component
-         |         FROM reach GROUP BY id)
+         |$ccCte
          |SELECT doc_id, component,
          |  COUNT(*) OVER (PARTITION BY component) AS n_members,
          |  (doc_id = component) AS is_survivor
@@ -3581,6 +3609,35 @@ object SparkEntry {
            |  ${Num.floorAtSql("tp", 6)} AS total_psi,
            |  ${Num.floorAtSql("tp", 6)} >= 0.2 AS drifted
            |FROM t CROSS JOIN tot ORDER BY event_type""".stripMargin,
+
+      // the CC chain + the q134 quality chain (reusing the pairs CTE's
+      // `cleaned`), survivor = rank 1 by (floored score DESC, doc_id)
+      "q157_survivor_quality" ->
+        s"""WITH RECURSIVE
+           |$verifiedPairsCte,
+           |$ccCte,
+           |qtok AS (SELECT id AS doc_id, $cleanToks AS t FROM cleaned),
+           |qg AS (SELECT doc_id,
+           |    UNNEST(list_concat(t, ${shinglesSql("t", 2)})) AS g
+           |  FROM qtok),
+           |qwt AS (SELECT doc_id,
+           |    CAST((${Curate.QualityWeights.mkString("[", ", ", "]")})[
+           |      CAST(${md5HexNSql("g", 8)} % ${Curate.QualityBuckets}
+           |        AS INTEGER) + 1] AS DECIMAL(18,6)) AS wt
+           |  FROM qg),
+           |qs AS (SELECT doc_id,
+           |    ${Num.floorAtSql(
+               s"1.0 / (1.0 + exp(-((${Curate.QualityBias}) " +
+                 "+ CAST(SUM(wt) AS DOUBLE) / COUNT(*))))", 6)}
+           |      AS quality_score
+           |  FROM qwt GROUP BY doc_id),
+           |ranked AS (SELECT c.doc_id, c.component, q.quality_score,
+           |    row_number() OVER (PARTITION BY c.component
+           |      ORDER BY q.quality_score DESC, c.doc_id ASC) AS rk
+           |  FROM comp c JOIN qs q USING (doc_id))
+           |SELECT doc_id, component, quality_score,
+           |  rk = 1 AS is_survivor
+           |FROM ranked ORDER BY doc_id""".stripMargin,
 
       // the salt is engine-internal, so the oracle is the PLAIN join —
       // result-identity with the unsalted plan is the correctness claim

@@ -418,6 +418,20 @@ class Round6OpsSpec extends SparkSpec {
     assert(math.abs(s.head._5) < 0.01)
   }
 
+  test("q157 survivor-by-quality: exactly one survivor per component " +
+      "and it carries the component's max score") {
+    val rows = SparkEntry.queries("q157_survivor_quality")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (comp, rs) =>
+      val survivors = rs.filter(_._4)
+      assert(survivors.length === 1, s"component $comp")
+      assert(survivors.head._3 === rs.map(_._3).max,
+        s"component $comp survivor is not the best")
+    }
+  }
+
   test("triangleStats: star hub contributes wedges, never triangles — " +
       "and the orientation sends every edge AWAY from the leaves") {
     // hub 0 connected to 5 leaves: wedges = C(5,2) = 10, triangles 0.
