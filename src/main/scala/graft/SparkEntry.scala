@@ -1757,7 +1757,17 @@ object SparkEntry {
         .select(col("doc_id"), col("component"), col("quality_score"),
           (col("rk") === 1).as("is_survivor"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // §2.5 gap — per-group winsorization at exact rank-selected
+    // percentiles (Agg.winsorize scaladoc): clamp into [p05, p95] and
+    // report clip counts + the winsorized mean — outlier treatment
+    // before the statistics outliers wreck (q145's OLS, q147's
+    // z-scores).
+    "q158_winsorize" -> ((s, dir) =>
+      Agg.winsorize(t(s, dir, "events"), "event_type", "value",
+          pLo = 0.05, pHi = 0.95)
+        .orderBy("event_type"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -3638,6 +3648,33 @@ object SparkEntry {
            |SELECT doc_id, component, quality_score,
            |  rk = 1 AS is_survivor
            |FROM ranked ORDER BY doc_id""".stripMargin,
+
+      // same single-order-statistic ranks (floor((n-1)p)+1), min/max
+      // recovery of (lo, hi), and 4dp floors as Agg.winsorize
+      "q158_winsorize" ->
+        s"""WITH r AS (SELECT event_type, value,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY value) AS rn,
+           |    COUNT(*) OVER (PARTITION BY event_type) AS n
+           |  FROM events),
+           |b AS (SELECT event_type, MAX(n) AS n, MIN(value) AS lo,
+           |    MAX(value) AS hi
+           |  FROM r
+           |  WHERE rn = floor((n - 1) * 0.05) + 1
+           |     OR rn = floor((n - 1) * 0.95) + 1
+           |  GROUP BY 1)
+           |SELECT e.event_type, MAX(b.n) AS n,
+           |  ${Num.floorAtSql("MAX(b.lo)", 4)} AS p_lo,
+           |  ${Num.floorAtSql("MAX(b.hi)", 4)} AS p_hi,
+           |  CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_clipped_lo,
+           |  CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_clipped_hi,
+           |  ${Num.floorAtSql(
+             "SUM(greatest(b.lo, least(b.hi, e.value))) / COUNT(*)", 4)}
+           |    AS mean_winsorized
+           |FROM events e JOIN b ON b.event_type = e.event_type
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // the salt is engine-internal, so the oracle is the PLAIN join —
       // result-identity with the unsalted plan is the correctness claim

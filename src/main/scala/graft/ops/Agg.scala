@@ -281,6 +281,49 @@ object Agg {
       .agg(max(col("n")).as("n"), avg(col(x)).as("median"))
   }
 
+  /** Per-group winsorization at exact rank-selected percentiles — the
+    * outlier treatment feature pipelines apply before statistics that
+    * outliers wreck (means, OLS, z-scores): clamp each value into
+    * [p_lo, p_hi] and report the clip counts and the winsorized mean.
+    * Percentile bounds come from [[medianByRank]]'s rank-selection
+    * shape (rank floor((n−1)p)+1 — a single order statistic, no
+    * interpolation), so no per-group value buffer exists; the bounds
+    * frame is |groups| rows and broadcasts back onto the scan for the
+    * clipping pass.
+    *
+    * Output: (key, n, p_lo, p_hi, n_clipped_lo, n_clipped_hi,
+    * mean_winsorized).
+    */
+  def winsorize(df: DataFrame, key: String, x: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad range [$pLo, $pHi]")
+    val byVal = Window.partitionBy(col(key)).orderBy(col(x).asc)
+    val whole = Window.partitionBy(col(key))
+    val bounds = df.select(col(key), col(x))
+      .withColumn("rn", row_number().over(byVal))
+      .withColumn("n", count(lit(1)).over(whole))
+      .where(col("rn") === expr(s"floor((n - 1) * $pLo) + 1") ||
+        col("rn") === expr(s"floor((n - 1) * $pHi) + 1"))
+      // the lower-rank statistic is <= the higher one, so min/max
+      // recover (lo, hi) without carrying which rank matched
+      .groupBy(col(key))
+      .agg(max(col("n")).as("n"), min(col(x)).as("lo"),
+        max(col(x)).as("hi"))
+    val clipped = greatest(col("lo"), least(col("hi"), col(x)))
+    df.select(col(key), col(x))
+      .join(broadcast(bounds), Seq(key))
+      .groupBy(col(key))
+      .agg(max(col("n")).as("n"),
+        Num.floorAt(max(col("lo")), 4).as("p_lo"),
+        Num.floorAt(max(col("hi")), 4).as("p_hi"),
+        sum(when(col(x) < col("lo"), 1L).otherwise(0L))
+          .as("n_clipped_lo"),
+        sum(when(col(x) > col("hi"), 1L).otherwise(0L))
+          .as("n_clipped_hi"),
+        Num.floorAt(sum(clipped) / count(lit(1)), 4)
+          .as("mean_winsorized"))
+  }
+
   /** Sketch-based per-group median with its ERROR BOUND VERIFIED IN-QUERY —
     * the third mitigation in SCALE.md's exact-percentile row, made
     * first-class. `percentile_approx` (Greenwald-Khanna summaries) keeps

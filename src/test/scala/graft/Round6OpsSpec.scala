@@ -432,6 +432,19 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("winsorize: hand-computed p-bounds on 1..100, clip counts " +
+      "match, outliers bounded into [p_lo, p_hi]") {
+    // values 1..100 in one group: rank floor(99*.05)+1 = 5 -> lo = 5,
+    // rank floor(99*.95)+1 = 95 -> hi = 95; {1..4} clip low (4 values),
+    // {96..100} clip high (5); mean = (4*5 + sum(5..95) + 5*95)/100
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val r = graft.ops.Agg.winsorize(df, "k", "v", 0.05, 0.95)
+      .as[(String, Long, Double, Double, Long, Long, Double)].head()
+    val mean = (4.0 * 5 + (5 to 95).sum + 5.0 * 95) / 100
+    assert(r === (("g", 100L, 5.0, 95.0, 4L, 5L,
+      math.floor(mean * 10000) / 10000)))
+  }
+
   test("triangleStats: star hub contributes wedges, never triangles — " +
       "and the orientation sends every edge AWAY from the leaves") {
     // hub 0 connected to 5 leaves: wedges = C(5,2) = 10, triangles 0.
