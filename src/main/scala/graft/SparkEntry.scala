@@ -1767,7 +1767,40 @@ object SparkEntry {
     "q158_winsorize" -> ((s, dir) =>
       Agg.winsorize(t(s, dir, "events"), "event_type", "value",
           pLo = 0.05, pHi = 0.95)
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // north star — dup-cluster size histogram: the corpus-health
+    // read-off over the CC labels (how much mass sits in how-big
+    // clusters — a fat tail means boilerplate/mirrors, not true dups).
+    // Log2 buckets; counts partial-aggregate at both grains.
+    "q159_cluster_sizes" -> ((s, dir) => {
+      val comp = Dedup.componentsConverged(
+        Dedup.lshVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 8, bands = 4, minJaccard = 0.2))
+      comp.groupBy("component").agg(count(lit(1)).as("sz"))
+        .groupBy(floor(log2(col("sz"))).cast("int").as("log2_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"))
+        .orderBy("log2_size")
+    }),
+
+    // north star — per-source quality profile: mean and exact median
+    // q134 score per source — the which-sources-are-junk read-off that
+    // sets q152's mixture weights. Median via the q120 rank-selection
+    // shape; mean from a DECIMAL sum of the already-floored scores.
+    "q160_source_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = Curate.ngramQualityScore(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val med = Agg.medianByRank(scored, "source", "quality_score")
+        .select(col("source"), Num.floorAt(col("median"), 6).as("p50"))
+      scored.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          Num.floorAt(sum(col("quality_score").cast("decimal(18,6)"))
+            .cast("double") / count(lit(1)), 6).as("mean_quality"))
+        .join(med, Seq("source"))
+        .orderBy("source")
+    })
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -3674,6 +3707,56 @@ object SparkEntry {
              "SUM(greatest(b.lo, least(b.hi, e.value))) / COUNT(*)", 4)}
            |    AS mean_winsorized
            |FROM events e JOIN b ON b.event_type = e.event_type
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q159_cluster_sizes" ->
+        s"""WITH RECURSIVE
+           |$verifiedPairsCte,
+           |$ccCte,
+           |sz AS (SELECT component, COUNT(*) AS sz FROM comp
+           |  GROUP BY 1)
+           |SELECT CAST(floor(log2(sz)) AS INTEGER) AS log2_size,
+           |  COUNT(*) AS n_clusters, CAST(SUM(sz) AS BIGINT) AS n_docs
+           |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // the q134 quality chain (same CTE names as q157's replay) +
+      // q120's two-middle-ranks median + a DECIMAL mean of the floored
+      // scores
+      "q160_source_quality" ->
+        s"""WITH cleaned AS (SELECT doc_id, source, $clean AS c
+           |  FROM documents),
+           |qtok AS (SELECT doc_id, source, $cleanToks AS t FROM cleaned),
+           |qg AS (SELECT doc_id,
+           |    UNNEST(list_concat(t, ${shinglesSql("t", 2)})) AS g
+           |  FROM qtok),
+           |qwt AS (SELECT doc_id,
+           |    CAST((${Curate.QualityWeights.mkString("[", ", ", "]")})[
+           |      CAST(${md5HexNSql("g", 8)} % ${Curate.QualityBuckets}
+           |        AS INTEGER) + 1] AS DECIMAL(18,6)) AS wt
+           |  FROM qg),
+           |qs AS (SELECT doc_id,
+           |    ${Num.floorAtSql(
+               s"1.0 / (1.0 + exp(-((${Curate.QualityBias}) " +
+                 "+ CAST(SUM(wt) AS DOUBLE) / COUNT(*))))", 6)}
+           |      AS q
+           |  FROM qwt GROUP BY doc_id),
+           |sq AS (SELECT s.source, q.q FROM qs q
+           |  JOIN (SELECT doc_id, source FROM documents) s
+           |    USING (doc_id)),
+           |r AS (SELECT source, q,
+           |    row_number() OVER (PARTITION BY source ORDER BY q) AS rn,
+           |    COUNT(*) OVER (PARTITION BY source) AS n
+           |  FROM sq),
+           |med AS (SELECT source,
+           |    ${Num.floorAtSql("AVG(q)", 6)} AS p50
+           |  FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+           |  GROUP BY 1)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  ${Num.floorAtSql(
+             "CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)",
+             6)} AS mean_quality,
+           |  MAX(p50) AS p50
+           |FROM sq JOIN med USING (source)
            |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // the salt is engine-internal, so the oracle is the PLAIN join —
