@@ -1800,7 +1800,15 @@ object SparkEntry {
             .cast("double") / count(lit(1)), 6).as("mean_quality"))
         .join(med, Seq("source"))
         .orderBy("source")
-    })
+    }),
+
+    // north star — bot/automation profile (EventsOps.botProfile
+    // scaladoc): burstiness + sustained rate + type entropy per user;
+    // the automated-traffic filter that runs BEFORE text quality gates
+    // (bot content poisons dedup stats and mixture weights).
+    "q161_bot_profile" -> ((s, dir) =>
+      EventsOps.botProfile(t(s, dir, "events"))
+        .orderBy("user_id"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -3758,6 +3766,38 @@ object SparkEntry {
            |  MAX(p50) AS p50
            |FROM sq JOIN med USING (source)
            |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // same three aggregation grains and the vocab-entropy identity;
+      // the flag tests the FLOORED rate, as in the engine
+      "q161_bot_profile" ->
+        s"""WITH e AS (SELECT user_id, event_type, ${epochSql("ts")}
+           |    AS es FROM events),
+           |bm AS (SELECT user_id, CAST(MAX(c) AS BIGINT)
+           |    AS max_per_minute FROM (
+           |  SELECT user_id, es // 60 AS m, COUNT(*) AS c FROM e
+           |  GROUP BY 1, 2) GROUP BY 1),
+           |b AS (SELECT user_id, COUNT(*) AS n_events,
+           |    COUNT(DISTINCT es // 86400) AS active_days
+           |  FROM e GROUP BY 1),
+           |en AS (SELECT user_id,
+           |    ${Num.floorAtSql(
+             "log2(CAST(nt AS DOUBLE)) - sclgc / nt", 6)}
+           |      AS type_entropy
+           |  FROM (SELECT user_id, CAST(SUM(c) AS BIGINT) AS nt,
+           |      SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+           |        AS sclgc
+           |    FROM (SELECT user_id, event_type, COUNT(*) AS c FROM e
+           |      GROUP BY 1, 2) GROUP BY 1)),
+           |j AS (SELECT b.user_id, n_events, active_days,
+           |    CAST(n_events AS DOUBLE) / active_days AS epd,
+           |    max_per_minute, type_entropy
+           |  FROM b JOIN bm USING (user_id) JOIN en USING (user_id))
+           |SELECT user_id, n_events, active_days,
+           |  ${Num.floorAtSql("epd", 4)} AS events_per_day,
+           |  max_per_minute, type_entropy,
+           |  max_per_minute >= 2 AND ${Num.floorAtSql("epd", 4)} >= 2.8
+           |    AS is_bot
+           |FROM j ORDER BY user_id""".stripMargin,
 
       // the salt is engine-internal, so the oracle is the PLAIN join —
       // result-identity with the unsalted plan is the correctness claim

@@ -407,6 +407,55 @@ object EventsOps {
         (Num.floorAt(col("tp"), 6) >= driftAt).as("drifted"))
   }
 
+  /** Per-user behavioral bot profile — the automated-traffic filter a
+    * user-generated corpus runs before its text ever reaches the
+    * quality gates (bot/scraper content poisons dedup statistics and
+    * mixture weights upstream of any text signal). Three orthogonal
+    * signals per user: burstiness (max events in any minute), sustained
+    * rate (events per active day), and behavioral diversity (Shannon
+    * entropy over event types, the [[Text.vocabEntropy]] integer-count
+    * identity — scripted clients repeat one action; humans mix).
+    * `is_bot` trips when burst AND rate exceed their thresholds
+    * (thresholds here are fixture-scaled; production values are
+    * per-product).
+    *
+    * Three independent keyed aggregation chains — (user, minute),
+    * (user, day-distinct), (user, type) — all fully partial-aggregated,
+    * then two user-keyed joins. No windows: the minute grain is an agg
+    * key, not an ordering, so a hot user's events combine map-side.
+    *
+    * Output: (user_id, n_events, active_days, events_per_day,
+    * max_per_minute, type_entropy, is_bot).
+    */
+  def botProfile(events: DataFrame, burstPerMinute: Long = 2L,
+                 ratePerDay: Double = 2.8): DataFrame = {
+    val es = events.select(col("user_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("es"))
+    val burst = es.groupBy(col("user_id"),
+        (col("es") / 60).cast("long").as("m"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("user_id").agg(max(col("c")).as("max_per_minute"))
+    val base = es.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      count_distinct((col("es") / 86400).cast("long")).as("active_days"))
+    val ent = es.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("user_id").agg(
+        sum(col("c")).as("nt"),
+        sum(col("c").cast("double") * log2(col("c").cast("double")))
+          .as("sclgc"))
+      .select(col("user_id"),
+        Num.floorAt(log2(col("nt").cast("double")) -
+          col("sclgc") / col("nt"), 6).as("type_entropy"))
+    val epd = col("n_events").cast("double") / col("active_days")
+    base.join(burst, Seq("user_id")).join(ent, Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("active_days"),
+        Num.floorAt(epd, 4).as("events_per_day"),
+        col("max_per_minute"), col("type_entropy"),
+        (col("max_per_minute") >= burstPerMinute &&
+          Num.floorAt(epd, 4) >= ratePerDay).as("is_bot"))
+  }
+
   /** Event-transition counts (first-order Markov): per user, pair each
     * event with its predecessor's type via one lag window, then count
     * (prev_type, event_type) transitions globally. Two shuffles: user_id

@@ -445,6 +445,27 @@ class Round6OpsSpec extends SparkSpec {
       math.floor(mean * 10000) / 10000)))
   }
 
+  test("botProfile: bursty high-rate single-action user flags, slow " +
+      "diverse user does not, entropy reflects action mix") {
+    // bot: 10 events in one minute, one day, one type -> epd 10,
+    // burst 10, entropy 0. human: 4 events over 2 days, 2 types,
+    // spread minutes -> epd 2, burst 1.
+    val rows =
+      (0L until 10L).map(i => (100L + i, 1L, "click", i * 2)) ++
+      Seq((200L, 2L, "click", 0L), (201L, 2L, "view", 3600L),
+        (202L, 2L, "click", 86400L), (203L, 2L, "view", 90000L))
+    val events = rows.toDF("event_id", "user_id", "event_type", "es")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("es")).as("ts"))
+    val got = graft.ops.EventsOps.botProfile(events)
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Double, Long, Double, Boolean)].collect()
+    val (bot, human) = (got(0), got(1))
+    assert(bot === ((1L, 10L, 1L, 10.0, 10L, 0.0, true)))
+    assert(human._1 === 2L && human._5 === 1L && !human._7)
+    assert(human._6 === 1.0, "2 types evenly mixed = 1 bit")
+  }
+
   test("triangleStats: star hub contributes wedges, never triangles — " +
       "and the orientation sends every edge AWAY from the leaves") {
     // hub 0 connected to 5 leaves: wedges = C(5,2) = 10, triangles 0.
