@@ -1808,7 +1808,25 @@ object SparkEntry {
     // (bot content poisons dedup stats and mixture weights).
     "q161_bot_profile" -> ((s, dir) =>
       EventsOps.botProfile(t(s, dir, "events"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // north star — Benford forensics (Agg.benfordProfile scaladoc):
+    // first-digit distribution of order totals vs log10(1+1/d) with
+    // chi2 — the cheap synthetic/fabricated-data tell. TPC-H prices
+    // are range-uniform, so this corpus correctly FAILS the law (the
+    // flag is the fingerprint either way).
+    "q162_benford" -> ((s, dir) =>
+      Agg.benfordProfile(t(s, dir, "orders"), "o_totalprice")
+        .orderBy("digit")),
+
+    // north star — k-anonymity audit (Agg.kAnonymity scaladoc): class
+    // sizes of the (source, lang) quasi-identifier tuple with the
+    // below-k flag — the governance gate before a corpus release;
+    // q150's sweep and q115's redaction are the fixes it triggers.
+    "q163_k_anonymity" -> ((s, dir) =>
+      Agg.kAnonymity(t(s, dir, "documents"), Seq("source", "lang"),
+          k = 10)
+        .orderBy("source", "lang"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -3798,6 +3816,40 @@ object SparkEntry {
            |  max_per_minute >= 2 AND ${Num.floorAtSql("epd", 4)} >= 2.8
            |    AS is_bot
            |FROM j ORDER BY user_id""".stripMargin,
+
+      // digit via string of the integer part (no log10 edge cases);
+      // chi2 terms in the same double op order as the engine
+      "q162_benford" ->
+        s"""WITH c AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+           |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+           |    COUNT(*) AS n_obs
+           |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM c),
+           |t AS (SELECT digit, n_obs,
+           |    CAST(n_obs AS DOUBLE) / n AS obs_share,
+           |    log10(1.0 + 1.0 / digit) AS p,
+           |    (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE)
+           |        * log10(1.0 + 1.0 / digit))
+           |      * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE)
+           |        * log10(1.0 + 1.0 / digit))
+           |      / (CAST(n AS DOUBLE) * log10(1.0 + 1.0 / digit))
+           |      AS raw_term
+           |  FROM c CROSS JOIN tot),
+           |c2 AS (SELECT SUM(raw_term) AS c2 FROM t)
+           |SELECT digit, n_obs,
+           |  ${Num.floorAtSql("obs_share", 6)} AS obs_share,
+           |  ${Num.floorAtSql("p", 6)} AS benford_p,
+           |  ${Num.floorAtSql("raw_term", 4)} AS chi2_term,
+           |  ${Num.floorAtSql("c2", 4)} AS chi2_total,
+           |  ${Num.floorAtSql("c2", 4)} < 15.5073 AS follows_benford
+           |FROM t CROSS JOIN c2 ORDER BY digit""".stripMargin,
+
+      "q163_k_anonymity" ->
+        """WITH c AS (SELECT source, lang, COUNT(*) AS n_rows
+          |  FROM documents GROUP BY 1, 2),
+          |km AS (SELECT CAST(MIN(n_rows) AS BIGINT) AS k_min FROM c)
+          |SELECT source, lang, n_rows, n_rows < 10 AS below_k, k_min
+          |FROM c CROSS JOIN km ORDER BY source, lang""".stripMargin,
 
       // the salt is engine-internal, so the oracle is the PLAIN join —
       // result-identity with the unsalted plan is the correctness claim

@@ -324,6 +324,77 @@ object Agg {
           .as("mean_winsorized"))
   }
 
+  /** First-significant-digit (Benford) profile of a positive numeric
+    * column — the data-forensics fingerprint: organically-grown
+    * magnitudes follow log10(1+1/d); uniformly-generated or fabricated
+    * values don't. A curation pipeline runs this over numeric fields of
+    * scraped/submitted data as a cheap synthetic-data / fraud tell (and
+    * over its own fixtures to know what "normal" looks like). The chi²
+    * statistic against the Benford expectation comes with the df=8,
+    * α=0.05 critical value baked into the flag.
+    *
+    * One digit-keyed count (9 groups, fully partial-aggregated) + one
+    * broadcast total; the digit is extracted as the first character of
+    * the integer part — string, not log10, so float edge cases at
+    * powers of ten cannot flip a digit between engines.
+    *
+    * Output: (digit, n_obs, obs_share, benford_p, chi2_term,
+    * chi2_total, follows_benford).
+    */
+  def benfordProfile(df: DataFrame, x: String): DataFrame = {
+    val digit = substring(
+      floor(col(x)).cast("long").cast("string"), 1, 1).cast("int")
+    val counts = df.where(col(x) >= 1)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n_obs"))
+      .localCheckpoint() // feeds the total agg and the final projection
+    val total = counts.agg(sum(col("n_obs")).as("n"))
+    val p = log10(lit(1.0) + lit(1.0) / col("digit"))
+    val expected = col("n").cast("double") * p
+    val term = (col("n_obs").cast("double") - expected) *
+      (col("n_obs").cast("double") - expected) / expected
+    val terms = counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n_obs"),
+        Num.floorAt(col("n_obs").cast("double") / col("n"), 6)
+          .as("obs_share"),
+        Num.floorAt(p, 6).as("benford_p"),
+        Num.floorAt(term, 4).as("chi2_term"),
+        term.as("raw_term"))
+    val chi2 = terms.agg(sum(col("raw_term")).as("c2"))
+    terms.crossJoin(broadcast(chi2))
+      .select(col("digit"), col("n_obs"), col("obs_share"),
+        col("benford_p"), col("chi2_term"),
+        Num.floorAt(col("c2"), 4).as("chi2_total"),
+        // chi-square critical value, df = 8, alpha = 0.05
+        (Num.floorAt(col("c2"), 4) < 15.5073).as("follows_benford"))
+  }
+
+  /** k-anonymity audit over a quasi-identifier tuple: the privacy
+    * release check (Sweeney 2002) a governance pass runs before data
+    * leaves the boundary — every equivalence class of the
+    * quasi-identifiers must hold at least k rows, else the class is
+    * re-identifiable. Composes with [[graft.ops.Curate.tombstoneSweep]]
+    * (remove) and redaction (generalize) as the fix for failing
+    * classes.
+    *
+    * One keyed count over the quasi-identifier tuple (fully
+    * partial-aggregated — a huge class combines map-side) + one
+    * broadcast scalar for the corpus-wide k_min read-off.
+    *
+    * Output: one row per class — (quasi-id cols…, n_rows, below_k,
+    * k_min).
+    */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String], k: Long)
+      : DataFrame = {
+    require(quasiIds.nonEmpty && k >= 1, s"bad args ($quasiIds, $k)")
+    val classes = df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint() // feeds the k_min agg and the final projection
+    val kmin = classes.agg(min(col("n_rows")).as("k_min"))
+    classes.crossJoin(broadcast(kmin))
+      .select(quasiIds.map(col) ++ Seq(col("n_rows"),
+        (col("n_rows") < k).as("below_k"), col("k_min")): _*)
+  }
+
   /** Sketch-based per-group median with its ERROR BOUND VERIFIED IN-QUERY —
     * the third mitigation in SCALE.md's exact-percentile row, made
     * first-class. `percentile_approx` (Greenwald-Khanna summaries) keeps

@@ -466,6 +466,35 @@ class Round6OpsSpec extends SparkSpec {
     assert(human._6 === 1.0, "2 types evenly mixed = 1 bit")
   }
 
+  test("benfordProfile: exact Benford counts pass, all-9s data fails, " +
+      "digits and shares hand-check") {
+    // 1000 values distributed EXACTLY per Benford (301, 176, 125, 97,
+    // 79, 67, 58, 51, 46): chi2 ~ 0 -> follows. Values d * 10.
+    val bCounts = Seq(301, 176, 125, 97, 79, 67, 58, 51, 46)
+    val good = bCounts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(((i + 1) * 10).toDouble) }.toDF("v")
+    val g = graft.ops.Agg.benfordProfile(good, "v")
+      .orderBy("digit")
+      .as[(Int, Long, Double, Double, Double, Double, Boolean)].collect()
+    assert(g.map(_._1).toSeq === (1 to 9))
+    assert(g.map(_._2).toSeq === bCounts.map(_.toLong))
+    assert(g.forall(_._7), s"chi2 ${g.head._6} should pass")
+    // 500 values all starting with 9: chi2 explodes -> fails
+    val bad = Seq.fill(500)(99.0).toDF("v")
+    val b = graft.ops.Agg.benfordProfile(bad, "v").collect()
+    assert(b.forall(!_.getBoolean(6)))
+  }
+
+  test("kAnonymity: class sizes, below-k flags, and corpus k_min") {
+    val df = (Seq.fill(12)(("a", "en")) ++ Seq.fill(3)(("a", "fr")) ++
+      Seq.fill(10)(("b", "en"))).toDF("source", "lang")
+    val r = graft.ops.Agg.kAnonymity(df, Seq("source", "lang"), k = 10)
+      .orderBy("source", "lang")
+      .as[(String, String, Long, Boolean, Long)].collect()
+    assert(r === Array(("a", "en", 12L, false, 3L),
+      ("a", "fr", 3L, true, 3L), ("b", "en", 10L, false, 3L)))
+  }
+
   test("triangleStats: star hub contributes wedges, never triangles — " +
       "and the orientation sends every edge AWAY from the leaves") {
     // hub 0 connected to 5 leaves: wedges = C(5,2) = 10, triangles 0.
