@@ -1826,7 +1826,14 @@ object SparkEntry {
     "q163_k_anonymity" -> ((s, dir) =>
       Agg.kAnonymity(t(s, dir, "documents"), Seq("source", "lang"),
           k = 10)
-        .orderBy("source", "lang"))
+        .orderBy("source", "lang")),
+
+    // north star — Zipf exponent (Text.zipfFit scaladoc): ln(tf) on
+    // ln(rank) over the top-100 vocabulary — natural language sits
+    // near alpha = 1; the one-number linguistic health check next to
+    // q151's entropy.
+    "q164_zipf_fit" -> ((s, dir) =>
+      Text.zipfFit(t(s, dir, "documents"), "text", k = 100))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -3850,6 +3857,35 @@ object SparkEntry {
           |km AS (SELECT CAST(MIN(n_rows) AS BIGINT) AS k_min FROM c)
           |SELECT source, lang, n_rows, n_rows < 10 AS below_k, k_min
           |FROM c CROSS JOIN km ORDER BY source, lang""".stripMargin,
+
+      // top-100 by (tf DESC, term), ln/ln OLS closed form in the same
+      // double op order as Text.zipfFit
+      "q164_zipf_fit" ->
+        s"""WITH tf AS (SELECT term, COUNT(*) AS tf FROM (
+           |    SELECT UNNEST($toks) AS term FROM documents)
+           |  GROUP BY 1 ORDER BY tf DESC, term LIMIT 100),
+           |r AS (SELECT tf,
+           |    row_number() OVER (ORDER BY tf DESC, term) AS rk
+           |  FROM tf),
+           |p AS (SELECT ln(CAST(rk AS DOUBLE)) AS x,
+           |    ln(CAST(tf AS DOUBLE)) AS y, tf FROM r),
+           |g AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy,
+           |    CAST(MAX(tf) AS BIGINT) AS top_tf FROM p)
+           |SELECT n AS n_terms, top_tf,
+           |  CASE WHEN CAST(n AS DOUBLE) * syy - sy * sy = 0 THEN 0.0
+           |  ELSE ${Num.floorAtSql(
+             "-((CAST(n AS DOUBLE) * sxy - sx * sy) / " +
+             "(CAST(n AS DOUBLE) * sxx - sx * sx))", 4)}
+           |  END AS zipf_alpha,
+           |  CASE WHEN CAST(n AS DOUBLE) * syy - sy * sy = 0 THEN 0.0
+           |  ELSE ${Num.floorAtSql(
+             "((CAST(n AS DOUBLE) * sxy - sx * sy) / " +
+             "(CAST(n AS DOUBLE) * sxx - sx * sx)) * " +
+             "((CAST(n AS DOUBLE) * sxy - sx * sy) / " +
+             "(CAST(n AS DOUBLE) * syy - sy * sy))", 4)}
+           |  END AS r2
+           |FROM g""".stripMargin,
 
       // the salt is engine-internal, so the oracle is the PLAIN join —
       // result-identity with the unsalted plan is the correctness claim

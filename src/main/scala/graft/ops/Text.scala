@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Row-level text operators (SURVEY.md §2.2 ops 8-12 + north-star text
@@ -304,6 +305,52 @@ object Text {
       .select(col("grp"), col("n_tokens"), col("n_terms"),
         Num.floorAt(log2(col("n_tokens").cast("double")) -
           col("sclgc") / col("n_tokens"), 6).as("entropy_bits"))
+  }
+
+  /** Zipf-law fit over the top-k vocabulary: OLS of ln(tf) on ln(rank)
+    * — natural language sits near slope −1 (Zipf 1949); template,
+    * generated, or keyword-stuffed corpora bend the line, so the fitted
+    * exponent is a one-number linguistic health check next to
+    * [[vocabEntropy]]'s diversity.
+    *
+    * Term frequencies partial-aggregate map-side; the top-k selection
+    * is a TakeOrderedAndProject (never a global sort of the vocab), and
+    * only the k selected rows — a bounded frame, checkpointed — see the
+    * ranking window, so the "global" window is over k rows by
+    * construction. The OLS closed form runs over k (ln-rank, ln-tf)
+    * pairs; float sums over k values floored at 4 dp (the q127
+    * stance — drift sits orders below the floor).
+    *
+    * Output: one row — (n_terms, top_tf, zipf_alpha, r2).
+    */
+  def zipfFit(docs: DataFrame, textCol: String, k: Int = 100)
+      : DataFrame = {
+    require(k >= 3, s"need k >= 3 points to fit, got $k")
+    val tf = docs.select(explode(cleanTokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term").asc).limit(k)
+      .localCheckpoint() // bounded k-row frame; feeds rank + fit
+    val ranked = tf.withColumn("rk", row_number().over(
+      Window.orderBy(col("tf").desc, col("term").asc)))
+    val pts = ranked.select(log(col("rk").cast("double")).as("x"),
+      log(col("tf").cast("double")).as("y"), col("tf"))
+    val g = pts.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"), max(col("tf")).as("top_tf"))
+    val n = col("n").cast("double")
+    val cov = n * col("sxy") - col("sx") * col("sy")
+    val varx = n * col("sxx") - col("sx") * col("sx")
+    val vary = n * col("syy") - col("sy") * col("sy")
+    // a flat tf profile has zero y-variance: slope is exactly 0 and r2
+    // undefined — emit 0 for both instead of an ANSI divide-by-zero
+    // (varx is never 0: k >= 3 distinct ranks)
+    g.select(col("n").as("n_terms"), col("top_tf"),
+      when(vary === 0, lit(0.0))
+        .otherwise(Num.floorAt(-(cov / varx), 4)).as("zipf_alpha"),
+      when(vary === 0, lit(0.0))
+        .otherwise(Num.floorAt((cov / varx) * (cov / vary), 4)).as("r2"))
   }
 
   def pmiTopK(docs: DataFrame, idCol: String, textCol: String,

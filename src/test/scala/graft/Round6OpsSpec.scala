@@ -495,6 +495,25 @@ class Round6OpsSpec extends SparkSpec {
       ("a", "fr", 3L, true, 3L), ("b", "en", 10L, false, 3L)))
   }
 
+  test("zipfFit: an exact 1/rank corpus fits alpha ~ 1 with r2 ~ 1; a " +
+      "uniform corpus fits alpha ~ 0") {
+    // term t<letter> occurs floor(720/rank) times for ranks 1..12
+    // (letter-only tokens: clean_text strips digits)
+    def tok(prefix: String, r: Int) = prefix + ('a' + r - 1).toChar
+    val zipfToks = (1 to 12).flatMap(r => Seq.fill(720 / r)(tok("t", r)))
+    val zipf = Seq(zipfToks.mkString(" ")).toDF("text")
+    val z = graft.ops.Text.zipfFit(zipf, "text", k = 12)
+      .as[(Long, Long, Double, Double)].head()
+    assert(z._1 === 12L && z._2 === 720L)
+    assert(z._3 > 0.95 && z._3 < 1.05, s"alpha ${z._3}")
+    assert(z._4 > 0.99, s"r2 ${z._4}")
+    val unif = Seq((1 to 12).flatMap(r =>
+      Seq.fill(50)(tok("u", r))).mkString(" ")).toDF("text")
+    val u = graft.ops.Text.zipfFit(unif, "text", k = 12)
+      .as[(Long, Long, Double, Double)].head()
+    assert(math.abs(u._3) < 0.01, s"uniform alpha ${u._3}")
+  }
+
   test("triangleStats: star hub contributes wedges, never triangles — " +
       "and the orientation sends every edge AWAY from the leaves") {
     // hub 0 connected to 5 leaves: wedges = C(5,2) = 10, triangles 0.
