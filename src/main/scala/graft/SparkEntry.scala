@@ -1833,7 +1833,21 @@ object SparkEntry {
     // near alpha = 1; the one-number linguistic health check next to
     // q151's entropy.
     "q164_zipf_fit" -> ((s, dir) =>
-      Text.zipfFit(t(s, dir, "documents"), "text", k = 100))
+      Text.zipfFit(t(s, dir, "documents"), "text", k = 100)),
+
+    // north star — declared-key uniqueness audit
+    // (Dedup.keyUniquenessProfile scaladoc): n_rows vs distinct keys
+    // per table — the FIRST intake statistic and the integrity check
+    // q89/upsert-ignore assume (this fixture's lineitem really does
+    // carry ~24% duplicate (orderkey, linenumber) keys).
+    "q165_key_uniqueness" -> ((s, dir) =>
+      Dedup.keyUniquenessProfile(Seq(
+          ("documents", t(s, dir, "documents"), Seq("doc_id")),
+          ("events", t(s, dir, "events"), Seq("event_id")),
+          ("lineitem", t(s, dir, "lineitem"),
+            Seq("l_orderkey", "l_linenumber")),
+          ("orders", t(s, dir, "orders"), Seq("o_orderkey"))))
+        .orderBy("table_name"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -3886,6 +3900,27 @@ object SparkEntry {
              "(CAST(n AS DOUBLE) * syy - sy * sy))", 4)}
            |  END AS r2
            |FROM g""".stripMargin,
+
+      // GROUP BY the typed key columns — the same format-immune key
+      // as the engine
+      "q165_key_uniqueness" -> {
+        val per = (tbl: String, keys: String) =>
+          s"""SELECT '$tbl' AS table_name,
+             |  CAST(SUM(c) AS BIGINT) AS n_rows,
+             |  COUNT(*) AS n_distinct_keys,
+             |  CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup_rows,
+             |  ${Num.floorAtSql(
+               "CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c)", 6)}
+             |    AS dup_pct
+             |FROM (SELECT COUNT(*) AS c FROM $tbl GROUP BY $keys)"""
+        s"""SELECT * FROM (
+           |${per("documents", "doc_id").stripMargin}
+           |UNION ALL ${per("events", "event_id").stripMargin}
+           |UNION ALL ${per("lineitem",
+               "l_orderkey, l_linenumber").stripMargin}
+           |UNION ALL ${per("orders", "o_orderkey").stripMargin})
+           |ORDER BY table_name""".stripMargin
+      },
 
       // the salt is engine-internal, so the oracle is the PLAIN join —
       // result-identity with the unsalted plan is the correctness claim

@@ -42,6 +42,33 @@ object Dedup {
       .where(col("__rn") === 1).drop("__rn")
   }
 
+  /** Declared-key uniqueness audit across a set of tables — the first
+    * statistic any corpus intake reports, and the sizing input for
+    * every dedup pass in this file: the key-dup rate decides whether
+    * exact dedup alone pays for itself before near-dup even runs (it
+    * is also the integrity check [[graft.ops.Star]]'s upsert-ignore
+    * and q89's orphan audit assume has already run). Grouping is on
+    * the TYPED key columns — no string casting, so no cross-engine
+    * formatting can perturb the key — and partial-aggregates: a hot
+    * duplicate key combines map-side, never on one reducer.
+    *
+    * Output: (table_name, n_rows, n_distinct_keys, n_dup_rows,
+    * dup_pct).
+    */
+  def keyUniquenessProfile(tables: Seq[(String, DataFrame, Seq[String])])
+      : DataFrame =
+    tables.map { case (name, df, keys) =>
+      df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__c"))
+        .agg(sum(col("__c")).as("n_rows"),
+          count(lit(1)).as("n_distinct_keys"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          col("n_distinct_keys"),
+          (col("n_rows") - col("n_distinct_keys")).as("n_dup_rows"),
+          Num.floorAt((col("n_rows") - col("n_distinct_keys"))
+            .cast("double") / col("n_rows"), 6).as("dup_pct"))
+    }.reduce(_ unionByName _)
+
   /** w-word shingles of a MATERIALIZED token-array column.
     *
     * The input must be an attribute (a `withColumn`-materialized array),

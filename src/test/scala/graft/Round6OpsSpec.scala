@@ -514,6 +514,19 @@ class Round6OpsSpec extends SparkSpec {
     assert(math.abs(u._3) < 0.01, s"uniform alpha ${u._3}")
   }
 
+  test("keyUniquenessProfile: duplicate keys counted per table, clean " +
+      "tables report zero, composite keys respected") {
+    val t1 = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("id", "v")
+    val t2 = Seq((1L, 1L), (1L, 2L), (1L, 2L), (2L, 1L))
+      .toDF("a", "b")
+    val r = graft.ops.Dedup.keyUniquenessProfile(Seq(
+        ("t1", t1, Seq("id")), ("t2", t2, Seq("a", "b"))))
+      .orderBy("table_name")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(r === Array(("t1", 3L, 2L, 1L, 0.333333),
+      ("t2", 4L, 3L, 1L, 0.25)))
+  }
+
   test("triangleStats: star hub contributes wedges, never triangles — " +
       "and the orientation sends every edge AWAY from the leaves") {
     // hub 0 connected to 5 leaves: wedges = C(5,2) = 10, triangles 0.
