@@ -1847,7 +1847,34 @@ object SparkEntry {
           ("lineitem", t(s, dir, "lineitem"),
             Seq("l_orderkey", "l_linenumber")),
           ("orders", t(s, dir, "orders"), Seq("o_orderkey"))))
-        .orderBy("table_name"))
+        .orderBy("table_name")),
+
+    // north star — per-source dedup IMPACT: docs and tokens each source
+    // loses to near-dup removal (min-id survivor rule over the CC
+    // labels; docs outside the pair graph all survive). The
+    // which-source-is-redundant report that closes the loop between
+    // q146's overlap matrix and q152's mixture weights.
+    "q166_dedup_impact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val losers = Dedup.componentsConverged(
+          Dedup.lshVerifiedPairs(docs, "doc_id", "text",
+            k = 8, bands = 4, minJaccard = 0.2))
+        .where(col("doc_id") =!= col("component"))
+        .select(col("doc_id"), lit(1L).as("removed"))
+      docs.select(col("doc_id"), col("source"),
+          size(Text.cleanTokens(col("text"))).cast("long").as("nt"))
+        .join(losers, Seq("doc_id"), "left")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(coalesce(col("removed"), lit(0L))).as("n_removed"),
+          sum(col("nt")).as("tokens_total"),
+          sum(when(col("removed").isNotNull, col("nt")).otherwise(0L))
+            .as("tokens_removed"))
+        .withColumn("token_retention", Num.floorAt(
+          (col("tokens_total") - col("tokens_removed")).cast("double") /
+            col("tokens_total"), 6))
+        .orderBy("source")
+    })
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -3921,6 +3948,28 @@ object SparkEntry {
            |UNION ALL ${per("orders", "o_orderkey").stripMargin})
            |ORDER BY table_name""".stripMargin
       },
+
+      // min-id survivor rule over the CC chain; docs outside the pair
+      // graph never appear in comp, so the left join leaves them kept
+      "q166_dedup_impact" ->
+        s"""WITH RECURSIVE
+           |$verifiedPairsCte,
+           |$ccCte,
+           |losers AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+           |d AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT)
+           |    AS nt FROM documents)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_removed,
+           |  CAST(SUM(nt) AS BIGINT) AS tokens_total,
+           |  CAST(SUM(CASE WHEN l.doc_id IS NOT NULL THEN nt ELSE 0 END)
+           |    AS BIGINT) AS tokens_removed,
+           |  ${Num.floorAtSql(
+             "CAST(SUM(nt) - SUM(CASE WHEN l.doc_id IS NOT NULL " +
+             "THEN nt ELSE 0 END) AS DOUBLE) / SUM(nt)", 6)}
+           |    AS token_retention
+           |FROM d LEFT JOIN losers l USING (doc_id)
+           |GROUP BY source ORDER BY source""".stripMargin,
 
       // the salt is engine-internal, so the oracle is the PLAIN join —
       // result-identity with the unsalted plan is the correctness claim

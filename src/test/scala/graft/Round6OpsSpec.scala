@@ -527,6 +527,25 @@ class Round6OpsSpec extends SparkSpec {
       ("t2", 4L, 3L, 1L, 0.25)))
   }
 
+  test("q166 dedup impact: removed docs+tokens reconcile with the CC " +
+      "loser set; retention in (0, 1]") {
+    val rows = SparkEntry.queries("q166_dedup_impact")(
+        spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, nRem, tokTot, tokRem, ret) =>
+      assert(nRem <= nDocs && tokRem <= tokTot, src)
+      assert(ret > 0.0 && ret <= 1.0, s"$src retention $ret")
+    }
+    // cross-check the removed-doc total against the CC loser count
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val losers = graft.ops.Dedup.componentsConverged(
+        graft.ops.Dedup.lshVerifiedPairs(docs, "doc_id", "text",
+          k = 8, bands = 4, minJaccard = 0.2))
+      .where(col("doc_id") =!= col("component")).count()
+    assert(rows.map(_._3).sum === losers)
+  }
+
   test("triangleStats: star hub contributes wedges, never triangles — " +
       "and the orientation sends every edge AWAY from the leaves") {
     // hub 0 connected to 5 leaves: wedges = C(5,2) = 10, triangles 0.
