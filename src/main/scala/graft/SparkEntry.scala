@@ -3778,7 +3778,8 @@ object SparkEntry {
            |  CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END)
            |    AS BIGINT) AS n_clipped_hi,
            |  ${Num.floorAtSql(
-             "SUM(greatest(b.lo, least(b.hi, e.value))) / COUNT(*)", 4)}
+             "CAST(SUM(CAST(greatest(b.lo, least(b.hi, e.value))" +
+               " AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)", 4)}
            |    AS mean_winsorized
            |FROM events e JOIN b ON b.event_type = e.event_type
            |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -4037,8 +4038,9 @@ object SparkEntry {
            |FROM wt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       // the q78 sig CTE's minhash replay, keyed as md5 of the
-      // '|'-joined signature (elements are md5 hex or '~empty', so '|'
-      // cannot collide); short docs keep the all-sentinel signature
+      // NUL-joined signature — the same key function as the streaming
+      // near-dup filter's state key, so batch and streaming sig_keys
+      // are interchangeable; short docs keep the all-sentinel signature
       "q135_dedup_admission" ->
         s"""WITH tok AS (SELECT doc_id, $cleanToks AS t
            |  FROM (SELECT doc_id, $clean AS c FROM documents)),
@@ -4046,7 +4048,7 @@ object SparkEntry {
            |    md5(array_to_string(list_transform(range(0, 8), s ->
            |      COALESCE(list_min(list_transform(${shinglesSql("t")},
            |        x -> md5(CAST(s AS VARCHAR) || ':' || x))), '~empty')),
-           |      '|')) AS sig_key
+           |      chr(0))) AS sig_key
            |  FROM tok),
            |basek AS (SELECT DISTINCT sig_key FROM sig WHERE doc_id % 5 <> 0),
            |cand AS (SELECT doc_id, sig_key FROM sig

@@ -320,7 +320,11 @@ object Agg {
           .as("n_clipped_lo"),
         sum(when(col(x) > col("hi"), 1L).otherwise(0L))
           .as("n_clipped_hi"),
-        Num.floorAt(sum(clipped) / count(lit(1)), 4)
+        // decimal accumulation (the exactOls/exactMoments contract):
+        // clipped values are 2dp, so decimal(18,2) sums are EXACT and
+        // shuffle-order-independent; one double division at the end
+        Num.floorAt(sum(clipped.cast("decimal(18,2)")).cast("double")
+            / count(lit(1)), 4)
           .as("mean_winsorized"))
   }
 

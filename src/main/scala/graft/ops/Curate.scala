@@ -65,9 +65,13 @@ object Curate {
     */
   def crossSourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
                          w: Int = 3): DataFrame = {
+    // tokenize into a materialized attribute FIRST: shingles() lambda-
+    // captures its input expression, so an inlined cleanTokens would
+    // re-evaluate per shingle position (measured ~5x slower elsewhere)
     val sh = docs.select(col(srcCol).as("src"),
-        explode(array_distinct(Dedup.shingles(
-          Text.cleanTokens(col(textCol)), w))).as("sh"))
+        Text.cleanTokens(col(textCol)).as("toks"))
+      .select(col("src"),
+        explode(array_distinct(Dedup.shingles(col("toks"), w))).as("sh"))
       .distinct()
       .localCheckpoint()
     val totals = sh.groupBy("src").agg(count(lit(1)).as("n_sh"))

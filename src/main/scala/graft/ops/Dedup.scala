@@ -391,16 +391,20 @@ object Dedup {
     */
   def admitBySignature(base: DataFrame, batch: DataFrame, idCol: String,
                        textCol: String, k: Int = 8): DataFrame = {
-    // signature elements are md5 hex or '~empty', so '|' cannot collide
-    // (same framing as lshBandKeys). Short docs (< w tokens) share the
-    // all-sentinel signature BY CONTRACT — content-empty docs dedup to
-    // one survivor, matching the streaming filter's state key.
+    // NUL-joined, the SAME key function as streaming's
+    // nearDupFilter state key (StreamOps.scala:235) — so batch
+    // sig_keys can be folded into the streaming standing state (the
+    // tombstone-sweep path) and actually MATCH. Signature elements are
+    // md5 hex or '~empty', so no separator can collide anyway. Short
+    // docs (< w tokens) share the all-sentinel signature BY CONTRACT —
+    // content-empty docs dedup to one survivor.
     def keyed(df: DataFrame): DataFrame = df
       .select(col(idCol).as("doc_id"),
         Text.cleanTokens(col(textCol)).as("t"))
       .withColumn("shs", shingles(col("t")))
       .select(col("doc_id"),
-        md5(concat_ws("|", minhashSignature(col("shs"), k))).as("sig_key"))
+        md5(concat_ws("\u0000", minhashSignature(col("shs"), k)))
+          .as("sig_key"))
     val baseKeys = keyed(base).select("sig_key").distinct()
     keepFirst(
       keyed(batch).join(baseKeys, Seq("sig_key"), "left_anti"),

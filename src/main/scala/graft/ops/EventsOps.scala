@@ -79,9 +79,13 @@ object EventsOps {
   def overlapJoinBinned(a: DataFrame, b: DataFrame, cell: Long)
       : DataFrame = {
     require(cell > 0, s"cell must be positive, got $cell")
-    val ac = a.withColumn("__cell",
+    // drop malformed intervals (e <= s) BEFORE exploding: sequence() with
+    // end < start runs DESCENDING, so one corrupt row with a huge s would
+    // fan out |s-e|/cell spurious cell rows that the overlap predicate
+    // only discards after the join input has already blown up
+    val ac = a.where(col("s") < col("e")).withColumn("__cell",
       explode(expr(s"sequence(s div $cell, (e - 1) div $cell)")))
-    val bc = b.withColumn("__cell",
+    val bc = b.where(col("bs") < col("be")).withColumn("__cell",
       explode(expr(s"sequence(bs div $cell, (be - 1) div $cell)")))
     ac.join(bc, Seq("__cell"))
       .where(col("s") < col("be") && col("bs") < col("e"))

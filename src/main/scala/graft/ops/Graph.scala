@@ -30,23 +30,6 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** `iters` rounds of damped weighted PageRank over `edges(src, dst, w)`.
-    *
-    * Shuffle shape per round: one hash join of the (checkpointed,
-    * weight-summed) edge frame with the current rank frame on `src` — the
-    * rank side is |nodes| rows, far smaller than edges — then one
-    * partial-aggregated `groupBy(dst).sum` of the integer shares. No
-    * windows, no driver-side data beyond the node COUNT (a scalar, same
-    * contract as Sim's k centroids). Each round `localCheckpoint`s the new
-    * rank frame so the plan stays O(1) deep across iterations (the q128
-    * connected-components hygiene).
-    *
-    * Dangling nodes (out-degree 0) keep their base share only; callers
-    * that need total-mass conservation should symmetrize edges first
-    * (every node with an in-edge then has an out-edge).
-    *
-    * Output: (node, rank) with rank an integer out of `scale`.
-    */
   /** Exact triangle count + global clustering coefficient over an
     * undirected, deduplicated pair list `pairs(id_a, id_b)` (id_a <
     * id_b). On a near-dup graph this measures clique-ness: dup clusters
@@ -110,6 +93,23 @@ object Graph {
           .as("clustering_coeff"))
   }
 
+  /** `iters` rounds of damped weighted PageRank over `edges(src, dst, w)`.
+    *
+    * Shuffle shape per round: one hash join of the (checkpointed,
+    * weight-summed) edge frame with the current rank frame on `src` — the
+    * rank side is |nodes| rows, far smaller than edges — then one
+    * partial-aggregated `groupBy(dst).sum` of the integer shares. No
+    * windows, no driver-side data beyond the node COUNT (a scalar, same
+    * contract as Sim's k centroids). Each round `localCheckpoint`s the new
+    * rank frame so the plan stays O(1) deep across iterations (the q128
+    * connected-components hygiene).
+    *
+    * Dangling nodes (out-degree 0) keep their base share only; callers
+    * that need total-mass conservation should symmetrize edges first
+    * (every node with an in-edge then has an out-edge).
+    *
+    * Output: (node, rank) with rank an integer out of `scale`.
+    */
   def pageRankFixed(edges0: DataFrame, iters: Int = 3,
       scale: Long = 1000000000000L, dampPct: Int = 85): DataFrame = {
     require(iters >= 1 && iters <= 50, s"need 1 <= iters <= 50, got $iters")
