@@ -1908,6 +1908,22 @@ object SparkEntry {
           sum(col("sz")).as("n_labeled_docs"),
           max(col("sz")).as("max_cluster"))
       pStats.crossJoin(broadcast(cStats))
+    }),
+
+    // north star — REAL PNG decode (Multimodal.decodePng scaladoc):
+    // q70's closed-form pixel rule encoded as real PNG files through
+    // the JDK's own javax.imageio writer, decoded back
+    // partition-parallel, per-channel means exact. PNG is LOSSLESS, so
+    // the oracle replays the pixel rule — encoder byte streams differ,
+    // decoded pixels cannot (n_bytes is encoder-dependent and
+    // deliberately not in the output).
+    "q168_png_decode" -> ((s, dir) => {
+      val media = Multimodal.pngMediaFromDocuments(t(s, dir, "documents"))
+      Multimodal.decodeImages(media).toDF()
+        .select(col("media_id"), col("kind"),
+          col("width"), col("height"), col("n_pixels"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("media_id")
     })
   )
 
@@ -4023,6 +4039,24 @@ object SparkEntry {
            |  CAST(MAX(sz) AS BIGINT) AS max_cluster FROM c)
            |SELECT p.n_pairs, p.mean_jaccard, cs.n_components,
            |  cs.n_labeled_docs, cs.max_cluster FROM p, cs""".stripMargin,
+
+      // q70's pixel-rule replay minus n_bytes: PNG decode is lossless,
+      // so decoded statistics equal the generating rule exactly
+      "q168_png_decode" ->
+        """WITH m AS (SELECT doc_id, source,
+          |    CAST(4 + doc_id % 5 AS INTEGER) AS w,
+          |    CAST(3 + doc_id % 4 AS INTEGER) AS h
+          |  FROM documents)
+          |SELECT doc_id AS media_id, source AS kind,
+          |  w AS width, h AS height,
+          |  CAST(w * h AS BIGINT) AS n_pixels,
+          |  CAST(list_sum(list_transform(range(0, w*h),
+          |    p -> (doc_id + 3*p) % 256)) AS DOUBLE) / (w*h) AS mean_r,
+          |  CAST(list_sum(list_transform(range(0, w*h),
+          |    p -> (doc_id + 3*p + 1) % 256)) AS DOUBLE) / (w*h) AS mean_g,
+          |  CAST(list_sum(list_transform(range(0, w*h),
+          |    p -> (doc_id + 3*p + 2) % 256)) AS DOUBLE) / (w*h) AS mean_b
+          |FROM m ORDER BY media_id""".stripMargin,
 
       // the salt is engine-internal, so the oracle is the PLAIN join —
       // result-identity with the unsalted plan is the correctness claim

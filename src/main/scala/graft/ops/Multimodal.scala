@@ -8,14 +8,19 @@ import org.apache.spark.sql.functions._
   * per-partition in batches.
   *
   * Codec status: PPM (P6) and BMP (24-bit BI_RGB) are REAL pure-JVM
-  * decoders — both formats are public and header+raster simple, so no
-  * codec library is needed; q70 runs them over real image bytes and the
-  * oracle replays the per-pixel statistics. Compressed formats
-  * (JPEG/PNG/audio) remain a clearly-marked deterministic stub
-  * ([[fakeDecode]]) because the container ships no codec libs — the
-  * Spark-side plumbing (schema, batch iteration, partition-parallel
-  * execution) is identical either way; swap the stub for a codec call to
-  * productionize.
+  * decoders (public, header+raster simple); PNG encode/decode and
+  * WAV/PCM16 audio (see [[Audio]]) are REAL too — PNG via the JDK's own
+  * `javax.imageio` (its PNG reader ships in every JDK; PNG is LOSSLESS,
+  * so decoded pixels are exact and oracle-replayable regardless of which
+  * encoder produced the file). q70/q168 run these over real image bytes
+  * and the oracle replays the per-pixel statistics. JPEG remains a
+  * clearly-marked deterministic stub ([[fakeDecode]]) for a narrower
+  * reason: `javax.imageio` CAN decode it, but lossy JPEG decode is not
+  * bit-stable across JVM vendors/versions (IDCT rounding is
+  * implementation-defined), so its pixel values are bad oracle material
+  * — the Spark-side plumbing (schema, batch iteration,
+  * partition-parallel execution) is identical either way; swap the stub
+  * for the imageio call when exactness isn't contractual.
   */
 object Multimodal {
 
@@ -105,6 +110,57 @@ object Multimodal {
     Some(Raster(w, h, out))
   }
 
+  /** REAL PNG encoder via the JDK's `javax.imageio` (PNG writer ships in
+    * every JDK — no external codec library). Fixture builder for
+    * specs/queries; because PNG is lossless, any spec-compliant decoder
+    * recovers these exact RGB bytes.
+    */
+  def pngEncode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3,
+      s"need ${width * height * 3} bytes, got ${rgb.length}")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < width * height) {
+      img.setRGB(p % width, p / width,
+        ((rgb(p * 3) & 0xFF) << 16) | ((rgb(p * 3 + 1) & 0xFF) << 8) |
+          (rgb(p * 3 + 2) & 0xFF))
+      p += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL PNG decoder via the JDK's `javax.imageio`. PNG is lossless, so
+    * the decoded raster is exact — unlike JPEG, safe oracle material.
+    * Returns None unless the payload carries the 8-byte PNG signature
+    * and parses (truncated/corrupt files fail the reader, not us).
+    */
+  def decodePng(payload: Array[Byte]): Option[Raster] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    if (payload.length < 8 ||
+      !(0 until 8).forall(i => (payload(i) & 0xFF) == (sig(i) & 0xFF)))
+      return None
+    val img = try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+    } catch { case _: java.io.IOException => None }
+    img.map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      val out = new Array[Byte](w * h * 3)
+      var p = 0
+      while (p < w * h) {
+        val argb = im.getRGB(p % w, p / w)
+        out(p * 3) = ((argb >> 16) & 0xFF).toByte
+        out(p * 3 + 1) = ((argb >> 8) & 0xFF).toByte
+        out(p * 3 + 2) = (argb & 0xFF).toByte
+        p += 1
+      }
+      Raster(w, h, out)
+    }
+  }
+
   /** Per-channel pixel statistics of a decoded raster (the "feature
     * extract" step): exact integer sums divided once, so the doubles are
     * bit-identical to any engine computing the same mean.
@@ -128,16 +184,18 @@ object Multimodal {
       sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
   }
 
-  /** Partition-parallel REAL image decode: PPM and BMP payloads are
-    * parsed and measured for real; anything else fails loudly (the
-    * caller routes compressed formats to the labeled stub instead).
+  /** Partition-parallel REAL image decode: PPM, BMP, and PNG payloads
+    * are parsed and measured for real (format sniffed by magic bytes);
+    * anything else fails loudly (the caller routes lossy formats to the
+    * labeled stub instead).
     */
   def decodeImages(ds: Dataset[MediaRow]): Dataset[ImageStats] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map { r =>
       val raster = decodePpm(r.payload).orElse(decodeBmp(r.payload))
+        .orElse(decodePng(r.payload))
         .getOrElse(throw new IllegalArgumentException(
-          s"media ${r.media_id}: not a decodable PPM/BMP payload"))
+          s"media ${r.media_id}: not a decodable PPM/BMP/PNG payload"))
       rasterStats(r.media_id, r.kind, r.payload.length.toLong, raster)
     })
   }
@@ -243,6 +301,23 @@ object Multimodal {
         val h = (3 + id % 4).toInt
         val rgb = Array.tabulate(w * h * 3)(j => ((id + j) % 256).toByte)
         MediaRow(id, ppmEncode(w, h, rgb), src)
+      }
+  }
+
+  /** Same closed-form pixel rule as [[ppmMediaFromDocuments]], encoded
+    * as REAL PNG files (q168). PNG's losslessness is what makes this a
+    * valid oracle fixture: the encoder's byte stream varies by
+    * implementation, but every decoder must recover the exact pixels —
+    * so the oracle replays the pixel RULE, never the file bytes.
+    */
+  def pngMediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .map { case (id, src) =>
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val rgb = Array.tabulate(w * h * 3)(j => ((id + j) % 256).toByte)
+        MediaRow(id, pngEncode(w, h, rgb), src)
       }
   }
 }

@@ -127,6 +127,23 @@ class SimSpec extends SparkSpec {
     assert(Multimodal.decodeBmp(bad).isEmpty)
   }
 
+  test("PNG codec: lossless round-trip through javax.imageio matches " +
+      "the equivalent PPM raster; non-PNG payloads rejected") {
+    val rgb = Array(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+      .map(_.toByte)
+    val png = Multimodal.pngEncode(2, 2, rgb)
+    // real PNG signature on the wire
+    assert((png(0) & 0xFF) === 0x89 &&
+      new String(png.slice(1, 4), "US-ASCII") === "PNG")
+    val r = Multimodal.decodePng(png).get
+    assert(r.width === 2 && r.height === 2)
+    assert(r.pixels.toSeq ===
+      Multimodal.decodePpm(Multimodal.ppmEncode(2, 2, rgb)).get.pixels.toSeq)
+    // PPM bytes are not PNG; truncated PNG fails the reader, not us
+    assert(Multimodal.decodePng(Multimodal.ppmEncode(2, 2, rgb)).isEmpty)
+    assert(Multimodal.decodePng(png.take(16)).isEmpty)
+  }
+
   test("decodeImages over the deterministic PPM fixture computes real " +
       "per-pixel stats (hand-checked for one doc)") {
     val docs = Seq((7L, "x", "en", "img", 1L))
