@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Agg, Artifacts, Curate, Dedup, EventsOps, Graph, Layout, Multimodal, Num, Prune, Sentiment, Sim, Sketch, Skew, Star, Text}
+import graft.ops.{Agg, Artifacts, Audio, Curate, Dedup, EventsOps, Graph, Layout, Multimodal, Num, Prune, Sentiment, Sim, Sketch, Skew, Star, Text}
 import graft.sources.Sources
 
 /** Driver contract — one named query per operator from SURVEY.md §2 plus the
@@ -1923,6 +1923,21 @@ object SparkEntry {
         .select(col("media_id"), col("kind"),
           col("width"), col("height"), col("n_pixels"),
           col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("media_id")
+    }),
+
+    // north star — REAL WAV/PCM16 audio decode (Audio scaladoc): the
+    // audio twin of q70/q168 — real RIFF files built from a closed-form
+    // sample rule, chunk-walked and measured partition-parallel;
+    // integer-exact features (peak, zero crossings, integer-division
+    // duration) plus one floored mean and one floored IEEE-sqrt rms,
+    // all replayed by the oracle from the rule.
+    "q169_wav_decode" -> ((s, dir) => {
+      val media = Audio.wavMediaFromDocuments(t(s, dir, "documents"))
+      Audio.decodeAudio(media).toDF()
+        .select(col("media_id"), col("kind"), col("sample_rate"),
+          col("n_samples"), col("duration_ms"), col("peak_abs"),
+          col("n_zero_cross"), col("mean_sample"), col("rms"))
         .orderBy("media_id")
     })
   )
@@ -4039,6 +4054,34 @@ object SparkEntry {
            |  CAST(MAX(sz) AS BIGINT) AS max_cluster FROM c)
            |SELECT p.n_pairs, p.mean_jaccard, cs.n_components,
            |  cs.n_labeled_docs, cs.max_cluster FROM p, cs""".stripMargin,
+
+      // the WAV sample-rule replay (lists are 1-based in DuckDB; the
+      // crossing pairs smp[i], smp[i+1] for i in 1..n-1 are exactly the
+      // engine's consecutive-sample pairs). All sums integer-exact;
+      // mean and rms floored after one double division / IEEE sqrt.
+      "q169_wav_decode" ->
+        s"""WITH m AS (SELECT doc_id, source,
+           |    CAST(50 + doc_id % 30 AS INTEGER) AS n FROM documents),
+           |s AS (SELECT doc_id, source, n,
+           |    list_transform(range(0, n),
+           |      i -> (doc_id*31 + i*17) % 4001 - 2000) AS smp
+           |  FROM m)
+           |SELECT doc_id AS media_id, source AS kind,
+           |  CAST(8000 AS INTEGER) AS sample_rate,
+           |  CAST(n AS BIGINT) AS n_samples,
+           |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+           |  CAST(list_max(list_transform(smp, x -> abs(x)))
+           |    AS BIGINT) AS peak_abs,
+           |  CAST(len(list_filter(range(1, n),
+           |    i -> (smp[CAST(i AS INTEGER)] < 0)
+           |      <> (smp[CAST(i + 1 AS INTEGER)] < 0)))
+           |    AS BIGINT) AS n_zero_cross,
+           |  ${Num.floorAtSql(
+             "CAST(list_sum(smp) AS DOUBLE) / n", 4)} AS mean_sample,
+           |  ${Num.floorAtSql(
+             "sqrt(CAST(list_sum(list_transform(smp, x -> x*x))" +
+               " AS DOUBLE) / n)", 4)} AS rms
+           |FROM s ORDER BY media_id""".stripMargin,
 
       // q70's pixel-rule replay minus n_bytes: PNG decode is lossless,
       // so decoded statistics equal the generating rule exactly

@@ -20,6 +20,15 @@ object Num {
     floor(c * p) / p
   }
 
+  /** [[floorAt]] for a plain JVM double (typed-Dataset code paths run
+    * outside Catalyst) — the identical IEEE multiply/floor/divide.
+    */
+  def floorDouble(x: Double, dp: Int): Double = {
+    require(dp >= 0, s"floorDouble requires dp >= 0, got $dp")
+    val p = math.pow(10, dp)
+    math.floor(x * p) / p
+  }
+
   /** The DuckDB expression mirroring [[floorAt]]. */
   def floorAtSql(expr: String, dp: Int): String = {
     require(dp >= 0, s"floorAtSql requires dp >= 0, got $dp")
