@@ -1939,7 +1939,17 @@ object SparkEntry {
           col("n_samples"), col("duration_ms"), col("peak_abs"),
           col("n_zero_cross"), col("mean_sample"), col("rms"))
         .orderBy("media_id")
-    })
+    }),
+
+    // north star — Cavnar–Trenkle n-gram language ID (Text.langIdNgram
+    // scaladoc): trigram rank profiles per declared lang, out-of-place
+    // distance per (doc, lang), argmin prediction — the real public
+    // lang-ID method replacing q38's stopword heuristic; profiles are
+    // |langs|*k rows, broadcast.
+    "q170_langid_ct" -> ((s, dir) =>
+      Text.langIdNgram(t(s, dir, "documents"), "doc_id", "lang", "text",
+          k = 40)
+        .orderBy("doc_id"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -4054,6 +4064,50 @@ object SparkEntry {
            |  CAST(MAX(sz) AS BIGINT) AS max_cluster FROM c)
            |SELECT p.n_pairs, p.mean_jaccard, cs.n_components,
            |  cs.n_labeled_docs, cs.max_cluster FROM p, cs""".stripMargin,
+
+      // full CT replay: trigram ranks (count desc, trigram asc — the
+      // same total order both engines sort), out-of-place distance
+      // with the absent-trigram penalty, argmin with alphabetical
+      // tie-break; SUMs cast to BIGINT (DuckDB HUGEINT would surface
+      // as float through pandas)
+      "q170_langid_ct" ->
+        s"""WITH cleaned AS (SELECT doc_id, lang, ${cleanSql("text")} AS c
+           |  FROM documents),
+           |tri AS (SELECT doc_id, lang,
+           |    UNNEST(CASE WHEN strlen(c) < 3 THEN []
+           |      ELSE list_transform(range(0, strlen(c) - 2),
+           |        i -> substring(c, CAST(i + 1 AS INTEGER), 3)) END)
+           |      AS g
+           |  FROM cleaned),
+           |lp AS (SELECT lang AS cand_lang, g, rank_l FROM (
+           |    SELECT lang, g, row_number() OVER (PARTITION BY lang
+           |      ORDER BY COUNT(*) DESC, g) AS rank_l
+           |    FROM tri GROUP BY lang, g) WHERE rank_l <= 40),
+           |dp AS (SELECT doc_id, g, rank_d FROM (
+           |    SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY COUNT(*) DESC, g) AS rank_d
+           |    FROM tri GROUP BY doc_id, g) WHERE rank_d <= 40),
+           |m AS (SELECT doc_id, cand_lang,
+           |    CAST(SUM(abs(rank_d - rank_l)) AS BIGINT) AS md,
+           |    COUNT(*) AS nm
+           |  FROM dp JOIN lp USING (g) GROUP BY 1, 2),
+           |grid AS (SELECT ds.doc_id, ds.n_prof, langs.cand_lang
+           |  FROM (SELECT doc_id, COUNT(*) AS n_prof FROM dp GROUP BY 1)
+           |    ds CROSS JOIN (SELECT DISTINCT cand_lang FROM lp) langs),
+           |best AS (SELECT doc_id, cand_lang, dist, row_number() OVER (
+           |    PARTITION BY doc_id ORDER BY dist, cand_lang) AS rk
+           |  FROM (SELECT g.doc_id, g.cand_lang,
+           |      CAST(COALESCE(m.md, 0)
+           |        + (g.n_prof - COALESCE(m.nm, 0)) * 40 AS BIGINT)
+           |        AS dist
+           |    FROM grid g LEFT JOIN m ON m.doc_id = g.doc_id
+           |      AND m.cand_lang = g.cand_lang))
+           |SELECT d.doc_id, d.lang,
+           |  COALESCE(b.cand_lang, 'und') AS pred_lang, b.dist
+           |FROM documents d
+           |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+           |  ON b.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
 
       // the WAV sample-rule replay (lists are 1-based in DuckDB; the
       // crossing pairs smp[i], smp[i+1] for i in 1..n-1 are exactly the

@@ -109,6 +109,86 @@ object Text {
       .otherwise("other")
   }
 
+  /** Character n-grams of a MATERIALIZED string column (positions
+    * 0..len-n, spaces included — the Cavnar–Trenkle alphabet). Same
+    * attribute contract as [[graft.ops.Dedup.shingles]]: pass a
+    * `withColumn`-materialized attribute, never an inline expression.
+    */
+  def charNgrams(c: Column, n: Int = 3): Column =
+    when(length(c) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), length(c) - n),
+        i => c.substr(i + 1, lit(n))))
+
+  /** Cavnar–Trenkle n-gram-profile language ID (Cavnar & Trenkle 1994,
+    * "N-Gram-Based Text Categorization" — the public method behind
+    * textcat/langid): rank the top-`k` character trigrams of each
+    * document and of each language (profiles trained on the corpus's
+    * own declared-lang groups), score every (doc, language) pair by
+    * OUT-OF-PLACE distance — Σ |rank_doc − rank_lang| over the doc's
+    * profile, with absent trigrams paying the max penalty `k` — and
+    * predict the argmin language (ties break alphabetically; docs with
+    * no trigrams get 'und'). Replaces the round-4 stopword heuristic
+    * ([[langIdHeuristic]], kept as the cheap scan-local variant) with
+    * the real rank-profile method, and feeds per-language mixture
+    * weights (q152) a trained signal.
+    *
+    * Shape at scale: trigram explode is scan-local; both profile
+    * builds are partial-aggregated counts plus a rank window — the
+    * legitimate rank family (per-lang windows bounded by the trigram
+    * vocabulary, per-doc windows by doc length). The language profile
+    * is |langs|·k rows — broadcast — so scoring is one broadcast join
+    * of the doc profiles plus doc-keyed partial aggs; the argmin
+    * window is over |langs| rows per doc. Nothing corpus-wide ever
+    * sits on one reducer.
+    *
+    * Output: (doc_id, lang, pred_lang, dist) — declared vs predicted,
+    * dist null for 'und'.
+    */
+  def langIdNgram(docs: DataFrame, idCol: String, langCol: String,
+                  textCol: String, k: Int = 40): DataFrame = {
+    val tri = docs
+      .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        cleanText(col(textCol)).as("c"))
+      .select(col("doc_id"), col("lang"),
+        explode(charNgrams(col("c"))).as("g"))
+    val lw = Window.partitionBy("lang")
+      .orderBy(col("n").desc, col("g").asc)
+    val langProf = tri.groupBy("lang", "g")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank_l", row_number().over(lw))
+      .where(col("rank_l") <= k)
+      .select(col("lang").as("cand_lang"), col("g"), col("rank_l"))
+      .localCheckpoint() // |langs|*k rows; feeds the join AND the grid
+    val dw = Window.partitionBy("doc_id")
+      .orderBy(col("n").desc, col("g").asc)
+    val docProf = tri.groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank_d", row_number().over(dw))
+      .where(col("rank_d") <= k)
+      .select(col("doc_id"), col("g"), col("rank_d"))
+      .localCheckpoint() // feeds the match agg and the profile sizes
+    val matches = docProf.join(broadcast(langProf), Seq("g"))
+      .groupBy("doc_id", "cand_lang")
+      .agg(sum(abs(col("rank_d") - col("rank_l"))).as("md"),
+        count(lit(1)).as("nm"))
+    val grid = docProf.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_prof"))
+      .crossJoin(broadcast(langProf.select("cand_lang").distinct()))
+    val best = Window.partitionBy("doc_id")
+      .orderBy(col("dist").asc, col("cand_lang").asc)
+    val pred = grid.join(matches, Seq("doc_id", "cand_lang"), "left")
+      .select(col("doc_id"), col("cand_lang"),
+        (coalesce(col("md"), lit(0L)) +
+          (col("n_prof") - coalesce(col("nm"), lit(0L))) * k).as("dist"))
+      .withColumn("rk", row_number().over(best))
+      .where(col("rk") === 1)
+    docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
+      .join(pred, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("cand_lang"), lit("und")).as("pred_lang"),
+        col("dist"))
+  }
+
   /** Composite quality score in [0,1]: length saturation x alpha ratio x
     * (1 - stopword excess). Deterministic, codegen-friendly.
     */

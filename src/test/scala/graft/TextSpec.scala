@@ -200,4 +200,30 @@ class TextSpec extends SparkSpec {
       .select(Text.langIdHeuristic(col("t"), col("toks"))).as[String].head()
     assert(en === "en")
   }
+
+  test("Cavnar-Trenkle lang ID: distinct trigram alphabets separate, " +
+      "self-profiles win, empty doc gets 'und'") {
+    // two 'languages' with disjoint character alphabets, one doc whose
+    // text matches xx's alphabet but carries no declared profile help,
+    // and one trigram-less doc
+    val docs = Seq(
+      (1L, "aaab aaab aaab baaa", "xx"),
+      (2L, "aaba aaab baab aaab", "xx"),
+      (3L, "zzzy zzzy yzzz zyzz", "yy"),
+      (4L, "zzyz yzzy zzzy zzzz", "yy"),
+      (5L, "aaab aaba baaa aaab", "xx"),
+      (6L, "", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val out = Text.langIdNgram(docs, "doc_id", "lang", "text", k = 10)
+      .orderBy("doc_id")
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(out(1L) === "xx" && out(2L) === "xx" && out(5L) === "xx")
+    assert(out(3L) === "yy" && out(4L) === "yy")
+    assert(out(6L) === "und")
+    // a/b docs score FAR from yy: every profile trigram pays the k
+    // penalty against the disjoint alphabet
+    val dist = Text.langIdNgram(docs, "doc_id", "lang", "text", k = 10)
+      .where(col("doc_id") === 1L).select("dist").as[Long].head()
+    assert(dist >= 0L)
+  }
 }
