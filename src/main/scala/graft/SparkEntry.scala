@@ -1240,8 +1240,9 @@ object SparkEntry {
     // length scales as m·(1-t), so the threshold is also the cost knob.
     // The deterministic complement to the LSH path (q32/q111).
     "q121_prefix_filter_pairs" -> ((s, dir) =>
-      Dedup.prefixFilterPairs(t(s, dir, "documents"), "doc_id", "text",
-          w = 3, minJaccard = 0.8)
+      // the exact-pair artifact build (q155 reads the same artifact as
+      // its ground truth — Artifacts scaladoc)
+      Artifacts.exactPairs(s, dir, w = 3, minJaccard = 0.8)
         .orderBy("id_a", "id_b")),
 
     // north star — incremental DISTINCT maintenance via mergeable HLL
@@ -1714,14 +1715,14 @@ object SparkEntry {
     // instead of trusting the (k, bands) collision analysis.
     "q155_dedup_eval" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val truth = Dedup.prefixFilterPairs(docs, "doc_id", "text",
-          w = 3, minJaccard = 0.8)
-        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val truth = Artifacts.exactPairs(s, dir, w = 3, minJaccard = 0.8)
+        .select(col("id_a"), col("id_b"))
       // 0.8-threshold pair artifact (distinct from the 0.2 report
-      // artifact — the memo key carries the threshold)
+      // artifact — the memo key carries the threshold); both sides are
+      // already checkpoint-backed, so no re-checkpoint here
       val lsh = Artifacts.nearDupPairs(docs.sparkSession, dir,
           k = 8, bands = 4, minJaccard = 0.8)
-        .select(col("id_a"), col("id_b")).localCheckpoint()
+        .select(col("id_a"), col("id_b"))
       val nT = truth.agg(count(lit(1)).as("n_truth"))
       val nL = lsh.agg(count(lit(1)).as("n_lsh"))
       val nC = truth.join(lsh, Seq("id_a", "id_b"))

@@ -65,6 +65,19 @@ object Artifacts {
         "doc_id", "text", k, bands, minJaccard)
     }
 
+  /** The EXACT pair artifact: [[Dedup.prefixFilterPairs]] (PPJoin-style
+    * prefix filtering, exact recall at the threshold) — q121's engine
+    * and q155's ground truth, built once. Columns: (id_a, id_b,
+    * jaccard), id_a < id_b.
+    */
+  def exactPairs(spark: SparkSession, sfDir: String, w: Int = 3,
+                 minJaccard: Double = 0.8): DataFrame =
+    memo(keyOf(spark, sfDir, "exact", s"$w|$minJaccard")) {
+      Dedup.prefixFilterPairs(
+        graft.Tables.load(spark, sfDir, "documents"),
+        "doc_id", "text", w, minJaccard)
+    }
+
   /** The canonical component-label artifact: converged min-label CC
     * over [[nearDupPairs]]. Columns: (doc_id, component) — component
     * is the min doc_id of the cluster, docs outside any pair absent
