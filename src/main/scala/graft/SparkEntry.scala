@@ -1886,15 +1886,19 @@ object SparkEntry {
     // scaladoc): the (pairs, components) dedup artifact written to
     // parquet once and the summary report read back ENTIRELY from the
     // store — the cluster shape where every dedup report is a cheap
-    // scan of a materialized snapshot, not a pipeline re-run. The
-    // in-JVM memo is the single-process stand-in; this query pins the
-    // durable form round-trips losslessly.
+    // scan of a materialized snapshot, not a pipeline re-run. This
+    // query is the WRITER: it runs the pair+CC pipeline directly (not
+    // via the memo), so the bench keeps charging the full build cost
+    // somewhere visible even though every report query reads the
+    // memoized artifact for free.
     "q167_artifact_store" -> ((s, dir) => {
       val path = sys.props("java.io.tmpdir") +
         s"/graft-q167-${ProcessHandle.current().pid}"
-      Artifacts.nearDupPairs(s, dir, k = 8, bands = 4, minJaccard = 0.2)
-        .write.mode("overwrite").parquet(s"$path/pairs")
-      Artifacts.components(s, dir, k = 8, bands = 4, minJaccard = 0.2)
+      val pairsBuilt = Dedup.lshVerifiedPairs(t(s, dir, "documents"),
+          "doc_id", "text", k = 8, bands = 4, minJaccard = 0.2)
+        .localCheckpoint() // feeds the write AND the CC build
+      pairsBuilt.write.mode("overwrite").parquet(s"$path/pairs")
+      Dedup.componentsConverged(pairsBuilt)
         .write.mode("overwrite").parquet(s"$path/components")
       val pairs = s.read.parquet(s"$path/pairs")
       val comp = s.read.parquet(s"$path/components")
@@ -1950,7 +1954,25 @@ object SparkEntry {
     "q170_langid_ct" -> ((s, dir) =>
       Text.langIdNgram(t(s, dir, "documents"), "doc_id", "lang", "text",
           k = 40)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // north star — image perceptual hash (Multimodal.aHash36 scaladoc):
+    // real decode → 6x6 nearest-neighbor aHash per image, then the
+    // exact-duplicate bucket size via groupBy+join-back (the q128
+    // member-count shape — a viral logo/thumbnail is exactly the hot
+    // bucket). The image-side dedup fingerprint next to the text-side
+    // SimHash family; hamming-banded pair joins ride the q34 machinery.
+    "q171_image_phash" -> ((s, dir) => {
+      val hashed = Multimodal.perceptualHash(
+        Multimodal.ppmMediaFromDocuments(t(s, dir, "documents"))).toDF()
+        .localCheckpoint() // feeds the bucket agg AND the join-back
+      val sizes = hashed.groupBy("phash")
+        .agg(count(lit(1)).as("n_bucket"))
+      hashed.join(sizes, Seq("phash"))
+        .select(col("media_id"), col("kind"), col("phash"),
+          col("n_bucket"))
+        .orderBy("media_id")
+    })
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -4137,6 +4159,35 @@ object SparkEntry {
              "sqrt(CAST(list_sum(list_transform(smp, x -> x*x))" +
                " AS DOUBLE) / n)", 4)} AS rms
            |FROM s ORDER BY media_id""".stripMargin,
+
+      // aHash replay from the pixel rule: nearest-neighbor sample
+      // indices ((b//6)*h)//6 rows, ((b%6)*w)//6 cols — identical
+      // integer division order to the engine; the strict gray*36 > sum
+      // threshold and bit b -> 1<<b reconstruction keep every step in
+      // signed 64-bit BIGINTs
+      "q171_image_phash" ->
+        """WITH m AS (SELECT doc_id, source,
+          |    CAST(4 + doc_id % 5 AS INTEGER) AS w,
+          |    CAST(3 + doc_id % 4 AS INTEGER) AS h
+          |  FROM documents),
+          |px AS (SELECT doc_id, source, list_transform(range(0, 36),
+          |    b -> (((b // 6) * h) // 6) * w + (((b % 6) * w) // 6))
+          |    AS ps
+          |  FROM m),
+          |g AS (SELECT doc_id, source, list_transform(ps, p ->
+          |    (doc_id + 3*p) % 256 + (doc_id + 3*p + 1) % 256
+          |      + (doc_id + 3*p + 2) % 256) AS gv
+          |  FROM px),
+          |hh AS (SELECT doc_id AS media_id, source AS kind,
+          |    CAST(COALESCE(list_sum(list_transform(range(0, 36), b ->
+          |      CASE WHEN gv[CAST(b + 1 AS INTEGER)] * 36
+          |        > list_sum(gv)
+          |      THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+          |      ELSE 0 END)), 0) AS BIGINT) AS phash
+          |  FROM g)
+          |SELECT media_id, kind, phash,
+          |  COUNT(*) OVER (PARTITION BY phash) AS n_bucket
+          |FROM hh ORDER BY media_id""".stripMargin,
 
       // q70's pixel-rule replay minus n_bytes: PNG decode is lossless,
       // so decoded statistics equal the generating rule exactly

@@ -65,12 +65,18 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read as its
-    * microsecond TimestampType (FAILED_READ_FILE.PARQUET_COLUMN_DATA_TYPE_
-    * MISMATCH). We read it as a nanos BIGINT (requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, set in [[Sessions.config]])
-    * and convert to TimestampType in [[load]], so downstream operators see a
-    * normal timestamp column.
+  /** `events.ts` has shipped as BOTH parquet TIMESTAMP(NANOS) (rounds
+    * 1–6) and TIMESTAMP(MICROS) (round 7 fixtures) — and the two MUST
+    * be told apart, because the nanos path reads the raw BIGINT and
+    * divides by 1000: applied to a micros file it silently produces
+    * timestamps 1000× too small (caught by the round-7 oracle gate,
+    * 17 queries). [[load]] sniffs the footer's logical type once per
+    * directory (under `nanosAsLong` a NANOS column surfaces as
+    * LongType, MICROS as TimestampType — Spark cannot read NANOS as
+    * its microsecond TimestampType at all) and picks the schema:
+    * nanos → BIGINT read + `div 1000` + timestamp_micros; micros →
+    * plain TimestampType read. Downstream operators see a normal
+    * timestamp column either way.
     */
   val events: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -79,6 +85,15 @@ object Tables {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** The micros-fixture variant: ts is Spark's native TimestampType. */
+  val eventsMicros: StructType = StructType(
+    events.fields.map(f =>
+      if (f.name == "ts") StructField("ts", TimestampType) else f))
+
+  /** Footer-sniff memo: one schema read per events path per JVM. */
+  private val eventsIsNanos =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   val documents: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -100,17 +115,21 @@ object Tables {
 
   /** Load one fixture table with its declared schema. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events")
-      // defensive: the flag is required to read TIMESTAMP(NANOS); set it
-      // here too so a caller-supplied session (e.g. the driver's) works
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      // ns → µs with integer `div` (a double round-trip would lose precision
-      // above 2^53 ns); truncation matches DuckDB's ns→µs cast.
-      df.withColumn("ts",
+    val path = s"$sfDir/$name.parquet"
+    if (name != "events")
+      return spark.read.schema(schemas(name)).parquet(path)
+    // defensive: the flag is required to read TIMESTAMP(NANOS); set it
+    // here too so a caller-supplied session (e.g. the driver's) works
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val isNanos = eventsIsNanos.computeIfAbsent(path, _ =>
+      spark.read.parquet(path).schema("ts").dataType == LongType)
+    if (isNanos)
+      // ns → µs with integer `div` (a double round-trip would lose
+      // precision above 2^53 ns); truncation matches DuckDB's ns→µs cast
+      spark.read.schema(events).parquet(path).withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    else
+      spark.read.schema(eventsMicros).parquet(path)
   }
 }

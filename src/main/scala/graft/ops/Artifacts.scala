@@ -39,13 +39,40 @@ object Artifacts {
 
   private val cache = new ConcurrentHashMap[String, DataFrame]()
 
+  /** RDD ids of the FINAL checkpoint blocks backing live artifacts.
+    * localCheckpoint truncates lineage, so evicting these blocks makes
+    * every later consumer fail (not recompute) — session-hygiene
+    * sweeps that unpersist "everything" (graft.Bench's between-query
+    * cleanup) must exempt exactly this set. Intermediate checkpoints
+    * created INSIDE a build (lshVerifiedPairs' candidate frame, CC
+    * round frames) are deliberately not protected: the final artifact
+    * does not depend on them, and they are the GC debt the sweep
+    * exists to drop.
+    */
+  private val finalIds = ConcurrentHashMap.newKeySet[Int]()
+
   /** Memoize an eagerly-materialized frame. `computeIfAbsent` also
     * serializes concurrent first-builds of the same artifact (Verify
     * runs queries 4-at-a-time — without this, two reports racing on a
-    * cold cache would both pay the pair-graph build).
+    * cold cache would both pay the pair-graph build). The outer
+    * synchronized makes the before/after persistent-RDD diff that
+    * identifies the final checkpoint's ids race-free.
     */
   private def memo(key: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent(key, _ => build.localCheckpoint())
+    cache.computeIfAbsent(key, _ => this.synchronized {
+      val df0 = build // intermediate checkpoints materialize here
+      val sc = df0.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val df = df0.localCheckpoint()
+      (sc.getPersistentRDDs.keySet -- before).foreach(finalIds.add(_))
+      df
+    })
+
+  /** Is `rddId` a live artifact's final checkpoint? (For hygiene sweeps
+    * that unpersist session-wide state — see [[finalIds]].)
+    */
+  private[graft] def isProtected(rddId: Int): Boolean =
+    finalIds.contains(rddId)
 
   private def keyOf(spark: SparkSession, sfDir: String, what: String,
                     params: String): String =
@@ -97,5 +124,6 @@ object Artifacts {
   private[graft] def clear(): Unit = {
     cache.forEach((_, df) => df.unpersist())
     cache.clear()
+    finalIds.clear()
   }
 }

@@ -200,6 +200,57 @@ object Multimodal {
     })
   }
 
+  /** 36-bit average perceptual hash of a raster (aHash — the public
+    * image near-dup fingerprint family: Niu & Jiao 2008 survey; the
+    * imagehash library's average_hash): sample a 6×6 grid by
+    * nearest-neighbor downscale (cell (i,j) reads pixel
+    * ((i·h)/6, (j·w)/6) — integer-exact for ANY geometry, unlike
+    * area-averaging with fractional blocks), gray = r+g+b per sample,
+    * bit b set iff gray·36 > Σgray (strict — the all-equal raster
+    * hashes to 0). 36 bits keeps every arithmetic step inside a signed
+    * 64-bit int in any engine; near-dup = small hamming distance, via
+    * the same signature banding as SimHash.
+    */
+  def aHash36(r: Raster): Long = {
+    val g = new Array[Long](36)
+    var sum = 0L
+    var b = 0
+    while (b < 36) {
+      val y = ((b / 6) * r.height) / 6
+      val x = ((b % 6) * r.width) / 6
+      val p = (y * r.width + x) * 3
+      g(b) = (r.pixels(p) & 0xFF) + (r.pixels(p + 1) & 0xFF) +
+        (r.pixels(p + 2) & 0xFF)
+      sum += g(b)
+      b += 1
+    }
+    var h = 0L
+    b = 0
+    while (b < 36) {
+      if (g(b) * 36 > sum) h |= 1L << b
+      b += 1
+    }
+    h
+  }
+
+  /** Hashed image row: the raster reduced to its perceptual hash. */
+  case class ImageHash(media_id: Long, kind: String, phash: Long)
+
+  /** Partition-parallel decode + perceptual hash: the image analog of
+    * the text MinHash signature pass — scan-local, no shuffle; bucket
+    * joins over the hash come afterwards on a 36-bit key.
+    */
+  def perceptualHash(ds: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val raster = decodePpm(r.payload).orElse(decodeBmp(r.payload))
+        .orElse(decodePng(r.payload))
+        .getOrElse(throw new IllegalArgumentException(
+          s"media ${r.media_id}: not a decodable PPM/BMP/PNG payload"))
+      ImageHash(r.media_id, r.kind, aHash36(raster))
+    })
+  }
+
   /** Decoded feature row produced by the (stub) decoder. */
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                            width: Int, height: Int, fingerprint: String)

@@ -350,12 +350,22 @@ object StreamOps {
     * with one processAllAvailable() pass.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    // same defensive conf as Tables.load: events.ts is TIMESTAMP(NANOS)
+    // same defensive conf + footer sniff as Tables.load: events.ts has
+    // shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS), and the
+    // nanos div-1000 applied to a micros file silently shrinks every
+    // timestamp 1000x. readStream needs a declared schema, so sniff
+    // the staged files with a one-off batch read.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(graft.Tables.events)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-      // same ns→µs conversion as Tables.load
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val isNanos = spark.read.parquet(dir)
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    if (isNanos)
+      spark.readStream.schema(graft.Tables.events)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      spark.readStream.schema(graft.Tables.eventsMicros)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
   }
 }

@@ -144,6 +144,27 @@ class SimSpec extends SparkSpec {
     assert(Multimodal.decodePng(png.take(16)).isEmpty)
   }
 
+  test("aHash36: all-equal raster hashes to 0 (strict threshold); " +
+      "half-bright raster sets exactly the bright cells; shift " +
+      "invariance across brightness") {
+    import graft.ops.Multimodal.Raster
+    val flat = Raster(8, 8, Array.fill(8 * 8 * 3)(100.toByte))
+    assert(Multimodal.aHash36(flat) === 0L)
+    // left half dark (0), right half bright (200): grid cols 0-2 sample
+    // x = (j*8)/6 in {0,1,2} -> dark; cols 3-5 -> x in {4,5,6} -> bright
+    val half = Raster(8, 8, Array.tabulate(8 * 8 * 3) { k =>
+      val x = (k / 3) % 8
+      if (x < 4) 0.toByte else 200.toByte
+    })
+    val h = Multimodal.aHash36(half)
+    val bits = (0 until 36).filter(b => (h >> b & 1L) == 1L)
+    assert(bits === (0 until 36).filter(b => b % 6 >= 3),
+      s"bright-column bits wrong: $bits")
+    // adding constant brightness to every pixel must not change the hash
+    val shifted = Raster(8, 8, half.pixels.map(p => ((p & 0xFF) + 30).toByte))
+    assert(Multimodal.aHash36(shifted) === h)
+  }
+
   test("decodeImages over the deterministic PPM fixture computes real " +
       "per-pixel stats (hand-checked for one doc)") {
     val docs = Seq((7L, "x", "en", "img", 1L))

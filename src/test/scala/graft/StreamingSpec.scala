@@ -13,6 +13,42 @@ import graft.streaming.StreamOps
   */
 class StreamingSpec extends SparkSpec {
 
+  /** Write one far-future two-event sentinel file (both event types —
+    * the query watermark is the min across operators) FLAT into the
+    * stream dir, matching the staged fixture's ts unit: the fixture
+    * has shipped as both TIMESTAMP(NANOS) (read as nanos BIGINT) and
+    * TIMESTAMP(MICROS) (read as a real timestamp) — FIXTURES.md
+    * round-7 note — and a sentinel in the wrong unit either fails the
+    * schema or silently pins the watermark.
+    */
+  private def writeSentinel(stage: java.io.File, baseId: Long, i: Int,
+                            farSec: Long): Unit = {
+    import spark.implicits._
+    val isNanos = spark.read.parquet(stage.getAbsolutePath)
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tmpOut = Files.createTempDirectory("graft-sent").toFile
+    val base = Seq(
+      (baseId + 2 * i, farSec + i, 999L, "purchase", 0.0, "{}"),
+      (baseId + 2 * i + 1, farSec + i, 999L, "click", 0.0, "{}"))
+      .toDF("event_id", "sec", "user_id", "event_type", "value", "props")
+    (if (isNanos) base.withColumn("ts", col("sec") * 1000000000L)
+     else base.withColumn("ts", timestamp_seconds(col("sec"))))
+      .drop("sec")
+      .coalesce(1).write.mode("overwrite").parquet(tmpOut.getAbsolutePath)
+    // move the part file in FLAT — the file source lists the stage
+    // dir's immediate files, and a nested sentinelN.parquet/ dir
+    // would be invisible, silently pinning the watermark
+    val part = tmpOut.listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    Files.move(part.toPath,
+      new java.io.File(stage, s"sentinel$i.parquet").toPath)
+    def rmDir(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmDir)
+      f.delete()
+    }
+    rmDir(tmpOut)
+  }
+
   test("stateful sessionize across two micro-batches == batch sessions " +
       "(minus each user's still-open last session)") {
     import spark.implicits._
@@ -375,29 +411,12 @@ class StreamingSpec extends SparkSpec {
           .agg(org.apache.spark.sql.functions.max(
             unix_timestamp(col("ts")))).head().getLong(0) + 10 * 24 * 3600L
         for (i <- 1 to 3) {
-          // eventsStream reads the fixture layout: ts is NANOS as long.
-          // BOTH event types: each side's watermark operator only sees
-          // rows passing its own filter, and the query watermark is the
-          // min across operators — a purchase-only sentinel would leave
-          // the click-side watermark (and so the global one) behind.
-          val tmpOut = Files.createTempDirectory("graft-ssoj-sent").toFile
-          Seq(
-            (900000L + 2 * i, (far + i) * 1000000000L, 999L, "purchase",
-              0.0, "{}"),
-            (900001L + 2 * i, (far + i) * 1000000000L, 999L, "click",
-              0.0, "{}"))
-            .toDF("event_id", "ts", "user_id", "event_type", "value",
-              "props")
-            .coalesce(1).write.mode("overwrite")
-            .parquet(tmpOut.getAbsolutePath)
-          // move the part file in FLAT — the file source lists the stage
-          // dir's immediate files, and a nested sentinelN.parquet/ dir
-          // would be invisible, silently pinning the watermark
-          val part = tmpOut.listFiles()
-            .find(f => f.getName.endsWith(".parquet")).get
-          Files.move(part.toPath,
-            new java.io.File(stage, s"sentinel$i.parquet").toPath)
-          rm(tmpOut)
+          // BOTH event types per sentinel: each side's watermark
+          // operator only sees rows passing its own filter, and the
+          // query watermark is the min across operators — a
+          // purchase-only sentinel would leave the click-side
+          // watermark (and so the global one) behind.
+          writeSentinel(stage, 900000L, i, far)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -447,22 +466,7 @@ class StreamingSpec extends SparkSpec {
           .agg(org.apache.spark.sql.functions.max(
             unix_timestamp(col("ts")))).head().getLong(0) + 10 * 24 * 3600L
         for (i <- 1 to 3) {
-          import spark.implicits._
-          val tmpOut = Files.createTempDirectory("graft-ssfoj-sent").toFile
-          Seq(
-            (910000L + 2 * i, (far + i) * 1000000000L, 999L, "purchase",
-              0.0, "{}"),
-            (910001L + 2 * i, (far + i) * 1000000000L, 999L, "click",
-              0.0, "{}"))
-            .toDF("event_id", "ts", "user_id", "event_type", "value",
-              "props")
-            .coalesce(1).write.mode("overwrite")
-            .parquet(tmpOut.getAbsolutePath)
-          val part = tmpOut.listFiles()
-            .find(f => f.getName.endsWith(".parquet")).get
-          Files.move(part.toPath,
-            new java.io.File(stage, s"sentinel$i.parquet").toPath)
-          rm(tmpOut)
+          writeSentinel(stage, 910000L, i, far)
           q.processAllAvailable()
         }
       } finally q.stop()
