@@ -1972,7 +1972,51 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("phash"),
           col("n_bucket"))
         .orderBy("media_id")
-    })
+    }),
+
+    // north star — LEAKAGE-SAFE k-fold split: fold assignment is a pure
+    // md5 function of the near-dup COMPONENT (docs outside the pair
+    // graph are their own group), so near-duplicates can never straddle
+    // a train/eval boundary — the q74 random split leaks: a doc and its
+    // near-copy land in different folds and the eval is contaminated.
+    // Composes the Artifacts component labels with q74's deterministic
+    // hash-split; one left join, scan-local fold math.
+    "q172_leakage_safe_split" -> ((s, dir) => {
+      val comp = Artifacts.components(s, dir,
+        k = 8, bands = 4, minJaccard = 0.2)
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("split_group",
+          coalesce(col("component"), col("doc_id")))
+        .withColumn("fold",
+          (conv(substring(md5(col("split_group").cast("string")), 1, 4),
+            16, 10).cast("int") % 5).cast("int"))
+        .select(col("doc_id"), col("split_group"), col("fold"))
+        .orderBy("doc_id")
+    }),
+
+    // north star — mixture weights over the PREDICTED language: q170's
+    // CT classifier feeding q152's α-temperature recipe — the trained
+    // per-language rebalance (declared labels are scraped metadata;
+    // mixture recipes in production weigh what the classifier says the
+    // text IS). Profile scoring rides the broadcast shape; weights are
+    // |langs| rows.
+    "q173_pred_lang_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pred = Text.langIdNgram(docs, "doc_id", "lang", "text", k = 40)
+        .select(col("doc_id"), col("pred_lang"))
+      Curate.mixtureWeights(docs.join(pred, Seq("doc_id")),
+          "pred_lang", "text", alpha = 0.5, budget = 1000000L)
+        .withColumnRenamed("grp", "pred_lang")
+        .orderBy("pred_lang")
+    }),
+
+    // §2.5 gap — per-group MAD (Agg.madByRank scaladoc): the robust
+    // scale estimate next to q158's winsorization — both medians exact
+    // rank selections, no per-group buffer anywhere.
+    "q174_mad" -> ((s, dir) =>
+      Agg.madByRank(t(s, dir, "events"), "event_type", "value")
+        .orderBy("event_type"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -2075,6 +2119,49 @@ object SparkEntry {
          |  COUNT(*) OVER (PARTITION BY component) AS n_members,
          |  (doc_id = component) AS is_survivor
          |FROM comp ORDER BY doc_id""".stripMargin
+
+    // the q170 Cavnar–Trenkle prediction as a reusable CTE chain ending
+    // in `ct_pred(doc_id, lang, pred_lang, dist)` — shared by the
+    // lang-ID oracle and the predicted-language mixture oracle (q173)
+    // so both provably score the identical classifier
+    val ctPredCte =
+      s"""ct_cleaned AS (SELECT doc_id, lang, ${cleanSql("text")} AS c
+         |  FROM documents),
+         |ct_tri AS (SELECT doc_id, lang,
+         |    UNNEST(CASE WHEN strlen(c) < 3 THEN []
+         |      ELSE list_transform(range(0, strlen(c) - 2),
+         |        i -> substring(c, CAST(i + 1 AS INTEGER), 3)) END)
+         |      AS g
+         |  FROM ct_cleaned),
+         |ct_lp AS (SELECT lang AS cand_lang, g, rank_l FROM (
+         |    SELECT lang, g, row_number() OVER (PARTITION BY lang
+         |      ORDER BY COUNT(*) DESC, g) AS rank_l
+         |    FROM ct_tri GROUP BY lang, g) WHERE rank_l <= 40),
+         |ct_dp AS (SELECT doc_id, g, rank_d FROM (
+         |    SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY COUNT(*) DESC, g) AS rank_d
+         |    FROM ct_tri GROUP BY doc_id, g) WHERE rank_d <= 40),
+         |ct_m AS (SELECT doc_id, cand_lang,
+         |    CAST(SUM(abs(rank_d - rank_l)) AS BIGINT) AS md,
+         |    COUNT(*) AS nm
+         |  FROM ct_dp JOIN ct_lp USING (g) GROUP BY 1, 2),
+         |ct_grid AS (SELECT ds.doc_id, ds.n_prof, langs.cand_lang
+         |  FROM (SELECT doc_id, COUNT(*) AS n_prof FROM ct_dp
+         |    GROUP BY 1) ds
+         |  CROSS JOIN (SELECT DISTINCT cand_lang FROM ct_lp) langs),
+         |ct_best AS (SELECT doc_id, cand_lang, dist, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY dist, cand_lang) AS rk
+         |  FROM (SELECT g.doc_id, g.cand_lang,
+         |      CAST(COALESCE(m.md, 0)
+         |        + (g.n_prof - COALESCE(m.nm, 0)) * 40 AS BIGINT)
+         |        AS dist
+         |    FROM ct_grid g LEFT JOIN ct_m m ON m.doc_id = g.doc_id
+         |      AND m.cand_lang = g.cand_lang)),
+         |ct_pred AS (SELECT d.doc_id, d.lang,
+         |    COALESCE(b.cand_lang, 'und') AS pred_lang, b.dist
+         |  FROM documents d
+         |  LEFT JOIN (SELECT * FROM ct_best WHERE rk = 1) b
+         |    ON b.doc_id = d.doc_id)""".stripMargin
 
     ListMap(
       "q01_pricing_summary" ->
@@ -4092,45 +4179,71 @@ object SparkEntry {
       // same total order both engines sort), out-of-place distance
       // with the absent-trigram penalty, argmin with alphabetical
       // tie-break; SUMs cast to BIGINT (DuckDB HUGEINT would surface
-      // as float through pandas)
+      // as float through pandas). Chain shared with q173.
       "q170_langid_ct" ->
-        s"""WITH cleaned AS (SELECT doc_id, lang, ${cleanSql("text")} AS c
-           |  FROM documents),
-           |tri AS (SELECT doc_id, lang,
-           |    UNNEST(CASE WHEN strlen(c) < 3 THEN []
-           |      ELSE list_transform(range(0, strlen(c) - 2),
-           |        i -> substring(c, CAST(i + 1 AS INTEGER), 3)) END)
-           |      AS g
-           |  FROM cleaned),
-           |lp AS (SELECT lang AS cand_lang, g, rank_l FROM (
-           |    SELECT lang, g, row_number() OVER (PARTITION BY lang
-           |      ORDER BY COUNT(*) DESC, g) AS rank_l
-           |    FROM tri GROUP BY lang, g) WHERE rank_l <= 40),
-           |dp AS (SELECT doc_id, g, rank_d FROM (
-           |    SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id
-           |      ORDER BY COUNT(*) DESC, g) AS rank_d
-           |    FROM tri GROUP BY doc_id, g) WHERE rank_d <= 40),
-           |m AS (SELECT doc_id, cand_lang,
-           |    CAST(SUM(abs(rank_d - rank_l)) AS BIGINT) AS md,
-           |    COUNT(*) AS nm
-           |  FROM dp JOIN lp USING (g) GROUP BY 1, 2),
-           |grid AS (SELECT ds.doc_id, ds.n_prof, langs.cand_lang
-           |  FROM (SELECT doc_id, COUNT(*) AS n_prof FROM dp GROUP BY 1)
-           |    ds CROSS JOIN (SELECT DISTINCT cand_lang FROM lp) langs),
-           |best AS (SELECT doc_id, cand_lang, dist, row_number() OVER (
-           |    PARTITION BY doc_id ORDER BY dist, cand_lang) AS rk
-           |  FROM (SELECT g.doc_id, g.cand_lang,
-           |      CAST(COALESCE(m.md, 0)
-           |        + (g.n_prof - COALESCE(m.nm, 0)) * 40 AS BIGINT)
-           |        AS dist
-           |    FROM grid g LEFT JOIN m ON m.doc_id = g.doc_id
-           |      AND m.cand_lang = g.cand_lang))
-           |SELECT d.doc_id, d.lang,
-           |  COALESCE(b.cand_lang, 'und') AS pred_lang, b.dist
-           |FROM documents d
-           |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
-           |  ON b.doc_id = d.doc_id
-           |ORDER BY d.doc_id""".stripMargin,
+        s"""WITH $ctPredCte
+           |SELECT doc_id, lang, pred_lang, dist FROM ct_pred
+           |ORDER BY doc_id""".stripMargin,
+
+      // q152's weight arithmetic verbatim, grouped on q170's PREDICTED
+      // language (the shared ct_pred chain)
+      "q173_pred_lang_mixture" ->
+        s"""WITH $ctPredCte,
+           |c AS (SELECT p.pred_lang,
+           |    CAST(SUM(len($toks)) AS BIGINT) AS n_tokens
+           |  FROM documents JOIN ct_pred p USING (doc_id) GROUP BY 1),
+           |z AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           |    SUM(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS z FROM c)
+           |SELECT pred_lang, n_tokens,
+           |  ${Num.floorAtSql(
+             "CAST(n_tokens AS DOUBLE) / total_tokens", 6)} AS share,
+           |  ${Num.floorAtSql(
+             "pow(CAST(n_tokens AS DOUBLE), 0.5) / z", 6)} AS weight,
+           |  CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.5) / z
+           |    * 1000000) AS BIGINT) AS expected_tokens
+           |FROM c CROSS JOIN z ORDER BY pred_lang""".stripMargin,
+
+      // fold = md5 of the COMPONENT (the q74 hash-split rule lifted to
+      // the dup-cluster grain); pair+CC replay shared with the q128
+      // family
+      "q172_leakage_safe_split" ->
+        s"""WITH RECURSIVE
+           |$verifiedPairsCte,
+           |$ccCte,
+           |g AS (SELECT d.doc_id,
+           |    COALESCE(c.component, d.doc_id) AS split_group
+           |  FROM documents d LEFT JOIN comp c USING (doc_id))
+           |SELECT doc_id, split_group,
+           |  CAST(${md5Hex4Sql("CAST(split_group AS VARCHAR)")} % 5
+           |    AS INTEGER) AS fold
+           |FROM g ORDER BY doc_id""".stripMargin,
+
+      // double rank selection: the q120 middle-rank median, then the
+      // same selection over |x - p50| — identical IEEE subtract/abs on
+      // identical doubles in both engines
+      "q174_mad" ->
+        s"""WITH r1 AS (SELECT event_type, value,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY value) AS rn,
+           |    COUNT(*) OVER (PARTITION BY event_type) AS n
+           |  FROM events),
+           |m AS (SELECT event_type, AVG(value) AS p50 FROM r1
+           |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1),
+           |d AS (SELECT e.event_type, abs(e.value - m.p50) AS dv
+           |  FROM events e JOIN m USING (event_type)),
+           |r2 AS (SELECT event_type, dv,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY dv) AS rn,
+           |    COUNT(*) OVER (PARTITION BY event_type) AS n
+           |  FROM d),
+           |md AS (SELECT event_type, MAX(n) AS n, AVG(dv) AS mad
+           |  FROM r2
+           |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1)
+           |SELECT m.event_type, md.n,
+           |  ${Num.floorAtSql("m.p50", 4)} AS p50,
+           |  ${Num.floorAtSql("md.mad", 4)} AS mad
+           |FROM m JOIN md USING (event_type)
+           |ORDER BY event_type""".stripMargin,
 
       // the WAV sample-rule replay (lists are 1-based in DuckDB; the
       // crossing pairs smp[i], smp[i+1] for i in 1..n-1 are exactly the

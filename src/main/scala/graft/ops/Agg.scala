@@ -281,6 +281,33 @@ object Agg {
       .agg(max(col("n")).as("n"), avg(col(x)).as("median"))
   }
 
+  /** Per-group MAD (median absolute deviation) — the robust scale
+    * estimate outliers cannot move (breakdown point 50%, vs 0% for the
+    * q98 standard deviation): median(|x − median(x)|), both medians
+    * exact via [[medianByRank]]'s rank selection, so no per-group value
+    * buffer exists at either stage. Pipeline: one rank window for the
+    * group median (|groups| rows out, broadcast back onto the scan for
+    * the deviation pass), one rank window over the deviations. Use next
+    * to [[winsorize]]: MAD picks the robust center/scale, winsorize
+    * enforces it.
+    *
+    * Output: (key, n, p50, mad), both floored at 4 dp.
+    */
+  def madByRank(df: DataFrame, key: String, x: String): DataFrame = {
+    val med = medianByRank(df, key, x)
+      .select(col(key), col("median").as("p50"))
+      .localCheckpoint() // |groups| rows; feeds the dev pass AND the close
+    val dev = df.select(col(key), col(x))
+      .join(broadcast(med), Seq(key))
+      .select(col(key), abs(col(x) - col("p50")).as("__d"))
+    medianByRank(dev, key, "__d")
+      .select(col(key), col("n"), col("median").as("mad"))
+      .join(broadcast(med), Seq(key))
+      .select(col(key), col("n"),
+        Num.floorAt(col("p50"), 4).as("p50"),
+        Num.floorAt(col("mad"), 4).as("mad"))
+  }
+
   /** Per-group winsorization at exact rank-selected percentiles — the
     * outlier treatment feature pipelines apply before statistics that
     * outliers wreck (means, OLS, z-scores): clamp each value into
