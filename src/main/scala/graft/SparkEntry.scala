@@ -2016,7 +2016,24 @@ object SparkEntry {
     // rank selections, no per-group buffer anywhere.
     "q174_mad" -> ((s, dir) =>
       Agg.madByRank(t(s, dir, "events"), "event_type", "value")
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // north star — audio fingerprint (Audio.energyFingerprint
+    // scaladoc): real WAV decode → energy-delta sign bits — the audio
+    // twin of q171's image aHash; exact-dup buckets via the same
+    // groupBy+join-back, oracle replays energies from the sample rule.
+    "q175_audio_fingerprint" -> ((s, dir) => {
+      val fp = Audio.fingerprintAudio(
+          Audio.wavMediaFromDocuments(t(s, dir, "documents")), win = 2)
+        .toDF()
+        .localCheckpoint() // feeds the bucket agg AND the join-back
+      val sizes = fp.groupBy("fingerprint")
+        .agg(count(lit(1)).as("n_bucket"))
+      fp.join(sizes, Seq("fingerprint"))
+        .select(col("media_id"), col("kind"), col("n_windows"),
+          col("fingerprint"), col("n_bucket"))
+        .orderBy("media_id")
+    })
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -4244,6 +4261,34 @@ object SparkEntry {
            |  ${Num.floorAtSql("md.mad", 4)} AS mad
            |FROM m JOIN md USING (event_type)
            |ORDER BY event_type""".stripMargin,
+
+      // energy replay from the sample rule: e_w = s_{2w}² + s_{2w+1}²
+      // (1-based list indexing), bit w = e_{w+1} > e_w, all integer
+      "q175_audio_fingerprint" ->
+        s"""WITH m AS (SELECT doc_id, source,
+           |    CAST(50 + doc_id % 30 AS INTEGER) AS n FROM documents),
+           |s AS (SELECT doc_id, source, n,
+           |    list_transform(range(0, n),
+           |      i -> (doc_id*31 + i*17) % 4001 - 2000) AS smp
+           |  FROM m),
+           |e AS (SELECT doc_id, source, n // 2 AS nw,
+           |    list_transform(range(0, n // 2), w ->
+           |      smp[CAST(2*w + 1 AS INTEGER)]
+           |        * smp[CAST(2*w + 1 AS INTEGER)]
+           |      + smp[CAST(2*w + 2 AS INTEGER)]
+           |        * smp[CAST(2*w + 2 AS INTEGER)]) AS ev
+           |  FROM s),
+           |f AS (SELECT doc_id AS media_id, source AS kind,
+           |    CAST(nw AS BIGINT) AS n_windows,
+           |    CAST(COALESCE(list_sum(list_transform(range(0, nw - 1),
+           |      w -> CASE WHEN ev[CAST(w + 2 AS INTEGER)]
+           |          > ev[CAST(w + 1 AS INTEGER)]
+           |        THEN CAST(1 AS BIGINT) << CAST(w AS INTEGER)
+           |        ELSE 0 END)), 0) AS BIGINT) AS fingerprint
+           |  FROM e)
+           |SELECT media_id, kind, n_windows, fingerprint,
+           |  COUNT(*) OVER (PARTITION BY fingerprint) AS n_bucket
+           |FROM f ORDER BY media_id""".stripMargin,
 
       // the WAV sample-rule replay (lists are 1-based in DuckDB; the
       // crossing pairs smp[i], smp[i+1] for i in 1..n-1 are exactly the

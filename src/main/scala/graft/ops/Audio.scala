@@ -134,6 +134,58 @@ object Audio {
         else Num.floorDouble(math.sqrt(sumSq.toDouble / n), 4))
   }
 
+  /** Energy-delta sign fingerprint of a PCM stream — the public
+    * audio-fingerprint family's core idea (Haitsma & Kalker 2002 /
+    * chromaprint reduce spectral energies to sign-of-delta bits; this
+    * is the time-domain form): integer energy per `win`-sample window
+    * (Σ s², exact 64-bit), bit w set iff energy rises window w → w+1.
+    * Robust to constant gain ≠ 1 only in the spectral form — THIS form
+    * is the exact-dup/bit-rot fingerprint (same samples ⇒ same bits),
+    * the audio twin of [[Multimodal.aHash36]]'s exact buckets.
+    * Bits cap at 63 so the fingerprint stays a signed BIGINT in any
+    * engine.
+    */
+  def energyFingerprint(p: Pcm, win: Int = 2): (Long, Long) = {
+    require(win >= 1, s"window must be >= 1, got $win")
+    val nw = p.samples.length / win
+    val e = Array.tabulate(nw) { w =>
+      var acc = 0L
+      var k = 0
+      while (k < win) {
+        val s = p.samples(w * win + k).toLong
+        acc += s * s
+        k += 1
+      }
+      acc
+    }
+    var f = 0L
+    var w = 0
+    while (w < math.min(nw - 1, 63)) {
+      if (e(w + 1) > e(w)) f |= 1L << w
+      w += 1
+    }
+    (nw.toLong, f)
+  }
+
+  /** Fingerprinted audio row. */
+  case class AudioFingerprint(media_id: Long, kind: String,
+                              n_windows: Long, fingerprint: Long)
+
+  /** Partition-parallel decode + fingerprint — the audio signature
+    * pass; exact-dup buckets come from a keyed count afterwards.
+    */
+  def fingerprintAudio(ds: Dataset[MediaRow], win: Int = 2)
+      : Dataset[AudioFingerprint] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val pcm = decodeWav(r.payload).getOrElse(
+        throw new IllegalArgumentException(
+          s"media ${r.media_id}: not a decodable PCM16 WAV payload"))
+      val (nw, f) = energyFingerprint(pcm, win)
+      AudioFingerprint(r.media_id, r.kind, nw, f)
+    })
+  }
+
   /** Partition-parallel REAL audio decode: WAV/PCM16 payloads parsed
     * and measured for real; anything else fails loudly.
     */

@@ -28,6 +28,21 @@ class AudioSpec extends SparkSpec {
     assert(st.rms === math.floor(math.sqrt(28500.0) * 10000) / 10000)
   }
 
+  test("energyFingerprint: hand-checked bits; identical samples give " +
+    "identical fingerprints, a changed sample flips them") {
+    // win=2 energies: (100,-200)->50000, (300,0)->90000 -> rising: bit 0
+    val (nw, f) = Audio.energyFingerprint(
+      Audio.Pcm(8000, 1, samples), win = 2)
+    assert(nw === 2L && f === 1L)
+    val same = Audio.energyFingerprint(
+      Audio.Pcm(8000, 1, samples.clone()), win = 2)
+    assert(same === ((2L, 1L)))
+    val changed = samples.clone(); changed(2) = 10
+    // energies: 50000, 100 -> falling: bit 0 clear
+    assert(Audio.energyFingerprint(
+      Audio.Pcm(8000, 1, changed), win = 2)._2 === 0L)
+  }
+
   test("chunk walker skips LIST chunks and pads odd sizes; " +
     "non-subset payloads rejected") {
     val wav = Audio.wavEncode(8000, samples)
