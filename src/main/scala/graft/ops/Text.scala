@@ -146,23 +146,30 @@ object Text {
     */
   def langIdNgram(docs: DataFrame, idCol: String, langCol: String,
                   textCol: String, k: Int = 40): DataFrame = {
-    val tri = docs
+    // ONE explode pass: the (doc, trigram) count frame is unique per
+    // (doc_id, g) — lang is functional on doc_id — so it IS the doc
+    // profile input, and the language counts are a re-aggregation of
+    // it (sum of per-doc counts), not a second scan of the corpus.
+    // Checkpointed: both profile builds and the size agg read it.
+    val triCounts = docs
       .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
         cleanText(col(textCol)).as("c"))
       .select(col("doc_id"), col("lang"),
         explode(charNgrams(col("c"))).as("g"))
+      .groupBy("doc_id", "lang", "g")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val lw = Window.partitionBy("lang")
       .orderBy(col("n").desc, col("g").asc)
-    val langProf = tri.groupBy("lang", "g")
-      .agg(count(lit(1)).as("n"))
+    val langProf = triCounts.groupBy("lang", "g")
+      .agg(sum(col("n")).as("n"))
       .withColumn("rank_l", row_number().over(lw))
       .where(col("rank_l") <= k)
       .select(col("lang").as("cand_lang"), col("g"), col("rank_l"))
       .localCheckpoint() // |langs|*k rows; feeds the join AND the grid
     val dw = Window.partitionBy("doc_id")
       .orderBy(col("n").desc, col("g").asc)
-    val docProf = tri.groupBy("doc_id", "g")
-      .agg(count(lit(1)).as("n"))
+    val docProf = triCounts
       .withColumn("rank_d", row_number().over(dw))
       .where(col("rank_d") <= k)
       .select(col("doc_id"), col("g"), col("rank_d"))
