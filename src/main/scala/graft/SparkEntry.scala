@@ -2033,7 +2033,31 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("n_windows"),
           col("fingerprint"), col("n_bucket"))
         .orderBy("media_id")
-    })
+    }),
+
+    // op-1 RANKED twin — BM25 retrieval (Text.bm25Retrieve scaladoc):
+    // the reference's keyword search (etl_pipeline.py:44-51) as ranked
+    // retrieval over an inverted index instead of substring match;
+    // broadcast query terms reduce the corpus to matching postings
+    // before any other join.
+    "q176_bm25_retrieval" -> ((s, dir) =>
+      Text.bm25Retrieve(t(s, dir, "documents"), "doc_id", "text",
+          Seq(("kw_cust", "customer order value"),
+            ("kw_join", "join merge hash"),
+            ("kw_scan", "spark scan filter"),
+            ("kw_win", "window batch sort")), k = 5)
+        .select(col("query_id"), col("id").as("doc_id"),
+          col("n_matched"), col("score"), col("rk"))
+        .orderBy("query_id", "rk")),
+
+    // §2.5 gap — pairwise correlation MATRIX (Agg.exactCorrMatrix
+    // scaladoc): all power sums for all pairs in ONE scan, closed
+    // forms off the 1-row state — the feature-redundancy profile, and
+    // mergeable across shards like q116's states.
+    "q177_corr_matrix" -> ((s, dir) =>
+      Agg.exactCorrMatrix(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -4261,6 +4285,72 @@ object SparkEntry {
            |  ${Num.floorAtSql("md.mad", 4)} AS mad
            |FROM m JOIN md USING (event_type)
            |ORDER BY event_type""".stripMargin,
+
+      // the q93 BM25 replay joined to a literal query list; per-doc
+      // scores sum the 4dp-floored weights through DECIMAL(18,4) (the
+      // q160 floored-score-sum contract) so ranking is order-free
+      "q176_bm25_retrieval" ->
+        s"""WITH q(query_id, query_text) AS (VALUES
+           |    ('kw_cust', 'customer order value'),
+           |    ('kw_join', 'join merge hash'),
+           |    ('kw_scan', 'spark scan filter'),
+           |    ('kw_win', 'window batch sort')),
+           |qt AS (SELECT query_id, UNNEST(list_distinct(
+           |    ${toksSql(cleanSql("query_text"))})) AS term FROM q),
+           |cleaned AS (SELECT doc_id AS id, $clean AS c FROM documents),
+           |terms AS (SELECT id, UNNEST($cleanToks) AS term FROM cleaned),
+           |tf AS (SELECT id, term, COUNT(*) AS tf FROM terms
+           |  GROUP BY 1, 2),
+           |dl AS (SELECT id, COUNT(*) AS dl FROM terms GROUP BY 1),
+           |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+           |stats AS (SELECT (SELECT COUNT(*) FROM terms) AS n_terms,
+           |                 (SELECT COUNT(*) FROM documents) AS n_docs),
+           |w AS (SELECT qt.query_id, tf.id,
+           |    floor((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           |      * (tf * 2.5)
+           |      / (tf + 1.5 * (0.25 + 0.75 * dl
+           |        / (CAST(n_terms AS DOUBLE) / n_docs)))) * 10000)
+           |      / 10000 AS w
+           |  FROM tf JOIN qt USING (term) JOIN dl USING (id)
+           |  JOIN dfreq USING (term) CROSS JOIN stats),
+           |s AS (SELECT query_id, id, COUNT(*) AS n_matched,
+           |    ${Num.floorAtSql(
+             "CAST(SUM(CAST(w AS DECIMAL(18,4))) AS DOUBLE)", 4)}
+           |      AS score
+           |  FROM w GROUP BY 1, 2),
+           |r AS (SELECT query_id, id, n_matched, score, row_number()
+           |    OVER (PARTITION BY query_id ORDER BY score DESC, id)
+           |    AS rk
+           |  FROM s)
+           |SELECT query_id, id AS doc_id, n_matched, score,
+           |  CAST(rk AS INTEGER) AS rk
+           |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+      // the same decimal power sums the engine accumulates, one scan,
+      // closed forms per pair off the 1-row state
+      "q177_corr_matrix" -> {
+        val mcols = Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_tax")
+        def dsql(c: String) = s"CAST($c AS DECIMAL(18,2))"
+        val sums = (Seq("COUNT(*) AS n") ++
+          mcols.map(c => s"SUM(${dsql(c)}) AS s_$c") ++
+          mcols.map(c => s"SUM(${dsql(c)} * ${dsql(c)}) AS ss_$c") ++
+          (for (i <- mcols.indices; j <- i + 1 until mcols.size)
+            yield s"SUM(${dsql(mcols(i))} * ${dsql(mcols(j))})" +
+              s" AS sp_${mcols(i)}_${mcols(j)}")).mkString(", ")
+        val selects = (for (i <- mcols.indices; j <- i + 1 until
+          mcols.size) yield {
+          val (a, b) = (mcols(i), mcols(j))
+          def dbl(c: String) = s"CAST($c AS DOUBLE)"
+          s"SELECT '$a' AS col_a, '$b' AS col_b, n, " + Num.floorAtSql(
+            s"(n * ${dbl(s"sp_${a}_$b")} - ${dbl(s"s_$a")} * ${dbl(s"s_$b")})" +
+              s" / (sqrt(n * ${dbl(s"ss_$a")} - ${dbl(s"s_$a")} * ${dbl(s"s_$a")})" +
+              s" * sqrt(n * ${dbl(s"ss_$b")} - ${dbl(s"s_$b")} * ${dbl(s"s_$b")}))",
+            6) + " AS corr FROM g"
+        }).mkString(" UNION ALL ")
+        s"WITH g AS (SELECT $sums FROM lineitem) $selects " +
+          "ORDER BY col_a, col_b"
+      },
 
       // energy replay from the sample rule: e_w = s_{2w}² + s_{2w+1}²
       // (1-based list indexing), bit w = e_{w+1} > e_w, all integer

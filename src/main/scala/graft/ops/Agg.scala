@@ -123,6 +123,47 @@ object Agg {
         .as("corr"))
   }
 
+  /** Pairwise Pearson correlation MATRIX over `cols` — the
+    * feature-redundancy profile a pipeline runs before model training
+    * (highly-correlated features double-count in mixtures and models).
+    * ALL power sums for ALL pairs accumulate in ONE scan (the
+    * [[exactCorr]] decimal-exact state, widened): one partial+final
+    * agg whatever the input size, then the k(k−1)/2 closed forms
+    * evaluate off the single 1-row frame (checkpointed — the scan
+    * never re-runs per pair). The sums are mergeable state (q116
+    * contract): per-shard matrices union exactly.
+    *
+    * Output: (col_a, col_b, n, corr) for a < b positions, floored 6 dp.
+    */
+  def exactCorrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.distinct.size == cols.size,
+      s"need >= 2 distinct columns, got $cols")
+    def d(c: String) = col(c).cast("decimal(18,2)")
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      cols.map(c => sum(d(c)).as(s"s_$c")) ++
+      cols.map(c => sum(d(c) * d(c)).as(s"ss_$c")) ++
+      (for (i <- cols.indices; j <- i + 1 until cols.size)
+        yield sum(d(cols(i)) * d(cols(j)))
+          .as(s"sp_${cols(i)}_${cols(j)}"))
+    val g = df.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    val pairs = for (i <- cols.indices; j <- i + 1 until cols.size)
+      yield {
+        val (a, b) = (cols(i), cols(j))
+        val n = col("n")
+        val sx = col(s"s_$a").cast("double")
+        val sy = col(s"s_$b").cast("double")
+        val sxx = col(s"ss_$a").cast("double")
+        val syy = col(s"ss_$b").cast("double")
+        val sxy = col(s"sp_${a}_$b").cast("double")
+        g.select(lit(a).as("col_a"), lit(b).as("col_b"), n,
+          Num.floorAt(
+            (n * sxy - sx * sy) /
+              (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+            .as("corr"))
+      }
+    pairs.reduce(_ unionByName _)
+  }
+
   /** Per-group ordinary least squares y = slope·x + intercept from the
     * same exact decimal power sums as [[exactCorr]] — one pass, five
     * decimal sums, closed forms evaluated once in double and floored.

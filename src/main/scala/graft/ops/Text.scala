@@ -319,6 +319,57 @@ object Text {
       Seq(col("score").desc, col("term").asc), k)
   }
 
+  /** BM25 RETRIEVAL: top-k documents per query — the reference's
+    * keyword search (reddit_etl_proj/etl_pipeline.py:44-51 pulls posts
+    * per keyword) done as a ranked retrieval operator instead of
+    * substring containment. Query terms are DISTINCT (unweighted query
+    * tf — documented simplification); per-(doc, term) weights use
+    * [[bm25TopK]]'s exact constants (k1 = 1.5, b = 0.75), each weight
+    * floored at 4 dp, and the per-doc score SUMS the floored weights
+    * through DECIMAL(18,4) — exact and shuffle-order-independent, the
+    * q160 floored-score-sum contract — so the ranking is bit-portable.
+    *
+    * Shape at scale: the query-term list is tiny and broadcasts; the
+    * tf join against it reduces the corpus to matching postings BEFORE
+    * dl/df join in, so scoring cost ∝ postings of query terms, not
+    * corpus size; top-k per query is a WindowGroupLimit-pruned rank.
+    *
+    * Output: (query_id, doc_id, n_matched, score, rk), rk <= k.
+    */
+  def bm25Retrieve(docs: DataFrame, idCol: String, textCol: String,
+                   queries: Seq[(String, String)], k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val qterms = queries.toDF("query_id", "query_text")
+      .select(col("query_id"),
+        explode(array_distinct(cleanTokens(col("query_text"))))
+          .as("term"))
+    val terms = docs.select(col(idCol).as("id"),
+      explode(cleanTokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy("id").agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = terms.agg(count(lit(1)).as("n_terms"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+    val w = tf.join(broadcast(qterms), Seq("term"))
+      .join(dl, "id").join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("n_terms").cast("double") / col("n_docs"))
+      .select(col("query_id"), col("id"),
+        Num.floorAt(
+          log(lit(1.0) +
+            (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+            * (col("tf") * 2.5)
+            / (col("tf") + lit(1.5) *
+              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))),
+          4).as("w"))
+    val scored = w.groupBy("query_id", "id")
+      .agg(count(lit(1)).as("n_matched"),
+        Num.floorAt(sum(col("w").cast("decimal(18,4)")).cast("double"), 4)
+          .as("score"))
+    Agg.topNPerGroup(scored, Seq("query_id"),
+      Seq(col("score").desc, col("id").asc), k)
+  }
+
   /** Top-k terms per document by TF-IDF with smoothed
     * idf = ln((N+1)/(df+1)). Three hash-aggregate shuffles (term counts,
     * doc frequencies, corpus size) and one broadcast of the tiny (term, df)

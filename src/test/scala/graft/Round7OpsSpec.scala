@@ -19,6 +19,44 @@ class Round7OpsSpec extends SparkSpec {
     // the outlier moved stddev to ~446 but MAD stays 1 — the point
   }
 
+  test("exactCorrMatrix: pairs agree with exactCorr; perfect linear " +
+    "dependence hits 1.0") {
+    import graft.ops.Text
+    val df = Seq((1.0, 2.0, 5.0), (2.0, 4.0, 3.0), (3.0, 6.0, 8.0),
+      (4.0, 8.0, 1.0)).toDF("a", "b", "c")
+    val m = Agg.exactCorrMatrix(df, Seq("a", "b", "c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Double]("corr"))).toMap
+    // b = 2a exactly; the 6dp FLOOR truncates the last-ulp sqrt wobble
+    // downward, so perfect correlation reads 0.999999 or 1.0 — never
+    // above, never lower
+    assert(m(("a", "b")) >= 0.999999 && m(("a", "b")) <= 1.0)
+    // pair result identical to the one-pair operator (keyed on a const)
+    val one = Agg.exactCorr(df.withColumn("k", lit(1)), "k", "a", "c")
+      .collect().head.getAs[Double]("corr")
+    assert(m(("a", "c")) === one)
+    assert(m.size === 3)
+  }
+
+  test("bm25Retrieve: doc with more query-term mass ranks first; " +
+    "non-matching docs absent") {
+    import graft.ops.Text
+    val docs = Seq(
+      (1L, "spark spark join fast"),
+      (2L, "spark table"),
+      (3L, "window sort batch")).toDF("doc_id", "text")
+    val out = Text.bm25Retrieve(docs, "doc_id", "text",
+      Seq(("q", "spark join")), k = 10).collect()
+    assert(out.forall(_.getAs[String]("query_id") === "q"))
+    val ranked = out.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("id"))
+    assert(ranked.head === 1L, s"doc 1 must rank first: ${ranked.toSeq}")
+    assert(!ranked.contains(3L), "doc 3 matches no query term")
+    // doc 1 matched both terms, doc 2 one
+    val matched = out.map(r =>
+      r.getAs[Long]("id") -> r.getAs[Long]("n_matched")).toMap
+    assert(matched(1L) === 2L && matched(2L) === 1L)
+  }
+
   test("leakage-safe split: every near-dup component lands in ONE fold") {
     Artifacts.clear()
     val dir = "/root/testdata/sf0.001"
