@@ -2057,7 +2057,16 @@ object SparkEntry {
     "q177_corr_matrix" -> ((s, dir) =>
       Agg.exactCorrMatrix(t(s, dir, "lineitem"),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-        .orderBy("col_a", "col_b"))
+        .orderBy("col_a", "col_b")),
+
+    // §2.5 gap — equi-depth histogram (Agg.equiDepthHistogram
+    // scaladoc): exact k-quantile bin edges by rank selection over the
+    // pre-aggregated VALUE DOMAIN (not the row stream), k-1 edges
+    // broadcast back for one binning scan — the feature-binning /
+    // range-partition-planning profile.
+    "q178_equidepth_hist" -> ((s, dir) =>
+      Agg.equiDepthHistogram(t(s, dir, "events"), "value", k = 8)
+        .orderBy("bin"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -4325,6 +4334,27 @@ object SparkEntry {
            |SELECT query_id, id AS doc_id, n_matched, score,
            |  CAST(rk AS INTEGER) AS rk
            |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+      // rank-selected edges replayed over the value-domain cumsum;
+      // binning = count of edges strictly below the value, so tie
+      // ordering cannot matter
+      "q178_equidepth_hist" ->
+        """WITH tot AS (SELECT COUNT(*) AS n FROM events),
+          |vc AS (SELECT value AS v, COUNT(*) AS c FROM events
+          |  GROUP BY 1),
+          |cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM vc),
+          |eq AS (SELECT q, MIN(v) AS edge
+          |  FROM cum CROSS JOIN tot
+          |  CROSS JOIN (SELECT UNNEST(range(1, 8)) AS q)
+          |  WHERE cum >= (n - 1) * q // 8 + 1 GROUP BY q),
+          |edges AS (SELECT list_sort(list(edge)) AS es FROM eq),
+          |b AS (SELECT CAST(len(list_filter(es, e -> value > e))
+          |    AS INTEGER) AS bin, value
+          |  FROM events CROSS JOIN edges)
+          |SELECT bin, COUNT(*) AS n,
+          |  floor(MIN(value) * 10000) / 10000 AS lo,
+          |  floor(MAX(value) * 10000) / 10000 AS hi
+          |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
       // the same decimal power sums the engine accumulates, one scan,
       // closed forms per pair off the 1-row state

@@ -123,6 +123,44 @@ object Agg {
         .as("corr"))
   }
 
+  /** Equi-depth (equal-frequency) histogram of a numeric column — the
+    * feature-binning / range-partition-planning profile: `k` bins each
+    * holding ≈ n/k rows, edges at the exact rank-selected k-quantiles.
+    * Duplicated mass distorts equal depth (ties cannot split) — that
+    * is the semantics, not an error.
+    *
+    * Shape at scale: the rank selection runs over the PRE-AGGREGATED
+    * value histogram (`groupBy(value).count` — full partial
+    * aggregation), so the one global cumulative window sees the
+    * DISTINCT-VALUE DOMAIN, not the row count — the q15 single-
+    * partition-over-distinct-keys bound (2-dp money domain: thousands
+    * of rows whatever the corpus). Edges are k−1 values collected into
+    * a 1-row broadcast array (the Sim-centroids driver-data contract);
+    * binning is one scan with an array filter; bin stats partial-agg.
+    *
+    * Output: (bin, n, lo, hi) — lo/hi floored 4 dp; bins with no rows
+    * absent.
+    */
+  def equiDepthHistogram(df: DataFrame, x: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 10000, s"need 2 <= k <= 10000, got $k")
+    val vc = df.groupBy(col(x).as("v")).agg(count(lit(1)).as("c"))
+    val wv = Window.orderBy(col("v").asc)
+    val cum = vc.withColumn("cum", sum(col("c")).over(wv))
+    val totals = df.agg(count(lit(1)).as("n"))
+    val edges = cum.crossJoin(broadcast(totals))
+      .select(col("v"), col("cum"), col("n"),
+        explode(sequence(lit(1), lit(k - 1))).as("q"))
+      .where(col("cum") >= expr(s"(n - 1) * q div $k + 1"))
+      .groupBy("q").agg(min(col("v")).as("edge"))
+      .agg(sort_array(collect_list(col("edge"))).as("edges"))
+    df.select(col(x).as("v")).crossJoin(broadcast(edges))
+      .select(size(filter(col("edges"), e => col("v") > e)).as("bin"),
+        col("v"))
+      .groupBy("bin").agg(count(lit(1)).as("n"),
+        Num.floorAt(min(col("v")), 4).as("lo"),
+        Num.floorAt(max(col("v")), 4).as("hi"))
+  }
+
   /** Pairwise Pearson correlation MATRIX over `cols` — the
     * feature-redundancy profile a pipeline runs before model training
     * (highly-correlated features double-count in mixtures and models).

@@ -57,6 +57,22 @@ class Round7OpsSpec extends SparkSpec {
     assert(matched(1L) === 2L && matched(2L) === 1L)
   }
 
+  test("equiDepthHistogram: near-equal depths on a uniform column, " +
+    "edges ordered, total count preserved") {
+    val df = (1 to 80).map(i => i.toDouble).toDF("x")
+    val h = Agg.equiDepthHistogram(df, "x", k = 8)
+      .orderBy("bin").collect()
+    assert(h.map(_.getAs[Long]("n")).sum === 80L)
+    // distinct values, n divisible by k -> exactly equal depths
+    assert(h.map(_.getAs[Long]("n")).forall(n => n >= 9 && n <= 11),
+      h.map(_.getAs[Long]("n")).toSeq.toString)
+    // bins tile the range in order
+    val los = h.map(_.getAs[Double]("lo"))
+    assert(los.sorted.toSeq === los.toSeq)
+    assert(h.head.getAs[Double]("lo") === 1.0 &&
+      h.last.getAs[Double]("hi") === 80.0)
+  }
+
   test("leakage-safe split: every near-dup component lands in ONE fold") {
     Artifacts.clear()
     val dir = "/root/testdata/sf0.001"
