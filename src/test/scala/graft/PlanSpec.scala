@@ -389,4 +389,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition"), p.take(1500))
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
+
+  test("q170 CT lang-ID: the doc-profile scoring join broadcasts the " +
+      "|langs|*k language profile; the argmin window is " +
+      "WindowGroupLimit-pruned") {
+    graft.ops.Artifacts.clear()
+    val p = plan("q170_langid_ct")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q176 BM25 retrieval: query terms broadcast onto the postings " +
+      "(corpus reduced before dl/df join in); top-k per query is " +
+      "WindowGroupLimit-pruned; no cartesian") {
+    val p = plan("q176_bm25_retrieval")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q177 corr matrix: ONE scan of lineitem feeds all pair sums " +
+      "(the pair selects read the checkpointed 1-row state)") {
+    val p = plan("q177_corr_matrix")
+    // the union of 6 pair projections must contain no parquet re-scan:
+    // every branch reads the checkpointed aggregate (Scan ExistingRDD)
+    assert(!p.contains("Scan parquet"), p.take(1500))
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 6, p.take(1500))
+  }
 }
