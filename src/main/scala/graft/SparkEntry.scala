@@ -2066,7 +2066,23 @@ object SparkEntry {
     // range-partition-planning profile.
     "q178_equidepth_hist" -> ((s, dir) =>
       Agg.equiDepthHistogram(t(s, dir, "events"), "value", k = 8)
-        .orderBy("bin"))
+        .orderBy("bin")),
+
+    // north star — ingest DELTA pair generation (Dedup.lshDeltaPairs
+    // scaladoc): the pair step of an incremental artifact refresh —
+    // candidates from batch-banded × union-banded (cost ∝ batch), the
+    // oracle checks the invariant delta ≡ full-corpus pairs filtered
+    // to those touching the batch. Composes q135 (admission) upstream
+    // and q140 (incremental CC) downstream into the complete
+    // per-ingest artifact maintenance loop.
+    "q179_ingest_delta_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.lshDeltaPairs(
+          docs.where(col("doc_id") % 5 =!= 0),
+          docs.where(col("doc_id") % 5 === 0),
+          "doc_id", "text", k = 8, bands = 4, minJaccard = 0.2)
+        .orderBy("id_a", "id_b")
+    })
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -4334,6 +4350,14 @@ object SparkEntry {
            |SELECT query_id, id AS doc_id, n_matched, score,
            |  CAST(rk AS INTEGER) AS rk
            |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+      // the invariant IS the oracle: delta pairs == the full-corpus
+      // pair set (the shared CTE) filtered to pairs touching the batch
+      "q179_ingest_delta_pairs" ->
+        s"""WITH $verifiedPairsCte
+           |SELECT id_a, id_b, jacc AS jaccard FROM pairs
+           |WHERE id_a % 5 = 0 OR id_b % 5 = 0
+           |ORDER BY id_a, id_b""".stripMargin,
 
       // rank-selected edges replayed over the value-domain cumsum;
       // binning = count of edges strictly below the value, so tie

@@ -174,6 +174,70 @@ object Dedup {
       .distinct()
   }
 
+  /** Ingest-time DELTA near-dup pairs: all verified pairs TOUCHING the
+    * batch (batch×standing and batch×batch), never standing×standing —
+    * the pair-generation step of an incremental artifact refresh
+    * (compose with [[admitBySignature]] upstream and
+    * [[componentsIncremental]] downstream). The candidate join is
+    * batch-banded × union-banded, so candidate cost ∝ batch postings,
+    * not corpus² — at 100 TB this is the difference between a per-batch
+    * job and re-running the full q111 pass per ingest. Same band +
+    * exact-verify machinery and the same output contract as
+    * [[lshVerifiedPairs]]; correctness invariant (the oracle's claim):
+    * delta pairs ≡ full-corpus pairs filtered to those touching the
+    * batch.
+    *
+    * The batch-id reduction is a broadcast semi-join (ids only); a
+    * batch too large to broadcast flips it to a shuffle semi-join,
+    * same contract.
+    */
+  def lshDeltaPairs(standing: DataFrame, batch: DataFrame, idCol: String,
+                    textCol: String, k: Int = 8, bands: Int = 4,
+                    minJaccard: Double = 0.2): DataFrame = {
+    val all = standing.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+    // ONE signature pass over the union; the batch side re-reads the
+    // checkpointed band frame instead of re-running the pipeline
+    val allBanded = signatures(
+        all.where(size(Text.cleanTokens(col(textCol))) >= 3),
+        idCol, textCol, k)
+      .select(col("id"), col("sig"))
+      .select(col("id"),
+        posexplode(lshBandKeys(col("sig"), k, bands))
+          .as(Seq("band", "bkey")))
+      .localCheckpoint()
+    val batchIds = batch.select(col(idCol).as("id")).distinct()
+    val batchBanded = allBanded.join(broadcast(batchIds), Seq("id"))
+    val cands = batchBanded.as("a").hint("shuffle_hash")
+      .join(allBanded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+      .localCheckpoint()
+    // exact verify — the lshVerifiedPairs shape: shingle arrays built
+    // ONLY for docs in some candidate pair (broadcast semi-reduction)
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val sh = all
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(broadcast(candIds), Seq("id"))
+      .select(col("id"), Text.cleanTokens(col("__text")).as("t"))
+      .select(col("id"), array_distinct(shingles(col("t"))).as("shs"))
+    cands
+      .join(sh.select(col("id").as("id_a"), col("shs").as("sa")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shs").as("sb")), "id_b")
+      .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
+      .select(col("id_a"), col("id_b"),
+        Num.floorAt(col("c").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("c")), 4)
+          .as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
   /** Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
     * Output: (id_a, id_b, jaccard) for pairs above `minJaccard`.
     */

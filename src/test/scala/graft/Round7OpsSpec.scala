@@ -73,6 +73,23 @@ class Round7OpsSpec extends SparkSpec {
       h.last.getAs[Double]("hi") === 80.0)
   }
 
+  test("lshDeltaPairs: delta == full-corpus pairs filtered to those " +
+    "touching the batch (the ingest invariant), on sf0.001") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val delta = Dedup.lshDeltaPairs(
+      docs.where(col("doc_id") % 5 =!= 0),
+      docs.where(col("doc_id") % 5 === 0),
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.lshVerifiedPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (a, b) => a % 5 == 0 || b % 5 == 0 }
+    assert(delta === expected)
+    assert(delta.subsetOf(full))
+    // and it found something on the fixture, else the test is vacuous
+    assert(expected.nonEmpty)
+  }
+
   test("leakage-safe split: every near-dup component lands in ONE fold") {
     Artifacts.clear()
     val dir = "/root/testdata/sf0.001"
