@@ -1952,8 +1952,8 @@ object SparkEntry {
     // lang-ID method replacing q38's stopword heuristic; profiles are
     // |langs|*k rows, broadcast.
     "q170_langid_ct" -> ((s, dir) =>
-      Text.langIdNgram(t(s, dir, "documents"), "doc_id", "lang", "text",
-          k = 40)
+      // the prediction-artifact build; q173 reads the same artifact
+      Artifacts.ctPredictions(s, dir, k = 40)
         .orderBy("doc_id")),
 
     // north star — image perceptual hash (Multimodal.aHash36 scaladoc):
@@ -2003,7 +2003,7 @@ object SparkEntry {
     // |langs| rows.
     "q173_pred_lang_mixture" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pred = Text.langIdNgram(docs, "doc_id", "lang", "text", k = 40)
+      val pred = Artifacts.ctPredictions(s, dir, k = 40)
         .select(col("doc_id"), col("pred_lang"))
       Curate.mixtureWeights(docs.join(pred, Seq("doc_id")),
           "pred_lang", "text", alpha = 0.5, budget = 1000000L)

@@ -118,6 +118,19 @@ object Artifacts {
         nearDupPairs(spark, sfDir, k, bands, minJaccard))
     }
 
+  /** The language-prediction artifact: [[Text.langIdNgram]] over
+    * `documents`, built once — q170 is the builder, q173's mixture
+    * weights read it (a real pipeline stores the classifier output
+    * once and every per-language report joins it). Columns:
+    * (doc_id, lang, pred_lang, dist).
+    */
+  def ctPredictions(spark: SparkSession, sfDir: String, k: Int = 40)
+      : DataFrame =
+    memo(keyOf(spark, sfDir, "ctpred", s"$k")) {
+      Text.langIdNgram(graft.Tables.load(spark, sfDir, "documents"),
+        "doc_id", "lang", "text", k)
+    }
+
   /** Test hook: drop all memoized artifacts (unpersisting their
     * checkpoint blocks) so a spec can measure cold vs warm builds.
     */
