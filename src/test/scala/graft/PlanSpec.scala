@@ -390,11 +390,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
-  test("q170 CT lang-ID: the doc-profile scoring join broadcasts the " +
-      "|langs|*k language profile; the argmin window is " +
-      "WindowGroupLimit-pruned") {
-    graft.ops.Artifacts.clear()
-    val p = plan("q170_langid_ct")
+  test("CT lang-ID builder: the doc-profile scoring join broadcasts " +
+      "the |langs|*k language profile; the argmin window is " +
+      "WindowGroupLimit-pruned (q170's query plans as the artifact's " +
+      "checkpoint scan, so pin the builder directly)") {
+    val p = graft.ops.Text.langIdNgram(
+        Tables.load(spark, dir, "documents"), "doc_id", "lang", "text",
+        k = 40)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
     assert(p.contains("WindowGroupLimit"), p.take(1500))
     assert(!p.contains("CartesianProduct"), p.take(1500))
@@ -416,5 +419,14 @@ class PlanSpec extends SparkSpec {
     // every branch reads the checkpointed aggregate (Scan ExistingRDD)
     assert(!p.contains("Scan parquet"), p.take(1500))
     assert("Scan ExistingRDD".r.findAllIn(p).size >= 6, p.take(1500))
+  }
+
+  test("q179 ingest delta pairs: keyed joins only — no cartesian, no " +
+      "BNL; the batch side reduces the checkpointed band frame via a " +
+      "broadcast id join") {
+    val p = plan("q179_ingest_delta_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
 }
