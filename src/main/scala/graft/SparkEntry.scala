@@ -2082,7 +2082,24 @@ object SparkEntry {
           docs.where(col("doc_id") % 5 === 0),
           "doc_id", "text", k = 8, bands = 4, minJaccard = 0.2)
         .orderBy("id_a", "id_b")
-    })
+    }),
+
+    // north star — chi² independence audit (Agg.chi2Independence
+    // scaladoc): is `lang` independent of `source`, or does a scraper
+    // mislabel languages? Zero-observed cells contribute in closed
+    // form (Σ_all E = n); per-cell terms sum order-free through
+    // decimal.
+    "q180_chi2_independence" -> ((s, dir) =>
+      Agg.chi2Independence(t(s, dir, "documents"), "source", "lang")),
+
+    // north star — distributional source similarity (Curate.jsDivergence
+    // scaladoc): Jensen-Shannon divergence between per-source unigram
+    // distributions — q146 catches literal mirrors, this catches
+    // same-register sources with zero literal overlap; exclusive mass
+    // in closed form, shared-term join bounded by S per term.
+    "q181_js_divergence" -> ((s, dir) =>
+      Curate.jsDivergence(t(s, dir, "documents"), "source", "text")
+        .orderBy("g_a", "g_b"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -4350,6 +4367,66 @@ object SparkEntry {
            |SELECT query_id, id AS doc_id, n_matched, score,
            |  CAST(rk AS INTEGER) AS rk
            |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+      // observed cells + marginals replay; zero-observed cells enter
+      // via the closed form n - sum(E_observed); 9dp-floored decimal
+      // term sums mirror the engine exactly
+      "q180_chi2_independence" ->
+        s"""WITH obs AS (SELECT source AS va, lang AS vb, COUNT(*) AS o
+           |  FROM documents GROUP BY 1, 2),
+           |ra AS (SELECT va, CAST(SUM(o) AS BIGINT) AS ta FROM obs
+           |  GROUP BY 1),
+           |rb AS (SELECT vb, CAST(SUM(o) AS BIGINT) AS tb FROM obs
+           |  GROUP BY 1),
+           |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+           |  COUNT(*) AS n_cells FROM obs),
+           |ks AS (SELECT (SELECT COUNT(*) FROM ra) AS ka,
+           |  (SELECT COUNT(*) FROM rb) AS kb),
+           |cells AS (SELECT o, CAST(ta AS DOUBLE) * tb / n AS e
+           |  FROM obs JOIN ra USING (va) JOIN rb USING (vb)
+           |  CROSS JOIN nn),
+           |tm AS (SELECT
+           |  CAST(SUM(CAST(${Num.floorAtSql(
+             "(o - e) * (o - e) / e", 9)} AS DECIMAL(28,9)))
+           |    AS DOUBLE) AS chi2obs,
+           |  CAST(SUM(CAST(${Num.floorAtSql("e", 9)}
+           |    AS DECIMAL(28,9))) AS DOUBLE) AS esum
+           |  FROM cells)
+           |SELECT nn.n, nn.n_cells,
+           |  CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+           |  ${Num.floorAtSql("chi2obs + (nn.n - esum)", 6)}
+           |    AS chi2_total
+           |FROM nn CROSS JOIN ks CROSS JOIN tm""".stripMargin,
+
+      // shared-term join + exclusive-mass closed form, log2 floored at
+      // 9dp per term and summed through decimal (the q151 log2
+      // precedent)
+      "q181_js_divergence" ->
+        s"""WITH cleaned AS (SELECT source AS g, $clean AS c
+           |  FROM documents),
+           |tc AS (SELECT g, term, COUNT(*) AS cnt FROM (
+           |    SELECT g, UNNEST($cleanToks) AS term FROM cleaned)
+           |  GROUP BY 1, 2),
+           |tot AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM tc
+           |  GROUP BY 1),
+           |p AS (SELECT g, term, CAST(cnt AS DOUBLE) / n AS p
+           |  FROM tc JOIN tot USING (g)),
+           |j AS (SELECT x.g AS g_a, y.g AS g_b,
+           |    COUNT(*) AS n_shared_terms,
+           |    CAST(SUM(CAST(${Num.floorAtSql(
+             "x.p/2 * log2(x.p / ((x.p + y.p)/2))" +
+               " + y.p/2 * log2(y.p / ((x.p + y.p)/2))", 9)}
+           |      AS DECIMAL(28,9))) AS DOUBLE) AS shared,
+           |    CAST(SUM(CAST(${Num.floorAtSql("x.p", 9)}
+           |      AS DECIMAL(28,9))) AS DOUBLE) AS sp,
+           |    CAST(SUM(CAST(${Num.floorAtSql("y.p", 9)}
+           |      AS DECIMAL(28,9))) AS DOUBLE) AS sq
+           |  FROM p x JOIN p y ON x.term = y.term AND x.g < y.g
+           |  GROUP BY 1, 2)
+           |SELECT g_a, g_b, n_shared_terms,
+           |  ${Num.floorAtSql(
+             "shared + (1.0 - sp)/2 + (1.0 - sq)/2", 6)} AS jsd
+           |FROM j ORDER BY g_a, g_b""".stripMargin,
 
       // the invariant IS the oracle: delta pairs == the full-corpus
       // pair set (the shared CTE) filtered to pairs touching the batch

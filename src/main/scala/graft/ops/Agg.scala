@@ -123,6 +123,46 @@ object Agg {
         .as("corr"))
   }
 
+  /** Chi-square test of independence between two categorical columns
+    * (Pearson 1900) — the metadata-audit companion to [[benfordProfile]]:
+    * is `lang` independent of `source`, or does some source's scraper
+    * mislabel languages? Observed counts are one partial-aggregated
+    * (a, b) agg; marginals re-aggregate it; expected = row·col/n joins
+    * back via the two broadcast marginal frames. Cells with OBSERVED
+    * zero never materialize, so their contribution ((0−E)²/E = E) is
+    * added in closed form: Σ_{all cells} E = n, hence the correction
+    * is n − Σ_{observed} E. Per-cell doubles are floored at 9 dp and
+    * summed through DECIMAL(28,9) (order-free, cross-engine exact —
+    * the q160 contract), one final 6 dp floor.
+    *
+    * Output: one row — (n, n_cells, dof, chi2_total); compare against
+    * the caller's critical value for the dof.
+    */
+  def chi2Independence(df: DataFrame, a: String, b: String): DataFrame = {
+    val obs = df.groupBy(col(a).as("va"), col(b).as("vb"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint() // feeds marginals AND the term join
+    val ra = obs.groupBy("va").agg(sum(col("o")).as("ta"))
+    val rb = obs.groupBy("vb").agg(sum(col("o")).as("tb"))
+    val n = obs.agg(sum(col("o")).as("n"), count(lit(1)).as("n_cells"))
+    val na = ra.agg(count(lit(1)).as("ka"))
+    val nb = rb.agg(count(lit(1)).as("kb"))
+    val e = col("ta").cast("double") * col("tb") / col("n")
+    def decSum(c: Column) =
+      sum(Num.floorAt(c, 9).cast("decimal(28,9)")).cast("double")
+    val terms = obs.join(broadcast(ra), Seq("va"))
+      .join(broadcast(rb), Seq("vb"))
+      .crossJoin(broadcast(n.select("n")))
+      .agg(decSum((col("o") - e) * (col("o") - e) / e).as("chi2obs"),
+        decSum(e).as("esum"))
+    n.crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .crossJoin(broadcast(terms))
+      .select(col("n"), col("n_cells"),
+        ((col("ka") - 1) * (col("kb") - 1)).as("dof"),
+        Num.floorAt(col("chi2obs") + (col("n") - col("esum")), 6)
+          .as("chi2_total"))
+  }
+
   /** Equi-depth (equal-frequency) histogram of a numeric column — the
     * feature-binning / range-partition-planning profile: `k` bins each
     * holding ≈ n/k rows, edges at the exact rank-selected k-quantiles.

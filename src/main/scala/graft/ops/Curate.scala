@@ -88,6 +88,50 @@ object Curate {
           least(col("na"), col("nb")), 6).as("overlap_coeff"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between per-group unigram
+    * distributions (Lin 1991) — q146 finds sources sharing literal
+    * shingle mass (mirrors); this finds sources speaking the same
+    * DISTRIBUTION (same register/topic mix) even with zero literal
+    * overlap — the dedup-proof redundancy signal for mixture design.
+    *
+    * Exclusive-mass closed form keeps the join SHARED-TERMS-ONLY: for
+    * a term only in P, the JS contribution is p/2 (log₂(p/(p/2)) = 1),
+    * and Σ_exclusive p = 1 − Σ_shared p — so JS = Σ_shared [p/2·
+    * log₂(p/m) + q/2·log₂(q/m)] + (1−Σ_shared p)/2 + (1−Σ_shared q)/2
+    * with m = (p+q)/2, and terms exclusive to either side NEVER
+    * materialize pairwise. Per-term doubles floor at 9 dp and sum
+    * through DECIMAL(28,9) (order-free — the q160 contract). The
+    * self-join is term-keyed: per-term fan-out is bounded by the group
+    * count S, never corpus size (the q146 bound).
+    *
+    * Output: (g_a, g_b, n_shared_terms, jsd), jsd ∈ [0,1] (log₂),
+    * floored 6 dp, pairs with at least one shared term.
+    */
+  def jsDivergence(docs: DataFrame, grpCol: String, textCol: String)
+      : DataFrame = {
+    val tc = docs.select(col(grpCol).as("g"),
+        explode(Text.cleanTokens(col(textCol))).as("term"))
+      .groupBy("g", "term").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds totals AND the pair join
+    val tot = tc.groupBy("g").agg(sum(col("c")).as("n"))
+    val p = tc.join(broadcast(tot), Seq("g"))
+      .select(col("g"), col("term"),
+        (col("c").cast("double") / col("n")).as("p"))
+    val m = (col("x.p") + col("y.p")) / 2
+    def decSum(c: Column) =
+      sum(Num.floorAt(c, 9).cast("decimal(28,9)")).cast("double")
+    p.as("x").join(p.as("y"),
+        col("x.term") === col("y.term") && col("x.g") < col("y.g"))
+      .groupBy(col("x.g").as("g_a"), col("y.g").as("g_b"))
+      .agg(count(lit(1)).as("n_shared_terms"),
+        decSum(col("x.p") / 2 * log2(col("x.p") / m)
+          + col("y.p") / 2 * log2(col("y.p") / m)).as("shared"),
+        decSum(col("x.p")).as("sp"), decSum(col("y.p")).as("sq"))
+      .select(col("g_a"), col("g_b"), col("n_shared_terms"),
+        Num.floorAt(col("shared") + (lit(1.0) - col("sp")) / 2
+          + (lit(1.0) - col("sq")) / 2, 6).as("jsd"))
+  }
+
   /** Per-group token-budget admission: within each group (domain,
     * source, language), walk documents in deterministic md5 order and
     * keep the greedy prefix whose cumulative token count stays within

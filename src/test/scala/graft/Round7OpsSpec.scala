@@ -90,6 +90,35 @@ class Round7OpsSpec extends SparkSpec {
     assert(expected.nonEmpty)
   }
 
+  test("chi2Independence: diagonal 2x2 hits chi2 = n (zero-observed " +
+    "cells enter via the closed form); independent table hits ~0") {
+    val diag = (Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y")))
+      .toDF("s", "l")
+    val r = Agg.chi2Independence(diag, "s", "l").collect().head
+    assert(r.getAs[Long]("n") === 20L && r.getAs[Long]("dof") === 1L)
+    assert(r.getAs[Long]("n_cells") === 2L) // zero cells NOT materialized
+    assert(r.getAs[Double]("chi2_total") === 20.0) // phi = 1 -> chi2 = n
+    val indep = (for (s <- Seq("a", "b"); l <- Seq("x", "y"); _ <- 1 to 5)
+      yield (s, l)).toDF("s", "l")
+    val r2 = Agg.chi2Independence(indep, "s", "l").collect().head
+    assert(r2.getAs[Double]("chi2_total") === 0.0)
+  }
+
+  test("jsDivergence: identical distributions -> 0; partial overlap " +
+    "strictly between 0 and 1") {
+    import graft.ops.Curate
+    val docs = Seq(
+      ("s1", "alpha beta gamma alpha"),
+      ("s2", "alpha beta gamma alpha"),
+      ("s3", "alpha delta delta epsilon")).toDF("src", "text")
+    val m = Curate.jsDivergence(docs, "src", "text").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Double]("jsd"))).toMap
+    assert(m(("s1", "s2")) === 0.0)
+    assert(m(("s1", "s3")) > 0.0 && m(("s1", "s3")) < 1.0)
+    assert(m(("s1", "s3")) === m(("s2", "s3"))) // symmetry via identity
+  }
+
   test("leakage-safe split: every near-dup component lands in ONE fold") {
     Artifacts.clear()
     val dir = "/root/testdata/sf0.001"
