@@ -2099,7 +2099,29 @@ object SparkEntry {
     // in closed form, shared-term join bounded by S per term.
     "q181_js_divergence" -> ((s, dir) =>
       Curate.jsDivergence(t(s, dir, "documents"), "source", "text")
-        .orderBy("g_a", "g_b"))
+        .orderBy("g_a", "g_b")),
+
+    // north star — robust anomaly profile (Agg.robustAnomalies
+    // scaladoc): modified z-scores from median/MAD (50% breakdown —
+    // an extreme value cannot inflate the scale estimate and mask
+    // itself, the q147 mean/sigma failure mode), flagged at the
+    // standard 3.5 on the FLOORED score.
+    "q182_robust_anomalies" -> ((s, dir) =>
+      Agg.robustAnomalies(t(s, dir, "events"), "event_type", "value")
+        .orderBy("event_type")),
+
+    // north star — ingest novelty (Curate.batchNovelty scaladoc): the
+    // content-level admission signal next to q135's signature identity
+    // — share of each batch doc's shingles the standing corpus has
+    // never seen; anti-join on the shingle key, cost ∝ batch.
+    "q183_batch_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curate.batchNovelty(
+          docs.where(col("doc_id") % 5 =!= 0),
+          docs.where(col("doc_id") % 5 === 0),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    })
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -4427,6 +4449,67 @@ object SparkEntry {
            |  ${Num.floorAtSql(
              "shared + (1.0 - sp)/2 + (1.0 - sq)/2", 6)} AS jsd
            |FROM j ORDER BY g_a, g_b""".stripMargin,
+
+      // the q174 double-rank chain (deviations from the RAW median,
+      // per the engine), then scoring against the FLOORED (p50, mad)
+      // — the same values the engine broadcasts; flags test the
+      // floored score so the boundary decision is bit-portable
+      "q182_robust_anomalies" ->
+        s"""WITH r1 AS (SELECT event_type, value,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY value) AS rn,
+           |    COUNT(*) OVER (PARTITION BY event_type) AS n
+           |  FROM events),
+           |mraw AS (SELECT event_type, AVG(value) AS p50raw FROM r1
+           |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1),
+           |d AS (SELECT e.event_type, abs(e.value - m.p50raw) AS dv
+           |  FROM events e JOIN mraw m USING (event_type)),
+           |r2 AS (SELECT event_type, dv,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY dv) AS rn,
+           |    COUNT(*) OVER (PARTITION BY event_type) AS n
+           |  FROM d),
+           |md AS (SELECT event_type, MAX(n) AS n, AVG(dv) AS madraw
+           |  FROM r2
+           |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1),
+           |st AS (SELECT m.event_type, md.n,
+           |    ${Num.floorAtSql("m.p50raw", 4)} AS p50,
+           |    ${Num.floorAtSql("md.madraw", 4)} AS mad
+           |  FROM mraw m JOIN md USING (event_type))
+           |SELECT e.event_type, MAX(st.n) AS n, MAX(st.p50) AS p50,
+           |  MAX(st.mad) AS mad,
+           |  CAST(SUM(CASE WHEN st.mad > 0 AND ${Num.floorAtSql(
+             "abs(e.value - st.p50) / (1.4826 * st.mad)", 4)} > 3.5
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           |  MAX(CASE WHEN st.mad > 0 THEN ${Num.floorAtSql(
+             "abs(e.value - st.p50) / (1.4826 * st.mad)", 4)}
+           |    ELSE 0.0 END) AS max_score
+           |FROM events e JOIN st USING (event_type)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // distinct batch shingles anti-joined on the standing distinct
+      // set; docs with < w tokens absent on both sides (empty UNNEST
+      // == empty explode)
+      "q183_batch_novelty" ->
+        s"""WITH tok AS (SELECT doc_id, $cleanToks AS t
+           |  FROM (SELECT doc_id, $clean AS c FROM documents)),
+           |sh AS (SELECT doc_id,
+           |    UNNEST(list_distinct(${shinglesSql("t")})) AS sh
+           |  FROM tok),
+           |standing AS (SELECT DISTINCT sh FROM sh
+           |  WHERE doc_id % 5 <> 0),
+           |batch AS (SELECT doc_id, sh FROM sh WHERE doc_id % 5 = 0),
+           |nv AS (SELECT b.doc_id, COUNT(*) AS n_novel FROM batch b
+           |  WHERE b.sh NOT IN (SELECT sh FROM standing) GROUP BY 1),
+           |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM batch
+           |  GROUP BY 1)
+           |SELECT t.doc_id, t.n_shingles,
+           |  CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel,
+           |  ${Num.floorAtSql(
+             "CAST(COALESCE(nv.n_novel, 0) AS DOUBLE) / t.n_shingles",
+             6)} AS novelty
+           |FROM tot t LEFT JOIN nv USING (doc_id)
+           |ORDER BY t.doc_id""".stripMargin,
 
       // the invariant IS the oracle: delta pairs == the full-corpus
       // pair set (the shared CTE) filtered to pairs touching the batch

@@ -427,6 +427,37 @@ object Agg {
         Num.floorAt(col("mad"), 4).as("mad"))
   }
 
+  /** Robust per-group anomaly profile — [[madByRank]] composed into
+    * q147's alarm shape: the modified z-score |x − median| /
+    * (1.4826·MAD) (Iglewicz & Hoaglin 1993; 1.4826 ≈ 1/Φ⁻¹(3/4) makes
+    * MAD a consistent σ estimator), flagged at the standard 3.5. Where
+    * q147's mean/σ z-scores let one extreme day inflate σ and mask
+    * itself, median/MAD have a 50% breakdown point — the masking-proof
+    * variant. Groups with MAD 0 (constant or half-constant values)
+    * flag nothing, by contract.
+    *
+    * Shape: the MAD pipeline's two rank windows, then the |groups|-row
+    * (p50, mad) frame broadcasts back onto one counting scan. The flag
+    * tests the 4 dp-FLOORED score (q147's boundary contract).
+    *
+    * Output: (key, n, p50, mad, n_anomalies, max_score).
+    */
+  def robustAnomalies(df: DataFrame, key: String, x: String,
+                      thresh: Double = 3.5): DataFrame = {
+    val stats = madByRank(df, key, x).localCheckpoint()
+    val score = Num.floorAt(
+      abs(col(x) - col("p50")) / (lit(1.4826) * col("mad")), 4)
+    df.select(col(key), col(x))
+      .join(broadcast(stats), Seq(key))
+      .groupBy(col(key))
+      .agg(max(col("n")).as("n"),
+        max(col("p50")).as("p50"), max(col("mad")).as("mad"),
+        sum(when(col("mad") > 0 && score > thresh, 1L).otherwise(0L))
+          .as("n_anomalies"),
+        max(when(col("mad") > 0, score).otherwise(0.0))
+          .as("max_score"))
+  }
+
   /** Per-group winsorization at exact rank-selected percentiles — the
     * outlier treatment feature pipelines apply before statistics that
     * outliers wreck (means, OLS, z-scores): clamp each value into

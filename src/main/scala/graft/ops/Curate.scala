@@ -132,6 +132,43 @@ object Curate {
           + (lit(1.0) - col("sq")) / 2, 6).as("jsd"))
   }
 
+  /** Per-document shingle NOVELTY against a standing corpus — the
+    * content-level ingest signal next to [[graft.ops.Dedup
+    * .admitBySignature]]'s identity check: what fraction of a batch
+    * doc's shingles has the corpus never seen? Novelty ≈ 0 flags
+    * recombined boilerplate that signature identity misses (admission
+    * only catches EXACT signature twins); novelty ≈ 1 is genuinely new
+    * content worth its mixture slot.
+    *
+    * Shape at scale: the standing shingle set is one distinct agg
+    * (persisted and merged per ingest at 100 TB — the q135 standing-
+    * state pattern); the batch's distinct (doc, shingle) pairs
+    * left-anti-join it on the shingle key and one doc-keyed agg closes.
+    * Cost ∝ batch shingles, never corpus size.
+    *
+    * Output: (doc_id, n_shingles, n_novel, novelty) — docs with < w
+    * tokens absent (no shingles, nothing to judge), novelty floored
+    * 6 dp.
+    */
+  def batchNovelty(standing: DataFrame, batch: DataFrame, idCol: String,
+                   textCol: String, w: Int = 3): DataFrame = {
+    def docShingles(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("doc_id"),
+        Text.cleanTokens(col(textCol)).as("t"))
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(col("t"), w))).as("sh"))
+    val standingSh = docShingles(standing).select("sh").distinct()
+    val batchSh = docShingles(batch).localCheckpoint()
+    val novel = batchSh.join(standingSh, Seq("sh"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    batchSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        Num.floorAt(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_shingles"), 6).as("novelty"))
+  }
+
   /** Per-group token-budget admission: within each group (domain,
     * source, language), walk documents in deterministic md5 order and
     * keep the greedy prefix whose cumulative token count stays within

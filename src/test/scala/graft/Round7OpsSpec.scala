@@ -119,6 +119,39 @@ class Round7OpsSpec extends SparkSpec {
     assert(m(("s1", "s3")) === m(("s2", "s3"))) // symmetry via identity
   }
 
+  test("robustAnomalies: flags the outlier classic z-scores mask") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("a", 1000.0)).toDF("k", "x")
+    val r = Agg.robustAnomalies(df, "k", "x").collect().head
+    // mean/sigma z of 1000 here is ~1.79 (sigma ~446, inflated by the
+    // outlier itself — masking); the robust score is ~672
+    assert(r.getAs[Long]("n_anomalies") === 1L)
+    assert(r.getAs[Double]("max_score") > 100.0)
+    assert(r.getAs[Double]("p50") === 3.0 && r.getAs[Double]("mad") === 1.0)
+    // constant group: mad = 0 -> nothing flagged, by contract
+    val const = Seq(("c", 5.0), ("c", 5.0), ("c", 5.0)).toDF("k", "x")
+    val rc = Agg.robustAnomalies(const, "k", "x").collect().head
+    assert(rc.getAs[Long]("n_anomalies") === 0L &&
+      rc.getAs[Double]("max_score") === 0.0)
+  }
+
+  test("batchNovelty: unseen content scores 1.0, copied content 0.0") {
+    import graft.ops.Curate
+    val standing = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // exact copy
+      (20L, "one two three four five six"),         // fully novel
+      (30L, "alpha beta gamma one two three"))      // half and half
+      .toDF("doc_id", "text")
+    val out = Curate.batchNovelty(standing, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("novelty"))
+      .toMap
+    assert(out(10L) === 0.0)
+    assert(out(20L) === 1.0)
+    assert(out(30L) > 0.0 && out(30L) < 1.0)
+  }
+
   test("leakage-safe split: every near-dup component lands in ONE fold") {
     Artifacts.clear()
     val dir = "/root/testdata/sf0.001"
