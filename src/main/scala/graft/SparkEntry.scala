@@ -2121,6 +2121,28 @@ object SparkEntry {
           docs.where(col("doc_id") % 5 === 0),
           "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // §2.5 gap — WEIGHTED median (Agg.weightedMedian scaladoc): the
+    // quantity-weighted median price per return flag — tie-invariant
+    // rank selection over exact integer cumulative weights, the value
+    // itself is data (no float arithmetic anywhere).
+    "q184_weighted_median" -> ((s, dir) =>
+      Agg.weightedMedian(t(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice", "l_quantity")
+        .orderBy("l_returnflag")),
+
+    // north star — mixture concentration (Agg.hhiConcentration
+    // scaladoc): HHI of token mass over sources + the effective-source
+    // count — the is-one-source-dominating monitor that triggers
+    // q152's re-weigh.
+    "q185_source_hhi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Agg.hhiConcentration(
+        docs.select(col("source"),
+          Text.cleanTokens(col("text")).as("t"))
+          .select(col("source"), size(col("t")).as("nt")),
+        "source", col("nt"))
     })
   )
 
@@ -4449,6 +4471,36 @@ object SparkEntry {
            |  ${Num.floorAtSql(
              "shared + (1.0 - sp)/2 + (1.0 - sq)/2", 6)} AS jsd
            |FROM j ORDER BY g_a, g_b""".stripMargin,
+
+      // qualifying set {v : 2*W(<=v) >= W} is tie-order invariant, so
+      // both engines pick the identical lower weighted median
+      "q184_weighted_median" ->
+        """WITH r AS (SELECT l_returnflag AS k, l_extendedprice AS x,
+          |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+          |c AS (SELECT k, x,
+          |    SUM(w) OVER (PARTITION BY k ORDER BY x
+          |      ROWS UNBOUNDED PRECEDING) AS cum,
+          |    SUM(w) OVER (PARTITION BY k) AS tw
+          |  FROM r)
+          |SELECT k AS l_returnflag, CAST(MAX(tw) AS BIGINT)
+          |    AS total_weight, MIN(x) AS wmedian
+          |FROM c WHERE cum * 2 >= tw GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // shares from exact BIGINT token sums; share^2 terms floored at
+      // 9dp and decimal-summed (order-free), one floored close
+      "q185_source_hhi" ->
+        s"""WITH g AS (SELECT source, CAST(SUM(len($toks)) AS BIGINT)
+           |    AS m FROM documents GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(m) AS BIGINT) AS total,
+           |    COUNT(*) AS n_groups FROM g),
+           |h AS (SELECT CAST(SUM(CAST(${Num.floorAtSql(
+             "(CAST(m AS DOUBLE) / total) * (CAST(m AS DOUBLE) / total)",
+             9)} AS DECIMAL(28,9))) AS DOUBLE) AS hhiraw
+           |  FROM g CROSS JOIN tot)
+           |SELECT tot.n_groups, tot.total,
+           |  ${Num.floorAtSql("hhiraw", 6)} AS hhi,
+           |  ${Num.floorAtSql("1.0 / hhiraw", 4)} AS effective_groups
+           |FROM tot CROSS JOIN h""".stripMargin,
 
       // the q174 double-rank chain (deviations from the RAW median,
       // per the engine), then scoring against the FLOORED (p50, mad)

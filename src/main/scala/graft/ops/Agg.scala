@@ -427,6 +427,65 @@ object Agg {
         Num.floorAt(col("mad"), 4).as("mad"))
   }
 
+  /** Per-group WEIGHTED median (lower-median convention): the smallest
+    * x whose cumulative weight reaches half the group total — e.g. the
+    * quantity-weighted median price, or the token-mass-weighted doc
+    * length a packing planner wants (an unweighted median over docs
+    * answers a different question when doc sizes vary 1000×).
+    *
+    * Determinism under ties: a value v qualifies iff 2·W(≤v) ≥ W, and
+    * W(≤v) — the total weight at-or-below v — is invariant to the
+    * intra-tie row order the window happens to see, so MIN(qualifying
+    * v) is engine- and partitioning-stable even though individual tied
+    * rows' running sums are not. Weights are exact BIGINTs end to end;
+    * the median is an actual data value — no float arithmetic at all.
+    * Same rank-family shape as [[medianByRank]] (one spillable sort
+    * per group).
+    *
+    * Output: (key, total_weight, wmedian).
+    */
+  def weightedMedian(df: DataFrame, key: String, x: String,
+                     w: String): DataFrame = {
+    val run = Window.partitionBy(col(key)).orderBy(col(x).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col(key))
+    df.select(col(key), col(x), col(w).cast("long").as("__w"))
+      .withColumn("cum", sum(col("__w")).over(run))
+      .withColumn("tw", sum(col("__w")).over(whole))
+      .where(col("cum") * 2 >= col("tw"))
+      .groupBy(col(key))
+      .agg(max(col("tw")).as("total_weight"),
+        min(col(x)).as("wmedian"))
+  }
+
+  /** Herfindahl–Hirschman concentration of a weight column over groups
+    * — the is-one-source-dominating-the-mixture monitor: HHI =
+    * Σ share² ∈ (0, 1], effective source count = 1/HHI (the "how many
+    * equal sources would look like this" reading). Shares derive from
+    * exact BIGINT sums; per-group share² terms floor at 9 dp and sum
+    * through decimal (order-free, the q160 contract). One keyed agg +
+    * one |groups|-row close.
+    *
+    * Output: one row — (n_groups, total, hhi, effective_groups).
+    */
+  def hhiConcentration(df: DataFrame, grp: String, w: Column)
+      : DataFrame = {
+    val g = df.groupBy(col(grp)).agg(sum(w.cast("long")).as("m"))
+      .localCheckpoint() // feeds the total AND the share terms
+    val tot = g.agg(sum(col("m")).as("total"),
+      count(lit(1)).as("n_groups"))
+    val share = col("m").cast("double") / col("total")
+    g.crossJoin(broadcast(tot))
+      .agg(max(col("n_groups")).as("n_groups"),
+        max(col("total")).as("total"),
+        sum(Num.floorAt(share * share, 9).cast("decimal(28,9)"))
+          .cast("double").as("hhiraw"))
+      .select(col("n_groups"), col("total"),
+        Num.floorAt(col("hhiraw"), 6).as("hhi"),
+        Num.floorAt(lit(1.0) / col("hhiraw"), 4)
+          .as("effective_groups"))
+  }
+
   /** Robust per-group anomaly profile — [[madByRank]] composed into
     * q147's alarm shape: the modified z-score |x − median| /
     * (1.4826·MAD) (Iglewicz & Hoaglin 1993; 1.4826 ≈ 1/Φ⁻¹(3/4) makes

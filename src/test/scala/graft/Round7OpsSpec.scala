@@ -152,6 +152,31 @@ class Round7OpsSpec extends SparkSpec {
     assert(out(30L) > 0.0 && out(30L) < 1.0)
   }
 
+  test("weightedMedian: hand-check incl. the tie-boundary case; " +
+    "hhiConcentration: uniform -> 1/n, single group -> 1") {
+    // weights: (1,1),(2,1),(3,4): W=6, half=3; W(<=1)=1, W(<=2)=2,
+    // W(<=3)=6 -> first qualifying v = 3
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 3.0, 4L))
+      .toDF("k", "x", "w")
+    val r = Agg.weightedMedian(df, "k", "x", "w").collect().head
+    assert(r.getAs[Long]("total_weight") === 6L &&
+      r.getAs[Double]("wmedian") === 3.0)
+    // boundary: W=4, W(<=1)=2 -> 2*2 >= 4 qualifies -> lower median 1
+    val b = Seq(("b", 1.0, 2L), ("b", 9.0, 2L)).toDF("k", "x", "w")
+    assert(Agg.weightedMedian(b, "k", "x", "w").collect().head
+      .getAs[Double]("wmedian") === 1.0)
+
+    val uni = Seq(("s1", 10L), ("s2", 10L), ("s3", 10L), ("s4", 10L))
+      .toDF("g", "m")
+    val h = Agg.hhiConcentration(uni, "g", col("m")).collect().head
+    assert(h.getAs[Double]("hhi") === 0.25 ||
+      h.getAs[Double]("hhi") === 0.249999) // floor may truncate 1 ulp
+    assert(math.abs(h.getAs[Double]("effective_groups") - 4.0) < 0.01)
+    val one = Seq(("s1", 10L)).toDF("g", "m")
+    val h1 = Agg.hhiConcentration(one, "g", col("m")).collect().head
+    assert(h1.getAs[Double]("hhi") >= 0.999999)
+  }
+
   test("leakage-safe split: every near-dup component lands in ONE fold") {
     Artifacts.clear()
     val dir = "/root/testdata/sf0.001"
