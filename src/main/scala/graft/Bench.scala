@@ -58,14 +58,11 @@ object Bench {
       // drowns in full GCs (measured: the same aging pass 193 s with the
       // leak vs 125 s without; q121 stages with 300+ s of summed task
       // GC). Long-lived production sessions need this same hygiene.
-      // EXEMPT the Artifacts layer's final checkpoints: localCheckpoint
-      // truncates lineage, so evicting an artifact's blocks makes every
-      // later report query FAIL (not recompute) — and keeping them live
-      // is the layer's whole point (reports read the materialized
-      // artifact; its blocks are bounded by the pair graph, not the
-      // corpus).
+      // The Artifacts layer needs no exemption: its finals are parquet
+      // files, not checkpoint blocks (round 7 exempted its pinned
+      // localCheckpoints from this sweep and paid a uniform ~2x GC drag
+      // on every unrelated small query for it — Artifacts.scala doc).
       spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => graft.ops.Artifacts.isProtected(id) }
         .values.foreach(_.unpersist(blocking = false))
       // collect the previous query's garbage outside the timed region:
       // cross-query GC debt is the main timing poison in a shared JVM

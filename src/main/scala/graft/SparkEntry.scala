@@ -463,10 +463,12 @@ object SparkEntry {
         .orderBy("lang")),
 
     // north star — MinHash+LSH near-dup candidate pairs.
-    "q32_minhash_pairs" -> ((s, dir) =>
+    "q32_minhash_pairs" -> ((s, dir) => {
+      val bp = Dedup.planBands(threshold = 0.8, targetRecall = 0.98)
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-          k = 8, bands = 4)
-        .orderBy("id_a", "id_b")),
+          k = bp.k, bands = bp.bands)
+        .orderBy("id_a", "id_b")
+    }),
 
     // north star — exact n-gram Jaccard (bounded subset; at scale this runs
     // after LSH bucketing, see Dedup scaladoc).
@@ -1120,9 +1122,15 @@ object SparkEntry {
     // Artifacts layer: this query IS the pair-artifact build; every
     // later report in the family reads its checkpoint (Artifacts
     // scaladoc — the materialize-once production shape).
-    "q111_lsh_verified_pairs" -> ((s, dir) =>
-      Artifacts.nearDupPairs(s, dir, k = 8, bands = 4, minJaccard = 0.2)
-        .orderBy("id_a", "id_b")),
+    "q111_lsh_verified_pairs" -> ((s, dir) => {
+      // (k, bands) chosen FROM the S-curve, not hand-picked: recall
+      // >= .98 at j = 0.8 with candidate rate <= .2 at j = 0.2
+      // resolves to k=8, bands=4 (Dedup.planBands scaladoc table)
+      val bp = Dedup.planBands(threshold = 0.8, targetRecall = 0.98)
+      Artifacts.nearDupPairs(s, dir, k = bp.k, bands = bp.bands,
+          minJaccard = 0.2)
+        .orderBy("id_a", "id_b")
+    }),
 
     // ops 4-5 PHYSICAL twin — a real df.write.jdbc / spark.read.jdbc
     // round-trip against embedded Derby (in-memory; the sandbox ships no
@@ -1444,10 +1452,13 @@ object SparkEntry {
     // first among in-batch twins.
     "q135_dedup_admission" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // standing sig-keys come from the artifact store: only the batch
+      // is keyed per ingest (admission cost ∝ batch, not corpus)
       Dedup.admitBySignature(
           docs.where(col("doc_id") % 5 =!= 0),
           docs.where(col("doc_id") % 5 === 0),
-          "doc_id", "text", k = 8)
+          "doc_id", "text", k = 8,
+          baseKeysPre = Some(Artifacts.standingSigKeys(s, dir, k = 8)))
         .orderBy("doc_id")
     }),
 
@@ -2077,10 +2088,14 @@ object SparkEntry {
     // per-ingest artifact maintenance loop.
     "q179_ingest_delta_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // the standing band frame is a store read (Artifacts.
+      // standingBands): only the batch is signed per ingest
       Dedup.lshDeltaPairs(
           docs.where(col("doc_id") % 5 =!= 0),
           docs.where(col("doc_id") % 5 === 0),
-          "doc_id", "text", k = 8, bands = 4, minJaccard = 0.2)
+          "doc_id", "text", k = 8, bands = 4, minJaccard = 0.2,
+          standingBanded = Some(Artifacts.standingBands(s, dir,
+            k = 8, bands = 4)))
         .orderBy("id_a", "id_b")
     }),
 
@@ -3880,7 +3895,8 @@ object SparkEntry {
           |      - DATE '1970-01-01' AS BIGINT) AS be
           |  FROM mo),
           |j AS (SELECT DISTINCT li.l_orderkey, li.l_linenumber, mb.bs
-          |  FROM mb JOIN li ON li.s < mb.be AND mb.bs < li.e)
+          |  FROM mb JOIN li ON li.s < li.e AND mb.bs < mb.be
+          |    AND li.s < mb.be AND mb.bs < li.e)
           |SELECT bs AS month_start_day, COUNT(*) AS n_shipments
           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -4636,7 +4652,8 @@ object SparkEntry {
            |  FROM s),
            |f AS (SELECT doc_id AS media_id, source AS kind,
            |    CAST(nw AS BIGINT) AS n_windows,
-           |    CAST(COALESCE(list_sum(list_transform(range(0, nw - 1),
+           |    CAST(COALESCE(list_sum(list_transform(
+           |      range(0, least(nw - 1, 63)),
            |      w -> CASE WHEN ev[CAST(w + 2 AS INTEGER)]
            |          > ev[CAST(w + 1 AS INTEGER)]
            |        THEN CAST(1 AS BIGINT) << CAST(w AS INTEGER)

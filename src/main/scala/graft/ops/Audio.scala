@@ -53,10 +53,10 @@ object Audio {
 
   /** REAL WAV decoder for the PCM16 subset (format spec: RIFF/WAVE,
     * public): walks the chunk list (chunks are word-aligned — odd-sized
-    * ones carry a pad byte), requires a PCM16 `fmt ` chunk before
+    * ones carry a pad byte), requires a PCM16 MONO `fmt ` chunk before
     * `data`, and returns the verbatim samples. None on anything outside
     * the subset (wrong magic, compressed format codes, other bit
-    * depths, truncated data) — never a guess.
+    * depths, multi-channel, truncated data) — never a guess.
     */
   def decodeWav(payload: Array[Byte]): Option[Pcm] = {
     def u16(o: Int): Int =
@@ -80,8 +80,12 @@ object Audio {
           val channels = u16(i + 10)
           val rate = u32(i + 12).toInt
           val bits = u16(i + 22)
-          // format 1 = uncompressed PCM; 16-bit is the subset
-          if (audioFormat != 1 || bits != 16 || channels < 1 ||
+          // format 1 = uncompressed PCM; 16-bit MONO is the subset —
+          // pcmStats treats samples as one stream (duration = n/rate,
+          // crossings over consecutive samples), which is only correct
+          // single-channel; stereo is out-of-subset, refused loudly
+          // rather than decoded into stats off by the channel count
+          if (audioFormat != 1 || bits != 16 || channels != 1 ||
             rate <= 0) return None
           fmt = Some((rate, channels))
         case "data" =>

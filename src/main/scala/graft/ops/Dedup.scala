@@ -144,6 +144,80 @@ object Dedup {
       .withColumn("sig", minhashSignature(col("shs"), k))
       .select(col("id"), col("shs"), col("sig"))
 
+  /** A planned LSH banding configuration: signature length `k` =
+    * `bands` × `rowsPerBand`, with the S-curve's predicted candidate
+    * probability at the dup threshold (recall) and at a low "clearly
+    * not a dup" similarity (false-candidate rate).
+    */
+  case class BandPlan(k: Int, bands: Int, rowsPerBand: Int,
+                      recallAtThreshold: Double, candRateAtLow: Double)
+
+  /** P(pair becomes an LSH candidate | Jaccard = j) for a signature of
+    * `bands` bands × `rowsPerBand` rows: 1 − (1 − j^r)^b — the
+    * standard MinHash-LSH S-curve (Broder '97 resemblance sketches;
+    * Indyk–Motwani LSH; the banding analysis as in Leskovec–Rajaraman–
+    * Ullman, Mining of Massive Datasets ch. 3).
+    */
+  def candidateProb(j: Double, rowsPerBand: Int, bands: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(j, rowsPerBand), bands)
+
+  /** Choose (k, bands) FROM the S-curve instead of hand-picking:
+    * the cheapest signature (min k, then min false-candidate rate)
+    * whose candidate probability is ≥ `targetRecall` at `threshold`
+    * and ≤ `maxLowRate` at `jLow`. Both constraints matter — recall
+    * alone degenerates to rowsPerBand = 1 (band key = one minhash),
+    * whose candidate set at scale is dominated by low-similarity
+    * collisions; the `jLow` cap is what buys verify-stage boundedness.
+    *
+    * Planned configs (threshold, targetRecall, jLow, maxLowRate → plan):
+    *   - (0.8, 0.98, 0.2, 0.2)  → k=8,  bands=4,  r=2 — recall .9832,
+    *     low-rate .1507: the q111/q32 production config, now derived.
+    *   - (0.8, 0.999, 0.2, 0.2) → k=30, bands=10, r=3 — recall .9992
+    *     (r=2 can't get there: by b=7 its low-rate already breaches .2).
+    *   - (0.9, 0.98, 0.3, 0.2)  → k=9,  bands=3,  r=3 — recall .9801.
+    *   - (0.5, 0.9, 0.1, 0.2)   → k=18, bands=9,  r=2 — recall .9249.
+    *
+    * The prediction is per-pair probability under the MinHash model;
+    * DedupSpec closes the loop by measuring realized recall of the
+    * planned config against the exact prefix-filter pairs (q155's
+    * eval) on the fixture.
+    */
+  def planBands(threshold: Double, targetRecall: Double,
+                jLow: Double = 0.2, maxLowRate: Double = 0.2,
+                maxK: Int = 96): BandPlan = {
+    require(threshold > 0 && threshold < 1 &&
+      targetRecall > 0 && targetRecall < 1 &&
+      jLow > 0 && jLow < threshold,
+      s"need 0 < jLow < threshold < 1 and recall in (0,1); got " +
+        s"t=$threshold recall=$targetRecall jLow=$jLow")
+    val feasible = for {
+      r <- 1 to maxK
+      b <- 1 to maxK / r
+      rec = candidateProb(threshold, r, b)
+      low = candidateProb(jLow, r, b)
+      if rec >= targetRecall && low <= maxLowRate
+    } yield BandPlan(r * b, b, r, rec, low)
+    require(feasible.nonEmpty,
+      s"no (k <= $maxK) banding reaches recall $targetRecall at " +
+        s"$threshold with candidate rate <= $maxLowRate at $jLow")
+    feasible.minBy(p => (p.k, p.candRateAtLow))
+  }
+
+  /** The banded-signature frame (id, band, bkey) — [[signatures]] +
+    * [[lshBandKeys]] exploded, docs with < w tokens excluded (their
+    * all-sentinel signatures would bucket-collide quadratically). This
+    * is THE frame an incremental ingest loop persists per corpus
+    * snapshot (Artifacts.standingBands): per batch, only the batch is
+    * signed and the standing side is a store read.
+    */
+  def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8, bands: Int = 4): DataFrame =
+    signatures(df.where(size(Text.cleanTokens(col(textCol))) >= 3),
+        idCol, textCol, k)
+      .select(col("id"),
+        posexplode(lshBandKeys(col("sig"), k, bands))
+          .as(Seq("band", "bkey")))
+
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 8, bands: Int = 4): DataFrame = {
     // docs with no shingles (null text or < w tokens) are excluded: their
@@ -187,27 +261,29 @@ object Dedup {
     * delta pairs ≡ full-corpus pairs filtered to those touching the
     * batch.
     *
-    * The batch-id reduction is a broadcast semi-join (ids only); a
-    * batch too large to broadcast flips it to a shuffle semi-join,
-    * same contract.
+    * Inputs must be id-disjoint (an ingest batch vs the corpus it is
+    * being added to).
+    *
+    * `standingBanded`, when given, is a PRE-BUILT [[bandedSignatures]]
+    * frame for `standing` (same k/bands — the Artifacts.standingBands
+    * store read): then ONLY the batch is signed here, which is the
+    * incremental contract at 100 TB — re-signing the standing corpus
+    * per ingest would dominate the whole refresh. Without it the
+    * standing side is signed in-line (the one-shot shape).
     */
   def lshDeltaPairs(standing: DataFrame, batch: DataFrame, idCol: String,
                     textCol: String, k: Int = 8, bands: Int = 4,
-                    minJaccard: Double = 0.2): DataFrame = {
+                    minJaccard: Double = 0.2,
+                    standingBanded: Option[DataFrame] = None): DataFrame = {
     val all = standing.select(col(idCol), col(textCol))
       .unionByName(batch.select(col(idCol), col(textCol)))
-    // ONE signature pass over the union; the batch side re-reads the
-    // checkpointed band frame instead of re-running the pipeline
-    val allBanded = signatures(
-        all.where(size(Text.cleanTokens(col(textCol))) >= 3),
-        idCol, textCol, k)
-      .select(col("id"), col("sig"))
-      .select(col("id"),
-        posexplode(lshBandKeys(col("sig"), k, bands))
-          .as(Seq("band", "bkey")))
+    // the batch band frame is tiny (∝ batch); checkpoint it so the
+    // signature pipeline runs once though it feeds both join sides
+    val batchBanded = bandedSignatures(batch, idCol, textCol, k, bands)
       .localCheckpoint()
-    val batchIds = batch.select(col(idCol).as("id")).distinct()
-    val batchBanded = allBanded.join(broadcast(batchIds), Seq("id"))
+    val standingB = standingBanded.getOrElse(
+      bandedSignatures(standing, idCol, textCol, k, bands))
+    val allBanded = standingB.unionByName(batchBanded)
     val cands = batchBanded.as("a").hint("shuffle_hash")
       .join(allBanded.as("b"),
         col("a.band") === col("b.band") &&
@@ -453,25 +529,37 @@ object Dedup {
     *
     * Output: admitted (doc_id, sig_key) rows.
     */
+  /** (doc_id, sig_key) — the full-k-MinHash identity key per doc.
+    * NUL-joined, the SAME key function as streaming's nearDupFilter
+    * state key (StreamOps.scala:235) — so batch sig_keys can be folded
+    * into the streaming standing state (the tombstone-sweep path) and
+    * actually MATCH. Signature elements are md5 hex or '~empty', so no
+    * separator can collide anyway. Short docs (< w tokens) share the
+    * all-sentinel signature BY CONTRACT — content-empty docs dedup to
+    * one survivor.
+    */
+  def signatureKeys(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8): DataFrame = df
+    .select(col(idCol).as("doc_id"),
+      Text.cleanTokens(col(textCol)).as("t"))
+    .withColumn("shs", shingles(col("t")))
+    .select(col("doc_id"),
+      md5(concat_ws("\u0000", minhashSignature(col("shs"), k)))
+        .as("sig_key"))
+
+  /** `baseKeysPre`, when given, is the persisted distinct standing
+    * (sig_key) table (Artifacts.standingSigKeys): only the batch is
+    * keyed here — admission cost ∝ batch, the per-ingest shape.
+    * Without it the base is keyed in-line (the one-shot shape).
+    */
   def admitBySignature(base: DataFrame, batch: DataFrame, idCol: String,
-                       textCol: String, k: Int = 8): DataFrame = {
-    // NUL-joined, the SAME key function as streaming's
-    // nearDupFilter state key (StreamOps.scala:235) — so batch
-    // sig_keys can be folded into the streaming standing state (the
-    // tombstone-sweep path) and actually MATCH. Signature elements are
-    // md5 hex or '~empty', so no separator can collide anyway. Short
-    // docs (< w tokens) share the all-sentinel signature BY CONTRACT —
-    // content-empty docs dedup to one survivor.
-    def keyed(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("doc_id"),
-        Text.cleanTokens(col(textCol)).as("t"))
-      .withColumn("shs", shingles(col("t")))
-      .select(col("doc_id"),
-        md5(concat_ws("\u0000", minhashSignature(col("shs"), k)))
-          .as("sig_key"))
-    val baseKeys = keyed(base).select("sig_key").distinct()
+                       textCol: String, k: Int = 8,
+                       baseKeysPre: Option[DataFrame] = None): DataFrame = {
+    val baseKeys = baseKeysPre.getOrElse(
+      signatureKeys(base, idCol, textCol, k).select("sig_key").distinct())
     keepFirst(
-      keyed(batch).join(baseKeys, Seq("sig_key"), "left_anti"),
+      signatureKeys(batch, idCol, textCol, k)
+        .join(baseKeys, Seq("sig_key"), "left_anti"),
       Seq("sig_key"), Seq(col("doc_id").asc))
       .select(col("doc_id"), col("sig_key"))
   }

@@ -75,6 +75,13 @@ object EventsOps {
     * by either table's total size. Inputs: `a(s, e, …)`, `b(bs, be, …)`
     * with long half-open bounds; output: matched rows, all columns,
     * still containing the bin duplicates.
+    *
+    * CONTRACT: only non-empty intervals (s < e, bs < be) participate —
+    * degenerate and malformed rows are dropped before binning. A
+    * zero-length [s, s) strictly inside a b-interval WOULD satisfy the
+    * plain overlap predicate, so this is a deliberate contract
+    * narrowing, not an optimization; any oracle replaying this
+    * operator must mirror both filters (q149's does).
     */
   def overlapJoinBinned(a: DataFrame, b: DataFrame, cell: Long)
       : DataFrame = {

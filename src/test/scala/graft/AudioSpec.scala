@@ -60,6 +60,10 @@ class AudioSpec extends SparkSpec {
     assert(Audio.decodeWav(mulaw).isEmpty)
     val bits8 = wav.clone(); bits8(34) = 8 // 8-bit outside subset
     assert(Audio.decodeWav(bits8).isEmpty)
+    // stereo is out-of-subset: pcmStats' duration/crossings assume one
+    // stream, so a 2-channel file must be refused, not mis-analyzed
+    val stereo = wav.clone(); stereo(22) = 2
+    assert(Audio.decodeWav(stereo).isEmpty)
   }
 
   test("decodeAudio over the deterministic fixture (hand-checked for " +

@@ -139,6 +139,36 @@ class DedupSpec extends SparkSpec {
     assert(sig(5L) === 0) // empty doc: all bit-sums 0, no bits set
   }
 
+  test("planBands: derives the production (k=8, bands=4) from the " +
+      "S-curve; the low-rate cap is load-bearing; the planned config's " +
+      "MEASURED recall vs exact truth meets target on the fixture") {
+    val bp = Dedup.planBands(threshold = 0.8, targetRecall = 0.98)
+    assert(bp.k === 8 && bp.bands === 4 && bp.rowsPerBand === 2)
+    assert(bp.recallAtThreshold >= 0.98 && bp.candRateAtLow <= 0.2)
+    // the curve itself, closed form: 1 - (1 - .8^2)^4
+    assert(math.abs(Dedup.candidateProb(0.8, 2, 4) - 0.98316) < 1e-4)
+    // recall alone degenerates to 1-row bands; the jLow cap forces the
+    // planner to buy sharpness with longer signatures instead
+    assert(Dedup.planBands(0.8, 0.999).rowsPerBand >= 3)
+    intercept[IllegalArgumentException](
+      Dedup.planBands(0.8, 0.98, jLow = 0.9))
+
+    // loop closure (the q155 eval, on the sf0.001 fixture): the
+    // planner PREDICTS .9832 per-pair recall; measure the realized
+    // recall of the planned config against exact prefix-filter truth
+    val fixture = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val truth = Dedup.prefixFilterPairs(fixture, "doc_id", "text",
+      w = 3, minJaccard = 0.8).select("id_a", "id_b")
+    val lsh = Dedup.lshVerifiedPairs(fixture, "doc_id", "text",
+      bp.k, bp.bands, minJaccard = 0.8).select("id_a", "id_b")
+    val nTruth = truth.count()
+    val nCommon = truth.join(lsh, Seq("id_a", "id_b")).count()
+    assert(nTruth > 0, "fixture must contain exact 0.8-dup pairs")
+    assert(nCommon.toDouble / nTruth >= 0.9,
+      s"measured recall ${nCommon.toDouble / nTruth} below target " +
+        s"(predicted ${bp.recallAtThreshold}, small-sample margin 0.9)")
+  }
+
   test("native simhash == HOF simhash; native minhash == HOF minhash") {
     val base = docs
       .withColumn("c", Text.cleanText(col("text")))

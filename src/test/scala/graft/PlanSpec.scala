@@ -422,11 +422,24 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q179 ingest delta pairs: keyed joins only — no cartesian, no " +
-      "BNL; the batch side reduces the checkpointed band frame via a " +
-      "broadcast id join") {
+      "BNL; the STANDING band frame is an artifact-store parquet read, " +
+      "not a signatures() recompute (q179's candidate stage checkpoints, " +
+      "so pin the standing side's own plan directly)") {
     val p = plan("q179_ingest_delta_pairs")
     assert(!p.contains("CartesianProduct"), p.take(1500))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    val sb = graft.ops.Artifacts.standingBands(spark, dir, k = 8, bands = 4)
+      .queryExecution.executedPlan.toString
+    assert(sb.contains("graft-artifacts"), sb.take(1500))
+    assert(!sb.toLowerCase.contains("minhash"), sb.take(1500))
+  }
+
+  test("q135 admission: the standing sig-key table is an artifact-store " +
+      "parquet read; the batch anti-joins it (admission cost ∝ batch)") {
+    val p = plan("q135_dedup_admission")
+    assert(p.contains("graft-artifacts"), p.take(1500))
+    assert(p.contains("LeftAnti"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 }
