@@ -345,6 +345,113 @@ object StreamOps {
       }
       .start()
 
+  private def emptyDF(spark: SparkSession,
+                      schema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+
+  /** Committed store versions at `storeDir` (ascending batch ids). */
+  private[graft] def committedCCVersions(storeDir: String): Seq[Long] = {
+    val root = new java.io.File(storeDir)
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        new java.io.File(f, "_COMMITTED").exists())
+      .map(_.getName.drop(1).toLong)
+      .sorted
+  }
+
+  /** The latest committed standing (doc_id, component) label frame of a
+    * [[streamingIncrementalCC]] store — what reports join against while
+    * the stream keeps folding batches in. Empty before the first commit.
+    */
+  def standingCCLabels(spark: SparkSession, storeDir: String): DataFrame =
+    committedCCVersions(storeDir).lastOption match {
+      case Some(v) => spark.read.parquet(s"$storeDir/v$v/labels")
+      case None =>
+        import org.apache.spark.sql.types._
+        emptyDF(spark, StructType(Seq(StructField("doc_id", LongType),
+          StructField("component", LongType))))
+    }
+
+  /** One micro-batch of the incremental-CC loop (exposed for direct
+    * spec-level idempotence checks): read the latest committed store
+    * version STRICTLY BELOW `batchId`, fold the batch in via
+    * delta pairs + contracted CC, write version `batchId`, commit.
+    * Replays of an already-committed batch are no-ops; replays of an
+    * uncommitted batch re-read their true input version — idempotent
+    * under foreachBatch's at-least-once delivery.
+    */
+  private[graft] def incrementalCCBatch(storeDir: String, textCol: String,
+      k: Int, bands: Int, minJaccard: Double)(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit = {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.types._
+    val spark = batch.sparkSession
+    val done = committedCCVersions(storeDir)
+    if (!done.contains(batchId)) {
+      val prev = done.filter(_ < batchId).lastOption
+      val (standingDocs, standingLabels) = prev match {
+        case Some(v) => (spark.read.parquet(s"$storeDir/v$v/docs"),
+          spark.read.parquet(s"$storeDir/v$v/labels"))
+        case None => (
+          emptyDF(spark, StructType(Seq(StructField("doc_id", LongType),
+            StructField(textCol, StringType)))),
+          emptyDF(spark, StructType(Seq(StructField("doc_id", LongType),
+            StructField("component", LongType)))))
+      }
+      // the admitted batch is tiny (one micro-batch); checkpoint it so
+      // the signature pipeline isn't re-run per consuming join
+      val b = batch.select(col("doc_id"), col(textCol)).localCheckpoint()
+      val delta = Dedup.lshDeltaPairs(standingDocs, b, "doc_id", textCol,
+        k, bands, minJaccard)
+      val labels = Dedup.componentsIncremental(standingLabels, delta)
+      val out = s"$storeDir/v$batchId"
+      standingDocs.unionByName(b).write.mode("overwrite")
+        .parquet(s"$out/docs")
+      labels.write.mode("overwrite").parquet(s"$out/labels")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(out, "_COMMITTED"), "")
+      ()
+    }
+  }
+
+  /** Streaming near-dup ARTIFACT MAINTENANCE — the foreachBatch
+    * composition of [[streamingNearDupFilter]] (signature admission),
+    * [[graft.ops.Dedup.lshDeltaPairs]] (delta pairs vs the standing
+    * corpus) and [[graft.ops.Dedup.componentsIncremental]] (standing
+    * label refresh): the complete per-ingest dedup-artifact loop (the
+    * q135 → q179 → q140 batch composition) running continuously on a
+    * stream.
+    *
+    * The standing store at `storeDir` is VERSIONED parquet
+    * (`v<batchId>/{docs,labels}` + `_COMMITTED` marker); each batch
+    * reads its predecessor version and writes its own, so the sink is
+    * idempotent under replay and a RESTART from the same checkpoint +
+    * store resumes exactly where the last commit left off
+    * (spec-asserted). Per-batch label-maintenance cost ∝ batch —
+    * delta pairs and contracted CC never rescan the standing corpus
+    * (its docs are read only to verify candidates touching the batch).
+    *
+    * Invariant (StreamingSpec): after any micro-batch sequence,
+    * [[standingCCLabels]] ≡ from-scratch
+    * componentsConverged(lshVerifiedPairs(admitted union)) at the same
+    * (k, bands, minJaccard).
+    */
+  def streamingIncrementalCC(docs: DataFrame, storeDir: String,
+                             checkpoint: String, textCol: String = "text",
+                             tsCol: String = "ts", k: Int = 8,
+                             bands: Int = 4, minJaccard: Double = 0.2,
+                             watermark: String = "1 hour")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamingNearDupFilter(docs, textCol, tsCol, k, watermark)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(
+        incrementalCCBatch(storeDir, textCol, k, bands, minJaccard) _)
+      .start()
+
   /** Read a directory of events-schema parquet files as a (bounded) stream
     * — tests stage `events.parquet` into a temp dir and drive the query
     * with one processAllAvailable() pass.

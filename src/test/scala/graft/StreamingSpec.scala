@@ -214,6 +214,76 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming incremental CC: standing labels after N micro-batches " +
+      "== batch CC over the admitted union; survives a RESTART from the " +
+      "same checkpoint + store; replayed batches are no-ops") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val stage = Files.createTempDirectory("graft-scc-in").toFile
+    val store = Files.createTempDirectory("graft-scc-store").toFile
+    val ckpt = Files.createTempDirectory("graft-scc-ck").toFile
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // 3-shingle near-dups across batches: 1~3 (one word differs),
+    // 2~5; 4 unique; 6 = exact content twin of 1 (the admission filter
+    // must drop it before it ever reaches the CC loop)
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", t0),
+      (2L, "one two three four five six seven eight nine ten", t0))
+    val b2 = Seq(
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota mu", t0),
+      (4L, "completely different words about spark and big data here", t0))
+    val b3 = Seq(
+      (5L, "one two three four five six seven eight nine eleven", t0),
+      (6L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", t0))
+    def push(rows: Seq[(Long, String, java.sql.Timestamp)], i: Int): Unit =
+      rows.toDF("doc_id", "text", "ts").coalesce(1)
+        .write.mode("append").parquet(stage.getAbsolutePath)
+    val schema = b1.toDF("doc_id", "text", "ts").schema
+    def run(): Unit = {
+      val q = StreamOps.streamingIncrementalCC(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage.getAbsolutePath),
+        store.getAbsolutePath, ckpt.getAbsolutePath)
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      push(b1, 1); push(b2, 2)
+      run() // batches 1-2
+      push(b3, 3)
+      run() // RESTART: a new query resumes from checkpoint + store
+      // ground truth: from-scratch pair graph + CC over the ADMITTED
+      // union (6 is a signature twin of 1 — filtered at admission)
+      val admitted = (b1 ++ b2 ++ b3.take(1))
+        .toDF("doc_id", "text", "ts").select("doc_id", "text")
+      val truth = Dedup.componentsConverged(
+        Dedup.lshVerifiedPairs(admitted, "doc_id", "text",
+          k = 8, bands = 4, minJaccard = 0.2))
+        .as[(Long, Long)].collect().toMap
+      val got = StreamOps.standingCCLabels(spark, store.getAbsolutePath)
+        .as[(Long, Long)].collect().toMap
+      assert(got === truth)
+      assert(got(1L) === 1L && got(3L) === 1L, "1~3 must share a component")
+      assert(got(2L) === 2L && got(5L) === 2L, "2~5 must share a component")
+      assert(!got.contains(6L), "content twin must be admission-filtered")
+      // idempotence: replaying an already-committed batch is a no-op
+      val versions = StreamOps.committedCCVersions(store.getAbsolutePath)
+      assert(versions.nonEmpty)
+      StreamOps.incrementalCCBatch(store.getAbsolutePath, "text",
+        8, 4, 0.2)(admitted.withColumn("ts", lit(t0)), versions.last)
+      assert(StreamOps.committedCCVersions(store.getAbsolutePath)
+        === versions)
+      assert(StreamOps.standingCCLabels(spark, store.getAbsolutePath)
+        .as[(Long, Long)].collect().toMap === got)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(stage); rm(store); rm(ckpt)
+    }
+  }
+
   test("streaming near-dup filter suppresses signature twins across " +
       "micro-batches, keeps distinct content") {
     import spark.implicits._
