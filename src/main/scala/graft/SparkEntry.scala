@@ -2158,7 +2158,33 @@ object SparkEntry {
           Text.cleanTokens(col("text")).as("t"))
           .select(col("source"), size(col("t")).as("nt")),
         "source", col("nt"))
-    })
+    }),
+
+    // north star — embedding-store quality gate (Sim.embeddingAudit
+    // scaladoc): zero vectors, non-finite vectors, mixed dims, norm
+    // profile per label — one scan-local pass, no vector shuffle.
+    "q186_embedding_audit" -> ((s, dir) =>
+      Sim.embeddingAudit(t(s, dir, "embeddings")).orderBy("label")),
+
+    // north star — lexical-richness profile (Text.vocabGrowth
+    // scaladoc): hapax/dis-legomena counts, TTR and hapax share per
+    // source — the Heaps-law health check that flags template or
+    // generated sources next to q151's entropy.
+    "q187_vocab_growth" -> ((s, dir) =>
+      Text.vocabGrowth(t(s, dir, "documents"), "source", "text")
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")),
+
+    // north star — containment on the verified pair graph
+    // (Dedup.containmentPairs scaladoc): the quote/subset signature
+    // Jaccard under-reports — |A∩B|/|A| vs |A∩B|/|B| per pair, cost
+    // bounded by the pair artifact, not the corpus.
+    "q188_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"),
+          Artifacts.nearDupPairs(s, dir, k = 8, bands = 4,
+            minJaccard = 0.2),
+          "doc_id", "text", w = 3)
+        .orderBy("id_a", "id_b"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -4517,6 +4543,74 @@ object SparkEntry {
            |  ${Num.floorAtSql("hhiraw", 6)} AS hhi,
            |  ${Num.floorAtSql("1.0 / hhiraw", 4)} AS effective_groups
            |FROM tot CROSS JOIN h""".stripMargin,
+
+      // one scan-local pass per vector: squared norm via the same
+      // left-to-right double fold as the engine's aggregate(); norms
+      // floored at 6 dp BEFORE the decimal mean (order-free), the
+      // mean divided double/count like the engine
+      "q186_embedding_audit" ->
+        s"""WITH a AS (SELECT label, len(embedding) AS dim,
+           |    list_sum(list_transform(embedding,
+           |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq,
+           |    len(list_filter(embedding,
+           |      x -> isnan(x) OR isinf(x))) > 0 AS bad
+           |  FROM embeddings)
+           |SELECT label, COUNT(*) AS n_vecs,
+           |  COUNT(DISTINCT dim) AS n_dims,
+           |  CAST(SUM(CASE WHEN NOT bad AND nsq = 0 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_zero,
+           |  CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nonfinite,
+           |  ${Num.floorAtSql(
+             "CAST(SUM(CASE WHEN NOT bad THEN CAST(floor(sqrt(nsq) " +
+               "* 1000000) / 1000000 AS DECIMAL(28,6)) END) AS DOUBLE) " +
+               "/ SUM(CASE WHEN NOT bad THEN 1 ELSE 0 END)", 6)}
+           |    AS mean_norm,
+           |  MIN(CASE WHEN NOT bad
+           |    THEN floor(sqrt(nsq) * 1000000) / 1000000 END) AS min_norm,
+           |  MAX(CASE WHEN NOT bad
+           |    THEN floor(sqrt(nsq) * 1000000) / 1000000 END) AS max_norm
+           |FROM a GROUP BY label ORDER BY label""".stripMargin,
+
+      // (source, term) counts over the CLEANED tokenizer (the engine's
+      // cleanTokens), rolled up to vocab/hapax/dis counts; ratios
+      // floored after one double division each
+      "q187_vocab_growth" ->
+        s"""WITH cl AS (SELECT source, $clean AS c FROM documents),
+           |tf AS (SELECT source, term, COUNT(*) AS cnt FROM (
+           |    SELECT source, UNNEST($cleanToks) AS term FROM cl)
+           |  GROUP BY 1, 2),
+           |g AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           |    COUNT(*) AS vocab,
+           |    CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS hapax,
+           |    CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS dis_legomena
+           |  FROM tf GROUP BY 1),
+           |nd AS (SELECT source, COUNT(*) AS n_docs FROM documents
+           |  GROUP BY 1)
+           |SELECT g.source, nd.n_docs, g.n_tokens, g.vocab, g.hapax,
+           |  g.dis_legomena,
+           |  ${Num.floorAtSql("CAST(g.vocab AS DOUBLE) / g.n_tokens", 6)}
+           |    AS ttr,
+           |  ${Num.floorAtSql("CAST(g.hapax AS DOUBLE) / g.vocab", 6)}
+           |    AS hapax_share
+           |FROM g JOIN nd ON nd.source = g.source
+           |ORDER BY g.source""".stripMargin,
+
+      // containment from the SAME scored CTE the verified-pair oracle
+      // uses (c, na, nb are the exact distinct-shingle counts), joined
+      // back to the >= 0.2 pair list
+      "q188_containment_pairs" ->
+        s"""WITH $verifiedPairsCte
+           |SELECT s.id_a, s.id_b,
+           |  ${Num.floorAtSql("CAST(s.c AS DOUBLE) / s.na", 4)}
+           |    AS containment_a,
+           |  ${Num.floorAtSql("CAST(s.c AS DOUBLE) / s.nb", 4)}
+           |    AS containment_b
+           |FROM scored s JOIN pairs p
+           |  ON p.id_a = s.id_a AND p.id_b = s.id_b
+           |ORDER BY s.id_a, s.id_b""".stripMargin,
 
       // the q174 double-rank chain (deviations from the RAW median,
       // per the engine), then scoring against the FLOORED (p50, mad)

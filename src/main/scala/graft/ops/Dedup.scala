@@ -314,6 +314,44 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Shingle-set CONTAINMENT for an existing pair list: |A∩B|/|A| and
+    * |A∩B|/|B| (Broder '97's containment next to the resemblance the
+    * rest of this module measures). Jaccard under-reports the
+    * quote/subset case — a short doc fully embedded in a long one has
+    * J = |A|/|B| (small) but containment_a = 1.0 — which is exactly
+    * the eval-set-inside-training-doc contamination signature q114
+    * hunts at the chunk level; this puts the number on every verified
+    * near-dup pair.
+    *
+    * Pair-bounded, never corpus-bounded: shingle arrays are built only
+    * for docs appearing in `pairs` (broadcast semi-reduction — the
+    * lshVerifiedPairs verify shape). Feed it the pair artifact
+    * (Artifacts.nearDupPairs) and the cost is ∝ |pairs|.
+    *
+    * Output: (id_a, id_b, containment_a, containment_b) floored 4 dp.
+    */
+  def containmentPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
+                       textCol: String, w: Int = 3): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val candIds = p
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val sh = docs
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(broadcast(candIds), Seq("id"))
+      .select(col("id"), Text.cleanTokens(col("__text")).as("t"))
+      .select(col("id"), array_distinct(shingles(col("t"), w)).as("shs"))
+    p
+      .join(sh.select(col("id").as("id_a"), col("shs").as("sa")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shs").as("sb")), "id_b")
+      .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
+      .select(col("id_a"), col("id_b"),
+        Num.floorAt(col("c").cast("double") / size(col("sa")), 4)
+          .as("containment_a"),
+        Num.floorAt(col("c").cast("double") / size(col("sb")), 4)
+          .as("containment_b"))
+  }
+
   /** Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
     * Output: (id_a, id_b, jaccard) for pairs above `minJaccard`.
     */

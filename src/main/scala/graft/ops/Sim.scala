@@ -403,6 +403,51 @@ object Sim {
         (col("n_total") - col("n_dropped")).as("n_kept"), col("n_dropped"))
   }
 
+  /** Embedding-table QUALITY AUDIT — the data-quality gate an embedding
+    * store runs before anything consumes the vectors: per label, counts
+    * of zero vectors (cosine-undefined — they poison every similarity
+    * op downstream), non-finite vectors (one NaN coordinate turns a
+    * whole dot product NaN), distinct dimensionalities (a mixed-dim
+    * table means two encoder versions got interleaved), and the norm
+    * profile (mean/min/max — an unnormalized batch from a new encoder
+    * shows up as a norm-scale break before it shows up as bad
+    * retrieval).
+    *
+    * Entirely scan-local per row (one array pass for the norm, one for
+    * the finiteness check) + a |labels|-row aggregate: no shuffle of
+    * vector data, no pair work — the audit costs one scan at any
+    * corpus size. Norms floored at 6 dp before the decimal mean so
+    * the group mean is shuffle-order-independent (the exactMoments
+    * contract).
+    *
+    * Output: (label, n_vecs, n_dims, n_zero, n_nonfinite, mean_norm,
+    * min_norm, max_norm) — norm stats over finite vectors only.
+    */
+  def embeddingAudit(df: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame = {
+    val nsq = aggregate(col(vecCol), lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double"))
+    val bad = exists(col(vecCol), x => isnan(x) ||
+      x === lit(Float.PositiveInfinity) || x === lit(Float.NegativeInfinity))
+    val v = df.select(col(labelCol).as("label"),
+      size(col(vecCol)).as("dim"), nsq.as("nsq"), bad.as("bad"))
+    val fnorm = Num.floorAt(sqrt(col("nsq")), 6)
+    v.groupBy("label").agg(
+        count(lit(1)).as("n_vecs"),
+        countDistinct(col("dim")).as("n_dims"),
+        sum(when(!col("bad") && col("nsq") === 0.0, 1L).otherwise(0L))
+          .as("n_zero"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"),
+        (sum(when(!col("bad"), fnorm.cast("decimal(28,6)")))
+          .cast("double")
+          / sum(when(!col("bad"), 1L).otherwise(0L))).as("__mean"),
+        min(when(!col("bad"), fnorm)).as("min_norm"),
+        max(when(!col("bad"), fnorm)).as("max_norm"))
+      .select(col("label"), col("n_vecs"), col("n_dims"), col("n_zero"),
+        col("n_nonfinite"), Num.floorAt(col("__mean"), 6).as("mean_norm"),
+        col("min_norm"), col("max_norm"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * bucketed by cell to bound the pair space (id_a < id_b).
     */

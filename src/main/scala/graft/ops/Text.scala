@@ -445,6 +445,43 @@ object Text {
           col("sclgc") / col("n_tokens"), 6).as("entropy_bits"))
   }
 
+  /** Vocabulary-growth / lexical-richness profile per group — the
+    * Heaps'-law health check next to [[vocabEntropy]]'s diversity:
+    * hapax legomena (terms seen once) dominate natural text (~40-60%
+    * of vocabulary; Baayen, Word Frequency Distributions 2001), so a
+    * collapsing hapax share flags template/generated content and a
+    * ballooning one flags OCR noise or tokenizer breakage. Reported
+    * per source: doc/token/vocab counts, hapax and dis-legomena
+    * counts, type-token ratio, hapax share.
+    *
+    * Shape at scale: (group, term) counts partial-aggregate map-side
+    * (a stopword collapses before the exchange — the q151 shape); the
+    * per-group rollup is |groups| rows; the doc-count join broadcasts.
+    *
+    * Output: (grp, n_docs, n_tokens, vocab, hapax, dis_legomena,
+    * ttr, hapax_share), ratios floored at 6 dp.
+    */
+  def vocabGrowth(docs: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val tf = docs.select(col(groupCol).as("grp"),
+        explode(cleanTokens(col(textCol))).as("term"))
+      .groupBy("grp", "term").agg(count(lit(1)).as("c"))
+    val nd = docs.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"))
+    tf.groupBy("grp").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("dis_legomena"))
+      .join(broadcast(nd), Seq("grp"))
+      .select(col("grp"), col("n_docs"), col("n_tokens"), col("vocab"),
+        col("hapax"), col("dis_legomena"),
+        Num.floorAt(col("vocab").cast("double") / col("n_tokens"), 6)
+          .as("ttr"),
+        Num.floorAt(col("hapax").cast("double") / col("vocab"), 6)
+          .as("hapax_share"))
+  }
+
   /** Zipf-law fit over the top-k vocabulary: OLS of ln(tf) on ln(rank)
     * — natural language sits near slope −1 (Zipf 1949); template,
     * generated, or keyword-stuffed corpora bend the line, so the fitted

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev main: MEASURED scaling curves for the headline dedup/CC/graph
+  * queries (SCALE.md's "would the slope hold?" rows, previously
+  * analysis-only).
+  *
+  * Self-replicates a fixture dir ×R with disjoint id spaces and a
+  * TOKEN-BIJECTIVE text rewrite per copy (every token prefixed with a
+  * copy tag): a bijection on tokens preserves every within-copy
+  * shingle-set Jaccard exactly and makes cross-copy token sets
+  * disjoint, so the ×R corpus is R independent copies of the original
+  * pair graph — the ground-truth expectation for a linear-work
+  * operator is wall-time ∝ R on fixed cores, and any superlinear bend
+  * is the operator's own (shuffle growth, skew, driver state), not an
+  * artifact of replication-induced cross-copy dups.
+  *
+  * Usage: Test/runMain graft.ScaleProbe [baseDir] [scales] [queries]
+  * Prints one JSON line per (scale, query) with cold wall seconds.
+  */
+object ScaleProbe {
+
+  private val Off = 100000000L
+
+  private def scaledDocs(docs: DataFrame, r: Int): DataFrame =
+    (0 until r).map { i =>
+      if (i == 0) docs
+      else {
+        // one regex pass per copy, build-time only (not timed): tokens
+        // t -> "z<letter>t" — bijective, so within-copy Jaccard is
+        // preserved and cross-copy shingle sets are disjoint. The tag
+        // must be LETTERS ONLY: cleanTokens strips digits, so a "z1"
+        // tag would collapse every copy to the same post-clean tokens
+        // and manufacture R-1 exact twins per doc — the first probe
+        // run did exactly that and measured its own artifact (q121
+        // 5.5 s -> 122 s at x4 from the quadratic cross-copy graph)
+        val tag = ('a' + (i - 1)).toChar
+        require(r <= 26, s"copy tag is a single letter; got r=$r")
+        docs
+          .withColumn("doc_id", col("doc_id") + lit(i * Off))
+          .withColumn("text",
+            regexp_replace(col("text"), "([A-Za-z0-9]+)", s"z$tag$$1"))
+      }
+    }.reduce(_ unionByName _)
+
+  private def scaledKeyed(df: DataFrame, keys: Seq[String], r: Int)
+      : DataFrame =
+    (0 until r).map { i =>
+      keys.foldLeft(df)((d, k) =>
+        d.withColumn(k, col(k) + lit(i * Off)))
+    }.reduce(_ unionByName _)
+
+  private def buildScaled(spark: SparkSession, base: String, dir: String,
+                          r: Int): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    scaledDocs(Tables.load(spark, base, "documents"), r)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    scaledKeyed(Tables.load(spark, base, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"), r)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    scaledKeyed(Tables.load(spark, base, "orders"),
+        Seq("o_orderkey", "o_custkey"), r)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // remaining tables: symlink the originals (dimensions don't scale
+    // in this probe; none of the probed queries read them anyway)
+    Seq("region", "nation", "customer", "supplier", "part", "events",
+      "embeddings").foreach { t =>
+      val link = Paths.get(s"$dir/$t.parquet")
+      if (!Files.exists(link))
+        Files.createSymbolicLink(link,
+          Paths.get(s"$base/$t.parquet"))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val scales = (if (args.length > 1) args(1) else "1,4,16")
+      .split(",").map(_.trim.toInt).toSeq
+    val queries = (if (args.length > 2) args(2) else
+      "q111_lsh_verified_pairs,q121_prefix_filter_pairs," +
+        "q128_cc_converged,q137_pagerank,q78_prep_pipeline")
+      .split(",").map(_.trim).toSeq
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    val root = Files.createTempDirectory("graft-scale").toString
+    for (r <- scales) {
+      val dir = s"$root/x$r"
+      buildScaled(spark, base, dir, r)
+      for (q <- queries) {
+        // Bench's hygiene: sweep checkpoints, GC outside the timed region
+        spark.sparkContext.getPersistentRDDs
+          .values.foreach(_.unpersist(blocking = false))
+        System.gc()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"scale":$r,"query":"$q","sec":$sec%.2f}""")
+      }
+    }
+    spark.stop()
+  }
+}
