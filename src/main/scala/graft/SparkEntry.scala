@@ -2184,7 +2184,19 @@ object SparkEntry {
           Artifacts.nearDupPairs(s, dir, k = 8, bands = 4,
             minJaccard = 0.2),
           "doc_id", "text", w = 3)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // north star — cluster cap (Dedup.clusterCap scaladoc): keep the 2
+    // smallest doc_ids per near-dup component — the keep-n-exemplars
+    // policy between q157's single survivor and no dedup; the window
+    // is WindowGroupLimit-pruned (PlanSpec), input is the label
+    // artifact.
+    "q189_cluster_cap" -> ((s, dir) =>
+      Dedup.clusterCap(
+          Artifacts.components(s, dir, k = 8, bands = 4,
+            minJaccard = 0.2),
+          n = 2)
+        .orderBy("doc_id"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -4611,6 +4623,19 @@ object SparkEntry {
            |FROM scored s JOIN pairs p
            |  ON p.id_a = s.id_a AND p.id_b = s.id_b
            |ORDER BY s.id_a, s.id_b""".stripMargin,
+
+      // the SAME pair + CC CTE chain as q128/q130, then a capped
+      // ranking per component (row_number cast to INTEGER to match
+      // Spark's int rank)
+      "q189_cluster_cap" ->
+        s"""WITH RECURSIVE
+           |$verifiedPairsCte,
+           |$ccCte
+           |SELECT doc_id, component, CAST(rk AS INTEGER) AS rk FROM (
+           |  SELECT doc_id, component,
+           |    row_number() OVER (PARTITION BY component
+           |      ORDER BY doc_id) AS rk
+           |  FROM comp) WHERE rk <= 2 ORDER BY doc_id""".stripMargin,
 
       // the q174 double-rank chain (deviations from the RAW median,
       // per the engine), then scoring against the FLOORED (p50, mad)

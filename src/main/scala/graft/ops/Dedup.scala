@@ -314,6 +314,26 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Cap every near-dup cluster at its `n` smallest doc_ids — the
+    * keep-a-few-exemplars curation policy between q157's
+    * single-survivor pick and no dedup at all (deduplicated-training
+    * practice keeps one member per cluster, e.g. Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better";
+    * n > 1 preserves within-cluster variation for mixture ablations).
+    * Input is the label artifact (doc_id, component); the ranking
+    * window is WindowGroupLimit-pruned — a viral boilerplate cluster
+    * streams through the top-n limit instead of buffering its whole
+    * membership on one reducer, so cost ∝ labeled docs at any cluster
+    * skew. Output: (doc_id, component, rk), rk in [1, n].
+    */
+  def clusterCap(labels: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"cap must be >= 1, got $n")
+    labels
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("component").orderBy(col("doc_id").asc)))
+      .where(col("rk") <= n)
+  }
+
   /** Shingle-set CONTAINMENT for an existing pair list: |A∩B|/|A| and
     * |A∩B|/|B| (Broder '97's containment next to the resemblance the
     * rest of this module measures). Jaccard under-reports the

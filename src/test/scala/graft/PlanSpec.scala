@@ -435,6 +435,14 @@ class PlanSpec extends SparkSpec {
     assert(!sb.toLowerCase.contains("minhash"), sb.take(1500))
   }
 
+  test("q189 cluster cap: the per-component ranking is WindowGroupLimit-" +
+      "pruned — a boilerplate mega-cluster streams through the top-n " +
+      "limit instead of buffering on one reducer") {
+    val p = plan("q189_cluster_cap")
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("q135 admission: the standing sig-key table is an artifact-store " +
       "parquet read; the batch anti-joins it (admission cost ∝ batch)") {
     val p = plan("q135_dedup_admission")

@@ -91,15 +91,23 @@ object ScaleProbe {
       val dir = s"$root/x$r"
       buildScaled(spark, base, dir, r)
       for (q <- queries) {
-        // Bench's hygiene: sweep checkpoints, GC outside the timed region
-        spark.sparkContext.getPersistentRDDs
-          .values.foreach(_.unpersist(blocking = false))
-        System.gc()
-        val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-        val sec = (System.nanoTime() - t0) / 1e9
-        println(f"""{"scale":$r,"query":"$q","sec":$sec%.2f}""")
+        // Bench's methodology: one UNTIMED warm-up rep (codegen,
+        // parquet footers), then timed reps with the artifact memo
+        // CLEARED each time so artifact-building queries (q111/q128)
+        // measure the build, not a cache hit; median reported.
+        val times = (0 to 3).flatMap { rep =>
+          graft.ops.Artifacts.clear()
+          spark.sparkContext.getPersistentRDDs
+            .values.foreach(_.unpersist(blocking = false))
+          System.gc()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          if (rep > 0) Some((System.nanoTime() - t0) / 1e9) else None
+        }
+        val med = times.sorted.apply(times.size / 2)
+        println(f"""{"scale":$r,"query":"$q","sec":$med%.2f,"raw":[${
+          times.map(t => f"$t%.2f").mkString(",")}]}""")
       }
     }
     spark.stop()
