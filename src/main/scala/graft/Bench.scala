@@ -79,6 +79,14 @@ object Bench {
         System.err.println(s"[bench] $name failed (rep $rep): ${e.getMessage}")
       }
     }
+    // final sweep (blocking), then record what stayed pinned: with the
+    // parquet-backed artifact store NOTHING should survive the sweep —
+    // round 7's exempt-forever checkpoint artifacts measured a uniform
+    // ~2x GC drag on unrelated small queries, and this field is the
+    // regression tripwire for that mechanism
+    spark.sparkContext.getPersistentRDDs
+      .values.foreach(_.unpersist(blocking = true))
+    val pinnedRdds = spark.sparkContext.getPersistentRDDs.size
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) Double.NaN
@@ -97,7 +105,7 @@ object Bench {
       .map(n => s"\"" + n + "\":" + times(n).mkString("[", ",", "]"))
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"raw":$raw,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"pinned_rdds":$pinnedRdds,"queries":$qs,"raw":$raw,"errors":$errs,"sf":"$sfDir"}"""
     System.err.println(detail)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_details.json"), detail + "\n")
