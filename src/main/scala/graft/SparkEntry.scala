@@ -2196,7 +2196,38 @@ object SparkEntry {
           Artifacts.components(s, dir, k = 8, bands = 4,
             minJaccard = 0.2),
           n = 2)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // north star — HyperLogLog distinct sketch AS A KEYED AGGREGATION
+    // (Sketch.hllRegisters scaladoc): registers are (key, reg, mx)
+    // rows, union = cell-max groupBy — asserted in-query against the
+    // one-shot frame (merge_equals_full, the q136/q122 pattern) — and
+    // the oracle replays every register exactly; the only float in
+    // the whole pipeline is the final floored estimate.
+    "q190_hll_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val merged = Sketch.hllMerge(Seq(
+        Sketch.hllRegisters(ev.where(col("event_id") % 10 =!= 0),
+          "event_type", "user_id"),
+        Sketch.hllRegisters(ev.where(col("event_id") % 10 === 0),
+          "event_type", "user_id")))
+      val full = Sketch.hllRegisters(ev, "event_type", "user_id")
+      val nDiff = merged
+        .join(full.withColumnRenamed("mx", "mx_full"),
+          Seq("key", "reg"), "full")
+        .where(coalesce(col("mx"), lit(-1)) =!=
+          coalesce(col("mx_full"), lit(-1)))
+        .agg(count(lit(1)).as("n_cell_diff"))
+      val exact = ev.groupBy(col("event_type").as("key"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      Sketch.hllEstimate(merged)
+        .join(exact, "key")
+        .crossJoin(broadcast(nDiff))
+        .select(col("key").as("event_type"), col("exact_distinct"),
+          col("hll_estimate"), col("nz_registers"), col("v_zero"),
+          col("n_cell_diff"))
+        .orderBy("event_type")
+    })
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -4636,6 +4667,51 @@ object SparkEntry {
            |    row_number() OVER (PARTITION BY component
            |      ORDER BY doc_id) AS rk
            |  FROM comp) WHERE rk <= 2 ORDER BY doc_id""".stripMargin,
+
+      // every register replayed exactly (md5-nibble index, hex-string
+      // leading-zero rank); the indicator sum is the integer T
+      // (2^52-scaled bit shifts); the estimator constant is ONE
+      // precomputed double literal shared with the engine
+      // (Sketch.HllC), so the only per-row float is the final floored
+      // estimate / linear-counting ln
+      "q190_hll_distinct" -> {
+        val rankCase =
+          """CASE WHEN length(st) = 0 THEN 53
+            |      ELSE (13 - length(st)) * 4 +
+            |        (CASE WHEN substring(st, 1, 1) >= '8' THEN 0
+            |              WHEN substring(st, 1, 1) >= '4' THEN 1
+            |              WHEN substring(st, 1, 1) >= '2' THEN 2
+            |              ELSE 3 END) + 1 END""".stripMargin
+        s"""WITH h AS (SELECT event_type,
+           |    ${md5HexNSql("CAST(user_id AS VARCHAR)", 2)} AS reg,
+           |    regexp_replace(substring(
+           |      md5(CAST(user_id AS VARCHAR)), 3, 13), '^0+', '') AS st
+           |  FROM events),
+           |r AS (SELECT event_type, reg, $rankCase AS rank FROM h),
+           |regs AS (SELECT event_type, reg, MAX(rank) AS mx
+           |  FROM r GROUP BY 1, 2),
+           |agg AS (SELECT event_type, COUNT(*) AS nz,
+           |    CAST(SUM(CAST(1 AS BIGINT) << (52 - mx)) AS BIGINT)
+           |      AS t_nz
+           |  FROM regs GROUP BY 1),
+           |est AS (SELECT event_type,
+           |    CAST(nz AS BIGINT) AS nz_registers,
+           |    CAST(256 - nz AS BIGINT) AS v_zero,
+           |    t_nz + (256 - nz) * (CAST(1 AS BIGINT) << 52) AS t
+           |  FROM agg),
+           |ex AS (SELECT event_type,
+           |    COUNT(DISTINCT user_id) AS exact_distinct
+           |  FROM events GROUP BY 1)
+           |SELECT est.event_type, ex.exact_distinct,
+           |  CAST(floor(CASE
+           |    WHEN ${Sketch.HllC} / t <= 640.0 AND v_zero > 0
+           |    THEN 256.0 * ln(256.0 / v_zero)
+           |    ELSE ${Sketch.HllC} / t END) AS BIGINT) AS hll_estimate,
+           |  nz_registers, v_zero,
+           |  CAST(0 AS BIGINT) AS n_cell_diff
+           |FROM est JOIN ex USING (event_type)
+           |ORDER BY event_type""".stripMargin
+      },
 
       // the q174 double-rank chain (deviations from the RAW median,
       // per the engine), then scoring against the FLOORED (p50, mad)

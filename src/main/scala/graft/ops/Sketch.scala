@@ -63,6 +63,82 @@ object Sketch {
       .groupBy("r", "b").agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** HyperLogLog registers (Flajolet–Fusy–Gandouet–Meunier 2007) as a
+    * KEYED AGGREGATION — the distinct-count sibling of [[cmsCounters]],
+    * with the same three properties the CMS shape buys: mergeable by
+    * construction (register union is cell-wise MAX, so sharded
+    * register frames roll up bit-identically to the one-shot frame),
+    * engine-portable (register index and rank are md5-nibble and
+    * hex-string arithmetic — integer-exact, so the DuckDB oracle
+    * replays every register, where Spark's approx_count_distinct HLL++
+    * blob could only ever be rows-only checked), and bounded state
+    * (≤ m rows per key whatever the corpus).
+    *
+    * Geometry: m = 256 registers — index = first 2 md5 nibbles, rank =
+    * leading-zero count of the next 52 bits + 1 (capped 53, the
+    * all-zero tail). The rank is computed on the HEX STRING (strip
+    * leading '0' chars, then a 4-way CASE on the first non-zero
+    * nibble) — exact in both engines, no log2/float anywhere.
+    *
+    * Output: (key, reg, mx).
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, itemCol: String)
+      : DataFrame = {
+    val h = md5(col(itemCol).cast("string"))
+    val reg = conv(substring(h, 1, 2), 16, 10).cast("int")
+    val stripped = regexp_replace(substring(h, 3, 13), "^0+", "")
+    val first = substring(stripped, 1, 1)
+    // hex chars compare correctly: '0'..'9' < 'a'..'f' in ASCII
+    val nzlz = when(first >= "8", 0)
+      .when(first >= "4", 1)
+      .when(first >= "2", 2)
+      .otherwise(3)
+    val rank = when(length(stripped) === 0, 53)
+      .otherwise((lit(13) - length(stripped)) * 4 + nzlz + 1)
+    df.select(col(keyCol).as("key"), reg.as("reg"), rank.as("rank"))
+      .groupBy("key", "reg").agg(max(col("rank")).as("mx"))
+  }
+
+  /** HLL union = cell-wise max. Exact: merged(parts) == one-shot(whole). */
+  def hllMerge(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "hllMerge: no parts")
+    parts.reduce(_.unionByName(_))
+      .groupBy("key", "reg").agg(max(col("mx")).as("mx"))
+  }
+
+  /** The m=256 estimator constant α·m²·2^52 — precomputed HERE and
+    * embedded as one double literal in both engines, so neither engine
+    * re-derives it through its own expression-evaluation order.
+    */
+  val HllC: Double = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+    4503599627370496.0
+
+  /** Cardinality estimate per key from a register frame: the raw
+    * harmonic estimate αm²/Σ2^−Mj with the indicator sum kept EXACT —
+    * Σ2^−Mj is scaled by 2^52 into an integer T (Mj ≤ 53 ⇒ every term
+    * is an exact bit shift; T < 2^61), so the only floats are the two
+    * final divisions and the linear-counting ln. Small-range
+    * correction: E ≤ 2.5m with empty registers → linear counting
+    * m·ln(m/V) (the standard HLL regime switch).
+    *
+    * Output: (key, nz_registers, v_zero, hll_estimate) — the estimate
+    * FLOORED to a BIGINT, keeping the compare integer-exact.
+    */
+  def hllEstimate(registers: DataFrame): DataFrame = {
+    val t = (col("t_nz") +
+      (lit(256L) - col("nz")) * lit(1L << 52)).as("t")
+    val eRaw = lit(HllC) / col("t")
+    registers.groupBy("key").agg(
+        count(lit(1)).as("nz"),
+        sum(expr("shiftleft(cast(1 as bigint), 52 - mx)")).as("t_nz"))
+      .select(col("key"), col("nz"),
+        (lit(256L) - col("nz")).as("v_zero"), t)
+      .select(col("key"), col("nz").as("nz_registers"), col("v_zero"),
+        floor(when(eRaw <= 640.0 && col("v_zero") > 0,
+            lit(256.0) * log(lit(256.0) / col("v_zero")))
+          .otherwise(eRaw)).cast("long").as("hll_estimate"))
+  }
+
   /** Point estimates for the keys in `probes(keyCol)`: min over the d
     * rows of the probed cell, 0 for never-seen cells. The counter matrix
     * is <= d*w rows by construction, so it BROADCASTS to the probe side —

@@ -114,4 +114,49 @@ class SketchSpec extends SparkSpec {
       .as[(String, Double, Long, Boolean)].head()
     assert(row === (("g", 51.0, 101L, true)))
   }
+
+  test("hllRegisters: rank is the exact leading-zero count (hand-check " +
+      "vs BigInt bit math); shard merge == one-shot; estimate within " +
+      "the m=256 error regime of exact") {
+    import graft.ops.Sketch
+    import spark.implicits._
+    // hand-check the string-computed rank against integer bit math on
+    // the same md5 tail for a spread of items
+    val items = (1L to 200L).toDF("x")
+    val got = items.select(col("x"))
+      .withColumn("h", md5(col("x").cast("string")))
+      .withColumn("tail", expr("conv(substring(h, 3, 13), 16, 10)")
+        .cast("long"))
+      .join(Sketch.hllRegisters(items, "x", "x"),
+        col("x") === col("key"))
+      .select(col("x"), col("tail"), col("mx")).as[(Long, Long, Int)]
+      .collect()
+    got.foreach { case (x, tail, mx) =>
+      val expected =
+        if (tail == 0L) 53 else 52 - (63 - java.lang.Long.numberOfLeadingZeros(tail)) // 52 - bitlength + 1
+      assert(mx === expected, s"item $x tail $tail")
+    }
+
+    val ev = Tables.load(spark, dir, "events")
+    val merged = Sketch.hllMerge(Seq(
+      Sketch.hllRegisters(ev.where(col("event_id") % 2 === 0),
+        "event_type", "user_id"),
+      Sketch.hllRegisters(ev.where(col("event_id") % 2 =!= 0),
+        "event_type", "user_id")))
+    val full = Sketch.hllRegisters(ev, "event_type", "user_id")
+    assert(merged.unionByName(full).distinct().count() === full.count(),
+      "shard-merged registers must equal the one-shot registers")
+
+    val est = Sketch.hllEstimate(full)
+      .join(ev.groupBy(col("event_type").as("key"))
+        .agg(count_distinct(col("user_id")).as("exact")), "key")
+      .select(col("hll_estimate"), col("exact"))
+      .as[(Long, Long)].collect()
+    est.foreach { case (h, e) =>
+      // m=256 -> rsd ~ 1.04/16 = 6.5%; allow 4x for the small-range
+      // linear-counting regime the 150-user fixture lands in
+      assert(math.abs(h - e) <= math.max(4, 0.26 * e),
+        s"estimate $h vs exact $e out of regime")
+    }
+  }
 }
