@@ -2227,7 +2227,18 @@ object SparkEntry {
           col("hll_estimate"), col("nz_registers"), col("v_zero"),
           col("n_cell_diff"))
         .orderBy("event_type")
-    })
+    }),
+
+    // north star — source×source dup matrix (Dedup.pairSourceMatrix
+    // scaladoc): heavy off-diagonal cells are mirrors/scrapes caught
+    // at the VERIFIED-pair level (q146 sees shared vocabulary; this
+    // sees confirmed pairs); pair-artifact-bounded.
+    "q191_pair_source_matrix" -> ((s, dir) =>
+      Dedup.pairSourceMatrix(t(s, dir, "documents"),
+          Artifacts.nearDupPairs(s, dir, k = 8, bands = 4,
+            minJaccard = 0.2),
+          "doc_id", "source")
+        .orderBy("src_a", "src_b"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -4712,6 +4723,20 @@ object SparkEntry {
            |FROM est JOIN ex USING (event_type)
            |ORDER BY event_type""".stripMargin
       },
+
+      // the verified pair list joined to its endpoints' sources;
+      // least/greatest canonicalize the unordered source pair
+      "q191_pair_source_matrix" ->
+        s"""WITH RECURSIVE
+           |$verifiedPairsCte,
+           |src AS (SELECT doc_id AS id, source FROM documents),
+           |ps AS (SELECT least(x.source, y.source) AS src_a,
+           |    greatest(x.source, y.source) AS src_b
+           |  FROM pairs JOIN src x ON x.id = pairs.id_a
+           |             JOIN src y ON y.id = pairs.id_b)
+           |SELECT src_a, src_b, COUNT(*) AS n_pairs,
+           |  (src_a = src_b) AS within_source
+           |FROM ps GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
 
       // the q174 double-rank chain (deviations from the RAW median,
       // per the engine), then scoring against the FLOORED (p50, mad)

@@ -314,6 +314,37 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Source×source matrix of the verified near-dup pair graph: for
+    * every unordered source pair, how many near-dup pairs span it.
+    * The diagonal (within-source) is ordinary redundancy; heavy
+    * OFF-diagonal cells are mirrors/scrapes caught at the verified-
+    * pair level — the precision complement to q146's shingle-overlap
+    * screen (which sees shared vocabulary, not confirmed dup pairs)
+    * and the matrix a mixture planner consults before double-counting
+    * two crawls of the same site.
+    *
+    * Pair-bounded: the doc→source lookup is semi-reduced to docs in
+    * some pair (broadcast of pair ids) before joining, so nothing
+    * corpus-sized shuffles. Output: (src_a ≤ src_b, n_pairs,
+    * within_source).
+    */
+  def pairSourceMatrix(docs: DataFrame, pairs: DataFrame, idCol: String,
+                       srcCol: String): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val candIds = p
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val srcs = docs.select(col(idCol).as("id"), col(srcCol).as("src"))
+      .join(broadcast(candIds), Seq("id"))
+    p
+      .join(srcs.select(col("id").as("id_a"), col("src").as("sa")), "id_a")
+      .join(srcs.select(col("id").as("id_b"), col("src").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("within_source", col("src_a") === col("src_b"))
+  }
+
   /** Cap every near-dup cluster at its `n` smallest doc_ids — the
     * keep-a-few-exemplars curation policy between q157's
     * single-survivor pick and no dedup at all (deduplicated-training
