@@ -2238,7 +2238,42 @@ object SparkEntry {
           Artifacts.nearDupPairs(s, dir, k = 8, bands = 4,
             minJaccard = 0.2),
           "doc_id", "source")
-        .orderBy("src_a", "src_b"))
+        .orderBy("src_a", "src_b")),
+
+    // monitoring — two-sample KS between the two largest sources' doc
+    // lengths (Agg.ksTwoSample scaladoc): binning-free distribution
+    // gate; the ordered pass runs over the VALUE DOMAIN, not rows.
+    "q192_ks_two_sample" -> ((s, dir) =>
+      Agg.ksTwoSample(t(s, dir, "documents"), "source", "n_chars",
+        "src0", "src1")),
+
+    // monitoring — per-source Gini of doc-length inequality
+    // (Agg.giniByGroup scaladoc): HHI asks which group dominates,
+    // Gini asks how unequal the mass is INSIDE a group.
+    "q193_gini_lengths" -> ((s, dir) =>
+      Agg.giniByGroup(t(s, dir, "documents"), "source", "n_chars")
+        .orderBy("source")),
+
+    // dedup — order-insensitive exact dedup on the sorted distinct
+    // token set (Dedup.bagOfWordsDupGroups scaladoc): catches
+    // reshuffled boilerplate at exact-dedup (one-shuffle) cost.
+    "q194_bow_dedup" -> ((s, dir) =>
+      Dedup.bagOfWordsDupGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // similarity — label-centroid cosine matrix
+    // (Sim.labelCentroidCosine scaladoc): the label-confusion monitor;
+    // one hash agg reduces the corpus to |labels|·dim rows.
+    "q195_centroid_cosine" -> ((s, dir) =>
+      Sim.labelCentroidCosine(t(s, dir, "embeddings"), "label",
+          "embedding")
+        .orderBy("label_a", "label_b")),
+
+    // monitoring — single-changepoint scan over daily event-value means
+    // (EventsOps.changepointScan scaladoc): the level-shift detector
+    // dailyAnomalies is blind to; |days|-sized after one scan.
+    "q196_changepoint" -> ((s, dir) =>
+      EventsOps.changepointScan(t(s, dir, "events"), "value"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -4737,6 +4772,118 @@ object SparkEntry {
            |SELECT src_a, src_b, COUNT(*) AS n_pairs,
            |  (src_a = src_b) AS within_source
            |FROM ps GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+      // counts reduce to the value domain, the ECDF runs over it;
+      // D and the critical value floor BEFORE the reject comparison
+      "q192_ks_two_sample" -> {
+        val crit = Num.floorAtSql(
+          "1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b))", 6)
+        s"""WITH cnt AS (SELECT n_chars AS v,
+           |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+           |    SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+           |  FROM documents WHERE source IN ('src0', 'src1')
+           |  GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+           |    CAST(SUM(cb) AS BIGINT) AS n_b FROM cnt),
+           |cum AS (SELECT
+           |    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+           |      AS cuma,
+           |    SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+           |      AS cumb
+           |  FROM cnt),
+           |d AS (SELECT MAX(abs(CAST(cuma AS DOUBLE) / n_a
+           |      - CAST(cumb AS DOUBLE) / n_b)) AS draw
+           |  FROM cum CROSS JOIN tot)
+           |SELECT n_a, n_b,
+           |  ${Num.floorAtSql("draw", 6)} AS d_stat, $crit AS crit_05,
+           |  (${Num.floorAtSql("draw", 6)} > $crit) AS reject_05
+           |FROM d CROSS JOIN tot""".stripMargin
+      },
+
+      // rank-weighted exact BIGINT sums; ties are order-free because
+      // sum(rn*x) over a tied block is x*sum(rn)
+      "q193_gini_lengths" ->
+        s"""WITH r AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
+           |    CAST(row_number() OVER (PARTITION BY source
+           |      ORDER BY n_chars) AS BIGINT) AS rn
+           |  FROM documents)
+           |SELECT source, COUNT(*) AS n,
+           |  CAST(SUM(x) AS BIGINT) AS total,
+           |  CASE WHEN SUM(x) > 0 THEN ${Num.floorAtSql(
+             "2.0 * SUM(rn * x) / (COUNT(*) * SUM(x))" +
+               " - (COUNT(*) + 1.0) / COUNT(*)", 6)} END AS gini
+           |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
+
+      // the sorted-distinct-token key replayed byte-for-byte (tokens
+      // are lowercased ASCII, so binary sort order agrees)
+      "q194_bow_dedup" ->
+        s"""WITH tok AS (SELECT doc_id, $cleanToks AS t
+           |  FROM (SELECT doc_id, $clean AS c FROM documents)),
+           |k AS (SELECT doc_id, md5(array_to_string(
+           |    list_sort(list_distinct(t)), ' ')) AS bow_key FROM tok),
+           |g AS (SELECT doc_id, bow_key,
+           |    row_number() OVER (PARTITION BY bow_key
+           |      ORDER BY doc_id) AS rn,
+           |    COUNT(*) OVER (PARTITION BY bow_key) AS n_docs
+           |  FROM k)
+           |SELECT doc_id, bow_key, (rn = 1) AS is_keeper
+           |FROM g WHERE n_docs > 1 ORDER BY doc_id""".stripMargin,
+
+      // centroid coordinates: floored 9 dp element terms summed
+      // through decimal (order-free), ONE double division; the pair
+      // stage re-floors its product terms the same way
+      "q195_centroid_cosine" -> {
+        def dterm(e: String) =
+          s"CAST(${Num.floorAtSql(e, 9)} AS DECIMAL(38,9))"
+        s"""WITH el AS (SELECT label AS lab,
+           |    UNNEST(range(1, len(embedding) + 1)) AS i,
+           |    UNNEST(embedding) AS x
+           |  FROM embeddings),
+           |c AS (SELECT lab, i, COUNT(*) AS n,
+           |    CAST(SUM(CAST(${Num.floorAtSql("CAST(x AS DOUBLE)", 9)}
+           |      AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS c
+           |  FROM el GROUP BY 1, 2),
+           |p AS (SELECT a.lab AS label_a, b.lab AS label_b,
+           |    CAST(MAX(a.n) AS BIGINT) AS n_a,
+           |    CAST(MAX(b.n) AS BIGINT) AS n_b,
+           |    CAST(SUM(${dterm("a.c * b.c")}) AS DOUBLE) AS dot,
+           |    CAST(SUM(${dterm("a.c * a.c")}) AS DOUBLE) AS na2,
+           |    CAST(SUM(${dterm("b.c * b.c")}) AS DOUBLE) AS nb2
+           |  FROM c a JOIN c b ON a.i = b.i AND a.lab < b.lab
+           |  GROUP BY 1, 2)
+           |SELECT label_a, label_b, n_a, n_b,
+           |  ${Num.floorAtSql("dot / (sqrt(na2) * sqrt(nb2))", 6)}
+           |    AS cos_sim
+           |FROM p ORDER BY label_a, label_b""".stripMargin
+      },
+
+      // the |days|-domain cumulative scan; argmax with the earlier-day
+      // tie-break, exactly the engine's ORDER BY ... LIMIT 1
+      "q196_changepoint" ->
+        s"""WITH daily AS (SELECT
+           |    CAST(${epochSql("ts")} // 86400 AS BIGINT) AS day,
+           |    COUNT(*) AS c,
+           |    SUM(CAST(${Num.floorAtSql("value", 6)}
+           |      AS DECIMAL(28,6))) AS s
+           |  FROM events GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+           |    SUM(s) AS s_total, COUNT(*) AS n_days FROM daily),
+           |cum AS (SELECT day,
+           |    CAST(SUM(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+           |      AS BIGINT) AS nl,
+           |    SUM(s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+           |      AS sl,
+           |    row_number() OVER (ORDER BY day) AS rd
+           |  FROM daily)
+           |SELECT day AS split_day, nl AS n_left,
+           |  n_total - nl AS n_right,
+           |  ${Num.floorAtSql(
+             "abs(CAST(sl AS DOUBLE) / nl" +
+               " - CAST(s_total - sl AS DOUBLE) / (n_total - nl))" +
+               " * sqrt(CAST(nl * (n_total - nl) AS DOUBLE) / n_total)",
+             6)} AS shift_stat
+           |FROM cum CROSS JOIN tot WHERE rd < n_days
+           |ORDER BY shift_stat DESC, split_day LIMIT 1""".stripMargin,
 
       // the q174 double-rank chain (deviations from the RAW median,
       // per the engine), then scoring against the FLOORED (p50, mad)

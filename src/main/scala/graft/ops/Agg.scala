@@ -682,4 +682,77 @@ object Agg {
     df.withColumn("rn", row_number().over(w)).where(col("rn") <= n)
       .drop("rn")
   }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the `a` and `b`
+    * slices of `x` — the distribution-shift gate a mixture planner runs
+    * before admitting a new source (PSI (q156) needs binning choices;
+    * KS is binning-free and sensitive to ANY CDF gap). D = max over the
+    * value domain of |F_a(v) − F_b(v)|, with the standard large-sample
+    * α=0.05 rejection at c·sqrt((n_a+n_b)/(n_a·n_b)), c = 1.358
+    * (Smirnov 1948 asymptotic).
+    *
+    * Scale shape: the raw scan REDUCES TO THE VALUE DOMAIN first (one
+    * keyed agg → per-distinct-value counts for both sides), so the
+    * ordered ECDF pass — an unavoidably total-ordered window — runs over
+    * |distinct x| rows, not |rows| (the q178 equi-depth argument: for a
+    * bounded domain like doc lengths this is thousands of rows whatever
+    * the corpus size). Counts are exact BIGINTs; the two ECDFs divide
+    * once at the close. D and the critical value floor at 6 dp BEFORE
+    * the comparison so the reject flag is engine-stable at boundaries.
+    *
+    * Output: one row — (n_a, n_b, d_stat, crit_05, reject_05).
+    */
+  def ksTwoSample(df: DataFrame, grp: String, x: String,
+                  a: String, b: String): DataFrame = {
+    val cnt = df.where(col(grp).isin(a, b))
+      .groupBy(col(x).as("v"))
+      .agg(sum(when(col(grp) === a, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(grp) === b, 1L).otherwise(0L)).as("cb"))
+    val run = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cnt.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    cnt
+      .withColumn("cuma", sum(col("ca")).over(run))
+      .withColumn("cumb", sum(col("cb")).over(run))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("cuma").cast("double") / col("n_a") -
+          col("cumb").cast("double") / col("n_b"))).as("draw"))
+      .select(col("n_a"), col("n_b"),
+        Num.floorAt(col("draw"), 6).as("d_stat"),
+        Num.floorAt(lit(1.358) *
+          sqrt((col("n_a") + col("n_b")).cast("double") /
+            (col("n_a") * col("n_b"))), 6).as("crit_05"))
+      .withColumn("reject_05", col("d_stat") > col("crit_05"))
+  }
+
+  /** Per-group Gini coefficient of a non-negative measure — the
+    * inequality monitor next to [[hhiConcentration]]: HHI asks "is one
+    * GROUP dominating", Gini asks "within a group, how unequally is the
+    * mass spread over rows" (a source whose token mass is 99% empty
+    * stubs + 1% giant pages curates very differently from a uniform one
+    * at the same mean). Rank formula on the sorted values: G =
+    * 2·Σ i·x_(i) / (n·Σx) − (n+1)/n ∈ [0, 1−1/n].
+    *
+    * Ties need no tie-break: equal values share a tied block, and
+    * Σ rn·x over a block of equal x is x·Σ rn — fixed whatever relative
+    * order the window assigns. One rank window (spillable sort per
+    * group, the [[medianByRank]] shape), exact BIGINT rank-weighted
+    * sums, one double division at the close, floored at 6 dp. Groups
+    * with zero total emit null (inequality of nothing is undefined).
+    *
+    * Output: (key, n, total, gini).
+    */
+  def giniByGroup(df: DataFrame, key: String, x: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("__x").asc)
+    df.select(col(key), col(x).cast("long").as("__x"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("total"),
+        sum(col("rn") * col("__x")).as("iw"))
+      .select(col(key), col("n"), col("total"),
+        when(col("total") > 0, Num.floorAt(
+          lit(2.0) * col("iw") / (col("n") * col("total")) -
+            (col("n") + lit(1.0)) / col("n"), 6)).as("gini"))
+  }
 }

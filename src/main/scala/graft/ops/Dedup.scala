@@ -403,6 +403,64 @@ object Dedup {
           .as("containment_b"))
   }
 
+  /** Longest common CONTIGUOUS token run per candidate pair — the
+    * substring-level dedup signal (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", measures exactly
+    * this: long verbatim spans shared across documents that
+    * set-similarity scores dilute). A pair at Jaccard 0.3 with a
+    * 200-token verbatim run is a quotation/syndication case a curator
+    * treats differently from 30% incidental vocabulary overlap.
+    *
+    * Method: positional w-shingles (pos, shingle) for the pair's
+    * endpoint docs only (semi-join on the pair list — never the
+    * corpus); equal shingles joined across the pair become diagonal
+    * matches (pa, pb); a verbatim run is a maximal island of
+    * consecutive positions on one diagonal d = pa − pb, found with the
+    * standard gaps-and-islands rank trick (pa − row_number over
+    * (pair, d) is constant within an island). A run of r consecutive
+    * matching shingles is r + w − 1 matching tokens.
+    *
+    * Scale shape: cost ∝ matching POSITION pairs per pair (bounded by
+    * per-shingle multiplicity within the two docs, not by the corpus);
+    * the windows partition on (pair, diagonal) so no single reducer
+    * sees more than one pair's matches. Pairs whose docs share no
+    * shingle position report 0 (left join back to the pair list).
+    *
+    * Output: (id_a, id_b, n_pos_matches, max_run_tokens).
+    */
+  def commonRunPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
+                     textCol: String, w: Int = 3): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val candIds = p
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val sh = docs
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(broadcast(candIds), Seq("id"))
+      .select(col("id"),
+        posexplode(shingles(Text.cleanTokens(col("__text")), w))
+          .as(Seq("pos", "sh")))
+    val m = p
+      .join(sh.select(col("id").as("id_a"), col("pos").as("pa"),
+        col("sh")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("pos").as("pb"),
+        col("sh")), Seq("id_b", "sh"))
+      .withColumn("d", col("pa") - col("pb"))
+    val isl = Window.partitionBy(col("id_a"), col("id_b"), col("d"))
+      .orderBy(col("pa").asc)
+    val runs = m
+      .withColumn("isl", col("pa") - row_number().over(isl))
+      .groupBy(col("id_a"), col("id_b"), col("d"), col("isl"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("run")).as("n_pos_matches"),
+        (max(col("run")) + lit(w - 1)).as("max_run_tokens"))
+    p.join(runs, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("n_pos_matches"), lit(0L)).as("n_pos_matches"),
+        coalesce(col("max_run_tokens"), lit(0L)).as("max_run_tokens"))
+  }
+
   /** Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
     * Output: (id_a, id_b, jaccard) for pairs above `minJaccard`.
     */
@@ -635,6 +693,39 @@ object Dedup {
     .select(col("doc_id"),
       md5(concat_ws("\u0000", minhashSignature(col("shs"), k)))
         .as("sig_key"))
+
+  /** Order-insensitive exact dedup: group docs whose cleaned DISTINCT
+    * token SETS are identical — the "same boilerplate, reshuffled words"
+    * tier between byte-exact dedup (q30's fingerprint: misses any
+    * reordering) and MinHash near-dup (q32: admits genuinely different
+    * docs above the threshold). Scraped templates and spun content
+    * permute sentence order but keep the vocabulary; the sorted-set key
+    * catches them with exact-dedup cost.
+    *
+    * Key = md5 of the space-joined SORTED distinct token list — a pure
+    * scan-local projection (tokenize, dedup, sort, hash inside one row),
+    * then the standard keep-first window on the key: ONE shuffle, on a
+    * 32-hex-char key, whatever the doc sizes. Only groups with ≥ 2
+    * members are emitted (the report is the dup groups, not the corpus).
+    * Sorting uses binary string order in both engines (tokens are
+    * lowercased ASCII post-clean), so the key replays exactly in the
+    * oracle.
+    *
+    * Output: (doc_id, bow_key, is_keeper), keeper = min doc_id per key.
+    */
+  def bagOfWordsDupGroups(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val keyed = df.select(col(idCol).as("doc_id"),
+      md5(concat_ws(" ",
+        array_sort(array_distinct(Text.cleanTokens(col(textCol))))))
+        .as("bow_key"))
+    val grp = Window.partitionBy(col("bow_key"))
+    keyed
+      .withColumn("rn", row_number().over(grp.orderBy(col("doc_id").asc)))
+      .withColumn("n_docs", count(lit(1)).over(grp))
+      .where(col("n_docs") > 1)
+      .select(col("doc_id"), col("bow_key"), (col("rn") === 1).as("is_keeper"))
+  }
 
   /** `baseKeysPre`, when given, is the persisted distinct standing
     * (sig_key) table (Artifacts.standingSigKeys): only the batch is

@@ -58,6 +58,55 @@ object EventsOps {
       .withColumn("is_anomaly", abs(col("z")) >= zThresh)
   }
 
+  /** Single-changepoint scan over the daily mean of `value` — the
+    * when-did-the-pipeline-change detector behind [[dailyAnomalies]]
+    * (which flags single weird days but is blind to a sustained LEVEL
+    * SHIFT that moves the mean and then persists — a scraper config
+    * change, a schema migration mis-scaling a field). For every
+    * candidate split between adjacent days, the statistic is the
+    * mean-gap scaled by the balanced-sample factor,
+    * |mean_L − mean_R| · sqrt(n_L·n_R / n) — the CUSUM-equivalent
+    * max-of-partial-sums form (Page 1954) written as a closed scan so
+    * it needs no recursion: both engines replay it with one window.
+    *
+    * Scale shape: the raw scan reduces to |days| rows via one hash agg
+    * (exact decimal value sums, order-free), the cumulative pass runs
+    * on that tiny frame, and the argmax picks the best split with a
+    * deterministic tie-break on the earlier day. Cost at 100 TB is the
+    * one scan; everything after is |days|-sized.
+    *
+    * Output: one row — (split_day, n_left, n_right, shift_stat), the
+    * split AFTER `split_day` with the largest scaled mean gap.
+    */
+  def changepointScan(events: DataFrame, valueCol: String = "value")
+      : DataFrame = {
+    val daily = events.groupBy(
+        floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+      .agg(count(lit(1)).as("c"),
+        sum(Num.floorAt(col(valueCol), 6).cast("decimal(28,6)")).as("s"))
+    val byDay = Window.orderBy(col("day"))
+    val run = byDay.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val tot = daily.agg(sum(col("c")).as("n_total"),
+      sum(col("s")).as("s_total"), count(lit(1)).as("n_days"))
+    val nr = col("n_total") - col("nl")
+    daily
+      .withColumn("nl", sum(col("c")).over(run))
+      .withColumn("sl", sum(col("s")).over(run))
+      .withColumn("rd", row_number().over(byDay))
+      .crossJoin(broadcast(tot))
+      .where(col("rd") < col("n_days")) // right side must be non-empty
+      .select(col("day").as("split_day"), col("nl").as("n_left"),
+        nr.as("n_right"),
+        Num.floorAt(
+          abs(col("sl").cast("double") / col("nl") -
+            (col("s_total") - col("sl")).cast("double") / nr) *
+            sqrt((col("nl") * nr).cast("double") / col("n_total")), 6)
+          .as("shift_stat"))
+      .orderBy(col("shift_stat").desc, col("split_day").asc)
+      .limit(1)
+  }
+
   /** Interval-overlap join via range binning — the shape for joining
     * two INTERVAL sets when neither side is broadcastable (q28's band
     * join handles the small-side case). A plain overlap predicate

@@ -448,6 +448,53 @@ object Sim {
         col("min_norm"), col("max_norm"))
   }
 
+  /** Pairwise cosine similarity between per-label embedding CENTROIDS —
+    * the label-confusion monitor an embedding-space curator reads before
+    * trusting labels for [[hardNegatives]] or stratified mixtures: two
+    * labels whose centroids sit at cosine ≥ ~0.9 are one concept split
+    * by the labeling pipeline, and "negatives" drawn across them are
+    * noise.
+    *
+    * Scale shape: `posexplode` flattens to (label, dim, x) and ONE
+    * partial+final hash agg reduces the corpus to |labels|·dim rows —
+    * the only pass that touches data. Element values floor at 9 dp and
+    * sum through decimal, so each centroid coordinate is
+    * shuffle-order-independent (the exactMoments contract); the
+    * centroid↔centroid dot/norm pass then runs on the |labels|·dim
+    * aggregate (hundreds of rows) with the same floored-decimal terms.
+    * Assumes uniform dims — run the q186 audit (n_dims == 1) first.
+    *
+    * Output: (label_a, label_b, n_a, n_b, cos_sim), label_a < label_b.
+    */
+  def labelCentroidCosine(df: DataFrame, labelCol: String = "label",
+                          vecCol: String = "embedding"): DataFrame = {
+    val el = df.select(col(labelCol).as("lab"),
+        posexplode(col(vecCol)).as(Seq("i", "x")))
+      .select(col("lab"), col("i"),
+        Num.floorAt(col("x").cast("double"), 9)
+          .cast("decimal(28,9)").as("xd"))
+    val cent = el.groupBy(col("lab"), col("i"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("xd")).cast("double") / count(lit(1))).as("c"))
+    val a = cent.select(col("lab").as("label_a"), col("i"),
+      col("n").as("n_dim_a"), col("c").as("ca"))
+    val b = cent.select(col("lab").as("label_b"), col("i"),
+      col("n").as("n_dim_b"), col("c").as("cb"))
+    a.join(b, Seq("i"))
+      .where(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(max(col("n_dim_a")).as("n_a"), max(col("n_dim_b")).as("n_b"),
+        sum(Num.floorAt(col("ca") * col("cb"), 9).cast("decimal(38,9)"))
+          .cast("double").as("dot"),
+        sum(Num.floorAt(col("ca") * col("ca"), 9).cast("decimal(38,9)"))
+          .cast("double").as("na2"),
+        sum(Num.floorAt(col("cb") * col("cb"), 9).cast("decimal(38,9)"))
+          .cast("double").as("nb2"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        Num.floorAt(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 6)
+          .as("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * bucketed by cell to bound the pair space (id_a < id_b).
     */

@@ -1,8 +1,10 @@
 package graft
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Sim, Text}
+import graft.ops.{Agg, Dedup, EventsOps, Sim, Text}
 
 /** Round-8 operators: embedding audit (degenerate-vector paths the
   * fixture doesn't contain), containment pairs (the subset signature
@@ -73,5 +75,82 @@ class Round8OpsSpec extends SparkSpec {
     val s2 = m("s2")
     assert(s2.getAs[Long]("vocab") === 2L &&
       s2.getAs[Long]("hapax") === 1L)
+  }
+
+  test("ksTwoSample hand-check: D = 1/3 on offset triples, no rejection " +
+      "at these sizes") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 2L), ("b", 3L), ("b", 4L)).toDF("grp", "x")
+    val r = Agg.ksTwoSample(df, "grp", "x", "a", "b").collect().head
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 3L)
+    // ECDF gap peaks at 1/3 (before v=2 and after v=3)
+    assert(r.getAs[Double]("d_stat") ===
+      math.floor(1.0 / 3.0 * 1e6) / 1e6)
+    // crit = 1.358 * sqrt(6/9) ~ 1.108 > D
+    assert(!r.getAs[Boolean]("reject_05"))
+  }
+
+  test("giniByGroup: 0 for equal values, hand-computed for a skewed " +
+      "group, tie-stable") {
+    val df = Seq(("eq", 5L), ("eq", 5L), ("eq", 5L), ("eq", 5L),
+      ("sk", 1L), ("sk", 1L), ("sk", 1L), ("sk", 97L))
+      .toDF("k", "x")
+    val m = Agg.giniByGroup(df, "k", "x")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(m("eq").getAs[Double]("gini") === 0.0)
+    // sk: sum i*x = 1+2+3+4*97 = 394; G = 788/400 - 5/4 = 0.72
+    assert(m("sk").getAs[Long]("total") === 100L)
+    assert(m("sk").getAs[Double]("gini") === 0.72)
+  }
+
+  test("bagOfWordsDupGroups: reshuffled + repeated tokens share a key; " +
+      "distinct vocab does not; keeper is min id") {
+    val docs = Seq(
+      (10L, "beta alpha alpha"),   // set {alpha, beta}
+      (3L, "alpha beta"),          // same set, smaller id -> keeper
+      (7L, "alpha beta gamma")     // superset: different key
+    ).toDF("doc_id", "text")
+    val r = Dedup.bagOfWordsDupGroups(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq === Seq(3L, 10L))
+    assert(r.head.getAs[Boolean]("is_keeper"))
+    assert(!r(1).getAs[Boolean]("is_keeper"))
+    assert(r.head.getAs[String]("bow_key") ===
+      r(1).getAs[String]("bow_key"))
+  }
+
+  test("labelCentroidCosine: orthogonal and parallel centroids read 0 " +
+      "and 1; n counts vectors per label") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 2.0f), 1),
+      (4L, Array(2.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val m = Sim.labelCentroidCosine(emb).collect()
+      .map(r => (r.getAs[Int]("label_a"), r.getAs[Int]("label_b")) -> r)
+      .toMap
+    assert(m((0, 1)).getAs[Double]("cos_sim") === 0.0)
+    assert(m((0, 2)).getAs[Double]("cos_sim") === 1.0)
+    assert(m((1, 2)).getAs[Double]("cos_sim") === 0.0)
+    assert(m((0, 1)).getAs[Long]("n_a") === 2L)
+    assert(m((0, 1)).getAs[Long]("n_b") === 1L)
+  }
+
+  test("changepointScan picks the level-shift split with the " +
+      "hand-computed scaled mean gap") {
+    def at(day: Long, s: Long) = new Timestamp((day * 86400 + s) * 1000L)
+    // day 0 mean 1, days 1-2 mean 5: best split after day 0
+    val ev = Seq(
+      (at(0, 10), 1.0), (at(0, 20), 1.0),
+      (at(1, 10), 5.0), (at(1, 20), 5.0),
+      (at(2, 10), 5.0), (at(2, 20), 5.0)
+    ).toDF("ts", "value")
+    val r = EventsOps.changepointScan(ev).collect().head
+    assert(r.getAs[Long]("split_day") === 0L)
+    assert(r.getAs[Long]("n_left") === 2L)
+    assert(r.getAs[Long]("n_right") === 4L)
+    // |1-5| * sqrt(2*4/6) = 4*sqrt(4/3)
+    assert(r.getAs[Double]("shift_stat") ===
+      math.floor(4.0 * math.sqrt(2.0 * 4.0 / 6.0) * 1e6) / 1e6)
   }
 }
