@@ -2273,7 +2273,38 @@ object SparkEntry {
     // (EventsOps.changepointScan scaladoc): the level-shift detector
     // dailyAnomalies is blind to; |days|-sized after one scan.
     "q196_changepoint" -> ((s, dir) =>
-      EventsOps.changepointScan(t(s, dir, "events"), "value"))
+      EventsOps.changepointScan(t(s, dir, "events"), "value")),
+
+    // dedup — longest common verbatim token run per verified pair
+    // (Dedup.commonRunPairs scaladoc): the substring-level signal set
+    // similarity dilutes; gaps-and-islands on shingle-position
+    // diagonals, cost ∝ the pair list.
+    "q197_common_run" -> ((s, dir) =>
+      Dedup.commonRunPairs(t(s, dir, "documents"),
+          Artifacts.nearDupPairs(s, dir, k = 8, bands = 4,
+            minJaccard = 0.2),
+          "doc_id", "text", w = 3)
+        .orderBy("id_a", "id_b")),
+
+    // dedup — duplication rate by equi-depth length decile
+    // (Curate.dupRateByBucket scaladoc): is duplication length-biased?
+    // Rank-selected edges over the value domain + pair-membership probe.
+    "q198_dup_rate_by_length" -> ((s, dir) =>
+      Curate.dupRateByBucket(t(s, dir, "documents"),
+          Artifacts.nearDupPairs(s, dir, k = 8, bands = 4,
+            minJaccard = 0.2),
+          "doc_id", "n_chars", k = 10)
+        .orderBy("bin")),
+
+    // dedup — IDF-weighted Jaccard per verified pair
+    // (Dedup.idfWeightedJaccard scaladoc): shared rare terms count for
+    // more than shared stopwords; corpus-df pass + pair-bounded joins.
+    "q199_idf_jaccard" -> ((s, dir) =>
+      Dedup.idfWeightedJaccard(t(s, dir, "documents"),
+          Artifacts.nearDupPairs(s, dir, k = 8, bands = 4,
+            minJaccard = 0.2),
+          "doc_id", "text")
+        .orderBy("id_a", "id_b"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -4884,6 +4915,98 @@ object SparkEntry {
              6)} AS shift_stat
            |FROM cum CROSS JOIN tot WHERE rd < n_days
            |ORDER BY shift_stat DESC, split_day LIMIT 1""".stripMargin,
+
+      // positional shingles replayed; islands = constant (pa - rank)
+      // per (pair, diagonal); run of r shingles = r + w - 1 tokens
+      "q197_common_run" ->
+        s"""WITH $verifiedPairsCte,
+           |tokd AS (SELECT doc_id AS id, $cleanToks AS t
+           |  FROM (SELECT doc_id, $clean AS c FROM documents)),
+           |shl AS (SELECT id, ${shinglesSql("t")} AS shs FROM tokd),
+           |posed AS (SELECT id,
+           |    UNNEST(range(1, len(shs) + 1)) - 1 AS pos,
+           |    UNNEST(shs) AS sh
+           |  FROM shl),
+           |m AS (SELECT p.id_a, p.id_b, a.pos AS pa,
+           |    a.pos - b.pos AS d
+           |  FROM pairs p
+           |  JOIN posed a ON a.id = p.id_a
+           |  JOIN posed b ON b.id = p.id_b AND b.sh = a.sh),
+           |isl AS (SELECT id_a, id_b, d,
+           |    pa - row_number() OVER (PARTITION BY id_a, id_b, d
+           |      ORDER BY pa) AS isl
+           |  FROM m),
+           |runs AS (SELECT id_a, id_b, d, isl, COUNT(*) AS run
+           |  FROM isl GROUP BY 1, 2, 3, 4),
+           |agg AS (SELECT id_a, id_b,
+           |    CAST(SUM(run) AS BIGINT) AS n_pos_matches,
+           |    CAST(MAX(run) + 2 AS BIGINT) AS max_run_tokens
+           |  FROM runs GROUP BY 1, 2)
+           |SELECT p.id_a, p.id_b,
+           |  CAST(COALESCE(n_pos_matches, 0) AS BIGINT)
+           |    AS n_pos_matches,
+           |  CAST(COALESCE(max_run_tokens, 0) AS BIGINT)
+           |    AS max_run_tokens
+           |FROM pairs p LEFT JOIN agg USING (id_a, id_b)
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      // the q178 rank-selected decile edges over doc lengths + the
+      // pair-membership probe; bin = edges strictly below the value
+      "q198_dup_rate_by_length" ->
+        s"""WITH $verifiedPairsCte,
+           |dup AS (SELECT DISTINCT id FROM
+           |  (SELECT id_a AS id FROM pairs
+           |   UNION ALL SELECT id_b FROM pairs)),
+           |tot AS (SELECT COUNT(*) AS n FROM documents),
+           |vc AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents
+           |  GROUP BY 1),
+           |cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM vc),
+           |eq AS (SELECT q, MIN(v) AS edge
+           |  FROM cum CROSS JOIN tot
+           |  CROSS JOIN (SELECT UNNEST(range(1, 10)) AS q)
+           |  WHERE cum >= (n - 1) * q // 10 + 1 GROUP BY q),
+           |edges AS (SELECT list_sort(list(edge)) AS es FROM eq),
+           |b AS (SELECT
+           |    CAST(len(list_filter(es, e -> d.n_chars > e))
+           |      AS INTEGER) AS bin,
+           |    CASE WHEN dup.id IS NULL THEN 0 ELSE 1 END AS dup
+           |  FROM documents d CROSS JOIN edges
+           |  LEFT JOIN dup ON dup.id = d.doc_id)
+           |SELECT bin, COUNT(*) AS n_docs,
+           |  CAST(SUM(dup) AS BIGINT) AS n_dup,
+           |  ${Num.floorAtSql("CAST(SUM(dup) AS DOUBLE) / COUNT(*)", 6)}
+           |    AS dup_rate
+           |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+      // per-doc distinct tokens; idf floored 6 dp into decimal, all
+      // sums decimal, ONE double division per pair at the close
+      "q199_idf_jaccard" ->
+        s"""WITH $verifiedPairsCte,
+           |tok AS (SELECT id, UNNEST(list_distinct(t)) AS tok
+           |  FROM (SELECT doc_id AS id, $cleanToks AS t
+           |    FROM (SELECT doc_id, $clean AS c FROM documents))),
+           |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+           |idf AS (SELECT tok, CAST(${Num.floorAtSql(
+             "ln(CAST(n_docs + 1 AS DOUBLE) / COUNT(*))", 6)}
+           |    AS DECIMAL(28,6)) AS w
+           |  FROM tok CROSS JOIN nd GROUP BY tok, n_docs),
+           |wt AS (SELECT id, tok.tok AS tok, w
+           |  FROM tok JOIN idf USING (tok)),
+           |dw AS (SELECT id, SUM(w) AS wtot FROM wt GROUP BY id),
+           |inter AS (SELECT p.id_a, p.id_b,
+           |    COUNT(*) AS n_shared_tokens, SUM(a.w) AS wi
+           |  FROM pairs p
+           |  JOIN wt a ON a.id = p.id_a
+           |  JOIN wt b ON b.id = p.id_b AND b.tok = a.tok
+           |  GROUP BY 1, 2)
+           |SELECT i.id_a, i.id_b, n_shared_tokens,
+           |  ${Num.floorAtSql(
+             "CAST(wi AS DOUBLE) / CAST(x.wtot + y.wtot - wi AS DOUBLE)",
+             6)} AS w_jaccard
+           |FROM inter i
+           |JOIN dw x ON x.id = i.id_a
+           |JOIN dw y ON y.id = i.id_b
+           |ORDER BY id_a, id_b""".stripMargin,
 
       // the q174 double-rank chain (deviations from the RAW median,
       // per the engine), then scoring against the FLOORED (p50, mad)

@@ -602,6 +602,49 @@ object Curate {
   /** Phone pattern: international-ish digit runs with dashes. */
   val PhoneRe = "\\+?\\d[\\d-]{7,}\\d"
 
+  /** Duplication rate by equi-depth length bucket — the is-duplication-
+    * length-biased report a dedup policy review reads before picking a
+    * survivor rule (if near-dups concentrate in short docs, a
+    * keep-longest policy and a keep-first policy diverge sharply; if
+    * uniform, they do not). Composes the verified pair artifact with
+    * the q178 rank-selection bucketing: the k−1 exact decile edges of
+    * `xCol` derive from the pre-aggregated VALUE DOMAIN (tiny ordered
+    * window, never a rows-sized sort), broadcast back for one binning
+    * scan; "duplicated" = the doc appears as EITHER endpoint of a
+    * verified pair (a |pair-ids| broadcast semi-join probe).
+    *
+    * Output: (bin, n_docs, n_dup, dup_rate) — bin 0-based from the
+    * shortest bucket, dup_rate floored at 6 dp.
+    */
+  def dupRateByBucket(docs: DataFrame, pairs: DataFrame, idCol: String,
+                      xCol: String, k: Int = 10): DataFrame = {
+    require(k >= 2 && k <= 10000, s"need 2 <= k <= 10000, got $k")
+    val dupIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val vc = docs.groupBy(col(xCol).as("v")).agg(count(lit(1)).as("c"))
+    val cum = vc.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("v").asc)))
+    val totals = docs.agg(count(lit(1)).as("n"))
+    val edges = cum.crossJoin(broadcast(totals))
+      .select(col("v"), col("cum"), col("n"),
+        explode(sequence(lit(1), lit(k - 1))).as("q"))
+      .where(col("cum") >= expr(s"(n - 1) * q div $k + 1"))
+      .groupBy("q").agg(min(col("v")).as("edge"))
+      .agg(sort_array(collect_list(col("edge"))).as("edges"))
+    docs.select(col(idCol).as("id"), col(xCol).as("v"))
+      .join(broadcast(dupIds.withColumn("__dup", lit(1L))), Seq("id"),
+        "left")
+      .crossJoin(broadcast(edges))
+      .select(size(filter(col("edges"), e => col("v") > e)).as("bin"),
+        coalesce(col("__dup"), lit(0L)).as("dup"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dup")).as("n_dup"))
+      .select(col("bin"), col("n_docs"), col("n_dup"),
+        Num.floorAt(col("n_dup").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"))
+  }
+
   /** PII redaction: count and replace email/phone matches. Emails are
     * redacted first; the `<EMAIL>` placeholder contains no digits, so the
     * phone pass cannot re-match inside it (order is part of the

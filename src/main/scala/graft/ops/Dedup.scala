@@ -461,9 +461,59 @@ object Dedup {
         coalesce(col("max_run_tokens"), lit(0L)).as("max_run_tokens"))
   }
 
-  /** Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
-    * Output: (id_a, id_b, jaccard) for pairs above `minJaccard`.
+  /** IDF-WEIGHTED Jaccard per candidate pair — plain Jaccard counts a
+    * shared stopword and a shared rare term equally, so boilerplate-
+    * heavy docs over-score and technical near-dups under-score; the
+    * curation literature's fix is weighting set overlap by term
+    * informativeness (Broder's weighted resemblance; the q134/q93
+    * IDF convention). w(t) = ln((N+1)/df(t)) — strictly positive, so
+    * the union mass of a non-empty doc can never be zero.
+    *
+    * wJ = Σ_{t∈A∩B} w / (Σ_A w + Σ_B w − Σ_{A∩B} w): intersections
+    * and per-doc totals in separate keyed aggs, so nothing pairwise
+    * ever exceeds the shared-token fan-in. df is a corpus statistic
+    * (one groupBy over distinct (doc, token) pairs — at 100 TB this
+    * frame is the persisted vocabulary artifact every IDF consumer
+    * shares); per-pair work is bounded by the pair list. Weights
+    * floor at 6 dp and sum through decimal (order-free).
+    *
+    * Output: (id_a, id_b, n_shared_tokens, w_jaccard), inner on
+    * pairs sharing ≥ 1 token (verified near-dup pairs always do).
     */
+  def idfWeightedJaccard(docs: DataFrame, pairs: DataFrame,
+                         idCol: String, textCol: String): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val candIds = p
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val docToks = docs.select(col(idCol).as("id"),
+      explode(array_distinct(Text.cleanTokens(col(textCol)))).as("tok"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = docToks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok"), Num.floorAt(
+        log((col("n_docs") + 1).cast("double") / col("df")), 6)
+        .cast("decimal(28,6)").as("w"))
+    val wt = docToks.join(broadcast(candIds), Seq("id"))
+      .join(idf, Seq("tok"))
+    val dw = wt.groupBy(col("id")).agg(sum(col("w")).as("wtot"))
+    p
+      .join(wt.select(col("id").as("id_a"), col("tok"),
+        col("w").as("wa")), Seq("id_a"))
+      .join(wt.select(col("id").as("id_b"), col("tok")),
+        Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared_tokens"), sum(col("wa")).as("wi"))
+      .join(dw.select(col("id").as("id_a"), col("wtot").as("ta")),
+        Seq("id_a"))
+      .join(dw.select(col("id").as("id_b"), col("wtot").as("tb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared_tokens"),
+        Num.floorAt(col("wi").cast("double") /
+          (col("ta") + col("tb") - col("wi")).cast("double"), 6)
+          .as("w_jaccard"))
+  }
+
   /** Exact-threshold similarity join via PREFIX FILTERING (SSJoin/PPJoin
     * family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08): all pairs
     * with Jaccard >= t, with EXACT recall and no all-pairs work — the
@@ -584,6 +634,9 @@ object Dedup {
         .select(col("id"), col("sh"))
     }
 
+  /** Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
+    * Output: (id_a, id_b, jaccard) for pairs above `minJaccard`.
+    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    w: Int = 3, minJaccard: Double = 0.1): DataFrame = {
     val sh = df

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Agg, Dedup, EventsOps, Sim, Text}
+import graft.ops.{Agg, Curate, Dedup, EventsOps, Sim, Text}
 
 /** Round-8 operators: embedding audit (degenerate-vector paths the
   * fixture doesn't contain), containment pairs (the subset signature
@@ -152,5 +152,59 @@ class Round8OpsSpec extends SparkSpec {
     // |1-5| * sqrt(2*4/6) = 4*sqrt(4/3)
     assert(r.getAs[Double]("shift_stat") ===
       math.floor(4.0 * math.sqrt(2.0 * 4.0 / 6.0) * 1e6) / 1e6)
+  }
+
+  test("commonRunPairs: a 4-token verbatim run reads 2 matching " +
+      "shingles -> 4 tokens; a no-overlap pair reads 0") {
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff"),
+      (2L, "xx aa bb cc dd yy"),   // shares the run "aa bb cc dd"
+      (3L, "qq rr ss tt uu vv")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val m = Dedup.commonRunPairs(docs, pairs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r)
+      .toMap
+    // w=3 shingles of the common run: "aa bb cc", "bb cc dd" -> 2
+    // diagonal matches -> run 2, tokens 2 + 3 - 1 = 4
+    assert(m((1L, 2L)).getAs[Long]("n_pos_matches") === 2L)
+    assert(m((1L, 2L)).getAs[Long]("max_run_tokens") === 4L)
+    assert(m((1L, 3L)).getAs[Long]("max_run_tokens") === 0L)
+  }
+
+  test("dupRateByBucket: k=2 median split, dup ids land in the short " +
+      "bucket") {
+    val docs = (1L to 10L).map(i => (i, i)).toDF("doc_id", "len")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = Curate.dupRateByBucket(docs, pairs, "doc_id", "len", k = 2)
+      .orderBy("bin").collect()
+    // edge = min v with cum >= (10-1)*1 div 2 + 1 = 5 -> values 1..5
+    // in bin 0 (with dups 1, 2), 6..10 in bin 1
+    assert(r.length === 2)
+    assert(r(0).getAs[Long]("n_docs") === 5L &&
+      r(0).getAs[Long]("n_dup") === 2L &&
+      r(0).getAs[Double]("dup_rate") === 0.4)
+    assert(r(1).getAs[Long]("n_dup") === 0L)
+  }
+
+  test("idfWeightedJaccard hand-check: shared common term scores " +
+      "below the unweighted Jaccard") {
+    val docs = Seq(
+      (1L, "aa bb"), (2L, "aa cc"), (3L, "dd")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = Dedup.idfWeightedJaccard(docs, pairs, "doc_id", "text")
+      .collect().head
+    // N=3: idf(aa, df=2) = ln(4/2); idf(bb)=idf(cc)=ln(4/1); floored
+    // at 6 dp the DECIMAL-exact ratio is 0.693147/3.465735 =
+    // 0.1999999... -> floors to 0.199999 (a double-sum emulation lands
+    // on the other side of the 0.2 boundary — the decimal sum is the
+    // contract)
+    assert(r.getAs[Long]("n_shared_tokens") === 1L)
+    assert(r.getAs[Double]("w_jaccard") === 0.199999)
+    // unweighted Jaccard would be 1/3 ~ 0.333; the stopword-ish shared
+    // term drags the weighted score below it
+    assert(r.getAs[Double]("w_jaccard") < 1.0 / 3.0)
   }
 }
