@@ -2304,7 +2304,23 @@ object SparkEntry {
           Artifacts.nearDupPairs(s, dir, k = 8, bands = 4,
             minJaccard = 0.2),
           "doc_id", "text")
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // text quality — interpolated-bigram mean log2 prob
+    // (Curate.bigramLogProb scaladoc): the word-order-aware rung above
+    // q127's unigram proxy; twice the q127 df-pass skeleton.
+    "q200_bigram_logprob" -> ((s, dir) =>
+      Curate.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // dedup — degree profile of the verified pair graph
+    // (Dedup.pairDegreeProfile scaladoc): the hub/template alarm; two
+    // keyed aggs over the pair artifact, corpus untouched.
+    "q201_dup_degree_profile" -> ((s, dir) =>
+      Dedup.pairDegreeProfile(
+          Artifacts.nearDupPairs(s, dir, k = 8, bands = 4,
+            minJaccard = 0.2))
+        .orderBy("deg"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -5007,6 +5023,41 @@ object SparkEntry {
            |JOIN dw x ON x.id = i.id_a
            |JOIN dw y ON y.id = i.id_b
            |ORDER BY id_a, id_b""".stripMargin,
+
+      // Jelinek-Mercer 0.5/0.5 replay: bigram tf, context counts
+      // re-aggregated from the bigram stream, unigram tf on the second
+      // token; per-term log2 floored 9 dp, decimal-summed per doc
+      "q200_bigram_logprob" ->
+        s"""WITH tokd AS (SELECT doc_id, $cleanToks AS t
+           |  FROM (SELECT doc_id, $clean AS c FROM documents)),
+           |n AS (SELECT CAST(SUM(len(t)) AS DOUBLE) AS n FROM tokd),
+           |bg AS (SELECT doc_id, bg,
+           |    string_split(bg, ' ')[1] AS w1,
+           |    string_split(bg, ' ')[2] AS w2
+           |  FROM (SELECT doc_id,
+           |      UNNEST(${shinglesSql("t", 2)}) AS bg FROM tokd)),
+           |bgtf AS (SELECT bg, COUNT(*) AS cbg FROM bg GROUP BY 1),
+           |ctx AS (SELECT w1, COUNT(*) AS cctx FROM bg GROUP BY 1),
+           |uni AS (SELECT w2, COUNT(*) AS cu
+           |  FROM (SELECT UNNEST(t) AS w2 FROM tokd) GROUP BY 1),
+           |sc AS (SELECT doc_id, CAST(${Num.floorAtSql(
+             "log2(0.5 * cbg / cctx + 0.5 * cu / n)", 9)}
+           |    AS DECIMAL(28,9)) AS lp
+           |  FROM bg JOIN bgtf USING (bg) JOIN ctx USING (w1)
+           |  JOIN uni USING (w2) CROSS JOIN n)
+           |SELECT doc_id, COUNT(*) AS n_bigrams,
+           |  ${Num.floorAtSql(
+             "CAST(SUM(lp) AS DOUBLE) / COUNT(*)", 6)} AS mean_log2p
+           |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+      // degrees from both endpoint columns, then the histogram
+      "q201_dup_degree_profile" ->
+        s"""WITH $verifiedPairsCte,
+           |deg AS (SELECT id, COUNT(*) AS deg FROM
+           |  (SELECT id_a AS id FROM pairs
+           |   UNION ALL SELECT id_b FROM pairs) GROUP BY 1)
+           |SELECT deg, COUNT(*) AS n_docs, MIN(id) AS min_doc_id
+           |FROM deg GROUP BY 1 ORDER BY deg""".stripMargin,
 
       // the q174 double-rank chain (deviations from the RAW median,
       // per the engine), then scoring against the FLOORED (p50, mad)

@@ -529,6 +529,57 @@ object Curate {
           .as("mean_log2p"))
   }
 
+  /** Per-doc mean log₂ probability under an INTERPOLATED BIGRAM model —
+    * the next rung above [[unigramLogProb]] on the cheap-perplexity
+    * ladder (a unigram model scores scrambled text and fluent text
+    * identically; word-order-aware bigrams separate them — the actual
+    * failure mode of template/spun content). Jelinek–Mercer smoothing:
+    *   p(w_i | w_{i−1}) = λ·c(w_{i−1} w_i)/c(w_{i−1}·) + (1−λ)·tf(w_i)/N
+    * with c(w·) the bigram-CONTEXT count (Σ_b c(w b), re-aggregated
+    * from the bigram frame, not tf — the last token of each doc is a
+    * context of nothing).
+    *
+    * Shape at scale: the q127 df-pass skeleton twice over — the
+    * (doc, bigram) stream is localCheckpoint'd once; bigram tf and
+    * context counts are partial-aggregated `groupBy().count()` frames
+    * joined back (hot boilerplate bigrams pre-combine map-side, never a
+    * count window); unigram tf joins on the bigram's second token; N is
+    * a broadcast 1-row crossJoin. Per-term log₂ values floor at 9 dp
+    * and sum through decimal, so the per-doc mean is shuffle-order
+    * exact. Docs with < 2 tokens are absent (no bigrams to score).
+    *
+    * Output: (doc_id, n_bigrams, mean_log2p), mean floored 6 dp.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                    lambda: Double = 0.5): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"need 0 < lambda < 1, got $lambda")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      Text.cleanTokens(col(textCol)).as("t"))
+    val uni = toks.select(explode(col("t")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cu"))
+    val nTotal = toks.agg(sum(size(col("t"))).cast("double").as("n"))
+    val bg = toks
+      .select(col("doc_id"), explode(Dedup.shingles(col("t"), 2)).as("bg"))
+      .select(col("doc_id"), col("bg"),
+        split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+      .localCheckpoint() // feeds tf, contexts, AND the scoring join
+    val bgtf = bg.groupBy("bg").agg(count(lit(1)).as("cbg"))
+    val ctx = bg.groupBy(col("w1")).agg(count(lit(1)).as("cctx"))
+    val p = lit(lambda) * col("cbg") / col("cctx") +
+      lit(1.0 - lambda) * col("cu") / col("n")
+    bg.join(bgtf, Seq("bg"))
+      .join(ctx, Seq("w1"))
+      .join(uni.withColumnRenamed("term", "w2"), Seq("w2"))
+      .crossJoin(broadcast(nTotal))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(Num.floorAt(log2(p), 9).cast("decimal(28,9)"))
+          .cast("double") / count(lit(1))).as("__m"))
+      .select(col("doc_id"), col("n_bigrams"),
+        Num.floorAt(col("__m"), 6).as("mean_log2p"))
+  }
+
   /** Fixed weight table of the hashed-n-gram quality classifier
     * ([[ngramQualityScore]]): `QualityBuckets` 4-dp values in [-0.5, 0.5],
     * shipped as code the way a small trained linear model ships with a

@@ -345,6 +345,27 @@ object Dedup {
       .withColumn("within_source", col("src_a") === col("src_b"))
   }
 
+  /** Degree profile of the verified pair graph — the hub/template
+    * detector a dedup review runs before trusting cluster labels: a
+    * doc with degree 50 is near-dup of 50 others (a boilerplate
+    * template, a mirror index page), and such hubs both distort CC
+    * cluster shapes and signal content to hard-filter rather than
+    * survivor-pick. The histogram's heavy tail is the alarm; the
+    * min-id exemplar per degree is the thing to go read.
+    *
+    * Two keyed aggs over the pair ARTIFACT (degrees, then the degree
+    * histogram) — output is ≤ max-degree rows, cost ∝ |pairs|, the
+    * corpus is never touched.
+    *
+    * Output: (deg, n_docs, min_doc_id), ascending degree.
+    */
+  def pairDegreeProfile(pairs: DataFrame): DataFrame =
+    pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_docs"),
+        min(col("id")).as("min_doc_id"))
+
   /** Cap every near-dup cluster at its `n` smallest doc_ids — the
     * keep-a-few-exemplars curation policy between q157's
     * single-survivor pick and no dedup at all (deduplicated-training

@@ -207,4 +207,34 @@ class Round8OpsSpec extends SparkSpec {
     // term drags the weighted score below it
     assert(r.getAs[Double]("w_jaccard") < 1.0 / 3.0)
   }
+
+  test("bigramLogProb hand-check: twin two-token docs score " +
+      "log2(0.5*1 + 0.5*1/2)") {
+    val docs = Seq((1L, "aa bb"), (2L, "aa bb")).toDF("doc_id", "text")
+    val r = Curate.bigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r.length === 2)
+    // c(aa bb)=2, c(aa.)=2, tf(bb)=2, N=4:
+    // p = 0.5*2/2 + 0.5*2/4 = 0.75; log2 floored 9dp then mean
+    // floored 6dp
+    val lp9 = math.floor(math.log(0.75) / math.log(2.0) * 1e9) / 1e9
+    val expect = math.floor(lp9 * 1e6) / 1e6
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_bigrams") === 1L)
+      assert(row.getAs[Double]("mean_log2p") === expect)
+    }
+  }
+
+  test("pairDegreeProfile: triangle + disjoint edge histogram") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val r = Dedup.pairDegreeProfile(pairs).orderBy("deg").collect()
+    assert(r.length === 2)
+    assert(r(0).getAs[Long]("deg") === 1L &&
+      r(0).getAs[Long]("n_docs") === 2L &&
+      r(0).getAs[Long]("min_doc_id") === 4L)
+    assert(r(1).getAs[Long]("deg") === 2L &&
+      r(1).getAs[Long]("n_docs") === 3L &&
+      r(1).getAs[Long]("min_doc_id") === 1L)
+  }
 }
