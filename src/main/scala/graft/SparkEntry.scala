@@ -2320,7 +2320,22 @@ object SparkEntry {
       Dedup.pairDegreeProfile(
           Artifacts.nearDupPairs(s, dir, k = 8, bands = 4,
             minJaccard = 0.2))
-        .orderBy("deg"))
+        .orderBy("deg")),
+
+    // text analysis — vocabulary coverage curve (Text.vocabCoverage
+    // scaladoc): token mass covered by the top-k terms at tokenizer
+    // budgets 100/1k/10k; the rank window runs over vocab rows only.
+    "q202_vocab_coverage" -> ((s, dir) =>
+      Text.vocabCoverage(t(s, dir, "documents"), "text",
+          Seq(100, 1000, 10000))
+        .orderBy("k")),
+
+    // text analysis — lang-ID confusion matrix (Text.langConfusion
+    // scaladoc) over the memoized q170 prediction artifact; the corpus
+    // text is never re-touched.
+    "q203_langid_confusion" -> ((s, dir) =>
+      Text.langConfusion(Artifacts.ctPredictions(s, dir))
+        .orderBy("lang", "pred_lang"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -5058,6 +5073,40 @@ object SparkEntry {
            |   UNION ALL SELECT id_b FROM pairs) GROUP BY 1)
            |SELECT deg, COUNT(*) AS n_docs, MIN(id) AS min_doc_id
            |FROM deg GROUP BY 1 ORDER BY deg""".stripMargin,
+
+      // rank over the vocabulary frame, (tf desc, term) ties; coverage
+      // from exact BIGINT mass sums, one double division per k
+      "q202_vocab_coverage" ->
+        s"""WITH tf AS (SELECT term, COUNT(*) AS tf
+           |  FROM (SELECT UNNEST(t) AS term
+           |    FROM (SELECT $cleanToks AS t
+           |      FROM (SELECT ${cleanSql("text")} AS c FROM documents)))
+           |  GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total,
+           |    COUNT(*) AS vocab FROM tf),
+           |rk AS (SELECT tf, row_number() OVER
+           |    (ORDER BY tf DESC, term) AS rk FROM tf),
+           |ks AS (SELECT UNNEST([100, 1000, 10000]) AS k)
+           |SELECT k, CAST(least(k, vocab) AS BIGINT) AS n_terms,
+           |  ${Num.floorAtSql("CAST(SUM(tf) AS DOUBLE) / total", 6)}
+           |    AS coverage
+           |FROM rk CROSS JOIN ks CROSS JOIN tot
+           |WHERE rk <= k GROUP BY k, vocab, total ORDER BY k""".stripMargin,
+
+      // cells + row totals over the shared ct_pred CTE — the same
+      // classifier the q170/q173 oracles replay
+      "q203_langid_confusion" ->
+        s"""WITH $ctPredCte,
+           |cells AS (SELECT lang, pred_lang, COUNT(*) AS n
+           |  FROM ct_pred GROUP BY 1, 2),
+           |rt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang
+           |  FROM cells GROUP BY 1)
+           |SELECT c.lang, c.pred_lang, c.n,
+           |  ${Num.floorAtSql("CAST(c.n AS DOUBLE) / n_lang", 6)}
+           |    AS row_share,
+           |  (c.lang = c.pred_lang) AS is_correct
+           |FROM cells c JOIN rt USING (lang)
+           |ORDER BY lang, pred_lang""".stripMargin,
 
       // the q174 double-rank chain (deviations from the RAW median,
       // per the engine), then scoring against the FLOORED (p50, mad)

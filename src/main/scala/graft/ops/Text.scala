@@ -554,4 +554,67 @@ object Text {
           6).as("pmi"))
     scored.orderBy(col("pmi").desc, col("bigram").asc).limit(k)
   }
+
+  /** Vocabulary coverage curve: the fraction of corpus token MASS the
+    * top-k most frequent terms cover, at each requested k — the
+    * tokenizer-budget planning input (a 32k-entry vocab that covers
+    * 98% of token mass leaves 2% to subword fallback; the curve's knee
+    * says where bigger budgets stop paying). Zipfian corpora have
+    * steep curves (q164 measures the exponent; this measures the
+    * cumulative consequence).
+    *
+    * Scale shape: term frequencies partial-aggregate to the VOCABULARY
+    * frame; the rank window runs over vocab rows only (millions, one
+    * spillable sort — never the token stream), pre-filtered to
+    * rk ≤ max(ks) before the per-k explode so the fan-out is bounded
+    * by the largest budget, not the vocabulary. Deterministic ties:
+    * rank by (tf desc, term asc).
+    *
+    * Output: (k, n_terms, coverage) — n_terms = min(k, |vocab|),
+    * coverage floored 6 dp, ascending k.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+                    ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), s"need positive ks, got $ks")
+    val tf = docs.select(explode(cleanTokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+    val tot = tf.agg(sum(col("tf")).as("total"),
+      count(lit(1)).as("vocab"))
+    tf.withColumn("rk", row_number()
+        .over(Window.orderBy(col("tf").desc, col("term").asc)))
+      .where(col("rk") <= lit(ks.max))
+      .crossJoin(broadcast(tot))
+      .select(col("rk"), col("tf"), col("total"), col("vocab"),
+        explode(array(ks.map(lit): _*)).as("k"))
+      .where(col("rk") <= col("k"))
+      .groupBy("k")
+      .agg(max(col("vocab")).as("__v"), max(col("total")).as("__t"),
+        sum(col("tf")).as("__mass"))
+      .select(col("k"), least(col("k"), col("__v")).as("n_terms"),
+        Num.floorAt(col("__mass").cast("double") / col("__t"), 6)
+          .as("coverage"))
+  }
+
+  /** Language-ID confusion matrix over the [[langIdNgram]] prediction
+    * artifact — the per-class error report behind q170's raw
+    * predictions: which declared languages does the classifier confuse,
+    * and how much of each row's mass is on the diagonal. The input is
+    * the memoized prediction artifact (built once, every consumer
+    * reads), so this report costs two keyed aggs on |docs| prediction
+    * rows and a broadcast of the |langs| row totals — the corpus text
+    * is never touched.
+    *
+    * Output: (lang, pred_lang, n, row_share, is_correct) — row_share =
+    * n / Σ_row n floored 6 dp.
+    */
+  def langConfusion(preds: DataFrame): DataFrame = {
+    val cells = preds.groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy("lang").agg(sum(col("n")).as("n_lang"))
+    cells.join(broadcast(rows), Seq("lang"))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        Num.floorAt(col("n").cast("double") / col("n_lang"), 6)
+          .as("row_share"),
+        (col("lang") === col("pred_lang")).as("is_correct"))
+  }
 }

@@ -225,6 +225,38 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("vocabCoverage hand-check: top-1 and top-2 mass shares with " +
+      "deterministic (tf desc, term) ties") {
+    // tf: aa=3, bb=2, cc=1 -> total 6
+    val docs = Seq((1L, "aa bb aa"), (2L, "aa bb cc")).toDF("doc_id", "text")
+    val r = Text.vocabCoverage(docs, "text", Seq(1, 2, 10))
+      .orderBy("k").collect()
+    assert(r.map(_.getAs[Int]("k")).toSeq === Seq(1, 2, 10))
+    assert(r(0).getAs[Long]("n_terms") === 1L &&
+      r(0).getAs[Double]("coverage") === 0.5)
+    assert(r(1).getAs[Double]("coverage") ===
+      math.floor(5.0 / 6.0 * 1e6) / 1e6)
+    // k beyond the vocab: n_terms clamps, coverage is 1.0
+    assert(r(2).getAs[Long]("n_terms") === 3L &&
+      r(2).getAs[Double]("coverage") === 1.0)
+  }
+
+  test("langConfusion: diagonal flag and row shares from a hand-built " +
+      "prediction frame") {
+    val preds = Seq(
+      (1L, "en", "en"), (2L, "en", "en"), (3L, "en", "de"),
+      (4L, "de", "de")
+    ).toDF("doc_id", "lang", "pred_lang")
+    val m = Text.langConfusion(preds).collect()
+      .map(r => (r.getAs[String]("lang"),
+        r.getAs[String]("pred_lang")) -> r).toMap
+    assert(m(("en", "en")).getAs[Long]("n") === 2L)
+    assert(m(("en", "en")).getAs[Double]("row_share") ===
+      math.floor(2.0 / 3.0 * 1e6) / 1e6)
+    assert(m(("en", "de")).getAs[Boolean]("is_correct") === false)
+    assert(m(("de", "de")).getAs[Double]("row_share") === 1.0)
+  }
+
   test("pairDegreeProfile: triangle + disjoint edge histogram") {
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
       .toDF("id_a", "id_b")
