@@ -450,4 +450,52 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p.take(1500))
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
+
+  test("q192 KS: the single-partition ECDF window runs AFTER the " +
+      "value-domain aggregation (partial_sum pre-combines on the raw " +
+      "scan; the ordered pass sees |distinct x| rows, not rows)") {
+    val p = plan("q192_ks_two_sample")
+    assert(p.contains("partial_sum"), p.take(1500))
+    assert(p.contains("Exchange SinglePartition"), p.take(1500))
+    // the window must consume the aggregate's output, so a HashAggregate
+    // appears earlier in the plan text than the Window operator
+    assert(p.indexOf("HashAggregate") >= 0 &&
+      p.indexOf("Window") > p.indexOf("HashAggregate"), p.take(1500))
+  }
+
+  test("q194 BOW dedup: one hash shuffle on the 32-char key plus the " +
+      "final order — the token sort/hash never leaves the scan " +
+      "projection") {
+    val p = plan("q194_bow_dedup")
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.size <= 2, s"unexpected shuffles: $exchanges\n" +
+      p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q197 common run: keyed joins only (no cartesian/BNL); islands " +
+      "window partitions on (pair, diagonal), never globally") {
+    val p = plan("q197_common_run")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("Exchange SinglePartition"),
+      "a global window crept into the island detection:\n" + p.take(1500))
+  }
+
+  test("q200 bigram log-prob: tf and context counts partial-aggregate " +
+      "(hot boilerplate bigrams pre-combine map-side; no count window " +
+      "on the bigram key)") {
+    val p = plan("q200_bigram_logprob")
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(!p.contains("windowspecdefinition(bg"),
+      "count window over the bigram key crept back in:\n" + p.take(1500))
+    assert(!p.contains("windowspecdefinition(w1"), p.take(1500))
+  }
+
+  test("q202 vocab coverage: the rank window consumes the partial-" +
+      "aggregated vocabulary frame, not the token stream") {
+    val p = plan("q202_vocab_coverage")
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(p.indexOf("Window") > p.indexOf("HashAggregate"), p.take(1500))
+  }
 }
