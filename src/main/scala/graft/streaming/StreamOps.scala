@@ -452,6 +452,65 @@ object StreamOps {
         incrementalCCBatch(storeDir, textCol, k, bands, minJaccard) _)
       .start()
 
+  /** One micro-batch of [[streamingPsiMonitor]]: score the batch's
+    * event_type mix against the broadcast baseline counts and append one
+    * monitor row. Laplace +1 smoothing on BOTH sides over the union key
+    * set (the EventsOps.psiDrift convention), so a type absent from
+    * either side contributes a finite term instead of ±∞.
+    */
+  private[graft] def psiBatch(base: DataFrame, outDir: String,
+                              driftAt: Double)
+                             (batch: DataFrame, batchId: Long): Unit = {
+    if (!batch.isEmpty) {
+      val cnts = batch.groupBy("event_type")
+        .agg(count(lit(1)).as("ca"))
+      val joined = base.join(cnts, Seq("event_type"), "full_outer")
+        .na.fill(0L, Seq("ca", "cb"))
+      val norm = joined.agg(sum(col("ca")).as("na"),
+        sum(col("cb")).as("nb"), count(lit(1)).as("k"))
+      val shareA = (col("ca") + 1).cast("double") / (col("na") + col("k"))
+      val shareB = (col("cb") + 1).cast("double") / (col("nb") + col("k"))
+      joined.crossJoin(broadcast(norm))
+        .select(((shareA - shareB) * log(shareA / shareB)).as("t"),
+          col("ca"))
+        .agg(sum(col("ca")).as("n_events"),
+          graft.ops.Num.floorAt(sum(col("t")), 6).as("psi"))
+        .select(lit(batchId).as("batch_id"), col("n_events"),
+          col("psi"), (col("psi") >= driftAt).as("drifted"))
+        .write.mode("append").parquet(outDir)
+    }
+  }
+
+  /** Streaming PSI drift monitor — the per-micro-batch form of
+    * [[graft.ops.EventsOps.psiDrift]]: every batch's event_type mix is
+    * scored against a FIXED baseline distribution (the corpus the
+    * mixture weights were tuned on) and one (batch_id, n_events, psi,
+    * drifted) row appends to a parquet monitor log. The alarm a
+    * streaming ingest pipeline wires to its mixture-reweigh trigger:
+    * q156 answers "did the mix drift between eras of the corpus I
+    * have"; this answers "is the feed drifting away from the corpus I
+    * tuned on, right now".
+    *
+    * Scale shape: the baseline reduces to |types| rows ONCE
+    * (localCheckpoint'd, broadcast into every batch); per batch the
+    * work is one partial-aggregated groupBy on the batch slice plus a
+    * |types|-row close. State lives in the parquet log, not the store —
+    * restarts replay idempotently from the checkpoint.
+    */
+  def streamingPsiMonitor(events: DataFrame, baseline: DataFrame,
+                          outDir: String, checkpoint: String,
+                          driftAt: Double = 0.2)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val base = baseline.groupBy("event_type")
+      .agg(count(lit(1)).as("cb"))
+      .localCheckpoint()
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(psiBatch(base, outDir, driftAt) _)
+      .start()
+  }
+
   /** Read a directory of events-schema parquet files as a (bounded) stream
     * — tests stage `events.parquet` into a temp dir and drive the query
     * with one processAllAvailable() pass.

@@ -326,6 +326,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming PSI monitor: a baseline-shaped batch reads low PSI, " +
+      "a collapsed-mix batch trips the drift alarm") {
+    import spark.implicits._
+    val stage = Files.createTempDirectory("graft-psis").toFile
+    val out = Files.createTempDirectory("graft-psio").toFile
+    val ckpt = Files.createTempDirectory("graft-psic").toFile
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType)))
+      // baseline: 50/50 click/view
+      val baseline = (1L to 20L)
+        .map(i => (i, if (i % 2 == 0) "click" else "view"))
+        .toDF("event_id", "event_type")
+      // batch 1 mirrors the baseline mix; batch 2 is 100% "click"
+      val b1 = (21L to 40L)
+        .map(i => (i, if (i % 2 == 0) "click" else "view"))
+        .toDF("event_id", "event_type")
+      val b2 = (41L to 60L).map(i => (i, "click"))
+        .toDF("event_id", "event_type")
+      b1.coalesce(1).write.mode("append").parquet(stage.getAbsolutePath)
+      val in = spark.readStream.schema(schema)
+        .parquet(stage.getAbsolutePath)
+      val q = graft.streaming.StreamOps.streamingPsiMonitor(
+        in, baseline, out.getAbsolutePath, ckpt.getAbsolutePath)
+      try {
+        q.processAllAvailable()
+        b2.coalesce(1).write.mode("append")
+          .parquet(stage.getAbsolutePath)
+        q.processAllAvailable()
+      } finally q.stop()
+      val log = spark.read.parquet(out.getAbsolutePath)
+        .orderBy("batch_id").collect()
+      assert(log.length === 2, log.mkString(";"))
+      // identical mix: PSI ~ 0 (smoothing keeps it tiny, far below 0.2)
+      assert(log(0).getAs[Double]("psi") < 0.05 &&
+        !log(0).getAs[Boolean]("drifted"), log(0).toString)
+      // collapsed mix: all mass moved to one type — well above 0.2
+      assert(log(1).getAs[Double]("psi") >= 0.2 &&
+        log(1).getAs[Boolean]("drifted"), log(1).toString)
+    } finally {
+      Seq(stage, out, ckpt).foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(d)
+      }
+    }
+  }
+
   test("stream-static enrich == the batch join, with no streaming state") {
     import spark.implicits._
     val src = "/root/testdata/sf0.001"
