@@ -2335,7 +2335,28 @@ object SparkEntry {
     // text is never re-touched.
     "q203_langid_confusion" -> ((s, dir) =>
       Text.langConfusion(Artifacts.ctPredictions(s, dir))
-        .orderBy("lang", "pred_lang"))
+        .orderBy("lang", "pred_lang")),
+
+    // curation — CCNet-style perplexity terciles
+    // (Curate.perplexityBuckets scaladoc): head/middle/tail cut of the
+    // corpus by q200's bigram score, rank-selected exact edges.
+    "q204_perplexity_buckets" -> ((s, dir) =>
+      Curate.perplexityBuckets(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("bucket")),
+
+    // events — exponentially time-decayed event mass
+    // (EventsOps.timeDecayedStats scaladoc): recency-weighted source
+    // mass anchored at the corpus max timestamp, never wall-clock.
+    "q205_time_decay" -> ((s, dir) =>
+      EventsOps.timeDecayedStats(t(s, dir, "events"), halfLifeDays = 30.0)
+        .orderBy("event_type")),
+
+    // events — Theil-Sen robust volume trend (EventsOps.theilSenTrend
+    // scaladoc): the median pairwise slope one anomalous day cannot
+    // bend; day-pair join bounded by |days|² per type.
+    "q206_theil_sen" -> ((s, dir) =>
+      EventsOps.theilSenTrend(t(s, dir, "events"))
+        .orderBy("event_type"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -2481,6 +2502,33 @@ object SparkEntry {
          |  FROM documents d
          |  LEFT JOIN (SELECT * FROM ct_best WHERE rk = 1) b
          |    ON b.doc_id = d.doc_id)""".stripMargin
+
+    // the q200 interpolated-bigram scorer as a reusable CTE chain ending
+    // in `bg_scored(doc_id, n_bigrams, mean_log2p)` — shared by the
+    // q200 oracle and the q204 bucket oracle so both provably score the
+    // identical model
+    val bigramScoredCte =
+      s"""bg_tokd AS (SELECT doc_id, $cleanToks AS t
+         |  FROM (SELECT doc_id, $clean AS c FROM documents)),
+         |bg_n AS (SELECT CAST(SUM(len(t)) AS DOUBLE) AS n FROM bg_tokd),
+         |bg_s AS (SELECT doc_id, bg,
+         |    string_split(bg, ' ')[1] AS w1,
+         |    string_split(bg, ' ')[2] AS w2
+         |  FROM (SELECT doc_id,
+         |      UNNEST(${shinglesSql("t", 2)}) AS bg FROM bg_tokd)),
+         |bg_tf AS (SELECT bg, COUNT(*) AS cbg FROM bg_s GROUP BY 1),
+         |bg_ctx AS (SELECT w1, COUNT(*) AS cctx FROM bg_s GROUP BY 1),
+         |bg_uni AS (SELECT w2, COUNT(*) AS cu
+         |  FROM (SELECT UNNEST(t) AS w2 FROM bg_tokd) GROUP BY 1),
+         |bg_sc AS (SELECT doc_id, CAST(${Num.floorAtSql(
+           "log2(0.5 * cbg / cctx + 0.5 * cu / n)", 9)}
+         |    AS DECIMAL(28,9)) AS lp
+         |  FROM bg_s JOIN bg_tf USING (bg) JOIN bg_ctx USING (w1)
+         |  JOIN bg_uni USING (w2) CROSS JOIN bg_n),
+         |bg_scored AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  ${Num.floorAtSql(
+           "CAST(SUM(lp) AS DOUBLE) / COUNT(*)", 6)} AS mean_log2p
+         |FROM bg_sc GROUP BY 1)""".stripMargin
 
     ListMap(
       "q01_pricing_summary" ->
@@ -5042,28 +5090,69 @@ object SparkEntry {
       // Jelinek-Mercer 0.5/0.5 replay: bigram tf, context counts
       // re-aggregated from the bigram stream, unigram tf on the second
       // token; per-term log2 floored 9 dp, decimal-summed per doc
+      // (the CTE chain is shared with the q204 bucket oracle)
       "q200_bigram_logprob" ->
-        s"""WITH tokd AS (SELECT doc_id, $cleanToks AS t
-           |  FROM (SELECT doc_id, $clean AS c FROM documents)),
-           |n AS (SELECT CAST(SUM(len(t)) AS DOUBLE) AS n FROM tokd),
-           |bg AS (SELECT doc_id, bg,
-           |    string_split(bg, ' ')[1] AS w1,
-           |    string_split(bg, ' ')[2] AS w2
-           |  FROM (SELECT doc_id,
-           |      UNNEST(${shinglesSql("t", 2)}) AS bg FROM tokd)),
-           |bgtf AS (SELECT bg, COUNT(*) AS cbg FROM bg GROUP BY 1),
-           |ctx AS (SELECT w1, COUNT(*) AS cctx FROM bg GROUP BY 1),
-           |uni AS (SELECT w2, COUNT(*) AS cu
-           |  FROM (SELECT UNNEST(t) AS w2 FROM tokd) GROUP BY 1),
-           |sc AS (SELECT doc_id, CAST(${Num.floorAtSql(
-             "log2(0.5 * cbg / cctx + 0.5 * cu / n)", 9)}
-           |    AS DECIMAL(28,9)) AS lp
-           |  FROM bg JOIN bgtf USING (bg) JOIN ctx USING (w1)
-           |  JOIN uni USING (w2) CROSS JOIN n)
-           |SELECT doc_id, COUNT(*) AS n_bigrams,
-           |  ${Num.floorAtSql(
-             "CAST(SUM(lp) AS DOUBLE) / COUNT(*)", 6)} AS mean_log2p
-           |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+        s"""WITH $bigramScoredCte
+           |SELECT doc_id, n_bigrams, mean_log2p
+           |FROM bg_scored ORDER BY doc_id""".stripMargin,
+
+      // q200's scores, tercile edges by the q178 rank rule (k = 3),
+      // deterministic (score desc, doc_id) ties
+      "q204_perplexity_buckets" ->
+        s"""WITH $bigramScoredCte,
+           |tc AS (SELECT COUNT(*) AS nd FROM bg_scored),
+           |rk AS (SELECT doc_id, mean_log2p, n_bigrams,
+           |    row_number() OVER (ORDER BY mean_log2p DESC, doc_id)
+           |      AS rk
+           |  FROM bg_scored),
+           |b AS (SELECT mean_log2p, n_bigrams,
+           |    CASE WHEN rk > (nd - 1) * 2 // 3 + 1 THEN 2
+           |         WHEN rk > (nd - 1) * 1 // 3 + 1 THEN 1
+           |         ELSE 0 END AS bucket
+           |  FROM rk CROSS JOIN tc)
+           |SELECT bucket, COUNT(*) AS n_docs,
+           |  ${Num.floorAtSql("MIN(mean_log2p)", 6)} AS min_score,
+           |  ${Num.floorAtSql("MAX(mean_log2p)", 6)} AS max_score,
+           |  CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams
+           |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+      // decay anchored at the corpus max ts; per-row weights floored
+      // 9 dp into decimal sums (order-free), pow(2, .) as in q173
+      "q205_time_decay" -> {
+        val w = "pow(2.0, -((CAST(tmax - es AS DOUBLE) / 86400.0)" +
+          " / 30.0))"
+        def dec(e: String) =
+          s"CAST(SUM(CAST(${Num.floorAtSql(e, 9)} AS DECIMAL(28,9)))" +
+            " AS DOUBLE)"
+        s"""WITH a AS (SELECT MAX(${epochSql("ts")}) AS tmax
+           |  FROM events),
+           |r AS (SELECT event_type, value, ${epochSql("ts")} AS es
+           |  FROM events)
+           |SELECT event_type, COUNT(*) AS n_events,
+           |  ${Num.floorAtSql(dec(w), 6)} AS decayed_count,
+           |  ${Num.floorAtSql(dec(s"$w * value"), 6)} AS decayed_value
+           |FROM r CROSS JOIN a GROUP BY 1 ORDER BY 1""".stripMargin
+      },
+
+      // pairwise slopes over the daily-count frame, median by the
+      // q120/q174 double-middle rank rule
+      "q206_theil_sen" ->
+        s"""WITH daily AS (SELECT event_type,
+           |    CAST(${epochSql("ts")} // 86400 AS BIGINT) AS day,
+           |    COUNT(*) AS n
+           |  FROM events GROUP BY 1, 2),
+           |sl AS (SELECT a.event_type,
+           |    CAST(b.n - a.n AS DOUBLE) / (b.day - a.day) AS slope
+           |  FROM daily a JOIN daily b
+           |    ON a.event_type = b.event_type AND b.day > a.day),
+           |r AS (SELECT event_type, slope,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY slope) AS rn,
+           |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM sl)
+           |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_pairs,
+           |  ${Num.floorAtSql("AVG(slope)", 6)} AS slope
+           |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // degrees from both endpoint columns, then the histogram
       "q201_dup_degree_profile" ->

@@ -580,6 +580,46 @@ object Curate {
         Num.floorAt(col("__m"), 6).as("mean_log2p"))
   }
 
+  /** CCNet-style quality buckets: rank every doc by its language-model
+    * score ([[bigramLogProb]]) and cut the corpus into head / middle /
+    * tail THIRDS — the public CCNet recipe (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data") keeps the perplexity-head for pretraining and drops
+    * or downweights the tail; the bucket summary (count, score range,
+    * token mass per bucket) is what the mixture designer reads.
+    *
+    * Bucket edges are RANK-SELECTED (the q178 value-domain rule on the
+    * score domain): exact tercile cuts with deterministic ties —
+    * (score, doc_id) ordering — never an ntile whose tie handling is
+    * partition-dependent. The rank window runs over |docs| scored rows
+    * (one spillable sort); everything else is keyed aggs.
+    *
+    * Output: (bucket, n_docs, min_score, max_score, total_tokens) —
+    * bucket 0 = head (highest mean log-prob = most fluent), 2 = tail.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val scored = bigramLogProb(docs, idCol, textCol)
+      .localCheckpoint() // feeds the total, the rank window, the agg
+    val tot = scored.agg(count(lit(1)).as("n"))
+    val byScore = Window.orderBy(col("mean_log2p").desc,
+      col("doc_id").asc)
+    scored
+      .withColumn("rk", row_number().over(byScore))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("mean_log2p"), col("n_bigrams"),
+        // bucket = how many tercile edges sit at-or-before my rank:
+        // floor grid identical to the q178 edge rule at k = 3
+        (when(col("rk") > expr("(n - 1) * 2 div 3 + 1"), 2)
+          .when(col("rk") > expr("(n - 1) * 1 div 3 + 1"), 1)
+          .otherwise(0)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        Num.floorAt(min(col("mean_log2p")), 6).as("min_score"),
+        Num.floorAt(max(col("mean_log2p")), 6).as("max_score"),
+        sum(col("n_bigrams")).as("total_bigrams"))
+  }
+
   /** Fixed weight table of the hashed-n-gram quality classifier
     * ([[ngramQualityScore]]): `QualityBuckets` 4-dp values in [-0.5, 0.5],
     * shipped as code the way a small trained linear model ships with a

@@ -107,6 +107,75 @@ object EventsOps {
       .limit(1)
   }
 
+  /** Theil–Sen robust trend of daily event volume per type — the
+    * median of all pairwise day-to-day slopes (Theil 1950, Sen 1968):
+    * the volume-trend estimate one anomalous day cannot bend (an OLS
+    * slope chases a single spike; the pairwise-slope MEDIAN has a 29%
+    * breakdown point). The is-this-source-growing-or-dying input to
+    * mixture planning, robust the way [[dailyAnomalies]]'s z-scores
+    * are not.
+    *
+    * Scale shape: the corpus reduces to |types|×|days| daily counts in
+    * one keyed agg; the pairwise self-join is per-type day-PAIRS —
+    * bounded by (years·365)² per type, millions of tiny rows at worst,
+    * never corpus-sized. The median runs through
+    * [[Agg.medianByRank]]'s rank selection (one spillable sort per
+    * type, no value buffer). Slope ties need no tie-break (equal
+    * values, same selected multiset).
+    *
+    * Output: (event_type, n_pairs, slope) — events/day per day,
+    * floored 6 dp.
+    */
+  def theilSenTrend(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds both sides of the pair join
+    val a = daily.select(col("event_type"), col("day").as("da"),
+      col("n").as("ca"))
+    val b = daily.select(col("event_type"), col("day").as("db"),
+      col("n").as("cb"))
+    val slopes = a.join(b, Seq("event_type"))
+      .where(col("db") > col("da"))
+      .select(col("event_type"),
+        ((col("cb") - col("ca")).cast("double") /
+          (col("db") - col("da"))).as("slope"))
+    Agg.medianByRank(slopes, "event_type", "slope")
+      .select(col("event_type"), col("n").as("n_pairs"),
+        Num.floorAt(col("median"), 6).as("slope"))
+  }
+
+  /** Exponentially time-decayed per-type event mass — the recency
+    * weighting a freshness-aware mixture planner uses instead of raw
+    * counts (a source that produced its token mass three years ago and
+    * one producing it now should not weigh the same; half-life decay is
+    * the standard knob). w = 2^(−age_days / halfLife), ANCHORED at the
+    * corpus max timestamp — never wall-clock now(), so reruns and
+    * engines agree bit-for-bit.
+    *
+    * One scalar max broadcast back onto one keyed agg; per-row decay
+    * terms floor at 9 dp and sum through decimal, so the per-type
+    * decayed masses are shuffle-order exact (the q160 contract).
+    *
+    * Output: (event_type, n_events, decayed_count, decayed_value),
+    * decayed sums floored 6 dp.
+    */
+  def timeDecayedStats(events: DataFrame, halfLifeDays: Double = 30.0)
+      : DataFrame = {
+    require(halfLifeDays > 0, s"need halfLifeDays > 0, got $halfLifeDays")
+    val anchor = events.agg(max(unix_timestamp(col("ts"))).as("tmax"))
+    val age = (col("tmax") - unix_timestamp(col("ts"))).cast("double") /
+      lit(86400.0)
+    val w = pow(lit(2.0), -(age / lit(halfLifeDays)))
+    def dec(c: Column) =
+      sum(Num.floorAt(c, 9).cast("decimal(28,9)")).cast("double")
+    events.crossJoin(broadcast(anchor))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        Num.floorAt(dec(w), 6).as("decayed_count"),
+        Num.floorAt(dec(w * col("value")), 6).as("decayed_value"))
+  }
+
   /** Interval-overlap join via range binning — the shape for joining
     * two INTERVAL sets when neither side is broadcastable (q28's band
     * join handles the small-side case). A plain overlap predicate

@@ -257,6 +257,61 @@ class Round8OpsSpec extends SparkSpec {
     assert(m(("de", "de")).getAs[Double]("row_share") === 1.0)
   }
 
+  test("perplexityBuckets: 6 docs cut into exact terciles, head scores " +
+      "above tail") {
+    // distinct repetition levels -> distinct bigram scores
+    val docs = Seq(
+      (1L, "aa bb aa bb aa bb"), (2L, "aa bb aa bb cc dd"),
+      (3L, "aa bb cc dd ee ff"), (4L, "gg hh ii jj kk ll"),
+      (5L, "mm nn oo pp qq rr"), (6L, "ss tt uu vv ww xx")
+    ).toDF("doc_id", "text")
+    val r = Curate.perplexityBuckets(docs, "doc_id", "text")
+      .orderBy("bucket").collect()
+    assert(r.map(_.getAs[Int]("bucket")).toSeq === Seq(0, 1, 2))
+    assert(r.map(_.getAs[Long]("n_docs")).toSeq === Seq(2L, 2L, 2L))
+    // head bucket holds the highest (most fluent) scores
+    assert(r(0).getAs[Double]("min_score") >=
+      r(1).getAs[Double]("max_score"))
+    assert(r(1).getAs[Double]("min_score") >=
+      r(2).getAs[Double]("max_score"))
+  }
+
+  test("timeDecayedStats: one half-life halves the weight, anchored at " +
+      "the corpus max ts") {
+    val tmax = 100000L
+    val ev = Seq(
+      (new Timestamp(tmax * 1000L), "a", 2.0),
+      (new Timestamp((tmax - 30L * 86400L) * 1000L), "a", 4.0),
+      (new Timestamp(tmax * 1000L), "b", 10.0)
+    ).toDF("ts", "event_type", "value")
+    val m = EventsOps.timeDecayedStats(ev, halfLifeDays = 30.0)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    // w = 1 and w = 2^-1 = 0.5 exactly
+    assert(m("a").getAs[Long]("n_events") === 2L)
+    assert(m("a").getAs[Double]("decayed_count") === 1.5)
+    assert(m("a").getAs[Double]("decayed_value") === 2.0 + 0.5 * 4.0)
+    assert(m("b").getAs[Double]("decayed_count") === 1.0)
+  }
+
+  test("theilSenTrend: median pairwise slope on hand-built daily counts") {
+    def at(day: Long, i: Long) = new Timestamp((day * 86400 + i) * 1000L)
+    // type lin: counts 1,3,5 over days 0,1,2 -> every slope 2
+    // type out: counts 1,2,9 -> slopes 1, 4, 7 -> median 4
+    val rows =
+      (0 until 1).map(i => (at(0, i), "lin")) ++
+      (0 until 3).map(i => (at(1, i), "lin")) ++
+      (0 until 5).map(i => (at(2, i), "lin")) ++
+      (0 until 1).map(i => (at(0, i), "out")) ++
+      (0 until 2).map(i => (at(1, i), "out")) ++
+      (0 until 9).map(i => (at(2, i), "out"))
+    val ev = rows.toDF("ts", "event_type")
+    val m = EventsOps.theilSenTrend(ev).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(m("lin").getAs[Long]("n_pairs") === 3L)
+    assert(m("lin").getAs[Double]("slope") === 2.0)
+    assert(m("out").getAs[Double]("slope") === 4.0)
+  }
+
   test("pairDegreeProfile: triangle + disjoint edge histogram") {
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
       .toDF("id_a", "id_b")
