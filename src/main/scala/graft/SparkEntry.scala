@@ -2356,7 +2356,15 @@ object SparkEntry {
     // bend; day-pair join bounded by |days|² per type.
     "q206_theil_sen" -> ((s, dir) =>
       EventsOps.theilSenTrend(t(s, dir, "events"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // dedup — winnowing fingerprints (Dedup.winnowingFingerprints
+    // scaladoc): MOSS's local-guarantee selection — every >= w+window-1
+    // token verbatim run shares a fingerprint; scan-local array ops.
+    "q207_winnowing" -> ((s, dir) =>
+      Dedup.winnowingFingerprints(t(s, dir, "documents"), "doc_id",
+          "text", w = 3, window = 4)
+        .orderBy("doc_id"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -5153,6 +5161,30 @@ object SparkEntry {
            |  ${Num.floorAtSql("AVG(slope)", 6)} AS slope
            |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
            |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // windowed-min selection replayed with the same rightmost-tie
+      // reverse trick; fp key = md5 of the sorted distinct hashes
+      "q207_winnowing" ->
+        s"""WITH tokd AS (SELECT doc_id, $cleanToks AS t
+           |  FROM (SELECT doc_id, $clean AS c FROM documents)),
+           |hs AS (SELECT doc_id,
+           |    list_transform(${shinglesSql("t")},
+           |      s -> ${md5HexNSql("s", 8)}) AS h
+           |  FROM tokd),
+           |hw AS (SELECT doc_id, h FROM hs WHERE len(h) >= 4),
+           |sel AS (SELECT doc_id, h,
+           |    list_sort(list_distinct(list_transform(
+           |      range(0, len(h) - 4 + 1),
+           |      i -> i + 4 - list_position(list_reverse(h[i+1:i+4]),
+           |        list_min(h[i+1:i+4]))))) AS sp
+           |  FROM hw)
+           |SELECT doc_id, CAST(len(h) AS INTEGER) AS n_shingles,
+           |  CAST(len(sp) AS INTEGER) AS n_selected,
+           |  md5(array_to_string(list_transform(
+           |    list_sort(list_distinct(list_transform(sp,
+           |      j -> h[CAST(j + 1 AS INTEGER)]))),
+           |    x -> CAST(x AS VARCHAR)), ' ')) AS fp_key
+           |FROM sel ORDER BY doc_id""".stripMargin,
 
       // degrees from both endpoint columns, then the histogram
       "q201_dup_degree_profile" ->

@@ -345,6 +345,49 @@ object Dedup {
       .withColumn("within_source", col("src_a") === col("src_b"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    * 2003 — the MOSS algorithm): from each doc's shingle-hash stream,
+    * select the MINIMUM hash of every sliding window of `window`
+    * consecutive shingles (rightmost on ties), dedup the selected
+    * positions. Winnowing's LOCAL guarantee is what MinHash lacks: any
+    * verbatim run of at least w + window − 1 shared tokens between two
+    * docs is guaranteed to contribute at least one IDENTICAL selected
+    * fingerprint to both — so joining on selected hashes finds every
+    * long verbatim overlap (the q197 runs) with a fingerprint set
+    * ~2/(window+1) the size of the full shingle set. MinHash bounds
+    * only the EXPECTED whole-doc similarity; winnowing bounds every
+    * local match.
+    *
+    * Entirely scan-local (array ops inside one projection — hash,
+    * windowed min with a rightmost-tie reverse trick, position dedup);
+    * the fingerprint key is the md5 of the sorted distinct selected
+    * hashes, so order of selection cannot leak into the key. Docs with
+    * fewer than `window` shingles are absent (nothing to winnow).
+    *
+    * Output: (doc_id, n_shingles, n_selected, fp_key).
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String,
+                            textCol: String, w: Int = 3,
+                            window: Int = 4): DataFrame = {
+    require(window >= 2 && window <= 64, s"bad window $window")
+    val h = transform(shingles(Text.cleanTokens(col(textCol)), w),
+      s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+    val win = (i: Column) => slice(col("h"), i + 1, lit(window))
+    val sel = array_sort(array_distinct(
+      transform(sequence(lit(0), size(col("h")) - window),
+        i => i + lit(window) -
+          array_position(reverse(win(i)), array_min(win(i))))))
+    df.select(col(idCol).as("doc_id"), h.as("h"))
+      .where(size(col("h")) >= window)
+      .withColumn("sp", sel)
+      .select(col("doc_id"), size(col("h")).as("n_shingles"),
+        size(col("sp")).as("n_selected"),
+        md5(concat_ws(" ",
+          transform(array_sort(array_distinct(transform(col("sp"),
+            j => element_at(col("h"), (j + 1).cast("int"))))),
+            x => x.cast("string")))).as("fp_key"))
+  }
+
   /** Degree profile of the verified pair graph — the hub/template
     * detector a dedup review runs before trusting cluster labels: a
     * doc with degree 50 is near-dup of 50 others (a boilerplate

@@ -312,6 +312,26 @@ class Round8OpsSpec extends SparkSpec {
     assert(m("out").getAs[Double]("slope") === 4.0)
   }
 
+  test("winnowingFingerprints: identical text -> identical key; " +
+      "selection density bounded; short docs absent") {
+    val text1 = "aa bb cc dd ee ff gg hh ii jj kk ll"
+    val docs = Seq(
+      (1L, text1), (2L, text1),                    // twins
+      (3L, "zz yy xx ww vv uu tt ss rr qq pp oo"), // disjoint
+      (4L, "aa bb cc")                             // 1 shingle < window
+    ).toDF("doc_id", "text")
+    val r = Dedup.winnowingFingerprints(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 4 has 1 shingle < window=4 -> absent
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L, 3L))
+    assert(r(0).getAs[String]("fp_key") === r(1).getAs[String]("fp_key"))
+    assert(r(0).getAs[String]("fp_key") !== r(2).getAs[String]("fp_key"))
+    // 12 tokens -> 10 shingles -> 7 windows; between 1 and 7 selections
+    assert(r(0).getAs[Int]("n_shingles") === 10)
+    val ns = r(0).getAs[Int]("n_selected")
+    assert(ns >= 1 && ns <= 7, ns.toString)
+  }
+
   test("pairDegreeProfile: triangle + disjoint edge histogram") {
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
       .toDF("id_a", "id_b")
