@@ -2364,7 +2364,15 @@ object SparkEntry {
     "q207_winnowing" -> ((s, dir) =>
       Dedup.winnowingFingerprints(t(s, dir, "documents"), "doc_id",
           "text", w = 3, window = 4)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // dedup — candidate pairs from shared winnowing fingerprints
+    // (Dedup.winnowingCandidatePairs scaladoc): the join the selection
+    // feeds; fan-in bounded per fingerprint bucket.
+    "q208_winnow_candidates" -> ((s, dir) =>
+      Dedup.winnowingCandidatePairs(t(s, dir, "documents"), "doc_id",
+          "text", w = 3, window = 4, minShared = 2)
+        .orderBy("id_a", "id_b"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -2537,6 +2545,24 @@ object SparkEntry {
          |  ${Num.floorAtSql(
            "CAST(SUM(lp) AS DOUBLE) / COUNT(*)", 6)} AS mean_log2p
          |FROM bg_sc GROUP BY 1)""".stripMargin
+
+    // the q207 winnowing selection as a reusable CTE chain ending in
+    // `wn_sel(doc_id, h, sp)` — shared by the fingerprint oracle and
+    // the q208 candidate-pair oracle
+    val winnowCte =
+      s"""wn_tokd AS (SELECT doc_id, $cleanToks AS t
+         |  FROM (SELECT doc_id, $clean AS c FROM documents)),
+         |wn_hs AS (SELECT doc_id,
+         |    list_transform(${shinglesSql("t")},
+         |      s -> ${md5HexNSql("s", 8)}) AS h
+         |  FROM wn_tokd),
+         |wn_hw AS (SELECT doc_id, h FROM wn_hs WHERE len(h) >= 4),
+         |wn_sel AS (SELECT doc_id, h,
+         |    list_sort(list_distinct(list_transform(
+         |      range(0, len(h) - 4 + 1),
+         |      i -> i + 4 - list_position(list_reverse(h[i+1:i+4]),
+         |        list_min(h[i+1:i+4]))))) AS sp
+         |  FROM wn_hw)""".stripMargin
 
     ListMap(
       "q01_pricing_summary" ->
@@ -5164,27 +5190,29 @@ object SparkEntry {
 
       // windowed-min selection replayed with the same rightmost-tie
       // reverse trick; fp key = md5 of the sorted distinct hashes
+      // (wn_sel CTE shared with the q208 candidate join)
       "q207_winnowing" ->
-        s"""WITH tokd AS (SELECT doc_id, $cleanToks AS t
-           |  FROM (SELECT doc_id, $clean AS c FROM documents)),
-           |hs AS (SELECT doc_id,
-           |    list_transform(${shinglesSql("t")},
-           |      s -> ${md5HexNSql("s", 8)}) AS h
-           |  FROM tokd),
-           |hw AS (SELECT doc_id, h FROM hs WHERE len(h) >= 4),
-           |sel AS (SELECT doc_id, h,
-           |    list_sort(list_distinct(list_transform(
-           |      range(0, len(h) - 4 + 1),
-           |      i -> i + 4 - list_position(list_reverse(h[i+1:i+4]),
-           |        list_min(h[i+1:i+4]))))) AS sp
-           |  FROM hw)
+        s"""WITH $winnowCte
            |SELECT doc_id, CAST(len(h) AS INTEGER) AS n_shingles,
            |  CAST(len(sp) AS INTEGER) AS n_selected,
            |  md5(array_to_string(list_transform(
            |    list_sort(list_distinct(list_transform(sp,
            |      j -> h[CAST(j + 1 AS INTEGER)]))),
            |    x -> CAST(x AS VARCHAR)), ' ')) AS fp_key
-           |FROM sel ORDER BY doc_id""".stripMargin,
+           |FROM wn_sel ORDER BY doc_id""".stripMargin,
+
+      // docs sharing >= 2 selected hashes, fingerprint-keyed self-join
+      "q208_winnow_candidates" ->
+        s"""WITH $winnowCte,
+           |fp AS (SELECT DISTINCT doc_id, fp FROM
+           |  (SELECT doc_id, UNNEST(list_transform(sp,
+           |      j -> h[CAST(j + 1 AS INTEGER)])) AS fp
+           |    FROM wn_sel))
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  COUNT(*) AS n_shared_fp
+           |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+           |ORDER BY id_a, id_b""".stripMargin,
 
       // degrees from both endpoint columns, then the histogram
       "q201_dup_degree_profile" ->

@@ -366,9 +366,12 @@ object Dedup {
     *
     * Output: (doc_id, n_shingles, n_selected, fp_key).
     */
-  def winnowingFingerprints(df: DataFrame, idCol: String,
-                            textCol: String, w: Int = 3,
-                            window: Int = 4): DataFrame = {
+  /** Shared winnowing base: (doc_id, h, sp) — per-doc shingle-hash
+    * array and the sorted distinct selected positions. Docs with fewer
+    * than `window` shingles are dropped.
+    */
+  private def winnowBase(df: DataFrame, idCol: String, textCol: String,
+                         w: Int, window: Int): DataFrame = {
     require(window >= 2 && window <= 64, s"bad window $window")
     val h = transform(shingles(Text.cleanTokens(col(textCol)), w),
       s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
@@ -380,12 +383,47 @@ object Dedup {
     df.select(col(idCol).as("doc_id"), h.as("h"))
       .where(size(col("h")) >= window)
       .withColumn("sp", sel)
+  }
+
+  def winnowingFingerprints(df: DataFrame, idCol: String,
+                            textCol: String, w: Int = 3,
+                            window: Int = 4): DataFrame =
+    winnowBase(df, idCol, textCol, w, window)
       .select(col("doc_id"), size(col("h")).as("n_shingles"),
         size(col("sp")).as("n_selected"),
         md5(concat_ws(" ",
           transform(array_sort(array_distinct(transform(col("sp"),
             j => element_at(col("h"), (j + 1).cast("int"))))),
             x => x.cast("string")))).as("fp_key"))
+
+  /** Candidate near-dup pairs from SHARED winnowing fingerprints — the
+    * join the [[winnowingFingerprints]] selection exists to feed: docs
+    * sharing ≥ `minShared` selected hashes are verbatim-overlap
+    * candidates (by the local guarantee, every ≥ w+window−1 token
+    * shared run forces ≥ 1 shared fingerprint — so recall over long
+    * runs is structural, and `minShared` ≥ 2 trims single-hash
+    * coincidences). Send survivors to an exact verify (q33/q121's
+    * role); this stage only generates candidates.
+    *
+    * Per-fingerprint join fan-in is the bucket size (the LSH-bucket
+    * bound); a boilerplate fingerprint hot enough to matter is exactly
+    * the content the upstream gates remove. Output: (id_a, id_b,
+    * n_shared_fp), id_a < id_b.
+    */
+  def winnowingCandidatePairs(df: DataFrame, idCol: String,
+                              textCol: String, w: Int = 3,
+                              window: Int = 4, minShared: Int = 2)
+      : DataFrame = {
+    val fp = winnowBase(df, idCol, textCol, w, window)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(col("sp"),
+          j => element_at(col("h"), (j + 1).cast("int"))))).as("fp"))
+    fp.select(col("doc_id").as("id_a"), col("fp"))
+      .join(fp.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .where(col("n_shared_fp") >= minShared)
   }
 
   /** Degree profile of the verified pair graph — the hub/template

@@ -332,6 +332,24 @@ class Round8OpsSpec extends SparkSpec {
     assert(ns >= 1 && ns <= 7, ns.toString)
   }
 
+  test("winnowingCandidatePairs: twins pair up on all their selected " +
+      "hashes; disjoint docs never pair") {
+    val text1 = "aa bb cc dd ee ff gg hh ii jj kk ll"
+    val docs = Seq(
+      (1L, text1), (2L, text1),
+      (3L, "zz yy xx ww vv uu tt ss rr qq pp oo")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingCandidatePairs(docs, "doc_id", "text")
+      .collect()
+    assert(pairs.length === 1)
+    val p = pairs.head
+    assert(p.getAs[Long]("id_a") === 1L && p.getAs[Long]("id_b") === 2L)
+    val nSel = Dedup.winnowingFingerprints(docs, "doc_id", "text")
+      .where(col("doc_id") === 1L).collect().head
+      .getAs[Int]("n_selected")
+    assert(p.getAs[Long]("n_shared_fp") === nSel.toLong)
+  }
+
   test("pairDegreeProfile: triangle + disjoint edge histogram") {
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
       .toDF("id_a", "id_b")
