@@ -2310,7 +2310,7 @@ object SparkEntry {
     // (Curate.bigramLogProb scaladoc): the word-order-aware rung above
     // q127's unigram proxy; twice the q127 df-pass skeleton.
     "q200_bigram_logprob" -> ((s, dir) =>
-      Curate.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+      Artifacts.bigramScores(s, dir)
         .orderBy("doc_id")),
 
     // dedup — degree profile of the verified pair graph
@@ -2341,7 +2341,7 @@ object SparkEntry {
     // (Curate.perplexityBuckets scaladoc): head/middle/tail cut of the
     // corpus by q200's bigram score, rank-selected exact edges.
     "q204_perplexity_buckets" -> ((s, dir) =>
-      Curate.perplexityBuckets(t(s, dir, "documents"), "doc_id", "text")
+      Curate.perplexityBucketsFromScores(Artifacts.bigramScores(s, dir))
         .orderBy("bucket")),
 
     // events — exponentially time-decayed event mass
@@ -2372,7 +2372,15 @@ object SparkEntry {
     "q208_winnow_candidates" -> ((s, dir) =>
       Dedup.winnowingCandidatePairs(t(s, dir, "documents"), "doc_id",
           "text", w = 3, window = 4, minShared = 2)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // monitoring — per-group Spearman rank correlation
+    // (Agg.spearmanCorr scaladoc): Pearson on average ranks with exact
+    // doubled-integer rank sums; outlier-proof monotone association.
+    "q209_spearman" -> ((s, dir) =>
+      Agg.spearmanCorr(t(s, dir, "lineitem"), "l_returnflag",
+          "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -5200,6 +5208,43 @@ object SparkEntry {
            |      j -> h[CAST(j + 1 AS INTEGER)]))),
            |    x -> CAST(x AS VARCHAR)), ' ')) AS fp_key
            |FROM wn_sel ORDER BY doc_id""".stripMargin,
+
+      // average ranks from per-group value-domain cumsums, carried as
+      // exact doubled integers; Pearson closed form on decimal sums
+      "q209_spearman" -> {
+        def rk(c: String, out: String) =
+          s"""(SELECT l_returnflag, v AS $c,
+             |    2 * (SUM(cnt) OVER (PARTITION BY l_returnflag
+             |      ORDER BY v) - cnt) + cnt + 1 AS $out
+             |  FROM (SELECT l_returnflag, $c AS v, COUNT(*) AS cnt
+             |    FROM lineitem GROUP BY 1, 2))""".stripMargin
+        s"""WITH r AS (SELECT li.l_returnflag, rx.rx, ry.ry
+           |  FROM lineitem li
+           |  JOIN ${rk("l_quantity", "rx")} rx
+           |    ON rx.l_returnflag = li.l_returnflag
+           |   AND rx.l_quantity = li.l_quantity
+           |  JOIN ${rk("l_extendedprice", "ry")} ry
+           |    ON ry.l_returnflag = li.l_returnflag
+           |   AND ry.l_extendedprice = li.l_extendedprice),
+           |g AS (SELECT l_returnflag, COUNT(*) AS n,
+           |    SUM(CAST(rx AS DECIMAL(18,0))) AS sx,
+           |    SUM(CAST(ry AS DECIMAL(18,0))) AS sy,
+           |    SUM(CAST(rx AS DECIMAL(18,0)) * CAST(rx AS DECIMAL(18,0)))
+           |      AS sxx,
+           |    SUM(CAST(ry AS DECIMAL(18,0)) * CAST(ry AS DECIMAL(18,0)))
+           |      AS syy,
+           |    SUM(CAST(rx AS DECIMAL(18,0)) * CAST(ry AS DECIMAL(18,0)))
+           |      AS sxy
+           |  FROM r GROUP BY 1)
+           |SELECT l_returnflag, n, ${Num.floorAtSql(
+             "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+               " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+               " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+               " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))" +
+               " * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)" +
+               " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))", 6)} AS rho
+           |FROM g ORDER BY l_returnflag""".stripMargin
+      },
 
       // docs sharing >= 2 selected hashes, fingerprint-keyed self-join
       "q208_winnow_candidates" ->

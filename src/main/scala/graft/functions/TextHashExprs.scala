@@ -53,6 +53,52 @@ object HashUtil {
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
     (v << 4) | ((d(7) >> 4) & 0xfL)
   }
+
+  /** First 32 bits of md5 (== first 8 hex nibbles) as a non-negative
+    * long — the `conv(substring(md5(s), 1, 8), 16, 10)` decode the
+    * q133/q134/q136 family uses, compiled.
+    */
+  def md5_32(bytes: Array[Byte]): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(bytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+}
+
+/** Per-element first-8-nibble md5 of a string array, as array<bigint> —
+  * the compiled form of `transform(arr, s -> conv(substring(md5(s), 1,
+  * 8), 16, 10))`: the HOF form walks the interpreted expression tree
+  * per element (measured ~10 s over a 1 M-shingle corpus where this
+  * runs in ~100 ms). Feeds the winnowing selection (q207/q208).
+  */
+case class Md5Hex8ArrExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"md5_hex8_arr requires array<string>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = HashUtil.md5_32(
+        arr.getUTF8String(i).getBytes)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+
+  override def prettyName: String = "md5_hex8_arr"
 }
 
 /** MinHash signature over a shingle array: for seed s in [0, k), the

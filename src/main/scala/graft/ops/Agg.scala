@@ -683,6 +683,55 @@ object Agg {
       .drop("rn")
   }
 
+  /** Per-group Spearman rank correlation — the monotone-association
+    * monitor next to [[exactCorr]]'s Pearson: Pearson chases outliers
+    * and linearity; Spearman is Pearson ON RANKS, so one price spike
+    * cannot manufacture correlation and any monotone relation scores
+    * ±1. Standard tie handling: tied values share their AVERAGE rank.
+    *
+    * Exactness: average ranks are computed on the per-group VALUE
+    * DOMAIN (cum(<v) + (c(v)+1)/2, from one keyed agg + one per-group
+    * domain window) and carried as DOUBLED integers (2·avg_rank is
+    * always a whole number), so every power sum is an exact BIGINT→
+    * DECIMAL accumulation — shuffle-order independent — and the single
+    * double division happens in the closed form at the end (the
+    * [[exactCorr]] contract, with ranks instead of values; the 2×
+    * scaling cancels in the correlation). Rank windows partition BY
+    * GROUP, so no single reducer sees more than one group's domain.
+    *
+    * Output: (key, n, rho), floored 6 dp.
+    */
+  def spearmanCorr(df: DataFrame, key: String, x: String,
+                   y: String): DataFrame = {
+    def ranks(c: String, out: String): DataFrame = {
+      val vc = df.groupBy(col(key), col(c).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val wv = Window.partitionBy(col(key)).orderBy(col("v").asc)
+      vc.withColumn("cum", sum(col("cnt")).over(wv))
+        .select(col(key), col("v").as(c),
+          (lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1)
+            .as(out))
+    }
+    def d(c: Column) = c.cast("decimal(18,0)")
+    val r = df.select(col(key), col(x), col(y))
+      .join(ranks(x, "rx"), Seq(key, x))
+      .join(ranks(y, "ry"), Seq(key, y))
+    val n = col("n").cast("double")
+    def dbl(c: String) = col(c).cast("double")
+    r.groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("rx"))).as("sx"), sum(d(col("ry"))).as("sy"),
+        sum(d(col("rx")) * d(col("rx"))).as("sxx"),
+        sum(d(col("ry")) * d(col("ry"))).as("syy"),
+        sum(d(col("rx")) * d(col("ry"))).as("sxy"))
+      .select(col(key), col("n"),
+        Num.floorAt(
+          (n * dbl("sxy") - dbl("sx") * dbl("sy")) /
+            (sqrt(n * dbl("sxx") - dbl("sx") * dbl("sx")) *
+              sqrt(n * dbl("syy") - dbl("sy") * dbl("sy"))), 6)
+          .as("rho"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance between the `a` and `b`
     * slices of `x` — the distribution-shift gate a mixture planner runs
     * before admitting a new source (PSI (q156) needs binning choices;

@@ -184,6 +184,18 @@ object Artifacts {
         .select("sig_key").distinct()
     }
 
+  /** The bigram-LM score artifact: [[Curate.bigramLogProb]] over
+    * `documents`, built once — q200 is the builder-report, q204's
+    * perplexity buckets read it (a real pipeline scores the corpus
+    * once and every quality consumer joins the score table).
+    * Columns: (doc_id, n_bigrams, mean_log2p).
+    */
+  def bigramScores(spark: SparkSession, sfDir: String): DataFrame =
+    memo(keyOf(spark, sfDir, "bigramlp", "0.5")) {
+      Curate.bigramLogProb(
+        graft.Tables.load(spark, sfDir, "documents"), "doc_id", "text")
+    }
+
   /** Test hook: drop all memoized artifacts so a spec can measure cold
     * vs warm builds. (Files stay on disk; a rebuild overwrites them.)
     */

@@ -598,9 +598,16 @@ object Curate {
     * bucket 0 = head (highest mean log-prob = most fluent), 2 = tail.
     */
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
-    val scored = bigramLogProb(docs, idCol, textCol)
-      .localCheckpoint() // feeds the total, the rank window, the agg
+      : DataFrame =
+    perplexityBucketsFromScores(
+      bigramLogProb(docs, idCol, textCol).localCheckpoint())
+
+  /** [[perplexityBuckets]] over a PRE-BUILT score frame
+    * (doc_id, n_bigrams, mean_log2p) — the artifact-store path: score
+    * the corpus once ([[graft.ops.Artifacts.bigramScores]]), bucket
+    * from the table.
+    */
+  def perplexityBucketsFromScores(scored: DataFrame): DataFrame = {
     val tot = scored.agg(count(lit(1)).as("n"))
     val byScore = Window.orderBy(col("mean_log2p").desc,
       col("doc_id").asc)

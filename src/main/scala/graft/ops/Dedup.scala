@@ -373,15 +373,29 @@ object Dedup {
   private def winnowBase(df: DataFrame, idCol: String, textCol: String,
                          w: Int, window: Int): DataFrame = {
     require(window >= 2 && window <= 64, s"bad window $window")
-    val h = transform(shingles(Text.cleanTokens(col(textCol)), w),
-      s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
-    val win = (i: Column) => slice(col("h"), i + 1, lit(window))
-    val sel = array_sort(array_distinct(
-      transform(sequence(lit(0), size(col("h")) - window),
-        i => i + lit(window) -
-          array_position(reverse(win(i)), array_min(win(i))))))
-    df.select(col(idCol).as("doc_id"), h.as("h"))
-      .where(size(col("h")) >= window)
+    // STAGED like signatureKeys: tokens materialize into an attribute
+    // BEFORE shingles() — the shingle lambda element_at's its captured
+    // input, so an inlined cleanTokens re-runs the whole tokenizer per
+    // shingle position ×3 (this op shipped that way and measured a
+    // flat ~13 s at sf0.1; staged + native hashing/selection it is
+    // sub-second). Hashing and window-min selection are the compiled
+    // one-pass expressions (graft.functions.Md5Hex8ArrExpr /
+    // WinnowSelect) — the composed HOF forms walk the interpreted
+    // expression tree per element; DedupSpec pins element-equality.
+    val sel = Bridge.column(graft.functions.WinnowSelect(
+      Bridge.expression(col("h")), window))
+    df.select(col(idCol).as("doc_id"),
+        Text.cleanTokens(col(textCol)).as("t"))
+      // the >= window shingle guard, phrased on TOKEN count so
+      // predicate pushdown substitutes one cheap tokenizer call into
+      // the scan filter — a size(h) filter would get the whole
+      // hash-of-shingles expression substituted and re-run the
+      // tokenizer per shingle position inside it (measured: that one
+      // pushed filter was ~3 s of the op's ~3.5 s at sf0.1)
+      .where(size(col("t")) >= w + window - 1)
+      .select(col("doc_id"), shingles(col("t"), w).as("shs"))
+      .select(col("doc_id"), Bridge.column(graft.functions.Md5Hex8ArrExpr(
+        Bridge.expression(col("shs")))).as("h"))
       .withColumn("sp", sel)
   }
 
@@ -539,9 +553,13 @@ object Dedup {
     val sh = docs
       .select(col(idCol).as("id"), col(textCol).as("__text"))
       .join(broadcast(candIds), Seq("id"))
+      // tokens into an attribute BEFORE shingles(): the shingle lambda
+      // element_at's its captured input, so an inlined cleanTokens
+      // would re-run the tokenizer per shingle position ×w (the
+      // crossSourceOverlap lesson, round-7 advice)
+      .select(col("id"), Text.cleanTokens(col("__text")).as("t"))
       .select(col("id"),
-        posexplode(shingles(Text.cleanTokens(col("__text")), w))
-          .as(Seq("pos", "sh")))
+        posexplode(shingles(col("t"), w)).as(Seq("pos", "sh")))
     val m = p
       .join(sh.select(col("id").as("id_a"), col("pos").as("pa"),
         col("sh")), Seq("id_a"))

@@ -185,4 +185,46 @@ class DedupSpec extends SparkSpec {
       assert(mhN === mhH, s"minhash mismatch doc $id")
     }
   }
+
+  test("Md5Hex8ArrExpr == the composed conv(substring(md5)) transform") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val df = Seq(
+      (1L, Array("a b c", "b c d", "", "unicode\u00e9", "x")),
+      (2L, Array.empty[String])
+    ).toDF("id", "arr")
+    val composed = transform(col("arr"),
+      s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+    val native = Bridge.column(graft.functions.Md5Hex8ArrExpr(
+      Bridge.expression(col("arr"))))
+    df.select(native.as("nat"), composed.as("hof")).collect()
+      .foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
+  test("WinnowSelect native selection == the composed HOF form, " +
+      "including rightmost ties and constant runs") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val window = 4
+    val arrs = Seq(
+      Array(5L, 3L, 8L, 3L, 9L, 1L, 7L),  // interior tie
+      Array(2L, 2L, 2L, 2L, 2L),          // all tied: rightmost each
+      Array(1L, 2L, 3L, 4L, 5L, 6L),      // ascending: leftmost min
+      Array(6L, 5L, 4L, 3L, 2L, 1L),      // descending: rightmost edge
+      Array(7L, 1L, 7L, 1L, 7L, 1L, 7L),  // alternating ties
+      Array(4L, 4L, 4L, 4L)               // exactly one window
+    )
+    val df = arrs.zipWithIndex
+      .map { case (a, i) => (i.toLong, a) }.toDF("id", "h")
+    val win = (i: org.apache.spark.sql.Column) =>
+      slice(col("h"), i + 1, lit(window))
+    val composed = array_sort(array_distinct(
+      transform(sequence(lit(0), size(col("h")) - window),
+        i => i + lit(window) -
+          array_position(reverse(win(i)), array_min(win(i))))))
+    val native = Bridge.column(graft.functions.WinnowSelect(
+      Bridge.expression(col("h")), window))
+    df.select(col("id"), native.as("nat"), composed.as("hof"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"id=${r.get(0)}")
+      }
+  }
 }

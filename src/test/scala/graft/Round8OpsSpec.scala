@@ -350,6 +350,27 @@ class Round8OpsSpec extends SparkSpec {
     assert(p.getAs[Long]("n_shared_fp") === nSel.toLong)
   }
 
+  test("spearmanCorr: +1 / -1 on monotone groups, hand-computed " +
+      "tie-averaged case") {
+    val df = Seq(
+      ("up", 1L, 10.0), ("up", 2L, 20.0), ("up", 3L, 30.0),
+      ("dn", 1L, 30.0), ("dn", 2L, 20.0), ("dn", 3L, 10.0),
+      ("tie", 1L, 5.0), ("tie", 1L, 6.0), ("tie", 2L, 7.0)
+    ).toDF("k", "x", "y")
+    val m = Agg.spearmanCorr(df, "k", "x", "y").collect()
+      .map(r => r.getAs[String]("k") -> r).toMap
+    assert(m("up").getAs[Double]("rho") === 1.0)
+    // sqrt(24)*sqrt(24) = 23.999999999999996, so the exact -1 ratio
+    // lands at -1.0000000000000002 and the 6 dp FLOOR truncates DOWN
+    // to -1.000001 — deterministic, and the DuckDB oracle replays the
+    // identical IEEE ops (the floorAt contract trades the pretty
+    // boundary for bit-equality)
+    assert(m("dn").getAs[Double]("rho") === -1.000001)
+    // ranks x: (1.5, 1.5, 3) vs y: (1, 2, 3) -> r = 1.5/sqrt(3)
+    assert(m("tie").getAs[Double]("rho") ===
+      math.floor(1.5 / math.sqrt(3.0) * 1e6) / 1e6)
+  }
+
   test("pairDegreeProfile: triangle + disjoint edge histogram") {
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
       .toDF("id_a", "id_b")
