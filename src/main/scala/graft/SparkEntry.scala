@@ -2380,7 +2380,25 @@ object SparkEntry {
     "q209_spearman" -> ((s, dir) =>
       Agg.spearmanCorr(t(s, dir, "lineitem"), "l_returnflag",
           "l_quantity", "l_extendedprice")
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // layout — zone-map effectiveness audit (Layout.zoneMapAudit
+    // scaladoc): measured skip ratios for natural vs single-sort vs
+    // z-order layouts under date and partkey range predicates — the
+    // numbers a 100 TB clustering decision is made from.
+    "q210_zonemap_audit" -> ((s, dir) =>
+      Layout.zoneMapAudit(t(s, dir, "lineitem"))
+        .orderBy("layout", "predicate")),
+
+    // entity resolution — multi-pass blocking union + one bounded
+    // Levenshtein verify (Dedup.multiBlockFuzzyPairs scaladoc): closes
+    // q97's documented single-pass recall limit; `passes` records which
+    // block keys co-keyed each surviving pair.
+    "q211_multiblock_pairs" -> ((s, dir) =>
+      Dedup.multiBlockFuzzyPairs(
+          t(s, dir, "part").select(col("p_name").as("name")).distinct(),
+          "name", "name", maxDist = 3)
+        .orderBy("id_a", "id_b"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -5717,7 +5735,103 @@ object SparkEntry {
           |  floor(AVG(x) * 10000) / 10000 AS p50, MAX(n) AS n,
           |  TRUE AS within_bound
           |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
-          |GROUP BY k ORDER BY event_type""".stripMargin
+          |GROUP BY k ORDER BY event_type""".stripMargin,
+
+      // exact-integer replay of the three bucket assignments (// is
+      // DuckDB's integral div, matching the engine's `div`); zorder
+      // bucket = top 6 bits of the 8+8-bit Morton interleave
+      // (Layout.zSqlExpr — the q132 oracle shape)
+      "q210_zonemap_audit" ->
+        s"""WITH base AS (SELECT CAST(l_orderkey AS BIGINT) AS okey,
+           |    CAST(l_partkey AS BIGINT) AS pk,
+           |    (${epochSql("l_shipdate")}) // 86400 AS day
+           |  FROM lineitem),
+           |b AS (SELECT MIN(okey) AS mino, MAX(okey) AS maxo,
+           |    MIN(pk) AS minpk, MAX(pk) AS maxpk,
+           |    MIN(day) AS mind, MAX(day) AS maxd FROM base),
+           |wb AS (SELECT okey, pk, day,
+           |    ((okey - mino) * 64) // (maxo - mino + 1) AS nat_b,
+           |    ((day - mind) * 64) // (maxd - mind + 1) AS date_b,
+           |    ((pk - minpk) * 256) // (maxpk - minpk + 1) AS pkq,
+           |    ((day - mind) * 256) // (maxd - mind + 1) AS dayq
+           |  FROM base CROSS JOIN b),
+           |wz AS (SELECT *,
+           |    (${graft.ops.Layout.zSqlExpr("pkq", "dayq", 8)}) // 1024
+           |      AS z_b FROM wb),
+           |lb AS (
+           |  SELECT 'natural' AS layout, nat_b AS bucket, pk, day FROM wz
+           |  UNION ALL SELECT 'bydate', date_b, pk, day FROM wz
+           |  UNION ALL SELECT 'zorder', z_b, pk, day FROM wz),
+           |zones AS (SELECT layout, bucket,
+           |    MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+           |    MIN(day) AS min_day, MAX(day) AS max_day,
+           |    COUNT(*) AS cnt
+           |  FROM lb GROUP BY 1, 2),
+           |preds AS (
+           |  SELECT 'ship_month' AS predicate, 'day' AS dim,
+           |      mind + (maxd - mind) // 2 AS lo,
+           |      mind + (maxd - mind) // 2 + 30 AS hi FROM b
+           |  UNION ALL SELECT 'part_range', 'pk',
+           |      minpk + (maxpk - minpk) // 2,
+           |      minpk + (maxpk - minpk) // 2 + (maxpk - minpk) // 64
+           |    FROM b),
+           |m AS (SELECT predicate, COUNT(*) AS n_match
+           |  FROM base CROSS JOIN preds
+           |  WHERE (dim = 'day' AND day BETWEEN lo AND hi)
+           |     OR (dim = 'pk' AND pk BETWEEN lo AND hi)
+           |  GROUP BY 1),
+           |a AS (SELECT layout, predicate, COUNT(*) AS n_buckets,
+           |    CAST(SUM(CASE WHEN (dim = 'day' AND min_day <= hi
+           |          AND max_day >= lo)
+           |        OR (dim = 'pk' AND min_pk <= hi AND max_pk >= lo)
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_read,
+           |    CAST(SUM(cnt) AS BIGINT) AS rows_total,
+           |    CAST(SUM(CASE WHEN (dim = 'day' AND min_day <= hi
+           |          AND max_day >= lo)
+           |        OR (dim = 'pk' AND min_pk <= hi AND max_pk >= lo)
+           |      THEN cnt ELSE 0 END) AS BIGINT) AS rows_scanned
+           |  FROM zones CROSS JOIN preds GROUP BY 1, 2)
+           |SELECT layout, predicate, n_buckets, n_read, rows_total,
+           |  rows_scanned, CAST(COALESCE(n_match, 0) AS BIGINT) AS n_match,
+           |  ${Num.floorAtSql(
+             "CAST(n_read AS DOUBLE) / CAST(n_buckets AS DOUBLE)", 6)}
+           |    AS read_frac,
+           |  ${Num.floorAtSql(
+             "CAST(rows_scanned AS DOUBLE) / CAST(rows_total AS DOUBLE)",
+             6)} AS scan_frac
+           |FROM a JOIN m USING (predicate)
+           |ORDER BY layout, predicate""".stripMargin,
+
+      // three blocked joins UNION'd, pair-deduped with the sorted
+      // distinct pass list, then ONE levenshtein verify (the length
+      // prefilter is engine-only: lev >= |len diff| makes it redundant
+      // under the final <= 3 bound)
+      "q211_multiblock_pairs" ->
+        """WITH k AS (SELECT DISTINCT p_name AS name FROM part),
+          |bk AS (SELECT name,
+          |    string_split(name, ' ')[1] AS blk_first,
+          |    string_split(name, ' ')[-1] AS blk_last,
+          |    array_to_string(list_sort(string_split(name, ' ')), ' ')
+          |      AS blk_sorted
+          |  FROM k),
+          |c AS (
+          |  SELECT a.name AS id_a, b.name AS id_b, 'first' AS pass
+          |  FROM bk a JOIN bk b
+          |    ON a.blk_first = b.blk_first AND a.name < b.name
+          |  UNION ALL SELECT a.name, b.name, 'last'
+          |  FROM bk a JOIN bk b
+          |    ON a.blk_last = b.blk_last AND a.name < b.name
+          |  UNION ALL SELECT a.name, b.name, 'sorted'
+          |  FROM bk a JOIN bk b
+          |    ON a.blk_sorted = b.blk_sorted AND a.name < b.name),
+          |g AS (SELECT id_a, id_b,
+          |    array_to_string(list_sort(list(DISTINCT pass)), ',')
+          |      AS passes
+          |  FROM c GROUP BY 1, 2)
+          |SELECT id_a, id_b,
+          |  CAST(levenshtein(id_a, id_b) AS INTEGER) AS dist, passes
+          |FROM g WHERE levenshtein(id_a, id_b) <= 3
+          |ORDER BY id_a, id_b""".stripMargin
     )
   }
 }

@@ -1038,6 +1038,56 @@ object Dedup {
       .where(col("dist") <= maxDist)
   }
 
+  /** Multi-pass blocked fuzzy matching — the scale form of [[fuzzyPairs]]
+    * whose one-pass recall limit SCALE.md records ("production runs
+    * several blocking passes and unions candidates"). Three standard
+    * entity-resolution blocking keys run as independent per-block joins:
+    *
+    *  - `first`:  first token of the name ([[fuzzyPairs]]'s key);
+    *  - `last`:   last token (catches edits in the leading token);
+    *  - `sorted`: sorted-token fingerprint (catches token reorderings,
+    *    which single-position keys never co-block).
+    *
+    * Candidates union, dedup to one row per pair (the `passes` column
+    * records which blocks co-keyed it — the per-pass recall accounting a
+    * blocking-strategy decision needs), then ONE exact Levenshtein
+    * verify. The verify uses the bounded variant (distance capped at
+    * `maxDist`, early-exit codegen) after a length prefilter
+    * (|len(a)-len(b)| <= maxDist implies nothing below it can pass) —
+    * both prune work only, never results. Each pass is the same
+    * shuffle-on-block-key shape as the LSH band join: pair fan-in is
+    * bounded per block, nothing materializes all-pairs, and passes scale
+    * independently (at 100 TB each pass is one shuffle whose hot blocks
+    * AQE splits).
+    */
+  def multiBlockFuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
+                           maxDist: Int): DataFrame = {
+    val toks = split(col("name"), " ")
+    val keyed = df
+      .select(col(idCol).as("id"), col(nameCol).as("name"))
+      .select(col("id"), col("name"),
+        element_at(toks, 1).as("blk_first"),
+        element_at(toks, -1).as("blk_last"),
+        array_join(array_sort(toks), " ").as("blk_sorted"))
+    def pass(blk: String, label: String): DataFrame =
+      keyed.as("a").hint("shuffle_hash").join(keyed.as("b"),
+          col(s"a.$blk") === col(s"b.$blk") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.name").as("name_a"), col("b.name").as("name_b"),
+          lit(label).as("pass"))
+    pass("blk_first", "first")
+      .unionAll(pass("blk_last", "last"))
+      .unionAll(pass("blk_sorted", "sorted"))
+      .groupBy("id_a", "id_b")
+      .agg(min("name_a").as("name_a"), min("name_b").as("name_b"),
+        array_join(array_sort(collect_set(col("pass"))), ",").as("passes"))
+      .where(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("name_a"), col("name_b"), maxDist).as("dist"),
+        col("passes"))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
+  }
+
   /** Min-id label propagation over a near-dup pair graph: after `rounds`
     * rounds each node's label is the smallest id within `rounds` hops —
     * the bounded-round approximation of connected components used for

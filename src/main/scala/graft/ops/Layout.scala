@@ -66,4 +66,118 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Zone-map effectiveness audit: quantifies, per candidate LAYOUT, how
+    * many file-sized units a range predicate could skip — the number a
+    * table-layout decision at 100 TB should be made from, measured
+    * instead of guessed. Three layouts of `lineitem` are simulated by
+    * assigning each row a bucket (= "file") with exact integer
+    * arithmetic:
+    *
+    *  - `natural`:  64 equal ranges of `l_orderkey` (insertion order —
+    *    what an unclustered ingest produces);
+    *  - `bydate`:   64 equal ranges of the ship-date epoch day (a
+    *    single-column sort key);
+    *  - `zorder`:   both dims quantized to 8 bits, Morton-interleaved
+    *    ([[zValue]]), top 6 bits = bucket — an 8x8 bounding-box grid
+    *    over (partkey, day) space.
+    *
+    * For each (layout, bucket) the zone map is min/max of BOTH predicate
+    * columns plus the row count; each audit predicate (a 30-day ship-date
+    * window and a 1/64-span partkey range, both placed mid-domain so the
+    * audit is SF-agnostic) then counts the buckets whose bounds intersect
+    * it and the rows those buckets force a reader to scan. `natural`
+    * reads ~everything under either predicate, `bydate` is perfect on
+    * date and ~random on partkey, `zorder` skips ~7/8 on BOTH — the
+    * measured form of the trade every lakehouse clustering decision
+    * makes. One scan builds all three zone maps (the per-row bucket
+    * triple explodes to (layout, bucket) pairs before one partial-agged
+    * groupBy); bounds come from a broadcast 1-row aggregate, never a
+    * driver collect.
+    *
+    * Reference contrast: the reference re-reads its whole table for every
+    * filter (reddit_etl_proj/etl_pipeline.py:144-150) — at 100 TB the
+    * layout, not the filter, decides the bill.
+    */
+  def zoneMapAudit(lineitem: DataFrame): DataFrame = {
+    val base = lineitem.select(
+      col("l_orderkey").cast("long").as("okey"),
+      col("l_partkey").cast("long").as("pk"),
+      floor(unix_timestamp(col("l_shipdate")) / 86400L)
+        .cast("long").as("day"))
+    val bounds = base.agg(
+      min("okey").as("mino"), max("okey").as("maxo"),
+      min("pk").as("minpk"), max("pk").as("maxpk"),
+      min("day").as("mind"), max("day").as("maxd"))
+    // exact integral division (SQL `div`), mirroring DuckDB's `//` —
+    // Column./ is IEEE double division and could misround the floor
+    val withB = base.crossJoin(broadcast(bounds))
+      .withColumn("nat_b",
+        expr("((okey - mino) * 64) div (maxo - mino + 1)"))
+      .withColumn("date_b",
+        expr("((day - mind) * 64) div (maxd - mind + 1)"))
+      .withColumn("pkq",
+        expr("((pk - minpk) * 256) div (maxpk - minpk + 1)"))
+      .withColumn("dayq",
+        expr("((day - mind) * 256) div (maxd - mind + 1)"))
+      .withColumn("zv", zValue(col("pkq"), col("dayq"), bits = 8))
+      .withColumn("z_b", expr("zv div 1024"))
+    val zones = withB.select(col("pk"), col("day"),
+        explode(array(
+          struct(lit("natural").as("layout"), col("nat_b").as("bucket")),
+          struct(lit("bydate").as("layout"), col("date_b").as("bucket")),
+          struct(lit("zorder").as("layout"), col("z_b").as("bucket"))))
+          .as("lb"))
+      .select(col("lb.layout").as("layout"), col("lb.bucket").as("bucket"),
+        col("pk"), col("day"))
+      .groupBy("layout", "bucket")
+      .agg(min("pk").as("min_pk"), max("pk").as("max_pk"),
+        min("day").as("min_day"), max("day").as("max_day"),
+        count(lit(1)).as("cnt"))
+    // the two audit predicates, derived from the same bounds row
+    val preds = bounds.select(explode(array(
+        struct(lit("ship_month").as("predicate"), lit("day").as("dim"),
+          expr("mind + (maxd - mind) div 2").as("lo"),
+          expr("mind + (maxd - mind) div 2 + 30").as("hi")),
+        struct(lit("part_range").as("predicate"), lit("pk").as("dim"),
+          expr("minpk + (maxpk - minpk) div 2").as("lo"),
+          expr("minpk + (maxpk - minpk) div 2 + (maxpk - minpk) div 64")
+            .as("hi")))).as("p"))
+      .select(col("p.predicate").as("predicate"), col("p.dim").as("dim"),
+        col("p.lo").as("lo"), col("p.hi").as("hi"))
+    // exact selectivity of each predicate (layout-independent baseline)
+    val matches = base.crossJoin(broadcast(preds))
+      .where(when(col("dim") === "day",
+        col("day") >= col("lo") && col("day") <= col("hi"))
+        .otherwise(col("pk") >= col("lo") && col("pk") <= col("hi")))
+      .groupBy("predicate").agg(count(lit(1)).as("n_match"))
+    val audited = zones.crossJoin(broadcast(preds))
+      .withColumn("read", when(col("dim") === "day",
+        col("min_day") <= col("hi") && col("max_day") >= col("lo"))
+        .otherwise(col("min_pk") <= col("hi") && col("max_pk") >= col("lo"))
+        .cast("int"))
+      .groupBy("layout", "predicate")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("read")).as("n_read"),
+        sum(col("cnt")).as("rows_total"),
+        sum(col("cnt") * col("read")).as("rows_scanned"))
+    audited.join(broadcast(matches), Seq("predicate"), "left")
+      .select(col("layout"), col("predicate"), col("n_buckets"),
+        col("n_read"), col("rows_total"), col("rows_scanned"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        Num.floorAt(col("n_read").cast("double") / col("n_buckets"), 6)
+          .as("read_frac"),
+        Num.floorAt(col("rows_scanned").cast("double") / col("rows_total"), 6)
+          .as("scan_frac"))
+  }
+
+  /** The [[zValue]] bit interleave as a SQL expression string over two
+    * already-quantized integer columns — shared by [[zoneMapAudit]]'s
+    * engine plan and its DuckDB oracle so the arithmetic is replayed
+    * bit-for-bit (same shape as q132's oracle).
+    */
+  def zSqlExpr(a: String, b: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($a) & ${1L << i}) << $i) | ((($b) & ${1L << i}) << ${i + 1})")
+      .mkString("(", " | ", ")")
 }

@@ -484,8 +484,11 @@ class PlanSpec extends SparkSpec {
 
   test("q200 bigram log-prob: tf and context counts partial-aggregate " +
       "(hot boilerplate bigrams pre-combine map-side; no count window " +
-      "on the bigram key)") {
-    val p = plan("q200_bigram_logprob")
+      "on the bigram key; q200's query plans as the artifact's parquet " +
+      "scan once the store is warm, so pin the builder directly)") {
+    val p = graft.ops.Curate.bigramLogProb(
+        Tables.load(spark, dir, "documents"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
     assert(p.contains("partial_count"), p.take(1500))
     assert(!p.contains("windowspecdefinition(bg"),
       "count window over the bigram key crept back in:\n" + p.take(1500))
