@@ -2398,7 +2398,41 @@ object SparkEntry {
       Dedup.multiBlockFuzzyPairs(
           t(s, dir, "part").select(col("p_name").as("name")).distinct(),
           "name", "name", maxDist = 3)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // warehouse refresh — incremental aggregate maintenance
+    // (Agg.incrementalMoments scaladoc): standing + delta moment STATES
+    // merged by exact decimal addition == full recompute, never
+    // rescanning the standing corpus (q135/q179's refresh contract for
+    // plain aggregates).
+    "q212_incr_agg_merge" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Agg.incrementalMoments(
+          li.where(col("l_orderkey") % 5 =!= 0),
+          li.where(col("l_orderkey") % 5 === 0),
+          "l_returnflag", "l_extendedprice")
+        .orderBy("l_returnflag")
+    }),
+
+    // graph — bounded k-core peel (Graph.kCorePeel scaladoc) over the
+    // shared verified-pair artifact: the clique-like template clusters
+    // minus the star tendrils, 3 peel rounds at k=2.
+    "q213_kcore" -> ((s, dir) =>
+      Graph.kCorePeel(
+          Artifacts.nearDupPairs(s, dir, k = 8, bands = 4,
+            minJaccard = 0.2), k = 2, rounds = 3)
+        .orderBy("doc_id")),
+
+    // skew — exact join-size preflight from per-side key histograms
+    // (Skew.joinSizePreflight scaladoc): the funnel join's output
+    // cardinality and hottest users, costed before any join runs.
+    "q214_join_preflight" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Skew.joinSizePreflight(
+          ev.where(col("event_type") === "click"),
+          ev.where(col("event_type") === "view"),
+          "user_id", topK = 10)
+    })
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -5831,7 +5865,68 @@ object SparkEntry {
           |SELECT id_a, id_b,
           |  CAST(levenshtein(id_a, id_b) AS INTEGER) AS dist, passes
           |FROM g WHERE levenshtein(id_a, id_b) <= 3
-          |ORDER BY id_a, id_b""".stripMargin
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      // full recompute with the q98 decimal power sums — the merge's
+      // correctness claim IS equality with this (decimal adds are
+      // exact, so state merge == full, bit for bit)
+      "q212_incr_agg_merge" ->
+        """WITH g AS (SELECT l_returnflag, COUNT(*) AS n,
+          |    CAST(SUM(CASE WHEN l_orderkey % 5 != 0 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n_standing,
+          |    CAST(SUM(CASE WHEN l_orderkey % 5 = 0 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n_delta,
+          |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sx,
+          |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+          |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxx
+          |  FROM lineitem GROUP BY l_returnflag)
+          |SELECT l_returnflag, n_standing, n_delta, n,
+          |  floor((CAST(sx AS DOUBLE) / n) * 1000000) / 1000000 AS mean,
+          |  floor(((CAST(sxx AS DOUBLE)
+          |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1))
+          |    * 10000) / 10000 AS var_samp
+          |FROM g ORDER BY l_returnflag""".stripMargin,
+
+      // three unrolled peel rounds over the shared verified-pair CTE
+      // (degree agg -> keep -> endpoint filters), then the surviving
+      // subgraph's degrees
+      "q213_kcore" -> {
+        def peel(i: Int): String =
+          s"""d$i AS (SELECT id, COUNT(*) AS deg FROM (
+             |    SELECT id_a AS id FROM e${i - 1}
+             |    UNION ALL SELECT id_b FROM e${i - 1}) GROUP BY 1),
+             |k$i AS (SELECT id FROM d$i WHERE deg >= 2),
+             |e$i AS (SELECT e.id_a, e.id_b FROM e${i - 1} e
+             |  JOIN k$i ka ON e.id_a = ka.id
+             |  JOIN k$i kb ON e.id_b = kb.id)""".stripMargin
+        s"""WITH $verifiedPairsCte,
+           |e0 AS (SELECT id_a, id_b FROM pairs),
+           |${peel(1)},
+           |${peel(2)},
+           |${peel(3)}
+           |SELECT id AS doc_id, COUNT(*) AS deg FROM (
+           |  SELECT id_a AS id FROM e3 UNION ALL SELECT id_b FROM e3)
+           |GROUP BY 1 ORDER BY doc_id""".stripMargin
+      },
+
+      // per-side key histograms joined, exact pair products, totals
+      // from one scalar agg — never the join itself
+      "q214_join_preflight" ->
+        s"""WITH l AS (SELECT user_id, COUNT(*) AS n_left FROM events
+           |    WHERE event_type = 'click' GROUP BY 1),
+           |r AS (SELECT user_id, COUNT(*) AS n_right FROM events
+           |    WHERE event_type = 'view' GROUP BY 1),
+           |j AS (SELECT l.user_id, n_left, n_right,
+           |    n_left * n_right AS n_pairs FROM l JOIN r USING (user_id)),
+           |tt AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS total_pairs,
+           |    COUNT(*) AS n_keys FROM j)
+           |SELECT user_id, n_left, n_right,
+           |  CAST(n_pairs AS BIGINT) AS n_pairs, total_pairs, n_keys,
+           |  ${Num.floorAtSql(
+             "CAST(n_pairs AS DOUBLE) / CAST(total_pairs AS DOUBLE)", 6)}
+           |    AS share
+           |FROM j CROSS JOIN tt
+           |ORDER BY n_pairs DESC, user_id LIMIT 10""".stripMargin
     )
   }
 }

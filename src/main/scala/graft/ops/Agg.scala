@@ -99,6 +99,54 @@ object Agg {
       Num.floorAt(sqrt(varRaw), 4).as("stddev"))
   }
 
+  /** Mergeable moment STATE of one frame: per-key (n, Σx, Σx²) with the
+    * sums carried as exact decimals, tagged with a `side` label. The
+    * state is the incremental-maintenance contract a 100 TB warehouse
+    * refresh runs on: states are associative/commutative under plain
+    * addition (decimal adds are exact, so merge(standing, delta) is
+    * bit-identical to a full recompute — the property IEEE double sums
+    * do NOT have), tiny (one row per key), and composable across
+    * arbitrarily many ingest batches. [[incrementalMoments]] is the
+    * merge+finalize; q212 pins merge == full against the oracle.
+    */
+  def momentState(df: DataFrame, key: String, x: String,
+                  side: String): DataFrame = {
+    val xd = col(x).cast("decimal(18,2)")
+    df.groupBy(col(key)).agg(
+        count(lit(1)).as("n"),
+        sum(xd).as("sx"),
+        sum(xd * xd).as("sxx"))
+      .withColumn("side", lit(side))
+  }
+
+  /** Incremental aggregate maintenance: merge the [[momentState]]s of a
+    * STANDING corpus and an ingest DELTA by plain per-key addition, then
+    * finalize mean/variance with [[exactMoments]]'s exact formulas. The
+    * full table is never rescanned — at scale the standing state is a
+    * stored table (the Artifacts-layer shape) and each refresh costs one
+    * pass over the batch plus a state-sized merge. Per-side row counts
+    * are carried through as the refresh audit trail.
+    */
+  def incrementalMoments(standing: DataFrame, delta: DataFrame,
+                         key: String, x: String): DataFrame = {
+    val states = momentState(standing, key, x, "standing")
+      .unionAll(momentState(delta, key, x, "delta"))
+    val g = states.groupBy(col(key)).agg(
+      sum(when(col("side") === "standing", col("n")).otherwise(0L))
+        .as("n_standing"),
+      sum(when(col("side") === "delta", col("n")).otherwise(0L))
+        .as("n_delta"),
+      sum(col("n")).as("n"),
+      sum(col("sx")).as("msx"),
+      sum(col("sxx")).as("msxx"))
+    val n = col("n")
+    val sx = col("msx").cast("double")
+    val sxx = col("msxx").cast("double")
+    g.select(col(key), col("n_standing"), col("n_delta"), n,
+      Num.floorAt(sx / n, 6).as("mean"),
+      Num.floorAt((sxx - sx * sx / n) / (n - 1), 4).as("var_samp"))
+  }
+
   /** Per-group Pearson correlation from exact decimal power sums (see
     * [[exactMoments]] for why not the builtin corr()). Single pass, five
     * decimal sums, closed form in double.

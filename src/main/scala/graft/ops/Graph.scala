@@ -155,4 +155,46 @@ object Graph {
     }
     ranks
   }
+
+  /** Bounded k-core peel: `rounds` iterations of "drop every node with
+    * degree < k, then re-count" over a pair graph — the standard dense-
+    * subgraph extraction (Seidman 1983 k-cores; Batagelj–Zaversnik
+    * peeling) that separates clique-like template/boilerplate clusters
+    * from incidental star-shaped near-dup links. A true k-core iterates
+    * to fixpoint; a FIXED round count keeps the plan deterministic and
+    * is the same bounded-round contract as q92's label propagation (the
+    * knob is explicit; peels converge geometrically on real near-dup
+    * graphs because degree-1 tendrils vanish in round one).
+    *
+    * Each round is one degree aggregation plus two semi-joins on the
+    * edge endpoints — pair-graph-sized shuffles, never corpus-sized;
+    * the edge frame is checkpointed per round because the next round
+    * references it three times (degree + both endpoint filters).
+    *
+    * Input: (id_a, id_b) pairs. Output: (doc_id, deg) for every node
+    * surviving `rounds` peels, with its degree in the surviving
+    * subgraph.
+    */
+  def kCorePeel(pairs: DataFrame, k: Int = 2, rounds: Int = 3)
+      : DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(rounds >= 1 && rounds <= 20, s"bad rounds $rounds")
+    var edges = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val deg = edges.select(col("id_a").as("id"))
+        .unionAll(edges.select(col("id_b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select("id")
+      edges = edges
+        .join(keep.withColumnRenamed("id", "id_a"), Seq("id_a"),
+          "left_semi")
+        .join(keep.withColumnRenamed("id", "id_b"), Seq("id_b"),
+          "left_semi")
+        .localCheckpoint()
+    }
+    edges.select(col("id_a").as("id"))
+      .unionAll(edges.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .select(col("id").as("doc_id"), col("deg"))
+  }
 }

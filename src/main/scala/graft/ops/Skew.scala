@@ -132,4 +132,36 @@ object Skew {
       .agg(sum(col("__sum")).as("sum"), sum(col("__cnt")).as("n"),
         (sum(col("__sum")) / sum(col("__cnt"))).as("avg"),
         min(col("__min")).as("min"), max(col("__max")).as("max"))
+
+  /** Join-size preflight: the EXACT output cardinality and hottest keys
+    * of `left ⋈ right ON key`, computed from per-side key histograms
+    * WITHOUT running the join — Σ (cnt_left × cnt_right) over matching
+    * keys. This is [[keyProfile]]'s two-sided sibling and the number an
+    * optimizer's estimator approximates from sketches; computing it
+    * exactly costs two partial-aggregated key counts plus a
+    * |keys|-sized join, so at 100 TB the preflight is ~free relative to
+    * the join it sizes, and its top rows name exactly the keys that
+    * need salting/AQE-splitting when `share` concentrates.
+    *
+    * Output: top `topK` keys by pair contribution — (key, n_left,
+    * n_right, n_pairs, total_pairs, n_keys, share).
+    */
+  def joinSizePreflight(left: DataFrame, right: DataFrame, key: String,
+                        topK: Int = 10): DataFrame = {
+    val l = left.groupBy(col(key)).agg(count(lit(1)).as("n_left"))
+    val r = right.groupBy(col(key)).agg(count(lit(1)).as("n_right"))
+    val j = l.join(r, Seq(key))
+      .select(col(key), col("n_left"), col("n_right"),
+        (col("n_left") * col("n_right")).as("n_pairs"))
+    val tot = j.agg(sum(col("n_pairs")).as("total_pairs"),
+      count(lit(1)).as("n_keys"))
+    j.crossJoin(broadcast(tot))
+      .select(col(key), col("n_left"), col("n_right"), col("n_pairs"),
+        col("total_pairs"), col("n_keys"),
+        Num.floorAt(
+          col("n_pairs").cast("double") / col("total_pairs"), 6)
+          .as("share"))
+      .orderBy(desc("n_pairs"), col(key))
+      .limit(topK)
+  }
 }
