@@ -2432,7 +2432,48 @@ object SparkEntry {
           ev.where(col("event_type") === "click"),
           ev.where(col("event_type") === "view"),
           "user_id", topK = 10)
-    })
+    }),
+
+    // profiling — functional-dependency audit (Agg.fdViolations
+    // scaladoc): five candidate FDs across four tables, one verdict row
+    // each — the key-trust check before any dimension join.
+    "q215_fd_audit" -> ((s, dir) =>
+      Agg.fdViolations(t(s, dir, "nation"),
+          "nation.n_nationkey->n_regionkey", "n_nationkey", "n_regionkey")
+        .unionAll(Agg.fdViolations(t(s, dir, "part"),
+          "part.p_partkey->p_brand", "p_partkey", "p_brand"))
+        .unionAll(Agg.fdViolations(t(s, dir, "part"),
+          "part.p_type->p_size", "p_type", "p_size"))
+        .unionAll(Agg.fdViolations(t(s, dir, "documents"),
+          "documents.source->lang", "source", "lang"))
+        .unionAll(Agg.fdViolations(t(s, dir, "orders"),
+          "orders.o_custkey->o_orderpriority", "o_custkey",
+          "o_orderpriority"))
+        .orderBy("fd")),
+
+    // feature engineering — bounded EWMA per user
+    // (EventsOps.ewmaBounded scaladoc): alpha = 1/2 over the last 16
+    // events; exact binary weights make the smoother engine-portable.
+    "q216_ewma" -> ((s, dir) =>
+      EventsOps.ewmaBounded(t(s, dir, "events"), depth = 16)
+        .orderBy("user_id", "event_id")),
+
+    // curation — within-source quantile normalization
+    // (Curate.quantileNormalize scaladoc): per-doc score -> empirical
+    // percentile, the calibration before any cross-source threshold.
+    "q217_quantile_norm" -> ((s, dir) =>
+      Curate.quantileNormalize(t(s, dir, "documents"), "doc_id",
+          "source", "n_chars")
+        .orderBy("doc_id")),
+
+    // curation — largest-remainder mixture allocation
+    // (Curate.mixtureAllocation scaladoc): a 1000-sample budget split
+    // across sources by sqrt weighting, integer allocations summing to
+    // the budget exactly.
+    "q218_mixture_alloc" -> ((s, dir) =>
+      Curate.mixtureAllocation(t(s, dir, "documents"), "source",
+          target = 1000L)
+        .orderBy("source"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -5926,7 +5967,75 @@ object SparkEntry {
              "CAST(n_pairs AS DOUBLE) / CAST(total_pairs AS DOUBLE)", 6)}
            |    AS share
            |FROM j CROSS JOIN tt
-           |ORDER BY n_pairs DESC, user_id LIMIT 10""".stripMargin
+           |ORDER BY n_pairs DESC, user_id LIMIT 10""".stripMargin,
+
+      // one grouped distinct-count per candidate FD, unioned
+      "q215_fd_audit" -> {
+        def fd(tbl: String, l: String, r: String): String =
+          s"""SELECT '$tbl.$l->$r' AS fd, COUNT(*) AS n_lhs,
+             |  CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_violating,
+             |  CAST(MAX(n_rhs) AS BIGINT) AS max_rhs,
+             |  SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds
+             |FROM (SELECT $l, COUNT(DISTINCT $r) AS n_rhs
+             |      FROM $tbl GROUP BY 1)""".stripMargin
+        Seq(("nation", "n_nationkey", "n_regionkey"),
+            ("part", "p_partkey", "p_brand"),
+            ("part", "p_type", "p_size"),
+            ("documents", "source", "lang"),
+            ("orders", "o_custkey", "o_orderpriority"))
+          .map { case (t0, l, r) => fd(t0, l, r) }
+          .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+      },
+
+      // the window list replayed with an indexed transform: weight
+      // 2^-(L-i) for 1-based i, normalizer 2 - 2^-(L-1) — exact binary
+      // scales, so the doubles match the engine bit-for-bit
+      "q216_ewma" ->
+        s"""WITH w AS (SELECT user_id, event_id, value,
+           |    list(value) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id
+           |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr
+           |  FROM events)
+           |SELECT user_id, event_id, value,
+           |  ${Num.floorAtSql(
+             "list_sum(list_transform(range(1, len(arr) + 1), " +
+               "i -> arr[i] * pow(0.5, len(arr) - i))) " +
+               "/ (2 - pow(0.5, len(arr) - 1))", 6)} AS ewma
+           |FROM w ORDER BY user_id, event_id""".stripMargin,
+
+      // unique rank key (score, id) then (rank-1)/(n-1)
+      "q217_quantile_norm" ->
+        s"""WITH w AS (SELECT doc_id, source, n_chars,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY n_chars, doc_id) AS rn,
+           |    COUNT(*) OVER (PARTITION BY source) AS n
+           |  FROM documents)
+           |SELECT doc_id, source, n_chars,
+           |  ${Num.floorAtSql(
+             "CAST(rn - 1 AS DOUBLE) / CAST(greatest(n - 1, 1) AS DOUBLE)",
+             6)} AS pct
+           |FROM w ORDER BY doc_id""".stripMargin,
+
+      // Hamilton's method in exact integers: floor shares by integral
+      // div, leftovers to the largest remainders (ties by source)
+      "q218_mixture_alloc" ->
+        """WITH c AS (SELECT source, COUNT(*) AS n_docs,
+          |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000)
+          |      AS BIGINT) AS weight
+          |  FROM documents GROUP BY 1),
+          |t AS (SELECT CAST(SUM(weight) AS BIGINT) AS wsum FROM c),
+          |b AS (SELECT source, n_docs, weight,
+          |    (1000 * weight) // wsum AS base,
+          |    (1000 * weight) % wsum AS rem
+          |  FROM c CROSS JOIN t),
+          |lo AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS r FROM b),
+          |rk AS (SELECT *, row_number() OVER
+          |    (ORDER BY rem DESC, source) AS rk FROM b)
+          |SELECT source, n_docs, weight,
+          |  CAST(base + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT)
+          |    AS alloc
+          |FROM rk CROSS JOIN lo ORDER BY source""".stripMargin
     )
   }
 }

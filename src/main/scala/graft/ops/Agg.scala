@@ -99,6 +99,27 @@ object Agg {
       Num.floorAt(sqrt(varRaw), 4).as("stddev"))
   }
 
+  /** Functional-dependency audit for one candidate FD `lhs -> rhs`: one
+    * row with the lhs-key count, how many keys violate (map to more than
+    * one distinct rhs), the worst key's rhs fan-out, and the verdict.
+    * This is schema profiling — the check a warehouse runs before
+    * trusting a column as a dimension key or a join denormalization
+    * (TANE/FastFD discover FDs; auditing a CANDIDATE set is the
+    * production-cheap form). Shape at scale: one partial-aggregated
+    * groupBy on (lhs) with a distinct-count of rhs, then a scalar
+    * aggregate over |keys| rows — never row-pairs. Callers union audits
+    * across tables into one report (q215).
+    */
+  def fdViolations(df: DataFrame, fdName: String, lhs: String,
+                   rhs: String): DataFrame =
+    df.groupBy(col(lhs))
+      .agg(countDistinct(col(rhs)).as("n_rhs"))
+      .agg(count(lit(1)).as("n_lhs"),
+        sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"),
+        max(col("n_rhs")).as("max_rhs"))
+      .select(lit(fdName).as("fd"), col("n_lhs"), col("n_violating"),
+        col("max_rhs"), (col("n_violating") === 0L).as("holds"))
+
   /** Mergeable moment STATE of one frame: per-key (n, Σx, Σx²) with the
     * sums carried as exact decimals, tagged with a `side` label. The
     * state is the incremental-maintenance contract a 100 TB warehouse

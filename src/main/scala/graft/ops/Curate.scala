@@ -758,4 +758,62 @@ object Curate {
         regexp_replace(
           regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
           PhoneRe, "<PHONE>"))
+
+  /** Quantile normalization of a per-doc score WITHIN each source: maps
+    * the score to its empirical percentile (rank-1)/(n-1) in [0, 1] so
+    * scores from sources with different scales become comparable — the
+    * calibration step before any cross-source quality threshold or
+    * mixture gate (a fixed raw cutoff keeps 90% of one crawl and 10% of
+    * another for no reason but scale). The rank key (score, id) is
+    * total, so ranks are unique and the transform deterministic; one
+    * shuffle on source, rank window per partition. At 100 TB a source
+    * is large but the window carries O(1) state (row_number + one
+    * partition count), spilling sorts, never materializing groups.
+    *
+    * Output: (id, source, score, pct) with pct floored at 6dp.
+    */
+  def quantileNormalize(df: DataFrame, idCol: String, srcCol: String,
+                        scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(col(scoreCol), col(idCol))
+    val n = count(lit(1)).over(Window.partitionBy(col(srcCol)))
+    df.select(col(idCol), col(srcCol), col(scoreCol),
+      Num.floorAt(
+        (row_number().over(w) - lit(1)).cast("double") /
+          greatest(n - lit(1), lit(1L)).cast("double"), 6).as("pct"))
+  }
+
+  /** Largest-remainder mixture allocation: split a fixed sample budget
+    * `target` across sources proportionally to sqrt(n_docs) — the
+    * sub-linear source weighting that keeps giant crawls from drowning
+    * small curated sets — such that allocations are integers summing to
+    * EXACTLY `target` (Hamilton's method: floor the proportional share,
+    * then hand the leftover units to the largest fractional remainders,
+    * ties by source name). All arithmetic is integer (weights are
+    * floor(sqrt * 1000); shares use integral div/mod), so the plan is
+    * hash-exact in any engine. One count aggregation, a broadcast
+    * 1-row total, and a |sources|-row window — the data is scanned
+    * once, the planning is metadata-sized at any scale.
+    *
+    * Output: (source, n_docs, weight, alloc) with sum(alloc) = target.
+    */
+  def mixtureAllocation(df: DataFrame, srcCol: String,
+                        target: Long): DataFrame = {
+    require(target >= 0, s"bad target $target")
+    val counts = df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight",
+        floor(sqrt(col("n_docs").cast("double")) * 1000).cast("long"))
+    val tot = counts.agg(sum(col("weight")).as("wsum"))
+    val based = counts.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($target * weight) div wsum"))
+      .withColumn("rem", expr(s"($target * weight) % wsum"))
+    val leftover = based.agg((lit(target) - sum(col("base"))).as("r"))
+    val w = Window.orderBy(col("rem").desc, col(srcCol))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(w))
+      .select(col(srcCol), col("n_docs"), col("weight"),
+        (col("base") + when(col("rk") <= col("r"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
 }

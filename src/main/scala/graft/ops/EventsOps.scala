@@ -693,4 +693,40 @@ object EventsOps {
         when(col("es") - col("m.r_es") <= tolSeconds, col("m.r_id"))
           .as("matched_event_id"))
   }
+
+  /** Bounded exponentially-weighted moving average per key: for each
+    * event, EWMA over its last `depth` values (inclusive) with
+    * alpha = 1/2 — the streaming-feature smoother every behavioral
+    * feature store computes. The window is BOUNDED so the result is a
+    * pure function of `depth` rows (an unbounded recursive EWMA is
+    * order-fragile and unreplayable in SQL); alpha = 1/2 makes every
+    * weight 2^-j, an EXACT binary scale, so the weighted sum is the
+    * same IEEE doubles in any engine that folds the window in row
+    * order — the DuckDB oracle replays it bit-for-bit via an indexed
+    * list transform. One user_id shuffle, O(depth) state per row, no
+    * driver involvement; ordering key (ts, event_id) is total, so the
+    * collected window is deterministic.
+    *
+    * Output: (user_id, event_id, value, ewma), ewma floored at 6dp.
+    */
+  def ewmaBounded(events: DataFrame, depth: Int = 16): DataFrame = {
+    require(depth >= 1 && depth <= 64, s"bad depth $depth")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(depth - 1), 0)
+    val arr = collect_list(col("value")).over(w)
+    val len = size(col("arr"))
+    // weight for 0-based index i in a length-L window: 2^-(L-1-i) —
+    // newest row weight 1; normalizer Σ 2^-j = 2 - 2^-(L-1)
+    val dot = aggregate(
+      transform(col("arr"),
+        (x, i) => x * pow(lit(0.5), len - 1 - i)),
+      lit(0.0), (acc, x) => acc + x)
+    events
+      .select(col("user_id"), col("event_id"), col("value"),
+        arr.as("arr"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        Num.floorAt(dot / (lit(2.0) - pow(lit(0.5), len - 1)), 6)
+          .as("ewma"))
+  }
 }
