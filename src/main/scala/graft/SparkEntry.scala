@@ -2473,7 +2473,30 @@ object SparkEntry {
     "q218_mixture_alloc" -> ((s, dir) =>
       Curate.mixtureAllocation(t(s, dir, "documents"), "source",
           target = 1000L)
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // dedup policy — threshold tuning sweep (Dedup.thresholdSweep
+    // scaladoc) over the shared verified-pair artifact: surviving pairs
+    // and touched docs per candidate threshold, zero corpus scans.
+    "q219_threshold_sweep" -> ((s, dir) =>
+      Dedup.thresholdSweep(
+          Artifacts.nearDupPairs(s, dir, k = 8, bands = 4,
+            minJaccard = 0.2),
+          Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+        .orderBy("threshold")),
+
+    // text analysis — per-term burstiness (Text.termBurstiness
+    // scaladoc): variance-to-mean of within-doc tf from exact integer
+    // power sums; content vs glue vocabulary without a stopword list.
+    "q220_term_burstiness" -> ((s, dir) =>
+      Text.termBurstiness(t(s, dir, "documents"), "doc_id", "text",
+          minDf = 20, topK = 20)),
+
+    // profiling — mutual information source×lang
+    // (Agg.mutualInformation scaladoc): bits of dependence between the
+    // two categoricals, the magnitude companion to q180's chi-square.
+    "q221_mutual_info" -> ((s, dir) =>
+      Agg.mutualInformation(t(s, dir, "documents"), "source", "lang"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -6035,7 +6058,74 @@ object SparkEntry {
           |SELECT source, n_docs, weight,
           |  CAST(base + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT)
           |    AS alloc
-          |FROM rk CROSS JOIN lo ORDER BY source""".stripMargin
+          |FROM rk CROSS JOIN lo ORDER BY source""".stripMargin,
+
+      // the sweep replayed over the shared verified-pair CTE (jacc is
+      // the same 4dp-floored jaccard the artifact stores)
+      "q219_threshold_sweep" ->
+        s"""WITH $verifiedPairsCte,
+           |th AS (SELECT CAST(UNNEST(
+           |    [0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+           |  AS threshold),
+           |kept AS (SELECT threshold, id_a, id_b
+           |  FROM pairs CROSS JOIN th WHERE jacc >= threshold),
+           |np AS (SELECT threshold, COUNT(*) AS n_pairs
+           |  FROM kept GROUP BY 1),
+           |nd AS (SELECT threshold, COUNT(DISTINCT id) AS n_docs FROM (
+           |    SELECT threshold, id_a AS id FROM kept
+           |    UNION ALL SELECT threshold, id_b FROM kept) GROUP BY 1)
+           |SELECT threshold, n_pairs, n_docs
+           |FROM np JOIN nd USING (threshold)
+           |ORDER BY threshold""".stripMargin,
+
+      // exact integer (tf, tf^2) power sums per term; VMR in double
+      // only at the end — the q98 discipline on text counts
+      "q220_term_burstiness" ->
+        s"""WITH toks AS (SELECT doc_id, UNNEST($cleanToks) AS term
+           |    FROM (SELECT doc_id, $clean AS c FROM documents)),
+           |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+           |  FROM toks GROUP BY 1, 2),
+           |pt AS (SELECT term, COUNT(*) AS df,
+           |    CAST(SUM(tf) AS BIGINT) AS sum_tf,
+           |    CAST(SUM(tf * tf) AS BIGINT) AS sum_tf2
+           |  FROM tf GROUP BY 1 HAVING COUNT(*) >= 20)
+           |SELECT term, df, sum_tf,
+           |  ${Num.floorAtSql("CAST(sum_tf AS DOUBLE) / df", 6)}
+           |    AS mean_tf,
+           |  ${Num.floorAtSql(
+             "((CAST(sum_tf2 AS DOUBLE) - CAST(sum_tf AS DOUBLE)" +
+               " * CAST(sum_tf AS DOUBLE) / df) / (df - 1))" +
+               " / (CAST(sum_tf AS DOUBLE) / df)", 6)} AS vmr
+           |FROM pt ORDER BY vmr DESC, term LIMIT 20""".stripMargin,
+
+      // H = log2(n) - sum(c*log2 c)/n per count frame (the q151
+      // identity); marginals re-aggregate the joint cells
+      "q221_mutual_info" -> {
+        val n = "CAST(n AS DOUBLE)"
+        def h(s: String) = s"(log2($n) - $s / $n)"
+        s"""WITH cells AS (SELECT source, lang, COUNT(*) AS c
+           |    FROM documents GROUP BY 1, 2),
+           |j AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+           |    SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+           |      AS s_joint FROM cells),
+           |ma AS (SELECT SUM(CAST(c AS DOUBLE)
+           |      * log2(CAST(c AS DOUBLE))) AS s_a
+           |  FROM (SELECT CAST(SUM(c) AS BIGINT) AS c FROM cells
+           |        GROUP BY source)),
+           |mb AS (SELECT SUM(CAST(c AS DOUBLE)
+           |      * log2(CAST(c AS DOUBLE))) AS s_b
+           |  FROM (SELECT CAST(SUM(c) AS BIGINT) AS c FROM cells
+           |        GROUP BY lang))
+           |SELECT n,
+           |  ${Num.floorAtSql(h("s_a"), 6)} AS h_a,
+           |  ${Num.floorAtSql(h("s_b"), 6)} AS h_b,
+           |  ${Num.floorAtSql(h("s_joint"), 6)} AS h_joint,
+           |  ${Num.floorAtSql(
+             s"${h("s_a")} + ${h("s_b")} - ${h("s_joint")}", 6)} AS mi,
+           |  ${Num.floorAtSql(s"${h("s_joint")} - ${h("s_a")}", 6)}
+           |    AS h_b_given_a
+           |FROM j CROSS JOIN ma CROSS JOIN mb""".stripMargin
+      }
     )
   }
 }

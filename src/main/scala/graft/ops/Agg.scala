@@ -99,6 +99,45 @@ object Agg {
       Num.floorAt(sqrt(varRaw), 4).as("stddev"))
   }
 
+  /** Mutual information and conditional entropy between two categorical
+    * columns, from exact integer contingency counts: I(A;B) = H(A) +
+    * H(B) − H(A,B), plus H(B|A) = H(A,B) − H(A) — the magnitude-scaled
+    * companion to the q180 χ² independence TEST (χ² says "dependent";
+    * MI says how many BITS the dependence is worth, the number a
+    * feature-selection or leakage check thresholds on; Cover & Thomas
+    * ch. 2). All entropies use the [[graft.ops.Text.vocabEntropy]]
+    * identity H = log2(n) − Σ c·log2(c) / n, so each is one sum over
+    * its count frame; the joint cells are |A|×|B| rows, marginals
+    * re-aggregate from the cells (the raw table is scanned ONCE), and
+    * the three scalar frames broadcast-join into one output row.
+    *
+    * Output: (n, h_a, h_b, h_joint, mi, h_b_given_a), bits, 6dp.
+    */
+  def mutualInformation(df: DataFrame, a: String, b: String): DataFrame = {
+    val cells = df.groupBy(col(a), col(b)).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // referenced three times (joint + 2 marginals)
+    def ent(counts: DataFrame): DataFrame =
+      counts.agg(sum(col("c")).as("n"),
+        sum(col("c").cast("double") * log2(col("c").cast("double")))
+          .as("s"))
+    val ja = ent(cells).select(col("n"), col("s").as("s_joint"))
+    val ma = ent(cells.groupBy(col(a)).agg(sum(col("c")).as("c")))
+      .select(col("s").as("s_a"))
+    val mb = ent(cells.groupBy(col(b)).agg(sum(col("c")).as("c")))
+      .select(col("s").as("s_b"))
+    val j = ja.crossJoin(broadcast(ma)).crossJoin(broadcast(mb))
+    val n = col("n").cast("double")
+    def h(s: Column): Column = log2(n) - s / n
+    j.select(col("n"),
+      Num.floorAt(h(col("s_a")), 6).as("h_a"),
+      Num.floorAt(h(col("s_b")), 6).as("h_b"),
+      Num.floorAt(h(col("s_joint")), 6).as("h_joint"),
+      Num.floorAt(h(col("s_a")) + h(col("s_b")) - h(col("s_joint")), 6)
+        .as("mi"),
+      Num.floorAt(h(col("s_joint")) - h(col("s_a")), 6)
+        .as("h_b_given_a"))
+  }
+
   /** Functional-dependency audit for one candidate FD `lhs -> rhs`: one
     * row with the lhs-key count, how many keys violate (map to more than
     * one distinct rhs), the worst key's rhs fan-out, and the verdict.

@@ -461,6 +461,38 @@ object Dedup {
       .groupBy("deg").agg(count(lit(1)).as("n_docs"),
         min(col("id")).as("min_doc_id"))
 
+  /** Dedup-threshold tuning sweep over an ALREADY-VERIFIED pair frame
+    * (id_a, id_b, jaccard): for each candidate threshold, how many
+    * pairs survive and how many distinct docs they touch — the
+    * marginal-aggressiveness curve a dedup-policy decision reads
+    * (jump in touched docs between two thresholds = a big cluster
+    * family appears there). The sweep costs |pairs| × |thresholds|
+    * over the pair-graph artifact — the corpus is scanned ZERO times;
+    * rerunning the whole LSH pipeline per candidate threshold (the
+    * naive sweep) would be |thresholds| corpus passes for identical
+    * output. Thresholds at or below the frame's build threshold are
+    * exact; lower ones would need a rebuild (the artifact's build
+    * minJaccard is the floor — callers sweep above it).
+    *
+    * Output: (threshold, n_pairs, n_docs), ascending threshold.
+    */
+  def thresholdSweep(pairs: DataFrame, thresholds: Seq[Double])
+      : DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val th = explode(array(thresholds.map(lit): _*)).as("threshold")
+    val kept = pairs.select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"), th)
+      .where(col("jaccard") >= col("threshold"))
+    val nPairs = kept.groupBy("threshold")
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = kept
+      .select(col("threshold"),
+        explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy("threshold")
+      .agg(countDistinct(col("id")).as("n_docs"))
+    nPairs.join(nDocs, Seq("threshold"))
+  }
+
   /** Cap every near-dup cluster at its `n` smallest doc_ids — the
     * keep-a-few-exemplars curation policy between q157's
     * single-survivor pick and no dedup at all (deduplicated-training

@@ -445,6 +445,45 @@ object Text {
           col("sclgc") / col("n_tokens"), 6).as("entropy_bits"))
   }
 
+  /** Per-term BURSTINESS over the documents that contain the term: the
+    * variance-to-mean ratio of within-doc term frequency (Church &
+    * Gale 1995, "Poisson mixtures": content words are bursty — once a
+    * doc uses them it reuses them, VMR >> 1 — while function words are
+    * near-Poisson, VMR ≈ 1). Burstiness separates topical vocabulary
+    * from glue vocabulary with NO stopword list, which is the signal a
+    * keyword extractor or an index-pruning pass actually wants. The
+    * moments are EXACT integer power sums (tf, tf² are ints; the only
+    * doubles are the final two divisions), so the sweep is
+    * deterministic at any partitioning — the [[Agg.exactMoments]]
+    * discipline applied to text counts. Shape at scale: (doc, term)
+    * tf partial-aggregates map-side, the per-term rollup is
+    * vocab-sized, top-k via one WindowGroupLimit-prunable sort.
+    *
+    * Output: top `topK` terms with df >= `minDf` by VMR descending —
+    * (term, df, sum_tf, mean_tf, vmr).
+    */
+  def termBurstiness(docs: DataFrame, idCol: String, textCol: String,
+                     minDf: Int = 20, topK: Int = 20): DataFrame = {
+    val tf = docs.select(col(idCol).as("id"),
+        explode(cleanTokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val perTerm = tf.groupBy("term").agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("sum_tf"),
+        sum(col("tf") * col("tf")).as("sum_tf2"))
+      .where(col("df") >= minDf)
+    val n = col("df")
+    val sx = col("sum_tf").cast("double")
+    val sxx = col("sum_tf2").cast("double")
+    val mean = sx / n
+    val variance = (sxx - sx * sx / n) / (n - 1)
+    perTerm.select(col("term"), col("df"), col("sum_tf"),
+        Num.floorAt(mean, 6).as("mean_tf"),
+        Num.floorAt(variance / mean, 6).as("vmr"))
+      .orderBy(desc("vmr"), col("term"))
+      .limit(topK)
+  }
+
   /** Vocabulary-growth / lexical-richness profile per group — the
     * Heaps'-law health check next to [[vocabEntropy]]'s diversity:
     * hapax legomena (terms seen once) dominate natural text (~40-60%
