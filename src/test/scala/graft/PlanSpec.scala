@@ -501,4 +501,59 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(1500))
     assert(p.indexOf("Window") > p.indexOf("HashAggregate"), p.take(1500))
   }
+
+  test("q210 zone-map audit: the only nested-loop joins are the " +
+      "broadcast 1-row bounds/preds frames — no sort-merge, no true " +
+      "cartesian on data") {
+    val p = plan("q210_zonemap_audit")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("q211 multi-block pairs: three shuffle-hash block joins, no " +
+      "cartesian/BNL — candidates never leave their blocks") {
+    val p = plan("q211_multiblock_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert("ShuffledHashJoin".r.findAllIn(p).size === 3, p.take(1500))
+  }
+
+  test("q212 incremental merge: both side states partial-aggregate " +
+      "before the union merge; no joins at all") {
+    val p = plan("q212_incr_agg_merge")
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
+  }
+
+  test("q214 join preflight: histogram-sized joins only — the " +
+      "totals frame broadcasts, nothing sort-merges the raw events") {
+    val p = plan("q214_join_preflight")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("q216 EWMA: ONE hash exchange on user_id feeds the bounded " +
+      "window — no global window, no extra shuffle") {
+    val p = plan("q216_ewma")
+    assert(!p.contains("Exchange SinglePartition"), p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      p.take(1500))
+  }
+
+  test("q217 quantile normalization: the per-source rank window " +
+      "never collapses to a single partition") {
+    val p = plan("q217_quantile_norm")
+    assert(!p.contains("Exchange SinglePartition"), p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      p.take(1500))
+  }
+
+  test("q220 term burstiness: (doc, term) tf partial-aggregates " +
+      "map-side; top-k is WindowGroupLimit-free (global sort of the " +
+      "vocab-sized frame only)") {
+    val p = plan("q220_term_burstiness")
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
+  }
 }
