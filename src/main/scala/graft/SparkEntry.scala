@@ -2496,7 +2496,70 @@ object SparkEntry {
     // (Agg.mutualInformation scaladoc): bits of dependence between the
     // two categoricals, the magnitude companion to q180's chi-square.
     "q221_mutual_info" -> ((s, dir) =>
-      Agg.mutualInformation(t(s, dir, "documents"), "source", "lang"))
+      Agg.mutualInformation(t(s, dir, "documents"), "source", "lang")),
+
+    // §2.1 source — raw text-log roundtrip (Sources.writeText/readText):
+    // schema-on-read ingestion of newline-delimited log lines, parsed
+    // with codegen'd regexp_extract at scan time — the format raw
+    // 100 TB crawls arrive in, completing the CSV/JSONL/ORC/JDBC/text
+    // source matrix. Lossless by construction: the aggregate over the
+    // parsed read-back must hash-match the direct oracle.
+    "q222_logparse_roundtrip" -> ((s, dir) => {
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft-q222-${ProcessHandle.current().pid}"
+      Sources.writeText(
+        t(s, dir, "documents").select(
+          format_string("doc=%d src=%s lang=%s chars=%d",
+            col("doc_id"), col("source"), col("lang"), col("n_chars"))
+            .as("value")),
+        path)
+      val re = "doc=(\\d+) src=(\\S+) lang=(\\S+) chars=(\\d+)"
+      Sources.readText(s, path)
+        .select(
+          regexp_extract(col("value"), re, 1).cast("long").as("doc_id"),
+          regexp_extract(col("value"), re, 2).as("source"),
+          regexp_extract(col("value"), re, 3).as("lang"),
+          regexp_extract(col("value"), re, 4).cast("long").as("n_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang")
+    }),
+
+    // curation — quality-vs-duplication calibration curve: the q134
+    // scorer's value-binned reliability diagram against pair-graph
+    // membership — does low model-scored quality actually co-occur with
+    // near-duplication? Buckets are score-value bins (scan-local, no
+    // global window); dup flag is one broadcast-ish join against the
+    // pair artifact's endpoints; mean score via exact decimal sums.
+    "q223_quality_dup_calibration" -> ((s, dir) => {
+      val q = Curate.ngramQualityScore(t(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      val pairs = Artifacts.nearDupPairs(s, dir, k = 8, bands = 4,
+        minJaccard = 0.2)
+      val dup = pairs.select(col("id_a").as("doc_id"))
+        .unionAll(pairs.select(col("id_b").as("doc_id")))
+        .distinct().withColumn("is_dup", lit(true))
+      q.join(dup, Seq("doc_id"), "left")
+        .select(
+          least(floor(col("quality_score") * 10), lit(9.0)).cast("int")
+            .as("bucket"),
+          col("quality_score").cast("decimal(18,6)").as("qd"),
+          coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+          sum(col("qd")).as("sq"))
+        .select(col("bucket"), col("n_docs"), col("n_dup"),
+          Num.floorAt(
+            col("n_dup").cast("double") / col("n_docs"), 6)
+            .as("dup_rate"),
+          Num.floorAt(
+            col("sq").cast("double") / col("n_docs"), 6)
+            .as("mean_score"))
+        .orderBy("bucket")
+    })
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -6125,7 +6188,52 @@ object SparkEntry {
            |  ${Num.floorAtSql(s"${h("s_joint")} - ${h("s_a")}", 6)}
            |    AS h_b_given_a
            |FROM j CROSS JOIN ma CROSS JOIN mb""".stripMargin
-      }
+      },
+
+      // the roundtrip is lossless by construction, so the oracle is the
+      // direct aggregate over the source table
+      "q222_logparse_roundtrip" ->
+        """SELECT lang, COUNT(*) AS n, MIN(n_chars) AS min_chars,
+          |  MAX(n_chars) AS max_chars
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      // the q134 quality chain (q157's CTE names) + the pair CTE's
+      // endpoints; buckets are score-VALUE bins, mean via decimal sums
+      "q223_quality_dup_calibration" ->
+        s"""WITH $verifiedPairsCte,
+           |qtok AS (SELECT id AS doc_id, $cleanToks AS t FROM cleaned),
+           |qg AS (SELECT doc_id,
+           |    UNNEST(list_concat(t, ${shinglesSql("t", 2)})) AS g
+           |  FROM qtok),
+           |qwt AS (SELECT doc_id,
+           |    CAST((${Curate.QualityWeights.mkString("[", ", ", "]")})[
+           |      CAST(${md5HexNSql("g", 8)} % ${Curate.QualityBuckets}
+           |        AS INTEGER) + 1] AS DECIMAL(18,6)) AS wt
+           |  FROM qg),
+           |qs AS (SELECT doc_id,
+           |    ${Num.floorAtSql(
+               s"1.0 / (1.0 + exp(-((${Curate.QualityBias}) " +
+                 "+ CAST(SUM(wt) AS DOUBLE) / COUNT(*))))", 6)}
+           |      AS quality_score
+           |  FROM qwt GROUP BY doc_id),
+           |dup AS (SELECT DISTINCT id FROM (
+           |    SELECT id_a AS id FROM pairs
+           |    UNION ALL SELECT id_b FROM pairs)),
+           |b AS (SELECT
+           |    CAST(least(floor(quality_score * 10), 9) AS INTEGER)
+           |      AS bucket,
+           |    CAST(quality_score AS DECIMAL(18,6)) AS qd,
+           |    (dup.id IS NOT NULL) AS is_dup
+           |  FROM qs LEFT JOIN dup ON dup.id = qs.doc_id)
+           |SELECT bucket, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_dup,
+           |  ${Num.floorAtSql(
+             "CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)" +
+               " / COUNT(*)", 6)} AS dup_rate,
+           |  ${Num.floorAtSql(
+             "CAST(SUM(qd) AS DOUBLE) / COUNT(*)", 6)} AS mean_score
+           |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
     )
   }
 }

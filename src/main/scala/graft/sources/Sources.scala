@@ -34,6 +34,22 @@ object Sources {
                     schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Raw text-line sink: `df` must be a single string column. The
+    * format every raw 100 TB log corpus actually arrives in — newline-
+    * delimited, schema-on-read, parsed with regexes at scan time
+    * ([[readText]] + `regexp_extract` is the ingestion half of q222).
+    */
+  def writeText(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").text(path)
+
+  /** Raw text-line source: one `value` string column per line.
+    * Newline-split files are splittable, so the parse parallelizes per
+    * 128 MB block like any columnar scan — the regex runs inside
+    * whole-stage codegen, no UDF.
+    */
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
   /** Parquet sink with OBSERVED write metrics: row count and per-column
     * null counts are accumulated inside the write pass itself
     * (`df.observe` + `Observation`) and returned after it commits. The
