@@ -2559,7 +2559,22 @@ object SparkEntry {
             col("sq").cast("double") / col("n_docs"), 6)
             .as("mean_score"))
         .orderBy("bucket")
-    })
+    }),
+
+    // retrieval — frequent-phrase mining + exact posting lookup
+    // (Text.phrasePostings scaladoc): top phrases by corpus count,
+    // each with its top documents by within-doc occurrences — phrase
+    // search as ONE posting key instead of a corpus regex scan.
+    "q224_phrase_postings" -> ((s, dir) =>
+      Text.phrasePostings(t(s, dir, "documents"), "doc_id", "text",
+          w = 3, topK = 3, docsPerPhrase = 10)
+        .orderBy("phrase", "rk")),
+
+    // ML ops — temporal split + leakage audit (EventsOps.temporalSplit
+    // scaladoc): hold out the last 20% of the event-time range, count
+    // the users whose history straddles the cutoff.
+    "q225_temporal_split" -> ((s, dir) =>
+      EventsOps.temporalSplit(t(s, dir, "events"), testPct = 20))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -6233,7 +6248,57 @@ object SparkEntry {
                " / COUNT(*)", 6)} AS dup_rate,
            |  ${Num.floorAtSql(
              "CAST(SUM(qd) AS DOUBLE) / COUNT(*)", 6)} AS mean_score
-           |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+           |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+      // the shingle stream as an inverted phrase index: (phrase, doc)
+      // counts, phrase totals, per-phrase doc ranking
+      "q224_phrase_postings" ->
+        s"""WITH tokd AS (SELECT doc_id, $cleanToks AS t
+           |    FROM (SELECT doc_id, $clean AS c FROM documents)),
+           |sh AS (SELECT doc_id, UNNEST(${shinglesSql("t", 3)})
+           |    AS phrase FROM tokd),
+           |occ AS (SELECT phrase, doc_id, COUNT(*) AS n_occ
+           |  FROM sh GROUP BY 1, 2),
+           |top AS (SELECT phrase, CAST(SUM(n_occ) AS BIGINT) AS total
+           |  FROM occ GROUP BY 1 ORDER BY total DESC, phrase LIMIT 3),
+           |rkd AS (SELECT o.phrase, t.total, o.doc_id, o.n_occ,
+           |    row_number() OVER (PARTITION BY o.phrase
+           |      ORDER BY o.n_occ DESC, o.doc_id) AS rk
+           |  FROM occ o JOIN top t USING (phrase))
+           |SELECT phrase, total, doc_id, n_occ,
+           |  CAST(rk AS INTEGER) AS rk
+           |FROM rkd WHERE rk <= 10 ORDER BY phrase, rk""".stripMargin,
+
+      // integer time-range cutoff from the bounds row; leaky = users
+      // with events on both sides
+      "q225_temporal_split" ->
+        s"""WITH base AS (SELECT user_id, ${epochSql("ts")} AS es
+           |    FROM events),
+           |b AS (SELECT MIN(es) AS mn, MAX(es) AS mx FROM base),
+           |f AS (SELECT user_id, es,
+           |    mn + ((mx - mn) * 80) // 100 AS cutoff,
+           |    es >= mn + ((mx - mn) * 80) // 100 AS is_test
+           |  FROM base CROSS JOIN b),
+           |s AS (SELECT CAST(MAX(cutoff) AS BIGINT) AS cutoff_es,
+           |    CAST(SUM(CASE WHEN NOT is_test THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_train,
+           |    CAST(SUM(CASE WHEN is_test THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_test,
+           |    COUNT(DISTINCT CASE WHEN NOT is_test THEN user_id END)
+           |      AS n_users_train,
+           |    COUNT(DISTINCT CASE WHEN is_test THEN user_id END)
+           |      AS n_users_test
+           |  FROM f),
+           |l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky_users
+           |  FROM (SELECT user_id FROM f GROUP BY 1
+           |    HAVING MAX(CASE WHEN is_test THEN 1 ELSE 0 END) = 1
+           |       AND MAX(CASE WHEN is_test THEN 0 ELSE 1 END) = 1))
+           |SELECT cutoff_es, n_train, n_test, n_users_train,
+           |  n_users_test, n_leaky_users,
+           |  ${Num.floorAtSql(
+             "CAST(n_leaky_users AS DOUBLE) / n_users_test", 6)}
+           |    AS leak_rate
+           |FROM s CROSS JOIN l""".stripMargin
     )
   }
 }

@@ -694,6 +694,47 @@ object EventsOps {
           .as("matched_event_id"))
   }
 
+  /** Temporal train/test split with leakage audit: hold out the LAST
+    * `testPct`% of the event-time RANGE (the production-realistic
+    * split for behavioral models — a random row split leaks future
+    * context into training; time-range splitting is the standard
+    * backtesting protocol). The cutoff is exact integer arithmetic on
+    * the epoch-second bounds (one broadcast 1-row aggregate), the
+    * split flag is scan-local, and the audit counts the users that
+    * appear on BOTH sides — "leaky" users whose test events a
+    * user-level feature store would contaminate. One output row:
+    * sizes, distinct users per side, leaky users, leak rate.
+    */
+  def temporalSplit(events: DataFrame, testPct: Int = 20): DataFrame = {
+    require(testPct >= 1 && testPct <= 99, s"bad testPct $testPct")
+    val base = events.select(col("user_id"),
+      unix_timestamp(col("ts")).as("es"))
+    val bounds = base.agg(min("es").as("mn"), max("es").as("mx"))
+    val flagged = base.crossJoin(broadcast(bounds))
+      .withColumn("cutoff",
+        expr(s"mn + ((mx - mn) * ${100 - testPct}) div 100"))
+      .withColumn("is_test", col("es") >= col("cutoff"))
+    val sides = flagged.agg(
+      max(col("cutoff")).as("cutoff_es"),
+      sum(when(!col("is_test"), 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("is_test"), 1L).otherwise(0L)).as("n_test"),
+      countDistinct(when(!col("is_test"), col("user_id")))
+        .as("n_users_train"),
+      countDistinct(when(col("is_test"), col("user_id")))
+        .as("n_users_test"))
+    val leaky = flagged.groupBy("user_id")
+      .agg(max(when(col("is_test"), 1).otherwise(0)).as("ht"),
+        max(when(!col("is_test"), 1).otherwise(0)).as("hr"))
+      .agg(sum(when(col("ht") === 1 && col("hr") === 1, 1L)
+        .otherwise(0L)).as("n_leaky_users"))
+    sides.crossJoin(broadcast(leaky))
+      .select(col("cutoff_es"), col("n_train"), col("n_test"),
+        col("n_users_train"), col("n_users_test"),
+        col("n_leaky_users"),
+        Num.floorAt(col("n_leaky_users").cast("double") /
+          col("n_users_test"), 6).as("leak_rate"))
+  }
+
   /** Bounded exponentially-weighted moving average per key: for each
     * event, EWMA over its last `depth` values (inclusive) with
     * alpha = 1/2 — the streaming-feature smoother every behavioral

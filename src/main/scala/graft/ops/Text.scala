@@ -445,6 +445,41 @@ object Text {
           col("sclgc") / col("n_tokens"), 6).as("entropy_bits"))
   }
 
+  /** Frequent-phrase mining + positional posting lookup: the `topK`
+    * most frequent w-token phrases in the corpus, each with its top
+    * `docsPerPhrase` documents by within-doc occurrence count — exact
+    * phrase retrieval over shingle postings, the capability substring
+    * `LIKE` scans fake at 1000× the cost (a phrase is ONE posting-list
+    * key; no regex, no scan per query). The same shingle stream the
+    * dedup family uses becomes the inverted phrase index: (phrase, doc)
+    * occurrence counts partial-aggregate map-side, the phrase ranking
+    * runs over the phrase-vocabulary frame, and the per-phrase doc
+    * ranking is WindowGroupLimit-prunable — a boilerplate phrase in
+    * half the corpus streams through the top-n, never buffering its
+    * postings on one reducer.
+    *
+    * Output: (phrase, total, doc_id, n_occ, rk), top phrases by
+    * (total DESC, phrase), docs by (n_occ DESC, doc_id), rk <=
+    * `docsPerPhrase`.
+    */
+  def phrasePostings(docs: DataFrame, idCol: String, textCol: String,
+                     w: Int = 3, topK: Int = 3,
+                     docsPerPhrase: Int = 10): DataFrame = {
+    val occ = docs.select(col(idCol).as("doc_id"),
+        explode(Dedup.shingles(cleanTokens(col(textCol)), w))
+          .as("phrase"))
+      .groupBy("phrase", "doc_id").agg(count(lit(1)).as("n_occ"))
+    val top = occ.groupBy("phrase").agg(sum(col("n_occ")).as("total"))
+      .orderBy(desc("total"), col("phrase")).limit(topK)
+    val wnd = Window.partitionBy("phrase")
+      .orderBy(desc("n_occ"), col("doc_id"))
+    occ.join(broadcast(top), Seq("phrase"))
+      .withColumn("rk", row_number().over(wnd))
+      .where(col("rk") <= docsPerPhrase)
+      .select(col("phrase"), col("total"), col("doc_id"), col("n_occ"),
+        col("rk"))
+  }
+
   /** Per-term BURSTINESS over the documents that contain the term: the
     * variance-to-mean ratio of within-doc term frequency (Church &
     * Gale 1995, "Poisson mixtures": content words are bursty — once a
