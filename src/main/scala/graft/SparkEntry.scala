@@ -2574,7 +2574,18 @@ object SparkEntry {
     // scaladoc): hold out the last 20% of the event-time range, count
     // the users whose history straddles the cutoff.
     "q225_temporal_split" -> ((s, dir) =>
-      EventsOps.temporalSplit(t(s, dir, "events"), testPct = 20))
+      EventsOps.temporalSplit(t(s, dir, "events"), testPct = 20)),
+
+    // dedup methodology — MinHash estimator calibration
+    // (Dedup.minhashCalibration scaladoc): estimate level vs exact
+    // Jaccard over the verified pair artifact; validates the S-curve
+    // assumption planBands plans from, via exact integer error sums.
+    "q226_minhash_calibration" -> ((s, dir) =>
+      Dedup.minhashCalibration(t(s, dir, "documents"),
+          Artifacts.nearDupPairs(s, dir, k = 8, bands = 4,
+            minJaccard = 0.2),
+          "doc_id", "text", k = 8)
+        .orderBy("est_matches"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -6298,7 +6309,35 @@ object SparkEntry {
            |  ${Num.floorAtSql(
              "CAST(n_leaky_users AS DOUBLE) / n_users_test", 6)}
            |    AS leak_rate
-           |FROM s CROSS JOIN l""".stripMargin
+           |FROM s CROSS JOIN l""".stripMargin,
+
+      // the sig CTE's 8-slot signatures joined onto the verified
+      // pairs; error sums are exact integers (jacc is 4dp-floored,
+      // round(j*1e4) exact; estimate level = matches*1250)
+      "q226_minhash_calibration" ->
+        s"""WITH $verifiedPairsCte,
+           |est AS (SELECT
+           |    len(list_filter(range(1, 9),
+           |      i -> sa.sig[CAST(i AS INTEGER)]
+           |         = sb.sig[CAST(i AS INTEGER)])) AS est_matches,
+           |    CAST(floor(p.jacc * 10000 + 0.5) AS BIGINT) AS jq
+           |  FROM pairs p
+           |  JOIN sig sa ON sa.id = p.id_a
+           |  JOIN sig sb ON sb.id = p.id_b),
+           |g AS (SELECT est_matches, COUNT(*) AS n_pairs,
+           |    CAST(SUM(jq) AS BIGINT) AS sjq,
+           |    CAST(SUM(abs(est_matches * 1250 - jq)) AS BIGINT)
+           |      AS serr
+           |  FROM est GROUP BY 1)
+           |SELECT CAST(est_matches AS INTEGER) AS est_matches,
+           |  CAST(est_matches AS DOUBLE) / 8 AS est_jaccard, n_pairs,
+           |  ${Num.floorAtSql(
+             "CAST(sjq AS DOUBLE) / n_pairs / 10000", 6)}
+           |    AS mean_jaccard,
+           |  ${Num.floorAtSql(
+             "CAST(serr AS DOUBLE) / n_pairs / 10000", 6)}
+           |    AS mean_abs_err
+           |FROM g ORDER BY est_matches""".stripMargin
     )
   }
 }

@@ -461,6 +461,55 @@ object Dedup {
       .groupBy("deg").agg(count(lit(1)).as("n_docs"),
         min(col("id")).as("min_doc_id"))
 
+  /** MinHash estimator calibration against exact Jaccard, per estimate
+    * value: the k-permutation MinHash estimate is (matching signature
+    * slots)/k, an unbiased but coarse (granularity 1/k) estimator of
+    * true Jaccard — this op measures, over the VERIFIED pair frame
+    * (exact jaccard already computed), how the estimate's levels map
+    * to reality: pair counts, mean exact Jaccard, and mean absolute
+    * error per estimate level. The (k, bands) planner's S-curve
+    * ([[planBands]]) assumes the estimator is calibrated; this is the
+    * measurement that validates the assumption on the live corpus.
+    * All means come from exact INTEGER sums: jaccard is 4dp-floored,
+    * so round(j×10⁴) is an exact integer, and the estimate level is
+    * matches×(10⁴/k) — error sums never touch IEEE accumulation.
+    * One signature pass + a pair-frame-sized join; corpus scanned
+    * once.
+    *
+    * Output: (est_matches, est_jaccard, n_pairs, mean_jaccard,
+    * mean_abs_err), ascending estimate level.
+    */
+  def minhashCalibration(docs: DataFrame, pairs: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 8): DataFrame = {
+    require(10000 % k == 0, s"k must divide 10000, got $k")
+    val sigs = signatures(docs, idCol, textCol, k)
+      .select(col("id"), col("sig"))
+    val est = pairs.select(col("id_a"), col("id_b"), col("jaccard"))
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")),
+        Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")),
+        Seq("id_b"))
+      .select(
+        aggregate(
+          zip_with(col("sa"), col("sb"),
+            (x, y) => (x === y).cast("int")),
+          lit(0), (acc, x) => acc + x).as("est_matches"),
+        floor(col("jaccard") * 10000 + 0.5).cast("long").as("jq"))
+      .withColumn("err",
+        abs(col("est_matches").cast("long") * (10000L / k) - col("jq")))
+    est.groupBy("est_matches")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("jq")).as("sjq"), sum(col("err")).as("serr"))
+      .select(col("est_matches"),
+        (col("est_matches").cast("double") / k).as("est_jaccard"),
+        col("n_pairs"),
+        Num.floorAt(col("sjq").cast("double") / col("n_pairs") / 10000,
+          6).as("mean_jaccard"),
+        Num.floorAt(col("serr").cast("double") / col("n_pairs") / 10000,
+          6).as("mean_abs_err"))
+  }
+
   /** Dedup-threshold tuning sweep over an ALREADY-VERIFIED pair frame
     * (id_a, id_b, jaccard): for each candidate threshold, how many
     * pairs survive and how many distinct docs they touch — the

@@ -190,6 +190,63 @@ class Round8bOpsSpec extends SparkSpec {
     assert(out("y").getAs[Double]("vmr") > 1.0)
   }
 
+  test("text-log roundtrip: write + schema-on-read regex parse is " +
+      "lossless on a hand corpus") {
+    val path = sys.props("java.io.tmpdir") +
+      s"/graft-spec-text-${ProcessHandle.current().pid}"
+    val df = Seq((1L, "sA", "en", 10L), (2L, "sB", "de", 20L))
+      .toDF("doc_id", "source", "lang", "n_chars")
+    graft.sources.Sources.writeText(
+      df.select(format_string("doc=%d src=%s lang=%s chars=%d",
+        col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .as("value")), path)
+    val re = "doc=(\\d+) src=(\\S+) lang=(\\S+) chars=(\\d+)"
+    val back = graft.sources.Sources.readText(spark, path)
+      .select(
+        regexp_extract(col("value"), re, 1).cast("long").as("doc_id"),
+        regexp_extract(col("value"), re, 2).as("source"),
+        regexp_extract(col("value"), re, 3).as("lang"),
+        regexp_extract(col("value"), re, 4).cast("long").as("n_chars"))
+      .orderBy("doc_id").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getLong(3))).toSeq === Seq((1L, "sA", "en", 10L),
+      (2L, "sB", "de", 20L)))
+  }
+
+  test("phrasePostings: the repeated phrase wins the ranking and its " +
+      "postings count within-doc occurrences") {
+    val docs = Seq(
+      (1L, "the quick fox the quick fox jumps"),
+      (2L, "the quick fox sleeps"),
+      (3L, "lazy dogs sleep all day today")).toDF("doc_id", "text")
+    val out = Text.phrasePostings(docs, "doc_id", "text", w = 3,
+        topK = 1, docsPerPhrase = 10)
+      .orderBy("rk").collect()
+    assert(out.forall(_.getAs[String]("phrase") === "the quick fox"))
+    assert(out.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("n_occ"))).toSeq === Seq((1L, 2L), (2L, 1L)))
+    assert(out.head.getAs[Long]("total") === 3L)
+  }
+
+  test("temporalSplit: integer cutoff at 80% of the time range; " +
+      "straddling users counted as leaky") {
+    val ts = (m: Int) => new java.sql.Timestamp(m * 60000L)
+    // range 0..100 min -> cutoff at 80 min
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(50)), (1L, ts(90)),  // straddles
+      (2L, ts(10)), (2L, ts(70)),               // train only
+      (3L, ts(85)), (3L, ts(100)))              // test only
+      .toDF("user_id", "ts")
+    val r = EventsOps.temporalSplit(ev, testPct = 20).collect().head
+    assert(r.getAs[Long]("cutoff_es") === 80L * 60L)
+    assert(r.getAs[Long]("n_train") === 4L)
+    assert(r.getAs[Long]("n_test") === 3L)
+    assert(r.getAs[Long]("n_users_train") === 2L)
+    assert(r.getAs[Long]("n_users_test") === 2L)
+    assert(r.getAs[Long]("n_leaky_users") === 1L)
+    assert(r.getAs[Double]("leak_rate") === 0.5)
+  }
+
   test("mutualInformation: b == a makes MI = H(a) and H(b|a) = 0; " +
       "the identity holds at the floored precision") {
     val df = (Seq.fill(4)("p") ++ Seq.fill(2)("q") ++ Seq.fill(2)("r"))
