@@ -2585,7 +2585,24 @@ object SparkEntry {
           Artifacts.nearDupPairs(s, dir, k = 8, bands = 4,
             minJaccard = 0.2),
           "doc_id", "text", k = 8)
-        .orderBy("est_matches"))
+        .orderBy("est_matches")),
+
+    // entity resolution — transitive entity clusters over the q211
+    // multi-pass pair graph (componentsConverged on string ids: min
+    // label is lexicographic): the canonical-entity assignment record
+    // linkage ends with, plus cluster sizes from a component-keyed
+    // window.
+    "q227_entity_clusters" -> ((s, dir) => {
+      val names = t(s, dir, "part")
+        .select(col("p_name").as("name")).distinct()
+      val comp = Dedup.componentsConverged(
+        Dedup.multiBlockFuzzyPairs(names, "name", "name", maxDist = 3))
+      comp.select(col("doc_id").as("name"),
+          col("component").as("entity"))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy("entity")))
+        .orderBy("name")
+    })
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -2776,6 +2793,35 @@ object SparkEntry {
          |      i -> i + 4 - list_position(list_reverse(h[i+1:i+4]),
          |        list_min(h[i+1:i+4]))))) AS sp
          |  FROM wn_hw)""".stripMargin
+
+    // the q211 multi-pass blocking chain as a reusable CTE ending in
+    // `mp(id_a, id_b)` (verified pairs) and `g(id_a, id_b, passes)` —
+    // shared with the q227 entity-cluster oracle so both provably run
+    // on the identical candidate graph
+    val multiBlockCte =
+      """mk AS (SELECT DISTINCT p_name AS name FROM part),
+        |mbk AS (SELECT name,
+        |    string_split(name, ' ')[1] AS blk_first,
+        |    string_split(name, ' ')[-1] AS blk_last,
+        |    array_to_string(list_sort(string_split(name, ' ')), ' ')
+        |      AS blk_sorted
+        |  FROM mk),
+        |mc AS (
+        |  SELECT a.name AS id_a, b.name AS id_b, 'first' AS pass
+        |  FROM mbk a JOIN mbk b
+        |    ON a.blk_first = b.blk_first AND a.name < b.name
+        |  UNION ALL SELECT a.name, b.name, 'last'
+        |  FROM mbk a JOIN mbk b
+        |    ON a.blk_last = b.blk_last AND a.name < b.name
+        |  UNION ALL SELECT a.name, b.name, 'sorted'
+        |  FROM mbk a JOIN mbk b
+        |    ON a.blk_sorted = b.blk_sorted AND a.name < b.name),
+        |g AS (SELECT id_a, id_b,
+        |    array_to_string(list_sort(list(DISTINCT pass)), ',')
+        |      AS passes
+        |  FROM mc GROUP BY 1, 2),
+        |mp AS (SELECT id_a, id_b FROM g
+        |  WHERE levenshtein(id_a, id_b) <= 3)""".stripMargin
 
     ListMap(
       "q01_pricing_summary" ->
@@ -5994,31 +6040,11 @@ object SparkEntry {
       // prefilter is engine-only: lev >= |len diff| makes it redundant
       // under the final <= 3 bound)
       "q211_multiblock_pairs" ->
-        """WITH k AS (SELECT DISTINCT p_name AS name FROM part),
-          |bk AS (SELECT name,
-          |    string_split(name, ' ')[1] AS blk_first,
-          |    string_split(name, ' ')[-1] AS blk_last,
-          |    array_to_string(list_sort(string_split(name, ' ')), ' ')
-          |      AS blk_sorted
-          |  FROM k),
-          |c AS (
-          |  SELECT a.name AS id_a, b.name AS id_b, 'first' AS pass
-          |  FROM bk a JOIN bk b
-          |    ON a.blk_first = b.blk_first AND a.name < b.name
-          |  UNION ALL SELECT a.name, b.name, 'last'
-          |  FROM bk a JOIN bk b
-          |    ON a.blk_last = b.blk_last AND a.name < b.name
-          |  UNION ALL SELECT a.name, b.name, 'sorted'
-          |  FROM bk a JOIN bk b
-          |    ON a.blk_sorted = b.blk_sorted AND a.name < b.name),
-          |g AS (SELECT id_a, id_b,
-          |    array_to_string(list_sort(list(DISTINCT pass)), ',')
-          |      AS passes
-          |  FROM c GROUP BY 1, 2)
-          |SELECT id_a, id_b,
-          |  CAST(levenshtein(id_a, id_b) AS INTEGER) AS dist, passes
-          |FROM g WHERE levenshtein(id_a, id_b) <= 3
-          |ORDER BY id_a, id_b""".stripMargin,
+        s"""WITH $multiBlockCte
+           |SELECT id_a, id_b,
+           |  CAST(levenshtein(id_a, id_b) AS INTEGER) AS dist, passes
+           |FROM g WHERE levenshtein(id_a, id_b) <= 3
+           |ORDER BY id_a, id_b""".stripMargin,
 
       // full recompute with the q98 decimal power sums — the merge's
       // correctness claim IS equality with this (decimal adds are
@@ -6337,7 +6363,27 @@ object SparkEntry {
            |  ${Num.floorAtSql(
              "CAST(serr AS DOUBLE) / n_pairs / 10000", 6)}
            |    AS mean_abs_err
-           |FROM g ORDER BY est_matches""".stripMargin
+           |FROM g ORDER BY est_matches""".stripMargin,
+
+      // recursive reachability over the shared multi-block pair CTE;
+      // entity = min reachable name (lexicographic — the engine's
+      // min-label CC on string ids computes the same fixpoint)
+      "q227_entity_clusters" ->
+        s"""WITH RECURSIVE
+           |$multiBlockCte,
+           |eedges AS (SELECT id_a AS src, id_b AS dst FROM mp
+           |           UNION SELECT id_b, id_a FROM mp),
+           |enodes AS (SELECT DISTINCT src AS id FROM eedges),
+           |ereach(id, lbl) AS (
+           |  SELECT id, id FROM enodes
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM ereach r
+           |  JOIN eedges e ON e.src = r.id),
+           |ecomp AS (SELECT id AS name, MIN(lbl) AS entity
+           |          FROM ereach GROUP BY id)
+           |SELECT name, entity,
+           |  COUNT(*) OVER (PARTITION BY entity) AS n_members
+           |FROM ecomp ORDER BY name""".stripMargin
     )
   }
 }
