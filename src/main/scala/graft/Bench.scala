@@ -33,7 +33,10 @@ object Bench {
           .cast("decimal(18,2)")))
       .write.format("noop").mode("overwrite").save()
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    // optional subset (dev loop): time just the named queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n)))
     // times(name) = one entry per rep that completed
     val times = scala.collection.mutable.LinkedHashMap(
       names.map(_ -> scala.collection.mutable.ListBuffer.empty[Double]): _*)
@@ -87,6 +90,29 @@ object Bench {
     spark.sparkContext.getPersistentRDDs
       .values.foreach(_.unpersist(blocking = true))
     val pinnedRdds = spark.sparkContext.getPersistentRDDs.size
+    // JVM-aging tripwire (round-8 residual drift: clean-session 109.2 s
+    // vs end-of-round 137.7 s on the same 194 queries with pinned_rdds
+    // already 0): record end-of-bench old-gen occupancy AFTER a forced
+    // full collection, plus cumulative GC counts/time, so the next
+    // round can tell real plan cost from an aged heap. A large settled
+    // old-gen here = live leaked state; large full_gc_count with small
+    // settled old-gen = allocation churn that aged the run but died.
+    System.gc()
+    val oldPool = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asInstanceOf[java.util.List[java.lang.management.MemoryPoolMXBean]]
+    var oldUsedMb = -1L
+    oldPool.forEach { p =>
+      if (p.getName.contains("Old") || p.getName.contains("Tenured"))
+        oldUsedMb = p.getUsage.getUsed / (1024 * 1024)
+    }
+    var gcCount = 0L; var gcTimeSec = 0.0; var fullGcCount = 0L
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.forEach { g =>
+      gcCount += math.max(g.getCollectionCount, 0)
+      gcTimeSec += math.max(g.getCollectionTime, 0) / 1e3
+      if (g.getName.contains("Old") || g.getName.contains("MarkSweep") ||
+        g.getName.contains("Full"))
+        fullGcCount += math.max(g.getCollectionCount, 0)
+    }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) Double.NaN
@@ -105,7 +131,7 @@ object Bench {
       .map(n => s"\"" + n + "\":" + times(n).mkString("[", ",", "]"))
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"pinned_rdds":$pinnedRdds,"queries":$qs,"raw":$raw,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"pinned_rdds":$pinnedRdds,"oldgen_settled_mb":$oldUsedMb,"full_gc_count":$fullGcCount,"gc_count":$gcCount,"gc_time_sec":$gcTimeSec,"queries":$qs,"raw":$raw,"errors":$errs,"sf":"$sfDir"}"""
     System.err.println(detail)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_details.json"), detail + "\n")
@@ -113,7 +139,7 @@ object Bench {
       System.err.println(s"[bench] could not write bench_details.json: $e")
     }
     // the one stdout line — compact on purpose, see scaladoc
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":${ok.size},"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":${ok.size},"pinned_rdds":$pinnedRdds,"oldgen_settled_mb":$oldUsedMb,"full_gc_count":$fullGcCount,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

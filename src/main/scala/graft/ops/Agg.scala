@@ -797,33 +797,43 @@ object Agg {
     * cannot manufacture correlation and any monotone relation scores
     * ±1. Standard tie handling: tied values share their AVERAGE rank.
     *
-    * Exactness: average ranks are computed on the per-group VALUE
-    * DOMAIN (cum(<v) + (c(v)+1)/2, from one keyed agg + one per-group
-    * domain window) and carried as DOUBLED integers (2·avg_rank is
-    * always a whole number), so every power sum is an exact BIGINT→
-    * DECIMAL accumulation — shuffle-order independent — and the single
-    * double division happens in the closed form at the end (the
-    * [[exactCorr]] contract, with ranks instead of values; the 2×
-    * scaling cancels in the correlation). Rank windows partition BY
-    * GROUP, so no single reducer sees more than one group's domain.
+    * Exactness: average ranks are carried as DOUBLED integers
+    * (2·avg_rank is always a whole number): for a row with value v,
+    * 2·avg_rank = 2·rank(v) + ties(v) − 1, where rank() is the SQL
+    * min-rank and ties(v) the peer count — both from ONE window per
+    * axis directly on the raw rows (rank over (key ORDER BY v) plus
+    * count over the RANGE-peers frame of the same spec, so Spark
+    * evaluates them in a single Window exec per axis). Every power sum
+    * is then an exact BIGINT→DECIMAL accumulation — shuffle-order
+    * independent — and the single double division happens in the
+    * closed form at the end (the [[exactCorr]] contract, with ranks
+    * instead of values; the 2× scaling cancels in the correlation).
+    *
+    * Plan shape: ZERO joins — one shuffle on the group key, two local
+    * sorts (one per axis; same partitioning, so the second window adds
+    * no exchange), one partial-aggregated power-sum pass. The round-8
+    * version joined the raw frame against per-axis rank tables; for a
+    * near-unique axis (l_extendedprice) those tables are row-sized and
+    * the two joins were the 2nd-most-expensive plan in the bench
+    * (62 s worst rep). Caveat the windows inherit: per-key windows
+    * serialize a group onto one task, so this shape wants group
+    * cardinality ≥ cores; for very-low-cardinality keys over huge
+    * groups, reduce to the per-(key,x,y) joint domain first and run
+    * the same windows with count-weighted sums over that frame.
     *
     * Output: (key, n, rho), floored 6 dp.
     */
   def spearmanCorr(df: DataFrame, key: String, x: String,
                    y: String): DataFrame = {
-    def ranks(c: String, out: String): DataFrame = {
-      val vc = df.groupBy(col(key), col(c).as("v"))
-        .agg(count(lit(1)).as("cnt"))
-      val wv = Window.partitionBy(col(key)).orderBy(col("v").asc)
-      vc.withColumn("cum", sum(col("cnt")).over(wv))
-        .select(col(key), col("v").as(c),
-          (lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1)
-            .as(out))
+    def dblRank(c: String): Column = {
+      val wr = Window.partitionBy(col(key)).orderBy(col(c).asc)
+      lit(2) * rank().over(wr) + count(lit(1))
+        .over(wr.rangeBetween(Window.currentRow, Window.currentRow)) - 1
     }
     def d(c: Column) = c.cast("decimal(18,0)")
     val r = df.select(col(key), col(x), col(y))
-      .join(ranks(x, "rx"), Seq(key, x))
-      .join(ranks(y, "ry"), Seq(key, y))
+      .withColumn("rx", dblRank(x))
+      .withColumn("ry", dblRank(y))
     val n = col("n").cast("double")
     def dbl(c: String) = col(c).cast("double")
     r.groupBy(col(key))

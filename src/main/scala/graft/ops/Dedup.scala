@@ -69,15 +69,25 @@ object Dedup {
             .cast("double") / col("n_rows"), 6).as("dup_pct"))
     }.reduce(_ unionByName _)
 
-  /** w-word shingles of a MATERIALIZED token-array column.
-    *
-    * The input must be an attribute (a `withColumn`-materialized array),
-    * not a computed expression: this body references `toks` w+2 times and
-    * Catalyst re-evaluates lambda-captured subexpressions per array
-    * element — an inline tokenize here turns O(n_tokens) into
-    * O(n_tokens * w * n_shingles) regex passes per row.
+  /** w-word shingles of a token-array column, as space-joined strings —
+    * native compiled loop (graft.functions.ShinglesExpr; the HOF
+    * reference formulation is [[shinglesHof]], bit-parity spec'd).
+    * Shingling fronts the whole dedup/text family, and the HOF form's
+    * per-position interpreted lambda walk was the single hottest cost
+    * in the round-8 bench's text tail (~2.5 s of q224's 4.3 s).
     */
   def shingles(toks: Column, w: Int = 3): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.ShinglesExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(toks), w))
+
+  /** HOF reference formulation of [[shingles]] — kept for the parity
+    * spec and as the readable spec of the semantics. The input must be
+    * an attribute (a `withColumn`-materialized array), not a computed
+    * expression: this body references `toks` w+2 times and Catalyst
+    * re-evaluates lambda-captured subexpressions per array element.
+    */
+  def shinglesHof(toks: Column, w: Int = 3): Column =
     when(size(toks) < w, array())
       .otherwise(transform(sequence(lit(0), size(toks) - w),
         i => concat_ws(" ",
@@ -88,9 +98,18 @@ object Dedup {
     * output is verified exactly afterwards (see prefixFilterPairs): a
     * collision merges two shingles, which can only raise apparent
     * similarity, never lower it — recall-safe, precision restored by the
-    * verify.
+    * verify. Native compiled loop (graft.functions.HashedShinglesExpr),
+    * bit-parity with the builtin-xxhash64 HOF form
+    * [[hashedShinglesHof]] (spec'd).
     */
   def hashedShingles(toks: Column, w: Int = 3): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.HashedShinglesExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(toks), w))
+
+  /** HOF reference formulation of [[hashedShingles]] — kept for the
+    * parity spec. */
+  def hashedShinglesHof(toks: Column, w: Int = 3): Column =
     when(size(toks) < w, array().cast("array<bigint>"))
       .otherwise(transform(sequence(lit(0), size(toks) - w),
         i => xxhash64(

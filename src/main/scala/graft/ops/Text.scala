@@ -465,15 +465,26 @@ object Text {
   def phrasePostings(docs: DataFrame, idCol: String, textCol: String,
                      w: Int = 3, topK: Int = 3,
                      docsPerPhrase: Int = 10): DataFrame = {
-    val occ = docs.select(col(idCol).as("doc_id"),
-        explode(Dedup.shingles(cleanTokens(col(textCol)), w))
-          .as("phrase"))
-      .groupBy("phrase", "doc_id").agg(count(lit(1)).as("n_occ"))
-    val top = occ.groupBy("phrase").agg(sum(col("n_occ")).as("total"))
+    // Two passes over the shingle stream, each doing the MINIMUM work
+    // for its branch (the round-8 shape ran the full (phrase, doc)
+    // groupBy on both branches — 2× the dominant shuffle; a
+    // localCheckpoint of that frame was measured SLOWER still, because
+    // materializing a row-heavy postings frame costs more than the
+    // explode it saves). Pass 1 ranks phrases from a phrase-only agg
+    // (vocab-sized, map-side combined — no doc dimension shuffled).
+    // Pass 2 re-explodes but broadcast-filters to the topK phrases
+    // BEFORE grouping, so its shuffle carries only the top phrases'
+    // postings.
+    val shing = docs.select(col(idCol).as("doc_id"),
+      explode(Dedup.shingles(cleanTokens(col(textCol)), w))
+        .as("phrase"))
+    val top = shing.groupBy("phrase").agg(count(lit(1)).as("total"))
       .orderBy(desc("total"), col("phrase")).limit(topK)
     val wnd = Window.partitionBy("phrase")
       .orderBy(desc("n_occ"), col("doc_id"))
-    occ.join(broadcast(top), Seq("phrase"))
+    shing.join(broadcast(top), Seq("phrase"))
+      .groupBy("phrase", "total", "doc_id")
+      .agg(count(lit(1)).as("n_occ"))
       .withColumn("rk", row_number().over(wnd))
       .where(col("rk") <= docsPerPhrase)
       .select(col("phrase"), col("total"), col("doc_id"), col("n_occ"),

@@ -169,6 +169,30 @@ class DedupSpec extends SparkSpec {
         s"(predicted ${bp.recallAtThreshold}, small-sample margin 0.9)")
   }
 
+  test("native shingles == HOF shingles; native hashedShingles == HOF " +
+      "(builtin xxhash64) hashedShingles — incl. empty and <w docs") {
+    val base = docs.withColumn("t", Text.cleanTokens(col("text")))
+    val rows = base.select(col("doc_id"),
+        Dedup.shingles(col("t"), 3).as("s_nat"),
+        Dedup.shinglesHof(col("t"), 3).as("s_hof"),
+        Dedup.hashedShingles(col("t"), 3).as("h_nat"),
+        Dedup.hashedShinglesHof(col("t"), 3).as("h_hof"))
+      .as[(Long, Seq[String], Seq[String], Seq[Long], Seq[Long])]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, sN, sH, hN, hH) =>
+      assert(sN === sH, s"string-shingle mismatch doc $id")
+      assert(hN === hH, s"hashed-shingle mismatch doc $id")
+    }
+    // w=2 and w=1 parity too (calibration sweeps vary w)
+    Seq(1, 2).foreach { w =>
+      base.select(Dedup.shingles(col("t"), w).as("a"),
+          Dedup.shinglesHof(col("t"), w).as("b"))
+        .as[(Seq[String], Seq[String])].collect()
+        .foreach { case (a, b) => assert(a === b, s"w=$w") }
+    }
+  }
+
   test("native simhash == HOF simhash; native minhash == HOF minhash") {
     val base = docs
       .withColumn("c", Text.cleanText(col("text")))
