@@ -2602,7 +2602,46 @@ object SparkEntry {
         .withColumn("n_members",
           count(lit(1)).over(Window.partitionBy("entity")))
         .orderBy("name")
-    })
+    }),
+
+    // north star — MEASURED ANN recall (the q155 contract applied to
+    // the ANN family): IVF (q41's own-cell probe) and sign-LSH (q43's
+    // buckets) top-5 against q40's brute-force ground truth — exact
+    // integer hit counts, realized recall per method instead of the
+    // expected-recall formula Sim.scala cites.
+    "q228_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+      // tiny (50-row) truth frame, three consumers: materialize once
+      val truth = Sim.topK(q, emb, 5).select(col("q_id"), col("c_id"))
+        .withColumn("__hit", lit(true)).localCheckpoint()
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      def eval(method: String,
+               approx: org.apache.spark.sql.DataFrame) =
+        approx.select(col("q_id"), col("c_id"))
+          .join(truth, Seq("q_id", "c_id"), "left")
+          .agg(count(lit(1)).as("n_approx"),
+            sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hits"))
+          .crossJoin(broadcast(nT))
+          .select(lit(method).as("method"), col("n_truth"),
+            col("n_approx"), col("n_hits"),
+            when(col("n_truth") === 0, lit(1.0)).otherwise(
+              Num.floorAt(col("n_hits").cast("double") /
+                col("n_truth"), 4)).as("recall"))
+      eval("ivf", Sim.topKIvf(q, emb, 5, "label"))
+        .unionByName(eval("lsh", Sim.topKLsh(q, emb, 5, bits = 4)))
+        .orderBy("method")
+    }),
+
+    // north star — multi-probe IVF recall sweep (Sim.ivfRecallSweep
+    // scaladoc): realized recall@5 vs brute truth for probes = 1..3
+    // over centroid-ranked label cells — q228 names the single-probe
+    // recall loss; this measures the knob that buys it back.
+    "q229_ivf_multiprobe" -> ((s, dir) =>
+      Sim.ivfRecallSweep(
+          t(s, dir, "embeddings").where(col("vec_id") < 10),
+          t(s, dir, "embeddings"), 5, "label", maxProbes = 3)
+        .orderBy("probes"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -2644,6 +2683,55 @@ object SparkEntry {
         |  SELECT q_id, c_id, sim,
         |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
         |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+    // q41's and q43's full oracle bodies as vals: q228 measures their
+    // recall against q40's, so all three must provably be the SAME
+    // queries the standalone entries check
+    val topkIvfSql =
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS cell FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding AS cv, label AS cell FROM embeddings),
+        |scored AS (
+        |  SELECT q_id, c_id,
+        |    floor((
+        |      list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))) * 10000) / 10000 AS sim
+        |  FROM c JOIN q USING (cell) WHERE q_id <> c_id)
+        |SELECT q_id, c_id, sim, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT q_id, c_id, sim,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
+        |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+    val topkLshSql =
+      s"""WITH dims AS (SELECT MAX(len(embedding)) AS dim FROM embeddings),
+         |planes AS (
+         |  SELECT CAST(t.i AS INTEGER) AS i,
+         |    list_transform(range(0, (SELECT dim FROM dims)), j ->
+         |      CAST(CAST((${md5Hex4Sql("CAST(t.i AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} / 65535.0) * 2 - 1 AS FLOAT) AS DOUBLE)) AS pv
+         |  FROM range(0, 4) t(i)),
+         |bucket AS (
+         |  SELECT vec_id, SUM(CASE WHEN dot > 0 THEN (1 << i) ELSE 0 END) AS cell
+         |  FROM (
+         |    SELECT e.vec_id, p.i,
+         |      list_sum(list_transform(range(1, len(e.embedding) + 1), x ->
+         |        CAST(e.embedding[x] AS DOUBLE) * p.pv[x])) AS dot
+         |    FROM embeddings e CROSS JOIN planes p)
+         |  GROUP BY vec_id),
+         |q AS (SELECT cell, e.vec_id AS q_id, e.embedding AS qv
+         |      FROM embeddings e JOIN bucket USING (vec_id) WHERE e.vec_id < 10),
+         |c AS (SELECT cell, e.vec_id AS c_id, e.embedding AS cv
+         |      FROM embeddings e JOIN bucket USING (vec_id)),
+         |scored AS (
+         |  SELECT q_id, c_id,
+         |    floor((
+         |      list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))) * 10000) / 10000 AS sim
+         |  FROM c JOIN q USING (cell) WHERE q_id <> c_id)
+         |SELECT q_id, c_id, sim, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT q_id, c_id, sim,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
+         |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
     // the q111 LSH-then-verify pair generation as a reusable CTE chain
     // ending in `pairs(id_a, id_b)` — shared by the CC oracle and the
@@ -3166,51 +3254,9 @@ object SparkEntry {
 
       "q40_topk_cosine" -> topkCosineSql,
 
-      "q41_topk_ivf" ->
-        """WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS cell FROM embeddings WHERE vec_id < 10),
-          |c AS (SELECT vec_id AS c_id, embedding AS cv, label AS cell FROM embeddings),
-          |scored AS (
-          |  SELECT q_id, c_id,
-          |    floor((
-          |      list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
-          |      / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
-          |       * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))) * 10000) / 10000 AS sim
-          |  FROM c JOIN q USING (cell) WHERE q_id <> c_id)
-          |SELECT q_id, c_id, sim, CAST(rk AS INTEGER) AS rk FROM (
-          |  SELECT q_id, c_id, sim,
-          |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
-          |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+      "q41_topk_ivf" -> topkIvfSql,
 
-      "q43_topk_lsh" ->
-        s"""WITH dims AS (SELECT MAX(len(embedding)) AS dim FROM embeddings),
-           |planes AS (
-           |  SELECT CAST(t.i AS INTEGER) AS i,
-           |    list_transform(range(0, (SELECT dim FROM dims)), j ->
-           |      CAST(CAST((${md5Hex4Sql("CAST(t.i AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} / 65535.0) * 2 - 1 AS FLOAT) AS DOUBLE)) AS pv
-           |  FROM range(0, 4) t(i)),
-           |bucket AS (
-           |  SELECT vec_id, SUM(CASE WHEN dot > 0 THEN (1 << i) ELSE 0 END) AS cell
-           |  FROM (
-           |    SELECT e.vec_id, p.i,
-           |      list_sum(list_transform(range(1, len(e.embedding) + 1), x ->
-           |        CAST(e.embedding[x] AS DOUBLE) * p.pv[x])) AS dot
-           |    FROM embeddings e CROSS JOIN planes p)
-           |  GROUP BY vec_id),
-           |q AS (SELECT cell, e.vec_id AS q_id, e.embedding AS qv
-           |      FROM embeddings e JOIN bucket USING (vec_id) WHERE e.vec_id < 10),
-           |c AS (SELECT cell, e.vec_id AS c_id, e.embedding AS cv
-           |      FROM embeddings e JOIN bucket USING (vec_id)),
-           |scored AS (
-           |  SELECT q_id, c_id,
-           |    floor((
-           |      list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
-           |      / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
-           |       * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))) * 10000) / 10000 AS sim
-           |  FROM c JOIN q USING (cell) WHERE q_id <> c_id)
-           |SELECT q_id, c_id, sim, CAST(rk AS INTEGER) AS rk FROM (
-           |  SELECT q_id, c_id, sim,
-           |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
-           |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+      "q43_topk_lsh" -> topkLshSql,
 
       "q42_near_dup_cosine" ->
         """WITH a AS (SELECT label AS cell, vec_id AS id_a, embedding AS va FROM embeddings),
@@ -6383,7 +6429,88 @@ object SparkEntry {
            |          FROM ereach GROUP BY id)
            |SELECT name, entity,
            |  COUNT(*) OVER (PARTITION BY entity) AS n_members
-           |FROM ecomp ORDER BY name""".stripMargin
+           |FROM ecomp ORDER BY name""".stripMargin,
+
+      // realized recall of the q41/q43 oracles (verbatim, as vals)
+      // against the q40 brute oracle — exact integer hit counts
+      "q228_ann_recall" ->
+        s"""WITH brute AS (SELECT q_id, c_id FROM ($topkCosineSql)),
+           |ivf AS (SELECT q_id, c_id FROM ($topkIvfSql)),
+           |lshk AS (SELECT q_id, c_id FROM ($topkLshSql)),
+           |nt AS (SELECT COUNT(*) AS n_truth FROM brute),
+           |stats AS (
+           |  SELECT 'ivf' AS method, COUNT(*) AS n_approx,
+           |    COUNT(b.q_id) AS n_hits
+           |  FROM ivf a LEFT JOIN brute b
+           |    ON b.q_id = a.q_id AND b.c_id = a.c_id
+           |  UNION ALL
+           |  SELECT 'lsh', COUNT(*), COUNT(b.q_id)
+           |  FROM lshk a LEFT JOIN brute b
+           |    ON b.q_id = a.q_id AND b.c_id = a.c_id)
+           |SELECT method, n_truth, n_approx, n_hits,
+           |  CASE WHEN n_truth = 0 THEN 1.0
+           |       ELSE ${Num.floorAtSql(
+             "CAST(n_hits AS DOUBLE) / n_truth", 4)} END AS recall
+           |FROM stats CROSS JOIN nt ORDER BY method""".stripMargin,
+
+      // multi-probe IVF: exact decimal-mean cell centroids (the q125
+      // discipline), probe rank by 9dp-floored centroid cosine, per-p
+      // top-5 re-rank, hits vs the q40 brute oracle
+      "q229_ivf_multiprobe" ->
+        s"""WITH q AS (SELECT vec_id AS q_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           |  FROM embeddings WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS c_id, label AS cell,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           |  FROM embeddings),
+           |cm AS (SELECT cell, d.pos AS pos,
+           |    CAST(SUM(CAST(cv[d.pos] AS DECIMAL(27,10))) AS DOUBLE)
+           |      / COUNT(*) AS m
+           |  FROM c CROSS JOIN range(1, 65) AS d(pos)
+           |  GROUP BY cell, d.pos),
+           |cent AS (SELECT cell,
+           |    list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS ce
+           |  FROM cm GROUP BY cell),
+           |centn AS (SELECT cell, ce,
+           |    sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn
+           |  FROM cent),
+           |qn AS (SELECT q_id, qv,
+           |    sqrt(list_sum(list_transform(qv, x -> x * x))) AS qnorm
+           |  FROM q),
+           |probe AS (SELECT q_id, qv, qnorm, cell, pr FROM (
+           |  SELECT n.q_id, n.qv, n.qnorm, t.cell,
+           |    row_number() OVER (PARTITION BY n.q_id ORDER BY
+           |      ${Num.floorAtSql(
+             "list_sum(list_transform(range(1, 65)," +
+               " i -> n.qv[i] * t.ce[i])) / (n.qnorm * t.cn)", 9)} DESC,
+           |      t.cell ASC) AS pr
+           |  FROM qn n CROSS JOIN centn t) WHERE pr <= 3),
+           |scored AS (SELECT p.q_id, c.c_id, p.pr,
+           |    ${Num.floorAtSql(
+             "list_sum(list_transform(range(1, 65)," +
+               " i -> p.qv[i] * c.cv[i])) / (p.qnorm *" +
+               " sqrt(list_sum(list_transform(c.cv, x -> x * x))))", 4)}
+           |      AS sim
+           |  FROM c JOIN probe p USING (cell) WHERE p.q_id <> c.c_id),
+           |perp AS (SELECT pp.p, s.q_id, s.c_id,
+           |    row_number() OVER (PARTITION BY pp.p, s.q_id
+           |      ORDER BY s.sim DESC, s.c_id ASC) AS rk
+           |  FROM (VALUES (1), (2), (3)) pp(p)
+           |  JOIN scored s ON s.pr <= pp.p),
+           |tk AS (SELECT p, q_id, c_id FROM perp WHERE rk <= 5),
+           |brute AS (SELECT q_id, c_id FROM ($topkCosineSql)),
+           |nt AS (SELECT COUNT(*) AS n_truth FROM brute),
+           |stats AS (SELECT t.p, COUNT(*) AS n_approx,
+           |    COUNT(b.q_id) AS n_hits
+           |  FROM tk t LEFT JOIN brute b
+           |    ON b.q_id = t.q_id AND b.c_id = t.c_id
+           |  GROUP BY t.p)
+           |SELECT CAST(p AS INTEGER) AS probes, n_truth, n_approx,
+           |  n_hits,
+           |  CASE WHEN n_truth = 0 THEN 1.0
+           |       ELSE ${Num.floorAtSql(
+             "CAST(n_hits AS DOUBLE) / n_truth", 4)} END AS recall
+           |FROM stats CROSS JOIN nt ORDER BY probes""".stripMargin
     )
   }
 }

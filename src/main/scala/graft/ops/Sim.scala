@@ -229,19 +229,125 @@ object Sim {
         col("col.sim").as("sim"), (col("pos") + 1).cast("int").as("rk"))
   }
 
-  /** IVF-style top-k: probe only the candidate cell that matches the
-    * query's cell (`cellCol` = coarse-quantizer assignment). Same output
-    * shape as `topK` but each query scans ~N/cells candidates.
+  /** Per-cell centroid of the candidate vectors, with its norm — the
+    * cell GEOMETRY multi-probe IVF ranks probe targets by. Exact
+    * DECIMAL(27,10) per-dimension mean cast to float (order-insensitive
+    * and bit-identical in DuckDB — the [[kmeansCells]] centroid
+    * discipline). One (cell, dim)-keyed shuffle; output is n_cells
+    * rows, always broadcastable.
+    */
+  def cellCentroids(candidates: DataFrame, cellCol: String,
+                    vecCol: String = "embedding"): DataFrame =
+    candidates
+      .select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("v").cast("double").cast("decimal(27,10)"))
+        .cast("double") / count(lit(1))).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m").cast("float")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+
+  /** IVF-style top-k. With `probes = 1` (default) each query probes only
+    * the candidate cell matching its own `cellCol` value (coarse-
+    * quantizer assignment) — same output shape as `topK` but each query
+    * scans ~N/cells candidates. With `probes = p > 1`, the query probes
+    * the p cells whose [[cellCentroids]] centroid is nearest by cosine
+    * (floored 9 dp, ties to the lowest cell id — the [[kmeansCells]]
+    * assignment discipline): the standard recall/cost knob for boundary
+    * queries, which single-probe loses silently (q228 measures recall
+    * rising with p against exact ground truth). Probe assignment costs
+    * one broadcast of n_cells centroids into a ranking projection —
+    * the candidate side still never shuffles.
     */
   def topKIvf(queries: DataFrame, candidates: DataFrame, k: Int,
-              cellCol: String, idCol: String = "vec_id",
-              vecCol: String = "embedding",
-              excludeSelf: Boolean = true): DataFrame =
-    rankPairs(
-      cSide(candidates, idCol, vecCol, Seq(cellCol -> "cell"))
-        .join(broadcast(qSide(queries, idCol, vecCol,
-          Seq(cellCol -> "cell"))), Seq("cell")),
-      k, excludeSelf)
+              cellCol: String, probes: Int = 1,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              excludeSelf: Boolean = true): DataFrame = {
+    require(probes >= 1, s"need probes >= 1, got $probes")
+    val c = cSide(candidates, idCol, vecCol, Seq(cellCol -> "cell"))
+    val probed =
+      if (probes == 1) qSide(queries, idCol, vecCol, Seq(cellCol -> "cell"))
+      else probeCells(queries, candidates, cellCol, probes, idCol, vecCol)
+    rankPairs(c.join(broadcast(probed), Seq("cell")), k, excludeSelf)
+  }
+
+  /** The nearest-`probes` centroid cells per query — (q_id, q_vec,
+    * q_norm, cell), one row per probed cell. Shared by multi-probe
+    * [[topKIvf]] and the [[ivfRecallSweep]] harness (which also needs
+    * the probe rank). */
+  private def probeCells(queries: DataFrame, candidates: DataFrame,
+                         cellCol: String, probes: Int, idCol: String,
+                         vecCol: String): DataFrame =
+    probeRanked(queries, candidates, cellCol, idCol, vecCol)
+      .where(col("pr") <= probes)
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("cell"))
+
+  private def probeRanked(queries: DataFrame, candidates: DataFrame,
+                          cellCol: String, idCol: String,
+                          vecCol: String): DataFrame = {
+    val cent = cellCentroids(candidates, cellCol, vecCol)
+    val pw = Window.partitionBy("q_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    qSide(queries, idCol, vecCol)
+      .crossJoin(broadcast(cent))
+      .withColumn("csim",
+        Num.floorAt(dot(col("q_vec"), col("cv")) /
+          (col("q_norm") * col("cn")), 9))
+      .withColumn("pr", row_number().over(pw))
+  }
+
+  /** Measured ANN recall sweep for multi-probe IVF: for each probe count
+    * p in [1, maxProbes], the realized recall of [[topKIvf]](probes = p)
+    * against [[topK]] brute-force ground truth on the same (queries,
+    * candidates, k) — exact integer hit counting, one row per p. The
+    * dedup family publishes measured LSH recall (q155); this is the
+    * same contract for the ANN family: a user tuning `probes` reads a
+    * realized number, not an expected-recall formula.
+    *
+    * Output: (probes, n_truth, n_approx, n_hits, recall), recall
+    * floored 4 dp (1.0 by convention on an empty truth set).
+    */
+  def ivfRecallSweep(queries: DataFrame, candidates: DataFrame, k: Int,
+                     cellCol: String, maxProbes: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(maxProbes >= 1, s"need maxProbes >= 1, got $maxProbes")
+    // brute truth is the EXPENSIVE side of this harness (a full scan
+    // per query vector); it feeds the hit join AND the n_truth scalar,
+    // so materialize the tiny (n_queries x k)-row result once instead
+    // of re-running the brute scan per consumer
+    val truth = topK(queries, candidates, k, idCol, vecCol)
+      .select(col("q_id"), col("c_id")).withColumn("__hit", lit(true))
+      .localCheckpoint()
+    val probed = probeRanked(queries, candidates, cellCol, idCol, vecCol)
+      .where(col("pr") <= maxProbes)
+    val c = cSide(candidates, idCol, vecCol, Seq(cellCol -> "cell"))
+    // a candidate lives in exactly one cell, so multi-probe cannot
+    // duplicate a (q, c) pair; pr rides along to slice the sweep
+    val scored = c.join(broadcast(probed), Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("pr"),
+        Num.floorAt(dot(col("q_vec"), col("c_vec")) /
+          (col("q_norm") * col("c_norm")), 4).as("sim"))
+    val w = Window.partitionBy("p", "q_id")
+      .orderBy(col("sim").desc, col("c_id").asc)
+    val topkPerP = scored
+      .withColumn("p", explode(sequence(lit(1), lit(maxProbes))))
+      .where(col("pr") <= col("p"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    topkPerP.join(truth, Seq("q_id", "c_id"), "left")
+      .groupBy(col("p").cast("int").as("probes"))
+      .agg(count(lit(1)).as("n_approx"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hits"))
+      .crossJoin(broadcast(nT))
+      .select(col("probes"), col("n_truth"), col("n_approx"), col("n_hits"),
+        when(col("n_truth") === 0, lit(1.0)).otherwise(
+          Num.floorAt(col("n_hits").cast("double") / col("n_truth"), 4))
+          .as("recall"))
+  }
 
   /** Deterministic hyperplanes for sign-LSH, derived from md5 rather than a
     * PRNG: weight(i, j) = ((hex4 / 65535) * 2 - 1) as float, where hex4 is
@@ -305,7 +411,7 @@ object Sim {
     topKIvf(
       queries.withColumn("__cell", lshBucket(col(vecCol), planes)),
       candidates.withColumn("__cell", lshBucket(col(vecCol), planes)),
-      k, "__cell", idCol, vecCol)
+      k, "__cell", idCol = idCol, vecCol = vecCol)
   }
 
   /** Deterministic k-means coarse quantizer (Lloyd's, cosine assignment):

@@ -556,4 +556,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(1500))
     assert(!p.contains("Join"), p.take(1500))
   }
+
+  test("q209 spearman is JOIN-FREE: both rank windows share one hash " +
+      "exchange on the group key (the round-8 shape joined the raw " +
+      "frame against two row-sized rank tables)") {
+    val p = plan("q209_spearman")
+    assert(!p.contains("Join"), p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      p.take(1500))
+    assert("Window \\[".r.findAllIn(p).size === 2, p.take(1500))
+  }
+
+  test("q224 phrase postings: phrase ranking is a vocab-sized agg + " +
+      "TakeOrderedAndProject; the (phrase,doc) groupBy runs AFTER the " +
+      "broadcast top-K filter (its keys carry the joined total)") {
+    val p = plan("q224_phrase_postings")
+    assert("Generate explode".r.findAllIn(p).size === 2, p.take(1500))
+    assert(p.contains("TakeOrderedAndProject(limit=3"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    // join-below-aggregate proof: the postings agg groups by the
+    // broadcast-joined `total` alongside (phrase, doc_id)
+    assert("HashAggregate\\(keys=\\[phrase#\\d+, total#\\d+L, doc_id"
+      .r.findAllIn(p).nonEmpty, p.take(1500))
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+  }
+
+  test("q229 multi-probe IVF: candidates NEVER shuffle (probe side " +
+      "broadcasts onto the cell key); centroids broadcast; per-(p,q) " +
+      "top-5 is WindowGroupLimit-pruned") {
+    val p = plan("q229_ivf_multiprobe")
+    assert(p.contains("BroadcastHashJoin [cell#"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // exactly two broadcast-nested-loop fans: the tiny centroid set
+    // onto the queries, and the 1-row n_truth scalar onto the stats
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 2,
+      p.take(2000))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
 }
