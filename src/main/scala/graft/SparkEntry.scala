@@ -6078,7 +6078,7 @@ object SparkEntry {
            |  ${Num.floorAtSql(
              "CAST(rows_scanned AS DOUBLE) / CAST(rows_total AS DOUBLE)",
              6)} AS scan_frac
-           |FROM a JOIN m USING (predicate)
+           |FROM a LEFT JOIN m USING (predicate)
            |ORDER BY layout, predicate""".stripMargin,
 
       // three blocked joins UNION'd, pair-deduped with the sorted
@@ -6142,11 +6142,12 @@ object SparkEntry {
            |r AS (SELECT user_id, COUNT(*) AS n_right FROM events
            |    WHERE event_type = 'view' GROUP BY 1),
            |j AS (SELECT l.user_id, n_left, n_right,
-           |    n_left * n_right AS n_pairs FROM l JOIN r USING (user_id)),
-           |tt AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS total_pairs,
+           |    CAST(n_left AS DECIMAL(19,0)) * CAST(n_right AS DECIMAL(19,0))
+           |      AS n_pairs FROM l JOIN r USING (user_id)),
+           |tt AS (SELECT CAST(SUM(n_pairs) AS DECIMAL(38,0)) AS total_pairs,
            |    COUNT(*) AS n_keys FROM j)
            |SELECT user_id, n_left, n_right,
-           |  CAST(n_pairs AS BIGINT) AS n_pairs, total_pairs, n_keys,
+           |  CAST(n_pairs AS DECIMAL(38,0)) AS n_pairs, total_pairs, n_keys,
            |  ${Num.floorAtSql(
              "CAST(n_pairs AS DOUBLE) / CAST(total_pairs AS DOUBLE)", 6)}
            |    AS share
@@ -6235,8 +6236,10 @@ object SparkEntry {
            |nd AS (SELECT threshold, COUNT(DISTINCT id) AS n_docs FROM (
            |    SELECT threshold, id_a AS id FROM kept
            |    UNION ALL SELECT threshold, id_b FROM kept) GROUP BY 1)
-           |SELECT threshold, n_pairs, n_docs
-           |FROM np JOIN nd USING (threshold)
+           |SELECT threshold, COALESCE(n_pairs, 0) AS n_pairs,
+           |  COALESCE(n_docs, 0) AS n_docs
+           |FROM th LEFT JOIN np USING (threshold)
+           |  LEFT JOIN nd USING (threshold)
            |ORDER BY threshold""".stripMargin,
 
       // exact integer (tf, tf^2) power sums per term; VMR in double

@@ -168,10 +168,17 @@ object Agg {
     * do NOT have), tiny (one row per key), and composable across
     * arbitrarily many ingest batches. [[incrementalMoments]] is the
     * merge+finalize; q212 pins merge == full against the oracle.
+    *
+    * Quantization contract: `x` is cast to DECIMAL(18, `scale`) before
+    * summation — exact for data already on that grid (TPC-H prices at
+    * the default scale = 2), a deliberate rounding for anything finer.
+    * Pass the column's native scale; the merge == full guarantee holds
+    * against an oracle applying the identical cast.
     */
   def momentState(df: DataFrame, key: String, x: String,
-                  side: String): DataFrame = {
-    val xd = col(x).cast("decimal(18,2)")
+                  side: String, scale: Int = 2): DataFrame = {
+    require(scale >= 0 && scale <= 8, s"bad scale $scale")
+    val xd = col(x).cast(s"decimal(18,$scale)")
     df.groupBy(col(key)).agg(
         count(lit(1)).as("n"),
         sum(xd).as("sx"),
@@ -185,12 +192,14 @@ object Agg {
     * full table is never rescanned — at scale the standing state is a
     * stored table (the Artifacts-layer shape) and each refresh costs one
     * pass over the batch plus a state-sized merge. Per-side row counts
-    * are carried through as the refresh audit trail.
+    * are carried through as the refresh audit trail. `scale` is the
+    * [[momentState]] quantization grid — both sides MUST use the same.
     */
   def incrementalMoments(standing: DataFrame, delta: DataFrame,
-                         key: String, x: String): DataFrame = {
-    val states = momentState(standing, key, x, "standing")
-      .unionAll(momentState(delta, key, x, "delta"))
+                         key: String, x: String,
+                         scale: Int = 2): DataFrame = {
+    val states = momentState(standing, key, x, "standing", scale)
+      .unionAll(momentState(delta, key, x, "delta", scale))
     val g = states.groupBy(col(key)).agg(
       sum(when(col("side") === "standing", col("n")).otherwise(0L))
         .as("n_standing"),

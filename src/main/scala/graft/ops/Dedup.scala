@@ -542,12 +542,16 @@ object Dedup {
     * exact; lower ones would need a rebuild (the artifact's build
     * minJaccard is the floor — callers sweep above it).
     *
-    * Output: (threshold, n_pairs, n_docs), ascending threshold.
+    * Output: ONE row per candidate threshold, ascending — a threshold
+    * where nothing survives reports (threshold, 0, 0) rather than
+    * silently disappearing (in a policy-tuning report, a missing row
+    * reads as "not computed", not "nothing survives here").
     */
   def thresholdSweep(pairs: DataFrame, thresholds: Seq[Double])
       : DataFrame = {
     require(thresholds.nonEmpty, "need at least one threshold")
     val th = explode(array(thresholds.map(lit): _*)).as("threshold")
+    val thFrame = pairs.sparkSession.range(1).select(th)
     val kept = pairs.select(col("id_a"), col("id_b"), col("jaccard"))
       .select(col("id_a"), col("id_b"), col("jaccard"), th)
       .where(col("jaccard") >= col("threshold"))
@@ -558,7 +562,11 @@ object Dedup {
         explode(array(col("id_a"), col("id_b"))).as("id"))
       .groupBy("threshold")
       .agg(countDistinct(col("id")).as("n_docs"))
-    nPairs.join(nDocs, Seq("threshold"))
+    thFrame.join(broadcast(nPairs), Seq("threshold"), "left")
+      .join(broadcast(nDocs), Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
   }
 
   /** Cap every near-dup cluster at its `n` smallest doc_ids — the

@@ -179,7 +179,17 @@ object Graph {
       : DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(rounds >= 1 && rounds <= 20, s"bad rounds $rounds")
-    var edges = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    // normalize up front rather than trusting canonical input: a
+    // mirrored or duplicated pair would double-count degree and a
+    // self-loop would add 2 to its own node, letting nodes survive
+    // peels they shouldn't. On the already-canonical artifact frames
+    // the normalize is an identity (one extra pair-sized shuffle).
+    var edges = pairs
+      .where(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+      .localCheckpoint()
     for (_ <- 1 to rounds) {
       val deg = edges.select(col("id_a").as("id"))
         .unionAll(edges.select(col("id_b").as("id")))

@@ -150,10 +150,17 @@ object Skew {
                         topK: Int = 10): DataFrame = {
     val l = left.groupBy(col(key)).agg(count(lit(1)).as("n_left"))
     val r = right.groupBy(col(key)).agg(count(lit(1)).as("n_right"))
+    // pair products/sums in DECIMAL(38,0): at the 100 TB cardinalities
+    // this op exists for (per-side counts in the billions), a BIGINT
+    // product silently wraps — the one estimate that must not lie is
+    // the overflow-sized one (mirrors DuckDB's HUGEINT promotion)
     val j = l.join(r, Seq(key))
       .select(col(key), col("n_left"), col("n_right"),
-        (col("n_left") * col("n_right")).as("n_pairs"))
-    val tot = j.agg(sum(col("n_pairs")).as("total_pairs"),
+        (col("n_left").cast("decimal(19,0)") *
+          col("n_right").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("n_pairs"))
+    val tot = j.agg(sum(col("n_pairs")).cast("decimal(38,0)")
+        .as("total_pairs"),
       count(lit(1)).as("n_keys"))
     j.crossJoin(broadcast(tot))
       .select(col(key), col("n_left"), col("n_right"), col("n_pairs"),
