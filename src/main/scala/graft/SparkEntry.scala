@@ -2641,7 +2641,18 @@ object SparkEntry {
       Sim.ivfRecallSweep(
           t(s, dir, "embeddings").where(col("vec_id") < 10),
           t(s, dir, "embeddings"), 5, "label", maxProbes = 3)
-        .orderBy("probes"))
+        .orderBy("probes")),
+
+    // monitoring — the DISTRIBUTED-exact Spearman engine
+    // (Agg.spearmanCorrDomain scaladoc), pinned to q209's oracle: same
+    // doubled-average-rank arithmetic from domain windows + two
+    // joint-domain hash joins, for the few-giant-groups inputs where
+    // q209's per-key window serializes (the CC-family pattern: one
+    // oracle, engine per scale regime).
+    "q230_spearman_domain" -> ((s, dir) =>
+      Agg.spearmanCorrDomain(t(s, dir, "lineitem"), "l_returnflag",
+          "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag"))
   )
 
   /** CMS geometry shared by q136's query and oracle: 4 md5-salted rows of
@@ -2683,6 +2694,45 @@ object SparkEntry {
         |  SELECT q_id, c_id, sim,
         |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
         |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+    // ONE Spearman oracle for BOTH engines (q209 windowed raw-frame,
+    // q230 domain-reduced + joint-domain joins): average ranks from
+    // per-group value-domain cumsums carried as exact doubled
+    // integers; Pearson closed form on decimal sums
+    val spearmanSql = {
+      def rk(c: String, out: String) =
+        s"""(SELECT l_returnflag, v AS $c,
+           |    2 * (SUM(cnt) OVER (PARTITION BY l_returnflag
+           |      ORDER BY v) - cnt) + cnt + 1 AS $out
+           |  FROM (SELECT l_returnflag, $c AS v, COUNT(*) AS cnt
+           |    FROM lineitem GROUP BY 1, 2))""".stripMargin
+      s"""WITH r AS (SELECT li.l_returnflag, rx.rx, ry.ry
+         |  FROM lineitem li
+         |  JOIN ${rk("l_quantity", "rx")} rx
+         |    ON rx.l_returnflag = li.l_returnflag
+         |   AND rx.l_quantity = li.l_quantity
+         |  JOIN ${rk("l_extendedprice", "ry")} ry
+         |    ON ry.l_returnflag = li.l_returnflag
+         |   AND ry.l_extendedprice = li.l_extendedprice),
+         |g AS (SELECT l_returnflag, COUNT(*) AS n,
+         |    SUM(CAST(rx AS DECIMAL(18,0))) AS sx,
+         |    SUM(CAST(ry AS DECIMAL(18,0))) AS sy,
+         |    SUM(CAST(rx AS DECIMAL(18,0)) * CAST(rx AS DECIMAL(18,0)))
+         |      AS sxx,
+         |    SUM(CAST(ry AS DECIMAL(18,0)) * CAST(ry AS DECIMAL(18,0)))
+         |      AS syy,
+         |    SUM(CAST(rx AS DECIMAL(18,0)) * CAST(ry AS DECIMAL(18,0)))
+         |      AS sxy
+         |  FROM r GROUP BY 1)
+         |SELECT l_returnflag, n, ${Num.floorAtSql(
+           "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+             " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+             " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+             " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))" +
+             " * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)" +
+             " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))", 6)} AS rho
+         |FROM g ORDER BY l_returnflag""".stripMargin
+    }
 
     // q41's and q43's full oracle bodies as vals: q228 measures their
     // recall against q40's, so all three must provably be the SAME
@@ -5507,41 +5557,12 @@ object SparkEntry {
            |FROM wn_sel ORDER BY doc_id""".stripMargin,
 
       // average ranks from per-group value-domain cumsums, carried as
-      // exact doubled integers; Pearson closed form on decimal sums
-      "q209_spearman" -> {
-        def rk(c: String, out: String) =
-          s"""(SELECT l_returnflag, v AS $c,
-             |    2 * (SUM(cnt) OVER (PARTITION BY l_returnflag
-             |      ORDER BY v) - cnt) + cnt + 1 AS $out
-             |  FROM (SELECT l_returnflag, $c AS v, COUNT(*) AS cnt
-             |    FROM lineitem GROUP BY 1, 2))""".stripMargin
-        s"""WITH r AS (SELECT li.l_returnflag, rx.rx, ry.ry
-           |  FROM lineitem li
-           |  JOIN ${rk("l_quantity", "rx")} rx
-           |    ON rx.l_returnflag = li.l_returnflag
-           |   AND rx.l_quantity = li.l_quantity
-           |  JOIN ${rk("l_extendedprice", "ry")} ry
-           |    ON ry.l_returnflag = li.l_returnflag
-           |   AND ry.l_extendedprice = li.l_extendedprice),
-           |g AS (SELECT l_returnflag, COUNT(*) AS n,
-           |    SUM(CAST(rx AS DECIMAL(18,0))) AS sx,
-           |    SUM(CAST(ry AS DECIMAL(18,0))) AS sy,
-           |    SUM(CAST(rx AS DECIMAL(18,0)) * CAST(rx AS DECIMAL(18,0)))
-           |      AS sxx,
-           |    SUM(CAST(ry AS DECIMAL(18,0)) * CAST(ry AS DECIMAL(18,0)))
-           |      AS syy,
-           |    SUM(CAST(rx AS DECIMAL(18,0)) * CAST(ry AS DECIMAL(18,0)))
-           |      AS sxy
-           |  FROM r GROUP BY 1)
-           |SELECT l_returnflag, n, ${Num.floorAtSql(
-             "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)" +
-               " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
-               " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)" +
-               " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))" +
-               " * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)" +
-               " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))", 6)} AS rho
-           |FROM g ORDER BY l_returnflag""".stripMargin
-      },
+      // exact doubled integers; Pearson closed form on decimal sums.
+      // ONE string for BOTH Spearman engines (q209 windowed, q230
+      // domain-reduced) — divergence impossible, the CC-family pattern
+      "q209_spearman" -> spearmanSql,
+
+      "q230_spearman_domain" -> spearmanSql,
 
       // docs sharing >= 2 selected hashes, fingerprint-keyed self-join
       "q208_winnow_candidates" ->

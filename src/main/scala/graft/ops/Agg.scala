@@ -859,6 +859,62 @@ object Agg {
           .as("rho"))
   }
 
+  /** The DISTRIBUTED-exact sibling of [[spearmanCorr]], pinned to the
+    * same oracle: identical doubled-average-rank arithmetic, but every
+    * rank window runs over the per-group VALUE DOMAIN (one keyed agg
+    * first), the n/Σr/Σr² power sums come count-weighted from the
+    * single-axis domains with NO join or row pass, and only the cross
+    * sum Σ(rx·ry) touches row mass — as two hash joins on the
+    * AGGREGATED (key, x, y) joint domain, which distribute over the
+    * value keys instead of serializing per group.
+    *
+    * When to use which (measured, SCALE.md round 9): the window form is
+    * faster when groups are small or numerous (its whole cost is one
+    * exchange + two sorts, and production monitors group by
+    * source/day/shard — cardinality ≫ cores); it serializes when a few
+    * giant groups hold most rows (×16 self-replication onto 3 groups
+    * bent it 13.7×). This form pays two joint-domain joins up front but
+    * every stage hash-distributes, so a few-huge-groups input scales
+    * with cores. Same exact integer discipline, bit-identical output.
+    */
+  def spearmanCorrDomain(df: DataFrame, key: String, x: String,
+                         y: String): DataFrame = {
+    def ranks(c: String, out: String): DataFrame = {
+      val vc = df.groupBy(col(key), col(c).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val wv = Window.partitionBy(col(key)).orderBy(col("v").asc)
+      vc.withColumn("cum", sum(col("cnt")).over(wv))
+        .select(col(key), col("v").as(c), col("cnt"),
+          (lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1)
+            .as(out))
+    }
+    def d(c: Column) = c.cast("decimal(18,0)")
+    val rx = ranks(x, "rx")
+    val ry = ranks(y, "ry")
+    val xa = rx.groupBy(col(key)).agg(sum(col("cnt")).as("n"),
+      sum(d(col("rx")) * col("cnt")).as("sx"),
+      sum(d(col("rx")) * d(col("rx")) * col("cnt")).as("sxx"))
+    val ya = ry.groupBy(col(key)).agg(
+      sum(d(col("ry")) * col("cnt")).as("sy"),
+      sum(d(col("ry")) * d(col("ry")) * col("cnt")).as("syy"))
+    val joint = df.groupBy(col(key), col(x), col(y))
+      .agg(count(lit(1)).as("cxy"))
+    val xya = joint
+      .join(rx.select(col(key), col(x), col("rx")), Seq(key, x))
+      .join(ry.select(col(key), col(y), col("ry")), Seq(key, y))
+      .groupBy(col(key))
+      .agg(sum(d(col("rx")) * d(col("ry")) * col("cxy")).as("sxy"))
+    val n = col("n").cast("double")
+    def dbl(c: String) = col(c).cast("double")
+    xa.join(ya, key).join(xya, key)
+      .select(col(key), col("n"),
+        Num.floorAt(
+          (n * dbl("sxy") - dbl("sx") * dbl("sy")) /
+            (sqrt(n * dbl("sxx") - dbl("sx") * dbl("sx")) *
+              sqrt(n * dbl("syy") - dbl("sy") * dbl("sy"))), 6)
+          .as("rho"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance between the `a` and `b`
     * slices of `x` — the distribution-shift gate a mixture planner runs
     * before admitting a new source (PSI (q156) needs binning choices;

@@ -51,6 +51,22 @@ class Round9OpsSpec extends SparkSpec {
     assert(multi.map(_._2).contains(2L))
   }
 
+  test("spearmanCorrDomain == spearmanCorr bit-for-bit on a fixture " +
+      "with heavy ties (the two engines share one oracle)") {
+    val df = Seq(
+      ("a", 1.0, 10.0), ("a", 1.0, 20.0), ("a", 2.0, 20.0),
+      ("a", 3.0, 30.0), ("a", 3.0, 30.0), ("a", 3.0, 5.0),
+      ("b", 1.0, 9.0), ("b", 2.0, 8.0), ("b", 3.0, 7.0),
+      ("b", 4.0, 6.0)
+    ).toDF("k", "x", "y")
+    val w = graft.ops.Agg.spearmanCorr(df, "k", "x", "y")
+      .orderBy("k").as[(String, Long, Double)].collect()
+    val d = graft.ops.Agg.spearmanCorrDomain(df, "k", "x", "y")
+      .orderBy("k").as[(String, Long, Double)].collect()
+    assert(w === d)
+    assert(w(1)._3 === -1.0, "group b is perfectly anti-monotone")
+  }
+
   test("ivfRecallSweep: recall is non-decreasing in probes and reaches " +
       "1.0 when every cell is probed; hit counts are exact integers") {
     val got = Sim.ivfRecallSweep(emb, emb, 2, "label", maxProbes = 2)
