@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // imageio's DEFAULT stream cache is a temp FILE per decode
+  // (FileCacheImageInputStream): decoding thousands of in-memory byte
+  // arrays then churns the tmp dir and the page cache — measured as
+  // q168's disproportionate late-session inflation (SCALE.md round-9
+  // drift A/B: 2.08x vs <1.1x for everything else). Payloads are
+  // already on-heap; cache in memory. Process-wide, set once — an
+  // executor JVM at scale wants the same.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed media row: the binary payload plus source metadata. */
   case class MediaRow(media_id: Long, payload: Array[Byte], kind: String)
 
@@ -120,13 +129,17 @@ object Multimodal {
       s"need ${width * height * 3} bytes, got ${rgb.length}")
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // bulk setRGB: per-pixel setRGB pays a color-model conversion call
+    // per pixel; the packed-int batch form converts the row in one call
+    val packed = new Array[Int](width * height)
     var p = 0
     while (p < width * height) {
-      img.setRGB(p % width, p / width,
+      packed(p) =
         ((rgb(p * 3) & 0xFF) << 16) | ((rgb(p * 3 + 1) & 0xFF) << 8) |
-          (rgb(p * 3 + 2) & 0xFF))
+          (rgb(p * 3 + 2) & 0xFF)
       p += 1
     }
+    img.setRGB(0, 0, width, height, packed, 0, width)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -149,9 +162,11 @@ object Multimodal {
     img.map { im =>
       val (w, h) = (im.getWidth, im.getHeight)
       val out = new Array[Byte](w * h * 3)
+      // bulk getRGB (one color-model conversion pass, not one per pixel)
+      val packed = im.getRGB(0, 0, w, h, null, 0, w)
       var p = 0
       while (p < w * h) {
-        val argb = im.getRGB(p % w, p / w)
+        val argb = packed(p)
         out(p * 3) = ((argb >> 16) & 0xFF).toByte
         out(p * 3 + 1) = ((argb >> 8) & 0xFF).toByte
         out(p * 3 + 2) = (argb & 0xFF).toByte
