@@ -1255,13 +1255,19 @@ object SparkEntry {
 
     // north star — incremental DISTINCT maintenance via mergeable HLL
     // sketches (DataSketches hll_sketch_agg/hll_union_agg): the standing
-    // per-type sketch unions with each batch's sketch, and because HLL
-    // registers are element-wise maxima, union-of-parts is BIT-IDENTICAL
-    // to the one-shot sketch — `merge_equals_full` asserts that inside
-    // the query (the 100 TB property: distinct-count state is KB-sized
-    // and mergeable, vs q108's exact 2-phase dedup re-scan). The exact
-    // count rides along so the oracle pins real values, not just the
-    // mergeability bit.
+    // per-type sketch unions with each batch's sketch (the 100 TB
+    // property: distinct-count state is KB-sized and mergeable, vs
+    // q108's exact 2-phase dedup re-scan). The exact count rides along
+    // so the oracle pins real values, not just the accuracy bit.
+    // Contract note: HLL sketch MERGE is not bit-equal to a single
+    // full-scan sketch (datasketches unions can promote the internal
+    // representation, shifting the estimate — observed at sf0.1 where
+    // the two estimates diverge while both stay well inside the
+    // published error). The honest mergeability claim — and what an
+    // incremental pipeline actually relies on — is that the MERGED
+    // estimate tracks the EXACT count within the sketch's error bound:
+    // default lgK=12 gives σ ≈ 1.6%, so 5% is a >3σ gate, stable at
+    // every fixture SF (checked at sf0.001/0.01/0.1).
     "q122_incremental_distinct" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val base = ev.where(col("event_id") % 10 =!= 0)
@@ -1274,12 +1280,11 @@ object SparkEntry {
         .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
           .as("merged_est"))
       val full = ev.groupBy("event_type")
-        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
-          .as("full_est"),
-          count_distinct(col("user_id")).as("n_users"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
       merged.join(full, Seq("event_type"))
         .select(col("event_type"),
-          (col("merged_est") === col("full_est")).as("merge_equals_full"),
+          (abs(col("merged_est") - col("n_users")).cast("double") /
+            col("n_users") <= 0.05).as("merged_within_5pct"),
           col("n_users"))
         .orderBy("event_type")
     }),
@@ -4147,8 +4152,11 @@ object SparkEntry {
       // the mergeability flag is TRUE by construction (HLL registers are
       // element-wise maxima; union is associative) — the oracle pins it
       // as a literal plus the exact distinct counts
+      // the oracle cannot replay datasketches HLL; it checks the exact
+      // count and the engine-side >3-sigma accuracy gate (see the
+      // engine's contract note: merge == full is NOT an HLL guarantee)
       "q122_incremental_distinct" ->
-        """SELECT event_type, TRUE AS merge_equals_full,
+        """SELECT event_type, TRUE AS merged_within_5pct,
           |  COUNT(DISTINCT user_id) AS n_users
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
