@@ -2633,7 +2633,13 @@ object SparkEntry {
             when(col("n_truth") === 0, lit(1.0)).otherwise(
               Num.floorAt(col("n_hits").cast("double") /
                 col("n_truth"), 4)).as("recall"))
+      // the real coarse quantizer next to the label stand-in: q125's
+      // deterministic kmeans (k=8, 2 iters) assigns the cells, own-cell
+      // probe — the oracle replays the identical quantizer (kmeansAfCte)
+      val km = Sim.kmeansCells(emb, k = 8, iters = 2).localCheckpoint()
       eval("ivf", Sim.topKIvf(q, emb, 5, "label"))
+        .unionByName(eval("ivf_kmeans",
+          Sim.topKIvf(km.where(col("vec_id") < 10), km, 5, "cell")))
         .unionByName(eval("lsh", Sim.topKLsh(q, emb, 5, bits = 4)))
         .orderBy("method")
     }),
@@ -2699,6 +2705,55 @@ object SparkEntry {
         |  SELECT q_id, c_id, sim,
         |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
         |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+    // The deterministic-kmeans cell chain (init = 8 lowest-id vectors,
+    // 2 Lloyd iterations, exact decimal centroid means, 9dp-floored
+    // argmax with ties to the lowest cell) as a reusable WITH fragment
+    // ending in `af(vec_id, v, cell)` — shared by the q125 SemDeDup
+    // oracle and q228's ivf_kmeans recall row so both provably run on
+    // the identical quantizer.
+    val kmeansAfCte: String = {
+      // assignment of every e-row to its argmax-cosine centroid in $cents
+      def kmAssign(cents: String, out: String): String =
+        s"""$out AS (
+           |  SELECT vec_id, v, cell FROM (
+           |    SELECT e.vec_id, e.v, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        floor(list_sum(list_transform(range(1, 65),
+           |          i -> e.v[i] * c.cv[i])) / c.cn * 1000000000) DESC,
+           |        c.cell ASC) AS rn
+           |    FROM e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+      // recompute centroids from an assignment; empty cells keep $prev's
+      def kmUpdate(assign: String, prev: String, out: String): String =
+        s"""${out}m AS (
+           |  SELECT cell, p.pos AS pos,
+           |    CAST(SUM(CAST(a.v[p.pos] AS DECIMAL(27,10))) AS DOUBLE)
+           |      / COUNT(*) AS m
+           |  FROM $assign a CROSS JOIN range(1, 65) AS p(pos)
+           |  GROUP BY cell, p.pos),
+           |${out}l AS (
+           |  SELECT cell,
+           |    list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS cv
+           |  FROM ${out}m GROUP BY cell),
+           |$out AS (
+           |  SELECT p.cell, COALESCE(l.cv, p.cv) AS cv,
+           |    sqrt(list_sum(list_transform(COALESCE(l.cv, p.cv),
+           |      x -> x * x))) AS cn
+           |  FROM $prev p LEFT JOIN ${out}l l ON l.cell = p.cell)"""
+          .stripMargin
+      s"""e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |    v AS cv, sqrt(list_sum(list_transform(v, x -> x * x))) AS cn
+         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+         |${kmAssign("c0", "a1")},
+         |${kmUpdate("a1", "c0", "c1")},
+         |${kmAssign("c1", "a2")},
+         |${kmUpdate("a2", "c1", "c2")},
+         |${kmAssign("c2", "af")}""".stripMargin
+    }
 
     // ONE Spearman oracle for BOTH engines (q209 windowed raw-frame,
     // q230 domain-reduced + joint-domain joins): average ranks from
@@ -4194,47 +4249,8 @@ object SparkEntry {
       // count cast through REAL — bit-identical to the engine's
       // decimal-stable kmeansCells at every step, then the within-cell
       // min-id cosine dedup on the final assignment
-      "q125_semdedup" -> {
-        // assignment of every e-row to its argmax-cosine centroid in $cents
-        def kmAssign(cents: String, out: String): String =
-          s"""$out AS (
-             |  SELECT vec_id, v, cell FROM (
-             |    SELECT e.vec_id, e.v, c.cell,
-             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-             |        floor(list_sum(list_transform(range(1, 65),
-             |          i -> e.v[i] * c.cv[i])) / c.cn * 1000000000) DESC,
-             |        c.cell ASC) AS rn
-             |    FROM e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
-        // recompute centroids from an assignment; empty cells keep $prev's
-        def kmUpdate(assign: String, prev: String, out: String): String =
-          s"""${out}m AS (
-             |  SELECT cell, p.pos AS pos,
-             |    CAST(SUM(CAST(a.v[p.pos] AS DECIMAL(27,10))) AS DOUBLE)
-             |      / COUNT(*) AS m
-             |  FROM $assign a CROSS JOIN range(1, 65) AS p(pos)
-             |  GROUP BY cell, p.pos),
-             |${out}l AS (
-             |  SELECT cell,
-             |    list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS cv
-             |  FROM ${out}m GROUP BY cell),
-             |$out AS (
-             |  SELECT p.cell, COALESCE(l.cv, p.cv) AS cv,
-             |    sqrt(list_sum(list_transform(COALESCE(l.cv, p.cv),
-             |      x -> x * x))) AS cn
-             |  FROM $prev p LEFT JOIN ${out}l l ON l.cell = p.cell)"""
-            .stripMargin
-        s"""WITH e AS (SELECT vec_id,
-           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           |  FROM embeddings),
-           |c0 AS (
-           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-           |    v AS cv, sqrt(list_sum(list_transform(v, x -> x * x))) AS cn
-           |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
-           |${kmAssign("c0", "a1")},
-           |${kmUpdate("a1", "c0", "c1")},
-           |${kmAssign("c1", "a2")},
-           |${kmUpdate("a2", "c1", "c2")},
-           |${kmAssign("c2", "af")},
+      "q125_semdedup" ->
+        s"""WITH $kmeansAfCte,
            |n AS (SELECT vec_id, v, cell,
            |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nr FROM af),
            |pairs AS (
@@ -4248,8 +4264,7 @@ object SparkEntry {
            |  COUNT(*) - COUNT(l.id_b) AS n_kept,
            |  COUNT(l.id_b) AS n_dropped
            |FROM af LEFT JOIN losers l ON af.vec_id = l.id_b
-           |GROUP BY af.cell ORDER BY cell""".stripMargin
-      },
+           |GROUP BY af.cell ORDER BY cell""".stripMargin,
 
       // q123's chunk fragment at 16/16 (non-overlapping), then keep-first
       // on the segment hash and the per-doc survival rollup
@@ -6466,14 +6481,33 @@ object SparkEntry {
       // realized recall of the q41/q43 oracles (verbatim, as vals)
       // against the q40 brute oracle — exact integer hit counts
       "q228_ann_recall" ->
-        s"""WITH brute AS (SELECT q_id, c_id FROM ($topkCosineSql)),
+        s"""WITH $kmeansAfCte,
+           |brute AS (SELECT q_id, c_id FROM ($topkCosineSql)),
            |ivf AS (SELECT q_id, c_id FROM ($topkIvfSql)),
            |lshk AS (SELECT q_id, c_id FROM ($topkLshSql)),
+           |kmn AS (SELECT vec_id, v, cell,
+           |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nr
+           |  FROM af),
+           |kmscored AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+           |    floor(list_sum(list_transform(range(1, 65),
+           |        i -> a.v[i] * b.v[i])) / (a.nr * b.nr) * 10000)
+           |      / 10000 AS sim
+           |  FROM kmn a JOIN kmn b ON a.cell = b.cell
+           |    AND a.vec_id <> b.vec_id
+           |  WHERE a.vec_id < 10),
+           |ivfkm AS (SELECT q_id, c_id FROM (
+           |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY sim DESC, c_id ASC) AS rk FROM kmscored)
+           |  WHERE rk <= 5),
            |nt AS (SELECT COUNT(*) AS n_truth FROM brute),
            |stats AS (
            |  SELECT 'ivf' AS method, COUNT(*) AS n_approx,
            |    COUNT(b.q_id) AS n_hits
            |  FROM ivf a LEFT JOIN brute b
+           |    ON b.q_id = a.q_id AND b.c_id = a.c_id
+           |  UNION ALL
+           |  SELECT 'ivf_kmeans', COUNT(*), COUNT(b.q_id)
+           |  FROM ivfkm a LEFT JOIN brute b
            |    ON b.q_id = a.q_id AND b.c_id = a.c_id
            |  UNION ALL
            |  SELECT 'lsh', COUNT(*), COUNT(b.q_id)
