@@ -33,8 +33,15 @@ object Bench {
           .cast("decimal(18,2)")))
       .write.format("noop").mode("overwrite").save()
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
-    // optional subset (dev loop): time just the named queries
+    // optional subset (dev loop): time just the named queries; fail
+    // loudly on a typo rather than printing a phantom 0-second total
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.contains(n)))
     // times(name) = one entry per rep that completed

@@ -13,7 +13,14 @@ object Sessions {
     * coalescing), AQE on, and the nanos-as-long parquet flag required to
     * read the `events` fixture (see [[Tables.events]]).
     */
-  def local(cpus: String): SparkSession = SparkSession.builder()
+  def local(cpus: String): SparkSession = {
+    // in-memory imageio stream cache for the multimodal decode family:
+    // the default FILE-backed cache writes a temp file per decode of an
+    // already-on-heap payload (see ops/Multimodal.scala header; q168's
+    // measured late-session inflation). JVM-global, so owned HERE at
+    // the entry point, not by a library class-load side effect.
+    javax.imageio.ImageIO.setUseCache(false)
+    SparkSession.builder()
     .master(s"local[$cpus]")
     // native functions (SQL names) — e.g. dot_f32 for similarity search —
     // and the bounded-edit-distance filter rewrite (fuzzy-match scale path)
@@ -41,4 +48,5 @@ object Sessions {
     .config("spark.ui.retainedJobs", "100")
     .config("spark.ui.retainedStages", "200")
     .getOrCreate()
+  }
 }

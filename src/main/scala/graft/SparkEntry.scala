@@ -2625,8 +2625,11 @@ object SparkEntry {
                approx: org.apache.spark.sql.DataFrame) =
         approx.select(col("q_id"), col("c_id"))
           .join(truth, Seq("q_id", "c_id"), "left")
+          // coalesce: sum over ZERO approx rows is NULL, the oracle's
+          // COUNT(b.q_id) is 0 — e.g. every query alone in its bucket
           .agg(count(lit(1)).as("n_approx"),
-            sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hits"))
+            coalesce(sum(when(col("__hit"), 1L).otherwise(0L)), lit(0L))
+              .as("n_hits"))
           .crossJoin(broadcast(nT))
           .select(lit(method).as("method"), col("n_truth"),
             col("n_approx"), col("n_hits"),

@@ -830,17 +830,24 @@ object Agg {
     * groups, reduce to the per-(key,x,y) joint domain first and run
     * the same windows with count-weighted sums over that frame.
     *
+    * Null handling: rows with a null `x` or `y` are dropped up front
+    * (listwise deletion, the standard correlation convention and what
+    * the oracle's rank joins do implicitly) — both engines share it.
+    *
     * Output: (key, n, rho), floored 6 dp.
     */
   def spearmanCorr(df: DataFrame, key: String, x: String,
                    y: String): DataFrame = {
     def dblRank(c: String): Column = {
       val wr = Window.partitionBy(col(key)).orderBy(col(c).asc)
-      lit(2) * rank().over(wr) + count(lit(1))
-        .over(wr.rangeBetween(Window.currentRow, Window.currentRow)) - 1
+      // rank() is IntegerType: widen BEFORE doubling, or groups past
+      // ~1.07e9 rows wrap the Int (the 100 TB cardinality class)
+      lit(2L) * rank().over(wr).cast("long") + count(lit(1))
+        .over(wr.rangeBetween(Window.currentRow, Window.currentRow)) - 1L
     }
     def d(c: Column) = c.cast("decimal(18,0)")
     val r = df.select(col(key), col(x), col(y))
+      .where(col(x).isNotNull && col(y).isNotNull)
       .withColumn("rx", dblRank(x))
       .withColumn("ry", dblRank(y))
     val n = col("n").cast("double")
@@ -879,8 +886,13 @@ object Agg {
     */
   def spearmanCorrDomain(df: DataFrame, key: String, x: String,
                          y: String): DataFrame = {
+    // listwise-delete null pairs up front (as spearmanCorr does): the
+    // groupBy domains would KEEP null values while the sxy equi-joins
+    // drop them — mismatched sums on any null-bearing input
+    val dfn = df.select(col(key), col(x), col(y))
+      .where(col(x).isNotNull && col(y).isNotNull)
     def ranks(c: String, out: String): DataFrame = {
-      val vc = df.groupBy(col(key), col(c).as("v"))
+      val vc = dfn.groupBy(col(key), col(c).as("v"))
         .agg(count(lit(1)).as("cnt"))
       val wv = Window.partitionBy(col(key)).orderBy(col("v").asc)
       vc.withColumn("cum", sum(col("cnt")).over(wv))
@@ -897,7 +909,7 @@ object Agg {
     val ya = ry.groupBy(col(key)).agg(
       sum(d(col("ry")) * col("cnt")).as("sy"),
       sum(d(col("ry")) * d(col("ry")) * col("cnt")).as("syy"))
-    val joint = df.groupBy(col(key), col(x), col(y))
+    val joint = dfn.groupBy(col(key), col(x), col(y))
       .agg(count(lit(1)).as("cxy"))
     val xya = joint
       .join(rx.select(col(key), col(x), col("rx")), Seq(key, x))

@@ -65,9 +65,9 @@ object Curate {
     */
   def crossSourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
                          w: Int = 3): DataFrame = {
-    // tokenize into a materialized attribute FIRST: shingles() lambda-
-    // captures its input expression, so an inlined cleanTokens would
-    // re-evaluate per shingle position (measured ~5x slower elsewhere)
+    // tokenize into a materialized attribute first (historical HOF
+    // lambda-capture lesson; the round-9 native shingles evaluates its
+    // child once per row, staging kept for readability)
     val sh = docs.select(col(srcCol).as("src"),
         Text.cleanTokens(col(textCol)).as("toks"))
       .select(col("src"),

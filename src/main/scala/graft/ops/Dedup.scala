@@ -393,11 +393,13 @@ object Dedup {
                          w: Int, window: Int): DataFrame = {
     require(window >= 2 && window <= 64, s"bad window $window")
     // STAGED like signatureKeys: tokens materialize into an attribute
-    // BEFORE shingles() — the shingle lambda element_at's its captured
-    // input, so an inlined cleanTokens re-runs the whole tokenizer per
-    // shingle position ×3 (this op shipped that way and measured a
-    // flat ~13 s at sf0.1; staged + native hashing/selection it is
-    // sub-second). Hashing and window-min selection are the compiled
+    // BEFORE shingles(). (Historical: the HOF shingle lambda
+    // element_at'd its captured input, re-running the tokenizer per
+    // shingle position ×3 — this op shipped that way and measured a
+    // flat ~13 s at sf0.1. shingles() is a native expression since
+    // round 9, which evaluates its child ONCE per row, but staging
+    // keeps each pass a plain attribute scan and costs nothing.)
+    // Hashing and window-min selection are the compiled
     // one-pass expressions (graft.functions.Md5Hex8ArrExpr /
     // WinnowSelect) — the composed HOF forms walk the interpreted
     // expression tree per element; DedupSpec pins element-equality.
@@ -661,10 +663,9 @@ object Dedup {
     val sh = docs
       .select(col(idCol).as("id"), col(textCol).as("__text"))
       .join(broadcast(candIds), Seq("id"))
-      // tokens into an attribute BEFORE shingles(): the shingle lambda
-      // element_at's its captured input, so an inlined cleanTokens
-      // would re-run the tokenizer per shingle position ×w (the
-      // crossSourceOverlap lesson, round-7 advice)
+      // tokens into an attribute BEFORE shingles() (historical HOF
+      // lambda-capture lesson; the round-9 native shingles evaluates
+      // its child once per row, staging kept for readability)
       .select(col("id"), Text.cleanTokens(col("__text")).as("t"))
       .select(col("id"),
         posexplode(shingles(col("t"), w)).as(Seq("pos", "sh")))

@@ -24,14 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  // imageio's DEFAULT stream cache is a temp FILE per decode
-  // (FileCacheImageInputStream): decoding thousands of in-memory byte
-  // arrays then churns the tmp dir and the page cache — measured as
-  // q168's disproportionate late-session inflation (SCALE.md round-9
-  // drift A/B: 2.08x vs <1.1x for everything else). Payloads are
-  // already on-heap; cache in memory. Process-wide, set once — an
-  // executor JVM at scale wants the same.
-  javax.imageio.ImageIO.setUseCache(false)
+  // NOTE: these decoders want imageio's in-memory stream cache
+  // (ImageIO.setUseCache(false)) — the default FILE-backed cache costs
+  // a temp file per decode for payloads that are already on-heap byte
+  // arrays (measured as q168's 2.08x late-session inflation, SCALE.md
+  // round-9 drift A/B). The flag is JVM-global, so it is set at the
+  // SESSION entry point (graft.Sessions.local) rather than as a
+  // class-load side effect of this library object — an embedding
+  // application that wants file-backed caching elsewhere keeps it.
 
   /** Typed media row: the binary payload plus source metadata. */
   case class MediaRow(media_id: Long, payload: Array[Byte], kind: String)

@@ -454,17 +454,12 @@ object Sim {
     }
 
     for (_ <- 1 to iters) {
-      val perDim = df.withColumn("cell", assign(centroids))
-        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        // float → double is exact; double → DECIMAL(27,10) rounds to a
-        // fixed grid, so the sum is order-insensitive and the mean is
-        // bit-identical to DuckDB's over any row order
-        .agg((sum(col("v").cast("double").cast("decimal(27,10)"))
-          .cast("double") / count(lit(1))).as("m"))
-        .groupBy(col("cell"))
-        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
-          e => e.getField("m").cast("float")).as("centroid"))
+      // centroid update delegates to cellCentroids — ONE copy of the
+      // exact decimal-mean discipline (order-insensitive, bit-identical
+      // to DuckDB over any row order) shared with multi-probe IVF
+      val perDim = cellCentroids(
+          df.withColumn("cell", assign(centroids)), "cell", vecCol)
+        .select(col("cell"), col("cv"))
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
       centroids = centroids.indices
