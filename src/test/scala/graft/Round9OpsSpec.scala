@@ -67,6 +67,20 @@ class Round9OpsSpec extends SparkSpec {
     assert(w(1)._3 === -1.0, "group b is perfectly anti-monotone")
   }
 
+  test("both Spearman engines listwise-delete null pairs identically " +
+      "(n excludes them; rho over the complete pairs only)") {
+    val df = Seq[(String, java.lang.Double, java.lang.Double)](
+      ("a", 1.0, 5.0), ("a", null, 6.0), ("a", 2.0, 7.0),
+      ("a", 3.0, null), ("a", 4.0, 2.0)
+    ).toDF("k", "x", "y")
+    val w = graft.ops.Agg.spearmanCorr(df, "k", "x", "y")
+      .as[(String, Long, Double)].collect()
+    val d = graft.ops.Agg.spearmanCorrDomain(df, "k", "x", "y")
+      .as[(String, Long, Double)].collect()
+    assert(w === d)
+    assert(w.head._2 === 3L, "null-bearing pairs dropped from n")
+  }
+
   test("ivfRecallSweep: recall is non-decreasing in probes and reaches " +
       "1.0 when every cell is probed; hit counts are exact integers") {
     val got = Sim.ivfRecallSweep(emb, emb, 2, "label", maxProbes = 2)
