@@ -2657,6 +2657,33 @@ object SparkEntry {
           t(s, dir, "embeddings"), 5, "label", maxProbes = 3)
         .orderBy("probes")),
 
+    // north star — sign-LSH bits sweep (the bits knob next to q229's
+    // probes knob): realized recall@5 vs brute truth for 2/4/6
+    // hyperplanes — more bits = smaller buckets = cheaper probes AND
+    // lower same-bucket recall; this query puts measured numbers on
+    // that trade so a user sizes `bits` from data, not intuition.
+    "q231_lsh_bits_sweep" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+      val truth = Sim.topK(q, emb, 5).select(col("q_id"), col("c_id"))
+        .withColumn("__hit", lit(true)).localCheckpoint()
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      Seq(2, 4, 6).map { bits =>
+        Sim.topKLsh(q, emb, 5, bits = bits)
+          .select(col("q_id"), col("c_id"))
+          .join(truth, Seq("q_id", "c_id"), "left")
+          .agg(count(lit(1)).as("n_approx"),
+            coalesce(sum(when(col("__hit"), 1L).otherwise(0L)), lit(0L))
+              .as("n_hits"))
+          .crossJoin(broadcast(nT))
+          .select(lit(bits).as("bits"), col("n_truth"),
+            col("n_approx"), col("n_hits"),
+            when(col("n_truth") === 0, lit(1.0)).otherwise(
+              Num.floorAt(col("n_hits").cast("double") /
+                col("n_truth"), 4)).as("recall"))
+      }.reduce(_ unionByName _).orderBy("bits")
+    }),
+
     // monitoring — the DISTRIBUTED-exact Spearman engine
     // (Agg.spearmanCorrDomain scaladoc), pinned to q209's oracle: same
     // doubled-average-rank arithmetic from domain windows + two
@@ -2815,13 +2842,13 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
         |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
-    val topkLshSql =
+    def topkLshSqlFor(bits: Int): String =
       s"""WITH dims AS (SELECT MAX(len(embedding)) AS dim FROM embeddings),
          |planes AS (
          |  SELECT CAST(t.i AS INTEGER) AS i,
          |    list_transform(range(0, (SELECT dim FROM dims)), j ->
          |      CAST(CAST((${md5Hex4Sql("CAST(t.i AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} / 65535.0) * 2 - 1 AS FLOAT) AS DOUBLE)) AS pv
-         |  FROM range(0, 4) t(i)),
+         |  FROM range(0, $bits) t(i)),
          |bucket AS (
          |  SELECT vec_id, SUM(CASE WHEN dot > 0 THEN (1 << i) ELSE 0 END) AS cell
          |  FROM (
@@ -2845,6 +2872,8 @@ object SparkEntry {
          |  SELECT q_id, c_id, sim,
          |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
          |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+    val topkLshSql = topkLshSqlFor(4)
 
     // the q111 LSH-then-verify pair generation as a reusable CTE chain
     // ending in `pairs(id_a, id_b)` — shared by the CC oracle and the
@@ -6579,7 +6608,35 @@ object SparkEntry {
            |  CASE WHEN n_truth = 0 THEN 1.0
            |       ELSE ${Num.floorAtSql(
              "CAST(n_hits AS DOUBLE) / n_truth", 4)} END AS recall
-           |FROM stats CROSS JOIN nt ORDER BY probes""".stripMargin
+           |FROM stats CROSS JOIN nt ORDER BY probes""".stripMargin,
+
+      // the q43 oracle body replayed per bits value (2/4/6 hyperplanes),
+      // hits vs the q40 brute oracle — the bits/recall trade measured
+      "q231_lsh_bits_sweep" ->
+        s"""WITH brute AS (SELECT q_id, c_id FROM ($topkCosineSql)),
+           |l2 AS (SELECT q_id, c_id FROM (${topkLshSqlFor(2)})),
+           |l4 AS (SELECT q_id, c_id FROM (${topkLshSqlFor(4)})),
+           |l6 AS (SELECT q_id, c_id FROM (${topkLshSqlFor(6)})),
+           |nt AS (SELECT COUNT(*) AS n_truth FROM brute),
+           |stats AS (
+           |  SELECT 2 AS bits, COUNT(*) AS n_approx,
+           |    COUNT(b.q_id) AS n_hits
+           |  FROM l2 a LEFT JOIN brute b
+           |    ON b.q_id = a.q_id AND b.c_id = a.c_id
+           |  UNION ALL
+           |  SELECT 4, COUNT(*), COUNT(b.q_id)
+           |  FROM l4 a LEFT JOIN brute b
+           |    ON b.q_id = a.q_id AND b.c_id = a.c_id
+           |  UNION ALL
+           |  SELECT 6, COUNT(*), COUNT(b.q_id)
+           |  FROM l6 a LEFT JOIN brute b
+           |    ON b.q_id = a.q_id AND b.c_id = a.c_id)
+           |SELECT CAST(bits AS INTEGER) AS bits, n_truth, n_approx,
+           |  n_hits,
+           |  CASE WHEN n_truth = 0 THEN 1.0
+           |       ELSE ${Num.floorAtSql(
+             "CAST(n_hits AS DOUBLE) / n_truth", 4)} END AS recall
+           |FROM stats CROSS JOIN nt ORDER BY bits""".stripMargin
     )
   }
 }
