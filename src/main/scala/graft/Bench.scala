@@ -105,21 +105,44 @@ object Bench {
     // old-gen here = live leaked state; large full_gc_count with small
     // settled old-gen = allocation churn that aged the run but died.
     System.gc()
+    // SUM across all old-gen-like pools (G1 "G1 Old Gen", Serial
+    // "Tenured Gen", ZGC "ZHeap", Shenandoah's single "Shenandoah"
+    // pool) — keeping only the last match under-reported multi-pool
+    // collectors, and -1 stays the explicit "no pool recognized"
+    // sentinel. Pool/collector names ride along in the JSON so a -1 or
+    // a surprising number is diagnosable, not guessed at.
     val oldPool = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
       .asInstanceOf[java.util.List[java.lang.management.MemoryPoolMXBean]]
     var oldUsedMb = -1L
+    val oldPoolNames = scala.collection.mutable.ListBuffer[String]()
     oldPool.forEach { p =>
-      if (p.getName.contains("Old") || p.getName.contains("Tenured"))
-        oldUsedMb = p.getUsage.getUsed / (1024 * 1024)
+      if (p.getName.contains("Old") || p.getName.contains("Tenured") ||
+        p.getName.contains("ZHeap") || p.getName.contains("Shenandoah")) {
+        oldUsedMb = math.max(oldUsedMb, 0L) +
+          p.getUsage.getUsed / (1024 * 1024)
+        oldPoolNames += p.getName
+      }
     }
     var gcCount = 0L; var gcTimeSec = 0.0; var fullGcCount = 0L
+    val gcNames = scala.collection.mutable.ListBuffer[String]()
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.forEach { g =>
       gcCount += math.max(g.getCollectionCount, 0)
       gcTimeSec += math.max(g.getCollectionTime, 0) / 1e3
+      gcNames += g.getName
+      // "Old"/"MarkSweep"/"Full" covers G1/Serial/Parallel; ZGC's major
+      // collector is "ZGC Major Cycles" (older JDKs: "ZGC Cycles"),
+      // Shenandoah's is "Shenandoah Cycles" — those collectors have no
+      // stop-the-world full GC, so their cycle count is the nearest
+      // analogue rather than a silent 0
       if (g.getName.contains("Old") || g.getName.contains("MarkSweep") ||
-        g.getName.contains("Full"))
+        g.getName.contains("Full") || g.getName.contains("ZGC Major") ||
+        g.getName.contains("ZGC Cycles") ||
+        g.getName.contains("Shenandoah Cycles"))
         fullGcCount += math.max(g.getCollectionCount, 0)
     }
+    val gcPoolsJson = (oldPoolNames.map("pool:" + _) ++
+      gcNames.map("gc:" + _))
+      .map("\"" + _.replace("\"", "'") + "\"").mkString("[", ",", "]")
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) Double.NaN
@@ -138,7 +161,7 @@ object Bench {
       .map(n => s"\"" + n + "\":" + times(n).mkString("[", ",", "]"))
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"pinned_rdds":$pinnedRdds,"oldgen_settled_mb":$oldUsedMb,"full_gc_count":$fullGcCount,"gc_count":$gcCount,"gc_time_sec":$gcTimeSec,"queries":$qs,"raw":$raw,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"pinned_rdds":$pinnedRdds,"oldgen_settled_mb":$oldUsedMb,"full_gc_count":$fullGcCount,"gc_count":$gcCount,"gc_time_sec":$gcTimeSec,"gc_pools":$gcPoolsJson,"queries":$qs,"raw":$raw,"errors":$errs,"sf":"$sfDir"}"""
     System.err.println(detail)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_details.json"), detail + "\n")

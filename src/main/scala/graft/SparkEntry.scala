@@ -2693,6 +2693,46 @@ object SparkEntry {
     "q230_spearman_domain" -> ((s, dir) =>
       Agg.spearmanCorrDomain(t(s, dir, "lineitem"), "l_returnflag",
           "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")),
+
+    // north star — OR-amplified sign-LSH recall sweep (Sim.topKLsh
+    // scaladoc; Gionis/Indyk/Motwani 1999): realized recall@5 vs brute
+    // truth for L = 1/2/4 independent hyperplane tables at bits = 4 —
+    // q231 measured the bits knob only trading recall DOWN (0.18 best
+    // at 4 bits); this measures the knob that buys it back at ~L×
+    // candidate cost. The L = 1 row IS q231's bits = 4 row (same
+    // planes), pinning the two sweeps together.
+    "q232_lsh_tables_sweep" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+      val truth = Sim.topK(q, emb, 5).select(col("q_id"), col("c_id"))
+        .withColumn("__hit", lit(true)).localCheckpoint()
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      Seq(1, 2, 4).map { tbls =>
+        Sim.topKLsh(q, emb, 5, bits = 4, tables = tbls)
+          .select(col("q_id"), col("c_id"))
+          .join(truth, Seq("q_id", "c_id"), "left")
+          .agg(count(lit(1)).as("n_approx"),
+            coalesce(sum(when(col("__hit"), 1L).otherwise(0L)), lit(0L))
+              .as("n_hits"))
+          .crossJoin(broadcast(nT))
+          .select(lit(tbls).as("tables"), col("n_truth"),
+            col("n_approx"), col("n_hits"),
+            when(col("n_truth") === 0, lit(1.0)).otherwise(
+              Num.floorAt(col("n_hits").cast("double") /
+                col("n_truth"), 4)).as("recall"))
+      }.reduce(_ unionByName _).orderBy("tables")
+    }),
+
+    // monitoring — AUTO-dispatched Spearman (Agg.spearmanAuto
+    // scaladoc), pinned to q209/q230's oracle: the cardinality
+    // preflight routes lineitem's 3-value l_returnflag to the
+    // hash-distributing domain engine (3 < cores); output is
+    // bit-identical to both siblings by construction — THREE queries,
+    // ONE oracle string.
+    "q233_spearman_auto" -> ((s, dir) =>
+      Agg.spearmanAuto(t(s, dir, "lineitem"), "l_returnflag",
+          "l_quantity", "l_extendedprice")
         .orderBy("l_returnflag"))
   )
 
@@ -2874,6 +2914,50 @@ object SparkEntry {
          |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
     val topkLshSql = topkLshSqlFor(4)
+
+    // OR-amplified sign-LSH top-5 (q_id, c_id) set for `tables`
+    // independent plane sets at bits = 4: table 0 keeps the q43 "i:j"
+    // md5 derivation (so tables = 1 IS the q43/q231 engine), table
+    // t > 0 seeds "t<t>:i:j" (Sim.hyperplanes); a pair is a candidate
+    // if buckets agree in ANY table (DISTINCT union — scoring is
+    // table-independent, so this equals the engine's first-match-wins)
+    def lshTablesTkSqlFor(tables: Int): String = {
+      val keyExpr = "CASE WHEN t.tbl = 0" +
+        " THEN CAST(p.i AS VARCHAR) || ':' || CAST(j AS VARCHAR)" +
+        " ELSE 't' || CAST(t.tbl AS VARCHAR) || ':' ||" +
+        " CAST(p.i AS VARCHAR) || ':' || CAST(j AS VARCHAR) END"
+      s"""WITH dims AS (SELECT MAX(len(embedding)) AS dim FROM embeddings),
+         |planes AS (
+         |  SELECT CAST(t.tbl AS INTEGER) AS tbl, CAST(p.i AS INTEGER) AS i,
+         |    list_transform(range(0, (SELECT dim FROM dims)), j ->
+         |      CAST(CAST((${md5Hex4Sql(keyExpr)} / 65535.0) * 2 - 1 AS FLOAT) AS DOUBLE)) AS pv
+         |  FROM range(0, $tables) t(tbl) CROSS JOIN range(0, 4) p(i)),
+         |bucket AS (
+         |  SELECT vec_id, tbl, SUM(CASE WHEN dot > 0 THEN (1 << i) ELSE 0 END) AS cell
+         |  FROM (
+         |    SELECT e.vec_id, p.tbl, p.i,
+         |      list_sum(list_transform(range(1, len(e.embedding) + 1), x ->
+         |        CAST(e.embedding[x] AS DOUBLE) * p.pv[x])) AS dot
+         |    FROM embeddings e CROSS JOIN planes p)
+         |  GROUP BY vec_id, tbl),
+         |qb AS (SELECT tbl, cell, vec_id AS q_id FROM bucket WHERE vec_id < 10),
+         |pairs AS (SELECT DISTINCT q.q_id, c.vec_id AS c_id
+         |  FROM qb q JOIN bucket c ON q.tbl = c.tbl AND q.cell = c.cell
+         |  WHERE q.q_id <> c.vec_id),
+         |scored AS (
+         |  SELECT p.q_id, p.c_id,
+         |    floor((
+         |      list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))) * 10000) / 10000 AS sim
+         |  FROM pairs p
+         |  JOIN embeddings a ON a.vec_id = p.q_id
+         |  JOIN embeddings b ON b.vec_id = p.c_id)
+         |SELECT q_id, c_id FROM (
+         |  SELECT q_id, c_id,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
+         |  FROM scored) WHERE rk <= 5""".stripMargin
+    }
 
     // the q111 LSH-then-verify pair generation as a reusable CTE chain
     // ending in `pairs(id_a, id_b)` — shared by the CC oracle and the
@@ -5619,6 +5703,8 @@ object SparkEntry {
 
       "q230_spearman_domain" -> spearmanSql,
 
+      "q233_spearman_auto" -> spearmanSql,
+
       // docs sharing >= 2 selected hashes, fingerprint-keyed self-join
       "q208_winnow_candidates" ->
         s"""WITH $winnowCte,
@@ -6552,10 +6638,13 @@ object SparkEntry {
            |FROM stats CROSS JOIN nt ORDER BY method""".stripMargin,
 
       // multi-probe IVF: exact decimal-mean cell centroids (the q125
-      // discipline), probe rank by 9dp-floored centroid cosine, per-p
-      // top-5 re-rank, hits vs the q40 brute oracle
+      // discipline), probe set per p = own cell (p = 1) union the p
+      // nearest centroid-ranked cells (p >= 2) — pmin is the first p a
+      // cell enters at, exactly Sim.topKIvf's probe policy — per-p
+      // top-5 re-rank, hits vs the q40 brute oracle; every p emits a
+      // row (zero-filled when nothing survives)
       "q229_ivf_multiprobe" ->
-        s"""WITH q AS (SELECT vec_id AS q_id,
+        s"""WITH q AS (SELECT vec_id AS q_id, label AS owncell,
            |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
            |  FROM embeddings WHERE vec_id < 10),
            |c AS (SELECT vec_id AS c_id, label AS cell,
@@ -6572,10 +6661,11 @@ object SparkEntry {
            |centn AS (SELECT cell, ce,
            |    sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn
            |  FROM cent),
-           |qn AS (SELECT q_id, qv,
+           |qn AS (SELECT q_id, owncell, qv,
            |    sqrt(list_sum(list_transform(qv, x -> x * x))) AS qnorm
            |  FROM q),
-           |probe AS (SELECT q_id, qv, qnorm, cell, pr FROM (
+           |centp AS (SELECT q_id, qv, qnorm, cell,
+           |    GREATEST(pr, 2) AS pmin FROM (
            |  SELECT n.q_id, n.qv, n.qnorm, t.cell,
            |    row_number() OVER (PARTITION BY n.q_id ORDER BY
            |      ${Num.floorAtSql(
@@ -6583,7 +6673,13 @@ object SparkEntry {
                " i -> n.qv[i] * t.ce[i])) / (n.qnorm * t.cn)", 9)} DESC,
            |      t.cell ASC) AS pr
            |  FROM qn n CROSS JOIN centn t) WHERE pr <= 3),
-           |scored AS (SELECT p.q_id, c.c_id, p.pr,
+           |ownp AS (SELECT q_id, qv, qnorm, owncell AS cell,
+           |    1 AS pmin FROM qn),
+           |probe AS (SELECT q_id, cell, MIN(pmin) AS pmin,
+           |    any_value(qv) AS qv, any_value(qnorm) AS qnorm
+           |  FROM (SELECT * FROM ownp UNION ALL SELECT * FROM centp)
+           |  GROUP BY q_id, cell),
+           |scored AS (SELECT p.q_id, c.c_id, p.pmin,
            |    ${Num.floorAtSql(
              "list_sum(list_transform(range(1, 65)," +
                " i -> p.qv[i] * c.cv[i])) / (p.qnorm *" +
@@ -6594,7 +6690,7 @@ object SparkEntry {
            |    row_number() OVER (PARTITION BY pp.p, s.q_id
            |      ORDER BY s.sim DESC, s.c_id ASC) AS rk
            |  FROM (VALUES (1), (2), (3)) pp(p)
-           |  JOIN scored s ON s.pr <= pp.p),
+           |  JOIN scored s ON s.pmin <= pp.p),
            |tk AS (SELECT p, q_id, c_id FROM perp WHERE rk <= 5),
            |brute AS (SELECT q_id, c_id FROM ($topkCosineSql)),
            |nt AS (SELECT COUNT(*) AS n_truth FROM brute),
@@ -6603,12 +6699,16 @@ object SparkEntry {
            |  FROM tk t LEFT JOIN brute b
            |    ON b.q_id = t.q_id AND b.c_id = t.c_id
            |  GROUP BY t.p)
-           |SELECT CAST(p AS INTEGER) AS probes, n_truth, n_approx,
-           |  n_hits,
+           |SELECT CAST(pp.p AS INTEGER) AS probes, n_truth,
+           |  COALESCE(n_approx, 0) AS n_approx,
+           |  COALESCE(n_hits, 0) AS n_hits,
            |  CASE WHEN n_truth = 0 THEN 1.0
            |       ELSE ${Num.floorAtSql(
-             "CAST(n_hits AS DOUBLE) / n_truth", 4)} END AS recall
-           |FROM stats CROSS JOIN nt ORDER BY probes""".stripMargin,
+             "CAST(COALESCE(n_hits, 0) AS DOUBLE) / n_truth", 4)}
+           |  END AS recall
+           |FROM (VALUES (1), (2), (3)) pp(p)
+           |LEFT JOIN stats ON stats.p = pp.p
+           |CROSS JOIN nt ORDER BY probes""".stripMargin,
 
       // the q43 oracle body replayed per bits value (2/4/6 hyperplanes),
       // hits vs the q40 brute oracle — the bits/recall trade measured
@@ -6636,7 +6736,37 @@ object SparkEntry {
            |  CASE WHEN n_truth = 0 THEN 1.0
            |       ELSE ${Num.floorAtSql(
              "CAST(n_hits AS DOUBLE) / n_truth", 4)} END AS recall
-           |FROM stats CROSS JOIN nt ORDER BY bits""".stripMargin
+           |FROM stats CROSS JOIN nt ORDER BY bits""".stripMargin,
+
+      // the OR-amplified LSH engine replayed per table count (1/2/4
+      // independent plane sets at bits = 4), hits vs the q40 brute
+      // oracle — the amplification/recall trade measured; the L = 1
+      // row is pinned to q231's bits = 4 row (identical planes)
+      "q232_lsh_tables_sweep" ->
+        s"""WITH brute AS (SELECT q_id, c_id FROM ($topkCosineSql)),
+           |t1 AS (SELECT q_id, c_id FROM (${lshTablesTkSqlFor(1)})),
+           |t2 AS (SELECT q_id, c_id FROM (${lshTablesTkSqlFor(2)})),
+           |t4 AS (SELECT q_id, c_id FROM (${lshTablesTkSqlFor(4)})),
+           |nt AS (SELECT COUNT(*) AS n_truth FROM brute),
+           |stats AS (
+           |  SELECT 1 AS tables, COUNT(*) AS n_approx,
+           |    COUNT(b.q_id) AS n_hits
+           |  FROM t1 a LEFT JOIN brute b
+           |    ON b.q_id = a.q_id AND b.c_id = a.c_id
+           |  UNION ALL
+           |  SELECT 2, COUNT(*), COUNT(b.q_id)
+           |  FROM t2 a LEFT JOIN brute b
+           |    ON b.q_id = a.q_id AND b.c_id = a.c_id
+           |  UNION ALL
+           |  SELECT 4, COUNT(*), COUNT(b.q_id)
+           |  FROM t4 a LEFT JOIN brute b
+           |    ON b.q_id = a.q_id AND b.c_id = a.c_id)
+           |SELECT CAST(tables AS INTEGER) AS tables, n_truth, n_approx,
+           |  n_hits,
+           |  CASE WHEN n_truth = 0 THEN 1.0
+           |       ELSE ${Num.floorAtSql(
+             "CAST(n_hits AS DOUBLE) / n_truth", 4)} END AS recall
+           |FROM stats CROSS JOIN nt ORDER BY tables""".stripMargin
     )
   }
 }

@@ -927,6 +927,53 @@ object Agg {
           .as("rho"))
   }
 
+  /** Which Spearman engine a given (df, key) input wants — the routing
+    * decision [[spearmanAuto]] applies, exposed so callers (and the
+    * spec) can read it. "windowed" ([[spearmanCorr]]) when the group
+    * cardinality is at least `minGroupsForWindow`; "domain"
+    * ([[spearmanCorrDomain]]) below it. The preflight is ONE
+    * partial-aggregated `approx_count_distinct` pass over the pruned
+    * key column — no shuffle of row mass, the q148/q214 cheap-preflight
+    * pattern — and the HLL estimate's few-percent error cannot
+    * misroute: the regimes differ by orders of magnitude (3 groups vs
+    * thousands), and near the threshold both engines are fine (the
+    * measured crossover is broad, SCALE.md round 9).
+    */
+  def spearmanEngine(df: DataFrame, key: String,
+                     minGroupsForWindow: Long): String = {
+    val nKeys = df.select(col(key))
+      .agg(approx_count_distinct(col(key))).head().getLong(0)
+    if (nKeys >= minGroupsForWindow) "windowed" else "domain"
+  }
+
+  /** Per-group Spearman with AUTOMATIC engine dispatch — the seam
+    * closer for the [[spearmanCorr]] / [[spearmanCorrDomain]] pair:
+    * the two engines are bit-identical on every input (they share one
+    * oracle) but scale oppositely — per-key windows serialize each
+    * group onto one task (measured 13.7× degradation at ×16 on 3
+    * giant groups), while the domain engine's two joint-domain joins
+    * are wasted cost when groups are numerous and small (the common
+    * monitoring shape: group by source/day/shard). A user should not
+    * need to know that; this picks from a cheap cardinality preflight.
+    *
+    * `minGroupsForWindow` defaults to the cluster parallelism: with at
+    * least one group per core the windowed engine's per-group
+    * serialization cannot idle the cluster; below that, a few giant
+    * groups dominate and every windowed stage bottlenecks on the
+    * biggest group's single task, so the hash-distributing domain
+    * engine wins. Output is bit-identical either way.
+    */
+  def spearmanAuto(df: DataFrame, key: String, x: String, y: String,
+                   minGroupsForWindow: Long = -1L): DataFrame = {
+    val threshold =
+      if (minGroupsForWindow > 0) minGroupsForWindow
+      else df.sparkSession.sparkContext.defaultParallelism.toLong
+    spearmanEngine(df, key, threshold) match {
+      case "windowed" => spearmanCorr(df, key, x, y)
+      case _          => spearmanCorrDomain(df, key, x, y)
+    }
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance between the `a` and `b`
     * slices of `x` — the distribution-shift gate a mixture planner runs
     * before admitting a new source (PSI (q156) needs binning choices;

@@ -251,14 +251,19 @@ object Sim {
   /** IVF-style top-k. With `probes = 1` (default) each query probes only
     * the candidate cell matching its own `cellCol` value (coarse-
     * quantizer assignment) — same output shape as `topK` but each query
-    * scans ~N/cells candidates. With `probes = p > 1`, the query probes
-    * the p cells whose [[cellCentroids]] centroid is nearest by cosine
-    * (floored 9 dp, ties to the lowest cell id — the [[kmeansCells]]
-    * assignment discipline): the standard recall/cost knob for boundary
+    * scans ~N/cells candidates. With `probes = p > 1`, the probe set is
+    * the query's own cell UNIONED with the p cells whose
+    * [[cellCentroids]] centroid is nearest by cosine (floored 9 dp,
+    * ties to the lowest cell id — the [[kmeansCells]] assignment
+    * discipline), deduped: the standard recall/cost knob for boundary
     * queries, which single-probe loses silently (q228 measures recall
-    * rising with p against exact ground truth). Probe assignment costs
-    * one broadcast of n_cells centroids into a ranking projection —
-    * the candidate side still never shuffles.
+    * rising with p against exact ground truth). Always including the
+    * own cell makes the knob MONOTONE — probe set(p) ⊆ probe set(p+1)
+    * and probes=2 can never lose a neighbor probes=1 found — even when
+    * `cellCol` is a caller-supplied assignment (e.g. label cells) that
+    * is not nearest-centroid. Probe assignment costs one broadcast of
+    * n_cells centroids into a ranking projection — the candidate side
+    * still never shuffles.
     */
   def topKIvf(queries: DataFrame, candidates: DataFrame, k: Int,
               cellCol: String, probes: Int = 1,
@@ -266,9 +271,15 @@ object Sim {
               excludeSelf: Boolean = true): DataFrame = {
     require(probes >= 1, s"need probes >= 1, got $probes")
     val c = cSide(candidates, idCol, vecCol, Seq(cellCol -> "cell"))
+    val own = qSide(queries, idCol, vecCol, Seq(cellCol -> "cell"))
     val probed =
-      if (probes == 1) qSide(queries, idCol, vecCol, Seq(cellCol -> "cell"))
-      else probeCells(queries, candidates, cellCol, probes, idCol, vecCol)
+      if (probes == 1) own
+      else own
+        .unionByName(
+          probeCells(queries, candidates, cellCol, probes, idCol, vecCol))
+        // dedup on (q_id, cell): the payload columns (q_vec, q_norm) are
+        // identical across duplicates, so keep-any is deterministic
+        .dropDuplicates("q_id", "cell")
     rankPairs(c.join(broadcast(probed), Seq("cell")), k, excludeSelf)
   }
 
@@ -305,8 +316,17 @@ object Sim {
     * same contract for the ANN family: a user tuning `probes` reads a
     * realized number, not an expected-recall formula.
     *
+    * Each row p measures the SHIPPED engine exactly: the probe set for
+    * p is the one [[topKIvf]](probes = p) uses — own cell only at
+    * p = 1, own cell ∪ p nearest-centroid cells (deduped) at p ≥ 2 —
+    * encoded as pmin, the first probe count at which a cell enters the
+    * set (1 for the own cell, max(centroid rank, 2) otherwise).
+    *
     * Output: (probes, n_truth, n_approx, n_hits, recall), recall
-    * floored 4 dp (1.0 by convention on an empty truth set).
+    * floored 4 dp (1.0 by convention on an empty truth set). EVERY
+    * p in [1, maxProbes] emits a row — a p whose probed cells hold no
+    * candidates reports (n_approx = 0, n_hits = 0, recall = 0): a
+    * missing row would read as "not computed", not "nothing survived".
     */
   def ivfRecallSweep(queries: DataFrame, candidates: DataFrame, k: Int,
                      cellCol: String, maxProbes: Int,
@@ -320,32 +340,48 @@ object Sim {
     val truth = topK(queries, candidates, k, idCol, vecCol)
       .select(col("q_id"), col("c_id")).withColumn("__hit", lit(true))
       .localCheckpoint()
-    val probed = probeRanked(queries, candidates, cellCol, idCol, vecCol)
+    val own = qSide(queries, idCol, vecCol, Seq(cellCol -> "cell"))
+      .withColumn("pmin", lit(1))
+    val cent = probeRanked(queries, candidates, cellCol, idCol, vecCol)
       .where(col("pr") <= maxProbes)
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("cell"),
+        greatest(col("pr"), lit(2)).as("pmin"))
+    // (q_vec, q_norm) are identical across the union's duplicates, so
+    // first() is deterministic; MIN(pmin) realizes own-cell-wins
+    val probed = own.unionByName(cent)
+      .groupBy(col("q_id"), col("cell"))
+      .agg(min(col("pmin")).as("pmin"),
+        first(col("q_vec")).as("q_vec"), first(col("q_norm")).as("q_norm"))
     val c = cSide(candidates, idCol, vecCol, Seq(cellCol -> "cell"))
     // a candidate lives in exactly one cell, so multi-probe cannot
-    // duplicate a (q, c) pair; pr rides along to slice the sweep
+    // duplicate a (q, c) pair; pmin rides along to slice the sweep
     val scored = c.join(broadcast(probed), Seq("cell"))
       .where(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), col("pr"),
+      .select(col("q_id"), col("c_id"), col("pmin"),
         Num.floorAt(dot(col("q_vec"), col("c_vec")) /
           (col("q_norm") * col("c_norm")), 4).as("sim"))
     val w = Window.partitionBy("p", "q_id")
       .orderBy(col("sim").desc, col("c_id").asc)
     val topkPerP = scored
       .withColumn("p", explode(sequence(lit(1), lit(maxProbes))))
-      .where(col("pr") <= col("p"))
+      .where(col("pmin") <= col("p"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
     val nT = truth.agg(count(lit(1)).as("n_truth"))
-    topkPerP.join(truth, Seq("q_id", "c_id"), "left")
+    val stats = topkPerP.join(truth, Seq("q_id", "c_id"), "left")
       .groupBy(col("p").cast("int").as("probes"))
       .agg(count(lit(1)).as("n_approx"),
         sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hits"))
+    val allP = queries.sparkSession.range(1, maxProbes + 1)
+      .select(col("id").cast("int").as("probes"))
+    allP.join(stats, Seq("probes"), "left")
       .crossJoin(broadcast(nT))
-      .select(col("probes"), col("n_truth"), col("n_approx"), col("n_hits"),
+      .select(col("probes"), col("n_truth"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         when(col("n_truth") === 0, lit(1.0)).otherwise(
-          Num.floorAt(col("n_hits").cast("double") / col("n_truth"), 4))
+          Num.floorAt(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_truth"), 4))
           .as("recall"))
   }
 
@@ -355,12 +391,18 @@ object Sim {
     * in Spark SQL and in DuckDB, so the oracle can rebuild the exact planes
     * (and therefore the exact buckets) in pure SQL — a seeded
     * `scala.util.Random` would make the operator unverifiable cross-engine.
+    *
+    * `table` seeds an INDEPENDENT plane set for OR-amplification
+    * (md5("t&lt;table&gt;:i:j") for table &gt; 0); table = 0 keeps the
+    * original "i:j" derivation so single-table buckets — and their
+    * oracles (q43/q228/q231) — are unchanged.
     */
-  def hyperplanes(bits: Int, dim: Int): Seq[Array[Float]] =
+  def hyperplanes(bits: Int, dim: Int, table: Int = 0): Seq[Array[Float]] =
     Seq.tabulate(bits) { i =>
       Array.tabulate(dim) { j =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        val hex4 = md.digest(s"$i:$j".getBytes("UTF-8"))
+        val key = if (table == 0) s"$i:$j" else s"t$table:$i:$j"
+        val hex4 = md.digest(key.getBytes("UTF-8"))
           .take(2).map(b => f"$b%02x").mkString
         ((Integer.parseInt(hex4, 16) / 65535.0) * 2 - 1).toFloat
       }
@@ -380,13 +422,31 @@ object Sim {
     * cell is the sign-LSH bucket (approximate — same-bucket probing trades
     * recall for an N/2^bits candidate scan per query).
     *
+    * `tables` is the OR-AMPLIFICATION knob (Gionis, Indyk & Motwani,
+    * VLDB 1999): L independent [[hyperplanes]] sets, a (q, c) pair is a
+    * candidate if the buckets agree in ANY table — candidate recall
+    * ≈ 1 − (1 − r)^L at ~L× candidate cost, the standard fix for the
+    * measured-poor single-table recall (q231: 0.18 @ 4 bits; q232
+    * measures recall rising with L). `bits` trades recall down for
+    * cheaper probes; `tables` buys it back — size both from the q231 +
+    * q232 sweeps, not intuition.
+    *
+    * Scale shape with tables = L: bucket assignment is scan-local (L·bits
+    * plane dots per row), the candidate stream fans out L× into the
+    * (table, bucket)-keyed broadcast join (queries are the tiny side —
+    * candidates still never shuffle), and the cross-table dedup is
+    * FIRST-MATCH-WINS: a pair is kept only at the lowest table where the
+    * buckets agree, decided scan-locally from the two rows' own bucket
+    * arrays — no distinct shuffle over the candidate-pair stream.
+    *
     * The hyperplane dimensionality is read from the data (one tiny job):
     * a mismatched `dim` parameter would make every plane-dot NULL and
     * silently collapse all vectors into bucket 0.
     */
   def topKLsh(queries: DataFrame, candidates: DataFrame, k: Int,
-              bits: Int, idCol: String = "vec_id",
+              bits: Int, tables: Int = 1, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    require(tables >= 1, s"need tables >= 1, got $tables")
     // max over all candidates (null-safe), not head(): an empty input or
     // a null first row must not crash, and ragged arrays shorter than the
     // max dim get null plane-dots -> excluded rather than mis-bucketed
@@ -407,11 +467,37 @@ object Sim {
           org.apache.spark.sql.types.StructField("rk",
             org.apache.spark.sql.types.IntegerType))))
     }
-    val planes = hyperplanes(bits, dim)
-    topKIvf(
-      queries.withColumn("__cell", lshBucket(col(vecCol), planes)),
-      candidates.withColumn("__cell", lshBucket(col(vecCol), planes)),
-      k, "__cell", idCol = idCol, vecCol = vecCol)
+    if (tables == 1) {
+      val planes = hyperplanes(bits, dim)
+      topKIvf(
+        queries.withColumn("__cell", lshBucket(col(vecCol), planes)),
+        candidates.withColumn("__cell", lshBucket(col(vecCol), planes)),
+        k, "__cell", idCol = idCol, vecCol = vecCol)
+    } else {
+      // one bucket per table, carried as an array so the first-match
+      // dedup can read BOTH sides' full assignments scan-locally
+      val cellsArr = array((0 until tables).map(t =>
+        lshBucket(col(vecCol), hyperplanes(bits, dim, t))): _*)
+      val qx = qSide(queries.withColumn("__cells", cellsArr),
+        idCol, vecCol, Seq("__cells" -> "q_cells"))
+      val cx = cSide(candidates.withColumn("__cells", cellsArr),
+        idCol, vecCol, Seq("__cells" -> "c_cells"))
+      val qe = qx.select(col("q_id"), col("q_vec"), col("q_norm"),
+        col("q_cells"), posexplode(col("q_cells")).as(Seq("tbl", "cell")))
+      val ce = cx.select(col("c_id"), col("c_vec"), col("c_norm"),
+        col("c_cells"), posexplode(col("c_cells")).as(Seq("tbl", "cell")))
+      // first-match-wins: keep the pair only at the FIRST table whose
+      // buckets agree — no table before `tbl` may also match (slice of
+      // length tbl is empty at tbl = 0)
+      val firstMatch = size(filter(zip_with(
+          slice(col("q_cells"), lit(1), col("tbl")),
+          slice(col("c_cells"), lit(1), col("tbl")),
+          (a, b) => a === b),
+        x => x)) === 0
+      rankPairs(
+        ce.join(broadcast(qe), Seq("tbl", "cell")).where(firstMatch),
+        k, excludeSelf = true)
+    }
   }
 
   /** Deterministic k-means coarse quantizer (Lloyd's, cosine assignment):

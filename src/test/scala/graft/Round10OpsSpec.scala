@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Agg, Sim}
+
+/** Round-10 additions: monotone own-cell multi-probe IVF, the
+  * sweep/engine parity contract, OR-amplified sign-LSH, and the
+  * Spearman engine auto-dispatch.
+  */
+class Round10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the Round9 geometry plus vec 9 alone in cell 2: its own cell holds
+  // no OTHER candidate, so single-probe returns nothing for it — the
+  // zero-fill and own-cell-union cases both need exactly this shape
+  private lazy val emb = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+    (4L, Array(0.1f, 0.9f, 0.0f, 0.0f), 1),
+    (5L, Array(0.8f, 0.75f, 0.0f, 0.0f), 1),
+    (9L, Array(0.0f, 0.0f, 1.0f, 0.0f), 2)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("topKIvf multi-probe always includes the query's own cell: " +
+      "raising probes never loses a neighbor probes=1 found") {
+    // vec 5's own cell is 1; cell 2's centroid (the z axis) is nearer
+    // to NOTHING vec 5 cares about, but with arbitrary label cells the
+    // own cell might not be centroid-ranked first — the union contract
+    // says probes=1 results are always a subset of probes=p candidates
+    for (q <- Seq(1L, 5L, 9L)) {
+      val one = Sim.topKIvf(emb.where($"vec_id" === q), emb, 10, "label")
+        .select("c_id").as[Long].collect().toSet
+      for (p <- 2 to 3) {
+        val multi = Sim.topKIvf(emb.where($"vec_id" === q), emb, 10,
+            "label", probes = p)
+          .select("c_id").as[Long].collect().toSet
+        assert(one.subsetOf(multi),
+          s"q=$q probes=$p lost ${one -- multi} that probes=1 found")
+      }
+    }
+  }
+
+  test("ivfRecallSweep row p equals the realized recall of " +
+      "topKIvf(probes = p) — the sweep measures the shipped engine") {
+    val q = emb.where($"vec_id".isin(1L, 5L, 9L))
+    val truth = Sim.topK(q, emb, 2).select("q_id", "c_id")
+      .as[(Long, Long)].collect().toSet
+    val sweep = Sim.ivfRecallSweep(q, emb, 2, "label", maxProbes = 3)
+      .orderBy("probes")
+      .as[(Int, Long, Long, Long, Double)].collect()
+    assert(sweep.map(_._1).toSeq === Seq(1, 2, 3))
+    for ((p, nT, nA, nH, recall) <- sweep) {
+      val eng = Sim.topKIvf(q, emb, 2, "label", probes = p)
+        .select("q_id", "c_id").as[(Long, Long)].collect()
+      assert(nT === truth.size.toLong)
+      assert(nA === eng.length.toLong, s"n_approx mismatch at p=$p")
+      val hits = eng.count(truth.contains)
+      assert(nH === hits.toLong, s"n_hits mismatch at p=$p")
+      val expect = math.floor(hits.toDouble / truth.size * 1e4) / 1e4
+      assert(recall === expect, s"recall mismatch at p=$p")
+    }
+  }
+
+  test("ivfRecallSweep zero-fills a probes row with no candidates " +
+      "instead of dropping it") {
+    // vec 9 is alone in its cell: p=1 probes only that cell and the
+    // self-pair is excluded -> zero approx rows, which must still be a
+    // row (n_approx = 0, recall = 0), not a missing group
+    val got = Sim.ivfRecallSweep(emb.where($"vec_id" === 9L), emb, 2,
+        "label", maxProbes = 2)
+      .orderBy("probes")
+      .as[(Int, Long, Long, Long, Double)].collect()
+    assert(got.length === 2, "every p in [1, maxProbes] emits a row")
+    val (p1, nT1, nA1, nH1, r1) = got(0)
+    assert(p1 === 1 && nA1 === 0L && nH1 === 0L && r1 === 0.0)
+    assert(nT1 === 2L)
+    val (_, _, nA2, _, r2) = got(1)
+    assert(nA2 > 0L && r2 >= r1)
+  }
+
+  test("topKLsh tables=1 is the single-table engine unchanged; " +
+      "hyperplanes table=0 keeps the original derivation") {
+    assert(Sim.hyperplanes(4, 3).flatten.toSeq ===
+      Sim.hyperplanes(4, 3, table = 0).flatten.toSeq)
+    // independent tables differ (else OR-amplification buys nothing)
+    assert(Sim.hyperplanes(4, 3, table = 1).flatten.toSeq !==
+      Sim.hyperplanes(4, 3, table = 0).flatten.toSeq)
+    val one = Sim.topKLsh(emb.where($"vec_id" === 1L), emb, 3, bits = 4)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val oneExplicit = Sim.topKLsh(emb.where($"vec_id" === 1L), emb, 3,
+        bits = 4, tables = 1)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(one === oneExplicit)
+  }
+
+  test("topKLsh OR-amplification: candidate union grows with tables, " +
+      "recall vs brute truth is non-decreasing in L, and a pair " +
+      "matching in several tables is emitted exactly once") {
+    val q = emb.where($"vec_id" < 10)
+    val truth = Sim.topK(q, emb, 3).select("q_id", "c_id")
+      .as[(Long, Long)].collect().toSet
+    var prevRecall = -1.0
+    for (l <- Seq(1, 2, 4)) {
+      val got = Sim.topKLsh(q, emb, 3, bits = 4, tables = l)
+        .select("q_id", "c_id").as[(Long, Long)].collect()
+      // first-match-wins dedup: no (q, c) pair twice
+      assert(got.length === got.toSet.size,
+        s"duplicate pairs at tables=$l")
+      val recall = got.count(truth.contains).toDouble / truth.size
+      assert(recall >= prevRecall,
+        s"recall fell from $prevRecall at tables=$l")
+      prevRecall = recall
+    }
+  }
+
+  test("spearmanEngine routes few-giant-groups to domain and " +
+      "many-groups to windowed; spearmanAuto output is bit-identical " +
+      "to both engines either way") {
+    // 3 groups x 40 rows: the few-giant-groups regime
+    val giant = (0 until 120).map { i =>
+      (s"g${i % 3}", (i * 7 % 13).toDouble, (i * 11 % 17).toDouble)
+    }.toDF("k", "x", "y")
+    // 40 groups x 3 rows: the many-small-groups regime
+    val many = (0 until 120).map { i =>
+      (s"g${i % 40}", (i * 7 % 13).toDouble, (i * 11 % 17).toDouble)
+    }.toDF("k", "x", "y")
+    assert(Agg.spearmanEngine(giant, "k", 32L) === "domain")
+    assert(Agg.spearmanEngine(many, "k", 32L) === "windowed")
+    for (df <- Seq(giant, many)) {
+      val auto = Agg.spearmanAuto(df, "k", "x", "y", 32L)
+        .orderBy("k").as[(String, Long, Double)].collect().toSeq
+      val w = Agg.spearmanCorr(df, "k", "x", "y")
+        .orderBy("k").as[(String, Long, Double)].collect().toSeq
+      val d = Agg.spearmanCorrDomain(df, "k", "x", "y")
+        .orderBy("k").as[(String, Long, Double)].collect().toSeq
+      assert(auto === w && auto === d)
+    }
+  }
+}
