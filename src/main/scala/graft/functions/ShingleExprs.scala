@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.sql.catalyst.expressions.XXH64
@@ -19,29 +19,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * family (minhash, winnowing, PPJoin, phrase postings, calibration),
   * so this is the hottest few lines in the library. Both expressions
   * are bit-parity with their HOF twins (spec'd), which stay in Dedup
-  * as the readable reference formulation.
+  * as the readable reference formulation. Round 10: `doGenCode` keeps
+  * both inside whole-stage codegen (CodegenFallback forced an
+  * InternalRow materialization + one boxed eval per row at the span
+  * break — part of round 9's GC bill).
   */
-
-/** w-gram shingles of a token array as space-joined strings — the
-  * compiled twin of [[graft.ops.Dedup.shinglesHof]]. n < w → empty
-  * array (a doc shorter than one shingle has no shingle set).
-  */
-case class ShinglesExpr(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(w >= 1, s"shingle width must be >= 1, got $w")
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"shingles requires array<string>, got $t")
-  }
-
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+object ShingleKernels {
 
   private val sep = UTF8String.fromString(" ")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** w-gram shingles of a token array as space-joined strings. n < w →
+    * empty array. Called from eval AND generated code. */
+  def shingles(arr: ArrayData, w: Int): ArrayData = {
     val n = arr.numElements()
     if (n < w) return new GenericArrayData(Array.empty[AnyRef])
     val toks = new Array[UTF8String](n)
@@ -63,32 +52,9 @@ case class ShinglesExpr(child: Expression, w: Int)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression)
-      : Expression = copy(child = newChild)
-
-  override def prettyName: String = "shingles_fast"
-}
-
-/** w-gram shingle IDENTITIES as xxhash64 of the w tokens (8-byte keys,
-  * no string concatenation) — the compiled twin of
-  * [[graft.ops.Dedup.hashedShinglesHof]]. Bit-parity with Spark's
-  * `xxhash64(t_i, …, t_{i+w-1})` builtin: seed 42, each token's bytes
-  * hashed with the running hash as seed, nulls skipped.
-  */
-case class HashedShinglesExpr(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(w >= 1, s"shingle width must be >= 1, got $w")
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"hashed_shingles requires array<string>, got $t")
-  }
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** xxhash64 shingle identities (seed 42, running-hash chaining, nulls
+    * skipped — Spark's `xxhash64(t_i, …, t_{i+w-1})` semantics). */
+  def hashedShingles(arr: ArrayData, w: Int): ArrayData = {
     val n = arr.numElements()
     if (n < w) return new GenericArrayData(Array.empty[Long])
     val toks = new Array[UTF8String](n)
@@ -113,6 +79,63 @@ case class HashedShinglesExpr(child: Expression, w: Int)
     }
     new GenericArrayData(out)
   }
+}
+
+/** w-gram shingles of a token array as space-joined strings — the
+  * compiled twin of [[graft.ops.Dedup.shinglesHof]]. n < w → empty
+  * array (a doc shorter than one shingle has no shingle set).
+  */
+case class ShinglesExpr(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w >= 1, s"shingle width must be >= 1, got $w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingles requires array<string>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.shingles(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleKernels.shingles($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+
+  override def prettyName: String = "shingles_fast"
+}
+
+/** w-gram shingle IDENTITIES as xxhash64 of the w tokens (8-byte keys,
+  * no string concatenation) — the compiled twin of
+  * [[graft.ops.Dedup.hashedShinglesHof]]. Bit-parity with Spark's
+  * `xxhash64(t_i, …, t_{i+w-1})` builtin: seed 42, each token's bytes
+  * hashed with the running hash as seed, nulls skipped.
+  */
+case class HashedShinglesExpr(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w >= 1, s"shingle width must be >= 1, got $w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hashed_shingles requires array<string>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.hashedShingles(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleKernels.hashedShingles($c, $w)")
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)

@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -16,16 +16,45 @@ import org.apache.spark.unsafe.types.UTF8String
   * lambda through the interpreted expression walker per array element —
   * for an 8-seed minhash over ~50 shingles that is ~400 boxed expression
   * evaluations per row and dominates the dedup pipeline. Each expression
-  * here is one compiled-Scala loop per row; CodegenFallback costs a single
-  * virtual call per row, which is noise at that granularity.
+  * here is one compiled-Scala loop per row, and (round 10) participates
+  * in whole-stage codegen via `doGenCode` — CodegenFallback forced the
+  * surrounding span to materialize an InternalRow and box one eval per
+  * row, and fed the allocation churn behind round 9's 889-full-GC bench.
+  *
+  * Allocation discipline (round 10, the GC chase): ONE thread-local
+  * MessageDigest reused across every md5 call (a fresh getInstance per
+  * hash allocates the digest + internal buffers — at k·n hashes per row
+  * this was the library's top allocator), digests written into
+  * caller-owned 16-byte buffers (`digest(buf, off, len)`), token bytes
+  * extracted once per row rather than once per (seed, token), and the
+  * minhash minimum kept as raw digest bytes (unsigned byte order ==
+  * hex-string lexicographic order; hex-encode once at the end).
   *
   * All hashing is md5 (hex), so the DuckDB oracle replays results exactly.
   */
 object HashUtil {
   private val hexChars = "0123456789abcdef".toCharArray
 
-  def md5Hex(bytes: Array[Byte]): String = {
-    val d = MessageDigest.getInstance("MD5").digest(bytes)
+  // ONE MessageDigest per thread, reused across every hash — getInstance
+  // per call allocates the digest object + its buffers; MD5 digests
+  // auto-reset after digest(), and we reset() defensively besides
+  private val tlMd = ThreadLocal.withInitial[MessageDigest](
+    () => MessageDigest.getInstance("MD5"))
+
+  /** The calling thread's reusable MD5 instance (reset before use). */
+  def threadMd5(): MessageDigest = { val md = tlMd.get(); md.reset(); md }
+
+  /** md5(input) written into the caller's 16-byte buffer — no per-call
+    * allocation. */
+  def md5Into(md: MessageDigest, input: Array[Byte],
+              out16: Array[Byte]): Unit = {
+    md.reset()
+    md.update(input)
+    md.digest(out16, 0, 16)
+    ()
+  }
+
+  def hex32(d: Array[Byte]): String = {
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
@@ -36,9 +65,14 @@ object HashUtil {
     new String(out)
   }
 
+  def md5Hex(bytes: Array[Byte]): String = {
+    val d = tlMd.get().digest(bytes)
+    hex32(d)
+  }
+
   /** First 16 bits of md5 (== first 4 hex nibbles, the oracle's decode). */
   def md5_16(bytes: Array[Byte]): Int = {
-    val d = MessageDigest.getInstance("MD5").digest(bytes)
+    val d = tlMd.get().digest(bytes)
     ((d(0) & 0xff) << 8) | (d(1) & 0xff)
   }
 
@@ -47,7 +81,7 @@ object HashUtil {
     * (DuckDB BIGINT is signed; a 64-bit value's top bit would flip sign).
     */
   def md5_60(bytes: Array[Byte]): Long = {
-    val d = MessageDigest.getInstance("MD5").digest(bytes)
+    val d = tlMd.get().digest(bytes)
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
@@ -59,119 +93,102 @@ object HashUtil {
     * q133/q134/q136 family uses, compiled.
     */
   def md5_32(bytes: Array[Byte]): Long = {
-    val d = MessageDigest.getInstance("MD5").digest(bytes)
+    val d = tlMd.get().digest(bytes)
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
-}
 
-/** Per-element first-8-nibble md5 of a string array, as array<bigint> —
-  * the compiled form of `transform(arr, s -> conv(substring(md5(s), 1,
-  * 8), 16, 10))`: the HOF form walks the interpreted expression tree
-  * per element (measured ~10 s over a 1 M-shingle corpus where this
-  * runs in ~100 ms). Feeds the winnowing selection (q207/q208).
-  */
-case class Md5Hex8ArrExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"md5_hex8_arr requires array<string>, got $t")
+  /** Unsigned lexicographic compare of two 16-byte digests — identical
+    * ordering to comparing their 32-char hex encodings (each hex nibble
+    * orders by value because '0'..'9' < 'a'..'f' in ASCII). */
+  @inline private def ltUnsigned16(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
   }
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // ---- row kernels (called from nullSafeEval AND from generated code
+  // via the object's static forwarders) -----------------------------
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Per-element first-8-nibble md5 as long (kernel of Md5Hex8ArrExpr). */
+  def md5Hex8Arr(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
+    val md = threadMd5()
+    val h = new Array[Byte](16)
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
-      out(i) = HashUtil.md5_32(
-        arr.getUTF8String(i).getBytes)
+      md5Into(md, arr.getUTF8String(i).getBytes, h)
+      out(i) = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
       i += 1
     }
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression)
-      : Expression = copy(child = newChild)
-
-  override def prettyName: String = "md5_hex8_arr"
-}
-
-/** MinHash signature over a shingle array: for seed s in [0, k), the
-  * lexicographic minimum over shingles of md5Hex(s + ":" + shingle);
-  * "~empty" sentinel when the row has no shingles. Matches
-  * graft.ops.Dedup.minhashSignature (HOF form) bit-for-bit.
-  */
-case class MinHashSigExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"minhash_sig requires array<string>, got $t")
-  }
-
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** MinHash signature kernel (MinHashSigExpr): for each seed s, the
+    * lexicographic-minimum md5Hex(s + ":" + shingle); "~empty" when the
+    * row has no non-null shingles. */
+  def minhashSig(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
+    // token bytes once per row, not once per (seed, token)
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = threadMd5()
+    val h = new Array[Byte](16)
+    val min = new Array[Byte](16)
     val out = new Array[AnyRef](k)
     var s = 0
     while (s < k) {
-      var min: String = null
-      var i = 0
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          val h = HashUtil.md5Hex(
-            (s + ":" + arr.getUTF8String(i).toString)
-              .getBytes("UTF-8"))
-          if (min == null || h.compareTo(min) < 0) min = h
+      // (s + ":") prefix bytes are ASCII; one tiny alloc per seed
+      val prefix = (s.toString + ":")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var found = false
+      var j = 0
+      while (j < n) {
+        val t = toks(j)
+        if (t != null) {
+          md.reset()
+          md.update(prefix)
+          md.update(t)
+          md.digest(h, 0, 16)
+          if (!found || ltUnsigned16(h, min)) {
+            System.arraycopy(h, 0, min, 0, 16)
+            found = true
+          }
         }
-        i += 1
+        j += 1
       }
-      out(s) = UTF8String.fromString(if (min == null) "~empty" else min)
+      out(s) = UTF8String.fromString(if (!found) "~empty" else hex32(min))
       s += 1
     }
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression)
-      : Expression = copy(child = newChild)
-
-  override def prettyName: String = "minhash_sig"
-}
-
-/** 16-bit SimHash over a token array: bit b of the output is set iff the
-  * sum over tokens of (2*bit_b(md5_16(token)) - 1) is positive. Matches
-  * graft.ops.Dedup.simhash16(tokenHashes16(...)) (HOF form) exactly.
-  */
-case class SimHash16Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"simhash16 requires array<string>, got $t")
-  }
-
-  override def dataType: DataType = IntegerType
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** SimHash kernel shared by the 16- and 60-bit variants: per token,
+    * each bit of the token hash votes ±1; output bit set iff the vote
+    * sum is positive. */
+  def simhash16(arr: ArrayData): Int = {
     val n = arr.numElements()
+    val md = threadMd5()
+    val h = new Array[Byte](16)
     val planes = new Array[Int](16)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = HashUtil.md5_16(arr.getUTF8String(i).getBytes)
+        md5Into(md, arr.getUTF8String(i).getBytes, h)
+        val v = ((h(0) & 0xff) << 8) | (h(1) & 0xff)
         var b = 0
         while (b < 16) {
-          planes(b) += ((h >> b) & 1) * 2 - 1
+          planes(b) += ((v >> b) & 1) * 2 - 1
           b += 1
         }
       }
@@ -186,39 +203,22 @@ case class SimHash16Expr(child: Expression)
     sig
   }
 
-  override protected def withNewChildInternal(newChild: Expression)
-      : Expression = copy(child = newChild)
-
-  override def prettyName: String = "simhash16"
-}
-
-/** 60-bit SimHash over a token array — the corpus-scale variant: 4 bands
-  * of 15 bits give 32768 LSH buckets per band (vs 16 for the 16-bit
-  * signature), which is what keeps the banded pair join sub-quadratic on
-  * large corpora. Same algorithm as [[SimHash16Expr]] over md5_60.
-  */
-case class SimHash60Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"simhash60 requires array<string>, got $t")
-  }
-
-  override def dataType: DataType = LongType
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def simhash60(arr: ArrayData): Long = {
     val n = arr.numElements()
+    val md = threadMd5()
+    val h = new Array[Byte](16)
     val planes = new Array[Int](60)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = HashUtil.md5_60(arr.getUTF8String(i).getBytes)
+        md5Into(md, arr.getUTF8String(i).getBytes, h)
+        var v = 0L
+        var j = 0
+        while (j < 7) { v = (v << 8) | (h(j) & 0xffL); j += 1 }
+        v = (v << 4) | ((h(7) >> 4) & 0xfL)
         var b = 0
         while (b < 60) {
-          planes(b) += (((h >> b) & 1L).toInt * 2) - 1
+          planes(b) += (((v >> b) & 1L).toInt * 2) - 1
           b += 1
         }
       }
@@ -232,6 +232,118 @@ case class SimHash60Expr(child: Expression)
     }
     sig
   }
+}
+
+/** Per-element first-8-nibble md5 of a string array, as array<bigint> —
+  * the compiled form of `transform(arr, s -> conv(substring(md5(s), 1,
+  * 8), 16, 10))`: the HOF form walks the interpreted expression tree
+  * per element (measured ~10 s over a 1 M-shingle corpus where this
+  * runs in ~100 ms). Feeds the winnowing selection (q207/q208).
+  */
+case class Md5Hex8ArrExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"md5_hex8_arr requires array<string>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.md5Hex8Arr(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashUtil.md5Hex8Arr($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+
+  override def prettyName: String = "md5_hex8_arr"
+}
+
+/** MinHash signature over a shingle array: for seed s in [0, k), the
+  * lexicographic minimum over shingles of md5Hex(s + ":" + shingle);
+  * "~empty" sentinel when the row has no shingles. Matches
+  * graft.ops.Dedup.minhashSignature (HOF form) bit-for-bit.
+  */
+case class MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<string>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.minhashSig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashUtil.minhashSig($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+/** 16-bit SimHash over a token array: bit b of the output is set iff the
+  * sum over tokens of (2*bit_b(md5_16(token)) - 1) is positive. Matches
+  * graft.ops.Dedup.simhash16(tokenHashes16(...)) (HOF form) exactly.
+  */
+case class SimHash16Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash16 requires array<string>, got $t")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.simhash16(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashUtil.simhash16($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+
+  override def prettyName: String = "simhash16"
+}
+
+/** 60-bit SimHash over a token array — the corpus-scale variant: 4 bands
+  * of 15 bits give 32768 LSH buckets per band (vs 16 for the 16-bit
+  * signature), which is what keeps the banded pair join sub-quadratic on
+  * large corpora. Same algorithm as [[SimHash16Expr]] over md5_60.
+  */
+case class SimHash60Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash60 requires array<string>, got $t")
+  }
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.simhash60(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashUtil.simhash60($c)")
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)

@@ -1,0 +1,417 @@
+package graft.registry
+
+import graft.ops.Num
+import Shared._
+
+/** Oracle-SQL fragments shared by several registry parts (CTE chains,
+  * reusable engine bodies) — split out of SparkEntry.oracleSql's body
+  * (round 10), verbatim.
+  */
+private[graft] object Fragments {
+    val dsumS = (c: String) => s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+    val clean = cleanSql("text")
+    val toks = toksSql("text")
+    val cleanToks = toksSql("c")
+
+    // ONE oracle for both brute-force top-k plans: q40 (window) and
+    // q102 (typed Aggregator) are result-identical by construction —
+    // binding them to the same string makes divergence impossible.
+    val topkCosineSql =
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT q_id, c_id,
+        |    floor((
+        |      list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))) * 10000) / 10000 AS sim
+        |  FROM c CROSS JOIN q WHERE q_id <> c_id)
+        |SELECT q_id, c_id, sim, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT q_id, c_id, sim,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
+        |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+    // The deterministic-kmeans cell chain (init = 8 lowest-id vectors,
+    // 2 Lloyd iterations, exact decimal centroid means, 9dp-floored
+    // argmax with ties to the lowest cell) as a reusable WITH fragment
+    // ending in `af(vec_id, v, cell)` — shared by the q125 SemDeDup
+    // oracle and q228's ivf_kmeans recall row so both provably run on
+    // the identical quantizer.
+    val kmeansAfCte: String = {
+      // assignment of every e-row to its argmax-cosine centroid in $cents
+      def kmAssign(cents: String, out: String): String =
+        s"""$out AS (
+           |  SELECT vec_id, v, cell FROM (
+           |    SELECT e.vec_id, e.v, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        floor(list_sum(list_transform(range(1, 65),
+           |          i -> e.v[i] * c.cv[i])) / c.cn * 1000000000) DESC,
+           |        c.cell ASC) AS rn
+           |    FROM e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+      // recompute centroids from an assignment; empty cells keep $prev's
+      def kmUpdate(assign: String, prev: String, out: String): String =
+        s"""${out}m AS (
+           |  SELECT cell, p.pos AS pos,
+           |    CAST(SUM(CAST(a.v[p.pos] AS DECIMAL(27,10))) AS DOUBLE)
+           |      / COUNT(*) AS m
+           |  FROM $assign a CROSS JOIN range(1, 65) AS p(pos)
+           |  GROUP BY cell, p.pos),
+           |${out}l AS (
+           |  SELECT cell,
+           |    list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS cv
+           |  FROM ${out}m GROUP BY cell),
+           |$out AS (
+           |  SELECT p.cell, COALESCE(l.cv, p.cv) AS cv,
+           |    sqrt(list_sum(list_transform(COALESCE(l.cv, p.cv),
+           |      x -> x * x))) AS cn
+           |  FROM $prev p LEFT JOIN ${out}l l ON l.cell = p.cell)"""
+          .stripMargin
+      s"""e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |    v AS cv, sqrt(list_sum(list_transform(v, x -> x * x))) AS cn
+         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+         |${kmAssign("c0", "a1")},
+         |${kmUpdate("a1", "c0", "c1")},
+         |${kmAssign("c1", "a2")},
+         |${kmUpdate("a2", "c1", "c2")},
+         |${kmAssign("c2", "af")}""".stripMargin
+    }
+
+    // ONE Spearman oracle for BOTH engines (q209 windowed raw-frame,
+    // q230 domain-reduced + joint-domain joins): average ranks from
+    // per-group value-domain cumsums carried as exact doubled
+    // integers; Pearson closed form on decimal sums
+    val spearmanSql = {
+      def rk(c: String, out: String) =
+        s"""(SELECT l_returnflag, v AS $c,
+           |    2 * (SUM(cnt) OVER (PARTITION BY l_returnflag
+           |      ORDER BY v) - cnt) + cnt + 1 AS $out
+           |  FROM (SELECT l_returnflag, $c AS v, COUNT(*) AS cnt
+           |    FROM lineitem GROUP BY 1, 2))""".stripMargin
+      s"""WITH r AS (SELECT li.l_returnflag, rx.rx, ry.ry
+         |  FROM lineitem li
+         |  JOIN ${rk("l_quantity", "rx")} rx
+         |    ON rx.l_returnflag = li.l_returnflag
+         |   AND rx.l_quantity = li.l_quantity
+         |  JOIN ${rk("l_extendedprice", "ry")} ry
+         |    ON ry.l_returnflag = li.l_returnflag
+         |   AND ry.l_extendedprice = li.l_extendedprice),
+         |g AS (SELECT l_returnflag, COUNT(*) AS n,
+         |    SUM(CAST(rx AS DECIMAL(18,0))) AS sx,
+         |    SUM(CAST(ry AS DECIMAL(18,0))) AS sy,
+         |    SUM(CAST(rx AS DECIMAL(18,0)) * CAST(rx AS DECIMAL(18,0)))
+         |      AS sxx,
+         |    SUM(CAST(ry AS DECIMAL(18,0)) * CAST(ry AS DECIMAL(18,0)))
+         |      AS syy,
+         |    SUM(CAST(rx AS DECIMAL(18,0)) * CAST(ry AS DECIMAL(18,0)))
+         |      AS sxy
+         |  FROM r GROUP BY 1)
+         |SELECT l_returnflag, n, ${Num.floorAtSql(
+           "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+             " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+             " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+             " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))" +
+             " * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)" +
+             " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))", 6)} AS rho
+         |FROM g ORDER BY l_returnflag""".stripMargin
+    }
+
+    // q41's and q43's full oracle bodies as vals: q228 measures their
+    // recall against q40's, so all three must provably be the SAME
+    // queries the standalone entries check
+    val topkIvfSql =
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS cell FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding AS cv, label AS cell FROM embeddings),
+        |scored AS (
+        |  SELECT q_id, c_id,
+        |    floor((
+        |      list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))) * 10000) / 10000 AS sim
+        |  FROM c JOIN q USING (cell) WHERE q_id <> c_id)
+        |SELECT q_id, c_id, sim, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT q_id, c_id, sim,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
+        |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+    def topkLshSqlFor(bits: Int): String =
+      s"""WITH dims AS (SELECT MAX(len(embedding)) AS dim FROM embeddings),
+         |planes AS (
+         |  SELECT CAST(t.i AS INTEGER) AS i,
+         |    list_transform(range(0, (SELECT dim FROM dims)), j ->
+         |      CAST(CAST((${md5Hex4Sql("CAST(t.i AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} / 65535.0) * 2 - 1 AS FLOAT) AS DOUBLE)) AS pv
+         |  FROM range(0, $bits) t(i)),
+         |bucket AS (
+         |  SELECT vec_id, SUM(CASE WHEN dot > 0 THEN (1 << i) ELSE 0 END) AS cell
+         |  FROM (
+         |    SELECT e.vec_id, p.i,
+         |      list_sum(list_transform(range(1, len(e.embedding) + 1), x ->
+         |        CAST(e.embedding[x] AS DOUBLE) * p.pv[x])) AS dot
+         |    FROM embeddings e CROSS JOIN planes p)
+         |  GROUP BY vec_id),
+         |q AS (SELECT cell, e.vec_id AS q_id, e.embedding AS qv
+         |      FROM embeddings e JOIN bucket USING (vec_id) WHERE e.vec_id < 10),
+         |c AS (SELECT cell, e.vec_id AS c_id, e.embedding AS cv
+         |      FROM embeddings e JOIN bucket USING (vec_id)),
+         |scored AS (
+         |  SELECT q_id, c_id,
+         |    floor((
+         |      list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))) * 10000) / 10000 AS sim
+         |  FROM c JOIN q USING (cell) WHERE q_id <> c_id)
+         |SELECT q_id, c_id, sim, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT q_id, c_id, sim,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
+         |  FROM scored) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+    val topkLshSql = topkLshSqlFor(4)
+
+    // OR-amplified sign-LSH top-5 (q_id, c_id) set for `tables`
+    // independent plane sets at bits = 4: table 0 keeps the q43 "i:j"
+    // md5 derivation (so tables = 1 IS the q43/q231 engine), table
+    // t > 0 seeds "t<t>:i:j" (Sim.hyperplanes); a pair is a candidate
+    // if buckets agree in ANY table (DISTINCT union — scoring is
+    // table-independent, so this equals the engine's first-match-wins)
+    def lshTablesTkSqlFor(tables: Int): String = {
+      val keyExpr = "CASE WHEN t.tbl = 0" +
+        " THEN CAST(p.i AS VARCHAR) || ':' || CAST(j AS VARCHAR)" +
+        " ELSE 't' || CAST(t.tbl AS VARCHAR) || ':' ||" +
+        " CAST(p.i AS VARCHAR) || ':' || CAST(j AS VARCHAR) END"
+      s"""WITH dims AS (SELECT MAX(len(embedding)) AS dim FROM embeddings),
+         |planes AS (
+         |  SELECT CAST(t.tbl AS INTEGER) AS tbl, CAST(p.i AS INTEGER) AS i,
+         |    list_transform(range(0, (SELECT dim FROM dims)), j ->
+         |      CAST(CAST((${md5Hex4Sql(keyExpr)} / 65535.0) * 2 - 1 AS FLOAT) AS DOUBLE)) AS pv
+         |  FROM range(0, $tables) t(tbl) CROSS JOIN range(0, 4) p(i)),
+         |bucket AS (
+         |  SELECT vec_id, tbl, SUM(CASE WHEN dot > 0 THEN (1 << i) ELSE 0 END) AS cell
+         |  FROM (
+         |    SELECT e.vec_id, p.tbl, p.i,
+         |      list_sum(list_transform(range(1, len(e.embedding) + 1), x ->
+         |        CAST(e.embedding[x] AS DOUBLE) * p.pv[x])) AS dot
+         |    FROM embeddings e CROSS JOIN planes p)
+         |  GROUP BY vec_id, tbl),
+         |qb AS (SELECT tbl, cell, vec_id AS q_id FROM bucket WHERE vec_id < 10),
+         |pairs AS (SELECT DISTINCT q.q_id, c.vec_id AS c_id
+         |  FROM qb q JOIN bucket c ON q.tbl = c.tbl AND q.cell = c.cell
+         |  WHERE q.q_id <> c.vec_id),
+         |scored AS (
+         |  SELECT p.q_id, p.c_id,
+         |    floor((
+         |      list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))) * 10000) / 10000 AS sim
+         |  FROM pairs p
+         |  JOIN embeddings a ON a.vec_id = p.q_id
+         |  JOIN embeddings b ON b.vec_id = p.c_id)
+         |SELECT q_id, c_id FROM (
+         |  SELECT q_id, c_id,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
+         |  FROM scored) WHERE rk <= 5""".stripMargin
+    }
+
+    // the q111 LSH-then-verify pair generation as a reusable CTE chain
+    // ending in `pairs(id_a, id_b)` — shared by the CC oracle and the
+    // triangle-census oracle so every graph query provably runs on the
+    // identical edge set
+    val verifiedPairsCte =
+      s"""cleaned AS (SELECT doc_id AS id, ${cleanSql("text")} AS c FROM documents),
+         |sh AS (SELECT id, ${shinglesSql("t")} AS shs
+         |       FROM (SELECT id, ${toksSql("c")} AS t FROM cleaned)),
+         |sig AS (SELECT id,
+         |  list_transform(range(0, 8), s ->
+         |    COALESCE(list_min(list_transform(shs, x -> md5(CAST(s AS VARCHAR) || ':' || x))), '~empty')) AS sig
+         |  FROM sh WHERE len(shs) > 0),
+         |banded AS (
+         |  SELECT id, sig, CAST(b.i AS INTEGER) AS band,
+         |         md5(sig[CAST(b.i*2+1 AS INTEGER)] || '|' || sig[CAST(b.i*2+2 AS INTEGER)]) AS bkey
+         |  FROM sig CROSS JOIN range(0, 4) AS b(i)),
+         |cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.id < b.id),
+         |dsh AS (SELECT id, list_distinct(shs) AS shs FROM sh
+         |        WHERE len(shs) > 0),
+         |scored AS (SELECT id_a, id_b,
+         |  len(list_filter(x.shs, e -> list_contains(y.shs, e))) AS c,
+         |  len(x.shs) AS na, len(y.shs) AS nb
+         |  FROM cands JOIN dsh x ON x.id = cands.id_a
+         |             JOIN dsh y ON y.id = cands.id_b),
+         |pairs AS (SELECT id_a, id_b,
+         |    floor(CAST(c AS DOUBLE) / (na + nb - c) * 10000) / 10000
+         |      AS jacc
+         |  FROM scored
+         |  WHERE floor(CAST(c AS DOUBLE) / (na + nb - c) * 10000) / 10000
+         |    >= 0.2)""".stripMargin
+
+    // ONE oracle for both connected-components engines: q128 (fixpoint
+    // label propagation) and q130 (alternating large-star/small-star)
+    // must produce the identical component map over the identical q111
+    // pair graph — sharing the string makes divergence impossible to
+    // miss. Reachability via a recursive CTE; component = min reachable.
+    // exact components over the verified pairs as a reusable CTE chain
+    // ending in `comp(doc_id, component)` — reachability via a
+    // recursive CTE; component = min reachable id
+    val ccCte =
+      """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, lbl) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id AS doc_id, MIN(lbl) AS component
+        |         FROM reach GROUP BY id)""".stripMargin
+
+    val ccOracleSql =
+      s"""WITH RECURSIVE
+         |$verifiedPairsCte,
+         |$ccCte
+         |SELECT doc_id, component,
+         |  COUNT(*) OVER (PARTITION BY component) AS n_members,
+         |  (doc_id = component) AS is_survivor
+         |FROM comp ORDER BY doc_id""".stripMargin
+
+    // the q170 Cavnar–Trenkle prediction as a reusable CTE chain ending
+    // in `ct_pred(doc_id, lang, pred_lang, dist)` — shared by the
+    // lang-ID oracle and the predicted-language mixture oracle (q173)
+    // so both provably score the identical classifier
+    val ctPredCte =
+      s"""ct_cleaned AS (SELECT doc_id, lang, ${cleanSql("text")} AS c
+         |  FROM documents),
+         |ct_tri AS (SELECT doc_id, lang,
+         |    UNNEST(CASE WHEN strlen(c) < 3 THEN []
+         |      ELSE list_transform(range(0, strlen(c) - 2),
+         |        i -> substring(c, CAST(i + 1 AS INTEGER), 3)) END)
+         |      AS g
+         |  FROM ct_cleaned),
+         |ct_lp AS (SELECT lang AS cand_lang, g, rank_l FROM (
+         |    SELECT lang, g, row_number() OVER (PARTITION BY lang
+         |      ORDER BY COUNT(*) DESC, g) AS rank_l
+         |    FROM ct_tri GROUP BY lang, g) WHERE rank_l <= 40),
+         |ct_dp AS (SELECT doc_id, g, rank_d FROM (
+         |    SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY COUNT(*) DESC, g) AS rank_d
+         |    FROM ct_tri GROUP BY doc_id, g) WHERE rank_d <= 40),
+         |ct_m AS (SELECT doc_id, cand_lang,
+         |    CAST(SUM(abs(rank_d - rank_l)) AS BIGINT) AS md,
+         |    COUNT(*) AS nm
+         |  FROM ct_dp JOIN ct_lp USING (g) GROUP BY 1, 2),
+         |ct_grid AS (SELECT ds.doc_id, ds.n_prof, langs.cand_lang
+         |  FROM (SELECT doc_id, COUNT(*) AS n_prof FROM ct_dp
+         |    GROUP BY 1) ds
+         |  CROSS JOIN (SELECT DISTINCT cand_lang FROM ct_lp) langs),
+         |ct_best AS (SELECT doc_id, cand_lang, dist, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY dist, cand_lang) AS rk
+         |  FROM (SELECT g.doc_id, g.cand_lang,
+         |      CAST(COALESCE(m.md, 0)
+         |        + (g.n_prof - COALESCE(m.nm, 0)) * 40 AS BIGINT)
+         |        AS dist
+         |    FROM ct_grid g LEFT JOIN ct_m m ON m.doc_id = g.doc_id
+         |      AND m.cand_lang = g.cand_lang)),
+         |ct_pred AS (SELECT d.doc_id, d.lang,
+         |    COALESCE(b.cand_lang, 'und') AS pred_lang, b.dist
+         |  FROM documents d
+         |  LEFT JOIN (SELECT * FROM ct_best WHERE rk = 1) b
+         |    ON b.doc_id = d.doc_id)""".stripMargin
+
+    // the q200 interpolated-bigram scorer as a reusable CTE chain ending
+    // in `bg_scored(doc_id, n_bigrams, mean_log2p)` — shared by the
+    // q200 oracle and the q204 bucket oracle so both provably score the
+    // identical model
+    val bigramScoredCte =
+      s"""bg_tokd AS (SELECT doc_id, $cleanToks AS t
+         |  FROM (SELECT doc_id, $clean AS c FROM documents)),
+         |bg_n AS (SELECT CAST(SUM(len(t)) AS DOUBLE) AS n FROM bg_tokd),
+         |bg_s AS (SELECT doc_id, bg,
+         |    string_split(bg, ' ')[1] AS w1,
+         |    string_split(bg, ' ')[2] AS w2
+         |  FROM (SELECT doc_id,
+         |      UNNEST(${shinglesSql("t", 2)}) AS bg FROM bg_tokd)),
+         |bg_tf AS (SELECT bg, COUNT(*) AS cbg FROM bg_s GROUP BY 1),
+         |bg_ctx AS (SELECT w1, COUNT(*) AS cctx FROM bg_s GROUP BY 1),
+         |bg_uni AS (SELECT w2, COUNT(*) AS cu
+         |  FROM (SELECT UNNEST(t) AS w2 FROM bg_tokd) GROUP BY 1),
+         |bg_sc AS (SELECT doc_id, CAST(${Num.floorAtSql(
+           "log2(0.5 * cbg / cctx + 0.5 * cu / n)", 9)}
+         |    AS DECIMAL(28,9)) AS lp
+         |  FROM bg_s JOIN bg_tf USING (bg) JOIN bg_ctx USING (w1)
+         |  JOIN bg_uni USING (w2) CROSS JOIN bg_n),
+         |bg_scored AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  ${Num.floorAtSql(
+           "CAST(SUM(lp) AS DOUBLE) / COUNT(*)", 6)} AS mean_log2p
+         |FROM bg_sc GROUP BY 1)""".stripMargin
+
+    // the q207 winnowing selection as a reusable CTE chain ending in
+    // `wn_sel(doc_id, h, sp)` — shared by the fingerprint oracle and
+    // the q208 candidate-pair oracle
+    val winnowCte =
+      s"""wn_tokd AS (SELECT doc_id, $cleanToks AS t
+         |  FROM (SELECT doc_id, $clean AS c FROM documents)),
+         |wn_hs AS (SELECT doc_id,
+         |    list_transform(${shinglesSql("t")},
+         |      s -> ${md5HexNSql("s", 8)}) AS h
+         |  FROM wn_tokd),
+         |wn_hw AS (SELECT doc_id, h FROM wn_hs WHERE len(h) >= 4),
+         |wn_sel AS (SELECT doc_id, h,
+         |    list_sort(list_distinct(list_transform(
+         |      range(0, len(h) - 4 + 1),
+         |      i -> i + 4 - list_position(list_reverse(h[i+1:i+4]),
+         |        list_min(h[i+1:i+4]))))) AS sp
+         |  FROM wn_hw)""".stripMargin
+
+    // the q211 multi-pass blocking chain as a reusable CTE ending in
+    // `mp(id_a, id_b)` (verified pairs) and `g(id_a, id_b, passes)` —
+    // shared with the q227 entity-cluster oracle so both provably run
+    // on the identical candidate graph
+    val multiBlockCte =
+      """mk AS (SELECT DISTINCT p_name AS name FROM part),
+        |mbk AS (SELECT name,
+        |    string_split(name, ' ')[1] AS blk_first,
+        |    string_split(name, ' ')[-1] AS blk_last,
+        |    array_to_string(list_sort(string_split(name, ' ')), ' ')
+        |      AS blk_sorted
+        |  FROM mk),
+        |mc AS (
+        |  SELECT a.name AS id_a, b.name AS id_b, 'first' AS pass
+        |  FROM mbk a JOIN mbk b
+        |    ON a.blk_first = b.blk_first AND a.name < b.name
+        |  UNION ALL SELECT a.name, b.name, 'last'
+        |  FROM mbk a JOIN mbk b
+        |    ON a.blk_last = b.blk_last AND a.name < b.name
+        |  UNION ALL SELECT a.name, b.name, 'sorted'
+        |  FROM mbk a JOIN mbk b
+        |    ON a.blk_sorted = b.blk_sorted AND a.name < b.name),
+        |g AS (SELECT id_a, id_b,
+        |    array_to_string(list_sort(list(DISTINCT pass)), ',')
+        |      AS passes
+        |  FROM mc GROUP BY 1, 2),
+        |mp AS (SELECT id_a, id_b FROM g
+        |  WHERE levenshtein(id_a, id_b) <= 3)""".stripMargin
+
+  // ---- JPEG oracle pieces (q234) ----------------------------------------
+
+  /** The fixed integer DCT basis as a DuckDB nested-list literal —
+    * interpolated from graft.ops.Jpeg.Basis, ONE source of truth for
+    * both engines (Jpeg.scala scaladoc). */
+  val jpegBasisSql: String =
+    graft.ops.Jpeg.Basis.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+
+  /** Annex-K luminance quant table (natural order), from Jpeg.QTable. */
+  val jpegQtSql: String = graft.ops.Jpeg.QTable.mkString("[", ",", "]")
+
+  /** Exact integer floor division for a possibly-negative numerator
+    * (d > 0): subtract the non-negative remainder, then the division is
+    * exact (DuckDB `//` truncates, which equals floor on exact
+    * divisions). Mirrors Scala's Math.floorDiv. */
+  def jfloorDivSql(a: String, d: Long): String =
+    s"((($a) - (((($a) % $d) + $d) % $d)) // $d)"
+
+  /** Round-half-up division floor((2a + d) / 2d) — Jpeg.divHalfUp. */
+  def jdivHalfUpSql(a: String, d: Long): String =
+    jfloorDivSql(s"2*($a) + $d", 2 * d)
+}

@@ -1,0 +1,1138 @@
+package graft.registry
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Agg, Artifacts, Audio, Curate, Dedup, EventsOps, Graph, Layout, Multimodal, Num, Prune, Sentiment, Sim, Sketch, Skew, Star, Text}
+import graft.sources.Sources
+
+import Shared._
+import Fragments._
+
+/** Monitoring + the measured-ANN matrix: drift/robust stats, Spearman
+  * engine family, winnowing, phrase postings, recall sweeps
+  * (q228-q233).
+  *
+  * Mechanically split out of SparkEntry.scala (round 10) — every entry
+  * is verbatim; SparkEntry composes the parts back into the one map.
+  */
+private[graft] object Reg6MonitorAnn {
+
+  def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+
+
+    // events — exponentially time-decayed event mass
+    // (EventsOps.timeDecayedStats scaladoc): recency-weighted source
+    // mass anchored at the corpus max timestamp, never wall-clock.
+    "q205_time_decay" -> ((s, dir) =>
+      EventsOps.timeDecayedStats(t(s, dir, "events"), halfLifeDays = 30.0)
+        .orderBy("event_type")),
+
+
+    // events — Theil-Sen robust volume trend (EventsOps.theilSenTrend
+    // scaladoc): the median pairwise slope one anomalous day cannot
+    // bend; day-pair join bounded by |days|² per type.
+    "q206_theil_sen" -> ((s, dir) =>
+      EventsOps.theilSenTrend(t(s, dir, "events"))
+        .orderBy("event_type")),
+
+
+    // dedup — winnowing fingerprints (Dedup.winnowingFingerprints
+    // scaladoc): MOSS's local-guarantee selection — every >= w+window-1
+    // token verbatim run shares a fingerprint; scan-local array ops.
+    "q207_winnowing" -> ((s, dir) =>
+      Dedup.winnowingFingerprints(t(s, dir, "documents"), "doc_id",
+          "text", w = 3, window = 4)
+        .orderBy("doc_id")),
+
+
+    // dedup — candidate pairs from shared winnowing fingerprints
+    // (Dedup.winnowingCandidatePairs scaladoc): the join the selection
+    // feeds; fan-in bounded per fingerprint bucket.
+    "q208_winnow_candidates" -> ((s, dir) =>
+      Dedup.winnowingCandidatePairs(t(s, dir, "documents"), "doc_id",
+          "text", w = 3, window = 4, minShared = 2)
+        .orderBy("id_a", "id_b")),
+
+
+    // monitoring — per-group Spearman rank correlation
+    // (Agg.spearmanCorr scaladoc): Pearson on average ranks with exact
+    // doubled-integer rank sums; outlier-proof monotone association.
+    "q209_spearman" -> ((s, dir) =>
+      Agg.spearmanCorr(t(s, dir, "lineitem"), "l_returnflag",
+          "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")),
+
+
+    // layout — zone-map effectiveness audit (Layout.zoneMapAudit
+    // scaladoc): measured skip ratios for natural vs single-sort vs
+    // z-order layouts under date and partkey range predicates — the
+    // numbers a 100 TB clustering decision is made from.
+    "q210_zonemap_audit" -> ((s, dir) =>
+      Layout.zoneMapAudit(t(s, dir, "lineitem"))
+        .orderBy("layout", "predicate")),
+
+
+    // entity resolution — multi-pass blocking union + one bounded
+    // Levenshtein verify (Dedup.multiBlockFuzzyPairs scaladoc): closes
+    // q97's documented single-pass recall limit; `passes` records which
+    // block keys co-keyed each surviving pair.
+    "q211_multiblock_pairs" -> ((s, dir) =>
+      Dedup.multiBlockFuzzyPairs(
+          t(s, dir, "part").select(col("p_name").as("name")).distinct(),
+          "name", "name", maxDist = 3)
+        .orderBy("id_a", "id_b")),
+
+
+    // warehouse refresh — incremental aggregate maintenance
+    // (Agg.incrementalMoments scaladoc): standing + delta moment STATES
+    // merged by exact decimal addition == full recompute, never
+    // rescanning the standing corpus (q135/q179's refresh contract for
+    // plain aggregates).
+    "q212_incr_agg_merge" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Agg.incrementalMoments(
+          li.where(col("l_orderkey") % 5 =!= 0),
+          li.where(col("l_orderkey") % 5 === 0),
+          "l_returnflag", "l_extendedprice")
+        .orderBy("l_returnflag")
+    }),
+
+
+    // graph — bounded k-core peel (Graph.kCorePeel scaladoc) over the
+    // shared verified-pair artifact: the clique-like template clusters
+    // minus the star tendrils, 3 peel rounds at k=2.
+    "q213_kcore" -> ((s, dir) =>
+      Graph.kCorePeel(
+          Artifacts.nearDupPairs(s, dir, k = 8, bands = 4,
+            minJaccard = 0.2), k = 2, rounds = 3)
+        .orderBy("doc_id")),
+
+
+    // skew — exact join-size preflight from per-side key histograms
+    // (Skew.joinSizePreflight scaladoc): the funnel join's output
+    // cardinality and hottest users, costed before any join runs.
+    "q214_join_preflight" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Skew.joinSizePreflight(
+          ev.where(col("event_type") === "click"),
+          ev.where(col("event_type") === "view"),
+          "user_id", topK = 10)
+    }),
+
+
+    // profiling — functional-dependency audit (Agg.fdViolations
+    // scaladoc): five candidate FDs across four tables, one verdict row
+    // each — the key-trust check before any dimension join.
+    "q215_fd_audit" -> ((s, dir) =>
+      Agg.fdViolations(t(s, dir, "nation"),
+          "nation.n_nationkey->n_regionkey", "n_nationkey", "n_regionkey")
+        .unionAll(Agg.fdViolations(t(s, dir, "part"),
+          "part.p_partkey->p_brand", "p_partkey", "p_brand"))
+        .unionAll(Agg.fdViolations(t(s, dir, "part"),
+          "part.p_type->p_size", "p_type", "p_size"))
+        .unionAll(Agg.fdViolations(t(s, dir, "documents"),
+          "documents.source->lang", "source", "lang"))
+        .unionAll(Agg.fdViolations(t(s, dir, "orders"),
+          "orders.o_custkey->o_orderpriority", "o_custkey",
+          "o_orderpriority"))
+        .orderBy("fd")),
+
+
+    // feature engineering — bounded EWMA per user
+    // (EventsOps.ewmaBounded scaladoc): alpha = 1/2 over the last 16
+    // events; exact binary weights make the smoother engine-portable.
+    "q216_ewma" -> ((s, dir) =>
+      EventsOps.ewmaBounded(t(s, dir, "events"), depth = 16)
+        .orderBy("user_id", "event_id")),
+
+
+    // curation — within-source quantile normalization
+    // (Curate.quantileNormalize scaladoc): per-doc score -> empirical
+    // percentile, the calibration before any cross-source threshold.
+    "q217_quantile_norm" -> ((s, dir) =>
+      Curate.quantileNormalize(t(s, dir, "documents"), "doc_id",
+          "source", "n_chars")
+        .orderBy("doc_id")),
+
+
+    // curation — largest-remainder mixture allocation
+    // (Curate.mixtureAllocation scaladoc): a 1000-sample budget split
+    // across sources by sqrt weighting, integer allocations summing to
+    // the budget exactly.
+    "q218_mixture_alloc" -> ((s, dir) =>
+      Curate.mixtureAllocation(t(s, dir, "documents"), "source",
+          target = 1000L)
+        .orderBy("source")),
+
+
+    // dedup policy — threshold tuning sweep (Dedup.thresholdSweep
+    // scaladoc) over the shared verified-pair artifact: surviving pairs
+    // and touched docs per candidate threshold, zero corpus scans.
+    "q219_threshold_sweep" -> ((s, dir) =>
+      Dedup.thresholdSweep(
+          Artifacts.nearDupPairs(s, dir, k = 8, bands = 4,
+            minJaccard = 0.2),
+          Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+        .orderBy("threshold")),
+
+
+    // text analysis — per-term burstiness (Text.termBurstiness
+    // scaladoc): variance-to-mean of within-doc tf from exact integer
+    // power sums; content vs glue vocabulary without a stopword list.
+    "q220_term_burstiness" -> ((s, dir) =>
+      Text.termBurstiness(t(s, dir, "documents"), "doc_id", "text",
+          minDf = 20, topK = 20)),
+
+
+    // profiling — mutual information source×lang
+    // (Agg.mutualInformation scaladoc): bits of dependence between the
+    // two categoricals, the magnitude companion to q180's chi-square.
+    "q221_mutual_info" -> ((s, dir) =>
+      Agg.mutualInformation(t(s, dir, "documents"), "source", "lang")),
+
+
+    // §2.1 source — raw text-log roundtrip (Sources.writeText/readText):
+    // schema-on-read ingestion of newline-delimited log lines, parsed
+    // with codegen'd regexp_extract at scan time — the format raw
+    // 100 TB crawls arrive in, completing the CSV/JSONL/ORC/JDBC/text
+    // source matrix. Lossless by construction: the aggregate over the
+    // parsed read-back must hash-match the direct oracle.
+    "q222_logparse_roundtrip" -> ((s, dir) => {
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft-q222-${ProcessHandle.current().pid}"
+      Sources.writeText(
+        t(s, dir, "documents").select(
+          format_string("doc=%d src=%s lang=%s chars=%d",
+            col("doc_id"), col("source"), col("lang"), col("n_chars"))
+            .as("value")),
+        path)
+      val re = "doc=(\\d+) src=(\\S+) lang=(\\S+) chars=(\\d+)"
+      Sources.readText(s, path)
+        .select(
+          regexp_extract(col("value"), re, 1).cast("long").as("doc_id"),
+          regexp_extract(col("value"), re, 2).as("source"),
+          regexp_extract(col("value"), re, 3).as("lang"),
+          regexp_extract(col("value"), re, 4).cast("long").as("n_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang")
+    }),
+
+
+    // curation — quality-vs-duplication calibration curve: the q134
+    // scorer's value-binned reliability diagram against pair-graph
+    // membership — does low model-scored quality actually co-occur with
+    // near-duplication? Buckets are score-value bins (scan-local, no
+    // global window); dup flag is one broadcast-ish join against the
+    // pair artifact's endpoints; mean score via exact decimal sums.
+    "q223_quality_dup_calibration" -> ((s, dir) => {
+      val q = Curate.ngramQualityScore(t(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      val pairs = Artifacts.nearDupPairs(s, dir, k = 8, bands = 4,
+        minJaccard = 0.2)
+      val dup = pairs.select(col("id_a").as("doc_id"))
+        .unionAll(pairs.select(col("id_b").as("doc_id")))
+        .distinct().withColumn("is_dup", lit(true))
+      q.join(dup, Seq("doc_id"), "left")
+        .select(
+          least(floor(col("quality_score") * 10), lit(9.0)).cast("int")
+            .as("bucket"),
+          col("quality_score").cast("decimal(18,6)").as("qd"),
+          coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+          sum(col("qd")).as("sq"))
+        .select(col("bucket"), col("n_docs"), col("n_dup"),
+          Num.floorAt(
+            col("n_dup").cast("double") / col("n_docs"), 6)
+            .as("dup_rate"),
+          Num.floorAt(
+            col("sq").cast("double") / col("n_docs"), 6)
+            .as("mean_score"))
+        .orderBy("bucket")
+    }),
+
+
+    // retrieval — frequent-phrase mining + exact posting lookup
+    // (Text.phrasePostings scaladoc): top phrases by corpus count,
+    // each with its top documents by within-doc occurrences — phrase
+    // search as ONE posting key instead of a corpus regex scan.
+    "q224_phrase_postings" -> ((s, dir) =>
+      Text.phrasePostings(t(s, dir, "documents"), "doc_id", "text",
+          w = 3, topK = 3, docsPerPhrase = 10)
+        .orderBy("phrase", "rk")),
+
+
+    // ML ops — temporal split + leakage audit (EventsOps.temporalSplit
+    // scaladoc): hold out the last 20% of the event-time range, count
+    // the users whose history straddles the cutoff.
+    "q225_temporal_split" -> ((s, dir) =>
+      EventsOps.temporalSplit(t(s, dir, "events"), testPct = 20)),
+
+
+    // dedup methodology — MinHash estimator calibration
+    // (Dedup.minhashCalibration scaladoc): estimate level vs exact
+    // Jaccard over the verified pair artifact; validates the S-curve
+    // assumption planBands plans from, via exact integer error sums.
+    "q226_minhash_calibration" -> ((s, dir) =>
+      Dedup.minhashCalibration(t(s, dir, "documents"),
+          Artifacts.nearDupPairs(s, dir, k = 8, bands = 4,
+            minJaccard = 0.2),
+          "doc_id", "text", k = 8)
+        .orderBy("est_matches")),
+
+
+    // entity resolution — transitive entity clusters over the q211
+    // multi-pass pair graph (componentsConverged on string ids: min
+    // label is lexicographic): the canonical-entity assignment record
+    // linkage ends with, plus cluster sizes from a component-keyed
+    // window.
+    "q227_entity_clusters" -> ((s, dir) => {
+      val names = t(s, dir, "part")
+        .select(col("p_name").as("name")).distinct()
+      val comp = Dedup.componentsConverged(
+        Dedup.multiBlockFuzzyPairs(names, "name", "name", maxDist = 3))
+      comp.select(col("doc_id").as("name"),
+          col("component").as("entity"))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy("entity")))
+        .orderBy("name")
+    }),
+
+
+    // north star — MEASURED ANN recall (the q155 contract applied to
+    // the ANN family): IVF (q41's own-cell probe) and sign-LSH (q43's
+    // buckets) top-5 against q40's brute-force ground truth — exact
+    // integer hit counts, realized recall per method instead of the
+    // expected-recall formula Sim.scala cites.
+    "q228_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+      // tiny (50-row) truth frame, three consumers: materialize once
+      val truth = Sim.topK(q, emb, 5).select(col("q_id"), col("c_id"))
+        .withColumn("__hit", lit(true)).localCheckpoint()
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      def eval(method: String,
+               approx: org.apache.spark.sql.DataFrame) =
+        approx.select(col("q_id"), col("c_id"))
+          .join(truth, Seq("q_id", "c_id"), "left")
+          // coalesce: sum over ZERO approx rows is NULL, the oracle's
+          // COUNT(b.q_id) is 0 — e.g. every query alone in its bucket
+          .agg(count(lit(1)).as("n_approx"),
+            coalesce(sum(when(col("__hit"), 1L).otherwise(0L)), lit(0L))
+              .as("n_hits"))
+          .crossJoin(broadcast(nT))
+          .select(lit(method).as("method"), col("n_truth"),
+            col("n_approx"), col("n_hits"),
+            when(col("n_truth") === 0, lit(1.0)).otherwise(
+              Num.floorAt(col("n_hits").cast("double") /
+                col("n_truth"), 4)).as("recall"))
+      // the real coarse quantizer next to the label stand-in: q125's
+      // deterministic kmeans (k=8, 2 iters) assigns the cells, own-cell
+      // probe — the oracle replays the identical quantizer (kmeansAfCte)
+      val km = Sim.kmeansCells(emb, k = 8, iters = 2).localCheckpoint()
+      eval("ivf", Sim.topKIvf(q, emb, 5, "label"))
+        .unionByName(eval("ivf_kmeans",
+          Sim.topKIvf(km.where(col("vec_id") < 10), km, 5, "cell")))
+        .unionByName(eval("lsh", Sim.topKLsh(q, emb, 5, bits = 4)))
+        .orderBy("method")
+    }),
+
+
+    // north star — multi-probe IVF recall sweep (Sim.ivfRecallSweep
+    // scaladoc): realized recall@5 vs brute truth for probes = 1..3
+    // over centroid-ranked label cells — q228 names the single-probe
+    // recall loss; this measures the knob that buys it back.
+    "q229_ivf_multiprobe" -> ((s, dir) =>
+      Sim.ivfRecallSweep(
+          t(s, dir, "embeddings").where(col("vec_id") < 10),
+          t(s, dir, "embeddings"), 5, "label", maxProbes = 3)
+        .orderBy("probes")),
+
+
+    // north star — sign-LSH bits sweep (the bits knob next to q229's
+    // probes knob): realized recall@5 vs brute truth for 2/4/6
+    // hyperplanes — more bits = smaller buckets = cheaper probes AND
+    // lower same-bucket recall; this query puts measured numbers on
+    // that trade so a user sizes `bits` from data, not intuition.
+    "q231_lsh_bits_sweep" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+      val truth = Sim.topK(q, emb, 5).select(col("q_id"), col("c_id"))
+        .withColumn("__hit", lit(true)).localCheckpoint()
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      Seq(2, 4, 6).map { bits =>
+        Sim.topKLsh(q, emb, 5, bits = bits)
+          .select(col("q_id"), col("c_id"))
+          .join(truth, Seq("q_id", "c_id"), "left")
+          .agg(count(lit(1)).as("n_approx"),
+            coalesce(sum(when(col("__hit"), 1L).otherwise(0L)), lit(0L))
+              .as("n_hits"))
+          .crossJoin(broadcast(nT))
+          .select(lit(bits).as("bits"), col("n_truth"),
+            col("n_approx"), col("n_hits"),
+            when(col("n_truth") === 0, lit(1.0)).otherwise(
+              Num.floorAt(col("n_hits").cast("double") /
+                col("n_truth"), 4)).as("recall"))
+      }.reduce(_ unionByName _).orderBy("bits")
+    }),
+
+
+    // monitoring — the DISTRIBUTED-exact Spearman engine
+    // (Agg.spearmanCorrDomain scaladoc), pinned to q209's oracle: same
+    // doubled-average-rank arithmetic from domain windows + two
+    // joint-domain hash joins, for the few-giant-groups inputs where
+    // q209's per-key window serializes (the CC-family pattern: one
+    // oracle, engine per scale regime).
+    "q230_spearman_domain" -> ((s, dir) =>
+      Agg.spearmanCorrDomain(t(s, dir, "lineitem"), "l_returnflag",
+          "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")),
+
+
+    // north star — OR-amplified sign-LSH recall sweep (Sim.topKLsh
+    // scaladoc; Gionis/Indyk/Motwani 1999): realized recall@5 vs brute
+    // truth for L = 1/2/4 independent hyperplane tables at bits = 4 —
+    // q231 measured the bits knob only trading recall DOWN (0.18 best
+    // at 4 bits); this measures the knob that buys it back at ~L×
+    // candidate cost. The L = 1 row IS q231's bits = 4 row (same
+    // planes), pinning the two sweeps together.
+    "q232_lsh_tables_sweep" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+      val truth = Sim.topK(q, emb, 5).select(col("q_id"), col("c_id"))
+        .withColumn("__hit", lit(true)).localCheckpoint()
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      Seq(1, 2, 4).map { tbls =>
+        Sim.topKLsh(q, emb, 5, bits = 4, tables = tbls)
+          .select(col("q_id"), col("c_id"))
+          .join(truth, Seq("q_id", "c_id"), "left")
+          .agg(count(lit(1)).as("n_approx"),
+            coalesce(sum(when(col("__hit"), 1L).otherwise(0L)), lit(0L))
+              .as("n_hits"))
+          .crossJoin(broadcast(nT))
+          .select(lit(tbls).as("tables"), col("n_truth"),
+            col("n_approx"), col("n_hits"),
+            when(col("n_truth") === 0, lit(1.0)).otherwise(
+              Num.floorAt(col("n_hits").cast("double") /
+                col("n_truth"), 4)).as("recall"))
+      }.reduce(_ unionByName _).orderBy("tables")
+    }),
+
+
+    // monitoring — AUTO-dispatched Spearman (Agg.spearmanAuto
+    // scaladoc), pinned to q209/q230's oracle: the cardinality
+    // preflight routes lineitem's 3-value l_returnflag to the
+    // hash-distributing domain engine (3 < cores); output is
+    // bit-identical to both siblings by construction — THREE queries,
+    // ONE oracle string.
+    "q233_spearman_auto" -> ((s, dir) =>
+      Agg.spearmanAuto(t(s, dir, "lineitem"), "l_returnflag",
+          "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag"))
+  )
+
+  def oracles: ListMap[String, String] = ListMap(
+
+
+      // decay anchored at the corpus max ts; per-row weights floored
+      // 9 dp into decimal sums (order-free), pow(2, .) as in q173
+      "q205_time_decay" -> {
+        val w = "pow(2.0, -((CAST(tmax - es AS DOUBLE) / 86400.0)" +
+          " / 30.0))"
+        def dec(e: String) =
+          s"CAST(SUM(CAST(${Num.floorAtSql(e, 9)} AS DECIMAL(28,9)))" +
+            " AS DOUBLE)"
+        s"""WITH a AS (SELECT MAX(${epochSql("ts")}) AS tmax
+           |  FROM events),
+           |r AS (SELECT event_type, value, ${epochSql("ts")} AS es
+           |  FROM events)
+           |SELECT event_type, COUNT(*) AS n_events,
+           |  ${Num.floorAtSql(dec(w), 6)} AS decayed_count,
+           |  ${Num.floorAtSql(dec(s"$w * value"), 6)} AS decayed_value
+           |FROM r CROSS JOIN a GROUP BY 1 ORDER BY 1""".stripMargin
+      },
+
+
+      // pairwise slopes over the daily-count frame, median by the
+      // q120/q174 double-middle rank rule
+      "q206_theil_sen" ->
+        s"""WITH daily AS (SELECT event_type,
+           |    CAST(${epochSql("ts")} // 86400 AS BIGINT) AS day,
+           |    COUNT(*) AS n
+           |  FROM events GROUP BY 1, 2),
+           |sl AS (SELECT a.event_type,
+           |    CAST(b.n - a.n AS DOUBLE) / (b.day - a.day) AS slope
+           |  FROM daily a JOIN daily b
+           |    ON a.event_type = b.event_type AND b.day > a.day),
+           |r AS (SELECT event_type, slope,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY slope) AS rn,
+           |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM sl)
+           |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_pairs,
+           |  ${Num.floorAtSql("AVG(slope)", 6)} AS slope
+           |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+      // windowed-min selection replayed with the same rightmost-tie
+      // reverse trick; fp key = md5 of the sorted distinct hashes
+      // (wn_sel CTE shared with the q208 candidate join)
+      "q207_winnowing" ->
+        s"""WITH $winnowCte
+           |SELECT doc_id, CAST(len(h) AS INTEGER) AS n_shingles,
+           |  CAST(len(sp) AS INTEGER) AS n_selected,
+           |  md5(array_to_string(list_transform(
+           |    list_sort(list_distinct(list_transform(sp,
+           |      j -> h[CAST(j + 1 AS INTEGER)]))),
+           |    x -> CAST(x AS VARCHAR)), ' ')) AS fp_key
+           |FROM wn_sel ORDER BY doc_id""".stripMargin,
+
+
+      // average ranks from per-group value-domain cumsums, carried as
+      // exact doubled integers; Pearson closed form on decimal sums.
+      // ONE string for BOTH Spearman engines (q209 windowed, q230
+      // domain-reduced) — divergence impossible, the CC-family pattern
+      "q209_spearman" -> spearmanSql,
+
+
+      "q230_spearman_domain" -> spearmanSql,
+
+
+      "q233_spearman_auto" -> spearmanSql,
+
+
+      // docs sharing >= 2 selected hashes, fingerprint-keyed self-join
+      "q208_winnow_candidates" ->
+        s"""WITH $winnowCte,
+           |fp AS (SELECT DISTINCT doc_id, fp FROM
+           |  (SELECT doc_id, UNNEST(list_transform(sp,
+           |      j -> h[CAST(j + 1 AS INTEGER)])) AS fp
+           |    FROM wn_sel))
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  COUNT(*) AS n_shared_fp
+           |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+           |ORDER BY id_a, id_b""".stripMargin,
+
+
+      // exact-integer replay of the three bucket assignments (// is
+      // DuckDB's integral div, matching the engine's `div`); zorder
+      // bucket = top 6 bits of the 8+8-bit Morton interleave
+      // (Layout.zSqlExpr — the q132 oracle shape)
+      "q210_zonemap_audit" ->
+        s"""WITH base AS (SELECT CAST(l_orderkey AS BIGINT) AS okey,
+           |    CAST(l_partkey AS BIGINT) AS pk,
+           |    (${epochSql("l_shipdate")}) // 86400 AS day
+           |  FROM lineitem),
+           |b AS (SELECT MIN(okey) AS mino, MAX(okey) AS maxo,
+           |    MIN(pk) AS minpk, MAX(pk) AS maxpk,
+           |    MIN(day) AS mind, MAX(day) AS maxd FROM base),
+           |wb AS (SELECT okey, pk, day,
+           |    ((okey - mino) * 64) // (maxo - mino + 1) AS nat_b,
+           |    ((day - mind) * 64) // (maxd - mind + 1) AS date_b,
+           |    ((pk - minpk) * 256) // (maxpk - minpk + 1) AS pkq,
+           |    ((day - mind) * 256) // (maxd - mind + 1) AS dayq
+           |  FROM base CROSS JOIN b),
+           |wz AS (SELECT *,
+           |    (${graft.ops.Layout.zSqlExpr("pkq", "dayq", 8)}) // 1024
+           |      AS z_b FROM wb),
+           |lb AS (
+           |  SELECT 'natural' AS layout, nat_b AS bucket, pk, day FROM wz
+           |  UNION ALL SELECT 'bydate', date_b, pk, day FROM wz
+           |  UNION ALL SELECT 'zorder', z_b, pk, day FROM wz),
+           |zones AS (SELECT layout, bucket,
+           |    MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+           |    MIN(day) AS min_day, MAX(day) AS max_day,
+           |    COUNT(*) AS cnt
+           |  FROM lb GROUP BY 1, 2),
+           |preds AS (
+           |  SELECT 'ship_month' AS predicate, 'day' AS dim,
+           |      mind + (maxd - mind) // 2 AS lo,
+           |      mind + (maxd - mind) // 2 + 30 AS hi FROM b
+           |  UNION ALL SELECT 'part_range', 'pk',
+           |      minpk + (maxpk - minpk) // 2,
+           |      minpk + (maxpk - minpk) // 2 + (maxpk - minpk) // 64
+           |    FROM b),
+           |m AS (SELECT predicate, COUNT(*) AS n_match
+           |  FROM base CROSS JOIN preds
+           |  WHERE (dim = 'day' AND day BETWEEN lo AND hi)
+           |     OR (dim = 'pk' AND pk BETWEEN lo AND hi)
+           |  GROUP BY 1),
+           |a AS (SELECT layout, predicate, COUNT(*) AS n_buckets,
+           |    CAST(SUM(CASE WHEN (dim = 'day' AND min_day <= hi
+           |          AND max_day >= lo)
+           |        OR (dim = 'pk' AND min_pk <= hi AND max_pk >= lo)
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_read,
+           |    CAST(SUM(cnt) AS BIGINT) AS rows_total,
+           |    CAST(SUM(CASE WHEN (dim = 'day' AND min_day <= hi
+           |          AND max_day >= lo)
+           |        OR (dim = 'pk' AND min_pk <= hi AND max_pk >= lo)
+           |      THEN cnt ELSE 0 END) AS BIGINT) AS rows_scanned
+           |  FROM zones CROSS JOIN preds GROUP BY 1, 2)
+           |SELECT layout, predicate, n_buckets, n_read, rows_total,
+           |  rows_scanned, CAST(COALESCE(n_match, 0) AS BIGINT) AS n_match,
+           |  ${Num.floorAtSql(
+             "CAST(n_read AS DOUBLE) / CAST(n_buckets AS DOUBLE)", 6)}
+           |    AS read_frac,
+           |  ${Num.floorAtSql(
+             "CAST(rows_scanned AS DOUBLE) / CAST(rows_total AS DOUBLE)",
+             6)} AS scan_frac
+           |FROM a LEFT JOIN m USING (predicate)
+           |ORDER BY layout, predicate""".stripMargin,
+
+
+      // three blocked joins UNION'd, pair-deduped with the sorted
+      // distinct pass list, then ONE levenshtein verify (the length
+      // prefilter is engine-only: lev >= |len diff| makes it redundant
+      // under the final <= 3 bound)
+      "q211_multiblock_pairs" ->
+        s"""WITH $multiBlockCte
+           |SELECT id_a, id_b,
+           |  CAST(levenshtein(id_a, id_b) AS INTEGER) AS dist, passes
+           |FROM g WHERE levenshtein(id_a, id_b) <= 3
+           |ORDER BY id_a, id_b""".stripMargin,
+
+
+      // full recompute with the q98 decimal power sums — the merge's
+      // correctness claim IS equality with this (decimal adds are
+      // exact, so state merge == full, bit for bit)
+      "q212_incr_agg_merge" ->
+        """WITH g AS (SELECT l_returnflag, COUNT(*) AS n,
+          |    CAST(SUM(CASE WHEN l_orderkey % 5 != 0 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n_standing,
+          |    CAST(SUM(CASE WHEN l_orderkey % 5 = 0 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n_delta,
+          |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sx,
+          |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+          |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxx
+          |  FROM lineitem GROUP BY l_returnflag)
+          |SELECT l_returnflag, n_standing, n_delta, n,
+          |  floor((CAST(sx AS DOUBLE) / n) * 1000000) / 1000000 AS mean,
+          |  floor(((CAST(sxx AS DOUBLE)
+          |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1))
+          |    * 10000) / 10000 AS var_samp
+          |FROM g ORDER BY l_returnflag""".stripMargin,
+
+
+      // three unrolled peel rounds over the shared verified-pair CTE
+      // (degree agg -> keep -> endpoint filters), then the surviving
+      // subgraph's degrees
+      "q213_kcore" -> {
+        def peel(i: Int): String =
+          s"""d$i AS (SELECT id, COUNT(*) AS deg FROM (
+             |    SELECT id_a AS id FROM e${i - 1}
+             |    UNION ALL SELECT id_b FROM e${i - 1}) GROUP BY 1),
+             |k$i AS (SELECT id FROM d$i WHERE deg >= 2),
+             |e$i AS (SELECT e.id_a, e.id_b FROM e${i - 1} e
+             |  JOIN k$i ka ON e.id_a = ka.id
+             |  JOIN k$i kb ON e.id_b = kb.id)""".stripMargin
+        s"""WITH $verifiedPairsCte,
+           |e0 AS (SELECT id_a, id_b FROM pairs),
+           |${peel(1)},
+           |${peel(2)},
+           |${peel(3)}
+           |SELECT id AS doc_id, COUNT(*) AS deg FROM (
+           |  SELECT id_a AS id FROM e3 UNION ALL SELECT id_b FROM e3)
+           |GROUP BY 1 ORDER BY doc_id""".stripMargin
+      },
+
+
+      // per-side key histograms joined, exact pair products, totals
+      // from one scalar agg — never the join itself
+      "q214_join_preflight" ->
+        s"""WITH l AS (SELECT user_id, COUNT(*) AS n_left FROM events
+           |    WHERE event_type = 'click' GROUP BY 1),
+           |r AS (SELECT user_id, COUNT(*) AS n_right FROM events
+           |    WHERE event_type = 'view' GROUP BY 1),
+           |j AS (SELECT l.user_id, n_left, n_right,
+           |    CAST(n_left AS DECIMAL(19,0)) * CAST(n_right AS DECIMAL(19,0))
+           |      AS n_pairs FROM l JOIN r USING (user_id)),
+           |tt AS (SELECT CAST(SUM(n_pairs) AS DECIMAL(38,0)) AS total_pairs,
+           |    COUNT(*) AS n_keys FROM j)
+           |SELECT user_id, n_left, n_right,
+           |  CAST(n_pairs AS DECIMAL(38,0)) AS n_pairs, total_pairs, n_keys,
+           |  ${Num.floorAtSql(
+             "CAST(n_pairs AS DOUBLE) / CAST(total_pairs AS DOUBLE)", 6)}
+           |    AS share
+           |FROM j CROSS JOIN tt
+           |ORDER BY n_pairs DESC, user_id LIMIT 10""".stripMargin,
+
+
+      // one grouped distinct-count per candidate FD, unioned
+      "q215_fd_audit" -> {
+        def fd(tbl: String, l: String, r: String): String =
+          s"""SELECT '$tbl.$l->$r' AS fd, COUNT(*) AS n_lhs,
+             |  CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_violating,
+             |  CAST(MAX(n_rhs) AS BIGINT) AS max_rhs,
+             |  SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds
+             |FROM (SELECT $l, COUNT(DISTINCT $r) AS n_rhs
+             |      FROM $tbl GROUP BY 1)""".stripMargin
+        Seq(("nation", "n_nationkey", "n_regionkey"),
+            ("part", "p_partkey", "p_brand"),
+            ("part", "p_type", "p_size"),
+            ("documents", "source", "lang"),
+            ("orders", "o_custkey", "o_orderpriority"))
+          .map { case (t0, l, r) => fd(t0, l, r) }
+          .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+      },
+
+
+      // the window list replayed with an indexed transform: weight
+      // 2^-(L-i) for 1-based i, normalizer 2 - 2^-(L-1) — exact binary
+      // scales, so the doubles match the engine bit-for-bit
+      "q216_ewma" ->
+        s"""WITH w AS (SELECT user_id, event_id, value,
+           |    list(value) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id
+           |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr
+           |  FROM events)
+           |SELECT user_id, event_id, value,
+           |  ${Num.floorAtSql(
+             "list_sum(list_transform(range(1, len(arr) + 1), " +
+               "i -> arr[i] * pow(0.5, len(arr) - i))) " +
+               "/ (2 - pow(0.5, len(arr) - 1))", 6)} AS ewma
+           |FROM w ORDER BY user_id, event_id""".stripMargin,
+
+
+      // unique rank key (score, id) then (rank-1)/(n-1)
+      "q217_quantile_norm" ->
+        s"""WITH w AS (SELECT doc_id, source, n_chars,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY n_chars, doc_id) AS rn,
+           |    COUNT(*) OVER (PARTITION BY source) AS n
+           |  FROM documents)
+           |SELECT doc_id, source, n_chars,
+           |  ${Num.floorAtSql(
+             "CAST(rn - 1 AS DOUBLE) / CAST(greatest(n - 1, 1) AS DOUBLE)",
+             6)} AS pct
+           |FROM w ORDER BY doc_id""".stripMargin,
+
+
+      // Hamilton's method in exact integers: floor shares by integral
+      // div, leftovers to the largest remainders (ties by source)
+      "q218_mixture_alloc" ->
+        """WITH c AS (SELECT source, COUNT(*) AS n_docs,
+          |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000)
+          |      AS BIGINT) AS weight
+          |  FROM documents GROUP BY 1),
+          |t AS (SELECT CAST(SUM(weight) AS BIGINT) AS wsum FROM c),
+          |b AS (SELECT source, n_docs, weight,
+          |    (1000 * weight) // wsum AS base,
+          |    (1000 * weight) % wsum AS rem
+          |  FROM c CROSS JOIN t),
+          |lo AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS r FROM b),
+          |rk AS (SELECT *, row_number() OVER
+          |    (ORDER BY rem DESC, source) AS rk FROM b)
+          |SELECT source, n_docs, weight,
+          |  CAST(base + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT)
+          |    AS alloc
+          |FROM rk CROSS JOIN lo ORDER BY source""".stripMargin,
+
+
+      // the sweep replayed over the shared verified-pair CTE (jacc is
+      // the same 4dp-floored jaccard the artifact stores)
+      "q219_threshold_sweep" ->
+        s"""WITH $verifiedPairsCte,
+           |th AS (SELECT CAST(UNNEST(
+           |    [0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+           |  AS threshold),
+           |kept AS (SELECT threshold, id_a, id_b
+           |  FROM pairs CROSS JOIN th WHERE jacc >= threshold),
+           |np AS (SELECT threshold, COUNT(*) AS n_pairs
+           |  FROM kept GROUP BY 1),
+           |nd AS (SELECT threshold, COUNT(DISTINCT id) AS n_docs FROM (
+           |    SELECT threshold, id_a AS id FROM kept
+           |    UNION ALL SELECT threshold, id_b FROM kept) GROUP BY 1)
+           |SELECT threshold, COALESCE(n_pairs, 0) AS n_pairs,
+           |  COALESCE(n_docs, 0) AS n_docs
+           |FROM th LEFT JOIN np USING (threshold)
+           |  LEFT JOIN nd USING (threshold)
+           |ORDER BY threshold""".stripMargin,
+
+
+      // exact integer (tf, tf^2) power sums per term; VMR in double
+      // only at the end — the q98 discipline on text counts
+      "q220_term_burstiness" ->
+        s"""WITH toks AS (SELECT doc_id, UNNEST($cleanToks) AS term
+           |    FROM (SELECT doc_id, $clean AS c FROM documents)),
+           |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+           |  FROM toks GROUP BY 1, 2),
+           |pt AS (SELECT term, COUNT(*) AS df,
+           |    CAST(SUM(tf) AS BIGINT) AS sum_tf,
+           |    CAST(SUM(tf * tf) AS BIGINT) AS sum_tf2
+           |  FROM tf GROUP BY 1 HAVING COUNT(*) >= 20)
+           |SELECT term, df, sum_tf,
+           |  ${Num.floorAtSql("CAST(sum_tf AS DOUBLE) / df", 6)}
+           |    AS mean_tf,
+           |  ${Num.floorAtSql(
+             "((CAST(sum_tf2 AS DOUBLE) - CAST(sum_tf AS DOUBLE)" +
+               " * CAST(sum_tf AS DOUBLE) / df) / (df - 1))" +
+               " / (CAST(sum_tf AS DOUBLE) / df)", 6)} AS vmr
+           |FROM pt ORDER BY vmr DESC, term LIMIT 20""".stripMargin,
+
+
+      // H = log2(n) - sum(c*log2 c)/n per count frame (the q151
+      // identity); marginals re-aggregate the joint cells
+      "q221_mutual_info" -> {
+        val n = "CAST(n AS DOUBLE)"
+        def h(s: String) = s"(log2($n) - $s / $n)"
+        s"""WITH cells AS (SELECT source, lang, COUNT(*) AS c
+           |    FROM documents GROUP BY 1, 2),
+           |j AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+           |    SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+           |      AS s_joint FROM cells),
+           |ma AS (SELECT SUM(CAST(c AS DOUBLE)
+           |      * log2(CAST(c AS DOUBLE))) AS s_a
+           |  FROM (SELECT CAST(SUM(c) AS BIGINT) AS c FROM cells
+           |        GROUP BY source)),
+           |mb AS (SELECT SUM(CAST(c AS DOUBLE)
+           |      * log2(CAST(c AS DOUBLE))) AS s_b
+           |  FROM (SELECT CAST(SUM(c) AS BIGINT) AS c FROM cells
+           |        GROUP BY lang))
+           |SELECT n,
+           |  ${Num.floorAtSql(h("s_a"), 6)} AS h_a,
+           |  ${Num.floorAtSql(h("s_b"), 6)} AS h_b,
+           |  ${Num.floorAtSql(h("s_joint"), 6)} AS h_joint,
+           |  ${Num.floorAtSql(
+             s"${h("s_a")} + ${h("s_b")} - ${h("s_joint")}", 6)} AS mi,
+           |  ${Num.floorAtSql(s"${h("s_joint")} - ${h("s_a")}", 6)}
+           |    AS h_b_given_a
+           |FROM j CROSS JOIN ma CROSS JOIN mb""".stripMargin
+      },
+
+
+      // the roundtrip is lossless by construction, so the oracle is the
+      // direct aggregate over the source table
+      "q222_logparse_roundtrip" ->
+        """SELECT lang, COUNT(*) AS n, MIN(n_chars) AS min_chars,
+          |  MAX(n_chars) AS max_chars
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+
+      // the q134 quality chain (q157's CTE names) + the pair CTE's
+      // endpoints; buckets are score-VALUE bins, mean via decimal sums
+      "q223_quality_dup_calibration" ->
+        s"""WITH $verifiedPairsCte,
+           |qtok AS (SELECT id AS doc_id, $cleanToks AS t FROM cleaned),
+           |qg AS (SELECT doc_id,
+           |    UNNEST(list_concat(t, ${shinglesSql("t", 2)})) AS g
+           |  FROM qtok),
+           |qwt AS (SELECT doc_id,
+           |    CAST((${Curate.QualityWeights.mkString("[", ", ", "]")})[
+           |      CAST(${md5HexNSql("g", 8)} % ${Curate.QualityBuckets}
+           |        AS INTEGER) + 1] AS DECIMAL(18,6)) AS wt
+           |  FROM qg),
+           |qs AS (SELECT doc_id,
+           |    ${Num.floorAtSql(
+               s"1.0 / (1.0 + exp(-((${Curate.QualityBias}) " +
+                 "+ CAST(SUM(wt) AS DOUBLE) / COUNT(*))))", 6)}
+           |      AS quality_score
+           |  FROM qwt GROUP BY doc_id),
+           |dup AS (SELECT DISTINCT id FROM (
+           |    SELECT id_a AS id FROM pairs
+           |    UNION ALL SELECT id_b FROM pairs)),
+           |b AS (SELECT
+           |    CAST(least(floor(quality_score * 10), 9) AS INTEGER)
+           |      AS bucket,
+           |    CAST(quality_score AS DECIMAL(18,6)) AS qd,
+           |    (dup.id IS NOT NULL) AS is_dup
+           |  FROM qs LEFT JOIN dup ON dup.id = qs.doc_id)
+           |SELECT bucket, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_dup,
+           |  ${Num.floorAtSql(
+             "CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)" +
+               " / COUNT(*)", 6)} AS dup_rate,
+           |  ${Num.floorAtSql(
+             "CAST(SUM(qd) AS DOUBLE) / COUNT(*)", 6)} AS mean_score
+           |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+
+      // the shingle stream as an inverted phrase index: (phrase, doc)
+      // counts, phrase totals, per-phrase doc ranking
+      "q224_phrase_postings" ->
+        s"""WITH tokd AS (SELECT doc_id, $cleanToks AS t
+           |    FROM (SELECT doc_id, $clean AS c FROM documents)),
+           |sh AS (SELECT doc_id, UNNEST(${shinglesSql("t", 3)})
+           |    AS phrase FROM tokd),
+           |occ AS (SELECT phrase, doc_id, COUNT(*) AS n_occ
+           |  FROM sh GROUP BY 1, 2),
+           |top AS (SELECT phrase, CAST(SUM(n_occ) AS BIGINT) AS total
+           |  FROM occ GROUP BY 1 ORDER BY total DESC, phrase LIMIT 3),
+           |rkd AS (SELECT o.phrase, t.total, o.doc_id, o.n_occ,
+           |    row_number() OVER (PARTITION BY o.phrase
+           |      ORDER BY o.n_occ DESC, o.doc_id) AS rk
+           |  FROM occ o JOIN top t USING (phrase))
+           |SELECT phrase, total, doc_id, n_occ,
+           |  CAST(rk AS INTEGER) AS rk
+           |FROM rkd WHERE rk <= 10 ORDER BY phrase, rk""".stripMargin,
+
+
+      // integer time-range cutoff from the bounds row; leaky = users
+      // with events on both sides
+      "q225_temporal_split" ->
+        s"""WITH base AS (SELECT user_id, ${epochSql("ts")} AS es
+           |    FROM events),
+           |b AS (SELECT MIN(es) AS mn, MAX(es) AS mx FROM base),
+           |f AS (SELECT user_id, es,
+           |    mn + ((mx - mn) * 80) // 100 AS cutoff,
+           |    es >= mn + ((mx - mn) * 80) // 100 AS is_test
+           |  FROM base CROSS JOIN b),
+           |s AS (SELECT CAST(MAX(cutoff) AS BIGINT) AS cutoff_es,
+           |    CAST(SUM(CASE WHEN NOT is_test THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_train,
+           |    CAST(SUM(CASE WHEN is_test THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_test,
+           |    COUNT(DISTINCT CASE WHEN NOT is_test THEN user_id END)
+           |      AS n_users_train,
+           |    COUNT(DISTINCT CASE WHEN is_test THEN user_id END)
+           |      AS n_users_test
+           |  FROM f),
+           |l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky_users
+           |  FROM (SELECT user_id FROM f GROUP BY 1
+           |    HAVING MAX(CASE WHEN is_test THEN 1 ELSE 0 END) = 1
+           |       AND MAX(CASE WHEN is_test THEN 0 ELSE 1 END) = 1))
+           |SELECT cutoff_es, n_train, n_test, n_users_train,
+           |  n_users_test, n_leaky_users,
+           |  ${Num.floorAtSql(
+             "CAST(n_leaky_users AS DOUBLE) / n_users_test", 6)}
+           |    AS leak_rate
+           |FROM s CROSS JOIN l""".stripMargin,
+
+
+      // the sig CTE's 8-slot signatures joined onto the verified
+      // pairs; error sums are exact integers (jacc is 4dp-floored,
+      // round(j*1e4) exact; estimate level = matches*1250)
+      "q226_minhash_calibration" ->
+        s"""WITH $verifiedPairsCte,
+           |est AS (SELECT
+           |    len(list_filter(range(1, 9),
+           |      i -> sa.sig[CAST(i AS INTEGER)]
+           |         = sb.sig[CAST(i AS INTEGER)])) AS est_matches,
+           |    CAST(floor(p.jacc * 10000 + 0.5) AS BIGINT) AS jq
+           |  FROM pairs p
+           |  JOIN sig sa ON sa.id = p.id_a
+           |  JOIN sig sb ON sb.id = p.id_b),
+           |g AS (SELECT est_matches, COUNT(*) AS n_pairs,
+           |    CAST(SUM(jq) AS BIGINT) AS sjq,
+           |    CAST(SUM(abs(est_matches * 1250 - jq)) AS BIGINT)
+           |      AS serr
+           |  FROM est GROUP BY 1)
+           |SELECT CAST(est_matches AS INTEGER) AS est_matches,
+           |  CAST(est_matches AS DOUBLE) / 8 AS est_jaccard, n_pairs,
+           |  ${Num.floorAtSql(
+             "CAST(sjq AS DOUBLE) / n_pairs / 10000", 6)}
+           |    AS mean_jaccard,
+           |  ${Num.floorAtSql(
+             "CAST(serr AS DOUBLE) / n_pairs / 10000", 6)}
+           |    AS mean_abs_err
+           |FROM g ORDER BY est_matches""".stripMargin,
+
+
+      // recursive reachability over the shared multi-block pair CTE;
+      // entity = min reachable name (lexicographic — the engine's
+      // min-label CC on string ids computes the same fixpoint)
+      "q227_entity_clusters" ->
+        s"""WITH RECURSIVE
+           |$multiBlockCte,
+           |eedges AS (SELECT id_a AS src, id_b AS dst FROM mp
+           |           UNION SELECT id_b, id_a FROM mp),
+           |enodes AS (SELECT DISTINCT src AS id FROM eedges),
+           |ereach(id, lbl) AS (
+           |  SELECT id, id FROM enodes
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM ereach r
+           |  JOIN eedges e ON e.src = r.id),
+           |ecomp AS (SELECT id AS name, MIN(lbl) AS entity
+           |          FROM ereach GROUP BY id)
+           |SELECT name, entity,
+           |  COUNT(*) OVER (PARTITION BY entity) AS n_members
+           |FROM ecomp ORDER BY name""".stripMargin,
+
+
+      // realized recall of the q41/q43 oracles (verbatim, as vals)
+      // against the q40 brute oracle — exact integer hit counts
+      "q228_ann_recall" ->
+        s"""WITH $kmeansAfCte,
+           |brute AS (SELECT q_id, c_id FROM ($topkCosineSql)),
+           |ivf AS (SELECT q_id, c_id FROM ($topkIvfSql)),
+           |lshk AS (SELECT q_id, c_id FROM ($topkLshSql)),
+           |kmn AS (SELECT vec_id, v, cell,
+           |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nr
+           |  FROM af),
+           |kmscored AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+           |    floor(list_sum(list_transform(range(1, 65),
+           |        i -> a.v[i] * b.v[i])) / (a.nr * b.nr) * 10000)
+           |      / 10000 AS sim
+           |  FROM kmn a JOIN kmn b ON a.cell = b.cell
+           |    AND a.vec_id <> b.vec_id
+           |  WHERE a.vec_id < 10),
+           |ivfkm AS (SELECT q_id, c_id FROM (
+           |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY sim DESC, c_id ASC) AS rk FROM kmscored)
+           |  WHERE rk <= 5),
+           |nt AS (SELECT COUNT(*) AS n_truth FROM brute),
+           |stats AS (
+           |  SELECT 'ivf' AS method, COUNT(*) AS n_approx,
+           |    COUNT(b.q_id) AS n_hits
+           |  FROM ivf a LEFT JOIN brute b
+           |    ON b.q_id = a.q_id AND b.c_id = a.c_id
+           |  UNION ALL
+           |  SELECT 'ivf_kmeans', COUNT(*), COUNT(b.q_id)
+           |  FROM ivfkm a LEFT JOIN brute b
+           |    ON b.q_id = a.q_id AND b.c_id = a.c_id
+           |  UNION ALL
+           |  SELECT 'lsh', COUNT(*), COUNT(b.q_id)
+           |  FROM lshk a LEFT JOIN brute b
+           |    ON b.q_id = a.q_id AND b.c_id = a.c_id)
+           |SELECT method, n_truth, n_approx, n_hits,
+           |  CASE WHEN n_truth = 0 THEN 1.0
+           |       ELSE ${Num.floorAtSql(
+             "CAST(n_hits AS DOUBLE) / n_truth", 4)} END AS recall
+           |FROM stats CROSS JOIN nt ORDER BY method""".stripMargin,
+
+
+      // multi-probe IVF: exact decimal-mean cell centroids (the q125
+      // discipline), probe set per p = own cell (p = 1) union the p
+      // nearest centroid-ranked cells (p >= 2) — pmin is the first p a
+      // cell enters at, exactly Sim.topKIvf's probe policy — per-p
+      // top-5 re-rank, hits vs the q40 brute oracle; every p emits a
+      // row (zero-filled when nothing survives)
+      "q229_ivf_multiprobe" ->
+        s"""WITH q AS (SELECT vec_id AS q_id, label AS owncell,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           |  FROM embeddings WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS c_id, label AS cell,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           |  FROM embeddings),
+           |cm AS (SELECT cell, d.pos AS pos,
+           |    CAST(SUM(CAST(cv[d.pos] AS DECIMAL(27,10))) AS DOUBLE)
+           |      / COUNT(*) AS m
+           |  FROM c CROSS JOIN range(1, 65) AS d(pos)
+           |  GROUP BY cell, d.pos),
+           |cent AS (SELECT cell,
+           |    list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS ce
+           |  FROM cm GROUP BY cell),
+           |centn AS (SELECT cell, ce,
+           |    sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn
+           |  FROM cent),
+           |qn AS (SELECT q_id, owncell, qv,
+           |    sqrt(list_sum(list_transform(qv, x -> x * x))) AS qnorm
+           |  FROM q),
+           |centp AS (SELECT q_id, qv, qnorm, cell,
+           |    GREATEST(pr, 2) AS pmin FROM (
+           |  SELECT n.q_id, n.qv, n.qnorm, t.cell,
+           |    row_number() OVER (PARTITION BY n.q_id ORDER BY
+           |      ${Num.floorAtSql(
+             "list_sum(list_transform(range(1, 65)," +
+               " i -> n.qv[i] * t.ce[i])) / (n.qnorm * t.cn)", 9)} DESC,
+           |      t.cell ASC) AS pr
+           |  FROM qn n CROSS JOIN centn t) WHERE pr <= 3),
+           |ownp AS (SELECT q_id, qv, qnorm, owncell AS cell,
+           |    1 AS pmin FROM qn),
+           |probe AS (SELECT q_id, cell, MIN(pmin) AS pmin,
+           |    any_value(qv) AS qv, any_value(qnorm) AS qnorm
+           |  FROM (SELECT * FROM ownp UNION ALL SELECT * FROM centp)
+           |  GROUP BY q_id, cell),
+           |scored AS (SELECT p.q_id, c.c_id, p.pmin,
+           |    ${Num.floorAtSql(
+             "list_sum(list_transform(range(1, 65)," +
+               " i -> p.qv[i] * c.cv[i])) / (p.qnorm *" +
+               " sqrt(list_sum(list_transform(c.cv, x -> x * x))))", 4)}
+           |      AS sim
+           |  FROM c JOIN probe p USING (cell) WHERE p.q_id <> c.c_id),
+           |perp AS (SELECT pp.p, s.q_id, s.c_id,
+           |    row_number() OVER (PARTITION BY pp.p, s.q_id
+           |      ORDER BY s.sim DESC, s.c_id ASC) AS rk
+           |  FROM (VALUES (1), (2), (3)) pp(p)
+           |  JOIN scored s ON s.pmin <= pp.p),
+           |tk AS (SELECT p, q_id, c_id FROM perp WHERE rk <= 5),
+           |brute AS (SELECT q_id, c_id FROM ($topkCosineSql)),
+           |nt AS (SELECT COUNT(*) AS n_truth FROM brute),
+           |stats AS (SELECT t.p, COUNT(*) AS n_approx,
+           |    COUNT(b.q_id) AS n_hits
+           |  FROM tk t LEFT JOIN brute b
+           |    ON b.q_id = t.q_id AND b.c_id = t.c_id
+           |  GROUP BY t.p)
+           |SELECT CAST(pp.p AS INTEGER) AS probes, n_truth,
+           |  COALESCE(n_approx, 0) AS n_approx,
+           |  COALESCE(n_hits, 0) AS n_hits,
+           |  CASE WHEN n_truth = 0 THEN 1.0
+           |       ELSE ${Num.floorAtSql(
+             "CAST(COALESCE(n_hits, 0) AS DOUBLE) / n_truth", 4)}
+           |  END AS recall
+           |FROM (VALUES (1), (2), (3)) pp(p)
+           |LEFT JOIN stats ON stats.p = pp.p
+           |CROSS JOIN nt ORDER BY probes""".stripMargin,
+
+
+      // the q43 oracle body replayed per bits value (2/4/6 hyperplanes),
+      // hits vs the q40 brute oracle — the bits/recall trade measured
+      "q231_lsh_bits_sweep" ->
+        s"""WITH brute AS (SELECT q_id, c_id FROM ($topkCosineSql)),
+           |l2 AS (SELECT q_id, c_id FROM (${topkLshSqlFor(2)})),
+           |l4 AS (SELECT q_id, c_id FROM (${topkLshSqlFor(4)})),
+           |l6 AS (SELECT q_id, c_id FROM (${topkLshSqlFor(6)})),
+           |nt AS (SELECT COUNT(*) AS n_truth FROM brute),
+           |stats AS (
+           |  SELECT 2 AS bits, COUNT(*) AS n_approx,
+           |    COUNT(b.q_id) AS n_hits
+           |  FROM l2 a LEFT JOIN brute b
+           |    ON b.q_id = a.q_id AND b.c_id = a.c_id
+           |  UNION ALL
+           |  SELECT 4, COUNT(*), COUNT(b.q_id)
+           |  FROM l4 a LEFT JOIN brute b
+           |    ON b.q_id = a.q_id AND b.c_id = a.c_id
+           |  UNION ALL
+           |  SELECT 6, COUNT(*), COUNT(b.q_id)
+           |  FROM l6 a LEFT JOIN brute b
+           |    ON b.q_id = a.q_id AND b.c_id = a.c_id)
+           |SELECT CAST(bits AS INTEGER) AS bits, n_truth, n_approx,
+           |  n_hits,
+           |  CASE WHEN n_truth = 0 THEN 1.0
+           |       ELSE ${Num.floorAtSql(
+             "CAST(n_hits AS DOUBLE) / n_truth", 4)} END AS recall
+           |FROM stats CROSS JOIN nt ORDER BY bits""".stripMargin,
+
+
+      // the OR-amplified LSH engine replayed per table count (1/2/4
+      // independent plane sets at bits = 4), hits vs the q40 brute
+      // oracle — the amplification/recall trade measured; the L = 1
+      // row is pinned to q231's bits = 4 row (identical planes)
+      "q232_lsh_tables_sweep" ->
+        s"""WITH brute AS (SELECT q_id, c_id FROM ($topkCosineSql)),
+           |t1 AS (SELECT q_id, c_id FROM (${lshTablesTkSqlFor(1)})),
+           |t2 AS (SELECT q_id, c_id FROM (${lshTablesTkSqlFor(2)})),
+           |t4 AS (SELECT q_id, c_id FROM (${lshTablesTkSqlFor(4)})),
+           |nt AS (SELECT COUNT(*) AS n_truth FROM brute),
+           |stats AS (
+           |  SELECT 1 AS tables, COUNT(*) AS n_approx,
+           |    COUNT(b.q_id) AS n_hits
+           |  FROM t1 a LEFT JOIN brute b
+           |    ON b.q_id = a.q_id AND b.c_id = a.c_id
+           |  UNION ALL
+           |  SELECT 2, COUNT(*), COUNT(b.q_id)
+           |  FROM t2 a LEFT JOIN brute b
+           |    ON b.q_id = a.q_id AND b.c_id = a.c_id
+           |  UNION ALL
+           |  SELECT 4, COUNT(*), COUNT(b.q_id)
+           |  FROM t4 a LEFT JOIN brute b
+           |    ON b.q_id = a.q_id AND b.c_id = a.c_id)
+           |SELECT CAST(tables AS INTEGER) AS tables, n_truth, n_approx,
+           |  n_hits,
+           |  CASE WHEN n_truth = 0 THEN 1.0
+           |       ELSE ${Num.floorAtSql(
+             "CAST(n_hits AS DOUBLE) / n_truth", 4)} END AS recall
+           |FROM stats CROSS JOIN nt ORDER BY tables""".stripMargin
+  )
+}

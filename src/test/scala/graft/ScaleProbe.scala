@@ -54,21 +54,52 @@ object ScaleProbe {
         d.withColumn(k, col(k) + lit(i * Off)))
     }.reduce(_ unionByName _)
 
+  /** Lineitem with per-copy VALUE-DOMAIN variation on the Spearman
+    * measure columns: copy i shifts l_quantity/l_extendedprice by
+    * i·10⁻³ — a within-copy rank-preserving bijection (rho unchanged)
+    * that makes the copies' value sets DISJOINT, so the per-group
+    * joint domain grows ∝ R like real near-unique measures do. Closes
+    * the round-9 probe caveat (SCALE.md): plain replication repeats
+    * values, silently fixing the domain engine's domain-side work at
+    * ×1. The shift is applied (as +0.0) to copy 0 too so every copy
+    * unions with one double type.
+    */
+  private def scaledLineitemDomain(df: DataFrame, r: Int): DataFrame =
+    (0 until r).map { i =>
+      Seq("l_orderkey", "l_partkey", "l_suppkey")
+        .foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * Off)))
+        .withColumn("l_quantity",
+          col("l_quantity").cast("double") + lit(i * 1e-3))
+        .withColumn("l_extendedprice",
+          col("l_extendedprice").cast("double") + lit(i * 1e-3))
+    }.reduce(_ unionByName _)
+
+  /** Embeddings ×R: disjoint id spaces, vectors/labels kept — each
+    * query's candidate cells and buckets grow ∝ R (the per-query scan
+    * cost the ANN probes measure) while the q228-q232 query set stays
+    * the 10 vec_id < 10 rows of copy 0.
+    */
+  private def scaledEmbeddings(df: DataFrame, r: Int): DataFrame =
+    (0 until r).map { i =>
+      df.withColumn("vec_id", col("vec_id") + lit(i * Off))
+    }.reduce(_ unionByName _)
+
   private def buildScaled(spark: SparkSession, base: String, dir: String,
                           r: Int): Unit = {
     Files.createDirectories(Paths.get(dir))
     scaledDocs(Tables.load(spark, base, "documents"), r)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    scaledKeyed(Tables.load(spark, base, "lineitem"),
-        Seq("l_orderkey", "l_partkey", "l_suppkey"), r)
+    scaledLineitemDomain(Tables.load(spark, base, "lineitem"), r)
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     scaledKeyed(Tables.load(spark, base, "orders"),
         Seq("o_orderkey", "o_custkey"), r)
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    scaledEmbeddings(Tables.load(spark, base, "embeddings"), r)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     // remaining tables: symlink the originals (dimensions don't scale
     // in this probe; none of the probed queries read them anyway)
-    Seq("region", "nation", "customer", "supplier", "part", "events",
-      "embeddings").foreach { t =>
+    Seq("region", "nation", "customer", "supplier", "part", "events")
+      .foreach { t =>
       val link = Paths.get(s"$dir/$t.parquet")
       if (!Files.exists(link))
         Files.createSymbolicLink(link,
