@@ -962,6 +962,19 @@ object Agg {
     * groups dominate and every windowed stage bottlenecks on the
     * biggest group's single task, so the hash-distributing domain
     * engine wins. Output is bit-identical either way.
+    *
+    * Measured nuance (SCALE.md round 10): on NEAR-UNIQUE value domains
+    * the domain engine's joint-domain joins do row-proportional work
+    * too, and on a single 32-thread node its wall-clock at ×16 was
+    * 1.5× the windowed engine's (37.8 s vs 25.6 s) while burning ~12×
+    * the CPU-seconds — the win only materializes once cluster
+    * parallelism exceeds what the few serialized sorts can use, or
+    * when ties compress the domain (the round-9 replication probe:
+    * 13.7× vs 1.4×). This dispatcher optimizes for the CLUSTER case:
+    * the windowed engine's wall-clock is pinned at the biggest group's
+    * one-task sort whatever the executor count (and a 100 TB group
+    * does not sort in one task at all), so few-giant-groups routes to
+    * the engine whose wall-clock divides by executors.
     */
   def spearmanAuto(df: DataFrame, key: String, x: String, y: String,
                    minGroupsForWindow: Long = -1L): DataFrame = {

@@ -23,6 +23,7 @@ private[graft] object Reg1RefParity {
 
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
 
+    // op 16+ flagship: TPC-H-Q1-shaped pricing summary over lineitem.
     "q01_pricing_summary" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val dec = (c: String) => col(c).cast("decimal(18,2)")

@@ -594,4 +594,29 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
+
+  test("q232 OR-amplified LSH: candidates never shuffle (query side " +
+      "broadcasts on the (table, bucket) key); the first-match-wins " +
+      "dedup adds NO pair-keyed exchange") {
+    val p = plan("q232_lsh_tables_sweep")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // a distinct-based dedup would aggregate the candidate-pair stream
+    // on (q_id, c_id) BEFORE scoring; the scan-local bucket-array
+    // filter must not (the only pair-keyed op allowed is the tiny
+    // ≤50-row hit join against the truth set, which is a join, not an
+    // aggregate)
+    assert(!"HashAggregate\\(keys=\\[q_id#\\d+L?, c_id#".r.findFirstIn(p)
+      .isDefined, p.take(2000))
+  }
+
+  test("q234 JPEG decode is scan-local: typed mapPartitions, no joins " +
+      "beyond it, one range exchange for the final order") {
+    val p = plan("q234_jpeg_decode")
+    assert(p.contains("MapPartitions"), p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
+    val ex = "Exchange (hash|range)partitioning".r.findAllIn(p).toSeq
+    assert(ex.size === 1 && ex.head.contains("rangepartitioning"),
+      s"exchanges: $ex\n" + p.take(1200))
+  }
 }
