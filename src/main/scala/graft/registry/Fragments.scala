@@ -392,6 +392,34 @@ private[graft] object Fragments {
         |mp AS (SELECT id_a, id_b FROM g
         |  WHERE levenshtein(id_a, id_b) <= 3)""".stripMargin
 
+  // ---- batch/streaming shared oracles -----------------------------------
+
+  /** ONE oracle for the tumbling-counts pair: q60 (batch) and q235 (the
+    * STREAMING engine's own complete-mode final table) — the CC-family
+    * one-oracle-per-semantics pattern applied across deployment modes.
+    */
+  val tumblingCountsSql: String =
+    s"""SELECT (${epochSql("ts")} // 3600) * 3600 AS window_start, event_type,
+       | COUNT(*) AS n, ${dsumS("value")} AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** ONE oracle for the gap-session pair: q67 (batch session_window) and
+    * q236 (streaming session_window, complete mode). */
+  val sessionWindowSql: String =
+    s"""WITH es AS (SELECT user_id, event_id, ${epochSql("ts")} AS es FROM events),
+       |flagged AS (SELECT user_id, event_id, es,
+       |  CASE WHEN es - lag(es, 1) OVER w > 1800 THEN 1
+       |       WHEN lag(es, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+       |  FROM es WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+       |sessions AS (SELECT user_id, es,
+       |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY es, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, MIN(es) AS session_start, MAX(es) + 1800 AS session_end,
+       |  COUNT(*) AS n_events
+       |FROM sessions GROUP BY user_id, session_id
+       |ORDER BY user_id, session_start""".stripMargin
+
   // ---- JPEG oracle pieces (q234) ----------------------------------------
 
   /** The fixed integer DCT basis as a DuckDB nested-list literal —
@@ -414,4 +442,40 @@ private[graft] object Fragments {
   /** Round-half-up division floor((2a + d) / 2d) — Jpeg.divHalfUp. */
   def jdivHalfUpSql(a: String, d: Long): String =
     jfloorDivSql(s"2*($a) + $d", 2 * d)
+
+  // ---- BPE merge chain (q237/q238) --------------------------------------
+
+  /** The k-iteration BPE merge chain as a WITH-clause body ending at
+    * dictionary state `w{k}` (word, s, f) with per-iteration winners
+    * `m{i}` (Bpe.scala scaladoc: bracketed-symbol strings, literal
+    * `replace` per merge, ties to the lexicographically smallest pair).
+    * CTEs referenced twice are MATERIALIZED — DuckDB would otherwise
+    * inline the chain into 2^k copies of the corpus scan (measured:
+    * >120 s inlined vs 0.13 s materialized at sf0.01, k=12).
+    */
+  def bpeChainSql(k: Int): String = {
+    val stages = (1 to k).map { i =>
+      val p = i - 1
+      s"""li$i AS (SELECT string_split(s[2:-2], chr(2)||chr(1)) AS l, f
+         |  FROM w$p),
+         |px$i AS (SELECT UNNEST(range(1, len(l))) AS x, l, f FROM li$i),
+         |p$i AS (SELECT l[x] AS a, l[x+1] AS b, CAST(SUM(f) AS BIGINT) AS c
+         |  FROM px$i GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT a, b, c FROM p$i
+         |  ORDER BY c DESC, a, b LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT w.word,
+         |    replace(w.s, chr(1)||b.a||chr(2)||chr(1)||b.b||chr(2),
+         |            chr(1)||b.a||b.b||chr(2)) AS s, w.f
+         |  FROM w$p w CROSS JOIN b$i b),
+         |m$i AS (SELECT $i AS merge_rank, a AS left_sym, b AS right_sym,
+         |  c AS pair_count FROM b$i)""".stripMargin
+    }
+    s"""tok AS (SELECT $cleanToks AS t FROM (SELECT $clean AS c
+       |  FROM documents)),
+       |w0 AS MATERIALIZED (SELECT word,
+       |    regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s,
+       |    CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT UNNEST(t) AS word FROM tok) GROUP BY 1),
+       |${stages.mkString(",\n")}""".stripMargin
+  }
 }

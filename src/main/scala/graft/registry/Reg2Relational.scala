@@ -996,10 +996,8 @@ private[graft] object Reg2Relational {
            |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
 
-      "q60_tumbling_counts" ->
-        s"""SELECT (${epochSql("ts")} // 3600) * 3600 AS window_start, event_type,
-           | COUNT(*) AS n, ${dsumS("value")} AS total_value
-           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // ONE string with the streaming twin q235 (Fragments scaladoc)
+      "q60_tumbling_counts" -> tumblingCountsSql,
 
 
       "q61_sliding_counts" ->
@@ -1092,20 +1090,8 @@ private[graft] object Reg2Relational {
            |FROM ev ORDER BY user_id, rn""".stripMargin,
 
 
-      "q67_session_window" ->
-        s"""WITH es AS (SELECT user_id, event_id, ${epochSql("ts")} AS es FROM events),
-           |flagged AS (SELECT user_id, event_id, es,
-           |  CASE WHEN es - lag(es, 1) OVER w > 1800 THEN 1
-           |       WHEN lag(es, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-           |  FROM es WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
-           |sessions AS (SELECT user_id, es,
-           |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY es, event_id
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-           |  FROM flagged)
-           |SELECT user_id, MIN(es) AS session_start, MAX(es) + 1800 AS session_end,
-           |  COUNT(*) AS n_events
-           |FROM sessions GROUP BY user_id, session_id
-           |ORDER BY user_id, session_start""".stripMargin,
+      // ONE string with the streaming twin q236 (Fragments scaladoc)
+      "q67_session_window" -> sessionWindowSql,
 
 
       "q73_rank_family" ->

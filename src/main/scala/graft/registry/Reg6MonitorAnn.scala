@@ -437,7 +437,55 @@ private[graft] object Reg6MonitorAnn {
     "q233_spearman_auto" -> ((s, dir) =>
       Agg.spearmanAuto(t(s, dir, "lineitem"), "l_returnflag",
           "l_quantity", "l_extendedprice")
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // streaming — the tumbling-counts STREAMING engine, oracle-gated
+    // (StreamOps.runToCompleteTable scaladoc): the events fixture is
+    // staged as 4 files and replayed as 4 micro-batches
+    // (maxFilesPerTrigger = 1), the windowed aggregation accumulates
+    // across the batch boundaries in complete mode, and the FINAL
+    // streaming state — not a batch recomputation — is compared to
+    // q60's oracle string. Upgrades the streaming family from
+    // "spec'd, no oracle by nature" to oracle-checked: stream ≡ batch
+    // is now a driver-gated hash equality.
+    "q235_stream_tumbling" -> ((s, dir) =>
+      graft.streaming.StreamOps.runBoundedGate(s, dir, 4, 4)(in =>
+          graft.streaming.StreamOps.windowedCounts(
+            in, "3600 seconds", "3600 seconds"))
+        .orderBy("window_start", "event_type")),
+
+    // streaming — gap sessions via the streaming session_window engine,
+    // complete mode, same 4-micro-batch arrival; sessions that SPAN a
+    // micro-batch boundary must merge in state to match q67's batch
+    // oracle — the exact semantics a one-batch run would not exercise.
+    // The lateness tolerance is effectively unbounded here ON PURPOSE:
+    // session aggregation drops watermark-late input rows even in
+    // complete mode (unlike plain windowed aggs, q235), and the staged
+    // files arrive in arbitrary ts order — a real watermark would
+    // silently shed ~half the fixture and the gate would compare
+    // different inputs, not different engines. Production deployments
+    // bound lateness; a bounded REPLAY that must equal batch cannot.
+    "q236_stream_sessions" -> ((s, dir) =>
+      graft.streaming.StreamOps.runBoundedGate(s, dir, 4, 4)(in =>
+          graft.streaming.StreamOps.sessionCounts(
+            in, "1800 seconds", watermark = "36500 days"))
+        .orderBy("user_id", "session_start")),
+
+    // text — BPE merge trainer (Bpe.scala scaladoc): 12 greedy merge
+    // iterations over the word-frequency dictionary; the corpus is
+    // scanned ONCE, every iteration is vocabulary-sized, one argmax row
+    // per iteration reaches the driver. The oracle unrolls the same 12
+    // iterations as materialized CTE stages (q137's pagerank pattern).
+    "q237_bpe_train" -> ((s, dir) =>
+      graft.ops.Bpe.train(t(s, dir, "documents"), "text", merges = 12)),
+
+    // text — BPE encoder: per-document subword token accounting under
+    // the 12-merge vocabulary; the corpus joins the merged dictionary
+    // by BROADCAST (vocab MBs vs corpus TBs), no merge re-runs per
+    // occurrence.
+    "q238_bpe_encode" -> ((s, dir) =>
+      graft.ops.Bpe.encodeStats(t(s, dir, "documents"), "doc_id", "text",
+        merges = 12))
   )
 
   def oracles: ListMap[String, String] = ListMap(
@@ -508,6 +556,34 @@ private[graft] object Reg6MonitorAnn {
 
 
       "q233_spearman_auto" -> spearmanSql,
+
+      // the streaming twins bind the BATCH oracles verbatim — one
+      // string per semantics, engine per deployment mode
+      "q235_stream_tumbling" -> tumblingCountsSql,
+
+      "q236_stream_sessions" -> sessionWindowSql,
+
+      "q237_bpe_train" ->
+        s"""WITH ${bpeChainSql(12)}
+           |SELECT merge_rank, left_sym, right_sym, pair_count FROM (
+           |  ${(1 to 12).map(i => s"SELECT * FROM m$i")
+                .mkString(" UNION ALL ")})
+           |ORDER BY merge_rank""".stripMargin,
+
+      "q238_bpe_encode" ->
+        s"""WITH ${bpeChainSql(12)},
+           |vs AS (SELECT word,
+           |    CAST(len(string_split(s[2:-2], chr(2)||chr(1))) AS BIGINT)
+           |      AS n_syms
+           |  FROM w12),
+           |dw AS (SELECT doc_id, UNNEST(t) AS word FROM (
+           |  SELECT doc_id, $cleanToks AS t FROM (
+           |    SELECT doc_id, $clean AS c FROM documents)))
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+           |  CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens
+           |FROM dw JOIN vs USING (word)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
 
       // docs sharing >= 2 selected hashes, fingerprint-keyed self-join

@@ -99,10 +99,26 @@ object Sources {
     * catalog, not in plain parquet paths.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    numBuckets: Int): Unit =
+                    numBuckets: Int): Unit = {
+    // a killed JVM can orphan the managed-table directory while the
+    // (in-memory) catalog forgets the table — mode("overwrite") then
+    // refuses the location on the next pid-reusing run. Clear both.
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = new java.io.File(warehouse, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
     df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
+  }
 
   /** JDBC sink — the physical twin of the reference's MySQL star-schema
     * load (etl_pipeline.py:84-129; the upsert-ignore LOGIC is

@@ -115,6 +115,28 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming oracle gate: the windowed aggregation accumulated " +
+      "across 4 real micro-batches equals the batch engine bit-for-bit") {
+    val dir = "/root/testdata/sf0.001"
+    val stage = graft.streaming.StreamOps.stageEvents(spark, dir, 4)
+    val parts = new java.io.File(stage).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts === 4, "4 staged files -> 4 micro-batches at " +
+      "maxFilesPerTrigger=1")
+    val streamed = graft.streaming.StreamOps
+      .runBoundedGate(spark, dir, 4, 4)(in =>
+        graft.streaming.StreamOps.windowedCounts(
+          in, "3600 seconds", "3600 seconds"))
+      .orderBy("window_start", "event_type")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    val batch = graft.ops.EventsOps
+      .tumblingCounts(Tables.load(spark, dir, "events"), 3600)
+      .orderBy("window_start", "event_type")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("spearmanEngine routes few-giant-groups to domain and " +
       "many-groups to windowed; spearmanAuto output is bit-identical " +
       "to both engines either way") {
@@ -137,5 +159,35 @@ class Round10OpsSpec extends SparkSpec {
         .orderBy("k").as[(String, Long, Double)].collect().toSeq
       assert(auto === w && auto === d)
     }
+  }
+
+  test("BPE trainer replays Sennrich greedy merges on a hand-computed " +
+      "corpus, including the overlap case and the count-tie-break") {
+    // "aaab" x3, "ab" x2: pairs at step 1: (a,a)=6 [two per 'aaab'],
+    // (a,b)=5. Merge 1 = (a,a) -> 'aaab' becomes [aa, a, b] (greedy
+    // left-to-right: the FIRST aa wins, no overlap re-use).
+    // Step 2 pairs: (aa,a)=3, (a,b)=5 -> merge 2 = (a,b).
+    // Step 3 pairs: (aa,ab)=3 -> merge 3.
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab ab"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val ms = graft.ops.Bpe.train(docs, "text", merges = 4)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(ms === Seq((1, "a", "a", 6L), (2, "a", "b", 5L),
+      (3, "aa", "ab", 3L)))
+    // exhaustion: only 3 merges exist; asking for 4 returns 3, and the
+    // fully-merged dictionary encodes every word as ONE token
+    val enc = graft.ops.Bpe.encodeStats(docs, "doc_id", "text", merges = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(enc === Seq((1L, 2L, 8L, 2L), (2L, 2L, 6L, 2L),
+      (3L, 1L, 2L, 1L)))
+  }
+
+  test("BPE tie on pair count breaks to the lexicographically smallest " +
+      "pair in both engines' order") {
+    // (a,b) and (c,d) both count 2 -> (a,b) must win rank 1
+    val docs = Seq((1L, "ab cd"), (2L, "ab cd")).toDF("doc_id", "text")
+    val ms = graft.ops.Bpe.train(docs, "text", merges = 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(ms === Seq((1, "a", "b", 2L)))
   }
 }
