@@ -485,7 +485,44 @@ private[graft] object Reg6MonitorAnn {
     // occurrence.
     "q238_bpe_encode" -> ((s, dir) =>
       graft.ops.Bpe.encodeStats(t(s, dir, "documents"), "doc_id", "text",
-        merges = 12))
+        merges = 12)),
+
+    // streaming — the dedup engine oracle-gated: exact distinct over a
+    // key projection via dropDuplicatesWithinWatermark, append mode,
+    // same 4-micro-batch arrival. Projecting to the key columns BEFORE
+    // dedup makes the winner row == the key itself, so arrival order
+    // (nondeterministic within a batch) cannot leak into the output;
+    // the unbounded lateness declaration makes the bounded replay an
+    // exact distinct (state never evicts), which is what the batch
+    // oracle computes. Cross-batch duplicates are the point: a key seen
+    // in batch 1 must suppress its batch-3 twin from STATE.
+    "q239_stream_dedup" -> ((s, dir) =>
+      graft.streaming.StreamOps.runBoundedGateAppend(s, dir, 4, 4)(in =>
+          graft.streaming.StreamOps.streamingDedup(
+            in.select("ts", "user_id", "event_type"),
+            Seq("user_id", "event_type"), watermark = "36500 days")
+            .select("user_id", "event_type"))
+        .orderBy("user_id", "event_type")),
+
+    // streaming — the CUSTOM-STATE engine (flatMapGroupsWithState +
+    // event-time timeout) on the SAME session oracle as q67/q236:
+    // one oracle string, THREE engines (batch gaps-and-islands window,
+    // streaming session_window, hand-rolled GroupState). Time-ordered
+    // staging keeps every row inside the 30-minute watermark; two
+    // flush sentinels make the bounded replay emit the per-user tail
+    // sessions through the REAL timeout path (StreamOps
+    // .stageEventsOrdered scaladoc). session_end aligns to the
+    // oracle's MAX(es)+gap form here, not in the engine — the engine
+    // emits last-event time, the production-truthful shape.
+    "q240_stream_stateful_sessions" -> ((s, dir) =>
+      graft.streaming.StreamOps.runOrderedGateAppend(s, dir, 4, 4)(in =>
+          graft.streaming.StreamOps.statefulSessionizeWatermarked(
+            in, gapSeconds = 1800L, watermark = "30 minutes").toDF)
+        .where(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start"),
+          (col("session_end") + 1800L).as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start"))
   )
 
   def oracles: ListMap[String, String] = ListMap(
@@ -562,6 +599,13 @@ private[graft] object Reg6MonitorAnn {
       "q235_stream_tumbling" -> tumblingCountsSql,
 
       "q236_stream_sessions" -> sessionWindowSql,
+
+      "q239_stream_dedup" ->
+        """SELECT DISTINCT user_id, event_type FROM events
+          |ORDER BY user_id, event_type""".stripMargin,
+
+      // the SAME string as q67/q236 — one oracle, three engines
+      "q240_stream_stateful_sessions" -> sessionWindowSql,
 
       "q237_bpe_train" ->
         s"""WITH ${bpeChainSql(12)}

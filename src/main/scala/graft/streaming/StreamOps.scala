@@ -566,15 +566,103 @@ object StreamOps {
     * makes the final table comparable to the batch aggregation over
     * the same bounded input.
     */
-  def runToCompleteTable(df: DataFrame): DataFrame = {
+  def runToCompleteTable(df: DataFrame): DataFrame =
+    runToTable(df, OutputMode.Complete())
+
+  /** [[runToCompleteTable]] in APPEND mode: the memory sink accumulates
+    * every row the stream EMITS across micro-batches (not held state) —
+    * the gate shape for row-emitting engines (dedup, custom-state
+    * sessionize), where the union of emissions, not a final state
+    * table, is what must equal the batch oracle.
+    */
+  def runToAppendTable(df: DataFrame): DataFrame =
+    runToTable(df, OutputMode.Append())
+
+  private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
     val name = "graft_stream_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     df.sparkSession.table(name)
+  }
+
+  /** Stage the events fixture as `nFiles` TIME-ORDERED files (range-
+    * partitioned on ts, file modification times forced ascending so the
+    * file source replays them oldest-range-first), plus `sentinels`
+    * far-future one-row files (user_id = -1, ts = fixture max + i
+    * years) after the real data. The ordered replay is what lets a
+    * WATERMARKED engine replay a bounded fixture without shedding rows
+    * as late (each micro-batch's minimum ts exceeds the previous
+    * batch's watermark because ranges are disjoint); the sentinels are
+    * the bounded-replay flush: the first advances the watermark past
+    * every real session's timeout, the second drives the micro-batch in
+    * which those event-time timeouts FIRE (timeouts fire one batch
+    * after the watermark passes them). Gate queries filter
+    * user_id < 0 back out.
+    */
+  def stageEventsOrdered(spark: SparkSession, sfDir: String, nFiles: Int,
+                         sentinels: Int): String =
+    stageMemo.computeIfAbsent(s"$sfDir#$nFiles#ordered#$sentinels", _ => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-stream-stage-ord").toString
+      val ev = graft.Tables.load(spark, sfDir, "events")
+      ev.repartitionByRange(nFiles, col("ts"))
+        .write.mode("overwrite").parquet(stage)
+      // part-file names carry the range-partition index; force mtimes
+      // into that order so FileStreamSource's (mtime, path) sort
+      // replays oldest range first even on a coarse-mtime filesystem
+      val parts = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1000L * (i + 1))
+      }
+      val maxTs = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+      (1 to sentinels).foreach { i =>
+        val sent = ev.limit(1)
+          .withColumn("user_id", lit(-1L))
+          .withColumn("ts",
+            timestamp_seconds(lit(maxTs + i * 365L * 86400L)))
+        val sdir = java.nio.file.Files
+          .createTempDirectory("graft-stream-sent").toString
+        sent.coalesce(1).write.mode("overwrite").parquet(sdir)
+        val sf = new java.io.File(sdir).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(stage, s"zz-sentinel-$i.parquet")
+        java.nio.file.Files.move(sf.toPath, dst.toPath)
+        dst.setLastModified(1000L * (nFiles + i + 1))
+      }
+      stage
+    })
+
+  /** [[runBoundedGate]] with TIME-ORDERED staging + flush sentinels and
+    * an append-mode sink — the gate bridge for watermarked row-emitting
+    * engines ([[statefulSessionizeWatermarked]]).
+    */
+  def runOrderedGateAppend(spark: SparkSession, sfDir: String,
+                           nFiles: Int, statePartitions: Int,
+                           sentinels: Int = 2)
+                          (build: DataFrame => DataFrame): DataFrame = {
+    val stage = stageEventsOrdered(spark, sfDir, nFiles, sentinels)
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    runToAppendTable(build(eventsStream(ns, stage)))
+  }
+
+  /** [[runBoundedGate]] with the plain (unordered) staging and an
+    * append-mode sink — for engines whose output is order-invariant
+    * under an unbounded lateness declaration ([[streamingDedup]] on a
+    * key projection).
+    */
+  def runBoundedGateAppend(spark: SparkSession, sfDir: String,
+                           nFiles: Int, statePartitions: Int)
+                          (build: DataFrame => DataFrame): DataFrame = {
+    val stage = stageEvents(spark, sfDir, nFiles)
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    runToAppendTable(build(eventsStream(ns, stage)))
   }
 
   /** Read a directory of events-schema parquet files as a (bounded) stream

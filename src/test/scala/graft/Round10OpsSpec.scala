@@ -182,6 +182,42 @@ class Round10OpsSpec extends SparkSpec {
       (3L, 1L, 2L, 1L)))
   }
 
+  test("ordered staging replays oldest range first, and the flush " +
+      "sentinels are LOAD-BEARING: without them the watermarked " +
+      "custom-state engine strands each user's tail session in state") {
+    val dir = "/root/testdata/sf0.001"
+    val stage = graft.streaming.StreamOps.stageEventsOrdered(spark, dir, 4, 2)
+    val parts = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified)
+    assert(parts.length === 6, "4 range files + 2 sentinels")
+    // mtime order == name order == ts-range order
+    assert(parts.map(_.getName).toSeq === parts.map(_.getName).sorted.toSeq)
+    val ranges = parts.take(4).map { f =>
+      val r = spark.read.parquet(f.getPath)
+        .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"ranges overlap: $hi > $lo")
+    }
+    def run(sentinels: Int): Long =
+      graft.streaming.StreamOps
+        .runOrderedGateAppend(spark, dir, 4, 4, sentinels)(in =>
+          graft.streaming.StreamOps.statefulSessionizeWatermarked(
+            in, 1800L, "30 minutes").toDF)
+        .where(col("user_id") >= 0).count()
+    val withFlush = run(2)
+    val withoutFlush = run(0)
+    val batch = graft.ops.EventsOps
+      .sessionize(Tables.load(spark, dir, "events"), 1800L).count()
+    assert(withFlush === batch,
+      s"flushed stream $withFlush != batch $batch")
+    assert(withoutFlush < withFlush,
+      "without sentinels every user's last session should be stranded " +
+        s"in state, but $withoutFlush >= $withFlush")
+  }
+
   test("BPE tie on pair count breaks to the lexicographically smallest " +
       "pair in both engines' order") {
     // (a,b) and (c,d) both count 2 -> (a,b) must win rank 1
