@@ -522,7 +522,41 @@ private[graft] object Reg6MonitorAnn {
         .select(col("user_id"), col("session_start"),
           (col("session_end") + 1800L).as("session_end"),
           col("n_events"))
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+
+    // streaming — the stream-stream INNER join engine oracle-gated:
+    // two INDEPENDENT streams over the same staged files (separate
+    // file-source progress — micro-batches pair arbitrarily between
+    // sides), unbounded lateness so state never evicts; every
+    // cross-batch pair must match from RETAINED state to reproduce the
+    // batch self-join bit-for-bit.
+    "q241_stream_join" -> ((s, dir) =>
+      graft.streaming.StreamOps.runBoundedGateAppend2(s, dir, 4, 4)(
+          (l, r) => graft.streaming.StreamOps.streamStreamJoin(
+            l, r, windowSeconds = 900, watermark = "36500 days"))
+        .orderBy("user_id", "l_id", "r_id")),
+
+    // streaming — the stream-stream LEFT OUTER join engine, as the
+    // attribution shape from its scaladoc: purchases left-joined to the
+    // user's clicks in the preceding 900 s (15 of 1981 purchases match
+    // at sf0.01 — the NULL-padded rows dominate and are the tested
+    // behavior). Nulls may only emit once the watermark PROVES no
+    // partner can arrive, so this gate runs under a REAL 30-minute
+    // watermark with time-ordered staging (no row ever late) and two
+    // flush sentinels. The side filters sit UPSTREAM of the watermark
+    // operators, which is why staging writes one sentinel row per
+    // event_type (stageEventsOrdered scaladoc): a wrong-type sentinel
+    // would be filtered out before the watermark node and strand the
+    // tail nulls forever — measured as exactly the last-2700s
+    // purchases missing.
+    "q242_stream_left_join" -> ((s, dir) =>
+      graft.streaming.StreamOps.runOrderedGateAppend2(s, dir, 4, 4)(
+          (l, r) => graft.streaming.StreamOps.streamStreamLeftJoin(
+            l.where(col("event_type") === "purchase"),
+            r.where(col("event_type") === "click"),
+            windowSeconds = 900, watermark = "30 minutes"))
+        .where(col("user_id") >= 0)
+        .orderBy("user_id", "l_id", "r_id"))
   )
 
   def oracles: ListMap[String, String] = ListMap(
@@ -603,6 +637,24 @@ private[graft] object Reg6MonitorAnn {
       "q239_stream_dedup" ->
         """SELECT DISTINCT user_id, event_type FROM events
           |ORDER BY user_id, event_type""".stripMargin,
+
+      "q241_stream_join" ->
+        s"""SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+           |  ${epochSql("l.ts")} AS l_es, ${epochSql("r.ts")} AS r_es
+           |FROM events l JOIN events r ON l.user_id = r.user_id
+           |  AND r.ts >= l.ts - INTERVAL 900 SECOND AND r.ts <= l.ts
+           |ORDER BY l.user_id, l_id, r_id""".stripMargin,
+
+      // the attribution LEFT OUTER — the null-padded rows are what
+      // the streaming twin must release via its watermark
+      "q242_stream_left_join" ->
+        s"""SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+           |  ${epochSql("l.ts")} AS l_es, ${epochSql("r.ts")} AS r_es
+           |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+           |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+           |  ON l.user_id = r.user_id
+           |  AND r.ts >= l.ts - INTERVAL 900 SECOND AND r.ts <= l.ts
+           |ORDER BY l.user_id, l_id, r_id""".stripMargin,
 
       // the SAME string as q67/q236 — one oracle, three engines
       "q240_stream_stateful_sessions" -> sessionWindowSql,

@@ -621,7 +621,13 @@ object StreamOps {
       }
       val maxTs = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
       (1 to sentinels).foreach { i =>
-        val sent = ev.limit(1)
+        // ONE sentinel row PER event_type: a gate that filters a side
+        // by type BEFORE its watermark operator (q242's attribution
+        // shape) still gets its watermark advanced — a single-row
+        // sentinel of the wrong type would be filtered out upstream of
+        // the watermark node and strand the tail forever (measured:
+        // exactly the last-2700s purchases stayed unreleased)
+        val sent = ev.dropDuplicates("event_type")
           .withColumn("user_id", lit(-1L))
           .withColumn("ts",
             timestamp_seconds(lit(maxTs + i * 365L * 86400L)))
@@ -663,6 +669,40 @@ object StreamOps {
     val ns = spark.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     runToAppendTable(build(eventsStream(ns, stage)))
+  }
+
+  /** Two-stream variant of [[runBoundedGateAppend]]: `build` receives
+    * two INDEPENDENT streams over the same staged files (each with its
+    * own file-source progress — micro-batches pair arbitrarily between
+    * the sides, which is exactly the state-retention stress a
+    * stream-stream join gate wants).
+    */
+  def runBoundedGateAppend2(spark: SparkSession, sfDir: String,
+                            nFiles: Int, statePartitions: Int)
+                           (build: (DataFrame, DataFrame) => DataFrame)
+      : DataFrame = {
+    val stage = stageEvents(spark, sfDir, nFiles)
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    runToAppendTable(
+      build(eventsStream(ns, stage), eventsStream(ns, stage)))
+  }
+
+  /** Two-stream variant of [[runOrderedGateAppend]] — ordered staging +
+    * flush sentinels on BOTH sides, for outer stream-stream joins whose
+    * null-padded rows only emit once the watermark PROVES no partner
+    * can arrive.
+    */
+  def runOrderedGateAppend2(spark: SparkSession, sfDir: String,
+                            nFiles: Int, statePartitions: Int,
+                            sentinels: Int = 2)
+                           (build: (DataFrame, DataFrame) => DataFrame)
+      : DataFrame = {
+    val stage = stageEventsOrdered(spark, sfDir, nFiles, sentinels)
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    runToAppendTable(
+      build(eventsStream(ns, stage), eventsStream(ns, stage)))
   }
 
   /** Read a directory of events-schema parquet files as a (bounded) stream
