@@ -556,7 +556,19 @@ private[graft] object Reg6MonitorAnn {
             r.where(col("event_type") === "click"),
             windowSeconds = 900, watermark = "30 minutes"))
         .where(col("user_id") >= 0)
-        .orderBy("user_id", "l_id", "r_id"))
+        .orderBy("user_id", "l_id", "r_id")),
+
+    // streaming — the idempotent SINK oracle-gated: the fixture is
+    // staged twice (every row arrives in two different micro-batches)
+    // and replayed through the foreachBatch upsert-ignore parquet sink;
+    // the target must hold every row exactly ONCE — the effectively-
+    // once append contract of the reference's INSERT IGNORE fact load,
+    // driven through the real streaming write path.
+    "q243_stream_upsert_sink" -> ((s, dir) =>
+      graft.streaming.StreamOps.runUpsertSinkGate(s, dir, 4, 4)
+        .select(col("event_id"), unix_timestamp(col("ts")).as("es"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .orderBy("event_id"))
   )
 
   def oracles: ListMap[String, String] = ListMap(
@@ -637,6 +649,11 @@ private[graft] object Reg6MonitorAnn {
       "q239_stream_dedup" ->
         """SELECT DISTINCT user_id, event_type FROM events
           |ORDER BY user_id, event_type""".stripMargin,
+
+      "q243_stream_upsert_sink" ->
+        s"""SELECT event_id, ${epochSql("ts")} AS es, user_id, event_type,
+           |  value, props
+           |FROM events ORDER BY event_id""".stripMargin,
 
       "q241_stream_join" ->
         s"""SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,

@@ -688,6 +688,55 @@ object StreamOps {
       build(eventsStream(ns, stage), eventsStream(ns, stage)))
   }
 
+  /** Stage the events fixture as `nFiles` files and then a SECOND copy
+    * of each (mtimes ascending: originals first, copies after) — the
+    * replay delivers every row TWICE, in two different micro-batches.
+    * The arrival shape an idempotent sink must collapse.
+    */
+  def stageEventsDuplicated(spark: SparkSession, sfDir: String,
+                            nFiles: Int): String =
+    stageMemo.computeIfAbsent(s"$sfDir#$nFiles#dup", _ => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-stream-stage-dup").toString
+      graft.Tables.load(spark, sfDir, "events")
+        .repartition(nFiles)
+        .write.mode("overwrite").parquet(stage)
+      val parts = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1000L * (i + 1))
+        val dup = new java.io.File(stage, s"zz-dup-${f.getName}")
+        java.nio.file.Files.copy(f.toPath, dup.toPath)
+        dup.setLastModified(1000L * (parts.length + i + 1))
+      }
+      stage
+    })
+
+  /** The oracle-gate bridge for [[upsertIgnoreSink]]: replay the
+    * DUPLICATED staging (every row arrives twice, across micro-batch
+    * boundaries) through the foreachBatch upsert-ignore parquet sink,
+    * then return the target — which must hold every fixture row exactly
+    * ONCE for the batch oracle to match. Target + checkpoint are fresh
+    * per call (the sink's idempotence is the thing under test; a reused
+    * target would hide a duplicate-append bug behind the previous run's
+    * keys).
+    */
+  def runUpsertSinkGate(spark: SparkSession, sfDir: String, nFiles: Int,
+                        statePartitions: Int,
+                        keys: Seq[String] = Seq("event_id"))
+      : DataFrame = {
+    val stage = stageEventsDuplicated(spark, sfDir, nFiles)
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val target = java.nio.file.Files
+      .createTempDirectory("graft-upsert-target").toString + "/t"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-upsert-ckpt").toString
+    val q = upsertIgnoreSink(eventsStream(ns, stage), keys, target, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    ns.read.parquet(target)
+  }
+
   /** Two-stream variant of [[runOrderedGateAppend]] — ordered staging +
     * flush sentinels on BOTH sides, for outer stream-stream joins whose
     * null-padded rows only emit once the watermark PROVES no partner
