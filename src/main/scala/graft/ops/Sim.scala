@@ -184,6 +184,69 @@ object Sim {
         .crossJoin(broadcast(qSide(queries, idCol, vecCol))),
       k, excludeSelf)
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
+    * greedy top-k where each pick maximizes
+    * `λ·sim(q,c) − (1−λ)·max_{s∈picked} sim(c,s)` — the
+    * diversity-aware retrieval a plain [[topK]] lacks (it returns k
+    * near-copies when the corpus has them; MMR penalizes each next pick
+    * by its similarity to what is already picked).
+    *
+    * Shape: ONE lazy DAG, zero driver actions. Relevance pairs are
+    * scored once (the q40 broadcast skeleton) and localCheckpoint'd;
+    * each of the k greedy rounds is then an anti-join against the
+    * picked set (k·|Q| rows — broadcast), a diversity join against the
+    * picked VECTORS (also broadcast), and one per-query
+    * WindowGroupLimit-prunable argmax. Candidates never shuffle for
+    * the joins; cost is k× the [[topK]] window pass.
+    *
+    * Determinism across engines: rel and div are 4dp-floored doubles
+    * (Num.floorAt), and the λ-combination is two IEEE multiplies and a
+    * subtract on identical inputs with λ and (1−λ) interpolated into
+    * the oracle at full Scala-double precision — bit-identical in
+    * Spark and DuckDB. Ties break to the lowest c_id.
+    */
+  def mmrTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              lambda: Double = 0.7, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val pairs = cSide(candidates, idCol, vecCol)
+      .crossJoin(broadcast(qSide(queries, idCol, vecCol)))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("c_vec"), col("c_norm"),
+        Num.floorAt(dot(col("q_vec"), col("c_vec")) /
+          (col("q_norm") * col("c_norm")), 4).as("rel"))
+      .localCheckpoint()
+    val lam = lit(lambda)
+    val om = lit(1.0 - lambda)
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("mmr").desc, col("c_id").asc)
+    var selected: DataFrame = null
+    for (i <- 1 to k) {
+      val remaining =
+        if (selected == null) pairs
+        else pairs.join(broadcast(selected.select("q_id", "c_id")),
+          Seq("q_id", "c_id"), "left_anti")
+      val withDiv =
+        if (selected == null) remaining.withColumn("div", lit(0.0))
+        else remaining
+          .join(broadcast(selected
+            .select(col("q_id"), col("s_vec"), col("s_norm"))), Seq("q_id"))
+          .withColumn("d", Num.floorAt(dot(col("c_vec"), col("s_vec")) /
+            (col("c_norm") * col("s_norm")), 4))
+          .groupBy("q_id", "c_id")
+          .agg(first(col("rel")).as("rel"), first(col("c_vec")).as("c_vec"),
+            first(col("c_norm")).as("c_norm"), max(col("d")).as("div"))
+      val winner = withDiv
+        .withColumn("mmr", lam * col("rel") - om * col("div"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("q_id"), col("c_id"), lit(i).as("rk"), col("mmr"),
+          col("c_vec").as("s_vec"), col("c_norm").as("s_norm"))
+      selected =
+        if (selected == null) winner else selected.unionByName(winner)
+    }
+    selected.select(col("q_id"), col("rk"), col("c_id"),
+      Num.floorAt(col("mmr"), 4).as("mmr"))
+  }
+
   /** HARD-negative mining: per anchor, the k most-similar candidates with
     * a DIFFERENT label — the highest-loss negatives contrastive embedding
     * training actually wants (vs [[negativeSample]]'s md5-ranked RANDOM

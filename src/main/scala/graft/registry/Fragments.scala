@@ -443,6 +443,60 @@ private[graft] object Fragments {
   def jdivHalfUpSql(a: String, d: Long): String =
     jfloorDivSql(s"2*($a) + $d", 2 * d)
 
+  // ---- MMR greedy chain (q244) ------------------------------------------
+
+  /** The k-round MMR greedy selection unrolled as CTE stages
+    * (Sim.mmrTopK scaladoc): relevance + candidate-candidate cosines
+    * 4dp-floored once, then each round anti-joins the picked set,
+    * takes the max diversity sim against picked, and argmaxes
+    * `lam·rel − om·div` per query with ties to the lowest c_id.
+    * `om` is interpolated at full Scala-double precision (1.0 − λ is
+    * NOT the decimal 0.3 — the engines must agree on the exact double).
+    */
+  def mmrChainSql(k: Int, lambda: Double): String = {
+    val lam = lambda.toString
+    val om = (1.0 - lambda).toString
+    def cos(a: String, b: String, an: String, bn: String): String =
+      Num.floorAtSql(
+        s"list_sum(list_transform(range(1, len($a)+1), " +
+          s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) " +
+          s"/ ($an * $bn)", 4)
+    val stages = (2 to k).map { i =>
+      val p = i - 1
+      s"""r$i AS (SELECT r.q_id, r.c_id, r.rel FROM rel r
+         |  LEFT JOIN s$p s ON r.q_id = s.q_id AND r.c_id = s.c_id
+         |  WHERE s.c_id IS NULL),
+         |d$i AS (SELECT r.q_id, r.c_id, r.rel, max(cc.s) AS div
+         |  FROM r$i r JOIN s$p sel ON r.q_id = sel.q_id
+         |  JOIN cc ON cc.a_id = r.c_id AND cc.b_id = sel.c_id
+         |  GROUP BY 1, 2, 3),
+         |w$i AS MATERIALIZED (SELECT q_id, c_id, $i AS rk, mmr FROM (
+         |  SELECT q_id, c_id, $lam * rel - $om * div AS mmr,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY $lam * rel - $om * div DESC, c_id) AS rn
+         |  FROM d$i) WHERE rn = 1),
+         |s$i AS MATERIALIZED (SELECT * FROM s$p
+         |  UNION ALL SELECT * FROM w$i)""".stripMargin
+    }
+    s"""nr AS MATERIALIZED (SELECT vec_id, embedding AS v,
+       |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+       |      i -> CAST(embedding[i] AS DOUBLE)
+       |         * CAST(embedding[i] AS DOUBLE)))) AS n
+       |  FROM embeddings),
+       |rel AS MATERIALIZED (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ${cos("q.v", "c.v", "q.n", "c.n")} AS rel
+       |  FROM nr q JOIN nr c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |cc AS MATERIALIZED (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${cos("a.v", "b.v", "a.n", "b.n")} AS s
+       |  FROM nr a JOIN nr b ON a.vec_id <> b.vec_id),
+       |s1 AS MATERIALIZED (SELECT q_id, c_id, 1 AS rk,
+       |    $lam * rel - $om * 0.0 AS mmr FROM (
+       |  SELECT q_id, c_id, rel, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY $lam * rel - $om * 0.0 DESC, c_id) AS rn FROM rel)
+       |  WHERE rn = 1),
+       |${stages.mkString(",\n")}""".stripMargin
+  }
+
   // ---- BPE merge chain (q237/q238) --------------------------------------
 
   /** The k-iteration BPE merge chain as a WITH-clause body ending at

@@ -558,6 +558,16 @@ private[graft] object Reg6MonitorAnn {
         .where(col("user_id") >= 0)
         .orderBy("user_id", "l_id", "r_id")),
 
+    // ANN — MMR diversified re-ranking (Sim.mmrTopK scaladoc): greedy
+    // top-5 at λ=0.7 over the q40 query set; each pick penalized by its
+    // max cosine to what is already picked. One lazy DAG, zero driver
+    // actions; the oracle unrolls the same 5 greedy rounds.
+    "q244_mmr_rerank" -> ((s, dir) =>
+      Sim.mmrTopK(
+        t(s, dir, "embeddings").where(col("vec_id") < 10),
+        t(s, dir, "embeddings"), k = 5, lambda = 0.7)
+        .orderBy("q_id", "rk")),
+
     // streaming — the idempotent SINK oracle-gated: the fixture is
     // staged twice (every row arrives in two different micro-batches)
     // and replayed through the foreachBatch upsert-ignore parquet sink;
@@ -649,6 +659,12 @@ private[graft] object Reg6MonitorAnn {
       "q239_stream_dedup" ->
         """SELECT DISTINCT user_id, event_type FROM events
           |ORDER BY user_id, event_type""".stripMargin,
+
+      "q244_mmr_rerank" ->
+        s"""WITH ${mmrChainSql(5, 0.7)}
+           |SELECT q_id, CAST(rk AS INTEGER) AS rk, c_id,
+           |  ${Num.floorAtSql("mmr", 4)} AS mmr
+           |FROM s5 ORDER BY q_id, rk""".stripMargin,
 
       "q243_stream_upsert_sink" ->
         s"""SELECT event_id, ${epochSql("ts")} AS es, user_id, event_type,

@@ -161,6 +161,32 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("MMR re-ranking diversifies where topK returns near-copies, " +
+      "and degenerates to topK at lambda = 1") {
+    // query along x; two EXACT-copy x-aligned candidates (mutual
+    // cos = 1, the strongest possible redundancy); one diverse
+    // z-leaning candidate with lower relevance
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.05f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.05f, 0.0f, 0.0f)),
+      (3L, Array(0.6f, 0.0f, 0.8f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" === 0)
+    val top = Sim.topK(q, vecs, 2).orderBy("rk")
+      .select("c_id").as[Long].collect().toSeq
+    assert(top === Seq(1L, 2L), "plain topK returns the exact copies")
+    // mmr(copy)   = 0.3·0.9987 − 0.7·1.0   ≈ −0.400
+    // mmr(diverse)= 0.3·0.6    − 0.7·0.599 ≈ −0.239  → diverse wins
+    val mmr = Sim.mmrTopK(q, vecs, 2, lambda = 0.3).orderBy("rk")
+      .select("c_id").as[Long].collect().toSeq
+    assert(mmr === Seq(1L, 3L),
+      "MMR's second pick must be the diverse candidate, not the copy")
+    val lam1 = Sim.mmrTopK(q, vecs, 2, lambda = 1.0).orderBy("rk")
+      .select("c_id").as[Long].collect().toSeq
+    assert(lam1 === top, "lambda=1 removes the diversity penalty")
+  }
+
   test("BPE trainer replays Sennrich greedy merges on a hand-computed " +
       "corpus, including the overlap case and the count-tie-break") {
     // "aaab" x3, "ab" x2: pairs at step 1: (a,a)=6 [two per 'aaab'],
