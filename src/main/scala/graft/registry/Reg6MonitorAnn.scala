@@ -578,7 +578,18 @@ private[graft] object Reg6MonitorAnn {
       graft.streaming.StreamOps.runUpsertSinkGate(s, dir, 4, 4)
         .select(col("event_id"), unix_timestamp(col("ts")).as("es"),
           col("user_id"), col("event_type"), col("value"), col("props"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // streaming — the incremental-CC STORE oracle-gated: the documents
+    // fixture replayed as 4 micro-batches straight through the
+    // versioned fold (delta pairs + contracted CC per batch, no
+    // admission filter), final committed labels bound to the SAME
+    // oracle string as q128/q130/q140 — one oracle, FOUR connected-
+    // components engines (fixpoint, big-star, incremental batch,
+    // streaming store).
+    "q245_stream_cc_store" -> ((s, dir) =>
+      graft.streaming.StreamOps.runCCStoreGate(s, dir, 4, 4)
+        .orderBy("doc_id"))
   )
 
   def oracles: ListMap[String, String] = ListMap(
@@ -659,6 +670,9 @@ private[graft] object Reg6MonitorAnn {
       "q239_stream_dedup" ->
         """SELECT DISTINCT user_id, event_type FROM events
           |ORDER BY user_id, event_type""".stripMargin,
+
+      // the SAME string as q128/q130/q140 — one oracle, four CC engines
+      "q245_stream_cc_store" -> ccOracleSql,
 
       "q244_mmr_rerank" ->
         s"""WITH ${mmrChainSql(5, 0.7)}

@@ -737,6 +737,60 @@ object StreamOps {
     ns.read.parquet(target)
   }
 
+  /** Stage the documents fixture (doc_id, text) as `nFiles` parquet
+    * files for a micro-batched replay. Memoized like [[stageEvents]].
+    */
+  def stageDocs(spark: SparkSession, sfDir: String, nFiles: Int): String =
+    stageMemo.computeIfAbsent(s"$sfDir#$nFiles#docs", _ => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-stream-stage-docs").toString
+      graft.Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "text")
+        .repartition(nFiles)
+        .write.mode("overwrite").parquet(stage)
+      stage
+    })
+
+  /** The oracle-gate bridge for the incremental-CC STORE: replay the
+    * documents fixture as `nFiles` micro-batches straight through
+    * [[incrementalCCBatch]] (no admission filter — every doc folds in,
+    * so the standing labels must equal batch CC over the WHOLE fixture,
+    * i.e. the q128/q130/q140 oracle string: one oracle, FOUR engines),
+    * then return the final committed label frame with the q128
+    * member-count/survivor projection. Store + checkpoint are fresh per
+    * call — the versioned fold is the thing under test.
+    */
+  def runCCStoreGate(spark: SparkSession, sfDir: String, nFiles: Int,
+                     statePartitions: Int, k: Int = 8, bands: Int = 4,
+                     minJaccard: Double = 0.2): DataFrame = {
+    val stage = stageDocs(spark, sfDir, nFiles)
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-ccstore").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ccstore-ck").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = ns.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(incrementalCCBatch(store, "text", k, bands,
+        minJaccard) _)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val labels = standingCCLabels(ns, store)
+    val sizes = labels.groupBy("component")
+      .agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, Seq("component"))
+      .select(col("doc_id"), col("component"), col("n_members"),
+        (col("doc_id") === col("component")).as("is_survivor"))
+  }
+
   /** Two-stream variant of [[runOrderedGateAppend]] — ordered staging +
     * flush sentinels on BOTH sides, for outer stream-stream joins whose
     * null-padded rows only emit once the watermark PROVES no partner
