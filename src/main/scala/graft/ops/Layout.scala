@@ -67,6 +67,36 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** Small-files compaction for a directory-partitioned dataset — the
+    * lakehouse OPTIMIZE primitive. Streaming ingestion (one file per
+    * micro-batch per partition) and over-parallel writers leave
+    * partitions holding hundreds of KB-sized files; at 100 TB the file
+    * LISTING and per-file open/footer costs then dominate scans long
+    * before row data does. The rewrite hash-clusters rows by the
+    * partition columns so each partition's rows land on one task (one
+    * output file per partition directory), split only by
+    * `maxRecordsPerFile` — after which file count per partition is
+    * ceil(rows / maxRecordsPerFile), independent of how fragmented the
+    * input was. Content is preserved bit-for-bit (the oracle gate
+    * aggregates the compacted dataset against the source table);
+    * LayoutSpec asserts the file-count contract.
+    *
+    * Scale note: compaction is itself a full shuffle of the rewritten
+    * partitions — production runs scope it to recently-ingested
+    * partitions (`WHERE` on the partition predicate before the
+    * repartition), not the whole table.
+    */
+  def compactPartitioned(spark: org.apache.spark.sql.SparkSession,
+                         src: String, dst: String,
+                         partitionCols: Seq[String],
+                         maxRecordsPerFile: Long): Unit =
+    spark.read.parquet(src)
+      .repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(dst)
+
   /** Zone-map effectiveness audit: quantifies, per candidate LAYOUT, how
     * many file-sized units a range predicate could skip — the number a
     * table-layout decision at 100 TB should be made from, measured

@@ -589,7 +589,27 @@ private[graft] object Reg6MonitorAnn {
     // streaming store).
     "q245_stream_cc_store" -> ((s, dir) =>
       graft.streaming.StreamOps.runCCStoreGate(s, dir, 4, 4)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // layout — small-files compaction (Layout.compactPartitioned
+    // scaladoc): fragment documents into 8 files per lang partition,
+    // compact to 1, and aggregate the COMPACTED dataset against the
+    // source-table oracle — the rewrite must be content-preserving.
+    // LayoutSpec asserts the file-count contract the oracle can't see.
+    "q246_compaction" -> ((s, dir) => {
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft-q246-${ProcessHandle.current().pid}"
+      Tables.load(s, dir, "documents")
+        .repartition(8)
+        .write.mode("overwrite").partitionBy("lang")
+        .parquet(base + "/frag")
+      graft.ops.Layout.compactPartitioned(s, base + "/frag",
+        base + "/compact", Seq("lang"), maxRecordsPerFile = 1000000L)
+      s.read.parquet(base + "/compact")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang")
+    })
   )
 
   def oracles: ListMap[String, String] = ListMap(
@@ -673,6 +693,13 @@ private[graft] object Reg6MonitorAnn {
 
       // the SAME string as q128/q130/q140 — one oracle, four CC engines
       "q245_stream_cc_store" -> ccOracleSql,
+
+      // content preservation through the fragment -> compact rewrite:
+      // the aggregate of the COMPACTED files must equal the source table
+      "q246_compaction" ->
+        """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
       "q244_mmr_rerank" ->
         s"""WITH ${mmrChainSql(5, 0.7)}

@@ -161,6 +161,44 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("compaction halves per-partition file counts to the " +
+      "maxRecordsPerFile contract and preserves every row") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-compact-spec").toString
+    val src = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    src.repartition(8).write.mode("overwrite")
+      .partitionBy("lang").parquet(base + "/frag")
+    def filesPerPartition(dir: String): Map[String, Int] =
+      new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val before = filesPerPartition(base + "/frag")
+    assert(before.values.forall(_ >= 2), s"not fragmented: $before")
+    graft.ops.Layout.compactPartitioned(spark, base + "/frag",
+      base + "/compact", Seq("lang"), maxRecordsPerFile = 1000000L)
+    val after = filesPerPartition(base + "/compact")
+    assert(after.keySet === before.keySet)
+    assert(after.values.forall(_ === 1),
+      s"rows fit one file per partition, got $after")
+    // content preserved bit-for-bit
+    val a = spark.read.parquet(base + "/compact")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val b = src.select(spark.read.parquet(base + "/compact")
+      .columns.map(col).toIndexedSeq: _*)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(a === b)
+    // maxRecordsPerFile contract: cap of 100 rows -> ceil(n/100) files
+    graft.ops.Layout.compactPartitioned(spark, base + "/frag",
+      base + "/cap", Seq("lang"), maxRecordsPerFile = 100L)
+    val counts = src.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val capped = filesPerPartition(base + "/cap")
+    counts.foreach { case (lang, n) =>
+      assert(capped(s"lang=$lang") === ((n + 99) / 100).toInt,
+        s"lang=$lang n=$n got ${capped(s"lang=$lang")}")
+    }
+  }
+
   test("MMR re-ranking diversifies where topK returns near-copies, " +
       "and degenerates to topK at lambda = 1") {
     // query along x; two EXACT-copy x-aligned candidates (mutual
