@@ -184,6 +184,75 @@ object Sim {
         .crossJoin(broadcast(qSide(queries, idCol, vecCol))),
       k, excludeSelf)
 
+  /** Position weights for [[retrievalMetrics]], scaled to exact
+    * integers: W(p) = round(10^6 / log2(p+1)) (the DCG discount) and
+    * R(p) = round(10^6 / p) (the reciprocal rank). Computed ONCE here
+    * and interpolated into the oracle as integer literals, so every
+    * downstream aggregate is integer arithmetic — bit-identical across
+    * engines with no float summation order to agree on.
+    */
+  def dcgWeights(k: Int): Seq[Long] =
+    (1 to k).map(p => math.round(1e6 / (math.log(p + 1.0) / math.log(2.0))))
+
+  def mrrWeights(k: Int): Seq[Long] = (1 to k).map(p => math.round(1e6 / p))
+
+  /** Position-weighted retrieval quality — the measurement layer above
+    * [[topK]]-recall (q228): binary relevance = membership in the brute
+    * top-k truth, and each run is scored by where it puts the relevant
+    * items, not just whether it finds them.
+    *
+    * Output per run: (method, mrr_e6, ndcg_e6, n_queries) —
+    * MRR@k and nDCG@k as integers scaled by 10^6 (floored integer
+    * divisions throughout, see [[dcgWeights]]). A run identical to the
+    * truth scores exactly 1 000 000 on both — the brute row is the
+    * built-in calibration anchor. Queries the run returns nothing for
+    * count as zero (no silent denominator shrink).
+    *
+    * Scale shape: truth and runs are k·|Q| rows (tiny) — every join
+    * broadcasts; the corpus was only touched by the retrievers
+    * themselves.
+    */
+  def retrievalMetrics(truth: DataFrame, k: Int,
+                       runs: (String, DataFrame)*): DataFrame = {
+    val w = dcgWeights(k)
+    val wLit = array(w.map(lit): _*)
+    // prefix sums: ideal DCG for a query with n relevant items
+    val pLit = array(w.scanLeft(0L)(_ + _).tail.map(lit): _*)
+    val rLit = array(mrrWeights(k).map(lit): _*)
+    val t = truth.select(col("q_id"), col("c_id"))
+      .withColumn("__hit", lit(true)).localCheckpoint()
+    val qFrame = t.groupBy("q_id")
+      .agg(count(lit(1)).cast("int").as("n_t"))
+    runs.map { case (method, run) =>
+      val perQ = run.select(col("q_id"), col("c_id"), col("rk"))
+        .join(broadcast(t), Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(
+          sum(when(col("__hit"), element_at(wLit, col("rk")))
+            .otherwise(0L)).as("dcg"),
+          min(when(col("__hit"), col("rk"))).as("first_hit"))
+      broadcast(qFrame).join(perQ, Seq("q_id"), "left")
+        .withColumn("idcg", element_at(pLit, col("n_t")))
+        // integral DIV throughout — no double division anywhere, so
+        // there is no float rounding for the engines to disagree on
+        .withColumn("ndcg_q",
+          expr("(coalesce(dcg, 0L) * 1000000L) DIV idcg"))
+        // explicit null guard, NOT coalesce(element_at(arr, idx), 0):
+        // a NULL index reaches element_at's negative-index path under
+        // codegen and reads the LAST element (measured — q9 with no
+        // hits scored R(5) instead of 0)
+        .withColumn("mrr_q",
+          when(col("first_hit").isNotNull,
+            element_at(rLit, col("first_hit"))).otherwise(0L))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("mrr_q")).as("smrr"), sum(col("ndcg_q")).as("sndcg"))
+        .select(lit(method).as("method"),
+          expr("smrr DIV n_queries").as("mrr_e6"),
+          expr("sndcg DIV n_queries").as("ndcg_e6"),
+          col("n_queries"))
+    }.reduce(_ unionByName _).orderBy("method")
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
     * greedy top-k where each pick maximizes
     * `λ·sim(q,c) − (1−λ)·max_{s∈picked} sim(c,s)` — the

@@ -119,6 +119,28 @@ private[graft] object Fragments {
          |FROM g ORDER BY l_returnflag""".stripMargin
     }
 
+    // The real-kmeans IVF retriever (q125's deterministic quantizer,
+    // own-cell probe, q40 scoring) as ONE standalone query ending in
+    // (q_id, c_id, rk) — shared by q228's recall row and q247's
+    // position-weighted metrics so both provably measure the identical
+    // retriever.
+    val kmIvfTopkSql: String =
+      s"""WITH $kmeansAfCte,
+         |kmn AS (SELECT vec_id, v, cell,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nr
+         |  FROM af),
+         |kmscored AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+         |    floor(list_sum(list_transform(range(1, 65),
+         |        i -> a.v[i] * b.v[i])) / (a.nr * b.nr) * 10000)
+         |      / 10000 AS sim
+         |  FROM kmn a JOIN kmn b ON a.cell = b.cell
+         |    AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 10)
+         |SELECT q_id, c_id, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, c_id ASC) AS rk FROM kmscored)
+         |  WHERE rk <= 5""".stripMargin
+
     // q41's and q43's full oracle bodies as vals: q228 measures their
     // recall against q40's, so all three must provably be the SAME
     // queries the standalone entries check
@@ -208,7 +230,7 @@ private[graft] object Fragments {
          |  FROM pairs p
          |  JOIN embeddings a ON a.vec_id = p.q_id
          |  JOIN embeddings b ON b.vec_id = p.c_id)
-         |SELECT q_id, c_id FROM (
+         |SELECT q_id, c_id, CAST(rk AS INTEGER) AS rk FROM (
          |  SELECT q_id, c_id,
          |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
          |  FROM scored) WHERE rk <= 5""".stripMargin

@@ -591,6 +591,23 @@ private[graft] object Reg6MonitorAnn {
       graft.streaming.StreamOps.runCCStoreGate(s, dir, 4, 4)
         .orderBy("doc_id")),
 
+    // ANN — position-weighted retrieval quality (Sim.retrievalMetrics
+    // scaladoc): MRR@5 and nDCG@5 as exact 1e6-scaled integers for the
+    // brute anchor (must score exactly 1e6/1e6), the real-kmeans IVF,
+    // and the OR-amplified 4-table sign-LSH — q228 measures IF the
+    // retrievers find the truth; this measures WHERE they put it.
+    "q247_retrieval_metrics" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+      val truth = Sim.topK(q, emb, 5)
+      val km = Sim.kmeansCells(emb, k = 8, iters = 2).localCheckpoint()
+      Sim.retrievalMetrics(truth, 5,
+        "brute" -> truth,
+        "ivf_kmeans" -> Sim.topKIvf(km.where(col("vec_id") < 10), km, 5,
+          "cell"),
+        "lsh4" -> Sim.topKLsh(q, emb, 5, bits = 4, tables = 4))
+    }),
+
     // layout — small-files compaction (Layout.compactPartitioned
     // scaladoc): fragment documents into 8 files per lang partition,
     // compact to 1, and aggregate the COMPACTED dataset against the
@@ -693,6 +710,47 @@ private[graft] object Reg6MonitorAnn {
 
       // the SAME string as q128/q130/q140 — one oracle, four CC engines
       "q245_stream_cc_store" -> ccOracleSql,
+
+      // weight arrays interpolated from Sim.dcgWeights/mrrWeights —
+      // ONE source of the scaled-integer discounts for both engines
+      "q247_retrieval_metrics" -> {
+        val w = Sim.dcgWeights(5)
+        val wL = w.mkString("[", ",", "]")
+        val pL = w.scanLeft(0L)(_ + _).tail.mkString("[", ",", "]")
+        val rL = Sim.mrrWeights(5).mkString("[", ",", "]")
+        def scoreCte(name: String, tbl: String): String =
+          s"""pq_$name AS (SELECT r.q_id,
+             |    SUM(CASE WHEN b.q_id IS NOT NULL
+             |      THEN (SELECT w FROM ws)[r.rk] ELSE 0 END) AS dcg,
+             |    MIN(CASE WHEN b.q_id IS NOT NULL THEN r.rk END) AS fh
+             |  FROM $tbl r LEFT JOIN brute b
+             |    ON b.q_id = r.q_id AND b.c_id = r.c_id
+             |  GROUP BY 1),
+             |m_$name AS (SELECT '$name' AS method,
+             |    CAST(CAST(SUM(mrr_q) AS BIGINT)
+             |      // COUNT(*) AS BIGINT) AS mrr_e6,
+             |    CAST(CAST(SUM(ndcg_q) AS BIGINT)
+             |      // COUNT(*) AS BIGINT) AS ndcg_e6,
+             |    COUNT(*) AS n_queries
+             |  FROM (SELECT
+             |      CAST(COALESCE(dcg, 0) * 1000000 AS BIGINT)
+             |        // (SELECT p FROM ws)[n_t] AS ndcg_q,
+             |      COALESCE((SELECT r FROM ws)[fh], 0) AS mrr_q
+             |    FROM qt LEFT JOIN pq_$name USING (q_id)))""".stripMargin
+        s"""WITH ws AS (SELECT $wL AS w, $pL AS p, $rL AS r),
+           |brute AS (SELECT q_id, c_id, rk FROM ($topkCosineSql)),
+           |ivfkm AS (SELECT q_id, c_id, rk FROM ($kmIvfTopkSql)),
+           |lsh4t AS (SELECT q_id, c_id, rk FROM (${lshTablesTkSqlFor(4)})),
+           |qt AS (SELECT q_id, COUNT(*) AS n_t FROM brute GROUP BY 1),
+           |${scoreCte("brute", "brute")},
+           |${scoreCte("ivf_kmeans", "ivfkm")},
+           |${scoreCte("lsh4", "lsh4t")}
+           |SELECT method, mrr_e6, ndcg_e6, n_queries FROM (
+           |  SELECT * FROM m_brute UNION ALL
+           |  SELECT * FROM m_ivf_kmeans UNION ALL
+           |  SELECT * FROM m_lsh4)
+           |ORDER BY method""".stripMargin
+      },
 
       // content preservation through the fragment -> compact rewrite:
       // the aggregate of the COMPACTED files must equal the source table
@@ -1209,24 +1267,10 @@ private[graft] object Reg6MonitorAnn {
       // realized recall of the q41/q43 oracles (verbatim, as vals)
       // against the q40 brute oracle — exact integer hit counts
       "q228_ann_recall" ->
-        s"""WITH $kmeansAfCte,
-           |brute AS (SELECT q_id, c_id FROM ($topkCosineSql)),
+        s"""WITH brute AS (SELECT q_id, c_id FROM ($topkCosineSql)),
            |ivf AS (SELECT q_id, c_id FROM ($topkIvfSql)),
            |lshk AS (SELECT q_id, c_id FROM ($topkLshSql)),
-           |kmn AS (SELECT vec_id, v, cell,
-           |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nr
-           |  FROM af),
-           |kmscored AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
-           |    floor(list_sum(list_transform(range(1, 65),
-           |        i -> a.v[i] * b.v[i])) / (a.nr * b.nr) * 10000)
-           |      / 10000 AS sim
-           |  FROM kmn a JOIN kmn b ON a.cell = b.cell
-           |    AND a.vec_id <> b.vec_id
-           |  WHERE a.vec_id < 10),
-           |ivfkm AS (SELECT q_id, c_id FROM (
-           |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
-           |    ORDER BY sim DESC, c_id ASC) AS rk FROM kmscored)
-           |  WHERE rk <= 5),
+           |ivfkm AS (SELECT q_id, c_id FROM ($kmIvfTopkSql)),
            |nt AS (SELECT COUNT(*) AS n_truth FROM brute),
            |stats AS (
            |  SELECT 'ivf' AS method, COUNT(*) AS n_approx,

@@ -161,6 +161,26 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("retrievalMetrics: a perfect run anchors at exactly 1e6/1e6, a " +
+      "no-hit query contributes ZERO to MRR (the null-index element_at " +
+      "trap), and position-degraded runs score between") {
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1), (2L, 21L, 2))
+      .toDF("q_id", "c_id", "rk")
+    // run A: identical to truth. run B: q1 hits reversed positions,
+    // q2 finds NOTHING relevant (the null-first_hit case).
+    val runB = Seq((1L, 11L, 1), (1L, 10L, 2), (2L, 98L, 1), (2L, 99L, 2))
+      .toDF("q_id", "c_id", "rk")
+    val m = graft.ops.Sim.retrievalMetrics(truth, 2,
+        "perfect" -> truth, "degraded" -> runB)
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+    assert(m("perfect") === ((1000000L, 1000000L, 2L)))
+    // degraded: q1 mrr 1e6 (hit at 1), q2 mrr 0 -> mean 500000.
+    // q1 ndcg = full dcg (both hit, positions swapped but W1+W2 same
+    // sum) -> 1e6; q2 ndcg 0 -> mean 500000.
+    assert(m("degraded") === ((500000L, 500000L, 2L)))
+  }
+
   test("compaction halves per-partition file counts to the " +
       "maxRecordsPerFile contract and preserves every row") {
     val base = java.nio.file.Files
