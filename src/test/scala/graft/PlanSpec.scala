@@ -620,6 +620,14 @@ class PlanSpec extends SparkSpec {
       s"exchanges: $ex\n" + p.take(1200))
   }
 
+  test("q244 MMR: every greedy-round join is broadcast (anti + " +
+      "diversity + relevance) — no sort-merge join, no cartesian") {
+    val p = plan("q244_mmr_rerank")
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("q238 BPE encoder: the corpus joins the merged dictionary by " +
       "BROADCAST — no sort-merge join, no corpus-side join shuffle") {
     val p = plan("q238_bpe_encode")

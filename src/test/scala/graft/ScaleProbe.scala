@@ -96,9 +96,16 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     scaledEmbeddings(Tables.load(spark, base, "embeddings"), r)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // events ×R with disjoint event/user ids and the time range kept:
+    // per-user session state and per-window row counts grow ∝ R — the
+    // state-scaling stress the streaming-gate probes (q235/q240/q241)
+    // measure (round 10; previously symlinked unscaled)
+    scaledKeyed(Tables.load(spark, base, "events"),
+        Seq("event_id", "user_id"), r)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
     // remaining tables: symlink the originals (dimensions don't scale
     // in this probe; none of the probed queries read them anyway)
-    Seq("region", "nation", "customer", "supplier", "part", "events")
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach { t =>
       val link = Paths.get(s"$dir/$t.parquet")
       if (!Files.exists(link))
