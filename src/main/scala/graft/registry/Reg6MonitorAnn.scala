@@ -591,6 +591,19 @@ private[graft] object Reg6MonitorAnn {
       graft.streaming.StreamOps.runCCStoreGate(s, dir, 4, 4)
         .orderBy("doc_id")),
 
+    // streaming — FULL OUTER completes the gated join matrix: purchases
+    // ⟗ clicks, so unmatched rows on BOTH sides must release null-
+    // padded (each side's state against the OTHER side's watermark).
+    // Same ordered staging + per-type sentinels as q242.
+    "q248_stream_full_join" -> ((s, dir) =>
+      graft.streaming.StreamOps.runOrderedGateAppend2(s, dir, 4, 4)(
+          (l, r) => graft.streaming.StreamOps.streamStreamFullOuterJoin(
+            l.where(col("event_type") === "purchase"),
+            r.where(col("event_type") === "click"),
+            windowSeconds = 900, watermark = "30 minutes"))
+        .where(col("user_id") >= 0)
+        .orderBy("user_id", "l_id", "r_id")),
+
     // ANN — position-weighted retrieval quality (Sim.retrievalMetrics
     // scaladoc): MRR@5 and nDCG@5 as exact 1e6-scaled integers for the
     // brute anchor (must score exactly 1e6/1e6), the real-kmeans IVF,
@@ -710,6 +723,18 @@ private[graft] object Reg6MonitorAnn {
 
       // the SAME string as q128/q130/q140 — one oracle, four CC engines
       "q245_stream_cc_store" -> ccOracleSql,
+
+      // FULL OUTER with the q242 condition: COALESCE'd user key, both
+      // null-padded sides present
+      "q248_stream_full_join" ->
+        s"""SELECT COALESCE(l.user_id, r.user_id) AS user_id,
+           |  l.event_id AS l_id, r.event_id AS r_id,
+           |  ${epochSql("l.ts")} AS l_es, ${epochSql("r.ts")} AS r_es
+           |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+           |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') r
+           |  ON l.user_id = r.user_id
+           |  AND r.ts >= l.ts - INTERVAL 900 SECOND AND r.ts <= l.ts
+           |ORDER BY user_id, l_id, r_id""".stripMargin,
 
       // weight arrays interpolated from Sim.dcgWeights/mrrWeights —
       // ONE source of the scaled-integer discounts for both engines
