@@ -129,4 +129,33 @@ object Bpe {
         sum(col("n_syms")).as("n_bpe_tokens"))
       .orderBy(idCol)
   }
+
+  /** Tokenizer FERTILITY by group: chars-per-token and tokens-per-word
+    * under the learned vocabulary, per `groupCol` — the metric a
+    * curation team reads to see WHICH languages/sources a tokenizer
+    * trained on the mixed corpus serves badly (a language the merges
+    * never learned compresses ~1 char/token; the dominant language
+    * approaches its word lengths). Exact integer sums; ratios floored
+    * at 6 dp. Same broadcast-dictionary shape as [[encodeStats]].
+    */
+  def fertilityByGroup(docs: DataFrame, groupCol: String, textCol: String,
+                       merges: Int): DataFrame = {
+    val (vocab, _) = learn(docs, textCol, merges)
+    val symCounts = vocab.select(col("word"),
+      size(symbols(col("s"))).cast("long").as("n_syms"))
+    docs.select(col(groupCol),
+        explode(Text.cleanTokens(col(textCol))).as("word"))
+      .join(broadcast(symCounts), "word")
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_chars"),
+        sum(col("n_syms")).as("n_bpe_tokens"))
+      .select(col(groupCol), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        Num.floorAt(col("n_chars").cast("double") /
+          col("n_bpe_tokens"), 6).as("chars_per_token"),
+        Num.floorAt(col("n_bpe_tokens").cast("double") /
+          col("n_words"), 6).as("tokens_per_word"))
+      .orderBy(groupCol)
+  }
 }

@@ -591,6 +591,14 @@ private[graft] object Reg6MonitorAnn {
       graft.streaming.StreamOps.runCCStoreGate(s, dir, 4, 4)
         .orderBy("doc_id")),
 
+    // text — tokenizer fertility by language (Bpe.fertilityByGroup
+    // scaladoc): chars-per-token and tokens-per-word under the 12-merge
+    // vocabulary, per lang — which languages the mixed-corpus tokenizer
+    // serves badly.
+    "q249_bpe_fertility" -> ((s, dir) =>
+      graft.ops.Bpe.fertilityByGroup(t(s, dir, "documents"), "lang",
+        "text", merges = 12)),
+
     // streaming — FULL OUTER completes the gated join matrix: purchases
     // ⟗ clicks, so unmatched rows on BOTH sides must release null-
     // padded (each side's state against the OTHER side's watermark).
@@ -723,6 +731,28 @@ private[graft] object Reg6MonitorAnn {
 
       // the SAME string as q128/q130/q140 — one oracle, four CC engines
       "q245_stream_cc_store" -> ccOracleSql,
+
+      "q249_bpe_fertility" ->
+        s"""WITH ${bpeChainSql(12)},
+           |vs AS (SELECT word,
+           |    CAST(len(string_split(s[2:-2], chr(2)||chr(1))) AS BIGINT)
+           |      AS n_syms
+           |  FROM w12),
+           |lw AS (SELECT lang, UNNEST(t) AS word FROM (
+           |  SELECT lang, $cleanToks AS t FROM (
+           |    SELECT lang, $clean AS c FROM documents))),
+           |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+           |    CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+           |    CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens
+           |  FROM lw JOIN vs USING (word) GROUP BY lang)
+           |SELECT lang, n_words, n_chars, n_bpe_tokens,
+           |  ${Num.floorAtSql(
+             "CAST(n_chars AS DOUBLE) / n_bpe_tokens", 6)}
+           |    AS chars_per_token,
+           |  ${Num.floorAtSql(
+             "CAST(n_bpe_tokens AS DOUBLE) / n_words", 6)}
+           |    AS tokens_per_word
+           |FROM g ORDER BY lang""".stripMargin,
 
       // FULL OUTER with the q242 condition: COALESCE'd user key, both
       // null-padded sides present
