@@ -649,11 +649,13 @@ object StreamOps {
     */
   def runOrderedGateAppend(spark: SparkSession, sfDir: String,
                            nFiles: Int, statePartitions: Int,
-                           sentinels: Int = 2)
+                           sentinels: Int = 2,
+                           extraConf: Map[String, String] = Map.empty)
                           (build: DataFrame => DataFrame): DataFrame = {
     val stage = stageEventsOrdered(spark, sfDir, nFiles, sentinels)
     val ns = spark.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    extraConf.foreach { case (k, v) => ns.conf.set(k, v) }
     runToAppendTable(build(eventsStream(ns, stage)))
   }
 

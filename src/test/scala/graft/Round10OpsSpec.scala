@@ -161,6 +161,35 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("the q240 custom-state oracle gate reproduces batch sessions " +
+      "bit-for-bit on the RocksDB state store provider (the at-scale " +
+      "backend) — watermark, timeouts, and sentinel flush included") {
+    val dir = "/root/testdata/sf0.001"
+    val rocks = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider"))
+    val streamed = graft.streaming.StreamOps
+      .runOrderedGateAppend(spark, dir, 4, 4, extraConf = rocks)(in =>
+        graft.streaming.StreamOps.statefulSessionizeWatermarked(
+          in, 1800L, "30 minutes").toDF)
+      .where(col("user_id") >= 0)
+      // ClosedSession.session_end = last event es, same as the batch
+      // sessionizer's max(es) (the q240 gate aligns to the q67 oracle's
+      // +gap form in the REGISTRY projection, not here)
+      .select(col("user_id"), col("session_start"),
+        col("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val batch = graft.ops.EventsOps
+      .sessionize(Tables.load(spark, dir, "events"), 1800L)
+      .select("user_id", "session_start",
+        "session_end", "n_events")
+      .orderBy("user_id", "session_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("retrievalMetrics: a perfect run anchors at exactly 1e6/1e6, a " +
       "no-hit query contributes ZERO to MRR (the null-index element_at " +
       "trap), and position-degraded runs score between") {
