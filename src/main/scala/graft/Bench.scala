@@ -123,6 +123,14 @@ object Bench {
         oldPoolNames += p.getName
       }
     }
+    // single-generation collectors (non-generational ZGC "ZHeap",
+    // Shenandoah's one pool) expose the WHOLE heap as the matched pool
+    // — young churn included — so "settled old-gen" is unmeasurable
+    // there: report the honest -1 sentinel (names still ride along in
+    // gc_pools) rather than a number that inverts the leak diagnostic.
+    if (oldPoolNames.forall(n =>
+        n.contains("ZHeap") || n == "Shenandoah") && oldUsedMb >= 0)
+      oldUsedMb = -1L
     var gcCount = 0L; var gcTimeSec = 0.0; var fullGcCount = 0L
     val gcNames = scala.collection.mutable.ListBuffer[String]()
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.forEach { g =>

@@ -60,6 +60,28 @@ object Bpe {
   final case class Merge(mergeRank: Int, leftSym: String, rightSym: String,
                          pairCount: Long)
 
+  /** Per-JVM memo of [[learn]] keyed by a caller-supplied cache key
+    * (the registry passes the fixture dir): ONE training serves the
+    * trainer, encoder, and fertility surfaces instead of three
+    * identical 12-iteration runs per sweep. The dictionary is already
+    * localCheckpoint'd by learn (dictionary-sized, not corpus-sized),
+    * so the memo pins vocabulary rows, not data.
+    */
+  private val learnMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, Seq[Merge])]()
+
+  def learnCached(docs: DataFrame, textCol: String, merges: Int,
+                  cacheKey: String): (DataFrame, Seq[Merge]) =
+    learnMemo.computeIfAbsent(s"$cacheKey#$textCol#$merges",
+      _ => learn(docs, textCol, merges))
+
+  private def learnVia(docs: DataFrame, textCol: String, merges: Int,
+                       cacheKey: Option[String]): (DataFrame, Seq[Merge]) =
+    cacheKey match {
+      case Some(k) => learnCached(docs, textCol, merges, k)
+      case None => learn(docs, textCol, merges)
+    }
+
   /** Run `merges` BPE iterations over the dictionary; returns the final
     * merged dictionary (word, f, s) and the merge list in rank order.
     * Ties on pair count break to the lexicographically smallest
@@ -102,10 +124,11 @@ object Bpe {
   /** The trainer surface: the ordered merge table
     * (merge_rank, left_sym, right_sym, pair_count).
     */
-  def train(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+  def train(docs: DataFrame, textCol: String, merges: Int,
+            cacheKey: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (_, ms) = learn(docs, textCol, merges)
+    val (_, ms) = learnVia(docs, textCol, merges, cacheKey)
     ms.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
       .orderBy("merge_rank")
   }
@@ -117,8 +140,9 @@ object Bpe {
     * runs per occurrence.
     */
   def encodeStats(docs: DataFrame, idCol: String, textCol: String,
-                  merges: Int): DataFrame = {
-    val (vocab, _) = learn(docs, textCol, merges)
+                  merges: Int,
+                  cacheKey: Option[String] = None): DataFrame = {
+    val (vocab, _) = learnVia(docs, textCol, merges, cacheKey)
     val symCounts = vocab.select(col("word"),
       size(symbols(col("s"))).cast("long").as("n_syms"))
     docs.select(col(idCol), explode(Text.cleanTokens(col(textCol))).as("word"))
@@ -139,8 +163,9 @@ object Bpe {
     * at 6 dp. Same broadcast-dictionary shape as [[encodeStats]].
     */
   def fertilityByGroup(docs: DataFrame, groupCol: String, textCol: String,
-                       merges: Int): DataFrame = {
-    val (vocab, _) = learn(docs, textCol, merges)
+                       merges: Int,
+                       cacheKey: Option[String] = None): DataFrame = {
+    val (vocab, _) = learnVia(docs, textCol, merges, cacheKey)
     val symCounts = vocab.select(col("word"),
       size(symbols(col("s"))).cast("long").as("n_syms"))
     docs.select(col(groupCol),

@@ -413,6 +413,14 @@ object Jpeg {
             if ((payload(seg + 5) & 0xff) != 1) return None // 1 component
             if ((payload(seg + 7) & 0xff) != 0x11) return None
             if (width % 8 != 0 || height % 8 != 0) return None
+            if (width == 0 || height == 0) return None
+            // a third-party header's two dim fields must not drive an
+            // Int-overflowing (or multi-GB) allocation: the raster
+            // cannot plausibly exceed the entropy stream that encodes
+            // it, so bound pixels by payload size (64 px max per ~1.6
+            // bytes of minimal MCU) — rejects 65528x65528 bombs while
+            // admitting any real file
+            if (width.toLong * height > 64L * payload.length) return None
           case 0xc4 =>
             var o = seg
             while (o < seg + len - 2) {

@@ -540,9 +540,10 @@ private[graft] object Fragments {
          |b$i AS MATERIALIZED (SELECT a, b, c FROM p$i
          |  ORDER BY c DESC, a, b LIMIT 1),
          |w$i AS MATERIALIZED (SELECT w.word,
-         |    replace(w.s, chr(1)||b.a||chr(2)||chr(1)||b.b||chr(2),
-         |            chr(1)||b.a||b.b||chr(2)) AS s, w.f
-         |  FROM w$p w CROSS JOIN b$i b),
+         |    COALESCE(replace(w.s,
+         |      chr(1)||b.a||chr(2)||chr(1)||b.b||chr(2),
+         |      chr(1)||b.a||b.b||chr(2)), w.s) AS s, w.f
+         |  FROM w$p w LEFT JOIN b$i b ON TRUE),
          |m$i AS (SELECT $i AS merge_rank, a AS left_sym, b AS right_sym,
          |  c AS pair_count FROM b$i)""".stripMargin
     }

@@ -477,7 +477,8 @@ private[graft] object Reg6MonitorAnn {
     // per iteration reaches the driver. The oracle unrolls the same 12
     // iterations as materialized CTE stages (q137's pagerank pattern).
     "q237_bpe_train" -> ((s, dir) =>
-      graft.ops.Bpe.train(t(s, dir, "documents"), "text", merges = 12)),
+      graft.ops.Bpe.train(t(s, dir, "documents"), "text", merges = 12,
+        cacheKey = Some(dir))),
 
     // text — BPE encoder: per-document subword token accounting under
     // the 12-merge vocabulary; the corpus joins the merged dictionary
@@ -485,7 +486,7 @@ private[graft] object Reg6MonitorAnn {
     // occurrence.
     "q238_bpe_encode" -> ((s, dir) =>
       graft.ops.Bpe.encodeStats(t(s, dir, "documents"), "doc_id", "text",
-        merges = 12)),
+        merges = 12, cacheKey = Some(dir))),
 
     // streaming — the dedup engine oracle-gated: exact distinct over a
     // key projection via dropDuplicatesWithinWatermark, append mode,
@@ -597,7 +598,7 @@ private[graft] object Reg6MonitorAnn {
     // serves badly.
     "q249_bpe_fertility" -> ((s, dir) =>
       graft.ops.Bpe.fertilityByGroup(t(s, dir, "documents"), "lang",
-        "text", merges = 12)),
+        "text", merges = 12, cacheKey = Some(dir))),
 
     // streaming — FULL OUTER completes the gated join matrix: purchases
     // ⟗ clicks, so unmatched rows on BOTH sides must release null-
@@ -620,7 +621,10 @@ private[graft] object Reg6MonitorAnn {
     "q247_retrieval_metrics" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 10)
-      val truth = Sim.topK(q, emb, 5)
+      // checkpointed: truth is consumed twice (relevance labels AND
+      // the calibration-anchor run) — without this the brute cross
+      // join runs twice per execution
+      val truth = Sim.topK(q, emb, 5).localCheckpoint()
       val km = Sim.kmeansCells(emb, k = 8, iters = 2).localCheckpoint()
       Sim.retrievalMetrics(truth, 5,
         "brute" -> truth,

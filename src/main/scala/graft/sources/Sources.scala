@@ -105,8 +105,10 @@ object Sources {
     // refuses the location on the next pid-reusing run. Clear both.
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val warehouse = new java.net.URI(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    // hadoop Path, not java.net.URI: the warehouse dir is a possibly-
+    // unencoded file URI (spaces etc.) that raw URI parsing rejects
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir")).toUri.getPath
     val loc = new java.io.File(warehouse, table)
     if (loc.exists()) {
       def rm(f: java.io.File): Unit = {
