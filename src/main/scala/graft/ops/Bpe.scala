@@ -63,17 +63,29 @@ object Bpe {
   /** Per-JVM memo of [[learn]] keyed by a caller-supplied cache key
     * (the registry passes the fixture dir): ONE training serves the
     * trainer, encoder, and fertility surfaces instead of three
-    * identical 12-iteration runs per sweep. The dictionary is already
-    * localCheckpoint'd by learn (dictionary-sized, not corpus-sized),
-    * so the memo pins vocabulary rows, not data.
+    * identical 12-iteration runs per sweep. PARQUET-backed, not a held
+    * DataFrame (the [[Artifacts]] doctrine): the bench clears RDD
+    * caches between queries, which would orphan a memoized
+    * localCheckpoint's blocks (measured:
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the second consumer) — a
+    * write-once temp parquet survives any cache policy and costs a
+    * dictionary-sized columnar scan to re-read.
     */
   private val learnMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (DataFrame, Seq[Merge])]()
+    String, (String, Seq[Merge])]()
 
   def learnCached(docs: DataFrame, textCol: String, merges: Int,
-                  cacheKey: String): (DataFrame, Seq[Merge]) =
-    learnMemo.computeIfAbsent(s"$cacheKey#$textCol#$merges",
-      _ => learn(docs, textCol, merges))
+                  cacheKey: String): (DataFrame, Seq[Merge]) = {
+    val (path, ms) = learnMemo.computeIfAbsent(
+      s"$cacheKey#$textCol#$merges", _ => {
+        val (vocab, learned) = learn(docs, textCol, merges)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-bpe-vocab").toString
+        vocab.write.mode("overwrite").parquet(dir)
+        (dir, learned)
+      })
+    (docs.sparkSession.read.parquet(path), ms)
+  }
 
   private def learnVia(docs: DataFrame, textCol: String, merges: Int,
                        cacheKey: Option[String]): (DataFrame, Seq[Merge]) =
