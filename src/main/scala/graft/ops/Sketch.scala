@@ -153,4 +153,78 @@ object Sketch {
       .join(broadcast(counters), Seq("r", "b"), "left")
       .groupBy(keyCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+
+  /** Misra–Gries candidate keys (Misra & Gries 1982, "Finding repeated
+    * elements"): one pass with a capacity-`c` counter summary PER
+    * PARTITION (mapPartitions; state is c counters however large the
+    * partition), emitting each partition's surviving keys.
+    *
+    * Superset guarantee, partition-local form: if a key's GLOBAL count
+    * exceeds n/(c+1), then on at least one partition its local count
+    * exceeds that partition's n_p/(c+1) (else summing the per-partition
+    * inequalities contradicts the global one), and the classic MG bound
+    * says a key with count > n_p/(c+1) always survives a capacity-c
+    * summary of that partition. So the UNION of per-partition survivors
+    * contains every global heavy hitter — no cross-partition summary
+    * merge (and no driver state) is needed for a candidate phase that
+    * feeds an exact recount. Output: distinct candidate keys as strings,
+    * <= c per input partition.
+    */
+  def mgCandidates(df: DataFrame, keyCol: String, capacity: Int)
+      : DataFrame = {
+    require(capacity >= 1, s"need capacity >= 1, got $capacity")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val counters = new java.util.LinkedHashMap[String, Long]()
+        it.foreach { v =>
+          if (counters.containsKey(v)) {
+            counters.put(v, counters.get(v) + 1L)
+          } else if (counters.size < capacity) {
+            counters.put(v, 1L)
+          } else {
+            // decrement-all: the O(c) amortized step that pays for every
+            // unmatched arrival by cancelling c counted ones
+            val itK = counters.entrySet().iterator()
+            while (itK.hasNext) {
+              val e = itK.next()
+              if (e.getValue == 1L) itK.remove()
+              else e.setValue(e.getValue - 1L)
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        counters.keySet().iterator().asScala
+      }
+      .toDF("k").distinct()
+  }
+
+  /** EXACT heavy hitters by the two-pass candidate/recount shape a
+    * 100 TB stream actually runs: phase 1 is [[mgCandidates]] (one scan,
+    * bounded state, <= c candidates per partition), phase 2 recounts
+    * ONLY the candidates exactly (broadcast semi-join + one keyed count)
+    * and keeps those with count * (c+1) > n — the integer-exact form of
+    * count > n/(c+1), which by the MG guarantee the candidate set
+    * provably covers. The output is therefore IDENTICAL to the full
+    * `groupBy(key).count.where(...)` — but the groupBy in phase 2 keys
+    * on <= c*partitions values instead of the full key domain, which is
+    * the entire point when the key domain doesn't fit a shuffle.
+    *
+    * Output: (key, exact_cnt, n_total, share) for every key with
+    * exact_cnt*(capacity+1) > n_total, share floored at 6 dp.
+    */
+  def mgHeavyHitters(df: DataFrame, keyCol: String, capacity: Int)
+      : DataFrame = {
+    val cands = mgCandidates(df, keyCol, capacity)
+    val nTotal = df.agg(count(lit(1)).as("n_total"))
+    df.join(broadcast(cands), df(keyCol).cast("string") === cands("k"),
+        "left_semi")
+      .groupBy(keyCol).agg(count(lit(1)).as("exact_cnt"))
+      .crossJoin(broadcast(nTotal))
+      .where(col("exact_cnt") * (capacity + 1) > col("n_total"))
+      .select(col(keyCol), col("exact_cnt"), col("n_total"),
+        Num.floorAt(col("exact_cnt").cast("double") / col("n_total"), 6)
+          .as("share"))
+  }
 }

@@ -569,7 +569,19 @@ private[graft] object Reg3Curation {
           (col("cms_est") >= col("exact_cnt")).as("never_under"),
           (col("n_cell_diff") === 0).as("merge_equals_full"))
         .orderBy("user_id")
-    })
+    }),
+
+
+    // north star — EXACT heavy hitters by the Misra–Gries two-pass
+    // candidate/recount shape (Sketch.mgHeavyHitters scaladoc): phase 1
+    // scans with a capacity-4 counter summary per partition (bounded
+    // state, the deletion-based sibling of q136's CMS), phase 2 recounts
+    // the <= 4-per-partition candidates exactly and keeps count*(c+1) > n
+    // — provably identical to the full groupBy filter. Capacity 4 <
+    // |event_type| = 5, so the decrement path genuinely runs here.
+    "q250_mg_heavy_hitters" -> ((s, dir) =>
+      Sketch.mgHeavyHitters(t(s, dir, "events"), "event_type", capacity = 4)
+        .orderBy("event_type"))
   )
 
   def oracles: ListMap[String, String] = ListMap(
@@ -1120,6 +1132,21 @@ private[graft] object Reg3Curation {
            |  TRUE AS merge_equals_full
            |FROM hh JOIN est USING (user_id)
            |ORDER BY user_id""".stripMargin
-      }
+      },
+
+
+      // the engine's MG candidate phase is a provable superset of this
+      // threshold set (Misra & Gries 1982), and its recount phase is
+      // exact — so the two-pass result IS the plain filtered groupBy
+      "q250_mg_heavy_hitters" ->
+        s"""WITH n AS (SELECT COUNT(*) AS n_total FROM events),
+           |c AS (SELECT event_type, COUNT(*) AS exact_cnt
+           |  FROM events GROUP BY 1)
+           |SELECT event_type, exact_cnt, n_total,
+           |  ${Num.floorAtSql("CAST(exact_cnt AS DOUBLE) / n_total", 6)}
+           |    AS share
+           |FROM c CROSS JOIN n
+           |WHERE exact_cnt * 5 > n_total
+           |ORDER BY event_type""".stripMargin
   )
 }

@@ -159,4 +159,57 @@ class SketchSpec extends SparkSpec {
         s"estimate $h vs exact $e out of regime")
     }
   }
+
+  test("mgCandidates: superset guarantee holds on an adversarial skewed " +
+    "fixture that forces decrements, across capacities and layouts") {
+    import graft.ops.Sketch
+    import spark.implicits._
+    // 3 heavy keys (weights 40/30/20) drowned in 180 distinct singletons:
+    // capacity << 183 distinct keys, so every partition's summary
+    // decrements constantly. n = 270; c = 4 -> threshold n/5 = 54: no
+    // heavy key; c = 8 -> threshold 30: h0 (40); the guarantee is about
+    // SUPERSET, so we assert containment for several capacities.
+    val rows = Seq.fill(40)("h0") ++ Seq.fill(30)("h1") ++
+      Seq.fill(20)("h2") ++ (0 until 180).map(i => s"tail$i")
+    for (nPart <- Seq(1, 3, 7); shift <- Seq(0, 97)) {
+      // rotate the layout so heavies hit partitions in different orders
+      val laid = (rows.drop(shift) ++ rows.take(shift)).toDF("k")
+        .repartition(nPart)
+      val n = rows.size
+      for (c <- Seq(2, 4, 8, 16)) {
+        val cands = Sketch.mgCandidates(laid, "k", c)
+          .as[String].collect().toSet
+        val heavy = rows.groupBy(identity).collect {
+          case (k, vs) if vs.size * (c + 1) > n => k
+        }.toSet
+        assert(heavy.subsetOf(cands),
+          s"nPart=$nPart shift=$shift c=$c: missing ${heavy -- cands}")
+      }
+    }
+  }
+
+  test("mgHeavyHitters equals the plain filtered groupBy (exactness of " +
+    "the two-pass shape) on events and on the skewed fixture") {
+    import graft.ops.Sketch
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    for (c <- Seq(2, 4)) {
+      val got = Sketch.mgHeavyHitters(ev, "event_type", c)
+        .orderBy("event_type")
+        .select("event_type", "exact_cnt").as[(String, Long)].collect()
+      val n = ev.count()
+      val want = ev.groupBy("event_type").count()
+        .where(col("count") * (c + 1) > n).orderBy("event_type")
+        .as[(String, Long)].collect()
+      assert(got.toSeq === want.toSeq, s"capacity $c diverged")
+    }
+    val skewed = (Seq.fill(60)("a") ++ Seq.fill(25)("b") ++
+      (0 until 15).map(i => s"t$i")).toDF("k").repartition(5)
+    val got = Sketch.mgHeavyHitters(skewed, "k", 3)
+      .select("k", "exact_cnt", "n_total")
+      .as[(String, Long, Long)].collect().toSet
+    // threshold is STRICT: b has 25*4 == 100 == n, not > n, so only a
+    // passes — the boundary case pins the > (not >=) contract
+    assert(got === Set(("a", 60L, 100L)))
+  }
 }
