@@ -613,6 +613,24 @@ private[graft] object Reg6MonitorAnn {
         .where(col("user_id") >= 0)
         .orderBy("user_id", "l_id", "r_id")),
 
+    // streaming — the stream-STATIC enrich engine under the same
+    // 4-micro-batch replay: each arriving batch broadcast-joins the
+    // surrogate-key dimension (Star.dim over the static fixture —
+    // re-resolved per batch, the engine's refresh contract), then a
+    // complete-mode aggregation accumulates per dim key. Gating the
+    // aggregate OVER the join proves enriched-stream ≡ enriched-batch
+    // across batch boundaries (q13/q14's star shape, streaming side).
+    "q251_stream_static_enrich" -> ((s, dir) =>
+      graft.streaming.StreamOps.runBoundedGate(s, dir, 4, 4)(in => {
+          val dim = Star.dim(Tables.load(in.sparkSession, dir, "events"),
+            "event_type", "type_id")
+          graft.streaming.StreamOps.streamStaticEnrich(in, dim,
+              "event_type")
+            .groupBy("type_id", "event_type")
+            .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        })
+        .orderBy("type_id")),
+
     // ANN — position-weighted retrieval quality (Sim.retrievalMetrics
     // scaladoc): MRR@5 and nDCG@5 as exact 1e6-scaled integers for the
     // brute anchor (must score exactly 1e6/1e6), the real-kmeans IVF,
@@ -769,6 +787,22 @@ private[graft] object Reg6MonitorAnn {
            |  ON l.user_id = r.user_id
            |  AND r.ts >= l.ts - INTERVAL 900 SECOND AND r.ts <= l.ts
            |ORDER BY user_id, l_id, r_id""".stripMargin,
+
+      // the q15 surrogate-dim chain + the batch twin of the enriched
+      // complete-mode aggregate the stream accumulates
+      "q251_stream_static_enrich" ->
+        """WITH dim AS (
+          |  SELECT event_type,
+          |    CAST(row_number() OVER (ORDER BY event_type) AS BIGINT)
+          |      AS type_id
+          |  FROM (SELECT DISTINCT event_type FROM events
+          |        WHERE event_type IS NOT NULL))
+          |SELECT type_id, event_type, COUNT(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_value
+          |FROM events JOIN dim USING (event_type)
+          |GROUP BY 1, 2
+          |ORDER BY type_id""".stripMargin,
 
       // weight arrays interpolated from Sim.dcgWeights/mrrWeights —
       // ONE source of the scaled-integer discounts for both engines
