@@ -833,4 +833,188 @@ object Sim {
           .as("sim"))
       .where(col("sim") >= threshold)
   }
+
+  // ---- product quantization (Jégou, Douze & Schmid 2011) ----------------
+
+  /** Squared L2 distance between a vector column and a literal centroid,
+    * as an explicit left-associated 16-term (subdim-term) sum — the same
+    * sequential fold the oracle's `list_sum` performs, so the doubles are
+    * bit-identical across engines.
+    */
+  private def l2sqLit(v: Column, c: Seq[Float]): Column =
+    c.zipWithIndex.map { case (cj, i) =>
+      val d = element_at(v, i + 1).cast("double") - lit(cj.toDouble)
+      d * d
+    }.reduceLeft(_ + _)
+
+  /** Squared L2 between two vector columns (left fold over zip_with —
+    * the [[dotHof]] discipline, matching the oracle's list_sum order).
+    */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double")
+      d * d
+    }), lit(0.0), (acc, v) => acc + v)
+
+  /** PQ argmin-code assignment for one subspace under literal centroids:
+    * 9dp-floored squared L2, ties to the LOWEST code (lexicographic
+    * struct min — the [[kmeansCells]] tie discipline, mirrored for
+    * distance-minimization).
+    */
+  private def pqAssign(sv: Column, cents: Seq[Seq[Float]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (cv, j) =>
+      struct(Num.floorAt(l2sqLit(sv, cv), 9).as("d"), lit(j).as("code"))
+    }: _*)).getField("code")
+
+  /** Deterministic per-subspace PQ codebooks (Jégou et al. 2011 §II):
+    * the vector is split into `m` contiguous subspaces and each gets its
+    * own k-codeword quantizer trained by the [[kmeansCells]] discipline
+    * transplanted to squared-L2 — init = the k lowest-id vectors'
+    * subvectors, `iters` Lloyd rounds with exact decimal centroid means
+    * (float-roundtripped via [[cellCentroids]]), 9dp-floored argmin
+    * assignment with ties to the lowest code. Driver state is m*k
+    * subvectors (the codebook IS driver-sized — that's what makes PQ a
+    * 100 TB storage answer: the big side compresses to m bytes/vector
+    * while the codebook rides in every task's closure).
+    *
+    * Returns books(s)(j) = centroid j of subspace s, each of length
+    * dim/m.
+    */
+  def pqCodebooks(df: DataFrame, m: Int, k: Int, iters: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding")
+      : IndexedSeq[IndexedSeq[Seq[Float]]] = {
+    require(m >= 1 && k >= 1 && iters >= 0, s"bad PQ params m=$m k=$k")
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    (0 until m).toIndexedSeq.map { s =>
+      val sv = df.select(col(idCol), slice(col(vecCol), s * sub + 1, sub)
+        .as("sv"))
+      var cents: IndexedSeq[Seq[Float]] = sv.orderBy(col(idCol)).limit(k)
+        .select(col("sv")).collect()
+        .map(_.getSeq[Float](0).toSeq).toIndexedSeq
+      for (_ <- 1 to iters) {
+        val perCode = cellCentroids(
+            sv.withColumn("code", pqAssign(col("sv"), cents)), "code", "sv")
+          .select(col("cell"), col("cv")).collect()
+          .map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
+        cents = cents.indices.map(j => perCode.getOrElse(j, cents(j)))
+      }
+      cents
+    }
+  }
+
+  /** Encode every vector as its m PQ codes: (idCol, code_0..code_{m-1}).
+    * One scan-local projection — m * k floored subspace distances per
+    * row, no joins, no shuffle; the output is the m-byte-per-vector
+    * representation the ADC scan then searches INSTEAD of the raw
+    * floats.
+    */
+  def pqEncode(df: DataFrame, books: IndexedSeq[IndexedSeq[Seq[Float]]],
+               idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val sub = books.head.head.size
+    val codeCols = books.indices.map { s =>
+      pqAssign(slice(col(vecCol), s * sub + 1, sub), books(s))
+        .as(s"code_$s")
+    }
+    df.select((col(idCol) +: codeCols): _*)
+  }
+
+  /** PQ top-k by ADC (asymmetric distance computation): each query keeps
+    * its RAW subvectors and precomputes a per-subspace lookup table of
+    * the k distances to that subspace's codewords; a candidate's
+    * distance is then m table lookups summed — the codes scan never
+    * touches a float vector. `symmetric = true` gives SDC (the query is
+    * itself encoded first; distances come from the k*k codeword-pair
+    * tables): cheaper still per query, strictly lossier — q252 measures
+    * the gap.
+    *
+    * Scale shape: the query-side LUT frame broadcasts onto a scan of the
+    * code table (built once by [[pqEncode]]); per-query top-k is the
+    * WindowGroupLimit-pruned ranking window. Nothing about the corpus
+    * side exceeds m bytes of codes + one broadcast per task.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             books: IndexedSeq[IndexedSeq[Seq[Float]]], k: Int,
+             symmetric: Boolean = false,
+             idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val m = books.size
+    val sub = books.head.head.size
+    val codes = pqEncode(corpus, books, idCol, vecCol)
+      .withColumnRenamed(idCol, "c_id")
+    val qside =
+      if (symmetric) {
+        // SDC: the query collapses to its codes; per-subspace k*k
+        // codeword-pair distance tables are driver-side constants,
+        // flattened row-major so table[codeQ*k + codeC] is one lookup
+        val kk = books.map { cb =>
+          cb.flatMap(a => cb.map(b => l2sqDriver(a, b)))
+        }
+        pqEncode(queries, books, idCol, vecCol)
+          .select(col(idCol).as("q_id") +:
+            (books.indices.map(s => col(s"code_$s").as(s"qcode_$s")) ++
+              books.indices.map(s => typedLit(kk(s)).as(s"kk_$s"))): _*)
+      } else {
+        // ADC: per-subspace LUT of the query's distance to each codeword
+        val luts = books.indices.map { s =>
+          array(books(s).map(cv =>
+            l2sqLit(slice(col(vecCol), s * sub + 1, sub), cv)): _*)
+            .as(s"lut_$s")
+        }
+        queries.select((col(idCol).as("q_id") +: luts): _*)
+      }
+    val joined = codes.join(broadcast(qside), col("q_id") =!= col("c_id"))
+    val dist =
+      if (symmetric)
+        books.indices.map { s =>
+          element_at(col(s"kk_$s"),
+            (col(s"qcode_$s") * books(s).size + col(s"code_$s"))
+              .cast("int") + lit(1))
+        }.reduceLeft(_ + _)
+      else
+        books.indices.map(s =>
+          element_at(col(s"lut_$s"), col(s"code_$s").cast("int") + lit(1)))
+          .reduceLeft(_ + _)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist").asc, col("c_id").asc)
+    joined.select(col("q_id"), col("c_id"),
+        Num.floorAt(dist, 9).as("dist"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+  }
+
+  /** Driver-side squared L2 between two float vectors, left-to-right in
+    * double — the same fold [[l2sqLit]] emits, so SDC's driver-computed
+    * tables are bit-identical to what either engine would compute.
+    */
+  private def l2sqDriver(a: Seq[Float], b: Seq[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.size) {
+      val d = a(i).toDouble - b(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Brute-force exact top-k by squared L2 (9dp floor, ties to lowest
+    * candidate id, self-pairs excluded) — the ground truth q252 measures
+    * the PQ retrievers against. Same broadcast-queries shape as [[topK]].
+    */
+  def topKL2(queries: DataFrame, corpus: DataFrame, k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist").asc, col("c_id").asc)
+    c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        Num.floorAt(l2sq(col("qv"), col("cv")), 9).as("dist"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+  }
 }

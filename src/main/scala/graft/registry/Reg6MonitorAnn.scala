@@ -631,6 +631,38 @@ private[graft] object Reg6MonitorAnn {
         })
         .orderBy("type_id")),
 
+    // ANN — product quantization with measured recall (Sim.pqCodebooks /
+    // pqTopK scaladoc; Jégou et al. 2011): 64 dims × 4 B compress to 4
+    // one-byte codes (the raw_bytes/code_bytes columns carry the 64×
+    // headline), and the ADC and SDC retrievers are scored against exact
+    // L2 brute truth — the storage-side cell of the measured-ANN matrix
+    // q228 (quantizer), q229 (probes), q231/q232 (LSH knobs) built.
+    "q252_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+      val books = Sim.pqCodebooks(emb, m = 4, k = 8, iters = 2)
+      val truth = Sim.topKL2(q, emb, 5).select(col("q_id"), col("c_id"))
+        .withColumn("__hit", lit(true)).localCheckpoint()
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      def eval(method: String, approx: DataFrame) =
+        approx.select(col("q_id"), col("c_id"))
+          .join(truth, Seq("q_id", "c_id"), "left")
+          .agg(count(lit(1)).as("n_approx"),
+            coalesce(sum(when(col("__hit"), 1L).otherwise(0L)), lit(0L))
+              .as("n_hits"))
+          .crossJoin(broadcast(nT))
+          .select(lit(method).as("method"), col("n_truth"),
+            col("n_approx"), col("n_hits"),
+            when(col("n_truth") === 0, lit(1.0)).otherwise(
+              Num.floorAt(col("n_hits").cast("double") /
+                col("n_truth"), 4)).as("recall"),
+            lit(4).as("code_bytes"), lit(256).as("raw_bytes"))
+      eval("pq_adc", Sim.pqTopK(q, emb, books, 5))
+        .unionByName(
+          eval("pq_sdc", Sim.pqTopK(q, emb, books, 5, symmetric = true)))
+        .orderBy("method")
+    }),
+
     // ANN — position-weighted retrieval quality (Sim.retrievalMetrics
     // scaladoc): MRR@5 and nDCG@5 as exact 1e6-scaled integers for the
     // brute anchor (must score exactly 1e6/1e6), the real-kmeans IVF,
@@ -787,6 +819,136 @@ private[graft] object Reg6MonitorAnn {
            |  ON l.user_id = r.user_id
            |  AND r.ts >= l.ts - INTERVAL 900 SECOND AND r.ts <= l.ts
            |ORDER BY user_id, l_id, r_id""".stripMargin,
+
+      // PQ: four independent per-subspace k-means chains (the kmeansAfCte
+      // discipline transplanted to squared L2 over 16-dim slices: init =
+      // 8 lowest-id subvectors, 2 Lloyd rounds, decimal means
+      // float-roundtripped, floored argmin with ties to the lowest code),
+      // codes joined back per vector; ADC ranks by summed query→codeword
+      // distances, SDC by summed codeword-pair distances; both scored
+      // against exact L2 brute truth. Chain CTEs are MATERIALIZED (the
+      // iterative-oracle rule — re-referenced CTEs otherwise inline
+      // exponentially).
+      "q252_pq_recall" -> {
+        val nSub = 4; val nCode = 8; val subDim = 16
+        def l2d(e: String, c: String) =
+          s"list_sum(list_transform(range(1, ${subDim + 1}), i -> " +
+            s"($e.sv[i] - $c.cv[i]) * ($e.sv[i] - $c.cv[i])))"
+        def assignCte(s: Int, cents: String, out: String) =
+          s"""$out AS MATERIALIZED (
+             |  SELECT vec_id, sv, code FROM (
+             |    SELECT e.vec_id, e.sv, c.code,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        floor(${l2d("e", "c")} * 1000000000) ASC,
+             |        c.code ASC) AS rn
+             |    FROM e$s e CROSS JOIN $cents c) WHERE rn = 1)"""
+            .stripMargin
+        def updateCte(asg: String, prev: String, out: String) =
+          s"""${out}m AS MATERIALIZED (
+             |  SELECT code, p.pos AS pos,
+             |    CAST(SUM(CAST(a.sv[p.pos] AS DECIMAL(27,10))) AS DOUBLE)
+             |      / COUNT(*) AS m
+             |  FROM $asg a CROSS JOIN range(1, ${subDim + 1}) AS p(pos)
+             |  GROUP BY code, p.pos),
+             |${out}l AS (
+             |  SELECT code,
+             |    list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS cv
+             |  FROM ${out}m GROUP BY code),
+             |$out AS MATERIALIZED (
+             |  SELECT p.code, COALESCE(l.cv, p.cv) AS cv
+             |  FROM $prev p LEFT JOIN ${out}l l ON l.code = p.code)"""
+            .stripMargin
+        def chain(s: Int) =
+          s"""e$s AS MATERIALIZED (
+             |  SELECT vec_id, list_slice(v, ${s * subDim + 1},
+             |    ${s * subDim + subDim}) AS sv FROM e),
+             |c0_$s AS MATERIALIZED (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+             |    sv AS cv
+             |  FROM (SELECT vec_id, sv FROM e$s ORDER BY vec_id
+             |        LIMIT $nCode)),
+             |${assignCte(s, s"c0_$s", s"a1_$s")},
+             |${updateCte(s"a1_$s", s"c0_$s", s"c1_$s")},
+             |${assignCte(s, s"c1_$s", s"a2_$s")},
+             |${updateCte(s"a2_$s", s"c1_$s", s"c2_$s")},
+             |${assignCte(s, s"c2_$s", s"af_$s")},
+             |qd_$s AS MATERIALIZED (
+             |  SELECT e.vec_id AS q_id, c.code, ${l2d("e", "c")} AS d
+             |  FROM e$s e CROSS JOIN c2_$s c WHERE e.vec_id < 10),
+             |cc_$s AS MATERIALIZED (
+             |  SELECT a.code AS ka, b.code AS kb,
+             |    list_sum(list_transform(range(1, ${subDim + 1}),
+             |      i -> (a.cv[i] - b.cv[i]) * (a.cv[i] - b.cv[i]))) AS d
+             |  FROM c2_$s a CROSS JOIN c2_$s b)""".stripMargin
+        val chains = (0 until nSub).map(chain).mkString(",\n")
+        val codeJoin = (1 until nSub)
+          .map(s => s"JOIN af_$s ON af_$s.vec_id = af_0.vec_id")
+          .mkString("\n  ")
+        val codeCols = (0 until nSub)
+          .map(s => s"af_$s.code AS k$s").mkString(", ")
+        val adcJoins = (0 until nSub).map(s =>
+          s"JOIN qd_$s qd$s ON qd$s.code = kc.k$s" +
+            (if (s == 0) "" else " AND qd$s.q_id = qd0.q_id"
+              .replace("$s", s.toString))).mkString("\n  ")
+        val adcSum = (0 until nSub).map(s => s"qd$s.d").mkString(" + ")
+        val sdcJoins = (0 until nSub).map(s =>
+          s"JOIN cc_$s cc$s ON cc$s.ka = qk.k$s AND cc$s.kb = kc.k$s")
+          .mkString("\n  ")
+        val sdcSum = (0 until nSub).map(s => s"cc$s.d").mkString(" + ")
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |$chains,
+           |codes AS MATERIALIZED (
+           |  SELECT af_0.vec_id, $codeCols
+           |  FROM af_0
+           |  $codeJoin),
+           |adc AS (
+           |  SELECT qd0.q_id, kc.vec_id AS c_id,
+           |    floor(($adcSum) * 1000000000) AS dk
+           |  FROM codes kc
+           |  $adcJoins
+           |  WHERE qd0.q_id <> kc.vec_id),
+           |adck AS (SELECT q_id, c_id FROM (
+           |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY dk ASC, c_id ASC) AS rk FROM adc) WHERE rk <= 5),
+           |qcodes AS (SELECT * FROM codes WHERE vec_id < 10),
+           |sdc AS (
+           |  SELECT qk.vec_id AS q_id, kc.vec_id AS c_id,
+           |    floor(($sdcSum) * 1000000000) AS dk
+           |  FROM qcodes qk
+           |  JOIN codes kc ON qk.vec_id <> kc.vec_id
+           |  $sdcJoins),
+           |sdck AS (SELECT q_id, c_id FROM (
+           |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY dk ASC, c_id ASC) AS rk FROM sdc) WHERE rk <= 5),
+           |tr AS MATERIALIZED (SELECT q_id, c_id FROM (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |      floor(list_sum(list_transform(range(1, 65),
+           |        i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])))
+           |        * 1000000000) ASC,
+           |      c.vec_id ASC) AS rk
+           |  FROM e q JOIN e c
+           |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id) WHERE rk <= 5),
+           |nt AS (SELECT COUNT(*) AS n_truth FROM tr),
+           |stats AS (
+           |  SELECT 'pq_adc' AS method, COUNT(*) AS n_approx,
+           |    COUNT(b.q_id) AS n_hits
+           |  FROM adck a LEFT JOIN tr b
+           |    ON b.q_id = a.q_id AND b.c_id = a.c_id
+           |  UNION ALL
+           |  SELECT 'pq_sdc', COUNT(*), COUNT(b.q_id)
+           |  FROM sdck a LEFT JOIN tr b
+           |    ON b.q_id = a.q_id AND b.c_id = a.c_id)
+           |SELECT method, n_truth, n_approx, n_hits,
+           |  CASE WHEN n_truth = 0 THEN 1.0
+           |       ELSE ${Num.floorAtSql(
+                "CAST(n_hits AS DOUBLE) / n_truth", 4)} END AS recall,
+           |  4 AS code_bytes, 256 AS raw_bytes
+           |FROM stats CROSS JOIN nt ORDER BY method""".stripMargin
+      },
 
       // the q15 surrogate-dim chain + the batch twin of the enriched
       // complete-mode aggregate the stream accumulates

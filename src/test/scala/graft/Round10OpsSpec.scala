@@ -339,4 +339,94 @@ class Round10OpsSpec extends SparkSpec {
       .as[(Int, String, String, Long)].collect().toSeq
     assert(ms === Seq((1, "a", "b", 2L)))
   }
+
+  test("PQ engine matches a naive in-memory reference (codebooks, codes, " +
+      "ADC and SDC top-k) on the sf0.001 fixture, and encoding is " +
+      "partition-invariant") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val (m, k, iters, topN) = (4, 8, 2, 5)
+    val books = Sim.pqCodebooks(emb, m, k, iters)
+
+    // ---- naive reference, replaying the engine's exact disciplines ----
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    val dim = vecs.head._2.length
+    val sub = dim / m
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    def fl9(x: Double): Double = math.floor(x * 1e9) / 1e9
+    def slice(v: Array[Float], s: Int): Array[Double] =
+      v.slice(s * sub, s * sub + sub).map(_.toDouble)
+    def assign(sv: Array[Double], cents: IndexedSeq[Array[Double]]): Int =
+      cents.zipWithIndex.map { case (c, j) => (fl9(l2(sv, c)), j) }.min._2
+    val naiveBooks = (0 until m).map { s =>
+      var cents: IndexedSeq[Array[Double]] =
+        vecs.take(k).map(v => slice(v._2, s)).toIndexedSeq
+      for (_ <- 1 to iters) {
+        val byCode = vecs.map(v => assign(slice(v._2, s), cents) -> v._2)
+          .groupBy(_._1)
+        cents = cents.indices.map { j =>
+          byCode.get(j).fold(cents(j)) { vs =>
+            // decimal(27,10) HALF_UP sum -> double mean -> float roundtrip
+            (0 until sub).map { p =>
+              val tot = vs.map(x => BigDecimal(x._2(s * sub + p).toDouble)
+                .setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+              (tot.toDouble / vs.size).toFloat.toDouble
+            }.toArray
+          }
+        }
+      }
+      cents
+    }
+    books.indices.foreach { s =>
+      assert(books(s).map(_.map(_.toDouble.toFloat)) ===
+        naiveBooks(s).map(_.map(_.toFloat)).map(_.toSeq),
+        s"codebook $s diverged")
+    }
+
+    // codes: engine == naive, and invariant under repartition
+    import spark.implicits._
+    def codesOf(df: org.apache.spark.sql.DataFrame) =
+      Sim.pqEncode(df, books)
+        .select(col("vec_id"), col("code_0"), col("code_1"),
+          col("code_2"), col("code_3"))
+        .as[(Long, Int, Int, Int, Int)].collect().sortBy(_._1).toSeq
+    val got = codesOf(emb)
+    assert(got === codesOf(emb.repartition(7)), "codes not layout-stable")
+    val naiveCodes = vecs.map { case (id, v) =>
+      val cs = (0 until m).map(s => assign(slice(v, s), naiveBooks(s)))
+      (id, cs(0), cs(1), cs(2), cs(3))
+    }.toSeq
+    assert(got === naiveCodes, "codes diverged from naive")
+
+    // ADC + SDC top-k: engine == naive greedy over the same tables
+    val naiveCodeMap = naiveCodes.map(c => c._1 ->
+      Array(c._2, c._3, c._4, c._5)).toMap
+    val qids = vecs.map(_._1).filter(_ < 10)
+    def naiveTopK(symmetric: Boolean) = qids.flatMap { q =>
+      val scored = vecs.filter(_._1 != q).map { case (cid, _) =>
+        val d = (0 until m).map { s =>
+          if (symmetric)
+            l2(naiveBooks(s)(naiveCodeMap(q)(s)),
+              naiveBooks(s)(naiveCodeMap(cid)(s)))
+          else l2(slice(vecs.find(_._1 == q).get._2, s),
+            naiveBooks(s)(naiveCodeMap(cid)(s)))
+        }.reduceLeft(_ + _)
+        (fl9(d), cid)
+      }.sorted.take(topN)
+      scored.zipWithIndex.map { case ((d, cid), i) => (q, cid, i + 1) }
+    }.toSeq
+    for (sym <- Seq(false, true)) {
+      val eng = Sim.pqTopK(emb.where(col("vec_id") < 10), emb, books,
+          topN, symmetric = sym)
+        .select(col("q_id"), col("c_id"), col("rk"))
+        .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+      assert(eng === naiveTopK(sym), s"symmetric=$sym top-k diverged")
+    }
+  }
 }
