@@ -1059,4 +1059,36 @@ object Agg {
           lit(2.0) * col("iw") / (col("n") * col("total")) -
             (col("n") + lit(1.0)) / col("n"), 6)).as("gini"))
   }
+
+  /** 2-D skyline / Pareto frontier, maximize-both sense (Börzsönyi,
+    * Kossmann & Stocker 2001, "The skyline operator"): the rows no other
+    * row strictly dominates — no row with x' >= x AND y' >= y that is
+    * strictly greater in at least one. Exact duplicates of a frontier
+    * point do not dominate each other (neither is strictly better), so
+    * both survive.
+    *
+    * NOT the quadratic NOT-EXISTS self-join: in 2-D a point is dominated
+    * iff (some strictly-larger x carries y' >= y) or (the same x carries
+    * a strictly larger y), and both conditions read off ONE running max
+    * over the x DOMAIN — so the plan is a hash aggregate to the
+    * distinct-x frame (max y per x), one ordered prefix-max window over
+    * that domain-sized frame, and an x-keyed join back. The global
+    * window sorts |distinct x| rows, not the input (the q209-family
+    * value-domain discipline); the input itself is touched by exactly
+    * one aggregate and one join, both x-keyed shuffles. A domain too
+    * large to window on one task gets range-partitioned local skylines
+    * first — survivors of each range are the only rows the global pass
+    * must see.
+    */
+  def skyline(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val perx = df.groupBy(col(xCol)).agg(max(col(yCol)).as("__ymax"))
+    val w = Window.orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // __mxgt = best y among STRICTLY larger x; null when x is the max
+    val gt = perx.withColumn("__mxgt", max(col("__ymax")).over(w))
+    df.join(gt, Seq(xCol))
+      .where(col(yCol) === col("__ymax") &&
+        (col("__mxgt").isNull || col(yCol) > col("__mxgt")))
+      .drop("__ymax", "__mxgt")
+  }
 }

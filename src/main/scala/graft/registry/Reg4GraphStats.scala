@@ -451,7 +451,23 @@ private[graft] object Reg4GraphStats {
           (col("tokens_total") - col("tokens_removed")).cast("double") /
             col("tokens_total"), 6))
         .orderBy("source")
-    })
+    }),
+
+
+    // analytics — 2-D skyline / Pareto frontier (Agg.skyline scaladoc):
+    // the users no other user beats on BOTH activity (event count) and
+    // spend (exact decimal value sum) — the multi-criteria "best"
+    // operator relational algebra lacks. The engine reads dominance off
+    // one prefix-max over the distinct-x domain instead of the
+    // quadratic NOT-EXISTS self-join the oracle runs.
+    "q253_skyline" -> ((s, dir) =>
+      Agg.skyline(
+          t(s, dir, "events").groupBy("user_id")
+            .agg(count(lit(1)).as("n_events"),
+              dsum(col("value")).as("total_value")),
+          "n_events", "total_value")
+        .select("user_id", "n_events", "total_value")
+        .orderBy("user_id"))
   )
 
   def oracles: ListMap[String, String] = ListMap(
@@ -1185,6 +1201,22 @@ private[graft] object Reg4GraphStats {
           |  floor(AVG(x) * 10000) / 10000 AS p50, MAX(n) AS n,
           |  TRUE AS within_bound
           |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
-          |GROUP BY k ORDER BY event_type""".stripMargin
+          |GROUP BY k ORDER BY event_type""".stripMargin,
+
+
+      // textbook dominance formulation; the engine's prefix-max answer
+      // must equal it exactly (ties: equal points are NOT dominated)
+      "q253_skyline" ->
+        """WITH ua AS (SELECT user_id, COUNT(*) AS n_events,
+          |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          |      AS total_value
+          |  FROM events GROUP BY 1)
+          |SELECT user_id, n_events, total_value FROM ua a
+          |WHERE NOT EXISTS (SELECT 1 FROM ua b
+          |  WHERE b.n_events >= a.n_events
+          |    AND b.total_value >= a.total_value
+          |    AND (b.n_events > a.n_events
+          |         OR b.total_value > a.total_value))
+          |ORDER BY user_id""".stripMargin
   )
 }
