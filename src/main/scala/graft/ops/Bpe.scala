@@ -79,8 +79,8 @@ object Bpe {
     val (path, ms) = learnMemo.computeIfAbsent(
       s"$cacheKey#$textCol#$merges", _ => {
         val (vocab, learned) = learn(docs, textCol, merges)
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-bpe-vocab").toString
+        val dir = graft.TempDirs.register(java.nio.file.Files
+          .createTempDirectory("graft-bpe-vocab").toString)
         vocab.write.mode("overwrite").parquet(dir)
         (dir, learned)
       })

@@ -421,6 +421,10 @@ object Jpeg {
             // bytes of minimal MCU) — rejects 65528x65528 bombs while
             // admitting any real file
             if (width.toLong * height > 64L * payload.length) return None
+            // the payload bound alone admits a >2 GiB dims product on a
+            // ~33 MB+ payload, and Int multiplication in the raster
+            // allocation would wrap negative — reject explicitly
+            if (width.toLong * height > Int.MaxValue) return None
           case 0xc4 =>
             var o = seg
             while (o < seg + len - 2) {
@@ -453,7 +457,11 @@ object Jpeg {
               while (bx < width / 8) {
                 val q = new Array[Long](64)
                 val s = dcT.decode(br)
-                if (s < 0) return None
+                // a hostile DHT can emit any raw byte as the category;
+                // baseline spec caps DC SSSS at 11 — beyond that the
+                // Int shifts in extend() wrap silently into garbage
+                // pixels instead of the documented None-never-a-guess
+                if (s < 0 || s > 11) return None
                 var bits = 0
                 var i = 0
                 while (i < s) {
@@ -472,7 +480,8 @@ object Jpeg {
                   else {
                     k += rs >> 4
                     val ss = rs & 0x0f
-                    if (k > 63) return None
+                    // baseline spec caps AC SSSS at 10 (F.1.2.2.1)
+                    if (k > 63 || ss > 10) return None
                     var ab = 0
                     var j = 0
                     while (j < ss) {

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
@@ -492,19 +492,40 @@ object Sim {
       .select(col("q_id"), col("c_id"), col("pmin"),
         Num.floorAt(dot(col("q_vec"), col("c_vec")) /
           (col("q_norm") * col("c_norm")), 4).as("sim"))
+    sweepRecall(queries.sparkSession,
+      perProbeTopK(scored, col("sim").desc, k, maxProbes), truth, maxProbes)
+  }
+
+  /** Slice a pmin-annotated scored pair stream into per-probe-count
+    * top-k sets: row (p, q_id, c_id) is in the set iff the pair's cell
+    * entered the probe set at pmin ≤ p and it ranks in q's top k under
+    * `order` (ties to the lowest c_id). Shared by the raw-vector
+    * ([[ivfRecallSweep]]) and PQ-code ([[ivfAdcRecallSweep]]) sweeps.
+    */
+  private def perProbeTopK(scored: DataFrame, order: Column, k: Int,
+                           maxProbes: Int): DataFrame = {
     val w = Window.partitionBy("p", "q_id")
-      .orderBy(col("sim").desc, col("c_id").asc)
-    val topkPerP = scored
+      .orderBy(order, col("c_id").asc)
+    scored
       .withColumn("p", explode(sequence(lit(1), lit(maxProbes))))
       .where(col("pmin") <= col("p"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
+  }
+
+  /** The sweep's stats tail: hits vs truth per probe count, zero-filled
+    * so EVERY p in [1, maxProbes] emits a row. Output: (probes, n_truth,
+    * n_approx, n_hits, recall) — recall floored 4 dp, 1.0 on an empty
+    * truth set by convention.
+    */
+  private def sweepRecall(spark: SparkSession, topkPerP: DataFrame,
+                          truth: DataFrame, maxProbes: Int): DataFrame = {
     val nT = truth.agg(count(lit(1)).as("n_truth"))
     val stats = topkPerP.join(truth, Seq("q_id", "c_id"), "left")
       .groupBy(col("p").cast("int").as("probes"))
       .agg(count(lit(1)).as("n_approx"),
         sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hits"))
-    val allP = queries.sparkSession.range(1, maxProbes + 1)
+    val allP = spark.range(1, maxProbes + 1)
       .select(col("id").cast("int").as("probes"))
     allP.join(stats, Seq("probes"), "left")
       .crossJoin(broadcast(nT))
@@ -877,6 +898,17 @@ object Sim {
     * 100 TB storage answer: the big side compresses to m bytes/vector
     * while the codebook rides in every task's closure).
     *
+    * All m subspaces train TOGETHER, one pass per Lloyd round: the
+    * vectors explode once into (s, subvector) rows and each round is a
+    * single per-row argmin projection (a CASE on s — only the row's own
+    * subspace branch evaluates) plus ONE (s·k+code, dim)-keyed
+    * [[cellCentroids]] shuffle covering every subspace, instead of m
+    * sequential per-subspace chains. Job count per round is constant in
+    * m; the codebooks are bit-identical to the sequential chains (each
+    * (s, code) group holds exactly the same rows, and the decimal
+    * centroid mean is order-insensitive — the q252 oracle still replays
+    * each subspace independently).
+    *
     * Returns books(s)(j) = centroid j of subspace s, each of length
     * dim/m.
     */
@@ -887,21 +919,36 @@ object Sim {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    (0 until m).toIndexedSeq.map { s =>
-      val sv = df.select(col(idCol), slice(col(vecCol), s * sub + 1, sub)
-        .as("sv"))
-      var cents: IndexedSeq[Seq[Float]] = sv.orderBy(col(idCol)).limit(k)
-        .select(col("sv")).collect()
-        .map(_.getSeq[Float](0).toSeq).toIndexedSeq
+    // init: ONE collect of the k lowest-id FULL vectors, sliced
+    // driver-side — identical slices to a per-subspace limit(k)
+    val seed = df.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toIndexedSeq)
+    var books: IndexedSeq[IndexedSeq[Seq[Float]]] =
+      (0 until m).toIndexedSeq.map(s =>
+        seed.map(v => v.slice(s * sub, (s + 1) * sub): Seq[Float])
+          .toIndexedSeq)
+    if (iters > 0) {
+      val exploded = df.select(col(idCol),
+        posexplode(array((0 until m).map(s =>
+          slice(col(vecCol), s * sub + 1, sub)): _*)).as(Seq("s", "sv")))
       for (_ <- 1 to iters) {
-        val perCode = cellCentroids(
-            sv.withColumn("code", pqAssign(col("sv"), cents)), "code", "sv")
+        val bk = books
+        val code = (1 until m).foldLeft(
+            when(col("s") === 0, pqAssign(col("sv"), bk(0)))) {
+          (acc, s) => acc.when(col("s") === s, pqAssign(col("sv"), bk(s)))
+        }
+        val perCell = cellCentroids(
+            exploded.withColumn("cell", (col("s") * k + code).cast("int")),
+            "cell", "sv")
           .select(col("cell"), col("cv")).collect()
           .map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
-        cents = cents.indices.map(j => perCode.getOrElse(j, cents(j)))
+        books = books.indices.map { s =>
+          bk(s).indices.map(j => perCell.getOrElse(s * k + j, bk(s)(j)))
+        }
       }
-      cents
     }
+    books
   }
 
   /** Encode every vector as its m PQ codes: (idCol, code_0..code_{m-1}).
@@ -911,14 +958,14 @@ object Sim {
     * floats.
     */
   def pqEncode(df: DataFrame, books: IndexedSeq[IndexedSeq[Seq[Float]]],
-               idCol: String = "vec_id", vecCol: String = "embedding")
-      : DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               keep: Seq[String] = Nil): DataFrame = {
     val sub = books.head.head.size
     val codeCols = books.indices.map { s =>
       pqAssign(slice(col(vecCol), s * sub + 1, sub), books(s))
         .as(s"code_$s")
     }
-    df.select((col(idCol) +: codeCols): _*)
+    df.select(((col(idCol) +: keep.map(col)) ++ codeCols): _*)
   }
 
   /** PQ top-k by ADC (asymmetric distance computation): each query keeps
@@ -1016,5 +1063,67 @@ object Sim {
         Num.floorAt(l2sq(col("qv"), col("cv")), 9).as("dist"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
+  }
+
+  /** IVF-ADC recall sweep — the COMPOSED production ANN shape (Jégou et
+    * al. 2011 §IV: "IVFADC"): the coarse quantizer bounds each query's
+    * candidate set to its probed cells ([[topKIvf]]'s exact probe
+    * policy — own cell ∪ the p nearest centroid-ranked cells, deduped,
+    * monotone in p), and WITHIN those cells the scan reads m one-byte PQ
+    * codes per candidate, never a raw float vector — distance is m ADC
+    * table lookups summed. This is the only ANN layout where neither the
+    * raw vectors nor a flat whole-corpus code scan has to fit the scan
+    * budget: at 100 TB the probed fraction (p/cells) bounds candidates
+    * and the m-byte codes bound bytes-per-candidate; q229 (probes over
+    * raw vectors) and q252 (codes over the whole corpus) each hold one
+    * of those knobs, this holds both.
+    *
+    * Scale shape: the code table is built once by [[pqEncode]] (scan-
+    * local, keeps the cell key); the query side broadcasts (q, cell,
+    * pmin, m ADC LUTs of k doubles) rows — the raw query vector is
+    * dropped after the LUT projection. Per-p top-k is the shared
+    * [[ivfRecallSweep]] window; truth is exact [[topKL2]] (the PQ
+    * family's metric). Output: (probes, n_truth, n_approx, n_hits,
+    * recall) — one row per p in [1, maxProbes], zero-filled.
+    */
+  def ivfAdcRecallSweep(queries: DataFrame, candidates: DataFrame,
+                        books: IndexedSeq[IndexedSeq[Seq[Float]]], k: Int,
+                        cellCol: String, maxProbes: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(maxProbes >= 1, s"need maxProbes >= 1, got $maxProbes")
+    val sub = books.head.head.size
+    val truth = topKL2(queries, candidates, k, idCol, vecCol)
+      .select(col("q_id"), col("c_id")).withColumn("__hit", lit(true))
+      .localCheckpoint()
+    // probe policy: IDENTICAL to ivfRecallSweep (own cell at pmin=1,
+    // centroid-ranked cells at pmin=max(rank,2), min-wins dedup)
+    val own = qSide(queries, idCol, vecCol, Seq(cellCol -> "cell"))
+      .withColumn("pmin", lit(1))
+    val cent = probeRanked(queries, candidates, cellCol, idCol, vecCol)
+      .where(col("pr") <= maxProbes)
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("cell"),
+        greatest(col("pr"), lit(2)).as("pmin"))
+    val luts = books.indices.map { s =>
+      array(books(s).map(cv =>
+        l2sqLit(slice(col("q_vec"), s * sub + 1, sub), cv)): _*)
+        .as(s"lut_$s")
+    }
+    val probed = own.unionByName(cent)
+      .groupBy(col("q_id"), col("cell"))
+      .agg(min(col("pmin")).as("pmin"), first(col("q_vec")).as("q_vec"))
+      .select((Seq(col("q_id"), col("cell"), col("pmin")) ++ luts): _*)
+    val codes = pqEncode(candidates, books, idCol, vecCol,
+        keep = Seq(cellCol))
+      .withColumnRenamed(idCol, "c_id").withColumnRenamed(cellCol, "cell")
+    val dist = books.indices.map(s =>
+        element_at(col(s"lut_$s"), col(s"code_$s").cast("int") + lit(1)))
+      .reduceLeft(_ + _)
+    val scored = codes.join(broadcast(probed), Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("pmin"),
+        Num.floorAt(dist, 9).as("dist"))
+    sweepRecall(queries.sparkSession,
+      perProbeTopK(scored, col("dist").asc, k, maxProbes), truth, maxProbes)
   }
 }

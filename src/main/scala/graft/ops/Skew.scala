@@ -144,7 +144,13 @@ object Skew {
     * need salting/AQE-splitting when `share` concentrates.
     *
     * Output: top `topK` keys by pair contribution — (key, n_left,
-    * n_right, n_pairs, total_pairs, n_keys, share).
+    * n_right, n_pairs, total_pairs, n_keys, share). The pair
+    * products/sums are computed in DECIMAL(38,0) internally (a BIGINT
+    * product silently wraps at billion-row per-side counts) but
+    * SURFACED as STRING: arbitrary precision survives the cast
+    * losslessly, and a string column hashes identically across
+    * engines — wide decimals do not (parquet Decimal object vs DuckDB
+    * HUGEINT→float64 canonicalization).
     */
   def joinSizePreflight(left: DataFrame, right: DataFrame, key: String,
                         topK: Int = 10): DataFrame = {
@@ -163,12 +169,14 @@ object Skew {
         .as("total_pairs"),
       count(lit(1)).as("n_keys"))
     j.crossJoin(broadcast(tot))
-      .select(col(key), col("n_left"), col("n_right"), col("n_pairs"),
-        col("total_pairs"), col("n_keys"),
+      .orderBy(desc("n_pairs"), col(key))
+      .limit(topK)
+      .select(col(key), col("n_left"), col("n_right"),
+        col("n_pairs").cast("string").as("n_pairs"),
+        col("total_pairs").cast("string").as("total_pairs"),
+        col("n_keys"),
         Num.floorAt(
           col("n_pairs").cast("double") / col("total_pairs"), 6)
           .as("share"))
-      .orderBy(desc("n_pairs"), col(key))
-      .limit(topK)
   }
 }

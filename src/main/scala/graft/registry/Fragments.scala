@@ -555,4 +555,139 @@ private[graft] object Fragments {
        |  FROM (SELECT UNNEST(t) AS word FROM tok) GROUP BY 1),
        |${stages.mkString(",\n")}""".stripMargin
   }
+
+  // ---- PQ per-subspace k-means chains (q252/q254/q255) -------------------
+
+  /** The doubled-embedding base CTE the PQ family's oracles share:
+    * `e(vec_id, v)` with v = the embedding cast to double list. */
+  val pqEmbCte: String =
+    """e AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings)""".stripMargin
+
+  /** Exact L2 brute top-5 over `e` (queries = vec_id < 10) as a CTE
+    * `tr(q_id, c_id)` — the PQ family's ground truth (Sim.topKL2's
+    * 9dp-floored, lowest-c_id-tie ranking). */
+  def pqL2TruthCte(dim: Int): String =
+    s"""tr AS MATERIALIZED (SELECT q_id, c_id FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      floor(list_sum(list_transform(range(1, ${dim + 1}),
+       |        i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])))
+       |        * 1000000000) ASC,
+       |      c.vec_id ASC) AS rk
+       |  FROM e q JOIN e c
+       |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id) WHERE rk <= 5)"""
+      .stripMargin
+
+  /** Parameterized per-subspace PQ k-means chains (Jégou et al. 2011
+    * §II — Sim.pqCodebooks' exact discipline): `nSub` chains over
+    * `subDim`-wide slices of an `e(vec_id, v)` CTE already in scope,
+    * each init = the `nCode` lowest-id subvectors, `iters` Lloyd rounds
+    * (decimal means float-roundtripped, 9dp-floored argmin, ties to the
+    * lowest code). Re-referenced CTEs are MATERIALIZED (the
+    * iterative-oracle rule — they otherwise inline exponentially).
+    *
+    * Emits, per subspace s: `pe$tag$s(vec_id, sv)` subvectors,
+    * `pc${tag}${iters}_$s(code, cv)` the FINAL codebook,
+    * `paf${tag}_$s(vec_id, sv, code)` final assignments,
+    * `pqd${tag}_$s(q_id, code, d)` query→codeword ADC tables (queries =
+    * vec_id < 10); plus `pcodes$tag(vec_id, k0..k{nSub-1})` — the joined
+    * per-vector code row. With `sdc = true` also `pcc${tag}_$s(ka, kb,
+    * d)` codeword-pair tables. Distinct `tag`s let two parameterizations
+    * share one WITH clause (q255's knob sweep).
+    */
+  def pqChainsSql(nSub: Int, nCode: Int, subDim: Int, iters: Int,
+                  tag: String = "", sdc: Boolean = false): String = {
+    def l2d(e: String, c: String) =
+      s"list_sum(list_transform(range(1, ${subDim + 1}), i -> " +
+        s"($e.sv[i] - $c.cv[i]) * ($e.sv[i] - $c.cv[i])))"
+    def assignCte(s: Int, cents: String, out: String) =
+      s"""$out AS MATERIALIZED (
+         |  SELECT vec_id, sv, code FROM (
+         |    SELECT e.vec_id, e.sv, c.code,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        floor(${l2d("e", "c")} * 1000000000) ASC,
+         |        c.code ASC) AS rn
+         |    FROM pe$tag$s e CROSS JOIN $cents c) WHERE rn = 1)"""
+        .stripMargin
+    def updateCte(asg: String, prev: String, out: String) =
+      s"""${out}m AS MATERIALIZED (
+         |  SELECT code, p.pos AS pos,
+         |    CAST(SUM(CAST(a.sv[p.pos] AS DECIMAL(27,10))) AS DOUBLE)
+         |      / COUNT(*) AS m
+         |  FROM $asg a CROSS JOIN range(1, ${subDim + 1}) AS p(pos)
+         |  GROUP BY code, p.pos),
+         |${out}l AS (
+         |  SELECT code,
+         |    list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS cv
+         |  FROM ${out}m GROUP BY code),
+         |$out AS MATERIALIZED (
+         |  SELECT p.code, COALESCE(l.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN ${out}l l ON l.code = p.code)"""
+        .stripMargin
+    def chain(s: Int): String = {
+      val fin = s"pc$tag${iters}_$s"
+      val init = Seq(
+        s"""pe$tag$s AS MATERIALIZED (
+           |  SELECT vec_id, list_slice(v, ${s * subDim + 1},
+           |    ${s * subDim + subDim}) AS sv FROM e)""".stripMargin,
+        s"""pc${tag}0_$s AS MATERIALIZED (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+           |    sv AS cv
+           |  FROM (SELECT vec_id, sv FROM pe$tag$s ORDER BY vec_id
+           |        LIMIT $nCode))""".stripMargin)
+      val rounds = (1 to iters).map { it =>
+        s"""${assignCte(s, s"pc$tag${it - 1}_$s", s"pa$tag${it}_$s")},
+           |${updateCte(s"pa$tag${it}_$s", s"pc$tag${it - 1}_$s",
+                s"pc$tag${it}_$s")}""".stripMargin
+      }
+      val tail = Seq(
+        assignCte(s, fin, s"paf${tag}_$s"),
+        s"""pqd${tag}_$s AS MATERIALIZED (
+           |  SELECT e.vec_id AS q_id, c.code, ${l2d("e", "c")} AS d
+           |  FROM pe$tag$s e CROSS JOIN $fin c WHERE e.vec_id < 10)"""
+          .stripMargin) ++
+        (if (sdc) Seq(
+          s"""pcc${tag}_$s AS MATERIALIZED (
+             |  SELECT a.code AS ka, b.code AS kb,
+             |    list_sum(list_transform(range(1, ${subDim + 1}),
+             |      i -> (a.cv[i] - b.cv[i]) * (a.cv[i] - b.cv[i]))) AS d
+             |  FROM $fin a CROSS JOIN $fin b)""".stripMargin)
+         else Nil)
+      (init ++ rounds ++ tail).mkString(",\n")
+    }
+    val codesJoin = (1 until nSub)
+      .map(s =>
+        s"JOIN paf${tag}_$s ON paf${tag}_$s.vec_id = paf${tag}_0.vec_id")
+      .mkString("\n  ")
+    val codeCols = (0 until nSub)
+      .map(s => s"paf${tag}_$s.code AS k$s").mkString(", ")
+    ((0 until nSub).map(chain) :+
+      s"""pcodes$tag AS MATERIALIZED (
+         |  SELECT paf${tag}_0.vec_id, $codeCols
+         |  FROM paf${tag}_0
+         |  $codesJoin)""".stripMargin).mkString(",\n")
+  }
+
+  /** Whole-corpus ADC top-5 over `pcodes$tag` + `pqd${tag}_*`: emits
+    * `adck$tag(q_id, c_id)` — Sim.pqTopK's asymmetric retriever. */
+  def pqAdcTopkCtes(nSub: Int, tag: String = ""): String = {
+    val joins = (0 until nSub).map(s =>
+      s"JOIN pqd${tag}_$s qd$s ON qd$s.code = kc.k$s" +
+        (if (s == 0) "" else s" AND qd$s.q_id = qd0.q_id"))
+      .mkString("\n  ")
+    val dsum = (0 until nSub).map(s => s"qd$s.d").mkString(" + ")
+    s"""adc$tag AS (
+       |  SELECT qd0.q_id, kc.vec_id AS c_id,
+       |    floor(($dsum) * 1000000000) AS dk
+       |  FROM pcodes$tag kc
+       |  $joins
+       |  WHERE qd0.q_id <> kc.vec_id),
+       |adck$tag AS (SELECT q_id, c_id FROM (
+       |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY dk ASC, c_id ASC) AS rk FROM adc$tag) WHERE rk <= 5)"""
+      .stripMargin
+  }
 }

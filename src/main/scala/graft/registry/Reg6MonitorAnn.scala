@@ -663,6 +663,55 @@ private[graft] object Reg6MonitorAnn {
         .orderBy("method")
     }),
 
+    // ANN — IVF-ADC composition (Sim.ivfAdcRecallSweep scaladoc; Jégou
+    // et al. 2011 §IV "IVFADC"): the PQ-code scan runs WITHIN the
+    // multi-probe cell candidate set — candidates bounded per cell by
+    // the probes knob (q229's axis), bytes-per-candidate bounded at m
+    // codes (q252's axis). The only ANN layout where neither raw
+    // vectors nor a flat code scan must fit the scan budget at 100 TB.
+    // Recall@5 vs exact-L2 brute truth for p = 1..3.
+    "q254_ivf_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Sim.ivfAdcRecallSweep(emb.where(col("vec_id") < 10), emb,
+          Sim.pqCodebooks(emb, m = 4, k = 8, iters = 2), 5, "label",
+          maxProbes = 3)
+        .orderBy("probes")
+    }),
+
+    // ANN — PQ knob sweep (the q229/q232 extension discipline applied
+    // to q252's 64×-compression headline): the m/k axis (m=8, k=16 —
+    // 8 code bytes, 32× compression) and the training axis (iters=0 —
+    // raw seed codebooks, zero Lloyd rounds) next to q252's m=4/k=8/
+    // iters=2 rows, each ADC recall@5 against the same exact-L2 truth —
+    // the compression headline carries its measured recall cost curve.
+    "q255_pq_knobs" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+      val truth = Sim.topKL2(q, emb, 5).select(col("q_id"), col("c_id"))
+        .withColumn("__hit", lit(true)).localCheckpoint()
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      def eval(method: String, approx: DataFrame, codeBytes: Int) =
+        approx.select(col("q_id"), col("c_id"))
+          .join(truth, Seq("q_id", "c_id"), "left")
+          .agg(count(lit(1)).as("n_approx"),
+            coalesce(sum(when(col("__hit"), 1L).otherwise(0L)), lit(0L))
+              .as("n_hits"))
+          .crossJoin(broadcast(nT))
+          .select(lit(method).as("method"), col("n_truth"),
+            col("n_approx"), col("n_hits"),
+            when(col("n_truth") === 0, lit(1.0)).otherwise(
+              Num.floorAt(col("n_hits").cast("double") /
+                col("n_truth"), 4)).as("recall"),
+            lit(codeBytes).as("code_bytes"), lit(256).as("raw_bytes"))
+      eval("adc_m4k8_i0",
+          Sim.pqTopK(q, emb,
+            Sim.pqCodebooks(emb, m = 4, k = 8, iters = 0), 5), 4)
+        .unionByName(eval("adc_m8k16_i2",
+          Sim.pqTopK(q, emb,
+            Sim.pqCodebooks(emb, m = 8, k = 16, iters = 2), 5), 8))
+        .orderBy("method")
+    }),
+
     // ANN — position-weighted retrieval quality (Sim.retrievalMetrics
     // scaladoc): MRR@5 and nDCG@5 as exact 1e6-scaled integers for the
     // brute anchor (must score exactly 1e6/1e6), the real-kmeans IVF,
@@ -820,118 +869,32 @@ private[graft] object Reg6MonitorAnn {
            |  AND r.ts >= l.ts - INTERVAL 900 SECOND AND r.ts <= l.ts
            |ORDER BY user_id, l_id, r_id""".stripMargin,
 
-      // PQ: four independent per-subspace k-means chains (the kmeansAfCte
-      // discipline transplanted to squared L2 over 16-dim slices: init =
-      // 8 lowest-id subvectors, 2 Lloyd rounds, decimal means
-      // float-roundtripped, floored argmin with ties to the lowest code),
-      // codes joined back per vector; ADC ranks by summed query→codeword
-      // distances, SDC by summed codeword-pair distances; both scored
-      // against exact L2 brute truth. Chain CTEs are MATERIALIZED (the
-      // iterative-oracle rule — re-referenced CTEs otherwise inline
-      // exponentially).
+      // PQ: four independent per-subspace k-means chains
+      // (Fragments.pqChainsSql — the kmeansAfCte discipline transplanted
+      // to squared L2 over 16-dim slices); ADC ranks by summed
+      // query→codeword distances (Fragments.pqAdcTopkCtes), SDC by
+      // summed codeword-pair distances; both scored against exact L2
+      // brute truth.
       "q252_pq_recall" -> {
-        val nSub = 4; val nCode = 8; val subDim = 16
-        def l2d(e: String, c: String) =
-          s"list_sum(list_transform(range(1, ${subDim + 1}), i -> " +
-            s"($e.sv[i] - $c.cv[i]) * ($e.sv[i] - $c.cv[i])))"
-        def assignCte(s: Int, cents: String, out: String) =
-          s"""$out AS MATERIALIZED (
-             |  SELECT vec_id, sv, code FROM (
-             |    SELECT e.vec_id, e.sv, c.code,
-             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-             |        floor(${l2d("e", "c")} * 1000000000) ASC,
-             |        c.code ASC) AS rn
-             |    FROM e$s e CROSS JOIN $cents c) WHERE rn = 1)"""
-            .stripMargin
-        def updateCte(asg: String, prev: String, out: String) =
-          s"""${out}m AS MATERIALIZED (
-             |  SELECT code, p.pos AS pos,
-             |    CAST(SUM(CAST(a.sv[p.pos] AS DECIMAL(27,10))) AS DOUBLE)
-             |      / COUNT(*) AS m
-             |  FROM $asg a CROSS JOIN range(1, ${subDim + 1}) AS p(pos)
-             |  GROUP BY code, p.pos),
-             |${out}l AS (
-             |  SELECT code,
-             |    list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS cv
-             |  FROM ${out}m GROUP BY code),
-             |$out AS MATERIALIZED (
-             |  SELECT p.code, COALESCE(l.cv, p.cv) AS cv
-             |  FROM $prev p LEFT JOIN ${out}l l ON l.code = p.code)"""
-            .stripMargin
-        def chain(s: Int) =
-          s"""e$s AS MATERIALIZED (
-             |  SELECT vec_id, list_slice(v, ${s * subDim + 1},
-             |    ${s * subDim + subDim}) AS sv FROM e),
-             |c0_$s AS MATERIALIZED (
-             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
-             |    sv AS cv
-             |  FROM (SELECT vec_id, sv FROM e$s ORDER BY vec_id
-             |        LIMIT $nCode)),
-             |${assignCte(s, s"c0_$s", s"a1_$s")},
-             |${updateCte(s"a1_$s", s"c0_$s", s"c1_$s")},
-             |${assignCte(s, s"c1_$s", s"a2_$s")},
-             |${updateCte(s"a2_$s", s"c1_$s", s"c2_$s")},
-             |${assignCte(s, s"c2_$s", s"af_$s")},
-             |qd_$s AS MATERIALIZED (
-             |  SELECT e.vec_id AS q_id, c.code, ${l2d("e", "c")} AS d
-             |  FROM e$s e CROSS JOIN c2_$s c WHERE e.vec_id < 10),
-             |cc_$s AS MATERIALIZED (
-             |  SELECT a.code AS ka, b.code AS kb,
-             |    list_sum(list_transform(range(1, ${subDim + 1}),
-             |      i -> (a.cv[i] - b.cv[i]) * (a.cv[i] - b.cv[i]))) AS d
-             |  FROM c2_$s a CROSS JOIN c2_$s b)""".stripMargin
-        val chains = (0 until nSub).map(chain).mkString(",\n")
-        val codeJoin = (1 until nSub)
-          .map(s => s"JOIN af_$s ON af_$s.vec_id = af_0.vec_id")
-          .mkString("\n  ")
-        val codeCols = (0 until nSub)
-          .map(s => s"af_$s.code AS k$s").mkString(", ")
-        val adcJoins = (0 until nSub).map(s =>
-          s"JOIN qd_$s qd$s ON qd$s.code = kc.k$s" +
-            (if (s == 0) "" else " AND qd$s.q_id = qd0.q_id"
-              .replace("$s", s.toString))).mkString("\n  ")
-        val adcSum = (0 until nSub).map(s => s"qd$s.d").mkString(" + ")
+        val nSub = 4
         val sdcJoins = (0 until nSub).map(s =>
-          s"JOIN cc_$s cc$s ON cc$s.ka = qk.k$s AND cc$s.kb = kc.k$s")
+          s"JOIN pcc_$s cc$s ON cc$s.ka = qk.k$s AND cc$s.kb = kc.k$s")
           .mkString("\n  ")
         val sdcSum = (0 until nSub).map(s => s"cc$s.d").mkString(" + ")
-        s"""WITH e AS MATERIALIZED (
-           |  SELECT vec_id,
-           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           |  FROM embeddings),
-           |$chains,
-           |codes AS MATERIALIZED (
-           |  SELECT af_0.vec_id, $codeCols
-           |  FROM af_0
-           |  $codeJoin),
-           |adc AS (
-           |  SELECT qd0.q_id, kc.vec_id AS c_id,
-           |    floor(($adcSum) * 1000000000) AS dk
-           |  FROM codes kc
-           |  $adcJoins
-           |  WHERE qd0.q_id <> kc.vec_id),
-           |adck AS (SELECT q_id, c_id FROM (
-           |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
-           |    ORDER BY dk ASC, c_id ASC) AS rk FROM adc) WHERE rk <= 5),
-           |qcodes AS (SELECT * FROM codes WHERE vec_id < 10),
+        s"""WITH $pqEmbCte,
+           |${pqChainsSql(4, 8, 16, 2, sdc = true)},
+           |${pqAdcTopkCtes(4)},
+           |qcodes AS (SELECT * FROM pcodes WHERE vec_id < 10),
            |sdc AS (
            |  SELECT qk.vec_id AS q_id, kc.vec_id AS c_id,
            |    floor(($sdcSum) * 1000000000) AS dk
            |  FROM qcodes qk
-           |  JOIN codes kc ON qk.vec_id <> kc.vec_id
+           |  JOIN pcodes kc ON qk.vec_id <> kc.vec_id
            |  $sdcJoins),
            |sdck AS (SELECT q_id, c_id FROM (
            |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
            |    ORDER BY dk ASC, c_id ASC) AS rk FROM sdc) WHERE rk <= 5),
-           |tr AS MATERIALIZED (SELECT q_id, c_id FROM (
-           |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-           |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-           |      floor(list_sum(list_transform(range(1, 65),
-           |        i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])))
-           |        * 1000000000) ASC,
-           |      c.vec_id ASC) AS rk
-           |  FROM e q JOIN e c
-           |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id) WHERE rk <= 5),
+           |${pqL2TruthCte(64)},
            |nt AS (SELECT COUNT(*) AS n_truth FROM tr),
            |stats AS (
            |  SELECT 'pq_adc' AS method, COUNT(*) AS n_approx,
@@ -949,6 +912,109 @@ private[graft] object Reg6MonitorAnn {
            |  4 AS code_bytes, 256 AS raw_bytes
            |FROM stats CROSS JOIN nt ORDER BY method""".stripMargin
       },
+
+      // IVF-ADC: the q252 PQ chains composed with the q229 multi-probe
+      // policy (own label cell at pmin=1, centroid-cosine-ranked cells
+      // at pmin=max(rank,2), min-wins dedup) — ADC distance summed from
+      // the per-subspace query→codeword tables, ranked per probe count,
+      // hits vs exact-L2 brute truth, every p zero-filled
+      "q254_ivf_adc" -> {
+        val adcJoins = (0 until 4).map(s =>
+          s"JOIN pqd_$s qd$s ON qd$s.q_id = p.q_id" +
+            s" AND qd$s.code = kc.k$s").mkString("\n  ")
+        val adcSum = (0 until 4).map(s => s"qd$s.d").mkString(" + ")
+        s"""WITH $pqEmbCte,
+           |${pqChainsSql(4, 8, 16, 2)},
+           |cl AS (SELECT e.vec_id AS c_id, em.label AS cell
+           |  FROM e JOIN embeddings em ON em.vec_id = e.vec_id),
+           |cv AS (SELECT cl.cell, e.v
+           |  FROM cl JOIN e ON e.vec_id = cl.c_id),
+           |cm AS (SELECT cell, d.pos AS pos,
+           |    CAST(SUM(CAST(v[d.pos] AS DECIMAL(27,10))) AS DOUBLE)
+           |      / COUNT(*) AS m
+           |  FROM cv CROSS JOIN range(1, 65) AS d(pos)
+           |  GROUP BY cell, d.pos),
+           |cent AS (SELECT cell,
+           |    list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS ce
+           |  FROM cm GROUP BY cell),
+           |centn AS (SELECT cell, ce,
+           |    sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn
+           |  FROM cent),
+           |qn AS (SELECT e.vec_id AS q_id, em.label AS owncell, e.v AS qv,
+           |    sqrt(list_sum(list_transform(e.v, x -> x * x))) AS qnorm
+           |  FROM e JOIN embeddings em ON em.vec_id = e.vec_id
+           |  WHERE e.vec_id < 10),
+           |centp AS (SELECT q_id, cell, GREATEST(pr, 2) AS pmin FROM (
+           |  SELECT n.q_id, t.cell,
+           |    row_number() OVER (PARTITION BY n.q_id ORDER BY
+           |      ${Num.floorAtSql(
+             "list_sum(list_transform(range(1, 65)," +
+               " i -> n.qv[i] * t.ce[i])) / (n.qnorm * t.cn)", 9)} DESC,
+           |      t.cell ASC) AS pr
+           |  FROM qn n CROSS JOIN centn t) WHERE pr <= 3),
+           |ownp AS (SELECT q_id, owncell AS cell, 1 AS pmin FROM qn),
+           |probe AS (SELECT q_id, cell, MIN(pmin) AS pmin
+           |  FROM (SELECT * FROM ownp UNION ALL SELECT * FROM centp)
+           |  GROUP BY q_id, cell),
+           |adcp AS (SELECT p.q_id, kc.vec_id AS c_id, p.pmin,
+           |    floor(($adcSum) * 1000000000) AS dk
+           |  FROM pcodes kc
+           |  JOIN cl ON cl.c_id = kc.vec_id
+           |  JOIN probe p ON p.cell = cl.cell
+           |  $adcJoins
+           |  WHERE p.q_id <> kc.vec_id),
+           |perp AS (SELECT pp.p, s.q_id, s.c_id,
+           |    row_number() OVER (PARTITION BY pp.p, s.q_id
+           |      ORDER BY s.dk ASC, s.c_id ASC) AS rk
+           |  FROM (VALUES (1), (2), (3)) pp(p)
+           |  JOIN adcp s ON s.pmin <= pp.p),
+           |tk AS (SELECT p, q_id, c_id FROM perp WHERE rk <= 5),
+           |${pqL2TruthCte(64)},
+           |nt AS (SELECT COUNT(*) AS n_truth FROM tr),
+           |stats AS (SELECT t.p, COUNT(*) AS n_approx,
+           |    COUNT(b.q_id) AS n_hits
+           |  FROM tk t LEFT JOIN tr b
+           |    ON b.q_id = t.q_id AND b.c_id = t.c_id
+           |  GROUP BY t.p)
+           |SELECT CAST(pp.p AS INTEGER) AS probes, n_truth,
+           |  COALESCE(n_approx, 0) AS n_approx,
+           |  COALESCE(n_hits, 0) AS n_hits,
+           |  CASE WHEN n_truth = 0 THEN 1.0
+           |       ELSE ${Num.floorAtSql(
+             "CAST(COALESCE(n_hits, 0) AS DOUBLE) / n_truth", 4)}
+           |  END AS recall
+           |FROM (VALUES (1), (2), (3)) pp(p)
+           |LEFT JOIN stats ON stats.p = pp.p
+           |CROSS JOIN nt ORDER BY probes""".stripMargin
+      },
+
+      // PQ knob sweep: two independent chain parameterizations share
+      // one WITH clause via tags — m=4/k=8/iters=0 (tag b) and
+      // m=8/k=16/iters=2 (tag a) — each ADC-ranked and scored against
+      // the one exact-L2 truth
+      "q255_pq_knobs" ->
+        s"""WITH $pqEmbCte,
+           |${pqChainsSql(4, 8, 16, 0, tag = "b")},
+           |${pqChainsSql(8, 16, 8, 2, tag = "a")},
+           |${pqAdcTopkCtes(4, tag = "b")},
+           |${pqAdcTopkCtes(8, tag = "a")},
+           |${pqL2TruthCte(64)},
+           |nt AS (SELECT COUNT(*) AS n_truth FROM tr),
+           |stats AS (
+           |  SELECT 'adc_m4k8_i0' AS method, 4 AS code_bytes,
+           |    COUNT(*) AS n_approx, COUNT(b.q_id) AS n_hits
+           |  FROM adckb a LEFT JOIN tr b
+           |    ON b.q_id = a.q_id AND b.c_id = a.c_id
+           |  UNION ALL
+           |  SELECT 'adc_m8k16_i2', 8, COUNT(*), COUNT(b.q_id)
+           |  FROM adcka a LEFT JOIN tr b
+           |    ON b.q_id = a.q_id AND b.c_id = a.c_id)
+           |SELECT method, n_truth, n_approx, n_hits,
+           |  CASE WHEN n_truth = 0 THEN 1.0
+           |       ELSE ${Num.floorAtSql(
+             "CAST(n_hits AS DOUBLE) / n_truth", 4)} END AS recall,
+           |  code_bytes, 256 AS raw_bytes
+           |FROM stats CROSS JOIN nt ORDER BY method""".stripMargin,
 
       // the q15 surrogate-dim chain + the batch twin of the enriched
       // complete-mode aggregate the stream accumulates
@@ -1218,12 +1284,13 @@ private[graft] object Reg6MonitorAnn {
            |tt AS (SELECT CAST(SUM(n_pairs) AS DECIMAL(38,0)) AS total_pairs,
            |    COUNT(*) AS n_keys FROM j)
            |SELECT user_id, n_left, n_right,
-           |  CAST(n_pairs AS DECIMAL(38,0)) AS n_pairs, total_pairs, n_keys,
+           |  CAST(CAST(n_pairs AS DECIMAL(38,0)) AS VARCHAR) AS n_pairs,
+           |  CAST(total_pairs AS VARCHAR) AS total_pairs, n_keys,
            |  ${Num.floorAtSql(
              "CAST(n_pairs AS DOUBLE) / CAST(total_pairs AS DOUBLE)", 6)}
            |    AS share
            |FROM j CROSS JOIN tt
-           |ORDER BY n_pairs DESC, user_id LIMIT 10""".stripMargin,
+           |ORDER BY j.n_pairs DESC, user_id LIMIT 10""".stripMargin,
 
 
       // one grouped distinct-count per candidate FD, unioned

@@ -528,8 +528,8 @@ object StreamOps {
     // the write once per JVM (each streaming run still re-reads the
     // files from scratch: a fresh query has a fresh file-source log)
     stageMemo.computeIfAbsent(s"$sfDir#$nFiles", _ => {
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft-stream-stage").toString
+      val stage = graft.TempDirs.register(java.nio.file.Files
+        .createTempDirectory("graft-stream-stage").toString)
       graft.Tables.load(spark, sfDir, "events")
         .repartition(nFiles)
         .write.mode("overwrite").parquet(stage)
@@ -606,8 +606,8 @@ object StreamOps {
   def stageEventsOrdered(spark: SparkSession, sfDir: String, nFiles: Int,
                          sentinels: Int): String =
     stageMemo.computeIfAbsent(s"$sfDir#$nFiles#ordered#$sentinels", _ => {
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft-stream-stage-ord").toString
+      val stage = graft.TempDirs.register(java.nio.file.Files
+        .createTempDirectory("graft-stream-stage-ord").toString)
       val ev = graft.Tables.load(spark, sfDir, "events")
       ev.repartitionByRange(nFiles, col("ts"))
         .write.mode("overwrite").parquet(stage)
@@ -631,8 +631,8 @@ object StreamOps {
           .withColumn("user_id", lit(-1L))
           .withColumn("ts",
             timestamp_seconds(lit(maxTs + i * 365L * 86400L)))
-        val sdir = java.nio.file.Files
-          .createTempDirectory("graft-stream-sent").toString
+        val sdir = graft.TempDirs.register(java.nio.file.Files
+          .createTempDirectory("graft-stream-sent").toString)
         sent.coalesce(1).write.mode("overwrite").parquet(sdir)
         val sf = new java.io.File(sdir).listFiles()
           .filter(_.getName.endsWith(".parquet")).head
@@ -698,8 +698,8 @@ object StreamOps {
   def stageEventsDuplicated(spark: SparkSession, sfDir: String,
                             nFiles: Int): String =
     stageMemo.computeIfAbsent(s"$sfDir#$nFiles#dup", _ => {
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft-stream-stage-dup").toString
+      val stage = graft.TempDirs.register(java.nio.file.Files
+        .createTempDirectory("graft-stream-stage-dup").toString)
       graft.Tables.load(spark, sfDir, "events")
         .repartition(nFiles)
         .write.mode("overwrite").parquet(stage)
@@ -730,10 +730,10 @@ object StreamOps {
     val stage = stageEventsDuplicated(spark, sfDir, nFiles)
     val ns = spark.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    val target = java.nio.file.Files
-      .createTempDirectory("graft-upsert-target").toString + "/t"
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-upsert-ckpt").toString
+    val target = graft.TempDirs.register(java.nio.file.Files
+      .createTempDirectory("graft-upsert-target").toString) + "/t"
+    val ckpt = graft.TempDirs.register(java.nio.file.Files
+      .createTempDirectory("graft-upsert-ckpt").toString)
     val q = upsertIgnoreSink(eventsStream(ns, stage), keys, target, ckpt)
     try q.processAllAvailable() finally q.stop()
     ns.read.parquet(target)
@@ -744,8 +744,8 @@ object StreamOps {
     */
   def stageDocs(spark: SparkSession, sfDir: String, nFiles: Int): String =
     stageMemo.computeIfAbsent(s"$sfDir#$nFiles#docs", _ => {
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft-stream-stage-docs").toString
+      val stage = graft.TempDirs.register(java.nio.file.Files
+        .createTempDirectory("graft-stream-stage-docs").toString)
       graft.Tables.load(spark, sfDir, "documents")
         .select("doc_id", "text")
         .repartition(nFiles)
@@ -768,10 +768,10 @@ object StreamOps {
     val stage = stageDocs(spark, sfDir, nFiles)
     val ns = spark.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    val store = java.nio.file.Files
-      .createTempDirectory("graft-ccstore").toString
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-ccstore-ck").toString
+    val store = graft.TempDirs.register(java.nio.file.Files
+      .createTempDirectory("graft-ccstore").toString)
+    val ckpt = graft.TempDirs.register(java.nio.file.Files
+      .createTempDirectory("graft-ccstore-ck").toString)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),
