@@ -1091,4 +1091,52 @@ object Agg {
         (col("__mxgt").isNull || col(yCol) > col("__mxgt")))
       .drop("__ymax", "__mxgt")
   }
+
+  /** [[skyline]]'s LARGE-DOMAIN path: the same prefix-max dominance
+    * logic run as range-bucketed local skylines first, then the global
+    * pass over the local SURVIVORS only — the plan its scaladoc
+    * prescribes for an x domain too large to sort on one task. The x
+    * domain is value-range bucketed into `ranges` buckets (one tiny
+    * min/max broadcast — deterministic, no sampled boundaries), the
+    * per-bucket prefix-max windows run in parallel (each sorts only its
+    * bucket's slice of the domain), and the single-task global window
+    * sees only per-bucket survivors.
+    *
+    * Two-level ≡ one-level by construction: a locally dominated x is
+    * dominated outright (its dominator has strictly larger x), and each
+    * bucket's maximum __ymax always survives locally (no strictly
+    * larger x in the bucket exceeds it), so the survivor frame's global
+    * prefix-max equals the full domain's prefix-max at every surviving
+    * x. q256 binds this engine to q253's oracle string — one oracle,
+    * two skyline engines — and AggSpec pins two-level ≡ one-level on
+    * tie-heavy fixtures. `x` must be non-null (it is the bucketing and
+    * ordering key in both engines).
+    */
+  def skylineTwoLevel(df: DataFrame, xCol: String, yCol: String,
+                      ranges: Int = 32): DataFrame = {
+    require(ranges >= 1, s"need ranges >= 1, got $ranges")
+    val mm = df.agg(min(col(xCol)).cast("double").as("__mn"),
+      max(col(xCol)).cast("double").as("__mx"))
+    val perx = df.groupBy(col(xCol)).agg(max(col(yCol)).as("__ymax"))
+      .crossJoin(broadcast(mm))
+      // +1 keeps the divisor positive on a single-value domain; least
+      // clamps the max-x row into the top bucket
+      .withColumn("__b", least(lit(ranges - 1),
+        floor((col(xCol).cast("double") - col("__mn")) * ranges /
+          (col("__mx") - col("__mn") + lit(1.0))).cast("int")))
+      .drop("__mn", "__mx")
+    val wl = Window.partitionBy(col("__b")).orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = perx
+      .withColumn("__lgt", max(col("__ymax")).over(wl))
+      .where(col("__lgt").isNull || col("__ymax") > col("__lgt"))
+      .drop("__lgt", "__b")
+    val wg = Window.orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gt = local.withColumn("__mxgt", max(col("__ymax")).over(wg))
+    df.join(gt, Seq(xCol))
+      .where(col(yCol) === col("__ymax") &&
+        (col("__mxgt").isNull || col(yCol) > col("__mxgt")))
+      .drop("__ymax", "__mxgt")
+  }
 }

@@ -145,6 +145,138 @@ object Bpe {
       .orderBy("merge_rank")
   }
 
+  /** [[train]]'s IN-MEMORY dictionary trainer — the real-vocabulary
+    * (32k-merge) path, and the shape of Sennrich's reference
+    * implementation: the corpus-scale pass is still the ONE distributed
+    * dictionary aggregation, but the dictionary itself (heavy-tailed:
+    * ~10^6-10^7 distinct words even at 100 TB — hundreds of MB) then
+    * collects to a single process where each merge costs an in-memory
+    * pair-stats update instead of a full Spark job. The per-merge-JOB
+    * trainer above is the oracle-replayable engine, but its ceiling is
+    * driver latency: one collect-argmax job per merge ≈ 0.1-0.2 s of
+    * scheduling at ANY data size, so a 32k-merge vocabulary means
+    * 32k sequential jobs ≈ an hour of pure coordination. Here 32k
+    * merges are seconds-to-minutes of local work.
+    *
+    * Exactness contract (Round11OpsSpec pins trainLocal ≡ train on the
+    * fixture): identical dictionary, identical overlap-counting pair
+    * statistics (consecutive symbol zip), identical left-to-right
+    * non-overlapping merge application, identical tie-break (count
+    * desc, then (left, right) ascending in UTF-8 BYTE order — Spark's
+    * string ordering; Scala's UTF-16 order differs above U+FFFF).
+    * Stats update per merge touches only the words CONTAINING the
+    * winning pair (postings are stale-tolerant); the argmax is a full
+    * stats scan per merge — the standard lazy-heap optimization applies
+    * at real vocabulary scale and changes nothing semantically.
+    */
+  def trainLocal(docs: DataFrame, textCol: String, merges: Int)
+      : DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dict = dictionary(docs, textCol)
+      .select(col("word"), col("f")).as[(String, Long)].collect()
+    localMerges(dict, merges)
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  /** UTF-8 byte-wise "less than" — Spark's binary string ordering. */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  private[ops] def localMerges(dict: Array[(String, Long)],
+                               merges: Int): Seq[Merge] = {
+    // regexp "(.)" brackets one CODE POINT per symbol — mirror it
+    val words: Array[Array[String]] = dict.map { case (w, _) =>
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.result()
+    }
+    val freqs: Array[Long] = dict.map(_._2)
+    val stats = new java.util.HashMap[(String, String), Long]()
+    val where =
+      new java.util.HashMap[(String, String), java.util.HashSet[Integer]]()
+    def addPairs(w: Int, sign: Long): Unit = {
+      val syms = words(w); val f = freqs(w) * sign
+      var i = 0
+      while (i + 1 < syms.length) {
+        val p = (syms(i), syms(i + 1))
+        val nv = stats.getOrDefault(p, 0L) + f
+        if (nv == 0L) stats.remove(p) else stats.put(p, nv)
+        if (sign > 0)
+          where.computeIfAbsent(p,
+            _ => new java.util.HashSet[Integer]()).add(w)
+        i += 1
+      }
+    }
+    var w = 0
+    while (w < words.length) { addPairs(w, 1L); w += 1 }
+    val out = Seq.newBuilder[Merge]
+    var rank = 1
+    var done = false
+    while (rank <= merges && !done) {
+      var best: (String, String) = null
+      var bc = 0L
+      val it = stats.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next(); val p = e.getKey; val c = e.getValue
+        if (best == null || c > bc ||
+            (c == bc && (utf8Lt(p._1, best._1) ||
+              (p._1 == best._1 && utf8Lt(p._2, best._2))))) {
+          best = p; bc = c
+        }
+      }
+      if (best == null) done = true // every word fully merged
+      else {
+        out += Merge(rank, best._1, best._2, bc)
+        val merged = best._1 + best._2
+        val posts = where.remove(best)
+        if (posts != null) {
+          val pit = posts.iterator()
+          while (pit.hasNext) {
+            val wi = pit.next().intValue()
+            val syms = words(wi)
+            var contains = false
+            var i = 0
+            while (!contains && i + 1 < syms.length) {
+              if (syms(i) == best._1 && syms(i + 1) == best._2)
+                contains = true
+              i += 1
+            }
+            if (contains) { // postings may be stale — re-check, then
+              addPairs(wi, -1L) // exact-recount this word's pairs
+              val nb = Array.newBuilder[String]
+              var j = 0
+              while (j < syms.length) {
+                if (j + 1 < syms.length && syms(j) == best._1 &&
+                    syms(j + 1) == best._2) {
+                  nb += merged; j += 2 // left-to-right, non-overlapping
+                } else { nb += syms(j); j += 1 }
+              }
+              words(wi) = nb.result()
+              addPairs(wi, 1L)
+            }
+          }
+        }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
   /** The encoder surface: per-document subword token accounting under
     * the vocabulary learned by `merges` BPE iterations —
     * (id, n_words, n_chars, n_bpe_tokens). The corpus joins the merged

@@ -467,6 +467,21 @@ private[graft] object Reg4GraphStats {
               dsum(col("value")).as("total_value")),
           "n_events", "total_value")
         .select("user_id", "n_events", "total_value")
+        .orderBy("user_id")),
+
+    // analytics — the skyline's LARGE-DOMAIN engine
+    // (Agg.skylineTwoLevel scaladoc): range-bucketed local skylines,
+    // global pass over local survivors only — bound to the SAME oracle
+    // string as q253 (one oracle, two skyline engines), so the driver
+    // gate proves two-level ≡ one-level ≡ the quadratic NOT-EXISTS
+    // formulation on every run.
+    "q256_skyline_ranged" -> ((s, dir) =>
+      Agg.skylineTwoLevel(
+          t(s, dir, "events").groupBy("user_id")
+            .agg(count(lit(1)).as("n_events"),
+              dsum(col("value")).as("total_value")),
+          "n_events", "total_value", ranges = 8)
+        .select("user_id", "n_events", "total_value")
         .orderBy("user_id"))
   )
 
@@ -1206,17 +1221,23 @@ private[graft] object Reg4GraphStats {
 
       // textbook dominance formulation; the engine's prefix-max answer
       // must equal it exactly (ties: equal points are NOT dominated)
-      "q253_skyline" ->
-        """WITH ua AS (SELECT user_id, COUNT(*) AS n_events,
-          |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-          |      AS total_value
-          |  FROM events GROUP BY 1)
-          |SELECT user_id, n_events, total_value FROM ua a
-          |WHERE NOT EXISTS (SELECT 1 FROM ua b
-          |  WHERE b.n_events >= a.n_events
-          |    AND b.total_value >= a.total_value
-          |    AND (b.n_events > a.n_events
-          |         OR b.total_value > a.total_value))
-          |ORDER BY user_id""".stripMargin
+      "q253_skyline" -> skylineOracleSql,
+
+      // the two-level engine answers to the IDENTICAL oracle string —
+      // binding both to one string makes divergence impossible
+      "q256_skyline_ranged" -> skylineOracleSql
   )
+
+  private val skylineOracleSql: String =
+    """WITH ua AS (SELECT user_id, COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |      AS total_value
+      |  FROM events GROUP BY 1)
+      |SELECT user_id, n_events, total_value FROM ua a
+      |WHERE NOT EXISTS (SELECT 1 FROM ua b
+      |  WHERE b.n_events >= a.n_events
+      |    AND b.total_value >= a.total_value
+      |    AND (b.n_events > a.n_events
+      |         OR b.total_value > a.total_value))
+      |ORDER BY user_id""".stripMargin
 }

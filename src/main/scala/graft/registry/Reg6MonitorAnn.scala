@@ -441,7 +441,7 @@ private[graft] object Reg6MonitorAnn {
 
     // streaming — the tumbling-counts STREAMING engine, oracle-gated
     // (StreamOps.runToCompleteTable scaladoc): the events fixture is
-    // staged as 4 files and replayed as 4 micro-batches
+    // staged as 3 files and replayed as 3 micro-batches
     // (maxFilesPerTrigger = 1), the windowed aggregation accumulates
     // across the batch boundaries in complete mode, and the FINAL
     // streaming state — not a batch recomputation — is compared to
@@ -449,13 +449,13 @@ private[graft] object Reg6MonitorAnn {
     // "spec'd, no oracle by nature" to oracle-checked: stream ≡ batch
     // is now a driver-gated hash equality.
     "q235_stream_tumbling" -> ((s, dir) =>
-      graft.streaming.StreamOps.runBoundedGate(s, dir, 4, 4)(in =>
+      graft.streaming.StreamOps.runBoundedGate(s, dir, 3, 2)(in =>
           graft.streaming.StreamOps.windowedCounts(
             in, "3600 seconds", "3600 seconds"))
         .orderBy("window_start", "event_type")),
 
     // streaming — gap sessions via the streaming session_window engine,
-    // complete mode, same 4-micro-batch arrival; sessions that SPAN a
+    // complete mode, same 3-micro-batch arrival; sessions that SPAN a
     // micro-batch boundary must merge in state to match q67's batch
     // oracle — the exact semantics a one-batch run would not exercise.
     // The lateness tolerance is effectively unbounded here ON PURPOSE:
@@ -466,7 +466,7 @@ private[graft] object Reg6MonitorAnn {
     // different inputs, not different engines. Production deployments
     // bound lateness; a bounded REPLAY that must equal batch cannot.
     "q236_stream_sessions" -> ((s, dir) =>
-      graft.streaming.StreamOps.runBoundedGate(s, dir, 4, 4)(in =>
+      graft.streaming.StreamOps.runBoundedGate(s, dir, 3, 2)(in =>
           graft.streaming.StreamOps.sessionCounts(
             in, "1800 seconds", watermark = "36500 days"))
         .orderBy("user_id", "session_start")),
@@ -480,6 +480,15 @@ private[graft] object Reg6MonitorAnn {
       graft.ops.Bpe.train(t(s, dir, "documents"), "text", merges = 12,
         cacheKey = Some(dir))),
 
+    // text — the IN-MEMORY dictionary BPE trainer (Bpe.trainLocal
+    // scaladoc): the 32k-merge path — one distributed dictionary
+    // aggregation, then every merge an in-memory pair-stats update
+    // instead of a Spark job. Bound to the SAME oracle string as q237:
+    // one oracle, two trainers, divergence impossible.
+    "q257_bpe_train_local" -> ((s, dir) =>
+      graft.ops.Bpe.trainLocal(t(s, dir, "documents"), "text",
+        merges = 12)),
+
     // text — BPE encoder: per-document subword token accounting under
     // the 12-merge vocabulary; the corpus joins the merged dictionary
     // by BROADCAST (vocab MBs vs corpus TBs), no merge re-runs per
@@ -490,7 +499,7 @@ private[graft] object Reg6MonitorAnn {
 
     // streaming — the dedup engine oracle-gated: exact distinct over a
     // key projection via dropDuplicatesWithinWatermark, append mode,
-    // same 4-micro-batch arrival. Projecting to the key columns BEFORE
+    // same 3-micro-batch arrival. Projecting to the key columns BEFORE
     // dedup makes the winner row == the key itself, so arrival order
     // (nondeterministic within a batch) cannot leak into the output;
     // the unbounded lateness declaration makes the bounded replay an
@@ -498,7 +507,7 @@ private[graft] object Reg6MonitorAnn {
     // oracle computes. Cross-batch duplicates are the point: a key seen
     // in batch 1 must suppress its batch-3 twin from STATE.
     "q239_stream_dedup" -> ((s, dir) =>
-      graft.streaming.StreamOps.runBoundedGateAppend(s, dir, 4, 4)(in =>
+      graft.streaming.StreamOps.runBoundedGateAppend(s, dir, 3, 2)(in =>
           graft.streaming.StreamOps.streamingDedup(
             in.select("ts", "user_id", "event_type"),
             Seq("user_id", "event_type"), watermark = "36500 days")
@@ -516,7 +525,7 @@ private[graft] object Reg6MonitorAnn {
     // oracle's MAX(es)+gap form here, not in the engine — the engine
     // emits last-event time, the production-truthful shape.
     "q240_stream_stateful_sessions" -> ((s, dir) =>
-      graft.streaming.StreamOps.runOrderedGateAppend(s, dir, 4, 4)(in =>
+      graft.streaming.StreamOps.runOrderedGateAppend(s, dir, 3, 2)(in =>
           graft.streaming.StreamOps.statefulSessionizeWatermarked(
             in, gapSeconds = 1800L, watermark = "30 minutes").toDF)
         .where(col("user_id") >= 0)
@@ -532,7 +541,7 @@ private[graft] object Reg6MonitorAnn {
     // cross-batch pair must match from RETAINED state to reproduce the
     // batch self-join bit-for-bit.
     "q241_stream_join" -> ((s, dir) =>
-      graft.streaming.StreamOps.runBoundedGateAppend2(s, dir, 4, 4)(
+      graft.streaming.StreamOps.runBoundedGateAppend2(s, dir, 3, 2)(
           (l, r) => graft.streaming.StreamOps.streamStreamJoin(
             l, r, windowSeconds = 900, watermark = "36500 days"))
         .orderBy("user_id", "l_id", "r_id")),
@@ -551,7 +560,7 @@ private[graft] object Reg6MonitorAnn {
     // tail nulls forever — measured as exactly the last-2700s
     // purchases missing.
     "q242_stream_left_join" -> ((s, dir) =>
-      graft.streaming.StreamOps.runOrderedGateAppend2(s, dir, 4, 4)(
+      graft.streaming.StreamOps.runOrderedGateAppend2(s, dir, 3, 2)(
           (l, r) => graft.streaming.StreamOps.streamStreamLeftJoin(
             l.where(col("event_type") === "purchase"),
             r.where(col("event_type") === "click"),
@@ -576,20 +585,20 @@ private[graft] object Reg6MonitorAnn {
     // once append contract of the reference's INSERT IGNORE fact load,
     // driven through the real streaming write path.
     "q243_stream_upsert_sink" -> ((s, dir) =>
-      graft.streaming.StreamOps.runUpsertSinkGate(s, dir, 4, 4)
+      graft.streaming.StreamOps.runUpsertSinkGate(s, dir, 3, 2)
         .select(col("event_id"), unix_timestamp(col("ts")).as("es"),
           col("user_id"), col("event_type"), col("value"), col("props"))
         .orderBy("event_id")),
 
     // streaming — the incremental-CC STORE oracle-gated: the documents
-    // fixture replayed as 4 micro-batches straight through the
+    // fixture replayed as 3 micro-batches straight through the
     // versioned fold (delta pairs + contracted CC per batch, no
     // admission filter), final committed labels bound to the SAME
     // oracle string as q128/q130/q140 — one oracle, FOUR connected-
     // components engines (fixpoint, big-star, incremental batch,
     // streaming store).
     "q245_stream_cc_store" -> ((s, dir) =>
-      graft.streaming.StreamOps.runCCStoreGate(s, dir, 4, 4)
+      graft.streaming.StreamOps.runCCStoreGate(s, dir, 3, 2)
         .orderBy("doc_id")),
 
     // text — tokenizer fertility by language (Bpe.fertilityByGroup
@@ -605,7 +614,7 @@ private[graft] object Reg6MonitorAnn {
     // padded (each side's state against the OTHER side's watermark).
     // Same ordered staging + per-type sentinels as q242.
     "q248_stream_full_join" -> ((s, dir) =>
-      graft.streaming.StreamOps.runOrderedGateAppend2(s, dir, 4, 4)(
+      graft.streaming.StreamOps.runOrderedGateAppend2(s, dir, 3, 2)(
           (l, r) => graft.streaming.StreamOps.streamStreamFullOuterJoin(
             l.where(col("event_type") === "purchase"),
             r.where(col("event_type") === "click"),
@@ -614,14 +623,14 @@ private[graft] object Reg6MonitorAnn {
         .orderBy("user_id", "l_id", "r_id")),
 
     // streaming — the stream-STATIC enrich engine under the same
-    // 4-micro-batch replay: each arriving batch broadcast-joins the
+    // 3-micro-batch replay: each arriving batch broadcast-joins the
     // surrogate-key dimension (Star.dim over the static fixture —
     // re-resolved per batch, the engine's refresh contract), then a
     // complete-mode aggregation accumulates per dim key. Gating the
     // aggregate OVER the join proves enriched-stream ≡ enriched-batch
     // across batch boundaries (q13/q14's star shape, streaming side).
     "q251_stream_static_enrich" -> ((s, dir) =>
-      graft.streaming.StreamOps.runBoundedGate(s, dir, 4, 4)(in => {
+      graft.streaming.StreamOps.runBoundedGate(s, dir, 3, 2)(in => {
           val dim = Star.dim(Tables.load(in.sparkSession, dir, "events"),
             "event_type", "type_id")
           graft.streaming.StreamOps.streamStaticEnrich(in, dim,
@@ -640,7 +649,7 @@ private[graft] object Reg6MonitorAnn {
     "q252_pq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 10)
-      val books = Sim.pqCodebooks(emb, m = 4, k = 8, iters = 2)
+      val books = Sim.pqCodebooksCached(emb, m = 4, k = 8, iters = 2, dir)
       val truth = Sim.topKL2(q, emb, 5).select(col("q_id"), col("c_id"))
         .withColumn("__hit", lit(true)).localCheckpoint()
       val nT = truth.agg(count(lit(1)).as("n_truth"))
@@ -673,7 +682,8 @@ private[graft] object Reg6MonitorAnn {
     "q254_ivf_adc" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Sim.ivfAdcRecallSweep(emb.where(col("vec_id") < 10), emb,
-          Sim.pqCodebooks(emb, m = 4, k = 8, iters = 2), 5, "label",
+          Sim.pqCodebooksCached(emb, m = 4, k = 8, iters = 2, dir),
+          5, "label",
           maxProbes = 3)
         .orderBy("probes")
     }),
@@ -705,10 +715,12 @@ private[graft] object Reg6MonitorAnn {
             lit(codeBytes).as("code_bytes"), lit(256).as("raw_bytes"))
       eval("adc_m4k8_i0",
           Sim.pqTopK(q, emb,
-            Sim.pqCodebooks(emb, m = 4, k = 8, iters = 0), 5), 4)
+            Sim.pqCodebooksCached(emb, m = 4, k = 8, iters = 0, dir),
+            5), 4)
         .unionByName(eval("adc_m8k16_i2",
           Sim.pqTopK(q, emb,
-            Sim.pqCodebooks(emb, m = 8, k = 16, iters = 2), 5), 8))
+            Sim.pqCodebooksCached(emb, m = 8, k = 16, iters = 2, dir),
+            5), 8))
         .orderBy("method")
     }),
 
@@ -752,6 +764,13 @@ private[graft] object Reg6MonitorAnn {
         .orderBy("lang")
     })
   )
+
+  private val bpeTrainOracleSql: String =
+    s"""WITH ${bpeChainSql(12)}
+       |SELECT merge_rank, left_sym, right_sym, pair_count FROM (
+       |  ${(1 to 12).map(i => s"SELECT * FROM m$i")
+            .mkString(" UNION ALL ")})
+       |ORDER BY merge_rank""".stripMargin
 
   def oracles: ListMap[String, String] = ListMap(
 
@@ -1112,12 +1131,10 @@ private[graft] object Reg6MonitorAnn {
       // the SAME string as q67/q236 — one oracle, three engines
       "q240_stream_stateful_sessions" -> sessionWindowSql,
 
-      "q237_bpe_train" ->
-        s"""WITH ${bpeChainSql(12)}
-           |SELECT merge_rank, left_sym, right_sym, pair_count FROM (
-           |  ${(1 to 12).map(i => s"SELECT * FROM m$i")
-                .mkString(" UNION ALL ")})
-           |ORDER BY merge_rank""".stripMargin,
+      "q237_bpe_train" -> bpeTrainOracleSql,
+
+      // the in-memory trainer answers to q237's IDENTICAL string
+      "q257_bpe_train_local" -> bpeTrainOracleSql,
 
       "q238_bpe_encode" ->
         s"""WITH ${bpeChainSql(12)},

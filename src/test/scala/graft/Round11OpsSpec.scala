@@ -58,6 +58,55 @@ class Round11OpsSpec extends SparkSpec {
       s"IVF-ADC found more hits (${rows.last._2}) than flat ADC ($flatHits)")
   }
 
+  test("trainLocal ≡ train (distributed per-merge jobs) on the fixture " +
+      "corpus and on adversarial overlap/tie shapes") {
+    import graft.ops.Bpe
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, String, String, Long)].collect().toSeq
+    assert(rows(Bpe.trainLocal(docs, "text", 12)) ===
+      rows(Bpe.train(docs, "text", 12)))
+    // overlap counting ("aaa" counts (a,a) twice, merges once,
+    // left-to-right) and count ties broken to the smallest pair
+    val adv = Seq((1L, "aaa aaa"), (2L, "zy zy"), (3L, "zy aaa"))
+      .toDF("doc_id", "text")
+    assert(rows(Bpe.trainLocal(adv, "text", 6)) ===
+      rows(Bpe.train(adv, "text", 6)))
+    // exhaustion: more merges requested than pairs exist
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    assert(rows(Bpe.trainLocal(tiny, "text", 10)) ===
+      rows(Bpe.train(tiny, "text", 10)))
+  }
+
+  test("skylineTwoLevel ≡ skyline on tie-heavy fixtures, at every " +
+      "ranges value including degenerate ones") {
+    import graft.ops.Agg
+    // duplicates of a frontier point, x-ties with different y, a
+    // dominated duplicate, a single-x-value corner
+    val pts = Seq(
+      (1L, 10L, 5.0), (2L, 10L, 5.0),   // frontier duplicates (both live)
+      (3L, 10L, 3.0),                   // x-tie, lower y (dominated)
+      (4L, 8L, 7.0), (5L, 8L, 7.0),     // another duplicated frontier
+      (6L, 8L, 6.0),
+      (7L, 12L, 1.0),                   // max x, low y (frontier)
+      (8L, 5L, 7.0),                    // same y as x=8 rows: dominated
+      (9L, 4L, 9.0)                     // low x, max y (frontier)
+    ).toDF("id", "x", "y")
+    val expected = Agg.skyline(pts, "x", "y")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(expected === Seq(1L, 2L, 4L, 5L, 7L, 9L))
+    for (r <- Seq(1, 2, 3, 8, 64)) {
+      val got = Agg.skylineTwoLevel(pts, "x", "y", ranges = r)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got === expected, s"ranges=$r diverged")
+    }
+    // single-x-value domain: divisor guard path
+    val one = Seq((1L, 3L, 1.0), (2L, 3L, 2.0), (3L, 3L, 2.0))
+      .toDF("id", "x", "y")
+    assert(Agg.skylineTwoLevel(one, "x", "y", ranges = 4)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+  }
+
   test("parallel-subspace pqCodebooks: iters=0 returns the k lowest-id " +
       "vectors' subvector slices verbatim") {
     val dir = "/root/testdata/sf0.001"
