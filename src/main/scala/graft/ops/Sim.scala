@@ -304,11 +304,18 @@ object Sim {
           .groupBy("q_id", "c_id")
           .agg(first(col("rel")).as("rel"), first(col("c_vec")).as("c_vec"),
             first(col("c_norm")).as("c_norm"), max(col("d")).as("div"))
+      // checkpoint each round's winner frame (n_queries rows): round
+      // i+1 references `selected` THREE times (anti-join, diversity
+      // join, union), so an unbroken lineage grows ~3^k — at k=5 the
+      // final plan carried ~80 copies of round 1 and analysis alone
+      // cost seconds (measured: q244 4.4 s -> ~1 s with the cut). The
+      // greedy result is identical; only the lineage is truncated.
       val winner = withDiv
         .withColumn("mmr", lam * col("rel") - om * col("div"))
         .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
         .select(col("q_id"), col("c_id"), lit(i).as("rk"), col("mmr"),
           col("c_vec").as("s_vec"), col("c_norm").as("s_norm"))
+        .localCheckpoint()
       selected =
         if (selected == null) winner else selected.unionByName(winner)
     }
@@ -1145,5 +1152,93 @@ object Sim {
         Num.floorAt(dist, 9).as("dist"))
     sweepRecall(queries.sparkSession,
       perProbeTopK(scored, col("dist").asc, k, maxProbes), truth, maxProbes)
+  }
+
+  /** IVF-ADC with EXACT re-ranking — the refinement stage of Jégou et
+    * al. 2011 §V ("IVFADC-R") and of every modern two-stage retriever:
+    * the ADC code scan over the probed cells keeps only a per-query
+    * shortlist of the R best candidates; ONLY those R rows' raw vectors
+    * are then fetched (an id-keyed join of R·|queries| rows — never a
+    * scan) and re-scored with exact L2; the final top-k comes from the
+    * re-ranked shortlist. R is the quality/cost knob: the exact side
+    * costs R distances per query regardless of corpus size, and recall
+    * climbs from the pure-ADC row toward the cell-bounded exact scan as
+    * R grows — one measured row per R in `rs`, all at the same fixed
+    * `probes`, against the same exact-L2 global truth as
+    * [[ivfAdcRecallSweep]] (the rows compose: q254 shows the probes
+    * axis at R = k implicit, this shows the R axis at fixed probes).
+    *
+    * Output: (rerank_r, n_truth, n_approx, n_hits, recall) — one row
+    * per R, zero-filled, recall floored 4 dp.
+    */
+  def ivfAdcRerankSweep(queries: DataFrame, candidates: DataFrame,
+                        books: IndexedSeq[IndexedSeq[Seq[Float]]], k: Int,
+                        cellCol: String, probes: Int, rs: Seq[Int],
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(probes >= 1, s"need probes >= 1, got $probes")
+    require(rs.nonEmpty && rs.forall(_ >= k),
+      s"each rerank R must be >= k=$k, got $rs")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val sub = books.head.head.size
+    val truth = topKL2(queries, candidates, k, idCol, vecCol)
+      .select(col("q_id"), col("c_id")).withColumn("__hit", lit(true))
+      .localCheckpoint()
+    val own = qSide(queries, idCol, vecCol, Seq(cellCol -> "cell"))
+    val cent = probeRanked(queries, candidates, cellCol, idCol, vecCol)
+      .where(col("pr") <= probes)
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("cell"))
+    val luts = books.indices.map { s =>
+      pqLut(slice(col("q_vec"), s * sub + 1, sub), books(s))
+        .as(s"lut_$s")
+    }
+    // q_vec rides along for the exact re-rank of the shortlist
+    val probed = own.unionByName(cent)
+      .groupBy(col("q_id"), col("cell"))
+      .agg(first(col("q_vec")).as("q_vec"))
+      .select((Seq(col("q_id"), col("cell"), col("q_vec")) ++ luts): _*)
+    val codes = pqEncode(candidates, books, idCol, vecCol,
+        keep = Seq(cellCol))
+      .withColumnRenamed(idCol, "c_id").withColumnRenamed(cellCol, "cell")
+    val dist = books.indices.map(s =>
+        element_at(col(s"lut_$s"), col(s"code_$s").cast("int") + lit(1)))
+      .reduceLeft(_ + _)
+    val wAdc = Window.partitionBy("q_id")
+      .orderBy(col("dist").asc, col("c_id").asc)
+    val rmax = rs.max
+    val shortlist = codes.join(broadcast(probed), Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("q_vec"),
+        Num.floorAt(dist, 9).as("dist"))
+      .withColumn("adcrk", row_number().over(wAdc))
+      .where(col("adcrk") <= rmax)
+    val cvecs = candidates
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val rer = shortlist.join(cvecs, Seq("c_id"))
+      .select(col("q_id"), col("c_id"), col("adcrk"),
+        Num.floorAt(l2sq(col("q_vec"), col("c_vec")), 9).as("xdist"))
+    val wR = Window.partitionBy("r", "q_id")
+      .orderBy(col("xdist").asc, col("c_id").asc)
+    val topkPerR = rer
+      .withColumn("r", explode(typedLit(rs.sorted)))
+      .where(col("adcrk") <= col("r"))
+      .withColumn("rk", row_number().over(wR))
+      .where(col("rk") <= k)
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val stats = topkPerR.join(truth, Seq("q_id", "c_id"), "left")
+      .groupBy(col("r").cast("int").as("rerank_r"))
+      .agg(count(lit(1)).as("n_approx"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hits"))
+    rs.sorted.toDF("rerank_r")
+      .join(stats, Seq("rerank_r"), "left")
+      .crossJoin(broadcast(nT))
+      .select(col("rerank_r"), col("n_truth"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("n_truth") === 0, lit(1.0)).otherwise(
+          Num.floorAt(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_truth"), 4))
+          .as("recall"))
   }
 }

@@ -688,6 +688,21 @@ private[graft] object Reg6MonitorAnn {
         .orderBy("probes")
     }),
 
+    // ANN — IVF-ADC with EXACT re-ranking (Sim.ivfAdcRerankSweep
+    // scaladoc; Jégou et al. 2011 §V "IVFADC-R"): the ADC scan keeps a
+    // per-query R-candidate shortlist, only those R raw vectors are
+    // fetched (id-keyed join, never a scan) and re-scored with exact
+    // L2. One measured row per R at fixed probes=2 — composes with
+    // q254's probes axis; recall climbs toward the cell-bounded exact
+    // scan at R distances/query of exact cost.
+    "q258_ivf_adc_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Sim.ivfAdcRerankSweep(emb.where(col("vec_id") < 10), emb,
+          Sim.pqCodebooksCached(emb, m = 4, k = 8, iters = 2, dir),
+          5, "label", probes = 2, rs = Seq(5, 10, 20))
+        .orderBy("rerank_r")
+    }),
+
     // ANN — PQ knob sweep (the q229/q232 extension discipline applied
     // to q252's 64×-compression headline): the m/k axis (m=8, k=16 —
     // 8 code bytes, 32× compression) and the training axis (iters=0 —
@@ -1005,6 +1020,91 @@ private[graft] object Reg6MonitorAnn {
            |FROM (VALUES (1), (2), (3)) pp(p)
            |LEFT JOIN stats ON stats.p = pp.p
            |CROSS JOIN nt ORDER BY probes""".stripMargin
+      },
+
+      // IVFADC-R: the q254 probe + ADC machinery at fixed p=2, then a
+      // per-query R-candidate shortlist re-scored with exact L2 — the
+      // engine's id-keyed re-rank join replayed as two e-joins on the
+      // shortlist rows only
+      "q258_ivf_adc_rerank" -> {
+        val adcJoins = (0 until 4).map(s =>
+          s"JOIN pqd_$s qd$s ON qd$s.q_id = p.q_id" +
+            s" AND qd$s.code = kc.k$s").mkString("\n  ")
+        val adcSum = (0 until 4).map(s => s"qd$s.d").mkString(" + ")
+        s"""WITH $pqEmbCte,
+           |${pqChainsSql(4, 8, 16, 2)},
+           |cl AS (SELECT e.vec_id AS c_id, em.label AS cell
+           |  FROM e JOIN embeddings em ON em.vec_id = e.vec_id),
+           |cv AS (SELECT cl.cell, e.v
+           |  FROM cl JOIN e ON e.vec_id = cl.c_id),
+           |cm AS (SELECT cell, d.pos AS pos,
+           |    CAST(SUM(CAST(v[d.pos] AS DECIMAL(27,10))) AS DOUBLE)
+           |      / COUNT(*) AS m
+           |  FROM cv CROSS JOIN range(1, 65) AS d(pos)
+           |  GROUP BY cell, d.pos),
+           |cent AS (SELECT cell,
+           |    list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS ce
+           |  FROM cm GROUP BY cell),
+           |centn AS (SELECT cell, ce,
+           |    sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn
+           |  FROM cent),
+           |qn AS (SELECT e.vec_id AS q_id, em.label AS owncell, e.v AS qv,
+           |    sqrt(list_sum(list_transform(e.v, x -> x * x))) AS qnorm
+           |  FROM e JOIN embeddings em ON em.vec_id = e.vec_id
+           |  WHERE e.vec_id < 10),
+           |centp AS (SELECT q_id, cell FROM (
+           |  SELECT n.q_id, t.cell,
+           |    row_number() OVER (PARTITION BY n.q_id ORDER BY
+           |      ${Num.floorAtSql(
+             "list_sum(list_transform(range(1, 65)," +
+               " i -> n.qv[i] * t.ce[i])) / (n.qnorm * t.cn)", 9)} DESC,
+           |      t.cell ASC) AS pr
+           |  FROM qn n CROSS JOIN centn t) WHERE pr <= 2),
+           |probe AS (SELECT DISTINCT q_id, cell FROM (
+           |  SELECT q_id, owncell AS cell FROM qn
+           |  UNION ALL SELECT q_id, cell FROM centp)),
+           |adcp AS (SELECT p.q_id, kc.vec_id AS c_id,
+           |    floor(($adcSum) * 1000000000) AS dk
+           |  FROM pcodes kc
+           |  JOIN cl ON cl.c_id = kc.vec_id
+           |  JOIN probe p ON p.cell = cl.cell
+           |  $adcJoins
+           |  WHERE p.q_id <> kc.vec_id),
+           |adcr AS MATERIALIZED (SELECT q_id, c_id, adcrk FROM (
+           |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY dk ASC, c_id ASC) AS adcrk FROM adcp)
+           |  WHERE adcrk <= 20),
+           |rr AS MATERIALIZED (SELECT a.q_id, a.c_id, a.adcrk,
+           |    row_number() OVER (PARTITION BY a.q_id ORDER BY
+           |      floor(list_sum(list_transform(range(1, 65),
+           |        i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])))
+           |        * 1000000000) ASC, a.c_id ASC) AS xrk
+           |  FROM adcr a
+           |  JOIN e q ON q.vec_id = a.q_id
+           |  JOIN e c ON c.vec_id = a.c_id),
+           |perr AS (SELECT rv.r, t.q_id, t.c_id,
+           |    row_number() OVER (PARTITION BY rv.r, t.q_id
+           |      ORDER BY t.xrk ASC) AS rk
+           |  FROM (VALUES (5), (10), (20)) rv(r)
+           |  JOIN rr t ON t.adcrk <= rv.r),
+           |tk AS (SELECT r, q_id, c_id FROM perr WHERE rk <= 5),
+           |${pqL2TruthCte(64)},
+           |nt AS (SELECT COUNT(*) AS n_truth FROM tr),
+           |stats AS (SELECT t.r, COUNT(*) AS n_approx,
+           |    COUNT(b.q_id) AS n_hits
+           |  FROM tk t LEFT JOIN tr b
+           |    ON b.q_id = t.q_id AND b.c_id = t.c_id
+           |  GROUP BY t.r)
+           |SELECT CAST(rv.r AS INTEGER) AS rerank_r, n_truth,
+           |  COALESCE(n_approx, 0) AS n_approx,
+           |  COALESCE(n_hits, 0) AS n_hits,
+           |  CASE WHEN n_truth = 0 THEN 1.0
+           |       ELSE ${Num.floorAtSql(
+             "CAST(COALESCE(n_hits, 0) AS DOUBLE) / n_truth", 4)}
+           |  END AS recall
+           |FROM (VALUES (5), (10), (20)) rv(r)
+           |LEFT JOIN stats ON stats.r = rv.r
+           |CROSS JOIN nt ORDER BY rerank_r""".stripMargin
       },
 
       // PQ knob sweep: two independent chain parameterizations share

@@ -58,6 +58,33 @@ class Round11OpsSpec extends SparkSpec {
       s"IVF-ADC found more hits (${rows.last._2}) than flat ADC ($flatHits)")
   }
 
+  test("ivfAdcRerankSweep limits: R = k reproduces the pure-ADC hits " +
+      "(re-ranking k of k is a no-op), and with one cell R = corpus " +
+      "recovers exact recall 1.0") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val books = Sim.pqCodebooks(emb, m = 4, k = 8, iters = 2)
+    val q = emb.where(col("vec_id") < 10)
+    val adcHitsP2 = Sim.ivfAdcRecallSweep(q, emb, books, 5, "label", 2)
+      .where(col("probes") === 2)
+      .select("n_hits").as[Long].head()
+    val rer = Sim.ivfAdcRerankSweep(q, emb, books, 5, "label",
+        probes = 2, rs = Seq(5, 20))
+      .orderBy("rerank_r")
+      .select("rerank_r", "n_hits", "n_truth").as[(Int, Long, Long)]
+      .collect().toSeq
+    assert(rer.head._1 === 5 && rer.head._2 === adcHitsP2,
+      s"R=k must equal the pure ADC hits: $rer vs $adcHitsP2")
+    assert(rer.last._2 >= rer.head._2, "hits must be monotone in R")
+    val n = emb.count().toInt
+    val one = emb.withColumn("onecell", lit(0))
+    val full = Sim.ivfAdcRerankSweep(one.where(col("vec_id") < 10), one,
+        books, 5, "onecell", probes = 1, rs = Seq(n))
+      .select("n_hits", "n_truth").as[(Long, Long)].head()
+    assert(full._1 === full._2,
+      s"one cell + R=corpus must be the exact scan: $full")
+  }
+
   test("trainLocal ≡ train (distributed per-merge jobs) on the fixture " +
       "corpus and on adversarial overlap/tie shapes") {
     import graft.ops.Bpe
