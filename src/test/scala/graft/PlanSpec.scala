@@ -622,10 +622,35 @@ class PlanSpec extends SparkSpec {
 
   test("q244 MMR: every greedy-round join is broadcast (anti + " +
       "diversity + relevance) — no sort-merge join, no cartesian") {
-    val p = plan("q244_mmr_rerank")
-    assert(!p.contains("SortMergeJoin"), p.take(1500))
-    assert(!p.contains("CartesianProduct"), p.take(1500))
-    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // the per-round winner frames are localCheckpoint'd (round-11
+    // lineage cut), so the FINAL plan no longer shows the joins — pin
+    // the claim on EVERY plan the run executes, captured via a
+    // QueryExecutionListener (checkpoint actions notify it too)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      SparkEntry.queries("q244_mmr_rerank")(spark, dir).collect()
+      // listener bus is async; the run executes >= 5 checkpoint
+      // actions + the final collect
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (plans.size < 6 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    } finally spark.listenerManager.unregister(l)
+    val all = plans.toArray.map(_.toString).mkString("\n---\n")
+    assert(plans.size >= 6, s"expected >= 6 executed plans, got " +
+      s"${plans.size}")
+    assert(!all.contains("SortMergeJoin"), all.take(1500))
+    assert(!all.contains("CartesianProduct"), all.take(1500))
+    assert(all.contains("BroadcastHashJoin"), all.take(1500))
   }
 
   test("q238 BPE encoder: the corpus joins the merged dictionary by " +
@@ -640,5 +665,26 @@ class PlanSpec extends SparkSpec {
     // exactly one rangepartitioning and the join's build side is the
     // broadcast exchange.
     assert(p.contains("BroadcastExchange"), p.take(1500))
+  }
+
+  test("PQ code scan: the native assign/LUT expressions stay inside " +
+      "whole-stage codegen (no CodegenFallback in the encode projection)") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, dir, "embeddings")
+    val books = graft.ops.Sim.pqCodebooks(emb, 4, 8, 0)
+    val enc = graft.ops.Sim.pqEncode(emb, books)
+    val p = enc.queryExecution.executedPlan.toString
+    // the projection compiles into a codegen stage — a fallback would
+    // print the expression OUTSIDE any *(n) stage marker
+    assert(p.contains("*(1)"), p.take(800))
+    assert(p.contains("pq_assign"), p.take(800))
+    // the ADC retriever's scan side likewise: codes scan + broadcast of
+    // the LUT side, never a shuffle of the corpus
+    val q = emb.where(col("vec_id") < 10)
+    val topk = graft.ops.Sim.pqTopK(q, emb, books, 5)
+    val tp = topk.queryExecution.executedPlan.toString
+    assert(tp.contains("BroadcastNestedLoopJoin") ||
+      tp.contains("BroadcastHashJoin"), tp.take(1200))
+    assert(!tp.contains("SortMergeJoin"), tp.take(1200))
   }
 }
