@@ -425,6 +425,18 @@ private[graft] object Fragments {
        | COUNT(*) AS n, ${dsumS("value")} AS total_value
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** ONE oracle for the sliding-counts pair: q61 (batch explode over
+    * the size/slide window set) and q259 (the STREAMING window()
+    * engine's complete-mode final table). */
+  val slidingCountsSql: String =
+    s"""WITH es AS (SELECT event_type, ${epochSql("ts")} AS es FROM events),
+       |win AS (SELECT event_type,
+       |  ((es - CAST(i.i AS BIGINT) * 3600) // 3600) * 3600 AS window_start
+       |  FROM es CROSS JOIN range(0, 2) AS i(i))
+       |SELECT window_start, event_type, COUNT(*) AS n
+       |FROM win WHERE window_start >= 0
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** ONE oracle for the gap-session pair: q67 (batch session_window) and
     * q236 (streaming session_window, complete mode). */
   val sessionWindowSql: String =

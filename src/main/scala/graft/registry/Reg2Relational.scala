@@ -1000,14 +1000,7 @@ private[graft] object Reg2Relational {
       "q60_tumbling_counts" -> tumblingCountsSql,
 
 
-      "q61_sliding_counts" ->
-        s"""WITH es AS (SELECT event_type, ${epochSql("ts")} AS es FROM events),
-           |win AS (SELECT event_type,
-           |  ((es - CAST(i.i AS BIGINT) * 3600) // 3600) * 3600 AS window_start
-           |  FROM es CROSS JOIN range(0, 2) AS i(i))
-           |SELECT window_start, event_type, COUNT(*) AS n
-           |FROM win WHERE window_start >= 0
-           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q61_sliding_counts" -> slidingCountsSql,
 
 
       "q62_sessionize" ->

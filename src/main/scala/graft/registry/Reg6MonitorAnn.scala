@@ -454,6 +454,21 @@ private[graft] object Reg6MonitorAnn {
             in, "3600 seconds", "3600 seconds"))
         .orderBy("window_start", "event_type")),
 
+    // streaming — SLIDING windows complete the gated window matrix
+    // (q235 gates tumbling): size 7200 / slide 3600, so every event
+    // lands in TWO windows and adjacent windows overlap across
+    // micro-batch boundaries; the streaming engine's complete-mode
+    // final state is bound to q61's batch oracle string — one oracle,
+    // two sliding engines (batch window-set explode + streaming
+    // window()).
+    "q259_stream_sliding" -> ((s, dir) =>
+      graft.streaming.StreamOps.runBoundedGate(s, dir, 3, 2)(in =>
+          graft.streaming.StreamOps.windowedCounts(
+            in, "7200 seconds", "3600 seconds")
+            .select("window_start", "event_type", "n"))
+        .where(col("window_start") >= 0)
+        .orderBy("window_start", "event_type")),
+
     // streaming — gap sessions via the streaming session_window engine,
     // complete mode, same 3-micro-batch arrival; sessions that SPAN a
     // micro-batch boundary must merge in state to match q67's batch
@@ -590,6 +605,18 @@ private[graft] object Reg6MonitorAnn {
           col("user_id"), col("event_type"), col("value"), col("props"))
         .orderBy("event_id")),
 
+    // streaming — the PARTITION-PRUNED upsert sink (StreamOps
+    // .upsertIgnoreSinkPartitioned scaladoc): the scale path q243's
+    // demo sink documents — target partitioned by event date, each
+    // micro-batch anti-joins only the date slices its own rows touch.
+    // Same duplicated staging, same exactly-once target contract,
+    // bound to q243's IDENTICAL oracle string — one oracle, two sinks.
+    "q261_stream_upsert_partitioned" -> ((s, dir) =>
+      graft.streaming.StreamOps.runUpsertSinkGatePartitioned(s, dir, 3, 2)
+        .select(col("event_id"), unix_timestamp(col("ts")).as("es"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .orderBy("event_id")),
+
     // streaming — the incremental-CC STORE oracle-gated: the documents
     // fixture replayed as 3 micro-batches straight through the
     // versioned fold (delta pairs + contracted CC per batch, no
@@ -688,6 +715,21 @@ private[graft] object Reg6MonitorAnn {
         .orderBy("probes")
     }),
 
+    // ANN — IVF-ADC over the REAL coarse quantizer (the q228
+    // label-vs-kmeans pairing applied to the composed shape): q125's
+    // deterministic k-means assigns the cells, the PQ codes scan within
+    // the multi-probe kmeans cells — the full Jégou §IV stack with no
+    // label stand-in anywhere. Oracle replays quantizer + chains +
+    // probe policy end-to-end.
+    "q260_ivf_adc_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val km = Sim.kmeansCells(emb, k = 8, iters = 2).localCheckpoint()
+      Sim.ivfAdcRecallSweep(km.where(col("vec_id") < 10), km,
+          Sim.pqCodebooksCached(emb, m = 4, k = 8, iters = 2, dir),
+          5, "cell", maxProbes = 3)
+        .orderBy("probes")
+    }),
+
     // ANN — IVF-ADC with EXACT re-ranking (Sim.ivfAdcRerankSweep
     // scaladoc; Jégou et al. 2011 §V "IVFADC-R"): the ADC scan keeps a
     // per-query R-candidate shortlist, only those R raw vectors are
@@ -780,6 +822,11 @@ private[graft] object Reg6MonitorAnn {
     })
   )
 
+  private val upsertSinkOracleSql: String =
+    s"""SELECT event_id, ${epochSql("ts")} AS es, user_id, event_type,
+       |  value, props
+       |FROM events ORDER BY event_id""".stripMargin
+
   private val bpeTrainOracleSql: String =
     s"""WITH ${bpeChainSql(12)}
        |SELECT merge_rank, left_sym, right_sym, pair_count FROM (
@@ -859,6 +906,9 @@ private[graft] object Reg6MonitorAnn {
       // the streaming twins bind the BATCH oracles verbatim — one
       // string per semantics, engine per deployment mode
       "q235_stream_tumbling" -> tumblingCountsSql,
+
+      // the streaming sliding engine answers to q61's IDENTICAL string
+      "q259_stream_sliding" -> slidingCountsSql,
 
       "q236_stream_sessions" -> sessionWindowSql,
 
@@ -994,6 +1044,74 @@ private[graft] object Reg6MonitorAnn {
            |    floor(($adcSum) * 1000000000) AS dk
            |  FROM pcodes kc
            |  JOIN cl ON cl.c_id = kc.vec_id
+           |  JOIN probe p ON p.cell = cl.cell
+           |  $adcJoins
+           |  WHERE p.q_id <> kc.vec_id),
+           |perp AS (SELECT pp.p, s.q_id, s.c_id,
+           |    row_number() OVER (PARTITION BY pp.p, s.q_id
+           |      ORDER BY s.dk ASC, s.c_id ASC) AS rk
+           |  FROM (VALUES (1), (2), (3)) pp(p)
+           |  JOIN adcp s ON s.pmin <= pp.p),
+           |tk AS (SELECT p, q_id, c_id FROM perp WHERE rk <= 5),
+           |${pqL2TruthCte(64)},
+           |nt AS (SELECT COUNT(*) AS n_truth FROM tr),
+           |stats AS (SELECT t.p, COUNT(*) AS n_approx,
+           |    COUNT(b.q_id) AS n_hits
+           |  FROM tk t LEFT JOIN tr b
+           |    ON b.q_id = t.q_id AND b.c_id = t.c_id
+           |  GROUP BY t.p)
+           |SELECT CAST(pp.p AS INTEGER) AS probes, n_truth,
+           |  COALESCE(n_approx, 0) AS n_approx,
+           |  COALESCE(n_hits, 0) AS n_hits,
+           |  CASE WHEN n_truth = 0 THEN 1.0
+           |       ELSE ${Num.floorAtSql(
+             "CAST(COALESCE(n_hits, 0) AS DOUBLE) / n_truth", 4)}
+           |  END AS recall
+           |FROM (VALUES (1), (2), (3)) pp(p)
+           |LEFT JOIN stats ON stats.p = pp.p
+           |CROSS JOIN nt ORDER BY probes""".stripMargin
+      },
+
+      // IVF-ADC over kmeans cells: the q254 skeleton with the label
+      // stand-in replaced by the kmeansAfCte quantizer (which also
+      // provides the `e` base the PQ chains slice)
+      "q260_ivf_adc_kmeans" -> {
+        val adcJoins = (0 until 4).map(s =>
+          s"JOIN pqd_$s qd$s ON qd$s.q_id = p.q_id" +
+            s" AND qd$s.code = kc.k$s").mkString("\n  ")
+        val adcSum = (0 until 4).map(s => s"qd$s.d").mkString(" + ")
+        s"""WITH $kmeansAfCte,
+           |${pqChainsSql(4, 8, 16, 2)},
+           |cm AS (SELECT cell, d.pos AS pos,
+           |    CAST(SUM(CAST(v[d.pos] AS DECIMAL(27,10))) AS DOUBLE)
+           |      / COUNT(*) AS m
+           |  FROM af CROSS JOIN range(1, 65) AS d(pos)
+           |  GROUP BY cell, d.pos),
+           |cent AS (SELECT cell,
+           |    list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS ce
+           |  FROM cm GROUP BY cell),
+           |centn AS (SELECT cell, ce,
+           |    sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn
+           |  FROM cent),
+           |qn AS (SELECT vec_id AS q_id, cell AS owncell, v AS qv,
+           |    sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm
+           |  FROM af WHERE vec_id < 10),
+           |centp AS (SELECT q_id, cell, GREATEST(pr, 2) AS pmin FROM (
+           |  SELECT n.q_id, t.cell,
+           |    row_number() OVER (PARTITION BY n.q_id ORDER BY
+           |      ${Num.floorAtSql(
+             "list_sum(list_transform(range(1, 65)," +
+               " i -> n.qv[i] * t.ce[i])) / (n.qnorm * t.cn)", 9)} DESC,
+           |      t.cell ASC) AS pr
+           |  FROM qn n CROSS JOIN centn t) WHERE pr <= 3),
+           |ownp AS (SELECT q_id, owncell AS cell, 1 AS pmin FROM qn),
+           |probe AS (SELECT q_id, cell, MIN(pmin) AS pmin
+           |  FROM (SELECT * FROM ownp UNION ALL SELECT * FROM centp)
+           |  GROUP BY q_id, cell),
+           |adcp AS (SELECT p.q_id, kc.vec_id AS c_id, p.pmin,
+           |    floor(($adcSum) * 1000000000) AS dk
+           |  FROM pcodes kc
+           |  JOIN af cl ON cl.vec_id = kc.vec_id
            |  JOIN probe p ON p.cell = cl.cell
            |  $adcJoins
            |  WHERE p.q_id <> kc.vec_id),
@@ -1205,10 +1323,10 @@ private[graft] object Reg6MonitorAnn {
            |  ${Num.floorAtSql("mmr", 4)} AS mmr
            |FROM s5 ORDER BY q_id, rk""".stripMargin,
 
-      "q243_stream_upsert_sink" ->
-        s"""SELECT event_id, ${epochSql("ts")} AS es, user_id, event_type,
-           |  value, props
-           |FROM events ORDER BY event_id""".stripMargin,
+      "q243_stream_upsert_sink" -> upsertSinkOracleSql,
+
+      // the partition-pruned sink answers to q243's IDENTICAL string
+      "q261_stream_upsert_partitioned" -> upsertSinkOracleSql,
 
       "q241_stream_join" ->
         s"""SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,

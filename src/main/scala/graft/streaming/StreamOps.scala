@@ -345,6 +345,67 @@ object StreamOps {
       }
       .start()
 
+  /** [[upsertIgnoreSink]]'s PARTITION-PRUNED variant — the scale path
+    * its scaladoc names: the target is partitioned by the event DATE of
+    * `tsCol`, and each micro-batch anti-joins only against the
+    * partitions its OWN rows touch — the per-batch target re-read is
+    * O(touched slice), not O(target), which at a year of 100 TB
+    * arrivals is the difference between scanning a day and scanning the
+    * table. The slice-local anti-join is globally complete because a
+    * key's duplicates carry identical row content (a replay delivers
+    * the SAME row), so every duplicate lands in the same date
+    * partition; q261 binds this sink to q243's oracle string — one
+    * oracle, two sinks — and the per-batch touched-day list is the only
+    * thing that ever reaches the driver (days/batch, not rows).
+    */
+  def upsertIgnoreSinkPartitioned(stream: DataFrame, keys: Seq[String],
+                                  tsCol: String, path: String,
+                                  checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val b = batch.dropDuplicates(keys)
+          .withColumn("__pday", to_date(col(tsCol)))
+        val days = b.select(col("__pday")).distinct()
+          .collect().map(_.getDate(0)).toSeq
+        val existing =
+          try batch.sparkSession.read.schema(b.schema).parquet(path)
+            .where(col("__pday").isInCollection(days))
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            emptyDF(batch.sparkSession, b.schema)
+          }
+        graft.ops.Star.upsertIgnore(existing, b, keys)
+          .write.mode("append").partitionBy("__pday").parquet(path)
+        ()
+      }
+      .start()
+
+  /** The [[runUpsertSinkGate]] bridge for the partitioned sink: same
+    * duplicated staging (every row arrives twice across micro-batch
+    * boundaries), same exactly-once contract on the target — the
+    * partition column is engine-internal and dropped before the gate's
+    * projection.
+    */
+  def runUpsertSinkGatePartitioned(spark: SparkSession, sfDir: String,
+                                   nFiles: Int, statePartitions: Int,
+                                   keys: Seq[String] = Seq("event_id"))
+      : DataFrame = {
+    val stage = stageEventsDuplicated(spark, sfDir, nFiles)
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val target = graft.TempDirs.register(java.nio.file.Files
+      .createTempDirectory("graft-upsertp-target").toString) + "/t"
+    val ckpt = graft.TempDirs.register(java.nio.file.Files
+      .createTempDirectory("graft-upsertp-ckpt").toString)
+    val q = upsertIgnoreSinkPartitioned(eventsStream(ns, stage), keys,
+      "ts", target, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    ns.read.parquet(target).drop("__pday")
+  }
+
   private def emptyDF(spark: SparkSession,
                       schema: org.apache.spark.sql.types.StructType)
       : DataFrame =

@@ -58,6 +58,21 @@ class Round11OpsSpec extends SparkSpec {
       s"IVF-ADC found more hits (${rows.last._2}) than flat ADC ($flatHits)")
   }
 
+  test("partitioned upsert sink: date-partitioned target layout, and " +
+      "the duplicated replay still collapses to exactly-once") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.streaming.StreamOps
+      .runUpsertSinkGatePartitioned(spark, dir, 2, 2)
+    assert(out.count() === Tables.load(spark, dir, "events").count(),
+      "every fixture row exactly once despite arriving twice")
+    // the pruning contract rests on the physical layout: every data
+    // file must live under a __pday= partition directory
+    val files = out.inputFiles
+    assert(files.nonEmpty)
+    files.foreach(f =>
+      assert(f.contains("__pday="), s"unpartitioned file: $f"))
+  }
+
   test("ivfAdcRerankSweep limits: R = k reproduces the pure-ADC hits " +
       "(re-ranking k of k is a no-op), and with one cell R = corpus " +
       "recovers exact recall 1.0") {
