@@ -600,7 +600,7 @@ private[graft] object Reg6MonitorAnn {
     // once append contract of the reference's INSERT IGNORE fact load,
     // driven through the real streaming write path.
     "q243_stream_upsert_sink" -> ((s, dir) =>
-      graft.streaming.StreamOps.runUpsertSinkGate(s, dir, 3, 2)
+      graft.streaming.StreamOps.runUpsertSinkGate(s, dir, 2, 2)
         .select(col("event_id"), unix_timestamp(col("ts")).as("es"),
           col("user_id"), col("event_type"), col("value"), col("props"))
         .orderBy("event_id")),
@@ -612,7 +612,7 @@ private[graft] object Reg6MonitorAnn {
     // Same duplicated staging, same exactly-once target contract,
     // bound to q243's IDENTICAL oracle string — one oracle, two sinks.
     "q261_stream_upsert_partitioned" -> ((s, dir) =>
-      graft.streaming.StreamOps.runUpsertSinkGatePartitioned(s, dir, 3, 2)
+      graft.streaming.StreamOps.runUpsertSinkGatePartitioned(s, dir, 2, 2)
         .select(col("event_id"), unix_timestamp(col("ts")).as("es"),
           col("user_id"), col("event_type"), col("value"), col("props"))
         .orderBy("event_id")),

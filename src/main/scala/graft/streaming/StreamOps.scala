@@ -377,7 +377,12 @@ object StreamOps {
           catch { case _: org.apache.spark.sql.AnalysisException =>
             emptyDF(batch.sparkSession, b.schema)
           }
+        // one file per touched partition per batch (the batch is
+        // micro-batch-sized; production sizes files with
+        // maxRecordsPerFile instead) — without this every shuffle
+        // partition writes its own sliver into every date dir
         graft.ops.Star.upsertIgnore(existing, b, keys)
+          .coalesce(1)
           .write.mode("append").partitionBy("__pday").parquet(path)
         ()
       }
