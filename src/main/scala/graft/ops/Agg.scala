@@ -1092,6 +1092,51 @@ object Agg {
       .drop("__ymax", "__mxgt")
   }
 
+  /** EXACT interpolated quantiles from the VALUE-DOMAIN histogram —
+    * q29's documented scale path made real. `percentile()` holds every
+    * group value in a per-task buffer (memory is O(largest group)); this
+    * computes the identical order statistics from a (key, value)-count
+    * histogram: one hash aggregation to the domain, one cumulative-count
+    * window over domain-sized frames, and a conditional-min read-off of
+    * the floor/ceil order statistics — state is |value domain| rows in
+    * ordinary mergeable aggregates, no buffers, at any group size. The
+    * arithmetic mirrors Spark's `Percentile` exactly (pos = p·(n−1) in
+    * double; result = v_lo·(ceil−pos) + v_hi·(pos−floor)), so the two
+    * engines are bit-equal BEFORE any display rounding — q262 binds this
+    * to q29's oracle string (one oracle, two quantile engines) and the
+    * spec pins raw-double equality against percentile().
+    *
+    * `ps` maps output column name → p in [0, 1].
+    */
+  def quantilesByDomain(df: DataFrame, key: String, valueCol: String,
+                        ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
+      s"need 0 <= p <= 1, got $ps")
+    val h = df.groupBy(col(key), col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(key)).orderBy(col("__v"))
+    val wAll = Window.partitionBy(col(key))
+    val cum = h.withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val qAggs = ps.map { case (name, p) =>
+      val pos = lit(p) * (col("__n") - lit(1L)).cast("double")
+      val loIdx = floor(pos)
+      val hiIdx = ceil(pos)
+      val vlo = min(when(col("__cum") > loIdx, col("__v")))
+      val vhi = min(when(col("__cum") > hiIdx, col("__v")))
+      // per-group constants surfaced through min() so the result is a
+      // pure aggregate expression; Spark Percentile's exact formula,
+      // including its integral-position special case (the weighted form
+      // would multiply the exact order statistic by 0 + 0)
+      when(min(hiIdx) === min(loIdx), vlo)
+        .otherwise(
+          vlo * (min(hiIdx) - min(pos)) + vhi * (min(pos) - min(loIdx)))
+        .as(name)
+    }
+    cum.groupBy(col(key))
+      .agg(qAggs.head, (qAggs.tail :+ max(col("__n")).as("n")): _*)
+  }
+
   /** [[skyline]]'s LARGE-DOMAIN path: the same prefix-max dominance
     * logic run as range-bucketed local skylines first, then the global
     * pass over the local SURVIVORS only — the plan its scaladoc

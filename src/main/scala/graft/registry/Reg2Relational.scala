@@ -117,6 +117,21 @@ private[graft] object Reg2Relational {
         .orderBy("l_returnflag")
     }),
 
+    // the quantile engine's SCALE path (Agg.quantilesByDomain
+    // scaladoc): q29's per-group percentile() value buffers replaced by
+    // the value-domain histogram + cumulative-count read-off — O(domain)
+    // mergeable state instead of O(largest group) buffers, bit-equal
+    // interpolation, bound to q29's IDENTICAL oracle string (one
+    // oracle, two quantile engines).
+    "q262_quantiles_domain" -> ((s, dir) => {
+      val f2 = (c: Column) => floor(c * 100) / 100
+      Agg.quantilesByDomain(t(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice", Seq("p50" -> 0.5, "p90" -> 0.9))
+        .select(col("l_returnflag"), f2(col("p50")).as("p50"),
+          f2(col("p90")).as("p90"), col("n"))
+        .orderBy("l_returnflag")
+    }),
+
 
     // north star — document fingerprinting (rolling/content hash).
     "q30_fingerprint" -> ((s, dir) =>
@@ -717,6 +732,13 @@ private[graft] object Reg2Relational {
         .orderBy("l_returnflag"))
   )
 
+  private val quantilesOracleSql: String =
+    """SELECT l_returnflag,
+      | floor(quantile_cont(l_extendedprice, 0.5) * 100) / 100 AS p50,
+      | floor(quantile_cont(l_extendedprice, 0.9) * 100) / 100 AS p90,
+      | COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def oracles: ListMap[String, String] = ListMap(
 
 
@@ -771,12 +793,10 @@ private[graft] object Reg2Relational {
            |GROUP BY band ORDER BY band""".stripMargin,
 
 
-      "q29_quantiles" ->
-        """SELECT l_returnflag,
-          | floor(quantile_cont(l_extendedprice, 0.5) * 100) / 100 AS p50,
-          | floor(quantile_cont(l_extendedprice, 0.9) * 100) / 100 AS p90,
-          | COUNT(*) AS n
-          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "q29_quantiles" -> quantilesOracleSql,
+
+      // the domain-histogram engine answers to q29's IDENTICAL string
+      "q262_quantiles_domain" -> quantilesOracleSql,
 
 
       "q30_fingerprint" ->

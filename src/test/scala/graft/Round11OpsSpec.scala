@@ -58,6 +58,39 @@ class Round11OpsSpec extends SparkSpec {
       s"IVF-ADC found more hits (${rows.last._2}) than flat ADC ($flatHits)")
   }
 
+  test("quantilesByDomain is BIT-equal to percentile() before any " +
+      "rounding — fixture groups plus integral-position/n=1/tie edges") {
+    import graft.ops.Agg
+    def both(df: org.apache.spark.sql.DataFrame, ps: Seq[(String, Double)])
+        : (Seq[(String, Seq[Double])], Seq[(String, Seq[Double])]) = {
+      val arr = ps.map(_._2).mkString(",")
+      val ref = df.groupBy("k")
+        .agg(expr(s"percentile(v, array($arr))").as("ps"))
+        .select(col("k"), col("ps")).as[(String, Seq[Double])]
+        .collect().sortBy(_._1).toSeq
+      val dom = Agg.quantilesByDomain(df, "k", "v", ps)
+        .select(col("k"), array(ps.map(p => col(p._1)): _*).as("ps"))
+        .as[(String, Seq[Double])].collect().sortBy(_._1).toSeq
+      (ref, dom)
+    }
+    // fixture-shaped: lineitem prices by returnflag
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_returnflag").as("k"),
+        col("l_extendedprice").as("v"))
+    val (r1, d1) = both(li, Seq("p50" -> 0.5, "p90" -> 0.9))
+    assert(r1 === d1, "fixture divergence")
+    // adversarial: odd group (integral pos), n=1 group, all-ties group
+    val adv = Seq(
+      ("odd", 1.0), ("odd", 2.0), ("odd", 3.0),
+      ("one", 42.5),
+      ("tie", 7.0), ("tie", 7.0), ("tie", 7.0), ("tie", 7.0),
+      ("mix", 0.01), ("mix", 0.02), ("mix", 0.02), ("mix", 100.0))
+      .toDF("k", "v")
+    val (r2, d2) = both(adv,
+      Seq("p0" -> 0.0, "p25" -> 0.25, "p50" -> 0.5, "p100" -> 1.0))
+    assert(r2 === d2, s"adversarial divergence: $r2 vs $d2")
+  }
+
   test("partitioned upsert sink: date-partitioned target layout, and " +
       "the duplicated replay still collapses to exactly-once") {
     val dir = "/root/testdata/sf0.001"
