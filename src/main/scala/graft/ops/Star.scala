@@ -85,6 +85,41 @@ object Star {
         Seq(factKey), "left_anti")
       .agg(count(lit(1)).as(as))
 
+  /** Full MERGE (SCD1 upsert-update) as a distributed operator — the
+    * third member of the load family next to [[upsertIgnore]] (insert
+    * only) and [[dimUpsert]] (surrogate-keyed insert): WHEN MATCHED the
+    * incoming row's non-key columns replace the existing row's, WHEN NOT
+    * MATCHED the incoming row inserts, and unmatched existing rows
+    * survive unchanged — the semantics of a lakehouse `MERGE INTO …
+    * WHEN MATCHED THEN UPDATE * WHEN NOT MATCHED THEN INSERT *`, as one
+    * full-outer join + per-column COALESCE favoring the incoming side.
+    * `incoming` must be key-unique (a MERGE with duplicate source keys
+    * is ambiguous — Delta/Iceberg raise; enforce upstream with
+    * dropDuplicates).
+    *
+    * Scale shape: one key-keyed shuffle of each side (no broadcast —
+    * target and source are the same order of magnitude in a fact
+    * merge); row width is untouched, no fingerprints needed because the
+    * update is unconditional on match.
+    */
+  def merge(existing: DataFrame, incoming: DataFrame,
+            keys: Seq[String]): DataFrame = {
+    val dataCols = existing.columns.filterNot(keys.contains).toSeq
+    require(incoming.columns.toSet == existing.columns.toSet,
+      s"schema mismatch: ${incoming.columns.toSeq} vs " +
+        s"${existing.columns.toSeq}")
+    // explicit presence flag: a data column can be legitimately NULL,
+    // so "did incoming match" must not be read off a data column — a
+    // plain COALESCE would resurrect existing values under incoming
+    // NULLs, which is not UPDATE * semantics
+    val in = incoming.select(
+      (keys.map(col) :+ lit(true).as("__in")) ++
+        dataCols.map(c => col(c).as(s"__in_$c")): _*)
+    existing.join(in, keys, "full_outer")
+      .select((keys.map(col) ++ dataCols.map(c =>
+        when(col("__in"), col(s"__in_$c")).otherwise(col(c)).as(c))): _*)
+  }
+
   /** CDC snapshot diff: classify every key across two table snapshots as
     * added / deleted / changed / unchanged by full-outer-joining on the
     * key and comparing md5 row fingerprints over `fpCols`. The

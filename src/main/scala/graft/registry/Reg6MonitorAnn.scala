@@ -819,6 +819,25 @@ private[graft] object Reg6MonitorAnn {
         .groupBy("lang")
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
         .orderBy("lang")
+    }),
+
+    // load — full MERGE / SCD1 upsert-update (Star.merge scaladoc): the
+    // third load primitive next to insert-only (q23) and surrogate-dim
+    // upsert (q24): matched keys take the incoming row's values
+    // (UPDATE *), unmatched incoming rows insert, unmatched existing
+    // rows survive — one full-outer join + presence-gated per-column
+    // selection (NOT coalesce: incoming NULLs must overwrite).
+    "q263_merge_scd1" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      Star.merge(
+          ev.where(col("event_id") % 3 =!= 0),
+          ev.where(col("event_id") % 2 === 0)
+            .withColumn("event_type", lit("merged"))
+            .withColumn("value", col("value") * 2),
+          Seq("event_id"))
+        .orderBy("event_id")
     })
   )
 
@@ -1980,6 +1999,26 @@ private[graft] object Reg6MonitorAnn {
            |  CASE WHEN n_truth = 0 THEN 1.0
            |       ELSE ${Num.floorAtSql(
              "CAST(n_hits AS DOUBLE) / n_truth", 4)} END AS recall
-           |FROM stats CROSS JOIN nt ORDER BY tables""".stripMargin
+           |FROM stats CROSS JOIN nt ORDER BY tables""".stripMargin,
+
+      // textbook MERGE semantics: full outer on the key, matched/insert
+      // rows take the incoming side verbatim (CASE on presence, not
+      // COALESCE), existing-only rows survive
+      "q263_merge_scd1" ->
+        """WITH ev AS (SELECT event_id, user_id, event_type, value
+          |  FROM events),
+          |ex AS (SELECT * FROM ev WHERE event_id % 3 <> 0),
+          |inc AS (SELECT event_id, user_id,
+          |    'merged' AS event_type, value * 2 AS value
+          |  FROM ev WHERE event_id % 2 = 0)
+          |SELECT COALESCE(i.event_id, e.event_id) AS event_id,
+          |  CASE WHEN i.event_id IS NOT NULL THEN i.user_id
+          |       ELSE e.user_id END AS user_id,
+          |  CASE WHEN i.event_id IS NOT NULL THEN i.event_type
+          |       ELSE e.event_type END AS event_type,
+          |  CASE WHEN i.event_id IS NOT NULL THEN i.value
+          |       ELSE e.value END AS value
+          |FROM ex e FULL JOIN inc i ON e.event_id = i.event_id
+          |ORDER BY event_id""".stripMargin
   )
 }

@@ -58,6 +58,25 @@ class Round11OpsSpec extends SparkSpec {
       s"IVF-ADC found more hits (${rows.last._2}) than flat ADC ($flatHits)")
   }
 
+  test("Star.merge: UPDATE * semantics — incoming NULLs overwrite, " +
+      "unmatched rows survive on both sides") {
+    import graft.ops.Star
+    val ex = Seq((1L, Some("a"), Some(10.0)), (2L, Some("b"), Some(20.0)),
+        (3L, Some("c"), Some(30.0)))
+      .toDF("k", "s", "v")
+    val inc = Seq((2L, None: Option[String], Some(99.0)),
+        (4L, Some("d"), None: Option[Double]))
+      .toDF("k", "s", "v")
+    val got = Star.merge(ex, inc, Seq("k"))
+      .orderBy("k")
+      .as[(Long, Option[String], Option[Double])].collect().toSeq
+    assert(got === Seq(
+      (1L, Some("a"), Some(10.0)),   // existing-only survives
+      (2L, None, Some(99.0)),        // matched: incoming NULL OVERWRITES
+      (3L, Some("c"), Some(30.0)),
+      (4L, Some("d"), None)))        // insert, incoming NULL kept
+  }
+
   test("quantilesByDomain is BIT-equal to percentile() before any " +
       "rounding — fixture groups plus integral-position/n=1/tie edges") {
     import graft.ops.Agg
