@@ -821,6 +821,20 @@ private[graft] object Reg6MonitorAnn {
         .orderBy("lang")
     }),
 
+    // streaming — the PSI drift monitor DRIVER-GATED (StreamOps
+    // .runPsiMonitorGate scaladoc): previously spec-only because
+    // per-batch rows depended on the physical file split; day-bucket
+    // staging makes batch b's membership a deterministic function of
+    // the data (day index mod buckets), so every per-batch PSI row is
+    // oracle-replayable. Closes the last non-gated deterministic
+    // streaming engine (near-dup admission stays spec-gated: its winner
+    // identity is arrival-order-dependent by design).
+    "q264_stream_psi" -> ((s, dir) =>
+      graft.streaming.StreamOps.runPsiMonitorGate(s, dir, 3, 2)
+        .select(col("batch_id"), col("n_events"), col("psi"),
+          col("drifted"))
+        .orderBy("batch_id")),
+
     // load — full MERGE / SCD1 upsert-update (Star.merge scaladoc): the
     // third load primitive next to insert-only (q23) and surrogate-dim
     // upsert (q24): matched keys take the incoming row's values
@@ -2000,6 +2014,41 @@ private[graft] object Reg6MonitorAnn {
            |       ELSE ${Num.floorAtSql(
              "CAST(n_hits AS DOUBLE) / n_truth", 4)} END AS recall
            |FROM stats CROSS JOIN nt ORDER BY tables""".stripMargin,
+
+      // per-bucket PSI replay: bucket b = day-index mod 3 (the staging
+      // rule), Laplace +1 smoothing on both sides over the union key
+      // set, natural log, 6dp floor — exactly psiBatch's arithmetic
+      "q264_stream_psi" -> {
+        def bucket(b: Int) =
+          s"""bk$b AS (SELECT event_type, COUNT(*) AS ca
+             |  FROM evb WHERE b = $b GROUP BY 1),
+             |j$b AS (SELECT COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+             |  FROM bs FULL JOIN bk$b USING (event_type)),
+             |n$b AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             |    CAST(SUM(cb) AS BIGINT) AS nb, COUNT(*) AS k FROM j$b),
+             |r$b AS (SELECT CAST($b AS BIGINT) AS batch_id,
+             |    (SELECT na FROM n$b) AS n_events,
+             |    ${Num.floorAtSql(
+               "SUM((CAST(ca + 1 AS DOUBLE) / (na + k)" +
+                 " - CAST(cb + 1 AS DOUBLE) / (nb + k))" +
+                 " * ln((CAST(ca + 1 AS DOUBLE) / (na + k))" +
+                 " / (CAST(cb + 1 AS DOUBLE) / (nb + k))))", 6)} AS psi
+             |  FROM j$b CROSS JOIN n$b)""".stripMargin
+        s"""WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS d
+           |  FROM events),
+           |md AS (SELECT MIN(d) AS m FROM ev),
+           |evb AS (SELECT event_type,
+           |    (d - (SELECT m FROM md)) % 3 AS b FROM ev),
+           |bs AS (SELECT event_type, COUNT(*) AS cb FROM events
+           |  GROUP BY 1),
+           |${bucket(0)},
+           |${bucket(1)},
+           |${bucket(2)}
+           |SELECT batch_id, n_events, psi, psi >= 0.2 AS drifted
+           |FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1
+           |      UNION ALL SELECT * FROM r2)
+           |ORDER BY batch_id""".stripMargin
+      },
 
       // textbook MERGE semantics: full outer on the key, matched/insert
       // rows take the incoming side verbatim (CASE on presence, not

@@ -577,6 +577,62 @@ object StreamOps {
       .start()
   }
 
+  /** Stage the events fixture as `nBuckets` files with DETERMINISTIC
+    * membership — file b holds exactly the rows whose day index (days
+    * since the fixture's min date) ≡ b (mod nBuckets), mtimes ascending
+    * in b — so micro-batch b of the replay is a FIXED, oracle-
+    * replayable function of the data (plain `repartition` staging's
+    * per-file membership is physical and unreplayable). This staging is
+    * what turns PER-BATCH monitor output (q264's PSI rows) into a
+    * driver-gateable quantity; the gates that only need the FINAL
+    * accumulated state keep the cheaper repartition staging.
+    */
+  def stageEventsByDayBucket(spark: SparkSession, sfDir: String,
+                             nBuckets: Int): String =
+    stageMemo.computeIfAbsent(s"$sfDir#$nBuckets#daybucket", _ => {
+      val stage = graft.TempDirs.register(java.nio.file.Files
+        .createTempDirectory("graft-stream-stage-day").toString)
+      val ev = graft.Tables.load(spark, sfDir, "events")
+      val minDay = ev.agg(min(to_date(col("ts")))).head().getDate(0)
+      val withB = ev.withColumn("__b",
+        pmod(datediff(to_date(col("ts")), lit(minDay)), lit(nBuckets)))
+      (0 until nBuckets).foreach { b =>
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-day-tmp").toString
+        withB.where(col("__b") === b).drop("__b")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(stage, f"bucket-$b%03d.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(1000L * (b + 1))
+      }
+      stage
+    })
+
+  /** The oracle-gate bridge for [[streamingPsiMonitor]]: day-bucket
+    * staging (deterministic per-batch membership), the FULL fixture as
+    * the baseline, one monitor row per micro-batch appended to a fresh
+    * parquet log; returns the log. batch_id = bucket index (AvailableNow
+    * with maxFilesPerTrigger = 1 assigns batch ids in the forced mtime
+    * order, starting at 0 on a fresh checkpoint).
+    */
+  def runPsiMonitorGate(spark: SparkSession, sfDir: String,
+                        nBuckets: Int, statePartitions: Int)
+      : DataFrame = {
+    val stage = stageEventsByDayBucket(spark, sfDir, nBuckets)
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val outDir = graft.TempDirs.register(java.nio.file.Files
+      .createTempDirectory("graft-psi-log").toString) + "/log"
+    val ckpt = graft.TempDirs.register(java.nio.file.Files
+      .createTempDirectory("graft-psi-ck").toString)
+    val q = streamingPsiMonitor(eventsStream(ns, stage),
+      graft.Tables.load(ns, sfDir, "events"), outDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    ns.read.parquet(outDir)
+  }
+
   /** Stage the events fixture into `nFiles` parquet files in a temp dir
     * — the multi-file arrival [[eventsStream]]'s maxFilesPerTrigger=1
     * then replays as nFiles separate micro-batches, so a streaming
