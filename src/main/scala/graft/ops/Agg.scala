@@ -1092,6 +1092,80 @@ object Agg {
       .drop("__ymax", "__mxgt")
   }
 
+  /** Poisson(1) CDF thresholds (max weight 8) — the inverse-CDF lookup
+    * [[bootstrapMeanCi]] draws deterministic resample weights through.
+    * Exposed so the oracle SQL interpolates the IDENTICAL doubles
+    * (toString — the cross-engine float rule) instead of re-deriving
+    * them.
+    */
+  val poisson1Cdf: IndexedSeq[Double] = {
+    var fact = 1.0
+    var cum = 0.0
+    (0 to 7).map { k =>
+      if (k > 0) fact *= k
+      cum += math.exp(-1.0) / fact
+      cum
+    }
+  }
+
+  /** Deterministic Poisson-bootstrap confidence interval for the group
+    * mean (Efron 1979 percentile bootstrap; Poisson(1) resampling is
+    * the standard distributed approximation to multinomial resampling
+    * — Chamandy et al. 2012, "Estimating uncertainty for massive data
+    * streams"): each of `b` resamples weighs every row by a
+    * DETERMINISTIC pseudo-Poisson(1) draw — [[poisson1Cdf]] inverse
+    * lookup on a uniform derived from md5(id:replicate) — so both
+    * engines (and any retry) draw the identical resample. All `b`
+    * resamples ride ONE scan (a b-way explode); replicate means are
+    * exact decimal-sum ratios floored 6 dp; the CI endpoints are plain
+    * order statistics of the b means (rank `osRank` from each end — no
+    * interpolation), so the whole estimator replays in SQL.
+    *
+    * Scale shape: explode(b) multiplies the scan, not the state — the
+    * shuffle carries (key, replicate) partial sums and group means
+    * never buffer values. With b = 40 and osRank = 2 the interval is
+    * the ~[2.5%, 97.5%] percentile bootstrap.
+    *
+    * Output: (key, n, point_mean, ci_lo, ci_hi), all means 6dp-floored.
+    */
+  def bootstrapMeanCi(df: DataFrame, key: String, idCol: String,
+                      valueCol: String, b: Int = 40, osRank: Int = 2)
+      : DataFrame = {
+    require(b >= 2 * osRank, s"need b >= 2*osRank, got b=$b osRank=$osRank")
+    val u = conv(substring(
+        md5(concat(col(idCol).cast("string"), lit(":"),
+          col("__rep").cast("string"))), 1, 4), 16, 10)
+      .cast("double") / 65536.0
+    val w = poisson1Cdf.zipWithIndex.foldRight(
+        lit(poisson1Cdf.size): Column) { case ((c, k), acc) =>
+      when(u < lit(c), k).otherwise(acc)
+    }
+    val reps = df.select(col(key), col(idCol), col(valueCol))
+      .withColumn("__rep", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__w", w)
+    val means = reps.groupBy(col(key), col("__rep"))
+      .agg(sum(col("__w")).as("__ws"),
+        sum(col(valueCol).cast("decimal(18,2)") * col("__w")).as("__vs"))
+      .where(col("__ws") > 0)
+      .select(col(key),
+        Num.floorAt(col("__vs").cast("double") / col("__ws"), 6).as("m"))
+    val asc = Window.partitionBy(col(key)).orderBy(col("m").asc)
+    val desc = Window.partitionBy(col(key)).orderBy(col("m").desc)
+    val ci = means
+      .withColumn("ra", row_number().over(asc))
+      .withColumn("rd", row_number().over(desc))
+      .groupBy(col(key))
+      .agg(min(when(col("ra") === osRank, col("m"))).as("ci_lo"),
+        min(when(col("rd") === osRank, col("m"))).as("ci_hi"))
+    val point = df.groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        Num.floorAt(sum(col(valueCol).cast("decimal(18,2)"))
+          .cast("double") / count(lit(1)), 6).as("point_mean"))
+    point.join(ci, Seq(key))
+      .select(col(key), col("n"), col("point_mean"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
   /** EXACT interpolated quantiles from the VALUE-DOMAIN histogram —
     * q29's documented scale path made real. `percentile()` holds every
     * group value in a per-task buffer (memory is O(largest group)); this

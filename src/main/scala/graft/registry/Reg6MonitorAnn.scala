@@ -852,7 +852,18 @@ private[graft] object Reg6MonitorAnn {
             .withColumn("value", col("value") * 2),
           Seq("event_id"))
         .orderBy("event_id")
-    })
+    }),
+
+    // statistics — deterministic Poisson-bootstrap CI for the group
+    // mean (Agg.bootstrapMeanCi scaladoc; Efron 1979 / Chamandy 2012):
+    // 40 resamples ride ONE scan via md5-derived pseudo-Poisson(1)
+    // weights, CI = rank-2 order statistics of the replicate means —
+    // fully deterministic, so the uncertainty estimate itself is
+    // oracle-checked, not just the point estimate.
+    "q265_bootstrap_ci" -> ((s, dir) =>
+      Agg.bootstrapMeanCi(t(s, dir, "events"), "event_type", "event_id",
+          "value")
+        .orderBy("event_type"))
   )
 
   private val upsertSinkOracleSql: String =
@@ -2048,6 +2059,46 @@ private[graft] object Reg6MonitorAnn {
            |FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1
            |      UNION ALL SELECT * FROM r2)
            |ORDER BY batch_id""".stripMargin
+      },
+
+      // bootstrap replay: identical md5 uniforms, identical Poisson(1)
+      // CDF thresholds (interpolated from Agg.poisson1Cdf — ONE source
+      // of the doubles), decimal-exact weighted sums, rank-2 order
+      // statistics
+      "q265_bootstrap_ci" -> {
+        val cdf = Agg.poisson1Cdf
+        val wCase = "CASE " + cdf.zipWithIndex.map { case (c, k) =>
+          s"WHEN u < $c THEN $k"
+        }.mkString(" ") + s" ELSE ${cdf.size} END"
+        s"""WITH reps AS (SELECT event_type, value, r.r AS rep,
+           |    CAST(${md5Hex4Sql(
+             "CAST(event_id AS VARCHAR) || ':' || CAST(r.r AS VARCHAR)")}
+           |      AS DOUBLE) / 65536.0 AS u
+           |  FROM events CROSS JOIN range(0, 40) r(r)),
+           |wt AS (SELECT event_type, rep, value, $wCase AS w FROM reps),
+           |m AS (SELECT event_type, rep,
+           |    ${Num.floorAtSql(
+             "CAST(SUM(CAST(value AS DECIMAL(18,2)) * w) AS DOUBLE)" +
+               " / SUM(w)", 6)} AS m
+           |  FROM wt GROUP BY 1, 2 HAVING SUM(w) > 0),
+           |rk AS (SELECT event_type, m,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY m ASC) AS ra,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY m DESC) AS rd
+           |  FROM m),
+           |ci AS (SELECT event_type,
+           |    MIN(CASE WHEN ra = 2 THEN m END) AS ci_lo,
+           |    MIN(CASE WHEN rd = 2 THEN m END) AS ci_hi
+           |  FROM rk GROUP BY 1),
+           |pt AS (SELECT event_type, COUNT(*) AS n,
+           |    ${Num.floorAtSql(
+             "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)" +
+               " / COUNT(*)", 6)} AS point_mean
+           |  FROM events GROUP BY 1)
+           |SELECT p.event_type, n, point_mean, ci_lo, ci_hi
+           |FROM pt p JOIN ci USING (event_type)
+           |ORDER BY event_type""".stripMargin
       },
 
       // textbook MERGE semantics: full outer on the key, matched/insert

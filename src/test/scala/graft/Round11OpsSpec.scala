@@ -58,6 +58,24 @@ class Round11OpsSpec extends SparkSpec {
       s"IVF-ADC found more hits (${rows.last._2}) than flat ADC ($flatHits)")
   }
 
+  test("bootstrapMeanCi: layout-invariant (identical resamples under " +
+      "repartition) and the CI brackets the point mean") {
+    import graft.ops.Agg
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Agg.bootstrapMeanCi(df, "event_type", "event_id", "value")
+        .orderBy("event_type")
+        .as[(String, Long, Double, Double, Double)].collect().toSeq
+    val a = run(ev)
+    assert(a === run(ev.repartition(13)), "resamples must be a pure " +
+      "function of (id, replicate), not the physical layout")
+    a.foreach { case (k, n, point, lo, hi) =>
+      assert(lo <= point && point <= hi,
+        s"CI [$lo, $hi] must bracket the point mean $point for $k")
+      assert(n > 0)
+    }
+  }
+
   test("Star.merge: UPDATE * semantics — incoming NULLs overwrite, " +
       "unmatched rows survive on both sides") {
     import graft.ops.Star
