@@ -31,6 +31,12 @@ object Sessions {
       ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
     }
     .config("spark.sql.shuffle.partitions", cpus)
+    // split the small single-file fixtures across cores: the default
+    // 128 MB split puts EVERY fixture scan (and whatever per-row work
+    // pipelines into it — shingling, hashing, codecs, partial aggs) on
+    // ONE task. 128 KB splits mirror the many-split reality of a real
+    // deployment at fixture scale; a cluster keeps the 128 MB default.
+    .config("spark.sql.files.maxPartitionBytes", "131072")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
