@@ -807,8 +807,8 @@ private[graft] object Reg6MonitorAnn {
     // source-table oracle — the rewrite must be content-preserving.
     // LayoutSpec asserts the file-count contract the oracle can't see.
     "q246_compaction" -> ((s, dir) => {
-      val base = sys.props("java.io.tmpdir") +
-        s"/graft-q246-${ProcessHandle.current().pid}"
+      val base = graft.TempDirs.register(sys.props("java.io.tmpdir") +
+        s"/graft-q246-${ProcessHandle.current().pid}")
       Tables.load(s, dir, "documents")
         .repartition(8)
         .write.mode("overwrite").partitionBy("lang")
