@@ -894,10 +894,14 @@ object Agg {
     def ranks(c: String, out: String): DataFrame = {
       val vc = dfn.groupBy(col(key), col(c).as("v"))
         .agg(count(lit(1)).as("cnt"))
-      val wv = Window.partitionBy(col(key)).orderBy(col("v").asc)
-      vc.withColumn("cum", sum(col("cnt")).over(wv))
+      // two-level domain cumulative (see [[domainCum]]): on a
+      // near-unique value domain the one-level per-key window was the
+      // single-node 1.5×-worse wall-clock the round-10 scaladoc nuance
+      // recorded — ranks are exact longs either way, so output is
+      // unchanged
+      domainCum(vc, key, "v", "cnt", 64)
         .select(col(key), col("v").as(c), col("cnt"),
-          (lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1)
+          (lit(2) * (col("__cum") - col("cnt")) + col("cnt") + 1)
             .as(out))
     }
     def d(c: Column) = c.cast("decimal(18,0)")
@@ -1092,6 +1096,42 @@ object Agg {
       .drop("__ymax", "__mxgt")
   }
 
+  /** Per-key cumulative counts over an ordered value DOMAIN, computed
+    * TWO-LEVEL (the skylineTwoLevel discipline): for a continuous value
+    * column the domain is ~the data, and a single per-key ordered
+    * window is one task per key — ScaleProbe measured the bend at 10×
+    * per ×16 data on q262 and 9.5× on q230. Value-range bucket the
+    * domain per key (one tiny min/max broadcast), run the ordered
+    * windows per (key, bucket) in parallel, and add each bucket's exact
+    * LONG count offset (a buckets-sized window per key) — `__cum` is
+    * bit-identical to the one-level form because offsets are integer
+    * sums. `vCol` must be numeric (double-cast bucketing must be
+    * monotone in the column's own ordering). Shared by
+    * [[quantilesByDomain]] and [[spearmanCorrDomain]]'s rank step.
+    */
+  private def domainCum(h: DataFrame, key: String, vCol: String,
+                        cntCol: String, buckets: Int): DataFrame = {
+    val mm = h.groupBy(col(key))
+      .agg(min(col(vCol)).cast("double").as("__mn"),
+        max(col(vCol)).cast("double").as("__mx"))
+    val hb = h.join(broadcast(mm), Seq(key))
+      .withColumn("__b", least(lit(buckets - 1),
+        floor((col(vCol).cast("double") - col("__mn")) * buckets /
+          (col("__mx") - col("__mn") + lit(1.0))).cast("int")))
+      .drop("__mn", "__mx")
+    val wIn = Window.partitionBy(col(key), col("__b")).orderBy(col(vCol))
+    val wOff = Window.partitionBy(col(key)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = hb.groupBy(col(key), col("__b"))
+      .agg(sum(col(cntCol)).as("__bc"))
+      .withColumn("__off",
+        coalesce(sum(col("__bc")).over(wOff), lit(0L)))
+      .drop("__bc")
+    hb.join(off, Seq(key, "__b"))
+      .withColumn("__cum", sum(col(cntCol)).over(wIn) + col("__off"))
+      .drop("__b", "__off")
+  }
+
   /** Poisson(1) CDF thresholds (max weight 8) — the inverse-CDF lookup
     * [[bootstrapMeanCi]] draws deterministic resample weights through.
     * Exposed so the oracle SQL interpolates the IDENTICAL doubles
@@ -1197,37 +1237,12 @@ object Agg {
     require(buckets >= 1, s"need buckets >= 1, got $buckets")
     val h = df.groupBy(col(key), col(valueCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__c"))
-    // TWO-LEVEL cumulative (the skylineTwoLevel discipline): for a
-    // CONTINUOUS value column the domain is ~the data, and a global
-    // per-key ordered window is one task per key — ScaleProbe measured
-    // the bend at 10× per ×16 data. Value-range bucket the domain (one
-    // tiny min/max broadcast), run the ordered windows per (key,
-    // bucket) in parallel, and add each bucket's exact LONG count
-    // offset (a buckets-sized window) — cum is bit-identical to the
-    // one-level form because the offsets are integer sums.
-    val mm = h.groupBy(col(key)).agg(min(col("__v")).as("__mn"),
-      max(col("__v")).as("__mx"))
-    val hb = h.join(broadcast(mm), Seq(key))
-      .withColumn("__b", least(lit(buckets - 1),
-        floor((col("__v") - col("__mn")) * buckets /
-          (col("__mx") - col("__mn") + lit(1.0))).cast("int")))
-      .drop("__mn", "__mx")
-    val wIn = Window.partitionBy(col(key), col("__b")).orderBy(col("__v"))
-    val wOff = Window.partitionBy(col(key)).orderBy(col("__b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val off = hb.groupBy(col(key), col("__b"))
-      .agg(sum(col("__c")).as("__bc"))
-      .withColumn("__off",
-        coalesce(sum(col("__bc")).over(wOff), lit(0L)))
-      .drop("__bc")
     // per-key totals as a broadcast aggregate, NOT a per-key unordered
     // window — an unbounded-frame window still converges every row of
     // a key onto one task
     val tot = h.groupBy(col(key)).agg(sum(col("__c")).as("__n"))
-    val cum = hb.join(off, Seq(key, "__b"))
+    val cum = domainCum(h, key, "__v", "__c", buckets)
       .join(broadcast(tot), Seq(key))
-      .withColumn("__cum",
-        sum(col("__c")).over(wIn) + col("__off"))
     val qAggs = ps.map { case (name, p) =>
       val pos = lit(p) * (col("__n") - lit(1L)).cast("double")
       val loIdx = floor(pos)
