@@ -597,8 +597,8 @@ object StreamOps {
       val withB = ev.withColumn("__b",
         pmod(datediff(to_date(col("ts")), lit(minDay)), lit(nBuckets)))
       (0 until nBuckets).foreach { b =>
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-day-tmp").toString
+        val tmp = graft.TempDirs.register(java.nio.file.Files
+          .createTempDirectory("graft-day-tmp").toString)
         withB.where(col("__b") === b).drop("__b")
           .coalesce(1).write.mode("overwrite").parquet(tmp)
         val f = new java.io.File(tmp).listFiles()
