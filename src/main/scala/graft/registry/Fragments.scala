@@ -237,6 +237,21 @@ private[graft] object Fragments {
     }
 
     // the q111 LSH-then-verify pair generation as a reusable CTE chain
+    // (doc_id, sig_key) for every document — md5 of the NUL-joined
+    // k-MinHash signature, i.e. the STATE KEY of the streaming
+    // near-dup filter and the admission key of the batch q135 pass.
+    // One fragment, two engines (q135 batch admission, q266 streaming
+    // admission gate); short docs keep the all-sentinel signature.
+    def minhashSigCte(k: Int): String =
+      s"""tok AS (SELECT doc_id, $cleanToks AS t
+         |  FROM (SELECT doc_id, $clean AS c FROM documents)),
+         |sig AS (SELECT doc_id,
+         |    md5(array_to_string(list_transform(range(0, $k), s ->
+         |      COALESCE(list_min(list_transform(${shinglesSql("t")},
+         |        x -> md5(CAST(s AS VARCHAR) || ':' || x))), '~empty')),
+         |      chr(0))) AS sig_key
+         |  FROM tok)""".stripMargin
+
     // ending in `pairs(id_a, id_b)` — shared by the CC oracle and the
     // triangle-census oracle so every graph query provably runs on the
     // identical edge set

@@ -1085,14 +1085,7 @@ private[graft] object Reg3Curation {
       // near-dup filter's state key, so batch and streaming sig_keys
       // are interchangeable; short docs keep the all-sentinel signature
       "q135_dedup_admission" ->
-        s"""WITH tok AS (SELECT doc_id, $cleanToks AS t
-           |  FROM (SELECT doc_id, $clean AS c FROM documents)),
-           |sig AS (SELECT doc_id,
-           |    md5(array_to_string(list_transform(range(0, 8), s ->
-           |      COALESCE(list_min(list_transform(${shinglesSql("t")},
-           |        x -> md5(CAST(s AS VARCHAR) || ':' || x))), '~empty')),
-           |      chr(0))) AS sig_key
-           |  FROM tok),
+        s"""WITH ${minhashSigCte(8)},
            |basek AS (SELECT DISTINCT sig_key FROM sig WHERE doc_id % 5 <> 0),
            |cand AS (SELECT doc_id, sig_key FROM sig
            |  WHERE doc_id % 5 = 0

@@ -863,7 +863,19 @@ private[graft] object Reg6MonitorAnn {
     "q265_bootstrap_ci" -> ((s, dir) =>
       Agg.bootstrapMeanCi(t(s, dir, "events"), "event_type", "event_id",
           "value")
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // streaming — the ADMISSION engine oracle-gated at last (the one
+    // streaming engine that stayed spec-gated through round 10): the
+    // documents fixture replayed as 3 micro-batches through
+    // streamingNearDupFilter; the emitted sig_key set must equal the
+    // batch signature-distinct (the q135 `sig` CTE — one fragment, two
+    // engines). Key-projected emission (the q239 discipline) so
+    // within-batch winner choice cannot leak; cross-batch twins must
+    // suppress from STATE.
+    "q266_stream_neardup_admission" -> ((s, dir) =>
+      graft.streaming.StreamOps.runNearDupAdmissionGate(s, dir, 3, 2)
+        .orderBy("sig_key"))
   )
 
   private val upsertSinkOracleSql: String =
@@ -2119,6 +2131,13 @@ private[graft] object Reg6MonitorAnn {
           |  CASE WHEN i.event_id IS NOT NULL THEN i.value
           |       ELSE e.value END AS value
           |FROM ex e FULL JOIN inc i ON e.event_id = i.event_id
-          |ORDER BY event_id""".stripMargin
+          |ORDER BY event_id""".stripMargin,
+
+      // the streaming admission engine answers to the batch signature
+      // distinct — the q135 sig CTE verbatim (one fragment, two engines)
+      "q266_stream_neardup_admission" ->
+        s"""WITH ${minhashSigCte(8)}
+           |SELECT DISTINCT sig_key FROM sig
+           |ORDER BY sig_key""".stripMargin
   )
 }

@@ -875,6 +875,63 @@ object StreamOps {
       stage
     })
 
+  /** Stage the documents fixture as `nFiles` parquet files carrying a
+    * synthetic event-time column (`ts` = epoch + 1 day + doc_id
+    * seconds) so WATERMARKED document engines can replay it. The 1-day
+    * offset is load-bearing: a stateful operator's INITIAL watermark is
+    * 0 (the epoch), and `dropDuplicatesWithinWatermark` drops
+    * already-late input rows — a doc_id-0 row timestamped exactly at
+    * the epoch is silently judged late by batch 2 and vanishes from the
+    * output (observed: 480 vs the oracle's 481 keys). Memoized like
+    * [[stageDocs]].
+    */
+  def stageDocsTs(spark: SparkSession, sfDir: String,
+                  nFiles: Int): String =
+    stageMemo.computeIfAbsent(s"$sfDir#$nFiles#docsts", _ => {
+      val stage = graft.TempDirs.register(java.nio.file.Files
+        .createTempDirectory("graft-stream-stage-docsts").toString)
+      graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(col("doc_id") + lit(86400L)).as("ts"))
+        .repartition(nFiles)
+        .write.mode("overwrite").parquet(stage)
+      stage
+    })
+
+  /** The oracle-gate bridge for [[streamingNearDupFilter]] — the
+    * streaming ADMISSION engine, driver-gated at last: replay the
+    * documents fixture as `nFiles` micro-batches through the signature
+    * admission filter and return the DISTINCT set of admitted state
+    * keys. Projecting the emission to `sig_key` alone makes the output
+    * the key set itself (the q239 discipline — within-batch winner
+    * choice cannot leak), and the unbounded lateness declaration makes
+    * the bounded replay an exact signature-distinct, which is what the
+    * batch oracle (the q135 `sig` CTE) computes. Cross-batch twins are
+    * the point: a signature admitted in batch 1 must suppress its
+    * batch-3 twin from STATE. Doc-level keep-first admission stays
+    * gated by the batch twin q135; this binds the STREAMING state key
+    * to the same signature function — one fragment, two engines.
+    */
+  def runNearDupAdmissionGate(spark: SparkSession, sfDir: String,
+                              nFiles: Int, statePartitions: Int,
+                              k: Int = 8): DataFrame = {
+    val stage = stageDocsTs(spark, sfDir, nFiles)
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val in = ns.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    runToAppendTable(
+      streamingNearDupFilter(in, "text", "ts", k,
+        watermark = "36500 days").select("sig_key"))
+  }
+
   /** The oracle-gate bridge for the incremental-CC STORE: replay the
     * documents fixture as `nFiles` micro-batches straight through
     * [[incrementalCCBatch]] (no admission filter — every doc folds in,

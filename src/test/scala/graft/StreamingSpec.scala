@@ -695,4 +695,26 @@ class StreamingSpec extends SparkSpec {
       rm(stage); rm(target); rm(chk1); rm(chk2)
     }
   }
+
+  test("near-dup admission gate: the admitted state-key set across " +
+      "micro-batches == the batch signature distinct, doc_id 0 included") {
+    val src = "/root/testdata/sf0.001"
+    val gate = StreamOps.runNearDupAdmissionGate(spark, src,
+      nFiles = 3, statePartitions = 2)
+      .select("sig_key").collect().map(_.getString(0)).toSet
+    // batch twin: the SAME signature pipeline the q135 admission pass
+    // runs, distinct over every doc — including doc_id 0, whose
+    // synthetic event time must NOT land on the epoch (the initial
+    // watermark) or the stateful op sheds it as late (the 480-vs-481
+    // regression this gate's staging offset exists to prevent)
+    import graft.ops.{Dedup, Text}
+    val batch = Tables.load(spark, src, "documents")
+      .select(Text.cleanTokens(col("text")).as("t"))
+      .withColumn("shs", Dedup.shingles(col("t")))
+      .select(md5(concat_ws("\u0000",
+        Dedup.minhashSignature(col("shs"), 8))).as("sig_key"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(gate === batch)
+    assert(gate.nonEmpty)
+  }
 }
