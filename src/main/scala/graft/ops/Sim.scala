@@ -660,6 +660,91 @@ object Sim {
     }
   }
 
+  /** Deterministic ±1 Johnson-Lindenstrauss sign rows: row i, coordinate
+    * j is +1 when the low bit of md5("jl:i:j")'s first byte is 0, else
+    * −1 — the dense Rademacher projection (Achlioptas 2003: ±1 entries
+    * satisfy the JL lemma with the same distortion bound as Gaussian
+    * entries), derived from md5 like [[hyperplanes]] so the oracle can
+    * regenerate the identical matrix in SQL (low bit of the byte = low
+    * bit of its second hex digit).
+    *
+    * The constant 1/√d scale is deliberately omitted: cosine is
+    * scale-invariant, so ranking in the projected space is unchanged
+    * and both engines skip agreeing on one more float.
+    */
+  def jlSigns(outDim: Int, dim: Int): Seq[Array[Float]] =
+    Seq.tabulate(outDim) { i =>
+      Array.tabulate(dim) { j =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val b0 = md.digest(s"jl:$i:$j".getBytes("UTF-8"))(0)
+        if ((b0 & 1) == 0) 1.0f else -1.0f
+      }
+    }
+
+  /** Project a float vector onto the JL sign rows: output coordinate i =
+    * dot(v, row_i), rounded to FLOAT32 so the projected corpus costs
+    * 4·outDim bytes/vector in storage and the oracle can replay the
+    * rounding (CAST AS REAL). Scan-local — outDim codegen'd plane dots
+    * per row, no shuffle, no training, no driver state: the
+    * data-INDEPENDENT dimensionality reduction (vs PQ's trained
+    * codebooks), applicable on first contact with a corpus.
+    */
+  def jlProject(vec: Column, signs: Seq[Array[Float]]): Column =
+    array(signs.map(s => dot(vec, typedLit(s.toSeq)).cast("float")): _*)
+
+  /** Measured JL recall sweep — the missing axis of the ANN matrix:
+    * q252/q255 measure compressing the BYTES (PQ codes, trained), this
+    * measures shrinking the DIMENSIONS (data-independent): brute top-k
+    * cosine in the out_dim-dimensional projected space vs the exact
+    * top-k in the original space, one row per out_dim with integer hit
+    * counts (the q228/q155 realized-recall contract).
+    *
+    * The projection is computed ONCE at max(outDims) and PREFIX-sliced
+    * per sweep point (row i of the sign matrix does not depend on
+    * outDim), so the corpus is projected exactly once.
+    *
+    * 100 TB shape: projection is scan-local; the reduced-space scan
+    * costs outDim/dim of the full-dimension scan and composes with the
+    * IVF/PQ layouts (project, then quantize). The sweep quantifies the
+    * recall price of that scan reduction on THIS corpus instead of
+    * citing the JL bound.
+    */
+  def jlRecallSweep(queries: DataFrame, candidates: DataFrame, k: Int,
+                    outDims: Seq[Int], idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(outDims.nonEmpty && outDims.forall(_ > 0),
+      s"need positive outDims, got $outDims")
+    // dim read from the data (one tiny job — the topKLsh discipline):
+    // a wrong dim constant would null every plane dot silently
+    val dimRow = candidates.agg(max(size(col(vecCol)))).head()
+    val dim = if (dimRow.isNullAt(0)) 0 else dimRow.getInt(0)
+    val signs = jlSigns(outDims.max, dim)
+    val truth = topK(queries, candidates, k, idCol, vecCol)
+      .select(col("q_id"), col("c_id"))
+      .withColumn("__hit", lit(true)).localCheckpoint()
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val qp = queries.select(col(idCol),
+      jlProject(col(vecCol), signs).as("__jl")).localCheckpoint()
+    val cp = candidates.select(col(idCol),
+      jlProject(col(vecCol), signs).as("__jl")).localCheckpoint()
+    outDims.sorted.map { od =>
+      val qd = qp.select(col(idCol), slice(col("__jl"), 1, od).as("__jl"))
+      val cd = cp.select(col(idCol), slice(col("__jl"), 1, od).as("__jl"))
+      topK(qd, cd, k, idCol, "__jl")
+        .select(col("q_id"), col("c_id"))
+        .join(truth, Seq("q_id", "c_id"), "left")
+        .agg(count(lit(1)).as("n_approx"),
+          coalesce(sum(when(col("__hit"), 1L).otherwise(0L)), lit(0L))
+            .as("n_hits"))
+        .crossJoin(broadcast(nT))
+        .select(lit(od).as("out_dim"), col("n_truth"), col("n_approx"),
+          col("n_hits"),
+          when(col("n_truth") === 0, lit(1.0)).otherwise(
+            Num.floorAt(col("n_hits").cast("double") /
+              col("n_truth"), 4)).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Deterministic k-means coarse quantizer (Lloyd's, cosine assignment):
     * builds the cell column that [[topKIvf]] probes when no natural label
     * exists. No rand() anywhere — init is the k lowest-id vectors, so

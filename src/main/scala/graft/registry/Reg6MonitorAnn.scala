@@ -875,7 +875,25 @@ private[graft] object Reg6MonitorAnn {
     // suppress from STATE.
     "q266_stream_neardup_admission" -> ((s, dir) =>
       graft.streaming.StreamOps.runNearDupAdmissionGate(s, dir, 3, 2)
-        .orderBy("sig_key"))
+        .orderBy("sig_key")),
+
+    // ANN — Johnson-Lindenstrauss dimensionality reduction with
+    // measured recall (Sim.jlRecallSweep scaladoc; Achlioptas 2003):
+    // the data-INDEPENDENT axis of the compression/recall trade next
+    // to PQ's trained codes (q252/q255) — brute top-5 in the ±1-sign
+    // projected space at out_dim 8/16/32/64 vs q40's exact truth, the
+    // sign matrix md5-derived so the oracle regenerates it verbatim.
+    // Measured on this corpus: 0.04/0.08/0.12/0.24 — the fixture's
+    // neighbor margins (~0.01-0.04 cosine) sit far below the ±1 map's
+    // distortion, so the UNTRAINED projection loses the ranking that
+    // PQ's trained 16-byte codes keep (q252) — which is the point: the
+    // sweep is the evidence for choosing trained compression here.
+    "q267_jl_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Sim.jlRecallSweep(emb.where(col("vec_id") < 10), emb, 5,
+          Seq(8, 16, 32, 64))
+        .orderBy("out_dim")
+    })
   )
 
   private val upsertSinkOracleSql: String =
@@ -2138,6 +2156,62 @@ private[graft] object Reg6MonitorAnn {
       "q266_stream_neardup_admission" ->
         s"""WITH ${minhashSigCte(8)}
            |SELECT DISTINCT sig_key FROM sig
-           |ORDER BY sig_key""".stripMargin
+           |ORDER BY sig_key""".stripMargin,
+
+      // JL sign matrix regenerated from md5 parity (low bit of the
+      // digest's first byte = low bit of its second hex digit);
+      // projection summed in DOUBLE in coordinate order then rounded
+      // to REAL (the engine's float32 storage), brute top-5 per
+      // out_dim with the q40 cosine/floor/tie-break, hits vs the q40
+      // brute truth
+      "q267_jl_recall" ->
+        s"""WITH signs AS (
+           |  SELECT i.i AS i,
+           |    list(CASE WHEN strpos('13579bdf', substr(md5(
+           |        'jl:' || CAST(i.i AS VARCHAR) || ':' ||
+           |        CAST(j.j AS VARCHAR)), 2, 1)) > 0
+           |      THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE)
+           |      END ORDER BY j.j) AS srow
+           |  FROM range(0, 64) i(i) CROSS JOIN range(0, 64) j(j)
+           |  GROUP BY i.i),
+           |proj AS (
+           |  SELECT e.vec_id, s.i,
+           |    CAST(CAST(list_sum(list_transform(range(1, 65),
+           |      p -> CAST(e.embedding[p] AS DOUBLE) * s.srow[p]))
+           |      AS REAL) AS DOUBLE) AS y
+           |  FROM embeddings e CROSS JOIN signs s),
+           |ods AS (SELECT UNNEST([8, 16, 32, 64]) AS od),
+           |pv AS (
+           |  SELECT d.od, p.vec_id, list(p.y ORDER BY p.i) AS v
+           |  FROM proj p CROSS JOIN ods d WHERE p.i < d.od
+           |  GROUP BY d.od, p.vec_id),
+           |brute AS (SELECT q_id, c_id FROM ($topkCosineSql)),
+           |nt AS (SELECT COUNT(*) AS n_truth FROM brute),
+           |scored AS (
+           |  SELECT q.od, q.vec_id AS q_id, c.vec_id AS c_id,
+           |    floor((
+           |      list_sum(list_transform(range(1, q.od + 1),
+           |        i -> q.v[i] * c.v[i]))
+           |      / (sqrt(list_sum(list_transform(range(1, q.od + 1),
+           |           i -> q.v[i] * q.v[i])))
+           |       * sqrt(list_sum(list_transform(range(1, q.od + 1),
+           |           i -> c.v[i] * c.v[i]))))) * 10000) / 10000 AS sim
+           |  FROM pv q JOIN pv c ON q.od = c.od
+           |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+           |topk AS (
+           |  SELECT od, q_id, c_id FROM (
+           |    SELECT od, q_id, c_id, row_number() OVER (
+           |      PARTITION BY od, q_id ORDER BY sim DESC, c_id ASC) AS rk
+           |    FROM scored) WHERE rk <= 5),
+           |stats AS (
+           |  SELECT a.od, COUNT(*) AS n_approx, COUNT(b.q_id) AS n_hits
+           |  FROM topk a LEFT JOIN brute b
+           |    ON b.q_id = a.q_id AND b.c_id = a.c_id
+           |  GROUP BY a.od)
+           |SELECT od AS out_dim, n_truth, n_approx, n_hits,
+           |  CASE WHEN n_truth = 0 THEN 1.0
+           |       ELSE ${Num.floorAtSql(
+               "CAST(n_hits AS DOUBLE) / n_truth", 4)} END AS recall
+           |FROM stats CROSS JOIN nt ORDER BY out_dim""".stripMargin
   )
 }

@@ -234,4 +234,40 @@ class Round11OpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("jlProject: native projection equals the in-memory reference, " +
+      "signs are ±1 and deterministic, and an exact-duplicate pair " +
+      "stays rank-1 through any projection") {
+    val signs = Sim.jlSigns(16, 8)
+    assert(signs.map(_.toSeq) === Sim.jlSigns(16, 8).map(_.toSeq))
+    assert(signs.flatten.forall(s => s == 1.0f || s == -1.0f))
+    // reference projection: sequential double sum, rounded to float
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.25f, 2f, 0.125f, -3f, 0.75f, 1.5f, -0.25f)),
+      (2L, Array(1f, 1f, -1f, 2f, 0.5f, -0.5f, 0.25f, 4f)),
+      (3L, Array(0.5f, -1.25f, 2f, 0.125f, -3f, 0.75f, 1.5f, -0.25f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        Sim.jlProject(col("embedding"), signs).as("jl"))
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    vecs.foreach { case (id, v) =>
+      val want = signs.map(row =>
+        v.indices.foldLeft(0.0)((acc, j) =>
+          acc + v(j).toDouble * row(j).toDouble).toFloat)
+      assert(got.toMap.apply(id) === want, s"projection of $id")
+    }
+    // vec 3 is vec 1 verbatim: identical projections, so the duplicate
+    // is cosine-1.0 rank-1 in the projected space at every out_dim
+    assert(got.toMap.apply(1L) === got.toMap.apply(3L))
+    val sweep = Sim.jlRecallSweep(
+      df.where(col("vec_id") === 1), df.where(col("vec_id") =!= 1),
+      1, Seq(4, 8), vecCol = "embedding")
+      .orderBy("out_dim").collect()
+    // truth top-1 of vec 1 is its duplicate vec 3; projection keeps it
+    sweep.foreach { r =>
+      assert(r.getAs[Long]("n_hits") === 1L,
+        s"out_dim ${r.getAs[Int]("out_dim")} lost the exact duplicate")
+    }
+  }
 }
