@@ -745,6 +745,98 @@ object Sim {
     }.reduce(_ unionByName _)
   }
 
+  /** Top principal component of an embedding column — ONE distributed
+    * pass, then a driver-sized eigensolve (the [[pqCodebooks]] shape:
+    * the cluster reduces, the driver holds only model-sized state).
+    *
+    * The distributed pass computes n, the per-coordinate mean, and the
+    * full second-moment matrix Σ xᵢxⱼ with DECIMAL(27,10) sums (the
+    * q125 discipline: order-insensitive exact accumulation, so the
+    * result is independent of partition order and bit-reproducible in
+    * DuckDB). The driver assembles C = Σxᵢxⱼ/n − μᵢμⱼ (d² doubles —
+    * 64×64 here) and runs `iters` power iterations from v₀ = (1,…,1):
+    * w = C·v summed in ascending-j order, λ = ‖w‖ summed in
+    * ascending-i order, v = w/λ — every FP op sequenced so the oracle
+    * can replay the identical arithmetic as unrolled SQL stages.
+    * Orientation is v₀-determined (deterministic, not canonicalized).
+    *
+    * Output: one row per coordinate — (dim_pos, loading, lambda,
+    * explained = λ/trace(C)), doubles floored at 9 dp.
+    *
+    * 100 TB shape: the only data-sized work is the moment pass — a
+    * scan-local d² explode into a 4096-group aggregate (mergeable
+    * state, map-side combined); collect moves d² + d values, never
+    * rows. Power iteration is O(d²·iters) driver FLOPs — microseconds
+    * at d = 64. The d² explode caps the practical d at a few hundred
+    * (d = 1000 → 1M-row shuffle state, still fine; d = 10⁵ wants the
+    * matrix-free iterate-on-cluster variant instead).
+    */
+  def pcaTopComponent(df: DataFrame, iters: Int = 8,
+                      vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dimRow = df.agg(max(size(col(vecCol)))).head()
+    require(!dimRow.isNullAt(0) && dimRow.getInt(0) > 0,
+      "pcaTopComponent needs at least one non-empty vector")
+    val dim = dimRow.getInt(0)
+    val muRows = df.select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg((sum(col("x").cast("double").cast("decimal(27,10)"))
+        .cast("double") / count(lit(1))).as("mu"),
+        count(lit(1)).as("n"))
+      .collect()
+    val n = muRows.head.getLong(2)
+    val mu = Array.ofDim[Double](dim)
+    muRows.foreach(r => mu(r.getInt(0)) = r.getDouble(1))
+    // second moments: within-row coordinate pairs — the first explode's
+    // array is carried as an attribute so the second explode re-reads
+    // it, not recomputes it (Dedup.shingles scaladoc contract)
+    val withI = df.select(col(vecCol).as("__v"))
+      .select(col("__v"), posexplode(col("__v")).as(Seq("i", "xi")))
+    // upper triangle only (j >= i) — halves the exploded row count; the
+    // mirrored entry is BIT-identical to computing it directly (the
+    // product commutes exactly in double and the decimal sum is
+    // order-insensitive), so the oracle's full-matrix replay agrees
+    val sxxRows = withI
+      .select(col("i"), col("xi"),
+        posexplode(col("__v")).as(Seq("j", "xj")))
+      .where(col("j") >= col("i"))
+      .select(col("i"), col("j"),
+        (col("xi").cast("double") * col("xj").cast("double"))
+          .cast("decimal(27,10)").as("p"))
+      .groupBy("i", "j").agg(sum(col("p")).cast("double").as("s"))
+      .collect()
+    val c = Array.ofDim[Double](dim, dim)
+    sxxRows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val cij = r.getDouble(2) / n - mu(i) * mu(j)
+      c(i)(j) = cij
+      c(j)(i) = cij
+    }
+    var v = Array.fill(dim)(1.0)
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += c(i)(j) * v(j); j += 1 }
+        acc
+      }
+      var s2 = 0.0
+      var i = 0
+      while (i < dim) { s2 += w(i) * w(i); i += 1 }
+      lambda = math.sqrt(s2)
+      v = w.map(_ / lambda)
+    }
+    var trace = 0.0
+    (0 until dim).foreach(i => trace += c(i)(i))
+    (0 until dim).map { i =>
+      (i + 1, Num.floorDouble(v(i), 9), Num.floorDouble(lambda, 9),
+        Num.floorDouble(lambda / trace, 9))
+    }.toDF("dim_pos", "loading", "lambda", "explained")
+  }
+
   /** Deterministic k-means coarse quantizer (Lloyd's, cosine assignment):
     * builds the cell column that [[topKIvf]] probes when no natural label
     * exists. No rand() anywhere — init is the k lowest-id vectors, so

@@ -893,7 +893,18 @@ private[graft] object Reg6MonitorAnn {
       Sim.jlRecallSweep(emb.where(col("vec_id") < 10), emb, 5,
           Seq(8, 16, 32, 64))
         .orderBy("out_dim")
-    })
+    }),
+
+    // embeddings — top principal component (Sim.pcaTopComponent
+    // scaladoc): one decimal-exact moment pass, driver-sized power
+    // iteration (8 iterations from v0 = ones), the oracle replaying
+    // BOTH — the covariance as the same DECIMAL(27,10) aggregation and
+    // the eigensolve as 8 unrolled materialized SQL stages with
+    // identical FP sequencing. The trained linear map the JL sweep
+    // (q267) measures the absence of.
+    "q268_pca_power" -> ((s, dir) =>
+      Sim.pcaTopComponent(t(s, dir, "embeddings"))
+        .orderBy("dim_pos"))
   )
 
   private val upsertSinkOracleSql: String =
@@ -2212,6 +2223,61 @@ private[graft] object Reg6MonitorAnn {
            |  CASE WHEN n_truth = 0 THEN 1.0
            |       ELSE ${Num.floorAtSql(
                "CAST(n_hits AS DOUBLE) / n_truth", 4)} END AS recall
-           |FROM stats CROSS JOIN nt ORDER BY out_dim""".stripMargin
+           |FROM stats CROSS JOIN nt ORDER BY out_dim""".stripMargin,
+
+      // covariance via the q125 DECIMAL discipline, then the 8 power
+      // iterations unrolled as MATERIALIZED stages (each w-stage is
+      // referenced twice — by its norm and its normalize — and each
+      // v-stage by the next w-stage: inlining would replay the chain
+      // 2^8 times, the bpeChainSql lesson). Every list_sum runs in
+      // ascending index order, mirroring the driver's loops.
+      "q268_pca_power" -> {
+        val iterStages = (1 to 8).map { t =>
+          s"""w$t AS MATERIALIZED (
+             |  SELECT c.i AS i, list_sum(list_transform(range(1, 65),
+             |    j -> c.cl[j] * p.vv[j])) AS w
+             |  FROM cm c CROSS JOIN v${t - 1} p),
+             |n$t AS MATERIALIZED (
+             |  SELECT sqrt(list_sum(list(w * w ORDER BY i))) AS nm
+             |  FROM w$t),
+             |v$t AS MATERIALIZED (
+             |  SELECT list(w / (SELECT nm FROM n$t) ORDER BY i) AS vv
+             |  FROM w$t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (
+           |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |st AS (SELECT COUNT(*) AS n FROM e),
+           |mu AS MATERIALIZED (
+           |  SELECT i.i AS i,
+           |    CAST(SUM(CAST(v[i.i] AS DECIMAL(27,10))) AS DOUBLE)
+           |      / (SELECT n FROM st) AS m
+           |  FROM e CROSS JOIN range(1, 65) i(i) GROUP BY i.i),
+           |sxx AS (
+           |  SELECT i.i AS i, j.j AS j,
+           |    CAST(SUM(CAST(v[i.i] * v[j.j] AS DECIMAL(27,10)))
+           |      AS DOUBLE) AS s
+           |  FROM e CROSS JOIN range(1, 65) i(i)
+           |    CROSS JOIN range(1, 65) j(j)
+           |  GROUP BY i.i, j.j),
+           |cm AS MATERIALIZED (
+           |  SELECT s.i AS i,
+           |    list(s.s / (SELECT n FROM st) - mi.m * mj.m
+           |      ORDER BY s.j) AS cl
+           |  FROM sxx s JOIN mu mi ON mi.i = s.i JOIN mu mj ON mj.i = s.j
+           |  GROUP BY s.i),
+           |v0 AS (SELECT list_transform(range(1, 65),
+           |  x -> CAST(1.0 AS DOUBLE)) AS vv),
+           |$iterStages,
+           |tr AS (SELECT list_sum(list(cl[i] ORDER BY i)) AS trace
+           |  FROM cm)
+           |SELECT CAST(i.i AS INTEGER) AS dim_pos,
+           |  ${Num.floorAtSql("(SELECT vv FROM v8)[i.i]", 9)} AS loading,
+           |  ${Num.floorAtSql("(SELECT nm FROM n8)", 9)} AS lambda,
+           |  ${Num.floorAtSql(
+             "(SELECT nm FROM n8) / (SELECT trace FROM tr)", 9)}
+           |    AS explained
+           |FROM range(1, 65) i(i) ORDER BY dim_pos""".stripMargin
+      }
   )
 }

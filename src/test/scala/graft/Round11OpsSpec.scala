@@ -270,4 +270,57 @@ class Round11OpsSpec extends SparkSpec {
         s"out_dim ${r.getAs[Int]("out_dim")} lost the exact duplicate")
     }
   }
+
+  test("pcaTopComponent equals the in-memory reference bit-for-bit " +
+      "(decimal-emulated moment pass + identical power iteration) and " +
+      "the loadings are unit-norm") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val got = Sim.pcaTopComponent(emb).orderBy("dim_pos").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    // in-memory reference replicating the engine's arithmetic exactly:
+    // Spark's double->DECIMAL(27,10) cast rounds the SHORTEST decimal
+    // representation (BigDecimal.valueOf) HALF_UP at 10 dp
+    def dec(x: Double): JBD = JBD.valueOf(x).setScale(10,
+      RoundingMode.HALF_UP)
+    val rows = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val n = rows.length
+    val dim = rows.head.length
+    val mu = Array.tabulate(dim) { j =>
+      rows.foldLeft(JBD.ZERO)((a, v) => a.add(dec(v(j).toDouble)))
+        .doubleValue / n
+    }
+    val c = Array.tabulate(dim, dim) { (i, j) =>
+      rows.foldLeft(JBD.ZERO)((a, v) =>
+          a.add(dec(v(i).toDouble * v(j).toDouble)))
+        .doubleValue / n - mu(i) * mu(j)
+    }
+    var v = Array.fill(dim)(1.0)
+    var lambda = 0.0
+    for (_ <- 1 to 8) {
+      val w = Array.tabulate(dim) { i =>
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += c(i)(j) * v(j); j += 1 }
+        acc
+      }
+      var s2 = 0.0; var i = 0
+      while (i < dim) { s2 += w(i) * w(i); i += 1 }
+      lambda = math.sqrt(s2)
+      v = w.map(_ / lambda)
+    }
+    var trace = 0.0
+    (0 until dim).foreach(i => trace += c(i)(i))
+    val want = (0 until dim).map { i =>
+      (i + 1, graft.ops.Num.floorDouble(v(i), 9),
+        graft.ops.Num.floorDouble(lambda, 9),
+        graft.ops.Num.floorDouble(lambda / trace, 9))
+    }
+    assert(got.toSeq === want)
+    val norm2 = v.map(x => x * x).sum
+    assert(math.abs(norm2 - 1.0) < 1e-12, s"loading norm^2 $norm2")
+    assert(lambda > 0 && lambda / trace > 0 && lambda / trace <= 1.0)
+  }
 }
