@@ -321,6 +321,42 @@ object Curate {
     docs.where(md5Frac(col(idCol)) < rate)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006): each row draws priority u^(1/w) with u its
+    * [[md5Frac]] uniform and w its weight column; the k highest
+    * priorities (per group, when `groupCol` is set) are a weighted
+    * sample without replacement — selection probability rises with w,
+    * and the whole draw replays from ids alone: no RNG state, no seed
+    * coordination across executors, no dependence on row order or
+    * partitioning. This is the quality-proportional subsampler
+    * [[mixtureSample]]'s rate form cannot express: a hard k-row budget
+    * whose composition still follows the weights.
+    *
+    * Priorities are floored at 9 dp before ranking (pow is the one
+    * libm call in the chain — the [[mixtureWeights]] precedent) and
+    * ties break on the id, so the selected SET is stable across
+    * engines and re-runs. Weights must be strictly positive.
+    *
+    * Scale shape: the priority is scan-local; the top-k is one
+    * rank-window — WindowGroupLimit keeps a k-row heap per map
+    * partition, so only k rows per partition reach the (per-group)
+    * reducer. No candidate materialization, no second pass.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+                     k: Int, groupCol: Option[String] = None)
+      : DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val pri = graft.ops.Num.floorAt(
+      pow(md5Frac(col(idCol)), lit(1.0) / col(weightCol).cast("double")),
+      9)
+    val win = groupCol.map(g => Window.partitionBy(g))
+      .getOrElse(Window.partitionBy())
+      .orderBy(col("priority").desc, col(idCol).asc)
+    docs.withColumn("priority", pri)
+      .withColumn("rk", row_number().over(win))
+      .where(col("rk") <= k)
+  }
+
   /** Temperature-scaled mixture weights: given per-group token counts,
     * the alpha-temperature sampling weights w_g = n_g^α / Σ n^α — the
     * standard rebalancing between "proportional to size" (α = 1) and

@@ -581,7 +581,21 @@ private[graft] object Reg3Curation {
     // |event_type| = 5, so the decrement path genuinely runs here.
     "q250_mg_heavy_hitters" -> ((s, dir) =>
       Sketch.mgHeavyHitters(t(s, dir, "events"), "event_type", capacity = 4)
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+
+    // curation — deterministic weighted sampling WITHOUT replacement
+    // (Curate.weightedSample scaladoc; Efraimidis & Spirakis 2006):
+    // per-source top-10 by priority u^(1/w), weight = n_chars + 1 —
+    // the hard-budget quality-proportional subsampler next to the
+    // rate-based q117 and the quota q110; the draw replays from ids
+    // alone (md5 uniforms, no RNG state).
+    "q269_weighted_sample" -> ((s, dir) =>
+      Curate.weightedSample(
+          t(s, dir, "documents").withColumn("wt", col("n_chars") + 1),
+          "doc_id", "wt", 10, groupCol = Some("source"))
+        .select("source", "doc_id", "wt", "priority", "rk")
+        .orderBy("source", "rk"))
   )
 
   def oracles: ListMap[String, String] = ListMap(
@@ -1140,6 +1154,26 @@ private[graft] object Reg3Curation {
            |    AS share
            |FROM c CROSS JOIN n
            |WHERE exact_cnt * 5 > n_total
-           |ORDER BY event_type""".stripMargin
+           |ORDER BY event_type""".stripMargin,
+
+      // Efraimidis-Spirakis priorities replayed nibble-for-nibble:
+      // u = md5Frac(doc_id), priority = floor9(u^(1/wt)), per-source
+      // row_number with the id tie-break
+      "q269_weighted_sample" ->
+        s"""WITH pri AS (
+           |  SELECT source, doc_id, n_chars + 1 AS wt,
+           |    ${Num.floorAtSql(
+             s"pow(${md5HexNSql("CAST(doc_id AS VARCHAR)", 8)}" +
+               " / 4294967296.0, CAST(1.0 AS DOUBLE)" +
+               " / CAST(n_chars + 1 AS DOUBLE))", 9)} AS priority
+           |  FROM documents),
+           |r AS (
+           |  SELECT source, doc_id, wt, priority,
+           |    CAST(row_number() OVER (PARTITION BY source
+           |      ORDER BY priority DESC, doc_id ASC) AS INTEGER) AS rk
+           |  FROM pri)
+           |SELECT source, doc_id, wt, priority, rk
+           |FROM r WHERE rk <= 10
+           |ORDER BY source, rk""".stripMargin
   )
 }

@@ -323,4 +323,37 @@ class Round11OpsSpec extends SparkSpec {
     assert(math.abs(norm2 - 1.0) < 1e-12, s"loading norm^2 $norm2")
     assert(lambda > 0 && lambda / trace > 0 && lambda / trace <= 1.0)
   }
+
+  test("weightedSample: partition-invariant, uniform at equal weights, " +
+      "and weight-followed in expectation") {
+    import graft.ops.Curate
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("wt", col("n_chars") + 1)
+    val pick = Curate.weightedSample(docs, "doc_id", "wt", 25)
+      .select("doc_id").as[Long].collect().toSet
+    // the draw is a function of ids+weights alone — any physical layout
+    // must select the identical set
+    val pickShuffled = Curate.weightedSample(docs.repartition(7),
+        "doc_id", "wt", 25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pick === pickShuffled)
+    // equal weights degenerate to a plain md5-uniform top-k: u^(1/1)=u
+    val uni = Curate.weightedSample(docs.withColumn("wt", lit(1L)),
+        "doc_id", "wt", 25)
+      .select("doc_id").as[Long].collect().toSet
+    val topByFrac = docs
+      .withColumn("u", Curate.md5Frac(col("doc_id")))
+      .orderBy(col("u").desc, col("doc_id").asc).limit(25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(uni === topByFrac)
+    // weighting steers composition: the selected docs' mean weight must
+    // exceed the corpus mean (length-proportional sampling on a corpus
+    // with varied lengths — a directional check, not a distribution fit)
+    val meanSel = docs.where(col("doc_id").isin(pick.toSeq: _*))
+      .agg(avg("wt")).head().getDouble(0)
+    val meanAll = docs.agg(avg("wt")).head().getDouble(0)
+    assert(meanSel > meanAll,
+      s"selected mean weight $meanSel not above corpus mean $meanAll")
+  }
 }
