@@ -255,8 +255,12 @@ private[graft] object Fragments {
     // ending in `pairs(id_a, id_b)` — shared by the CC oracle and the
     // triangle-census oracle so every graph query provably runs on the
     // identical edge set
-    val verifiedPairsCte =
-      s"""cleaned AS (SELECT doc_id AS id, ${cleanSql("text")} AS c FROM documents),
+    // parameterized by a doc predicate so the store's TIME-TRAVEL gate
+    // (q270) can replay the identical chain over a version's admitted
+    // prefix — signatures are per-doc, so pairs among a doc subset ARE
+    // the chain run on that subset
+    def verifiedPairsCteFor(docWhere: String): String =
+      s"""cleaned AS (SELECT doc_id AS id, ${cleanSql("text")} AS c FROM documents WHERE $docWhere),
          |sh AS (SELECT id, ${shinglesSql("t")} AS shs
          |       FROM (SELECT id, ${toksSql("c")} AS t FROM cleaned)),
          |sig AS (SELECT id,
@@ -284,6 +288,8 @@ private[graft] object Fragments {
          |  WHERE floor(CAST(c AS DOUBLE) / (na + nb - c) * 10000) / 10000
          |    >= 0.2)""".stripMargin
 
+    val verifiedPairsCte = verifiedPairsCteFor("TRUE")
+
     // ONE oracle for both connected-components engines: q128 (fixpoint
     // label propagation) and q130 (alternating large-star/small-star)
     // must produce the identical component map over the identical q111
@@ -303,14 +309,16 @@ private[graft] object Fragments {
         |comp AS (SELECT id AS doc_id, MIN(lbl) AS component
         |         FROM reach GROUP BY id)""".stripMargin
 
-    val ccOracleSql =
+    def ccOracleSqlFor(docWhere: String): String =
       s"""WITH RECURSIVE
-         |$verifiedPairsCte,
+         |${verifiedPairsCteFor(docWhere)},
          |$ccCte
          |SELECT doc_id, component,
          |  COUNT(*) OVER (PARTITION BY component) AS n_members,
          |  (doc_id = component) AS is_survivor
          |FROM comp ORDER BY doc_id""".stripMargin
+
+    val ccOracleSql = ccOracleSqlFor("TRUE")
 
     // the q170 Cavnar–Trenkle prediction as a reusable CTE chain ending
     // in `ct_pred(doc_id, lang, pred_lang, dist)` — shared by the

@@ -895,6 +895,18 @@ private[graft] object Reg6MonitorAnn {
         .orderBy("out_dim")
     }),
 
+    // artifact store — TIME-TRAVEL read (StreamOps.ccLabelsAsOf): the
+    // incremental-CC store's labels AS OF version 1 of a 3-bucket
+    // deterministic fold must equal batch CC over buckets 0-1 — the
+    // version's admitted prefix, replayed by the SAME q128/q130/q140/
+    // q245 oracle chain restricted to doc_id % 3 <= 1. History is
+    // auditable lineage, not a cache: the store's past is the fold's
+    // prefix bit-for-bit.
+    "q270_cc_asof" -> ((s, dir) =>
+      graft.streaming.StreamOps.runCCAsOfGate(s, dir, buckets = 3,
+          asOf = 1)
+        .orderBy("doc_id")),
+
     // embeddings — top principal component (Sim.pcaTopComponent
     // scaladoc): one decimal-exact moment pass, driver-sized power
     // iteration (8 iterations from v0 = ones), the oracle replaying
@@ -2224,6 +2236,11 @@ private[graft] object Reg6MonitorAnn {
            |       ELSE ${Num.floorAtSql(
                "CAST(n_hits AS DOUBLE) / n_truth", 4)} END AS recall
            |FROM stats CROSS JOIN nt ORDER BY out_dim""".stripMargin,
+
+      // the q128/q130/q140/q245 CC chain over version 1's admitted
+      // prefix — deterministic bucket membership is what makes the
+      // version's doc set nameable in SQL
+      "q270_cc_asof" -> ccOracleSqlFor("doc_id % 3 <= 1"),
 
       // covariance via the q125 DECIMAL discipline, then the 8 power
       // iterations unrolled as MATERIALIZED stages (each w-stage is

@@ -640,7 +640,7 @@ object StreamOps {
     * micro-batch boundaries instead of collapsing into one batch.
     * Timestamps are normalized to micros by Tables.load on the way in.
     */
-  private val stageMemo =
+  private[graft] val stageMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def stageEvents(spark: SparkSession, sfDir: String,
@@ -930,6 +930,65 @@ object StreamOps {
     runToAppendTable(
       streamingNearDupFilter(in, "text", "ts", k,
         watermark = "36500 days").select("sig_key"))
+  }
+
+  /** TIME-TRAVEL read of a [[streamingIncrementalCC]] store: the label
+    * frame AS OF a committed `version` — the store keeps every
+    * committed version's full labels (see [[incrementalCCBatch]]), so
+    * history is queryable, not just the head. Throws on an uncommitted
+    * version rather than silently reading a partial write.
+    */
+  def ccLabelsAsOf(spark: SparkSession, storeDir: String,
+                   version: Long): DataFrame = {
+    require(committedCCVersions(storeDir).contains(version),
+      s"version $version is not committed at $storeDir " +
+        s"(committed: ${committedCCVersions(storeDir).mkString(",")})")
+    spark.read.parquet(s"$storeDir/v$version/labels")
+  }
+
+  /** The oracle gate for [[ccLabelsAsOf]]: fold the documents fixture
+    * into a fresh store as `buckets` DETERMINISTIC batches (membership
+    * = doc_id mod buckets, folded in ascending bucket order through
+    * the SAME [[incrementalCCBatch]] the q245 streaming gate drives),
+    * then read the labels AS OF version `asOf`. The history claim
+    * under test: version v IS batch CC over buckets 0..v — the store's
+    * past is exactly the fold's prefix, bit-for-bit, which is what
+    * makes it auditable lineage rather than a cache. Deterministic
+    * bucket membership (the q264 day-bucket discipline) is what lets
+    * the oracle name a version's doc set; q245's repartition staging
+    * can only gate the FINAL state.
+    *
+    * The store build is memoized per (fixture, buckets, params) —
+    * [[incrementalCCBatch]] replays idempotently, so concurrent or
+    * repeated gates read the same committed history.
+    */
+  def runCCAsOfGate(spark: SparkSession, sfDir: String, buckets: Int,
+                    asOf: Int, statePartitions: Int = 2, k: Int = 8,
+                    bands: Int = 4, minJaccard: Double = 0.2)
+      : DataFrame = {
+    require(asOf >= 0 && asOf < buckets,
+      s"need 0 <= asOf < buckets, got asOf=$asOf buckets=$buckets")
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val store = stageMemo.computeIfAbsent(
+      s"$sfDir#$buckets#$k#$bands#$minJaccard#ccasof", _ => {
+        val dir = graft.TempDirs.register(java.nio.file.Files
+          .createTempDirectory("graft-ccasof-store").toString)
+        val docs = graft.Tables.load(ns, sfDir, "documents")
+          .select(col("doc_id"), col("text"))
+        (0 until buckets).foreach { b =>
+          incrementalCCBatch(dir, "text", k, bands, minJaccard)(
+            docs.where(pmod(col("doc_id"), lit(buckets.toLong)) === b),
+            b.toLong)
+        }
+        dir
+      })
+    val labels = ccLabelsAsOf(ns, store, asOf.toLong)
+    val sizes = labels.groupBy("component")
+      .agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, Seq("component"))
+      .select(col("doc_id"), col("component"), col("n_members"),
+        (col("doc_id") === col("component")).as("is_survivor"))
   }
 
   /** The oracle-gate bridge for the incremental-CC STORE: replay the

@@ -717,4 +717,38 @@ class StreamingSpec extends SparkSpec {
     assert(gate === batch)
     assert(gate.nonEmpty)
   }
+
+  test("ccLabelsAsOf: every committed version equals batch CC over its " +
+      "bucket prefix; head == standingCCLabels; uncommitted throws") {
+    import graft.ops.Dedup
+    val src = "/root/testdata/sf0.001"
+    val buckets = 3
+    // the gate memoizes the store per (fixture, params); a direct call
+    // gives us its dir by replaying the same key through the gate once
+    StreamOps.runCCAsOfGate(spark, src, buckets, asOf = 0)
+    val storeField = StreamOps.stageMemo
+      .get(s"$src#$buckets#8#4#0.2#ccasof")
+    assert(storeField != null, "store memo missing")
+    val docs = Tables.load(spark, src, "documents")
+      .select(col("doc_id"), col("text"))
+    for (v <- 0 until buckets) {
+      val asOf = StreamOps.ccLabelsAsOf(spark, storeField, v.toLong)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val prefix = docs.where(pmod(col("doc_id"), lit(buckets.toLong))
+        <= v)
+      val batch = Dedup.componentsConverged(
+          Dedup.lshVerifiedPairs(prefix, "doc_id", "text", 8, 4, 0.2))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(asOf === batch, s"version $v != batch CC over its prefix")
+    }
+    val head = StreamOps.standingCCLabels(spark, storeField)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val last = StreamOps.ccLabelsAsOf(spark, storeField,
+        (buckets - 1).toLong)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(head === last)
+    intercept[IllegalArgumentException] {
+      StreamOps.ccLabelsAsOf(spark, storeField, 99L)
+    }
+  }
 }
