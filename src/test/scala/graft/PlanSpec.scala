@@ -687,4 +687,15 @@ class PlanSpec extends SparkSpec {
       tp.contains("BroadcastHashJoin"), tp.take(1200))
     assert(!tp.contains("SortMergeJoin"), tp.take(1200))
   }
+
+  test("q269 weighted sample is a map-side-partial WindowGroupLimit: " +
+      "only k rows per partition per source reach the rank reducer") {
+    val p = plan("q269_weighted_sample")
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    assert(p.contains("Partial"), p.take(1500))
+    // the priority is scan-local — no join, no extra shuffle beyond the
+    // per-source rank exchange and the final presentation sort
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      p.take(1500))
+  }
 }

@@ -324,6 +324,16 @@ class Round11OpsSpec extends SparkSpec {
     assert(lambda > 0 && lambda / trace > 0 && lambda / trace <= 1.0)
   }
 
+  test("pcaTopComponent is layout-invariant: identical output under " +
+      "repartition (the DECIMAL moment sums are order-insensitive)") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val a = Sim.pcaTopComponent(emb).orderBy("dim_pos").collect().toSeq
+    val b = Sim.pcaTopComponent(emb.repartition(13))
+      .orderBy("dim_pos").collect().toSeq
+    assert(a === b)
+  }
+
   test("weightedSample: partition-invariant, uniform at equal weights, " +
       "and weight-followed in expectation") {
     import graft.ops.Curate
