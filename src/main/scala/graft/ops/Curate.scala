@@ -503,6 +503,87 @@ object Curate {
         md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
   }
 
+  /** Content-defined chunking over the token stream (the Gear/FastCDC
+    * shape — Xia et al. 2016 — applied to tokens): a chunk boundary
+    * falls AFTER token p whenever the windowed polynomial hash of the
+    * last `w` token values satisfies h % maskMod == 0, so boundaries
+    * are a function of CONTENT, not position — an insertion shifts
+    * every fixed-block frame ([[dedupSegments]]'s q126 blocks) but
+    * leaves all CDC boundaries outside the edited window intact. This
+    * is the storage/delta-transfer dedup primitive: chunk-hash
+    * equality across near-identical docs survives prefix edits.
+    *
+    * Determinism & cross-engine replay: token value = first 8 md5 hex
+    * digits as a long (the md5HexN convention), h = Σ tv[p−i]·base^i —
+    * pure 64-bit integer arithmetic, bit-equal in DuckDB. The windowed
+    * (position-independent) form is chosen over a running rolling hash
+    * precisely so the oracle can compute every position independently.
+    *
+    * Scale shape: entirely scan-local per doc (O(len·w) hash work, all
+    * inside one projection — no shuffle until the chunk-hash groupBy,
+    * which is partial-aggregated). maskMod sets the expected chunk
+    * length (~maskMod tokens).
+    *
+    * Output per `grpCol` group: n_docs, n_chunks, n_distinct_chunks
+    * (within group), dup_share, mean_chunk_tokens.
+    */
+  def cdcChunkStats(docs: DataFrame, idCol: String, textCol: String,
+                    grpCol: String, w: Int = 4, maskMod: Int = 16,
+                    base: Long = 64L): DataFrame = {
+    require(w >= 1 && maskMod >= 2 && base >= 2,
+      s"bad CDC params w=$w maskMod=$maskMod base=$base")
+    val toks = docs.select(col(idCol), col(grpCol).as("grp"),
+        graft.ops.Text.cleanTokens(col(textCol)).as("t"))
+      .withColumn("n", size(col("t")))
+      .where(col("n") > 0)
+      .withColumn("tv", transform(col("t"), t =>
+        conv(substring(md5(t), 1, 8), 16, 10).cast("long")))
+    def hAt(p: Column): Column =
+      (0 until w).map(i => element_at(col("tv"), p - i) *
+        lit((0 until i).foldLeft(1L)((a, _) => a * base))).reduce(_ + _)
+    val withB = toks.withColumn("bnd",
+      when(col("n") >= w,
+        filter(sequence(lit(w), col("n")),
+          p => hAt(p) % maskMod === 0))
+        .otherwise(array().cast("array<int>")))
+    // edges = 0, boundaries, n — dropping a duplicated final edge when
+    // the last token is itself a boundary (a zero-length chunk
+    // otherwise); bnd is ascending by construction so no sort needed
+    val withE = withB.withColumn("edges",
+      concat(array(lit(0)), col("bnd"),
+        // try_element_at: ANSI mode throws on element_at(empty, -1)
+        when(coalesce(try_element_at(col("bnd"), lit(-1)), lit(-1))
+            === col("n"),
+          array().cast("array<int>")).otherwise(array(col("n")))))
+    val chunks = withE.select(col("grp"),
+        explode(transform(sequence(lit(2), size(col("edges"))), i =>
+          struct(
+            md5(concat_ws(" ", slice(col("t"),
+              element_at(col("edges"), i - 1) + 1,
+              element_at(col("edges"), i) -
+                element_at(col("edges"), i - 1)))).as("chunk_md5"),
+            (element_at(col("edges"), i) -
+              element_at(col("edges"), i - 1)).as("len"))))
+          .as("c"),
+        col(idCol))
+      .select(col("grp"), col(idCol), col("c.chunk_md5"), col("c.len"))
+    val perHash = chunks.groupBy("grp", "chunk_md5")
+      .agg(count(lit(1)).as("cnt"), sum(col("len")).as("len_sum"))
+    val nDocs = toks.groupBy("grp").agg(countDistinct(col(idCol))
+      .as("n_docs"))
+    perHash.groupBy("grp")
+      .agg(sum(col("cnt")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("len_sum")).as("tok_total"))
+      .join(nDocs, "grp")
+      .select(col("grp").as("source"), col("n_docs"), col("n_chunks"),
+        col("n_distinct_chunks"),
+        Num.floorAt((col("n_chunks") - col("n_distinct_chunks"))
+          .cast("double") / col("n_chunks"), 6).as("dup_share"),
+        Num.floorAt(col("tok_total").cast("double") / col("n_chunks"), 4)
+          .as("mean_chunk_tokens"))
+  }
+
   /** Corpus-wide exact SEGMENT-level dedup (the line/paragraph dedup pass
     * of CCNet / RefinedWeb, generalized to fixed token blocks because this
     * corpus' text carries no newlines): split every doc into

@@ -595,7 +595,19 @@ private[graft] object Reg3Curation {
           t(s, dir, "documents").withColumn("wt", col("n_chars") + 1),
           "doc_id", "wt", 10, groupCol = Some("source"))
         .select("source", "doc_id", "wt", "priority", "rk")
-        .orderBy("source", "rk"))
+        .orderBy("source", "rk")),
+
+
+    // curation — content-defined chunking dedup (Curate.cdcChunkStats
+    // scaladoc; Gear/FastCDC — Xia et al. 2016 — on the token stream):
+    // boundaries where the 4-token windowed integer hash ≡ 0 mod 16,
+    // so chunk frames follow CONTENT and survive the insertions that
+    // shift q126's fixed blocks; per-source chunk dup share + mean
+    // chunk length, all 64-bit integer hashing replayed by the oracle.
+    "q271_cdc_chunks" -> ((s, dir) =>
+      Curate.cdcChunkStats(t(s, dir, "documents"), "doc_id", "text",
+          "source")
+        .orderBy("source"))
   )
 
   def oracles: ListMap[String, String] = ListMap(
@@ -1174,6 +1186,55 @@ private[graft] object Reg3Curation {
            |  FROM pri)
            |SELECT source, doc_id, wt, priority, rk
            |FROM r WHERE rk <= 10
-           |ORDER BY source, rk""".stripMargin
+           |ORDER BY source, rk""".stripMargin,
+
+      // the CDC chain replayed in 64-bit integers: token value = first
+      // 8 md5 hex digits, windowed hash tv[p]+64·tv[p-1]+64²·tv[p-2]+
+      // 64³·tv[p-3], boundary ≡ 0 mod 16; DuckDB's range(a,b) is
+      // empty for a >= b so the short-doc guard is implicit
+      "q271_cdc_chunks" ->
+        s"""WITH tok AS (SELECT doc_id, source, $cleanToks AS t
+           |  FROM (SELECT doc_id, source, $clean AS c FROM documents)),
+           |tl AS (SELECT doc_id, source, t, CAST(len(t) AS BIGINT) AS n,
+           |    list_transform(t, x -> ${md5HexNSql("x", 8)}) AS tv
+           |  FROM tok WHERE len(t) > 0),
+           |bnd AS (SELECT doc_id, source, t, n,
+           |    list_filter(range(4, n + 1), p ->
+           |      (tv[p] + tv[p-1] * 64 + tv[p-2] * 4096 +
+           |       tv[p-3] * 262144) % 16 = 0) AS b
+           |  FROM tl),
+           |edg AS (SELECT doc_id, source, t,
+           |    [CAST(0 AS BIGINT)] || b ||
+           |      (CASE WHEN len(b) > 0 AND b[-1] = n
+           |            THEN [] ELSE [n] END) AS edges
+           |  FROM bnd),
+           |ch AS (SELECT doc_id, source,
+           |    UNNEST(list_transform(range(2, len(edges) + 1),
+           |      i -> struct_pack(
+           |        chunk_md5 := md5(array_to_string(
+           |          list_slice(t, edges[i-1] + 1, edges[i]), ' ')),
+           |        clen := edges[i] - edges[i-1]))) AS c
+           |  FROM edg),
+           |chf AS (SELECT doc_id, source, c.chunk_md5 AS chunk_md5,
+           |    c.clen AS clen FROM ch),
+           |ph AS (SELECT source, chunk_md5, COUNT(*) AS cnt,
+           |    CAST(SUM(clen) AS BIGINT) AS len_sum
+           |  FROM chf GROUP BY source, chunk_md5),
+           |agg AS (SELECT source,
+           |    CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+           |    COUNT(*) AS n_distinct_chunks,
+           |    CAST(SUM(len_sum) AS BIGINT) AS tok_total
+           |  FROM ph GROUP BY source),
+           |nd AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs
+           |  FROM tl GROUP BY source)
+           |SELECT a.source, n_docs, n_chunks, n_distinct_chunks,
+           |  ${Num.floorAtSql(
+             "CAST(n_chunks - n_distinct_chunks AS DOUBLE) / n_chunks",
+             6)} AS dup_share,
+           |  ${Num.floorAtSql(
+             "CAST(tok_total AS DOUBLE) / n_chunks", 4)}
+           |    AS mean_chunk_tokens
+           |FROM agg a JOIN nd USING (source)
+           |ORDER BY source""".stripMargin
   )
 }

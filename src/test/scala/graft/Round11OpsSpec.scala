@@ -324,6 +324,32 @@ class Round11OpsSpec extends SparkSpec {
     assert(lambda > 0 && lambda / trace > 0 && lambda / trace <= 1.0)
   }
 
+  test("CDC chunks survive a prefix insertion that shifts every fixed " +
+      "block — the content-defined claim, measured") {
+    import graft.ops.Curate
+    val dir = "/root/testdata/sf0.001"
+    // longest fixture doc — enough tokens for several chunks
+    val base = Tables.load(spark, dir, "documents")
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(1)
+      .select("text").as[String].head()
+    val two = Seq((1L, base), (2L, "zzz " + base)).toDF("doc_id", "text")
+      .withColumn("grp", lit("g"))
+    val cdc = Curate.cdcChunkStats(two, "doc_id", "text", "grp")
+      .select("dup_share").as[Double].head()
+    // fixed 16-token frames: shared block share across the two docs
+    val blocks = Curate.chunkWindows(two, "doc_id", "text",
+        chunkTokens = 16, stride = 16)
+      .select("doc_id", "chunk_md5")
+    val nBlocks = blocks.count()
+    val nDistinct = blocks.select("chunk_md5").distinct().count()
+    val fixedShare = (nBlocks - nDistinct).toDouble / nBlocks
+    // CDC keeps most chunks identical (each shared chunk halves the
+    // distinct count); the shifted fixed frames share (almost) nothing
+    assert(cdc > 0.3, s"CDC dup share $cdc — boundaries did not survive")
+    assert(cdc > fixedShare + 0.2,
+      s"CDC $cdc not materially above fixed-frame $fixedShare")
+  }
+
   test("pcaTopComponent is layout-invariant: identical output under " +
       "repartition (the DECIMAL moment sums are order-insensitive)") {
     val dir = "/root/testdata/sf0.001"
