@@ -1229,6 +1229,59 @@ object Agg {
     *
     * `ps` maps output column name → p in [0, 1].
     */
+  /** The per-group percentile() BUFFER engine with
+    * [[quantilesByDomain]]'s output contract — (key, <named quantiles>,
+    * n) — so the two quantile engines are interchangeable call-for-call
+    * (they are bit-equal pre-rounding; q29/q262 share one oracle).
+    * Spark's Percentile aggregate holds each group's values in one
+    * buffer: unbeatable while groups are modest, the measured ×16 bend
+    * (30.1 s vs the domain engine's 7.2 s) once a group's buffer is
+    * data-sized.
+    */
+  def quantilesByBuffer(df: DataFrame, key: String, valueCol: String,
+                        ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
+      s"need 0 <= p <= 1, got $ps")
+    val arr = ps.map { case (_, p) => s"${p}D" }.mkString(", ")
+    df.groupBy(col(key))
+      .agg(expr(s"percentile($valueCol, array($arr))").as("__ps"),
+        count(lit(1)).as("n"))
+      .select(col(key) +: ps.zipWithIndex.map { case ((name, _), i) =>
+        col("__ps")(i).as(name) } :+ col("n"): _*)
+  }
+
+  /** Which quantile engine a given input wants (the [[spearmanEngine]]
+    * discipline): the buffer engine's cost is the LARGEST group's
+    * in-memory value buffer, so the preflight estimates rows-per-group
+    * from one cheap aggregate and routes to the domain-histogram engine
+    * once the average group exceeds `maxGroupForBuffer` (default 1M —
+    * an 8 MB double buffer per group state is where the measured ×16
+    * bend lives well below).
+    */
+  def quantileEngine(df: DataFrame, key: String,
+                     maxGroupForBuffer: Long): String = {
+    val row = df.agg(count(lit(1)).as("n"),
+      approx_count_distinct(col(key)).as("k")).head()
+    val (n, k) = (row.getLong(0), math.max(1L, row.getLong(1)))
+    if (n / k <= maxGroupForBuffer) "buffer" else "domain"
+  }
+
+  /** Exact interpolated per-group quantiles with AUTOMATIC engine
+    * dispatch — the seam closer for the [[quantilesByBuffer]] /
+    * [[quantilesByDomain]] pair (the [[spearmanAuto]] pattern):
+    * bit-equal output either way, so the only question is whether any
+    * group's value buffer fits an aggregation task. A user should not
+    * need to know the engines exist.
+    */
+  def quantilesAuto(df: DataFrame, key: String, valueCol: String,
+                    ps: Seq[(String, Double)],
+                    maxGroupForBuffer: Long = 1000000L,
+                    buckets: Int = 64): DataFrame =
+    quantileEngine(df, key, maxGroupForBuffer) match {
+      case "buffer" => quantilesByBuffer(df, key, valueCol, ps)
+      case _        => quantilesByDomain(df, key, valueCol, ps, buckets)
+    }
+
   def quantilesByDomain(df: DataFrame, key: String, valueCol: String,
                         ps: Seq[(String, Double)], buckets: Int = 64)
       : DataFrame = {
@@ -1282,6 +1335,38 @@ object Agg {
     * tie-heavy fixtures. `x` must be non-null (it is the bucketing and
     * ordering key in both engines).
     */
+  /** Which skyline engine a given input wants, from a cheap domain
+    * preflight (the [[spearmanEngine]] discipline): the one-level
+    * global window sorts |distinct x| rows on ONE task — immaterial
+    * while the domain is bounded, the measured bend once it is not
+    * (SCALE.md round-11 synthetic table: two-level already wins at
+    * 1e6 distinct x). `maxDomainForGlobal` defaults to 2^18 — a
+    * single-task sort of 262k rows is milliseconds, comfortably below
+    * the measured crossover.
+    */
+  def skylineEngine(df: DataFrame, xCol: String,
+                    maxDomainForGlobal: Long): String = {
+    val nx = df.select(col(xCol))
+      .agg(approx_count_distinct(col(xCol))).head().getLong(0)
+    if (nx <= maxDomainForGlobal) "global" else "ranged"
+  }
+
+  /** 2-D skyline with AUTOMATIC engine dispatch — the seam closer for
+    * the [[skyline]] / [[skylineTwoLevel]] pair (the [[spearmanAuto]]
+    * pattern): bit-identical output either way (they share one
+    * oracle), so the only question is whether the distinct-x frame is
+    * small enough for the one-level global window's single-task sort.
+    * A cheap approx-distinct preflight answers it; a user should not
+    * need to know the engines exist.
+    */
+  def skylineAuto(df: DataFrame, xCol: String, yCol: String,
+                  maxDomainForGlobal: Long = 262144L,
+                  ranges: Int = 32): DataFrame =
+    skylineEngine(df, xCol, maxDomainForGlobal) match {
+      case "global" => skyline(df, xCol, yCol)
+      case _        => skylineTwoLevel(df, xCol, yCol, ranges)
+    }
+
   def skylineTwoLevel(df: DataFrame, xCol: String, yCol: String,
                       ranges: Int = 32): DataFrame = {
     require(ranges >= 1, s"need ranges >= 1, got $ranges")

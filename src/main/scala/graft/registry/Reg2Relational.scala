@@ -132,6 +132,21 @@ private[graft] object Reg2Relational {
         .orderBy("l_returnflag")
     }),
 
+    // quantiles with AUTOMATIC engine dispatch (Agg.quantilesAuto
+    // scaladoc; the q233/q272 pattern): a rows-per-group preflight
+    // routes to the percentile() buffer engine (modest groups) or the
+    // domain-histogram engine (the measured 30.1s-vs-7.2s ×16 bend) —
+    // bit-equal either way, bound to q29/q262's IDENTICAL oracle
+    // string: one oracle, three quantile engines, self-choosing.
+    "q273_quantiles_auto" -> ((s, dir) => {
+      val f2 = (c: Column) => floor(c * 100) / 100
+      Agg.quantilesAuto(t(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice", Seq("p50" -> 0.5, "p90" -> 0.9))
+        .select(col("l_returnflag"), f2(col("p50")).as("p50"),
+          f2(col("p90")).as("p90"), col("n"))
+        .orderBy("l_returnflag")
+    }),
+
 
     // north star — document fingerprinting (rolling/content hash).
     "q30_fingerprint" -> ((s, dir) =>
@@ -797,6 +812,7 @@ private[graft] object Reg2Relational {
 
       // the domain-histogram engine answers to q29's IDENTICAL string
       "q262_quantiles_domain" -> quantilesOracleSql,
+      "q273_quantiles_auto" -> quantilesOracleSql,
 
 
       "q30_fingerprint" ->

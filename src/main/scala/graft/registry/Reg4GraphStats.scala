@@ -482,6 +482,22 @@ private[graft] object Reg4GraphStats {
               dsum(col("value")).as("total_value")),
           "n_events", "total_value", ranges = 8)
         .select("user_id", "n_events", "total_value")
+        .orderBy("user_id")),
+
+    // analytics — skyline with AUTOMATIC engine dispatch
+    // (Agg.skylineAuto scaladoc; the q233 pattern): a cheap
+    // approx-distinct preflight on the x domain routes to the
+    // one-level global window (bounded domains) or the range-bucketed
+    // two-level engine (the measured 1e6-distinct bend) — bit-identical
+    // either way, bound to the SAME oracle string as q253/q256: one
+    // oracle, now THREE skyline engines, and the pair chooses itself.
+    "q272_skyline_auto" -> ((s, dir) =>
+      Agg.skylineAuto(
+          t(s, dir, "events").groupBy("user_id")
+            .agg(count(lit(1)).as("n_events"),
+              dsum(col("value")).as("total_value")),
+          "n_events", "total_value")
+        .select("user_id", "n_events", "total_value")
         .orderBy("user_id"))
   )
 
@@ -1225,7 +1241,8 @@ private[graft] object Reg4GraphStats {
 
       // the two-level engine answers to the IDENTICAL oracle string —
       // binding both to one string makes divergence impossible
-      "q256_skyline_ranged" -> skylineOracleSql
+      "q256_skyline_ranged" -> skylineOracleSql,
+      "q272_skyline_auto" -> skylineOracleSql
   )
 
   private val skylineOracleSql: String =

@@ -350,6 +350,41 @@ class Round11OpsSpec extends SparkSpec {
       s"CDC $cdc not materially above fixed-frame $fixedShare")
   }
 
+  test("skylineAuto and quantilesAuto: the preflights route both ways " +
+      "and the dispatched engine's output equals the explicit engines'") {
+    import graft.ops.Agg
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.load(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("x"),
+        sum(col("value")).as("y"))
+    // fixture user domain is small -> global; a forced tiny threshold
+    // -> ranged; outputs identical either way
+    assert(Agg.skylineEngine(ev, "x", 262144L) === "global")
+    assert(Agg.skylineEngine(ev, "x", 1L) === "ranged")
+    val g = Agg.skylineAuto(ev, "x", "y")
+      .select("user_id").as[Long].collect().toSet
+    val r = Agg.skylineAuto(ev, "x", "y", maxDomainForGlobal = 1L)
+      .select("user_id").as[Long].collect().toSet
+    assert(g === r && g.nonEmpty)
+    // quantiles: fixture groups are small -> buffer; forced -> domain;
+    // values bit-equal (the q29/q262 one-oracle claim, asserted here
+    // directly on the unfloored doubles)
+    val li = Tables.load(spark, dir, "lineitem")
+    assert(Agg.quantileEngine(li, "l_returnflag", 1000000L) === "buffer")
+    assert(Agg.quantileEngine(li, "l_returnflag", 1L) === "domain")
+    val ps = Seq("p50" -> 0.5, "p90" -> 0.9)
+    val qb = Agg.quantilesAuto(li, "l_returnflag", "l_extendedprice", ps)
+      .orderBy("l_returnflag")
+      .collect().map(x => (x.get(0), x.getDouble(1), x.getDouble(2),
+        x.getLong(3))).toSeq
+    val qd = Agg.quantilesAuto(li, "l_returnflag", "l_extendedprice", ps,
+        maxGroupForBuffer = 1L)
+      .orderBy("l_returnflag")
+      .collect().map(x => (x.get(0), x.getDouble(1), x.getDouble(2),
+        x.getLong(3))).toSeq
+    assert(qb === qd && qb.nonEmpty)
+  }
+
   test("pcaTopComponent is layout-invariant: identical output under " +
       "repartition (the DECIMAL moment sums are order-insensitive)") {
     val dir = "/root/testdata/sf0.001"
