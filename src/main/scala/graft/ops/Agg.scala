@@ -1237,6 +1237,10 @@ object Agg {
     * buffer: unbeatable while groups are modest, the measured ×16 bend
     * (30.1 s vs the domain engine's 7.2 s) once a group's buffer is
     * data-sized.
+    *
+    * Null values: percentile() skips them but `n` counts all rows —
+    * pre-filter nulls (as [[quantilesAuto]] does) when `n` must mean
+    * the value count.
     */
   def quantilesByBuffer(df: DataFrame, key: String, valueCol: String,
                         ps: Seq[(String, Double)]): DataFrame = {
@@ -1252,35 +1256,47 @@ object Agg {
 
   /** Which quantile engine a given input wants (the [[spearmanEngine]]
     * discipline): the buffer engine's cost is the LARGEST group's
-    * in-memory value buffer, so the preflight estimates rows-per-group
-    * from one cheap aggregate and routes to the domain-histogram engine
-    * once the average group exceeds `maxGroupForBuffer` (default 1M —
-    * an 8 MB double buffer per group state is where the measured ×16
-    * bend lives well below).
+    * in-memory value buffer — an average would route skewed data (one
+    * hot key among many singletons) straight into the blowup this
+    * dispatcher exists to avoid — so the preflight computes the max
+    * group size with one mergeable grouped count and routes to the
+    * domain-histogram engine once it exceeds `maxGroupForBuffer`
+    * (default 1M — an 8 MB double buffer per group, well under the
+    * measured ×16 bend).
     */
   def quantileEngine(df: DataFrame, key: String,
                      maxGroupForBuffer: Long): String = {
-    val row = df.agg(count(lit(1)).as("n"),
-      approx_count_distinct(col(key)).as("k")).head()
-    val (n, k) = (row.getLong(0), math.max(1L, row.getLong(1)))
-    if (n / k <= maxGroupForBuffer) "buffer" else "domain"
+    val mx = df.groupBy(col(key)).agg(count(lit(1)).as("__c"))
+      .agg(max(col("__c"))).head()
+    if (!mx.isNullAt(0) && mx.getLong(0) > maxGroupForBuffer) "domain"
+    else "buffer"
   }
 
   /** Exact interpolated per-group quantiles with AUTOMATIC engine
     * dispatch — the seam closer for the [[quantilesByBuffer]] /
     * [[quantilesByDomain]] pair (the [[spearmanAuto]] pattern):
-    * bit-equal output either way, so the only question is whether any
-    * group's value buffer fits an aggregation task. A user should not
-    * need to know the engines exist.
+    * bit-equal output either way, so the only question is whether the
+    * LARGEST group's value buffer fits an aggregation task. A user
+    * should not need to know the engines exist.
+    *
+    * Null values are filtered BEFORE dispatch: percentile() skips
+    * nulls while the domain histogram would count them, so only the
+    * null-free input makes the two engines interchangeable — `n` is
+    * therefore the per-group NON-NULL value count (the SQL-standard
+    * percentile semantics). The preflight is one extra grouped-count
+    * action over `df`'s lineage; persist/localCheckpoint expensive
+    * inputs before dispatching.
     */
   def quantilesAuto(df: DataFrame, key: String, valueCol: String,
                     ps: Seq[(String, Double)],
                     maxGroupForBuffer: Long = 1000000L,
-                    buckets: Int = 64): DataFrame =
-    quantileEngine(df, key, maxGroupForBuffer) match {
-      case "buffer" => quantilesByBuffer(df, key, valueCol, ps)
-      case _        => quantilesByDomain(df, key, valueCol, ps, buckets)
+                    buckets: Int = 64): DataFrame = {
+    val nn = df.where(col(valueCol).isNotNull)
+    quantileEngine(nn, key, maxGroupForBuffer) match {
+      case "buffer" => quantilesByBuffer(nn, key, valueCol, ps)
+      case _        => quantilesByDomain(nn, key, valueCol, ps, buckets)
     }
+  }
 
   def quantilesByDomain(df: DataFrame, key: String, valueCol: String,
                         ps: Seq[(String, Double)], buckets: Int = 64)
@@ -1357,7 +1373,9 @@ object Agg {
     * oracle), so the only question is whether the distinct-x frame is
     * small enough for the one-level global window's single-task sort.
     * A cheap approx-distinct preflight answers it; a user should not
-    * need to know the engines exist.
+    * need to know the engines exist. The preflight is one extra action
+    * over `df`'s lineage — persist/localCheckpoint expensive inputs
+    * (e.g. an aggregated frame) before dispatching.
     */
   def skylineAuto(df: DataFrame, xCol: String, yCol: String,
                   maxDomainForGlobal: Long = 262144L,

@@ -321,38 +321,48 @@ object Curate {
     docs.where(md5Frac(col(idCol)) < rate)
   }
 
-  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
-    * Spirakis 2006): each row draws priority u^(1/w) with u its
-    * [[md5Frac]] uniform and w its weight column; the k highest
-    * priorities (per group, when `groupCol` is set) are a weighted
-    * sample without replacement — selection probability rises with w,
-    * and the whole draw replays from ids alone: no RNG state, no seed
-    * coordination across executors, no dependence on row order or
-    * partitioning. This is the quality-proportional subsampler
-    * [[mixtureSample]]'s rate form cannot express: a hard k-row budget
-    * whose composition still follows the weights.
+  /** Deterministic weighted sampling WITHOUT replacement — the
+    * PER-GROUP generalization of [[graft.ops.Agg.weightedSample]]
+    * (A-Res, Efraimidis & Spirakis 2006), sharing its key exactly:
+    * rank by ln(u)/w descending with u the 48-bit md5 uniform. ln(u)/w
+    * is the monotone equivalent of the textbook u^(1/w) priority,
+    * chosen for the same reason Agg's scaladoc records — u^(1/w)
+    * compresses all keys against 1.0 for large weights, so a
+    * floor-stabilized comparison collapses them to the id tie-break
+    * and silently loses weight-proportional selection; ln(u)/w keeps
+    * ~1e-7 spacing at the 8-dp floor. The k highest keys per group are
+    * a weighted sample without replacement, reproducible from ids
+    * alone: no RNG state, no seed coordination, no dependence on row
+    * order or partitioning. This is the quality-proportional
+    * subsampler [[mixtureSample]]'s rate form cannot express: a hard
+    * k-row budget per group whose composition still follows the
+    * weights.
     *
-    * Priorities are floored at 9 dp before ranking (pow is the one
-    * libm call in the chain — the [[mixtureWeights]] precedent) and
-    * ties break on the id, so the selected SET is stable across
-    * engines and re-runs. Weights must be strictly positive.
+    * Non-positive weights are FILTERED (the Agg.weightedSample
+    * contract): a negative weight's key would deterministically
+    * outrank every valid row and a zero weight divides to null —
+    * filter rather than silently mis-sample.
     *
-    * Scale shape: the priority is scan-local; the top-k is one
-    * rank-window — WindowGroupLimit keeps a k-row heap per map
-    * partition, so only k rows per partition reach the (per-group)
-    * reducer. No candidate materialization, no second pass.
+    * Scale shape: the key is scan-local; the top-k is one rank-window —
+    * WindowGroupLimit keeps a k-row heap per map partition, so only k
+    * rows per partition reach the (per-group) reducer. No candidate
+    * materialization, no second pass.
     */
   def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
                      k: Int, groupCol: Option[String] = None)
       : DataFrame = {
     require(k > 0, s"need k > 0, got $k")
+    // u in (0,1]: (v + 1) / 2^48 over the first 12 md5 nibbles — the
+    // identical uniform Agg.weightedSample draws
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 12),
+      16, 10).cast("double") + 1) / 281474976710656.0
     val pri = graft.ops.Num.floorAt(
-      pow(md5Frac(col(idCol)), lit(1.0) / col(weightCol).cast("double")),
-      9)
+      log(u) / col(weightCol).cast("double"), 8)
     val win = groupCol.map(g => Window.partitionBy(g))
       .getOrElse(Window.partitionBy())
       .orderBy(col("priority").desc, col(idCol).asc)
-    docs.withColumn("priority", pri)
+    docs.where(col(weightCol) > 0)
+      .withColumn("priority", pri)
       .withColumn("rk", row_number().over(win))
       .where(col("rk") <= k)
   }

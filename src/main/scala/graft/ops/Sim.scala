@@ -786,7 +786,15 @@ object Sim {
         .cast("double") / count(lit(1))).as("mu"),
         count(lit(1)).as("n"))
       .collect()
-    val n = muRows.head.getLong(2)
+    // ragged guard: covariance over vectors of unequal length is
+    // ill-defined, and collect() order is arbitrary — taking "the"
+    // count from an arbitrary coordinate would be nondeterministic.
+    // Demand one uniform count instead of silently normalizing wrong.
+    val counts = muRows.map(_.getLong(2)).distinct
+    require(counts.length == 1,
+      s"pcaTopComponent needs uniform-dimension vectors; per-coordinate " +
+        s"counts differ (${counts.sorted.mkString(",")})")
+    val n = counts.head
     val mu = Array.ofDim[Double](dim)
     muRows.foreach(r => mu(r.getInt(0)) = r.getDouble(1))
     // second moments: within-row coordinate pairs — the first explode's

@@ -586,7 +586,8 @@ private[graft] object Reg3Curation {
 
     // curation — deterministic weighted sampling WITHOUT replacement
     // (Curate.weightedSample scaladoc; Efraimidis & Spirakis 2006):
-    // per-source top-10 by priority u^(1/w), weight = n_chars + 1 —
+    // per-source top-10 by the A-Res key ln(u)/w (q103's exact key,
+    // per-group), weight = n_chars + 1 —
     // the hard-budget quality-proportional subsampler next to the
     // rate-based q117 and the quota q110; the draw replays from ids
     // alone (md5 uniforms, no RNG state).
@@ -1168,17 +1169,17 @@ private[graft] object Reg3Curation {
            |WHERE exact_cnt * 5 > n_total
            |ORDER BY event_type""".stripMargin,
 
-      // Efraimidis-Spirakis priorities replayed nibble-for-nibble:
-      // u = md5Frac(doc_id), priority = floor9(u^(1/wt)), per-source
-      // row_number with the id tie-break
+      // A-Res priorities replayed nibble-for-nibble (the q103 ln
+      // convention): u = 48-bit md5 uniform, priority =
+      // floor8(ln(u)/wt), per-source row_number with the id tie-break
       "q269_weighted_sample" ->
         s"""WITH pri AS (
            |  SELECT source, doc_id, n_chars + 1 AS wt,
            |    ${Num.floorAtSql(
-             s"pow(${md5HexNSql("CAST(doc_id AS VARCHAR)", 8)}" +
-               " / 4294967296.0, CAST(1.0 AS DOUBLE)" +
-               " / CAST(n_chars + 1 AS DOUBLE))", 9)} AS priority
-           |  FROM documents),
+             s"ln((${md5HexNSql("CAST(doc_id AS VARCHAR)", 12)} + 1)" +
+               " / 281474976710656.0)" +
+               " / CAST(n_chars + 1 AS DOUBLE)", 8)} AS priority
+           |  FROM documents WHERE n_chars + 1 > 0),
            |r AS (
            |  SELECT source, doc_id, wt, priority,
            |    CAST(row_number() OVER (PARTITION BY source

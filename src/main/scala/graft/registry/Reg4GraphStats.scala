@@ -493,9 +493,13 @@ private[graft] object Reg4GraphStats {
     // oracle, now THREE skyline engines, and the pair chooses itself.
     "q272_skyline_auto" -> ((s, dir) =>
       Agg.skylineAuto(
+          // checkpointed: the preflight and the dispatched engine each
+          // act on this frame — without it the events aggregate runs
+          // twice (the skylineAuto scaladoc note)
           t(s, dir, "events").groupBy("user_id")
             .agg(count(lit(1)).as("n_events"),
-              dsum(col("value")).as("total_value")),
+              dsum(col("value")).as("total_value"))
+            .localCheckpoint(),
           "n_events", "total_value")
         .select("user_id", "n_events", "total_value")
         .orderBy("user_id"))

@@ -983,7 +983,14 @@ object StreamOps {
         }
         dir
       })
-    val labels = ccLabelsAsOf(ns, store, asOf.toLong)
+    ccLabelFrame(ccLabelsAsOf(ns, store, asOf.toLong))
+  }
+
+  /** The q128 member-count/survivor projection over a (doc_id,
+    * component) label frame — the one output contract every CC gate
+    * (q245 store head, q270 time-travel) must share.
+    */
+  private def ccLabelFrame(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy("component")
       .agg(count(lit(1)).as("n_members"))
     labels.join(sizes, Seq("component"))
@@ -1023,12 +1030,7 @@ object StreamOps {
         minJaccard) _)
       .start()
     try q.processAllAvailable() finally q.stop()
-    val labels = standingCCLabels(ns, store)
-    val sizes = labels.groupBy("component")
-      .agg(count(lit(1)).as("n_members"))
-    labels.join(sizes, Seq("component"))
-      .select(col("doc_id"), col("component"), col("n_members"),
-        (col("doc_id") === col("component")).as("is_survivor"))
+    ccLabelFrame(standingCCLabels(ns, store))
   }
 
   /** Two-stream variant of [[runOrderedGateAppend]] — ordered staging +

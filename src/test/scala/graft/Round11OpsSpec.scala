@@ -409,15 +409,25 @@ class Round11OpsSpec extends SparkSpec {
         "doc_id", "wt", 25)
       .select("doc_id").as[Long].collect().toSet
     assert(pick === pickShuffled)
-    // equal weights degenerate to a plain md5-uniform top-k: u^(1/1)=u
+    // equal weights degenerate to a plain uniform top-k: ln(u)/1 is
+    // monotone in u, so the rank order is u descending — the SAME
+    // 48-bit uniform Agg.weightedSample draws
     val uni = Curate.weightedSample(docs.withColumn("wt", lit(1L)),
         "doc_id", "wt", 25)
       .select("doc_id").as[Long].collect().toSet
-    val topByFrac = docs
-      .withColumn("u", Curate.md5Frac(col("doc_id")))
+    val topByU = docs
+      .withColumn("u",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 12),
+          16, 10).cast("double") + 1) / 281474976710656.0)
       .orderBy(col("u").desc, col("doc_id").asc).limit(25)
       .select("doc_id").as[Long].collect().toSet
-    assert(uni === topByFrac)
+    assert(uni === topByU)
+    // non-positive weights are filtered, not mis-ranked
+    val withBad = docs.withColumn("wt",
+      when(col("doc_id") % 2 === 0, lit(-5L)).otherwise(col("wt")))
+    val clean = Curate.weightedSample(withBad, "doc_id", "wt", 25)
+      .select("doc_id").as[Long].collect()
+    assert(clean.forall(_ % 2 != 0), "negative-weight rows leaked in")
     // weighting steers composition: the selected docs' mean weight must
     // exceed the corpus mean (length-proportional sampling on a corpus
     // with varied lengths — a directional check, not a distribution fit)
