@@ -776,16 +776,18 @@ object Sim {
     require(iters >= 1, s"need iters >= 1, got $iters")
     val spark = df.sparkSession
     import spark.implicits._
-    val dimRow = df.agg(max(size(col(vecCol)))).head()
-    require(!dimRow.isNullAt(0) && dimRow.getInt(0) > 0,
-      "pcaTopComponent needs at least one non-empty vector")
-    val dim = dimRow.getInt(0)
     val muRows = df.select(posexplode(col(vecCol)).as(Seq("i", "x")))
       .groupBy("i")
       .agg((sum(col("x").cast("double").cast("decimal(27,10)"))
         .cast("double") / count(lit(1))).as("mu"),
         count(lit(1)).as("n"))
       .collect()
+    require(muRows.nonEmpty,
+      "pcaTopComponent needs at least one non-empty vector")
+    // dim read off the mean rows (one action, not a separate probe);
+    // contiguity holds because posexplode emits every position of
+    // every vector and the ragged guard below demands uniform counts
+    val dim = muRows.map(_.getInt(0)).max + 1
     // ragged guard: covariance over vectors of unequal length is
     // ill-defined, and collect() order is arbitrary — taking "the"
     // count from an arbitrary coordinate would be nondeterministic.
