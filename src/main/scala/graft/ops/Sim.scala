@@ -704,10 +704,14 @@ object Sim {
     * outDim), so the corpus is projected exactly once.
     *
     * 100 TB shape: projection is scan-local; the reduced-space scan
-    * costs outDim/dim of the full-dimension scan and composes with the
-    * IVF/PQ layouts (project, then quantize). The sweep quantifies the
-    * recall price of that scan reduction on THIS corpus instead of
-    * citing the JL bound.
+    * costs outDim/dim of the full-dimension scan, and project-then-
+    * quantize is mechanically available (the projected column feeds
+    * [[pqCodebooks]]/[[kmeansCells]] unchanged). Whether it SHOULD be
+    * composed is what this sweep answers per-corpus: here the measured
+    * q267 curve (0.04→0.24 at 8→64 dims) says the untrained projection
+    * loses the ranking before any quantizer runs, so trained PQ on the
+    * raw dims (q252) is the right layout for THIS corpus — the sweep
+    * quantifies that decision instead of citing the JL bound.
     */
   def jlRecallSweep(queries: DataFrame, candidates: DataFrame, k: Int,
                     outDims: Seq[Int], idCol: String = "vec_id",
