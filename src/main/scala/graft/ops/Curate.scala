@@ -367,6 +367,33 @@ object Curate {
       .where(col("rk") <= k)
   }
 
+  /** Budget-driven corpus assembly — the composition that closes the
+    * sampling family: [[mixtureAllocation]]'s integer per-source
+    * quotas (largest remainder over sqrt-damped source sizes, summing
+    * to `target` exactly) drive [[weightedSample]]'s per-source A-Res
+    * ranks, so one call draws a FIXED total budget split across
+    * sources by policy, each source's slice weight-proportional
+    * without replacement and reproducible from ids alone.
+    *
+    * Scale shape: the rank window is first capped at the STATIC
+    * `target` (so WindowGroupLimit still prunes map-side — a dynamic
+    * per-group limit alone would rank every row), then the
+    * sources-sized allocation broadcasts into the final `rk <= alloc`
+    * filter. A source with fewer eligible docs than its quota yields
+    * what it has (allocation is demand-blind by design — the
+    * shortfall is visible as max(rk) < alloc).
+    */
+  def budgetedSample(docs: DataFrame, idCol: String, weightCol: String,
+                     srcCol: String, target: Long): DataFrame = {
+    require(target > 0 && target <= Int.MaxValue,
+      s"need 0 < target <= Int.MaxValue, got $target")
+    val alloc = mixtureAllocation(docs, srcCol, target)
+      .select(col(srcCol), col("alloc"))
+    weightedSample(docs, idCol, weightCol, target.toInt, Some(srcCol))
+      .join(broadcast(alloc), srcCol)
+      .where(col("rk") <= col("alloc"))
+  }
+
   /** Temperature-scaled mixture weights: given per-group token counts,
     * the alpha-temperature sampling weights w_g = n_g^α / Σ n^α — the
     * standard rebalancing between "proportional to size" (α = 1) and

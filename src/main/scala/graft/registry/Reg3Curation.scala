@@ -608,7 +608,21 @@ private[graft] object Reg3Curation {
     "q271_cdc_chunks" -> ((s, dir) =>
       Curate.cdcChunkStats(t(s, dir, "documents"), "doc_id", "text",
           "source")
-        .orderBy("source"))
+        .orderBy("source")),
+
+
+    // curation — budget-driven corpus assembly (Curate.budgetedSample
+    // scaladoc): q218's largest-remainder quotas drive q269's
+    // per-source A-Res ranks in ONE call — a 200-row total budget
+    // split across sources by sqrt-damped size, each slice
+    // weight-proportional (wt = n_chars + 1) without replacement,
+    // reproducible from ids alone. The sampling family end-to-end.
+    "q274_budgeted_sample" -> ((s, dir) =>
+      Curate.budgetedSample(
+          t(s, dir, "documents").withColumn("wt", col("n_chars") + 1),
+          "doc_id", "wt", "source", target = 200L)
+        .select("source", "doc_id", "wt", "rk", "alloc")
+        .orderBy("source", "rk"))
   )
 
   def oracles: ListMap[String, String] = ListMap(
@@ -1236,6 +1250,43 @@ private[graft] object Reg3Curation {
              "CAST(tok_total AS DOUBLE) / n_chunks", 4)}
            |    AS mean_chunk_tokens
            |FROM agg a JOIN nd USING (source)
-           |ORDER BY source""".stripMargin
+           |ORDER BY source""".stripMargin,
+
+      // the q218 largest-remainder chain (target 200) composed with
+      // the q269 A-Res priority chain — one budget, per-source quotas,
+      // weight-proportional slices
+      "q274_budgeted_sample" ->
+        s"""WITH c AS (SELECT source, COUNT(*) AS n_docs,
+           |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000)
+           |      AS BIGINT) AS weight
+           |  FROM documents GROUP BY 1),
+           |t AS (SELECT CAST(SUM(weight) AS BIGINT) AS wsum FROM c),
+           |b AS (SELECT source, weight,
+           |    (200 * weight) // wsum AS base,
+           |    (200 * weight) % wsum AS rem
+           |  FROM c CROSS JOIN t),
+           |lo AS (SELECT CAST(200 - SUM(base) AS BIGINT) AS r FROM b),
+           |ra AS (SELECT *, row_number() OVER
+           |    (ORDER BY rem DESC, source) AS ark FROM b),
+           |al AS (SELECT source,
+           |    CAST(base + CASE WHEN ark <= r THEN 1 ELSE 0 END
+           |      AS BIGINT) AS alloc
+           |  FROM ra CROSS JOIN lo),
+           |pri AS (
+           |  SELECT source, doc_id, n_chars + 1 AS wt,
+           |    ${Num.floorAtSql(
+             s"ln((${md5HexNSql("CAST(doc_id AS VARCHAR)", 12)} + 1)" +
+               " / 281474976710656.0)" +
+               " / CAST(n_chars + 1 AS DOUBLE)", 8)} AS priority
+           |  FROM documents WHERE n_chars + 1 > 0),
+           |r AS (
+           |  SELECT source, doc_id, wt, priority,
+           |    CAST(row_number() OVER (PARTITION BY source
+           |      ORDER BY priority DESC, doc_id ASC) AS INTEGER) AS rk
+           |  FROM pri)
+           |SELECT r.source, doc_id, wt, rk, alloc
+           |FROM r JOIN al ON al.source = r.source
+           |WHERE rk <= alloc
+           |ORDER BY r.source, rk""".stripMargin
   )
 }

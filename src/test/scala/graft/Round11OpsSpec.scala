@@ -385,6 +385,34 @@ class Round11OpsSpec extends SparkSpec {
     assert(qb === qd && qb.nonEmpty)
   }
 
+  test("budgetedSample draws exactly the allocation per source and " +
+      "the full budget in total when every source can fill its quota") {
+    import graft.ops.Curate
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("wt", col("n_chars") + 1)
+    val out = Curate.budgetedSample(docs, "doc_id", "wt", "source", 100L)
+    val perSrc = out.groupBy("source")
+      .agg(count(lit(1)).as("drawn"), max(col("alloc")).as("alloc"))
+      .collect()
+    val quota = Curate.mixtureAllocation(docs, "source", 100L)
+      .select("source", "alloc")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSrc.foreach { r =>
+      assert(r.getLong(1) === quota(r.getString(0)),
+        s"source ${r.getString(0)} drew ${r.getLong(1)} != quota")
+    }
+    assert(out.count() === 100L)
+    // and each slice is exactly the per-source A-Res top-alloc
+    val manual = Curate.weightedSample(docs, "doc_id", "wt", 100,
+        Some("source"))
+      .join(broadcast(Curate.mixtureAllocation(docs, "source", 100L)
+        .select("source", "alloc")), "source")
+      .where(col("rk") <= col("alloc"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.select("doc_id").as[Long].collect().toSet === manual)
+  }
+
   test("pcaTopComponent is layout-invariant: identical output under " +
       "repartition (the DECIMAL moment sums are order-insensitive)") {
     val dir = "/root/testdata/sf0.001"
