@@ -555,8 +555,11 @@ private[graft] object Reg6MonitorAnn {
     // sides), unbounded lateness so state never evicts; every
     // cross-batch pair must match from RETAINED state to reproduce the
     // batch self-join bit-for-bit.
+    // 2 replay files per side: the r10-advice minimum that still
+    // forces cross-batch pairs from retained state (one real batch
+    // boundary; q245/q266 keep 3+ for the multi-boundary claim)
     "q241_stream_join" -> ((s, dir) =>
-      graft.streaming.StreamOps.runBoundedGateAppend2(s, dir, 3, 2)(
+      graft.streaming.StreamOps.runBoundedGateAppend2(s, dir, 2, 2)(
           (l, r) => graft.streaming.StreamOps.streamStreamJoin(
             l, r, windowSeconds = 900, watermark = "36500 days"))
         .orderBy("user_id", "l_id", "r_id")),
@@ -575,7 +578,7 @@ private[graft] object Reg6MonitorAnn {
     // tail nulls forever — measured as exactly the last-2700s
     // purchases missing.
     "q242_stream_left_join" -> ((s, dir) =>
-      graft.streaming.StreamOps.runOrderedGateAppend2(s, dir, 3, 2)(
+      graft.streaming.StreamOps.runOrderedGateAppend2(s, dir, 2, 2)(
           (l, r) => graft.streaming.StreamOps.streamStreamLeftJoin(
             l.where(col("event_type") === "purchase"),
             r.where(col("event_type") === "click"),
@@ -641,7 +644,7 @@ private[graft] object Reg6MonitorAnn {
     // padded (each side's state against the OTHER side's watermark).
     // Same ordered staging + per-type sentinels as q242.
     "q248_stream_full_join" -> ((s, dir) =>
-      graft.streaming.StreamOps.runOrderedGateAppend2(s, dir, 3, 2)(
+      graft.streaming.StreamOps.runOrderedGateAppend2(s, dir, 2, 2)(
           (l, r) => graft.streaming.StreamOps.streamStreamFullOuterJoin(
             l.where(col("event_type") === "purchase"),
             r.where(col("event_type") === "click"),
