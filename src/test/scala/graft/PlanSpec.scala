@@ -698,4 +698,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       p.take(1500))
   }
+
+  test("q274 budgeted sample keeps the map-side WindowGroupLimit (static " +
+      "target cap) and BROADCASTS the sources-sized allocation") {
+    val p = plan("q274_budgeted_sample")
+    assert(p.contains("WindowGroupLimit"), p.take(1800))
+    assert(p.contains("Partial"), p.take(1800))
+    assert(p.contains("BroadcastHashJoin"), p.take(1800))
+    assert(!p.contains("SortMergeJoin"), p.take(1800))
+  }
 }
