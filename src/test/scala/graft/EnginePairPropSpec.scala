@@ -1,0 +1,80 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Agg
+
+/** Engine-pair equality on GENERATED inputs — the property behind the
+  * one-oracle-N-engines bindings (q253≡q256≡q272, q29≡q262≡q273,
+  * q209≡q230≡q233): the driver gate proves each pair on one fixture;
+  * these prove the pairs agree on arbitrary shapes, including the
+  * tie-heavy and skewed ones a fixture can miss. Skyline additionally
+  * answers to a brute in-memory dominance filter, so the pair cannot
+  * agree on a shared mistake. (scalacheck Gen sampled directly — the
+  * BpeMmrPropSpec discipline.)
+  */
+class EnginePairPropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("skyline == skylineTwoLevel == brute dominance on generated " +
+      "point sets (tie-heavy: small integer domains)") {
+    val pts: Gen[List[(Long, Long)]] = Gen.choose(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L))))
+    samples(pts, 8).zipWithIndex.foreach { case (ps, ci) =>
+      val df = ps.zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x, y) }.toDF("id", "x", "y")
+      def ids(r: org.apache.spark.sql.DataFrame) =
+        r.select("id").as[Long].collect().toSet
+      val one = ids(Agg.skyline(df, "x", "y"))
+      val two = ids(Agg.skylineTwoLevel(df, "x", "y", ranges = 3))
+      // brute: p survives iff no q strictly dominates (>= both, > one)
+      val brute = ps.zipWithIndex.filter { case ((x, y), _) =>
+        !ps.exists { case (qx, qy) =>
+          qx >= x && qy >= y && (qx > x || qy > y) }
+      }.map(_._2.toLong).toSet
+      assert(one === brute, s"set $ci: one-level != brute")
+      assert(two === brute, s"set $ci: two-level != brute")
+    }
+  }
+
+  test("quantilesByBuffer == quantilesByDomain on generated skewed " +
+      "groups (bit-equal doubles, no floor)") {
+    val grps: Gen[List[(String, Long)]] = Gen.choose(5, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b", "c"),
+        Gen.choose(-500L, 500L))))
+    val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p99" -> 0.99)
+    samples(grps, 8).zipWithIndex.foreach { case (rows, ci) =>
+      val df = rows.toDF("k", "v")
+      def run(f: => org.apache.spark.sql.DataFrame) =
+        f.orderBy("k").collect().map(r => (r.getString(0),
+          r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+          .toSeq
+      val b = run(Agg.quantilesByBuffer(df, "k", "v", ps))
+      val d = run(Agg.quantilesByDomain(df, "k", "v", ps, buckets = 4))
+      assert(b === d, s"table $ci: buffer != domain")
+    }
+  }
+
+  test("spearmanCorr == spearmanCorrDomain on generated tie-heavy " +
+      "groups") {
+    val grps: Gen[List[(String, Long, Long)]] =
+      Gen.choose(8, 60).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.oneOf("g1", "g2"), Gen.choose(0L, 9L),
+          Gen.choose(0L, 9L))))
+    samples(grps, 8).zipWithIndex.foreach { case (rows, ci) =>
+      val df = rows.toDF("k", "x", "y")
+      def run(f: => org.apache.spark.sql.DataFrame) =
+        f.orderBy("k").collect()
+          .map(r => (r.getString(0), r.get(1))).toSeq
+      val w = run(Agg.spearmanCorr(df, "k", "x", "y"))
+      val d = run(Agg.spearmanCorrDomain(df, "k", "x", "y"))
+      assert(w === d, s"table $ci: windowed != domain")
+    }
+  }
+}
