@@ -1310,10 +1310,17 @@ object Dedup {
     *    v != m emit (v, m) — the rest of the neighborhood collapses onto
     *    the min.
     *
-    * Convergence: a large-star round that changes nothing means every
-    * edge already points at its component's center. The check is two
-    * counts on checkpointed frames (edge frames are O(nodes) after the
-    * first rounds, far smaller than the corpus).
+    * Convergence: a round where BOTH operations leave the (deduped,
+    * symmetric) edge set unchanged — at that joint fixpoint the graph
+    * is a disjoint union of min-centered stars. Large-star identity
+    * ALONE is not sufficient: two stars sharing a non-min hub (edges
+    * 0-5, 3-5) are a large-star fixpoint — every edge's smaller
+    * endpoint is its own neighborhood min — yet 0 and 3 are connected
+    * only through the small-star merge at the hub; stopping there
+    * mislabels 3 as its own component (caught by the generated-input
+    * CC-triple property; the q130 fixture never produces the shape).
+    * The check is counts + except on checkpointed frames (edge frames
+    * are O(nodes) after the first rounds, far smaller than the corpus).
     *
     * Returns (doc_id, component) for every node in some pair, component =
     * the smallest doc_id in the node's connected component — identical
@@ -1359,19 +1366,18 @@ object Dedup {
 
     var edges = sym(p.select(col("id_a").as("u"), col("id_b").as("v")))
       .localCheckpoint()
+    def same(a: DataFrame, b: DataFrame): Boolean =
+      a.count() == b.count() && a.except(b).isEmpty
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
       val afterLarge = sym(star(edges, large = true)).localCheckpoint()
-      // fixpoint: large-star left the (deduped, symmetric) edge set
-      // unchanged — every edge already points at its star's center
-      done = afterLarge.count() == edges.count() &&
-        afterLarge.except(edges).isEmpty
-      if (!done) {
-        edges = sym(star(afterLarge, large = false)).localCheckpoint()
-      } else {
-        edges = afterLarge
-      }
+      val afterSmall = sym(star(afterLarge, large = false))
+        .localCheckpoint()
+      // joint fixpoint of BOTH operations (see scaladoc: large-star
+      // identity alone accepts the shared-hub non-star shape)
+      done = same(afterLarge, edges) && same(afterSmall, afterLarge)
+      edges = afterSmall
       round += 1
     }
     // same loud-backstop contract as componentsConverged: non-converged

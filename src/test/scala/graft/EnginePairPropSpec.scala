@@ -61,6 +61,51 @@ class EnginePairPropSpec extends SparkSpec {
     }
   }
 
+  test("CC triple on generated edge lists: converged == big-star == " +
+      "incremental(base+delta split) == brute union-find") {
+    import graft.ops.Dedup
+    val edges: Gen[List[(Long, Long)]] = Gen.choose(1, 50).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0L, 24L), Gen.choose(0L, 24L))))
+    samples(edges, 8).zipWithIndex.foreach { case (es0, ci) =>
+      val es = es0.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      if (es.nonEmpty) {
+        val pairs = es.toDF("id_a", "id_b")
+        def labels(r: org.apache.spark.sql.DataFrame) =
+          r.select("doc_id", "component").collect()
+            .map(x => (x.getLong(0), x.getLong(1))).toSet
+        val conv = labels(Dedup.componentsConverged(pairs))
+        val star = labels(Dedup.componentsBigStar(pairs))
+        // split into base/delta by pair parity; incremental folds the
+        // delta into exact CC over the base
+        val base = pairs.where((col("id_a") + col("id_b")) % 2 === 0)
+        val delta = pairs.where((col("id_a") + col("id_b")) % 2 =!= 0)
+        val incr =
+          if (base.isEmpty || delta.isEmpty) conv
+          else labels(Dedup.componentsIncremental(
+            Dedup.componentsConverged(base), delta))
+        // brute union-find with min-id roots
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+            parent(hi) = lo
+          }
+        }
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        val brute = nodes.map(n => (n, find(n))).toSet
+        assert(conv === brute, s"set $ci: converged != union-find")
+        assert(star === brute, s"set $ci: big-star != union-find")
+        assert(incr === brute, s"set $ci: incremental != union-find")
+      }
+    }
+  }
+
   test("spearmanCorr == spearmanCorrDomain on generated tie-heavy " +
       "groups") {
     val grps: Gen[List[(String, Long, Long)]] =
