@@ -106,6 +106,82 @@ class EnginePairPropSpec extends SparkSpec {
     }
   }
 
+  test("prefixFilterPairs (both orders) == brute all-pairs Jaccard on " +
+      "generated mini-corpora — the PPJoin exact-recall claim") {
+    import graft.ops.Dedup
+    // small shared vocab so near-dup pairs actually occur
+    val word: Gen[String] = Gen.oneOf(
+      "aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val doc: Gen[String] = Gen.choose(3, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpora = samples(Gen.listOfN(10, doc), 8)
+    corpora.zipWithIndex.foreach { case (docs, ci) =>
+      val df = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def pairs(ordered: Boolean) =
+        Dedup.prefixFilterPairs(df, "doc_id", "text", w = 3,
+            minJaccard = 0.5, dfOrdered = ordered)
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute: distinct 3-gram sets, floored jaccard >= 0.5
+      def shs(t: String): Set[String] = {
+        val toks = t.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < 3) Set.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val sets = docs.map(shs)
+      val brute = (for {
+        a <- docs.indices; b <- docs.indices if a < b
+        sa = sets(a); sb = sets(b)
+        if sa.nonEmpty && sb.nonEmpty
+        c = (sa & sb).size
+        j = math.floor(c.toDouble / (sa.size + sb.size - c) * 10000) /
+          10000
+        if j >= 0.5
+      } yield (a.toLong, b.toLong)).toSet
+      assert(pairs(true) === brute, s"corpus $ci: df-ordered != brute")
+      assert(pairs(false) === brute, s"corpus $ci: lexicographic != brute")
+    }
+  }
+
+  test("medianByRank / madByRank == sorted in-memory references on " +
+      "generated groups") {
+    val grps: Gen[List[(String, Long)]] = Gen.choose(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b"), Gen.choose(-50L, 50L))))
+    samples(grps, 8).zipWithIndex.foreach { case (rows, ci) =>
+      val df = rows.toDF("k", "v")
+      def refMedian(xs: Seq[Long]): Double = {
+        val s = xs.sorted.map(_.toDouble)
+        val n = s.length
+        (s((n - 1) / 2) + s(n / 2)) / 2
+      }
+      val med = Agg.medianByRank(df, "k", "v")
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      rows.groupBy(_._1).foreach { case (k, vs) =>
+        assert(med(k) === refMedian(vs.map(_._2)),
+          s"table $ci key $k: median mismatch")
+      }
+      val mad = Agg.madByRank(df, "k", "v")
+        .collect().map(r => (r.getString(0), r.getDouble(2),
+          r.getDouble(3)))
+      mad.foreach { case (k, p50, m) =>
+        val vs = rows.filter(_._1 == k).map(_._2)
+        val rm = refMedian(vs)
+        val rmad = refMedian2(vs.map(v => math.abs(v - rm)))
+        assert(p50 === math.floor(rm * 1e4) / 1e4,
+          s"table $ci key $k: mad p50")
+        assert(m === math.floor(rmad * 1e4) / 1e4,
+          s"table $ci key $k: mad value")
+      }
+    }
+  }
+
+  private def refMedian2(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    (s((n - 1) / 2) + s(n / 2)) / 2
+  }
+
   test("spearmanCorr == spearmanCorrDomain on generated tie-heavy " +
       "groups") {
     val grps: Gen[List[(String, Long, Long)]] =
