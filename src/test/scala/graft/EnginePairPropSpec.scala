@@ -182,6 +182,75 @@ class EnginePairPropSpec extends SparkSpec {
     (s((n - 1) / 2) + s(n / 2)) / 2
   }
 
+  test("sessionize == a gaps-and-islands in-memory reference on " +
+      "generated event streams, boundary gaps included") {
+    import graft.ops.EventsOps
+    // ts drawn from a small range so gap == gapSeconds EXACTLY occurs
+    // (strictly-greater splits; equal-to-gap must NOT split)
+    val evs: Gen[List[(Long, Long, Long)]] = Gen.choose(1, 50).flatMap(
+      n => Gen.listOfN(n, Gen.zip(Gen.choose(0L, 2L),
+        Gen.choose(0L, 200L), Gen.choose(0L, 999L))).map(
+        _.zipWithIndex.map { case ((u, t, _), i) => (i.toLong, u, t) }))
+    samples(evs, 8).zipWithIndex.foreach { case (rows, ci) =>
+      val gap = 10L
+      val df = rows.toDF("event_id", "user_id", "sec")
+        .select(col("event_id"), col("user_id"),
+          timestamp_seconds(col("sec")).as("ts"))
+      val got = EventsOps.sessionize(df, gap)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      // reference: per user, order by (sec, event_id), split on
+      // delta > gap
+      val ref = rows.groupBy(_._2).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e._3, e._1)).map(_._3)
+        val sessions = sorted.foldLeft(List.empty[List[Long]]) {
+          case (Nil, t) => List(List(t))
+          case (cur :: done, t) =>
+            if (t - cur.head > gap) List(t) :: cur :: done
+            else (t :: cur) :: done
+        }
+        sessions.map(s => (u, s.min, s.max, s.length.toLong))
+      }.toSet
+      assert(got === ref, s"stream $ci: sessions mismatch")
+    }
+  }
+
+  test("pageRankFixed == an in-memory integer reference on generated " +
+      "weighted graphs (identical div/damp arithmetic)") {
+    import graft.ops.Graph
+    val edges: Gen[List[(Long, Long, Long)]] = Gen.choose(1, 30).flatMap(
+      n => Gen.listOfN(n, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L),
+        Gen.choose(1L, 5L))))
+    samples(edges, 6).zipWithIndex.foreach { case (es0, ci) =>
+      val es = es0.filter { case (a, b, _) => a != b }
+      if (es.nonEmpty) {
+        val df = es.toDF("src", "dst", "w")
+        val got = Graph.pageRankFixed(df, iters = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        // reference replicating the engine's exact integer arithmetic
+        val scale = 1000000000000L
+        val ew = es.groupBy(e => (e._1, e._2))
+          .map { case ((s, d), g) => (s, d, g.map(_._3).sum) }.toSeq
+        val outw = ew.groupBy(_._1).map { case (s, g) =>
+          s -> g.map(_._3).sum }
+        val nodes = (ew.map(_._1) ++ ew.map(_._2)).distinct
+        val n = nodes.length
+        val base = (scale - scale * 85 / 100) / n
+        var r = nodes.map(_ -> scale / n).toMap
+        for (_ <- 1 to 3) {
+          val inflow = ew.groupBy(_._2).map { case (d, g) =>
+            d -> g.map { case (s, _, w) =>
+              Math.floorDiv(r(s) * w, outw(s)) }.sum }
+          r = nodes.map(nd =>
+            nd -> (base + Math.floorDiv(
+              85 * inflow.getOrElse(nd, 0L), 100))).toMap
+        }
+        assert(got === r, s"graph $ci: pagerank mismatch")
+      }
+    }
+  }
+
   test("spearmanCorr == spearmanCorrDomain on generated tie-heavy " +
       "groups") {
     val grps: Gen[List[(String, Long, Long)]] =
