@@ -216,6 +216,65 @@ class EnginePairPropSpec extends SparkSpec {
     }
   }
 
+  test("asOfJoin and asOfJoinTolerance == in-memory references on " +
+      "generated streams — simultaneous rows and staleness boundaries") {
+    import graft.ops.EventsOps
+    // small ts range so exact-simultaneous left/right rows occur, and
+    // deltas straddle the tolerance boundary
+    val evs: Gen[(List[(Long, Long, Long)], List[(Long, Long, Long)])] =
+      for {
+        nl <- Gen.choose(1, 25); nr <- Gen.choose(1, 25)
+        l <- Gen.listOfN(nl, Gen.zip(Gen.choose(0L, 2L),
+          Gen.choose(0L, 40L), Gen.const(0L)))
+        r <- Gen.listOfN(nr, Gen.zip(Gen.choose(0L, 2L),
+          Gen.choose(0L, 40L), Gen.const(0L)))
+      } yield (
+        l.zipWithIndex.map { case ((u, t, _), i) => (i.toLong, u, t) },
+        r.zipWithIndex.map { case ((u, t, _), i) =>
+          (1000L + i, u, t) })
+    samples(evs, 8).zipWithIndex.foreach { case ((ls, rs), ci) =>
+      def df(rows: Seq[(Long, Long, Long)]) = rows
+        .toDF("event_id", "user_id", "sec")
+        .select(col("event_id"), col("user_id"),
+          timestamp_seconds(col("sec")).as("ts"))
+      // reference: most recent right of same user at-or-before the
+      // left ts; ties broken by LARGEST (es, event_id) — the window's
+      // last-value over es asc, id asc order
+      def refMatch(u: Long, t: Long, tol: Option[Long]): Option[Long] = {
+        val c = rs.filter(r => r._2 == u && r._3 <= t &&
+          tol.forall(b => t - r._3 <= b))
+        if (c.isEmpty) None
+        else Some(c.maxBy(r => (r._3, r._1))._1)
+      }
+      val plain = EventsOps.asOfJoin(df(ls), df(rs))
+        .collect().map(r => (r.getLong(1),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toList
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val refPlain = ls.map(l =>
+          (l._1, refMatch(l._2, l._3, None))).map(t => (t._1, t._2))
+      // compare per left event id via a keyed map
+      val gotById = EventsOps.asOfJoin(df(ls), df(rs))
+        .collect().map(r => r.getLong(1) ->
+          Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      refPlain.foreach { case (id, m) =>
+        assert(gotById(id) === m, s"stream $ci left $id: as-of mismatch")
+      }
+      val gotTol = EventsOps.asOfJoinTolerance(df(ls), df(rs), 5L)
+        .collect().map(r => r.getLong(1) ->
+          Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      ls.foreach { l =>
+        // tolerance applies to the WINDOW'S chosen last right row (the
+        // engine checks staleness post-selection), so the reference is
+        // the unbounded match filtered by staleness
+        val m = refMatch(l._2, l._3, None)
+          .filter(rid => l._3 - rs.find(_._1 == rid).get._3 <= 5L)
+        assert(gotTol(l._1) === m,
+          s"stream $ci left ${l._1}: tolerance as-of mismatch")
+      }
+      assert(plain.values.sum == ls.size)
+    }
+  }
+
   test("pageRankFixed == an in-memory integer reference on generated " +
       "weighted graphs (identical div/damp arithmetic)") {
     import graft.ops.Graph
