@@ -23,6 +23,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   */
 object PqExprs {
 
+  /** True when any of the first `len` array slots is a null element —
+    * ArrayData.getFloat on a null slot reads garbage/0, so every entry
+    * point below checks this first and propagates SQL null instead
+    * (matching the composed element_at arithmetic these expressions
+    * replaced, where a null element nulled the distance/code).
+    */
+  private def hasNullElement(sv: ArrayData, len: Int): Boolean = {
+    var i = 0
+    while (i < len) {
+      if (sv.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Left-to-right squared L2 between a float subvector and a double
     * codeword — the [[graft.ops.Num.floorAtD]]-compatible raw sum.
     */
@@ -37,8 +52,11 @@ object PqExprs {
     acc
   }
 
-  /** Argmin codeword (9dp-floored distance, ties to the lowest code). */
+  /** Argmin codeword (9dp-floored distance, ties to the lowest code);
+    * -1 signals a null array element (callers surface SQL null).
+    */
   def assign(sv: ArrayData, books: Array[Array[Double]]): Int = {
+    if (books.length > 0 && hasNullElement(sv, books(0).length)) return -1
     var best = 0
     var bestD = Double.PositiveInfinity
     var j = 0
@@ -51,7 +69,8 @@ object PqExprs {
   }
 
   /** [[assign]] against the `s`-th of m codebooks — the trainer's
-    * per-row dispatch over exploded (s, subvector) rows.
+    * per-row dispatch over exploded (s, subvector) rows. -1 signals a
+    * null array element.
     */
   def assignAt(s: Int, sv: ArrayData,
                books: Array[Array[Array[Double]]]): Int =
@@ -59,9 +78,12 @@ object PqExprs {
 
   /** The query's RAW (unfloored) distance to each codeword — the ADC
     * lookup table; the retriever floors only the summed distance,
-    * mirroring the oracle.
+    * mirroring the oracle. Null (SQL null result) when the subvector
+    * carries a null element.
     */
   def lut(sv: ArrayData, books: Array[Array[Double]]): ArrayData = {
+    if (books.length > 0 && hasNullElement(sv, books(0).length))
+      return null
     val out = new Array[Double](books.length)
     var j = 0
     while (j < books.length) { out(j) = l2sq(sv, books(j)); j += 1 }
@@ -88,14 +110,22 @@ case class PqAssignExpr(child: Expression, books: Array[Array[Double]])
 
   override def dataType: DataType = IntegerType
 
-  override def nullSafeEval(input: Any): Any =
-    PqExprs.assign(input.asInstanceOf[ArrayData], books)
+  // a null array ELEMENT nulls the code even when the array itself is
+  // non-nullable
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = PqExprs.assign(input.asInstanceOf[ArrayData], books)
+    if (r < 0) null else r
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("books", books, "double[][]")
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.PqExprs.assign($c, $ref)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.PqExprs.assign($c, $ref);
+      |if (${ev.value} < 0) { ${ev.isNull} = true; }
+      |""".stripMargin)
   }
 
   override protected def withNewChildInternal(
@@ -120,14 +150,21 @@ case class PqAssignAtExpr(left: Expression, right: Expression,
 
   override def dataType: DataType = IntegerType
 
-  override def nullSafeEval(s: Any, sv: Any): Any =
-    PqExprs.assignAt(s.asInstanceOf[Int], sv.asInstanceOf[ArrayData], books)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(s: Any, sv: Any): Any = {
+    val r = PqExprs.assignAt(s.asInstanceOf[Int],
+      sv.asInstanceOf[ArrayData], books)
+    if (r < 0) null else r
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("books", books, "double[][][]")
-    defineCodeGen(ctx, ev,
-      (s, sv) => s"graft.functions.PqExprs.assignAt($s, $sv, $ref)")
+    nullSafeCodeGen(ctx, ev, (s, sv) => s"""
+      |${ev.value} = graft.functions.PqExprs.assignAt($s, $sv, $ref);
+      |if (${ev.value} < 0) { ${ev.isNull} = true; }
+      |""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(
@@ -149,14 +186,18 @@ case class PqLutExpr(child: Expression, books: Array[Array[Double]])
   override def dataType: DataType =
     ArrayType(DoubleType, containsNull = false)
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any =
     PqExprs.lut(input.asInstanceOf[ArrayData], books)
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("books", books, "double[][]")
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.PqExprs.lut($c, $ref)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.PqExprs.lut($c, $ref);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+      |""".stripMargin)
   }
 
   override protected def withNewChildInternal(

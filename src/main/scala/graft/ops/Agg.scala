@@ -1247,8 +1247,12 @@ object Agg {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
       s"need 0 <= p <= 1, got $ps")
     val arr = ps.map { case (_, p) => s"${p}D" }.mkString(", ")
+    // backtick-quote the identifier (doubling embedded backticks, the
+    // SQL escape) — every other engine in the pair takes the Column
+    // API, so a name with spaces/hyphens/dots must not break only here
+    val vq = "`" + valueCol.replace("`", "``") + "`"
     df.groupBy(col(key))
-      .agg(expr(s"percentile($valueCol, array($arr))").as("__ps"),
+      .agg(expr(s"percentile($vq, array($arr))").as("__ps"),
         count(lit(1)).as("n"))
       .select(col(key) +: ps.zipWithIndex.map { case ((name, _), i) =>
         col("__ps")(i).as(name) } :+ col("n"): _*)

@@ -719,9 +719,23 @@ object Sim {
     require(outDims.nonEmpty && outDims.forall(_ > 0),
       s"need positive outDims, got $outDims")
     // dim read from the data (one tiny job — the topKLsh discipline):
-    // a wrong dim constant would null every plane dot silently
-    val dimRow = candidates.agg(max(size(col(vecCol)))).head()
+    // a wrong dim constant would null every plane dot silently. Ragged
+    // guard (the pcaTopComponent discipline): a shorter vector's
+    // projection dots would read past its end (element_at null),
+    // nulling projected coordinates and silently distorting recall —
+    // demand uniform dimensions instead.
+    val dimRow = candidates.agg(max(size(col(vecCol))),
+      min(size(col(vecCol)))).head()
     val dim = if (dimRow.isNullAt(0)) 0 else dimRow.getInt(0)
+    require(dimRow.isNullAt(0) || dimRow.getInt(1) == dim,
+      s"jlRecallSweep needs uniform-dimension vectors; got sizes " +
+        s"${dimRow.getInt(1)}..$dim")
+    val qDimRow = queries.agg(max(size(col(vecCol))),
+      min(size(col(vecCol)))).head()
+    require(qDimRow.isNullAt(0) ||
+      (qDimRow.getInt(0) == dim && qDimRow.getInt(1) == dim),
+      s"jlRecallSweep queries must match the candidate dimension $dim; " +
+        s"got sizes ${qDimRow.getInt(1)}..${qDimRow.getInt(0)}")
     val signs = jlSigns(outDims.max, dim)
     val truth = topK(queries, candidates, k, idCol, vecCol)
       .select(col("q_id"), col("c_id"))

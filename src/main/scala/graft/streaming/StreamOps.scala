@@ -369,11 +369,21 @@ object StreamOps {
                        _: Long) =>
         val b = batch.dropDuplicates(keys)
           .withColumn("__pday", to_date(col(tsCol)))
-        val days = b.select(col("__pday")).distinct()
-          .collect().map(_.getDate(0)).toSeq
+        val dayRows = b.select(col("__pday")).distinct().collect()
+        val days = dayRows.map(_.getDate(0)).filter(_ != null).toSeq
+        // a null tsCol lands in the null partition; isInCollection
+        // never matches SQL null, so without the explicit isNull arm
+        // existing null-date rows would never be read back and null-ts
+        // duplicates would re-append every micro-batch
+        val touchesNull = dayRows.exists(_.isNullAt(0))
+        val dayIn =
+          if (days.isEmpty) lit(false)
+          else col("__pday").isInCollection(days)
+        val dayPred =
+          if (touchesNull) dayIn || col("__pday").isNull else dayIn
         val existing =
           try batch.sparkSession.read.schema(b.schema).parquet(path)
-            .where(col("__pday").isInCollection(days))
+            .where(dayPred)
           catch { case _: org.apache.spark.sql.AnalysisException =>
             emptyDF(batch.sparkSession, b.schema)
           }

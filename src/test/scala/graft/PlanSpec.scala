@@ -639,11 +639,10 @@ class PlanSpec extends SparkSpec {
     spark.listenerManager.register(l)
     try {
       SparkEntry.queries("q244_mmr_rerank")(spark, dir).collect()
-      // listener bus is async; the run executes >= 5 checkpoint
-      // actions + the final collect
-      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-      while (plans.size < 6 && System.nanoTime() < deadline)
-        Thread.sleep(50)
+      // listener bus is async — drain it deterministically instead of
+      // a busy-wait deadline (which went flaky-red on loaded hosts)
+      org.apache.spark.grafttest.TestBridge
+        .waitUntilListenerBusEmpty(spark.sparkContext)
     } finally spark.listenerManager.unregister(l)
     val all = plans.toArray.map(_.toString).mkString("\n---\n")
     assert(plans.size >= 6, s"expected >= 6 executed plans, got " +
