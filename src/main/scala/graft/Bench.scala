@@ -42,8 +42,24 @@ object Bench {
         s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
           unknown.toSeq.sorted.mkString(", "))
     }
+    // Engine-parity variants DEMOTED from the default bench set
+    // (round-12 decision; SCALE.md "Round-12: bench demotion"). Each
+    // name stays in SparkEntry.queries — the driver's Verify gate
+    // still proves it against the family's shared oracle string every
+    // round — but where a family ships an AUTO-DISPATCHER that routes
+    // to one of the pinned engines (q233 over the spearman pair, q273
+    // over the quantile pair), benching the pinned variants re-times
+    // the identical computation the dispatcher already times: the
+    // bench was paying each family 2-3x for one engine's throughput.
+    // SPARK_GRAFT_BENCH_ONLY overrides (explicitly named ⇒ timed), so
+    // the dev loop and ScaleProbe comparisons still reach them.
+    val demoted = Set(
+      "q209_spearman", "q230_spearman_domain", // q233_spearman_auto
+      "q29_quantiles", "q262_quantiles_domain" // q273_quantiles_auto
+    )
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.contains(n)))
+      .filterNot(n => only.isEmpty && demoted.contains(n))
     // times(name) = one entry per rep that completed
     val times = scala.collection.mutable.LinkedHashMap(
       names.map(_ -> scala.collection.mutable.ListBuffer.empty[Double]): _*)

@@ -781,66 +781,169 @@ object Sim {
     * Output: one row per coordinate — (dim_pos, loading, lambda,
     * explained = λ/trace(C)), doubles floored at 9 dp.
     *
-    * 100 TB shape: the only data-sized work is the moment pass — a
-    * scan-local d² explode into a 4096-group aggregate (mergeable
-    * state, map-side combined); collect moves d² + d values, never
-    * rows. Power iteration is O(d²·iters) driver FLOPs — microseconds
-    * at d = 64. The d² explode caps the practical d at a few hundred
-    * (d = 1000 → 1M-row shuffle state, still fine; d = 10⁵ wants the
-    * matrix-free iterate-on-cluster variant instead).
+    * 100 TB shape: the only data-sized work is the moment pass — ONE
+    * scan in which each partition accumulates its upper-triangle Gram
+    * sums locally (per-value DECIMAL(27,10) quanta into d²/2 exact
+    * BigDecimal cells — the identical rounding Spark's double→decimal
+    * cast applies, so the merged sums are bit-equal to the explode
+    * form this replaced and the oracle's replay is unchanged), then
+    * ships d²/2 + d partial rows per partition into one mergeable
+    * aggregation; collect moves d² + d values, never data rows. The
+    * r11 form manufactured n·d²/2 exploded rows before the map-side
+    * combine could eat them — at real LLM dims (d = 1024–4096, 0.5M–8M
+    * rows PER VECTOR) that shape bends; this one's per-partition state
+    * is d²/2 decimal cells regardless of n (size partitions via
+    * maxPartitionBytes so the cell array fits; d = 10⁵ still wants the
+    * matrix-free iterate-on-cluster variant). Power iteration is
+    * O(d²·iters) driver FLOPs — microseconds at d = 64.
     */
   def pcaTopComponent(df: DataFrame, iters: Int = 8,
                       vecCol: String = "embedding"): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     val spark = df.sparkSession
     import spark.implicits._
-    val muRows = df.select(posexplode(col(vecCol)).as(Seq("i", "x")))
-      .groupBy("i")
-      .agg((sum(col("x").cast("double").cast("decimal(27,10)"))
-        .cast("double") / count(lit(1))).as("mu"),
-        count(lit(1)).as("n"))
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    // Spark's double→DECIMAL(27,10) cast rounds the SHORTEST decimal
+    // representation (BigDecimal.valueOf = Double.toString) HALF_UP at
+    // 10 dp — the per-value quantum both the explode form and the
+    // DuckDB oracle apply, replicated here so the partition-local
+    // accumulation sums the IDENTICAL quanta (exact decimal adds are
+    // order-insensitive, hence layout-invariant)
+    def dec(x: Double): JBD =
+      JBD.valueOf(x).setScale(10, RoundingMode.HALF_UP)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.DataTypes.createDecimalType(38, 10),
+        nullable = false)))
+    // partial rows: (i, -1, Σ dec(x_i)) per coordinate (mu sums),
+    // (i, j≥i, Σ dec(x_i·x_j)) upper-triangle product sums,
+    // (-1, dimLength, vectorCount) per observed non-zero dimension —
+    // the ragged guard's evidence rides the same pass.
+    // Rebalance BEFORE accumulating (the bootstrapMeanCi discipline):
+    // on a small-file fixture (one split) the whole n·d²/2 quantum
+    // loop would otherwise run on one core; round-robin is
+    // result-neutral because the decimal cell sums are exact and
+    // order-insensitive (the layout-invariance spec pins it)
+    val partials = df.select(col(vecCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+      val dimCounts = new java.util.HashMap[Int, Long]()
+      var dim = -1
+      var sx: Array[JBD] = null
+      var sxx: Array[JBD] = null // upper triangle, row-major packed
+      val rows = scala.collection.mutable.ArrayBuffer.empty[
+        org.apache.spark.sql.Row]
+      it.foreach { r =>
+        if (!r.isNullAt(0)) {
+          val v = r.getSeq[Any](0)
+          val d = v.length
+          if (d > 0) {
+            dimCounts.merge(d, 1L, (a, b) => a + b)
+            if (dim < 0) {
+              dim = d
+              sx = Array.fill(dim)(JBD.ZERO)
+              sxx = Array.fill(dim * (dim + 1) / 2)(JBD.ZERO)
+            }
+            if (d == dim) {
+              // unbox once into primitives; null elements contribute
+              // nothing to any sum (the explode form's null-skip)
+              val x = new Array[Double](dim)
+              val ok = new Array[Boolean](dim)
+              var i = 0
+              v.foreach { e =>
+                if (e != null) {
+                  x(i) = e.asInstanceOf[Float].toDouble
+                  ok(i) = true
+                }
+                i += 1
+              }
+              i = 0
+              var k = 0
+              while (i < dim) {
+                if (ok(i)) {
+                  sx(i) = sx(i).add(dec(x(i)))
+                  var j = i
+                  var kk = k
+                  while (j < dim) {
+                    if (ok(j)) sxx(kk) = sxx(kk).add(dec(x(i) * x(j)))
+                    j += 1; kk += 1
+                  }
+                }
+                i += 1; k += dim - i + 1
+              }
+            }
+          }
+        }
+      }
+      dimCounts.forEach((d, n) =>
+        rows += org.apache.spark.sql.Row(-1, d, new JBD(n)))
+      if (dim > 0) {
+        var i = 0
+        var k = 0
+        while (i < dim) {
+          if (sx(i).signum != 0)
+            rows += org.apache.spark.sql.Row(i, -1, sx(i))
+          var j = i
+          while (j < dim) {
+            if (sxx(k).signum != 0)
+              rows += org.apache.spark.sql.Row(i, j, sxx(k))
+            j += 1; k += 1
+          }
+          i += 1
+        }
+      }
+      rows.iterator
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    val cellRows = partials.groupBy("i", "j")
+      .agg(sum(col("s")).cast("double").as("s"))
       .collect()
-    require(muRows.nonEmpty,
+    val dimRows = cellRows.filter(_.getInt(0) == -1)
+    require(dimRows.nonEmpty,
       "pcaTopComponent needs at least one non-empty vector")
-    // dim read off the mean rows (one action, not a separate probe);
-    // contiguity holds because posexplode emits every position of
-    // every vector and the ragged guard below demands uniform counts
-    val dim = muRows.map(_.getInt(0)).max + 1
     // ragged guard: covariance over vectors of unequal length is
-    // ill-defined, and collect() order is arbitrary — taking "the"
-    // count from an arbitrary coordinate would be nondeterministic.
-    // Demand one uniform count instead of silently normalizing wrong.
-    val counts = muRows.map(_.getLong(2)).distinct
-    require(counts.length == 1,
-      s"pcaTopComponent needs uniform-dimension vectors; per-coordinate " +
-        s"counts differ (${counts.sorted.mkString(",")})")
-    val n = counts.head
+    // ill-defined — demand one uniform dimension instead of silently
+    // normalizing wrong (the explode form enforced this through its
+    // per-coordinate counts)
+    require(dimRows.length == 1,
+      s"pcaTopComponent needs uniform-dimension vectors; observed " +
+        s"dimensions (${dimRows.map(_.getInt(1)).sorted.mkString(",")})")
+    val dim = dimRows.head.getInt(1)
+    val n = dimRows.head.getDouble(2).toLong
     val mu = Array.ofDim[Double](dim)
-    muRows.foreach(r => mu(r.getInt(0)) = r.getDouble(1))
-    // second moments: within-row coordinate pairs — the first explode's
-    // array is carried as an attribute so the second explode re-reads
-    // it, not recomputes it (Dedup.shingles scaladoc contract)
-    val withI = df.select(col(vecCol).as("__v"))
-      .select(col("__v"), posexplode(col("__v")).as(Seq("i", "xi")))
-    // upper triangle only (j >= i) — halves the exploded row count; the
-    // mirrored entry is BIT-identical to computing it directly (the
-    // product commutes exactly in double and the decimal sum is
-    // order-insensitive), so the oracle's full-matrix replay agrees
-    val sxxRows = withI
-      .select(col("i"), col("xi"),
-        posexplode(col("__v")).as(Seq("j", "xj")))
-      .where(col("j") >= col("i"))
-      .select(col("i"), col("j"),
-        (col("xi").cast("double") * col("xj").cast("double"))
-          .cast("decimal(27,10)").as("p"))
-      .groupBy("i", "j").agg(sum(col("p")).cast("double").as("s"))
-      .collect()
+    cellRows.foreach { r =>
+      if (r.getInt(0) >= 0 && r.getInt(1) == -1)
+        mu(r.getInt(0)) = r.getDouble(2) / n
+    }
     val c = Array.ofDim[Double](dim, dim)
-    sxxRows.foreach { r =>
+    val seen = Array.ofDim[Boolean](dim, dim)
+    // mirrored entries are BIT-identical to computing them directly
+    // (the product commutes exactly in double), so the oracle's
+    // full-matrix replay agrees with the upper-triangle sums
+    cellRows.foreach { r =>
       val (i, j) = (r.getInt(0), r.getInt(1))
-      val cij = r.getDouble(2) / n - mu(i) * mu(j)
-      c(i)(j) = cij
-      c(j)(i) = cij
+      if (i >= 0 && j >= 0) {
+        val cij = r.getDouble(2) / n - mu(i) * mu(j)
+        c(i)(j) = cij
+        c(j)(i) = cij
+        seen(i)(j) = true
+        seen(j)(i) = true
+      }
+    }
+    // cells whose decimal sum is exactly zero were pruned from the
+    // partials (signum filter) — their entry is 0.0/n − μᵢμⱼ, the same
+    // formula the explode form applied to its zero/all-null sums
+    (0 until dim).foreach { i =>
+      (i until dim).foreach { j =>
+        if (!seen(i)(j)) {
+          val cij = 0.0 / n - mu(i) * mu(j)
+          c(i)(j) = cij
+          c(j)(i) = cij
+        }
+      }
     }
     var v = Array.fill(dim)(1.0)
     var lambda = 0.0
