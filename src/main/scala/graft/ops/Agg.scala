@@ -885,7 +885,8 @@ object Agg {
     * with cores. Same exact integer discipline, bit-identical output.
     */
   def spearmanCorrDomain(df: DataFrame, key: String, x: String,
-                         y: String): DataFrame = {
+                         y: String,
+                         oneLevelMaxDomain: Long = 65536L): DataFrame = {
     // listwise-delete null pairs up front (as spearmanCorr does): the
     // groupBy domains would KEEP null values while the sxy equi-joins
     // drop them — mismatched sums on any null-bearing input
@@ -894,12 +895,10 @@ object Agg {
     def ranks(c: String, out: String): DataFrame = {
       val vc = dfn.groupBy(col(key), col(c).as("v"))
         .agg(count(lit(1)).as("cnt"))
-      // two-level domain cumulative (see [[domainCum]]): on a
-      // near-unique value domain the one-level per-key window was the
-      // single-node 1.5×-worse wall-clock the round-10 scaladoc nuance
-      // recorded — ranks are exact longs either way, so output is
-      // unchanged
-      domainCum(vc, key, "v", "cnt", 64)
+      // domain cumulative with [[domainCum]]'s internal size dispatch:
+      // ranks are exact longs under either physical shape, so output
+      // is unchanged whichever level the domain size routes to
+      domainCum(vc, key, "v", "cnt", 64, oneLevelMaxDomain)
         .select(col(key), col("v").as(c), col("cnt"),
           (lit(2) * (col("__cum") - col("cnt")) + col("cnt") + 1)
             .as(out))
@@ -1108,13 +1107,34 @@ object Agg {
     * sums. `vCol` must be numeric (double-cast bucketing must be
     * monotone in the column's own ordering). Shared by
     * [[quantilesByDomain]] and [[spearmanCorrDomain]]'s rank step.
+    *
+    * INTERNAL DISPATCH by domain size (SCALE.md round-11's named
+    * lever, implemented round 12): the two-level machinery exists for
+    * domains too large to sort on one task (ScaleProbe bend 10× per
+    * ×16), but below `oneLevelMaxDomain` histogram rows per key the
+    * plain per-key ordered window is strictly less machinery — no
+    * min/max broadcast, no offset window, no (key, bucket) join — and
+    * bit-identical (exact integer sums over the same unique (key, v)
+    * rows, same RANGE frame). The preflight (max per-key histogram
+    * rows) needs one action, so the histogram is localCheckpoint'd
+    * first — which also stops the main plan re-deriving it from the
+    * raw scan per consumer; it is the REDUCED frame (|keys|·|domain|
+    * rows), spillable executor storage at any scale.
     */
-  private def domainCum(h: DataFrame, key: String, vCol: String,
-                        cntCol: String, buckets: Int): DataFrame = {
-    val mm = h.groupBy(col(key))
+  private[graft] def domainCum(h: DataFrame, key: String, vCol: String,
+                               cntCol: String, buckets: Int,
+                               oneLevelMaxDomain: Long = 65536L)
+      : DataFrame = {
+    val hc = h.localCheckpoint()
+    val mxRow = hc.groupBy(col(key)).agg(count(lit(1)).as("__d"))
+      .agg(max(col("__d"))).head()
+    if (mxRow.isNullAt(0) || mxRow.getLong(0) <= oneLevelMaxDomain)
+      return hc.withColumn("__cum", sum(col(cntCol)).over(
+        Window.partitionBy(col(key)).orderBy(col(vCol))))
+    val mm = hc.groupBy(col(key))
       .agg(min(col(vCol)).cast("double").as("__mn"),
         max(col(vCol)).cast("double").as("__mx"))
-    val hb = h.join(broadcast(mm), Seq(key))
+    val hb = hc.join(broadcast(mm), Seq(key))
       .withColumn("__b", least(lit(buckets - 1),
         floor((col(vCol).cast("double") - col("__mn")) * buckets /
           (col("__mx") - col("__mn") + lit(1.0))).cast("int")))
@@ -1303,19 +1323,23 @@ object Agg {
   }
 
   def quantilesByDomain(df: DataFrame, key: String, valueCol: String,
-                        ps: Seq[(String, Double)], buckets: Int = 64)
+                        ps: Seq[(String, Double)], buckets: Int = 64,
+                        oneLevelMaxDomain: Long = 65536L)
       : DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
       s"need 0 <= p <= 1, got $ps")
     require(buckets >= 1, s"need buckets >= 1, got $buckets")
     val h = df.groupBy(col(key), col(valueCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__c"))
+    val cum0 = domainCum(h, key, "__v", "__c", buckets,
+      oneLevelMaxDomain)
     // per-key totals as a broadcast aggregate, NOT a per-key unordered
     // window — an unbounded-frame window still converges every row of
-    // a key onto one task
-    val tot = h.groupBy(col(key)).agg(sum(col("__c")).as("__n"))
-    val cum = domainCum(h, key, "__v", "__c", buckets)
-      .join(broadcast(tot), Seq(key))
+    // a key onto one task. Derived from domainCum's checkpointed
+    // histogram (it carries __cum alongside the histogram columns), so
+    // the raw scan is not re-derived for the totals.
+    val tot = cum0.groupBy(col(key)).agg(sum(col("__c")).as("__n"))
+    val cum = cum0.join(broadcast(tot), Seq(key))
     val qAggs = ps.map { case (name, p) =>
       val pos = lit(p) * (col("__n") - lit(1L)).cast("double")
       val loIdx = floor(pos)

@@ -58,6 +58,10 @@ class EnginePairPropSpec extends SparkSpec {
       val b = run(Agg.quantilesByBuffer(df, "k", "v", ps))
       val d = run(Agg.quantilesByDomain(df, "k", "v", ps, buckets = 4))
       assert(b === d, s"table $ci: buffer != domain")
+      // forced two-level cumulant (see the spearman pair test)
+      val d2 = run(Agg.quantilesByDomain(df, "k", "v", ps, buckets = 4,
+        oneLevelMaxDomain = 0L))
+      assert(b === d2, s"table $ci: buffer != two-level domain")
     }
   }
 
@@ -324,6 +328,32 @@ class EnginePairPropSpec extends SparkSpec {
       val w = run(Agg.spearmanCorr(df, "k", "x", "y"))
       val d = run(Agg.spearmanCorrDomain(df, "k", "x", "y"))
       assert(w === d, s"table $ci: windowed != domain")
+      // force the two-level cumulant (the generated domains are small,
+      // so the default dispatch routes one-level — this keeps the
+      // bucketed path under generated-input coverage too)
+      val d2 = run(Agg.spearmanCorrDomain(df, "k", "x", "y",
+        oneLevelMaxDomain = 0L))
+      assert(w === d2, s"table $ci: windowed != two-level domain")
+    }
+  }
+
+  test("domainCum one-level == forced two-level on generated " +
+      "histograms — the round-12 internal size dispatch cannot change " +
+      "__cum") {
+    val grps: Gen[List[(String, Long)]] = Gen.choose(5, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b", "c"),
+        Gen.choose(-50L, 50L))))
+    samples(grps, 8).zipWithIndex.foreach { case (rows, ci) =>
+      val h = rows.toDF("k", "v")
+        .groupBy(col("k"), col("v").cast("double").as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      def cum(oneLevelMax: Long) =
+        Agg.domainCum(h, "k", "__v", "__c", 4, oneLevelMax)
+          .select("k", "__v", "__cum").collect()
+          .map(r => ((r.getString(0), r.getDouble(1)), r.getLong(2)))
+          .toMap
+      assert(cum(Long.MaxValue) === cum(0L),
+        s"table $ci: dispatch levels disagree")
     }
   }
 }
