@@ -886,7 +886,7 @@ object Agg {
     */
   def spearmanCorrDomain(df: DataFrame, key: String, x: String,
                          y: String,
-                         oneLevelMaxDomain: Long = 65536L): DataFrame = {
+                         oneLevelMaxDomain: Long = 1048576L): DataFrame = {
     // listwise-delete null pairs up front (as spearmanCorr does): the
     // groupBy domains would KEEP null values while the sxy equi-joins
     // drop them — mismatched sums on any null-bearing input
@@ -1115,7 +1115,12 @@ object Agg {
     * plain per-key ordered window is strictly less machinery — no
     * min/max broadcast, no offset window, no (key, bucket) join — and
     * bit-identical (exact integer sums over the same unique (key, v)
-    * rows, same RANGE frame). The preflight (max per-key histogram
+    * rows, same RANGE frame). The 1M default sits between the two
+    * measured regimes: a one-task sort of ≤1M histogram rows (tens of
+    * MB) is sub-second, while the ScaleProbe bend that motivated the
+    * two-level form appeared at ~3M rows per key (fixture ×16); the
+    * sf0.1 fixture's ~200k-per-key price domains route one-level.
+    * The preflight (max per-key histogram
     * rows) needs one action, so the histogram is localCheckpoint'd
     * first — which also stops the main plan re-deriving it from the
     * raw scan per consumer; it is the REDUCED frame (|keys|·|domain|
@@ -1123,7 +1128,7 @@ object Agg {
     */
   private[graft] def domainCum(h: DataFrame, key: String, vCol: String,
                                cntCol: String, buckets: Int,
-                               oneLevelMaxDomain: Long = 65536L)
+                               oneLevelMaxDomain: Long = 1048576L)
       : DataFrame = {
     val hc = h.localCheckpoint()
     val mxRow = hc.groupBy(col(key)).agg(count(lit(1)).as("__d"))
@@ -1324,7 +1329,7 @@ object Agg {
 
   def quantilesByDomain(df: DataFrame, key: String, valueCol: String,
                         ps: Seq[(String, Double)], buckets: Int = 64,
-                        oneLevelMaxDomain: Long = 65536L)
+                        oneLevelMaxDomain: Long = 1048576L)
       : DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
       s"need 0 <= p <= 1, got $ps")

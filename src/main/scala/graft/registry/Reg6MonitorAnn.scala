@@ -448,10 +448,15 @@ private[graft] object Reg6MonitorAnn {
     // q60's oracle string. Upgrades the streaming family from
     // "spec'd, no oracle by nature" to oracle-checked: stream ≡ batch
     // is now a driver-gated hash equality.
+    // (Round 12: every streaming gate executes inside ONE combined
+    // family run — concurrent queries on one session, memoized per
+    // fixture per JVM; StreamOps "gate-FAMILY consolidation" scaladoc.
+    // Per-gate engine parameters live in StreamOps.eventGates /
+    // docsGates; each entry here reads its own engine's output, so
+    // every oracle binding below is unchanged.)
     "q235_stream_tumbling" -> ((s, dir) =>
-      graft.streaming.StreamOps.runBoundedGate(s, dir, 3, 2)(in =>
-          graft.streaming.StreamOps.windowedCounts(
-            in, "3600 seconds", "3600 seconds"))
+      graft.streaming.StreamOps.eventGateResult(s, dir,
+          "q235_stream_tumbling")
         .orderBy("window_start", "event_type")),
 
     // streaming — SLIDING windows complete the gated window matrix
@@ -462,10 +467,8 @@ private[graft] object Reg6MonitorAnn {
     // two sliding engines (batch window-set explode + streaming
     // window()).
     "q259_stream_sliding" -> ((s, dir) =>
-      graft.streaming.StreamOps.runBoundedGate(s, dir, 3, 2)(in =>
-          graft.streaming.StreamOps.windowedCounts(
-            in, "7200 seconds", "3600 seconds")
-            .select("window_start", "event_type", "n"))
+      graft.streaming.StreamOps.eventGateResult(s, dir,
+          "q259_stream_sliding")
         .where(col("window_start") >= 0)
         .orderBy("window_start", "event_type")),
 
@@ -481,9 +484,8 @@ private[graft] object Reg6MonitorAnn {
     // different inputs, not different engines. Production deployments
     // bound lateness; a bounded REPLAY that must equal batch cannot.
     "q236_stream_sessions" -> ((s, dir) =>
-      graft.streaming.StreamOps.runBoundedGate(s, dir, 3, 2)(in =>
-          graft.streaming.StreamOps.sessionCounts(
-            in, "1800 seconds", watermark = "36500 days"))
+      graft.streaming.StreamOps.eventGateResult(s, dir,
+          "q236_stream_sessions")
         .orderBy("user_id", "session_start")),
 
     // text — BPE merge trainer (Bpe.scala scaladoc): 12 greedy merge
@@ -522,11 +524,8 @@ private[graft] object Reg6MonitorAnn {
     // oracle computes. Cross-batch duplicates are the point: a key seen
     // in batch 1 must suppress its batch-3 twin from STATE.
     "q239_stream_dedup" -> ((s, dir) =>
-      graft.streaming.StreamOps.runBoundedGateAppend(s, dir, 3, 2)(in =>
-          graft.streaming.StreamOps.streamingDedup(
-            in.select("ts", "user_id", "event_type"),
-            Seq("user_id", "event_type"), watermark = "36500 days")
-            .select("user_id", "event_type"))
+      graft.streaming.StreamOps.eventGateResult(s, dir,
+          "q239_stream_dedup")
         .orderBy("user_id", "event_type")),
 
     // streaming — the CUSTOM-STATE engine (flatMapGroupsWithState +
@@ -540,9 +539,8 @@ private[graft] object Reg6MonitorAnn {
     // oracle's MAX(es)+gap form here, not in the engine — the engine
     // emits last-event time, the production-truthful shape.
     "q240_stream_stateful_sessions" -> ((s, dir) =>
-      graft.streaming.StreamOps.runOrderedGateAppend(s, dir, 3, 2)(in =>
-          graft.streaming.StreamOps.statefulSessionizeWatermarked(
-            in, gapSeconds = 1800L, watermark = "30 minutes").toDF)
+      graft.streaming.StreamOps.eventGateResult(s, dir,
+          "q240_stream_stateful_sessions")
         .where(col("user_id") >= 0)
         .select(col("user_id"), col("session_start"),
           (col("session_end") + 1800L).as("session_end"),
@@ -559,9 +557,8 @@ private[graft] object Reg6MonitorAnn {
     // forces cross-batch pairs from retained state (one real batch
     // boundary; q245/q266 keep 3+ for the multi-boundary claim)
     "q241_stream_join" -> ((s, dir) =>
-      graft.streaming.StreamOps.runBoundedGateAppend2(s, dir, 2, 2)(
-          (l, r) => graft.streaming.StreamOps.streamStreamJoin(
-            l, r, windowSeconds = 900, watermark = "36500 days"))
+      graft.streaming.StreamOps.eventGateResult(s, dir,
+          "q241_stream_join")
         .orderBy("user_id", "l_id", "r_id")),
 
     // streaming — the stream-stream LEFT OUTER join engine, as the
@@ -578,11 +575,8 @@ private[graft] object Reg6MonitorAnn {
     // tail nulls forever — measured as exactly the last-2700s
     // purchases missing.
     "q242_stream_left_join" -> ((s, dir) =>
-      graft.streaming.StreamOps.runOrderedGateAppend2(s, dir, 2, 2)(
-          (l, r) => graft.streaming.StreamOps.streamStreamLeftJoin(
-            l.where(col("event_type") === "purchase"),
-            r.where(col("event_type") === "click"),
-            windowSeconds = 900, watermark = "30 minutes"))
+      graft.streaming.StreamOps.eventGateResult(s, dir,
+          "q242_stream_left_join")
         .where(col("user_id") >= 0)
         .orderBy("user_id", "l_id", "r_id")),
 
@@ -603,7 +597,8 @@ private[graft] object Reg6MonitorAnn {
     // once append contract of the reference's INSERT IGNORE fact load,
     // driven through the real streaming write path.
     "q243_stream_upsert_sink" -> ((s, dir) =>
-      graft.streaming.StreamOps.runUpsertSinkGate(s, dir, 2, 2)
+      graft.streaming.StreamOps.eventGateResult(s, dir,
+          "q243_stream_upsert_sink")
         .select(col("event_id"), unix_timestamp(col("ts")).as("es"),
           col("user_id"), col("event_type"), col("value"), col("props"))
         .orderBy("event_id")),
@@ -615,7 +610,8 @@ private[graft] object Reg6MonitorAnn {
     // Same duplicated staging, same exactly-once target contract,
     // bound to q243's IDENTICAL oracle string — one oracle, two sinks.
     "q261_stream_upsert_partitioned" -> ((s, dir) =>
-      graft.streaming.StreamOps.runUpsertSinkGatePartitioned(s, dir, 2, 2)
+      graft.streaming.StreamOps.eventGateResult(s, dir,
+          "q261_stream_upsert_partitioned")
         .select(col("event_id"), unix_timestamp(col("ts")).as("es"),
           col("user_id"), col("event_type"), col("value"), col("props"))
         .orderBy("event_id")),
@@ -628,7 +624,8 @@ private[graft] object Reg6MonitorAnn {
     // components engines (fixpoint, big-star, incremental batch,
     // streaming store).
     "q245_stream_cc_store" -> ((s, dir) =>
-      graft.streaming.StreamOps.runCCStoreGate(s, dir, 3, 2)
+      graft.streaming.StreamOps.docsGateResult(s, dir,
+          "q245_stream_cc_store")
         .orderBy("doc_id")),
 
     // text — tokenizer fertility by language (Bpe.fertilityByGroup
@@ -644,11 +641,8 @@ private[graft] object Reg6MonitorAnn {
     // padded (each side's state against the OTHER side's watermark).
     // Same ordered staging + per-type sentinels as q242.
     "q248_stream_full_join" -> ((s, dir) =>
-      graft.streaming.StreamOps.runOrderedGateAppend2(s, dir, 2, 2)(
-          (l, r) => graft.streaming.StreamOps.streamStreamFullOuterJoin(
-            l.where(col("event_type") === "purchase"),
-            r.where(col("event_type") === "click"),
-            windowSeconds = 900, watermark = "30 minutes"))
+      graft.streaming.StreamOps.eventGateResult(s, dir,
+          "q248_stream_full_join")
         .where(col("user_id") >= 0)
         .orderBy("user_id", "l_id", "r_id")),
 
@@ -660,14 +654,8 @@ private[graft] object Reg6MonitorAnn {
     // aggregate OVER the join proves enriched-stream ≡ enriched-batch
     // across batch boundaries (q13/q14's star shape, streaming side).
     "q251_stream_static_enrich" -> ((s, dir) =>
-      graft.streaming.StreamOps.runBoundedGate(s, dir, 3, 2)(in => {
-          val dim = Star.dim(Tables.load(in.sparkSession, dir, "events"),
-            "event_type", "type_id")
-          graft.streaming.StreamOps.streamStaticEnrich(in, dim,
-              "event_type")
-            .groupBy("type_id", "event_type")
-            .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
-        })
+      graft.streaming.StreamOps.eventGateResult(s, dir,
+          "q251_stream_static_enrich")
         .orderBy("type_id")),
 
     // ANN — product quantization with measured recall (Sim.pqCodebooks /
@@ -833,7 +821,8 @@ private[graft] object Reg6MonitorAnn {
     // streaming engine (near-dup admission stays spec-gated: its winner
     // identity is arrival-order-dependent by design).
     "q264_stream_psi" -> ((s, dir) =>
-      graft.streaming.StreamOps.runPsiMonitorGate(s, dir, 3, 2)
+      graft.streaming.StreamOps.eventGateResult(s, dir,
+          "q264_stream_psi")
         .select(col("batch_id"), col("n_events"), col("psi"),
           col("drifted"))
         .orderBy("batch_id")),
@@ -877,7 +866,8 @@ private[graft] object Reg6MonitorAnn {
     // within-batch winner choice cannot leak; cross-batch twins must
     // suppress from STATE.
     "q266_stream_neardup_admission" -> ((s, dir) =>
-      graft.streaming.StreamOps.runNearDupAdmissionGate(s, dir, 3, 2)
+      graft.streaming.StreamOps.docsGateResult(s, dir,
+          "q266_stream_neardup_admission")
         .orderBy("sig_key")),
 
     // ANN — Johnson-Lindenstrauss dimensionality reduction with
