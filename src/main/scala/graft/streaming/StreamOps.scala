@@ -387,12 +387,15 @@ object StreamOps {
           catch { case _: org.apache.spark.sql.AnalysisException =>
             emptyDF(batch.sparkSession, b.schema)
           }
-        // one file per touched partition per batch (the batch is
-        // micro-batch-sized; production sizes files with
-        // maxRecordsPerFile instead) — without this every shuffle
-        // partition writes its own sliver into every date dir
+        // ~one file per touched partition per batch: hash-repartition
+        // the merge on the partition column so each task writes one
+        // day's file (vs every shuffle partition spraying a sliver
+        // into every date dir), while the anti-join itself keeps
+        // day-level parallelism (a coalesce(1) here would drag the
+        // whole merge through one task). Production sizes files with
+        // maxRecordsPerFile instead.
         graft.ops.Star.upsertIgnore(existing, b, keys)
-          .coalesce(1)
+          .repartition(math.max(days.size, 1), col("__pday"))
           .write.mode("append").partitionBy("__pday").parquet(path)
         ()
       }
@@ -870,6 +873,62 @@ object StreamOps {
     try q.processAllAvailable() finally q.stop()
     ns.read.parquet(target)
   }
+
+  /** Stage the events fixture RESPREAD over a `spanDays`-day span with
+    * MONTH-batched arrival, duplicated — the arrival shape where
+    * [[upsertIgnoreSinkPartitioned]]'s pruning pays: the target
+    * accumulates up to `spanDays` date partitions while each
+    * micro-batch's rows touch only ONE month of them (batch b = month
+    * b mod nMonths; the second half of the replay re-delivers every
+    * month, so the sink's exactly-once contract is still exercised
+    * across batch boundaries). The fixture's own 30-day span makes
+    * every batch touch every day — q261's gate is correct there but
+    * the pruned re-read cannot win; this staging is the measured-
+    * crossover companion (UpsertCrossoverProbe; SCALE.md round-12).
+    *
+    * Deterministic respread: event_id r of `rep` replicas maps to
+    * day `id mod spanDays` (id = event_id·rep + r, keeping upsert
+    * keys unique) at second-of-day `id mod 86400`, offset one day
+    * from the epoch (the epoch-watermark discipline of
+    * [[stageDocsTs]]).
+    */
+  def stageEventsWideSpan(spark: SparkSession, sfDir: String,
+                          spanDays: Int = 360, monthDays: Int = 30,
+                          rep: Int = 4): String =
+    stageMemo.computeIfAbsent(
+      s"$sfDir#$spanDays#$monthDays#$rep#widespan", _ => {
+        val stage = graft.TempDirs.register(java.nio.file.Files
+          .createTempDirectory("graft-stream-stage-wide").toString)
+        val ev = graft.Tables.load(spark, sfDir, "events")
+        val wide = ev
+          .crossJoin(spark.range(rep).select(col("id").as("__r")))
+          .withColumn("event_id",
+            col("event_id") * rep + col("__r"))
+          .withColumn("__day",
+            pmod(col("event_id"), lit(spanDays.toLong)))
+          .withColumn("ts", timestamp_seconds(lit(86400L) +
+            col("__day") * 86400L + pmod(col("event_id"), lit(86400L))))
+          .select("event_id", "ts", "user_id", "event_type", "value",
+            "props", "__day")
+        val nMonths = spanDays / monthDays
+        (0 until nMonths).foreach { m =>
+          val tmpd = graft.TempDirs.register(java.nio.file.Files
+            .createTempDirectory("graft-wide-tmp").toString)
+          wide.where(col("__day").divide(monthDays).cast("int") === m)
+            .drop("__day")
+            .coalesce(1).write.mode("overwrite").parquet(tmpd)
+          val f = new java.io.File(tmpd).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(stage, f"month-$m%03d.parquet")
+          java.nio.file.Files.move(f.toPath, dst.toPath)
+          dst.setLastModified(1000L * (m + 1))
+          // the re-delivery copy, arriving after every original month
+          val dup = new java.io.File(stage, f"zz-dup-$m%03d.parquet")
+          java.nio.file.Files.copy(dst.toPath, dup.toPath)
+          dup.setLastModified(1000L * (nMonths + m + 1))
+        }
+        stage
+      })
 
   /** Stage the documents fixture (doc_id, text) as `nFiles` parquet
     * files for a micro-batched replay. Memoized like [[stageEvents]].
