@@ -763,9 +763,11 @@ object Sim {
     }.reduce(_ unionByName _)
   }
 
-  /** Top principal component of an embedding column — ONE distributed
-    * pass, then a driver-sized eigensolve (the [[pqCodebooks]] shape:
+  /** Covariance moments of an embedding column — ONE distributed
+    * pass, then driver-sized state (the [[pqCodebooks]] shape:
     * the cluster reduces, the driver holds only model-sized state).
+    * Shared by [[pcaTopComponent]] and [[pcaTopComponents]]: one
+    * moment-pass implementation, two eigensolve drivers.
     *
     * The distributed pass computes n, the per-coordinate mean, and the
     * full second-moment matrix Σ xᵢxⱼ with DECIMAL(27,10) sums (the
@@ -777,9 +779,6 @@ object Sim {
     * ascending-i order, v = w/λ — every FP op sequenced so the oracle
     * can replay the identical arithmetic as unrolled SQL stages.
     * Orientation is v₀-determined (deterministic, not canonicalized).
-    *
-    * Output: one row per coordinate — (dim_pos, loading, lambda,
-    * explained = λ/trace(C)), doubles floored at 9 dp.
     *
     * 100 TB shape: the only data-sized work is the moment pass — ONE
     * scan in which each partition accumulates its upper-triangle Gram
@@ -795,13 +794,14 @@ object Sim {
     * is d²/2 decimal cells regardless of n (size partitions via
     * maxPartitionBytes so the cell array fits; d = 10⁵ still wants the
     * matrix-free iterate-on-cluster variant). Power iteration is
-    * O(d²·iters) driver FLOPs — microseconds at d = 64.
+    * O(d²·iters·r) driver FLOPs — microseconds at d = 64.
+    *
+    * Returns (n, μ, C) with C fully mirrored (mirrored entries are
+    * BIT-identical to computing both triangles: the product commutes
+    * exactly in double).
     */
-  def pcaTopComponent(df: DataFrame, iters: Int = 8,
-                      vecCol: String = "embedding"): DataFrame = {
-    require(iters >= 1, s"need iters >= 1, got $iters")
-    val spark = df.sparkSession
-    import spark.implicits._
+  private[graft] def covarianceMoments(df: DataFrame, vecCol: String)
+      : (Long, Array[Double], Array[Array[Double]]) = {
     import java.math.{BigDecimal => JBD, RoundingMode}
     // Spark's double→DECIMAL(27,10) cast rounds the SHORTEST decimal
     // representation (BigDecimal.valueOf = Double.toString) HALF_UP at
@@ -903,13 +903,13 @@ object Sim {
       .collect()
     val dimRows = cellRows.filter(_.getInt(0) == -1)
     require(dimRows.nonEmpty,
-      "pcaTopComponent needs at least one non-empty vector")
+      "the PCA moment pass needs at least one non-empty vector")
     // ragged guard: covariance over vectors of unequal length is
     // ill-defined — demand one uniform dimension instead of silently
     // normalizing wrong (the explode form enforced this through its
     // per-coordinate counts)
     require(dimRows.length == 1,
-      s"pcaTopComponent needs uniform-dimension vectors; observed " +
+      s"the PCA moment pass needs uniform-dimension vectors; observed " +
         s"dimensions (${dimRows.map(_.getInt(1)).sorted.mkString(",")})")
     val dim = dimRows.head.getInt(1)
     val n = dimRows.head.getDouble(2).toLong
@@ -945,6 +945,22 @@ object Sim {
         }
       }
     }
+    (n, mu, c)
+  }
+
+  /** `iters` sequenced power iterations from v₀ = (1,…,1): w = C·v
+    * summed in ascending-j order, λ = ‖w‖ summed in ascending-i order,
+    * v = w/λ — the exact arithmetic the oracles unroll as SQL stages.
+    * Returns (v, λ) after the final iteration. Convergence is
+    * ITERATION-BOUNDED, not tolerance-checked: on a near-isotropic
+    * spectrum (the fixture measures top-share 0.026) the iterate is a
+    * deterministic, replayable direction estimate rather than the
+    * exact eigenvector — the planted-spectrum spec shows true eigen
+    * recovery where gaps exist.
+    */
+  private def powerIterate(c: Array[Array[Double]], iters: Int)
+      : (Array[Double], Double) = {
+    val dim = c.length
     var v = Array.fill(dim)(1.0)
     var lambda = 0.0
     for (_ <- 1 to iters) {
@@ -960,12 +976,83 @@ object Sim {
       lambda = math.sqrt(s2)
       v = w.map(_ / lambda)
     }
+    (v, lambda)
+  }
+
+  /** Top principal component — [[powerIterate]] over
+    * [[covarianceMoments]]'s matrix; see those docs for the
+    * distributed shape and the FP-sequencing contract. Output: one row
+    * per coordinate — (dim_pos, loading, lambda,
+    * explained = λ/trace(C)), doubles floored at 9 dp.
+    */
+  def pcaTopComponent(df: DataFrame, iters: Int = 8,
+                      vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (_, mu, c) = covarianceMoments(df, vecCol)
+    val dim = mu.length
+    val (v, lambda) = powerIterate(c, iters)
     var trace = 0.0
     (0 until dim).foreach(i => trace += c(i)(i))
     (0 until dim).map { i =>
       (i + 1, Num.floorDouble(v(i), 9), Num.floorDouble(lambda, 9),
         Num.floorDouble(lambda / trace, 9))
     }.toDF("dim_pos", "loading", "lambda", "explained")
+  }
+
+  /** Top-r principal components by HOTELLING DEFLATION over ONE
+    * [[covarianceMoments]] pass — the SemDeDup-style projection basis
+    * (pipelines project onto r ≈ 8–32 components, not 1): component k
+    * is [[powerIterate]] on C_k, then C_{k+1} = C_k − (vvᵀ)·λ.
+    *
+    * Cross-engine exactness: the deflation outer product is computed
+    * as (vᵢ·vⱼ)·λ — vᵢ·vⱼ commutes EXACTLY in IEEE double, then one
+    * shared ·λ, so C stays bit-symmetric and the oracle's full-matrix
+    * replay agrees with either triangle; component 1 is bit-identical
+    * to [[pcaTopComponent]] (same code path). Explained shares are
+    * λ_k/trace(C₁) — all against the ORIGINAL trace, so they sum
+    * toward 1 over components.
+    *
+    * 100 TB shape: identical to [[pcaTopComponent]] — the data-sized
+    * work is the single moment pass; deflation adds O(d²·r) driver
+    * FLOPs on the already-collected matrix, no second scan.
+    *
+    * Output: one row per (comp, dim_pos), comp = 1..r ordered by
+    * extraction — (comp, dim_pos, loading, lambda, explained),
+    * doubles floored at 9 dp.
+    */
+  def pcaTopComponents(df: DataFrame, r: Int, iters: Int = 8,
+                       vecCol: String = "embedding"): DataFrame = {
+    require(r >= 1 && iters >= 1,
+      s"need r >= 1, iters >= 1; got r=$r iters=$iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (_, mu, c) = covarianceMoments(df, vecCol)
+    val dim = mu.length
+    require(r <= dim, s"need r <= dim=$dim, got r=$r")
+    var trace = 0.0
+    (0 until dim).foreach(i => trace += c(i)(i))
+    val out = Seq.newBuilder[(Int, Int, Double, Double, Double)]
+    for (comp <- 1 to r) {
+      val (v, lambda) = powerIterate(c, iters)
+      (0 until dim).foreach { i =>
+        out += ((comp, i + 1, Num.floorDouble(v(i), 9),
+          Num.floorDouble(lambda, 9),
+          Num.floorDouble(lambda / trace, 9)))
+      }
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) {
+          c(i)(j) = c(i)(j) - (v(i) * v(j)) * lambda
+          j += 1
+        }
+        i += 1
+      }
+    }
+    out.result()
+      .toDF("comp", "dim_pos", "loading", "lambda", "explained")
   }
 
   /** Deterministic k-means coarse quantizer (Lloyd's, cosine assignment):

@@ -909,7 +909,19 @@ private[graft] object Reg6MonitorAnn {
     // (q267) measures the absence of.
     "q268_pca_power" -> ((s, dir) =>
       Sim.pcaTopComponent(t(s, dir, "embeddings"))
-        .orderBy("dim_pos"))
+        .orderBy("dim_pos")),
+
+    // embeddings — top-r components by Hotelling deflation over the
+    // SAME single moment pass (Sim.pcaTopComponents scaladoc): the
+    // SemDeDup-style r-component basis. The oracle unrolls r×iters
+    // power-iteration stages PLUS the deflation updates
+    // C_{k+1} = C_k − (v·vᵀ)·λ with the engine's exact FP sequencing
+    // (the outer product commutes, then one shared ·λ, keeping the
+    // replayed matrix bit-symmetric); component 1 is bit-identical to
+    // q268's output by construction.
+    "q275_pca_topr" -> ((s, dir) =>
+      Sim.pcaTopComponents(t(s, dir, "embeddings"), r = 4)
+        .orderBy("comp", "dim_pos"))
   )
 
   private val upsertSinkOracleSql: String =
@@ -2288,6 +2300,84 @@ private[graft] object Reg6MonitorAnn {
              "(SELECT nm FROM n8) / (SELECT trace FROM tr)", 9)}
            |    AS explained
            |FROM range(1, 65) i(i) ORDER BY dim_pos""".stripMargin
+      },
+
+      // q268's replay extended with Hotelling deflation: per component
+      // k, 8 iteration stages over cm{k}, then cm{k+1} subtracts the
+      // outer product with the engine's sequencing — (vv[i]*vv[j])*nm,
+      // product-first so the matrix stays bit-symmetric. nm rides the
+      // deflation lambda via a CROSS JOIN (subqueries are not allowed
+      // inside DuckDB lambdas). Every multiply-referenced stage is
+      // MATERIALIZED (the bpeChainSql 2^k-inlining lesson).
+      "q275_pca_topr" -> {
+        val r = 4
+        val compStages = (1 to r).map { k =>
+          val iters = (1 to 8).map { t =>
+            s"""w${k}x$t AS MATERIALIZED (
+               |  SELECT c.i AS i, list_sum(list_transform(range(1, 65),
+               |    j -> c.cl[j] * p.vv[j])) AS w
+               |  FROM cm$k c CROSS JOIN v${k}x${t - 1} p),
+               |n${k}x$t AS MATERIALIZED (
+               |  SELECT sqrt(list_sum(list(w * w ORDER BY i))) AS nm
+               |  FROM w${k}x$t),
+               |v${k}x$t AS MATERIALIZED (
+               |  SELECT list(w / (SELECT nm FROM n${k}x$t) ORDER BY i)
+               |    AS vv
+               |  FROM w${k}x$t)""".stripMargin
+          }.mkString(",\n")
+          val defl =
+            if (k < r)
+              s""",
+                 |cm${k + 1} AS MATERIALIZED (
+                 |  SELECT c.i AS i, list_transform(range(1, 65),
+                 |    j -> c.cl[j] - (p.vv[c.i] * p.vv[j]) * q.nm) AS cl
+                 |  FROM cm$k c CROSS JOIN v${k}x8 p
+                 |    CROSS JOIN n${k}x8 q)""".stripMargin
+            else ""
+          s"v${k}x0 AS (SELECT vv FROM v0),\n" + iters + defl
+        }.mkString(",\n")
+        val finals = (1 to r).map { k =>
+          s"""SELECT CAST($k AS INTEGER) AS comp,
+             |  CAST(i.i AS INTEGER) AS dim_pos,
+             |  ${Num.floorAtSql(s"(SELECT vv FROM v${k}x8)[i.i]", 9)}
+             |    AS loading,
+             |  ${Num.floorAtSql(s"(SELECT nm FROM n${k}x8)", 9)}
+             |    AS lambda,
+             |  ${Num.floorAtSql(
+               s"(SELECT nm FROM n${k}x8) / (SELECT trace FROM tr)", 9)}
+             |    AS explained
+             |FROM range(1, 65) i(i)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH e AS (
+           |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |st AS (SELECT COUNT(*) AS n FROM e),
+           |mu AS MATERIALIZED (
+           |  SELECT i.i AS i,
+           |    CAST(SUM(CAST(v[i.i] AS DECIMAL(27,10))) AS DOUBLE)
+           |      / (SELECT n FROM st) AS m
+           |  FROM e CROSS JOIN range(1, 65) i(i) GROUP BY i.i),
+           |sxx AS (
+           |  SELECT i.i AS i, j.j AS j,
+           |    CAST(SUM(CAST(v[i.i] * v[j.j] AS DECIMAL(27,10)))
+           |      AS DOUBLE) AS s
+           |  FROM e CROSS JOIN range(1, 65) i(i)
+           |    CROSS JOIN range(1, 65) j(j)
+           |  GROUP BY i.i, j.j),
+           |cm1 AS MATERIALIZED (
+           |  SELECT s.i AS i,
+           |    list(s.s / (SELECT n FROM st) - mi.m * mj.m
+           |      ORDER BY s.j) AS cl
+           |  FROM sxx s JOIN mu mi ON mi.i = s.i JOIN mu mj ON mj.i = s.j
+           |  GROUP BY s.i),
+           |v0 AS (SELECT list_transform(range(1, 65),
+           |  x -> CAST(1.0 AS DOUBLE)) AS vv),
+           |$compStages,
+           |tr AS (SELECT list_sum(list(cl[i] ORDER BY i)) AS trace
+           |  FROM cm1)
+           |SELECT * FROM (
+           |$finals
+           |) ORDER BY comp, dim_pos""".stripMargin
       }
   )
 }
