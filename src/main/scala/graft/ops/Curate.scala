@@ -291,6 +291,54 @@ object Curate {
       .select(col("id").as("doc_id"), col("n_shared"))
   }
 
+  /** [[decontaminate]] with a Bloom prefilter in front of the exact
+    * join — the same output bit-for-bit (the filter only passes a
+    * SUPERSET of the truly-shared shingles; the exact shingle join
+    * behind it removes the false positives), bound to the same oracle
+    * string, so the driver gate proves the pair is one contamination
+    * check with two physical shapes.
+    *
+    * Why the second shape exists: [[decontaminate]] broadcasts the
+    * DISTINCT eval shingles as an exact hash table — right while that
+    * table fits the broadcast budget. A serious eval suite is ~10⁷-10⁸
+    * distinct shingles at ~50-100 bytes each (GBs as a hash table, too
+    * big to broadcast), while its Bloom filter at 1% fpp is ~9.6 bits
+    * per key — 100× smaller. So the scale plan is: build the filter
+    * once (driver-sized, reusable across corpus snapshots), probe it
+    * scan-locally on the train side (codegen'd
+    * [[graft.functions.BloomMightContainStr]] — kills ~all clean
+    * shingles BEFORE any exchange), then SHUFFLE-join only the
+    * survivors against the eval shingles for exactness. The join here
+    * is deliberately NOT broadcast: survivors are ~(contaminated +
+    * fpp·clean) rows, so both shuffle sides are tiny relative to the
+    * corpus scan, and the plan never materializes an exact eval hash
+    * table per task.
+    */
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+                         isEval: Column, w: Int = 3,
+                         fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"need 0 < fpp < 1, got $fpp")
+    val sh = docs
+      .select(col(idCol).as("id"), isEval.as("ev"),
+        Text.cleanTokens(col(textCol)).as("t"))
+      .select(col("id"), col("ev"),
+        explode(array_distinct(Dedup.shingles(col("t"), w))).as("sh"))
+    val evalSh = sh.where(col("ev")).select(col("sh")).distinct()
+    // driver-sized model state (the pqCodebooks discipline): one pass
+    // over the eval side builds the filter; expectedNumItems from a
+    // cheap count so the bit array is sized to the actual key set
+    val nEval = evalSh.count()
+    val bloom = evalSh.stat.bloomFilter("sh", math.max(nEval, 1L), fpp)
+    val candidates = sh.where(!col("ev"))
+      .where(org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.BloomMightContainStr(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("sh")),
+          bloom)))
+    candidates.join(evalSh.hint("shuffle_hash"), Seq("sh"))
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+      .select(col("id").as("doc_id"), col("n_shared"))
+  }
+
   /** Deterministic md5-derived uniform fraction of an id in [0, 1):
     * first 8 md5 nibbles / 2^32. No PRNG state → reproducible across
     * engines (DuckDB oracle replays it nibble-for-nibble) and across
@@ -969,5 +1017,112 @@ object Curate {
       .select(col(srcCol), col("n_docs"), col("weight"),
         (col("base") + when(col("rk") <= col("r"), 1L).otherwise(0L))
           .as("alloc"))
+  }
+
+  /** Linear quality probe trained by full-batch gradient descent over
+    * hashed bag-of-tokens features — the fastText-style quality
+    * classifier every production corpus pipeline trains (label a small
+    * trusted/untrusted split, fit a linear model on cheap text
+    * features, score the whole corpus); here the fit itself is the
+    * distributed operator, not an external library.
+    *
+    * Features: token md5 hashed into `buckets` count features plus one
+    * constant intercept feature (index = buckets). The distributed
+    * work is ONE feature pass + the (F+1)² Gram/moment aggregation —
+    * G = XᵀX and b = Xᵀy with BIGINT-exact sums (counts are integers,
+    * so unlike the PCA moment pass no decimal quantum is needed; the
+    * sums are exact in any order and bit-reproducible in DuckDB).
+    * Training then runs on the driver over model-sized state (the
+    * [[graft.ops.Sim.pcaTopComponent]] discipline): `iters` fixed
+    * steps of wⱼ ← wⱼ − η·((Σₖ Gⱼₖwₖ − bⱼ)/n), every FP op sequenced
+    * (matvec ascending k, update ascending j) so the DuckDB oracle
+    * replays the identical arithmetic as unrolled SQL stages. η is
+    * data-derived and replayable: 1/trace(G/n), and trace ≥ λmax
+    * makes the iteration-bounded descent stable on any input.
+    * In-sample MSE = (wᵀGw − 2wᵀb + Σy²)/n comes free from the same
+    * collected state (Σy² = Σy = the intercept row of b for 0/1
+    * labels) — the probe's quality is part of the output, not a
+    * separate pass.
+    *
+    * 100 TB shape: the Gram pass shuffles at most (F+1)² ≈ 10³ cells
+    * per task after map-side partial aggregation — the per-doc
+    * bucket-pair expansion (≤ nnz² ≤ (F+1)² rows per doc) is consumed
+    * streaming by the hash aggregate, never materialized. Collect
+    * moves (F+1)² + (F+1) longs; GD is O(F²·iters) driver FLOPs. For
+    * F in the thousands, accumulate the Gram per-partition instead
+    * (the covarianceMoments shape) — same sums, same oracle.
+    *
+    * Output: one row per feature — (bucket, weight, mse), doubles
+    * floored at 9 dp; bucket = `buckets` is the intercept.
+    */
+  def qualityProbe(docs: DataFrame, idCol: String, textCol: String,
+                   label: Column, buckets: Int = 32,
+                   iters: Int = 8): DataFrame = {
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).as("id"),
+      label.cast("long").as("y"), Text.cleanTokens(col(textCol)).as("t"))
+    val tokCnt = base
+      .select(col("id"), explode(col("t")).as("tok"))
+      .select(col("id"),
+        (conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("bigint")
+          % buckets).cast("int").as("b"))
+      .groupBy("id", "b").agg(count(lit(1)).as("c"))
+    val feats = tokCnt.unionByName(
+      base.select(col("id"), lit(buckets).cast("int").as("b"),
+        lit(1L).as("c")))
+    val f1 = feats.select(col("id"), col("b").as("bi"), col("c").as("ci"))
+    val f2 = feats.select(col("id"), col("b").as("bj"), col("c").as("cj"))
+    val gRows = f1.join(f2, "id")
+      .groupBy("bi", "bj").agg(sum(col("ci") * col("cj")).as("s"))
+      .collect()
+    val bRows = feats.join(base.select(col("id"), col("y")), "id")
+      .groupBy("b").agg(sum(col("c") * col("y")).as("s"))
+      .collect()
+    val dim = buckets + 1
+    val g = Array.ofDim[Long](dim, dim)
+    gRows.foreach(r => g(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    val bL = Array.ofDim[Long](dim)
+    bRows.foreach(r => bL(r.getInt(0)) = r.getLong(1))
+    // every doc carries the intercept feature, so G[ic][ic] = n — the
+    // moment pass's own row count, no separate action
+    val ic = buckets
+    val nD = g(ic)(ic).toDouble
+    require(g(ic)(ic) > 0L, "qualityProbe needs at least one document")
+    var tr = 0.0
+    var j = 0
+    while (j < dim) { tr += g(j)(j).toDouble / nD; j += 1 }
+    val eta = 1.0 / tr
+    def matvec(w: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var acc = 0.0
+        var k = 0
+        while (k < dim) { acc += g(i)(k).toDouble * w(k); k += 1 }
+        acc
+      }
+    var w = Array.fill(dim)(0.0)
+    for (_ <- 1 to iters) {
+      val s = matvec(w)
+      val nw = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        nw(i) = w(i) - eta * ((s(i) - bL(i).toDouble) / nD)
+        i += 1
+      }
+      w = nw
+    }
+    val s9 = matvec(w)
+    var wGw = 0.0
+    var wB = 0.0
+    var i = 0
+    while (i < dim) { wGw += w(i) * s9(i); i += 1 }
+    i = 0
+    while (i < dim) { wB += w(i) * bL(i).toDouble; i += 1 }
+    val mse = (wGw - 2.0 * wB + bL(ic).toDouble) / nD
+    (0 until dim).map { k =>
+      (k, Num.floorDouble(w(k), 9), Num.floorDouble(mse, 9))
+    }.toDF("bucket", "weight", "mse")
   }
 }

@@ -13,6 +13,21 @@ private[graft] object Fragments {
     val toks = toksSql("text")
     val cleanToks = toksSql("c")
 
+    // ONE oracle for both decontamination plans: q114 (exact broadcast
+    // join) and q276 (Bloom prefilter → shuffled exact join) are
+    // result-identical by construction — the filter passes a superset
+    // and the exact join removes its false positives; binding both to
+    // this string makes divergence impossible.
+    val decontSql =
+      s"""WITH cleaned AS (SELECT doc_id AS id, (doc_id % 97 = 0) AS ev,
+         |                        $clean AS c FROM documents),
+         |sh AS (SELECT id, ev, UNNEST(list_distinct(${shinglesSql("t")})) AS sh
+         |       FROM (SELECT id, ev, $cleanToks AS t FROM cleaned)),
+         |evalsh AS (SELECT DISTINCT sh FROM sh WHERE ev)
+         |SELECT id AS doc_id, COUNT(*) AS n_shared
+         |FROM sh JOIN evalsh USING (sh) WHERE NOT ev
+         |GROUP BY id ORDER BY doc_id""".stripMargin
+
     // ONE oracle for both brute-force top-k plans: q40 (window) and
     // q102 (typed Aggregator) are result-identical by construction —
     // binding them to the same string makes divergence impossible.

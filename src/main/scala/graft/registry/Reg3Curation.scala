@@ -622,7 +622,34 @@ private[graft] object Reg3Curation {
           t(s, dir, "documents").withColumn("wt", col("n_chars") + 1),
           "doc_id", "wt", "source", target = 200L)
         .select("source", "doc_id", "wt", "rk", "alloc")
-        .orderBy("source", "rk"))
+        .orderBy("source", "rk")),
+
+
+    // curation — Bloom-prefiltered decontamination: SAME output (and
+    // oracle string) as q114, different physical shape — a driver-built
+    // Bloom filter over the eval shingles probes scan-locally (native
+    // codegen'd expression) so only ~contaminated shingles reach the
+    // exact join, which is then a small SHUFFLE join instead of an
+    // exact broadcast hash table. The shape that survives when the
+    // eval suite's distinct-shingle set outgrows the broadcast budget
+    // (Curate.decontaminateBloom scaladoc for the sizing math).
+    "q276_bloom_decontaminate" -> ((s, dir) =>
+      Curate.decontaminateBloom(t(s, dir, "documents"), "doc_id", "text",
+          isEval = col("doc_id") % 97 === 0, w = 3)
+        .orderBy("doc_id")),
+
+
+    // curation — linear quality probe (Curate.qualityProbe scaladoc):
+    // the fastText-style quality classifier fit AS a distributed
+    // operator — hashed bag-of-tokens features, ONE BIGINT-exact Gram
+    // pass, 8 driver GD steps with sequenced FP replayed stage-by-stage
+    // by the oracle. Labels: a deterministic trusted-source split
+    // (src0-src4 = 1). Output: 33 weights + the in-sample MSE.
+    "q277_quality_probe" -> ((s, dir) =>
+      Curate.qualityProbe(t(s, dir, "documents"), "doc_id", "text",
+          label = col("source").isin(
+            "src0", "src1", "src2", "src3", "src4").cast("int"))
+        .orderBy("bucket"))
   )
 
   def oracles: ListMap[String, String] = ListMap(
@@ -835,15 +862,7 @@ private[graft] object Reg3Curation {
            |FROM o ORDER BY doc_id""".stripMargin,
 
 
-      "q114_decontamination" ->
-        s"""WITH cleaned AS (SELECT doc_id AS id, (doc_id % 97 = 0) AS ev,
-           |                        $clean AS c FROM documents),
-           |sh AS (SELECT id, ev, UNNEST(list_distinct(${shinglesSql("t")})) AS sh
-           |       FROM (SELECT id, ev, $cleanToks AS t FROM cleaned)),
-           |evalsh AS (SELECT DISTINCT sh FROM sh WHERE ev)
-           |SELECT id AS doc_id, COUNT(*) AS n_shared
-           |FROM sh JOIN evalsh USING (sh) WHERE NOT ev
-           |GROUP BY id ORDER BY doc_id""".stripMargin,
+      "q114_decontamination" -> decontSql,
 
 
       "q115_pii_redact" ->
@@ -1287,6 +1306,86 @@ private[graft] object Reg3Curation {
            |SELECT r.source, doc_id, wt, rk, alloc
            |FROM r JOIN al ON al.source = r.source
            |WHERE rk <= alloc
-           |ORDER BY r.source, rk""".stripMargin
+           |ORDER BY r.source, rk""".stripMargin,
+
+      // one oracle, two engines: the Bloom-prefiltered plan must land
+      // bit-identically on q114's exact-join result
+      "q276_bloom_decontaminate" -> decontSql,
+
+      // the qualityProbe GD replay: BIGINT-exact Gram cells, then the
+      // 8 descent steps unrolled as s{t}/w{t} stages with the engine's
+      // exact FP sequencing (matvec left-to-right ascending k via
+      // list_transform+list_sum, update ascending j via ordered list).
+      // Every multiply-referenced stage MATERIALIZED (the bpeChainSql
+      // lesson); eta/b/n ride CROSS JOINs, not lambda subqueries.
+      "q277_quality_probe" -> {
+        val bk = 32  // token buckets; intercept feature index = 32
+        val dim = bk + 1
+        val iterStages = (1 to 8).map { t =>
+          s"""s$t AS MATERIALIZED (
+             |  SELECT g.i AS i, list_sum(list_transform(range(1, ${dim + 1}),
+             |    k -> g.cl[k] * p.vv[k])) AS s
+             |  FROM gm g CROSS JOIN w${t - 1} p),
+             |w$t AS MATERIALIZED (
+             |  SELECT list(p.vv[s.i + 1]
+             |      - e.e * ((s.s - b.bb[s.i + 1]) / nn.n)
+             |    ORDER BY s.i) AS vv
+             |  FROM s$t s CROSS JOIN w${t - 1} p CROSS JOIN et e
+             |    CROSS JOIN bl b CROSS JOIN nn)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH base AS (
+           |  SELECT id, CASE WHEN source IN
+           |      ('src0','src1','src2','src3','src4')
+           |    THEN 1 ELSE 0 END AS y, $cleanToks AS t
+           |  FROM (SELECT doc_id AS id, source, $clean AS c
+           |        FROM documents)),
+           |tc AS (
+           |  SELECT id, CAST(${md5HexNSql("tok", 12)} % $bk AS INTEGER)
+           |      AS b, COUNT(*) AS c
+           |  FROM (SELECT id, UNNEST(t) AS tok FROM base) GROUP BY 1, 2),
+           |f AS (SELECT id, b, c FROM tc
+           |      UNION ALL SELECT id, $bk, 1 FROM base),
+           |cells AS (
+           |  SELECT f1.b AS i, f2.b AS j,
+           |    CAST(SUM(f1.c * f2.c) AS BIGINT) AS s
+           |  FROM f f1 JOIN f f2 USING (id) GROUP BY 1, 2),
+           |gm AS MATERIALIZED (
+           |  SELECT i.i AS i,
+           |    list(COALESCE(CAST(c.s AS DOUBLE), 0.0) ORDER BY j.j) AS cl
+           |  FROM range(0, $dim) i(i) CROSS JOIN range(0, $dim) j(j)
+           |    LEFT JOIN cells c ON c.i = i.i AND c.j = j.j
+           |  GROUP BY i.i),
+           |bv AS (
+           |  SELECT b, CAST(SUM(c * y) AS BIGINT) AS s
+           |  FROM f JOIN (SELECT id, y FROM base) USING (id) GROUP BY 1),
+           |bl AS MATERIALIZED (
+           |  SELECT list(COALESCE(CAST(bv.s AS DOUBLE), 0.0) ORDER BY i.i)
+           |    AS bb
+           |  FROM range(0, $dim) i(i) LEFT JOIN bv ON bv.b = i.i),
+           |nn AS (SELECT cl[$dim] AS n FROM gm WHERE i = $bk),
+           |tr AS (SELECT list_sum(list(cl[i + 1] / nn.n ORDER BY i)) AS t
+           |  FROM gm CROSS JOIN nn),
+           |et AS (SELECT 1.0 / t AS e FROM tr),
+           |w0 AS (SELECT list_transform(range(0, $dim),
+           |  x -> CAST(0.0 AS DOUBLE)) AS vv),
+           |$iterStages,
+           |s9 AS MATERIALIZED (
+           |  SELECT g.i AS i, list_sum(list_transform(range(1, ${dim + 1}),
+           |    k -> g.cl[k] * p.vv[k])) AS s
+           |  FROM gm g CROSS JOIN w8 p),
+           |wgw AS (SELECT list_sum(list(p.vv[s.i + 1] * s.s ORDER BY s.i))
+           |    AS a
+           |  FROM s9 s CROSS JOIN w8 p),
+           |wb AS (SELECT list_sum(list_transform(range(1, ${dim + 1}),
+           |    i -> p.vv[i] * b.bb[i])) AS bd
+           |  FROM w8 p CROSS JOIN bl b),
+           |ms AS (SELECT (wgw.a - 2.0 * wb.bd + b.bb[$dim]) / nn.n AS mse
+           |  FROM wgw CROSS JOIN wb CROSS JOIN bl b CROSS JOIN nn)
+           |SELECT CAST(i.i AS INTEGER) AS bucket,
+           |  ${Num.floorAtSql(s"(SELECT vv FROM w8)[i.i + 1]", 9)}
+           |    AS weight,
+           |  ${Num.floorAtSql("(SELECT mse FROM ms)", 9)} AS mse
+           |FROM range(0, $dim) i(i) ORDER BY bucket""".stripMargin
+      }
   )
 }

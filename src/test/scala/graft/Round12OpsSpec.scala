@@ -133,4 +133,110 @@ class Round12OpsSpec extends SparkSpec {
       assert(math.abs(norm2 - 1.0) < 1e-6, s"comp $k norm^2 $norm2")
     }
   }
+
+  test("decontaminateBloom is bit-identical to the exact broadcast " +
+      "decontaminate (superset prefilter + exact join = exact result)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val isEval = col("doc_id") % 97 === 0
+    val exact = ops.Curate.decontaminate(docs, "doc_id", "text", isEval)
+    val bloomed = ops.Curate.decontaminateBloom(docs, "doc_id", "text",
+      isEval)
+    assert(exact.exceptAll(bloomed).count() === 0)
+    assert(bloomed.exceptAll(exact).count() === 0)
+    assert(bloomed.count() > 0)
+  }
+
+  test("the bloom plan probes scan-locally and shuffles the exact " +
+      "join: bloom_might_contain_str below the exchange, no broadcast " +
+      "of the eval shingle table") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val plan = ops.Curate.decontaminateBloom(docs, "doc_id", "text",
+        col("doc_id") % 97 === 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain_str"),
+      s"bloom probe missing from plan:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected the exact verify join to shuffle, plan:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"eval shingles must not broadcast in the scale shape, plan:\n$plan")
+  }
+
+  test("BloomMightContainStr has no false negatives and is " +
+      "null-intolerant (NULL shingle is never 'maybe present')") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val keys = (1 to 500).map(i => s"shingle $i of the probe set")
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(500, 0.01)
+    keys.foreach(bf.putString)
+    val probe = (keys ++ (1 to 500).map(i => s"absent $i") :+ null)
+      .toDF("s")
+      .select(col("s"), Bridge.column(graft.functions.BloomMightContainStr(
+        Bridge.expression(col("s")), bf)).as("hit"))
+      .collect()
+    probe.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1), "NULL in must be NULL out")
+      else if (r.getString(0).startsWith("shingle"))
+        assert(r.getBoolean(1), s"false negative on '${r.getString(0)}'")
+    }
+    // at fpp=1% on 500 absent keys, >=490 rejections with overwhelming
+    // probability — the filter must actually prune, not pass-all
+    val absentHits = probe.filter(r => !r.isNullAt(0) &&
+      r.getString(0).startsWith("absent") && r.getBoolean(1)).length
+    assert(absentHits < 50, s"$absentHits/500 absent keys passed")
+  }
+
+  test("qualityProbe on the fixture: 33 features, the trained MSE " +
+      "beats the zero-weight start (= label share), and the result is " +
+      "layout-invariant (BIGINT Gram sums are exact in any order)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val label = col("source").isin(
+      "src0", "src1", "src2", "src3", "src4").cast("int")
+    val got = ops.Curate.qualityProbe(docs, "doc_id", "text", label)
+      .orderBy("bucket").collect()
+    assert(got.length === 33)
+    val mse = got.head.getDouble(2)
+    // w = 0 scores every doc 0, so the descent starts at
+    // MSE = sum(y^2)/n = the positive share (5 of 20 sources = 0.25)
+    assert(mse > 0.0 && mse < 0.25, s"mse $mse")
+    val re = ops.Curate.qualityProbe(docs.repartition(7), "doc_id",
+        "text", label)
+      .orderBy("bucket").collect()
+    assert(got.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .toSeq ===
+      re.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq)
+  }
+
+  test("qualityProbe descends: on a planted exactly-linear corpus the " +
+      "MSE is monotone nonincreasing in iters and the learnable " +
+      "token's weight comes out positive") {
+    // docs with the marker token are exactly the y=1 docs — a linear
+    // model (w_marker=1, intercept=0) fits with zero error
+    val docs = (0 until 200).map { i =>
+      val marked = i % 3 == 0
+      (i.toLong, if (marked) "quality filler words here"
+      else "filler words here", if (marked) 1 else 0)
+    }.toDF("doc_id", "text", "y")
+    val mses = Seq(1, 2, 4, 8, 16).map { it =>
+      val rows = ops.Curate.qualityProbe(docs, "doc_id", "text",
+        col("y"), iters = it).collect()
+      it -> rows.head.getDouble(2)
+    }
+    mses.sliding(2).foreach { case Seq((i1, m1), (i2, m2)) =>
+      assert(m2 <= m1 + 1e-12, s"mse rose from $m1 (iters=$i1) " +
+        s"to $m2 (iters=$i2)")
+    }
+    assert(mses.last._2 < 0.05, s"final mse ${mses.last._2}")
+    // the marker token's bucket must carry positive weight
+    val bucket = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest("quality".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      (java.lang.Long.parseLong(hex, 16) % 32).toInt
+    }
+    val w8 = ops.Curate.qualityProbe(docs, "doc_id", "text", col("y"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(w8(bucket) > 0.0, s"marker bucket $bucket weight ${w8(bucket)}")
+  }
 }
