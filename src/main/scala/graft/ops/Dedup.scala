@@ -1456,4 +1456,71 @@ object Dedup {
     baseFinal.unionByName(deltaFinal)
       .select(col("id").as("doc_id"), col("component"))
   }
+
+  /** Exact repeated-substring coverage — the ExactSubstr dedup signal
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): per doc, the share of token positions lying
+    * inside some substring of ≥ `minLen` tokens that occurs at ≥ 2
+    * positions anywhere in the corpus (other docs OR elsewhere in the
+    * same doc).
+    *
+    * The paper builds a corpus-wide suffix array; distributed suffix
+    * arrays are not needed because of an exact reduction: a position
+    * is covered by a repeated substring of length ≥ L iff it lies in
+    * the L-window [s, s+L−1] of some repeated L-gram start s (any
+    * maximal repeat of length M ≥ L contributes starts at its first
+    * M−L+1 positions, whose windows tile all M positions; conversely
+    * every covered position sits inside such a window). So coverage =
+    * interval union of the repeated-L-gram windows — three shuffles,
+    * no suffix structure:
+    *
+    *   1. positioned L-grams (scan-local shingling);
+    *   2. gram occurrence counts — ONE shuffle on the gram, map-side
+    *      partial counts; repeats join back on the same key (the join
+    *      key is the exact gram STRING: exactness by construction; at
+    *      100 TB hash grams to 128 bits first and the plan is
+    *      unchanged — collision odds ~n²/2¹²⁸, or keep strings and
+    *      pay the wider shuffle);
+    *   3. per-doc interval union — an ordered window PARTITIONED BY
+    *      doc (each doc's repeated starts sorted once, contribution
+    *      min(L, gap) per start), never a global sort.
+    *
+    * Distinct from [[graft.ops.Curate]] q126 (fixed 16-token blocks:
+    * misses shifted repeats) and q271 (CDC chunks: content-defined
+    * frames but still chunk-granular) — this is position-exact, the
+    * strongest of the three signals and the most expensive: the
+    * gram shuffle carries ~one row per token.
+    *
+    * Output: (doc_id, n_toks, covered, share floored at 6 dp) for
+    * every doc, zeros where nothing repeats.
+    */
+  def repeatedSubstringShare(docs: DataFrame, idCol: String,
+                             textCol: String, minLen: Int = 8)
+      : DataFrame = {
+    require(minLen >= 2, s"need minLen >= 2, got $minLen")
+    val toks = docs.select(col(idCol).as("id"),
+      Text.cleanTokens(col(textCol)).as("t"))
+    val pg = toks.where(size(col("t")) >= minLen)
+      .select(col("id"), size(col("t")).cast("long").as("n_toks"),
+        posexplode(shingles(col("t"), minLen)).as(Seq("p", "g")))
+    val rep = pg.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select("g")
+    val w = Window.partitionBy("id").orderBy("p")
+    val cov = pg.join(rep, Seq("g"))
+      .withColumn("prev", lag(col("p"), 1).over(w))
+      .withColumn("contrib",
+        when(col("prev").isNull, lit(minLen.toLong))
+          .otherwise(least(lit(minLen.toLong),
+            (col("p") - col("prev")).cast("long"))))
+      .groupBy("id")
+      .agg(sum(col("contrib")).as("covered"))
+    toks.select(col("id"), size(col("t")).cast("long").as("n_toks"))
+      .join(cov, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_toks"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        when(col("n_toks") === 0, lit(0.0))
+          .otherwise(Num.floorAt(
+            coalesce(col("covered"), lit(0L)).cast("double") /
+              col("n_toks"), 6)).as("share"))
+  }
 }

@@ -649,7 +649,18 @@ private[graft] object Reg3Curation {
       Curate.qualityProbe(t(s, dir, "documents"), "doc_id", "text",
           label = col("source").isin(
             "src0", "src1", "src2", "src3", "src4").cast("int"))
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+
+
+    // dedup — exact repeated-substring coverage (Lee et al. 2022
+    // ExactSubstr; Dedup.repeatedSubstringShare scaladoc for the
+    // suffix-array-free reduction): per doc, the token share inside
+    // ≥8-token substrings occurring ≥2 times anywhere in the corpus.
+    // Position-exact, unlike q126's fixed blocks / q271's CDC chunks.
+    "q278_repeated_substring" -> ((s, dir) =>
+      Dedup.repeatedSubstringShare(t(s, dir, "documents"), "doc_id",
+          "text", minLen = 8)
+        .orderBy("doc_id"))
   )
 
   def oracles: ListMap[String, String] = ListMap(
@@ -1386,6 +1397,40 @@ private[graft] object Reg3Curation {
            |    AS weight,
            |  ${Num.floorAtSql("(SELECT mse FROM ms)", 9)} AS mse
            |FROM range(0, $dim) i(i) ORDER BY bucket""".stripMargin
+      },
+
+      // ExactSubstr coverage: positioned 8-grams (the same parts-join
+      // form as shinglesSql so gram strings match the engine's native
+      // ShinglesExpr), occurrence counts, then per-doc interval union
+      // of the repeated-gram windows via lag
+      "q278_repeated_substring" -> {
+        val L = 8
+        val parts = (0 until L).map(k => s"t[p + ${k + 1}]")
+          .mkString(" || ' ' || ")
+        s"""WITH tk AS (
+           |  SELECT id, t, len(t) AS n_toks
+           |  FROM (SELECT doc_id AS id, $cleanToks AS t
+           |        FROM (SELECT doc_id, $clean AS c FROM documents))),
+           |pos AS (
+           |  SELECT id, UNNEST(range(0, n_toks - ${L - 1})) AS p, t
+           |  FROM tk WHERE n_toks >= $L),
+           |pg AS (SELECT id, p, $parts AS g FROM pos),
+           |rep AS (SELECT g FROM pg GROUP BY g HAVING COUNT(*) >= 2),
+           |rp AS (
+           |  SELECT id, p, lag(p) OVER (PARTITION BY id ORDER BY p)
+           |    AS prev
+           |  FROM pg JOIN rep USING (g)),
+           |cv AS (
+           |  SELECT id, CAST(SUM(CASE WHEN prev IS NULL THEN $L
+           |    ELSE least($L, p - prev) END) AS BIGINT) AS covered
+           |  FROM rp GROUP BY id)
+           |SELECT tk.id AS doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+           |  COALESCE(covered, 0) AS covered,
+           |  CASE WHEN n_toks = 0 THEN 0.0 ELSE ${Num.floorAtSql(
+             "CAST(COALESCE(covered, 0) AS DOUBLE) / n_toks", 6)} END
+           |    AS share
+           |FROM tk LEFT JOIN cv ON cv.id = tk.id
+           |ORDER BY doc_id""".stripMargin
       }
   )
 }

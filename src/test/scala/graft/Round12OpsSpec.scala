@@ -239,4 +239,48 @@ class Round12OpsSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     assert(w8(bucket) > 0.0, s"marker bucket $bucket weight ${w8(bucket)}")
   }
+
+  test("repeatedSubstringShare on a planted corpus: cross-doc and " +
+      "within-doc repeats are position-exact, overlapping repeated " +
+      "grams union (not sum), and sub-minLen docs report zero") {
+    // globally-unique alphabetic fillers (digits would be stripped by
+    // cleanText); the planted run R is 12 tokens, the phrase P is 8
+    def tok(prefix: String, i: Int): String =
+      s"$prefix${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    var n = 0
+    def fill(k: Int): String = {
+      val s = (n until n + k).map(tok("f", _)).mkString(" ")
+      n += k; s
+    }
+    val run = (0 until 12).map(tok("r", _)).mkString(" ")
+    val phrase = (0 until 8).map(tok("p", _)).mkString(" ")
+    val docs = Seq(
+      (0L, fill(20)),                            // nothing repeats
+      (1L, s"${fill(4)} $run ${fill(4)}"),       // R at offset 4
+      (2L, s"$run ${fill(8)}"),                  // R at offset 0
+      (3L, s"$phrase ${fill(4)} $phrase"),       // internal repeat
+      (4L, fill(5))                              // shorter than minLen
+    ).toDF("doc_id", "text")
+    val got = ops.Dedup.repeatedSubstringShare(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // R contributes 5 overlapping repeated 8-gram starts per side —
+    // union 12 tokens, NOT 5*8; P repeats at two positions, 8 each
+    assert(got.toSeq === Seq(
+      (0L, 20L, 0L, 0.0),
+      (1L, 20L, 12L, 0.6),
+      (2L, 20L, 12L, 0.6),
+      (3L, 20L, 16L, 0.8),
+      (4L, 5L, 0L, 0.0)))
+    // the q126 contrast: a one-token prefix shift does not lose the
+    // repeat (fixed 16-token blocks would share nothing)
+    val shifted = Seq(
+      (0L, s"${fill(1)} $run"), (1L, s"${fill(3)} $run")
+    ).toDF("doc_id", "text")
+    val s2 = ops.Dedup.repeatedSubstringShare(shifted, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(s2.forall(_.getLong(2) == 12L),
+      s"shifted repeats must still be found: ${s2.mkString(",")}")
+  }
 }
