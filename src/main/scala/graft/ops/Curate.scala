@@ -1028,10 +1028,13 @@ object Curate {
     *
     * Features: token md5 hashed into `buckets` count features plus one
     * constant intercept feature (index = buckets). The distributed
-    * work is ONE feature pass + the (F+1)² Gram/moment aggregation —
-    * G = XᵀX and b = Xᵀy with BIGINT-exact sums (counts are integers,
-    * so unlike the PCA moment pass no decimal quantum is needed; the
-    * sums are exact in any order and bit-reproducible in DuckDB).
+    * work is ONE Gram aggregation over the AUGMENTED feature vector
+    * [x | y] — the label rides as one more sparse column, so a single
+    * (F+2)² self-join pass yields G = XᵀX, b = Xᵀy (the y column of
+    * the augmented Gram), and Σy² (its corner) together, with
+    * BIGINT-exact sums (counts are integers, so unlike the PCA moment
+    * pass no decimal quantum is needed; the sums are exact in any
+    * order and bit-reproducible in DuckDB).
     * Training then runs on the driver over model-sized state (the
     * [[graft.ops.Sim.pcaTopComponent]] discipline): `iters` fixed
     * steps of wⱼ ← wⱼ − η·((Σₖ Gⱼₖwₖ − bⱼ)/n), every FP op sequenced
@@ -1070,22 +1073,23 @@ object Curate {
         (conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("bigint")
           % buckets).cast("int").as("b"))
       .groupBy("id", "b").agg(count(lit(1)).as("c"))
-    val feats = tokCnt.unionByName(
-      base.select(col("id"), lit(buckets).cast("int").as("b"),
-        lit(1L).as("c")))
+    val dim = buckets + 1
+    // augmented sparse vector [x | y]: intercept at index `buckets`,
+    // the 0/1 label at index `dim` — one self-join Gram pass then
+    // carries G (indices < dim), b (the y column), and Σy² (corner)
+    val feats = tokCnt
+      .unionByName(base.select(col("id"),
+        lit(buckets).cast("int").as("b"), lit(1L).as("c")))
+      .unionByName(base.where(col("y") =!= 0).select(col("id"),
+        lit(dim).cast("int").as("b"), col("y").as("c")))
     val f1 = feats.select(col("id"), col("b").as("bi"), col("c").as("ci"))
     val f2 = feats.select(col("id"), col("b").as("bj"), col("c").as("cj"))
     val gRows = f1.join(f2, "id")
       .groupBy("bi", "bj").agg(sum(col("ci") * col("cj")).as("s"))
       .collect()
-    val bRows = feats.join(base.select(col("id"), col("y")), "id")
-      .groupBy("b").agg(sum(col("c") * col("y")).as("s"))
-      .collect()
-    val dim = buckets + 1
-    val g = Array.ofDim[Long](dim, dim)
+    val g = Array.ofDim[Long](dim + 1, dim + 1)
     gRows.foreach(r => g(r.getInt(0))(r.getInt(1)) = r.getLong(2))
-    val bL = Array.ofDim[Long](dim)
-    bRows.foreach(r => bL(r.getInt(0)) = r.getLong(1))
+    val bL = Array.tabulate(dim)(j => g(j)(dim))
     // every doc carries the intercept feature, so G[ic][ic] = n — the
     // moment pass's own row count, no separate action
     val ic = buckets

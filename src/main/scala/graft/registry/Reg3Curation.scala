@@ -1355,7 +1355,8 @@ private[graft] object Reg3Curation {
            |      AS b, COUNT(*) AS c
            |  FROM (SELECT id, UNNEST(t) AS tok FROM base) GROUP BY 1, 2),
            |f AS (SELECT id, b, c FROM tc
-           |      UNION ALL SELECT id, $bk, 1 FROM base),
+           |      UNION ALL SELECT id, $bk, 1 FROM base
+           |      UNION ALL SELECT id, $dim, 1 FROM base WHERE y = 1),
            |cells AS (
            |  SELECT f1.b AS i, f2.b AS j,
            |    CAST(SUM(f1.c * f2.c) AS BIGINT) AS s
@@ -1366,13 +1367,11 @@ private[graft] object Reg3Curation {
            |  FROM range(0, $dim) i(i) CROSS JOIN range(0, $dim) j(j)
            |    LEFT JOIN cells c ON c.i = i.i AND c.j = j.j
            |  GROUP BY i.i),
-           |bv AS (
-           |  SELECT b, CAST(SUM(c * y) AS BIGINT) AS s
-           |  FROM f JOIN (SELECT id, y FROM base) USING (id) GROUP BY 1),
            |bl AS MATERIALIZED (
-           |  SELECT list(COALESCE(CAST(bv.s AS DOUBLE), 0.0) ORDER BY i.i)
+           |  SELECT list(COALESCE(CAST(c.s AS DOUBLE), 0.0) ORDER BY i.i)
            |    AS bb
-           |  FROM range(0, $dim) i(i) LEFT JOIN bv ON bv.b = i.i),
+           |  FROM range(0, $dim) i(i)
+           |    LEFT JOIN cells c ON c.i = i.i AND c.j = $dim),
            |nn AS (SELECT cl[$dim] AS n FROM gm WHERE i = $bk),
            |tr AS (SELECT list_sum(list(cl[i + 1] / nn.n ORDER BY i)) AS t
            |  FROM gm CROSS JOIN nn),
