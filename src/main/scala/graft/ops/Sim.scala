@@ -1636,4 +1636,55 @@ object Sim {
             col("n_truth"), 4))
           .as("recall"))
   }
+
+  /** Hybrid lexical + dense retrieval by Reciprocal Rank Fusion
+    * (Cormack, Clarke & Büttcher 2009): each query runs BOTH
+    * retrievers — BM25 over the text ([[graft.ops.Text.bm25RetrieveDf]],
+    * documents < nQueries as their own queries, self excluded) and
+    * brute cosine over the aligned embedding table ([[topK]]) — and a
+    * candidate's fused score is Σ_lists 1/(rrfC + rank), zero for a
+    * list that didn't return it. RRF needs no score calibration
+    * between the two retrievers (ranks only), which is why it is the
+    * standard production fusion for lexical+vector search.
+    *
+    * Determinism: both input rankings are already bit-portable (BM25's
+    * floored DECIMAL score sums; cosine's 4 dp-floored sims with id
+    * tie-breaks), and the fused score is two IEEE divisions added in a
+    * fixed order — the oracle reproduces it exactly; fused ties break
+    * by candidate id.
+    *
+    * Scale shape: each retriever's output is listK·|Q| rows (tiny —
+    * the corpus was only touched inside the retrievers, which keep
+    * their own scale shapes); the fusion join, window, and top-k all
+    * run on list-sized data. Swapping the brute dense arm for the IVF/
+    * ADC arm changes recall, not the fusion.
+    *
+    * Output: (q_id, c_id, rk_lex, rk_emb — null where that list missed
+    * the candidate — rrf, rk), rk <= k per query.
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, nQueries: Int = 10,
+                listK: Int = 20, rrfC: Int = 60, k: Int = 5,
+                docId: String = "doc_id", textCol: String = "text",
+                vecId: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    require(nQueries >= 1 && listK >= 1 && rrfC >= 1 && k >= 1,
+      s"bad knobs ($nQueries, $listK, $rrfC, $k)")
+    val queries = docs.where(col(docId) < nQueries)
+      .select(col(docId).as("query_id"), col(textCol).as("query_text"))
+    val lex = Text.bm25RetrieveDf(docs, docId, textCol, queries, listK,
+        excludeSelf = true)
+      .select(col("query_id").cast("long").as("q_id"),
+        col("id").cast("long").as("c_id"), col("rk").as("rk_lex"))
+    val dense = topK(emb.where(col(vecId) < nQueries), emb, listK,
+        vecId, vecCol)
+      .select(col("q_id").cast("long"), col("c_id").cast("long"),
+        col("rk").as("rk_emb"))
+    val fused = lex.join(dense, Seq("q_id", "c_id"), "full_outer")
+      .select(col("q_id"), col("c_id"), col("rk_lex"), col("rk_emb"),
+        (coalesce(lit(1.0) / (lit(rrfC) + col("rk_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfC) + col("rk_emb")), lit(0.0)))
+          .as("rrf"))
+    Agg.topNPerGroup(fused, Seq("q_id"),
+      Seq(col("rrf").desc, col("c_id").asc), k)
+  }
 }

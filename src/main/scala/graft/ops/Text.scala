@@ -339,7 +339,23 @@ object Text {
   def bm25Retrieve(docs: DataFrame, idCol: String, textCol: String,
                    queries: Seq[(String, String)], k: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    val qterms = queries.toDF("query_id", "query_text")
+    bm25RetrieveDf(docs, idCol, textCol,
+      queries.toDF("query_id", "query_text"), k)
+  }
+
+  /** [[bm25Retrieve]] with the query set as a DataFrame
+    * (query_id, query_text) instead of a literal list — the form a
+    * production retrieval layer uses (query logs, eval suites, or —
+    * q279 — documents themselves as queries). `excludeSelf` drops the
+    * query's own id from its ranking BEFORE the top-k window (the
+    * doc-as-query case, where self-retrieval is a degenerate rank 1).
+    * Same scoring contract as the literal form: DISTINCT query terms,
+    * 4 dp-floored per-term weights summed through DECIMAL(18,4).
+    */
+  def bm25RetrieveDf(docs: DataFrame, idCol: String, textCol: String,
+                     queries: DataFrame, k: Int,
+                     excludeSelf: Boolean = false): DataFrame = {
+    val qterms = queries
       .select(col("query_id"),
         explode(array_distinct(cleanTokens(col("query_text"))))
           .as("term"))
@@ -366,7 +382,10 @@ object Text {
       .agg(count(lit(1)).as("n_matched"),
         Num.floorAt(sum(col("w").cast("decimal(18,4)")).cast("double"), 4)
           .as("score"))
-    Agg.topNPerGroup(scored, Seq("query_id"),
+    val pool =
+      if (excludeSelf) scored.where(col("id") =!= col("query_id"))
+      else scored
+    Agg.topNPerGroup(pool, Seq("query_id"),
       Seq(col("score").desc, col("id").asc), k)
   }
 

@@ -921,7 +921,19 @@ private[graft] object Reg6MonitorAnn {
     // q268's output by construction.
     "q275_pca_topr" -> ((s, dir) =>
       Sim.pcaTopComponents(t(s, dir, "embeddings"), r = 4)
-        .orderBy("comp", "dim_pos"))
+        .orderBy("comp", "dim_pos")),
+
+
+    // ANN/retrieval — hybrid lexical+dense fusion (Sim.hybridRrf
+    // scaladoc): documents < 10 run as their own queries through BOTH
+    // retrievers (BM25 postings, brute cosine on the aligned
+    // embeddings) and Reciprocal Rank Fusion merges the two top-20
+    // lists — 1/(60+rank) summed, no score calibration — into a fused
+    // top-5. The production lexical+vector search pattern over the
+    // repo's existing retriever pair.
+    "q279_hybrid_rrf" -> ((s, dir) =>
+      Sim.hybridRrf(t(s, dir, "documents"), t(s, dir, "embeddings"))
+        .orderBy("q_id", "rk"))
   )
 
   private val upsertSinkOracleSql: String =
@@ -2378,6 +2390,76 @@ private[graft] object Reg6MonitorAnn {
            |SELECT * FROM (
            |$finals
            |) ORDER BY comp, dim_pos""".stripMargin
-      }
+      },
+
+      // the q176 BM25 replay with documents<10 as queries (self
+      // excluded before ranking) fused with the q40 cosine replay at
+      // top-20 each; rrf = two IEEE divisions added lex-then-dense,
+      // exactly the engine's coalesce order
+      "q279_hybrid_rrf" ->
+        s"""WITH lq AS (SELECT doc_id AS query_id, $clean AS c
+           |  FROM documents WHERE doc_id < 10),
+           |qt AS (SELECT query_id, UNNEST(list_distinct($cleanToks))
+           |    AS term FROM lq),
+           |cleaned AS (SELECT doc_id AS id, $clean AS c FROM documents),
+           |terms AS (SELECT id, UNNEST($cleanToks) AS term FROM cleaned),
+           |tf AS (SELECT id, term, COUNT(*) AS tf FROM terms
+           |  GROUP BY 1, 2),
+           |dl AS (SELECT id, COUNT(*) AS dl FROM terms GROUP BY 1),
+           |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+           |stats AS (SELECT (SELECT COUNT(*) FROM terms) AS n_terms,
+           |                 (SELECT COUNT(*) FROM documents) AS n_docs),
+           |w AS (SELECT qt.query_id, tf.id,
+           |    floor((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           |      * (tf * 2.5)
+           |      / (tf + 1.5 * (0.25 + 0.75 * dl
+           |        / (CAST(n_terms AS DOUBLE) / n_docs)))) * 10000)
+           |      / 10000 AS w
+           |  FROM tf JOIN qt USING (term) JOIN dl USING (id)
+           |  JOIN dfreq USING (term) CROSS JOIN stats),
+           |sc AS (SELECT query_id, id,
+           |    ${Num.floorAtSql(
+             "CAST(SUM(CAST(w AS DECIMAL(18,4))) AS DOUBLE)", 4)}
+           |      AS score
+           |  FROM w GROUP BY 1, 2),
+           |lr AS (SELECT query_id, id, row_number()
+           |    OVER (PARTITION BY query_id ORDER BY score DESC, id)
+           |    AS rk
+           |  FROM sc WHERE id <> query_id),
+           |lex AS (SELECT query_id AS q_id, id AS c_id,
+           |    CAST(rk AS INTEGER) AS rk_lex
+           |  FROM lr WHERE rk <= 20),
+           |eq AS (SELECT vec_id AS q_id, embedding AS qv
+           |  FROM embeddings WHERE vec_id < 10),
+           |ec AS (SELECT vec_id AS c_id, embedding AS cv
+           |  FROM embeddings),
+           |es AS (
+           |  SELECT q_id, c_id,
+           |    floor((
+           |      list_sum(list_transform(range(1, len(qv)+1),
+           |        i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+           |      / (sqrt(list_sum(list_transform(range(1, len(qv)+1),
+           |        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+           |       * sqrt(list_sum(list_transform(range(1, len(cv)+1),
+           |        i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))))
+           |      * 10000) / 10000 AS sim
+           |  FROM ec CROSS JOIN eq WHERE q_id <> c_id),
+           |er AS (SELECT q_id, c_id, row_number()
+           |    OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC)
+           |    AS rk
+           |  FROM es),
+           |den AS (SELECT q_id, c_id, CAST(rk AS INTEGER) AS rk_emb
+           |  FROM er WHERE rk <= 20),
+           |f AS (
+           |  SELECT q_id, c_id, rk_lex, rk_emb,
+           |    COALESCE(1.0 / (60 + rk_lex), 0.0)
+           |      + COALESCE(1.0 / (60 + rk_emb), 0.0) AS rrf
+           |  FROM lex FULL JOIN den USING (q_id, c_id)),
+           |r AS (SELECT q_id, c_id, rk_lex, rk_emb, rrf, row_number()
+           |    OVER (PARTITION BY q_id ORDER BY rrf DESC, c_id) AS rk
+           |  FROM f)
+           |SELECT q_id, c_id, rk_lex, rk_emb, rrf,
+           |  CAST(rk AS INTEGER) AS rk
+           |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   )
 }

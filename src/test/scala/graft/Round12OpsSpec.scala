@@ -283,4 +283,34 @@ class Round12OpsSpec extends SparkSpec {
     assert(s2.forall(_.getLong(2) == 12L),
       s"shifted repeats must still be found: ${s2.mkString(",")}")
   }
+
+  test("hybridRrf equals a driver-side fusion of its two retrievers' " +
+      "own outputs (ranks in, 1/(60+r) sums out, ties by id)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val emb = Tables.load(spark, dir, "embeddings")
+    val got = ops.Sim.hybridRrf(docs, emb).orderBy("q_id", "rk")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4), r.getInt(5)))
+    // independent fusion: run the retrievers separately, fuse in Scala
+    val lex = ops.Text.bm25RetrieveDf(docs, "doc_id", "text",
+        docs.where(col("doc_id") < 10).select(
+          col("doc_id").as("query_id"), col("text").as("query_text")),
+        20, excludeSelf = true)
+      .select("query_id", "id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val den = ops.Sim.topK(emb.where(col("vec_id") < 10), emb, 20)
+      .select("q_id", "c_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val expect = (lex.keySet ++ den.keySet).toSeq.map { key =>
+      val l = lex.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      val d = den.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (key._1, key._2, l + d)
+    }.groupBy(_._1).toSeq.flatMap { case (q, cands) =>
+      cands.sortBy(t => (-t._3, t._2)).take(5).zipWithIndex
+        .map { case ((_, c, s), i) => (q, c, s, i + 1) }
+    }.sortBy(t => (t._1, t._4))
+    assert(got.toSeq === expect)
+    assert(got.length === 50) // 10 queries x fused top-5
+  }
 }
