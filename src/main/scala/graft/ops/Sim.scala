@@ -1075,38 +1075,106 @@ object Sim {
     */
   def kmeansCells(df: DataFrame, k: Int, iters: Int = 2,
                   idCol: String = "vec_id", vecCol: String = "embedding")
-      : DataFrame = {
+      : DataFrame =
+    df.withColumn("cell",
+      assignCell(vecCol, kmeansCentroids(df, k, iters, idCol, vecCol)))
+
+  /** The trained centroids of [[kmeansCells]], exposed so a FROZEN
+    * quantizer can be applied to frames it was not trained on (the
+    * q280 index-append path). Identical training loop — [[kmeansCells]]
+    * is assignment over this.
+    */
+  def kmeansCentroids(df: DataFrame, k: Int, iters: Int = 2,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Seq[Seq[Float]] = {
     require(k > 0 && iters >= 0, s"need k>0, iters>=0; got k=$k iters=$iters")
     var centroids: Seq[Seq[Float]] = df.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toSeq).toSeq
-
-    // argmax cosine via lexicographic struct max; centroid norms are
-    // driver-side constants, the row's own norm cancels in the argmax.
-    // cell id enters negated so ties resolve to the LOWEST cell.
-    def assign(c: Seq[Seq[Float]]): Column = {
-      val scored = array(c.zipWithIndex.map { case (cv, i) =>
-        val n = math.sqrt(cv.map(x => x.toDouble * x.toDouble).sum)
-        struct(Num.floorAt(dot(col(vecCol), typedLit(cv)) / lit(n), 9)
-            .as("sim"),
-          lit(-i).as("negCell"))
-      }: _*)
-      (-array_max(scored).getField("negCell")).as("cell")
-    }
-
     for (_ <- 1 to iters) {
       // centroid update delegates to cellCentroids — ONE copy of the
       // exact decimal-mean discipline (order-insensitive, bit-identical
       // to DuckDB over any row order) shared with multi-probe IVF
       val perDim = cellCentroids(
-          df.withColumn("cell", assign(centroids)), "cell", vecCol)
+          df.withColumn("cell", assignCell(vecCol, centroids)),
+          "cell", vecCol)
         .select(col("cell"), col("cv"))
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
       centroids = centroids.indices
         .map(i => perDim.getOrElse(i, centroids(i)))
     }
-    df.withColumn("cell", assign(centroids))
+    centroids
+  }
+
+  /** Argmax cosine via lexicographic struct max; centroid norms are
+    * driver-side constants, the row's own norm cancels in the argmax.
+    * Cell id enters negated so ties resolve to the LOWEST cell.
+    */
+  private def assignScored(vecCol: String,
+                           c: Seq[Seq[Float]]): Column =
+    array_max(array(c.zipWithIndex.map { case (cv, i) =>
+      val n = math.sqrt(cv.map(x => x.toDouble * x.toDouble).sum)
+      struct(floor(dot(col(vecCol), typedLit(cv)) / lit(n)
+          * lit(1000000000L)).cast("long").as("sim_e9"),
+        lit(-i).as("negCell"))
+    }: _*))
+
+  private def assignCell(vecCol: String, c: Seq[Seq[Float]]): Column =
+    (-assignScored(vecCol, c).getField("negCell")).as("cell")
+
+  /** Frozen-quantizer index append — the IVF maintenance path a
+    * production vector index actually runs: the coarse quantizer is
+    * trained ONCE on the standing corpus ([[kmeansCentroids]], the
+    * deterministic Lloyd's every IVF/SemDeDup query here shares) and a
+    * delta batch is assigned under the FROZEN centroids, so existing
+    * postings never move (retraining would re-bucket the whole index —
+    * the one thing an incremental ingest must not do). Per-row
+    * assignment cost is the same broadcast argmax projection whether
+    * a row is base or delta; nothing is recomputed for the base except
+    * its (frozen, unchanged) cell id for the summary.
+    *
+    * The output is the monitor a maintainer reads before deciding to
+    * retrain: per cell, base/delta posting counts and the SUM of
+    * floored assignment cosines as exact integers
+    * (sim_e9 = floor(cos·10⁹) — integer sums, so the cross-engine
+    * comparison needs no float summation order). Falling delta mean
+    * sim vs base mean sim = the new data drifting off the trained
+    * cells; empty cells stay visible as zero rows.
+    *
+    * Scale shape: training touches only the base (iters broadcast
+    * argmax projections + one (cell,dim)-keyed shuffle each); the
+    * append pass is ONE scan of base+delta through a codegen'd argmax
+    * with k·dim literal floats — no shuffle until the k-row summary
+    * aggregation. The driver holds centroids only.
+    *
+    * Output: (cell, n_base, n_delta, sim_e9_base, sim_e9_delta),
+    * one row per cell 0..k−1.
+    */
+  def ivfFrozenAppend(emb: DataFrame, isDelta: Column, k: Int = 8,
+                      iters: Int = 2, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val cents = kmeansCentroids(emb.where(!isDelta), k, iters,
+      idCol, vecCol)
+    val st = assignScored(vecCol, cents)
+    val assigned = emb.select(isDelta.as("is_delta"),
+      (-st.getField("negCell")).as("cell"),
+      st.getField("sim_e9").as("sim_e9"))
+    val agg = assigned.groupBy("cell").agg(
+      sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
+      sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"),
+      sum(when(!col("is_delta"), col("sim_e9")).otherwise(0L))
+        .as("sim_e9_base"),
+      sum(when(col("is_delta"), col("sim_e9")).otherwise(0L))
+        .as("sim_e9_delta"))
+    emb.sparkSession.range(0, k)
+      .select(col("id").cast("int").as("cell"))
+      .join(agg, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        coalesce(col("sim_e9_base"), lit(0L)).as("sim_e9_base"),
+        coalesce(col("sim_e9_delta"), lit(0L)).as("sim_e9_delta"))
   }
 
   /** SemDeDup-style semantic deduplication (public method: Abbas et al.

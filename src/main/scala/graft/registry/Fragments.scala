@@ -52,35 +52,39 @@ private[graft] object Fragments {
     // ending in `af(vec_id, v, cell)` — shared by the q125 SemDeDup
     // oracle and q228's ivf_kmeans recall row so both provably run on
     // the identical quantizer.
-    val kmeansAfCte: String = {
-      // assignment of every e-row to its argmax-cosine centroid in $cents
-      def kmAssign(cents: String, out: String): String =
-        s"""$out AS (
-           |  SELECT vec_id, v, cell FROM (
-           |    SELECT e.vec_id, e.v, c.cell,
-           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        floor(list_sum(list_transform(range(1, 65),
-           |          i -> e.v[i] * c.cv[i])) / c.cn * 1000000000) DESC,
-           |        c.cell ASC) AS rn
-           |    FROM e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
-      // recompute centroids from an assignment; empty cells keep $prev's
-      def kmUpdate(assign: String, prev: String, out: String): String =
-        s"""${out}m AS (
-           |  SELECT cell, p.pos AS pos,
-           |    CAST(SUM(CAST(a.v[p.pos] AS DECIMAL(27,10))) AS DOUBLE)
-           |      / COUNT(*) AS m
-           |  FROM $assign a CROSS JOIN range(1, 65) AS p(pos)
-           |  GROUP BY cell, p.pos),
-           |${out}l AS (
-           |  SELECT cell,
-           |    list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS cv
-           |  FROM ${out}m GROUP BY cell),
-           |$out AS (
-           |  SELECT p.cell, COALESCE(l.cv, p.cv) AS cv,
-           |    sqrt(list_sum(list_transform(COALESCE(l.cv, p.cv),
-           |      x -> x * x))) AS cn
-           |  FROM $prev p LEFT JOIN ${out}l l ON l.cell = p.cell)"""
-          .stripMargin
+    // assignment of every $src-row to its argmax-cosine centroid in
+    // $cents (shared by the full-corpus chain and the frozen chain)
+    private def kmAssign(cents: String, out: String,
+                         src: String = "e"): String =
+      s"""$out AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        floor(list_sum(list_transform(range(1, 65),
+         |          i -> e.v[i] * c.cv[i])) / c.cn * 1000000000) DESC,
+         |        c.cell ASC) AS rn
+         |    FROM $src e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    // recompute centroids from an assignment; empty cells keep $prev's
+    private def kmUpdate(assign: String, prev: String,
+                         out: String): String =
+      s"""${out}m AS (
+         |  SELECT cell, p.pos AS pos,
+         |    CAST(SUM(CAST(a.v[p.pos] AS DECIMAL(27,10))) AS DOUBLE)
+         |      / COUNT(*) AS m
+         |  FROM $assign a CROSS JOIN range(1, 65) AS p(pos)
+         |  GROUP BY cell, p.pos),
+         |${out}l AS (
+         |  SELECT cell,
+         |    list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS cv
+         |  FROM ${out}m GROUP BY cell),
+         |$out AS (
+         |  SELECT p.cell, COALESCE(l.cv, p.cv) AS cv,
+         |    sqrt(list_sum(list_transform(COALESCE(l.cv, p.cv),
+         |      x -> x * x))) AS cn
+         |  FROM $prev p LEFT JOIN ${out}l l ON l.cell = p.cell)"""
+        .stripMargin
+
+    val kmeansAfCte: String =
       s"""e AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
@@ -93,7 +97,37 @@ private[graft] object Fragments {
          |${kmAssign("c1", "a2")},
          |${kmUpdate("a2", "c1", "c2")},
          |${kmAssign("c2", "af")}""".stripMargin
-    }
+
+    /** The q280 chain: train the SAME 2-iteration deterministic kmeans
+      * on the rows where `baseCond` holds, then assign EVERY embedding
+      * row under the frozen centroids, emitting the winning floored
+      * sim as an exact integer (sim_e9 = floor(cos·10⁹)) — ends in
+      * `af(vec_id, cell, sim_e9)`.
+      */
+    def kmeansFrozenCte(baseCond: String): String =
+      s"""e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |eb AS (SELECT vec_id, v FROM e WHERE $baseCond),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |    v AS cv, sqrt(list_sum(list_transform(v, x -> x * x))) AS cn
+         |  FROM (SELECT vec_id, v FROM eb ORDER BY vec_id LIMIT 8)),
+         |${kmAssign("c0", "a1", "eb")},
+         |${kmUpdate("a1", "c0", "c1")},
+         |${kmAssign("c1", "a2", "eb")},
+         |${kmUpdate("a2", "c1", "c2")},
+         |af AS (
+         |  SELECT vec_id, cell, sim_e9 FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      CAST(floor(list_sum(list_transform(range(1, 65),
+         |        i -> e.v[i] * c.cv[i])) / c.cn * 1000000000) AS BIGINT)
+         |        AS sim_e9,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        floor(list_sum(list_transform(range(1, 65),
+         |          i -> e.v[i] * c.cv[i])) / c.cn * 1000000000) DESC,
+         |        c.cell ASC) AS rn
+         |    FROM e CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
 
     // ONE Spearman oracle for BOTH engines (q209 windowed raw-frame,
     // q230 domain-reduced + joint-domain joins): average ranks from

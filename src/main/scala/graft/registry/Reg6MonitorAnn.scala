@@ -933,7 +933,20 @@ private[graft] object Reg6MonitorAnn {
     // repo's existing retriever pair.
     "q279_hybrid_rrf" -> ((s, dir) =>
       Sim.hybridRrf(t(s, dir, "documents"), t(s, dir, "embeddings"))
-        .orderBy("q_id", "rk"))
+        .orderBy("q_id", "rk")),
+
+
+    // ANN — frozen-quantizer index append (Sim.ivfFrozenAppend
+    // scaladoc): the IVF maintenance path — quantizer trained ONCE on
+    // the standing 80% (vec_id % 5 != 0, the same deterministic Lloyd's
+    // the IVF/SemDeDup family shares), the 20% delta assigned under
+    // FROZEN centroids so standing postings never move; per-cell
+    // base/delta posting counts + integer-exact floored-cosine sums,
+    // the retrain-decision monitor.
+    "q280_ivf_frozen_append" -> ((s, dir) =>
+      Sim.ivfFrozenAppend(t(s, dir, "embeddings"),
+          isDelta = col("vec_id") % 5 === 0)
+        .orderBy("cell"))
   )
 
   private val upsertSinkOracleSql: String =
@@ -2460,6 +2473,31 @@ private[graft] object Reg6MonitorAnn {
            |  FROM f)
            |SELECT q_id, c_id, rk_lex, rk_emb, rrf,
            |  CAST(rk AS INTEGER) AS rk
-           |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+           |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+      // the kmeans chain trained on the base slice only, frozen
+      // assignment with integer floored sims over everything, per-cell
+      // integer sums on the 0..7 grid
+      "q280_ivf_frozen_append" ->
+        s"""WITH ${kmeansFrozenCte("NOT (vec_id % 5 = 0)")},
+           |d AS (SELECT (vec_id % 5 = 0) AS is_delta, cell, sim_e9
+           |  FROM af),
+           |g AS (SELECT cell,
+           |    CAST(SUM(CASE WHEN NOT is_delta THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_base,
+           |    CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_delta,
+           |    CAST(SUM(CASE WHEN NOT is_delta THEN sim_e9 ELSE 0 END)
+           |      AS BIGINT) AS sim_e9_base,
+           |    CAST(SUM(CASE WHEN is_delta THEN sim_e9 ELSE 0 END)
+           |      AS BIGINT) AS sim_e9_delta
+           |  FROM d GROUP BY cell)
+           |SELECT CAST(r.i AS INTEGER) AS cell,
+           |  COALESCE(n_base, 0) AS n_base,
+           |  COALESCE(n_delta, 0) AS n_delta,
+           |  COALESCE(sim_e9_base, 0) AS sim_e9_base,
+           |  COALESCE(sim_e9_delta, 0) AS sim_e9_delta
+           |FROM range(0, 8) r(i) LEFT JOIN g ON g.cell = r.i
+           |ORDER BY cell""".stripMargin
   )
 }

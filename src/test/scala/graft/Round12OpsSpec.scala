@@ -313,4 +313,33 @@ class Round12OpsSpec extends SparkSpec {
     assert(got.toSeq === expect)
     assert(got.length === 50) // 10 queries x fused top-5
   }
+
+  test("ivfFrozenAppend: base postings are bucketed exactly as a " +
+      "base-only kmeans (the quantizer is frozen — delta presence " +
+      "moves nothing), counts conserve, and sims stay in cosine range") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val isDelta = col("vec_id") % 5 === 0
+    val got = ops.Sim.ivfFrozenAppend(emb, isDelta).orderBy("cell")
+      .collect()
+    assert(got.length === 8)
+    val baseOnly = ops.Sim.kmeansCells(emb.where(!isDelta), 8)
+      .groupBy("cell").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      assert(r.getLong(1) === baseOnly.getOrElse(r.getInt(0), 0L),
+        s"cell ${r.getInt(0)} base count moved")
+    }
+    val nBase = emb.where(!isDelta).count()
+    val nDelta = emb.where(isDelta).count()
+    assert(got.map(_.getLong(1)).sum === nBase)
+    assert(got.map(_.getLong(2)).sum === nDelta)
+    got.foreach { r =>
+      Seq((r.getLong(3), r.getLong(1)), (r.getLong(4), r.getLong(2)))
+        .foreach { case (s, n) =>
+          assert(math.abs(s) <= n * 1000000000L,
+            s"cell ${r.getInt(0)} sim sum $s out of range for $n rows")
+        }
+    }
+  }
 }
