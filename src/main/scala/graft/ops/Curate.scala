@@ -1061,17 +1061,37 @@ object Curate {
   def qualityProbe(docs: DataFrame, idCol: String, textCol: String,
                    label: Column, buckets: Int = 32,
                    iters: Int = 8): DataFrame = {
-    require(buckets >= 1, s"need buckets >= 1, got $buckets")
-    require(iters >= 1, s"need iters >= 1, got $iters")
     val spark = docs.sparkSession
     import spark.implicits._
+    val (w, mse) =
+      qualityProbeWeights(docs, idCol, textCol, label, buckets, iters)
+    w.indices.map { k =>
+      (k, Num.floorDouble(w(k), 9), Num.floorDouble(mse, 9))
+    }.toDF("bucket", "weight", "mse")
+  }
+
+  /** Token → feature-bucket id shared by the trainer and the scorer
+    * (first 12 md5 nibbles as a long, mod `buckets`).
+    */
+  private def tokenBucket(tok: Column, buckets: Int): Column =
+    (conv(substring(md5(tok), 1, 12), 16, 10).cast("bigint")
+      % buckets).cast("int")
+
+  /** The trained state of [[qualityProbe]] — (weights, in-sample MSE),
+    * UNfloored — exposed so [[qualityGate]] can score with the same
+    * fit. See [[qualityProbe]] for the contract.
+    */
+  private[graft] def qualityProbeWeights(docs: DataFrame, idCol: String,
+                                         textCol: String, label: Column,
+                                         buckets: Int, iters: Int)
+      : (Array[Double], Double) = {
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    require(iters >= 1, s"need iters >= 1, got $iters")
     val base = docs.select(col(idCol).as("id"),
       label.cast("long").as("y"), Text.cleanTokens(col(textCol)).as("t"))
     val tokCnt = base
       .select(col("id"), explode(col("t")).as("tok"))
-      .select(col("id"),
-        (conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("bigint")
-          % buckets).cast("int").as("b"))
+      .select(col("id"), tokenBucket(col("tok"), buckets).as("b"))
       .groupBy("id", "b").agg(count(lit(1)).as("c"))
     val dim = buckets + 1
     // augmented sparse vector [x | y]: intercept at index `buckets`,
@@ -1125,8 +1145,54 @@ object Curate {
     i = 0
     while (i < dim) { wB += w(i) * bL(i).toDouble; i += 1 }
     val mse = (wGw - 2.0 * wB + bL(ic).toDouble) / nD
-    (0 until dim).map { k =>
-      (k, Num.floorDouble(w(k), 9), Num.floorDouble(mse, 9))
-    }.toDF("bucket", "weight", "mse")
+    (w, mse)
+  }
+
+  /** End-to-end quality gate: train the [[qualityProbe]] linear fit,
+    * then SCORE every document with it and report the per-source
+    * calibration + keep rate — the full classifier loop a curation
+    * pipeline runs (fit on a labeled split, gate the whole corpus).
+    *
+    * Scoring discipline: the trained double weights are frozen to
+    * integers once on the driver (w_e9 = floor(w·10⁹), the dcgWeights
+    * move), so every per-doc score is an exact BIGINT dot product
+    * Σ c_b·w_e9[b] + w_e9[intercept] — no float summation order for
+    * engines to agree on, and the keep decision
+    * (score_e9 ≥ threshold_e9) is an integer comparison. The scoring
+    * pass is scan-local: bucket counts per doc, one broadcast literal
+    * weight array, one per-doc sum — the corpus never joins anything
+    * row-sized.
+    *
+    * Output per source: (source, n_docs, sum_score_e9, n_kept) — a
+    * trusted-source mean far above the untrusted means = the fit
+    * separates; n_kept at 0.5·10⁹ is the gate's throughput.
+    */
+  def qualityGate(docs: DataFrame, idCol: String, textCol: String,
+                  label: Column, srcCol: String, buckets: Int = 32,
+                  iters: Int = 8,
+                  thresholdE9: Long = 500000000L): DataFrame = {
+    val (w, _) =
+      qualityProbeWeights(docs, idCol, textCol, label, buckets, iters)
+    val wE9: Array[Long] = w.map(x => math.floor(x * 1e9).toLong)
+    val wLit = array(wE9.map(lit(_)): _*)
+    val base = docs.select(col(idCol).as("id"), col(srcCol).as("source"),
+      Text.cleanTokens(col(textCol)).as("t"))
+    val tokScore = base
+      .select(col("id"), explode(col("t")).as("tok"))
+      .select(col("id"), tokenBucket(col("tok"), buckets).as("b"))
+      .groupBy("id", "b").agg(count(lit(1)).as("c"))
+      .select(col("id"),
+        (col("c") * element_at(wLit, col("b") + 1)).as("s"))
+      .groupBy("id").agg(sum(col("s")).as("ts"))
+    base.select(col("id"), col("source"))
+      .join(tokScore, Seq("id"), "left")
+      .select(col("source"),
+        (coalesce(col("ts"), lit(0L)) + lit(wE9(buckets)))
+          .as("score_e9"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score_e9")).as("sum_score_e9"),
+        sum(when(col("score_e9") >= thresholdE9, 1L).otherwise(0L))
+          .as("n_kept"))
   }
 }

@@ -13,6 +13,67 @@ private[graft] object Fragments {
     val toks = toksSql("text")
     val cleanToks = toksSql("c")
 
+    // The qualityProbe GD chain (q277/q281): BIGINT-exact augmented
+    // Gram cells (the 0/1 label rides as feature column 33), then 8
+    // descent steps unrolled as s{t}/w{t} stages with the engine's
+    // exact FP sequencing (matvec left-to-right ascending k via
+    // list_transform+list_sum, update ascending j via ordered list;
+    // eta = 1/trace(G/n)). Ends at `w8(vv)` — weights as a 33-list —
+    // with base/tc/gm/bl/nn in scope for downstream stages. Every
+    // multiply-referenced stage MATERIALIZED (the bpeChainSql lesson);
+    // eta/b/n ride CROSS JOINs, not lambda subqueries.
+    val qualityGdCte: String = {
+      val bk = 32 // token buckets; intercept index 32; label column 33
+      val dim = bk + 1
+      val iterStages = (1 to 8).map { t =>
+        s"""s$t AS MATERIALIZED (
+           |  SELECT g.i AS i, list_sum(list_transform(range(1, ${dim + 1}),
+           |    k -> g.cl[k] * p.vv[k])) AS s
+           |  FROM gm g CROSS JOIN w${t - 1} p),
+           |w$t AS MATERIALIZED (
+           |  SELECT list(p.vv[s.i + 1]
+           |      - e.e * ((s.s - b.bb[s.i + 1]) / nn.n)
+           |    ORDER BY s.i) AS vv
+           |  FROM s$t s CROSS JOIN w${t - 1} p CROSS JOIN et e
+           |    CROSS JOIN bl b CROSS JOIN nn)""".stripMargin
+      }.mkString(",\n")
+      s"""base AS (
+         |  SELECT id, source, CASE WHEN source IN
+         |      ('src0','src1','src2','src3','src4')
+         |    THEN 1 ELSE 0 END AS y, $cleanToks AS t
+         |  FROM (SELECT doc_id AS id, source, $clean AS c
+         |        FROM documents)),
+         |tc AS (
+         |  SELECT id, CAST(${md5HexNSql("tok", 12)} % $bk AS INTEGER)
+         |      AS b, COUNT(*) AS c
+         |  FROM (SELECT id, UNNEST(t) AS tok FROM base) GROUP BY 1, 2),
+         |f AS (SELECT id, b, c FROM tc
+         |      UNION ALL SELECT id, $bk, 1 FROM base
+         |      UNION ALL SELECT id, $dim, 1 FROM base WHERE y = 1),
+         |cells AS (
+         |  SELECT f1.b AS i, f2.b AS j,
+         |    CAST(SUM(f1.c * f2.c) AS BIGINT) AS s
+         |  FROM f f1 JOIN f f2 USING (id) GROUP BY 1, 2),
+         |gm AS MATERIALIZED (
+         |  SELECT i.i AS i,
+         |    list(COALESCE(CAST(c.s AS DOUBLE), 0.0) ORDER BY j.j) AS cl
+         |  FROM range(0, $dim) i(i) CROSS JOIN range(0, $dim) j(j)
+         |    LEFT JOIN cells c ON c.i = i.i AND c.j = j.j
+         |  GROUP BY i.i),
+         |bl AS MATERIALIZED (
+         |  SELECT list(COALESCE(CAST(c.s AS DOUBLE), 0.0) ORDER BY i.i)
+         |    AS bb
+         |  FROM range(0, $dim) i(i)
+         |    LEFT JOIN cells c ON c.i = i.i AND c.j = $dim),
+         |nn AS (SELECT cl[$dim] AS n FROM gm WHERE i = $bk),
+         |tr AS (SELECT list_sum(list(cl[i + 1] / nn.n ORDER BY i)) AS t
+         |  FROM gm CROSS JOIN nn),
+         |et AS (SELECT 1.0 / t AS e FROM tr),
+         |w0 AS (SELECT list_transform(range(0, $dim),
+         |  x -> CAST(0.0 AS DOUBLE)) AS vv),
+         |$iterStages""".stripMargin
+    }
+
     // ONE oracle for both decontamination plans: q114 (exact broadcast
     // join) and q276 (Bloom prefilter → shuffled exact join) are
     // result-identical by construction — the filter passes a superset

@@ -660,7 +660,20 @@ private[graft] object Reg3Curation {
     "q278_repeated_substring" -> ((s, dir) =>
       Dedup.repeatedSubstringShare(t(s, dir, "documents"), "doc_id",
           "text", minLen = 8)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+
+    // curation — the classifier loop CLOSED (Curate.qualityGate
+    // scaladoc): q277's fit frozen to integer micro-weights
+    // (w_e9 = floor(w·1e9)) scores every doc as an exact BIGINT dot
+    // product, gated at 0.5·1e9; per-source calibration + keep rate.
+    // Shares q277's trainer verbatim — one fit, two surfaces.
+    "q281_quality_gate" -> ((s, dir) =>
+      Curate.qualityGate(t(s, dir, "documents"), "doc_id", "text",
+          label = col("source").isin(
+            "src0", "src1", "src2", "src3", "src4").cast("int"),
+          srcCol = "source")
+        .orderBy("source"))
   )
 
   def oracles: ListMap[String, String] = ListMap(
@@ -1330,55 +1343,8 @@ private[graft] object Reg3Curation {
       // Every multiply-referenced stage MATERIALIZED (the bpeChainSql
       // lesson); eta/b/n ride CROSS JOINs, not lambda subqueries.
       "q277_quality_probe" -> {
-        val bk = 32  // token buckets; intercept feature index = 32
-        val dim = bk + 1
-        val iterStages = (1 to 8).map { t =>
-          s"""s$t AS MATERIALIZED (
-             |  SELECT g.i AS i, list_sum(list_transform(range(1, ${dim + 1}),
-             |    k -> g.cl[k] * p.vv[k])) AS s
-             |  FROM gm g CROSS JOIN w${t - 1} p),
-             |w$t AS MATERIALIZED (
-             |  SELECT list(p.vv[s.i + 1]
-             |      - e.e * ((s.s - b.bb[s.i + 1]) / nn.n)
-             |    ORDER BY s.i) AS vv
-             |  FROM s$t s CROSS JOIN w${t - 1} p CROSS JOIN et e
-             |    CROSS JOIN bl b CROSS JOIN nn)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH base AS (
-           |  SELECT id, CASE WHEN source IN
-           |      ('src0','src1','src2','src3','src4')
-           |    THEN 1 ELSE 0 END AS y, $cleanToks AS t
-           |  FROM (SELECT doc_id AS id, source, $clean AS c
-           |        FROM documents)),
-           |tc AS (
-           |  SELECT id, CAST(${md5HexNSql("tok", 12)} % $bk AS INTEGER)
-           |      AS b, COUNT(*) AS c
-           |  FROM (SELECT id, UNNEST(t) AS tok FROM base) GROUP BY 1, 2),
-           |f AS (SELECT id, b, c FROM tc
-           |      UNION ALL SELECT id, $bk, 1 FROM base
-           |      UNION ALL SELECT id, $dim, 1 FROM base WHERE y = 1),
-           |cells AS (
-           |  SELECT f1.b AS i, f2.b AS j,
-           |    CAST(SUM(f1.c * f2.c) AS BIGINT) AS s
-           |  FROM f f1 JOIN f f2 USING (id) GROUP BY 1, 2),
-           |gm AS MATERIALIZED (
-           |  SELECT i.i AS i,
-           |    list(COALESCE(CAST(c.s AS DOUBLE), 0.0) ORDER BY j.j) AS cl
-           |  FROM range(0, $dim) i(i) CROSS JOIN range(0, $dim) j(j)
-           |    LEFT JOIN cells c ON c.i = i.i AND c.j = j.j
-           |  GROUP BY i.i),
-           |bl AS MATERIALIZED (
-           |  SELECT list(COALESCE(CAST(c.s AS DOUBLE), 0.0) ORDER BY i.i)
-           |    AS bb
-           |  FROM range(0, $dim) i(i)
-           |    LEFT JOIN cells c ON c.i = i.i AND c.j = $dim),
-           |nn AS (SELECT cl[$dim] AS n FROM gm WHERE i = $bk),
-           |tr AS (SELECT list_sum(list(cl[i + 1] / nn.n ORDER BY i)) AS t
-           |  FROM gm CROSS JOIN nn),
-           |et AS (SELECT 1.0 / t AS e FROM tr),
-           |w0 AS (SELECT list_transform(range(0, $dim),
-           |  x -> CAST(0.0 AS DOUBLE)) AS vv),
-           |$iterStages,
+        val dim = 33
+        s"""WITH $qualityGdCte,
            |s9 AS MATERIALIZED (
            |  SELECT g.i AS i, list_sum(list_transform(range(1, ${dim + 1}),
            |    k -> g.cl[k] * p.vv[k])) AS s
@@ -1430,6 +1396,25 @@ private[graft] object Reg3Curation {
            |    AS share
            |FROM tk LEFT JOIN cv ON cv.id = tk.id
            |ORDER BY doc_id""".stripMargin
-      }
+      },
+
+      // q277's trainer chain verbatim, then integer micro-weights and
+      // the exact BIGINT per-doc dot product + per-source gate
+      "q281_quality_gate" ->
+        s"""WITH $qualityGdCte,
+           |we AS (SELECT list_transform(range(1, 34),
+           |  i -> CAST(floor(vv[i] * 1000000000) AS BIGINT)) AS wl
+           |  FROM w8),
+           |sc AS (SELECT tc.id,
+           |    CAST(SUM(tc.c * w.wl[tc.b + 1]) AS BIGINT) AS ts
+           |  FROM tc CROSS JOIN we w GROUP BY tc.id),
+           |pd AS (SELECT b.id, b.source,
+           |    COALESCE(sc.ts, 0) + w.wl[33] AS score_e9
+           |  FROM base b LEFT JOIN sc ON sc.id = b.id CROSS JOIN we w)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(score_e9) AS BIGINT) AS sum_score_e9,
+           |  CAST(SUM(CASE WHEN score_e9 >= 500000000 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_kept
+           |FROM pd GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -342,4 +342,41 @@ class Round12OpsSpec extends SparkSpec {
         }
     }
   }
+
+  test("qualityGate separates the sources the probe was trained on " +
+      "in aggregate: trusted docs score higher on average than " +
+      "untrusted, counts conserve, and the integer scores are " +
+      "layout-invariant") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val trusted = Set("src0", "src1", "src2", "src3", "src4")
+    val label = col("source").isin(trusted.toSeq.map(x => x: Any): _*)
+      .cast("int")
+    val got = ops.Curate.qualityGate(docs, "doc_id", "text", label,
+        "source")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.length === 20)
+    assert(got.map(_._2).sum === docs.count())
+    // aggregate separation: an 8-step fit on 32 hashed buckets is a
+    // weak learner (per-source orderings can overlap), but the
+    // direction of the fit must show — the pooled trusted mean above
+    // the pooled untrusted mean
+    def pooled(keys: Set[String]): Double = {
+      val rows = got.filter(t => keys.contains(t._1))
+      rows.map(_._3).sum.toDouble / rows.map(_._2).sum
+    }
+    val tMean = pooled(trusted)
+    val uMean = pooled(got.map(_._1).toSet -- trusted)
+    assert(tMean > uMean,
+      s"fit does not separate in aggregate: trusted $tMean <= " +
+        s"untrusted $uMean")
+    val re = ops.Curate.qualityGate(docs.repartition(7), "doc_id",
+        "text", label, "source")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq === re.toSeq)
+  }
 }
