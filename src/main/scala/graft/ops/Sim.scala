@@ -1110,9 +1110,11 @@ object Sim {
   /** Argmax cosine via lexicographic struct max; centroid norms are
     * driver-side constants, the row's own norm cancels in the argmax.
     * Cell id enters negated so ties resolve to the LOWEST cell.
+    * `private[graft]` so the streaming append sink (q282) assigns
+    * micro-batches with the identical expression.
     */
-  private def assignScored(vecCol: String,
-                           c: Seq[Seq[Float]]): Column =
+  private[graft] def assignScored(vecCol: String,
+                                  c: Seq[Seq[Float]]): Column =
     array_max(array(c.zipWithIndex.map { case (cv, i) =>
       val n = math.sqrt(cv.map(x => x.toDouble * x.toDouble).sum)
       struct(floor(dot(col(vecCol), typedLit(cv)) / lit(n)
@@ -1157,9 +1159,17 @@ object Sim {
     val cents = kmeansCentroids(emb.where(!isDelta), k, iters,
       idCol, vecCol)
     val st = assignScored(vecCol, cents)
-    val assigned = emb.select(isDelta.as("is_delta"),
+    ivfSummarize(emb.select(isDelta.as("is_delta"),
       (-st.getField("negCell")).as("cell"),
-      st.getField("sim_e9").as("sim_e9"))
+      st.getField("sim_e9").as("sim_e9")), k)
+  }
+
+  /** The per-cell summary over an assigned (is_delta, cell, sim_e9)
+    * frame — shared by [[ivfFrozenAppend]] and the streaming append
+    * gate (q282), so both surfaces aggregate identically.
+    */
+  private[graft] def ivfSummarize(assigned: DataFrame, k: Int)
+      : DataFrame = {
     val agg = assigned.groupBy("cell").agg(
       sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
       sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"),
@@ -1167,7 +1177,7 @@ object Sim {
         .as("sim_e9_base"),
       sum(when(col("is_delta"), col("sim_e9")).otherwise(0L))
         .as("sim_e9_delta"))
-    emb.sparkSession.range(0, k)
+    assigned.sparkSession.range(0, k)
       .select(col("id").cast("int").as("cell"))
       .join(agg, Seq("cell"), "left")
       .select(col("cell"),

@@ -946,6 +946,18 @@ private[graft] object Reg6MonitorAnn {
     "q280_ivf_frozen_append" -> ((s, dir) =>
       Sim.ivfFrozenAppend(t(s, dir, "embeddings"),
           isDelta = col("vec_id") % 5 === 0)
+        .orderBy("cell")),
+
+
+    // streaming — the q280 maintenance path as a REAL ingest: the
+    // delta slice replayed as 3 micro-batches through a frozen-
+    // quantizer foreachBatch append sink (StreamOps.ivfAppendGate
+    // scaladoc); committed postings + the frozen base assignment
+    // summarize to the SAME oracle string as q280 — batch and
+    // streaming append are one operator.
+    "q282_stream_ivf_append" -> ((s, dir) =>
+      graft.streaming.StreamOps.docsGateResult(s, dir,
+          "q282_stream_ivf_append")
         .orderBy("cell"))
   )
 
@@ -2477,8 +2489,13 @@ private[graft] object Reg6MonitorAnn {
 
       // the kmeans chain trained on the base slice only, frozen
       // assignment with integer floored sims over everything, per-cell
-      // integer sums on the 0..7 grid
-      "q280_ivf_frozen_append" ->
+      // integer sums on the 0..7 grid — ONE string for the batch (q280)
+      // and streaming-append (q282) engines
+      "q280_ivf_frozen_append" -> ivfFrozenOracleSql,
+      "q282_stream_ivf_append" -> ivfFrozenOracleSql
+  )
+
+  private val ivfFrozenOracleSql: String =
         s"""WITH ${kmeansFrozenCte("NOT (vec_id % 5 = 0)")},
            |d AS (SELECT (vec_id % 5 = 0) AS is_delta, cell, sim_e9
            |  FROM af),
@@ -2499,5 +2516,4 @@ private[graft] object Reg6MonitorAnn {
            |  COALESCE(sim_e9_delta, 0) AS sim_e9_delta
            |FROM range(0, 8) r(i) LEFT JOIN g ON g.cell = r.i
            |ORDER BY cell""".stripMargin
-  )
 }

@@ -944,6 +944,23 @@ object StreamOps {
       stage
     })
 
+  /** Stage the DELTA slice of the embeddings fixture
+    * (vec_id % 5 = 0 — the q280 split) as `nFiles` parquet files for
+    * a micro-batched ingest replay. Memoized like [[stageDocs]].
+    */
+  def stageEmbeddingsDelta(spark: SparkSession, sfDir: String,
+                           nFiles: Int): String =
+    stageMemo.computeIfAbsent(s"$sfDir#$nFiles#embdelta", _ => {
+      val stage = graft.TempDirs.register(java.nio.file.Files
+        .createTempDirectory("graft-stream-stage-embd").toString)
+      graft.Tables.load(spark, sfDir, "embeddings")
+        .where(col("vec_id") % 5 === 0)
+        .select("vec_id", "embedding")
+        .repartition(nFiles)
+        .write.mode("overwrite").parquet(stage)
+      stage
+    })
+
   /** Stage the documents fixture as `nFiles` parquet files carrying a
     * synthetic event-time column (`ts` = epoch + 1 day + doc_id
     * seconds) so WATERMARKED document engines can replay it. The 1-day
@@ -1339,7 +1356,53 @@ object StreamOps {
             .option("maxFilesPerTrigger", "1").parquet(docsTs3),
           "text", "ts", 8, watermark = "36500 days")
           .select("sig_key"),
-        OutputMode.Append()))
+        OutputMode.Append()),
+      ivfAppendGate(ns, sfDir))
+  }
+
+  /** The q282 gate: the q280 delta slice replayed as 3 micro-batches
+    * through a FROZEN-quantizer foreachBatch append sink — each batch
+    * is assigned with the centroids trained ONCE on the base (the
+    * production ingest: postings accumulate, the quantizer never
+    * retrains mid-stream) and appended to a postings table. The result
+    * frame re-reads the committed postings, assigns the static base
+    * with the same frozen expression, and summarizes — bound to q280's
+    * oracle string, so batch and streaming append are provably ONE
+    * maintenance operator.
+    */
+  private def ivfAppendGate(ns: SparkSession, sfDir: String): Gate = {
+    val embDelta3 = stageEmbeddingsDelta(ns, sfDir, 3)
+    val postings = tmp("graft-ivf-postings") + "/p"
+    val embBase = graft.Tables.load(ns, sfDir, "embeddings")
+      .where(col("vec_id") % 5 =!= 0)
+    // trained once at family-build time; every micro-batch and the
+    // read-back summary share this frozen state
+    lazy val cents = graft.ops.Sim.kmeansCentroids(embBase, 8, 2)
+    val embSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    def assignedCols(df: DataFrame, delta: Boolean): DataFrame = {
+      val st = graft.ops.Sim.assignScored("embedding", cents)
+      df.select(lit(delta).as("is_delta"),
+        (-st.getField("negCell")).as("cell"),
+        st.getField("sim_e9").as("sim_e9"))
+    }
+    Gate("q282_stream_ivf_append",
+      () => ns.readStream.schema(embSchema)
+        .option("maxFilesPerTrigger", "1").parquet(embDelta3)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("graft-ivf-ck"))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          assignedCols(batch, delta = true)
+            .write.mode("append").parquet(postings)
+        }
+        .start(),
+      () => graft.ops.Sim.ivfSummarize(
+        assignedCols(embBase, delta = false)
+          .unionByName(ns.read.parquet(postings)), 8))
   }
 
   /** Read a directory of events-schema parquet files as a (bounded) stream
