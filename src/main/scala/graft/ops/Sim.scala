@@ -1079,6 +1079,32 @@ object Sim {
     df.withColumn("cell",
       assignCell(vecCol, kmeansCentroids(df, k, iters, idCol, vecCol)))
 
+  private val centMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[Seq[Float]]]
+
+  /** [[kmeansCentroids]] memoized per (cacheKey, params) per JVM — the
+    * `learnCached`/`pqCodebooksCached` doctrine: the q228/q260/q125/
+    * q280 surfaces all train the IDENTICAL deterministic quantizer on
+    * the same fixture, so one training serves every query and bench
+    * rep. Callers must fold anything that changes the training set
+    * (fixture dir, base filter) into `cacheKey`.
+    */
+  def kmeansCentroidsCached(df: DataFrame, k: Int, iters: Int,
+                            cacheKey: String, idCol: String = "vec_id",
+                            vecCol: String = "embedding")
+      : Seq[Seq[Float]] =
+    centMemo.computeIfAbsent(s"$cacheKey#$k#$iters#$idCol#$vecCol",
+      _ => kmeansCentroids(df, k, iters, idCol, vecCol))
+
+  /** [[kmeansCells]] through the centroid memo — same assignment,
+    * training paid once per JVM per fixture.
+    */
+  def kmeansCellsCached(df: DataFrame, k: Int, iters: Int,
+                        cacheKey: String, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame =
+    df.withColumn("cell", assignCell(vecCol,
+      kmeansCentroidsCached(df, k, iters, cacheKey, idCol, vecCol)))
+
   /** The trained centroids of [[kmeansCells]], exposed so a FROZEN
     * quantizer can be applied to frames it was not trained on (the
     * q280 index-append path). Identical training loop — [[kmeansCells]]
@@ -1155,9 +1181,15 @@ object Sim {
     */
   def ivfFrozenAppend(emb: DataFrame, isDelta: Column, k: Int = 8,
                       iters: Int = 2, idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
-    val cents = kmeansCentroids(emb.where(!isDelta), k, iters,
-      idCol, vecCol)
+                      vecCol: String = "embedding",
+                      cacheKey: Option[String] = None): DataFrame = {
+    val base = emb.where(!isDelta)
+    val cents = cacheKey match {
+      case Some(key) =>
+        kmeansCentroidsCached(base, k, iters, s"$key#frozenbase",
+          idCol, vecCol)
+      case None => kmeansCentroids(base, k, iters, idCol, vecCol)
+    }
     val st = assignScored(vecCol, cents)
     ivfSummarize(emb.select(isDelta.as("is_delta"),
       (-st.getField("negCell")).as("cell"),
@@ -1206,9 +1238,12 @@ object Sim {
     * Output: (cell, n_total, n_kept, n_dropped) per cluster.
     */
   def semDedup(df: DataFrame, k: Int, iters: Int, threshold: Double,
-               idCol: String = "vec_id", vecCol: String = "embedding")
-      : DataFrame = {
-    val cells = kmeansCells(df, k, iters, idCol, vecCol).localCheckpoint()
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               cacheKey: Option[String] = None): DataFrame = {
+    val cells = (cacheKey match {
+      case Some(key) => kmeansCellsCached(df, k, iters, key, idCol, vecCol)
+      case None => kmeansCells(df, k, iters, idCol, vecCol)
+    }).localCheckpoint()
     // NO broadcast hint on the loser set: near-dup density at corpus
     // scale can put a large fraction of all ids in it — AQE broadcasts
     // when it measures small, shuffles when it doesn't

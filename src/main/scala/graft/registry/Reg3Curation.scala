@@ -378,7 +378,7 @@ private[graft] object Reg3Curation {
     // argmax) and must land every vector in the same cell.
     "q125_semdedup" -> ((s, dir) =>
       Sim.semDedup(t(s, dir, "embeddings"), k = 8, iters = 2,
-          threshold = 0.2)
+          threshold = 0.2, cacheKey = Some(dir))
         .orderBy("cell")),
 
 

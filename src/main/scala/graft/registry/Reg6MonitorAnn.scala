@@ -338,7 +338,7 @@ private[graft] object Reg6MonitorAnn {
       // the real coarse quantizer next to the label stand-in: q125's
       // deterministic kmeans (k=8, 2 iters) assigns the cells, own-cell
       // probe — the oracle replays the identical quantizer (kmeansAfCte)
-      val km = Sim.kmeansCells(emb, k = 8, iters = 2).localCheckpoint()
+      val km = Sim.kmeansCellsCached(emb, 8, 2, dir).localCheckpoint()
       eval("ivf", Sim.topKIvf(q, emb, 5, "label"))
         .unionByName(eval("ivf_kmeans",
           Sim.topKIvf(km.where(col("vec_id") < 10), km, 5, "cell")))
@@ -714,7 +714,7 @@ private[graft] object Reg6MonitorAnn {
     // probe policy end-to-end.
     "q260_ivf_adc_kmeans" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val km = Sim.kmeansCells(emb, k = 8, iters = 2).localCheckpoint()
+      val km = Sim.kmeansCellsCached(emb, 8, 2, dir).localCheckpoint()
       Sim.ivfAdcRecallSweep(km.where(col("vec_id") < 10), km,
           Sim.pqCodebooksCached(emb, m = 4, k = 8, iters = 2, dir),
           5, "cell", maxProbes = 3)
@@ -784,7 +784,7 @@ private[graft] object Reg6MonitorAnn {
       // the calibration-anchor run) — without this the brute cross
       // join runs twice per execution
       val truth = Sim.topK(q, emb, 5).localCheckpoint()
-      val km = Sim.kmeansCells(emb, k = 8, iters = 2).localCheckpoint()
+      val km = Sim.kmeansCellsCached(emb, 8, 2, dir).localCheckpoint()
       Sim.retrievalMetrics(truth, 5,
         "brute" -> truth,
         "ivf_kmeans" -> Sim.topKIvf(km.where(col("vec_id") < 10), km, 5,
@@ -945,7 +945,7 @@ private[graft] object Reg6MonitorAnn {
     // the retrain-decision monitor.
     "q280_ivf_frozen_append" -> ((s, dir) =>
       Sim.ivfFrozenAppend(t(s, dir, "embeddings"),
-          isDelta = col("vec_id") % 5 === 0)
+          isDelta = col("vec_id") % 5 === 0, cacheKey = Some(dir))
         .orderBy("cell")),
 
 

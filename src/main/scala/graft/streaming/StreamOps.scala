@@ -1375,9 +1375,11 @@ object StreamOps {
     val postings = tmp("graft-ivf-postings") + "/p"
     val embBase = graft.Tables.load(ns, sfDir, "embeddings")
       .where(col("vec_id") % 5 =!= 0)
-    // trained once at family-build time; every micro-batch and the
-    // read-back summary share this frozen state
-    lazy val cents = graft.ops.Sim.kmeansCentroids(embBase, 8, 2)
+    // trained once per JVM per fixture (the q280 memo key, so the
+    // batch twin's training serves this gate too); every micro-batch
+    // and the read-back summary share this frozen state
+    lazy val cents = graft.ops.Sim.kmeansCentroidsCached(embBase, 8, 2,
+      s"$sfDir#frozenbase")
     val embSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("vec_id",
         org.apache.spark.sql.types.LongType),
