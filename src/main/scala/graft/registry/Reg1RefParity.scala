@@ -149,6 +149,28 @@ private[graft] object Reg1RefParity {
     }),
 
 
+    // sources — schema-drift ingestion (Sources.readEvolved scaladoc):
+    // a lake dir written across two schema versions (the status column
+    // added in epoch 2) reads back as ONE frame via footer-merge, old
+    // files surfacing the new column as NULL — the years-of-parquet
+    // reality at 100 TB, reconciled per-file without rewriting data.
+    "q283_schema_drift" -> ((s, dir) => {
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft-q283-${ProcessHandle.current().pid}"
+      val orders = t(s, dir, "orders")
+      orders.where(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(path)
+      orders.where(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("append").parquet(path)
+      Sources.readEvolved(s, path)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("status")
+    }),
+
+
     // op 7: deterministic keep-first dedup.
     "q07_dedup_keepfirst" -> ((s, dir) =>
       Dedup.keepFirst(t(s, dir, "documents"), Seq("source"),
@@ -361,6 +383,15 @@ private[graft] object Reg1RefParity {
         """SELECT lang, COUNT(*) AS n,
           | SUM(n_chars) / COUNT(*) AS avg_chars
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+
+      // the drift profile replayed from the source table: epoch-1 files
+      // (even keys) never carried the status column -> NULL
+      "q283_schema_drift" ->
+        s"""SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END
+           |    AS status,
+           |  COUNT(*) AS n, ${dsumS("o_totalprice")} AS total
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
 
       "q07_dedup_keepfirst" ->

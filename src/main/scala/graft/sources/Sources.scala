@@ -188,6 +188,18 @@ object Sources {
     * has no transactional in-place rewrite; the swap is the caller's
     * rename (a table format like Iceberg/Delta makes it atomic).
     */
+  /** Schema-drift ingestion: read a lake directory whose parquet files
+    * were written across SCHEMA VERSIONS (columns added over time —
+    * the normal state of a corpus that has been collected for years)
+    * as one frame. `mergeSchema` makes the scan reconcile footers
+    * (files missing a later column surface it as NULL); the read stays
+    * a plain parquet scan with pushdown — the reconciliation is
+    * per-file metadata, not a data pass, which is why this is the
+    * right shape at 100 TB vs rewriting old files.
+    */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   def compact(spark: SparkSession, inPath: String, outPath: String,
               schema: StructType, targetFileBytes: Long,
               sortCols: Seq[String] = Nil): (Int, Int) = {

@@ -379,4 +379,27 @@ class Round12OpsSpec extends SparkSpec {
         r.getLong(3)))
     assert(got.toSeq === re.toSeq)
   }
+
+  test("readEvolved merges parquet written across schema versions: " +
+      "files predating a column surface it as NULL, nothing is lost, " +
+      "and new-file values come through intact") {
+    val dir = "/root/testdata/sf0.001"
+    val orders = Tables.load(spark, dir, "orders")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-evolve-spec").toString
+    orders.where(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(path)
+    orders.where(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode("append").parquet(path)
+    val merged = sources.Sources.readEvolved(spark, path)
+    assert(merged.columns.toSet ===
+      Set("o_orderkey", "o_totalprice", "o_orderstatus"))
+    assert(merged.count() === orders.count())
+    assert(merged.where(col("o_orderstatus").isNull).count() ===
+      orders.where(col("o_orderkey") % 2 === 0).count())
+    assert(merged.where(col("o_orderstatus").isNotNull).count() ===
+      orders.where(col("o_orderkey") % 2 === 1).count())
+  }
 }
