@@ -1019,6 +1019,41 @@ object Curate {
           .as("alloc"))
   }
 
+  /** Temperature-damped source-mixture shares — the α-sampling knob of
+    * the multilingual/multi-source pretraining recipes (mT5, GPT-3:
+    * p_s ∝ n_s^α, α < 1 flattening the head so low-resource sources
+    * survive). Emitted for α ∈ {1, 1/2, 1/4} side by side: the table a
+    * curator reads to pick the temperature, feeding the chosen column
+    * into the rate sampler (q117) or the quota allocator (q218/q274).
+    *
+    * Cross-engine exactness without pow(): fractional powers come from
+    * composed square roots — sqrt and sqrt∘sqrt are correctly-rounded
+    * IEEE ops in both engines, unlike pow(x, 0.25), whose last ulp is
+    * libm-specific. Damped weights freeze to integers
+    * (w = floor(damp(n)·10³)) and shares are integer divisions
+    * (share_e6 = 10⁶·w div Σw) — no float normalization to agree on.
+    *
+    * Scale shape: one count aggregation (k rows), then k-row driver
+    * math on a broadcast total. The corpus is touched once.
+    */
+  def mixtureTemperatures(df: DataFrame, srcCol: String): DataFrame = {
+    val counts = df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val weighted = counts.select(col(srcCol), col("n_docs"),
+      (col("n_docs") * 1000L).as("w1"),
+      floor(sqrt(col("n_docs").cast("double")) * 1000).cast("long")
+        .as("w2"),
+      floor(sqrt(sqrt(col("n_docs").cast("double"))) * 1000)
+        .cast("long").as("w4"))
+    val totals = weighted.agg(sum(col("w1")).as("t1"),
+      sum(col("w2")).as("t2"), sum(col("w4")).as("t4"))
+    weighted.crossJoin(broadcast(totals))
+      .select(col(srcCol), col("n_docs"),
+        expr("(1000000 * w1) div t1").as("share_a100_e6"),
+        expr("(1000000 * w2) div t2").as("share_a50_e6"),
+        expr("(1000000 * w4) div t4").as("share_a25_e6"))
+  }
+
   /** Linear quality probe trained by full-batch gradient descent over
     * hashed bag-of-tokens features — the fastText-style quality
     * classifier every production corpus pipeline trains (label a small

@@ -673,6 +673,16 @@ private[graft] object Reg3Curation {
           label = col("source").isin(
             "src0", "src1", "src2", "src3", "src4").cast("int"),
           srcCol = "source")
+        .orderBy("source")),
+
+
+    // curation — temperature-damped mixture shares (α-sampling,
+    // Curate.mixtureTemperatures scaladoc): p_s ∝ n_s^α for
+    // α ∈ {1, 1/2, 1/4} via composed correctly-rounded square roots
+    // (never libm pow), integer-frozen weights, integer-division
+    // shares. The temperature table the q117/q218/q274 samplers eat.
+    "q284_mixture_temperature" -> ((s, dir) =>
+      Curate.mixtureTemperatures(t(s, dir, "documents"), "source")
         .orderBy("source"))
   )
 
@@ -1415,6 +1425,26 @@ private[graft] object Reg3Curation {
            |  CAST(SUM(score_e9) AS BIGINT) AS sum_score_e9,
            |  CAST(SUM(CASE WHEN score_e9 >= 500000000 THEN 1 ELSE 0 END)
            |    AS BIGINT) AS n_kept
-           |FROM pd GROUP BY source ORDER BY source""".stripMargin
+           |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+
+      // same sqrt-composed damping, integer weights, integer shares
+      "q284_mixture_temperature" ->
+        s"""WITH c AS (SELECT source, COUNT(*) AS n_docs
+           |  FROM documents GROUP BY 1),
+           |w AS (SELECT source, n_docs,
+           |    CAST(n_docs * 1000 AS BIGINT) AS w1,
+           |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000)
+           |      AS BIGINT) AS w2,
+           |    CAST(floor(sqrt(sqrt(CAST(n_docs AS DOUBLE))) * 1000)
+           |      AS BIGINT) AS w4
+           |  FROM c),
+           |t AS (SELECT CAST(SUM(w1) AS BIGINT) AS t1,
+           |    CAST(SUM(w2) AS BIGINT) AS t2,
+           |    CAST(SUM(w4) AS BIGINT) AS t4 FROM w)
+           |SELECT source, n_docs,
+           |  (1000000 * w1) // t1 AS share_a100_e6,
+           |  (1000000 * w2) // t2 AS share_a50_e6,
+           |  (1000000 * w4) // t4 AS share_a25_e6
+           |FROM w CROSS JOIN t ORDER BY source""".stripMargin
   )
 }

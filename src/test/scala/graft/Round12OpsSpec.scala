@@ -402,4 +402,27 @@ class Round12OpsSpec extends SparkSpec {
     assert(merged.where(col("o_orderstatus").isNotNull).count() ===
       orders.where(col("o_orderkey") % 2 === 1).count())
   }
+
+  test("mixtureTemperatures flattens a skewed corpus as alpha drops: " +
+      "head share strictly decreases, tail share strictly increases, " +
+      "shares sum to ~1e6, and alpha=1 matches raw proportions") {
+    val docs = (Seq.fill(100)("big") ++ Seq.fill(10)("mid") ++
+      Seq.fill(1)("tiny")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "src")
+    val got = ops.Curate.mixtureTemperatures(docs, "src")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val (_, b1, b2, b4) = got("big")
+    val (_, t1, t2, t4) = got("tiny")
+    assert(b1 > b2 && b2 > b4, s"head share must flatten: $b1 $b2 $b4")
+    assert(t1 < t2 && t2 < t4, s"tail share must rise: $t1 $t2 $t4")
+    // alpha=1 is the raw proportion (floored to e6)
+    assert(b1 === 1000000L * 100 / 111)
+    Seq(1, 2, 3).foreach { i =>
+      val tot = got.values.map(v => Seq(v._2, v._3, v._4)(i - 1)).sum
+      assert(tot > 999900L && tot <= 1000000L, s"col $i sums to $tot")
+    }
+  }
 }
