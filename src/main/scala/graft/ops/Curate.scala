@@ -339,6 +339,40 @@ object Curate {
       .select(col("id").as("doc_id"), col("n_shared"))
   }
 
+  /** Contamination PROVENANCE — the audit readout behind
+    * [[decontaminate]]/[[decontaminateBloom]]: not just how
+    * contaminated each train doc is, but WHICH eval doc it leaks
+    * (train_id, eval_id, shared distinct-shingle count), ranked, top
+    * `topK` pairs. A decontamination run that ships counts without
+    * provenance can't be audited — the pair list is what a release
+    * review actually reads.
+    *
+    * Scale shape: identical join to [[decontaminate]] except the eval
+    * side keeps its doc id (still eval-sized, still broadcastable);
+    * the ranked cut is orderBy+limit — a distributed TakeOrdered,
+    * never a single-partition window. Ties cut deterministically by
+    * (count desc, train id, eval id).
+    */
+  def decontaminateProvenance(docs: DataFrame, idCol: String,
+                              textCol: String, isEval: Column,
+                              w: Int = 3, topK: Int = 50): DataFrame = {
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    val sh = docs
+      .select(col(idCol).as("id"), isEval.as("ev"),
+        Text.cleanTokens(col(textCol)).as("t"))
+      .select(col("id"), col("ev"),
+        explode(array_distinct(Dedup.shingles(col("t"), w))).as("sh"))
+    val evalSh = sh.where(col("ev"))
+      .select(col("id").as("eval_id"), col("sh")).distinct()
+    sh.where(!col("ev"))
+      .join(broadcast(evalSh), Seq("sh"))
+      .groupBy("id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("id").as("doc_id"), col("eval_id"), col("n_shared"))
+      .orderBy(col("n_shared").desc, col("doc_id"), col("eval_id"))
+      .limit(topK)
+  }
+
   /** Deterministic md5-derived uniform fraction of an id in [0, 1):
     * first 8 md5 nibbles / 2^32. No PRNG state → reproducible across
     * engines (DuckDB oracle replays it nibble-for-nibble) and across

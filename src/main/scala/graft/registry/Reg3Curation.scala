@@ -683,7 +683,16 @@ private[graft] object Reg3Curation {
     // shares. The temperature table the q117/q218/q274 samplers eat.
     "q284_mixture_temperature" -> ((s, dir) =>
       Curate.mixtureTemperatures(t(s, dir, "documents"), "source")
-        .orderBy("source"))
+        .orderBy("source")),
+
+
+    // curation — contamination provenance (the q114/q276 audit
+    // surface): WHICH eval doc each contaminated train doc leaks,
+    // top-50 (train, eval, shared-shingle) pairs — the list a release
+    // review reads; the counts alone can't be audited.
+    "q285_contamination_pairs" -> ((s, dir) =>
+      Curate.decontaminateProvenance(t(s, dir, "documents"), "doc_id",
+          "text", isEval = col("doc_id") % 97 === 0, w = 3, topK = 50))
   )
 
   def oracles: ListMap[String, String] = ListMap(
@@ -1445,6 +1454,19 @@ private[graft] object Reg3Curation {
            |  (1000000 * w1) // t1 AS share_a100_e6,
            |  (1000000 * w2) // t2 AS share_a50_e6,
            |  (1000000 * w4) // t4 AS share_a25_e6
-           |FROM w CROSS JOIN t ORDER BY source""".stripMargin
+           |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
+
+      // the q114 shingle join keeping the eval id; deterministic
+      // TakeOrdered cut by (count desc, ids)
+      "q285_contamination_pairs" ->
+        s"""WITH cleaned AS (SELECT doc_id AS id, (doc_id % 97 = 0) AS ev,
+           |                        $clean AS c FROM documents),
+           |sh AS (SELECT id, ev, UNNEST(list_distinct(${shinglesSql("t")})) AS sh
+           |       FROM (SELECT id, ev, $cleanToks AS t FROM cleaned)),
+           |evalsh AS (SELECT DISTINCT id AS eval_id, sh FROM sh WHERE ev)
+           |SELECT id AS doc_id, eval_id, COUNT(*) AS n_shared
+           |FROM sh JOIN evalsh USING (sh) WHERE NOT ev
+           |GROUP BY 1, 2
+           |ORDER BY n_shared DESC, doc_id, eval_id LIMIT 50""".stripMargin
   )
 }
