@@ -1069,6 +1069,13 @@ object Curate {
     *
     * Scale shape: one count aggregation (k rows), then k-row driver
     * math on a broadcast total. The corpus is touched once.
+    *
+    * Bound: the 10⁶ share multiplier over the 10³-scaled α=1 weight
+    * caps Σ n_docs at ~9·10⁹ per 64-bit overflow headroom digit —
+    * ~9·10¹² total docs before `10⁶·w` overflows BIGINT. Both engines
+    * fail LOUDLY there (Spark ANSI and DuckDB both throw on integer
+    * overflow, never wrap); a corpus past that re-scales the frozen
+    * weights (drop the 10³) before the share division.
     */
   def mixtureTemperatures(df: DataFrame, srcCol: String): DataFrame = {
     val counts = df.groupBy(col(srcCol))
@@ -1126,6 +1133,12 @@ object Curate {
     *
     * Output: one row per feature — (bucket, weight, mse), doubles
     * floored at 9 dp; bucket = `buckets` is the intercept.
+    *
+    * Label contract: `label` must evaluate to 0 or 1. A NULL label
+    * contributes nothing to b (the augmented column drops it) but the
+    * doc still counts in n through the intercept — i.e. NULL is
+    * trained as 0, not skipped; filter unlabeled docs out first if
+    * that is not the intent.
     */
   def qualityProbe(docs: DataFrame, idCol: String, textCol: String,
                    label: Column, buckets: Int = 32,
