@@ -29,7 +29,7 @@ object SparkEntry {
   // The inventory lives in graft.registry, one file per family (the
   // round-9 6.6k-line single file was a merge bottleneck); ListMap ++
   // preserves each part's insertion order, so Verify still runs the
-  // queries in the historical q01..q285 order.
+  // queries in the historical q01..q286 order.
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Reg1RefParity.queries ++ Reg2Relational.queries ++

@@ -339,6 +339,33 @@ object Curate {
       .select(col("id").as("doc_id"), col("n_shared"))
   }
 
+  /** Self-routing decontamination — the q233/q272/q273 dispatcher
+    * pattern applied to the [[decontaminate]]/[[decontaminateBloom]]
+    * pair: a cheap preflight (approx distinct eval shingles — one
+    * HLL-aggregated scan of the EVAL docs only, never the corpus)
+    * routes to the exact-broadcast engine while the eval hash table
+    * fits the broadcast budget and to the Bloom-prefilter engine past
+    * it. Bit-identical either way (the pair property), so the family
+    * stays bound to ONE oracle string — one oracle, three engines,
+    * self-choosing.
+    *
+    * `maxBroadcastKeys` defaults to ~2M: distinct shingles at ~50-100
+    * bytes each ≈ a 100-200 MB exact hash table, the conventional
+    * broadcast ceiling; the Bloom filter for the same set is ~2.4 MB.
+    */
+  def decontaminateAuto(docs: DataFrame, idCol: String, textCol: String,
+                        isEval: Column, w: Int = 3,
+                        maxBroadcastKeys: Long = 2000000L): DataFrame = {
+    val approxEval = docs.where(isEval)
+      .select(explode(array_distinct(
+        Dedup.shingles(Text.cleanTokens(col(textCol)), w))).as("sh"))
+      .agg(approx_count_distinct(col("sh")).as("n"))
+      .head().getLong(0)
+    if (approxEval <= maxBroadcastKeys)
+      decontaminate(docs, idCol, textCol, isEval, w)
+    else decontaminateBloom(docs, idCol, textCol, isEval, w)
+  }
+
   /** Contamination PROVENANCE — the audit readout behind
     * [[decontaminate]]/[[decontaminateBloom]]: not just how
     * contaminated each train doc is, but WHICH eval doc it leaks

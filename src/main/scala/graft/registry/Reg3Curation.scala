@@ -692,7 +692,18 @@ private[graft] object Reg3Curation {
     // review reads; the counts alone can't be audited.
     "q285_contamination_pairs" -> ((s, dir) =>
       Curate.decontaminateProvenance(t(s, dir, "documents"), "doc_id",
-          "text", isEval = col("doc_id") % 97 === 0, w = 3, topK = 50))
+          "text", isEval = col("doc_id") % 97 === 0, w = 3, topK = 50)),
+
+
+    // curation — the decontamination family gets the q233/q272/q273
+    // treatment (Curate.decontaminateAuto scaladoc): an eval-side-only
+    // approx-distinct preflight routes broadcast-exact vs bloom,
+    // bit-identical either way, bound to the family's ONE oracle
+    // string — one oracle, THREE engines, self-choosing.
+    "q286_decontaminate_auto" -> ((s, dir) =>
+      Curate.decontaminateAuto(t(s, dir, "documents"), "doc_id", "text",
+          isEval = col("doc_id") % 97 === 0, w = 3)
+        .orderBy("doc_id"))
   )
 
   def oracles: ListMap[String, String] = ListMap(
@@ -1351,9 +1362,11 @@ private[graft] object Reg3Curation {
            |WHERE rk <= alloc
            |ORDER BY r.source, rk""".stripMargin,
 
-      // one oracle, two engines: the Bloom-prefiltered plan must land
-      // bit-identically on q114's exact-join result
+      // one oracle, THREE engines: the Bloom-prefiltered plan and the
+      // self-routing dispatcher must land bit-identically on q114's
+      // exact-join result
       "q276_bloom_decontaminate" -> decontSql,
+      "q286_decontaminate_auto" -> decontSql,
 
       // the qualityProbe GD replay: BIGINT-exact Gram cells, then the
       // 8 descent steps unrolled as s{t}/w{t} stages with the engine's

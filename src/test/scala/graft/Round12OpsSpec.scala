@@ -425,4 +425,26 @@ class Round12OpsSpec extends SparkSpec {
       assert(tot > 999900L && tot <= 1000000L, s"col $i sums to $tot")
     }
   }
+
+  test("decontaminateAuto routes by the eval-shingle preflight — " +
+      "broadcast-exact below the threshold, bloom past it — and both " +
+      "routes emit the family's identical result") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val isEval = col("doc_id") % 97 === 0
+    def planOf(threshold: Long): (String, Array[(Long, Long)]) = {
+      val df = ops.Curate.decontaminateAuto(docs, "doc_id", "text",
+        isEval, maxBroadcastKeys = threshold)
+      (df.queryExecution.executedPlan.toString,
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1))
+    }
+    val (bigPlan, bigRows) = planOf(Long.MaxValue) // exact route
+    val (tinyPlan, tinyRows) = planOf(1L)          // bloom route
+    assert(!bigPlan.contains("bloom_might_contain_str"),
+      "small eval set must take the exact broadcast route")
+    assert(tinyPlan.contains("bloom_might_contain_str"),
+      "oversized eval set must take the bloom route")
+    assert(bigRows.toSeq === tinyRows.toSeq,
+      "the two routes must be one operator")
+  }
 }
