@@ -103,6 +103,46 @@ class Round12PropSpec extends SparkSpec {
     }
   }
 
+  test("hybridRrf equals the driver-side fusion of its two " +
+      "retrievers on generated corpora with random aligned embeddings " +
+      "— missing-from-one-list candidates, ties, and short lists " +
+      "included") {
+    val table: Gen[List[(String, Seq[Float])]] = Gen.listOfN(30,
+      Gen.zip(denseDoc, Gen.listOfN(6, Gen.choose(-1.0f, 1.0f))
+        .map(_.toSeq)))
+    samples(table, 4).zipWithIndex.foreach { case (rows, ci) =>
+      val docs = rows.zipWithIndex
+        .map { case ((t, _), i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val emb = rows.zipWithIndex
+        .map { case ((_, v), i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+      val got = Sim.hybridRrf(docs, emb, nQueries = 5, listK = 8, k = 4)
+        .orderBy("q_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4),
+          r.getInt(5)))
+      val lex = graft.ops.Text.bm25RetrieveDf(docs, "doc_id", "text",
+          docs.where(col("doc_id") < 5).select(
+            col("doc_id").as("query_id"), col("text").as("query_text")),
+          8, excludeSelf = true)
+        .select("query_id", "id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val den = Sim.topK(emb.where(col("vec_id") < 5), emb, 8)
+        .select("q_id", "c_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val expect = (lex.keySet ++ den.keySet).toSeq.map { key =>
+        val l = lex.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        val d = den.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (key._1, key._2, l + d)
+      }.groupBy(_._1).toSeq.flatMap { case (q, cands) =>
+        cands.sortBy(t => (-t._3, t._2)).take(4).zipWithIndex
+          .map { case ((_, c, s), i) => (q, c, s, i + 1) }
+      }.sortBy(t => (t._1, t._4))
+      assert(got.toSeq === expect, s"corpus $ci fusion diverged")
+    }
+  }
+
   test("ivfFrozenAppend never moves base postings on generated " +
       "embeddings: per-cell base counts equal a base-only kmeans for " +
       "random vectors and random delta subsets") {
