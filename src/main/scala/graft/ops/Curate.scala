@@ -374,16 +374,31 @@ object Curate {
     * provenance can't be audited — the pair list is what a release
     * review actually reads.
     *
-    * Scale shape: identical join to [[decontaminate]] except the eval
-    * side keeps its doc id (still eval-sized, still broadcastable);
-    * the ranked cut is orderBy+limit — a distributed TakeOrdered,
-    * never a single-partition window. Ties cut deterministically by
+    * Scale shape — the [[decontaminateBloom]] discipline, NOT the
+    * broadcast one: the (shingle, eval_id) provenance table is strictly
+    * LARGER than [[decontaminateBloom]]'s distinct-shingle set (it
+    * keeps doc ids, and a shingle shared by e eval docs appears e
+    * times), so if the distinct set is already "too big to broadcast"
+    * at a serious eval suite (that scaladoc's GBs-as-a-hash-table
+    * arithmetic), the provenance table dies first — and the audit
+    * query a release review depends on is the worst place to die.
+    * So: ONE Bloom filter over the distinct eval shingles (driver-
+    * sized, ~9.6 bits/key at 1% fpp) probed scan-locally on the train
+    * side kills ~all clean shingles BEFORE any exchange; only the
+    * survivors (~contaminated + fpp·clean rows) shuffle-join the
+    * (shingle, eval_id) table for exactness — false positives drop in
+    * the join, so the output is bit-identical to the broadcast form
+    * and stays bound to the same oracle string. The ranked cut is
+    * orderBy+limit — a distributed TakeOrdered, never a
+    * single-partition window. Ties cut deterministically by
     * (count desc, train id, eval id).
     */
   def decontaminateProvenance(docs: DataFrame, idCol: String,
                               textCol: String, isEval: Column,
-                              w: Int = 3, topK: Int = 50): DataFrame = {
+                              w: Int = 3, topK: Int = 50,
+                              fpp: Double = 0.01): DataFrame = {
     require(topK >= 1, s"need topK >= 1, got $topK")
+    require(fpp > 0 && fpp < 1, s"need 0 < fpp < 1, got $fpp")
     val sh = docs
       .select(col(idCol).as("id"), isEval.as("ev"),
         Text.cleanTokens(col(textCol)).as("t"))
@@ -391,8 +406,17 @@ object Curate {
         explode(array_distinct(Dedup.shingles(col("t"), w))).as("sh"))
     val evalSh = sh.where(col("ev"))
       .select(col("id").as("eval_id"), col("sh")).distinct()
-    sh.where(!col("ev"))
-      .join(broadcast(evalSh), Seq("sh"))
+    // the filter trains on DISTINCT shingles (the q276 key set — the
+    // provenance table's eval_id multiplicity would only waste bits)
+    val evalKeys = evalSh.select(col("sh")).distinct()
+    val nEval = evalKeys.count()
+    val bloom = evalKeys.stat.bloomFilter("sh", math.max(nEval, 1L), fpp)
+    val candidates = sh.where(!col("ev"))
+      .where(org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.BloomMightContainStr(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("sh")),
+          bloom)))
+    candidates.join(evalSh.hint("shuffle_hash"), Seq("sh"))
       .groupBy("id", "eval_id")
       .agg(count(lit(1)).as("n_shared"))
       .select(col("id").as("doc_id"), col("eval_id"), col("n_shared"))
@@ -1098,17 +1122,29 @@ object Curate {
     * math on a broadcast total. The corpus is touched once.
     *
     * Bound: the 10⁶ share multiplier over the 10³-scaled α=1 weight
-    * caps Σ n_docs at ~9·10⁹ per 64-bit overflow headroom digit —
-    * ~9·10¹² total docs before `10⁶·w` overflows BIGINT. Both engines
-    * fail LOUDLY there (Spark ANSI and DuckDB both throw on integer
-    * overflow, never wrap); a corpus past that re-scales the frozen
-    * weights (drop the 10³) before the share division.
+    * caps n_docs at ~9·10⁹ per source (10⁹·n_docs must fit BIGINT).
+    * Both engines fail LOUDLY there — DuckDB throws on BIGINT overflow
+    * natively; Spark's default (non-ANSI) mode would WRAP silently, so
+    * the engine plants an explicit raise_error guard on the per-source
+    * count (scan-local on the k-row aggregate — zero extra passes).
+    * Σ across sources then has 10³× further headroom in the t1 sum; a
+    * corpus past the bound re-scales the frozen weights (drop the 10³)
+    * before the share division.
     */
   def mixtureTemperatures(df: DataFrame, srcCol: String): DataFrame = {
     val counts = df.groupBy(col(srcCol))
       .agg(count(lit(1)).as("n_docs"))
+    // loud-failure guard (see Bound above): default Spark wraps 64-bit
+    // multiplication silently; past the bound the shares would be
+    // silently wrong, so refuse instead. Never fires within the bound,
+    // so the DuckDB oracle needs no twin (it throws on overflow itself).
+    val w1Guarded = when(col("n_docs") > lit(9000000000L),
+        raise_error(concat(
+          lit("mixtureTemperatures: n_docs exceeds the 9e9 64-bit "),
+          lit("headroom bound for source "), col(srcCol).cast("string"))))
+      .otherwise(col("n_docs") * 1000L)
     val weighted = counts.select(col(srcCol), col("n_docs"),
-      (col("n_docs") * 1000L).as("w1"),
+      w1Guarded.as("w1"),
       floor(sqrt(col("n_docs").cast("double")) * 1000).cast("long")
         .as("w2"),
       floor(sqrt(sqrt(col("n_docs").cast("double"))) * 1000)

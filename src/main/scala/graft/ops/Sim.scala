@@ -1148,6 +1148,48 @@ object Sim {
         lit(-i).as("negCell"))
     }: _*))
 
+  /** [[assignScored]] carrying the TRUE cosine of the winning cell as a
+    * third struct field: cos_e9 = floor(dot/(|c|·|v|)·10⁹). The argmax
+    * key is the unchanged (sim_e9, negCell) prefix — the lexicographic
+    * struct max never consults the third field because negCell is
+    * already distinct per element — so cell assignments stay
+    * bit-identical to [[assignScored]]; only the REPORTED similarity
+    * gains the row-norm division. Without it (r12 advice) the q280/q282
+    * drift monitor read floor(dot/|c|·10⁹), which confounds angular
+    * drift with vector-NORM differences whenever embeddings are not
+    * unit-norm — a new encoder emitting longer vectors would look like
+    * cell drift.
+    */
+  private[graft] def assignScoredCos(vecCol: String,
+                                     c: Seq[Seq[Float]]): Column = {
+    val vn = sqrt(dot(col(vecCol), col(vecCol)))
+    array_max(array(c.zipWithIndex.map { case (cv, i) =>
+      val n = math.sqrt(cv.map(x => x.toDouble * x.toDouble).sum)
+      val d = dot(col(vecCol), typedLit(cv))
+      struct(floor(d / lit(n) * lit(1000000000L)).cast("long")
+          .as("sim_e9"),
+        lit(-i).as("negCell"),
+        floor(d / (lit(n) * vn) * lit(1000000000L)).cast("long")
+          .as("cos_e9"))
+    }: _*))
+  }
+
+  /** The q280/q282 base/delta split and the memo-key policy frozen to
+    * it — ONE definition (r12 advice) so the batch append ([[ivfFrozenAppend]]
+    * via Reg6), the streaming gate (StreamOps.ivfAppendGate), and the
+    * delta staging writer can never drift: changing the split here
+    * changes every consumer AND the centroid memo key together, so a
+    * predicate edit can't silently reuse centroids trained on a
+    * different base set.
+    */
+  val frozenDeltaSplit: Column = col("vec_id") % 5 === 0
+
+  /** The [[kmeansCentroidsCached]] key for centroids trained on the
+    * [[frozenDeltaSplit]] base slice of fixture `dir` — the suffix
+    * names the split so the key moves with it.
+    */
+  def frozenBaseKey(dir: String): String = s"$dir#frozenbase-mod5"
+
   private def assignCell(vecCol: String, c: Seq[Seq[Float]]): Column =
     (-assignScored(vecCol, c).getField("negCell")).as("cell")
 
@@ -1165,10 +1207,12 @@ object Sim {
     * The output is the monitor a maintainer reads before deciding to
     * retrain: per cell, base/delta posting counts and the SUM of
     * floored assignment cosines as exact integers
-    * (sim_e9 = floor(cos·10⁹) — integer sums, so the cross-engine
-    * comparison needs no float summation order). Falling delta mean
-    * sim vs base mean sim = the new data drifting off the trained
-    * cells; empty cells stay visible as zero rows.
+    * (sim_e9 = floor(cos·10⁹), cos the TRUE cosine — dot over BOTH
+    * norms, so the drift reading is purely angular and can't be
+    * confounded by a new encoder's vector-norm scale; integer sums, so
+    * the cross-engine comparison needs no float summation order).
+    * Falling delta mean sim vs base mean sim = the new data drifting
+    * off the trained cells; empty cells stay visible as zero rows.
     *
     * Scale shape: training touches only the base (iters broadcast
     * argmax projections + one (cell,dim)-keyed shuffle each); the
@@ -1186,14 +1230,16 @@ object Sim {
     val base = emb.where(!isDelta)
     val cents = cacheKey match {
       case Some(key) =>
-        kmeansCentroidsCached(base, k, iters, s"$key#frozenbase",
+        kmeansCentroidsCached(base, k, iters, frozenBaseKey(key),
           idCol, vecCol)
       case None => kmeansCentroids(base, k, iters, idCol, vecCol)
     }
-    val st = assignScored(vecCol, cents)
+    // report the TRUE cosine (row norm included) for the winning cell;
+    // the argmax itself stays on the norm-cancelling floored dot/|c|
+    val st = assignScoredCos(vecCol, cents)
     ivfSummarize(emb.select(isDelta.as("is_delta"),
       (-st.getField("negCell")).as("cell"),
-      st.getField("sim_e9").as("sim_e9")), k)
+      st.getField("cos_e9").as("sim_e9")), k)
   }
 
   /** The per-cell summary over an assigned (is_delta, cell, sim_e9)

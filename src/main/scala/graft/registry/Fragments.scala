@@ -162,7 +162,9 @@ private[graft] object Fragments {
     /** The q280 chain: train the SAME 2-iteration deterministic kmeans
       * on the rows where `baseCond` holds, then assign EVERY embedding
       * row under the frozen centroids, emitting the winning floored
-      * sim as an exact integer (sim_e9 = floor(cos·10⁹)) — ends in
+      * TRUE cosine as an exact integer (sim_e9 = floor(cos·10⁹), dot
+      * over BOTH norms — the argmax rank stays on the norm-cancelling
+      * dot/|c|, mirroring the engine's assignScoredCos) — ends in
       * `af(vec_id, cell, sim_e9)`.
       */
     def kmeansFrozenCte(baseCond: String): String =
@@ -182,8 +184,10 @@ private[graft] object Fragments {
          |  SELECT vec_id, cell, sim_e9 FROM (
          |    SELECT e.vec_id, c.cell,
          |      CAST(floor(list_sum(list_transform(range(1, 65),
-         |        i -> e.v[i] * c.cv[i])) / c.cn * 1000000000) AS BIGINT)
-         |        AS sim_e9,
+         |        i -> e.v[i] * c.cv[i]))
+         |        / (c.cn * sqrt(list_sum(list_transform(e.v,
+         |             x -> x * x))))
+         |        * 1000000000) AS BIGINT) AS sim_e9,
          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |        floor(list_sum(list_transform(range(1, 65),
          |          i -> e.v[i] * c.cv[i])) / c.cn * 1000000000) DESC,

@@ -55,8 +55,7 @@ private[graft] object Reg1RefParity {
     // aggregate the re-read copy. documents.text is ASCII word-soup, so
     // the trip is lossless.
     "q03_csv_roundtrip" -> ((s, dir) => {
-      val path = sys.props("java.io.tmpdir") +
-        s"/graft-q03-${ProcessHandle.current().pid}"
+      val path = stagePath("q03", dir)
       Sources.writeCsv(t(s, dir, "documents"), path)
       Sources.readCsv(s, path, Tables.documents)
         .groupBy("source")
@@ -69,8 +68,7 @@ private[graft] object Reg1RefParity {
     // the lang predicate prunes whole directories at file listing
     // (PartitionFilters, not data filters).
     "q04_partitioned_prune" -> ((s, dir) => {
-      val path = sys.props("java.io.tmpdir") +
-        s"/graft-q04-${ProcessHandle.current().pid}"
+      val path = stagePath("q04", dir)
       Sources.writePartitioned(t(s, dir, "documents"), path, Seq("lang"))
       s.read.schema(Tables.documents).parquet(path)
         .where(col("lang") === "en")
@@ -84,9 +82,9 @@ private[graft] object Reg1RefParity {
     // the join key, so the SortMergeJoin runs with NO exchange (the 100 TB
     // fact⋈fact shape; see SCALE.md and SkewBucketSpec's plan assertion).
     "q05_bucketed_join" -> ((s, dir) => {
-      val pid = ProcessHandle.current().pid
-      val ot = s"graft_q05_orders_$pid"
-      val ct = s"graft_q05_customer_$pid"
+      val sid = stageId(dir)
+      val ot = s"graft_q05_orders_$sid"
+      val ct = s"graft_q05_customer_$sid"
       // bucket only the columns the downstream join/agg needs — a real
       // bucketed-load would too (the write cost scales with bytes, and
       // bucketing pays off per retained column read back)
@@ -125,8 +123,7 @@ private[graft] object Reg1RefParity {
     // op 1 variant — JSON-lines source with declared schema (splittable
     // layout; no inference scan).
     "q44_jsonl_roundtrip" -> ((s, dir) => {
-      val path = sys.props("java.io.tmpdir") +
-        s"/graft-q44-${ProcessHandle.current().pid}"
+      val path = stagePath("q44", dir)
       t(s, dir, "documents").write.mode("overwrite").json(path)
       Sources.readJsonLines(s, path, Tables.documents)
         .groupBy("lang")
@@ -138,8 +135,7 @@ private[graft] object Reg1RefParity {
     // op 3 variant — ORC sink + source round-trip (columnar alternative;
     // same declared-schema discipline as parquet/CSV/JSON).
     "q45_orc_roundtrip" -> ((s, dir) => {
-      val path = sys.props("java.io.tmpdir") +
-        s"/graft-q45-${ProcessHandle.current().pid}"
+      val path = stagePath("q45", dir)
       t(s, dir, "documents").write.mode("overwrite").orc(path)
       s.read.schema(Tables.documents).orc(path)
         .groupBy("lang")
@@ -155,8 +151,7 @@ private[graft] object Reg1RefParity {
     // files surfacing the new column as NULL — the years-of-parquet
     // reality at 100 TB, reconciled per-file without rewriting data.
     "q283_schema_drift" -> ((s, dir) => {
-      val path = sys.props("java.io.tmpdir") +
-        s"/graft-q283-${ProcessHandle.current().pid}"
+      val path = stagePath("q283", dir)
       val orders = t(s, dir, "orders")
       orders.where(col("o_orderkey") % 2 === 0)
         .select("o_orderkey", "o_totalprice")

@@ -189,7 +189,7 @@ private[graft] object Reg3Curation {
     // the same answer as the parquet table.
     "q112_jdbc_roundtrip" -> ((s, dir) => {
       val url =
-        s"jdbc:derby:memory:graft${ProcessHandle.current().pid};create=true"
+        s"jdbc:derby:memory:graft${stageId(dir)};create=true"
       Sources.writeJdbc(t(s, dir, "nation"), url, "nation_jdbc",
         Map("n_name" -> 64))
       Sources.readJdbc(s, url, "nation_jdbc")

@@ -35,8 +35,7 @@ private[graft] object Reg5Artifacts {
     // somewhere visible even though every report query reads the
     // memoized artifact for free.
     "q167_artifact_store" -> ((s, dir) => {
-      val path = sys.props("java.io.tmpdir") +
-        s"/graft-q167-${ProcessHandle.current().pid}"
+      val path = stagePath("q167", dir)
       val pairsBuilt = Dedup.lshVerifiedPairs(t(s, dir, "documents"),
           "doc_id", "text", k = 8, bands = 4, minJaccard = 0.2)
         .localCheckpoint() // feeds the write AND the CC build

@@ -203,8 +203,7 @@ private[graft] object Reg6MonitorAnn {
     // source matrix. Lossless by construction: the aggregate over the
     // parsed read-back must hash-match the direct oracle.
     "q222_logparse_roundtrip" -> ((s, dir) => {
-      val path = sys.props("java.io.tmpdir") +
-        s"/graft-q222-${ProcessHandle.current().pid}"
+      val path = stagePath("q222", dir)
       Sources.writeText(
         t(s, dir, "documents").select(
           format_string("doc=%d src=%s lang=%s chars=%d",
@@ -798,8 +797,7 @@ private[graft] object Reg6MonitorAnn {
     // source-table oracle — the rewrite must be content-preserving.
     // LayoutSpec asserts the file-count contract the oracle can't see.
     "q246_compaction" -> ((s, dir) => {
-      val base = graft.TempDirs.register(sys.props("java.io.tmpdir") +
-        s"/graft-q246-${ProcessHandle.current().pid}")
+      val base = graft.TempDirs.register(stagePath("q246", dir))
       Tables.load(s, dir, "documents")
         .repartition(8)
         .write.mode("overwrite").partitionBy("lang")
@@ -945,7 +943,7 @@ private[graft] object Reg6MonitorAnn {
     // the retrain-decision monitor.
     "q280_ivf_frozen_append" -> ((s, dir) =>
       Sim.ivfFrozenAppend(t(s, dir, "embeddings"),
-          isDelta = col("vec_id") % 5 === 0, cacheKey = Some(dir))
+          isDelta = Sim.frozenDeltaSplit, cacheKey = Some(dir))
         .orderBy("cell")),
 
 

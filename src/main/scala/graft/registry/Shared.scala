@@ -18,6 +18,25 @@ private[graft] object Shared {
   private[graft] def dsum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Staging path for queries that WRITE derived files at build time and
+    * read them lazily: keyed by (pid, fixture dir), never pid alone — a
+    * pid-only path is overwritten when the same query is built for a
+    * second scale factor while the first invocation's DataFrame is still
+    * live, so that frame would silently read the other fixture's bytes
+    * (the r12 ADVICE q283 hazard; same class for every staging query).
+    */
+  private[graft] def stagePath(tag: String, dir: String): String =
+    sys.props("java.io.tmpdir") +
+      s"/graft-$tag-${ProcessHandle.current().pid}-" +
+      java.lang.Integer.toHexString(dir.hashCode)
+
+  /** [[stagePath]]'s suffix for SQL table/database identifiers (q05's
+    * bucketed tables, q112's Derby database): letters/digits only.
+    */
+  private[graft] def stageId(dir: String): String =
+    ProcessHandle.current().pid.toString + "x" +
+      java.lang.Integer.toHexString(dir.hashCode)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's whole analytics spine (SURVEY.md §7.3 M1): clean →
     * sentiment → label → dims → fact → star-join-back → distribution.

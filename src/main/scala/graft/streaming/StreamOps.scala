@@ -954,7 +954,7 @@ object StreamOps {
       val stage = graft.TempDirs.register(java.nio.file.Files
         .createTempDirectory("graft-stream-stage-embd").toString)
       graft.Tables.load(spark, sfDir, "embeddings")
-        .where(col("vec_id") % 5 === 0)
+        .where(graft.ops.Sim.frozenDeltaSplit)
         .select("vec_id", "embedding")
         .repartition(nFiles)
         .write.mode("overwrite").parquet(stage)
@@ -1374,12 +1374,12 @@ object StreamOps {
     val embDelta3 = stageEmbeddingsDelta(ns, sfDir, 3)
     val postings = tmp("graft-ivf-postings") + "/p"
     val embBase = graft.Tables.load(ns, sfDir, "embeddings")
-      .where(col("vec_id") % 5 =!= 0)
+      .where(!graft.ops.Sim.frozenDeltaSplit)
     // trained once per JVM per fixture (the q280 memo key, so the
     // batch twin's training serves this gate too); every micro-batch
     // and the read-back summary share this frozen state
     lazy val cents = graft.ops.Sim.kmeansCentroidsCached(embBase, 8, 2,
-      s"$sfDir#frozenbase")
+      graft.ops.Sim.frozenBaseKey(sfDir))
     val embSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("vec_id",
         org.apache.spark.sql.types.LongType),
@@ -1387,10 +1387,13 @@ object StreamOps {
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType))))
     def assignedCols(df: DataFrame, delta: Boolean): DataFrame = {
-      val st = graft.ops.Sim.assignScored("embedding", cents)
+      // cos_e9 (true cosine, row norm included) is the reported value;
+      // the argmax cell comes from the norm-cancelling prefix — the
+      // q280 batch twin's exact expression pair
+      val st = graft.ops.Sim.assignScoredCos("embedding", cents)
       df.select(lit(delta).as("is_delta"),
         (-st.getField("negCell")).as("cell"),
-        st.getField("sim_e9").as("sim_e9"))
+        st.getField("cos_e9").as("sim_e9"))
     }
     Gate("q282_stream_ivf_append",
       () => ns.readStream.schema(embSchema)

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 additions: the contamination-provenance audit in its scale
+  * shape (Bloom prefilter + shuffle join — no eval-sized broadcast),
+  * the frozen-append drift monitor reporting TRUE cosines, and the
+  * staging-path fixture-dir keying.
+  */
+class Round13OpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("decontaminateProvenance (bloom + shuffle join) is bit-identical " +
+      "to the broadcast-provenance reference (superset prefilter + " +
+      "exact join = exact result)") {
+    val docs = Tables.load(spark, dir, "documents")
+    val isEval = col("doc_id") % 97 === 0
+    // reference: the r12 broadcast form, inlined — eval (shingle,
+    // eval_id) pairs broadcast into the join
+    val sh = docs
+      .select(col("doc_id").as("id"), isEval.as("ev"),
+        ops.Text.cleanTokens(col("text")).as("t"))
+      .select(col("id"), col("ev"),
+        explode(array_distinct(ops.Dedup.shingles(col("t"), 3))).as("sh"))
+    val evalSh = sh.where(col("ev"))
+      .select(col("id").as("eval_id"), col("sh")).distinct()
+    val reference = sh.where(!col("ev"))
+      .join(broadcast(evalSh), Seq("sh"))
+      .groupBy("id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("id").as("doc_id"), col("eval_id"), col("n_shared"))
+      .orderBy(col("n_shared").desc, col("doc_id"), col("eval_id"))
+      .limit(50)
+    val shipped = ops.Curate.decontaminateProvenance(docs, "doc_id",
+      "text", isEval, w = 3, topK = 50)
+    assert(reference.collect().toSeq === shipped.collect().toSeq)
+    assert(shipped.count() > 0)
+  }
+
+  test("decontaminateProvenance plan probes the bloom scan-locally and " +
+      "shuffles the exact join — the eval provenance table never " +
+      "broadcasts (it is strictly larger than q276's distinct-shingle " +
+      "set, so the broadcast form dies first at a real eval suite)") {
+    val docs = Tables.load(spark, dir, "documents")
+    val plan = ops.Curate.decontaminateProvenance(docs, "doc_id", "text",
+        col("doc_id") % 97 === 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain_str"),
+      s"bloom probe missing from plan:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected the exact provenance join to shuffle, plan:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"eval provenance table must not broadcast, plan:\n$plan")
+  }
+
+  test("ivfFrozenAppend reports TRUE cosines: every per-cell mean sim " +
+      "lies in [-1e9, 1e9] even on non-unit-norm embeddings, and cell " +
+      "assignments match assignScored's norm-cancelling argmax") {
+    import spark.implicits._
+    // embeddings with wildly different norms: scale row i by (1 + i%7)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x * (lit(1.0f) + (col("vec_id") % 7).cast("float")))
+        .as("embedding"))
+    val out = ops.Sim.ivfFrozenAppend(emb,
+      isDelta = ops.Sim.frozenDeltaSplit).collect()
+    out.foreach { r =>
+      val (nB, nD) = (r.getLong(1), r.getLong(2))
+      val (sB, sD) = (r.getLong(3), r.getLong(4))
+      if (nB > 0) assert(math.abs(sB.toDouble / nB) <= 1000000000L,
+        s"base mean sim_e9 out of cosine range in row $r")
+      if (nD > 0) assert(math.abs(sD.toDouble / nD) <= 1000000000L,
+        s"delta mean sim_e9 out of cosine range in row $r")
+    }
+    // the norm scaling must not move any assignment (argmax key is
+    // norm-cancelling): per-cell counts equal the unscaled run's
+    val unscaled = ops.Sim.ivfFrozenAppend(
+      Tables.load(spark, dir, "embeddings"),
+      isDelta = ops.Sim.frozenDeltaSplit, cacheKey = None)
+    // NOTE: centroids differ (trained on scaled vs raw vectors), so
+    // only the row count contract holds; the assignment-invariance is
+    // asserted within one training below
+    assert(unscaled.count() === out.length)
+    val st = ops.Sim.assignScoredCos("embedding",
+      Seq(Seq.fill(64)(0.1f), Seq.fill(64)(-0.1f)))
+    val both = Tables.load(spark, dir, "embeddings").limit(50)
+      .select((-st.getField("negCell")).as("cellCos"),
+        (-ops.Sim.assignScored("embedding",
+          Seq(Seq.fill(64)(0.1f), Seq.fill(64)(-0.1f)))
+          .getField("negCell")).as("cellRaw"))
+      .where(col("cellCos") =!= col("cellRaw"))
+    assert(both.count() === 0,
+      "assignScoredCos must assign identically to assignScored")
+  }
+
+  test("stagePath is keyed by fixture dir: two scale factors never " +
+      "collide on one staging path (the r12 q283 hazard)") {
+    val a = registry.Shared.stagePath("q283", "/root/testdata/sf0.001")
+    val b = registry.Shared.stagePath("q283", "/root/testdata/sf0.01")
+    assert(a !== b)
+    assert(registry.Shared.stageId("/a") !== registry.Shared.stageId("/b"))
+  }
+
+  test("mixtureTemperatures fails LOUDLY past the 9e9 per-source bound " +
+      "instead of silently wrapping (default Spark is non-ANSI)") {
+    import spark.implicits._
+    // a fake counts frame can't enter through the public API (it counts
+    // rows itself), so assert the guard expression directly: the same
+    // when/raise_error column over a crafted n_docs
+    val guard = when(col("n_docs") > lit(9000000000L),
+        raise_error(lit("boom"))).otherwise(col("n_docs") * 1000L)
+    val ok = Seq(("s", 42L)).toDF("source", "n_docs")
+      .select(guard.as("w1")).collect()
+    assert(ok.head.getLong(0) === 42000L)
+    val ex = intercept[Exception] {
+      Seq(("s", 9000000001L)).toDF("source", "n_docs")
+        .select(guard.as("w1")).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("boom") ||
+      ex.getCause != null)
+  }
+}
