@@ -1474,13 +1474,18 @@ object Dedup {
     * interval union of the repeated-L-gram windows — three shuffles,
     * no suffix structure:
     *
-    *   1. positioned L-grams (scan-local shingling);
-    *   2. gram occurrence counts — ONE shuffle on the gram, map-side
-    *      partial counts; repeats join back on the same key (the join
-    *      key is the exact gram STRING: exactness by construction; at
-    *      100 TB hash grams to 128 bits first and the plan is
-    *      unchanged — collision odds ~n²/2¹²⁸, or keep strings and
-    *      pay the wider shuffle);
+    *   1. positioned L-grams (scan-local shingling), each immediately
+    *      hashed to its 128-bit md5 (16 raw bytes via unhex — the
+    *      gram string itself never leaves the scan);
+    *   2. gram occurrence counts — ONE shuffle on the 16-byte hash,
+    *      map-side partial counts; repeats join back on the same key.
+    *      The hash cuts the token-wide shuffle's key from ~50-100
+    *      bytes of L-token string to 16 bytes (the dominant byte cost
+    *      of the whole operator — ~one row per corpus token); two
+    *      distinct grams colliding would need ~2⁶⁴ grams (birthday on
+    *      128 bits), far beyond any corpus. The DuckDB oracle
+    *      deliberately keeps RAW gram strings as its key, so the
+    *      driver gate doubles as a collision check on every fixture;
     *   3. per-doc interval union — an ordered window PARTITIONED BY
     *      doc (each doc's repeated starts sorted once, contribution
     *      min(L, gap) per start), never a global sort.
@@ -1503,6 +1508,9 @@ object Dedup {
     val pg = toks.where(size(col("t")) >= minLen)
       .select(col("id"), size(col("t")).cast("long").as("n_toks"),
         posexplode(shingles(col("t"), minLen)).as(Seq("p", "g")))
+      // 16-byte shuffle key (see step 2 above): the gram string dies
+      // at the scan; only its md5 crosses the exchange
+      .withColumn("g", unhex(md5(col("g"))))
     val rep = pg.groupBy("g").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= 2).select("g")
     val w = Window.partitionBy("id").orderBy("p")
