@@ -26,6 +26,13 @@ object TempDirs {
     path
   }
 
+  /** Immediate best-effort recursive delete (a staging dir that lost a
+    * write-once publish race — no point keeping it until exit). */
+  def deleteNow(path: String): Unit =
+    try deleteRecursively(new java.io.File(path)) catch {
+      case _: Throwable => ()
+    }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)

@@ -194,6 +194,139 @@ private[graft] object Fragments {
          |        c.cell ASC) AS rn
          |    FROM e CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
 
+    // ---- hybrid-RRF fusion fragments (q279/q287/q288) ------------------
+    // ONE lexical arm, ONE fusion tail, TWO dense arms — so the
+    // brute-armed truth (q279), the production IVF-ADC-armed form
+    // (q287), and the fused-recall measurement (q288) are provably the
+    // same fusion over different retrievers.
+
+    /** BM25 lexical arm (Text.bm25RetrieveDf's exact scoring chain):
+      * documents < 10 as their own queries, self excluded — ends in
+      * `lex(q_id, c_id, rk_lex)`, rk_lex <= 20. MATERIALIZED: q288
+      * fuses it twice. */
+    val hybridLexCte: String =
+      s"""lq AS (SELECT doc_id AS query_id, $clean AS c
+         |  FROM documents WHERE doc_id < 10),
+         |qt AS (SELECT query_id, UNNEST(list_distinct($cleanToks))
+         |    AS term FROM lq),
+         |cleaned AS (SELECT doc_id AS id, $clean AS c FROM documents),
+         |terms AS (SELECT id, UNNEST($cleanToks) AS term FROM cleaned),
+         |tf AS (SELECT id, term, COUNT(*) AS tf FROM terms
+         |  GROUP BY 1, 2),
+         |dl AS (SELECT id, COUNT(*) AS dl FROM terms GROUP BY 1),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |stats AS (SELECT (SELECT COUNT(*) FROM terms) AS n_terms,
+         |                 (SELECT COUNT(*) FROM documents) AS n_docs),
+         |w AS (SELECT qt.query_id, tf.id,
+         |    floor((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |      * (tf * 2.5)
+         |      / (tf + 1.5 * (0.25 + 0.75 * dl
+         |        / (CAST(n_terms AS DOUBLE) / n_docs)))) * 10000)
+         |      / 10000 AS w
+         |  FROM tf JOIN qt USING (term) JOIN dl USING (id)
+         |  JOIN dfreq USING (term) CROSS JOIN stats),
+         |sc AS (SELECT query_id, id,
+         |    ${Num.floorAtSql(
+           "CAST(SUM(CAST(w AS DECIMAL(18,4))) AS DOUBLE)", 4)}
+         |      AS score
+         |  FROM w GROUP BY 1, 2),
+         |lr AS (SELECT query_id, id, row_number()
+         |    OVER (PARTITION BY query_id ORDER BY score DESC, id)
+         |    AS rk
+         |  FROM sc WHERE id <> query_id),
+         |lex AS MATERIALIZED (SELECT query_id AS q_id, id AS c_id,
+         |    CAST(rk AS INTEGER) AS rk_lex
+         |  FROM lr WHERE rk <= 20)""".stripMargin
+
+    /** Brute cosine dense arm (Sim.topK's 4dp-floored ranking) — the
+      * ground-truth retriever; ends in `denb(q_id, c_id, rk_emb)`,
+      * rk_emb <= 20. */
+    val hybridDenseBruteCte: String =
+      s"""eq AS (SELECT vec_id AS q_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |ec AS (SELECT vec_id AS c_id, embedding AS cv
+         |  FROM embeddings),
+         |es AS (
+         |  SELECT q_id, c_id,
+         |    floor((
+         |      list_sum(list_transform(range(1, len(qv)+1),
+         |        i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(range(1, len(qv)+1),
+         |        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(range(1, len(cv)+1),
+         |        i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))))
+         |      * 10000) / 10000 AS sim
+         |  FROM ec CROSS JOIN eq WHERE q_id <> c_id),
+         |er AS (SELECT q_id, c_id, row_number()
+         |    OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC)
+         |    AS rk
+         |  FROM es),
+         |denb AS (SELECT q_id, c_id, CAST(rk AS INTEGER) AS rk_emb
+         |  FROM er WHERE rk <= 20)""".stripMargin
+
+    /** IVF-ADC dense arm (Sim.topKIvfAdc: own cell ∪ 2 nearest-centroid
+      * cells, ADC over the m=4/k=8 PQ codes) — ends in
+      * `dena(q_id, c_id, rk_emb)`, rk_emb <= 20. Requires
+      * [[kmeansAfCte]] (for `af`) and pqChainsSql(4, 8, 16, 2) (for
+      * `pcodes`/`pqd_*`) already in scope. */
+    val hybridDenseAdcCte: String =
+      s"""cm AS (SELECT cell, d.pos AS pos,
+         |    CAST(SUM(CAST(v[d.pos] AS DECIMAL(27,10))) AS DOUBLE)
+         |      / COUNT(*) AS m
+         |  FROM af CROSS JOIN range(1, 65) AS d(pos)
+         |  GROUP BY cell, d.pos),
+         |cent AS (SELECT cell,
+         |    list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS ce
+         |  FROM cm GROUP BY cell),
+         |centn AS (SELECT cell, ce,
+         |    sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn
+         |  FROM cent),
+         |qn AS (SELECT vec_id AS q_id, cell AS owncell, v AS qv,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm
+         |  FROM af WHERE vec_id < 10),
+         |centp AS (SELECT q_id, cell FROM (
+         |  SELECT n.q_id, t.cell,
+         |    row_number() OVER (PARTITION BY n.q_id ORDER BY
+         |      ${Num.floorAtSql(
+           "list_sum(list_transform(range(1, 65)," +
+             " i -> n.qv[i] * t.ce[i])) / (n.qnorm * t.cn)", 9)} DESC,
+         |      t.cell ASC) AS pr
+         |  FROM qn n CROSS JOIN centn t) WHERE pr <= 2),
+         |ownp AS (SELECT q_id, owncell AS cell FROM qn),
+         |probe AS (SELECT DISTINCT q_id, cell
+         |  FROM (SELECT * FROM ownp UNION ALL SELECT * FROM centp)),
+         |adcp AS (SELECT p.q_id, kc.vec_id AS c_id,
+         |    floor((qd0.d + qd1.d + qd2.d + qd3.d) * 1000000000) AS dk
+         |  FROM pcodes kc
+         |  JOIN af cl ON cl.vec_id = kc.vec_id
+         |  JOIN probe p ON p.cell = cl.cell
+         |  JOIN pqd_0 qd0 ON qd0.q_id = p.q_id AND qd0.code = kc.k0
+         |  JOIN pqd_1 qd1 ON qd1.q_id = p.q_id AND qd1.code = kc.k1
+         |  JOIN pqd_2 qd2 ON qd2.q_id = p.q_id AND qd2.code = kc.k2
+         |  JOIN pqd_3 qd3 ON qd3.q_id = p.q_id AND qd3.code = kc.k3
+         |  WHERE p.q_id <> kc.vec_id),
+         |dena AS (SELECT q_id, c_id, CAST(rk AS INTEGER) AS rk_emb
+         |  FROM (
+         |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY dk ASC, c_id ASC) AS rk
+         |    FROM adcp) WHERE rk <= 20)""".stripMargin
+
+    /** RRF fusion tail (Sim.rrfFuse, rrfC = 60): full-outer join `lex`
+      * with dense arm `den`, fused top-5 with id tie-breaks — emits
+      * CTE `$out(q_id, c_id, rk_lex, rk_emb, rrf, rk)`, MATERIALIZED
+      * (q288 reads the truth fusion twice). */
+    def rrfFusedCte(den: String, out: String): String =
+      s"""f$out AS (SELECT q_id, c_id, rk_lex, rk_emb,
+         |    COALESCE(1.0 / (60 + rk_lex), 0.0)
+         |      + COALESCE(1.0 / (60 + rk_emb), 0.0) AS rrf
+         |  FROM lex FULL JOIN $den USING (q_id, c_id)),
+         |$out AS MATERIALIZED (
+         |  SELECT q_id, c_id, rk_lex, rk_emb, rrf,
+         |    CAST(rk AS INTEGER) AS rk
+         |  FROM (SELECT q_id, c_id, rk_lex, rk_emb, rrf, row_number()
+         |      OVER (PARTITION BY q_id ORDER BY rrf DESC, c_id) AS rk
+         |    FROM f$out) WHERE rk <= 5)""".stripMargin
+
     // ONE Spearman oracle for BOTH engines (q209 windowed raw-frame,
     // q230 domain-reduced + joint-domain joins): average ranks from
     // per-group value-domain cumsums carried as exact doubled

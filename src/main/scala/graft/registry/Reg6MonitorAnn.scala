@@ -712,10 +712,12 @@ private[graft] object Reg6MonitorAnn {
     // label stand-in anywhere. Oracle replays quantizer + chains +
     // probe policy end-to-end.
     "q260_ivf_adc_kmeans" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val km = Sim.kmeansCellsCached(emb, 8, 2, dir).localCheckpoint()
+      // the PHYSICAL index (AnnIndex scaladoc): postings + codebooks
+      // read from the parquet store — one training publishes it, every
+      // consumer (and every restart) reads bytes
+      val km = graft.ops.AnnIndex.cells(s, dir)
       Sim.ivfAdcRecallSweep(km.where(col("vec_id") < 10), km,
-          Sim.pqCodebooksCached(emb, m = 4, k = 8, iters = 2, dir),
+          graft.ops.AnnIndex.books(s, dir),
           5, "cell", maxProbes = 3)
         .orderBy("probes")
     }),
@@ -783,7 +785,7 @@ private[graft] object Reg6MonitorAnn {
       // the calibration-anchor run) — without this the brute cross
       // join runs twice per execution
       val truth = Sim.topK(q, emb, 5).localCheckpoint()
-      val km = Sim.kmeansCellsCached(emb, 8, 2, dir).localCheckpoint()
+      val km = graft.ops.AnnIndex.cells(s, dir)
       Sim.retrievalMetrics(truth, 5,
         "brute" -> truth,
         "ivf_kmeans" -> Sim.topKIvf(km.where(col("vec_id") < 10), km, 5,
@@ -930,7 +932,8 @@ private[graft] object Reg6MonitorAnn {
     // top-5. The production lexical+vector search pattern over the
     // repo's existing retriever pair.
     "q279_hybrid_rrf" -> ((s, dir) =>
-      Sim.hybridRrf(t(s, dir, "documents"), t(s, dir, "embeddings"))
+      Sim.hybridRrf(t(s, dir, "documents"), t(s, dir, "embeddings"),
+          cacheKey = Some(dir))
         .orderBy("q_id", "rk")),
 
 
@@ -942,8 +945,12 @@ private[graft] object Reg6MonitorAnn {
     // base/delta posting counts + integer-exact floored-cosine sums,
     // the retrain-decision monitor.
     "q280_ivf_frozen_append" -> ((s, dir) =>
-      Sim.ivfFrozenAppend(t(s, dir, "embeddings"),
-          isDelta = Sim.frozenDeltaSplit, cacheKey = Some(dir))
+      // the frozen quantizer comes from the PHYSICAL store (AnnIndex
+      // "base" tag — trained once on the standing slice, published to
+      // parquet, durable across restarts), not a per-JVM memo
+      Sim.ivfFrozenAppendStored(t(s, dir, "embeddings"),
+          isDelta = Sim.frozenDeltaSplit,
+          cents = graft.ops.AnnIndex.centroids(s, dir, "base"), k = 8)
         .orderBy("cell")),
 
 
@@ -956,7 +963,37 @@ private[graft] object Reg6MonitorAnn {
     "q282_stream_ivf_append" -> ((s, dir) =>
       graft.streaming.StreamOps.docsGateResult(s, dir,
           "q282_stream_ivf_append")
-        .orderBy("cell"))
+        .orderBy("cell")),
+
+
+    // ANN/retrieval — the PRODUCTION-armed hybrid (Sim.hybridRrfIvfAdc
+    // scaladoc): q279's exact lexical arm + RRF fusion with the dense
+    // arm swapped from the brute scan to the real index — BM25 ⊕
+    // IVF-ADC over the deterministic kmeans cells and the m=4/k=8 PQ
+    // codebooks (the full Jégou §IV stack INSIDE the fusion). The
+    // oracle replays quantizer + PQ chains + probe policy + ADC
+    // ranking + BM25 + fusion end-to-end (the q260 discipline).
+    "q287_hybrid_rrf_ivfadc" -> ((s, dir) => {
+      val km = graft.ops.AnnIndex.cells(s, dir)
+      Sim.hybridRrfIvfAdc(t(s, dir, "documents"), km,
+          graft.ops.AnnIndex.books(s, dir), cacheKey = Some(dir))
+        .orderBy("q_id", "rk")
+    }),
+
+
+    // ANN/retrieval — fused recall (Sim.hybridFusedRecall scaladoc):
+    // the q247/q254 measured-recall contract applied to FUSION — the
+    // IVF-ADC-armed hybrid's fused top-5 (q287's engine) hit-counted
+    // against the brute-armed fused truth (q279's engine), both
+    // fusions over ONE materialized BM25 arm, exact integer counting,
+    // recall floored 4 dp. The number a search team reads before
+    // shipping the indexed arm: what the index costs IN THE FUSION,
+    // not in isolation (q254/q260 measure the dense arm alone).
+    "q288_fused_recall" -> ((s, dir) => {
+      val km = graft.ops.AnnIndex.cells(s, dir)
+      Sim.hybridFusedRecall(t(s, dir, "documents"), km,
+        graft.ops.AnnIndex.books(s, dir), cacheKey = Some(dir))
+    })
   )
 
   private val upsertSinkOracleSql: String =
@@ -2420,70 +2457,49 @@ private[graft] object Reg6MonitorAnn {
       // top-20 each; rrf = two IEEE divisions added lex-then-dense,
       // exactly the engine's coalesce order
       "q279_hybrid_rrf" ->
-        s"""WITH lq AS (SELECT doc_id AS query_id, $clean AS c
-           |  FROM documents WHERE doc_id < 10),
-           |qt AS (SELECT query_id, UNNEST(list_distinct($cleanToks))
-           |    AS term FROM lq),
-           |cleaned AS (SELECT doc_id AS id, $clean AS c FROM documents),
-           |terms AS (SELECT id, UNNEST($cleanToks) AS term FROM cleaned),
-           |tf AS (SELECT id, term, COUNT(*) AS tf FROM terms
-           |  GROUP BY 1, 2),
-           |dl AS (SELECT id, COUNT(*) AS dl FROM terms GROUP BY 1),
-           |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-           |stats AS (SELECT (SELECT COUNT(*) FROM terms) AS n_terms,
-           |                 (SELECT COUNT(*) FROM documents) AS n_docs),
-           |w AS (SELECT qt.query_id, tf.id,
-           |    floor((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-           |      * (tf * 2.5)
-           |      / (tf + 1.5 * (0.25 + 0.75 * dl
-           |        / (CAST(n_terms AS DOUBLE) / n_docs)))) * 10000)
-           |      / 10000 AS w
-           |  FROM tf JOIN qt USING (term) JOIN dl USING (id)
-           |  JOIN dfreq USING (term) CROSS JOIN stats),
-           |sc AS (SELECT query_id, id,
-           |    ${Num.floorAtSql(
-             "CAST(SUM(CAST(w AS DECIMAL(18,4))) AS DOUBLE)", 4)}
-           |      AS score
-           |  FROM w GROUP BY 1, 2),
-           |lr AS (SELECT query_id, id, row_number()
-           |    OVER (PARTITION BY query_id ORDER BY score DESC, id)
-           |    AS rk
-           |  FROM sc WHERE id <> query_id),
-           |lex AS (SELECT query_id AS q_id, id AS c_id,
-           |    CAST(rk AS INTEGER) AS rk_lex
-           |  FROM lr WHERE rk <= 20),
-           |eq AS (SELECT vec_id AS q_id, embedding AS qv
-           |  FROM embeddings WHERE vec_id < 10),
-           |ec AS (SELECT vec_id AS c_id, embedding AS cv
-           |  FROM embeddings),
-           |es AS (
-           |  SELECT q_id, c_id,
-           |    floor((
-           |      list_sum(list_transform(range(1, len(qv)+1),
-           |        i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
-           |      / (sqrt(list_sum(list_transform(range(1, len(qv)+1),
-           |        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
-           |       * sqrt(list_sum(list_transform(range(1, len(cv)+1),
-           |        i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))))
-           |      * 10000) / 10000 AS sim
-           |  FROM ec CROSS JOIN eq WHERE q_id <> c_id),
-           |er AS (SELECT q_id, c_id, row_number()
-           |    OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC)
-           |    AS rk
-           |  FROM es),
-           |den AS (SELECT q_id, c_id, CAST(rk AS INTEGER) AS rk_emb
-           |  FROM er WHERE rk <= 20),
-           |f AS (
-           |  SELECT q_id, c_id, rk_lex, rk_emb,
-           |    COALESCE(1.0 / (60 + rk_lex), 0.0)
-           |      + COALESCE(1.0 / (60 + rk_emb), 0.0) AS rrf
-           |  FROM lex FULL JOIN den USING (q_id, c_id)),
-           |r AS (SELECT q_id, c_id, rk_lex, rk_emb, rrf, row_number()
-           |    OVER (PARTITION BY q_id ORDER BY rrf DESC, c_id) AS rk
-           |  FROM f)
-           |SELECT q_id, c_id, rk_lex, rk_emb, rrf,
-           |  CAST(rk AS INTEGER) AS rk
-           |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+        s"""WITH $hybridLexCte,
+           |$hybridDenseBruteCte,
+           |${rrfFusedCte("denb", "rb")}
+           |SELECT q_id, c_id, rk_lex, rk_emb, rrf, rk
+           |FROM rb ORDER BY q_id, rk""".stripMargin,
+
+      // the same lexical arm and fusion tail with the dense arm
+      // replayed as the FULL index chain: kmeans quantizer (kmeansAfCte)
+      // + per-subspace PQ k-means (pqChainsSql) + the own-cell union
+      // 2-nearest-centroid probe policy + ADC ranking (hybridDenseAdcCte)
+      "q287_hybrid_rrf_ivfadc" ->
+        s"""WITH $kmeansAfCte,
+           |${pqChainsSql(4, 8, 16, 2)},
+           |$hybridDenseAdcCte,
+           |$hybridLexCte,
+           |${rrfFusedCte("dena", "ra")}
+           |SELECT q_id, c_id, rk_lex, rk_emb, rrf, rk
+           |FROM ra ORDER BY q_id, rk""".stripMargin,
+
+      // both fusions replayed side by side (ONE lex CTE feeds both),
+      // then exact hit counting of the indexed fusion against the
+      // brute-armed fused truth — recall floored 4 dp, q254's stats
+      // shape on fusion output
+      "q288_fused_recall" ->
+        s"""WITH $kmeansAfCte,
+           |${pqChainsSql(4, 8, 16, 2)},
+           |$hybridDenseAdcCte,
+           |$hybridLexCte,
+           |$hybridDenseBruteCte,
+           |${rrfFusedCte("dena", "ra")},
+           |${rrfFusedCte("denb", "rb")},
+           |nt AS (SELECT COUNT(*) AS n_truth FROM rb),
+           |st AS (SELECT COUNT(*) AS n_approx, COUNT(b.q_id) AS n_hits
+           |  FROM ra a LEFT JOIN rb b
+           |    ON b.q_id = a.q_id AND b.c_id = a.c_id)
+           |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           |  CAST(n_approx AS BIGINT) AS n_approx,
+           |  CAST(n_hits AS BIGINT) AS n_hits,
+           |  CASE WHEN n_truth = 0 THEN 1.0
+           |       ELSE ${Num.floorAtSql(
+             "CAST(n_hits AS DOUBLE) / n_truth", 4)}
+           |  END AS recall
+           |FROM st CROSS JOIN nt""".stripMargin,
 
       // the kmeans chain trained on the base slice only, frozen
       // assignment with integer floored sims over everything, per-cell

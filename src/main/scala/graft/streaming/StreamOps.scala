@@ -1375,11 +1375,10 @@ object StreamOps {
     val postings = tmp("graft-ivf-postings") + "/p"
     val embBase = graft.Tables.load(ns, sfDir, "embeddings")
       .where(!graft.ops.Sim.frozenDeltaSplit)
-    // trained once per JVM per fixture (the q280 memo key, so the
-    // batch twin's training serves this gate too); every micro-batch
-    // and the read-back summary share this frozen state
-    lazy val cents = graft.ops.Sim.kmeansCentroidsCached(embBase, 8, 2,
-      graft.ops.Sim.frozenBaseKey(sfDir))
+    // the frozen quantizer from the PHYSICAL store (AnnIndex "base"
+    // tag — the q280 batch twin reads the same bytes); every
+    // micro-batch and the read-back summary share this durable state
+    lazy val cents = graft.ops.AnnIndex.centroids(ns, sfDir, "base")
     val embSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("vec_id",
         org.apache.spark.sql.types.LongType),

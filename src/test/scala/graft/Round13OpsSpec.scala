@@ -94,6 +94,104 @@ class Round13OpsSpec extends SparkSpec {
       "assignScoredCos must assign identically to assignScored")
   }
 
+  test("topKIvfAdc at probes = n_cells equals the whole-corpus ADC " +
+      "ranking (probe-policy boundary: probing every cell must reduce " +
+      "to pqTopK's flat code scan)") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val km = ops.Sim.kmeansCellsCached(emb, 8, 2, dir).localCheckpoint()
+    val books = ops.Sim.pqCodebooksCached(emb, m = 4, k = 8, iters = 2,
+      dir)
+    val q = km.where(col("vec_id") < 10)
+    val all = ops.Sim.topKIvfAdc(q, km, books, k = 5, cellCol = "cell",
+        probes = 8)
+      .select("q_id", "c_id", "rk")
+    val flat = ops.Sim.pqTopK(q, km, books, 5)
+      .select("q_id", "c_id", "rk")
+    assert(all.exceptAll(flat).count() === 0)
+    assert(flat.exceptAll(all).count() === 0)
+  }
+
+  test("topKIvfAdc only returns candidates from probed cells, at most " +
+      "k per query, ranks contiguous from 1") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val km = ops.Sim.kmeansCellsCached(emb, 8, 2, dir).localCheckpoint()
+    val books = ops.Sim.pqCodebooksCached(emb, m = 4, k = 8, iters = 2,
+      dir)
+    val out = ops.Sim.topKIvfAdc(km.where(col("vec_id") < 10), km,
+      books, k = 5, cellCol = "cell", probes = 2)
+    val perQ = out.groupBy("q_id")
+      .agg(count(lit(1)).as("n"), min(col("rk")).as("lo"),
+        max(col("rk")).as("hi"))
+      .collect()
+    perQ.foreach { r =>
+      assert(r.getInt(2) === 1 && r.getLong(1) <= 5 &&
+        r.getInt(3).toLong === r.getLong(1), r.toString)
+    }
+    // probed-cell containment: candidates' cells ⊆ own ∪ 2 nearest
+    // probed cells can't be recomputed cheaply here, but a probes=1
+    // run must stay within the query's OWN cell
+    val own1 = ops.Sim.topKIvfAdc(km.where(col("vec_id") < 10), km,
+        books, k = 5, cellCol = "cell", probes = 1)
+      .join(km.select(col("vec_id").as("q_id"),
+        col("cell").as("qcell")), Seq("q_id"))
+      .join(km.select(col("vec_id").as("c_id"),
+        col("cell").as("ccell")), Seq("c_id"))
+      .where(col("qcell") =!= col("ccell"))
+    assert(own1.count() === 0,
+      "probes=1 must never leave the query's own cell")
+  }
+
+  test("hybridRrfIvfAdc plan retrieves the dense arm through the PQ " +
+      "code path (pq_lut LUTs over encoded codes), never a raw-vector " +
+      "scan of the corpus") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val km = ops.Sim.kmeansCellsCached(emb, 8, 2, dir).localCheckpoint()
+    val books = ops.Sim.pqCodebooksCached(emb, m = 4, k = 8, iters = 2,
+      dir)
+    val docs = Tables.load(spark, dir, "documents")
+    val p = ops.Sim.hybridRrfIvfAdc(docs, km, books)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("pq_lut") || p.contains("pq_assign"),
+      s"dense arm must run over PQ codes:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probed LUT side must broadcast into the cell join:\n" +
+        p.take(1500))
+  }
+
+  test("AnnIndex restart-equivalence: centroids, PQ codebooks, and " +
+      "postings read PURELY from the parquet store (no training, no " +
+      "JVM memo) equal a fresh in-memory retrain bit-for-bit") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    ops.AnnIndex.centroids(spark, dir) // publish if cold
+    val p = ops.AnnIndex.root(dir, "full", 8, 2, 4, 8)
+    // the restart simulation: readCentroids/readBooks touch ONLY the
+    // store path — no trainer call can hide behind them
+    val reread = ops.AnnIndex.readCentroids(spark, p)
+    val retrain = ops.Sim.kmeansCentroids(emb, 8, 2)
+    assert(reread === retrain,
+      "stored centroids must equal a from-scratch retrain exactly")
+    val rereadB = ops.AnnIndex.readBooks(spark, p)
+    val retrainB = ops.Sim.pqCodebooks(emb, m = 4, k = 8, iters = 2)
+    assert(rereadB === retrainB,
+      "stored codebooks must equal a from-scratch retrain exactly")
+    val cellsStored = ops.AnnIndex.cells(spark, dir)
+      .select("vec_id", "cell")
+    val cellsFresh = ops.Sim.kmeansCells(emb, 8, 2)
+      .select("vec_id", "cell")
+    assert(cellsStored.exceptAll(cellsFresh).count() === 0)
+    assert(cellsFresh.exceptAll(cellsStored).count() === 0)
+  }
+
+  test("AnnIndex base tag: q280's frozen quantizer read from the " +
+      "physical store equals retraining on the standing slice — " +
+      "'frozen' now survives a restart") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val stored = ops.AnnIndex.centroids(spark, dir, "base")
+    val retrain = ops.Sim.kmeansCentroids(
+      emb.where(!ops.Sim.frozenDeltaSplit), 8, 2)
+    assert(stored === retrain)
+  }
+
   test("stagePath is keyed by fixture dir: two scale factors never " +
       "collide on one staging path (the r12 q283 hazard)") {
     val a = registry.Shared.stagePath("q283", "/root/testdata/sf0.001")
