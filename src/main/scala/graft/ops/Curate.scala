@@ -424,6 +424,58 @@ object Curate {
       .limit(topK)
   }
 
+  /** SEMANTIC (embedding-space) decontamination — the paraphrase-blind
+    * spot of the n-gram family ([[decontaminate]]/[[decontaminateBloom]]
+    * /[[decontaminateAuto]]): an eval answer reworded in the training
+    * set shares no 3-shingle, but its embedding sits next to the eval
+    * doc's. Emits the audit pair list — (train_id, eval_id, sim) for
+    * every same-cell train/eval pair with floored cosine ≥ `threshold`,
+    * ranked, top `topK` — the embedding-space sibling of the q285
+    * provenance readout.
+    *
+    * Blocking is the SemDeDup discipline (Abbas et al. 2023, the q125
+    * shape): pair generation runs WITHIN the deterministic kmeans
+    * cells, never all-pairs — `embCells` arrives pre-assigned (the
+    * registered form reads [[graft.ops.AnnIndex]]'s physical postings,
+    * so the decontamination audit and the ANN family block on the SAME
+    * stored index). Cosines floored at 4 dp (cross-engine ranking
+    * stability); the ranked cut is orderBy+limit — a distributed
+    * TakeOrdered, never a single-partition window; ties cut by
+    * (sim desc, train id, eval id).
+    *
+    * Same-cell blocking trades recall for the never-all-pairs bound
+    * exactly as the paper does: a contaminated pair straddling a cell
+    * boundary is missed; raising k tightens cells (cost) while
+    * LOWERING boundary recall — the production knob is a multi-probe
+    * eval side (own ∪ p nearest cells, the topKIvf policy), which
+    * composes here by unioning probed copies of the eval side.
+    */
+  def decontaminateSemantic(embCells: DataFrame, isEval: Column,
+                            threshold: Double, topK: Int = 100,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            cellCol: String = "cell"): DataFrame = {
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    val ev = embCells.where(isEval)
+      .select(col(cellCol).as("cell"), col(idCol).as("eval_id"),
+        col(vecCol).as("ev_vec"))
+      .withColumn("ev_norm", Sim.norm(col("ev_vec")))
+    val tr = embCells.where(!isEval)
+      .select(col(cellCol).as("cell"), col(idCol).as("train_id"),
+        col(vecCol).as("tr_vec"))
+      .withColumn("tr_norm", Sim.norm(col("tr_vec")))
+    // cell-keyed join, NO broadcast hint (the q125 nearDupPairs rule):
+    // the eval slice of a serious suite is too big to broadcast — AQE
+    // broadcasts when it measures small, shuffles when it doesn't
+    tr.join(ev, Seq("cell"))
+      .select(col("train_id"), col("eval_id"),
+        Num.floorAt(Sim.dot(col("tr_vec"), col("ev_vec")) /
+          (col("tr_norm") * col("ev_norm")), 4).as("sim"))
+      .where(col("sim") >= threshold)
+      .orderBy(col("sim").desc, col("train_id"), col("eval_id"))
+      .limit(topK)
+  }
+
   /** Deterministic md5-derived uniform fraction of an id in [0, 1):
     * first 8 md5 nibbles / 2^32. No PRNG state → reproducible across
     * engines (DuckDB oracle replays it nibble-for-nibble) and across

@@ -703,7 +703,20 @@ private[graft] object Reg3Curation {
     "q286_decontaminate_auto" -> ((s, dir) =>
       Curate.decontaminateAuto(t(s, dir, "documents"), "doc_id", "text",
           isEval = col("doc_id") % 97 === 0, w = 3)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+
+    // curation — SEMANTIC decontamination (Curate.decontaminateSemantic
+    // scaladoc): the n-gram family (q114/q276/q286) is blind to
+    // paraphrase contamination; this emits the embedding-space audit
+    // pairs — same-kmeans-cell train/eval pairs with cosine >= 0.25,
+    // top-100 — blocked on the SAME physical AnnIndex postings the ANN
+    // family reads, never all-pairs. The q285 provenance readout in
+    // embedding space; same eval split as the n-gram family.
+    "q289_semantic_decontaminate" -> ((s, dir) =>
+      Curate.decontaminateSemantic(graft.ops.AnnIndex.cells(s, dir),
+          isEval = col("vec_id") % 97 === 0, threshold = 0.25)
+        .orderBy(col("sim").desc, col("train_id"), col("eval_id")))
   )
 
   def oracles: ListMap[String, String] = ListMap(
@@ -1471,6 +1484,26 @@ private[graft] object Reg3Curation {
 
       // the q114 shingle join keeping the eval id; deterministic
       // TakeOrdered cut by (count desc, ids)
+      // the kmeans chain (both Lloyd iterations replayed exactly) +
+      // same-cell train x eval cosine pairs, 4dp-floored, ranked cut —
+      // the engine reads the stored AnnIndex postings, which the
+      // restart-equivalence spec proves identical to this retrain
+      "q289_semantic_decontaminate" ->
+        s"""WITH $kmeansAfCte,
+           |ev AS (SELECT cell, vec_id AS eval_id, v AS evv
+           |  FROM af WHERE vec_id % 97 = 0),
+           |tr AS (SELECT cell, vec_id AS train_id, v AS trv
+           |  FROM af WHERE NOT (vec_id % 97 = 0)),
+           |pr AS (SELECT train_id, eval_id,
+           |    floor((list_sum(list_transform(range(1, 65),
+           |        i -> trv[i] * evv[i]))
+           |      / (sqrt(list_sum(list_transform(trv, x -> x * x)))
+           |       * sqrt(list_sum(list_transform(evv, x -> x * x)))))
+           |      * 10000) / 10000 AS sim
+           |  FROM tr JOIN ev USING (cell))
+           |SELECT train_id, eval_id, sim FROM pr WHERE sim >= 0.25
+           |ORDER BY sim DESC, train_id, eval_id LIMIT 100""".stripMargin,
+
       "q285_contamination_pairs" ->
         s"""WITH cleaned AS (SELECT doc_id AS id, (doc_id % 97 = 0) AS ev,
            |                        $clean AS c FROM documents),

@@ -158,6 +158,17 @@ class Round13OpsSpec extends SparkSpec {
         p.take(1500))
   }
 
+  test("q289 semantic decontamination is cell-blocked: key join only " +
+      "(no all-pairs operator anywhere) and the ranked cut is a " +
+      "distributed TakeOrdered, not a single-partition window") {
+    val p = SparkEntry.queries("q289_semantic_decontaminate")(
+        spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
   test("AnnIndex restart-equivalence: centroids, PQ codebooks, and " +
       "postings read PURELY from the parquet store (no training, no " +
       "JVM memo) equal a fresh in-memory retrain bit-for-bit") {
