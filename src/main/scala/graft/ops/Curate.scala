@@ -476,6 +476,96 @@ object Curate {
       .limit(topK)
   }
 
+  /** Measured boundary recall for [[decontaminateSemantic]] — the
+    * q155/q228/q254 "publish the realized recall, not a formula"
+    * contract applied to the semantic-decontamination family: for each
+    * probe count p in [1, maxProbes], the recall of the cell-blocked
+    * pair scan (eval side probing own cell ∪ the p nearest-centroid
+    * cells — the exact monotone topKIvf policy: own cell at pmin = 1,
+    * centroid rank r at pmin = max(r, 2), min-wins dedup) against the
+    * BRUTE all-pairs train×eval truth at the same threshold. The brute
+    * side is the harness anchor (the q40 role): it scans every train
+    * vector per eval doc and exists to MEASURE what same-cell blocking
+    * loses at the cell boundary — production ships the probed engine
+    * and reads this table to pick p.
+    *
+    * Output: (probes, n_truth, n_approx, n_hits, recall) — one row per
+    * p, zero-filled, recall floored 4 dp (1.0 by convention on an
+    * empty truth set).
+    */
+  def semanticDeconRecall(embCells: DataFrame, isEval: Column,
+                          threshold: Double, maxProbes: Int = 3,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          cellCol: String = "cell"): DataFrame = {
+    require(maxProbes >= 1, s"need maxProbes >= 1, got $maxProbes")
+    val spark = embCells.sparkSession
+    val tr = embCells.where(!isEval)
+      .select(col(cellCol).as("cell"), col(idCol).as("train_id"),
+        col(vecCol).as("tr_vec"))
+      .withColumn("tr_norm", Sim.norm(col("tr_vec")))
+    val ev = embCells.where(isEval)
+      .select(col(cellCol).as("owncell"), col(idCol).as("eval_id"),
+        col(vecCol).as("ev_vec"))
+      .withColumn("ev_norm", Sim.norm(col("ev_vec")))
+    def sim(tv: Column, tn: Column, evv: Column, evn: Column): Column =
+      Num.floorAt(Sim.dot(tv, evv) / (tn * evn), 4)
+    // brute truth: eval × ALL train — harness-anchor scan, consumed
+    // twice (hit join + n_truth), materialized once
+    val truth = tr.crossJoin(broadcast(ev))
+      .where(sim(col("tr_vec"), col("tr_norm"), col("ev_vec"),
+        col("ev_norm")) >= threshold)
+      .select(col("train_id"), col("eval_id"))
+      .withColumn("__hit", lit(true))
+      .localCheckpoint()
+    // eval-side probe ranking: floored-9dp cosine to each cell
+    // centroid, ties to the lowest cell (the kmeans/topKIvf discipline)
+    val cent = Sim.cellCentroids(embCells, cellCol, vecCol)
+    val pw = Window.partitionBy("eval_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val ranked = ev.crossJoin(broadcast(cent))
+      .withColumn("csim",
+        Num.floorAt(Sim.dot(col("ev_vec"), col("cv")) /
+          (col("ev_norm") * col("cn")), 9))
+      .withColumn("pr", row_number().over(pw))
+      .where(col("pr") <= maxProbes)
+      .select(col("eval_id"), col("cell"), col("ev_vec"),
+        col("ev_norm"), greatest(col("pr"), lit(2)).as("pmin"))
+    val own = ev.select(col("eval_id"), col("owncell").as("cell"),
+      col("ev_vec"), col("ev_norm"), lit(1).as("pmin"))
+    // (ev_vec, ev_norm) identical across duplicates → first() is
+    // deterministic; MIN(pmin) realizes own-cell-wins
+    val probed = own.unionByName(ranked)
+      .groupBy(col("eval_id"), col("cell"))
+      .agg(min(col("pmin")).as("pmin"), first(col("ev_vec")).as("ev_vec"),
+        first(col("ev_norm")).as("ev_norm"))
+    // a train vector lives in exactly one cell, so a (train, eval)
+    // pair appears at most once — pmin slices the sweep
+    val cand = tr.join(probed, Seq("cell"))
+      .select(col("train_id"), col("eval_id"), col("pmin"),
+        sim(col("tr_vec"), col("tr_norm"), col("ev_vec"),
+          col("ev_norm")).as("sim"))
+      .where(col("sim") >= threshold)
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val stats = cand
+      .withColumn("p", explode(sequence(lit(1), lit(maxProbes))))
+      .where(col("pmin") <= col("p"))
+      .join(truth, Seq("train_id", "eval_id"), "left")
+      .groupBy(col("p").cast("int").as("probes"))
+      .agg(count(lit(1)).as("n_approx"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hits"))
+    spark.range(1, maxProbes + 1)
+      .select(col("id").cast("int").as("probes"))
+      .join(stats, Seq("probes"), "left")
+      .crossJoin(broadcast(nT))
+      .select(col("probes"), col("n_truth"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("n_truth") === 0, lit(1.0)).otherwise(
+          Num.floorAt(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_truth"), 4)).as("recall"))
+  }
+
   /** Deterministic md5-derived uniform fraction of an id in [0, 1):
     * first 8 md5 nibbles / 2^32. No PRNG state → reproducible across
     * engines (DuckDB oracle replays it nibble-for-nibble) and across

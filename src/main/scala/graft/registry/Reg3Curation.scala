@@ -716,7 +716,21 @@ private[graft] object Reg3Curation {
     "q289_semantic_decontaminate" -> ((s, dir) =>
       Curate.decontaminateSemantic(graft.ops.AnnIndex.cells(s, dir),
           isEval = col("vec_id") % 97 === 0, threshold = 0.25)
-        .orderBy(col("sim").desc, col("train_id"), col("eval_id")))
+        .orderBy(col("sim").desc, col("train_id"), col("eval_id"))),
+
+
+    // curation — q289's measured boundary recall (Curate.
+    // semanticDeconRecall scaladoc): for p in 1..3, the cell-blocked
+    // pair scan with the eval side probing own ∪ p nearest-centroid
+    // cells (the exact monotone topKIvf policy), hit-counted against
+    // the brute all-pairs truth at the same threshold — the q155/q228/
+    // q254 realized-recall contract applied to semantic
+    // decontamination; production reads this table to pick p.
+    "q290_semantic_decon_recall" -> ((s, dir) =>
+      Curate.semanticDeconRecall(graft.ops.AnnIndex.cells(s, dir),
+          isEval = col("vec_id") % 97 === 0, threshold = 0.25,
+          maxProbes = 3)
+        .orderBy("probes"))
   )
 
   def oracles: ListMap[String, String] = ListMap(
@@ -1503,6 +1517,75 @@ private[graft] object Reg3Curation {
            |  FROM tr JOIN ev USING (cell))
            |SELECT train_id, eval_id, sim FROM pr WHERE sim >= 0.25
            |ORDER BY sim DESC, train_id, eval_id LIMIT 100""".stripMargin,
+
+      // the kmeans chain + the eval-side probe policy (own cell at
+      // pmin=1, centroid rank r at pmin=max(r,2), min-wins) + per-p
+      // hit counting against the brute all-pairs truth — the q254
+      // sweep shape on the decontamination pair scan
+      "q290_semantic_decon_recall" -> {
+        val dotTE = "list_sum(list_transform(range(1, 65)," +
+          " i -> t.trv[i] * e.evv[i]))"
+        s"""WITH $kmeansAfCte,
+           |ev AS MATERIALIZED (SELECT cell AS owncell,
+           |    vec_id AS eval_id, v AS evv,
+           |    sqrt(list_sum(list_transform(v, x -> x * x))) AS evn
+           |  FROM af WHERE vec_id % 97 = 0),
+           |tr AS MATERIALIZED (SELECT cell, vec_id AS train_id, v AS trv,
+           |    sqrt(list_sum(list_transform(v, x -> x * x))) AS trn
+           |  FROM af WHERE NOT (vec_id % 97 = 0)),
+           |tru AS MATERIALIZED (SELECT train_id, eval_id FROM (
+           |  SELECT t.train_id, e.eval_id,
+           |    floor(($dotTE) / (t.trn * e.evn) * 10000) / 10000 AS sim
+           |  FROM tr t CROSS JOIN ev e) WHERE sim >= 0.25),
+           |cm AS (SELECT cell, d.pos AS pos,
+           |    CAST(SUM(CAST(v[d.pos] AS DECIMAL(27,10))) AS DOUBLE)
+           |      / COUNT(*) AS m
+           |  FROM af CROSS JOIN range(1, 65) AS d(pos)
+           |  GROUP BY cell, d.pos),
+           |cent AS (SELECT cell,
+           |    list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS ce
+           |  FROM cm GROUP BY cell),
+           |centn AS (SELECT cell, ce,
+           |    sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn
+           |  FROM cent),
+           |centp AS (SELECT eval_id, cell, GREATEST(pr, 2) AS pmin
+           |  FROM (
+           |  SELECT e.eval_id, c.cell,
+           |    row_number() OVER (PARTITION BY e.eval_id ORDER BY
+           |      ${Num.floorAtSql(
+             "list_sum(list_transform(range(1, 65)," +
+               " i -> e.evv[i] * c.ce[i])) / (e.evn * c.cn)", 9)} DESC,
+           |      c.cell ASC) AS pr
+           |  FROM ev e CROSS JOIN centn c) WHERE pr <= 3),
+           |ownp AS (SELECT eval_id, owncell AS cell, 1 AS pmin FROM ev),
+           |probe AS (SELECT eval_id, cell, MIN(pmin) AS pmin
+           |  FROM (SELECT * FROM ownp UNION ALL SELECT * FROM centp)
+           |  GROUP BY eval_id, cell),
+           |cand AS MATERIALIZED (SELECT t.train_id, p.eval_id, p.pmin
+           |  FROM tr t
+           |  JOIN probe p ON p.cell = t.cell
+           |  JOIN ev e ON e.eval_id = p.eval_id
+           |  WHERE floor(($dotTE) / (t.trn * e.evn) * 10000) / 10000
+           |    >= 0.25),
+           |nt AS (SELECT COUNT(*) AS n_truth FROM tru),
+           |stats AS (SELECT pp.p, COUNT(*) AS n_approx,
+           |    COUNT(b.train_id) AS n_hits
+           |  FROM (VALUES (1), (2), (3)) pp(p)
+           |  JOIN cand c ON c.pmin <= pp.p
+           |  LEFT JOIN tru b
+           |    ON b.train_id = c.train_id AND b.eval_id = c.eval_id
+           |  GROUP BY pp.p)
+           |SELECT CAST(pp.p AS INTEGER) AS probes, n_truth,
+           |  COALESCE(n_approx, 0) AS n_approx,
+           |  COALESCE(n_hits, 0) AS n_hits,
+           |  CASE WHEN n_truth = 0 THEN 1.0
+           |       ELSE ${Num.floorAtSql(
+             "CAST(COALESCE(n_hits, 0) AS DOUBLE) / n_truth", 4)}
+           |  END AS recall
+           |FROM (VALUES (1), (2), (3)) pp(p)
+           |LEFT JOIN stats ON stats.p = pp.p
+           |CROSS JOIN nt ORDER BY probes""".stripMargin
+      },
 
       "q285_contamination_pairs" ->
         s"""WITH cleaned AS (SELECT doc_id AS id, (doc_id % 97 = 0) AS ev,
