@@ -17,9 +17,16 @@ import org.apache.spark.sql.functions._
   *   - `centroids/`  (cell INT, cv ARRAY<FLOAT>)          — quantizer
   *   - `books/`      (sub INT, code INT, cv ARRAY<FLOAT>) — PQ codebooks
   *   - `cells/`      (vec_id, embedding, cell)            — IVFFlat postings
+  *   - `codes/`      (vec_id, cell, code_0..m-1)          — IVFADC postings
+  *   - `probecents/` (cell, cv ARRAY<FLOAT>, cn DOUBLE)   — probe geometry
   * Floats round-trip parquet bit-exactly, so a read-back quantizer
   * assigns IDENTICALLY to the in-memory one (Round13OpsSpec proves
-  * retrain ≡ read-back, element-exact).
+  * retrain ≡ read-back, element-exact). `codes/` is the layout Jégou
+  * §IV actually serves from — m one-byte codes per posting, never a
+  * raw vector — so the ADC retriever reads m bytes/candidate from the
+  * store instead of re-encoding the corpus per query; `probecents/`
+  * (the per-cell member mean + norm multi-probe ranks against) makes
+  * probe selection store-only too.
   *
   * Publish is write-once and atomic: build into a pid-suffixed staging
   * dir, `Files.move(ATOMIC_MOVE)` to the stable path; the loser of a
@@ -42,7 +49,7 @@ object AnnIndex {
   /** Store-format version — bump when the TRAINING semantics change,
     * so a durable store written by older code can never be silently
     * read as current (the path is the cache key). */
-  private val V = "v1"
+  private val V = "v2"
 
   /** Stable store root for fixture `dir`; `tag` names the train
     * filter ("full" = whole-corpus quantizer, "base" = the q280/q282
@@ -107,10 +114,16 @@ object AnnIndex {
     // postings: every corpus vector assigned under the frozen
     // centroids (a base-trained quantizer still indexes the WHOLE
     // corpus — the q280 semantics)
-    emb.select(col("vec_id"), col("embedding"),
-        (-Sim.assignScored("embedding", cents).getField("negCell"))
-          .as("cell"))
-      .write.mode("overwrite").parquet(s"$staging/cells")
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      (-Sim.assignScored("embedding", cents).getField("negCell"))
+        .as("cell"))
+    assigned.write.mode("overwrite").parquet(s"$staging/cells")
+    Sim.pqEncode(assigned, books, "vec_id", "embedding",
+        keep = Seq("cell"))
+      .write.mode("overwrite").parquet(s"$staging/codes")
+    Sim.cellCentroids(assigned, "cell", "embedding")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$staging/probecents")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(staging, "_DONE"), "ok")
     try
@@ -179,5 +192,24 @@ object AnnIndex {
             codes: Int = 8): DataFrame = {
     val p = path(spark, dir, tag, k, iters, m, codes)
     spark.read.parquet(s"$p/cells")
+  }
+
+  /** The stored IVFADC postings: (vec_id, cell, code_0..m-1) — the
+    * m-bytes-per-candidate layout the ADC retriever scans; raw vectors
+    * never leave the store for the dense arm. */
+  def codes(spark: SparkSession, dir: String, tag: String = "full",
+            k: Int = 8, iters: Int = 2, m: Int = 4,
+            nCodes: Int = 8): DataFrame = {
+    val p = path(spark, dir, tag, k, iters, m, nCodes)
+    spark.read.parquet(s"$p/codes")
+  }
+
+  /** The stored probe geometry: (cell, cv, cn) per-cell member means —
+    * what multi-probe ranks candidate cells against. */
+  def probeCentroids(spark: SparkSession, dir: String,
+                     tag: String = "full", k: Int = 8, iters: Int = 2,
+                     m: Int = 4, nCodes: Int = 8): DataFrame = {
+    val p = path(spark, dir, tag, k, iters, m, nCodes)
+    spark.read.parquet(s"$p/probecents")
   }
 }

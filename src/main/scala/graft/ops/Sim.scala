@@ -435,8 +435,15 @@ object Sim {
 
   private def probeRanked(queries: DataFrame, candidates: DataFrame,
                           cellCol: String, idCol: String,
-                          vecCol: String): DataFrame = {
-    val cent = cellCentroids(candidates, cellCol, vecCol)
+                          vecCol: String): DataFrame =
+    probeRankedOver(queries,
+      cellCentroids(candidates, cellCol, vecCol), idCol, vecCol)
+
+  /** [[probeRanked]] against SUPPLIED probe geometry (cell, cv, cn) —
+    * the stored-index path ([[graft.ops.AnnIndex]].probeCentroids)
+    * shares the exact ranking expression with the computed path. */
+  private def probeRankedOver(queries: DataFrame, cent: DataFrame,
+                              idCol: String, vecCol: String): DataFrame = {
     val pw = Window.partitionBy("q_id")
       .orderBy(col("csim").desc, col("cell").asc)
     qSide(queries, idCol, vecCol)
@@ -1833,7 +1840,6 @@ object Sim {
                  idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
     require(probes >= 1, s"need probes >= 1, got $probes")
-    val sub = books.head.head.size
     val own = qSide(queries, idCol, vecCol, Seq(cellCol -> "cell"))
     val probedRaw =
       if (probes == 1) own
@@ -1841,15 +1847,58 @@ object Sim {
         .unionByName(
           probeCells(queries, candidates, cellCol, probes, idCol, vecCol))
         .dropDuplicates("q_id", "cell")
+    val codes = pqEncode(candidates, books, idCol, vecCol,
+        keep = Seq(cellCol))
+      .withColumnRenamed(idCol, "c_id").withColumnRenamed(cellCol, "cell")
+    adcRankTopK(probedRaw, codes, books, k)
+  }
+
+  /** [[topKIvfAdc]] over STORED postings — the serving path a physical
+    * IVFADC index actually runs: the corpus side is the
+    * (vec_id, cell, code_0..m-1) codes table read from the store (m
+    * bytes per candidate — raw vectors never leave storage for the
+    * dense arm), probe selection ranks against the stored per-cell
+    * geometry, and only the QUERY batch carries raw vectors (for the
+    * ADC lookup tables). Bit-identical to [[topKIvfAdc]] on the same
+    * index state: stored codes are [[pqEncode]]'s deterministic
+    * output and stored geometry is [[cellCentroids]]'s — the spec
+    * asserts the equality.
+    */
+  def topKIvfAdcCoded(queries: DataFrame, codes: DataFrame,
+                      probeCents: DataFrame,
+                      books: IndexedSeq[IndexedSeq[Seq[Float]]], k: Int,
+                      probes: Int = 2, idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      cellCol: String = "cell"): DataFrame = {
+    require(probes >= 1, s"need probes >= 1, got $probes")
+    val own = qSide(queries, idCol, vecCol, Seq(cellCol -> "cell"))
+    val probedRaw =
+      if (probes == 1) own
+      else own
+        .unionByName(
+          probeRankedOver(queries, probeCents, idCol, vecCol)
+            .where(col("pr") <= probes)
+            .select(col("q_id"), col("q_vec"), col("q_norm"),
+              col("cell")))
+        .dropDuplicates("q_id", "cell")
+    val c = codes
+      .withColumnRenamed(idCol, "c_id").withColumnRenamed(cellCol, "cell")
+    adcRankTopK(probedRaw, c, books, k)
+  }
+
+  /** The shared ADC ranking tail: project the query side to (q_id,
+    * cell, m LUTs), broadcast onto the cell-keyed codes scan, rank by
+    * the 9dp-floored summed lookups with lowest-c_id ties, top k. */
+  private def adcRankTopK(probedRaw: DataFrame, codes: DataFrame,
+                          books: IndexedSeq[IndexedSeq[Seq[Float]]],
+                          k: Int): DataFrame = {
+    val sub = books.head.head.size
     val luts = books.indices.map { s =>
       pqLut(slice(col("q_vec"), s * sub + 1, sub), books(s))
         .as(s"lut_$s")
     }
     val probed = probedRaw
       .select((Seq(col("q_id"), col("cell")) ++ luts): _*)
-    val codes = pqEncode(candidates, books, idCol, vecCol,
-        keep = Seq(cellCol))
-      .withColumnRenamed(idCol, "c_id").withColumnRenamed(cellCol, "cell")
     val dist = books.indices.map(s =>
         element_at(col(s"lut_$s"), col(s"code_$s").cast("int") + lit(1)))
       .reduceLeft(_ + _)
@@ -1999,17 +2048,38 @@ object Sim {
                       vecId: String = "vec_id",
                       vecCol: String = "embedding",
                       cellCol: String = "cell",
-                      cacheKey: Option[String] = None): DataFrame = {
+                      cacheKey: Option[String] = None,
+                      coded: Option[(DataFrame, DataFrame)] = None)
+      : DataFrame = {
     require(nQueries >= 1 && listK >= 1 && rrfC >= 1 && k >= 1,
       s"bad knobs ($nQueries, $listK, $rrfC, $k)")
     val lex = hybridLexArmCached(docs, nQueries, listK, docId, textCol,
       cacheKey)
-    val dense = topKIvfAdc(embCells.where(col(vecId) < nQueries),
-        embCells, books, listK, cellCol, probes, vecId, vecCol)
-      .select(col("q_id").cast("long"), col("c_id").cast("long"),
-        col("rk").as("rk_emb"))
-    rrfFuse(lex, dense, rrfC, k)
+    rrfFuse(lex, denseAdcArm(embCells, books, nQueries, listK, probes,
+      vecId, vecCol, cellCol, coded), rrfC, k)
   }
+
+  /** The hybrids' dense arm: the IVF-ADC retriever over either stored
+    * postings (`coded` = (codes, probeCents) from
+    * [[graft.ops.AnnIndex]] — the serving shape: m bytes per corpus
+    * candidate) or the raw celled frame (encode-on-the-fly — tests and
+    * ad-hoc runs). Bit-identical outputs on the same index state. */
+  private def denseAdcArm(embCells: DataFrame,
+                          books: IndexedSeq[IndexedSeq[Seq[Float]]],
+                          nQueries: Int, listK: Int, probes: Int,
+                          vecId: String, vecCol: String,
+                          cellCol: String,
+                          coded: Option[(DataFrame, DataFrame)])
+      : DataFrame =
+    (coded match {
+      case Some((codes, probeCents)) =>
+        topKIvfAdcCoded(embCells.where(col(vecId) < nQueries), codes,
+          probeCents, books, listK, probes, vecId, vecCol, cellCol)
+      case None =>
+        topKIvfAdc(embCells.where(col(vecId) < nQueries), embCells,
+          books, listK, cellCol, probes, vecId, vecCol)
+    }).select(col("q_id").cast("long"), col("c_id").cast("long"),
+      col("rk").as("rk_emb"))
 
   /** Fused recall of the production-armed hybrid against the
     * brute-armed fused truth — the q247/q254 measured-recall contract
@@ -2033,7 +2103,9 @@ object Sim {
                         vecId: String = "vec_id",
                         vecCol: String = "embedding",
                         cellCol: String = "cell",
-                        cacheKey: Option[String] = None): DataFrame = {
+                        cacheKey: Option[String] = None,
+                        coded: Option[(DataFrame, DataFrame)] = None)
+      : DataFrame = {
     // listK·nQueries rows — materialize so BOTH fusions read one BM25
     // pass, not two (and none at all when the memo is warm)
     val lex = hybridLexArmCached(docs, nQueries, listK, docId, textCol,
@@ -2048,11 +2120,8 @@ object Sim {
     val truth = rrfFuse(lex, denseBrute, rrfC, k)
       .select(col("q_id"), col("c_id")).withColumn("__hit", lit(true))
       .localCheckpoint()
-    val denseAdc = topKIvfAdc(embCells.where(col(vecId) < nQueries),
-        embCells, books, listK, cellCol, probes, vecId, vecCol)
-      .select(col("q_id").cast("long"), col("c_id").cast("long"),
-        col("rk").as("rk_emb"))
-    val fusedAdc = rrfFuse(lex, denseAdc, rrfC, k)
+    val fusedAdc = rrfFuse(lex, denseAdcArm(embCells, books, nQueries,
+        listK, probes, vecId, vecCol, cellCol, coded), rrfC, k)
       .select(col("q_id"), col("c_id"))
     val nT = truth.agg(count(lit(1)).as("n_truth"))
     fusedAdc.join(truth, Seq("q_id", "c_id"), "left")

@@ -974,9 +974,15 @@ private[graft] object Reg6MonitorAnn {
     // oracle replays quantizer + PQ chains + probe policy + ADC
     // ranking + BM25 + fusion end-to-end (the q260 discipline).
     "q287_hybrid_rrf_ivfadc" -> ((s, dir) => {
+      // the dense arm serves from the STORED index end-to-end: corpus
+      // side = the (vec_id, cell, codes) postings (m bytes/candidate,
+      // raw vectors never leave the store), probe geometry = the
+      // stored per-cell means; only the query batch carries vectors
       val km = graft.ops.AnnIndex.cells(s, dir)
       Sim.hybridRrfIvfAdc(t(s, dir, "documents"), km,
-          graft.ops.AnnIndex.books(s, dir), cacheKey = Some(dir))
+          graft.ops.AnnIndex.books(s, dir), cacheKey = Some(dir),
+          coded = Some((graft.ops.AnnIndex.codes(s, dir),
+            graft.ops.AnnIndex.probeCentroids(s, dir))))
         .orderBy("q_id", "rk")
     }),
 
@@ -992,7 +998,9 @@ private[graft] object Reg6MonitorAnn {
     "q288_fused_recall" -> ((s, dir) => {
       val km = graft.ops.AnnIndex.cells(s, dir)
       Sim.hybridFusedRecall(t(s, dir, "documents"), km,
-        graft.ops.AnnIndex.books(s, dir), cacheKey = Some(dir))
+        graft.ops.AnnIndex.books(s, dir), cacheKey = Some(dir),
+        coded = Some((graft.ops.AnnIndex.codes(s, dir),
+          graft.ops.AnnIndex.probeCentroids(s, dir))))
     })
   )
 

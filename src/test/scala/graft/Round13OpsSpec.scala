@@ -158,6 +158,31 @@ class Round13OpsSpec extends SparkSpec {
         p.take(1500))
   }
 
+  test("topKIvfAdcCoded over the stored postings is bit-identical to " +
+      "topKIvfAdc encoding on the fly — stored codes ARE pqEncode's " +
+      "output and stored probe geometry IS cellCentroids'") {
+    val km = ops.AnnIndex.cells(spark, dir)
+    val books = ops.AnnIndex.books(spark, dir)
+    val q = km.where(col("vec_id") < 10)
+    val fly = ops.Sim.topKIvfAdc(q, km, books, k = 5, cellCol = "cell",
+        probes = 2)
+      .select("q_id", "c_id", "rk")
+    val stored = ops.Sim.topKIvfAdcCoded(q,
+        ops.AnnIndex.codes(spark, dir),
+        ops.AnnIndex.probeCentroids(spark, dir), books, k = 5,
+        probes = 2)
+      .select("q_id", "c_id", "rk")
+    assert(fly.exceptAll(stored).count() === 0)
+    assert(stored.exceptAll(fly).count() === 0)
+    // and the stored codes really are the deterministic encoder output
+    val enc = ops.Sim.pqEncode(km, books, "vec_id", "embedding",
+      keep = Seq("cell"))
+    val cds = ops.AnnIndex.codes(spark, dir)
+      .select(enc.columns.map(col): _*)
+    assert(enc.exceptAll(cds).count() === 0)
+    assert(cds.exceptAll(enc).count() === 0)
+  }
+
   test("q289 semantic decontamination is cell-blocked: key join only " +
       "(no all-pairs operator anywhere) and the ranked cut is a " +
       "distributed TakeOrdered, not a single-partition window") {
