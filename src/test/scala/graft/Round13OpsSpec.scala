@@ -183,6 +183,24 @@ class Round13OpsSpec extends SparkSpec {
     assert(cds.exceptAll(enc).count() === 0)
   }
 
+  test("q287's registered plan serves the dense arm from the codes " +
+      "store: the corpus-side scan reads NO embedding column (m code " +
+      "bytes per candidate), the query batch is filter-pushed, and " +
+      "the probed LUT side broadcasts into the cell join") {
+    val p = SparkEntry.queries("q287_hybrid_rrf_ivfadc")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val codesScan = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("/codes"))
+    assert(codesScan.isDefined, s"codes-store scan missing:\n" +
+      p.take(2000))
+    assert(codesScan.get.contains("code_0") &&
+      !codesScan.get.contains("embedding"),
+      s"corpus side must read codes, never vectors: ${codesScan.get}")
+    assert(p.contains("LessThan(vec_id,10)"),
+      "query-batch filter must push into the store scan")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("q289 semantic decontamination is cell-blocked: key join only " +
       "(no all-pairs operator anywhere) and the ranked cut is a " +
       "distributed TakeOrdered, not a single-partition window") {
