@@ -43,8 +43,7 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
-  private def slug(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9.]+", "-").replaceAll("^-|-$", "")
+  private def slug(dir: String): String = StoreCommit.slug(dir)
 
   /** Store-format version — bump when the TRAINING semantics change,
     * so a durable store written by older code can never be silently
@@ -94,54 +93,36 @@ object AnnIndex {
 
   private def build(spark: SparkSession, dir: String, tag: String,
                     trainFilter: Option[Column], memoKey: String,
-                    k: Int, iters: Int, m: Int, codes: Int): String = {
-    val target = root(dir, tag, k, iters, m, codes)
-    if (new java.io.File(target, "_DONE").exists()) return target
-    val staging = target + s"-stage-${ProcessHandle.current().pid}"
-    val emb = graft.Tables.load(spark, dir, "embeddings")
-    val trainSet = trainFilter.map(emb.where).getOrElse(emb)
-    val cents = Sim.kmeansCentroidsCached(trainSet, k, iters, memoKey)
-    val books = Sim.pqCodebooksCached(trainSet, m, codes, iters, memoKey)
-    import spark.implicits._
-    cents.zipWithIndex.map { case (cv, i) => (i, cv) }
-      .toDF("cell", "cv")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$staging/centroids")
-    books.zipWithIndex.flatMap { case (bk, s) =>
-      bk.zipWithIndex.map { case (cv, c) => (s, c, cv) }
-    }.toDF("sub", "code", "cv")
-      .coalesce(1).write.mode("overwrite").parquet(s"$staging/books")
-    // postings: every corpus vector assigned under the frozen
-    // centroids (a base-trained quantizer still indexes the WHOLE
-    // corpus — the q280 semantics)
-    val assigned = emb.select(col("vec_id"), col("embedding"),
-      (-Sim.assignScored("embedding", cents).getField("negCell"))
-        .as("cell"))
-    assigned.write.mode("overwrite").parquet(s"$staging/cells")
-    Sim.pqEncode(assigned, books, "vec_id", "embedding",
-        keep = Seq("cell"))
-      .write.mode("overwrite").parquet(s"$staging/codes")
-    Sim.cellCentroids(assigned, "cell", "embedding")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$staging/probecents")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(staging, "_DONE"), "ok")
-    try
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(staging),
-        java.nio.file.Paths.get(target),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException |
-           _: java.nio.file.AccessDeniedException |
-           _: java.nio.file.DirectoryNotEmptyException =>
-        // a concurrent JVM published first — read theirs, drop ours
-        graft.TempDirs.deleteNow(staging)
+                    k: Int, iters: Int, m: Int, codes: Int): String =
+    StoreCommit.ensure(root(dir, tag, k, iters, m, codes)) { staging =>
+      val emb = graft.Tables.load(spark, dir, "embeddings")
+      val trainSet = trainFilter.map(emb.where).getOrElse(emb)
+      val cents = Sim.kmeansCentroidsCached(trainSet, k, iters, memoKey)
+      val books = Sim.pqCodebooksCached(trainSet, m, codes, iters,
+        memoKey)
+      import spark.implicits._
+      cents.zipWithIndex.map { case (cv, i) => (i, cv) }
+        .toDF("cell", "cv")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$staging/centroids")
+      books.zipWithIndex.flatMap { case (bk, s) =>
+        bk.zipWithIndex.map { case (cv, c) => (s, c, cv) }
+      }.toDF("sub", "code", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/books")
+      // postings: every corpus vector assigned under the frozen
+      // centroids (a base-trained quantizer still indexes the WHOLE
+      // corpus — the q280 semantics)
+      val assigned = emb.select(col("vec_id"), col("embedding"),
+        (-Sim.assignScored("embedding", cents).getField("negCell"))
+          .as("cell"))
+      assigned.write.mode("overwrite").parquet(s"$staging/cells")
+      Sim.pqEncode(assigned, books, "vec_id", "embedding",
+          keep = Seq("cell"))
+        .write.mode("overwrite").parquet(s"$staging/codes")
+      Sim.cellCentroids(assigned, "cell", "embedding")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$staging/probecents")
     }
-    require(new java.io.File(target, "_DONE").exists(),
-      s"ANN index publish failed for $target")
-    target
-  }
 
   private def path(spark: SparkSession, dir: String, tag: String,
                    k: Int, iters: Int, m: Int, codes: Int): String =

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The PHYSICAL lexical (inverted) index — [[AnnIndex]]'s story for
+  * the text side: the BM25 components are count aggregates over the
+  * corpus, so a production search layer builds them ONCE per corpus
+  * snapshot and serves every query batch from the store; tokenizing
+  * the corpus per query (what [[graft.ops.Text.bm25RetrieveDf]] does)
+  * is the harness/ad-hoc form, not the serving form.
+  *
+  * Layout under one directory per fixture (write-once, atomically
+  * published via [[StoreCommit]], version-tagged path):
+  *   - `tf/`    (id, term, tf)  — the postings (term-bucketed)
+  *   - `dl/`    (id, dl)        — per-doc lengths
+  *   - `df/`    (term, df)      — term document frequencies
+  *   - `stats/` (n_terms, n_docs) — the 1-row corpus stats
+  * All four are exact integer count aggregates — deterministic, so a
+  * store read-back is bit-identical to recomputation and the queries
+  * it serves stay bound to the same oracles as the on-the-fly form.
+  *
+  * `tf/` is repartitioned BY TERM before the write: a query batch's
+  * postings lookup then touches only the term buckets its terms hash
+  * to — the file-level analogue of an inverted index's term
+  * directory.
+  */
+object LexIndex {
+
+  private val V = "v1"
+
+  def root(dir: String): String =
+    sys.props("java.io.tmpdir") +
+      s"/graft-lexindex-$V-${StoreCommit.slug(dir)}"
+
+  private val ensureMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, String]
+
+  private def ensure(spark: SparkSession, dir: String): String =
+    ensureMemo.computeIfAbsent(root(dir), target =>
+      StoreCommit.ensure(target) { staging =>
+        val docs = graft.Tables.load(spark, dir, "documents")
+        val terms = docs.select(col("doc_id").as("id"),
+          explode(Text.cleanTokens(col("text"))).as("term"))
+        val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+        tf.repartition(col("term"))
+          .write.mode("overwrite").parquet(s"$staging/tf")
+        terms.groupBy("id").agg(count(lit(1)).as("dl"))
+          .write.mode("overwrite").parquet(s"$staging/dl")
+        tf.groupBy("term").agg(count(lit(1)).as("df"))
+          .write.mode("overwrite").parquet(s"$staging/df")
+        terms.agg(count(lit(1)).as("n_terms"))
+          .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$staging/stats")
+      })
+
+  /** The four stored index frames (tf, dl, df, stats) — plain parquet
+    * reads, nothing pinned in executor memory. */
+  def frames(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val p = ensure(spark, dir)
+    (spark.read.parquet(s"$p/tf"), spark.read.parquet(s"$p/dl"),
+      spark.read.parquet(s"$p/df"), spark.read.parquet(s"$p/stats"))
+  }
+
+  /** BM25 retrieval served from the store — the production serving
+    * path: query batch in, ranked postings out, zero corpus
+    * tokenization at query time. */
+  def bm25Retrieve(spark: SparkSession, dir: String,
+                   queries: DataFrame, k: Int,
+                   excludeSelf: Boolean = false): DataFrame = {
+    val (tf, dl, df, stats) = frames(spark, dir)
+    Text.bm25RetrieveStored(queries, tf, dl, df, stats, k, excludeSelf)
+  }
+}

@@ -355,10 +355,6 @@ object Text {
   def bm25RetrieveDf(docs: DataFrame, idCol: String, textCol: String,
                      queries: DataFrame, k: Int,
                      excludeSelf: Boolean = false): DataFrame = {
-    val qterms = queries
-      .select(col("query_id"),
-        explode(array_distinct(cleanTokens(col("query_text"))))
-          .as("term"))
     val terms = docs.select(col(idCol).as("id"),
       explode(cleanTokens(col(textCol))).as("term"))
     val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
@@ -366,6 +362,40 @@ object Text {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = terms.agg(count(lit(1)).as("n_terms"))
       .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+    bm25ScoreQueries(queries, tf, dl, dfreq, stats, k, excludeSelf)
+  }
+
+  /** [[bm25RetrieveDf]] SERVED FROM a stored inverted index — the
+    * physical-index form ([[graft.ops.LexIndex]] persists exactly the
+    * four frames this takes): a query batch joins against the stored
+    * postings (tf), per-doc lengths (dl), term document-frequencies
+    * (df), and the corpus stats row — the corpus text is never
+    * tokenized at query time, which is how production lexical search
+    * actually serves (the index is built once per corpus snapshot;
+    * queries pay postings-of-their-terms, not a corpus scan).
+    * Bit-identical to [[bm25RetrieveDf]] on the same corpus: the
+    * stored frames are the deterministic count aggregates the on-the-
+    * fly form computes — the spec asserts the equality.
+    */
+  def bm25RetrieveStored(queries: DataFrame, tf: DataFrame,
+                         dl: DataFrame, dfreq: DataFrame,
+                         stats: DataFrame, k: Int,
+                         excludeSelf: Boolean = false): DataFrame =
+    bm25ScoreQueries(queries, tf, dl, dfreq, stats, k, excludeSelf)
+
+  /** The shared BM25 retrieval tail over index frames tf(id, term,
+    * tf), dl(id, dl), df(term, df), stats(n_terms, n_docs): DISTINCT
+    * query terms broadcast onto the postings, 4 dp-floored per-term
+    * weights summed through DECIMAL(18,4), top-k per query with id
+    * tie-breaks. */
+  private def bm25ScoreQueries(queries: DataFrame, tf: DataFrame,
+                               dl: DataFrame, dfreq: DataFrame,
+                               stats: DataFrame, k: Int,
+                               excludeSelf: Boolean): DataFrame = {
+    val qterms = queries
+      .select(col("query_id"),
+        explode(array_distinct(cleanTokens(col("query_text"))))
+          .as("term"))
     val w = tf.join(broadcast(qterms), Seq("term"))
       .join(dl, "id").join(dfreq, "term")
       .crossJoin(broadcast(stats))

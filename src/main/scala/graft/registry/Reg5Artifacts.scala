@@ -221,6 +221,27 @@ private[graft] object Reg5Artifacts {
         .orderBy("query_id", "rk")),
 
 
+    // artifacts — BM25 served from the PHYSICAL inverted index
+    // (LexIndex scaladoc): q176's exact queries ranked from the stored
+    // (tf, dl, df, stats) frames — the corpus text is never tokenized
+    // at query time; one training-pass publishes the store, every
+    // query batch (and restart) reads bytes. Bound to q176's oracle
+    // string: one contract, on-the-fly and stored engines.
+    "q291_bm25_stored" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.LexIndex.bm25Retrieve(s, dir,
+          Seq(("kw_cust", "customer order value"),
+            ("kw_join", "join merge hash"),
+            ("kw_scan", "spark scan filter"),
+            ("kw_win", "window batch sort"))
+            .toDF("query_id", "query_text"),
+          k = 5)
+        .select(col("query_id"), col("id").as("doc_id"),
+          col("n_matched"), col("score"), col("rk"))
+        .orderBy("query_id", "rk")
+    }),
+
+
     // §2.5 gap — pairwise correlation MATRIX (Agg.exactCorrMatrix
     // scaladoc): all power sums for all pairs in ONE scan, closed
     // forms off the 1-row state — the feature-redundancy profile, and
@@ -631,42 +652,11 @@ private[graft] object Reg5Artifacts {
       // the q93 BM25 replay joined to a literal query list; per-doc
       // scores sum the 4dp-floored weights through DECIMAL(18,4) (the
       // q160 floored-score-sum contract) so ranking is order-free
-      "q176_bm25_retrieval" ->
-        s"""WITH q(query_id, query_text) AS (VALUES
-           |    ('kw_cust', 'customer order value'),
-           |    ('kw_join', 'join merge hash'),
-           |    ('kw_scan', 'spark scan filter'),
-           |    ('kw_win', 'window batch sort')),
-           |qt AS (SELECT query_id, UNNEST(list_distinct(
-           |    ${toksSql(cleanSql("query_text"))})) AS term FROM q),
-           |cleaned AS (SELECT doc_id AS id, $clean AS c FROM documents),
-           |terms AS (SELECT id, UNNEST($cleanToks) AS term FROM cleaned),
-           |tf AS (SELECT id, term, COUNT(*) AS tf FROM terms
-           |  GROUP BY 1, 2),
-           |dl AS (SELECT id, COUNT(*) AS dl FROM terms GROUP BY 1),
-           |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-           |stats AS (SELECT (SELECT COUNT(*) FROM terms) AS n_terms,
-           |                 (SELECT COUNT(*) FROM documents) AS n_docs),
-           |w AS (SELECT qt.query_id, tf.id,
-           |    floor((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-           |      * (tf * 2.5)
-           |      / (tf + 1.5 * (0.25 + 0.75 * dl
-           |        / (CAST(n_terms AS DOUBLE) / n_docs)))) * 10000)
-           |      / 10000 AS w
-           |  FROM tf JOIN qt USING (term) JOIN dl USING (id)
-           |  JOIN dfreq USING (term) CROSS JOIN stats),
-           |s AS (SELECT query_id, id, COUNT(*) AS n_matched,
-           |    ${Num.floorAtSql(
-             "CAST(SUM(CAST(w AS DECIMAL(18,4))) AS DOUBLE)", 4)}
-           |      AS score
-           |  FROM w GROUP BY 1, 2),
-           |r AS (SELECT query_id, id, n_matched, score, row_number()
-           |    OVER (PARTITION BY query_id ORDER BY score DESC, id)
-           |    AS rk
-           |  FROM s)
-           |SELECT query_id, id AS doc_id, n_matched, score,
-           |  CAST(rk AS INTEGER) AS rk
-           |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+      "q176_bm25_retrieval" -> bm25RetrievalOracleSql,
+      // ONE oracle, two engines: the stored-index serving form
+      // (LexIndex postings, zero corpus tokenization at query
+      // time) must rank bit-identically to the on-the-fly form
+      "q291_bm25_stored" -> bm25RetrievalOracleSql,
 
 
       // observed cells + marginals replay; zero-observed cells enter
@@ -1477,4 +1467,46 @@ private[graft] object Reg5Artifacts {
            |FROM m JOIN s ON s.doc_id = m.doc_id
            |ORDER BY media_id""".stripMargin
   )
+  // the q93 BM25 replay joined to a literal query list; per-doc
+  // scores sum the 4dp-floored weights through DECIMAL(18,4) (the
+  // q160 floored-score-sum contract) so ranking is order-free.
+  // ONE string for the on-the-fly (q176) and stored-index (q291)
+  // engines.
+  private val bm25RetrievalOracleSql: String =
+        s"""WITH q(query_id, query_text) AS (VALUES
+           |    ('kw_cust', 'customer order value'),
+           |    ('kw_join', 'join merge hash'),
+           |    ('kw_scan', 'spark scan filter'),
+           |    ('kw_win', 'window batch sort')),
+           |qt AS (SELECT query_id, UNNEST(list_distinct(
+           |    ${toksSql(cleanSql("query_text"))})) AS term FROM q),
+           |cleaned AS (SELECT doc_id AS id, $clean AS c FROM documents),
+           |terms AS (SELECT id, UNNEST($cleanToks) AS term FROM cleaned),
+           |tf AS (SELECT id, term, COUNT(*) AS tf FROM terms
+           |  GROUP BY 1, 2),
+           |dl AS (SELECT id, COUNT(*) AS dl FROM terms GROUP BY 1),
+           |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+           |stats AS (SELECT (SELECT COUNT(*) FROM terms) AS n_terms,
+           |                 (SELECT COUNT(*) FROM documents) AS n_docs),
+           |w AS (SELECT qt.query_id, tf.id,
+           |    floor((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           |      * (tf * 2.5)
+           |      / (tf + 1.5 * (0.25 + 0.75 * dl
+           |        / (CAST(n_terms AS DOUBLE) / n_docs)))) * 10000)
+           |      / 10000 AS w
+           |  FROM tf JOIN qt USING (term) JOIN dl USING (id)
+           |  JOIN dfreq USING (term) CROSS JOIN stats),
+           |s AS (SELECT query_id, id, COUNT(*) AS n_matched,
+           |    ${Num.floorAtSql(
+             "CAST(SUM(CAST(w AS DECIMAL(18,4))) AS DOUBLE)", 4)}
+           |      AS score
+           |  FROM w GROUP BY 1, 2),
+           |r AS (SELECT query_id, id, n_matched, score, row_number()
+           |    OVER (PARTITION BY query_id ORDER BY score DESC, id)
+           |    AS rk
+           |  FROM s)
+           |SELECT query_id, id AS doc_id, n_matched, score,
+           |  CAST(rk AS INTEGER) AS rk
+           |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
 }

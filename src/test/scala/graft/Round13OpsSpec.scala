@@ -201,6 +201,27 @@ class Round13OpsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("LexIndex: BM25 served from the stored inverted index is " +
+      "bit-identical to the on-the-fly retriever, and the serving " +
+      "plan never touches the documents table (zero corpus " +
+      "tokenization at query time)") {
+    import spark.implicits._
+    val queries = Seq(("a", "customer order value"),
+      ("b", "join merge hash"))
+      .toDF("query_id", "query_text")
+    val stored = ops.LexIndex.bm25Retrieve(spark, dir, queries, 5)
+    val fly = ops.Text.bm25RetrieveDf(
+      Tables.load(spark, dir, "documents"), "doc_id", "text",
+      queries, 5)
+    assert(stored.exceptAll(fly).count() === 0)
+    assert(fly.exceptAll(stored).count() === 0)
+    assert(stored.count() > 0)
+    val p = stored.queryExecution.executedPlan.toString
+    assert(!p.contains("documents.parquet"),
+      s"stored serving must not scan the corpus:\n${p.take(1500)}")
+    assert(p.contains("graft-lexindex"), p.take(1500))
+  }
+
   test("q289 semantic decontamination is cell-blocked: key join only " +
       "(no all-pairs operator anywhere) and the ranked cut is a " +
       "distributed TakeOrdered, not a single-partition window") {
