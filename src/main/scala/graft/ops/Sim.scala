@@ -1913,15 +1913,30 @@ object Sim {
 
   /** The BM25 lexical arm the hybrid fusions share: documents with id
     * < nQueries run as their own queries, self excluded, top listK —
-    * (q_id, c_id, rk_lex). */
+    * (q_id, c_id, rk_lex). With `lexStore` = the four
+    * [[graft.ops.LexIndex]] frames (tf, dl, df, stats), the arm is
+    * SERVED from the stored inverted index — zero corpus tokenization
+    * at query time, so the registered hybrids are stored-lexical ⊕
+    * stored-ANN end to end; without it the arm tokenizes on the fly
+    * (ad-hoc frames, tests). Bit-identical either way (the stored
+    * frames are the deterministic count aggregates — the q176/q291
+    * oracle pair proves it). */
   private def hybridLexArm(docs: DataFrame, nQueries: Int, listK: Int,
-                           docId: String, textCol: String): DataFrame = {
+                           docId: String, textCol: String,
+                           lexStore: Option[(DataFrame, DataFrame,
+                             DataFrame, DataFrame)] = None): DataFrame = {
     val queries = docs.where(col(docId) < nQueries)
       .select(col(docId).as("query_id"), col(textCol).as("query_text"))
-    Text.bm25RetrieveDf(docs, docId, textCol, queries, listK,
-        excludeSelf = true)
-      .select(col("query_id").cast("long").as("q_id"),
-        col("id").cast("long").as("c_id"), col("rk").as("rk_lex"))
+    val ranked = lexStore match {
+      case Some((tf, dl, dfreq, stats)) =>
+        Text.bm25RetrieveStored(queries, tf, dl, dfreq, stats, listK,
+          excludeSelf = true)
+      case None =>
+        Text.bm25RetrieveDf(docs, docId, textCol, queries, listK,
+          excludeSelf = true)
+    }
+    ranked.select(col("query_id").cast("long").as("q_id"),
+      col("id").cast("long").as("c_id"), col("rk").as("rk_lex"))
   }
 
   private val lexPathMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -1940,19 +1955,23 @@ object Sim {
   private def hybridLexArmCached(docs: DataFrame, nQueries: Int,
                                  listK: Int, docId: String,
                                  textCol: String,
-                                 cacheKey: Option[String]): DataFrame =
+                                 cacheKey: Option[String],
+                                 lexStore: Option[(DataFrame, DataFrame,
+                                   DataFrame, DataFrame)] = None)
+      : DataFrame =
     cacheKey match {
       case Some(key) =>
         val path = lexPathMemo.computeIfAbsent(
           s"$key#$nQueries#$listK#$docId#$textCol", _ => {
             val p = graft.TempDirs.register(java.nio.file.Files
               .createTempDirectory("graft-lexarm").toString) + "/lex"
-            hybridLexArm(docs, nQueries, listK, docId, textCol)
+            hybridLexArm(docs, nQueries, listK, docId, textCol, lexStore)
               .coalesce(1).write.mode("overwrite").parquet(p)
             p
           })
         docs.sparkSession.read.parquet(path)
-      case None => hybridLexArm(docs, nQueries, listK, docId, textCol)
+      case None =>
+        hybridLexArm(docs, nQueries, listK, docId, textCol, lexStore)
     }
 
   /** The RRF fusion layer the hybrids share: full-outer join the two
@@ -2009,12 +2028,14 @@ object Sim {
                 listK: Int = 20, rrfC: Int = 60, k: Int = 5,
                 docId: String = "doc_id", textCol: String = "text",
                 vecId: String = "vec_id", vecCol: String = "embedding",
-                cacheKey: Option[String] = None)
+                cacheKey: Option[String] = None,
+                lexStore: Option[(DataFrame, DataFrame, DataFrame,
+                  DataFrame)] = None)
       : DataFrame = {
     require(nQueries >= 1 && listK >= 1 && rrfC >= 1 && k >= 1,
       s"bad knobs ($nQueries, $listK, $rrfC, $k)")
     val lex = hybridLexArmCached(docs, nQueries, listK, docId, textCol,
-      cacheKey)
+      cacheKey, lexStore)
     val dense = topK(emb.where(col(vecId) < nQueries), emb, listK,
         vecId, vecCol)
       .select(col("q_id").cast("long"), col("c_id").cast("long"),
@@ -2049,12 +2070,14 @@ object Sim {
                       vecCol: String = "embedding",
                       cellCol: String = "cell",
                       cacheKey: Option[String] = None,
-                      coded: Option[(DataFrame, DataFrame)] = None)
+                      coded: Option[(DataFrame, DataFrame)] = None,
+                      lexStore: Option[(DataFrame, DataFrame, DataFrame,
+                        DataFrame)] = None)
       : DataFrame = {
     require(nQueries >= 1 && listK >= 1 && rrfC >= 1 && k >= 1,
       s"bad knobs ($nQueries, $listK, $rrfC, $k)")
     val lex = hybridLexArmCached(docs, nQueries, listK, docId, textCol,
-      cacheKey)
+      cacheKey, lexStore)
     rrfFuse(lex, denseAdcArm(embCells, books, nQueries, listK, probes,
       vecId, vecCol, cellCol, coded), rrfC, k)
   }
@@ -2104,12 +2127,14 @@ object Sim {
                         vecCol: String = "embedding",
                         cellCol: String = "cell",
                         cacheKey: Option[String] = None,
-                        coded: Option[(DataFrame, DataFrame)] = None)
+                        coded: Option[(DataFrame, DataFrame)] = None,
+                        lexStore: Option[(DataFrame, DataFrame,
+                          DataFrame, DataFrame)] = None)
       : DataFrame = {
     // listK·nQueries rows — materialize so BOTH fusions read one BM25
     // pass, not two (and none at all when the memo is warm)
     val lex = hybridLexArmCached(docs, nQueries, listK, docId, textCol,
-      cacheKey) match {
+      cacheKey, lexStore) match {
       case cached if cacheKey.isDefined => cached // parquet-backed
       case fresh => fresh.localCheckpoint()
     }

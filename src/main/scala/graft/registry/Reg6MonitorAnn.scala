@@ -933,7 +933,8 @@ private[graft] object Reg6MonitorAnn {
     // repo's existing retriever pair.
     "q279_hybrid_rrf" -> ((s, dir) =>
       Sim.hybridRrf(t(s, dir, "documents"), t(s, dir, "embeddings"),
-          cacheKey = Some(dir))
+          cacheKey = Some(dir),
+          lexStore = Some(graft.ops.LexIndex.frames(s, dir)))
         .orderBy("q_id", "rk")),
 
 
@@ -982,7 +983,8 @@ private[graft] object Reg6MonitorAnn {
       Sim.hybridRrfIvfAdc(t(s, dir, "documents"), km,
           graft.ops.AnnIndex.books(s, dir), cacheKey = Some(dir),
           coded = Some((graft.ops.AnnIndex.codes(s, dir),
-            graft.ops.AnnIndex.probeCentroids(s, dir))))
+            graft.ops.AnnIndex.probeCentroids(s, dir))),
+          lexStore = Some(graft.ops.LexIndex.frames(s, dir)))
         .orderBy("q_id", "rk")
     }),
 
@@ -1000,7 +1002,8 @@ private[graft] object Reg6MonitorAnn {
       Sim.hybridFusedRecall(t(s, dir, "documents"), km,
         graft.ops.AnnIndex.books(s, dir), cacheKey = Some(dir),
         coded = Some((graft.ops.AnnIndex.codes(s, dir),
-          graft.ops.AnnIndex.probeCentroids(s, dir))))
+          graft.ops.AnnIndex.probeCentroids(s, dir))),
+        lexStore = Some(graft.ops.LexIndex.frames(s, dir)))
     })
   )
 
