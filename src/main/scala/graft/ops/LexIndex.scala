@@ -27,7 +27,12 @@ import org.apache.spark.sql.functions._
   */
 object LexIndex {
 
-  private val V = "v1"
+  private val V = "v2"
+
+  /** Term-bucket count for the postings partitioning: hash-derived,
+    * engine-internal (the oracle never sees it) — both the writer and
+    * the query side compute `pmod(hash(term), TermBuckets)`. */
+  val TermBuckets = 64
 
   def root(dir: String): String =
     sys.props("java.io.tmpdir") +
@@ -43,8 +48,14 @@ object LexIndex {
         val terms = docs.select(col("doc_id").as("id"),
           explode(Text.cleanTokens(col("text"))).as("term"))
         val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-        tf.repartition(col("term"))
-          .write.mode("overwrite").parquet(s"$staging/tf")
+        // postings land in term-hash bucket DIRECTORIES: a query batch
+        // joining on (term, tbkt) lets dynamic partition pruning skip
+        // every bucket its terms don't hash to — the term-directory of
+        // an inverted index, expressed as partition pruning
+        tf.withColumn("tbkt", pmod(hash(col("term")), lit(TermBuckets)))
+          .repartition(col("tbkt"))
+          .write.mode("overwrite").partitionBy("tbkt")
+          .parquet(s"$staging/tf")
         terms.groupBy("id").agg(count(lit(1)).as("dl"))
           .write.mode("overwrite").parquet(s"$staging/dl")
         tf.groupBy("term").agg(count(lit(1)).as("df"))

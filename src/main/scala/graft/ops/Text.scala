@@ -392,11 +392,34 @@ object Text {
                                dl: DataFrame, dfreq: DataFrame,
                                stats: DataFrame, k: Int,
                                excludeSelf: Boolean): DataFrame = {
-    val qterms = queries
+    val qterms0 = queries
       .select(col("query_id"),
         explode(array_distinct(cleanTokens(col("query_text"))))
           .as("term"))
-    val w = tf.join(broadcast(qterms), Seq("term"))
+    // stored postings carry the term-bucket PARTITION column
+    // (LexIndex.TermBuckets): the batch's distinct buckets are
+    // collected (a query batch is driver-sized by definition — the
+    // repo's collect() doctrine) and pushed as a STATIC partition
+    // filter, so the postings scan touches only the bucket directories
+    // the query terms hash to — scan cost ∝ buckets touched, not index
+    // size. (Dynamic partition pruning does not fire here: the query
+    // side carries no selective Filter node, so Catalyst's
+    // pruning-benefit heuristic rejects it — the explicit IN list is
+    // the guaranteed form.)
+    val bucketed = tf.columns.contains("tbkt")
+    val qterms =
+      if (bucketed)
+        qterms0.withColumn("tbkt",
+          pmod(hash(col("term")), lit(graft.ops.LexIndex.TermBuckets)))
+      else qterms0
+    val tfPruned =
+      if (bucketed) {
+        val bkts = qterms.select(col("tbkt")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        tf.where(col("tbkt").isin(bkts: _*))
+      } else tf
+    val joinKeys = if (bucketed) Seq("term", "tbkt") else Seq("term")
+    val w = tfPruned.join(broadcast(qterms), joinKeys)
       .join(dl, "id").join(dfreq, "term")
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("n_terms").cast("double") / col("n_docs"))

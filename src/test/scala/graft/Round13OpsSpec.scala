@@ -220,6 +220,18 @@ class Round13OpsSpec extends SparkSpec {
     assert(!p.contains("documents.parquet"),
       s"stored serving must not scan the corpus:\n${p.take(1500)}")
     assert(p.contains("graft-lexindex"), p.take(1500))
+    // term-bucket partition pruning: the postings scan must carry a
+    // static INSET partition filter on tbkt — only the bucket
+    // directories the query terms hash to are listed/read
+    val tfScan = p.linesIterator
+      .find(l => l.contains("lexindex") && l.contains("/tf"))
+    assert(tfScan.isDefined, p.take(2000))
+    // Spark renders short literal lists as "tbkt IN (…)" and long
+    // ones as "tbkt INSET …" — either is the static prune
+    assert("tbkt#\\d+ (IN \\(|INSET )".r
+        .findFirstIn(tfScan.get).isDefined,
+      s"postings scan must partition-prune on term buckets: " +
+        tfScan.get)
   }
 
   test("q289 semantic decontamination is cell-blocked: key join only " +
