@@ -84,4 +84,52 @@ object LexIndex {
     val (tf, dl, df, stats) = frames(spark, dir)
     Text.bm25RetrieveStored(queries, tf, dl, df, stats, k, excludeSelf)
   }
+
+  /** Build the four index frames from a document frame WITHOUT
+    * persisting — the shard-local build step of incremental index
+    * maintenance ([[merge]] combines shards/deltas). Identical
+    * aggregates to the store writer. */
+  def buildFrames(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text")
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val terms = docs.select(col(idCol).as("id"),
+      explode(Text.cleanTokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    (tf,
+      terms.groupBy("id").agg(count(lit(1)).as("dl")),
+      tf.groupBy("term").agg(count(lit(1)).as("df")),
+      terms.agg(count(lit(1)).as("n_terms"))
+        .crossJoin(docs.agg(count(lit(1)).as("n_docs"))))
+  }
+
+  /** MERGE two index-frame sets built over DISJOINT document sets —
+    * incremental inverted-index maintenance, the [[AnnIndex]] q280
+    * append story for text: a delta batch is indexed ALONE (touching
+    * only its own documents) and folded into the standing index with
+    * three count-sum aggregates; the standing postings never rebuild.
+    * All four frames are sums of per-document counts, so
+    * merge(build(A), build(B)) = build(A ∪ B) EXACTLY for disjoint
+    * A, B — which is why the merged index can serve the same queries
+    * as a from-scratch build, bit-for-bit, under one oracle (q292
+    * binds q176's string: one contract, THREE engines — on-the-fly,
+    * stored, incremental-merge).
+    *
+    * Shape at scale: tf and dl rows are per-document → disjoint →
+    * pure unions (no shuffle beyond the writes a real refresh does
+    * anyway); df and the 1-row stats are the only re-aggregated
+    * frames (term-keyed sum, k-row sum).
+    */
+  def merge(a: (DataFrame, DataFrame, DataFrame, DataFrame),
+            b: (DataFrame, DataFrame, DataFrame, DataFrame))
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (tfA, dlA, dfA, stA) = a
+    val (tfB, dlB, dfB, stB) = b
+    (tfA.unionByName(tfB),
+      dlA.unionByName(dlB),
+      dfA.unionByName(dfB).groupBy("term")
+        .agg(sum(col("df")).as("df")),
+      stA.unionByName(stB)
+        .agg(sum(col("n_terms")).as("n_terms"),
+          sum(col("n_docs")).as("n_docs")))
+  }
 }

@@ -242,6 +242,34 @@ private[graft] object Reg5Artifacts {
     }),
 
 
+    // artifacts — INCREMENTAL inverted-index maintenance (LexIndex.
+    // merge scaladoc): the corpus split 80/20, each slice indexed
+    // alone, the delta FOLDED into the standing frames with three
+    // count-sum aggregates (postings never rebuild — the q280 append
+    // story for text), and q176's queries served from the merged
+    // index. Bound to q176's oracle string: one contract, THREE
+    // engines (on-the-fly q176, stored q291, incremental-merge q292).
+    "q292_bm25_index_merge" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val merged = graft.ops.LexIndex.merge(
+        graft.ops.LexIndex.buildFrames(
+          docs.where(col("doc_id") % 5 =!= 0)),
+        graft.ops.LexIndex.buildFrames(
+          docs.where(col("doc_id") % 5 === 0)))
+      Text.bm25RetrieveStored(
+          Seq(("kw_cust", "customer order value"),
+            ("kw_join", "join merge hash"),
+            ("kw_scan", "spark scan filter"),
+            ("kw_win", "window batch sort"))
+            .toDF("query_id", "query_text"),
+          merged._1, merged._2, merged._3, merged._4, k = 5)
+        .select(col("query_id"), col("id").as("doc_id"),
+          col("n_matched"), col("score"), col("rk"))
+        .orderBy("query_id", "rk")
+    }),
+
+
     // §2.5 gap — pairwise correlation MATRIX (Agg.exactCorrMatrix
     // scaladoc): all power sums for all pairs in ONE scan, closed
     // forms off the 1-row state — the feature-redundancy profile, and
@@ -657,6 +685,7 @@ private[graft] object Reg5Artifacts {
       // (LexIndex postings, zero corpus tokenization at query
       // time) must rank bit-identically to the on-the-fly form
       "q291_bm25_stored" -> bm25RetrievalOracleSql,
+      "q292_bm25_index_merge" -> bm25RetrievalOracleSql,
 
 
       // observed cells + marginals replay; zero-observed cells enter

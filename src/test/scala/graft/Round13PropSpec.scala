@@ -95,6 +95,34 @@ class Round13PropSpec extends SparkSpec {
     }
   }
 
+  test("LexIndex.merge is exact index algebra on generated corpora: " +
+      "merge(build(A), build(B)) equals build(A ∪ B) frame-for-frame " +
+      "for every random disjoint split — the invariant that lets the " +
+      "incremental refresh serve the whole-corpus oracle") {
+    val smallVocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc: Gen[String] = Gen.choose(0, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(smallVocab)).map(_.mkString(" ")))
+    samples(Gen.listOfN(25, doc), 4).zipWithIndex.foreach {
+      case (docs, ci) =>
+        val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val split = col("doc_id") % (2 + ci) === 0
+        val whole = graft.ops.LexIndex.buildFrames(df)
+        val merged = graft.ops.LexIndex.merge(
+          graft.ops.LexIndex.buildFrames(df.where(!split)),
+          graft.ops.LexIndex.buildFrames(df.where(split)))
+        def same(a: org.apache.spark.sql.DataFrame,
+                 b: org.apache.spark.sql.DataFrame, what: String): Unit = {
+          assert(a.exceptAll(b).count() === 0, s"corpus $ci $what a-b")
+          assert(b.exceptAll(a).count() === 0, s"corpus $ci $what b-a")
+        }
+        same(whole._1, merged._1, "tf")
+        same(whole._2, merged._2, "dl")
+        same(whole._3, merged._3, "df")
+        same(whole._4, merged._4, "stats")
+    }
+  }
+
   test("hybridFusedRecall equals driver-set arithmetic over the two " +
       "fusion engines' own outputs on generated corpora — the stats " +
       "row cannot drift from the lists it claims to compare") {
