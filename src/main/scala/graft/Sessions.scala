@@ -38,6 +38,10 @@ object Sessions {
     // deployment at fixture scale; a cluster keeps the 128 MB default.
     .config("spark.sql.files.maxPartitionBytes", "131072")
     .config("spark.sql.session.timeZone", "UTC")
+    // plan-string metadata (FileScan Location/PushedFilters) truncates
+    // at 100 chars by default — too short for the fingerprint-keyed
+    // store roots the plan pins assert on (…/graft-annindex-…/codes)
+    .config("spark.sql.maxMetadataStringLength", "256")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // managed (bucketed) tables land in tmp, not the project cwd

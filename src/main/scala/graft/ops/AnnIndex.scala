@@ -52,11 +52,15 @@ object AnnIndex {
 
   /** Stable store root for fixture `dir`; `tag` names the train
     * filter ("full" = whole-corpus quantizer, "base" = the q280/q282
-    * frozen base slice). */
+    * frozen base slice). The root carries a CONTENT fingerprint of
+    * the fixture ([[StoreCommit.fingerprint]]) as well as its path,
+    * so regenerated test data at the same path rebuilds instead of
+    * silently serving a stale index (r13 advice). */
   def root(dir: String, tag: String, k: Int, iters: Int, m: Int,
            codes: Int): String =
     sys.props("java.io.tmpdir") +
-      s"/graft-annindex-$V-${slug(dir)}-$tag-c$k-i$iters-m$m-k$codes"
+      s"/graft-annindex-$V-${slug(dir)}" +
+      s"-f${StoreCommit.fingerprint(dir)}-$tag-c$k-i$iters-m$m-k$codes"
 
   private val readMemo = new java.util.concurrent.ConcurrentHashMap[
     String, AnyRef]

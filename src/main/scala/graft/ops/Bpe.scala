@@ -169,12 +169,31 @@ object Bpe {
     * stats scan per merge — the standard lazy-heap optimization applies
     * at real vocabulary scale and changes nothing semantically.
     */
+  /** Driver-dictionary headroom bound for [[trainLocal]]: Heaps' law
+    * keeps natural-text dictionaries at ~10^6–10^7 distinct words even
+    * at 100 TB (SCALE.md), so 2×10^7 is real headroom — an adversarial
+    * corpus (unique IDs/URLs tokenized as words) blows past it and
+    * must FAIL LOUDLY here instead of OOMing the driver mid-collect
+    * (the q284 loud-failure convention, r13 verdict).
+    */
+  val MaxLocalDictWords = 20000000L
+
   def trainLocal(docs: DataFrame, textCol: String, merges: Int)
       : DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val dict = dictionary(docs, textCol)
-      .select(col("word"), col("f")).as[(String, Long)].collect()
+    // one corpus-scale pass: the dictionary is checkpointed, counted
+    // against the driver bound, THEN collected — the count reads the
+    // checkpoint, not the corpus again
+    val dictDf = dictionary(docs, textCol)
+      .select(col("word"), col("f")).localCheckpoint()
+    val n = dictDf.count()
+    require(n <= MaxLocalDictWords,
+      s"trainLocal dictionary has $n distinct words, over the " +
+        s"documented driver bound $MaxLocalDictWords (Heaps' law holds " +
+        "for natural text; unique-ID/URL-heavy corpora do not) — " +
+        "pre-filter the corpus or use the distributed trainer")
+    val dict = dictDf.as[(String, Long)].collect()
     localMerges(dict, merges)
       .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
       .orderBy("merge_rank")

@@ -429,7 +429,7 @@ object Curate {
     * /[[decontaminateAuto]]): an eval answer reworded in the training
     * set shares no 3-shingle, but its embedding sits next to the eval
     * doc's. Emits the audit pair list — (train_id, eval_id, sim) for
-    * every same-cell train/eval pair with floored cosine ≥ `threshold`,
+    * every probed-cell train/eval pair with floored cosine ≥ `threshold`,
     * ranked, top `topK` — the embedding-space sibling of the q285
     * provenance readout.
     *
@@ -443,23 +443,65 @@ object Curate {
     * TakeOrdered, never a single-partition window; ties cut by
     * (sim desc, train id, eval id).
     *
-    * Same-cell blocking trades recall for the never-all-pairs bound
+    * Cell blocking trades recall for the never-all-pairs bound
     * exactly as the paper does: a contaminated pair straddling a cell
-    * boundary is missed; raising k tightens cells (cost) while
-    * LOWERING boundary recall — the production knob is a multi-probe
-    * eval side (own ∪ p nearest cells, the topKIvf policy), which
-    * composes here by unioning probed copies of the eval side.
+    * boundary is missed by an own-cell-only scan — and
+    * [[semanticDeconRecall]] (q290) MEASURES that configuration at
+    * 0.29–0.46 recall on the fixtures, degrading with corpus size. So
+    * the production knob is `probes`: the eval side scans own cell ∪
+    * the nearest-centroid cells (the exact monotone topKIvf policy —
+    * own cell always, centroid-rank r enters at max(r, 2) ≤ probes,
+    * dedup), which is the SAME probe set q290's row p measures — read
+    * q290's table, pick probes, pass it here. probes = 1 keeps the
+    * own-cell-only scan (the SemDeDup paper's form, and the truth
+    * anchor q290 diffs against); the registered q289 ships probes = 2,
+    * the smallest measured-sane setting. Candidate cost stays bounded
+    * by probes × cell size per eval doc — never all-pairs.
     */
   def decontaminateSemantic(embCells: DataFrame, isEval: Column,
                             threshold: Double, topK: Int = 100,
                             idCol: String = "vec_id",
                             vecCol: String = "embedding",
-                            cellCol: String = "cell"): DataFrame = {
+                            cellCol: String = "cell",
+                            probes: Int = 2,
+                            probeCents: Option[DataFrame] = None)
+      : DataFrame = {
     require(topK >= 1, s"need topK >= 1, got $topK")
-    val ev = embCells.where(isEval)
+    require(probes >= 1, s"need probes >= 1, got $probes")
+    val evOwn = embCells.where(isEval)
       .select(col(cellCol).as("cell"), col(idCol).as("eval_id"),
         col(vecCol).as("ev_vec"))
       .withColumn("ev_norm", Sim.norm(col("ev_vec")))
+    val ev =
+      if (probes == 1) evOwn
+      else {
+        // rank cells by floored-9dp cosine of the eval vector to each
+        // cell centroid (ties to the lowest cell) — centroid-rank r
+        // enters the probe set at max(r, 2), exactly q290's policy, so
+        // the registered probes value is the one its measurement names.
+        // `probeCents` supplies STORED geometry (AnnIndex.probeCentroids
+        // — (cell, cv, cn), bit-identical to cellCentroids on the same
+        // postings) so the registered form ranks against the store
+        // instead of re-aggregating the corpus.
+        val cent = probeCents
+          .getOrElse(Sim.cellCentroids(embCells, cellCol, vecCol))
+        val pw = Window.partitionBy("eval_id")
+          .orderBy(col("csim").desc, col("cell").asc)
+        val ranked = evOwn
+          .select(col("eval_id"), col("ev_vec"), col("ev_norm"))
+          .crossJoin(broadcast(cent))
+          .withColumn("csim",
+            Num.floorAt(Sim.dot(col("ev_vec"), col("cv")) /
+              (col("ev_norm") * col("cn")), 9))
+          .withColumn("pr", row_number().over(pw))
+          .where(greatest(col("pr"), lit(2)) <= probes)
+          .select(col("cell"), col("eval_id"), col("ev_vec"),
+            col("ev_norm"))
+        // (ev_vec, ev_norm) identical across duplicates → the dedup is
+        // deterministic; a train vector lives in exactly ONE cell, so
+        // the probed union can never duplicate a (train, eval) pair
+        evOwn.unionByName(ranked).dropDuplicates("eval_id", "cell")
+      }
     val tr = embCells.where(!isEval)
       .select(col(cellCol).as("cell"), col(idCol).as("train_id"),
         col(vecCol).as("tr_vec"))

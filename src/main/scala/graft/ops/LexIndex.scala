@@ -34,9 +34,14 @@ object LexIndex {
     * the query side compute `pmod(hash(term), TermBuckets)`. */
   val TermBuckets = 64
 
+  /** Store root: path slug + content fingerprint of the fixture, so a
+    * regenerated fixture at the same path rebuilds the index instead
+    * of serving stale postings (r13 advice — same key policy as
+    * [[AnnIndex.root]]). */
   def root(dir: String): String =
     sys.props("java.io.tmpdir") +
-      s"/graft-lexindex-$V-${StoreCommit.slug(dir)}"
+      s"/graft-lexindex-$V-${StoreCommit.slug(dir)}" +
+      s"-f${StoreCommit.fingerprint(dir)}"
 
   private val ensureMemo = new java.util.concurrent.ConcurrentHashMap[
     String, String]
@@ -120,10 +125,26 @@ object LexIndex {
     * frames (term-keyed sum, k-row sum).
     */
   def merge(a: (DataFrame, DataFrame, DataFrame, DataFrame),
-            b: (DataFrame, DataFrame, DataFrame, DataFrame))
+            b: (DataFrame, DataFrame, DataFrame, DataFrame),
+            checkDisjoint: Boolean = true)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (tfA, dlA, dfA, stA) = a
     val (tfB, dlB, dfB, stB) = b
+    if (checkDisjoint) {
+      // overlapping document sets would double-count dl/df/n_docs and
+      // duplicate (id, term) postings — a corrupt index that still
+      // LOOKS valid. The guard is one id-keyed semi-join over the two
+      // per-doc length frames (each ~n_docs rows, tiny next to the
+      // postings), cut at the first witness; a production refresh that
+      // tracks disjointness upstream passes checkDisjoint = false
+      // (r13 advice: fail loudly, not silently).
+      val overlap = dlA.select("id")
+        .join(dlB.select("id"), Seq("id"), "left_semi").limit(1).count()
+      require(overlap == 0L,
+        "LexIndex.merge requires DISJOINT document sets: the two " +
+          "index-frame sets share at least one doc id — merging them " +
+          "would double-count dl/df/n_docs")
+    }
     (tfA.unionByName(tfB),
       dlA.unionByName(dlB),
       dfA.unionByName(dfB).groupBy("term")

@@ -1237,6 +1237,16 @@ object Sim {
     val base = emb.where(!isDelta)
     val cents = cacheKey match {
       case Some(key) =>
+        // the frozenBaseKey memo names the SHARED frozenDeltaSplit —
+        // centroids cached under it for any other split would poison
+        // every consumer of the frozen base (AnnIndex "base", the
+        // q282 stream gate). Loud failure beats silent reuse (r13
+        // advice).
+        require(isDelta.toString == frozenDeltaSplit.toString,
+          "cacheKey caches centroids under Sim.frozenBaseKey, which " +
+            "names the shared Sim.frozenDeltaSplit predicate; pass " +
+            "isDelta = Sim.frozenDeltaSplit or drop cacheKey for a " +
+            "custom split")
         kmeansCentroidsCached(base, k, iters, frozenBaseKey(key),
           idCol, vecCol)
       case None => kmeansCentroids(base, k, iters, idCol, vecCol)

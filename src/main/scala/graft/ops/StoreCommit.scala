@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.jdk.CollectionConverters._
+
 /** Write-once atomic publish shared by the physical index stores
   * ([[AnnIndex]], [[LexIndex]]): build into a pid-suffixed staging
   * directory, stamp `_DONE`, `Files.move(ATOMIC_MOVE)` to the stable
@@ -37,6 +39,49 @@ private[ops] object StoreCommit {
     target
   }
 
+  /** Readable path slug + a short md5 of the RAW dir string: the
+    * readable part collapses non-alphanumeric runs (so two distinct
+    * fixture dirs like `/a/sf0.1` and `/a-sf0.1` would collide on it),
+    * and the hash suffix makes the mapping injective — distinct dirs
+    * can never silently share a store root (r13 advice).
+    */
   private[ops] def slug(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9.]+", "-").replaceAll("^-|-$", "")
+    dir.replaceAll("[^A-Za-z0-9.]+", "-").replaceAll("^-|-$", "") +
+      "-" + md5Hex(dir).take(8)
+
+  private val fpMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Content fingerprint of a fixture directory: md5 over the sorted
+    * (relative-path, size, mtime) listing of every regular file under
+    * it, 8 hex chars. Folded into the durable store roots so a store
+    * is keyed by WHAT it indexed, not just where the fixture lived —
+    * regenerating the test data at the same path invalidates the
+    * store instead of silently serving stale centroids/postings (r13
+    * advice). The production analogue is keying an index by the
+    * source snapshot/version id, which object stores expose without a
+    * walk; locally a listing of a handful of parquet files is
+    * microseconds, memoized per JVM.
+    */
+  private[ops] def fingerprint(dir: String): String =
+    fpMemo.computeIfAbsent(dir, d => {
+      val root = java.nio.file.Paths.get(d)
+      val lines =
+        if (!java.nio.file.Files.isDirectory(root)) Seq(s"missing:$d")
+        else {
+          val s = java.nio.file.Files.walk(root)
+          try s.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(p => s"${root.relativize(p)}|${java.nio.file.Files
+              .size(p)}|${java.nio.file.Files
+              .getLastModifiedTime(p).toMillis}")
+            .toSeq.sorted
+          finally s.close()
+        }
+      md5Hex(lines.mkString("\n")).take(8)
+    })
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
 }

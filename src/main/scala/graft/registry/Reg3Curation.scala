@@ -709,13 +709,18 @@ private[graft] object Reg3Curation {
     // curation — SEMANTIC decontamination (Curate.decontaminateSemantic
     // scaladoc): the n-gram family (q114/q276/q286) is blind to
     // paraphrase contamination; this emits the embedding-space audit
-    // pairs — same-kmeans-cell train/eval pairs with cosine >= 0.25,
+    // pairs — probed-cell train/eval pairs with cosine >= 0.25,
     // top-100 — blocked on the SAME physical AnnIndex postings the ANN
-    // family reads, never all-pairs. The q285 provenance readout in
-    // embedding space; same eval split as the n-gram family.
+    // family reads, never all-pairs. The eval side probes own cell ∪
+    // the 2 nearest-centroid cells (probes = 2, the smallest setting
+    // q290's measurement rates sane — own-cell-only reads 0.29–0.46
+    // there) against the STORED probe geometry; the q285 provenance
+    // readout in embedding space, same eval split as the n-gram family.
     "q289_semantic_decontaminate" -> ((s, dir) =>
       Curate.decontaminateSemantic(graft.ops.AnnIndex.cells(s, dir),
-          isEval = col("vec_id") % 97 === 0, threshold = 0.25)
+          isEval = col("vec_id") % 97 === 0, threshold = 0.25,
+          probes = 2,
+          probeCents = Some(graft.ops.AnnIndex.probeCentroids(s, dir)))
         .orderBy(col("sim").desc, col("train_id"), col("eval_id"))),
 
 
@@ -1499,22 +1504,50 @@ private[graft] object Reg3Curation {
       // the q114 shingle join keeping the eval id; deterministic
       // TakeOrdered cut by (count desc, ids)
       // the kmeans chain (both Lloyd iterations replayed exactly) +
-      // same-cell train x eval cosine pairs, 4dp-floored, ranked cut —
-      // the engine reads the stored AnnIndex postings, which the
+      // the eval-side probe policy at probes = 2 (own cell ∪ the 2
+      // nearest-centroid cells by floored-9dp cosine, deduped — the
+      // exact monotone policy q290 measures) + probed-cell train x
+      // eval cosine pairs, 4dp-floored, ranked cut — the engine reads
+      // the stored AnnIndex postings + probe geometry, which the
       // restart-equivalence spec proves identical to this retrain
       "q289_semantic_decontaminate" ->
         s"""WITH $kmeansAfCte,
-           |ev AS (SELECT cell, vec_id AS eval_id, v AS evv
+           |ev AS MATERIALIZED (SELECT cell AS owncell,
+           |    vec_id AS eval_id, v AS evv,
+           |    sqrt(list_sum(list_transform(v, x -> x * x))) AS evn
            |  FROM af WHERE vec_id % 97 = 0),
-           |tr AS (SELECT cell, vec_id AS train_id, v AS trv
+           |tr AS (SELECT cell, vec_id AS train_id, v AS trv,
+           |    sqrt(list_sum(list_transform(v, x -> x * x))) AS trn
            |  FROM af WHERE NOT (vec_id % 97 = 0)),
-           |pr AS (SELECT train_id, eval_id,
+           |cm AS (SELECT cell, d.pos AS pos,
+           |    CAST(SUM(CAST(v[d.pos] AS DECIMAL(27,10))) AS DOUBLE)
+           |      / COUNT(*) AS m
+           |  FROM af CROSS JOIN range(1, 65) AS d(pos)
+           |  GROUP BY cell, d.pos),
+           |cent AS (SELECT cell,
+           |    list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS ce
+           |  FROM cm GROUP BY cell),
+           |centn AS (SELECT cell, ce,
+           |    sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn
+           |  FROM cent),
+           |centp AS (SELECT eval_id, cell FROM (
+           |  SELECT e.eval_id, c.cell,
+           |    row_number() OVER (PARTITION BY e.eval_id ORDER BY
+           |      ${Num.floorAtSql(
+             "list_sum(list_transform(range(1, 65)," +
+               " i -> e.evv[i] * c.ce[i])) / (e.evn * c.cn)", 9)} DESC,
+           |      c.cell ASC) AS pr
+           |  FROM ev e CROSS JOIN centn c) WHERE pr <= 2),
+           |ownp AS (SELECT eval_id, owncell AS cell FROM ev),
+           |probe AS (SELECT DISTINCT eval_id, cell
+           |  FROM (SELECT * FROM ownp UNION ALL SELECT * FROM centp)),
+           |pr AS (SELECT t.train_id, p.eval_id,
            |    floor((list_sum(list_transform(range(1, 65),
-           |        i -> trv[i] * evv[i]))
-           |      / (sqrt(list_sum(list_transform(trv, x -> x * x)))
-           |       * sqrt(list_sum(list_transform(evv, x -> x * x)))))
+           |        i -> t.trv[i] * e.evv[i])) / (t.trn * e.evn))
            |      * 10000) / 10000 AS sim
-           |  FROM tr JOIN ev USING (cell))
+           |  FROM tr t
+           |  JOIN probe p ON p.cell = t.cell
+           |  JOIN ev e ON e.eval_id = p.eval_id)
            |SELECT train_id, eval_id, sim FROM pr WHERE sim >= 0.25
            |ORDER BY sim DESC, train_id, eval_id LIMIT 100""".stripMargin,
 

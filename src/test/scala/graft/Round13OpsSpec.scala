@@ -234,14 +234,26 @@ class Round13OpsSpec extends SparkSpec {
         tfScan.get)
   }
 
-  test("q289 semantic decontamination is cell-blocked: key join only " +
-      "(no all-pairs operator anywhere) and the ranked cut is a " +
-      "distributed TakeOrdered, not a single-partition window") {
+  test("q289 semantic decontamination is cell-blocked and MULTI-PROBE: " +
+      "pair generation is a key join (no CartesianProduct; the only " +
+      "nested-loop join is the k-row stored probe-geometry broadcast), " +
+      "the probe ranking reads the AnnIndex probecents store, and the " +
+      "ranked cut is a distributed TakeOrdered, not a single-partition " +
+      "window") {
     val p = SparkEntry.queries("q289_semantic_decontaminate")(
         spark, dir)
       .queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // probes = 2 ranks eval vectors against the k-row stored centroid
+    // geometry — that broadcast NLJ (bounded by k, the same shape every
+    // multi-probe retriever here uses) is the ONLY one allowed; pair
+    // generation itself must stay a key join
+    val nlj = p.linesIterator
+      .count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj <= 1, s"expected at most the centroid-geometry NLJ:\n" +
+      p.take(2000))
+    assert(p.contains("/probecents"),
+      s"probe ranking must read the stored geometry:\n${p.take(2000)}")
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 

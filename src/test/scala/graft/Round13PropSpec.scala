@@ -61,7 +61,7 @@ class Round13PropSpec extends SparkSpec {
         .sortBy(t => (-t._3, t._1, t._2)).take(topK)
       val got = Curate.decontaminateSemantic(cells,
           isEval = col("vec_id") % 7 === 0, threshold = threshold,
-          topK = topK)
+          topK = topK, probes = 1)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       assert(got.toSeq === expect, s"corpus $ci diverged")
     }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-14 additions: the multi-probe semantic-decontamination
+  * default (q289 at probes = 2 — the r13 weak mark), the durable
+  * AnnIndex delta-append lifecycle, the fused-recall knob sweep, and
+  * the corpus-scaled quantizer-cell policy.
+  */
+class Round14OpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("decontaminateSemantic multi-probe catches the cell-boundary " +
+      "contamination own-cell-only provably misses: an eval doc whose " +
+      "exact train twin sits in a NEIGHBORING cell is found at " +
+      "probes = 2 and lost at probes = 1") {
+    import spark.implicits._
+    // hand-assigned cells (embCells arrives pre-assigned by contract):
+    // eval 100 sits in cell 0, its EXACT duplicate train 2 in cell 1 —
+    // the pair straddles the cell boundary, the precise failure mode
+    // q290 measures at 0.29-0.46 recall for the own-cell-only scan
+    val frame = Seq(
+      (1L, Seq(1.0f, 0.1f), 0),
+      (2L, Seq(0.96f, 0.28f), 1),
+      (3L, Seq(0.2f, 1.0f), 1),
+      (100L, Seq(0.96f, 0.28f), 0))
+      .toDF("vec_id", "embedding", "cell")
+    val isEval = col("vec_id") >= 100
+    val p1 = ops.Curate.decontaminateSemantic(frame, isEval,
+        threshold = 0.999, probes = 1)
+      .collect()
+    assert(p1.isEmpty,
+      "own-cell-only must MISS the boundary pair (that miss is the " +
+        s"whole point of the probes knob): ${p1.mkString(",")}")
+    val p2 = ops.Curate.decontaminateSemantic(frame, isEval,
+        threshold = 0.999, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(p2.toSeq === Seq((2L, 100L, 1.0)),
+      "probes = 2 must find the exact twin across the boundary")
+  }
+
+  test("registered q289 IS the probed engine: it equals a direct " +
+      "decontaminateSemantic(probes = 2) over the stored postings + " +
+      "stored probe geometry, and the probed pair scan is a strict " +
+      "superset of the own-cell scan's candidates on the fixture") {
+    val got = SparkEntry.queries("q289_semantic_decontaminate")(
+      spark, dir).collect().toSeq
+    val direct = ops.Curate.decontaminateSemantic(
+        ops.AnnIndex.cells(spark, dir),
+        isEval = col("vec_id") % 97 === 0, threshold = 0.25, probes = 2,
+        probeCents = Some(ops.AnnIndex.probeCentroids(spark, dir)))
+      .orderBy(col("sim").desc, col("train_id"), col("eval_id"))
+      .collect().toSeq
+    assert(got === direct)
+    // the fix must be REAL on the fixture: the probed form sees pairs
+    // the own-cell form cannot (before the ranked cut both are
+    // supersets; compare the uncut pair sets via a generous topK)
+    val own = ops.Curate.decontaminateSemantic(
+        ops.AnnIndex.cells(spark, dir),
+        isEval = col("vec_id") % 97 === 0, threshold = 0.25, probes = 1,
+        topK = 1000000)
+      .select("train_id", "eval_id")
+    val probed = ops.Curate.decontaminateSemantic(
+        ops.AnnIndex.cells(spark, dir),
+        isEval = col("vec_id") % 97 === 0, threshold = 0.25, probes = 2,
+        topK = 1000000)
+      .select("train_id", "eval_id")
+    assert(own.exceptAll(probed).count() === 0,
+      "probed candidates must be a superset of own-cell candidates")
+    assert(probed.exceptAll(own).count() > 0,
+      "probes = 2 must add boundary pairs on the fixture — otherwise " +
+        "the registered default is still the half-blind one")
+  }
+}
