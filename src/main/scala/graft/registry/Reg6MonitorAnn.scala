@@ -1004,7 +1004,23 @@ private[graft] object Reg6MonitorAnn {
         coded = Some((graft.ops.AnnIndex.codes(s, dir),
           graft.ops.AnnIndex.probeCentroids(s, dir))),
         lexStore = Some(graft.ops.LexIndex.frames(s, dir)))
-    })
+    }),
+
+
+    // ANN — the index-maintenance lifecycle CLOSED (AnnIndex append
+    // history scaladoc, the q292 story for the ANN side): the delta
+    // slice is assigned + PQ-encoded under the frozen STORED
+    // quantizer and FOLDED into the standing postings as a new
+    // atomically-published version — v1 = v0's published bytes
+    // (standing postings never move) ∪ the encoded delta; v0 stays
+    // readable (time-travel). Summarizing the merged head binds
+    // q280's oracle string: one contract, THREE engines — in-memory
+    // monitor (q280), streaming gate (q282), stored merge (this).
+    "q293_ann_index_append" -> ((s, dir) =>
+      Sim.ivfSummarize(
+        graft.ops.AnnIndex.postingsAsOf(s, dir, version = 1L)
+          .select(col("is_delta"), col("cell"), col("sim_e9")), k = 8)
+        .orderBy("cell"))
   )
 
   private val upsertSinkOracleSql: String =
@@ -2517,7 +2533,10 @@ private[graft] object Reg6MonitorAnn {
       // integer sums on the 0..7 grid — ONE string for the batch (q280)
       // and streaming-append (q282) engines
       "q280_ivf_frozen_append" -> ivfFrozenOracleSql,
-      "q282_stream_ivf_append" -> ivfFrozenOracleSql
+      "q282_stream_ivf_append" -> ivfFrozenOracleSql,
+      // the stored-merge engine summarizes to the SAME contract as
+      // the in-memory and streaming frozen-append engines
+      "q293_ann_index_append" -> ivfFrozenOracleSql
   )
 
   private val ivfFrozenOracleSql: String =

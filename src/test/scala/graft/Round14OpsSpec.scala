@@ -72,4 +72,44 @@ class Round14OpsSpec extends SparkSpec {
       "probes = 2 must add boundary pairs on the fixture — otherwise " +
         "the registered default is still the half-blind one")
   }
+
+  test("AnnIndex append history: v0 is the standing index only, the " +
+      "append NEVER moves standing postings (v1's base rows are v0's " +
+      "rows exactly), the delta rows are the frozen-quantizer encoder " +
+      "output, and the merged head summarizes to the in-memory " +
+      "frozen-append monitor — one contract, three engines") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val v0 = ops.AnnIndex.postingsAsOf(spark, dir, 0L)
+    val v1 = ops.AnnIndex.postingsAsOf(spark, dir, 1L)
+    assert(v0.where(col("is_delta")).count() === 0,
+      "v0 must hold the pre-append standing index only")
+    val v1base = v1.where(!col("is_delta"))
+    assert(v1base.exceptAll(v0).count() === 0 &&
+      v0.exceptAll(v1base).count() === 0,
+      "an append must not reassign or rewrite standing postings")
+    // delta rows = the deterministic assign+encode under the stored
+    // frozen quantizer (read-back ≡ rebuild — the restart contract)
+    val deltaExpect = ops.AnnIndex.assignUnderStored(spark, dir,
+        emb.where(ops.Sim.frozenDeltaSplit))
+      .withColumn("is_delta", lit(true))
+      .select(v1.columns.map(col): _*)
+    val v1delta = v1.where(col("is_delta"))
+    assert(v1delta.exceptAll(deltaExpect).count() === 0 &&
+      deltaExpect.exceptAll(v1delta).count() === 0)
+    // the merged head serves q280's exact contract
+    val merged = ops.Sim.ivfSummarize(
+        v1.select(col("is_delta"), col("cell"), col("sim_e9")), 8)
+      .orderBy("cell").collect().toSeq
+    val inMemory = ops.Sim.ivfFrozenAppendStored(emb,
+        ops.Sim.frozenDeltaSplit,
+        ops.AnnIndex.centroids(spark, dir, "base"), k = 8)
+      .orderBy("cell").collect().toSeq
+    assert(merged === inMemory)
+    // time-travel: v0's summary is the delta-free monitor
+    val v0sum = ops.Sim.ivfSummarize(
+        v0.select(col("is_delta"), col("cell"), col("sim_e9")), 8)
+      .collect()
+    assert(v0sum.forall(r => r.getLong(2) === 0L && r.getLong(4) === 0L),
+      "the pre-append version must show zero delta mass")
+  }
 }
