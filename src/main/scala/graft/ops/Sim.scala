@@ -2169,4 +2169,125 @@ object Sim {
           Num.floorAt(col("n_hits").cast("double") / col("n_truth"), 4))
           .as("recall"))
   }
+
+  /** [[hybridFusedRecall]] as a KNOB SWEEP — the q229/q231/q232
+    * discipline applied to the fusion's two knobs at once: fused
+    * recall@k of the IVF-ADC-armed hybrid vs the brute-armed fused
+    * truth for every (probes, listK) in [1, maxProbes] × listKs, so
+    * production buys the remaining fused loss back with numbers
+    * instead of guessing which knob to turn (r13 verdict: q288 reads
+    * one point, 0.54–0.56 at probes = 2 / listK = 20 — this is the
+    * surface around it).
+    *
+    * Scale shape — the sweep costs ONE pass per retriever, not one
+    * per config:
+    *   - the lexical arm and the brute dense arm run once at
+    *     max(listKs); a shorter list is a PREFIX of a longer one
+    *     under the same deterministic ordering, so every smaller
+    *     listK is a filter, not a re-retrieval;
+    *   - the ADC arm scans the code store ONCE with the pmin
+    *     annotation (own cell 1, centroid rank r at max(r, 2) — the
+    *     [[ivfAdcRecallSweep]] machinery) and ranks per probe count
+    *     from that one candidate set;
+    *   - all fusions and stats run on rank-list-sized frames
+    *     (≤ maxProbes·|Q|·max listK rows — tiny by construction).
+    *
+    * Output: (probes, list_k, n_truth, n_approx, n_hits, recall) —
+    * one row per config, recall floored 4 dp.
+    */
+  def hybridFusedRecallSweep(docs: DataFrame, embCells: DataFrame,
+                             books: IndexedSeq[IndexedSeq[Seq[Float]]],
+                             nQueries: Int = 10,
+                             listKs: Seq[Int] = Seq(10, 20, 40),
+                             maxProbes: Int = 4, rrfC: Int = 60,
+                             k: Int = 5, docId: String = "doc_id",
+                             textCol: String = "text",
+                             vecId: String = "vec_id",
+                             vecCol: String = "embedding",
+                             cellCol: String = "cell",
+                             cacheKey: Option[String] = None,
+                             coded: Option[(DataFrame, DataFrame)] = None,
+                             lexStore: Option[(DataFrame, DataFrame,
+                               DataFrame, DataFrame)] = None)
+      : DataFrame = {
+    require(listKs.nonEmpty && listKs.forall(_ >= k),
+      s"each listK must be >= k=$k, got $listKs")
+    require(maxProbes >= 1, s"need maxProbes >= 1, got $maxProbes")
+    val maxK = listKs.max
+    val lexAll = hybridLexArmCached(docs, nQueries, maxK, docId,
+      textCol, cacheKey, lexStore) match {
+      case cached if cacheKey.isDefined => cached // parquet-backed
+      case fresh => fresh.localCheckpoint()
+    }
+    val queries = embCells.where(col(vecId) < nQueries)
+    val bruteAll = topK(queries, embCells, maxK, vecId, vecCol)
+      .select(col("q_id").cast("long"), col("c_id").cast("long"),
+        col("rk").as("rk_emb"))
+      .localCheckpoint()
+    // ADC candidates from ONE code-store scan, pmin-annotated
+    val sub = books.head.head.size
+    val own = qSide(queries, vecId, vecCol, Seq(cellCol -> "cell"))
+      .withColumn("pmin", lit(1))
+    val cent = (coded match {
+      case Some((_, probeCents)) =>
+        probeRankedOver(queries, probeCents, vecId, vecCol)
+      case None =>
+        probeRanked(queries, embCells, cellCol, vecId, vecCol)
+    }).where(col("pr") <= maxProbes)
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("cell"),
+        greatest(col("pr"), lit(2)).as("pmin"))
+    val luts = books.indices.map { s =>
+      pqLut(slice(col("q_vec"), s * sub + 1, sub), books(s))
+        .as(s"lut_$s")
+    }
+    val probed = own.unionByName(cent)
+      .groupBy(col("q_id"), col("cell"))
+      .agg(min(col("pmin")).as("pmin"), first(col("q_vec")).as("q_vec"))
+      .select((Seq(col("q_id"), col("cell"), col("pmin")) ++ luts): _*)
+    val codesDf = (coded match {
+      case Some((c, _)) => c
+      case None => pqEncode(embCells, books, vecId, vecCol,
+        keep = Seq(cellCol))
+    }).withColumnRenamed(vecId, "c_id")
+      .withColumnRenamed(cellCol, "cell")
+    val dist = books.indices.map(s =>
+        element_at(col(s"lut_$s"), col(s"code_$s").cast("int") + lit(1)))
+      .reduceLeft(_ + _)
+    val scored = codesDf.join(broadcast(probed), Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("pmin"),
+        Num.floorAt(dist, 9).as("dist"))
+    val adcPerP = perProbeTopK(scored, col("dist").asc, maxK, maxProbes)
+      .select(col("p"), col("q_id").cast("long"),
+        col("c_id").cast("long"), col("rk").as("rk_emb"))
+      .localCheckpoint()
+    // per-config fusion + stats: every frame below is rank-list-sized
+    val stats = listKs.sorted.flatMap { lk =>
+      val lexLk = lexAll.where(col("rk_lex") <= lk)
+      val truth = rrfFuse(lexLk, bruteAll.where(col("rk_emb") <= lk),
+          rrfC, k)
+        .select(col("q_id"), col("c_id"))
+        .withColumn("__hit", lit(true))
+        .localCheckpoint()
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      (1 to maxProbes).map { p =>
+        rrfFuse(lexLk,
+            adcPerP.where(col("p") === p && col("rk_emb") <= lk)
+              .select(col("q_id"), col("c_id"), col("rk_emb")),
+            rrfC, k)
+          .select(col("q_id"), col("c_id"))
+          .join(truth, Seq("q_id", "c_id"), "left")
+          .agg(count(lit(1)).as("n_approx"),
+            coalesce(sum(when(col("__hit"), 1L).otherwise(0L)), lit(0L))
+              .as("n_hits"))
+          .crossJoin(broadcast(nT))
+          .select(lit(p).as("probes"), lit(lk).as("list_k"),
+            col("n_truth"), col("n_approx"), col("n_hits"),
+            when(col("n_truth") === 0, lit(1.0)).otherwise(
+              Num.floorAt(col("n_hits").cast("double") /
+                col("n_truth"), 4)).as("recall"))
+      }
+    }
+    stats.reduceLeft(_ unionByName _)
+  }
 }

@@ -202,9 +202,9 @@ private[graft] object Fragments {
 
     /** BM25 lexical arm (Text.bm25RetrieveDf's exact scoring chain):
       * documents < 10 as their own queries, self excluded — ends in
-      * `lex(q_id, c_id, rk_lex)`, rk_lex <= 20. MATERIALIZED: q288
-      * fuses it twice. */
-    val hybridLexCte: String =
+      * `lex(q_id, c_id, rk_lex)`, rk_lex <= maxK. MATERIALIZED: q288
+      * fuses it twice, q294 twelve times. */
+    def hybridLexCteK(maxK: Int): String =
       s"""lq AS (SELECT doc_id AS query_id, $clean AS c
          |  FROM documents WHERE doc_id < 10),
          |qt AS (SELECT query_id, UNNEST(list_distinct($cleanToks))
@@ -236,12 +236,14 @@ private[graft] object Fragments {
          |  FROM sc WHERE id <> query_id),
          |lex AS MATERIALIZED (SELECT query_id AS q_id, id AS c_id,
          |    CAST(rk AS INTEGER) AS rk_lex
-         |  FROM lr WHERE rk <= 20)""".stripMargin
+         |  FROM lr WHERE rk <= $maxK)""".stripMargin
+
+    val hybridLexCte: String = hybridLexCteK(20)
 
     /** Brute cosine dense arm (Sim.topK's 4dp-floored ranking) — the
       * ground-truth retriever; ends in `denb(q_id, c_id, rk_emb)`,
-      * rk_emb <= 20. */
-    val hybridDenseBruteCte: String =
+      * rk_emb <= maxK. */
+    def hybridDenseBruteCteK(maxK: Int): String =
       s"""eq AS (SELECT vec_id AS q_id, embedding AS qv
          |  FROM embeddings WHERE vec_id < 10),
          |ec AS (SELECT vec_id AS c_id, embedding AS cv
@@ -262,7 +264,9 @@ private[graft] object Fragments {
          |    AS rk
          |  FROM es),
          |denb AS (SELECT q_id, c_id, CAST(rk AS INTEGER) AS rk_emb
-         |  FROM er WHERE rk <= 20)""".stripMargin
+         |  FROM er WHERE rk <= $maxK)""".stripMargin
+
+    val hybridDenseBruteCte: String = hybridDenseBruteCteK(20)
 
     /** IVF-ADC dense arm (Sim.topKIvfAdc: own cell ∪ 2 nearest-centroid
       * cells, ADC over the m=4/k=8 PQ codes) — ends in
@@ -326,6 +330,107 @@ private[graft] object Fragments {
          |  FROM (SELECT q_id, c_id, rk_lex, rk_emb, rrf, row_number()
          |      OVER (PARTITION BY q_id ORDER BY rrf DESC, c_id) AS rk
          |    FROM f$out) WHERE rk <= 5)""".stripMargin
+
+    /** IVF-ADC dense arm as a PER-PROBE-COUNT sweep (q294): identical
+      * probe geometry and ADC ranking to [[hybridDenseAdcCte]], but
+      * candidates carry pmin (own cell 1, centroid rank r at
+      * max(r, 2)) and are ranked once per probe count p — ends in
+      * `denas(p, q_id, c_id, rk_emb)`, rk_emb <= maxK, p in
+      * [1, maxProbes]. Requires `af` and pqChainsSql(4, 8, 16, 2)
+      * in scope. */
+    def hybridDenseAdcSweepCte(maxProbes: Int, maxK: Int): String = {
+      val ps = (1 to maxProbes).map(p => s"($p)").mkString(", ")
+      s"""cm AS (SELECT cell, d.pos AS pos,
+         |    CAST(SUM(CAST(v[d.pos] AS DECIMAL(27,10))) AS DOUBLE)
+         |      / COUNT(*) AS m
+         |  FROM af CROSS JOIN range(1, 65) AS d(pos)
+         |  GROUP BY cell, d.pos),
+         |cent AS (SELECT cell,
+         |    list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS ce
+         |  FROM cm GROUP BY cell),
+         |centn AS (SELECT cell, ce,
+         |    sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn
+         |  FROM cent),
+         |qn AS (SELECT vec_id AS q_id, cell AS owncell, v AS qv,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm
+         |  FROM af WHERE vec_id < 10),
+         |centp AS (SELECT q_id, cell, GREATEST(pr, 2) AS pmin FROM (
+         |  SELECT n.q_id, t.cell,
+         |    row_number() OVER (PARTITION BY n.q_id ORDER BY
+         |      ${Num.floorAtSql(
+             "list_sum(list_transform(range(1, 65)," +
+               " i -> n.qv[i] * t.ce[i])) / (n.qnorm * t.cn)", 9)} DESC,
+         |      t.cell ASC) AS pr
+         |  FROM qn n CROSS JOIN centn t) WHERE pr <= $maxProbes),
+         |ownp AS (SELECT q_id, owncell AS cell, 1 AS pmin FROM qn),
+         |probe AS (SELECT q_id, cell, MIN(pmin) AS pmin
+         |  FROM (SELECT * FROM ownp UNION ALL SELECT * FROM centp)
+         |  GROUP BY q_id, cell),
+         |adcp AS MATERIALIZED (SELECT p.q_id, kc.vec_id AS c_id,
+         |    p.pmin,
+         |    floor((qd0.d + qd1.d + qd2.d + qd3.d) * 1000000000) AS dk
+         |  FROM pcodes kc
+         |  JOIN af cl ON cl.vec_id = kc.vec_id
+         |  JOIN probe p ON p.cell = cl.cell
+         |  JOIN pqd_0 qd0 ON qd0.q_id = p.q_id AND qd0.code = kc.k0
+         |  JOIN pqd_1 qd1 ON qd1.q_id = p.q_id AND qd1.code = kc.k1
+         |  JOIN pqd_2 qd2 ON qd2.q_id = p.q_id AND qd2.code = kc.k2
+         |  JOIN pqd_3 qd3 ON qd3.q_id = p.q_id AND qd3.code = kc.k3
+         |  WHERE p.q_id <> kc.vec_id),
+         |denas AS MATERIALIZED (SELECT p, q_id, c_id,
+         |    CAST(rk AS INTEGER) AS rk_emb
+         |  FROM (
+         |    SELECT pp.p, a.q_id, a.c_id,
+         |      row_number() OVER (PARTITION BY pp.p, a.q_id
+         |        ORDER BY a.dk ASC, a.c_id ASC) AS rk
+         |    FROM (VALUES $ps) pp(p)
+         |    JOIN adcp a ON a.pmin <= pp.p) WHERE rk <= $maxK)"""
+        .stripMargin
+    }
+
+    /** The q294 fusion + stats tail: for each listK, fuse the sliced
+      * lexical and brute arms into the truth top-5; for each
+      * (p, listK), fuse the per-p ADC arm the same way and hit-count
+      * against that truth — one row per config, recall floored 4 dp.
+      * Requires `lex` (rk_lex <= max listK), `denb` (rk_emb <= max
+      * listK) and `denas` in scope; rrfC = 60, fused k = 5 (the
+      * q279/q287/q288 constants). */
+    def fusedSweepTailSql(maxProbes: Int, listKs: Seq[Int]): String = {
+      def fuse(lk: Int, den: String, out: String) =
+        s"""f$out AS (SELECT q_id, c_id, rk_lex, rk_emb,
+           |    COALESCE(1.0 / (60 + rk_lex), 0.0)
+           |      + COALESCE(1.0 / (60 + rk_emb), 0.0) AS rrf
+           |  FROM (SELECT * FROM lex WHERE rk_lex <= $lk) lx
+           |  FULL JOIN ($den) dn USING (q_id, c_id)),
+           |$out AS MATERIALIZED (SELECT q_id, c_id FROM (
+           |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY rrf DESC, c_id) AS rk
+           |  FROM f$out) WHERE rk <= 5)""".stripMargin
+      val truths = listKs.map { lk =>
+        fuse(lk, s"SELECT q_id, c_id, rk_emb FROM denb " +
+          s"WHERE rk_emb <= $lk", s"rtr$lk") +
+          s",\nntr$lk AS (SELECT COUNT(*) AS n_truth FROM rtr$lk)"
+      }
+      val approxes = for { lk <- listKs; p <- 1 to maxProbes } yield
+        fuse(lk, s"SELECT q_id, c_id, rk_emb FROM denas " +
+          s"WHERE p = $p AND rk_emb <= $lk", s"rap${p}_$lk")
+      val rows = for { lk <- listKs; p <- 1 to maxProbes } yield
+        s"""SELECT CAST($p AS INTEGER) AS probes,
+           |  CAST($lk AS INTEGER) AS list_k,
+           |  CAST((SELECT n_truth FROM ntr$lk) AS BIGINT) AS n_truth,
+           |  CAST(COUNT(*) AS BIGINT) AS n_approx,
+           |  CAST(COUNT(b.q_id) AS BIGINT) AS n_hits,
+           |  CASE WHEN (SELECT n_truth FROM ntr$lk) = 0 THEN 1.0
+           |       ELSE ${Num.floorAtSql(
+             s"CAST(COUNT(b.q_id) AS DOUBLE)" +
+               s" / (SELECT n_truth FROM ntr$lk)", 4)}
+           |  END AS recall
+           |FROM rap${p}_$lk a LEFT JOIN rtr$lk b
+           |  ON b.q_id = a.q_id AND b.c_id = a.c_id""".stripMargin
+      (truths ++ approxes).mkString(",\n") +
+        "\nSELECT * FROM (\n" + rows.mkString("\nUNION ALL\n") +
+        "\n) ORDER BY probes, list_k"
+    }
 
     // ONE Spearman oracle for BOTH engines (q209 windowed raw-frame,
     // q230 domain-reduced + joint-domain joins): average ranks from

@@ -1020,7 +1020,26 @@ private[graft] object Reg6MonitorAnn {
       Sim.ivfSummarize(
         graft.ops.AnnIndex.postingsAsOf(s, dir, version = 1L)
           .select(col("is_delta"), col("cell"), col("sim_e9")), k = 8)
-        .orderBy("cell"))
+        .orderBy("cell")),
+
+
+    // ANN/retrieval — the fusion knobs swept the way q229/q231/q232
+    // swept the dense ones (Sim.hybridFusedRecallSweep scaladoc):
+    // fused recall@5 of the IVF-ADC-armed hybrid vs the brute-armed
+    // fused truth over probes ∈ 1..4 × listK ∈ {10,20,40} — q288
+    // reads one point (0.54–0.56 at p=2/listK=20); this is the
+    // surface a search team reads to buy the rest back. One pass per
+    // retriever: arms run once at listK=40 (smaller lists are
+    // prefixes), the ADC arm pmin-slices ONE code-store scan.
+    "q294_fused_recall_sweep" -> ((s, dir) => {
+      val km = graft.ops.AnnIndex.cells(s, dir)
+      Sim.hybridFusedRecallSweep(t(s, dir, "documents"), km,
+          graft.ops.AnnIndex.books(s, dir), cacheKey = Some(dir),
+          coded = Some((graft.ops.AnnIndex.codes(s, dir),
+            graft.ops.AnnIndex.probeCentroids(s, dir))),
+          lexStore = Some(graft.ops.LexIndex.frames(s, dir)))
+        .orderBy("probes", "list_k")
+    })
   )
 
   private val upsertSinkOracleSql: String =
@@ -2536,7 +2555,19 @@ private[graft] object Reg6MonitorAnn {
       "q282_stream_ivf_append" -> ivfFrozenOracleSql,
       // the stored-merge engine summarizes to the SAME contract as
       // the in-memory and streaming frozen-append engines
-      "q293_ann_index_append" -> ivfFrozenOracleSql
+      "q293_ann_index_append" -> ivfFrozenOracleSql,
+
+      // the full sweep replay: kmeans + PQ chains once, the per-p ADC
+      // rank lists from ONE pmin-annotated candidate set, lex + brute
+      // arms at listK=40 (smaller listKs are prefix filters), then
+      // 12 fusion/stat tails — the q288 oracle generalized to the grid
+      "q294_fused_recall_sweep" ->
+        s"""WITH $kmeansAfCte,
+           |${pqChainsSql(4, 8, 16, 2)},
+           |${hybridDenseAdcSweepCte(4, 40)},
+           |${hybridLexCteK(40)},
+           |${hybridDenseBruteCteK(40)},
+           |${fusedSweepTailSql(4, Seq(10, 20, 40))}""".stripMargin
   )
 
   private val ivfFrozenOracleSql: String =

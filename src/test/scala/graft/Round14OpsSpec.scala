@@ -112,4 +112,29 @@ class Round14OpsSpec extends SparkSpec {
     assert(v0sum.forall(r => r.getLong(2) === 0L && r.getLong(4) === 0L),
       "the pre-append version must show zero delta mass")
   }
+
+  test("hybridFusedRecallSweep's (probes=2, listK=20) cell IS q288's " +
+      "single measurement — the sweep surface and the point estimate " +
+      "are one engine, and every config emits exactly one row") {
+    val km = ops.AnnIndex.cells(spark, dir)
+    val books = ops.AnnIndex.books(spark, dir)
+    val docs = Tables.load(spark, dir, "documents")
+    val coded = Some((ops.AnnIndex.codes(spark, dir),
+      ops.AnnIndex.probeCentroids(spark, dir)))
+    val lexStore = Some(ops.LexIndex.frames(spark, dir))
+    val sweep = ops.Sim.hybridFusedRecallSweep(docs, km, books,
+        cacheKey = Some(dir), coded = coded, lexStore = lexStore)
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(sweep.size === 12, "4 probes x 3 listKs, one row each")
+    val point = ops.Sim.hybridFusedRecall(docs, km, books,
+        cacheKey = Some(dir), coded = coded, lexStore = lexStore)
+      .collect().head
+    assert(sweep((2, 20)) ===
+      ((point.getLong(0), point.getLong(1), point.getLong(2),
+        point.getDouble(3))),
+      "the sweep's (2, 20) cell must equal the q288 point estimate")
+  }
 }
