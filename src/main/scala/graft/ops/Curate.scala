@@ -608,6 +608,51 @@ object Curate {
             col("n_truth"), 4)).as("recall"))
   }
 
+  /** The quantizer-cell-count POLICY measured (r13 verdict #5): q290
+    * shows boundary recall at FIXED k = 8 cells degrading as the
+    * corpus grows; the standard IVF sizing rule is k ∝ √n. This runs
+    * the [[semanticDeconRecall]] harness under BOTH policies on the
+    * same corpus — k = 8 (the family's fixture constant) and
+    * k = ⌈√n⌉ (n from a one-scalar count preflight, the q233
+    * dispatcher discipline) — so the driver's three scale factors
+    * trace recall-vs-scale for each policy side by side: the
+    * measurement that justifies (or refutes) scaling k with the
+    * corpus, instead of assuming the rule.
+    *
+    * Scale shape: the preflight is one COUNT scalar; each policy costs
+    * one deterministic kmeans train (k·dim driver floats — 45×64 at
+    * sf0.1, still bounded driver state) + the cell-blocked pair scan;
+    * the brute all-pairs truth inside the harness is the q40-role
+    * anchor, not the production path.
+    *
+    * Output: (policy, k, probes, n_truth, n_approx, n_hits, recall) —
+    * one row per policy × probe count.
+    */
+  def semanticDeconRecallScaledK(emb: DataFrame, isEval: Column,
+                                 threshold: Double, maxProbes: Int = 2,
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding",
+                                 cacheKey: Option[String] = None)
+      : DataFrame = {
+    require(maxProbes >= 1, s"need maxProbes >= 1, got $maxProbes")
+    val n = emb.count() // the one driver scalar — the sizing preflight
+    val kScaled = math.ceil(math.sqrt(n.toDouble)).toInt
+    // checkpoint each policy's assigned frame: the recall harness
+    // reads it three times (train side, eval side, probe geometry) and
+    // the scaled argmax is a k·dim-literal projection worth paying once
+    def cellsAt(k: Int) = (cacheKey match {
+      case Some(key) =>
+        Sim.kmeansCellsCached(emb, k, 2, key, idCol, vecCol)
+      case None => Sim.kmeansCells(emb, k, 2, idCol, vecCol)
+    }).localCheckpoint()
+    def run(k: Int, policy: String) =
+      semanticDeconRecall(cellsAt(k), isEval, threshold, maxProbes,
+          idCol, vecCol)
+        .select(lit(policy).as("policy"), lit(k).as("k"), col("probes"),
+          col("n_truth"), col("n_approx"), col("n_hits"), col("recall"))
+    run(8, "fixed8").unionByName(run(kScaled, "scaled_sqrt"))
+  }
+
   /** Deterministic md5-derived uniform fraction of an id in [0, 1):
     * first 8 md5 nibbles / 2^32. No PRNG state → reproducible across
     * engines (DuckDB oracle replays it nibble-for-nibble) and across

@@ -2261,33 +2261,56 @@ object Sim {
       .select(col("p"), col("q_id").cast("long"),
         col("c_id").cast("long"), col("rk").as("rk_emb"))
       .localCheckpoint()
-    // per-config fusion + stats: every frame below is rank-list-sized
-    val stats = listKs.sorted.flatMap { lk =>
-      val lexLk = lexAll.where(col("rk_lex") <= lk)
-      val truth = rrfFuse(lexLk, bruteAll.where(col("rk_emb") <= lk),
-          rrfC, k)
-        .select(col("q_id"), col("c_id"))
-        .withColumn("__hit", lit(true))
-        .localCheckpoint()
-      val nT = truth.agg(count(lit(1)).as("n_truth"))
-      (1 to maxProbes).map { p =>
-        rrfFuse(lexLk,
-            adcPerP.where(col("p") === p && col("rk_emb") <= lk)
-              .select(col("q_id"), col("c_id"), col("rk_emb")),
-            rrfC, k)
-          .select(col("q_id"), col("c_id"))
-          .join(truth, Seq("q_id", "c_id"), "left")
-          .agg(count(lit(1)).as("n_approx"),
-            coalesce(sum(when(col("__hit"), 1L).otherwise(0L)), lit(0L))
-              .as("n_hits"))
-          .crossJoin(broadcast(nT))
-          .select(lit(p).as("probes"), lit(lk).as("list_k"),
-            col("n_truth"), col("n_approx"), col("n_hits"),
-            when(col("n_truth") === 0, lit(1.0)).otherwise(
-              Num.floorAt(col("n_hits").cast("double") /
-                col("n_truth"), 4)).as("recall"))
-      }
-    }
-    stats.reduceLeft(_ unionByName _)
+    // ALL configs fuse in ONE plan: slice each arm per config by an
+    // explode (a shorter list is a filter of the longer one), key the
+    // full-outer fusion join and the top-k window by the config
+    // columns — two windows total instead of one fused branch per
+    // config (per-config branches priced at ~5 s of pure plan/codegen
+    // fixed cost at ANY data size; the exploded frames stay
+    // rank-list-sized: ≤ configs × |Q| × max listK rows)
+    val lks = typedLit(listKs.sorted)
+    def rrf: Column =
+      (coalesce(lit(1.0) / (lit(rrfC) + col("rk_lex")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfC) + col("rk_emb")), lit(0.0)))
+        .as("rrf")
+    val lexLk = lexAll.withColumn("lk", explode(lks))
+      .where(col("rk_lex") <= col("lk"))
+    val truth = Agg.topNPerGroup(
+        lexLk.join(
+            bruteAll.withColumn("lk", explode(lks))
+              .where(col("rk_emb") <= col("lk")),
+            Seq("lk", "q_id", "c_id"), "full_outer")
+          .select(col("lk"), col("q_id"), col("c_id"), rrf),
+        Seq("lk", "q_id"), Seq(col("rrf").desc, col("c_id").asc), k)
+      .select(col("lk"), col("q_id"), col("c_id"))
+      .withColumn("__hit", lit(true))
+      .localCheckpoint()
+    val approx = Agg.topNPerGroup(
+      lexLk.withColumn("p", explode(sequence(lit(1), lit(maxProbes))))
+        .join(
+          adcPerP.withColumn("lk", explode(lks))
+            .where(col("rk_emb") <= col("lk")),
+          Seq("p", "lk", "q_id", "c_id"), "full_outer")
+        .select(col("p"), col("lk"), col("q_id"), col("c_id"), rrf),
+      Seq("p", "lk", "q_id"), Seq(col("rrf").desc, col("c_id").asc), k)
+    val nT = truth.groupBy("lk").agg(count(lit(1)).as("n_truth"))
+    val stats = approx.join(truth, Seq("lk", "q_id", "c_id"), "left")
+      .groupBy("p", "lk")
+      .agg(count(lit(1)).as("n_approx"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hits"))
+    val spark = docs.sparkSession
+    spark.range(1, maxProbes + 1)
+      .select(col("id").cast("int").as("p"))
+      .crossJoin(spark.range(1).select(explode(lks).as("lk")))
+      .join(stats, Seq("p", "lk"), "left")
+      .join(nT, Seq("lk"), "left")
+      .select(col("p").as("probes"), col("lk").as("list_k"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_truth"), lit(0L)) === 0, lit(1.0))
+          .otherwise(Num.floorAt(
+            coalesce(col("n_hits"), lit(0L)).cast("double") /
+              col("n_truth"), 4)).as("recall"))
   }
 }

@@ -159,6 +159,24 @@ private[graft] object Fragments {
          |${kmUpdate("a2", "c1", "c2")},
          |${kmAssign("c2", "af")}""".stripMargin
 
+    /** [[kmeansAfCte]] generalized for the scaled-k policy oracle
+      * (q295): the same 2-iteration deterministic chain with the seed
+      * count an arbitrary SQL expression (e.g. a ⌈√n⌉ scalar
+      * subquery) and every CTE name prefixed — ends in
+      * `${p}af(vec_id, v, cell)`. Requires `e` in scope.
+      */
+    def kmeansChainAt(limitSql: String, p: String): String =
+      s"""${p}c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |    v AS cv, sqrt(list_sum(list_transform(v, x -> x * x))) AS cn
+         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id
+         |        LIMIT $limitSql)),
+         |${kmAssign(s"${p}c0", s"${p}a1")},
+         |${kmUpdate(s"${p}a1", s"${p}c0", s"${p}c1")},
+         |${kmAssign(s"${p}c1", s"${p}a2")},
+         |${kmUpdate(s"${p}a2", s"${p}c1", s"${p}c2")},
+         |${kmAssign(s"${p}c2", s"${p}af")}""".stripMargin
+
     /** The q280 chain: train the SAME 2-iteration deterministic kmeans
       * on the rows where `baseCond` holds, then assign EVERY embedding
       * row under the frozen centroids, emitting the winning floored

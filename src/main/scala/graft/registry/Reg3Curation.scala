@@ -735,8 +735,97 @@ private[graft] object Reg3Curation {
       Curate.semanticDeconRecall(graft.ops.AnnIndex.cells(s, dir),
           isEval = col("vec_id") % 97 === 0, threshold = 0.25,
           maxProbes = 3)
-        .orderBy("probes"))
+        .orderBy("probes")),
+
+
+    // curation — the quantizer-cell-count POLICY measured (Curate.
+    // semanticDeconRecallScaledK scaladoc): q290 shows boundary
+    // recall at FIXED k=8 degrading with corpus size; this runs the
+    // same harness under k=8 AND k=⌈√n⌉ (one-scalar count preflight,
+    // the standard IVF sizing rule) side by side, at p ∈ {1,2} — the
+    // driver's three scale factors trace recall-vs-scale per policy,
+    // so "scale k with the corpus" is a measured decision, not a rule
+    // of thumb.
+    "q295_scaled_k_recall" -> ((s, dir) =>
+      Curate.semanticDeconRecallScaledK(t(s, dir, "embeddings"),
+          isEval = col("vec_id") % 97 === 0, threshold = 0.25,
+          maxProbes = 2, cacheKey = Some(dir))
+        .orderBy("policy", "probes"))
   )
+
+  /** One policy's arm of the q295 oracle: the q290 probe-policy CTE
+    * tail (probe geometry from per-cell means, own-cell-wins pmin,
+    * cell-blocked candidate scan, per-p hit counts vs the SHARED
+    * `tru`/`nt`) with every CTE name prefixed so two quantizer
+    * policies replay side by side in one query. Requires `ev0`,
+    * `tr0`, `tru`, `nt` and the chain's `${p}af` in scope.
+    */
+  private def scaledKPolicyCtes(af: String, p: String,
+                                maxProbes: Int): String = {
+    val ps = (1 to maxProbes).map(i => s"($i)").mkString(", ")
+    s"""${p}ev AS (SELECT a.cell AS owncell, e0.eval_id, e0.evv, e0.evn
+       |  FROM ev0 e0 JOIN $af a ON a.vec_id = e0.eval_id),
+       |${p}tr AS (SELECT a.cell, t0.train_id, t0.trv, t0.trn
+       |  FROM tr0 t0 JOIN $af a ON a.vec_id = t0.train_id),
+       |${p}cm AS (SELECT cell, d.pos AS pos,
+       |    CAST(SUM(CAST(v[d.pos] AS DECIMAL(27,10))) AS DOUBLE)
+       |      / COUNT(*) AS m
+       |  FROM $af CROSS JOIN range(1, 65) AS d(pos)
+       |  GROUP BY cell, d.pos),
+       |${p}cent AS (SELECT cell,
+       |    list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS ce
+       |  FROM ${p}cm GROUP BY cell),
+       |${p}centn AS (SELECT cell, ce,
+       |    sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn
+       |  FROM ${p}cent),
+       |${p}centp AS (SELECT eval_id, cell, GREATEST(pr, 2) AS pmin
+       |  FROM (
+       |  SELECT e.eval_id, c.cell,
+       |    row_number() OVER (PARTITION BY e.eval_id ORDER BY
+       |      ${Num.floorAtSql(
+           "list_sum(list_transform(range(1, 65)," +
+             " i -> e.evv[i] * c.ce[i])) / (e.evn * c.cn)", 9)} DESC,
+       |      c.cell ASC) AS pr
+       |  FROM ${p}ev e CROSS JOIN ${p}centn c)
+       |  WHERE pr <= $maxProbes),
+       |${p}ownp AS (SELECT eval_id, owncell AS cell, 1 AS pmin
+       |  FROM ${p}ev),
+       |${p}probe AS (SELECT eval_id, cell, MIN(pmin) AS pmin
+       |  FROM (SELECT * FROM ${p}ownp UNION ALL SELECT * FROM ${p}centp)
+       |  GROUP BY eval_id, cell),
+       |${p}cand AS MATERIALIZED (SELECT t.train_id, pb.eval_id, pb.pmin
+       |  FROM ${p}tr t
+       |  JOIN ${p}probe pb ON pb.cell = t.cell
+       |  JOIN ${p}ev e ON e.eval_id = pb.eval_id
+       |  WHERE floor((list_sum(list_transform(range(1, 65),
+       |      i -> t.trv[i] * e.evv[i])) / (t.trn * e.evn)) * 10000)
+       |      / 10000 >= 0.25),
+       |${p}stats AS (SELECT pp.p, COUNT(*) AS n_approx,
+       |    COUNT(b.train_id) AS n_hits
+       |  FROM (VALUES $ps) pp(p)
+       |  JOIN ${p}cand c ON c.pmin <= pp.p
+       |  LEFT JOIN tru b
+       |    ON b.train_id = c.train_id AND b.eval_id = c.eval_id
+       |  GROUP BY pp.p)""".stripMargin
+  }
+
+  /** The q295 per-policy output rows: zero-filled per probe count,
+    * recall floored 4 dp vs the shared truth count. */
+  private def scaledKPolicyRows(p: String, policy: String,
+                                kSql: String, maxProbes: Int): String = {
+    val ps = (1 to maxProbes).map(i => s"($i)").mkString(", ")
+    s"""SELECT '$policy' AS policy, $kSql AS k,
+       |  CAST(pp.p AS INTEGER) AS probes, n_truth,
+       |  COALESCE(n_approx, 0) AS n_approx,
+       |  COALESCE(n_hits, 0) AS n_hits,
+       |  CASE WHEN n_truth = 0 THEN 1.0
+       |       ELSE ${Num.floorAtSql(
+           "CAST(COALESCE(n_hits, 0) AS DOUBLE) / n_truth", 4)}
+       |  END AS recall
+       |FROM (VALUES $ps) pp(p)
+       |LEFT JOIN ${p}stats ON ${p}stats.p = pp.p
+       |CROSS JOIN nt""".stripMargin
+  }
 
   def oracles: ListMap[String, String] = ListMap(
 
@@ -1619,6 +1708,41 @@ private[graft] object Reg3Curation {
            |LEFT JOIN stats ON stats.p = pp.p
            |CROSS JOIN nt ORDER BY probes""".stripMargin
       },
+
+      // TWO kmeans chains (k=8 and the ⌈√n⌉ scalar-subquery seed) +
+      // the q290 probe-policy recall tail replayed per policy against
+      // ONE shared brute truth (truth is quantizer-independent)
+      "q295_scaled_k_recall" ->
+        s"""WITH e AS (SELECT vec_id,
+           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |${kmeansChainAt("8", "fx")},
+           |${kmeansChainAt(
+             "(SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM e)",
+             "sc")},
+           |ev0 AS MATERIALIZED (SELECT vec_id AS eval_id, v AS evv,
+           |    sqrt(list_sum(list_transform(v, x -> x * x))) AS evn
+           |  FROM e WHERE vec_id % 97 = 0),
+           |tr0 AS MATERIALIZED (SELECT vec_id AS train_id, v AS trv,
+           |    sqrt(list_sum(list_transform(v, x -> x * x))) AS trn
+           |  FROM e WHERE NOT (vec_id % 97 = 0)),
+           |tru AS MATERIALIZED (SELECT train_id, eval_id FROM (
+           |  SELECT t.train_id, e.eval_id,
+           |    floor((list_sum(list_transform(range(1, 65),
+           |      i -> t.trv[i] * e.evv[i])) / (t.trn * e.evn)) * 10000)
+           |      / 10000 AS sim
+           |  FROM tr0 t CROSS JOIN ev0 e) WHERE sim >= 0.25),
+           |nt AS (SELECT COUNT(*) AS n_truth FROM tru),
+           |${scaledKPolicyCtes("fxaf", "fx", 2)},
+           |${scaledKPolicyCtes("scaf", "sc", 2)}
+           |SELECT * FROM (
+           |${scaledKPolicyRows("fx", "fixed8",
+             "CAST(8 AS INTEGER)", 2)}
+           |UNION ALL
+           |${scaledKPolicyRows("sc", "scaled_sqrt",
+             "(SELECT CAST(ceil(sqrt(COUNT(*))) AS INTEGER) FROM e)",
+             2)}
+           |) ORDER BY policy, probes""".stripMargin,
 
       "q285_contamination_pairs" ->
         s"""WITH cleaned AS (SELECT doc_id AS id, (doc_id % 97 = 0) AS ev,
