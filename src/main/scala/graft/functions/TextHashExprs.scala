@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
@@ -52,6 +52,34 @@ object HashUtil {
     md.update(input)
     md.digest(out16, 0, 16)
     ()
+  }
+
+  // ASCII digits of the small ints a bootstrap replicate index takes —
+  // md5 input bytes without a per-row Integer.toString allocation
+  private val smallIntBytes: Array[Array[Byte]] =
+    (0 until 256).map(_.toString.getBytes("US-ASCII")).toArray
+
+  private val tlOut16 = ThreadLocal.withInitial[Array[Byte]](
+    () => new Array[Byte](16))
+
+  /** Poisson(1) bootstrap draw for (id, replicate): the first 16 bits
+    * of md5(id || ':' || rep) as a uniform in [0, 1), inverse-CDF'd
+    * through `cdf` — byte-identical input and arithmetic to the
+    * built-in md5/conv/when-chain formulation in Agg.bootstrapMeanCi
+    * (spec-pinned parity), one compiled pass, zero per-row strings.
+    */
+  def poissonDraw(id: UTF8String, rep: Int, cdf: Array[Double]): Int = {
+    val md = threadMd5()
+    md.update(id.getBytes)
+    md.update(':'.toByte)
+    md.update(if (rep >= 0 && rep < 256) smallIntBytes(rep)
+      else rep.toString.getBytes("US-ASCII"))
+    val out = tlOut16.get()
+    md.digest(out, 0, 16)
+    val u = (((out(0) & 0xff) << 8) | (out(1) & 0xff)) / 65536.0
+    var k = 0
+    while (k < cdf.length && u >= cdf(k)) k += 1
+    k
   }
 
   def hex32(d: Array[Byte]): String = {
@@ -349,4 +377,45 @@ case class SimHash60Expr(child: Expression) extends UnaryExpression {
       : Expression = copy(child = newChild)
 
   override def prettyName: String = "simhash60"
+}
+
+/** Poisson(1) bootstrap weight of (id string, replicate int) under the
+  * inverse-CDF thresholds `cdf` — [[HashUtil.poissonDraw]] as one
+  * whole-stage-codegen node. The built-in formulation (md5 → hex
+  * substring → conv → when-chain) allocates a 32-char hex string and a
+  * BigInt-backed conv per (row, replicate) — on q265's b·n expansion
+  * that garbage was the bench's per-rep variance surface; this node
+  * allocates nothing per row.
+  */
+case class BootstrapWeightExpr(left: Expression, right: Expression,
+                               cdf: Array[Double])
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string id, got ${left.dataType}")
+    else if (right.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an int replicate, got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(id: Any, rep: Any): Any =
+    HashUtil.poissonDraw(id.asInstanceOf[UTF8String],
+      rep.asInstanceOf[Int], cdf)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cdf", cdf, "double[]")
+    defineCodeGen(ctx, ev,
+      (i, r) => s"graft.functions.HashUtil.poissonDraw($i, $r, $ref)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "bootstrap_weight"
 }

@@ -1193,18 +1193,36 @@ object Agg {
     *
     * Output: (key, n, point_mean, ci_lo, ci_hi), all means 6dp-floored.
     */
+  /** The Poisson(1) draw as built-ins (md5 → hex substring → conv →
+    * when-chain) — the REFERENCE form the oracle replays literally.
+    * The production path is [[graft.functions.BootstrapWeightExpr]]
+    * (bit-parity spec-pinned): the built-in chain allocates a 32-char
+    * hex string plus a BigInt-backed `conv` per (row, replicate), and
+    * on the b·n expansion that garbage was q265's measured per-rep
+    * bench variance (reps 1.6–7.5 s on identical state; see SCALE.md
+    * round-14).
+    */
+  def bootstrapWeightRef(id: Column, rep: Column): Column = {
+    val u = conv(substring(
+        md5(concat(id.cast("string"), lit(":"), rep.cast("string"))),
+        1, 4), 16, 10)
+      .cast("double") / 65536.0
+    poisson1Cdf.zipWithIndex.foldRight(
+        lit(poisson1Cdf.size): Column) { case ((c, k), acc) =>
+      when(u < lit(c), k).otherwise(acc)
+    }
+  }
+
   def bootstrapMeanCi(df: DataFrame, key: String, idCol: String,
                       valueCol: String, b: Int = 40, osRank: Int = 2)
       : DataFrame = {
     require(b >= 2 * osRank, s"need b >= 2*osRank, got b=$b osRank=$osRank")
-    val u = conv(substring(
-        md5(concat(col(idCol).cast("string"), lit(":"),
-          col("__rep").cast("string"))), 1, 4), 16, 10)
-      .cast("double") / 65536.0
-    val w = poisson1Cdf.zipWithIndex.foldRight(
-        lit(poisson1Cdf.size): Column) { case ((c, k), acc) =>
-      when(u < lit(c), k).otherwise(acc)
-    }
+    val w = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.BootstrapWeightExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(
+          col(idCol).cast("string")),
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("__rep")),
+        poisson1Cdf.toArray))
     // rebalance BEFORE the b-way expansion: the md5 draws and weighted
     // partials pipeline into the scan task, so on a small-file fixture
     // (one split) the whole b·n-row expansion would run on one core —

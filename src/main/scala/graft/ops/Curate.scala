@@ -653,6 +653,63 @@ object Curate {
     run(8, "fixed8").unionByName(run(kScaled, "scaled_sqrt"))
   }
 
+  /** Coverage-MATCHED quantizer-policy recall (the decision table
+    * [[semanticDeconRecallScaledK]] motivates): that measurement
+    * refutes the bare k = ⌈√n⌉ rule at a FIXED probe count — 2 of 45
+    * cells covers 4% of the space vs 2 of 8 = 25%, so scaled k
+    * strictly lowers boundary recall. The fair comparison — and the
+    * production policy — holds the probed FRACTION of cells constant
+    * and scales probes with k. For each policy (k = 8, k = ⌈√n⌉) and
+    * each coverage fraction f, this emits the [[semanticDeconRecall]]
+    * row at probes = max(1, ⌈k·f⌉), labeled with f.
+    *
+    * The claim this measures: at matched coverage, the scaled
+    * quantizer's finer centroid ranking recovers the recall the bare
+    * rule loses, while the per-cell candidate bound shrinks by ~k/8 —
+    * i.e. k buys cost bounds, and recall survives iff probes scale
+    * with k. The probed candidate count stays ∝ f·n per eval row
+    * under BOTH policies, so equal f is equal worst-case scan cost.
+    *
+    * `fracs` must be dyadic (2⁻ʲ multiples) so ⌈k·f⌉ is binary-exact
+    * in both engines (the DuckDB oracle replays the same ceil).
+    *
+    * Output: (policy, k, coverage, probes, n_truth, n_approx, n_hits,
+    * recall) — one row per policy × fraction, ordered by the caller.
+    */
+  def semanticDeconRecallCoverage(emb: DataFrame, isEval: Column,
+                                  threshold: Double,
+                                  fracs: Seq[Double] = Seq(0.125, 0.25),
+                                  idCol: String = "vec_id",
+                                  vecCol: String = "embedding",
+                                  cacheKey: Option[String] = None)
+      : DataFrame = {
+    require(fracs.nonEmpty && fracs.forall(f => f > 0.0 && f <= 1.0),
+      s"need coverage fractions in (0, 1], got $fracs")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val n = emb.count() // the one driver scalar — the sizing preflight
+    val kScaled = math.ceil(math.sqrt(n.toDouble)).toInt
+    def cellsAt(k: Int) = (cacheKey match {
+      case Some(key) =>
+        Sim.kmeansCellsCached(emb, k, 2, key, idCol, vecCol)
+      case None => Sim.kmeansCells(emb, k, 2, idCol, vecCol)
+    }).localCheckpoint()
+    def run(k: Int, policy: String): DataFrame = {
+      val budgets = fracs.map(f =>
+        (policy, k, f, math.max(1, math.ceil(k * f).toInt)))
+      val labels = budgets.toDF("policy", "k", "coverage", "probes")
+      val maxB = budgets.map(_._4).max
+      // one harness run at the largest budget; smaller budgets are
+      // pmin-slices of the same sweep (the q294 one-plan discipline)
+      semanticDeconRecall(cellsAt(k), isEval, threshold,
+          maxProbes = maxB, idCol, vecCol)
+        .join(broadcast(labels), Seq("probes"))
+        .select(col("policy"), col("k"), col("coverage"), col("probes"),
+          col("n_truth"), col("n_approx"), col("n_hits"), col("recall"))
+    }
+    run(8, "fixed8").unionByName(run(kScaled, "scaled_sqrt"))
+  }
+
   /** Deterministic md5-derived uniform fraction of an id in [0, 1):
     * first 8 md5 nibbles / 2^32. No PRNG state → reproducible across
     * engines (DuckDB oracle replays it nibble-for-nibble) and across

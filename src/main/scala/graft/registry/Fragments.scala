@@ -612,15 +612,15 @@ private[graft] object Fragments {
     // near-dup filter and the admission key of the batch q135 pass.
     // One fragment, two engines (q135 batch admission, q266 streaming
     // admission gate); short docs keep the all-sentinel signature.
-    def minhashSigCte(k: Int): String =
-      s"""tok AS (SELECT doc_id, $cleanToks AS t
+    def minhashSigCte(k: Int, p: String = ""): String =
+      s"""${p}tok AS (SELECT doc_id, $cleanToks AS t
          |  FROM (SELECT doc_id, $clean AS c FROM documents)),
-         |sig AS (SELECT doc_id,
+         |${p}sig AS (SELECT doc_id,
          |    md5(array_to_string(list_transform(range(0, $k), s ->
          |      COALESCE(list_min(list_transform(${shinglesSql("t")},
          |        x -> md5(CAST(s AS VARCHAR) || ':' || x))), '~empty')),
          |      chr(0))) AS sig_key
-         |  FROM tok)""".stripMargin
+         |  FROM ${p}tok)""".stripMargin
 
     // ending in `pairs(id_a, id_b)` — shared by the CC oracle and the
     // triangle-census oracle so every graph query provably runs on the
@@ -679,9 +679,9 @@ private[graft] object Fragments {
         |comp AS (SELECT id AS doc_id, MIN(lbl) AS component
         |         FROM reach GROUP BY id)""".stripMargin
 
-    def ccOracleSqlFor(docWhere: String): String =
+    def ccOracleSqlFor(docWhere: String, preCtes: String = ""): String =
       s"""WITH RECURSIVE
-         |${verifiedPairsCteFor(docWhere)},
+         |$preCtes${verifiedPairsCteFor(docWhere)},
          |$ccCte
          |SELECT doc_id, component,
          |  COUNT(*) OVER (PARTITION BY component) AS n_members,

@@ -750,7 +750,24 @@ private[graft] object Reg3Curation {
       Curate.semanticDeconRecallScaledK(t(s, dir, "embeddings"),
           isEval = col("vec_id") % 97 === 0, threshold = 0.25,
           maxProbes = 2, cacheKey = Some(dir))
-        .orderBy("policy", "probes"))
+        .orderBy("policy", "probes")),
+
+
+    // curation — the coverage-MATCHED policy table (Curate.
+    // semanticDeconRecallCoverage scaladoc): q295 refutes k=⌈√n⌉ at a
+    // FIXED probe count (2 of 45 cells covers 4% of the space vs
+    // 2 of 8 = 25%); this holds the probed FRACTION of cells constant
+    // (f ∈ {⅛, ¼}) and scales probes with k — the joint sizing policy
+    // production actually runs. Matched f means matched worst-case
+    // candidate-scan cost, so the table isolates what the finer
+    // quantizer buys: the driver's three scale factors trace whether
+    // scaled-k recall holds flat where q290 shows fixed-k degrading.
+    // Shares both trained quantizers with q295 via the same cacheKey.
+    "q296_coverage_matched_recall" -> ((s, dir) =>
+      Curate.semanticDeconRecallCoverage(t(s, dir, "embeddings"),
+          isEval = col("vec_id") % 97 === 0, threshold = 0.25,
+          fracs = Seq(0.125, 0.25), cacheKey = Some(dir))
+        .orderBy("policy", "coverage"))
   )
 
   /** One policy's arm of the q295 oracle: the q290 probe-policy CTE
@@ -808,6 +825,82 @@ private[graft] object Reg3Curation {
        |    ON b.train_id = c.train_id AND b.eval_id = c.eval_id
        |  GROUP BY pp.p)""".stripMargin
   }
+
+  /** One policy's arm of the q296 oracle: [[scaledKPolicyCtes]] with
+    * the probe budgets DERIVED from coverage fractions instead of a
+    * static sweep — `${p}bud(coverage, p)` computes
+    * p = max(1, ⌈k·f⌉) per fraction (binary-exact for dyadic f), the
+    * probe ranking is cut at the policy's largest budget, and the
+    * stats scan counts at exactly the budget probe counts. Requires
+    * `ev0`, `tr0`, `tru`, `nt` and the chain's `${p}af` in scope.
+    */
+  private def coveragePolicyCtes(af: String, p: String, kSql: String,
+                                 fracs: Seq[Double]): String = {
+    val fs = fracs.map(f => s"($f)").mkString(", ")
+    s"""${p}bud AS (SELECT CAST(f AS DOUBLE) AS coverage,
+       |    GREATEST(1, CAST(ceil(($kSql) * CAST(f AS DOUBLE))
+       |      AS INTEGER)) AS p
+       |  FROM (VALUES $fs) fs(f)),
+       |${p}ev AS (SELECT a.cell AS owncell, e0.eval_id, e0.evv, e0.evn
+       |  FROM ev0 e0 JOIN $af a ON a.vec_id = e0.eval_id),
+       |${p}tr AS (SELECT a.cell, t0.train_id, t0.trv, t0.trn
+       |  FROM tr0 t0 JOIN $af a ON a.vec_id = t0.train_id),
+       |${p}cm AS (SELECT cell, d.pos AS pos,
+       |    CAST(SUM(CAST(v[d.pos] AS DECIMAL(27,10))) AS DOUBLE)
+       |      / COUNT(*) AS m
+       |  FROM $af CROSS JOIN range(1, 65) AS d(pos)
+       |  GROUP BY cell, d.pos),
+       |${p}cent AS (SELECT cell,
+       |    list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS ce
+       |  FROM ${p}cm GROUP BY cell),
+       |${p}centn AS (SELECT cell, ce,
+       |    sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn
+       |  FROM ${p}cent),
+       |${p}centp AS (SELECT eval_id, cell, GREATEST(pr, 2) AS pmin
+       |  FROM (
+       |  SELECT e.eval_id, c.cell,
+       |    row_number() OVER (PARTITION BY e.eval_id ORDER BY
+       |      ${Num.floorAtSql(
+         "list_sum(list_transform(range(1, 65)," +
+           " i -> e.evv[i] * c.ce[i])) / (e.evn * c.cn)", 9)} DESC,
+       |      c.cell ASC) AS pr
+       |  FROM ${p}ev e CROSS JOIN ${p}centn c)
+       |  WHERE pr <= (SELECT MAX(p) FROM ${p}bud)),
+       |${p}ownp AS (SELECT eval_id, owncell AS cell, 1 AS pmin
+       |  FROM ${p}ev),
+       |${p}probe AS (SELECT eval_id, cell, MIN(pmin) AS pmin
+       |  FROM (SELECT * FROM ${p}ownp UNION ALL SELECT * FROM ${p}centp)
+       |  GROUP BY eval_id, cell),
+       |${p}cand AS MATERIALIZED (SELECT t.train_id, pb.eval_id, pb.pmin
+       |  FROM ${p}tr t
+       |  JOIN ${p}probe pb ON pb.cell = t.cell
+       |  JOIN ${p}ev e ON e.eval_id = pb.eval_id
+       |  WHERE floor((list_sum(list_transform(range(1, 65),
+       |      i -> t.trv[i] * e.evv[i])) / (t.trn * e.evn)) * 10000)
+       |      / 10000 >= 0.25),
+       |${p}stats AS (SELECT pp.p, COUNT(*) AS n_approx,
+       |    COUNT(b.train_id) AS n_hits
+       |  FROM (SELECT DISTINCT p FROM ${p}bud) pp
+       |  JOIN ${p}cand c ON c.pmin <= pp.p
+       |  LEFT JOIN tru b
+       |    ON b.train_id = c.train_id AND b.eval_id = c.eval_id
+       |  GROUP BY pp.p)""".stripMargin
+  }
+
+  /** The q296 per-policy output rows: one per coverage fraction,
+    * zero-filled, recall floored 4 dp vs the shared truth count. */
+  private def coveragePolicyRows(p: String, policy: String,
+                                 kSql: String): String =
+    s"""SELECT '$policy' AS policy, $kSql AS k, bud.coverage,
+       |  CAST(bud.p AS INTEGER) AS probes, n_truth,
+       |  COALESCE(n_approx, 0) AS n_approx,
+       |  COALESCE(n_hits, 0) AS n_hits,
+       |  CASE WHEN n_truth = 0 THEN 1.0
+       |       ELSE ${Num.floorAtSql(
+         "CAST(COALESCE(n_hits, 0) AS DOUBLE) / n_truth", 4)}
+       |  END AS recall
+       |FROM ${p}bud bud LEFT JOIN ${p}stats ON ${p}stats.p = bud.p
+       |CROSS JOIN nt""".stripMargin
 
   /** The q295 per-policy output rows: zero-filled per probe count,
     * recall floored 4 dp vs the shared truth count. */
@@ -1743,6 +1836,42 @@ private[graft] object Reg3Curation {
              "(SELECT CAST(ceil(sqrt(COUNT(*))) AS INTEGER) FROM e)",
              2)}
            |) ORDER BY policy, probes""".stripMargin,
+
+      // the q295 two-chain replay with probe budgets DERIVED from
+      // coverage fractions (p = max(1, ⌈k·f⌉), binary-exact for
+      // dyadic f) instead of a static sweep — one recall row per
+      // policy × fraction against the SAME shared brute truth
+      "q296_coverage_matched_recall" ->
+        s"""WITH e AS (SELECT vec_id,
+           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |${kmeansChainAt("8", "fx")},
+           |${kmeansChainAt(
+             "(SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM e)",
+             "sc")},
+           |ev0 AS MATERIALIZED (SELECT vec_id AS eval_id, v AS evv,
+           |    sqrt(list_sum(list_transform(v, x -> x * x))) AS evn
+           |  FROM e WHERE vec_id % 97 = 0),
+           |tr0 AS MATERIALIZED (SELECT vec_id AS train_id, v AS trv,
+           |    sqrt(list_sum(list_transform(v, x -> x * x))) AS trn
+           |  FROM e WHERE NOT (vec_id % 97 = 0)),
+           |tru AS MATERIALIZED (SELECT train_id, eval_id FROM (
+           |  SELECT t.train_id, e.eval_id,
+           |    floor((list_sum(list_transform(range(1, 65),
+           |      i -> t.trv[i] * e.evv[i])) / (t.trn * e.evn)) * 10000)
+           |      / 10000 AS sim
+           |  FROM tr0 t CROSS JOIN ev0 e) WHERE sim >= 0.25),
+           |nt AS (SELECT COUNT(*) AS n_truth FROM tru),
+           |${coveragePolicyCtes("fxaf", "fx", "8", Seq(0.125, 0.25))},
+           |${coveragePolicyCtes("scaf", "sc",
+             "(SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM e)",
+             Seq(0.125, 0.25))}
+           |SELECT * FROM (
+           |${coveragePolicyRows("fx", "fixed8", "CAST(8 AS INTEGER)")}
+           |UNION ALL
+           |${coveragePolicyRows("sc", "scaled_sqrt",
+             "(SELECT CAST(ceil(sqrt(COUNT(*))) AS INTEGER) FROM e)")}
+           |) ORDER BY policy, coverage""".stripMargin,
 
       "q285_contamination_pairs" ->
         s"""WITH cleaned AS (SELECT doc_id AS id, (doc_id % 97 = 0) AS ev,

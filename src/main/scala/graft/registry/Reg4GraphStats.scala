@@ -491,6 +491,14 @@ private[graft] object Reg4GraphStats {
     // two-level engine (the measured 1e6-distinct bend) — bit-identical
     // either way, bound to the SAME oracle string as q253/q256: one
     // oracle, now THREE skyline engines, and the pair chooses itself.
+    // north star — ONE ingest cycle incrementally end-to-end, proven
+    // equal to a from-scratch rebuild ([[ingestCycle]] scaladoc):
+    // store-read admission → store-read delta pairs → incremental CC
+    // fold → survivor readout, every step costing ∝ batch, gated
+    // against an oracle that re-admits, re-pairs, and re-labels the
+    // whole post-ingest corpus from scratch.
+    "q297_ingest_cycle" -> ((s, dir) => ingestCycle(s, dir)),
+
     "q272_skyline_auto" -> ((s, dir) =>
       Agg.skylineAuto(
           // checkpointed: the preflight and the dispatched engine each
@@ -505,6 +513,60 @@ private[graft] object Reg4GraphStats {
         .orderBy("user_id"))
   )
 
+  /** q297's engine: ONE ingest cycle run incrementally end-to-end —
+    * the composition the per-step queries (q135 admission, q179 delta
+    * pairs, q140 incremental CC) certify piecewise, here certified as
+    * a WHOLE against a from-scratch rebuild. standing = doc_id%5≠0,
+    * batch = the %5==0 slice:
+    *
+    *   1. admission — batch docs whose MinHash signature is unseen in
+    *      the standing key STORE, first-wins among in-batch twins
+    *      (cost ∝ batch);
+    *   2. delta pairs — verified near-dup pairs TOUCHING the admitted
+    *      docs, standing side from the banded-signature STORE (cost ∝
+    *      batch postings, the standing corpus is never re-signed);
+    *   3. labels — fold the delta pairs into the standing corpus's
+    *      converged components with the q140 incremental engine
+    *      (cost ∝ delta-touched components);
+    *   4. survivor readout — the q128 (doc_id, component, n_members,
+    *      is_survivor) contract over the refreshed labels.
+    *
+    * The oracle rebuilds the post-ingest corpus from scratch (replay
+    * admission, re-pair EVERYTHING, recursive-CTE CC), so the driver
+    * gate proves the incremental cycle ≡ the batch rebuild — the
+    * invariant that lets a 100 TB corpus refresh per-ingest instead of
+    * re-running the full dedup pass. Signatures are per-doc, so pairs
+    * among standing docs ARE the full-corpus pair artifact filtered to
+    * standing endpoints (the q270 subset property) — the base labels
+    * come from the shared pair store, nothing is signed twice.
+    */
+  private def ingestCycle(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val standing = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val admitted = Dedup.admitBySignature(standing, batch,
+        "doc_id", "text", k = 8,
+        baseKeysPre = Some(Artifacts.standingSigKeys(s, dir, k = 8)))
+      .select("doc_id")
+    val admittedDocs = batch.join(admitted, Seq("doc_id"), "left_semi")
+    val delta = Dedup.lshDeltaPairs(standing, admittedDocs,
+      "doc_id", "text", k = 8, bands = 4, minJaccard = 0.2,
+      standingBanded = Some(Artifacts.standingBands(s, dir,
+        k = 8, bands = 4)))
+    val basePairs = Artifacts.nearDupPairs(s, dir,
+        k = 8, bands = 4, minJaccard = 0.2)
+      .where(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0)
+    val comp = Dedup.componentsIncremental(
+        Dedup.componentsConverged(basePairs), delta)
+      .localCheckpoint()
+    val sizes = comp.groupBy("component")
+      .agg(count(lit(1)).as("n_members"))
+    comp.join(sizes, Seq("component"))
+      .select(col("doc_id"), col("component"), col("n_members"),
+        (col("doc_id") === col("component")).as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
   def oracles: ListMap[String, String] = ListMap(
 
 
@@ -512,6 +574,26 @@ private[graft] object Reg4GraphStats {
       // equal the from-scratch components exactly (contraction argument
       // in Dedup.componentsIncremental's scaladoc)
       "q140_cc_incremental" -> ccOracleSql,
+
+      // the from-scratch rebuild of q297's post-ingest corpus: replay
+      // admission (the q135 CTE chain, prefixed), then the FULL
+      // verified-pair + recursive-CTE CC chain over standing ∪
+      // admitted — the batch-rebuild side of the incremental ≡ batch
+      // invariant
+      "q297_ingest_cycle" -> ccOracleSqlFor(
+        "doc_id % 5 <> 0 OR doc_id IN (SELECT doc_id FROM admitted)",
+        preCtes = s"""${minhashSigCte(8, "adm")},
+          |admbase AS (SELECT DISTINCT sig_key FROM admsig
+          |  WHERE doc_id % 5 <> 0),
+          |admcand AS (SELECT doc_id, sig_key FROM admsig
+          |  WHERE doc_id % 5 = 0
+          |    AND sig_key NOT IN (SELECT sig_key FROM admbase)),
+          |admranked AS (SELECT doc_id,
+          |    row_number() OVER (PARTITION BY sig_key ORDER BY doc_id)
+          |      AS rn
+          |  FROM admcand),
+          |admitted AS (SELECT doc_id FROM admranked WHERE rn = 1),
+          |""".stripMargin),
 
 
       // q40's brute-force oracle with the label inequality — hard

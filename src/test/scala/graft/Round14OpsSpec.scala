@@ -137,4 +137,98 @@ class Round14OpsSpec extends SparkSpec {
         point.getDouble(3))),
       "the sweep's (2, 20) cell must equal the q288 point estimate")
   }
+
+  test("semanticDeconRecallCoverage: budgets are max(1, ceil(k*f)), " +
+      "each row is the semanticDeconRecall row at that budget, and " +
+      "recall is monotone in coverage within a policy") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val isEval = col("vec_id") % 97 === 0
+    val rows = ops.Curate.semanticDeconRecallCoverage(emb, isEval,
+        threshold = 0.25, fracs = Seq(0.125, 0.25),
+        cacheKey = Some(dir))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+        r.getInt(3), r.getDouble(7)))
+      .sortBy(t => (t._1, t._3))
+    assert(rows.length === 4, "2 policies x 2 fractions, one row each")
+    val n = emb.count()
+    val kS = math.ceil(math.sqrt(n.toDouble)).toInt
+    rows.foreach { case (policy, k, f, probes, recall) =>
+      assert(k === (if (policy == "fixed8") 8 else kS))
+      assert(probes === math.max(1, math.ceil(k * f).toInt),
+        s"budget arithmetic for ($policy, $f)")
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+    // probed candidate sets grow with the budget, so within a policy
+    // recall at f = 1/4 dominates f = 1/8 — a structural invariant of
+    // the min-wins pmin slicing, not a tuning outcome
+    Seq("fixed8", "scaled_sqrt").foreach { pol =>
+      val byF = rows.filter(_._1 == pol).sortBy(_._3).map(_._5)
+      assert(byF(0) <= byF(1), s"$pol recall must be monotone in f")
+    }
+    // the fixed8 arm IS the q290 harness at the same probe count:
+    // its f = 1/4 row (probes = 2) must equal semanticDeconRecall's
+    // probes = 2 row over the same assignment
+    val direct = ops.Curate.semanticDeconRecall(
+        ops.Sim.kmeansCellsCached(emb, 8, 2, dir), isEval,
+        threshold = 0.25, maxProbes = 2)
+      .where(col("probes") === 2).collect().head.getDouble(4)
+    val fx25 = rows.find(t => t._1 == "fixed8" && t._3 == 0.25).get._5
+    assert(fx25 === direct,
+      "fixed8@f=1/4 must be the q290-engine probes=2 measurement")
+  }
+
+  test("ingest cycle (q297): the incremental composition — store-read " +
+      "admission, store-read delta pairs, incremental CC fold — equals " +
+      "a from-scratch batch rebuild (in-line admission, full re-pair, " +
+      "converged CC) over the post-ingest corpus") {
+    val got = SparkEntry.queries("q297_ingest_cycle")(spark, dir)
+      .collect().toSeq
+    val docs = Tables.load(spark, dir, "documents")
+    val standing = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    // the independent path: NO artifact stores, no incremental engines
+    val admitted = ops.Dedup.admitBySignature(standing, batch,
+        "doc_id", "text", k = 8)
+      .select("doc_id")
+    val corpus = standing.unionByName(
+      batch.join(admitted, Seq("doc_id"), "left_semi"))
+    val pairs = ops.Dedup.lshVerifiedPairs(corpus, "doc_id", "text",
+      k = 8, bands = 4, minJaccard = 0.2)
+    val comp = ops.Dedup.componentsConverged(pairs).localCheckpoint()
+    val sizes = comp.groupBy("component")
+      .agg(count(lit(1)).as("n_members"))
+    val rebuilt = comp.join(sizes, Seq("component"))
+      .select(col("doc_id"), col("component"), col("n_members"),
+        (col("doc_id") === col("component")).as("is_survivor"))
+      .orderBy("doc_id")
+      .collect().toSeq
+    assert(got.nonEmpty, "fixture must exercise the cycle")
+    assert(got === rebuilt,
+      "incremental ingest cycle must equal the batch rebuild")
+  }
+
+  test("BootstrapWeightExpr is bit-equal to the built-in md5/conv/" +
+      "when-chain reference draw over every (fixture id, replicate)") {
+    val ev = Tables.load(spark, dir, "events")
+    val reps = ev.select(col("event_id"))
+      .withColumn("__rep", explode(sequence(lit(0), lit(39))))
+    val native = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.BootstrapWeightExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(
+          col("event_id").cast("string")),
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("__rep")),
+        ops.Agg.poisson1Cdf.toArray))
+    val nDiff = reps
+      .withColumn("wn", native)
+      .withColumn("wr", ops.Agg.bootstrapWeightRef(
+        col("event_id"), col("__rep")))
+      .where(col("wn") =!= col("wr"))
+      .count()
+    assert(nDiff === 0L, s"$nDiff (id, rep) draws diverged")
+    // the draw really is Poisson(1)-ish: weights stay in [0, 8]
+    val rng = reps.withColumn("wn", native)
+      .agg(min(col("wn")), max(col("wn"))).collect().head
+    assert(rng.getInt(0) >= 0 && rng.getInt(1) <= 8)
+  }
 }
