@@ -139,6 +139,25 @@ object Artifacts {
         nearDupPairs(spark, sfDir, k, bands, minJaccard))
     }
 
+  /** The STANDING component-label artifact for the ingest cycle
+    * (q297): converged min-label CC over the standing (doc_id%5≠0)
+    * slice's verified pairs — the labels table a production refresh
+    * READS rather than recomputes; maintaining it incrementally is
+    * the point of the cycle, so its build cost is a once-per-snapshot
+    * cost, not a per-ingest one. Standing pairs are the full pair
+    * artifact filtered to standing endpoints (signatures are per-doc,
+    * the q270 subset property). Columns: (doc_id, component).
+    */
+  def standingLabels(spark: SparkSession, sfDir: String, k: Int = 8,
+                     bands: Int = 4, minJaccard: Double = 0.2)
+      : DataFrame =
+    memo(keyOf(spark, sfDir, "standingLabels",
+        s"$k|$bands|$minJaccard|mod5")) {
+      Dedup.componentsConverged(
+        nearDupPairs(spark, sfDir, k, bands, minJaccard)
+          .where(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0))
+    }
+
   /** The language-prediction artifact: [[Text.langIdNgram]] over
     * `documents`, built once — q170 is the builder, q173's mixture
     * weights read it (a real pipeline stores the classifier output

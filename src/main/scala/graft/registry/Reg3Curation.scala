@@ -767,7 +767,31 @@ private[graft] object Reg3Curation {
       Curate.semanticDeconRecallCoverage(t(s, dir, "embeddings"),
           isEval = col("vec_id") % 97 === 0, threshold = 0.25,
           fracs = Seq(0.125, 0.25), cacheKey = Some(dir))
-        .orderBy("policy", "coverage"))
+        .orderBy("policy", "coverage")),
+
+
+    // curation — q296's measured policy SHIPPED as an engine: the
+    // corpus-scaled semantic decontaminator. A one-scalar count
+    // preflight sizes the quantizer (k = ⌈√n⌉ — per-cell candidate
+    // bound n/k stays flat as the corpus grows) and the probe budget
+    // (probes = ⌈k/4⌉ — constant quarter-coverage, the f = 1/4 column
+    // q296 measures BEATING the fixed-k default at equal scan cost on
+    // every fixture). Same audit-pair contract as q289; the oracle
+    // replays the scaled chain and DERIVES the same probe budget in
+    // SQL, so the sizing policy itself is driver-gated.
+    "q298_semantic_decon_scaled" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val n = emb.count() // the sizing preflight (q233 discipline)
+      val k = math.ceil(math.sqrt(n.toDouble)).toInt
+      // floor at 2: q290 measures own-cell-only at 0.29-0.46 recall,
+      // so quarter-coverage never dips below the multi-probe minimum
+      val probes = math.max(2, math.ceil(k * 0.25).toInt)
+      Curate.decontaminateSemantic(
+          Sim.kmeansCellsCached(emb, k, 2, dir).localCheckpoint(),
+          isEval = col("vec_id") % 97 === 0, threshold = 0.25,
+          probes = probes)
+        .orderBy(col("sim").desc, col("train_id"), col("eval_id"))
+    })
   )
 
   /** One policy's arm of the q295 oracle: the q290 probe-policy CTE
@@ -1732,6 +1756,58 @@ private[graft] object Reg3Curation {
            |  JOIN ev e ON e.eval_id = p.eval_id)
            |SELECT train_id, eval_id, sim FROM pr WHERE sim >= 0.25
            |ORDER BY sim DESC, train_id, eval_id LIMIT 100""".stripMargin,
+
+      // q289's audit-pair replay over the SCALED chain, with the
+      // probe budget DERIVED in SQL from the same ⌈√n⌉/quarter-
+      // coverage arithmetic the engine's preflight computes — the
+      // sizing policy itself is inside the oracle contract
+      "q298_semantic_decon_scaled" -> {
+        val kSql = "(SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM e)"
+        val pSql = s"GREATEST(2, CAST(ceil(CAST($kSql AS DOUBLE)" +
+          " * 0.25) AS INTEGER))"
+        s"""WITH e AS (SELECT vec_id,
+           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |${kmeansChainAt(kSql, "sc")},
+           |ev AS MATERIALIZED (SELECT cell AS owncell,
+           |    vec_id AS eval_id, v AS evv,
+           |    sqrt(list_sum(list_transform(v, x -> x * x))) AS evn
+           |  FROM scaf WHERE vec_id % 97 = 0),
+           |tr AS (SELECT cell, vec_id AS train_id, v AS trv,
+           |    sqrt(list_sum(list_transform(v, x -> x * x))) AS trn
+           |  FROM scaf WHERE NOT (vec_id % 97 = 0)),
+           |cm AS (SELECT cell, d.pos AS pos,
+           |    CAST(SUM(CAST(v[d.pos] AS DECIMAL(27,10))) AS DOUBLE)
+           |      / COUNT(*) AS m
+           |  FROM scaf CROSS JOIN range(1, 65) AS d(pos)
+           |  GROUP BY cell, d.pos),
+           |cent AS (SELECT cell,
+           |    list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS ce
+           |  FROM cm GROUP BY cell),
+           |centn AS (SELECT cell, ce,
+           |    sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn
+           |  FROM cent),
+           |centp AS (SELECT eval_id, cell FROM (
+           |  SELECT e.eval_id, c.cell,
+           |    row_number() OVER (PARTITION BY e.eval_id ORDER BY
+           |      ${Num.floorAtSql(
+             "list_sum(list_transform(range(1, 65)," +
+               " i -> e.evv[i] * c.ce[i])) / (e.evn * c.cn)", 9)} DESC,
+           |      c.cell ASC) AS pr
+           |  FROM ev e CROSS JOIN centn c) WHERE pr <= $pSql),
+           |ownp AS (SELECT eval_id, owncell AS cell FROM ev),
+           |probe AS (SELECT DISTINCT eval_id, cell
+           |  FROM (SELECT * FROM ownp UNION ALL SELECT * FROM centp)),
+           |pr AS (SELECT t.train_id, p.eval_id,
+           |    floor((list_sum(list_transform(range(1, 65),
+           |        i -> t.trv[i] * e.evv[i])) / (t.trn * e.evn))
+           |      * 10000) / 10000 AS sim
+           |  FROM tr t
+           |  JOIN probe p ON p.cell = t.cell
+           |  JOIN ev e ON e.eval_id = p.eval_id)
+           |SELECT train_id, eval_id, sim FROM pr WHERE sim >= 0.25
+           |ORDER BY sim DESC, train_id, eval_id LIMIT 100""".stripMargin
+      },
 
       // the kmeans chain + the eval-side probe policy (own cell at
       // pmin=1, centroid rank r at pmin=max(r,2), min-wins) + per-p

@@ -553,11 +553,13 @@ private[graft] object Reg4GraphStats {
       "doc_id", "text", k = 8, bands = 4, minJaccard = 0.2,
       standingBanded = Some(Artifacts.standingBands(s, dir,
         k = 8, bands = 4)))
-    val basePairs = Artifacts.nearDupPairs(s, dir,
-        k = 8, bands = 4, minJaccard = 0.2)
-      .where(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0)
+    // standing labels come from the artifact STORE (the incremental
+    // premise: a refresh READS the standing label table, it never
+    // re-runs CC over the standing corpus) — only the delta fold and
+    // its relabel run per ingest
     val comp = Dedup.componentsIncremental(
-        Dedup.componentsConverged(basePairs), delta)
+        Artifacts.standingLabels(s, dir, k = 8, bands = 4,
+          minJaccard = 0.2), delta)
       .localCheckpoint()
     val sizes = comp.groupBy("component")
       .agg(count(lit(1)).as("n_members"))

@@ -208,6 +208,27 @@ class Round14OpsSpec extends SparkSpec {
       "incremental ingest cycle must equal the batch rebuild")
   }
 
+  test("q298 ships q296's measured sizing policy: the registered " +
+      "output equals decontaminateSemantic at k = ceil(sqrt(n)), " +
+      "probes = max(2, ceil(k/4)) over a FRESH (uncached) quantizer") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val n = emb.count()
+    val k = math.ceil(math.sqrt(n.toDouble)).toInt
+    val probes = math.max(2, math.ceil(k * 0.25).toInt)
+    assert(probes >= 2, "quarter-coverage must stay multi-probe")
+    val got = SparkEntry.queries("q298_semantic_decon_scaled")(
+      spark, dir).collect().toSeq
+    val direct = ops.Curate.decontaminateSemantic(
+        ops.Sim.kmeansCells(emb, k, 2),
+        isEval = col("vec_id") % 97 === 0, threshold = 0.25,
+        probes = probes)
+      .orderBy(col("sim").desc, col("train_id"), col("eval_id"))
+      .collect().toSeq
+    assert(got.nonEmpty, "fixture must surface audit pairs")
+    assert(got === direct,
+      "registered engine must be the sized policy over the shared memo")
+  }
+
   test("BootstrapWeightExpr is bit-equal to the built-in md5/conv/" +
       "when-chain reference draw over every (fixture id, replicate)") {
     val ev = Tables.load(spark, dir, "events")
