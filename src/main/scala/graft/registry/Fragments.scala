@@ -288,14 +288,15 @@ private[graft] object Fragments {
 
     /** IVF-ADC dense arm (Sim.topKIvfAdc: own cell ∪ 2 nearest-centroid
       * cells, ADC over the m=4/k=8 PQ codes) — ends in
-      * `dena(q_id, c_id, rk_emb)`, rk_emb <= 20. Requires
-      * [[kmeansAfCte]] (for `af`) and pqChainsSql(4, 8, 16, 2) (for
-      * `pcodes`/`pqd_*`) already in scope. */
-    val hybridDenseAdcCte: String =
+      * `dena(q_id, c_id, rk_emb)`, rk_emb <= maxK, over the assignment
+      * CTE `af(vec_id, v, cell)` named by `af`. Requires that CTE
+      * (e.g. [[kmeansAfCte]]'s `af`, or a frozen-chain join) and
+      * pqChainsSql(4, 8, 16, 2) (for `pcodes`/`pqd_*`) in scope. */
+    def hybridDenseAdcCteOver(af: String, maxK: Int): String =
       s"""cm AS (SELECT cell, d.pos AS pos,
          |    CAST(SUM(CAST(v[d.pos] AS DECIMAL(27,10))) AS DOUBLE)
          |      / COUNT(*) AS m
-         |  FROM af CROSS JOIN range(1, 65) AS d(pos)
+         |  FROM $af CROSS JOIN range(1, 65) AS d(pos)
          |  GROUP BY cell, d.pos),
          |cent AS (SELECT cell,
          |    list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS ce
@@ -305,7 +306,7 @@ private[graft] object Fragments {
          |  FROM cent),
          |qn AS (SELECT vec_id AS q_id, cell AS owncell, v AS qv,
          |    sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm
-         |  FROM af WHERE vec_id < 10),
+         |  FROM $af WHERE vec_id < 10),
          |centp AS (SELECT q_id, cell FROM (
          |  SELECT n.q_id, t.cell,
          |    row_number() OVER (PARTITION BY n.q_id ORDER BY
@@ -320,7 +321,7 @@ private[graft] object Fragments {
          |adcp AS (SELECT p.q_id, kc.vec_id AS c_id,
          |    floor((qd0.d + qd1.d + qd2.d + qd3.d) * 1000000000) AS dk
          |  FROM pcodes kc
-         |  JOIN af cl ON cl.vec_id = kc.vec_id
+         |  JOIN $af cl ON cl.vec_id = kc.vec_id
          |  JOIN probe p ON p.cell = cl.cell
          |  JOIN pqd_0 qd0 ON qd0.q_id = p.q_id AND qd0.code = kc.k0
          |  JOIN pqd_1 qd1 ON qd1.q_id = p.q_id AND qd1.code = kc.k1
@@ -331,7 +332,9 @@ private[graft] object Fragments {
          |  FROM (
          |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
          |        ORDER BY dk ASC, c_id ASC) AS rk
-         |    FROM adcp) WHERE rk <= 20)""".stripMargin
+         |    FROM adcp) WHERE rk <= $maxK)""".stripMargin
+
+    val hybridDenseAdcCte: String = hybridDenseAdcCteOver("af", 20)
 
     /** RRF fusion tail (Sim.rrfFuse, rrfC = 60): full-outer join `lex`
       * with dense arm `den`, fused top-5 with id tie-breaks — emits
@@ -1004,18 +1007,26 @@ private[graft] object Fragments {
     * share one WITH clause (q255's knob sweep).
     */
   def pqChainsSql(nSub: Int, nCode: Int, subDim: Int, iters: Int,
-                  tag: String = "", sdc: Boolean = false): String = {
+                  tag: String = "", sdc: Boolean = false,
+                  trainWhere: String = "TRUE"): String = {
+    // `trainWhere` restricts the TRAINING rows (seed + update rounds)
+    // — the frozen-quantizer discipline (q280/q299): codebooks learn
+    // on the standing slice, but the final assignment (paf/pcodes)
+    // and the query LUTs always cover the WHOLE corpus. TRUE = the
+    // classic whole-corpus training, byte-identical results.
     def l2d(e: String, c: String) =
       s"list_sum(list_transform(range(1, ${subDim + 1}), i -> " +
         s"($e.sv[i] - $c.cv[i]) * ($e.sv[i] - $c.cv[i])))"
-    def assignCte(s: Int, cents: String, out: String) =
+    def assignCte(s: Int, cents: String, out: String,
+                  src: String = "") =
       s"""$out AS MATERIALIZED (
          |  SELECT vec_id, sv, code FROM (
          |    SELECT e.vec_id, e.sv, c.code,
          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |        floor(${l2d("e", "c")} * 1000000000) ASC,
          |        c.code ASC) AS rn
-         |    FROM pe$tag$s e CROSS JOIN $cents c) WHERE rn = 1)"""
+         |    FROM ${if (src.isEmpty) s"pe$tag$s" else src} e
+         |    CROSS JOIN $cents c) WHERE rn = 1)"""
         .stripMargin
     def updateCte(asg: String, prev: String, out: String) =
       s"""${out}m AS MATERIALIZED (
@@ -1034,17 +1045,25 @@ private[graft] object Fragments {
         .stripMargin
     def chain(s: Int): String = {
       val fin = s"pc$tag${iters}_$s"
+      val frozen = trainWhere != "TRUE"
+      val trainSrc = if (frozen) s"ptr$tag$s" else s"pe$tag$s"
       val init = Seq(
         s"""pe$tag$s AS MATERIALIZED (
            |  SELECT vec_id, list_slice(v, ${s * subDim + 1},
-           |    ${s * subDim + subDim}) AS sv FROM e)""".stripMargin,
+           |    ${s * subDim + subDim}) AS sv FROM e)""".stripMargin) ++
+        (if (frozen) Seq(
+          s"""ptr$tag$s AS MATERIALIZED (
+             |  SELECT vec_id, sv FROM pe$tag$s
+             |  WHERE $trainWhere)""".stripMargin)
+         else Nil) ++ Seq(
         s"""pc${tag}0_$s AS MATERIALIZED (
            |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
            |    sv AS cv
-           |  FROM (SELECT vec_id, sv FROM pe$tag$s ORDER BY vec_id
+           |  FROM (SELECT vec_id, sv FROM $trainSrc ORDER BY vec_id
            |        LIMIT $nCode))""".stripMargin)
       val rounds = (1 to iters).map { it =>
-        s"""${assignCte(s, s"pc$tag${it - 1}_$s", s"pa$tag${it}_$s")},
+        s"""${assignCte(s, s"pc$tag${it - 1}_$s", s"pa$tag${it}_$s",
+             trainSrc)},
            |${updateCte(s"pa$tag${it}_$s", s"pc$tag${it - 1}_$s",
                 s"pc$tag${it}_$s")}""".stripMargin
       }

@@ -1039,6 +1039,33 @@ private[graft] object Reg6MonitorAnn {
             graft.ops.AnnIndex.probeCentroids(s, dir))),
           lexStore = Some(graft.ops.LexIndex.frames(s, dir)))
         .orderBy("probes", "list_k")
+    }),
+
+
+    // ANN — the MAINTAINED index SERVES (q293's lifecycle made
+    // user-visible): top-5 IVF-ADC retrieval whose corpus side is the
+    // append history's merged head (v1 = the standing postings'
+    // published bytes ∪ the delta encoded under the frozen stored
+    // quantizer) with codebooks and probe geometry read from the
+    // frozen base store — nothing retrained, re-encoded, or
+    // re-assigned at query time. The oracle retrains the whole frozen
+    // chain from scratch in SQL (base-slice training, whole-corpus
+    // assignment and codes), so the driver gate proves serving from
+    // the maintained history ≡ a from-scratch snapshot index — the
+    // invariant that makes per-ingest index maintenance legal.
+    "q299_ann_index_serve" -> ((s, dir) => {
+      val head = graft.ops.AnnIndex.postingsAsOf(s, dir, version = 1L)
+      val codes = head.select(col("vec_id"), col("cell"),
+        col("code_0"), col("code_1"), col("code_2"), col("code_3"))
+      val queries = t(s, dir, "embeddings")
+        .where(col("vec_id") < 10)
+        .join(head.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      Sim.topKIvfAdcCoded(queries, codes,
+          graft.ops.AnnIndex.probeCentroids(s, dir, tag = "base"),
+          graft.ops.AnnIndex.books(s, dir, tag = "base"),
+          k = 5, probes = 2)
+        .select(col("q_id"), col("c_id"), col("rk"))
+        .orderBy("q_id", "rk")
     })
   )
 
@@ -2567,7 +2594,22 @@ private[graft] object Reg6MonitorAnn {
            |${hybridDenseAdcSweepCte(4, 40)},
            |${hybridLexCteK(40)},
            |${hybridDenseBruteCteK(40)},
-           |${fusedSweepTailSql(4, Seq(10, 20, 40))}""".stripMargin
+           |${fusedSweepTailSql(4, Seq(10, 20, 40))}""".stripMargin,
+
+      // the whole frozen index retrained from scratch in SQL — the
+      // base-slice kmeans chain (whole-corpus assignment), base-slice
+      // PQ training (whole-corpus codes via pqChainsSql's trainWhere),
+      // the stored probe geometry recomputed as per-cell member
+      // means, then the q254-shape ADC ranking at probes = 2, top 5
+      "q299_ann_index_serve" ->
+        s"""WITH ${kmeansFrozenCte("NOT (vec_id % 5 = 0)")},
+           |afv AS MATERIALIZED (SELECT a.vec_id, e.v, a.cell
+           |  FROM af a JOIN e ON e.vec_id = a.vec_id),
+           |${pqChainsSql(4, 8, 16, 2,
+             trainWhere = "NOT (vec_id % 5 = 0)")},
+           |${hybridDenseAdcCteOver("afv", 5)}
+           |SELECT q_id, c_id, rk_emb AS rk FROM dena
+           |ORDER BY q_id, rk""".stripMargin
   )
 
   private val ivfFrozenOracleSql: String =

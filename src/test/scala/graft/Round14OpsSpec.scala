@@ -229,6 +229,40 @@ class Round14OpsSpec extends SparkSpec {
       "registered engine must be the sized policy over the shared memo")
   }
 
+  test("q299: serving from the maintained merged head equals serving " +
+      "from the from-scratch snapshot base store bit-for-bit, and the " +
+      "head scan reads code bytes only (no embedding, no audit cols)") {
+    val got = SparkEntry.queries("q299_ann_index_serve")(spark, dir)
+    val rows = got.collect().toSeq
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+      .join(ops.AnnIndex.cells(spark, dir, tag = "base")
+        .select("vec_id", "cell"), Seq("vec_id"))
+    val snapshot = ops.Sim.topKIvfAdcCoded(queries,
+        ops.AnnIndex.codes(spark, dir, tag = "base"),
+        ops.AnnIndex.probeCentroids(spark, dir, tag = "base"),
+        ops.AnnIndex.books(spark, dir, tag = "base"), k = 5,
+        probes = 2)
+      .select(col("q_id"), col("c_id"), col("rk"))
+      .orderBy("q_id", "rk").collect().toSeq
+    assert(rows.nonEmpty, "fixture must surface retrievals")
+    assert(rows === snapshot,
+      "the maintained head must be interchangeable with a snapshot")
+    // the history head carries (sim_e9, is_delta) audit columns;
+    // column pruning must keep them (and any raw vector) out of the
+    // serving scan — the m-bytes-per-candidate contract
+    val p = got.queryExecution.executedPlan.toString
+    val headScan = p.linesIterator
+      .find(l => l.contains("FileScan parquet") &&
+        l.contains("annidxhist") && l.contains("code_0"))
+    assert(headScan.isDefined, s"merged-head scan missing:\n" +
+      p.take(2000))
+    assert(!headScan.get.contains("embedding") &&
+      !headScan.get.contains("sim_e9") &&
+      !headScan.get.contains("is_delta"),
+      s"serving scan must read codes only: ${headScan.get}")
+  }
+
   test("BootstrapWeightExpr is bit-equal to the built-in md5/conv/" +
       "when-chain reference draw over every (fixture id, replicate)") {
     val ev = Tables.load(spark, dir, "events")
