@@ -942,11 +942,37 @@ object Agg {
     * thousands), and near the threshold both engines are fine (the
     * measured crossover is broad, SCALE.md round 9).
     */
-  def spearmanEngine(df: DataFrame, key: String,
-                     minGroupsForWindow: Long): String = {
-    val nKeys = df.select(col(key))
-      .agg(approx_count_distinct(col(key))).head().getLong(0)
-    if (nKeys >= minGroupsForWindow) "windowed" else "domain"
+  /** The Spearman engine router, TWO-dimensional as the round-10
+    * ScaleProbe finding requires (SCALE.md): group cardinality alone
+    * misroutes — with near-unique measures both engines do
+    * row-proportional work and the windowed form's constant factor
+    * wins even at 3 giant groups (measured on lineitem sf0.1:
+    * windowed 1.48 s vs domain 3.23 s at tie ratio 0.54). The domain
+    * engine's edge exists only under HEAVY TIES, where the joint
+    * domain collapses below the row mass (replication ×16 measured it
+    * 13.7× better at ratio ≈ 0.03). So: windowed when at least one
+    * group per core (per-group sorts can't idle the cluster), and
+    * below that, domain ONLY when the tie ratio — distinct (key,x) +
+    * distinct (key,y) over 2·rows — is under `maxDomainTieRatio`.
+    * The whole preflight is ONE scan-only aggregate (three HLLs +
+    * count, no shuffle of row mass); HLL error cannot misroute — the
+    * regimes differ by orders of magnitude and the crossover is broad.
+    */
+  def spearmanEngine(df: DataFrame, key: String, x: String, y: String,
+                     minGroupsForWindow: Long,
+                     maxDomainTieRatio: Double = 0.25): String = {
+    val r = df.agg(
+      count(lit(1)).as("n"),
+      approx_count_distinct(col(key)).as("nk"),
+      approx_count_distinct(struct(col(key), col(x))).as("nkx"),
+      approx_count_distinct(struct(col(key), col(y))).as("nky"))
+      .head()
+    val (n, nk, nkx, nky) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val tieRatio = if (n == 0L) 1.0 else (nkx + nky).toDouble / (2.0 * n)
+    if (nk >= minGroupsForWindow || tieRatio > maxDomainTieRatio)
+      "windowed"
+    else "domain"
   }
 
   /** Per-group Spearman with AUTOMATIC engine dispatch — the seam
@@ -984,7 +1010,7 @@ object Agg {
     val threshold =
       if (minGroupsForWindow > 0) minGroupsForWindow
       else df.sparkSession.sparkContext.defaultParallelism.toLong
-    spearmanEngine(df, key, threshold) match {
+    spearmanEngine(df, key, x, y, threshold) match {
       case "windowed" => spearmanCorr(df, key, x, y)
       case _          => spearmanCorrDomain(df, key, x, y)
     }

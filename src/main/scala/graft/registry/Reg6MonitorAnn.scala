@@ -427,10 +427,15 @@ private[graft] object Reg6MonitorAnn {
     }),
 
 
-    // monitoring — AUTO-dispatched Spearman (Agg.spearmanAuto
-    // scaladoc), pinned to q209/q230's oracle: the cardinality
-    // preflight routes lineitem's 3-value l_returnflag to the
-    // hash-distributing domain engine (3 < cores); output is
+    // monitoring — AUTO-dispatched Spearman (Agg.spearmanEngine
+    // scaladoc), pinned to q209/q230's oracle: the preflight is
+    // TWO-dimensional (r14, shipping the round-10 ScaleProbe
+    // finding) — group cardinality AND tie density. lineitem's
+    // 3-value l_returnflag is few-giant-groups, but its near-unique
+    // l_extendedprice puts the tie ratio at 0.54, so the router picks
+    // the WINDOWED engine (measured 1.48 s vs the domain engine's
+    // 3.23 s at sf0.1); the domain engine is reserved for the
+    // tie-heavy regime where it measured 13.7x better. Output is
     // bit-identical to both siblings by construction — THREE queries,
     // ONE oracle string.
     "q233_spearman_auto" -> ((s, dir) =>

@@ -137,19 +137,31 @@ class Round10OpsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
-  test("spearmanEngine routes few-giant-groups to domain and " +
-      "many-groups to windowed; spearmanAuto output is bit-identical " +
+  test("spearmanEngine routes few-giant-TIE-HEAVY groups to domain, " +
+      "many-groups OR near-unique measures to windowed (the round-10 " +
+      "two-dimensional finding); spearmanAuto output is bit-identical " +
       "to both engines either way") {
-    // 3 groups x 40 rows: the few-giant-groups regime
+    // 3 groups x 40 rows over 5x7-value domains: few giant groups AND
+    // heavy ties (joint domain 36/240 = 0.15 of the row mass) — the
+    // replication-shaped regime where the domain engine measured
+    // 13.7x better
     val giant = (0 until 120).map { i =>
-      (s"g${i % 3}", (i * 7 % 13).toDouble, (i * 11 % 17).toDouble)
+      (s"g${i % 3}", (i * 7 % 5).toDouble, (i * 11 % 7).toDouble)
     }.toDF("k", "x", "y")
     // 40 groups x 3 rows: the many-small-groups regime
     val many = (0 until 120).map { i =>
       (s"g${i % 40}", (i * 7 % 13).toDouble, (i * 11 % 17).toDouble)
     }.toDF("k", "x", "y")
-    assert(Agg.spearmanEngine(giant, "k", 32L) === "domain")
-    assert(Agg.spearmanEngine(many, "k", 32L) === "windowed")
+    // 3 giant groups but NEAR-UNIQUE measures (joint domain ~= rows):
+    // cardinality alone says domain; the tie ratio must veto it —
+    // lineitem sf0.1 measured windowed 1.48 s vs domain 3.23 s here
+    val nearUnique = (0 until 120).map { i =>
+      (s"g${i % 3}", i.toDouble, (i * 7919 % 7907).toDouble)
+    }.toDF("k", "x", "y")
+    assert(Agg.spearmanEngine(giant, "k", "x", "y", 32L) === "domain")
+    assert(Agg.spearmanEngine(many, "k", "x", "y", 32L) === "windowed")
+    assert(Agg.spearmanEngine(nearUnique, "k", "x", "y", 32L) ===
+      "windowed")
     for (df <- Seq(giant, many)) {
       val auto = Agg.spearmanAuto(df, "k", "x", "y", 32L)
         .orderBy("k").as[(String, Long, Double)].collect().toSeq
