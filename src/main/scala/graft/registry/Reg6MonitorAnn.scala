@@ -1071,6 +1071,38 @@ private[graft] object Reg6MonitorAnn {
           k = 5, probes = 2)
         .select(col("q_id"), col("c_id"), col("rk"))
         .orderBy("q_id", "rk")
+    }),
+
+
+    // ANN/retrieval — the FULLY-MAINTAINED hybrid: q287's RRF fusion
+    // with BOTH arms served from maintained index heads — the lexical
+    // arm from the standing inverted index MERGED with a delta index
+    // (q292's lifecycle; merge ≡ build(all) exactly), the dense arm
+    // from the ANN append history's merged head under the frozen base
+    // store (q293/q299's lifecycle). Nothing is retrained, re-signed,
+    // or re-encoded at query time on either arm. The oracle retrains
+    // both arms from scratch (full-corpus BM25 chain; frozen-base
+    // kmeans + PQ chains), so the driver gate proves the whole
+    // retrieval stack survives incremental maintenance end to end.
+    "q300_hybrid_maintained" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mergedLex = graft.ops.LexIndex.merge(
+        graft.ops.LexIndex.buildFrames(
+          docs.where(col("doc_id") % 5 =!= 0)),
+        graft.ops.LexIndex.buildFrames(
+          docs.where(col("doc_id") % 5 === 0)))
+      val head = graft.ops.AnnIndex.postingsAsOf(s, dir, version = 1L)
+      val codes = head.select(col("vec_id"), col("cell"),
+        col("code_0"), col("code_1"), col("code_2"), col("code_3"))
+      val embCells = t(s, dir, "embeddings")
+        .join(head.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      Sim.hybridRrfIvfAdc(docs, embCells,
+          graft.ops.AnnIndex.books(s, dir, tag = "base"),
+          cacheKey = Some(dir + "#mergedlex"),
+          coded = Some((codes,
+            graft.ops.AnnIndex.probeCentroids(s, dir, tag = "base"))),
+          lexStore = Some(mergedLex))
+        .orderBy("q_id", "rk")
     })
   )
 
@@ -2614,7 +2646,25 @@ private[graft] object Reg6MonitorAnn {
              trainWhere = "NOT (vec_id % 5 = 0)")},
            |${hybridDenseAdcCteOver("afv", 5)}
            |SELECT q_id, c_id, rk_emb AS rk FROM dena
-           |ORDER BY q_id, rk""".stripMargin
+           |ORDER BY q_id, rk""".stripMargin,
+
+      // q287's fusion tail over the FROZEN-trained arms: the lexical
+      // CTE is the full-corpus BM25 chain (merge ≡ build(all) is
+      // q292's property-tested contract, so the merged frames replay
+      // as one chain), the dense arm retrains the frozen base
+      // quantizer + codebooks from scratch — one fusion, maintained
+      // engines vs from-scratch oracle
+      "q300_hybrid_maintained" ->
+        s"""WITH ${kmeansFrozenCte("NOT (vec_id % 5 = 0)")},
+           |afv AS MATERIALIZED (SELECT a.vec_id, e.v, a.cell
+           |  FROM af a JOIN e ON e.vec_id = a.vec_id),
+           |${pqChainsSql(4, 8, 16, 2,
+             trainWhere = "NOT (vec_id % 5 = 0)")},
+           |${hybridDenseAdcCteOver("afv", 20)},
+           |$hybridLexCte,
+           |${rrfFusedCte("dena", "ra")}
+           |SELECT q_id, c_id, rk_lex, rk_emb, rrf, rk
+           |FROM ra ORDER BY q_id, rk""".stripMargin
   )
 
   private val ivfFrozenOracleSql: String =

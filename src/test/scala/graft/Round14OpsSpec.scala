@@ -263,6 +263,25 @@ class Round14OpsSpec extends SparkSpec {
       s"serving scan must read codes only: ${headScan.get}")
   }
 
+  test("q300: the fully-maintained hybrid (merged lex frames + merged " +
+      "ANN head) equals the same fusion over one-shot snapshot arms " +
+      "bit-for-bit") {
+    val got = SparkEntry.queries("q300_hybrid_maintained")(spark, dir)
+      .collect().toSeq
+    val docs = Tables.load(spark, dir, "documents")
+    val snapshot = ops.Sim.hybridRrfIvfAdc(docs,
+        ops.AnnIndex.cells(spark, dir, tag = "base"),
+        ops.AnnIndex.books(spark, dir, tag = "base"),
+        cacheKey = None, // arm computed fresh, not from q300's memo
+        coded = Some((ops.AnnIndex.codes(spark, dir, tag = "base"),
+          ops.AnnIndex.probeCentroids(spark, dir, tag = "base"))),
+        lexStore = Some(ops.LexIndex.buildFrames(docs)))
+      .orderBy("q_id", "rk").collect().toSeq
+    assert(got.nonEmpty, "fixture must surface fused retrievals")
+    assert(got === snapshot,
+      "maintained arms must be interchangeable with one-shot arms")
+  }
+
   test("BootstrapWeightExpr is bit-equal to the built-in md5/conv/" +
       "when-chain reference draw over every (fixture id, replicate)") {
     val ev = Tables.load(spark, dir, "events")
