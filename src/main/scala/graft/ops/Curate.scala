@@ -535,11 +535,15 @@ object Curate {
     * p, zero-filled, recall floored 4 dp (1.0 by convention on an
     * empty truth set).
     */
+  private val deconTruthMemo = new java.util.concurrent
+    .ConcurrentHashMap[String, String]
+
   def semanticDeconRecall(embCells: DataFrame, isEval: Column,
                           threshold: Double, maxProbes: Int = 3,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding",
-                          cellCol: String = "cell"): DataFrame = {
+                          cellCol: String = "cell",
+                          truthKey: Option[String] = None): DataFrame = {
     require(maxProbes >= 1, s"need maxProbes >= 1, got $maxProbes")
     val spark = embCells.sparkSession
     val tr = embCells.where(!isEval)
@@ -553,13 +557,29 @@ object Curate {
     def sim(tv: Column, tn: Column, evv: Column, evn: Column): Column =
       Num.floorAt(Sim.dot(tv, evv) / (tn * evn), 4)
     // brute truth: eval × ALL train — harness-anchor scan, consumed
-    // twice (hit join + n_truth), materialized once
-    val truth = tr.crossJoin(broadcast(ev))
+    // twice (hit join + n_truth), materialized once. The truth is
+    // QUANTIZER-INDEPENDENT (raw vectors + ids only), so with
+    // `truthKey` it memoizes parquet-backed per (key, threshold) and
+    // every recall harness over the same corpus/split reads ONE scan
+    // (q290/q295/q296 each otherwise re-derive it; lesson #1: durable
+    // memos must be parquet-backed, not checkpoint-backed).
+    val truthRaw = tr.crossJoin(broadcast(ev))
       .where(sim(col("tr_vec"), col("tr_norm"), col("ev_vec"),
         col("ev_norm")) >= threshold)
       .select(col("train_id"), col("eval_id"))
-      .withColumn("__hit", lit(true))
-      .localCheckpoint()
+    val truth = (truthKey match {
+      case Some(key) =>
+        val path = deconTruthMemo.computeIfAbsent(
+          s"$key#$threshold#$idCol#$vecCol", _ => {
+            val p = graft.TempDirs.register(java.nio.file.Files
+              .createTempDirectory("graft-decontruth").toString) +
+              "/truth"
+            truthRaw.coalesce(1).write.mode("overwrite").parquet(p)
+            p
+          })
+        spark.read.parquet(path)
+      case None => truthRaw.localCheckpoint()
+    }).withColumn("__hit", lit(true))
     // eval-side probe ranking: floored-9dp cosine to each cell
     // centroid, ties to the lowest cell (the kmeans/topKIvf discipline)
     val cent = Sim.cellCentroids(embCells, cellCol, vecCol)
@@ -647,7 +667,7 @@ object Curate {
     }).localCheckpoint()
     def run(k: Int, policy: String) =
       semanticDeconRecall(cellsAt(k), isEval, threshold, maxProbes,
-          idCol, vecCol)
+          idCol, vecCol, truthKey = cacheKey)
         .select(lit(policy).as("policy"), lit(k).as("k"), col("probes"),
           col("n_truth"), col("n_approx"), col("n_hits"), col("recall"))
     run(8, "fixed8").unionByName(run(kScaled, "scaled_sqrt"))
@@ -702,7 +722,7 @@ object Curate {
       // one harness run at the largest budget; smaller budgets are
       // pmin-slices of the same sweep (the q294 one-plan discipline)
       semanticDeconRecall(cellsAt(k), isEval, threshold,
-          maxProbes = maxB, idCol, vecCol)
+          maxProbes = maxB, idCol, vecCol, truthKey = cacheKey)
         .join(broadcast(labels), Seq("probes"))
         .select(col("policy"), col("k"), col("coverage"), col("probes"),
           col("n_truth"), col("n_approx"), col("n_hits"), col("recall"))

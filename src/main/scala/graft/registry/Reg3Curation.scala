@@ -734,7 +734,7 @@ private[graft] object Reg3Curation {
     "q290_semantic_decon_recall" -> ((s, dir) =>
       Curate.semanticDeconRecall(graft.ops.AnnIndex.cells(s, dir),
           isEval = col("vec_id") % 97 === 0, threshold = 0.25,
-          maxProbes = 3)
+          maxProbes = 3, truthKey = Some(dir))
         .orderBy("probes")),
 
 
