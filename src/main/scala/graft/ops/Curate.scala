@@ -569,8 +569,12 @@ object Curate {
       .select(col("train_id"), col("eval_id"))
     val truth = (truthKey match {
       case Some(key) =>
+        // the key carries the EVAL-SPLIT expression too: the truth is
+        // a function of (corpus, split, threshold), and a second
+        // harness on the same fixture with a different split must
+        // never read this one's pairs
         val path = deconTruthMemo.computeIfAbsent(
-          s"$key#$threshold#$idCol#$vecCol", _ => {
+          s"$key#$isEval#$threshold#$idCol#$vecCol", _ => {
             val p = graft.TempDirs.register(java.nio.file.Files
               .createTempDirectory("graft-decontruth").toString) +
               "/truth"

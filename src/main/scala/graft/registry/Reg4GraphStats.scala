@@ -491,6 +491,32 @@ private[graft] object Reg4GraphStats {
     // two-level engine (the measured 1e6-distinct bend) — bit-identical
     // either way, bound to the SAME oracle string as q253/q256: one
     // oracle, now THREE skyline engines, and the pair chooses itself.
+    // north star — SOFT deduplication: instead of dropping non-survivor
+    // near-dups (q157's hard policy), weight every document by
+    // 1/|its near-dup cluster| so the training loss sees each
+    // duplicated CONTENT once while no document is discarded — the
+    // reweighting alternative pipelines use when hard dedup would cut
+    // volume too deeply (the survivor keeps weight 1 only when unique;
+    // a 4-way cluster contributes 4 × 0.25). Labels come from the
+    // shared component artifact; docs outside any verified pair are
+    // their own singleton at weight 1. Cost = the corpus scan + two
+    // keyed joins against the label table — no pair recompute.
+    "q301_soft_dedup_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val comp = Artifacts.components(s, dir,
+        k = 8, bands = 4, minJaccard = 0.2)
+      val sizes = comp.groupBy("component")
+        .agg(count(lit(1)).as("n_members"))
+      docs.join(comp, Seq("doc_id"), "left")
+        .join(sizes, Seq("component"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"),
+          coalesce(col("n_members"), lit(1L)).as("n_members"),
+          (lit(1.0) / coalesce(col("n_members"), lit(1L)))
+            .as("weight"))
+        .orderBy("doc_id")
+    }),
+
     // north star — ONE ingest cycle incrementally end-to-end, proven
     // equal to a from-scratch rebuild ([[ingestCycle]] scaladoc):
     // store-read admission → store-read delta pairs → incremental CC
@@ -576,6 +602,25 @@ private[graft] object Reg4GraphStats {
       // equal the from-scratch components exactly (contraction argument
       // in Dedup.componentsIncremental's scaladoc)
       "q140_cc_incremental" -> ccOracleSql,
+
+      // the verified-pair + recursive-CTE CC chain, then every
+      // document left-joined to its cluster size — singletons (docs
+      // in no verified pair) weight 1; 1.0/n is one IEEE division of
+      // exact integers, identical in both engines
+      "q301_soft_dedup_weights" ->
+        s"""WITH RECURSIVE
+           |${verifiedPairsCteFor("TRUE")},
+           |$ccCte,
+           |sz AS (SELECT component, COUNT(*) AS n_members
+           |       FROM comp GROUP BY component)
+           |SELECT d.doc_id,
+           |  COALESCE(c.component, d.doc_id) AS component,
+           |  COALESCE(sz.n_members, 1) AS n_members,
+           |  1.0 / CAST(COALESCE(sz.n_members, 1) AS DOUBLE) AS weight
+           |FROM documents d
+           |LEFT JOIN comp c ON c.doc_id = d.doc_id
+           |LEFT JOIN sz ON sz.component = c.component
+           |ORDER BY d.doc_id""".stripMargin,
 
       // the from-scratch rebuild of q297's post-ingest corpus: replay
       // admission (the q135 CTE chain, prefixed), then the FULL

@@ -282,6 +282,28 @@ class Round14OpsSpec extends SparkSpec {
       "maintained arms must be interchangeable with one-shot arms")
   }
 
+  test("q301 soft dedup: every document appears exactly once, " +
+      "cluster weights sum to 1 per cluster, and survivors-only hard " +
+      "dedup is the weight-1-per-cluster projection of the same table") {
+    val rows = SparkEntry.queries("q301_soft_dedup_weights")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val nDocs = Tables.load(spark, dir, "documents").count()
+    assert(rows.length.toLong === nDocs, "one weight row per document")
+    assert(rows.map(_._1).distinct.length === rows.length)
+    rows.foreach { case (_, _, n, w) =>
+      assert(w > 0.0 && w <= 1.0 && w === 1.0 / n)
+    }
+    // each cluster's weights sum to 1 — the duplicated CONTENT counts
+    // once in any weighted loss
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      val s = members.map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"cluster $c sums to $s")
+    }
+    assert(rows.exists(_._3 > 1), "fixture must contain real clusters")
+  }
+
   test("BootstrapWeightExpr is bit-equal to the built-in md5/conv/" +
       "when-chain reference draw over every (fixture id, replicate)") {
     val ev = Tables.load(spark, dir, "events")
