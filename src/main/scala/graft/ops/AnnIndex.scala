@@ -301,4 +301,30 @@ object AnnIndex {
     val roots = ensureAppendHistory(spark, dir, k, iters, m, codes)
     spark.read.parquet(s"${roots(version.toInt)}/postings")
   }
+
+  /** COMPACTION of the append history (q302 — the lifecycle's last
+    * step): rewrite the merged head's postings into one fresh,
+    * atomically-published snapshot store. Appends accrue per-version
+    * file fragmentation (serving v_n unions n parquet directories);
+    * compaction folds the chain into a single coalesced postings file
+    * and the version history stays readable for audits — the
+    * content is byte-for-byte the head's rows, so serving from the
+    * compacted store MUST equal serving from the history head (q302
+    * binds q299's oracle string: one contract, two physical layouts).
+    */
+  def compactedPostings(spark: SparkSession, dir: String, k: Int = 8,
+                        iters: Int = 2, m: Int = 4,
+                        codes: Int = 8): DataFrame = {
+    val root = sys.props("java.io.tmpdir") +
+      s"/graft-annidxcompact-$V-${slug(dir)}" +
+      s"-f${StoreCommit.fingerprint(dir)}-c$k-i$iters-m$m-k$codes-v1"
+    val path = appendMemo.computeIfAbsent(root, _ =>
+      StoreCommit.ensure(root) { staging =>
+        val roots = ensureAppendHistory(spark, dir, k, iters, m, codes)
+        spark.read.parquet(s"${roots(1)}/postings")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$staging/postings")
+      })
+    spark.read.parquet(s"$path/postings")
+  }
 }

@@ -1103,6 +1103,33 @@ private[graft] object Reg6MonitorAnn {
             graft.ops.AnnIndex.probeCentroids(s, dir, tag = "base"))),
           lexStore = Some(mergedLex))
         .orderBy("q_id", "rk")
+    }),
+
+
+    // ANN — index COMPACTION, the lifecycle's last step
+    // (AnnIndex.compactedPostings scaladoc): the merged head rewritten
+    // into one fresh single-file snapshot store (appends accrue
+    // per-version file fragmentation; compaction folds the chain),
+    // then the SAME top-5 serving as q299 runs against the compacted
+    // store — bound to q299's oracle string, so the driver gate
+    // proves compaction is serving-invariant. One contract, two
+    // physical layouts (versioned history / compacted snapshot), and
+    // with q280/q282/q293 the frozen-append family now closes
+    // build → append → serve → compact under oracle gates throughout.
+    "q302_ann_index_compact" -> ((s, dir) => {
+      val compacted = graft.ops.AnnIndex.compactedPostings(s, dir)
+      val codes = compacted.select(col("vec_id"), col("cell"),
+        col("code_0"), col("code_1"), col("code_2"), col("code_3"))
+      val queries = t(s, dir, "embeddings")
+        .where(col("vec_id") < 10)
+        .join(compacted.select(col("vec_id"), col("cell")),
+          Seq("vec_id"))
+      Sim.topKIvfAdcCoded(queries, codes,
+          graft.ops.AnnIndex.probeCentroids(s, dir, tag = "base"),
+          graft.ops.AnnIndex.books(s, dir, tag = "base"),
+          k = 5, probes = 2)
+        .select(col("q_id"), col("c_id"), col("rk"))
+        .orderBy("q_id", "rk")
     })
   )
 
@@ -2638,15 +2665,12 @@ private[graft] object Reg6MonitorAnn {
       // PQ training (whole-corpus codes via pqChainsSql's trainWhere),
       // the stored probe geometry recomputed as per-cell member
       // means, then the q254-shape ADC ranking at probes = 2, top 5
-      "q299_ann_index_serve" ->
-        s"""WITH ${kmeansFrozenCte("NOT (vec_id % 5 = 0)")},
-           |afv AS MATERIALIZED (SELECT a.vec_id, e.v, a.cell
-           |  FROM af a JOIN e ON e.vec_id = a.vec_id),
-           |${pqChainsSql(4, 8, 16, 2,
-             trainWhere = "NOT (vec_id % 5 = 0)")},
-           |${hybridDenseAdcCteOver("afv", 5)}
-           |SELECT q_id, c_id, rk_emb AS rk FROM dena
-           |ORDER BY q_id, rk""".stripMargin,
+      "q299_ann_index_serve" -> annServeOracleSql,
+
+      // the SAME string: serving from the compacted snapshot must
+      // equal serving from the version history — one contract, two
+      // physical layouts
+      "q302_ann_index_compact" -> annServeOracleSql,
 
       // q287's fusion tail over the FROZEN-trained arms: the lexical
       // CTE is the full-corpus BM25 chain (merge ≡ build(all) is
@@ -2666,6 +2690,16 @@ private[graft] object Reg6MonitorAnn {
            |SELECT q_id, c_id, rk_lex, rk_emb, rrf, rk
            |FROM ra ORDER BY q_id, rk""".stripMargin
   )
+
+  private val annServeOracleSql: String =
+    s"""WITH ${kmeansFrozenCte("NOT (vec_id % 5 = 0)")},
+       |afv AS MATERIALIZED (SELECT a.vec_id, e.v, a.cell
+       |  FROM af a JOIN e ON e.vec_id = a.vec_id),
+       |${pqChainsSql(4, 8, 16, 2,
+         trainWhere = "NOT (vec_id % 5 = 0)")},
+       |${hybridDenseAdcCteOver("afv", 5)}
+       |SELECT q_id, c_id, rk_emb AS rk FROM dena
+       |ORDER BY q_id, rk""".stripMargin
 
   private val ivfFrozenOracleSql: String =
         s"""WITH ${kmeansFrozenCte("NOT (vec_id % 5 = 0)")},

@@ -282,6 +282,25 @@ class Round14OpsSpec extends SparkSpec {
       "maintained arms must be interchangeable with one-shot arms")
   }
 
+  test("q302 compaction is serving-invariant: the compacted snapshot " +
+      "serves identically to the version-history head, holds the " +
+      "identical row set, and collapses the layout to one file") {
+    val served = SparkEntry.queries("q302_ann_index_compact")(
+      spark, dir).collect().toSeq
+    val head = SparkEntry.queries("q299_ann_index_serve")(
+      spark, dir).collect().toSeq
+    assert(served.nonEmpty && served === head,
+      "compaction must not change what the index serves")
+    val compacted = ops.AnnIndex.compactedPostings(spark, dir)
+    val headRows = ops.AnnIndex.postingsAsOf(spark, dir, version = 1L)
+    assert(compacted.exceptAll(headRows).count() === 0L &&
+      headRows.exceptAll(compacted).count() === 0L,
+      "compaction must carry the head's rows byte-for-byte")
+    val files = compacted.inputFiles
+    assert(files.length === 1,
+      s"compaction must fold the chain to one file: ${files.length}")
+  }
+
   test("q301 soft dedup: every document appears exactly once, " +
       "cluster weights sum to 1 per cluster, and survivors-only hard " +
       "dedup is the weight-1-per-cluster projection of the same table") {
