@@ -517,6 +517,34 @@ private[graft] object Reg4GraphStats {
         .orderBy("doc_id")
     }),
 
+    // north star — the soft-dedup weights COMPOSED into the mixture
+    // family: effective token mass per language = Σ n_tokens/|cluster|
+    // over each doc — the number a data-mixture planner actually
+    // budgets against (raw token counts overstate a slice whose mass
+    // is duplicated). Exact integer arithmetic end to end: per-doc
+    // floor(n_tok·10⁶ / cluster_size) in MICRO-tokens summed as
+    // BIGINT, so no order-dependent float summation exists to diverge
+    // between engines. Cost = the token-count scan + two keyed joins
+    // against the label artifact.
+    "q303_effective_token_mass" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val comp = Artifacts.components(s, dir,
+        k = 8, bands = 4, minJaccard = 0.2)
+      val sizes = comp.groupBy("component")
+        .agg(count(lit(1)).as("n_members"))
+      docs.select(col("doc_id"), col("lang"),
+          size(Text.cleanTokens(col("text"))).as("n_tok"))
+        .join(comp, Seq("doc_id"), "left")
+        .join(sizes, Seq("component"), "left")
+        .withColumn("nm", coalesce(col("n_members"), lit(1L)))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("raw_tokens"),
+          sum(expr("(CAST(n_tok AS BIGINT) * 1000000) div nm"))
+            .as("eff_utokens"))
+        .orderBy("lang")
+    }),
+
     // north star — ONE ingest cycle incrementally end-to-end, proven
     // equal to a from-scratch rebuild ([[ingestCycle]] scaladoc):
     // store-read admission → store-read delta pairs → incremental CC
@@ -602,6 +630,29 @@ private[graft] object Reg4GraphStats {
       // equal the from-scratch components exactly (contraction argument
       // in Dedup.componentsIncremental's scaladoc)
       "q140_cc_incremental" -> ccOracleSql,
+
+      // the same CC chain + cluster sizes, token counts from the
+      // shared cleanToks fragment, per-doc micro-token floor division
+      // (pure integer, no float summation), BIGINT sums with the
+      // HUGEINT cast
+      "q303_effective_token_mass" ->
+        s"""WITH RECURSIVE
+           |${verifiedPairsCteFor("TRUE")},
+           |$ccCte,
+           |sz AS (SELECT component, COUNT(*) AS n_members
+           |       FROM comp GROUP BY component),
+           |tok AS (SELECT doc_id, lang, len($cleanToks) AS n_tok
+           |        FROM (SELECT doc_id, lang, ${cleanSql("text")} AS c
+           |              FROM documents)),
+           |w AS (SELECT t.doc_id, t.lang, t.n_tok,
+           |        COALESCE(sz.n_members, 1) AS nm
+           |      FROM tok t LEFT JOIN comp c ON c.doc_id = t.doc_id
+           |      LEFT JOIN sz ON sz.component = c.component)
+           |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+           |  CAST(SUM((CAST(n_tok AS BIGINT) * 1000000) // nm)
+           |    AS BIGINT) AS eff_utokens
+           |FROM w GROUP BY lang ORDER BY lang""".stripMargin,
 
       // the verified-pair + recursive-CTE CC chain, then every
       // document left-joined to its cluster size — singletons (docs

@@ -301,6 +301,29 @@ class Round14OpsSpec extends SparkSpec {
       s"compaction must fold the chain to one file: ${files.length}")
   }
 
+  test("q303 effective token mass: eff <= raw in micro-tokens per " +
+      "lang, the corpus-wide dedup discount is real on the fixture, " +
+      "and raw_tokens is the plain per-lang token sum") {
+    val rows = SparkEntry.queries("q303_effective_token_mass")(
+      spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nd, raw, eff) =>
+      assert(nd > 0 && raw >= 0)
+      assert(eff <= raw * 1000000L,
+        s"$lang: effective mass cannot exceed raw mass")
+    }
+    assert(rows.map(_._3).sum * 1000000L > rows.map(_._4).sum,
+      "the fixture's near-dup clusters must discount some token mass")
+    val raw = Tables.load(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(sum(size(ops.Text.cleanTokens(col("text"))).cast("long"))
+        .as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (lang, _, r, _) => assert(raw(lang) === r) }
+  }
+
   test("q301 soft dedup: every document appears exactly once, " +
       "cluster weights sum to 1 per cluster, and survivors-only hard " +
       "dedup is the weight-1-per-cluster projection of the same table") {
