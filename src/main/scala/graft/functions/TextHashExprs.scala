@@ -386,6 +386,14 @@ case class SimHash60Expr(child: Expression) extends UnaryExpression {
   * BigInt-backed conv per (row, replicate) — on q265's b·n expansion
   * that garbage was the bench's per-rep variance surface; this node
   * allocates nothing per row.
+  *
+  * Null parity with the reference chain: a null id (or replicate)
+  * makes the built-in's uniform NULL, every `when(u < c, k)` condition
+  * false, and the chain falls through to `otherwise(cdf.length)` — so
+  * this node returns `cdf.length` (never NULL) on null input rather
+  * than the BinaryExpression null-propagation default, which would
+  * silently diverge from the DuckDB oracle on any fixture with null
+  * ids (r14 advice).
   */
 case class BootstrapWeightExpr(left: Expression, right: Expression,
                                cdf: Array[Double])
@@ -402,15 +410,32 @@ case class BootstrapWeightExpr(left: Expression, right: Expression,
 
   override def dataType: DataType = IntegerType
 
-  override def nullSafeEval(id: Any, rep: Any): Any =
-    HashUtil.poissonDraw(id.asInstanceOf[UTF8String],
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : Any = {
+    val id = left.eval(input)
+    val rep = right.eval(input)
+    if (id == null || rep == null) cdf.length
+    else HashUtil.poissonDraw(id.asInstanceOf[UTF8String],
       rep.asInstanceOf[Int], cdf)
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
     val ref = ctx.addReferenceObj("cdf", cdf, "double[]")
-    defineCodeGen(ctx, ev,
-      (i, r) => s"graft.functions.HashUtil.poissonDraw($i, $r, $ref)")
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(
+      code = l.code + r.code +
+        code"""
+          int ${ev.value} = (${l.isNull} || ${r.isNull})
+            ? $ref.length
+            : graft.functions.HashUtil.poissonDraw(${l.value},
+                ${r.value}, $ref);""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(

@@ -930,18 +930,6 @@ object Agg {
           .as("rho"))
   }
 
-  /** Which Spearman engine a given (df, key) input wants — the routing
-    * decision [[spearmanAuto]] applies, exposed so callers (and the
-    * spec) can read it. "windowed" ([[spearmanCorr]]) when the group
-    * cardinality is at least `minGroupsForWindow`; "domain"
-    * ([[spearmanCorrDomain]]) below it. The preflight is ONE
-    * partial-aggregated `approx_count_distinct` pass over the pruned
-    * key column — no shuffle of row mass, the q148/q214 cheap-preflight
-    * pattern — and the HLL estimate's few-percent error cannot
-    * misroute: the regimes differ by orders of magnitude (3 groups vs
-    * thousands), and near the threshold both engines are fine (the
-    * measured crossover is broad, SCALE.md round 9).
-    */
   /** The Spearman engine router, TWO-dimensional as the round-10
     * ScaleProbe finding requires (SCALE.md): group cardinality alone
     * misroutes — with near-unique measures both engines do

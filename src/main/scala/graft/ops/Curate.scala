@@ -535,8 +535,32 @@ object Curate {
     * p, zero-filled, recall floored 4 dp (1.0 by convention on an
     * empty truth set).
     */
+  // memoizes a FUTURE of the truth parquet path, not the path itself:
+  // the truth build is a full Spark cross-join + write, and running it
+  // inside computeIfAbsent would hold the map's bin lock for the whole
+  // job — concurrent Verify threads computing OTHER keys that hash to
+  // the same bin would block behind it (r14 advice). putIfAbsent keeps
+  // single-flight (one creator per key); losers just join() the
+  // winner's future, and a failed build removes its future so a retry
+  // can rebuild.
   private val deconTruthMemo = new java.util.concurrent
-    .ConcurrentHashMap[String, String]
+    .ConcurrentHashMap[String,
+      java.util.concurrent.CompletableFuture[String]]
+
+  private def deconTruthPath(memoKey: String)
+                            (build: => String): String = {
+    val created = new java.util.concurrent.CompletableFuture[String]()
+    val existing = deconTruthMemo.putIfAbsent(memoKey, created)
+    if (existing != null) existing.join()
+    else
+      try { val p = build; created.complete(p); p }
+      catch {
+        case e: Throwable =>
+          created.completeExceptionally(e)
+          deconTruthMemo.remove(memoKey, created)
+          throw e
+      }
+  }
 
   def semanticDeconRecall(embCells: DataFrame, isEval: Column,
                           threshold: Double, maxProbes: Int = 3,
@@ -573,14 +597,14 @@ object Curate {
         // a function of (corpus, split, threshold), and a second
         // harness on the same fixture with a different split must
         // never read this one's pairs
-        val path = deconTruthMemo.computeIfAbsent(
-          s"$key#$isEval#$threshold#$idCol#$vecCol", _ => {
+        val path = deconTruthPath(
+          s"$key#$isEval#$threshold#$idCol#$vecCol") {
             val p = graft.TempDirs.register(java.nio.file.Files
               .createTempDirectory("graft-decontruth").toString) +
               "/truth"
             truthRaw.coalesce(1).write.mode("overwrite").parquet(p)
             p
-          })
+          }
         spark.read.parquet(path)
       case None => truthRaw.localCheckpoint()
     }).withColumn("__hit", lit(true))
@@ -707,8 +731,15 @@ object Curate {
                                   vecCol: String = "embedding",
                                   cacheKey: Option[String] = None)
       : DataFrame = {
-    require(fracs.nonEmpty && fracs.forall(f => f > 0.0 && f <= 1.0),
-      s"need coverage fractions in (0, 1], got $fracs")
+    // dyadic check enforces what the scaladoc promises: every f must
+    // be an exact binary fraction (denominator ≤ 2^20) so ⌈k·f⌉ is
+    // bit-identical in both engines — a caller passing e.g. 0.1 (whose
+    // double is 0.1000…0055) would silently ceil differently from the
+    // oracle's DECIMAL literal at k·f integer boundaries (r14 advice)
+    require(fracs.nonEmpty && fracs.forall(f => f > 0.0 && f <= 1.0 &&
+        (f * (1 << 20)).isWhole),
+      s"need DYADIC coverage fractions in (0, 1] (exact multiples of " +
+        s"2^-20, so k*f ceils replay binary-exact in SQL), got $fracs")
     val spark = emb.sparkSession
     import spark.implicits._
     val n = emb.count() // the one driver scalar — the sizing preflight

@@ -1100,10 +1100,15 @@ object Dedup {
     * differ in at most `maxHamming` bits. Candidate generation is the
     * standard signature-banding trick (4 nibble bands — two signatures
     * within hamming distance 3 of each other must agree on at least one
-    * whole nibble), so the join fans out on (band, nibble) buckets instead
-    * of the O(n²) pair space; the exact hamming filter then runs only on
-    * colliding pairs. Same shuffle shape as [[minhashPairs]] — survives
-    * 100 TB because nothing ever materializes all-pairs.
+    * whole nibble), so the join fans out on (band, nibble) buckets and
+    * the exact hamming filter runs only on colliding pairs.
+    *
+    * Scale contract (r14 verdict): 4-bit bands give only 16 buckets
+    * per band, so candidate fan-in is ~n²/16 per band — the 16-bit
+    * form is a SMALL-CORPUS/DEMO signature width, not a 100 TB one.
+    * The corpus-scale variant is [[simhashDupPairs60]] (q55): 15-bit
+    * bands → 32768 LSH buckets per band, the same plan shape with a
+    * bucket count that actually bounds the per-bucket join at scale.
     */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {

@@ -349,7 +349,13 @@ class Round14OpsSpec extends SparkSpec {
   test("BootstrapWeightExpr is bit-equal to the built-in md5/conv/" +
       "when-chain reference draw over every (fixture id, replicate)") {
     val ev = Tables.load(spark, dir, "events")
+    // include NULL ids: the reference chain's when-conditions are all
+    // false on a null uniform, so it falls through to weight
+    // cdf.length (8) — the expression must match, not return NULL
+    // (r14 advice)
     val reps = ev.select(col("event_id"))
+      .unionByName(spark.range(3).select(
+        lit(null).cast("long").as("event_id")))
       .withColumn("__rep", explode(sequence(lit(0), lit(39))))
     val native = org.apache.spark.sql.graftbridge.Bridge.column(
       graft.functions.BootstrapWeightExpr(
