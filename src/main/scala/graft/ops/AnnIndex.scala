@@ -40,10 +40,57 @@ import org.apache.spark.sql.functions._
   * manager (a localCheckpoint memo here would die to any unpersist
   * sweep — the production analogue is executors reading index shards
   * from object storage per task, which is exactly this shape).
+  *
+  * Sizing: the parameter DEFAULTS (k = 8 cells, m = 4 codes) are the
+  * measurement/parity configuration — the frozen-append summary
+  * contract q280≡q282≡q293 pins its oracle to the 0..7 cell grid, and
+  * the q294 sweep replays the 8-seed kmeans chain — but serving
+  * consumers must NOT run them: q290/q295/q296 measure fixed-k recall
+  * degrading with corpus size, so q299/q300/q302 size the store they
+  * serve from via [[sizedParams]] (k = ⌈√n⌉, probes = max(2, ⌈k/4⌉))
+  * and their oracles derive the same arithmetic in SQL.
   */
 object AnnIndex {
 
   private def slug(dir: String): String = StoreCommit.slug(dir)
+
+  /** The measured corpus-sizing policy for the coarse quantizer —
+    * (k cells, probe budget) for an n-vector corpus: k = ⌈√n⌉ keeps
+    * the per-cell candidate bound n/k ≈ √n growing sub-linearly where
+    * fixed k degrades (q290 measures boundary recall falling with
+    * corpus size at k=8), and probes = max(2, ⌈k/4⌉) holds constant
+    * quarter coverage — the f = 1/4 column q296 measures BEATING the
+    * fixed-k default at matched candidate-scan cost on every fixture
+    * (q295/q296, SCALE.md round 14). ONE definition shared by the
+    * sized decontaminator (q298) and the physical store's serving
+    * consumers (q299/q300/q302), so the policy cannot drift between
+    * the measurement, the curation engine, and the index (r14
+    * verdict: the store must not ship the configuration its own
+    * measurements refute).
+    */
+  def sizing(n: Long): (Int, Int) = {
+    require(n > 0, s"need a non-empty corpus to size, got n=$n")
+    val k = math.ceil(math.sqrt(n.toDouble)).toInt
+    (k, math.max(2, math.ceil(k * 0.25).toInt))
+  }
+
+  private val countMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.Long]
+
+  /** The sizing preflight for fixture `dir`: one scan-only count of
+    * the embeddings corpus (memoized per JVM — the q233 cheap-
+    * preflight discipline) through [[sizing]]. The oracle derives the
+    * same arithmetic in SQL (ceil(sqrt(COUNT(*)))), so the sizing
+    * decision itself is driver-gated on every serving query.
+    */
+  def sizedParams(spark: SparkSession, dir: String): (Int, Int) =
+    sizing(countMemo.computeIfAbsent(dir,
+      d => graft.Tables.load(spark, d, "embeddings").count()))
+
+  /** The code-column projection generalized over m — consumers must
+    * never hardcode `code_0..code_3` (r14 verdict). */
+  def codeCols(m: Int): Seq[Column] =
+    (0 until m).map(i => col(s"code_$i"))
 
   /** Store-format version — bump when the TRAINING semantics change,
     * so a durable store written by older code can never be silently

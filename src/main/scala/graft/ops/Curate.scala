@@ -721,6 +721,17 @@ object Curate {
     * `fracs` must be dyadic (2⁻ʲ multiples) so ⌈k·f⌉ is binary-exact
     * in both engines (the DuckDB oracle replays the same ceil).
     *
+    * `storedCells` (round 15): a per-k source of ALREADY-ASSIGNED
+    * (id, vec, cell) postings — the physical [[AnnIndex]] store's
+    * `cells/` frame — replacing the in-memory kmeans assignment. The
+    * stored postings are the SAME deterministic quantizer's output
+    * (shared training memos, bit-exact parquet round-trip), so the
+    * measurement binds the same oracle string: one contract, two
+    * engines (in-memory q296, store-served q304) — and the
+    * store-served row at three SFs is the direct evidence that the
+    * PHYSICAL index sized by [[graft.ops.AnnIndex.sizing]] holds the
+    * recall the fixed-k=8 store loses.
+    *
     * Output: (policy, k, coverage, probes, n_truth, n_approx, n_hits,
     * recall) — one row per policy × fraction, ordered by the caller.
     */
@@ -729,7 +740,9 @@ object Curate {
                                   fracs: Seq[Double] = Seq(0.125, 0.25),
                                   idCol: String = "vec_id",
                                   vecCol: String = "embedding",
-                                  cacheKey: Option[String] = None)
+                                  cacheKey: Option[String] = None,
+                                  storedCells: Option[Int => DataFrame] =
+                                    None)
       : DataFrame = {
     // dyadic check enforces what the scaladoc promises: every f must
     // be an exact binary fraction (denominator ≤ 2^20) so ⌈k·f⌉ is
@@ -744,11 +757,17 @@ object Curate {
     import spark.implicits._
     val n = emb.count() // the one driver scalar — the sizing preflight
     val kScaled = math.ceil(math.sqrt(n.toDouble)).toInt
-    def cellsAt(k: Int) = (cacheKey match {
-      case Some(key) =>
-        Sim.kmeansCellsCached(emb, k, 2, key, idCol, vecCol)
-      case None => Sim.kmeansCells(emb, k, 2, idCol, vecCol)
-    }).localCheckpoint()
+    // stored postings are already materialized parquet — only the
+    // in-memory assignment (a k·dim-literal projection read three
+    // times by the harness) is worth checkpointing
+    def cellsAt(k: Int) = storedCells match {
+      case Some(src) => src(k)
+      case None => (cacheKey match {
+        case Some(key) =>
+          Sim.kmeansCellsCached(emb, k, 2, key, idCol, vecCol)
+        case None => Sim.kmeansCells(emb, k, 2, idCol, vecCol)
+      }).localCheckpoint()
+    }
     def run(k: Int, policy: String): DataFrame = {
       val budgets = fracs.map(f =>
         (policy, k, f, math.max(1, math.ceil(k * f).toInt)))

@@ -183,9 +183,14 @@ private[graft] object Fragments {
       * TRUE cosine as an exact integer (sim_e9 = floor(cos·10⁹), dot
       * over BOTH norms — the argmax rank stays on the norm-cancelling
       * dot/|c|, mirroring the engine's assignScoredCos) — ends in
-      * `af(vec_id, cell, sim_e9)`.
+      * `af(vec_id, cell, sim_e9)`. `kSql` is the seed count — a
+      * literal for the fixed parity grid (q280/q282/q293), or a
+      * derived scalar (ceil-sqrt-count) for the sized serving oracles
+      * (q299/q300/q302); the final trained centroids stay named `c2`
+      * so a probe budget can be derived from `(SELECT COUNT(*) FROM
+      * c2)` = k.
       */
-    def kmeansFrozenCte(baseCond: String): String =
+    def kmeansFrozenCte(baseCond: String, kSql: String = "8"): String =
       s"""e AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
@@ -193,7 +198,8 @@ private[graft] object Fragments {
          |c0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
          |    v AS cv, sqrt(list_sum(list_transform(v, x -> x * x))) AS cn
-         |  FROM (SELECT vec_id, v FROM eb ORDER BY vec_id LIMIT 8)),
+         |  FROM (SELECT vec_id, v FROM eb ORDER BY vec_id
+         |        LIMIT $kSql)),
          |${kmAssign("c0", "a1", "eb")},
          |${kmUpdate("a1", "c0", "c1")},
          |${kmAssign("c1", "a2", "eb")},
@@ -286,13 +292,17 @@ private[graft] object Fragments {
 
     val hybridDenseBruteCte: String = hybridDenseBruteCteK(20)
 
-    /** IVF-ADC dense arm (Sim.topKIvfAdc: own cell ∪ 2 nearest-centroid
-      * cells, ADC over the m=4/k=8 PQ codes) — ends in
-      * `dena(q_id, c_id, rk_emb)`, rk_emb <= maxK, over the assignment
-      * CTE `af(vec_id, v, cell)` named by `af`. Requires that CTE
-      * (e.g. [[kmeansAfCte]]'s `af`, or a frozen-chain join) and
-      * pqChainsSql(4, 8, 16, 2) (for `pcodes`/`pqd_*`) in scope. */
-    def hybridDenseAdcCteOver(af: String, maxK: Int): String =
+    /** IVF-ADC dense arm (Sim.topKIvfAdc: own cell ∪ top
+      * `probesSql` nearest-centroid cells, ADC over the m=4 PQ codes)
+      * — ends in `dena(q_id, c_id, rk_emb)`, rk_emb <= maxK, over the
+      * assignment CTE `af(vec_id, v, cell)` named by `af`. Requires
+      * that CTE (e.g. [[kmeansAfCte]]'s `af`, or a frozen-chain join)
+      * and pqChainsSql(4, 8, 16, 2) (for `pcodes`/`pqd_*`) in scope.
+      * `probesSql` is a literal for the fixed arms and a derived
+      * scalar (max(2, ⌈k/4⌉) from the trained cell count) for the
+      * sized serving oracles. */
+    def hybridDenseAdcCteOver(af: String, maxK: Int,
+                              probesSql: String = "2"): String =
       s"""cm AS (SELECT cell, d.pos AS pos,
          |    CAST(SUM(CAST(v[d.pos] AS DECIMAL(27,10))) AS DOUBLE)
          |      / COUNT(*) AS m
@@ -314,7 +324,7 @@ private[graft] object Fragments {
            "list_sum(list_transform(range(1, 65)," +
              " i -> n.qv[i] * t.ce[i])) / (n.qnorm * t.cn)", 9)} DESC,
          |      t.cell ASC) AS pr
-         |  FROM qn n CROSS JOIN centn t) WHERE pr <= 2),
+         |  FROM qn n CROSS JOIN centn t) WHERE pr <= $probesSql),
          |ownp AS (SELECT q_id, owncell AS cell FROM qn),
          |probe AS (SELECT DISTINCT q_id, cell
          |  FROM (SELECT * FROM ownp UNION ALL SELECT * FROM centp)),

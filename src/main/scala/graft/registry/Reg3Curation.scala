@@ -782,16 +782,36 @@ private[graft] object Reg3Curation {
     "q298_semantic_decon_scaled" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val n = emb.count() // the sizing preflight (q233 discipline)
-      val k = math.ceil(math.sqrt(n.toDouble)).toInt
-      // floor at 2: q290 measures own-cell-only at 0.29-0.46 recall,
-      // so quarter-coverage never dips below the multi-probe minimum
-      val probes = math.max(2, math.ceil(k * 0.25).toInt)
+      // ONE policy definition (AnnIndex.sizing) shared with the
+      // physical store's serving consumers (q299/q300/q302) — the
+      // probe floor at 2 is there because q290 measures own-cell-only
+      // at 0.29-0.46 recall, so quarter-coverage never dips below the
+      // multi-probe minimum
+      val (k, probes) = graft.ops.AnnIndex.sizing(n)
       Curate.decontaminateSemantic(
           Sim.kmeansCellsCached(emb, k, 2, dir).localCheckpoint(),
           isEval = col("vec_id") % 97 === 0, threshold = 0.25,
           probes = probes)
         .orderBy(col("sim").desc, col("train_id"), col("eval_id"))
-    })
+    }),
+
+
+    // curation — q296's coverage-matched recall measurement SERVED
+    // FROM THE PHYSICAL INDEX (the r14 verdict's three-SF recall
+    // ask): both policy arms read AnnIndex `cells/` postings — fixed8
+    // from the k=8 store, scaled from the ⌈√n⌉-sized store — instead
+    // of assigning in memory, and bind q296's oracle string (one
+    // contract, two engines). The driver gate at each SF is the
+    // direct evidence that the PHYSICAL store sized by
+    // AnnIndex.sizing holds the recall the fixed-k=8 physical store
+    // loses as the corpus grows.
+    "q304_sized_store_recall" -> ((s, dir) =>
+      Curate.semanticDeconRecallCoverage(t(s, dir, "embeddings"),
+          isEval = col("vec_id") % 97 === 0, threshold = 0.25,
+          fracs = Seq(0.125, 0.25), cacheKey = Some(dir),
+          storedCells = Some(k =>
+            graft.ops.AnnIndex.cells(s, dir, "full", k = k)))
+        .orderBy("policy", "coverage"))
   )
 
   /** One policy's arm of the q295 oracle: the q290 probe-policy CTE
@@ -943,6 +963,43 @@ private[graft] object Reg3Curation {
        |LEFT JOIN ${p}stats ON ${p}stats.p = pp.p
        |CROSS JOIN nt""".stripMargin
   }
+
+  /** The coverage-matched two-policy recall replay — ONE string for
+    * the in-memory engine (q296) and the physical-store-served engine
+    * (q304): both arms' assignments are the same deterministic
+    * kmeans chains, so the measurement contract is engine-independent.
+    */
+  private val coverageMatchedOracleSql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |${kmeansChainAt("8", "fx")},
+       |${kmeansChainAt(
+         "(SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM e)",
+         "sc")},
+       |ev0 AS MATERIALIZED (SELECT vec_id AS eval_id, v AS evv,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS evn
+       |  FROM e WHERE vec_id % 97 = 0),
+       |tr0 AS MATERIALIZED (SELECT vec_id AS train_id, v AS trv,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS trn
+       |  FROM e WHERE NOT (vec_id % 97 = 0)),
+       |tru AS MATERIALIZED (SELECT train_id, eval_id FROM (
+       |  SELECT t.train_id, e.eval_id,
+       |    floor((list_sum(list_transform(range(1, 65),
+       |      i -> t.trv[i] * e.evv[i])) / (t.trn * e.evn)) * 10000)
+       |      / 10000 AS sim
+       |  FROM tr0 t CROSS JOIN ev0 e) WHERE sim >= 0.25),
+       |nt AS (SELECT COUNT(*) AS n_truth FROM tru),
+       |${coveragePolicyCtes("fxaf", "fx", "8", Seq(0.125, 0.25))},
+       |${coveragePolicyCtes("scaf", "sc",
+         "(SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM e)",
+         Seq(0.125, 0.25))}
+       |SELECT * FROM (
+       |${coveragePolicyRows("fx", "fixed8", "CAST(8 AS INTEGER)")}
+       |UNION ALL
+       |${coveragePolicyRows("sc", "scaled_sqrt",
+         "(SELECT CAST(ceil(sqrt(COUNT(*))) AS INTEGER) FROM e)")}
+       |) ORDER BY policy, coverage""".stripMargin
 
   def oracles: ListMap[String, String] = ListMap(
 
@@ -1917,37 +1974,12 @@ private[graft] object Reg3Curation {
       // coverage fractions (p = max(1, ⌈k·f⌉), binary-exact for
       // dyadic f) instead of a static sweep — one recall row per
       // policy × fraction against the SAME shared brute truth
-      "q296_coverage_matched_recall" ->
-        s"""WITH e AS (SELECT vec_id,
-           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           |  FROM embeddings),
-           |${kmeansChainAt("8", "fx")},
-           |${kmeansChainAt(
-             "(SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM e)",
-             "sc")},
-           |ev0 AS MATERIALIZED (SELECT vec_id AS eval_id, v AS evv,
-           |    sqrt(list_sum(list_transform(v, x -> x * x))) AS evn
-           |  FROM e WHERE vec_id % 97 = 0),
-           |tr0 AS MATERIALIZED (SELECT vec_id AS train_id, v AS trv,
-           |    sqrt(list_sum(list_transform(v, x -> x * x))) AS trn
-           |  FROM e WHERE NOT (vec_id % 97 = 0)),
-           |tru AS MATERIALIZED (SELECT train_id, eval_id FROM (
-           |  SELECT t.train_id, e.eval_id,
-           |    floor((list_sum(list_transform(range(1, 65),
-           |      i -> t.trv[i] * e.evv[i])) / (t.trn * e.evn)) * 10000)
-           |      / 10000 AS sim
-           |  FROM tr0 t CROSS JOIN ev0 e) WHERE sim >= 0.25),
-           |nt AS (SELECT COUNT(*) AS n_truth FROM tru),
-           |${coveragePolicyCtes("fxaf", "fx", "8", Seq(0.125, 0.25))},
-           |${coveragePolicyCtes("scaf", "sc",
-             "(SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM e)",
-             Seq(0.125, 0.25))}
-           |SELECT * FROM (
-           |${coveragePolicyRows("fx", "fixed8", "CAST(8 AS INTEGER)")}
-           |UNION ALL
-           |${coveragePolicyRows("sc", "scaled_sqrt",
-             "(SELECT CAST(ceil(sqrt(COUNT(*))) AS INTEGER) FROM e)")}
-           |) ORDER BY policy, coverage""".stripMargin,
+      "q296_coverage_matched_recall" -> coverageMatchedOracleSql,
+
+      // the SAME string: the store-served arms read AnnIndex postings
+      // whose quantizer is the identical deterministic training (one
+      // contract, two engines — in-memory q296, physical-store q304)
+      "q304_sized_store_recall" -> coverageMatchedOracleSql,
 
       "q285_contamination_pairs" ->
         s"""WITH cleaned AS (SELECT doc_id AS id, (doc_id % 97 = 0) AS ev,

@@ -1053,22 +1053,30 @@ private[graft] object Reg6MonitorAnn {
     // published bytes ∪ the delta encoded under the frozen stored
     // quantizer) with codebooks and probe geometry read from the
     // frozen base store — nothing retrained, re-encoded, or
-    // re-assigned at query time. The oracle retrains the whole frozen
-    // chain from scratch in SQL (base-slice training, whole-corpus
-    // assignment and codes), so the driver gate proves serving from
-    // the maintained history ≡ a from-scratch snapshot index — the
-    // invariant that makes per-ingest index maintenance legal.
+    // re-assigned at query time. SIZED by the measured policy
+    // (AnnIndex.sizedParams — k = ⌈√n⌉, probes = max(2, ⌈k/4⌉) from a
+    // one-count preflight; r14 verdict: serving must not run the
+    // fixed k=8 its own q290/q295/q296 measurements refute). The
+    // oracle retrains the whole frozen chain from scratch in SQL
+    // (base-slice training at a DERIVED ceil-sqrt-count seed budget,
+    // whole-corpus assignment and codes, probes derived from the
+    // trained cell count), so the driver gate proves both the
+    // maintained-history serving AND the sizing arithmetic.
     "q299_ann_index_serve" -> ((s, dir) => {
-      val head = graft.ops.AnnIndex.postingsAsOf(s, dir, version = 1L)
-      val codes = head.select(col("vec_id"), col("cell"),
-        col("code_0"), col("code_1"), col("code_2"), col("code_3"))
+      val (k, probes) = graft.ops.AnnIndex.sizedParams(s, dir)
+      val head = graft.ops.AnnIndex.postingsAsOf(s, dir, version = 1L,
+        k = k)
+      val codes = head.select(
+        (Seq(col("vec_id"), col("cell")) ++
+          graft.ops.AnnIndex.codeCols(4)): _*)
       val queries = t(s, dir, "embeddings")
         .where(col("vec_id") < 10)
         .join(head.select(col("vec_id"), col("cell")), Seq("vec_id"))
       Sim.topKIvfAdcCoded(queries, codes,
-          graft.ops.AnnIndex.probeCentroids(s, dir, tag = "base"),
-          graft.ops.AnnIndex.books(s, dir, tag = "base"),
-          k = 5, probes = 2)
+          graft.ops.AnnIndex.probeCentroids(s, dir, tag = "base",
+            k = k),
+          graft.ops.AnnIndex.books(s, dir, tag = "base", k = k),
+          k = 5, probes = probes)
         .select(col("q_id"), col("c_id"), col("rk"))
         .orderBy("q_id", "rk")
     }),
@@ -1091,17 +1099,21 @@ private[graft] object Reg6MonitorAnn {
           docs.where(col("doc_id") % 5 =!= 0)),
         graft.ops.LexIndex.buildFrames(
           docs.where(col("doc_id") % 5 === 0)))
-      val head = graft.ops.AnnIndex.postingsAsOf(s, dir, version = 1L)
-      val codes = head.select(col("vec_id"), col("cell"),
-        col("code_0"), col("code_1"), col("code_2"), col("code_3"))
+      val (k, probes) = graft.ops.AnnIndex.sizedParams(s, dir)
+      val head = graft.ops.AnnIndex.postingsAsOf(s, dir, version = 1L,
+        k = k)
+      val codes = head.select(
+        (Seq(col("vec_id"), col("cell")) ++
+          graft.ops.AnnIndex.codeCols(4)): _*)
       val embCells = t(s, dir, "embeddings")
         .join(head.select(col("vec_id"), col("cell")), Seq("vec_id"))
       Sim.hybridRrfIvfAdc(docs, embCells,
-          graft.ops.AnnIndex.books(s, dir, tag = "base"),
+          graft.ops.AnnIndex.books(s, dir, tag = "base", k = k),
           cacheKey = Some(dir + "#mergedlex"),
           coded = Some((codes,
-            graft.ops.AnnIndex.probeCentroids(s, dir, tag = "base"))),
-          lexStore = Some(mergedLex))
+            graft.ops.AnnIndex.probeCentroids(s, dir, tag = "base",
+              k = k))),
+          lexStore = Some(mergedLex), probes = probes)
         .orderBy("q_id", "rk")
     }),
 
@@ -1117,17 +1129,21 @@ private[graft] object Reg6MonitorAnn {
     // with q280/q282/q293 the frozen-append family now closes
     // build → append → serve → compact under oracle gates throughout.
     "q302_ann_index_compact" -> ((s, dir) => {
-      val compacted = graft.ops.AnnIndex.compactedPostings(s, dir)
-      val codes = compacted.select(col("vec_id"), col("cell"),
-        col("code_0"), col("code_1"), col("code_2"), col("code_3"))
+      val (k, probes) = graft.ops.AnnIndex.sizedParams(s, dir)
+      val compacted = graft.ops.AnnIndex.compactedPostings(s, dir,
+        k = k)
+      val codes = compacted.select(
+        (Seq(col("vec_id"), col("cell")) ++
+          graft.ops.AnnIndex.codeCols(4)): _*)
       val queries = t(s, dir, "embeddings")
         .where(col("vec_id") < 10)
         .join(compacted.select(col("vec_id"), col("cell")),
           Seq("vec_id"))
       Sim.topKIvfAdcCoded(queries, codes,
-          graft.ops.AnnIndex.probeCentroids(s, dir, tag = "base"),
-          graft.ops.AnnIndex.books(s, dir, tag = "base"),
-          k = 5, probes = 2)
+          graft.ops.AnnIndex.probeCentroids(s, dir, tag = "base",
+            k = k),
+          graft.ops.AnnIndex.books(s, dir, tag = "base", k = k),
+          k = 5, probes = probes)
         .select(col("q_id"), col("c_id"), col("rk"))
         .orderBy("q_id", "rk")
     })
@@ -2679,25 +2695,39 @@ private[graft] object Reg6MonitorAnn {
       // quantizer + codebooks from scratch — one fusion, maintained
       // engines vs from-scratch oracle
       "q300_hybrid_maintained" ->
-        s"""WITH ${kmeansFrozenCte("NOT (vec_id % 5 = 0)")},
+        s"""WITH ${kmeansFrozenCte("NOT (vec_id % 5 = 0)", annSizedKSql)},
            |afv AS MATERIALIZED (SELECT a.vec_id, e.v, a.cell
            |  FROM af a JOIN e ON e.vec_id = a.vec_id),
            |${pqChainsSql(4, 8, 16, 2,
              trainWhere = "NOT (vec_id % 5 = 0)")},
-           |${hybridDenseAdcCteOver("afv", 20)},
+           |${hybridDenseAdcCteOver("afv", 20, annSizedProbesSql)},
            |$hybridLexCte,
            |${rrfFusedCte("dena", "ra")}
            |SELECT q_id, c_id, rk_lex, rk_emb, rrf, rk
            |FROM ra ORDER BY q_id, rk""".stripMargin
   )
 
+  /** The sized-serving derivations (q299/q300/q302): the seed budget
+    * is ⌈√n⌉ over the WHOLE indexed corpus (the per-cell candidate
+    * bound n/k is about what the index serves, not what it trained
+    * on), and the probe budget is max(2, ⌈k/4⌉) derived from the
+    * TRAINED cell count (`c2` — kmeansFrozenCte's final centroids),
+    * exactly [[graft.ops.AnnIndex.sizing]]'s arithmetic — the q298
+    * oracle discipline applied to the index store, so the driver gate
+    * proves the sizing policy on every serving query. */
+  private val annSizedKSql: String =
+    "(SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM e)"
+  private val annSizedProbesSql: String =
+    "GREATEST(2, CAST(ceil(CAST((SELECT COUNT(*) FROM c2) AS DOUBLE)" +
+      " * 0.25) AS INTEGER))"
+
   private val annServeOracleSql: String =
-    s"""WITH ${kmeansFrozenCte("NOT (vec_id % 5 = 0)")},
+    s"""WITH ${kmeansFrozenCte("NOT (vec_id % 5 = 0)", annSizedKSql)},
        |afv AS MATERIALIZED (SELECT a.vec_id, e.v, a.cell
        |  FROM af a JOIN e ON e.vec_id = a.vec_id),
        |${pqChainsSql(4, 8, 16, 2,
          trainWhere = "NOT (vec_id % 5 = 0)")},
-       |${hybridDenseAdcCteOver("afv", 5)}
+       |${hybridDenseAdcCteOver("afv", 5, annSizedProbesSql)}
        |SELECT q_id, c_id, rk_emb AS rk FROM dena
        |ORDER BY q_id, rk""".stripMargin
 

@@ -234,15 +234,20 @@ class Round14OpsSpec extends SparkSpec {
       "head scan reads code bytes only (no embedding, no audit cols)") {
     val got = SparkEntry.queries("q299_ann_index_serve")(spark, dir)
     val rows = got.collect().toSeq
+    // the snapshot reference runs at the SAME measured sizing the
+    // registered serving path derives (r15: k = ceil(sqrt(n)),
+    // probes = max(2, ceil(k/4)) — the store no longer serves fixed
+    // k=8)
+    val (k, probes) = ops.AnnIndex.sizedParams(spark, dir)
     val emb = Tables.load(spark, dir, "embeddings")
     val queries = emb.where(col("vec_id") < 10)
-      .join(ops.AnnIndex.cells(spark, dir, tag = "base")
+      .join(ops.AnnIndex.cells(spark, dir, tag = "base", k = k)
         .select("vec_id", "cell"), Seq("vec_id"))
     val snapshot = ops.Sim.topKIvfAdcCoded(queries,
-        ops.AnnIndex.codes(spark, dir, tag = "base"),
-        ops.AnnIndex.probeCentroids(spark, dir, tag = "base"),
-        ops.AnnIndex.books(spark, dir, tag = "base"), k = 5,
-        probes = 2)
+        ops.AnnIndex.codes(spark, dir, tag = "base", k = k),
+        ops.AnnIndex.probeCentroids(spark, dir, tag = "base", k = k),
+        ops.AnnIndex.books(spark, dir, tag = "base", k = k), k = 5,
+        probes = probes)
       .select(col("q_id"), col("c_id"), col("rk"))
       .orderBy("q_id", "rk").collect().toSeq
     assert(rows.nonEmpty, "fixture must surface retrievals")
@@ -269,13 +274,17 @@ class Round14OpsSpec extends SparkSpec {
     val got = SparkEntry.queries("q300_hybrid_maintained")(spark, dir)
       .collect().toSeq
     val docs = Tables.load(spark, dir, "documents")
+    val (k, probes) = ops.AnnIndex.sizedParams(spark, dir)
     val snapshot = ops.Sim.hybridRrfIvfAdc(docs,
-        ops.AnnIndex.cells(spark, dir, tag = "base"),
-        ops.AnnIndex.books(spark, dir, tag = "base"),
+        ops.AnnIndex.cells(spark, dir, tag = "base", k = k),
+        ops.AnnIndex.books(spark, dir, tag = "base", k = k),
         cacheKey = None, // arm computed fresh, not from q300's memo
-        coded = Some((ops.AnnIndex.codes(spark, dir, tag = "base"),
-          ops.AnnIndex.probeCentroids(spark, dir, tag = "base"))),
-        lexStore = Some(ops.LexIndex.buildFrames(docs)))
+        coded = Some((ops.AnnIndex.codes(spark, dir, tag = "base",
+            k = k),
+          ops.AnnIndex.probeCentroids(spark, dir, tag = "base",
+            k = k))),
+        lexStore = Some(ops.LexIndex.buildFrames(docs)),
+        probes = probes)
       .orderBy("q_id", "rk").collect().toSeq
     assert(got.nonEmpty, "fixture must surface fused retrievals")
     assert(got === snapshot,
@@ -291,8 +300,10 @@ class Round14OpsSpec extends SparkSpec {
       spark, dir).collect().toSeq
     assert(served.nonEmpty && served === head,
       "compaction must not change what the index serves")
-    val compacted = ops.AnnIndex.compactedPostings(spark, dir)
-    val headRows = ops.AnnIndex.postingsAsOf(spark, dir, version = 1L)
+    val (k, _) = ops.AnnIndex.sizedParams(spark, dir)
+    val compacted = ops.AnnIndex.compactedPostings(spark, dir, k = k)
+    val headRows = ops.AnnIndex.postingsAsOf(spark, dir, version = 1L,
+      k = k)
     assert(compacted.exceptAll(headRows).count() === 0L &&
       headRows.exceptAll(compacted).count() === 0L,
       "compaction must carry the head's rows byte-for-byte")
