@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The PHYSICAL lexical (inverted) index — [[AnnIndex]]'s story for
@@ -152,5 +152,132 @@ object LexIndex {
       stA.unionByName(stB)
         .agg(sum(col("n_terms")).as("n_terms"),
           sum(col("n_docs")).as("n_docs")))
+  }
+
+  // ---- versioned delta-append maintenance (round 15 — the AnnIndex
+  // append-history lifecycle for the text side) ------------------------
+  // [[merge]] above folds frames IN MEMORY; a real index maintainer
+  // also needs the fold to be DURABLE and auditable. The history below
+  // is the Lucene segment model expressed as parquet stores: version 0
+  // is the standing corpus slice's four frames, version 1 publishes
+  // ONLY the delta batch's frames as a sibling segment — so an append
+  // WRITES ∝ batch, never rewrites a standing posting byte (strictly
+  // stronger than the ANN history, whose v1 re-materializes the
+  // union). Reading "as of" version v folds segments 0..v with
+  // [[merge]]'s count-sum aggregates from their published bytes; the
+  // per-version stores stay queryable (time-travel), and
+  // [[compactedFrames]] folds the segment chain into one fresh
+  // single-segment snapshot — serving-invariant because every frame
+  // is a sum of per-document counts (merge ≡ build(A∪B), the q292
+  // property). Bound to q176's oracle string: one contract, FIVE
+  // engines (on-the-fly q176, stored q291, in-memory merge q292,
+  // stored-segment serve q305, compacted q306).
+
+  /** The standing/delta corpus split for the maintained index —
+    * doc_id % 5, mirroring [[Sim.frozenDeltaSplit]]'s vec_id policy so
+    * the fully-maintained hybrid (q300) splits both arms on one rule.
+    */
+  val deltaSplit: Column = col("doc_id") % 5 === 0
+
+  /** One segment's store root inside the append history (sibling
+    * dirs, one atomic publish each). */
+  def versionRoot(dir: String, version: Long): String =
+    sys.props("java.io.tmpdir") +
+      s"/graft-lexidxhist-$V-${StoreCommit.slug(dir)}" +
+      s"-f${StoreCommit.fingerprint(dir)}-v$version"
+
+  private val histMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, String]
+
+  /** Persist one segment's four frames under `staging` — the same
+    * layout as the snapshot store ([[ensure]]), including the
+    * term-bucket directory partitioning on tf, so every consumer gets
+    * the pruned postings scan regardless of which store it reads. */
+  private def writeFrames(staging: String,
+                          frames: (DataFrame, DataFrame, DataFrame,
+                            DataFrame)): Unit = {
+    val (tf, dl, df, stats) = frames
+    tf.withColumn("tbkt", pmod(hash(col("term")), lit(TermBuckets)))
+      .repartition(col("tbkt"))
+      .write.mode("overwrite").partitionBy("tbkt")
+      .parquet(s"$staging/tf")
+    dl.write.mode("overwrite").parquet(s"$staging/dl")
+    df.write.mode("overwrite").parquet(s"$staging/df")
+    stats.coalesce(1).write.mode("overwrite")
+      .parquet(s"$staging/stats")
+  }
+
+  private def readFrames(spark: SparkSession, p: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$p/tf"), spark.read.parquet(s"$p/dl"),
+      spark.read.parquet(s"$p/df"), spark.read.parquet(s"$p/stats"))
+
+  /** Ensure the two-segment history for fixture `dir`: segment 0 =
+    * the standing slice ([[deltaSplit]]'s complement) indexed alone,
+    * segment 1 = the delta slice indexed ALONE (cost ∝ batch — the
+    * standing segment's bytes are never read, let alone rewritten, by
+    * the append). The disjointness [[merge]] requires holds by
+    * construction of the split; the guard re-runs at read time unless
+    * the caller opts out. Returns the segment roots in order.
+    * Idempotent, single-flight per JVM, atomic per segment cross-JVM.
+    */
+  def ensureAppendHistory(spark: SparkSession, dir: String)
+      : Seq[String] = {
+    def seg(version: Long, slice: Column): String = {
+      val root = versionRoot(dir, version)
+      histMemo.computeIfAbsent(root, _ =>
+        StoreCommit.ensure(root) { staging =>
+          writeFrames(staging, buildFrames(
+            graft.Tables.load(spark, dir, "documents").where(slice)))
+        })
+    }
+    Seq(seg(0L, !deltaSplit), seg(1L, deltaSplit))
+  }
+
+  /** TIME-TRAVEL read of the maintained index: the four frames AS OF
+    * `version` — 0 is the standing pre-append index, 1 the merged
+    * head (segments 0 and 1 folded from their published bytes with
+    * [[merge]]'s count-sum aggregates — tf/dl are pure unions of
+    * per-document rows, df and the 1-row stats re-sum at read, the
+    * standard segmented-index read fold).
+    */
+  def framesAsOf(spark: SparkSession, dir: String, version: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(version == 0L || version == 1L,
+      s"append history holds segments 0 (standing) and 1 (delta), " +
+        s"got $version")
+    val roots = ensureAppendHistory(spark, dir)
+    val base = readFrames(spark, roots(0))
+    if (version == 0L) base
+    // segment disjointness was established when the split was cut;
+    // re-checking per read would put a count() action in every
+    // serving query's build path
+    else merge(base, readFrames(spark, roots(1)),
+      checkDisjoint = false)
+  }
+
+  /** COMPACTION of the segment chain (the q302 step for the text
+    * side): materialize the merged head into one fresh single-segment
+    * snapshot — per-bucket single postings files, one file per side
+    * frame — atomically published. Serving from the compacted store
+    * MUST equal serving from the segment fold (q306 binds q176's
+    * oracle string), and reads stop paying the per-segment union +
+    * read-side df/stats re-aggregation.
+    */
+  def compactedFrames(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val root = sys.props("java.io.tmpdir") +
+      s"/graft-lexidxcompact-$V-${StoreCommit.slug(dir)}" +
+      s"-f${StoreCommit.fingerprint(dir)}-v1"
+    val p = histMemo.computeIfAbsent(root, _ =>
+      StoreCommit.ensure(root) { staging =>
+        val (tf, dl, df, stats) = framesAsOf(spark, dir, 1L)
+        // tf arrives with the segments' tbkt partition column —
+        // rewrite it through the same bucket layout (writeFrames
+        // re-derives tbkt from the term, identical by construction)
+        writeFrames(staging,
+          (tf.drop("tbkt"), dl.coalesce(1), df.coalesce(1), stats))
+      })
+    readFrames(spark, p)
   }
 }

@@ -270,6 +270,56 @@ private[graft] object Reg5Artifacts {
     }),
 
 
+    // artifacts — the maintained inverted index SERVES FROM STORAGE
+    // (r15, the LexIndex segment lifecycle — the AnnIndex q299 shape
+    // for text): segment 0 = the standing slice's four frames,
+    // segment 1 = the delta batch indexed ALONE (an append writes
+    // ∝ batch and never touches a standing posting byte), and q176's
+    // queries rank from the segments' published bytes folded at read
+    // (tf/dl pure unions, df/stats re-summed — merge ≡ build(A∪B),
+    // q292's property). Bound to q176's oracle string: one contract,
+    // five engines.
+    "q305_bm25_index_serve" -> ((s, dir) => {
+      import s.implicits._
+      val head = graft.ops.LexIndex.framesAsOf(s, dir, 1L)
+      Text.bm25RetrieveStored(
+          Seq(("kw_cust", "customer order value"),
+            ("kw_join", "join merge hash"),
+            ("kw_scan", "spark scan filter"),
+            ("kw_win", "window batch sort"))
+            .toDF("query_id", "query_text"),
+          head._1, head._2, head._3, head._4, k = 5)
+        .select(col("query_id"), col("id").as("doc_id"),
+          col("n_matched"), col("score"), col("rk"))
+        .orderBy("query_id", "rk")
+    }),
+
+
+    // artifacts — inverted-index COMPACTION (the q302 step for text):
+    // the segment chain folded into one fresh single-segment snapshot
+    // (per-bucket single postings files; reads stop paying the
+    // per-segment union and the read-side df/stats re-aggregation),
+    // then the SAME serving as q305 runs against it — bound to q176's
+    // oracle string, so the driver gate proves compaction is
+    // serving-invariant. With q291/q292/q305 the text index now
+    // closes build → append → serve → compact under oracle gates,
+    // matching the ANN side's lifecycle.
+    "q306_bm25_index_compact" -> ((s, dir) => {
+      import s.implicits._
+      val c = graft.ops.LexIndex.compactedFrames(s, dir)
+      Text.bm25RetrieveStored(
+          Seq(("kw_cust", "customer order value"),
+            ("kw_join", "join merge hash"),
+            ("kw_scan", "spark scan filter"),
+            ("kw_win", "window batch sort"))
+            .toDF("query_id", "query_text"),
+          c._1, c._2, c._3, c._4, k = 5)
+        .select(col("query_id"), col("id").as("doc_id"),
+          col("n_matched"), col("score"), col("rk"))
+        .orderBy("query_id", "rk")
+    }),
+
+
     // §2.5 gap — pairwise correlation MATRIX (Agg.exactCorrMatrix
     // scaladoc): all power sums for all pairs in ONE scan, closed
     // forms off the 1-row state — the feature-redundancy profile, and
@@ -686,6 +736,10 @@ private[graft] object Reg5Artifacts {
       // time) must rank bit-identically to the on-the-fly form
       "q291_bm25_stored" -> bm25RetrievalOracleSql,
       "q292_bm25_index_merge" -> bm25RetrievalOracleSql,
+      // the stored-segment serve and the compacted snapshot bind the
+      // SAME retrieval contract — five engines, one string
+      "q305_bm25_index_serve" -> bm25RetrievalOracleSql,
+      "q306_bm25_index_compact" -> bm25RetrievalOracleSql,
 
 
       // observed cells + marginals replay; zero-observed cells enter

@@ -1094,11 +1094,11 @@ private[graft] object Reg6MonitorAnn {
     // retrieval stack survives incremental maintenance end to end.
     "q300_hybrid_maintained" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val mergedLex = graft.ops.LexIndex.merge(
-        graft.ops.LexIndex.buildFrames(
-          docs.where(col("doc_id") % 5 =!= 0)),
-        graft.ops.LexIndex.buildFrames(
-          docs.where(col("doc_id") % 5 === 0)))
+      // the lexical arm reads the STORED segment history's merged
+      // head (r15 — closing the r14 verdict gap: the arm previously
+      // re-indexed both corpus slices from `documents` at query time;
+      // now both arms serve from maintained physical stores)
+      val mergedLex = graft.ops.LexIndex.framesAsOf(s, dir, 1L)
       val (k, probes) = graft.ops.AnnIndex.sizedParams(s, dir)
       val head = graft.ops.AnnIndex.postingsAsOf(s, dir, version = 1L,
         k = k)

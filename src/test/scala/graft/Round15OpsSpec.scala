@@ -68,4 +68,41 @@ class Round15OpsSpec extends SparkSpec {
         "least the fixed store's recall (q296's measured claim, " +
         "served from parquet)")
   }
+
+  test("LexIndex segment history: the append segment holds ONLY the " +
+      "delta batch (write cost ∝ batch), the merged head equals a " +
+      "from-scratch full build bit-for-bit, and compaction collapses " +
+      "the layout without changing what the index serves") {
+    val roots = ops.LexIndex.ensureAppendHistory(spark, dir)
+    val docs = Tables.load(spark, dir, "documents")
+    // segment 1 indexes the delta slice alone — its per-doc lengths
+    // are exactly the delta ids, so the append never re-wrote a
+    // standing posting
+    val segIds = spark.read.parquet(roots(1) + "/dl").select("id")
+    val deltaIds = docs.where(ops.LexIndex.deltaSplit)
+      .select(col("doc_id").as("id"))
+    assert(segIds.exceptAll(deltaIds).count() === 0L &&
+      deltaIds.exceptAll(segIds).count() === 0L,
+      "append segment must hold the delta doc set exactly")
+    // merged head ≡ build(all): the q292 merge property, now over
+    // PUBLISHED segment bytes
+    val head = ops.LexIndex.framesAsOf(spark, dir, 1L)
+    val full = ops.LexIndex.buildFrames(docs)
+    def same(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() === 0L &&
+        b.exceptAll(a).count() === 0L, s"$what must match build(all)")
+    same(head._1.drop("tbkt"), full._1, "tf")
+    same(head._2, full._2, "dl")
+    same(head._3, full._3, "df")
+    same(head._4, full._4, "stats")
+    // compaction: serving-invariant (q306 binds the oracle; here the
+    // frames themselves) and single-file side frames
+    val c = ops.LexIndex.compactedFrames(spark, dir)
+    same(c._1.drop("tbkt"), full._1, "compacted tf")
+    same(c._3, full._3, "compacted df")
+    assert(c._2.inputFiles.length === 1 &&
+      c._3.inputFiles.length === 1,
+      "compaction must fold each side frame to one file")
+  }
 }
