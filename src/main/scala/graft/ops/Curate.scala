@@ -887,6 +887,28 @@ object Curate {
       .where(col("rk") <= col("alloc"))
   }
 
+  /** [[budgetedSample]] allocated by MASS: quotas follow
+    * [[mixtureAllocationByMass]] over the per-row weight column
+    * (sqrt-damped per-source Σ weight), and the per-source slices are
+    * the same A-Res weight-proportional draws. With the weight set to
+    * a dedup-discounted per-doc token mass, this is the sampler a
+    * soft-deduplicated corpus actually wants end to end: a
+    * near-duplicate cluster contributes its mass ONCE to the quota,
+    * and its members compete for the draw at 1/|cluster| strength
+    * each (q307 composes it with the q301/q303 weights).
+    */
+  def budgetedSampleByMass(docs: DataFrame, idCol: String,
+                           weightCol: String, srcCol: String,
+                           target: Long): DataFrame = {
+    require(target > 0 && target <= Int.MaxValue,
+      s"need 0 < target <= Int.MaxValue, got $target")
+    val alloc = mixtureAllocationByMass(docs, srcCol, weightCol, target)
+      .select(col(srcCol), col("alloc"))
+    weightedSample(docs, idCol, weightCol, target.toInt, Some(srcCol))
+      .join(broadcast(alloc), srcCol)
+      .where(col("rk") <= col("alloc"))
+  }
+
   /** Temperature-scaled mixture weights: given per-group token counts,
     * the alpha-temperature sampling weights w_g = n_g^α / Σ n^α — the
     * standard rebalancing between "proportional to size" (α = 1) and
@@ -1445,24 +1467,58 @@ object Curate {
     * Output: (source, n_docs, weight, alloc) with sum(alloc) = target.
     */
   def mixtureAllocation(df: DataFrame, srcCol: String,
-                        target: Long): DataFrame = {
+                        target: Long): DataFrame =
+    largestRemainderAlloc(
+      df.groupBy(col(srcCol))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("weight",
+          floor(sqrt(col("n_docs").cast("double")) * 1000)
+            .cast("long")),
+      srcCol, target)
+
+  /** Hamilton's-method tail shared by the allocators: `weighted` is
+    * one row per source carrying an integer `weight` column; emits
+    * every input column plus an integer `alloc` summing to EXACTLY
+    * `target` (floor the proportional share, hand leftover units to
+    * the largest div remainders, ties by source name). */
+  private def largestRemainderAlloc(weighted: DataFrame, srcCol: String,
+                                    target: Long): DataFrame = {
     require(target >= 0, s"bad target $target")
-    val counts = df.groupBy(col(srcCol))
-      .agg(count(lit(1)).as("n_docs"))
-      .withColumn("weight",
-        floor(sqrt(col("n_docs").cast("double")) * 1000).cast("long"))
-    val tot = counts.agg(sum(col("weight")).as("wsum"))
-    val based = counts.crossJoin(broadcast(tot))
+    val keep = weighted.columns.map(col).toSeq
+    val tot = weighted.agg(sum(col("weight")).as("wsum"))
+    val based = weighted.crossJoin(broadcast(tot))
       .withColumn("base", expr(s"($target * weight) div wsum"))
       .withColumn("rem", expr(s"($target * weight) % wsum"))
     val leftover = based.agg((lit(target) - sum(col("base"))).as("r"))
     val w = Window.orderBy(col("rem").desc, col(srcCol))
     based.crossJoin(broadcast(leftover))
       .withColumn("rk", row_number().over(w))
-      .select(col(srcCol), col("n_docs"), col("weight"),
+      .select(keep :+
         (col("base") + when(col("rk") <= col("r"), 1L).otherwise(0L))
-          .as("alloc"))
+          .as("alloc"): _*)
   }
+
+  /** [[mixtureAllocation]] with the sqrt damping applied to per-source
+    * MASS (the sum of an integer per-row weight column) instead of doc
+    * counts — the allocator the dedup-discounted mixture needs: a
+    * source's quota should follow its EFFECTIVE token mass
+    * (q303's Σ n_tok/|cluster|), not its raw document count, or
+    * near-duplicate-heavy sources are over-allocated exactly in
+    * proportion to how duplicated they are. Same integer freezing
+    * (weight = floor(sqrt(mass)·10³)) and Hamilton tail, so the plan
+    * stays hash-exact cross-engine.
+    *
+    * Output: (source, mass, weight, alloc) with sum(alloc) = target.
+    */
+  def mixtureAllocationByMass(df: DataFrame, srcCol: String,
+                              weightCol: String,
+                              target: Long): DataFrame =
+    largestRemainderAlloc(
+      df.groupBy(col(srcCol))
+        .agg(sum(col(weightCol).cast("long")).as("mass"))
+        .withColumn("weight",
+          floor(sqrt(col("mass").cast("double")) * 1000).cast("long")),
+      srcCol, target)
 
   /** Temperature-damped source-mixture shares — the α-sampling knob of
     * the multilingual/multi-source pretraining recipes (mT5, GPT-3:

@@ -553,6 +553,37 @@ private[graft] object Reg4GraphStats {
     // whole post-ingest corpus from scratch.
     "q297_ingest_cycle" -> ((s, dir) => ingestCycle(s, dir)),
 
+    // north star — the soft-dedup discount DRIVES the sampler end to
+    // end (r15, closing the r14 verdict's composition ask): per-lang
+    // quotas largest-remainder-allocated over sqrt-damped EFFECTIVE
+    // (dedup-discounted) token mass — q303's eff_utokens per doc,
+    // wt = (n_tok·10⁶ div |cluster|) + 1 — and each language's slice
+    // drawn A-Res weight-proportional to the docs' own effective
+    // weights (Curate.budgetedSampleByMass scaladoc). The full chain
+    // dedup → discounted mass → quota → drawn sample is ONE
+    // oracle-gated query: a near-duplicate cluster contributes its
+    // mass once to the quota and its members compete at 1/|cluster|
+    // strength each, so duplicated sources stop buying extra sample.
+    "q307_effective_mixture_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val comp = Artifacts.components(s, dir,
+        k = 8, bands = 4, minJaccard = 0.2)
+      val sizes = comp.groupBy("component")
+        .agg(count(lit(1)).as("n_members"))
+      val eff = docs.select(col("doc_id"), col("lang"),
+          size(Text.cleanTokens(col("text"))).as("n_tok"))
+        .join(comp, Seq("doc_id"), "left")
+        .join(sizes, Seq("component"), "left")
+        .withColumn("nm", coalesce(col("n_members"), lit(1L)))
+        .select(col("doc_id"), col("lang"),
+          (expr("(CAST(n_tok AS BIGINT) * 1000000) div nm") + lit(1L))
+            .as("wt"))
+      Curate.budgetedSampleByMass(eff, "doc_id", "wt", "lang",
+          target = 60L)
+        .select("lang", "doc_id", "wt", "rk", "alloc")
+        .orderBy("lang", "rk")
+    }),
+
     "q272_skyline_auto" -> ((s, dir) =>
       Agg.skylineAuto(
           // checkpointed: the preflight and the dispatched engine each
@@ -653,6 +684,58 @@ private[graft] object Reg4GraphStats {
            |  CAST(SUM((CAST(n_tok AS BIGINT) * 1000000) // nm)
            |    AS BIGINT) AS eff_utokens
            |FROM w GROUP BY lang ORDER BY lang""".stripMargin,
+
+      // q303's discounted-weight chain, then the q274 allocation +
+      // A-Res tail run ON THE EFFECTIVE WEIGHTS: quotas from
+      // sqrt-damped per-lang Σ wt (largest remainder, integer
+      // div/mod), draws ranked by floored ln(u)/wt — the whole
+      // dedup → mass → quota → sample composite replayed in SQL
+      "q307_effective_mixture_sample" ->
+        s"""WITH RECURSIVE
+           |${verifiedPairsCteFor("TRUE")},
+           |$ccCte,
+           |sz AS (SELECT component, COUNT(*) AS n_members
+           |       FROM comp GROUP BY component),
+           |tok AS (SELECT doc_id, lang, len($cleanToks) AS n_tok
+           |        FROM (SELECT doc_id, lang, ${cleanSql("text")} AS c
+           |              FROM documents)),
+           |w AS (SELECT t.doc_id, t.lang,
+           |        (CAST(n_tok AS BIGINT) * 1000000)
+           |          // COALESCE(sz.n_members, 1) + 1 AS wt
+           |      FROM tok t LEFT JOIN comp c ON c.doc_id = t.doc_id
+           |      LEFT JOIN sz ON sz.component = c.component),
+           |mc AS (SELECT lang, CAST(SUM(wt) AS BIGINT) AS mass,
+           |    CAST(floor(sqrt(CAST(CAST(SUM(wt) AS BIGINT) AS DOUBLE))
+           |      * 1000) AS BIGINT) AS weight
+           |  FROM w GROUP BY lang),
+           |tw AS (SELECT CAST(SUM(weight) AS BIGINT) AS wsum FROM mc),
+           |b AS (SELECT lang, weight,
+           |    (60 * weight) // wsum AS base,
+           |    (60 * weight) % wsum AS rem
+           |  FROM mc CROSS JOIN tw),
+           |lo AS (SELECT CAST(60 - SUM(base) AS BIGINT) AS r FROM b),
+           |ab AS (SELECT *, row_number() OVER
+           |    (ORDER BY rem DESC, lang) AS ark FROM b),
+           |al AS (SELECT lang,
+           |    CAST(base + CASE WHEN ark <= r THEN 1 ELSE 0 END
+           |      AS BIGINT) AS alloc
+           |  FROM ab CROSS JOIN lo),
+           |pri AS (
+           |  SELECT lang, doc_id, wt,
+           |    ${Num.floorAtSql(
+             s"ln((${md5HexNSql("CAST(doc_id AS VARCHAR)", 12)} + 1)" +
+               " / 281474976710656.0)" +
+               " / CAST(wt AS DOUBLE)", 8)} AS priority
+           |  FROM w WHERE wt > 0),
+           |r AS (
+           |  SELECT lang, doc_id, wt, priority,
+           |    CAST(row_number() OVER (PARTITION BY lang
+           |      ORDER BY priority DESC, doc_id ASC) AS INTEGER) AS rk
+           |  FROM pri)
+           |SELECT r.lang, doc_id, wt, rk, alloc
+           |FROM r JOIN al ON al.lang = r.lang
+           |WHERE rk <= alloc
+           |ORDER BY r.lang, rk""".stripMargin,
 
       // the verified-pair + recursive-CTE CC chain, then every
       // document left-joined to its cluster size — singletons (docs

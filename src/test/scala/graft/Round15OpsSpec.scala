@@ -105,4 +105,53 @@ class Round15OpsSpec extends SparkSpec {
       c._3.inputFiles.length === 1,
       "compaction must fold each side frame to one file")
   }
+
+  test("mixtureAllocationByMass allocates by MASS, not doc count: " +
+      "equal doc counts with a 4x mass ratio split the budget 2:1 " +
+      "(sqrt damping), integer allocations summing exactly to target") {
+    import spark.implicits._
+    val frame = ((1 to 40).map(i => ("heavy", i.toLong, 400L)) ++
+      (1 to 40).map(i => ("light", 100L + i.toLong, 100L)))
+      .toDF("src", "id", "wt")
+    val alloc = ops.Curate
+      .mixtureAllocationByMass(frame, "src", "wt", 99L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // masses 16000 vs 4000 → frozen weights 126491 vs 63245 → shares
+    // 2:1 under sqrt damping; a doc-count allocator would split ~even
+    assert(alloc === Map("heavy" -> 66L, "light" -> 33L),
+      s"got $alloc")
+  }
+
+  test("q307 composes the q301 soft-dedup discount into the draw: " +
+      "every sampled doc's weight equals the dedup-discounted " +
+      "micro-token mass derived from q301's cluster sizes, and " +
+      "per-language draws respect integer quotas summing to the " +
+      "budget") {
+    val drawn = SparkEntry.queries("q307_effective_mixture_sample")(
+      spark, dir).collect().toSeq
+    assert(drawn.nonEmpty)
+    // quotas: rk <= alloc everywhere; Σ over languages of alloc = 60
+    assert(drawn.forall(r => r.getInt(3) <= r.getLong(4)))
+    val allocs = drawn.map(r => (r.getString(0), r.getLong(4)))
+      .distinct.map(_._2).sum
+    assert(allocs === 60L, s"allocations must sum to the budget: " +
+      s"$allocs (a language drawing fewer than its quota still " +
+      "reports the full alloc)")
+    // the weight really is the q301-discounted mass: recompute from
+    // the soft-dedup table (doc_id, n_members) and the token counts
+    val soft = SparkEntry.queries("q301_soft_dedup_weights")(spark, dir)
+      .select(col("doc_id"), col("n_members"))
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(ops.Text.cleanTokens(col("text"))).as("n_tok"))
+    val expect = toks.join(soft, "doc_id")
+      .select(col("doc_id"),
+        (expr("(CAST(n_tok AS BIGINT) * 1000000) div n_members") +
+          lit(1L)).as("wt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    drawn.foreach { r =>
+      assert(r.getLong(2) === expect(r.getLong(1)),
+        s"doc ${r.getLong(1)} weight must be its discounted mass")
+    }
+  }
 }
