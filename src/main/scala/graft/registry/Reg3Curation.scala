@@ -746,10 +746,17 @@ private[graft] object Reg3Curation {
     // driver's three scale factors trace recall-vs-scale per policy,
     // so "scale k with the corpus" is a measured decision, not a rule
     // of thumb.
+    // (r15) the per-policy assignment scans read the physical
+    // AnnIndex postings — bit-identical to the in-memory quantizer
+    // (q304 proves it under q296's oracle), same oracle string, and
+    // the query stops paying the k·dim-literal argmax codegen (the
+    // bench's top non-attributed tail, 4.3 s → store-read)
     "q295_scaled_k_recall" -> ((s, dir) =>
       Curate.semanticDeconRecallScaledK(t(s, dir, "embeddings"),
           isEval = col("vec_id") % 97 === 0, threshold = 0.25,
-          maxProbes = 2, cacheKey = Some(dir))
+          maxProbes = 2, cacheKey = Some(dir),
+          storedCells = Some(k =>
+            graft.ops.AnnIndex.cells(s, dir, "full", k = k)))
         .orderBy("policy", "probes")),
 
 
