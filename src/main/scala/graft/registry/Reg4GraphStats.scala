@@ -584,6 +584,43 @@ private[graft] object Reg4GraphStats {
         .orderBy("lang", "rk")
     }),
 
+    // north star — q307's mixture re-plan SERVED FROM MAINTAINED
+    // STORES (the per-ingest production shape): per-doc token mass
+    // comes from the inverted index's per-doc lengths (LexIndex
+    // framesAsOf — the dl frame the segment lifecycle maintains at
+    // cost ∝ batch), discounts from the shared component artifact,
+    // and the quota + draw run over that — the corpus TEXT is never
+    // read, let alone tokenized, at planning time (plan-pinned: the
+    // documents scan reads only (doc_id, lang)). Bound to q307's
+    // oracle string: one contract, two engines (scan-and-tokenize
+    // q307, store-served q308) — so after each ingest the mixture
+    // planner re-budgets for ∝ batch + |langs|, and the driver gate
+    // proves it equals the from-scratch plan.
+    "q308_ingest_mixture_replan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val comp = Artifacts.components(s, dir,
+        k = 8, bands = 4, minJaccard = 0.2)
+      val sizes = comp.groupBy("component")
+        .agg(count(lit(1)).as("n_members"))
+      // dl has no row for a zero-token doc — coalesce to 0 so empty
+      // docs keep the q307 weight floor of 1
+      val dl = graft.ops.LexIndex.framesAsOf(s, dir, 1L)._2
+        .select(col("id").as("doc_id"), col("dl").as("n_tok"))
+      val eff = docs.select(col("doc_id"), col("lang"))
+        .join(dl, Seq("doc_id"), "left")
+        .join(comp, Seq("doc_id"), "left")
+        .join(sizes, Seq("component"), "left")
+        .withColumn("nm", coalesce(col("n_members"), lit(1L)))
+        .withColumn("nt", coalesce(col("n_tok"), lit(0L)))
+        .select(col("doc_id"), col("lang"),
+          (expr("(CAST(nt AS BIGINT) * 1000000) div nm") + lit(1L))
+            .as("wt"))
+      Curate.budgetedSampleByMass(eff, "doc_id", "wt", "lang",
+          target = 60L)
+        .select("lang", "doc_id", "wt", "rk", "alloc")
+        .orderBy("lang", "rk")
+    }),
+
     "q272_skyline_auto" -> ((s, dir) =>
       Agg.skylineAuto(
           // checkpointed: the preflight and the dispatched engine each
@@ -654,6 +691,53 @@ private[graft] object Reg4GraphStats {
       .orderBy("doc_id")
   }
 
+  private val effectiveMixtureOracleSql: String =
+    s"""WITH RECURSIVE
+       |${verifiedPairsCteFor("TRUE")},
+       |$ccCte,
+       |sz AS (SELECT component, COUNT(*) AS n_members
+       |       FROM comp GROUP BY component),
+       |tok AS (SELECT doc_id, lang, len($cleanToks) AS n_tok
+       |        FROM (SELECT doc_id, lang, ${cleanSql("text")} AS c
+       |              FROM documents)),
+       |w AS (SELECT t.doc_id, t.lang,
+       |        (CAST(n_tok AS BIGINT) * 1000000)
+       |          // COALESCE(sz.n_members, 1) + 1 AS wt
+       |      FROM tok t LEFT JOIN comp c ON c.doc_id = t.doc_id
+       |      LEFT JOIN sz ON sz.component = c.component),
+       |mc AS (SELECT lang, CAST(SUM(wt) AS BIGINT) AS mass,
+       |    CAST(floor(sqrt(CAST(CAST(SUM(wt) AS BIGINT) AS DOUBLE))
+       |      * 1000) AS BIGINT) AS weight
+       |  FROM w GROUP BY lang),
+       |tw AS (SELECT CAST(SUM(weight) AS BIGINT) AS wsum FROM mc),
+       |b AS (SELECT lang, weight,
+       |    (60 * weight) // wsum AS base,
+       |    (60 * weight) % wsum AS rem
+       |  FROM mc CROSS JOIN tw),
+       |lo AS (SELECT CAST(60 - SUM(base) AS BIGINT) AS r FROM b),
+       |ab AS (SELECT *, row_number() OVER
+       |    (ORDER BY rem DESC, lang) AS ark FROM b),
+       |al AS (SELECT lang,
+       |    CAST(base + CASE WHEN ark <= r THEN 1 ELSE 0 END
+       |      AS BIGINT) AS alloc
+       |  FROM ab CROSS JOIN lo),
+       |pri AS (
+       |  SELECT lang, doc_id, wt,
+       |    ${Num.floorAtSql(
+             s"ln((${md5HexNSql("CAST(doc_id AS VARCHAR)", 12)} + 1)" +
+               " / 281474976710656.0)" +
+               " / CAST(wt AS DOUBLE)", 8)} AS priority
+       |  FROM w WHERE wt > 0),
+       |r AS (
+       |  SELECT lang, doc_id, wt, priority,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY priority DESC, doc_id ASC) AS INTEGER) AS rk
+       |  FROM pri)
+       |SELECT r.lang, doc_id, wt, rk, alloc
+       |FROM r JOIN al ON al.lang = r.lang
+       |WHERE rk <= alloc
+       |ORDER BY r.lang, rk""".stripMargin
+
   def oracles: ListMap[String, String] = ListMap(
 
 
@@ -690,52 +774,12 @@ private[graft] object Reg4GraphStats {
       // sqrt-damped per-lang Σ wt (largest remainder, integer
       // div/mod), draws ranked by floored ln(u)/wt — the whole
       // dedup → mass → quota → sample composite replayed in SQL
-      "q307_effective_mixture_sample" ->
-        s"""WITH RECURSIVE
-           |${verifiedPairsCteFor("TRUE")},
-           |$ccCte,
-           |sz AS (SELECT component, COUNT(*) AS n_members
-           |       FROM comp GROUP BY component),
-           |tok AS (SELECT doc_id, lang, len($cleanToks) AS n_tok
-           |        FROM (SELECT doc_id, lang, ${cleanSql("text")} AS c
-           |              FROM documents)),
-           |w AS (SELECT t.doc_id, t.lang,
-           |        (CAST(n_tok AS BIGINT) * 1000000)
-           |          // COALESCE(sz.n_members, 1) + 1 AS wt
-           |      FROM tok t LEFT JOIN comp c ON c.doc_id = t.doc_id
-           |      LEFT JOIN sz ON sz.component = c.component),
-           |mc AS (SELECT lang, CAST(SUM(wt) AS BIGINT) AS mass,
-           |    CAST(floor(sqrt(CAST(CAST(SUM(wt) AS BIGINT) AS DOUBLE))
-           |      * 1000) AS BIGINT) AS weight
-           |  FROM w GROUP BY lang),
-           |tw AS (SELECT CAST(SUM(weight) AS BIGINT) AS wsum FROM mc),
-           |b AS (SELECT lang, weight,
-           |    (60 * weight) // wsum AS base,
-           |    (60 * weight) % wsum AS rem
-           |  FROM mc CROSS JOIN tw),
-           |lo AS (SELECT CAST(60 - SUM(base) AS BIGINT) AS r FROM b),
-           |ab AS (SELECT *, row_number() OVER
-           |    (ORDER BY rem DESC, lang) AS ark FROM b),
-           |al AS (SELECT lang,
-           |    CAST(base + CASE WHEN ark <= r THEN 1 ELSE 0 END
-           |      AS BIGINT) AS alloc
-           |  FROM ab CROSS JOIN lo),
-           |pri AS (
-           |  SELECT lang, doc_id, wt,
-           |    ${Num.floorAtSql(
-             s"ln((${md5HexNSql("CAST(doc_id AS VARCHAR)", 12)} + 1)" +
-               " / 281474976710656.0)" +
-               " / CAST(wt AS DOUBLE)", 8)} AS priority
-           |  FROM w WHERE wt > 0),
-           |r AS (
-           |  SELECT lang, doc_id, wt, priority,
-           |    CAST(row_number() OVER (PARTITION BY lang
-           |      ORDER BY priority DESC, doc_id ASC) AS INTEGER) AS rk
-           |  FROM pri)
-           |SELECT r.lang, doc_id, wt, rk, alloc
-           |FROM r JOIN al ON al.lang = r.lang
-           |WHERE rk <= alloc
-           |ORDER BY r.lang, rk""".stripMargin,
+      "q307_effective_mixture_sample" -> effectiveMixtureOracleSql,
+
+      // the SAME string: the store-served planner reads the
+      // maintained dl frame + component artifact — one contract, two
+      // engines (scan-and-tokenize q307, store-served q308)
+      "q308_ingest_mixture_replan" -> effectiveMixtureOracleSql,
 
       // the verified-pair + recursive-CTE CC chain, then every
       // document left-joined to its cluster size — singletons (docs

@@ -154,4 +154,25 @@ class Round15OpsSpec extends SparkSpec {
         s"doc ${r.getLong(1)} weight must be its discounted mass")
     }
   }
+
+  test("q308 re-plans the mixture from MAINTAINED STORES: bit-equal " +
+      "to q307's scan-and-tokenize plan, with the documents scan " +
+      "reading only (doc_id, lang) — the corpus text is never " +
+      "touched at planning time") {
+    val stored = SparkEntry.queries("q308_ingest_mixture_replan")(
+      spark, dir)
+    val rows = stored.collect().toSeq
+    val scanned = SparkEntry.queries("q307_effective_mixture_sample")(
+      spark, dir).collect().toSeq
+    assert(rows.nonEmpty && rows === scanned,
+      "the store-served planner must reproduce the from-scratch plan")
+    val docScans = stored.queryExecution.executedPlan.toString
+      .linesIterator
+      .filter(l => l.contains("FileScan parquet") &&
+        l.contains("documents.parquet"))
+      .toSeq
+    assert(docScans.nonEmpty, "plan must scan the documents table")
+    docScans.foreach(l => assert(!l.contains("text"),
+      s"documents scan must be pruned to (doc_id, lang): $l"))
+  }
 }
