@@ -45,10 +45,18 @@ import org.apache.spark.sql.functions._
   * measurement/parity configuration — the frozen-append summary
   * contract q280≡q282≡q293 pins its oracle to the 0..7 cell grid, and
   * the q294 sweep replays the 8-seed kmeans chain — but serving
-  * consumers must NOT run them: q290/q295/q296 measure fixed-k recall
-  * degrading with corpus size, so q299/q300/q302 size the store they
-  * serve from via [[sizedParams]] (k = ⌈√n⌉, probes = max(2, ⌈k/4⌉))
-  * and their oracles derive the same arithmetic in SQL.
+  * consumers must NOT run the fixed k: q290/q295/q296 measure fixed-k
+  * recall degrading with corpus size, so q299/q300/q302 size the
+  * store they serve from via [[sizedParams]] (k = ⌈√n⌉,
+  * probes = max(2, ⌈k/4⌉)) and their oracles derive the same
+  * arithmetic in SQL. The PQ width m = 4 stays a constant by a
+  * DIFFERENT argument: unlike k (whose per-cell candidate bound n/k
+  * depends on the corpus), m trades bytes/vector against quantization
+  * distortion independently of corpus size, and q255 measures the
+  * trade directly (4-byte vs 8-byte codes with the recall and byte
+  * columns side by side) — the serving default is that table's
+  * half-the-bytes point, and q258's rerank knob is the measured way
+  * to buy the residual recall back without widening the codes.
   */
 object AnnIndex {
 
@@ -84,8 +92,12 @@ object AnnIndex {
     * decision itself is driver-gated on every serving query.
     */
   def sizedParams(spark: SparkSession, dir: String): (Int, Int) =
-    sizing(countMemo.computeIfAbsent(dir,
-      d => graft.Tables.load(spark, d, "embeddings").count()))
+    // keyed by content fingerprint like the store roots: a fixture
+    // regenerated at the same path must re-run the preflight, or the
+    // serving size could silently disagree with the store it reads
+    sizing(countMemo.computeIfAbsent(
+      s"$dir#${StoreCommit.fingerprint(dir)}",
+      _ => graft.Tables.load(spark, dir, "embeddings").count()))
 
   /** The code-column projection generalized over m — consumers must
     * never hardcode `code_0..code_3` (r14 verdict). */

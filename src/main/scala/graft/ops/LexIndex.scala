@@ -256,6 +256,37 @@ object LexIndex {
       checkDisjoint = false)
   }
 
+  /** One STREAMED micro-segment's write (the q309 gate): the same
+    * four frames, with tf carrying tbkt as a PLAIN column rather than
+    * a partition directory — a micro-batch segment is too small to
+    * bucket physically, and production compaction (q306's step) folds
+    * streamed segments into the bucketed layout. The column is still
+    * present, so the serving join's bucket filter applies to streamed
+    * rows too.
+    */
+  private[graft] def writeStreamSegment(dir: String,
+      frames: (DataFrame, DataFrame, DataFrame, DataFrame)): Unit = {
+    val (tf, dl, df, stats) = frames
+    tf.withColumn("tbkt", pmod(hash(col("term")), lit(TermBuckets)))
+      .write.mode("overwrite").parquet(s"$dir/tf")
+    dl.write.mode("overwrite").parquet(s"$dir/dl")
+    df.write.mode("overwrite").parquet(s"$dir/df")
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Fold MANY disjoint segment frame-sets — the streamed-append read
+    * path (a standing segment plus one segment per committed
+    * micro-batch): [[merge]] generalized to N by left fold; tf/dl
+    * stay pure unions, df and stats re-aggregate. Disjointness is the
+    * caller's staging contract (each doc lands in exactly one
+    * segment), so the per-fold guard is off.
+    */
+  def mergeAll(segs: Seq[(DataFrame, DataFrame, DataFrame, DataFrame)])
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(segs.nonEmpty, "need at least one segment to fold")
+    segs.reduce((a, b) => merge(a, b, checkDisjoint = false))
+  }
+
   /** COMPACTION of the segment chain (the q302 step for the text
     * side): materialize the merged head into one fresh single-segment
     * snapshot — per-bucket single postings files, one file per side

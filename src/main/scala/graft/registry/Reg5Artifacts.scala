@@ -295,6 +295,21 @@ private[graft] object Reg5Artifacts {
     }),
 
 
+    // artifacts — STREAMING segment appends (the q282 frozen-append
+    // story for text; StreamOps.lexAppendGate scaladoc): the delta
+    // slice replayed as 3 real micro-batches, each indexed alone and
+    // published as its own segment (write ∝ batch), then q176's
+    // queries served from the standing-∪-streamed fold — bound to
+    // q176's oracle string: with q176/q291/q292/q305/q306 the BM25
+    // contract now has SIX provably-equal engines, and the text
+    // index's ingest path is gated under a REAL multi-micro-batch
+    // streaming replay like the ANN side's q282.
+    "q309_stream_lex_append" -> ((s, dir) =>
+      graft.streaming.StreamOps.docsGateResult(s, dir,
+          "q309_stream_lex_append")
+        .orderBy("query_id", "rk")),
+
+
     // artifacts — inverted-index COMPACTION (the q302 step for text):
     // the segment chain folded into one fresh single-segment snapshot
     // (per-bucket single postings files; reads stop paying the
@@ -736,10 +751,12 @@ private[graft] object Reg5Artifacts {
       // time) must rank bit-identically to the on-the-fly form
       "q291_bm25_stored" -> bm25RetrievalOracleSql,
       "q292_bm25_index_merge" -> bm25RetrievalOracleSql,
-      // the stored-segment serve and the compacted snapshot bind the
-      // SAME retrieval contract — five engines, one string
+      // the stored-segment serve, the compacted snapshot, and the
+      // streaming-append fold bind the SAME retrieval contract — six
+      // engines, one string
       "q305_bm25_index_serve" -> bm25RetrievalOracleSql,
       "q306_bm25_index_compact" -> bm25RetrievalOracleSql,
+      "q309_stream_lex_append" -> bm25RetrievalOracleSql,
 
 
       // observed cells + marginals replay; zero-observed cells enter

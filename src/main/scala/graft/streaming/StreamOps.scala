@@ -944,6 +944,25 @@ object StreamOps {
       stage
     })
 
+  /** Stage the DELTA slice of the documents fixture
+    * (doc_id % 5 = 0 — [[graft.ops.LexIndex.deltaSplit]], the q305
+    * standing/delta rule) as `nFiles` parquet files — the q309
+    * streamed-ingest replay for the text index. Memoized like
+    * [[stageDocs]].
+    */
+  def stageDocsDelta(spark: SparkSession, sfDir: String,
+                     nFiles: Int): String =
+    stageMemo.computeIfAbsent(s"$sfDir#$nFiles#docsdelta", _ => {
+      val stage = graft.TempDirs.register(java.nio.file.Files
+        .createTempDirectory("graft-stream-stage-docsdelta").toString)
+      graft.Tables.load(spark, sfDir, "documents")
+        .where(graft.ops.LexIndex.deltaSplit)
+        .select("doc_id", "text")
+        .repartition(nFiles)
+        .write.mode("overwrite").parquet(stage)
+      stage
+    })
+
   /** Stage the DELTA slice of the embeddings fixture
     * (vec_id % 5 = 0 — the q280 split) as `nFiles` parquet files for
     * a micro-batched ingest replay. Memoized like [[stageDocs]].
@@ -1357,7 +1376,61 @@ object StreamOps {
           "text", "ts", 8, watermark = "36500 days")
           .select("sig_key"),
         OutputMode.Append()),
-      ivfAppendGate(ns, sfDir))
+      ivfAppendGate(ns, sfDir),
+      lexAppendGate(ns, sfDir))
+  }
+
+  /** The q309 gate — the q282 frozen-append story for the TEXT index:
+    * the q305 delta slice replayed as 3 micro-batches, each indexed
+    * ALONE ([[graft.ops.LexIndex.buildFrames]] over just the batch —
+    * write cost ∝ batch, no standing posting read or rewritten) and
+    * published as its own segment. The result closure folds the
+    * standing stored segment with every committed micro-segment
+    * ([[graft.ops.LexIndex.mergeAll]] — tf/dl pure unions, df/stats
+    * re-summed) and serves q176's queries from the fold — bound to
+    * q176's oracle string, so on-the-fly, stored, in-memory merge,
+    * stored-segment serve, compacted, and STREAMING-append are
+    * provably ONE retrieval contract (six engines).
+    */
+  private def lexAppendGate(ns: SparkSession, sfDir: String): Gate = {
+    val delta3 = stageDocsDelta(ns, sfDir, 3)
+    val segs = tmp("graft-lexsegs")
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    Gate("q309_stream_lex_append",
+      () => ns.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(delta3)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("graft-lexseg-ck"))
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.ops.LexIndex.writeStreamSegment(s"$segs/b$bid",
+            graft.ops.LexIndex.buildFrames(batch))
+        }
+        .start(),
+      () => {
+        import ns.implicits._
+        val standing = graft.ops.LexIndex.framesAsOf(ns, sfDir, 0L)
+        val segDirs = Option(new java.io.File(segs).listFiles())
+          .getOrElse(Array.empty)
+          .filter(_.isDirectory).map(_.toString).sorted.toSeq
+        val streamed = segDirs.map(d => (
+          ns.read.parquet(s"$d/tf"), ns.read.parquet(s"$d/dl"),
+          ns.read.parquet(s"$d/df"), ns.read.parquet(s"$d/stats")))
+        val (tf, dl, dfreq, st) =
+          graft.ops.LexIndex.mergeAll(standing +: streamed)
+        graft.ops.Text.bm25RetrieveStored(
+            Seq(("kw_cust", "customer order value"),
+              ("kw_join", "join merge hash"),
+              ("kw_scan", "spark scan filter"),
+              ("kw_win", "window batch sort"))
+              .toDF("query_id", "query_text"),
+            tf, dl, dfreq, st, k = 5)
+          .select(col("query_id"), col("id").as("doc_id"),
+            col("n_matched"), col("score"), col("rk"))
+      })
   }
 
   /** The q282 gate: the q280 delta slice replayed as 3 micro-batches

@@ -175,4 +175,16 @@ class Round15OpsSpec extends SparkSpec {
     docScans.foreach(l => assert(!l.contains("text"),
       s"documents scan must be pruned to (doc_id, lang): $l"))
   }
+
+  test("q309 streaming segment appends serve the BM25 contract: the " +
+      "gate's fold equals the stored merged head's retrieval " +
+      "bit-for-bit (six engines, one contract)") {
+    val streamed = SparkEntry.queries("q309_stream_lex_append")(
+      spark, dir).collect().toSeq
+    val storedHead = SparkEntry.queries("q305_bm25_index_serve")(
+      spark, dir).collect().toSeq
+    assert(streamed.nonEmpty && streamed === storedHead,
+      "standing ∪ streamed micro-segments must serve exactly what " +
+        "the batch-maintained head serves")
+  }
 }
