@@ -295,6 +295,29 @@ private[graft] object Reg5Artifacts {
     }),
 
 
+    // artifacts — TIME-TRAVEL serving (the audit read a maintained
+    // index owes its operators): q176's queries served from segment 0
+    // ALONE — the index exactly as it stood before the append, with
+    // df/dl/stats all scoped to the standing corpus (what segment 0
+    // physically stores). The oracle is the BM25 chain restricted to
+    // the standing slice, so "as of version 0" is itself an
+    // oracle-gated contract, not just a readable directory.
+    "q310_lex_asof_serve" -> ((s, dir) => {
+      import s.implicits._
+      val v0 = graft.ops.LexIndex.framesAsOf(s, dir, 0L)
+      Text.bm25RetrieveStored(
+          Seq(("kw_cust", "customer order value"),
+            ("kw_join", "join merge hash"),
+            ("kw_scan", "spark scan filter"),
+            ("kw_win", "window batch sort"))
+            .toDF("query_id", "query_text"),
+          v0._1, v0._2, v0._3, v0._4, k = 5)
+        .select(col("query_id"), col("id").as("doc_id"),
+          col("n_matched"), col("score"), col("rk"))
+        .orderBy("query_id", "rk")
+    }),
+
+
     // artifacts — STREAMING segment appends (the q282 frozen-append
     // story for text; StreamOps.lexAppendGate scaladoc): the delta
     // slice replayed as 3 real micro-batches, each indexed alone and
@@ -757,6 +780,10 @@ private[graft] object Reg5Artifacts {
       "q305_bm25_index_serve" -> bm25RetrievalOracleSql,
       "q306_bm25_index_compact" -> bm25RetrievalOracleSql,
       "q309_stream_lex_append" -> bm25RetrievalOracleSql,
+      // the as-of-v0 contract: the SAME chain scoped to the standing
+      // slice — what segment 0 physically stores
+      "q310_lex_asof_serve" ->
+        bm25RetrievalOracleSqlOver("NOT (doc_id % 5 = 0)"),
 
 
       // observed cells + marginals replay; zero-observed cells enter
@@ -1572,7 +1599,14 @@ private[graft] object Reg5Artifacts {
   // q160 floored-score-sum contract) so ranking is order-free.
   // ONE string for the on-the-fly (q176) and stored-index (q291)
   // engines.
-  private val bm25RetrievalOracleSql: String =
+  /** The BM25 chain parameterized by a document predicate — "TRUE"
+    * is the full-corpus contract (q176 and its five engine twins);
+    * the standing-slice instance is q310's as-of-v0 serving contract
+    * (the index as it stood BEFORE the append — df/dl/stats all
+    * computed over the standing corpus only, which is exactly what
+    * segment 0 stores).
+    */
+  private def bm25RetrievalOracleSqlOver(docWhere: String): String =
         s"""WITH q(query_id, query_text) AS (VALUES
            |    ('kw_cust', 'customer order value'),
            |    ('kw_join', 'join merge hash'),
@@ -1580,14 +1614,16 @@ private[graft] object Reg5Artifacts {
            |    ('kw_win', 'window batch sort')),
            |qt AS (SELECT query_id, UNNEST(list_distinct(
            |    ${toksSql(cleanSql("query_text"))})) AS term FROM q),
-           |cleaned AS (SELECT doc_id AS id, $clean AS c FROM documents),
+           |cleaned AS (SELECT doc_id AS id, $clean AS c
+           |  FROM documents WHERE $docWhere),
            |terms AS (SELECT id, UNNEST($cleanToks) AS term FROM cleaned),
            |tf AS (SELECT id, term, COUNT(*) AS tf FROM terms
            |  GROUP BY 1, 2),
            |dl AS (SELECT id, COUNT(*) AS dl FROM terms GROUP BY 1),
            |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
            |stats AS (SELECT (SELECT COUNT(*) FROM terms) AS n_terms,
-           |                 (SELECT COUNT(*) FROM documents) AS n_docs),
+           |                 (SELECT COUNT(*) FROM documents
+           |                  WHERE $docWhere) AS n_docs),
            |w AS (SELECT qt.query_id, tf.id,
            |    floor((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
            |      * (tf * 2.5)
@@ -1608,5 +1644,8 @@ private[graft] object Reg5Artifacts {
            |SELECT query_id, id AS doc_id, n_matched, score,
            |  CAST(rk AS INTEGER) AS rk
            |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  private val bm25RetrievalOracleSql: String =
+    bm25RetrievalOracleSqlOver("TRUE")
 
 }
