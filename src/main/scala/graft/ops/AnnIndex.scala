@@ -275,6 +275,14 @@ object AnnIndex {
   // in-memory frozen-append monitor — one contract, three engines
   // (in-memory q280, streaming q282, stored-merge q293).
 
+  /** History-format version, bumped independently of [[V]]: r15 adds
+    * per-version `probecents/` (each version's OWN probe geometry —
+    * the per-cell member means of exactly the postings that version
+    * holds), which as-of SERVING needs: ranking v0 probes against
+    * whole-corpus geometry would leak post-append information into a
+    * pre-append read. */
+  private val HV = "v3"
+
   /** One version's store root inside the append history (sibling
     * dirs, one atomic publish each — version n+1 builds from version
     * n's PUBLISHED bytes). */
@@ -282,7 +290,7 @@ object AnnIndex {
                         iters: Int = 2, m: Int = 4,
                         codes: Int = 8): String =
     sys.props("java.io.tmpdir") +
-      s"/graft-annidxhist-$V-${slug(dir)}" +
+      s"/graft-annidxhist-$HV-${slug(dir)}" +
       s"-f${StoreCommit.fingerprint(dir)}-c$k-i$iters-m$m-k$codes" +
       s"-v$version"
 
@@ -294,18 +302,30 @@ object AnnIndex {
     * One codegen'd scan-local projection per row; nothing standing is
     * touched.
     */
-  def assignUnderStored(spark: SparkSession, dir: String,
-                        batch: DataFrame, k: Int = 8, iters: Int = 2,
-                        m: Int = 4, codes: Int = 8): DataFrame = {
+  /** The pre-encode projection of [[assignUnderStored]]: (vec_id,
+    * embedding, cell, sim_e9) under the stored frozen quantizer —
+    * exposed separately so a version build can derive BOTH its
+    * postings (PQ-encoded) and its probe geometry (per-cell member
+    * means, which need the raw vectors the encoded postings drop)
+    * from ONE assignment. */
+  private def assignRawUnderStored(spark: SparkSession, dir: String,
+                                   batch: DataFrame, k: Int,
+                                   iters: Int, m: Int,
+                                   codes: Int): DataFrame = {
     val cents = centroids(spark, dir, "base", k, iters, m, codes)
-    val bks = books(spark, dir, "base", k, iters, m, codes)
     val st = Sim.assignScoredCos("embedding", cents)
-    val assigned = batch.select(col("vec_id"), col("embedding"),
+    batch.select(col("vec_id"), col("embedding"),
       (-st.getField("negCell")).as("cell"),
       st.getField("cos_e9").as("sim_e9"))
-    Sim.pqEncode(assigned, bks, "vec_id", "embedding",
-      keep = Seq("cell", "sim_e9"))
   }
+
+  def assignUnderStored(spark: SparkSession, dir: String,
+                        batch: DataFrame, k: Int = 8, iters: Int = 2,
+                        m: Int = 4, codes: Int = 8): DataFrame =
+    Sim.pqEncode(
+      assignRawUnderStored(spark, dir, batch, k, iters, m, codes),
+      books(spark, dir, "base", k, iters, m, codes),
+      "vec_id", "embedding", keep = Seq("cell", "sim_e9"))
 
   private val appendMemo = new java.util.concurrent.ConcurrentHashMap[
     String, String]
@@ -324,11 +344,21 @@ object AnnIndex {
     val v0Root = appendVersionRoot(dir, 0L, k, iters, m, codes)
     val v0 = appendMemo.computeIfAbsent(v0Root, _ =>
       StoreCommit.ensure(v0Root) { staging =>
-        assignUnderStored(spark, dir,
+        // ONE assignment feeds both artifacts: the PQ-encoded
+        // postings and the version's OWN probe geometry (per-cell
+        // member means need the raw vectors the postings drop)
+        val raw = assignRawUnderStored(spark, dir,
             graft.Tables.load(spark, dir, "embeddings")
               .where(!Sim.frozenDeltaSplit), k, iters, m, codes)
+          .localCheckpoint()
+        Sim.pqEncode(raw, books(spark, dir, "base", k, iters, m,
+              codes), "vec_id", "embedding",
+            keep = Seq("cell", "sim_e9"))
           .withColumn("is_delta", lit(false))
           .write.mode("overwrite").parquet(s"$staging/postings")
+        Sim.cellCentroids(raw, "cell", "embedding")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$staging/probecents")
       })
     val v1Root = appendVersionRoot(dir, 1L, k, iters, m, codes)
     val v1 = appendMemo.computeIfAbsent(v1Root, _ =>
@@ -342,8 +372,29 @@ object AnnIndex {
                   .where(Sim.frozenDeltaSplit), k, iters, m, codes)
               .withColumn("is_delta", lit(true)))
           .write.mode("overwrite").parquet(s"$staging/postings")
+        // v1's geometry: the merged head is the WHOLE corpus assigned
+        // under the frozen centroids — exactly what the base snapshot
+        // store's probecents summarize; copying its published bytes
+        // keeps "version n+1 builds from published bytes" literal
+        probeCentroids(spark, dir, "base", k, iters, m, codes)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$staging/probecents")
       })
     Seq(v0, v1)
+  }
+
+  /** TIME-TRAVEL read of a version's OWN probe geometry — what as-of
+    * serving must rank probes against (v0's geometry summarizes only
+    * the standing postings; using the whole-corpus geometry for a
+    * pre-append read would leak the append into the past). */
+  def probeCentsAsOf(spark: SparkSession, dir: String, version: Long,
+                     k: Int = 8, iters: Int = 2, m: Int = 4,
+                     codes: Int = 8): DataFrame = {
+    require(version == 0L || version == 1L,
+      s"append history holds versions 0 (standing) and 1 (merged), " +
+        s"got $version")
+    val roots = ensureAppendHistory(spark, dir, k, iters, m, codes)
+    spark.read.parquet(s"${roots(version.toInt)}/probecents")
   }
 
   /** TIME-TRAVEL read of the append history: the full postings frame
@@ -375,7 +426,7 @@ object AnnIndex {
                         iters: Int = 2, m: Int = 4,
                         codes: Int = 8): DataFrame = {
     val root = sys.props("java.io.tmpdir") +
-      s"/graft-annidxcompact-$V-${slug(dir)}" +
+      s"/graft-annidxcompact-$HV-${slug(dir)}" +
       s"-f${StoreCommit.fingerprint(dir)}-c$k-i$iters-m$m-k$codes-v1"
     val path = appendMemo.computeIfAbsent(root, _ =>
       StoreCommit.ensure(root) { staging =>

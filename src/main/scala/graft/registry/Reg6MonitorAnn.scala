@@ -1128,6 +1128,36 @@ private[graft] object Reg6MonitorAnn {
     // physical layouts (versioned history / compacted snapshot), and
     // with q280/q282/q293 the frozen-append family now closes
     // build → append → serve → compact under oracle gates throughout.
+    // ANN — TIME-TRAVEL serving (q310's story for the dense side):
+    // top-5 IVF-ADC retrieval from the append history AS OF version
+    // 0 — the standing index exactly as it stood before the append.
+    // Candidates, own-cells, and the probe geometry are all scoped to
+    // v0's postings (each version now stores its OWN probecents —
+    // ranking a pre-append read against whole-corpus geometry would
+    // leak the append into the past); codebooks stay the frozen base
+    // chain. The oracle restricts the retrained frozen chain's
+    // corpus side to the standing slice, so "as of v0" is an
+    // oracle-gated serving contract at the sized k/probes.
+    "q311_ann_asof_serve" -> ((s, dir) => {
+      val (k, probes) = graft.ops.AnnIndex.sizedParams(s, dir)
+      val v0 = graft.ops.AnnIndex.postingsAsOf(s, dir, version = 0L,
+        k = k)
+      val codes = v0.select(
+        (Seq(col("vec_id"), col("cell")) ++
+          graft.ops.AnnIndex.codeCols(4)): _*)
+      val queries = t(s, dir, "embeddings")
+        .where(col("vec_id") < 10)
+        .join(v0.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      Sim.topKIvfAdcCoded(queries, codes,
+          graft.ops.AnnIndex.probeCentsAsOf(s, dir, version = 0L,
+            k = k),
+          graft.ops.AnnIndex.books(s, dir, tag = "base", k = k),
+          k = 5, probes = probes)
+        .select(col("q_id"), col("c_id"), col("rk"))
+        .orderBy("q_id", "rk")
+    }),
+
+
     "q302_ann_index_compact" -> ((s, dir) => {
       val (k, probes) = graft.ops.AnnIndex.sizedParams(s, dir)
       val compacted = graft.ops.AnnIndex.compactedPostings(s, dir,
@@ -2687,6 +2717,22 @@ private[graft] object Reg6MonitorAnn {
       // equal serving from the version history — one contract, two
       // physical layouts
       "q302_ann_index_compact" -> annServeOracleSql,
+
+      // the as-of-v0 contract: the identical frozen serving chain
+      // with the corpus side (candidates, own-cells, probe geometry)
+      // restricted to the standing slice — what version 0 physically
+      // stores
+      "q311_ann_asof_serve" ->
+        s"""WITH ${kmeansFrozenCte("NOT (vec_id % 5 = 0)",
+             annSizedKSql)},
+           |afv AS MATERIALIZED (SELECT a.vec_id, e.v, a.cell
+           |  FROM af a JOIN e ON e.vec_id = a.vec_id
+           |  WHERE NOT (a.vec_id % 5 = 0)),
+           |${pqChainsSql(4, 8, 16, 2,
+             trainWhere = "NOT (vec_id % 5 = 0)")},
+           |${hybridDenseAdcCteOver("afv", 5, annSizedProbesSql)}
+           |SELECT q_id, c_id, rk_emb AS rk FROM dena
+           |ORDER BY q_id, rk""".stripMargin,
 
       // q287's fusion tail over the FROZEN-trained arms: the lexical
       // CTE is the full-corpus BM25 chain (merge ≡ build(all) is

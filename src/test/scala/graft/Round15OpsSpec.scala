@@ -187,4 +187,29 @@ class Round15OpsSpec extends SparkSpec {
       "standing ∪ streamed micro-segments must serve exactly what " +
         "the batch-maintained head serves")
   }
+
+  test("q311 as-of-v0 ANN serving is leak-free: no delta vector " +
+      "appears as query or candidate, and v0's probe geometry " +
+      "summarizes ONLY the standing postings (it differs from the " +
+      "head's whole-corpus geometry)") {
+    val rows = SparkEntry.queries("q311_ann_asof_serve")(spark, dir)
+      .collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 5 != 0 && r.getLong(1) % 5 != 0,
+        s"pre-append serving must never see a delta vector: $r")
+    }
+    val (k, _) = ops.AnnIndex.sizedParams(spark, dir)
+    val g0 = ops.AnnIndex.probeCentsAsOf(spark, dir, 0L, k = k)
+    val g1 = ops.AnnIndex.probeCentsAsOf(spark, dir, 1L, k = k)
+    assert(g0.exceptAll(g1).count() > 0L,
+      "v0 geometry must be the standing-only member means — " +
+        "identical frames would mean the append leaked into the past")
+    // and v1's geometry IS the whole-corpus snapshot geometry (its
+    // published-bytes copy)
+    val base = ops.AnnIndex.probeCentroids(spark, dir, tag = "base",
+      k = k)
+    assert(g1.exceptAll(base).count() === 0L &&
+      base.exceptAll(g1).count() === 0L)
+  }
 }
