@@ -212,4 +212,18 @@ class Round15OpsSpec extends SparkSpec {
     assert(g1.exceptAll(base).count() === 0L &&
       base.exceptAll(g1).count() === 0L)
   }
+
+  test("the stored lex serving paths never scan the documents table: " +
+      "q305 (segment fold), q306 (compacted), and q310 (as-of v0) " +
+      "plans read only index stores — zero corpus tokenization at " +
+      "query time") {
+    Seq("q305_bm25_index_serve", "q306_bm25_index_compact",
+        "q310_lex_asof_serve").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("documents.parquet"),
+        s"$name must serve from stores only, but its plan scans the " +
+          "corpus")
+    }
+  }
 }
