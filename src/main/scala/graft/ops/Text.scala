@@ -419,8 +419,20 @@ object Text {
         tf.where(col("tbkt").isin(bkts: _*))
       } else tf
     val joinKeys = if (bucketed) Seq("term", "tbkt") else Seq("term")
+    // term-prune the df side with a LITERAL filter (r15): the query
+    // batch's distinct terms are driver-sized by definition (the tbkt
+    // argument above), and a filter on `term` — df's GROUPING column —
+    // pushes below any read-side re-aggregation a segmented store's
+    // fold carries (LexIndex.framesAsOf re-sums per-segment dfs), all
+    // the way into the segment scans. Without it, every query re-ran
+    // the full-vocabulary df fold; with it the df subtree costs ∝
+    // query terms. Bit-exact: summing a term's per-segment dfs is the
+    // same number whether or not other terms are summed alongside.
+    val qtermList = qterms0.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val dfPruned = dfreq.where(col("term").isin(qtermList: _*))
     val w = tfPruned.join(broadcast(qterms), joinKeys)
-      .join(dl, "id").join(dfreq, "term")
+      .join(dl, "id").join(dfPruned, "term")
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("n_terms").cast("double") / col("n_docs"))
       .select(col("query_id"), col("id"),
