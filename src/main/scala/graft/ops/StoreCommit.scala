@@ -11,7 +11,34 @@ import scala.jdk.CollectionConverters._
   * building into the SAME pid-keyed staging dir would corrupt each
   * other mid-write.
   */
-private[ops] object StoreCommit {
+private[graft] object StoreCommit {
+
+  /** Single-flight memoization over a ConcurrentHashMap of FUTURES —
+    * the pattern [[Curate]]'s decon-truth memo introduced (r14
+    * advice), shared so every store/count memo uses it: the build (a
+    * full Spark job) runs OUTSIDE any map bin lock — `putIfAbsent`
+    * installs the future first, so a concurrent thread whose key
+    * hashes to the same bin never blocks behind another key's build
+    * (computeIfAbsent would hold the bin lock for the whole job, r15
+    * advice). One creator per key; losers `join()` the winner's
+    * future; a failed build removes its future so a retry can rebuild.
+    */
+  def singleFlight[V](
+      map: java.util.concurrent.ConcurrentHashMap[
+        String, java.util.concurrent.CompletableFuture[V]],
+      key: String)(build: => V): V = {
+    val created = new java.util.concurrent.CompletableFuture[V]()
+    val existing = map.putIfAbsent(key, created)
+    if (existing != null) existing.join()
+    else
+      try { val v = build; created.complete(v); v }
+      catch {
+        case e: Throwable =>
+          created.completeExceptionally(e)
+          map.remove(key, created)
+          throw e
+      }
+  }
 
   /** Returns `target`, building it first if no `_DONE` stamp exists.
     * `build` receives the staging path and must write every file of

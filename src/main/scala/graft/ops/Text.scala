@@ -407,30 +407,38 @@ object Text {
     // pruning-benefit heuristic rejects it — the explicit IN list is
     // the guaranteed form.)
     val bucketed = tf.columns.contains("tbkt")
-    val qterms =
-      if (bucketed)
-        qterms0.withColumn("tbkt",
-          pmod(hash(col("term")), lit(graft.ops.LexIndex.TermBuckets)))
-      else qterms0
-    val tfPruned =
+    // ONE driver collect of the batch's distinct (term, bucket) pairs
+    // (a query batch is driver-sized by definition — the repo's
+    // collect() doctrine) feeds BOTH literal prunes (r15 advice: the
+    // term prune previously ran its own second collect per retrieval):
+    //  - the bucket IN-list pushes as a STATIC partition filter, so
+    //    the postings scan touches only the bucket directories the
+    //    query terms hash to — scan cost ∝ buckets touched, not index
+    //    size (dynamic partition pruning does not fire here: the query
+    //    side carries no selective Filter node, so Catalyst's
+    //    pruning-benefit heuristic rejects it);
+    //  - the term IN-list on df — its GROUPING column — pushes below
+    //    any read-side re-aggregation a segmented store's fold carries,
+    //    all the way into the segment scans, so the df subtree costs
+    //    ∝ query terms. Bit-exact: summing a term's per-segment dfs is
+    //    the same number whether or not other terms are summed
+    //    alongside.
+    // The on-the-fly form (no tbkt column — dfreq is derived in-plan
+    // from the same tf subtree) skips both prunes AND the collect: a
+    // literal filter there re-runs the corpus tokenization once more
+    // for no scan benefit.
+    val (tfPruned, qterms, dfPruned) =
       if (bucketed) {
-        val bkts = qterms.select(col("tbkt")).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        tf.where(col("tbkt").isin(bkts: _*))
-      } else tf
+        val qt = qterms0.withColumn("tbkt",
+          pmod(hash(col("term")), lit(graft.ops.LexIndex.TermBuckets)))
+        val pairs = qt.select(col("term"), col("tbkt")).distinct()
+          .collect()
+        val bkts = pairs.map(_.getInt(1)).distinct.toSeq
+        val termList = pairs.map(_.getString(0)).distinct.toSeq
+        (tf.where(col("tbkt").isin(bkts: _*)), qt,
+          dfreq.where(col("term").isin(termList: _*)))
+      } else (tf, qterms0, dfreq)
     val joinKeys = if (bucketed) Seq("term", "tbkt") else Seq("term")
-    // term-prune the df side with a LITERAL filter (r15): the query
-    // batch's distinct terms are driver-sized by definition (the tbkt
-    // argument above), and a filter on `term` — df's GROUPING column —
-    // pushes below any read-side re-aggregation a segmented store's
-    // fold carries (LexIndex.framesAsOf re-sums per-segment dfs), all
-    // the way into the segment scans. Without it, every query re-ran
-    // the full-vocabulary df fold; with it the df subtree costs ∝
-    // query terms. Bit-exact: summing a term's per-segment dfs is the
-    // same number whether or not other terms are summed alongside.
-    val qtermList = qterms0.select(col("term")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    val dfPruned = dfreq.where(col("term").isin(qtermList: _*))
     val w = tfPruned.join(broadcast(qterms), joinKeys)
       .join(dl, "id").join(dfPruned, "term")
       .crossJoin(broadcast(stats))

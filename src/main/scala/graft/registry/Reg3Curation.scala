@@ -818,7 +818,41 @@ private[graft] object Reg3Curation {
           fracs = Seq(0.125, 0.25), cacheKey = Some(dir),
           storedCells = Some(k =>
             graft.ops.AnnIndex.cells(s, dir, "full", k = k)))
-        .orderBy("policy", "coverage"))
+        .orderBy("policy", "coverage")),
+
+
+    // curation — the RETRAIN decision for the sized store
+    // (Curate.retrainDecision scaladoc; r15 verdict ask #3: k = ⌈√n⌉
+    // means growth that bumps ⌈√n⌉ invalidates the frozen store, and
+    // the q280 drift monitor was "the retrain-decision monitor"
+    // nothing consumed). The growth numbers are READ FROM THE
+    // MAINTAINED HISTORY HEAD (the monitor's artifact — n_standing /
+    // n_delta off the is_delta flags); the stale arm is the standing-
+    // sized frozen store serving the grown corpus (the AnnIndex
+    // "base" store at k = ⌈√n₀⌉ — trained on standing, indexing
+    // everything), the resized arm the full retrain at k = ⌈√n⌉;
+    // both measured at matched quarter coverage against the shared
+    // brute truth, and the emitted row IS the decision: retrain iff
+    // the size actually bumped AND the measured gain clears 2 pts of
+    // recall. The oracle replays both kmeans chains, both coverage
+    // arms, and the decision arithmetic — so the policy, not just the
+    // measurement, is driver-gated at every scale factor.
+    "q314_ann_retrain_decision" -> ((s, dir) => {
+      val (kSized, _) = graft.ops.AnnIndex.sizedParams(s, dir)
+      val growth = graft.ops.AnnIndex
+        .postingsAsOf(s, dir, version = 1L, k = kSized)
+        .groupBy(col("is_delta")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      Curate.retrainDecision(t(s, dir, "embeddings"),
+        isEval = col("vec_id") % 97 === 0, threshold = 0.25,
+        nStanding = growth.getOrElse(false, 0L),
+        nDelta = growth.getOrElse(true, 0L),
+        staleCells = k =>
+          graft.ops.AnnIndex.cells(s, dir, "base", k = k),
+        resizedCells = k =>
+          graft.ops.AnnIndex.cells(s, dir, "full", k = k),
+        cacheKey = Some(dir))
+    })
   )
 
   /** One policy's arm of the q295 oracle: the q290 probe-policy CTE
@@ -1007,6 +1041,57 @@ private[graft] object Reg3Curation {
        |${coveragePolicyRows("sc", "scaled_sqrt",
          "(SELECT CAST(ceil(sqrt(COUNT(*))) AS INTEGER) FROM e)")}
        |) ORDER BY policy, coverage""".stripMargin
+
+  /** The q314 retrain-decision replay: the STALE arm's chain is the
+    * frozen-store discipline (kmeansFrozenCte — trained on the
+    * standing slice at the STANDING corpus's ⌈√n₀⌉ seed budget,
+    * assigning everything), the RESIZED arm the full-corpus chain at
+    * ⌈√n⌉; both run the coverage-matched recall tail at f = 1/4
+    * against the shared brute truth, and the final SELECT derives the
+    * growth numbers, the matched budgets, AND the decision rule — so
+    * the driver gate proves the policy arithmetic end to end.
+    */
+  private val retrainDecisionOracleSql: String = {
+    val kStaleSql = "(SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) " +
+      "FROM e WHERE NOT (vec_id % 5 = 0))"
+    val kNewSql =
+      "(SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM e)"
+    val gainSql = Num.floorAtSql("rz.recall - st.recall", 4)
+    s"""WITH ${kmeansFrozenCte("NOT (vec_id % 5 = 0)", kStaleSql)},
+       |stv AS MATERIALIZED (SELECT a.vec_id, e.v, a.cell
+       |  FROM af a JOIN e ON e.vec_id = a.vec_id),
+       |${kmeansChainAt(kNewSql, "rz")},
+       |ev0 AS MATERIALIZED (SELECT vec_id AS eval_id, v AS evv,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS evn
+       |  FROM e WHERE vec_id % 97 = 0),
+       |tr0 AS MATERIALIZED (SELECT vec_id AS train_id, v AS trv,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS trn
+       |  FROM e WHERE NOT (vec_id % 97 = 0)),
+       |tru AS MATERIALIZED (SELECT train_id, eval_id FROM (
+       |  SELECT t.train_id, e.eval_id,
+       |    floor((list_sum(list_transform(range(1, 65),
+       |      i -> t.trv[i] * e.evv[i])) / (t.trn * e.evn)) * 10000)
+       |      / 10000 AS sim
+       |  FROM tr0 t CROSS JOIN ev0 e) WHERE sim >= 0.25),
+       |nt AS (SELECT COUNT(*) AS n_truth FROM tru),
+       |${coveragePolicyCtes("stv", "st", kStaleSql, Seq(0.25))},
+       |${coveragePolicyCtes("rzaf", "rz", kNewSql, Seq(0.25))},
+       |strow AS (${coveragePolicyRows("st", "stale_frozen",
+         s"CAST($kStaleSql AS INTEGER)")}),
+       |rzrow AS (${coveragePolicyRows("rz", "resized_retrain",
+         s"CAST($kNewSql AS INTEGER)")})
+       |SELECT
+       |  (SELECT COUNT(*) FROM e WHERE NOT (vec_id % 5 = 0))
+       |    AS n_standing,
+       |  (SELECT COUNT(*) FROM e WHERE vec_id % 5 = 0) AS n_delta,
+       |  st.k AS k_stale, rz.k AS k_resized,
+       |  st.probes AS probes_stale, rz.probes AS probes_resized,
+       |  st.n_truth AS n_truth,
+       |  st.recall AS recall_stale, rz.recall AS recall_resized,
+       |  $gainSql AS gain,
+       |  (rz.k > st.k AND $gainSql >= 0.02) AS retrain
+       |FROM strow st CROSS JOIN rzrow rz""".stripMargin
+  }
 
   def oracles: ListMap[String, String] = ListMap(
 
@@ -1987,6 +2072,11 @@ private[graft] object Reg3Curation {
       // whose quantizer is the identical deterministic training (one
       // contract, two engines — in-memory q296, physical-store q304)
       "q304_sized_store_recall" -> coverageMatchedOracleSql,
+
+      // both quantizer chains (frozen-standing at ⌈√n₀⌉, full at
+      // ⌈√n⌉), both coverage-matched recall arms, and the decision
+      // arithmetic replayed — the retrain policy itself driver-gated
+      "q314_ann_retrain_decision" -> retrainDecisionOracleSql,
 
       "q285_contamination_pairs" ->
         s"""WITH cleaned AS (SELECT doc_id AS id, (doc_id % 97 = 0) AS ev,

@@ -358,6 +358,32 @@ private[graft] object Reg5Artifacts {
     }),
 
 
+    // artifacts — MID-CHAIN time-travel serving (r15 verdict ask #6:
+    // the 2-segment fixture proved the fold shape but no registered
+    // query read an as-of version that is neither the standing index
+    // nor the head). The "c3" chain splits the delta into TWO ingest
+    // batches (doc_id%10 = 0, then = 5); this serves q176's queries
+    // AS OF version 1 — standing ∪ first batch, folded from published
+    // segment bytes with the SECOND batch's segment never read. The
+    // oracle is the BM25 chain scoped to exactly that doc set, so a
+    // mid-chain read is an oracle-gated contract: df/dl/stats all
+    // reflect the corpus as it stood between the two appends.
+    "q312_lex_midchain_serve" -> ((s, dir) => {
+      import s.implicits._
+      val v1 = graft.ops.LexIndex.framesAsOf(s, dir, 1L, chain = "c3")
+      Text.bm25RetrieveStored(
+          Seq(("kw_cust", "customer order value"),
+            ("kw_join", "join merge hash"),
+            ("kw_scan", "spark scan filter"),
+            ("kw_win", "window batch sort"))
+            .toDF("query_id", "query_text"),
+          v1._1, v1._2, v1._3, v1._4, k = 5)
+        .select(col("query_id"), col("id").as("doc_id"),
+          col("n_matched"), col("score"), col("rk"))
+        .orderBy("query_id", "rk")
+    }),
+
+
     // §2.5 gap — pairwise correlation MATRIX (Agg.exactCorrMatrix
     // scaladoc): all power sums for all pairs in ONE scan, closed
     // forms off the 1-row state — the feature-redundancy profile, and
@@ -784,6 +810,12 @@ private[graft] object Reg5Artifacts {
       // slice — what segment 0 physically stores
       "q310_lex_asof_serve" ->
         bm25RetrievalOracleSqlOver("NOT (doc_id % 5 = 0)"),
+      // the MID-CHAIN contract: the same chain scoped to
+      // standing ∪ first ingest batch — the corpus as it stood
+      // between the c3 chain's two appends
+      "q312_lex_midchain_serve" ->
+        bm25RetrievalOracleSqlOver(
+          "NOT (doc_id % 5 = 0) OR doc_id % 10 = 0"),
 
 
       // observed cells + marginals replay; zero-observed cells enter

@@ -1158,6 +1158,40 @@ private[graft] object Reg6MonitorAnn {
     }),
 
 
+    // ANN — MID-CHAIN time-travel serving (r15 verdict ask #6, the
+    // dense twin of q312): the "c3" history splits the delta into TWO
+    // ingest batches (vec_id%10 = 0, then = 5); this serves top-5
+    // IVF-ADC AS OF version 1 — standing ∪ first batch — with
+    // candidates, own-cells, AND probe geometry folded from exactly
+    // the segments ≤ 1 (the second batch's postings and geometry
+    // partials are never read: geometry-as-of must not rank probes
+    // against members the version doesn't hold). This is also the
+    // delta-segment layout's pressure test: a mid-chain read is only
+    // expressible because versions publish delta-only segments the
+    // read folds — the old rewrite-the-union layout had no "between
+    // appends" bytes to read. The oracle scopes the retrained frozen
+    // chain's corpus side to the same doc set, sized k/probes derived
+    // in SQL.
+    "q313_ann_midchain_serve" -> ((s, dir) => {
+      val (k, probes) = graft.ops.AnnIndex.sizedParams(s, dir)
+      val v1 = graft.ops.AnnIndex.postingsAsOf(s, dir, version = 1L,
+        k = k, chain = "c3")
+      val codes = v1.select(
+        (Seq(col("vec_id"), col("cell")) ++
+          graft.ops.AnnIndex.codeCols(4)): _*)
+      val queries = t(s, dir, "embeddings")
+        .where(col("vec_id") < 10)
+        .join(v1.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      Sim.topKIvfAdcCoded(queries, codes,
+          graft.ops.AnnIndex.probeCentsAsOf(s, dir, version = 1L,
+            k = k, chain = "c3"),
+          graft.ops.AnnIndex.books(s, dir, tag = "base", k = k),
+          k = 5, probes = probes)
+        .select(col("q_id"), col("c_id"), col("rk"))
+        .orderBy("q_id", "rk")
+    }),
+
+
     "q302_ann_index_compact" -> ((s, dir) => {
       val (k, probes) = graft.ops.AnnIndex.sizedParams(s, dir)
       val compacted = graft.ops.AnnIndex.compactedPostings(s, dir,
@@ -2728,6 +2762,23 @@ private[graft] object Reg6MonitorAnn {
            |afv AS MATERIALIZED (SELECT a.vec_id, e.v, a.cell
            |  FROM af a JOIN e ON e.vec_id = a.vec_id
            |  WHERE NOT (a.vec_id % 5 = 0)),
+           |${pqChainsSql(4, 8, 16, 2,
+             trainWhere = "NOT (vec_id % 5 = 0)")},
+           |${hybridDenseAdcCteOver("afv", 5, annSizedProbesSql)}
+           |SELECT q_id, c_id, rk_emb AS rk FROM dena
+           |ORDER BY q_id, rk""".stripMargin,
+
+      // the MID-CHAIN contract: the identical frozen serving chain
+      // with the corpus side (candidates, own-cells, probe geometry)
+      // restricted to standing ∪ the first ingest batch — exactly
+      // what segments 0..1 of the c3 history hold between its two
+      // appends
+      "q313_ann_midchain_serve" ->
+        s"""WITH ${kmeansFrozenCte("NOT (vec_id % 5 = 0)",
+             annSizedKSql)},
+           |afv AS MATERIALIZED (SELECT a.vec_id, e.v, a.cell
+           |  FROM af a JOIN e ON e.vec_id = a.vec_id
+           |  WHERE NOT (a.vec_id % 5 = 0) OR a.vec_id % 10 = 0),
            |${pqChainsSql(4, 8, 16, 2,
              trainWhere = "NOT (vec_id % 5 = 0)")},
            |${hybridDenseAdcCteOver("afv", 5, annSizedProbesSql)}
