@@ -55,7 +55,16 @@ object Bench {
     // the dev loop and ScaleProbe comparisons still reach them.
     val demoted = Set(
       "q209_spearman", "q230_spearman_domain", // q233_spearman_auto
-      "q29_quantiles", "q262_quantiles_domain" // q273_quantiles_auto
+      "q29_quantiles", "q262_quantiles_domain", // q273_quantiles_auto
+      // round-16 (verdict ask #5): engine-parity measurement forms
+      // superseded by store-served production twins under the SAME
+      // oracle strings — q304 serves q296's coverage-matched
+      // measurement from the physical stores; q305/q306 serve q292's
+      // merge fold from published segments. Verify still gates all of
+      // them every round; the bench stops timing the same contract
+      // twice.
+      "q296_coverage_matched_recall", // q304_sized_store_recall
+      "q292_bm25_index_merge" // q305_bm25_index_serve / q306
     )
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.contains(n)))
