@@ -442,6 +442,101 @@ object AnnIndex {
       .map(r => spark.read.parquet(s"$r/postings"))
       .reduce(_.unionByName(_))
 
+  // ---- tombstone deletes (round 16 — the q315/q317 lex shape on the
+  // dense side) ---------------------------------------------------------
+  // A delete publishes ONE tombstone segment: the deleted vec_ids plus
+  // the deleted members' geometry partials NEGATED — decimal/integer
+  // subtraction is exact, so geometry-after-delete folds to precisely
+  // the survivors' one-pass means ([[Sim.centroidsFromPartials]], which
+  // also drops any cell the delete empties). Publish cost ∝ the delete
+  // batch (its vectors re-assigned under the frozen stored quantizer —
+  // an id-filtered scan); reads mask the head's postings with a
+  // broadcast anti-join. The quantizer/codebooks are NOT retrained — a
+  // delete masks and compaction reclaims, resizing stays q314's
+  // measured decision.
+
+  /** The takedown split — vec_id % 7 === 3, mirroring
+    * [[LexIndex.deleteSplit]]'s doc policy so a takedown pass removes
+    * the same entities from both arms of the retrieval stack. */
+  val deleteSplit: Column = col("vec_id") % 7 === 3
+
+  /** The tombstone segment's store root. */
+  def deleteRoot(dir: String, k: Int = 8, iters: Int = 2, m: Int = 4,
+                 codes: Int = 8): String =
+    sys.props("java.io.tmpdir") +
+      s"/graft-annidxdels-$HV-${slug(dir)}" +
+      s"-f${StoreCommit.fingerprint(dir)}-c$k-i$iters-m$m-k$codes-v1"
+
+  /** Publish the tombstone segment: `dels/` (the deleted vec_ids) and
+    * `geoparts/` (their geometry partials, NEGATED). One id-filtered
+    * assignment of the delete batch — nothing standing is read. */
+  def ensureDeleteTombstones(spark: SparkSession, dir: String,
+                             k: Int = 8, iters: Int = 2, m: Int = 4,
+                             codes: Int = 8): String = {
+    val root = deleteRoot(dir, k, iters, m, codes)
+    StoreCommit.singleFlight(appendMemo, root)(
+      StoreCommit.ensure(root) { staging =>
+        val raw = assignRawUnderStored(spark, dir,
+            graft.Tables.load(spark, dir, "embeddings")
+              .where(deleteSplit), k, iters, m, codes)
+          .localCheckpoint()
+        raw.select(col("vec_id"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$staging/dels")
+        Sim.cellCentroidPartials(raw, "cell", "embedding")
+          .select(col("cell"), col("pos"), (-col("s")).as("s"),
+            (-col("cnt")).as("cnt"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$staging/geoparts")
+      })
+  }
+
+  /** The head's postings AFTER the tombstone delete — the serving
+    * read: the segment fold masked by a broadcast anti-join on the
+    * tombstone ids (batch-sized by definition). */
+  def postingsAfterDelete(spark: SparkSession, dir: String, k: Int = 8,
+                          iters: Int = 2, m: Int = 4,
+                          codes: Int = 8): DataFrame = {
+    val p = ensureDeleteTombstones(spark, dir, k, iters, m, codes)
+    postingsAsOf(spark, dir, version = 1L, k, iters, m, codes)
+      .join(broadcast(spark.read.parquet(s"$p/dels")),
+        Seq("vec_id"), "left_anti")
+  }
+
+  /** Probe geometry AFTER the delete: the head's partials folded with
+    * the tombstone segment's negated partials — bit-identical to a
+    * one-pass [[Sim.cellCentroids]] over the survivors, emptied cells
+    * dropped. */
+  def probeCentsAfterDelete(spark: SparkSession, dir: String,
+                            k: Int = 8, iters: Int = 2, m: Int = 4,
+                            codes: Int = 8): DataFrame = {
+    val p = ensureDeleteTombstones(spark, dir, k, iters, m, codes)
+    Sim.centroidsFromPartials(
+      (historyRoots(spark, dir, 1L, k, iters, m, codes, "")
+          .map(r => spark.read.parquet(s"$r/geoparts")) :+
+        spark.read.parquet(s"$p/geoparts"))
+        .reduce(_.unionByName(_)))
+  }
+
+  /** COMPACTION after a delete: physically rewrite the SURVIVING
+    * postings into one fresh snapshot (tombstoned rows dropped for
+    * real — the reclaim step). Serving from the compacted survivors
+    * must equal serving through the mask. */
+  def compactedPostingsAfterDelete(spark: SparkSession, dir: String,
+                                   k: Int = 8, iters: Int = 2,
+                                   m: Int = 4,
+                                   codes: Int = 8): DataFrame = {
+    val root = sys.props("java.io.tmpdir") +
+      s"/graft-annidxdelcompact-$HV-${slug(dir)}" +
+      s"-f${StoreCommit.fingerprint(dir)}-c$k-i$iters-m$m-k$codes-v1"
+    val path = StoreCommit.singleFlight(appendMemo, root)(
+      StoreCommit.ensure(root) { staging =>
+        postingsAfterDelete(spark, dir, k, iters, m, codes)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$staging/postings")
+      })
+    spark.read.parquet(s"$path/postings")
+  }
+
   /** COMPACTION of the append history (q302 — the lifecycle's last
     * step): rewrite the merged head's segment fold into one fresh,
     * atomically-published snapshot store. Appends accrue per-segment

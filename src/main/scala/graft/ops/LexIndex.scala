@@ -312,6 +312,113 @@ object LexIndex {
       spark.read.parquet(s"${taken.last}/statscum"))
   }
 
+  // ---- tombstone deletes (round 16 — the lifecycle's missing
+  // production operation) ----------------------------------------------
+  // Appends were write-∝-batch; a REAL index maintainer also takes
+  // DELETES (takedown / right-to-be-forgotten passes — a first-class
+  // operation in any 100 TB corpus pipeline). The same segment algebra
+  // covers them: a delete publishes a TOMBSTONE segment — the deleted
+  // ids plus the deleted docs' OWN count frames, i.e. a NEGATIVE
+  // segment (all four index frames are sums of per-document counts,
+  // so subtracting a document set's counts is exact integer algebra,
+  // the mirror image of [[merge]]). Publish cost ∝ the delete batch:
+  // only the deleted docs are re-tokenized (a pushed-down id filter on
+  // the corpus scan); no standing posting byte is read or rewritten.
+  // Reads mask: tf/dl anti-join the broadcast tombstone ids
+  // (batch-sized by definition), df/stats come from the AFTER
+  // pre-folds written at publish (head cum − deleted counts, terms
+  // whose df hits 0 dropped — exactly the df of the surviving corpus).
+  // Compaction physically drops the masked rows; serving from the
+  // compacted survivors must equal serving through the mask (one
+  // contract, two layouts — the q306 discipline applied to deletes).
+
+  /** The takedown split for the maintained index — doc_id % 7 === 3
+    * cuts across BOTH the standing and delta slices, so a delete
+    * exercises every segment of the history it masks. */
+  val deleteSplit: Column = col("doc_id") % 7 === 3
+
+  /** The tombstone segment's store root (sibling of the history
+    * segments, one atomic publish). */
+  def deleteRoot(dir: String): String =
+    sys.props("java.io.tmpdir") +
+      s"/graft-lexidxdels-$HV-${StoreCommit.slug(dir)}" +
+      s"-f${StoreCommit.fingerprint(dir)}-v1"
+
+  /** Publish the tombstone segment over the DEFAULT chain's head:
+    *   - `dels/`       the deleted doc ids (∝ batch);
+    *   - `dfafter/`    head dfcum − the deleted docs' df, zero-df
+    *                   terms dropped (vocab-sized, exact integer);
+    *   - `statsafter/` head statscum − the deleted docs' counts.
+    * The deleted docs' own counts come from re-tokenizing ONLY the
+    * delete batch (id-filtered corpus scan) — the standing index is
+    * never read beyond its k-row/vocab-row cum frames.
+    */
+  def ensureDeleteTombstones(spark: SparkSession, dir: String)
+      : String = {
+    val root = deleteRoot(dir)
+    StoreCommit.singleFlight(histMemo, root)(
+      StoreCommit.ensure(root) { staging =>
+        val head = ensureAppendHistory(spark, dir).last
+        val deleted = graft.Tables.load(spark, dir, "documents")
+          .where(deleteSplit)
+        val (_, _, dfNeg, stNeg) = buildFrames(deleted)
+        deleted.select(col("doc_id").as("id"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$staging/dels")
+        spark.read.parquet(s"$head/dfcum")
+          .join(dfNeg.withColumnRenamed("df", "dfneg"),
+            Seq("term"), "left")
+          .select(col("term"),
+            (col("df") - coalesce(col("dfneg"), lit(0L))).as("df"))
+          .where(col("df") > 0)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$staging/dfafter")
+        spark.read.parquet(s"$head/statscum")
+          .crossJoin(stNeg
+            .select(col("n_terms").as("tneg"), col("n_docs").as("dneg")))
+          .select((col("n_terms") - col("tneg")).as("n_terms"),
+            (col("n_docs") - col("dneg")).as("n_docs"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$staging/statsafter")
+      })
+  }
+
+  /** The four frames AFTER the tombstone delete — the serving read:
+    * tf/dl are the head's published segment rows masked by a
+    * broadcast anti-join on the tombstone ids; df/stats are the
+    * pre-folded AFTER frames (plain scans). Bit-equal to indexing the
+    * surviving corpus from scratch, by the count-sum algebra.
+    */
+  def framesAfterDelete(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val p = ensureDeleteTombstones(spark, dir)
+    val dels = broadcast(spark.read.parquet(s"$p/dels"))
+    val (tf, dl, _, _) = framesAsOf(spark, dir, 1L)
+    (tf.join(dels, Seq("id"), "left_anti"),
+      dl.join(dels, Seq("id"), "left_anti"),
+      spark.read.parquet(s"$p/dfafter"),
+      spark.read.parquet(s"$p/statsafter"))
+  }
+
+  /** COMPACTION after a delete: physically rewrite the SURVIVING
+    * postings into one fresh single-segment snapshot (tombstoned rows
+    * dropped for real — the reclaim step every tombstone design
+    * needs, or masked rows accrete forever). Serving from the
+    * compacted survivors must equal serving through the mask. */
+  def compactedFramesAfterDelete(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val root = sys.props("java.io.tmpdir") +
+      s"/graft-lexidxdelcompact-$HV-${StoreCommit.slug(dir)}" +
+      s"-f${StoreCommit.fingerprint(dir)}-v1"
+    val p = StoreCommit.singleFlight(histMemo, root)(
+      StoreCommit.ensure(root) { staging =>
+        val (tf, dl, df, stats) = framesAfterDelete(spark, dir)
+        writeFrames(staging,
+          (tf.drop("tbkt"), dl.coalesce(1), df.coalesce(1), stats))
+      })
+    readFrames(spark, p)
+  }
+
   /** One STREAMED micro-segment's write (the q309 gate): the same
     * four frames, with tf carrying tbkt as a PLAIN column rather than
     * a partition directory — a micro-batch segment is too small to

@@ -414,11 +414,20 @@ object Sim {
     * one-pass form over the same members: the re-summed DECIMAL totals
     * equal the one-pass DECIMAL sums exactly (no rounding, no order
     * sensitivity), so the final cast-to-double mean is the same double
-    * and the float centroid vector round-trips identically. */
+    * and the float centroid vector round-trips identically.
+    *
+    * Accepts NEGATIVE partials too (a tombstone-delete segment
+    * publishes its members' partials negated — exact integer/decimal
+    * subtraction, the mirror of the append fold); a cell whose member
+    * count folds to zero DISAPPEARS from the geometry, exactly as it
+    * does from a one-pass over the survivors — never a 0/0 row. */
   def centroidsFromPartials(parts: DataFrame): DataFrame =
     parts
       .groupBy(col("cell"), col("pos"))
-      .agg((sum(col("s")).cast("double") / sum(col("cnt"))).as("m"))
+      .agg(sum(col("s")).as("s"), sum(col("cnt")).as("cnt"))
+      .where(col("cnt") > 0)
+      .select(col("cell"), col("pos"),
+        (col("s").cast("double") / col("cnt")).as("m"))
       .groupBy(col("cell"))
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
         e => e.getField("m").cast("float")).as("cv"))

@@ -384,6 +384,58 @@ private[graft] object Reg5Artifacts {
     }),
 
 
+    // artifacts — tombstone DELETES (r16; LexIndex delete scaladoc):
+    // the lifecycle's missing production operation — a takedown pass
+    // (doc_id%7=3) publishes ONE tombstone segment (the deleted ids +
+    // the deleted docs' own count frames as a NEGATIVE segment; cost
+    // ∝ batch, no standing posting byte read), and q176's queries
+    // serve from the masked head: tf/dl anti-join the broadcast
+    // tombstones, df/stats read the pre-folded AFTER frames (head cum
+    // − deleted counts, zero-df terms dropped — exact integer
+    // algebra). The oracle is the BM25 chain over the SURVIVING
+    // corpus, so the delete's effect on every BM25 component (df, dl,
+    // avgdl, n_docs) is driver-gated — a masked index that silently
+    // served stale df would fail the gate.
+    "q315_lex_delete_serve" -> ((s, dir) => {
+      import s.implicits._
+      val f = graft.ops.LexIndex.framesAfterDelete(s, dir)
+      Text.bm25RetrieveStored(
+          Seq(("kw_cust", "customer order value"),
+            ("kw_join", "join merge hash"),
+            ("kw_scan", "spark scan filter"),
+            ("kw_win", "window batch sort"))
+            .toDF("query_id", "query_text"),
+          f._1, f._2, f._3, f._4, k = 5)
+        .select(col("query_id"), col("id").as("doc_id"),
+          col("n_matched"), col("score"), col("rk"))
+        .orderBy("query_id", "rk")
+    }),
+
+
+    // artifacts — delete COMPACTION (the reclaim step every tombstone
+    // design needs, or masked rows accrete forever): the surviving
+    // postings physically rewritten into one fresh snapshot, the
+    // tombstoned rows dropped for real, then the SAME serving as q315
+    // runs against it — bound to q315's oracle string (one contract,
+    // two layouts: masked fold / compacted survivors). With
+    // q291/q305/q306/q309/q310/q312 the text index now closes
+    // build → append → serve → delete → compact under oracle gates.
+    "q317_lex_delete_compact" -> ((s, dir) => {
+      import s.implicits._
+      val c = graft.ops.LexIndex.compactedFramesAfterDelete(s, dir)
+      Text.bm25RetrieveStored(
+          Seq(("kw_cust", "customer order value"),
+            ("kw_join", "join merge hash"),
+            ("kw_scan", "spark scan filter"),
+            ("kw_win", "window batch sort"))
+            .toDF("query_id", "query_text"),
+          c._1, c._2, c._3, c._4, k = 5)
+        .select(col("query_id"), col("id").as("doc_id"),
+          col("n_matched"), col("score"), col("rk"))
+        .orderBy("query_id", "rk")
+    }),
+
+
     // §2.5 gap — pairwise correlation MATRIX (Agg.exactCorrMatrix
     // scaladoc): all power sums for all pairs in ONE scan, closed
     // forms off the 1-row state — the feature-redundancy profile, and
@@ -816,6 +868,13 @@ private[graft] object Reg5Artifacts {
       "q312_lex_midchain_serve" ->
         bm25RetrievalOracleSqlOver(
           "NOT (doc_id % 5 = 0) OR doc_id % 10 = 0"),
+      // the post-delete contract: the same chain over the SURVIVING
+      // corpus — what the masked head (q315) and the compacted
+      // survivors (q317) must both serve
+      "q315_lex_delete_serve" ->
+        bm25RetrievalOracleSqlOver("NOT (doc_id % 7 = 3)"),
+      "q317_lex_delete_compact" ->
+        bm25RetrievalOracleSqlOver("NOT (doc_id % 7 = 3)"),
 
 
       // observed cells + marginals replay; zero-observed cells enter

@@ -1192,6 +1192,64 @@ private[graft] object Reg6MonitorAnn {
     }),
 
 
+    // ANN — tombstone DELETES (r16, the q315 lex shape on the dense
+    // side; AnnIndex delete scaladoc): a takedown pass (vec_id%7=3,
+    // the same entity split as the text arm) publishes ONE tombstone
+    // segment — the deleted ids + their geometry partials NEGATED
+    // (cost ∝ batch: one id-filtered assignment under the frozen
+    // stored quantizer; nothing standing is read). Serving masks the
+    // head's postings with a broadcast anti-join and ranks probes
+    // against the SUBTRACTED geometry (head partials + negated
+    // partials fold to exactly the survivors' one-pass means; a cell
+    // the delete empties disappears, never a 0/0 row). Quantizer and
+    // codebooks are NOT retrained — deletes mask, compaction
+    // reclaims, resizing stays q314's measured decision. The oracle
+    // restricts the frozen chain's corpus side (candidates,
+    // own-cells, probe geometry) to the survivors.
+    "q316_ann_delete_serve" -> ((s, dir) => {
+      val (k, probes) = graft.ops.AnnIndex.sizedParams(s, dir)
+      val surv = graft.ops.AnnIndex.postingsAfterDelete(s, dir, k = k)
+      val codes = surv.select(
+        (Seq(col("vec_id"), col("cell")) ++
+          graft.ops.AnnIndex.codeCols(4)): _*)
+      val queries = t(s, dir, "embeddings")
+        .where(col("vec_id") < 10)
+        .join(surv.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      Sim.topKIvfAdcCoded(queries, codes,
+          graft.ops.AnnIndex.probeCentsAfterDelete(s, dir, k = k),
+          graft.ops.AnnIndex.books(s, dir, tag = "base", k = k),
+          k = 5, probes = probes)
+        .select(col("q_id"), col("c_id"), col("rk"))
+        .orderBy("q_id", "rk")
+    }),
+
+
+    // ANN — delete COMPACTION (the reclaim step): the surviving
+    // postings physically rewritten into one fresh snapshot, then the
+    // SAME serving as q316 — bound to q316's oracle string (one
+    // contract, two layouts). With q293/q299/q302/q311/q313 the ANN
+    // index now closes build → append → serve → delete → compact
+    // under oracle gates, matching the text side's lifecycle.
+    "q318_ann_delete_compact" -> ((s, dir) => {
+      val (k, probes) = graft.ops.AnnIndex.sizedParams(s, dir)
+      val compacted = graft.ops.AnnIndex
+        .compactedPostingsAfterDelete(s, dir, k = k)
+      val codes = compacted.select(
+        (Seq(col("vec_id"), col("cell")) ++
+          graft.ops.AnnIndex.codeCols(4)): _*)
+      val queries = t(s, dir, "embeddings")
+        .where(col("vec_id") < 10)
+        .join(compacted.select(col("vec_id"), col("cell")),
+          Seq("vec_id"))
+      Sim.topKIvfAdcCoded(queries, codes,
+          graft.ops.AnnIndex.probeCentsAfterDelete(s, dir, k = k),
+          graft.ops.AnnIndex.books(s, dir, tag = "base", k = k),
+          k = 5, probes = probes)
+        .select(col("q_id"), col("c_id"), col("rk"))
+        .orderBy("q_id", "rk")
+    }),
+
+
     "q302_ann_index_compact" -> ((s, dir) => {
       val (k, probes) = graft.ops.AnnIndex.sizedParams(s, dir)
       val compacted = graft.ops.AnnIndex.compactedPostings(s, dir,
@@ -2785,6 +2843,14 @@ private[graft] object Reg6MonitorAnn {
            |SELECT q_id, c_id, rk_emb AS rk FROM dena
            |ORDER BY q_id, rk""".stripMargin,
 
+      // the post-delete contract: the identical frozen chain (the
+      // quantizer/codebooks train on the PRE-delete standing slice —
+      // frozen means frozen; a delete masks, it never retrains) with
+      // the corpus side restricted to the survivors. ONE string for
+      // the masked fold (q316) and the compacted survivors (q318).
+      "q316_ann_delete_serve" -> annDeleteOracleSql,
+      "q318_ann_delete_compact" -> annDeleteOracleSql,
+
       // q287's fusion tail over the FROZEN-trained arms: the lexical
       // CTE is the full-corpus BM25 chain (merge ≡ build(all) is
       // q292's property-tested contract, so the merged frames replay
@@ -2817,6 +2883,17 @@ private[graft] object Reg6MonitorAnn {
   private val annSizedProbesSql: String =
     "GREATEST(2, CAST(ceil(CAST((SELECT COUNT(*) FROM c2) AS DOUBLE)" +
       " * 0.25) AS INTEGER))"
+
+  private val annDeleteOracleSql: String =
+    s"""WITH ${kmeansFrozenCte("NOT (vec_id % 5 = 0)", annSizedKSql)},
+       |afv AS MATERIALIZED (SELECT a.vec_id, e.v, a.cell
+       |  FROM af a JOIN e ON e.vec_id = a.vec_id
+       |  WHERE NOT (a.vec_id % 7 = 3)),
+       |${pqChainsSql(4, 8, 16, 2,
+         trainWhere = "NOT (vec_id % 5 = 0)")},
+       |${hybridDenseAdcCteOver("afv", 5, annSizedProbesSql)}
+       |SELECT q_id, c_id, rk_emb AS rk FROM dena
+       |ORDER BY q_id, rk""".stripMargin
 
   private val annServeOracleSql: String =
     s"""WITH ${kmeansFrozenCte("NOT (vec_id % 5 = 0)", annSizedKSql)},

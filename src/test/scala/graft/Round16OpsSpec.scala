@@ -151,6 +151,75 @@ class Round16OpsSpec extends SparkSpec {
         "the measured gain")
   }
 
+  test("tombstone deletes write ∝ batch: the lex tombstone segment " +
+      "holds exactly the deleted ids plus vocab-sized AFTER frames " +
+      "(df/stats bit-equal to indexing the survivors from scratch), " +
+      "and no served row on either arm carries a deleted id") {
+    val p = ops.LexIndex.ensureDeleteTombstones(spark, dir)
+    val docs = Tables.load(spark, dir, "documents")
+    val dels = spark.read.parquet(p + "/dels")
+    val expect = docs.where(ops.LexIndex.deleteSplit)
+      .select(col("doc_id").as("id"))
+    assert(dels.exceptAll(expect).count() === 0L &&
+      expect.exceptAll(dels).count() === 0L,
+      "tombstones must be the delete batch exactly")
+    // the AFTER pre-folds equal a from-scratch build over survivors —
+    // the exact-integer segment algebra (head cum − deleted counts)
+    val survivors = ops.LexIndex.buildFrames(
+      docs.where(!ops.LexIndex.deleteSplit))
+    val f = ops.LexIndex.framesAfterDelete(spark, dir)
+    assert(f._3.exceptAll(survivors._3).count() === 0L &&
+      survivors._3.exceptAll(f._3).count() === 0L,
+      "dfafter must equal the survivors' df, zero-df terms dropped")
+    assert(f._4.collect().toSeq === survivors._4.collect().toSeq,
+      "statsafter must equal the survivors' stats")
+    // serving never surfaces a deleted entity, on either arm
+    SparkEntry.queries("q315_lex_delete_serve")(spark, dir)
+      .collect().foreach(r => assert(r.getLong(1) % 7 != 3,
+        s"lex serving surfaced a deleted doc: $r"))
+    SparkEntry.queries("q316_ann_delete_serve")(spark, dir)
+      .collect().foreach { r =>
+        assert(r.getLong(0) % 7 != 3 && r.getLong(1) % 7 != 3,
+          s"ANN serving surfaced a deleted vector: $r")
+      }
+  }
+
+  test("ANN geometry-after-delete is the survivors' one-pass " +
+      "geometry bit-for-bit (negated partials subtract exactly), " +
+      "masked and compacted layouts serve identical rows, and a " +
+      "fully-emptied cell disappears instead of dividing by zero") {
+    val (k, _) = ops.AnnIndex.sizedParams(spark, dir)
+    val after = ops.AnnIndex.probeCentsAfterDelete(spark, dir, k = k)
+    val onePass = ops.Sim.cellCentroids(
+      ops.AnnIndex.postingsAsOf(spark, dir, 1L, k = k)
+        .where(!ops.AnnIndex.deleteSplit)
+        .join(Tables.load(spark, dir, "embeddings"), Seq("vec_id"))
+        .select(col("cell"), col("embedding")), "cell")
+    assert(after.exceptAll(onePass).count() === 0L &&
+      onePass.exceptAll(after).count() === 0L)
+    val masked = ops.AnnIndex.postingsAfterDelete(spark, dir, k = k)
+    val compacted = ops.AnnIndex
+      .compactedPostingsAfterDelete(spark, dir, k = k)
+    assert(masked.exceptAll(compacted).count() === 0L &&
+      compacted.exceptAll(masked).count() === 0L,
+      "compaction must carry exactly the surviving rows")
+    // emptied-cell behavior, synthetically: negate cell 1's whole
+    // membership — its geometry row must vanish, others unchanged
+    import spark.implicits._
+    val tiny = Seq((0L, 0, Seq(1.0f, 2.0f)), (1L, 0, Seq(3.0f, 4.0f)),
+      (2L, 1, Seq(5.0f, 6.0f)))
+      .toDF("vec_id", "cell", "embedding")
+    val parts = ops.Sim.cellCentroidPartials(tiny, "cell")
+    val neg = ops.Sim.cellCentroidPartials(
+        tiny.where(col("cell") === 1), "cell")
+      .select(col("cell"), col("pos"), (-col("s")).as("s"),
+        (-col("cnt")).as("cnt"))
+    val folded = ops.Sim.centroidsFromPartials(
+      parts.unionByName(neg)).collect()
+    assert(folded.length === 1 && folded(0).getInt(0) === 0,
+      "an emptied cell must disappear from the folded geometry")
+  }
+
   test("StoreCommit.singleFlight: one build per key under " +
       "contention, losers observe the winner's value, and a failed " +
       "build clears the slot for retry") {
