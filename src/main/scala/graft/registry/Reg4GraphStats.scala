@@ -621,6 +621,52 @@ private[graft] object Reg4GraphStats {
         .orderBy("lang", "rk")
     }),
 
+
+    // north star — the TAKEDOWN re-plan (r16, composing the q315-q318
+    // delete lifecycle into the curation surface): after a takedown
+    // pass (doc_id%7=3), the mixture planner re-budgets over the
+    // SURVIVING corpus with every input read from maintained
+    // artifacts — token masses from the tombstone-masked index's dl
+    // frame (LexIndex.framesAfterDelete — no re-tokenization),
+    // near-dup pairs from the STORED pair artifact filtered to
+    // surviving endpoints (signatures are per-doc, the q270 subset
+    // property — nothing is re-signed or re-paired), and the cluster
+    // labels re-folded over those pairs (the one recompute a delete
+    // genuinely forces: removing a doc can SPLIT its cluster, which
+    // no local update can derive — Dedup.componentsConverged over the
+    // filtered pair set is the minimal correct refresh, and its cost
+    // is ∝ surviving pairs, not corpus text). The oracle replays the
+    // whole dedup → discount → quota → draw chain over the surviving
+    // corpus, so a planner that left deleted mass in the quota
+    // arithmetic — or kept a pre-delete cluster label bridging
+    // through a deleted doc — fails the gate.
+    "q319_takedown_mixture_replan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val surviving = !graft.ops.LexIndex.deleteSplit
+      val comp = Dedup.componentsConverged(
+        Artifacts.nearDupPairs(s, dir, k = 8, bands = 4,
+            minJaccard = 0.2)
+          .where(col("id_a") % 7 =!= 3 && col("id_b") % 7 =!= 3))
+      val sizes = comp.groupBy("component")
+        .agg(count(lit(1)).as("n_members"))
+      val dl = graft.ops.LexIndex.framesAfterDelete(s, dir)._2
+        .select(col("id").as("doc_id"), col("dl").as("n_tok"))
+      val eff = docs.where(surviving)
+        .select(col("doc_id"), col("lang"))
+        .join(dl, Seq("doc_id"), "left")
+        .join(comp, Seq("doc_id"), "left")
+        .join(sizes, Seq("component"), "left")
+        .withColumn("nm", coalesce(col("n_members"), lit(1L)))
+        .withColumn("nt", coalesce(col("n_tok"), lit(0L)))
+        .select(col("doc_id"), col("lang"),
+          (expr("(CAST(nt AS BIGINT) * 1000000) div nm") + lit(1L))
+            .as("wt"))
+      Curate.budgetedSampleByMass(eff, "doc_id", "wt", "lang",
+          target = 60L)
+        .select("lang", "doc_id", "wt", "rk", "alloc")
+        .orderBy("lang", "rk")
+    }),
+
     "q272_skyline_auto" -> ((s, dir) =>
       Agg.skylineAuto(
           // checkpointed: the preflight and the dispatched engine each
@@ -691,15 +737,21 @@ private[graft] object Reg4GraphStats {
       .orderBy("doc_id")
   }
 
-  private val effectiveMixtureOracleSql: String =
+  /** The q307 chain parameterized by a document predicate — "TRUE" is
+    * the full-corpus contract (q307/q308); the survivors instance is
+    * q319's takedown re-plan (dedup pairs, cluster sizes, token
+    * masses, quotas, and draws all scoped to the post-delete corpus —
+    * a takedown that silently left deleted mass in the quota
+    * arithmetic would fail the gate). */
+  private def effectiveMixtureOracleSqlOver(docWhere: String): String =
     s"""WITH RECURSIVE
-       |${verifiedPairsCteFor("TRUE")},
+       |${verifiedPairsCteFor(docWhere)},
        |$ccCte,
        |sz AS (SELECT component, COUNT(*) AS n_members
        |       FROM comp GROUP BY component),
        |tok AS (SELECT doc_id, lang, len($cleanToks) AS n_tok
        |        FROM (SELECT doc_id, lang, ${cleanSql("text")} AS c
-       |              FROM documents)),
+       |              FROM documents WHERE $docWhere)),
        |w AS (SELECT t.doc_id, t.lang,
        |        (CAST(n_tok AS BIGINT) * 1000000)
        |          // COALESCE(sz.n_members, 1) + 1 AS wt
@@ -737,6 +789,9 @@ private[graft] object Reg4GraphStats {
        |FROM r JOIN al ON al.lang = r.lang
        |WHERE rk <= alloc
        |ORDER BY r.lang, rk""".stripMargin
+
+  private val effectiveMixtureOracleSql: String =
+    effectiveMixtureOracleSqlOver("TRUE")
 
   def oracles: ListMap[String, String] = ListMap(
 
@@ -780,6 +835,13 @@ private[graft] object Reg4GraphStats {
       // maintained dl frame + component artifact — one contract, two
       // engines (scan-and-tokenize q307, store-served q308)
       "q308_ingest_mixture_replan" -> effectiveMixtureOracleSql,
+
+      // the takedown instance: the identical chain scoped to the
+      // post-delete survivors — pairs, clusters, masses, quotas, and
+      // draws all re-derived over the corpus with the deleted docs
+      // gone
+      "q319_takedown_mixture_replan" ->
+        effectiveMixtureOracleSqlOver("NOT (doc_id % 7 = 3)"),
 
       // the verified-pair + recursive-CTE CC chain, then every
       // document left-joined to its cluster size — singletons (docs

@@ -220,6 +220,44 @@ class Round16OpsSpec extends SparkSpec {
       "an emptied cell must disappear from the folded geometry")
   }
 
+  test("q319 takedown re-plan runs entirely over the survivors: no " +
+      "deleted doc is drawn, no cluster label survives through a " +
+      "deleted bridge doc, and each drawn weight is the discounted " +
+      "mass under the RE-FOLDED (post-delete) cluster sizes") {
+    val drawn = SparkEntry.queries("q319_takedown_mixture_replan")(
+      spark, dir).collect().toSeq
+    assert(drawn.nonEmpty)
+    drawn.foreach(r => assert(r.getLong(1) % 7 != 3,
+      s"a deleted doc was drawn into the mixture: $r"))
+    // labels genuinely re-derived: a component label is the min
+    // SURVIVING member, never a deleted id carried from pre-delete
+    val comp = ops.Dedup.componentsConverged(
+      ops.Artifacts.nearDupPairs(spark, dir, k = 8, bands = 4,
+          minJaccard = 0.2)
+        .where(col("id_a") % 7 =!= 3 && col("id_b") % 7 =!= 3))
+    comp.select("component").distinct().collect()
+      .foreach(r => assert(r.getLong(0) % 7 != 3,
+        "a surviving cluster is labeled by a deleted doc — the fold " +
+          "did not re-derive labels"))
+    // weights: recompute from surviving docs + re-folded sizes
+    val docs = Tables.load(spark, dir, "documents")
+      .where(!ops.LexIndex.deleteSplit)
+    val sizes = comp.groupBy("component")
+      .agg(count(lit(1)).as("n_members"))
+    val expect = docs.select(col("doc_id"),
+        size(ops.Text.cleanTokens(col("text"))).as("n_tok"))
+      .join(comp, Seq("doc_id"), "left")
+      .join(sizes, Seq("component"), "left")
+      .withColumn("nm", coalesce(col("n_members"), lit(1L)))
+      .select(col("doc_id"),
+        (expr("(CAST(n_tok AS BIGINT) * 1000000) div nm") + lit(1L))
+          .as("wt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    drawn.foreach(r => assert(r.getLong(2) === expect(r.getLong(1)),
+      s"doc ${r.getLong(1)}: weight must be the post-delete " +
+        "discounted mass"))
+  }
+
   test("StoreCommit.singleFlight: one build per key under " +
       "contention, losers observe the winner's value, and a failed " +
       "build clears the slot for retry") {
