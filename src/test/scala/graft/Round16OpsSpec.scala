@@ -258,6 +258,20 @@ class Round16OpsSpec extends SparkSpec {
         "discounted mass"))
   }
 
+  test("the new stored lex serving paths never scan the documents " +
+      "table: q312 (mid-chain), q315 (masked delete serve), and q317 " +
+      "(delete compaction) plans read only index stores — the r15 " +
+      "no-corpus-scan pin extended to the round-16 engines") {
+    Seq("q312_lex_midchain_serve", "q315_lex_delete_serve",
+        "q317_lex_delete_compact").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("documents.parquet"),
+        s"$name must serve from stores only, but its plan scans the " +
+          "corpus")
+    }
+  }
+
   test("StoreCommit.singleFlight: one build per key under " +
       "contention, losers observe the winner's value, and a failed " +
       "build clears the slot for retry") {
