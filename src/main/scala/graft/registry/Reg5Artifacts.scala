@@ -333,6 +333,21 @@ private[graft] object Reg5Artifacts {
         .orderBy("query_id", "rk")),
 
 
+    // artifacts — STREAMING takedown (StreamOps.lexDeleteGate
+    // scaladoc): the delete slice replayed as 3 real micro-batches,
+    // each publishing its own batch-sized tombstone mini-segment
+    // (ids + negative df/stats counts), then q176's queries served
+    // from the head masked by the union of committed tombstones with
+    // the count negatives folded off the pre-folded cums — bound to
+    // q315's oracle string, so batch and streaming takedown are
+    // provably ONE maintenance operator (the q280≡q282 / q305≡q309
+    // discipline, now for deletes).
+    "q320_stream_takedown" -> ((s, dir) =>
+      graft.streaming.StreamOps.docsGateResult(s, dir,
+          "q320_stream_takedown")
+        .orderBy("query_id", "rk")),
+
+
     // artifacts — inverted-index COMPACTION (the q302 step for text):
     // the segment chain folded into one fresh single-segment snapshot
     // (per-bucket single postings files; reads stop paying the
@@ -874,6 +889,10 @@ private[graft] object Reg5Artifacts {
       "q315_lex_delete_serve" ->
         bm25RetrievalOracleSqlOver("NOT (doc_id % 7 = 3)"),
       "q317_lex_delete_compact" ->
+        bm25RetrievalOracleSqlOver("NOT (doc_id % 7 = 3)"),
+      // the streaming-takedown fold binds the same surviving-corpus
+      // contract — batch and streamed deletes, one string
+      "q320_stream_takedown" ->
         bm25RetrievalOracleSqlOver("NOT (doc_id % 7 = 3)"),
 
 

@@ -963,6 +963,26 @@ object StreamOps {
       stage
     })
 
+  /** Stage the TAKEDOWN slice of the documents fixture
+    * (doc_id % 7 = 3 — [[graft.ops.LexIndex.deleteSplit]]) as
+    * `nFiles` parquet files for a micro-batched delete replay.
+    * Memoized like [[stageDocs]]; plain repartition staging is fine
+    * here because only the final accumulated state is gated (the
+    * folded tombstone set and count negatives are partition-
+    * invariant — the q309 staging rule). */
+  def stageDocsDeletes(spark: SparkSession, sfDir: String,
+                       nFiles: Int): String =
+    stageMemo.computeIfAbsent(s"$sfDir#$nFiles#docsdels", _ => {
+      val stage = graft.TempDirs.register(java.nio.file.Files
+        .createTempDirectory("graft-stream-stage-docsdels").toString)
+      graft.Tables.load(spark, sfDir, "documents")
+        .where(graft.ops.LexIndex.deleteSplit)
+        .select("doc_id", "text")
+        .repartition(nFiles)
+        .write.mode("overwrite").parquet(stage)
+      stage
+    })
+
   /** Stage the DELTA slice of the embeddings fixture
     * (vec_id % 5 = 0 — the q280 split) as `nFiles` parquet files for
     * a micro-batched ingest replay. Memoized like [[stageDocs]].
@@ -1377,7 +1397,83 @@ object StreamOps {
           .select("sig_key"),
         OutputMode.Append()),
       ivfAppendGate(ns, sfDir),
-      lexAppendGate(ns, sfDir))
+      lexAppendGate(ns, sfDir),
+      lexDeleteGate(ns, sfDir))
+  }
+
+  /** The q320 gate — the q309 streaming discipline applied to
+    * TOMBSTONE DELETES: the takedown slice (doc_id%7=3) replayed as 3
+    * micro-batches, each publishing its OWN tombstone mini-segment
+    * (the batch's ids + the batch's df/stats counts as the NEGATIVE
+    * side-frames — [[graft.ops.LexIndex.buildFrames]] over just the
+    * batch, write ∝ batch, nothing standing read). The result closure
+    * serves q176's queries from the head masked by the UNION of all
+    * committed tombstones, with df/stats = head cum − Σ streamed
+    * negatives (exact integer fold, the [[graft.ops.LexIndex]]
+    * delete algebra) — bound to q315's oracle string (the surviving
+    * corpus), so batch and streaming takedown are provably ONE
+    * maintenance operator, like q280≡q282 and q305≡q309 before it.
+    */
+  private def lexDeleteGate(ns: SparkSession, sfDir: String): Gate = {
+    val dels3 = stageDocsDeletes(ns, sfDir, 3)
+    val segs = tmp("graft-lexdelsegs")
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    Gate("q320_stream_takedown",
+      () => ns.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dels3)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("graft-lexdelseg-ck"))
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val (_, _, dfNeg, stNeg) =
+            graft.ops.LexIndex.buildFrames(batch)
+          batch.select(col("doc_id").as("id"))
+            .write.mode("overwrite").parquet(s"$segs/b$bid/dels")
+          dfNeg.write.mode("overwrite").parquet(s"$segs/b$bid/df")
+          stNeg.coalesce(1).write.mode("overwrite")
+            .parquet(s"$segs/b$bid/stats")
+        }
+        .start(),
+      () => {
+        import ns.implicits._
+        val (tf, dl, dfcum, statscum) =
+          graft.ops.LexIndex.framesAsOf(ns, sfDir, 1L)
+        val segDirs = Option(new java.io.File(segs).listFiles())
+          .getOrElse(Array.empty)
+          .filter(_.isDirectory).map(_.toString).sorted.toSeq
+        val dels = broadcast(segDirs
+          .map(d => ns.read.parquet(s"$d/dels"))
+          .reduce(_.unionByName(_)))
+        val dfNeg = segDirs.map(d => ns.read.parquet(s"$d/df"))
+          .reduce(_.unionByName(_))
+          .groupBy("term").agg(sum(col("df")).as("dfneg"))
+        val stNeg = segDirs.map(d => ns.read.parquet(s"$d/stats"))
+          .reduce(_.unionByName(_))
+          .agg(sum(col("n_terms")).as("tneg"),
+            sum(col("n_docs")).as("dneg"))
+        val dfAfter = dfcum
+          .join(dfNeg, Seq("term"), "left")
+          .select(col("term"),
+            (col("df") - coalesce(col("dfneg"), lit(0L))).as("df"))
+          .where(col("df") > 0)
+        val stAfter = statscum.crossJoin(stNeg)
+          .select((col("n_terms") - col("tneg")).as("n_terms"),
+            (col("n_docs") - col("dneg")).as("n_docs"))
+        graft.ops.Text.bm25RetrieveStored(
+            Seq(("kw_cust", "customer order value"),
+              ("kw_join", "join merge hash"),
+              ("kw_scan", "spark scan filter"),
+              ("kw_win", "window batch sort"))
+              .toDF("query_id", "query_text"),
+            tf.join(dels, Seq("id"), "left_anti"),
+            dl.join(dels, Seq("id"), "left_anti"),
+            dfAfter, stAfter, k = 5)
+          .select(col("query_id"), col("id").as("doc_id"),
+            col("n_matched"), col("score"), col("rk"))
+      })
   }
 
   /** The q309 gate — the q282 frozen-append story for the TEXT index:
