@@ -158,6 +158,26 @@ object Artifacts {
           .where(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0))
     }
 
+  /** The POST-TAKEDOWN component-label artifact (q319): converged
+    * min-label CC over [[nearDupPairs]] filtered to surviving
+    * endpoints (doc_id % 7 ≠ 3 — [[graft.ops.LexIndex.deleteSplit]]).
+    * Removing a doc can SPLIT its cluster, so the label fold over the
+    * surviving pair set is the one recompute a takedown genuinely
+    * forces; a production refresh runs it ONCE per takedown and
+    * publishes the table — every later consumer (the mixture
+    * re-planner, dedup reports) reads it, exactly as [[standingLabels]]
+    * serves the ingest cycle. Columns: (doc_id, component).
+    */
+  def survivorLabels(spark: SparkSession, sfDir: String, k: Int = 8,
+                     bands: Int = 4, minJaccard: Double = 0.2)
+      : DataFrame =
+    memo(keyOf(spark, sfDir, "survivorLabels",
+        s"$k|$bands|$minJaccard|mod7")) {
+      Dedup.componentsConverged(
+        nearDupPairs(spark, sfDir, k, bands, minJaccard)
+          .where(col("id_a") % 7 =!= 3 && col("id_b") % 7 =!= 3))
+    }
+
   /** The language-prediction artifact: [[Text.langIdNgram]] over
     * `documents`, built once — q170 is the builder, q173's mixture
     * weights read it (a real pipeline stores the classifier output

@@ -643,10 +643,11 @@ private[graft] object Reg4GraphStats {
     "q319_takedown_mixture_replan" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val surviving = !graft.ops.LexIndex.deleteSplit
-      val comp = Dedup.componentsConverged(
-        Artifacts.nearDupPairs(s, dir, k = 8, bands = 4,
-            minJaccard = 0.2)
-          .where(col("id_a") % 7 =!= 3 && col("id_b") % 7 =!= 3))
+      // the re-folded labels come from the published artifact
+      // (Artifacts.survivorLabels — built once per takedown, read by
+      // every consumer; the q297 standing-labels discipline)
+      val comp = Artifacts.survivorLabels(s, dir, k = 8, bands = 4,
+        minJaccard = 0.2)
       val sizes = comp.groupBy("component")
         .agg(count(lit(1)).as("n_members"))
       val dl = graft.ops.LexIndex.framesAfterDelete(s, dir)._2
