@@ -289,43 +289,63 @@ object AnnIndex {
   // in-memory frozen-append monitor — one contract, three engines
   // (in-memory q280, streaming q282, stored-merge q293).
 
-  /** History-format version, bumped independently of [[V]]: r16 makes
-    * segments DELTA-ONLY (postings hold one batch each; geometry is
-    * stored as mergeable DECIMAL partials in `geoparts/` instead of
-    * finished per-version `probecents/`) — the write-∝-batch layout
-    * the r15 verdict asked for. */
-  private val HV = "v4"
+  /** History-format version, bumped independently of [[V]]: r16 "v4"
+    * made segments DELTA-ONLY (postings hold one batch each; geometry
+    * is stored as mergeable DECIMAL partials in `geoparts/` instead
+    * of finished per-version `probecents/`) — the write-∝-batch
+    * layout the r15 verdict asked for. r17 "v5": prefix-keyed roots +
+    * delete segments in the chain algebra. */
+  private val HV = "v5"
 
-  /** The ingest batches of a named append chain, in version order —
-    * each vector lands in exactly ONE batch (the disjointness the
-    * union-fold read relies on). The default chain is the family's
-    * 2-version fixture (standing = [[Sim.frozenDeltaSplit]]'s
-    * complement, delta = the split); chain "c3" splits the same delta
-    * into TWO ingest batches so a mid-chain as-of read (neither the
-    * standing index nor the head) is a registered, oracle-gated
-    * contract (r15 verdict ask #6).
-    */
-  private def chainSlices(chain: String): Seq[Column] = chain match {
-    case "" => Seq(!Sim.frozenDeltaSplit, Sim.frozenDeltaSplit)
-    case "c3" => Seq(!Sim.frozenDeltaSplit,
-      col("vec_id") % 10 === 0, col("vec_id") % 10 === 5)
+  /** The named chains of the maintained ANN index, as segment lists
+    * ([[graft.ops.Chains]] — the [[LexIndex.chainSegs]] policy with
+    * vec_id for doc_id, so one takedown/ingest pass hits both arms of
+    * the retrieval stack on one rule):
+    *   - ""   — standing ([[Sim.frozenDeltaSplit]]'s complement),
+    *     then the delta;
+    *   - "c3" — the delta split into TWO ingest batches (mid-chain
+    *     as-of reads, r15 ask #6);
+    *   - "md" — the default chain plus a head TOMBSTONE segment
+    *     (the r16 delete lifecycle as a chain suffix — prefix
+    *     sharing reuses the whole default history's bytes);
+    *   - "m3" — append → delete → append (r17): every version an
+    *     as-of-readable, oracle-gated state; capture-time semantics
+    *     keep a post-delete append's matching vectors live.
+    * Each vector lands in exactly ONE append (the disjointness the
+    * union-fold read relies on). */
+  private def chainSegs(chain: String): Seq[Segment] = chain match {
+    case "" => Seq(Append("std", !Sim.frozenDeltaSplit),
+      Append("d", Sim.frozenDeltaSplit))
+    case "c3" => Seq(Append("std", !Sim.frozenDeltaSplit),
+      Append("d0", col("vec_id") % 10 === 0),
+      Append("d5", col("vec_id") % 10 === 5))
+    case "md" => Seq(Append("std", !Sim.frozenDeltaSplit),
+      Append("d", Sim.frozenDeltaSplit), Delete("del7", deleteSplit))
+    case "m3" => Seq(Append("std", !Sim.frozenDeltaSplit),
+      Delete("del7", deleteSplit), Append("d", Sim.frozenDeltaSplit))
     case other => throw new IllegalArgumentException(
-      s"unknown append chain '$other' (expected \"\"|c3)")
+      s"unknown chain '$other' (expected \"\"|c3|md|m3)")
   }
 
-  private def chainSuffix(chain: String): String =
-    if (chain.isEmpty) "" else s"-$chain"
+  /** The live-corpus predicate as of `version` of `chain` — what an
+    * as-of read serves (exposed for specs and decision queries). */
+  def liveAsOf(version: Long, chain: String = ""): Column =
+    Chains.liveAsOf(chainSegs(chain), version)
 
-  /** One version's store root inside the append history (sibling
-    * dirs, one atomic publish each; a segment holds ONLY its own
-    * batch, so no version's build reads another's bytes). */
+  /** One segment's store root inside a chain history: keyed by the
+    * dot-joined segment-id PREFIX up to it, NOT by (chain, version),
+    * so chains sharing a prefix share the published segment — the
+    * standing segment, the most expensive build, is stored ONCE
+    * across every chain (r16 advice). Sibling dirs, one atomic
+    * publish each; an append holds ONLY its own batch, so no
+    * version's build reads another's bytes. */
   def appendVersionRoot(dir: String, version: Long, k: Int = 8,
                         iters: Int = 2, m: Int = 4,
                         codes: Int = 8, chain: String = ""): String =
     sys.props("java.io.tmpdir") +
       s"/graft-annidxhist-$HV-${slug(dir)}" +
       s"-f${StoreCommit.fingerprint(dir)}-c$k-i$iters-m$m-k$codes" +
-      s"${chainSuffix(chain)}-v$version"
+      s"-p${Chains.prefix(chainSegs(chain), version.toInt)}"
 
   /** Assign + PQ-encode a batch under the STORED frozen "base"
     * quantizer — the per-ingest projection of index maintenance:
@@ -364,50 +384,68 @@ object AnnIndex {
     String, java.util.concurrent.CompletableFuture[String]]
 
   /** Ensure the postings-segment history for fixture `dir` and
-    * `chain` (see [[chainSlices]]): segment v holds ONLY its own
-    * batch — assigned and PQ-encoded under the frozen stored "base"
-    * quantizer ([[assignUnderStored]]) — plus that batch's geometry
-    * partials ([[Sim.cellCentroidPartials]]). An append's write cost
-    * is ∝ its batch (+ k·d partial rows); no segment build reads any
-    * other segment's bytes. Returns the segment roots in version
-    * order. Idempotent, single-flight per JVM, atomic per segment
-    * cross-JVM.
+    * `chain` (see [[chainSegs]]): an APPEND segment holds ONLY its
+    * own batch — assigned and PQ-encoded under the frozen stored
+    * "base" quantizer ([[assignUnderStored]]) — plus that batch's
+    * geometry partials ([[Sim.cellCentroidPartials]]); a DELETE
+    * segment holds its captured tombstone ids plus the doomed
+    * members' geometry partials NEGATED (decimal/integer subtraction
+    * is exact, so geometry folds to precisely the survivors' one-pass
+    * means). Either way the write cost is ∝ the batch (+ k·d partial
+    * rows); no segment build reads any other segment's postings
+    * bytes. Returns the segment roots in version order
+    * (prefix-shared across chains). Idempotent, single-flight per
+    * JVM, atomic per segment cross-JVM.
     */
   def ensureAppendHistory(spark: SparkSession, dir: String, k: Int = 8,
                           iters: Int = 2, m: Int = 4, codes: Int = 8,
                           chain: String = ""): Seq[String] =
-    chainSlices(chain).zipWithIndex.map { case (slice, v) =>
-      val root = appendVersionRoot(dir, v.toLong, k, iters, m, codes,
-        chain)
-      StoreCommit.singleFlight(appendMemo, root)(
-        StoreCommit.ensure(root) { staging =>
-          // ONE assignment feeds both artifacts: the PQ-encoded
-          // postings and the batch's geometry partials (the partials
-          // need the raw vectors the encoded postings drop)
-          val raw = assignRawUnderStored(spark, dir,
-              graft.Tables.load(spark, dir, "embeddings").where(slice),
-              k, iters, m, codes)
-            .localCheckpoint()
-          Sim.pqEncode(raw, books(spark, dir, "base", k, iters, m,
-                codes), "vec_id", "embedding",
-              keep = Seq("cell", "sim_e9"))
-            .withColumn("is_delta", lit(v > 0))
-            .write.mode("overwrite").parquet(s"$staging/postings")
-          Sim.cellCentroidPartials(raw, "cell", "embedding")
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$staging/geoparts")
-        })
-    }
+    Chains.effective(chainSegs(chain)).zipWithIndex
+      .map { case ((seg, eff), v) =>
+        val root = appendVersionRoot(dir, v.toLong, k, iters, m, codes,
+          chain)
+        StoreCommit.singleFlight(appendMemo, root)(
+          StoreCommit.ensure(root) { staging =>
+            // ONE assignment feeds both artifacts: the postings (or
+            // tombstone ids) and the batch's geometry partials (the
+            // partials need the raw vectors the encoded postings drop)
+            val raw = assignRawUnderStored(spark, dir,
+                graft.Tables.load(spark, dir, "embeddings").where(eff),
+                k, iters, m, codes)
+              .localCheckpoint()
+            seg match {
+              case Append(_, _) =>
+                Sim.pqEncode(raw, books(spark, dir, "base", k, iters, m,
+                      codes), "vec_id", "embedding",
+                    keep = Seq("cell", "sim_e9"))
+                  .withColumn("is_delta", lit(v > 0))
+                  .write.mode("overwrite").parquet(s"$staging/postings")
+                Sim.cellCentroidPartials(raw, "cell", "embedding")
+                  .coalesce(1).write.mode("overwrite")
+                  .parquet(s"$staging/geoparts")
+              case Delete(_, _) =>
+                raw.select(col("vec_id"))
+                  .coalesce(1).write.mode("overwrite")
+                  .parquet(s"$staging/dels")
+                Sim.cellCentroidPartials(raw, "cell", "embedding")
+                  .select(col("cell"), col("pos"), (-col("s")).as("s"),
+                    (-col("cnt")).as("cnt"))
+                  .coalesce(1).write.mode("overwrite")
+                  .parquet(s"$staging/geoparts")
+            }
+          })
+      }
 
   private def historyRoots(spark: SparkSession, dir: String,
                            version: Long, k: Int, iters: Int, m: Int,
-                           codes: Int, chain: String): Seq[String] = {
+                           codes: Int, chain: String)
+      : Seq[(Segment, String)] = {
     val roots = ensureAppendHistory(spark, dir, k, iters, m, codes,
       chain)
     require(version >= 0L && version < roots.length,
-      s"append history '$chain' holds versions 0..${roots.length - 1}" +
+      s"chain '$chain' holds versions 0..${roots.length - 1}" +
         s" (0 = standing, ${roots.length - 1} = head), got $version")
-    roots.take(version.toInt + 1)
+    chainSegs(chain).zip(roots).take(version.toInt + 1)
   }
 
   /** TIME-TRAVEL read of a version's OWN probe geometry — what as-of
@@ -415,92 +453,90 @@ object AnnIndex {
     * the standing postings; using the whole-corpus geometry for a
     * pre-append read would leak the append into the past). Folded
     * from the published DECIMAL partials of segments 0..version —
-    * bit-identical to a one-pass [[Sim.cellCentroids]] over the same
-    * members ([[Sim.centroidsFromPartials]]'s exactness argument), so
-    * the head's geometry IS the base snapshot store's `probecents/`
-    * frame, value for value. */
+    * appends positive, deletes negative, so the fold is bit-identical
+    * to a one-pass [[Sim.cellCentroids]] over exactly the members the
+    * version holds ([[Sim.centroidsFromPartials]]'s exactness
+    * argument, which also drops any cell a delete empties). */
   def probeCentsAsOf(spark: SparkSession, dir: String, version: Long,
                      k: Int = 8, iters: Int = 2, m: Int = 4,
                      codes: Int = 8, chain: String = ""): DataFrame =
     Sim.centroidsFromPartials(
       historyRoots(spark, dir, version, k, iters, m, codes, chain)
-        .map(r => spark.read.parquet(s"$r/geoparts"))
+        .map { case (_, r) => spark.read.parquet(s"$r/geoparts") }
         .reduce(_.unionByName(_)))
 
-  /** TIME-TRAVEL read of the append history: the full postings frame
+  /** TIME-TRAVEL read of the chain history: the full postings frame
     * (vec_id, cell, sim_e9, code_0..m-1, is_delta) AS OF `version` —
-    * v0 is the pre-append standing index, the last version the merged
-    * head. A pure UNION-fold over the published delta-only segments
-    * 0..version (each vector lands in exactly one segment, so no
-    * re-aggregation); an old version's read never touches the bytes
-    * of the appends that came after it.
+    * v0 is the pre-append standing index, the last version the chain
+    * head. A pure UNION-fold over the published delta-only APPEND
+    * segments 0..version (each vector lands in exactly one segment,
+    * so no re-aggregation), masked by the tombstone ids of any DELETE
+    * segments ≤ version (one broadcast anti-join, batch-sized by
+    * definition — an all-append chain gets no mask join and its plan
+    * is unchanged); an old version's read never touches the bytes of
+    * the segments that came after it.
     */
   def postingsAsOf(spark: SparkSession, dir: String, version: Long,
                    k: Int = 8, iters: Int = 2, m: Int = 4,
-                   codes: Int = 8, chain: String = ""): DataFrame =
-    historyRoots(spark, dir, version, k, iters, m, codes, chain)
-      .map(r => spark.read.parquet(s"$r/postings"))
+                   codes: Int = 8, chain: String = ""): DataFrame = {
+    val segRoots = historyRoots(spark, dir, version, k, iters, m,
+      codes, chain)
+    val folded = segRoots
+      .collect { case (Append(_, _), r) =>
+        spark.read.parquet(s"$r/postings") }
       .reduce(_.unionByName(_))
+    val dels = segRoots.collect { case (Delete(_, _), r) =>
+      spark.read.parquet(s"$r/dels") }
+    if (dels.isEmpty) folded
+    else folded.join(broadcast(dels.reduce(_.unionByName(_))),
+      Seq("vec_id"), "left_anti")
+  }
 
-  // ---- tombstone deletes (round 16 — the q315/q317 lex shape on the
-  // dense side) ---------------------------------------------------------
-  // A delete publishes ONE tombstone segment: the deleted vec_ids plus
-  // the deleted members' geometry partials NEGATED — decimal/integer
-  // subtraction is exact, so geometry-after-delete folds to precisely
-  // the survivors' one-pass means ([[Sim.centroidsFromPartials]], which
-  // also drops any cell the delete empties). Publish cost ∝ the delete
-  // batch (its vectors re-assigned under the frozen stored quantizer —
-  // an id-filtered scan); reads mask the head's postings with a
-  // broadcast anti-join. The quantizer/codebooks are NOT retrained — a
-  // delete masks and compaction reclaims, resizing stays q314's
-  // measured decision.
+  // ---- tombstone deletes (round 16; round 17 folds them into the
+  // chain algebra above — the lex "md" chain's dense twin) --------------
+  // A delete is a SEGMENT TYPE in the chain ([[chainSegs]]): it
+  // publishes the captured vec_ids plus the doomed members' geometry
+  // partials NEGATED — decimal/integer subtraction is exact, so
+  // geometry-after-delete folds to precisely the survivors' one-pass
+  // means ([[Sim.centroidsFromPartials]], which also drops any cell
+  // the delete empties). Publish cost ∝ the delete batch (its vectors
+  // re-assigned under the frozen stored quantizer — a pushed-down
+  // predicate scan); reads mask the chain's postings with a broadcast
+  // anti-join. Under prefix-keyed roots the "md" chain shares the
+  // default history's two published segments byte-for-byte, so
+  // "ensure the delete" writes exactly one tombstone segment. The
+  // quantizer/codebooks are NOT retrained — a delete masks,
+  // compaction reclaims, resizing stays q314's measured decision
+  // (executed, when taken, by the epoch rotation below).
 
   /** The takedown split — vec_id % 7 === 3, mirroring
     * [[LexIndex.deleteSplit]]'s doc policy so a takedown pass removes
     * the same entities from both arms of the retrieval stack. */
   val deleteSplit: Column = col("vec_id") % 7 === 3
 
-  /** The tombstone segment's store root. */
+  /** The head tombstone segment's store root — the "md" chain's last
+    * segment ([[appendVersionRoot]] prefix `std.d.del7`). */
   def deleteRoot(dir: String, k: Int = 8, iters: Int = 2, m: Int = 4,
                  codes: Int = 8): String =
-    sys.props("java.io.tmpdir") +
-      s"/graft-annidxdels-$HV-${slug(dir)}" +
-      s"-f${StoreCommit.fingerprint(dir)}-c$k-i$iters-m$m-k$codes-v1"
+    appendVersionRoot(dir, 2L, k, iters, m, codes, chain = "md")
 
-  /** Publish the tombstone segment: `dels/` (the deleted vec_ids) and
-    * `geoparts/` (their geometry partials, NEGATED). One id-filtered
-    * assignment of the delete batch — nothing standing is read. */
+  /** Publish the head tombstone segment — [[ensureAppendHistory]] of
+    * the "md" chain (the two append segments are the default chain's
+    * bytes, prefix-shared). Returns the tombstone segment's root. */
   def ensureDeleteTombstones(spark: SparkSession, dir: String,
                              k: Int = 8, iters: Int = 2, m: Int = 4,
-                             codes: Int = 8): String = {
-    val root = deleteRoot(dir, k, iters, m, codes)
-    StoreCommit.singleFlight(appendMemo, root)(
-      StoreCommit.ensure(root) { staging =>
-        val raw = assignRawUnderStored(spark, dir,
-            graft.Tables.load(spark, dir, "embeddings")
-              .where(deleteSplit), k, iters, m, codes)
-          .localCheckpoint()
-        raw.select(col("vec_id"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$staging/dels")
-        Sim.cellCentroidPartials(raw, "cell", "embedding")
-          .select(col("cell"), col("pos"), (-col("s")).as("s"),
-            (-col("cnt")).as("cnt"))
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$staging/geoparts")
-      })
-  }
+                             codes: Int = 8): String =
+    ensureAppendHistory(spark, dir, k, iters, m, codes,
+      chain = "md").last
 
-  /** The head's postings AFTER the tombstone delete — the serving
-    * read: the segment fold masked by a broadcast anti-join on the
-    * tombstone ids (batch-sized by definition). */
+  /** The head's postings AFTER the tombstone delete — the "md"
+    * chain's head state: the segment fold masked by a broadcast
+    * anti-join on the tombstone ids (batch-sized by definition). */
   def postingsAfterDelete(spark: SparkSession, dir: String, k: Int = 8,
                           iters: Int = 2, m: Int = 4,
-                          codes: Int = 8): DataFrame = {
-    val p = ensureDeleteTombstones(spark, dir, k, iters, m, codes)
-    postingsAsOf(spark, dir, version = 1L, k, iters, m, codes)
-      .join(broadcast(spark.read.parquet(s"$p/dels")),
-        Seq("vec_id"), "left_anti")
-  }
+                          codes: Int = 8): DataFrame =
+    postingsAsOf(spark, dir, version = 2L, k, iters, m, codes,
+      chain = "md")
 
   /** Probe geometry AFTER the delete: the head's partials folded with
     * the tombstone segment's negated partials — bit-identical to a
@@ -508,14 +544,9 @@ object AnnIndex {
     * dropped. */
   def probeCentsAfterDelete(spark: SparkSession, dir: String,
                             k: Int = 8, iters: Int = 2, m: Int = 4,
-                            codes: Int = 8): DataFrame = {
-    val p = ensureDeleteTombstones(spark, dir, k, iters, m, codes)
-    Sim.centroidsFromPartials(
-      (historyRoots(spark, dir, 1L, k, iters, m, codes, "")
-          .map(r => spark.read.parquet(s"$r/geoparts")) :+
-        spark.read.parquet(s"$p/geoparts"))
-        .reduce(_.unionByName(_)))
-  }
+                            codes: Int = 8): DataFrame =
+    probeCentsAsOf(spark, dir, version = 2L, k, iters, m, codes,
+      chain = "md")
 
   /** COMPACTION after a delete: physically rewrite the SURVIVING
     * postings into one fresh snapshot (tombstoned rows dropped for

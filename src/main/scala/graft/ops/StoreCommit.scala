@@ -29,7 +29,16 @@ private[graft] object StoreCommit {
       key: String)(build: => V): V = {
     val created = new java.util.concurrent.CompletableFuture[V]()
     val existing = map.putIfAbsent(key, created)
-    if (existing != null) existing.join()
+    // losers rethrow the winner's ORIGINAL exception, not the
+    // CompletionException join() wraps it in — callers catching
+    // specific exception types must behave identically whether they
+    // won or lost the race (r16 advice)
+    if (existing != null)
+      try existing.join()
+      catch {
+        case e: java.util.concurrent.CompletionException
+            if e.getCause != null => throw e.getCause
+      }
     else
       try { val v = build; created.complete(v); v }
       catch {

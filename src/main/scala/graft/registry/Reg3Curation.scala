@@ -843,7 +843,7 @@ private[graft] object Reg3Curation {
         .postingsAsOf(s, dir, version = 1L, k = kSized)
         .groupBy(col("is_delta")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-      Curate.retrainDecision(t(s, dir, "embeddings"),
+      Curate.retrainDecision(
         isEval = col("vec_id") % 97 === 0, threshold = 0.25,
         nStanding = growth.getOrElse(false, 0L),
         nDelta = growth.getOrElse(true, 0L),

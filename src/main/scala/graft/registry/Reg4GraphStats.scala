@@ -631,11 +631,16 @@ private[graft] object Reg4GraphStats {
     // near-dup pairs from the STORED pair artifact filtered to
     // surviving endpoints (signatures are per-doc, the q270 subset
     // property — nothing is re-signed or re-paired), and the cluster
-    // labels re-folded over those pairs (the one recompute a delete
-    // genuinely forces: removing a doc can SPLIT its cluster, which
-    // no local update can derive — Dedup.componentsConverged over the
-    // filtered pair set is the minimal correct refresh, and its cost
-    // is ∝ surviving pairs, not corpus text). The oracle replays the
+    // labels refreshed INCREMENTALLY (r17, clearing the r16 weak:
+    // removing a doc can SPLIT its cluster, but only clusters that
+    // CONTAINED a deleted doc — Dedup.componentsAfterDelete re-runs
+    // exact CC over the touched components' surviving pairs ONLY and
+    // serves every untouched label unchanged from the standing
+    // components artifact, the q140 contraction mirrored for
+    // deletes; cost ∝ touched components, not all pairs, and the
+    // output is identical by the min-label algebra). The oracle
+    // replays the whole from-scratch chain, so the driver gate proves
+    // incremental ≡ rebuild on every fixture. It also replays the
     // whole dedup → discount → quota → draw chain over the surviving
     // corpus, so a planner that left deleted mass in the quota
     // arithmetic — or kept a pre-delete cluster label bridging
