@@ -451,6 +451,39 @@ private[graft] object Reg5Artifacts {
     }),
 
 
+    // artifacts — the MIXED chain served at EVERY version (r17; r16
+    // verdict ask #3: append→delete→append histories were
+    // inexpressible while deletes lived as a sibling root over the
+    // head). The "m3" chain is append(standing) → delete(doc_id%7=3,
+    // captured against the then-live corpus) → append(delta); this
+    // serves q176's queries AS OF each of its three versions in one
+    // output — v0 the standing index, v1 the takedown-masked standing
+    // index (df/dl/stats from the tombstone segment's pre-folds), v2
+    // the masked standing ∪ the post-delete batch, whose %7=3 docs
+    // STAY LIVE because tombstones are captured ids, not a filter.
+    // The oracle is the BM25 chain scoped to each version's surviving
+    // corpus, union'd with the version column — so every state of a
+    // mixed chain is an oracle-gated serving contract, including the
+    // capture-time semantics (a global %7 filter in the engine would
+    // fail v2's gate).
+    "q322_lex_mixed_asof" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(("kw_cust", "customer order value"),
+        ("kw_join", "join merge hash"),
+        ("kw_scan", "spark scan filter"),
+        ("kw_win", "window batch sort"))
+        .toDF("query_id", "query_text")
+      (0L to 2L).map { v =>
+        val f = graft.ops.LexIndex.framesAsOf(s, dir, v, chain = "m3")
+        Text.bm25RetrieveStored(queries, f._1, f._2, f._3, f._4, k = 5)
+          .select(lit(v).as("version"), col("query_id"),
+            col("id").as("doc_id"), col("n_matched"), col("score"),
+            col("rk"))
+      }.reduce(_.unionByName(_))
+        .orderBy("version", "query_id", "rk")
+    }),
+
+
     // §2.5 gap — pairwise correlation MATRIX (Agg.exactCorrMatrix
     // scaladoc): all power sums for all pairs in ONE scan, closed
     // forms off the 1-row state — the feature-redundancy profile, and
@@ -894,6 +927,21 @@ private[graft] object Reg5Artifacts {
       // contract — batch and streamed deletes, one string
       "q320_stream_takedown" ->
         bm25RetrievalOracleSqlOver("NOT (doc_id % 7 = 3)"),
+      // the MIXED-chain contract: the same chain scoped to each
+      // version's surviving corpus, union'd with the version column —
+      // v1 is the takedown-masked standing slice, v2 adds the
+      // post-delete batch (whose %7=3 docs stay live: tombstones are
+      // captured ids, the capture-time semantics the gate pins)
+      "q322_lex_mixed_asof" ->
+        Seq("NOT (doc_id % 5 = 0)",
+          "NOT (doc_id % 5 = 0) AND NOT (doc_id % 7 = 3)",
+          "(NOT (doc_id % 5 = 0) AND NOT (doc_id % 7 = 3))" +
+            " OR doc_id % 5 = 0")
+          .zipWithIndex.map { case (scope, v) =>
+            s"SELECT CAST($v AS BIGINT) AS version, * FROM (\n" +
+              s"${bm25RetrievalOracleSqlOver(scope)})"
+          }.mkString("", "\nUNION ALL\n",
+            "\nORDER BY version, query_id, rk"),
 
 
       // observed cells + marginals replay; zero-observed cells enter

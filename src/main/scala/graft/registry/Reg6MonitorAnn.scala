@@ -1250,6 +1250,39 @@ private[graft] object Reg6MonitorAnn {
     }),
 
 
+    // ANN — the MIXED chain served at EVERY version (r17, q322's
+    // dense twin): the "m3" chain is append(standing) →
+    // delete(vec_id%7=3, captured against the then-live corpus) →
+    // append(delta); top-5 IVF-ADC serving AS OF each version in one
+    // output, with candidates, own-cells, AND probe geometry folded
+    // from exactly the segments ≤ v (the delete's NEGATED geometry
+    // partials subtract its members from v1 on; the post-delete
+    // batch's %7=3 vectors stay live at v2 — captured tombstones, not
+    // a filter). The oracle replays the frozen chain with the corpus
+    // side scoped per version, union'd with the version column.
+    "q323_ann_mixed_asof" -> ((s, dir) => {
+      val (k, probes) = graft.ops.AnnIndex.sizedParams(s, dir)
+      (0L to 2L).map { v =>
+        val pv = graft.ops.AnnIndex.postingsAsOf(s, dir, v, k = k,
+          chain = "m3")
+        val codes = pv.select(
+          (Seq(col("vec_id"), col("cell")) ++
+            graft.ops.AnnIndex.codeCols(4)): _*)
+        val queries = t(s, dir, "embeddings")
+          .where(col("vec_id") < 10)
+          .join(pv.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        Sim.topKIvfAdcCoded(queries, codes,
+            graft.ops.AnnIndex.probeCentsAsOf(s, dir, v, k = k,
+              chain = "m3"),
+            graft.ops.AnnIndex.books(s, dir, tag = "base", k = k),
+            k = 5, probes = probes)
+          .select(lit(v).as("version"), col("q_id"), col("c_id"),
+            col("rk"))
+      }.reduce(_.unionByName(_))
+        .orderBy("version", "q_id", "rk")
+    }),
+
+
     "q302_ann_index_compact" -> ((s, dir) => {
       val (k, probes) = graft.ops.AnnIndex.sizedParams(s, dir)
       val compacted = graft.ops.AnnIndex.compactedPostings(s, dir,
@@ -2850,6 +2883,31 @@ private[graft] object Reg6MonitorAnn {
       // the masked fold (q316) and the compacted survivors (q318).
       "q316_ann_delete_serve" -> annDeleteOracleSql,
       "q318_ann_delete_compact" -> annDeleteOracleSql,
+
+      // the MIXED-chain contract: the frozen serving chain with the
+      // corpus side (candidates, own-cells, probe geometry) scoped to
+      // each version's surviving vector set, union'd with the version
+      // column — v1 masks the captured takedown, v2 adds the
+      // post-delete batch whose %7=3 vectors stay live
+      "q323_ann_mixed_asof" ->
+        Seq("NOT (a.vec_id % 5 = 0)",
+          "NOT (a.vec_id % 5 = 0) AND NOT (a.vec_id % 7 = 3)",
+          "(NOT (a.vec_id % 5 = 0) AND NOT (a.vec_id % 7 = 3))" +
+            " OR a.vec_id % 5 = 0")
+          .zipWithIndex.map { case (scope, v) =>
+            s"""SELECT CAST($v AS BIGINT) AS version, * FROM (
+               |WITH ${kmeansFrozenCte("NOT (vec_id % 5 = 0)",
+                   annSizedKSql)},
+               |afv AS MATERIALIZED (SELECT a.vec_id, e.v, a.cell
+               |  FROM af a JOIN e ON e.vec_id = a.vec_id
+               |  WHERE $scope),
+               |${pqChainsSql(4, 8, 16, 2,
+                   trainWhere = "NOT (vec_id % 5 = 0)")},
+               |${hybridDenseAdcCteOver("afv", 5, annSizedProbesSql)}
+               |SELECT q_id, c_id, rk_emb AS rk FROM dena)"""
+              .stripMargin
+          }.mkString("", "\nUNION ALL\n",
+            "\nORDER BY version, q_id, rk"),
 
       // q287's fusion tail over the FROZEN-trained arms: the lexical
       // CTE is the full-corpus BM25 chain (merge ≡ build(all) is

@@ -143,6 +143,32 @@ class Round17OpsSpec extends SparkSpec {
       "post-delete appends matching the predicate must stay live")
   }
 
+  test("q322/q323 serve the mixed chain leak-free at every version: " +
+      "v0/v1 rows never surface a delta doc, v1 rows never surface a " +
+      "captured takedown doc, and v2 DOES surface post-delete " +
+      "appends matching the delete predicate (capture-time pin)") {
+    val lex = SparkEntry.queries("q322_lex_mixed_asof")(spark, dir)
+      .collect().toSeq
+    assert(lex.nonEmpty)
+    lex.foreach { r =>
+      val (v, id) = (r.getLong(0), r.getLong(2))
+      if (v <= 1L) assert(id % 5 != 0,
+        s"v$v served a delta doc before its append: $r")
+      if (v == 1L) assert(id % 7 != 3,
+        s"v1 served a captured takedown doc: $r")
+    }
+    val ann = SparkEntry.queries("q323_ann_mixed_asof")(spark, dir)
+      .collect().toSeq
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      val (v, q, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (v <= 1L) assert(q % 5 != 0 && c % 5 != 0,
+        s"v$v served a delta vector before its append: $r")
+      if (v == 1L) assert(q % 7 != 3 && c % 7 != 3,
+        s"v1 served a captured takedown vector: $r")
+    }
+  }
+
   test("the delete lifecycle re-expressed through the chain algebra " +
       "is value-identical to round 16's sibling-root form: " +
       "framesAfterDelete ≡ md-chain head state ≡ survivors from " +
