@@ -568,6 +568,56 @@ object AnnIndex {
     spark.read.parquet(s"$path/postings")
   }
 
+  // ---- epoch rotation (round 17 — EXECUTING the retrain q314
+  // decides) -------------------------------------------------------------
+  // q314 measures the stale-vs-resized recall gap and emits the
+  // retrain/keep row; until r17 nothing could ACT on it — the store
+  // could decide to retrain but not do it as a lifecycle operation
+  // (r16 verdict ask #2). An EPOCH is a chain-root generation: epoch 0
+  // is the frozen "base"-trained append history (every consumer above
+  // this section); a RETRAIN decision publishes epoch 1 = the
+  // from-scratch "full"-trained snapshot store at the resized k (built
+  // by the SAME ensure path as every snapshot store — one training,
+  // shared with the q304/q314 resized arms) plus a 1-row rotation
+  // RECORD naming the store it rotated to. Rotation writes only new
+  // roots: the pre-retrain chain's bytes are untouched, so old-version
+  // time travel (q311/q313) reads exactly what it read before the
+  // rotation — serving continuity is the epoch-0 history staying a
+  // first-class read.
+
+  /** The rotation record's store root (epoch 1 at resized k). */
+  def retrainEpochRoot(dir: String, k: Int, iters: Int = 2, m: Int = 4,
+                       codes: Int = 8): String =
+    sys.props("java.io.tmpdir") +
+      s"/graft-annidxepoch-$HV-${slug(dir)}" +
+      s"-f${StoreCommit.fingerprint(dir)}-c$k-i$iters-m$m-k$codes-e1"
+
+  /** EXECUTE a measured retrain decision: if `retrain`, build/publish
+    * the resized full-corpus snapshot store (idempotent — the standard
+    * [[ensureFull]] path) and commit the epoch-1 rotation record
+    * atomically; if not, the standing epoch keeps serving. Returns the
+    * epoch that serves after the call (1 = rotated, 0 = kept). The
+    * decision itself stays [[graft.ops.Curate.retrainDecision]]'s
+    * oracle-gated row — this is the acting arm, not a second policy.
+    */
+  def rotateIfRetrain(spark: SparkSession, dir: String,
+                      retrain: Boolean, kResized: Int, iters: Int = 2,
+                      m: Int = 4, codes: Int = 8): Int =
+    if (!retrain) 0
+    else {
+      val store = ensureFull(spark, dir, kResized, iters, m, codes)
+      val root = retrainEpochRoot(dir, kResized, iters, m, codes)
+      StoreCommit.singleFlight(appendMemo, root)(
+        StoreCommit.ensure(root) { staging =>
+          import spark.implicits._
+          Seq((1L, kResized, "full", store))
+            .toDF("epoch", "k", "tag", "store_root")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$staging/record")
+        })
+      1
+    }
+
   /** COMPACTION of the append history (q302 — the lifecycle's last
     * step): rewrite the merged head's segment fold into one fresh,
     * atomically-published snapshot store. Appends accrue per-segment

@@ -852,6 +852,64 @@ private[graft] object Reg3Curation {
         resizedCells = k =>
           graft.ops.AnnIndex.cells(s, dir, "full", k = k),
         cacheKey = Some(dir))
+    }),
+
+
+    // curation/ANN — EXECUTING the retrain q314 decides (r17; r16
+    // verdict ask #2: "the store can decide to retrain but cannot do
+    // it as a lifecycle op"). The query runs q314's measured decision
+    // (same growth inputs off the maintained head, same matched-
+    // coverage arms), then ACTS on it via AnnIndex.rotateIfRetrain:
+    // the RETRAIN branch publishes the resized full-corpus store as a
+    // new chain epoch (a 1-row rotation record + the standard
+    // snapshot ensure — old-version time travel keeps reading the
+    // pre-retrain chain untouched) and serves top-5 IVF-ADC from the
+    // rotated store; the KEEP branch serves the standing epoch's head
+    // (q299's exact contract). The oracle replays the decision AND
+    // both serving chains, selecting the branch by the derived flag —
+    // so which branch served, not just how it served, is driver-gated
+    // at every scale factor (the fixture flips: RETRAIN at
+    // sf0.001/sf0.1, keep at sf0.01).
+    "q321_ann_retrain_execute" -> ((s, dir) => {
+      val (kSized, probes) = graft.ops.AnnIndex.sizedParams(s, dir)
+      val growth = graft.ops.AnnIndex
+        .postingsAsOf(s, dir, version = 1L, k = kSized)
+        .groupBy(col("is_delta")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      val dec = Curate.retrainDecision(
+        isEval = col("vec_id") % 97 === 0, threshold = 0.25,
+        nStanding = growth.getOrElse(false, 0L),
+        nDelta = growth.getOrElse(true, 0L),
+        staleCells = k =>
+          graft.ops.AnnIndex.cells(s, dir, "base", k = k),
+        resizedCells = k =>
+          graft.ops.AnnIndex.cells(s, dir, "full", k = k),
+        cacheKey = Some(dir)).collect()(0)
+      val epoch = graft.ops.AnnIndex.rotateIfRetrain(s, dir,
+        retrain = dec.getBoolean(10), kResized = kSized)
+      val codes =
+        if (epoch == 1)
+          graft.ops.AnnIndex.codes(s, dir, tag = "full", k = kSized)
+            .select((Seq(col("vec_id"), col("cell")) ++
+              graft.ops.AnnIndex.codeCols(4)): _*)
+        else graft.ops.AnnIndex
+          .postingsAsOf(s, dir, version = 1L, k = kSized)
+          .select((Seq(col("vec_id"), col("cell")) ++
+            graft.ops.AnnIndex.codeCols(4)): _*)
+      val tag = if (epoch == 1) "full" else "base"
+      val queries = t(s, dir, "embeddings")
+        .where(col("vec_id") < 10)
+        .join(codes.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      Sim.topKIvfAdcCoded(queries, codes,
+          graft.ops.AnnIndex.probeCentroids(s, dir, tag = tag,
+            k = kSized),
+          graft.ops.AnnIndex.books(s, dir, tag = tag, k = kSized),
+          k = 5, probes = probes)
+        .select(
+          lit(if (epoch == 1) "retrained" else "stale").as("branch"),
+          lit(epoch.toLong).as("epoch"),
+          col("q_id"), col("c_id"), col("rk"))
+        .orderBy("q_id", "rk")
     })
   )
 
@@ -1091,6 +1149,43 @@ private[graft] object Reg3Curation {
        |  $gainSql AS gain,
        |  (rz.k > st.k AND $gainSql >= 0.02) AS retrain
        |FROM strow st CROSS JOIN rzrow rz""".stripMargin
+  }
+
+  /** The q321 retrain-EXECUTE replay: the q314 decision statement
+    * (verbatim, as a subquery — subqueries scope their CTEs) derives
+    * the flag; the KEEP branch is q299's serving string verbatim
+    * (Reg6MonitorAnn.annServeOracleSql — the standing head's
+    * contract); the RETRAIN branch retrains the FULL-corpus chain at
+    * ⌈√n⌉ from scratch (kmeansChainAt — the q304 "scaled" parity
+    * chain) with whole-corpus PQ codebooks and serves the q299 shape
+    * from it. The final SELECT picks the branch by the derived flag —
+    * both the decision and the serving it triggers are one gated
+    * contract. */
+  private def retrainExecuteOracleSql: String = {
+    val kNewSql =
+      "(SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM e)"
+    val rtProbes = "GREATEST(2, CAST(ceil(CAST((SELECT COUNT(*) " +
+      "FROM rtc2) AS DOUBLE) * 0.25) AS INTEGER))"
+    s"""WITH dec AS MATERIALIZED (SELECT retrain FROM (
+       |$retrainDecisionOracleSql)),
+       |st AS (SELECT q_id, c_id, rk FROM (
+       |${Reg6MonitorAnn.annServeOracleSql})),
+       |rt AS (SELECT q_id, c_id, rk FROM (
+       |WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |${kmeansChainAt(kNewSql, "rt")},
+       |${pqChainsSql(4, 8, 16, 2)},
+       |${hybridDenseAdcCteOver("rtaf", 5, rtProbes)}
+       |SELECT q_id, c_id, rk_emb AS rk FROM dena))
+       |SELECT 'retrained' AS branch, CAST(1 AS BIGINT) AS epoch,
+       |  q_id, c_id, rk
+       |FROM rt WHERE (SELECT retrain FROM dec)
+       |UNION ALL
+       |SELECT 'stale' AS branch, CAST(0 AS BIGINT) AS epoch,
+       |  q_id, c_id, rk
+       |FROM st WHERE NOT (SELECT retrain FROM dec)
+       |ORDER BY q_id, rk""".stripMargin
   }
 
   def oracles: ListMap[String, String] = ListMap(
@@ -2077,6 +2172,7 @@ private[graft] object Reg3Curation {
       // ⌈√n⌉), both coverage-matched recall arms, and the decision
       // arithmetic replayed — the retrain policy itself driver-gated
       "q314_ann_retrain_decision" -> retrainDecisionOracleSql,
+      "q321_ann_retrain_execute" -> retrainExecuteOracleSql,
 
       "q285_contamination_pairs" ->
         s"""WITH cleaned AS (SELECT doc_id AS id, (doc_id % 97 = 0) AS ev,

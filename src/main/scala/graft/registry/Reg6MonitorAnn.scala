@@ -2953,7 +2953,9 @@ private[graft] object Reg6MonitorAnn {
        |SELECT q_id, c_id, rk_emb AS rk FROM dena
        |ORDER BY q_id, rk""".stripMargin
 
-  private val annServeOracleSql: String =
+  // private[registry]: q321's retrain-execute oracle (Reg3) embeds
+  // this as its KEEP branch — one serving contract, shared string
+  private[registry] val annServeOracleSql: String =
     s"""WITH ${kmeansFrozenCte("NOT (vec_id % 5 = 0)", annSizedKSql)},
        |afv AS MATERIALIZED (SELECT a.vec_id, e.v, a.cell
        |  FROM af a JOIN e ON e.vec_id = a.vec_id),

@@ -169,6 +169,46 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("q321 executes the retrain q314 decides, with serving " +
+      "continuity: the rotation publishes an epoch record naming the " +
+      "resized full store, the served branch matches the decision " +
+      "row, and OLD-version time travel still reads the pre-retrain " +
+      "chain byte-identically after the rotation") {
+    val (k, _) = ops.AnnIndex.sizedParams(spark, dir)
+    // snapshot the pre-rotation v0 read (the standing segment)
+    val v0Before = ops.AnnIndex.postingsAsOf(spark, dir, 0L, k = k)
+      .collect().toSet
+    val dec = SparkEntry.queries("q314_ann_retrain_decision")(
+      spark, dir).collect()(0)
+    val served = SparkEntry.queries("q321_ann_retrain_execute")(
+      spark, dir).collect().toSeq
+    assert(served.nonEmpty)
+    val branch = served.head.getString(0)
+    assert(served.forall(_.getString(0) === branch))
+    assert(branch === (if (dec.getBoolean(10)) "retrained"
+      else "stale"),
+      "the served branch must be the decision row's verdict")
+    if (dec.getBoolean(10)) {
+      // the sf0.001 fixture decides RETRAIN — the rotation record
+      // must exist and name the resized full store
+      val rec = spark.read.parquet(
+        ops.AnnIndex.retrainEpochRoot(dir, k) + "/record").collect()
+      assert(rec.length === 1 && rec(0).getLong(0) === 1L &&
+        rec(0).getInt(1) === k && rec(0).getString(2) === "full")
+      assert(new java.io.File(rec(0).getString(3), "_DONE").exists(),
+        "the rotation record must name a published store")
+      // served rows come from the retrained store: every corpus
+      // vector is a candidate (the full snapshot indexes everything)
+      assert(served.head.getLong(1) === 1L, "epoch must be 1")
+    }
+    // continuity: rotation writes only NEW roots — the pre-retrain
+    // chain's v0 read is unchanged
+    val v0After = ops.AnnIndex.postingsAsOf(spark, dir, 0L, k = k)
+      .collect().toSet
+    assert(v0After === v0Before,
+      "epoch rotation must not touch the old chain's bytes")
+  }
+
   test("the delete lifecycle re-expressed through the chain algebra " +
       "is value-identical to round 16's sibling-root form: " +
       "framesAfterDelete ≡ md-chain head state ≡ survivors from " +
