@@ -319,12 +319,34 @@ object AnnIndex {
     case "c3" => Seq(Append("std", !Sim.frozenDeltaSplit),
       Append("d0", col("vec_id") % 10 === 0),
       Append("d5", col("vec_id") % 10 === 5))
+    case "c4" => Seq(Append("std", !Sim.frozenDeltaSplit),
+      Append("d0", col("vec_id") % 10 === 0),
+      Append("d5a", col("vec_id") % 20 === 5),
+      Append("d5b", col("vec_id") % 20 === 15))
     case "md" => Seq(Append("std", !Sim.frozenDeltaSplit),
       Append("d", Sim.frozenDeltaSplit), Delete("del7", deleteSplit))
     case "m3" => Seq(Append("std", !Sim.frozenDeltaSplit),
       Delete("del7", deleteSplit), Append("d", Sim.frozenDeltaSplit))
     case other => throw new IllegalArgumentException(
-      s"unknown chain '$other' (expected \"\"|c3|md|m3)")
+      s"unknown chain '$other' (expected \"\"|c3|c4|md|m3)")
+  }
+
+  /** Measured chain statistics — the inputs of the compaction-policy
+    * decision (q324), all store reads: segment count from the
+    * published roots, live postings from the masked head fold,
+    * tombstones from the delete segments' published id files. */
+  def chainStats(spark: SparkSession, dir: String, k: Int = 8,
+                 iters: Int = 2, m: Int = 4, codes: Int = 8,
+                 chain: String = ""): (Int, Long, Long) = {
+    val roots = ensureAppendHistory(spark, dir, k, iters, m, codes,
+      chain)
+    val live = postingsAsOf(spark, dir, roots.length - 1L, k, iters,
+      m, codes, chain).count()
+    val tomb = chainSegs(chain).zip(roots).collect {
+      case (Delete(_, _), r) =>
+        spark.read.parquet(s"$r/dels").count()
+    }.sum
+    (roots.length, live, tomb)
   }
 
   /** The live-corpus predicate as of `version` of `chain` — what an

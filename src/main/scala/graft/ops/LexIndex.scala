@@ -216,12 +216,33 @@ object LexIndex {
     case "c3" => Seq(Append("std", !deltaSplit),
       Append("d0", col("doc_id") % 10 === 0),
       Append("d5", col("doc_id") % 10 === 5))
+    case "c4" => Seq(Append("std", !deltaSplit),
+      Append("d0", col("doc_id") % 10 === 0),
+      Append("d5a", col("doc_id") % 20 === 5),
+      Append("d5b", col("doc_id") % 20 === 15))
     case "md" => Seq(Append("std", !deltaSplit),
       Append("d", deltaSplit), Delete("del7", deleteSplit))
     case "m3" => Seq(Append("std", !deltaSplit),
       Delete("del7", deleteSplit), Append("d", deltaSplit))
     case other => throw new IllegalArgumentException(
-      s"unknown chain '$other' (expected \"\"|c3|md|m3)")
+      s"unknown chain '$other' (expected \"\"|c3|c4|md|m3)")
+  }
+
+  /** Measured chain statistics — the inputs of the compaction-policy
+    * decision (q324), ALL store reads: segment count from the
+    * published roots, live docs from the head's pre-folded statscum
+    * (one 1-row scan), tombstones from the delete segments' published
+    * id files (∝ batch). Nothing tokenizes or scans the corpus. */
+  def chainStats(spark: SparkSession, dir: String, chain: String = "")
+      : (Int, Long, Long) = {
+    val roots = ensureAppendHistory(spark, dir, chain)
+    val live = spark.read.parquet(s"${roots.last}/statscum")
+      .collect()(0).getLong(1)
+    val tomb = chainSegs(chain).zip(roots).collect {
+      case (Delete(_, _), r) =>
+        spark.read.parquet(s"$r/dels").count()
+    }.sum
+    (roots.length, live, tomb)
   }
 
   /** The live-corpus predicate as of `version` of `chain` — what an

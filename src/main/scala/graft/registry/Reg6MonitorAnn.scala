@@ -1250,6 +1250,43 @@ private[graft] object Reg6MonitorAnn {
     }),
 
 
+    // ANN+lex — the COMPACTION-POLICY decision (r17; r16 verdict ask
+    // #4: q317/q318 compact on demand, nothing decides WHEN — the
+    // q314 decision-as-measurement pattern applied to compaction).
+    // One row per (side, chain state), every input a STORE read
+    // (LexIndex.chainStats / AnnIndex.chainStats: segment count from
+    // the published roots, live entities from the masked head /
+    // statscum pre-fold, tombstones from the published delete ids),
+    // and the emitted decision IS the rule: compact iff the tombstone
+    // mass share ≥ 1/8 (masked reads scan ≥ 12.5% dead rows — the
+    // reclaim arm) OR the chain holds ≥ 4 segments (per-read fold
+    // fan-in — the fragmentation arm). The fixture fires BOTH arms
+    // independently at every scale factor: "md" compacts on share
+    // alone (3 segments, ~1/7 deleted), "c4" on segment count alone
+    // (4 appends, zero tombstones), default/"c3"/"m3" keep (m3's
+    // captured share ~4/35 sits under the threshold — deliberately
+    // close, so the gate pins the arithmetic, not just the branch).
+    // The oracle replays the counts from the corpus predicates, the
+    // chain topologies as contract constants, and the rule.
+    "q324_compaction_policy" -> ((s, dir) => {
+      import s.implicits._
+      val (k, _) = graft.ops.AnnIndex.sizedParams(s, dir)
+      val rows = Seq("default" -> "", "c3" -> "c3", "c4" -> "c4",
+        "m3" -> "m3", "md" -> "md").flatMap { case (name, ch) =>
+        val (ls, ll, lt) = graft.ops.LexIndex.chainStats(s, dir, ch)
+        val (ns, nl, nt) = graft.ops.AnnIndex.chainStats(s, dir,
+          k = k, chain = ch)
+        Seq(("ann", name, ns, nl, nt), ("lex", name, ls, ll, lt))
+      }
+      rows.toDF("side", "chain", "n_segments", "n_live", "n_tomb")
+        .withColumn("tomb_share_e6",
+          expr("(n_tomb * 1000000) div (n_live + n_tomb)"))
+        .withColumn("compact",
+          col("tomb_share_e6") >= 125000 || col("n_segments") >= 4)
+        .orderBy("side", "chain")
+    }),
+
+
     // ANN — the MIXED chain served at EVERY version (r17, q322's
     // dense twin): the "m3" chain is append(standing) →
     // delete(vec_id%7=3, captured against the then-live corpus) →
@@ -2884,6 +2921,11 @@ private[graft] object Reg6MonitorAnn {
       "q316_ann_delete_serve" -> annDeleteOracleSql,
       "q318_ann_delete_compact" -> annDeleteOracleSql,
 
+      // the compaction-policy replay: live/tombstone counts from the
+      // corpus predicates, chain topologies as contract constants,
+      // integer share arithmetic, and the two-arm rule
+      "q324_compaction_policy" -> compactionPolicyOracleSql,
+
       // the MIXED-chain contract: the frozen serving chain with the
       // corpus side (candidates, own-cells, probe geometry) scoped to
       // each version's surviving vector set, union'd with the version
@@ -2941,6 +2983,38 @@ private[graft] object Reg6MonitorAnn {
   private val annSizedProbesSql: String =
     "GREATEST(2, CAST(ceil(CAST((SELECT COUNT(*) FROM c2) AS DOUBLE)" +
       " * 0.25) AS INTEGER))"
+
+  /** The q324 replay: per (side, chain) live/tombstone counts from
+    * the corpus predicates (md deletes %7=3 at the head; m3 captures
+    * it against the then-live standing slice only), segment counts as
+    * chain-topology constants, integer share, two-arm rule. */
+  private val compactionPolicyOracleSql: String = {
+    def side(s: String, tbl: String, id: String): String = {
+      def cnt(w: String) = s"(SELECT COUNT(*) FROM $tbl WHERE $w)"
+      Seq(
+        s"SELECT '$s' AS side, 'c3' AS chain, 3 AS n_segments, " +
+          s"${cnt("TRUE")} AS n_live, 0 AS n_tomb",
+        s"SELECT '$s', 'c4', 4, ${cnt("TRUE")}, 0",
+        s"SELECT '$s', 'default', 2, ${cnt("TRUE")}, 0",
+        s"SELECT '$s', 'm3', 3, " +
+          s"${cnt(s"NOT ($id % 5 <> 0 AND $id % 7 = 3)")}, " +
+          s"${cnt(s"$id % 5 <> 0 AND $id % 7 = 3")}",
+        s"SELECT '$s', 'md', 3, ${cnt(s"NOT ($id % 7 = 3)")}, " +
+          s"${cnt(s"$id % 7 = 3")}"
+      ).mkString("\nUNION ALL ")
+    }
+    s"""WITH c AS (
+       |${side("ann", "embeddings", "vec_id")}
+       |UNION ALL ${side("lex", "documents", "doc_id")})
+       |SELECT side, chain, CAST(n_segments AS INTEGER) AS n_segments,
+       |  CAST(n_live AS BIGINT) AS n_live,
+       |  CAST(n_tomb AS BIGINT) AS n_tomb,
+       |  CAST((n_tomb * 1000000) // (n_live + n_tomb) AS BIGINT)
+       |    AS tomb_share_e6,
+       |  ((n_tomb * 1000000) // (n_live + n_tomb) >= 125000
+       |    OR n_segments >= 4) AS compact
+       |FROM c ORDER BY side, chain""".stripMargin
+  }
 
   private val annDeleteOracleSql: String =
     s"""WITH ${kmeansFrozenCte("NOT (vec_id % 5 = 0)", annSizedKSql)},

@@ -209,6 +209,42 @@ class Round17OpsSpec extends SparkSpec {
       "epoch rotation must not touch the old chain's bytes")
   }
 
+  test("q324 compaction policy: every input is a store read, both " +
+      "rule arms fire INDEPENDENTLY on the fixture (md compacts on " +
+      "tombstone share alone, c4 on segment count alone), and the " +
+      "emitted decision is the rule applied to the measured row") {
+    val rows = SparkEntry.queries("q324_compaction_policy")(spark, dir)
+      .collect().toSeq
+    assert(rows.length === 10, "2 sides x 5 chain states")
+    rows.foreach { r =>
+      val (segs, live, tomb) =
+        (r.getInt(2), r.getLong(3), r.getLong(4))
+      assert(r.getLong(5) === tomb * 1000000L / (live + tomb),
+        s"share must be the integer arithmetic: $r")
+      assert(r.getBoolean(6) === (r.getLong(5) >= 125000L ||
+        segs >= 4), s"decision must be the rule: $r")
+    }
+    val byKey = rows.map(r =>
+      (r.getString(0), r.getString(1)) -> r).toMap
+    Seq("ann", "lex").foreach { s =>
+      // share arm alone: md has 3 segments but ~1/7 tombstoned
+      val md = byKey((s, "md"))
+      assert(md.getBoolean(6) && md.getInt(2) < 4 &&
+        md.getLong(5) >= 125000L)
+      // segment arm alone: c4 has zero tombstones but 4 appends
+      val c4 = byKey((s, "c4"))
+      assert(c4.getBoolean(6) && c4.getLong(4) === 0L &&
+        c4.getInt(2) === 4)
+      // keep branch: m3's captured share sits deliberately under the
+      // threshold (the gate pins arithmetic, not just the branch)
+      val m3 = byKey((s, "m3"))
+      assert(!m3.getBoolean(6) && m3.getLong(4) > 0L &&
+        m3.getLong(5) < 125000L)
+      assert(!byKey((s, "default")).getBoolean(6) &&
+        !byKey((s, "c3")).getBoolean(6))
+    }
+  }
+
   test("the delete lifecycle re-expressed through the chain algebra " +
       "is value-identical to round 16's sibling-root form: " +
       "framesAfterDelete ≡ md-chain head state ≡ survivors from " +
