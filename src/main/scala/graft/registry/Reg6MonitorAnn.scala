@@ -632,6 +632,22 @@ private[graft] object Reg6MonitorAnn {
           "q245_stream_cc_store")
         .orderBy("doc_id")),
 
+    // streaming — TAKEDOWN on the versioned CC store (r17, closing the
+    // q245 lifecycle: the store had appends only;
+    // StreamOps.ccTakedownGate scaladoc): the takedown slice
+    // (doc_id%7=3) replays as 3 REAL micro-batches, each committing a
+    // store version whose labels re-fold ONLY the components a
+    // deleted doc touched (q319's incremental contraction inside the
+    // commit protocol — touched survivors re-pair through the banded
+    // chain, untouched labels byte-identical from the previous
+    // version). Head labels bound to the CC oracle string over the
+    // SURVIVING corpus — streaming takedown ≡ batch rebuild for the
+    // label store, the q320 discipline on the artifact side.
+    "q325_stream_cc_takedown" -> ((s, dir) =>
+      graft.streaming.StreamOps.docsGateResult(s, dir,
+          "q325_stream_cc_takedown")
+        .orderBy("doc_id")),
+
     // text — tokenizer fertility by language (Bpe.fertilityByGroup
     // scaladoc): chars-per-token and tokens-per-word under the 12-merge
     // vocabulary, per lang — which languages the mixed-corpus tokenizer
@@ -1437,6 +1453,10 @@ private[graft] object Reg6MonitorAnn {
 
       // the SAME string as q128/q130/q140 — one oracle, four CC engines
       "q245_stream_cc_store" -> ccOracleSql,
+      // the takedown store head: the SAME CC contract scoped to the
+      // surviving corpus (per-doc signatures make subset pairs exact)
+      "q325_stream_cc_takedown" ->
+        ccOracleSqlFor("NOT (doc_id % 7 = 3)"),
 
       "q249_bpe_fertility" ->
         s"""WITH ${bpeChainSql(12)},

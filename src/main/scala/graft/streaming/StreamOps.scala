@@ -495,6 +495,61 @@ object StreamOps {
     }
   }
 
+  /** One micro-batch of the streaming TAKEDOWN on a versioned CC
+    * store (q325 — the q319 incremental contraction composed into the
+    * store's commit protocol, the delete twin of
+    * [[incrementalCCBatch]]): read the latest committed version
+    * strictly below `offset + batchId`, drop the batch's doc ids,
+    * re-label ONLY the components a deleted doc touched — their
+    * surviving members re-pair through the same banded chain (per-doc
+    * signatures: pairs among a subset ARE the chain run on that
+    * subset, the q270 property) and re-fold with exact CC — and
+    * commit version `offset + batchId` with every untouched label
+    * byte-identical from the previous version. Cost ∝ the takedown's
+    * blast radius (touched components are LSH-verified near-dup
+    * clusters — small by construction), never the standing corpus.
+    * `offset` keeps delete versions in their own range above the
+    * ingest versions. Idempotent under foreachBatch's at-least-once
+    * replay, like the append side.
+    */
+  private[graft] def ccDeleteBatch(storeDir: String, offset: Long,
+      textCol: String, k: Int, bands: Int, minJaccard: Double)(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit = {
+    import graft.ops.Dedup
+    val spark = batch.sparkSession
+    val vid = offset + batchId
+    val done = committedCCVersions(storeDir)
+    if (!done.contains(vid)) {
+      val prev = done.filter(_ < vid).lastOption.getOrElse(
+        sys.error(s"ccDeleteBatch needs a committed base store at " +
+          s"$storeDir before version $vid"))
+      val docs = spark.read.parquet(s"$storeDir/v$prev/docs")
+      val labels = spark.read.parquet(s"$storeDir/v$prev/labels")
+      val del = batch.select(col("doc_id")).distinct().localCheckpoint()
+      val touched = labels.join(del, Seq("doc_id"), "left_semi")
+        .select("component").distinct().localCheckpoint()
+      val untouched = labels
+        .join(broadcast(touched), Seq("component"), "left_anti")
+        .select("doc_id", "component")
+      val survivors = docs
+        .join(labels, Seq("doc_id"))
+        .join(broadcast(touched), Seq("component"), "left_semi")
+        .join(del, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col(textCol))
+      val relabeled = Dedup.componentsConverged(
+        Dedup.lshVerifiedPairs(survivors, "doc_id", textCol, k, bands,
+          minJaccard))
+      val out = s"$storeDir/v$vid"
+      docs.join(del, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$out/docs")
+      untouched.unionByName(relabeled)
+        .write.mode("overwrite").parquet(s"$out/labels")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(out, "_COMMITTED"), "")
+      ()
+    }
+  }
+
   /** Streaming near-dup ARTIFACT MAINTENANCE — the foreachBatch
     * composition of [[streamingNearDupFilter]] (signature admission),
     * [[graft.ops.Dedup.lshDeltaPairs]] (delta pairs vs the standing
@@ -1398,7 +1453,48 @@ object StreamOps {
         OutputMode.Append()),
       ivfAppendGate(ns, sfDir),
       lexAppendGate(ns, sfDir),
-      lexDeleteGate(ns, sfDir))
+      lexDeleteGate(ns, sfDir),
+      ccTakedownGate(ns, sfDir))
+  }
+
+  /** The q325 gate — the q320 streaming-takedown discipline applied to
+    * the VERSIONED CC STORE: a base store folds the whole fixture in 3
+    * deterministic buckets (the q270 build — memoized; the ingest path
+    * is q245's own gate), then the takedown slice (doc_id%7=3) replays
+    * as 3 REAL micro-batches through [[ccDeleteBatch]] — each commits
+    * a new store version whose labels re-fold ONLY the touched
+    * components (q319's contraction inside the commit protocol). The
+    * result closure reads the head's labels through the q128
+    * projection — bound to the CC oracle string over the SURVIVING
+    * corpus, so streaming takedown ≡ batch rebuild for the label
+    * store, like q320 proved for the inverted index.
+    */
+  private def ccTakedownGate(ns: SparkSession, sfDir: String): Gate = {
+    val dels3 = stageDocsDeletes(ns, sfDir, 3)
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val store = stageMemo.computeIfAbsent(s"$sfDir#3#cctdstore", _ => {
+      val dir = graft.TempDirs.register(java.nio.file.Files
+        .createTempDirectory("graft-cctd-store").toString)
+      val docs = graft.Tables.load(ns, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      (0 until 3).foreach { b =>
+        incrementalCCBatch(dir, "text", 8, 4, 0.2)(
+          docs.where(pmod(col("doc_id"), lit(3L)) === b), b.toLong)
+      }
+      dir
+    })
+    Gate("q325_stream_cc_takedown",
+      () => ns.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dels3)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("graft-cctd-ck"))
+        .foreachBatch(ccDeleteBatch(store, 100L, "text", 8, 4, 0.2) _)
+        .start(),
+      () => ccLabelFrame(standingCCLabels(ns, store)))
   }
 
   /** The q320 gate — the q309 streaming discipline applied to

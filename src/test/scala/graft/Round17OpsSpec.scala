@@ -245,6 +245,52 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("ccDeleteBatch (q325's commit step): takedown versions re-fold " +
+      "only touched components — the head equals from-scratch CC over " +
+      "survivors, untouched labels are byte-identical to the base " +
+      "head, and the base version stays readable (time travel)") {
+    import graft.streaming.StreamOps
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-cctd-spec").toString
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    (0 until 2).foreach { b =>
+      StreamOps.incrementalCCBatch(store, "text", 8, 4, 0.2)(
+        docs.where(pmod(col("doc_id"), lit(2L)) === b), b.toLong)
+    }
+    val baseHead = spark.read.parquet(s"$store/v1/labels")
+      .collect().toSet
+    val dels = docs.where(col("doc_id") % 7 === 3)
+    StreamOps.ccDeleteBatch(store, 100L, "text", 8, 4, 0.2)(
+      dels.where(col("doc_id") % 2 === 1), 0L)
+    StreamOps.ccDeleteBatch(store, 100L, "text", 8, 4, 0.2)(
+      dels.where(col("doc_id") % 2 === 0), 1L)
+    val head = spark.read.parquet(s"$store/v101/labels")
+    val scratch = ops.Dedup.componentsConverged(
+      ops.Dedup.lshVerifiedPairs(docs.where(col("doc_id") % 7 =!= 3),
+        "doc_id", "text", 8, 4, 0.2))
+    assert(head.exceptAll(scratch).count() === 0L &&
+      scratch.exceptAll(head).count() === 0L,
+      "takedown head must equal the from-scratch survivor fold")
+    // time travel: the pre-delete head is byte-identical after commits
+    assert(spark.read.parquet(s"$store/v1/labels").collect().toSet
+      === baseHead, "delete commits must not touch past versions")
+    // untouched components' rows pass through both delete commits
+    val touchedComps = baseHead
+      .filter(r => r.getLong(0) % 7 == 3).map(_.getLong(1)).toSet
+    val untouchedBase = baseHead.filterNot(r =>
+      touchedComps.contains(r.getLong(1)))
+    val headSet = head.collect().toSet
+    assert(untouchedBase.subsetOf(headSet),
+      "untouched components' labels must serve unchanged through " +
+        "the takedown commits")
+    // idempotent replay: re-running a committed delete batch no-ops
+    StreamOps.ccDeleteBatch(store, 100L, "text", 8, 4, 0.2)(
+      dels.where(col("doc_id") % 2 === 1), 0L)
+    assert(spark.read.parquet(s"$store/v101/labels").collect().toSet
+      === headSet)
+  }
+
   test("the delete lifecycle re-expressed through the chain algebra " +
       "is value-identical to round 16's sibling-root form: " +
       "framesAfterDelete ≡ md-chain head state ≡ survivors from " +
