@@ -64,7 +64,23 @@ object Bench {
       // them every round; the bench stops timing the same contract
       // twice.
       "q296_coverage_matched_recall", // q304_sized_store_recall
-      "q292_bm25_index_merge" // q305_bm25_index_serve / q306
+      "q292_bm25_index_merge", // q305_bm25_index_serve / q306
+      // round-17 (verdict ask #5, same precedent):
+      // - q304 serves the matched-coverage contract from the stores;
+      //   q295's in-memory scaled-k arm re-times the same chains
+      "q295_scaled_k_recall", // q304_sized_store_recall
+      // - q321 runs q314's EXACT decision measurement and then acts
+      //   on it — the production form; timing the decision alone
+      //   re-times the identical recall arms
+      "q314_ann_retrain_decision", // q321_ann_retrain_execute
+      // - compacted-layout delete serving binds q315/q316's strings;
+      //   the append-side compaction reads stay timed (q302/q306)
+      "q317_lex_delete_compact", // q315_lex_delete_serve
+      "q318_ann_delete_compact", // q316_ann_delete_serve
+      // - the as-of-v0 contracts are q322/q323's version-0 arms over
+      //   the SAME prefix-shared segment bytes and oracle scopes
+      "q310_lex_asof_serve", // q322_lex_mixed_asof v0
+      "q311_ann_asof_serve" // q323_ann_mixed_asof v0
     )
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.contains(n)))

@@ -332,22 +332,39 @@ object AnnIndex {
   }
 
   /** Measured chain statistics — the inputs of the compaction-policy
-    * decision (q324), all store reads: segment count from the
-    * published roots, live postings from the masked head fold,
-    * tombstones from the delete segments' published id files. */
-  def chainStats(spark: SparkSession, dir: String, k: Int = 8,
-                 iters: Int = 2, m: Int = 4, codes: Int = 8,
-                 chain: String = ""): (Int, Long, Long) = {
-    val roots = ensureAppendHistory(spark, dir, k, iters, m, codes,
-      chain)
-    val live = postingsAsOf(spark, dir, roots.length - 1L, k, iters,
-      m, codes, chain).count()
-    val tomb = chainSegs(chain).zip(roots).collect {
-      case (Delete(_, _), r) =>
-        spark.read.parquet(s"$r/dels").count()
-    }.sum
-    (roots.length, live, tomb)
-  }
+    * decision (q324), as ONE LAZY frame (chain, n_segments, n_live,
+    * n_tomb) over `chains`: all store reads sized to METADATA, never
+    * the postings — segment count from the published roots, live
+    * members from the geometry partials' exact member counts (k·d
+    * rows per segment, one coalesced file each — Σ cnt at one
+    * position, delete segments' negated counts subtracting exactly),
+    * tombstones from the delete segments' published id files. Lazy on
+    * purpose: a policy decision over N chains must cost one Spark
+    * action over tiny files, not a postings scan (or a driver
+    * collect) per chain. */
+  def chainStatsFrame(spark: SparkSession, dir: String,
+                      chains: Seq[String], k: Int = 8, iters: Int = 2,
+                      m: Int = 4, codes: Int = 8): DataFrame =
+    chains.map { ch =>
+      val roots = ensureAppendHistory(spark, dir, k, iters, m, codes,
+        ch)
+      val live = roots
+        .map(r => spark.read.parquet(s"$r/geoparts"))
+        .reduce(_.unionByName(_))
+        .where(col("pos") === 0)
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_live"))
+      val delRoots = chainSegs(ch).zip(roots).collect {
+        case (Delete(_, _), r) => r }
+      val tomb =
+        if (delRoots.isEmpty) live.select(lit(0L).as("n_tomb"))
+        else delRoots.map(r => spark.read.parquet(s"$r/dels"))
+          .reduce(_.unionByName(_))
+          .agg(count(lit(1)).as("n_tomb"))
+      live.crossJoin(tomb).select(
+        lit(if (ch.isEmpty) "default" else ch).as("chain"),
+        lit(roots.length).as("n_segments"),
+        col("n_live"), col("n_tomb"))
+    }.reduce(_.unionByName(_))
 
   /** The live-corpus predicate as of `version` of `chain` — what an
     * as-of read serves (exposed for specs and decision queries). */

@@ -229,21 +229,31 @@ object LexIndex {
   }
 
   /** Measured chain statistics — the inputs of the compaction-policy
-    * decision (q324), ALL store reads: segment count from the
+    * decision (q324), as ONE LAZY frame (chain, n_segments, n_live,
+    * n_tomb) over `chains`, ALL store reads: segment count from the
     * published roots, live docs from the head's pre-folded statscum
-    * (one 1-row scan), tombstones from the delete segments' published
-    * id files (∝ batch). Nothing tokenizes or scans the corpus. */
-  def chainStats(spark: SparkSession, dir: String, chain: String = "")
-      : (Int, Long, Long) = {
-    val roots = ensureAppendHistory(spark, dir, chain)
-    val live = spark.read.parquet(s"${roots.last}/statscum")
-      .collect()(0).getLong(1)
-    val tomb = chainSegs(chain).zip(roots).collect {
-      case (Delete(_, _), r) =>
-        spark.read.parquet(s"$r/dels").count()
-    }.sum
-    (roots.length, live, tomb)
-  }
+    * (one 1-row scan per chain), tombstones from the delete segments'
+    * published id files (∝ batch). Nothing tokenizes or scans the
+    * corpus, and nothing collects — N chains cost one Spark action
+    * over tiny files ([[AnnIndex.chainStatsFrame]]'s discipline). */
+  def chainStatsFrame(spark: SparkSession, dir: String,
+                      chains: Seq[String]): DataFrame =
+    chains.map { ch =>
+      val roots = ensureAppendHistory(spark, dir, ch)
+      val live = spark.read.parquet(s"${roots.last}/statscum")
+        .select(col("n_docs").as("n_live"))
+      val delRoots = chainSegs(ch).zip(roots).collect {
+        case (Delete(_, _), r) => r }
+      val tomb =
+        if (delRoots.isEmpty) live.select(lit(0L).as("n_tomb"))
+        else delRoots.map(r => spark.read.parquet(s"$r/dels"))
+          .reduce(_.unionByName(_))
+          .agg(count(lit(1)).as("n_tomb"))
+      live.crossJoin(tomb).select(
+        lit(if (ch.isEmpty) "default" else ch).as("chain"),
+        lit(roots.length).as("n_segments"),
+        col("n_live"), col("n_tomb"))
+    }.reduce(_.unionByName(_))
 
   /** The live-corpus predicate as of `version` of `chain` — what an
     * as-of read serves (exposed for specs and decision queries). */

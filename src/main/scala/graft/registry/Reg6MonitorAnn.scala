@@ -1285,16 +1285,13 @@ private[graft] object Reg6MonitorAnn {
     // The oracle replays the counts from the corpus predicates, the
     // chain topologies as contract constants, and the rule.
     "q324_compaction_policy" -> ((s, dir) => {
-      import s.implicits._
       val (k, _) = graft.ops.AnnIndex.sizedParams(s, dir)
-      val rows = Seq("default" -> "", "c3" -> "c3", "c4" -> "c4",
-        "m3" -> "m3", "md" -> "md").flatMap { case (name, ch) =>
-        val (ls, ll, lt) = graft.ops.LexIndex.chainStats(s, dir, ch)
-        val (ns, nl, nt) = graft.ops.AnnIndex.chainStats(s, dir,
-          k = k, chain = ch)
-        Seq(("ann", name, ns, nl, nt), ("lex", name, ls, ll, lt))
-      }
-      rows.toDF("side", "chain", "n_segments", "n_live", "n_tomb")
+      val chains = Seq("", "c3", "c4", "m3", "md")
+      graft.ops.AnnIndex.chainStatsFrame(s, dir, chains, k = k)
+        .select(lit("ann").as("side"), col("*"))
+        .unionByName(
+          graft.ops.LexIndex.chainStatsFrame(s, dir, chains)
+            .select(lit("lex").as("side"), col("*")))
         .withColumn("tomb_share_e6",
           expr("(n_tomb * 1000000) div (n_live + n_tomb)"))
         .withColumn("compact",
