@@ -34,19 +34,19 @@ import org.apache.spark.sql.functions.lit
   * prefix keying is also the CORRECT key for them — two chains may
   * only share a segment when everything before it is identical too.
   */
-private[ops] sealed trait Segment { def id: String }
+private[graft] sealed trait Segment { def id: String }
 
 /** An ingest batch: `slice` selects the batch's rows from the fixture
   * corpus. Disjoint from every other append in the chain. */
-private[ops] final case class Append(id: String, slice: Column)
+private[graft] final case class Append(id: String, slice: Column)
     extends Segment
 
 /** A takedown batch: `pred` selects the doomed rows among the corpus
   * LIVE at this point in the chain (capture-time semantics). */
-private[ops] final case class Delete(id: String, pred: Column)
+private[graft] final case class Delete(id: String, pred: Column)
     extends Segment
 
-private[ops] object Chains {
+private[graft] object Chains {
 
   /** Resolve capture-time semantics: for each segment, the EFFECTIVE
     * row predicate of what it publishes — an append's slice as given;
