@@ -77,6 +77,11 @@ object Bench {
       //   the append-side compaction reads stay timed (q302/q306)
       "q317_lex_delete_compact", // q315_lex_delete_serve
       "q318_ann_delete_compact", // q316_ann_delete_serve
+      // - q326/q327 serve the tombstoned heads through the layout the
+      //   measured policy chose — the production form of the same
+      //   contracts q315/q316 time through the fixed masked layout
+      "q315_lex_delete_serve", // q326_lex_compaction_execute
+      "q316_ann_delete_serve", // q327_ann_compaction_execute
       // - the as-of-v0 contracts are q322/q323's version-0 arms over
       //   the SAME prefix-shared segment bytes and oracle scopes
       "q310_lex_asof_serve", // q322_lex_mixed_asof v0

@@ -587,24 +587,117 @@ object AnnIndex {
     probeCentsAsOf(spark, dir, version = 2L, k, iters, m, codes,
       chain = "md")
 
-  /** COMPACTION after a delete: physically rewrite the SURVIVING
-    * postings into one fresh snapshot (tombstoned rows dropped for
-    * real — the reclaim step). Serving from the compacted survivors
-    * must equal serving through the mask. */
-  def compactedPostingsAfterDelete(spark: SparkSession, dir: String,
-                                   k: Int = 8, iters: Int = 2,
-                                   m: Int = 4,
-                                   codes: Int = 8): DataFrame = {
+  /** The head version of a chain (the last segment's index). */
+  def headVersion(chain: String = ""): Long =
+    chainSegs(chain).length - 1L
+
+  /** COMPACTION of ANY chain's head state: physically rewrite the
+    * masked fold into one fresh coalesced snapshot — tombstoned rows
+    * dropped for real (the reclaim step), reads stop paying the
+    * per-segment union + mask. Root keyed by the head's segment-id
+    * prefix like every segment store. Serving from the compacted
+    * snapshot must equal serving through the fold/mask — the
+    * q302/q318 invariance, and what lets the POLICY-routed serve
+    * (q327) switch layouts without changing answers. */
+  def compactedHeadPostings(spark: SparkSession, dir: String,
+                            k: Int = 8, iters: Int = 2, m: Int = 4,
+                            codes: Int = 8,
+                            chain: String = ""): DataFrame = {
+    val segs = chainSegs(chain)
     val root = sys.props("java.io.tmpdir") +
-      s"/graft-annidxdelcompact-$HV-${slug(dir)}" +
-      s"-f${StoreCommit.fingerprint(dir)}-c$k-i$iters-m$m-k$codes-v1"
+      s"/graft-annidxcompact-$HV-${slug(dir)}" +
+      s"-f${StoreCommit.fingerprint(dir)}-c$k-i$iters-m$m-k$codes" +
+      s"-p${Chains.prefix(segs, segs.length - 1)}"
     val path = StoreCommit.singleFlight(appendMemo, root)(
       StoreCommit.ensure(root) { staging =>
-        postingsAfterDelete(spark, dir, k, iters, m, codes)
+        postingsAsOf(spark, dir, headVersion(chain), k, iters, m,
+            codes, chain)
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$staging/postings")
       })
     spark.read.parquet(s"$path/postings")
+  }
+
+  /** Delete-compaction over the "md" chain's head —
+    * [[compactedHeadPostings]] at the tombstoned head (q318). */
+  def compactedPostingsAfterDelete(spark: SparkSession, dir: String,
+                                   k: Int = 8, iters: Int = 2,
+                                   m: Int = 4,
+                                   codes: Int = 8): DataFrame =
+    compactedHeadPostings(spark, dir, k, iters, m, codes,
+      chain = "md")
+
+  /** Ensure the TIERED (minor) compaction of an all-append chain —
+    * the segment-count arm of q324's policy executed the LSM way
+    * ([[LexIndex.tieredHeadFrames]]'s dense twin): merge only the
+    * small TAIL segments' postings and geometry partials into one
+    * published segment, leave the base segment's bytes physically
+    * untouched. A full rewrite ([[compactedHeadPostings]]) pays
+    * base-sized IO and is the right move only when tombstones accrete
+    * (there's something to reclaim); an all-append chain's pressure
+    * is segment COUNT, and the cure costs ∝ the tail — the merged
+    * postings are a pure union of the tail segments' published rows
+    * (each vector in exactly one segment), the merged geometry
+    * partials re-sum the tails' k·d DECIMAL rows (exact — the
+    * [[Sim.centroidsFromPartials]] algebra is associative), and no
+    * base byte is read. Returns (baseRoot, tieredRoot). */
+  private def ensureTiered(spark: SparkSession, dir: String, k: Int,
+                           iters: Int, m: Int, codes: Int,
+                           chain: String): (String, String) = {
+    val segs = chainSegs(chain)
+    require(segs.forall(_.isInstanceOf[Append]),
+      s"tiered merge is the all-append arm of compaction; chain " +
+        s"'$chain' holds delete segments — use " +
+        "compactedHeadPostings (the reclaim)")
+    val roots = ensureAppendHistory(spark, dir, k, iters, m, codes,
+      chain)
+    val root = sys.props("java.io.tmpdir") +
+      s"/graft-annidxtier-$HV-${slug(dir)}" +
+      s"-f${StoreCommit.fingerprint(dir)}-c$k-i$iters-m$m-k$codes" +
+      s"-p${Chains.prefix(segs, segs.length - 1)}"
+    val path = StoreCommit.singleFlight(appendMemo, root)(
+      StoreCommit.ensure(root) { staging =>
+        val tails = roots.drop(1)
+        tails.map(r => spark.read.parquet(s"$r/postings"))
+          .reduce(_.unionByName(_))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$staging/postings")
+        tails.map(r => spark.read.parquet(s"$r/geoparts"))
+          .reduce(_.unionByName(_))
+          .groupBy("cell", "pos")
+          .agg(sum(col("s")).cast("decimal(37,10)").as("s"),
+            sum(col("cnt")).as("cnt"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$staging/geoparts")
+      })
+    (roots.head, path)
+  }
+
+  /** Serve an all-append chain's head from its tiered 2-segment
+    * layout [base, merged-tail] — a union of the untouched base
+    * store with the merged segment, row-identical to the N-segment
+    * head fold ([[postingsAsOf]]) by append disjointness. */
+  def tieredHeadPostings(spark: SparkSession, dir: String, k: Int = 8,
+                         iters: Int = 2, m: Int = 4, codes: Int = 8,
+                         chain: String = "c4"): DataFrame = {
+    val (base, tier) = ensureTiered(spark, dir, k, iters, m, codes,
+      chain)
+    spark.read.parquet(s"$base/postings")
+      .unionByName(spark.read.parquet(s"$tier/postings"))
+  }
+
+  /** The tiered layout's probe geometry: base partials + the merged
+    * segment's re-summed partials, folded — bit-identical to the
+    * head's [[probeCentsAsOf]] fold (exact DECIMAL sums, associative
+    * regrouping). */
+  def tieredProbeCents(spark: SparkSession, dir: String, k: Int = 8,
+                       iters: Int = 2, m: Int = 4, codes: Int = 8,
+                       chain: String = "c4"): DataFrame = {
+    val (base, tier) = ensureTiered(spark, dir, k, iters, m, codes,
+      chain)
+    Sim.centroidsFromPartials(
+      spark.read.parquet(s"$base/geoparts")
+        .unionByName(spark.read.parquet(s"$tier/geoparts")))
   }
 
   // ---- epoch rotation (round 17 — EXECUTING the retrain q314
@@ -669,16 +762,6 @@ object AnnIndex {
     */
   def compactedPostings(spark: SparkSession, dir: String, k: Int = 8,
                         iters: Int = 2, m: Int = 4,
-                        codes: Int = 8): DataFrame = {
-    val root = sys.props("java.io.tmpdir") +
-      s"/graft-annidxcompact-$HV-${slug(dir)}" +
-      s"-f${StoreCommit.fingerprint(dir)}-c$k-i$iters-m$m-k$codes-v1"
-    val path = StoreCommit.singleFlight(appendMemo, root)(
-      StoreCommit.ensure(root) { staging =>
-        postingsAsOf(spark, dir, version = 1L, k, iters, m, codes)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(s"$staging/postings")
-      })
-    spark.read.parquet(s"$path/postings")
-  }
+                        codes: Int = 8): DataFrame =
+    compactedHeadPostings(spark, dir, k, iters, m, codes, chain = "")
 }

@@ -468,23 +468,105 @@ object LexIndex {
       : (DataFrame, DataFrame, DataFrame, DataFrame) =
     framesAsOf(spark, dir, 2L, chain = "md")
 
-  /** COMPACTION after a delete: physically rewrite the SURVIVING
-    * postings into one fresh single-segment snapshot (tombstoned rows
-    * dropped for real — the reclaim step every tombstone design
-    * needs, or masked rows accrete forever). Serving from the
-    * compacted survivors must equal serving through the mask. */
-  def compactedFramesAfterDelete(spark: SparkSession, dir: String)
+  /** The head version of a chain (the last segment's index). */
+  def headVersion(chain: String = ""): Long =
+    chainSegs(chain).length - 1L
+
+  /** COMPACTION of ANY chain's head state: physically rewrite the
+    * masked fold into one fresh single-segment snapshot — tombstoned
+    * rows dropped for real (the reclaim step every tombstone design
+    * needs, or masked rows accrete forever), per-bucket single
+    * postings files, reads stop paying the per-segment union + mask.
+    * Root keyed by the head's segment-id prefix like every segment
+    * store. Serving from the compacted snapshot must equal serving
+    * through the fold/mask — the q306/q317 invariance, and what lets
+    * the POLICY-routed serve (q326) switch layouts without changing
+    * answers. */
+  def compactedHeadFrames(spark: SparkSession, dir: String,
+                          chain: String = "")
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val segs = chainSegs(chain)
     val root = sys.props("java.io.tmpdir") +
-      s"/graft-lexidxdelcompact-$HV-${StoreCommit.slug(dir)}" +
-      s"-f${StoreCommit.fingerprint(dir)}-v1"
+      s"/graft-lexidxcompact-$HV-${StoreCommit.slug(dir)}" +
+      s"-f${StoreCommit.fingerprint(dir)}" +
+      s"-p${Chains.prefix(segs, segs.length - 1)}"
     val p = StoreCommit.singleFlight(histMemo, root)(
       StoreCommit.ensure(root) { staging =>
-        val (tf, dl, df, stats) = framesAfterDelete(spark, dir)
+        val (tf, dl, df, stats) =
+          framesAsOf(spark, dir, headVersion(chain), chain)
         writeFrames(staging,
           (tf.drop("tbkt"), dl.coalesce(1), df.coalesce(1), stats))
       })
     readFrames(spark, p)
+  }
+
+  /** Delete-compaction over the "md" chain's head —
+    * [[compactedHeadFrames]] at the tombstoned head (q317). */
+  def compactedFramesAfterDelete(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    compactedHeadFrames(spark, dir, chain = "md")
+
+  /** TIERED (minor) compaction of an all-append chain's head — the
+    * segment-count arm of q324's policy EXECUTED the way a 100 TB
+    * store must: merge ONLY the small tail segments (the ingest
+    * deltas) into one published segment and leave the base segment's
+    * bytes physically untouched. A full head rewrite
+    * ([[compactedHeadFrames]]) is the right reclaim when tombstones
+    * accrete — it pays base-sized IO to drop masked rows — but an
+    * all-append chain has nothing to reclaim, and rewriting a 100 TB
+    * base to absorb batch-sized deltas is exactly the write
+    * amplification LSM tiering exists to avoid. Cost here is ∝ the
+    * TAIL: the merged tf/dl are pure unions of the tail segments'
+    * published rows (disjoint appends — no re-aggregation), the
+    * merged segment's own df/stats re-sum the tails' batch-sized
+    * frames ([[merge]] ≡ build(∪)), and the head's vocab-sized
+    * `dfcum`/`statscum` pre-folds are copied verbatim (a layout
+    * rewrite changes no cumulative content). No base posting byte is
+    * read, let alone rewritten.
+    *
+    * Serving reads the 2-segment layout [base, merged-tail]: tf/dl
+    * union the UNTOUCHED base store with the merged segment — row-
+    * identical to the N-segment head fold ([[framesAsOf]]) by append
+    * disjointness — df/stats from the copied head pre-folds. */
+  def tieredHeadFrames(spark: SparkSession, dir: String,
+                       chain: String = "c4")
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val segs = chainSegs(chain)
+    require(segs.forall(_.isInstanceOf[Append]),
+      s"tiered merge is the all-append arm of compaction; chain " +
+        s"'$chain' holds delete segments — use compactedHeadFrames " +
+        "(the reclaim)")
+    val roots = ensureAppendHistory(spark, dir, chain)
+    val root = sys.props("java.io.tmpdir") +
+      s"/graft-lexidxtier-$HV-${StoreCommit.slug(dir)}" +
+      s"-f${StoreCommit.fingerprint(dir)}" +
+      s"-p${Chains.prefix(segs, segs.length - 1)}"
+    val p = StoreCommit.singleFlight(histMemo, root)(
+      StoreCommit.ensure(root) { staging =>
+        val tails = roots.drop(1)
+        val tf = tails.map(r => spark.read.parquet(s"$r/tf"))
+          .reduce(_.unionByName(_))
+        val dl = tails.map(r => spark.read.parquet(s"$r/dl"))
+          .reduce(_.unionByName(_))
+        val df = tails.map(r => spark.read.parquet(s"$r/df"))
+          .reduce(_.unionByName(_))
+          .groupBy("term").agg(sum(col("df")).as("df"))
+        val stats = tails.map(r => spark.read.parquet(s"$r/stats"))
+          .reduce(_.unionByName(_))
+          .agg(sum(col("n_terms")).as("n_terms"),
+            sum(col("n_docs")).as("n_docs"))
+        writeFrames(staging,
+          (tf.drop("tbkt"), dl.coalesce(1), df.coalesce(1), stats))
+        Seq("dfcum", "statscum").foreach(f =>
+          spark.read.parquet(s"${roots.last}/$f")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$staging/$f"))
+      })
+    val (mtf, mdl, _, _) = readFrames(spark, p)
+    (spark.read.parquet(s"${roots.head}/tf").unionByName(mtf),
+      spark.read.parquet(s"${roots.head}/dl").unionByName(mdl),
+      spark.read.parquet(s"$p/dfcum"),
+      spark.read.parquet(s"$p/statscum"))
   }
 
   /** One STREAMED micro-segment's write (the q309 gate): the same
@@ -527,19 +609,6 @@ object LexIndex {
     * read-side df/stats re-aggregation.
     */
   def compactedFrames(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val root = sys.props("java.io.tmpdir") +
-      s"/graft-lexidxcompact-$HV-${StoreCommit.slug(dir)}" +
-      s"-f${StoreCommit.fingerprint(dir)}-v1"
-    val p = StoreCommit.singleFlight(histMemo, root)(
-      StoreCommit.ensure(root) { staging =>
-        val (tf, dl, df, stats) = framesAsOf(spark, dir, 1L)
-        // tf arrives with the segments' tbkt partition column —
-        // rewrite it through the same bucket layout (writeFrames
-        // re-derives tbkt from the term, identical by construction)
-        writeFrames(staging,
-          (tf.drop("tbkt"), dl.coalesce(1), df.coalesce(1), stats))
-      })
-    readFrames(spark, p)
-  }
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    compactedHeadFrames(spark, dir, chain = "")
 }

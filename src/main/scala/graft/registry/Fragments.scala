@@ -224,23 +224,28 @@ private[graft] object Fragments {
     // (q287), and the fused-recall measurement (q288) are provably the
     // same fusion over different retrievers.
 
-    /** BM25 lexical arm (Text.bm25RetrieveDf's exact scoring chain):
-      * documents < 10 as their own queries, self excluded — ends in
-      * `lex(q_id, c_id, rk_lex)`, rk_lex <= maxK. MATERIALIZED: q288
-      * fuses it twice, q294 twelve times. */
-    def hybridLexCteK(maxK: Int): String =
+    /** BM25 lexical arm (Text.bm25RetrieveDf's exact scoring chain)
+      * over the docs matching `docWhere` — queries are the matching
+      * docs < 10 (a takedown drops its victims' queries too), the
+      * candidate corpus, df/dl/stats all scoped to the survivors;
+      * self excluded — ends in `lex(q_id, c_id, rk_lex)`,
+      * rk_lex <= maxK. MATERIALIZED: q288 fuses it twice, q294
+      * twelve times. */
+    def hybridLexCteOver(docWhere: String, maxK: Int): String =
       s"""lq AS (SELECT doc_id AS query_id, $clean AS c
-         |  FROM documents WHERE doc_id < 10),
+         |  FROM documents WHERE doc_id < 10 AND ($docWhere)),
          |qt AS (SELECT query_id, UNNEST(list_distinct($cleanToks))
          |    AS term FROM lq),
-         |cleaned AS (SELECT doc_id AS id, $clean AS c FROM documents),
+         |cleaned AS (SELECT doc_id AS id, $clean AS c FROM documents
+         |  WHERE $docWhere),
          |terms AS (SELECT id, UNNEST($cleanToks) AS term FROM cleaned),
          |tf AS (SELECT id, term, COUNT(*) AS tf FROM terms
          |  GROUP BY 1, 2),
          |dl AS (SELECT id, COUNT(*) AS dl FROM terms GROUP BY 1),
          |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
          |stats AS (SELECT (SELECT COUNT(*) FROM terms) AS n_terms,
-         |                 (SELECT COUNT(*) FROM documents) AS n_docs),
+         |                 (SELECT COUNT(*) FROM documents
+         |                  WHERE $docWhere) AS n_docs),
          |w AS (SELECT qt.query_id, tf.id,
          |    floor((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
          |      * (tf * 2.5)
@@ -261,6 +266,10 @@ private[graft] object Fragments {
          |lex AS MATERIALIZED (SELECT query_id AS q_id, id AS c_id,
          |    CAST(rk AS INTEGER) AS rk_lex
          |  FROM lr WHERE rk <= $maxK)""".stripMargin
+
+    /** [[hybridLexCteOver]] at full corpus scope. */
+    def hybridLexCteK(maxK: Int): String =
+      hybridLexCteOver("TRUE", maxK)
 
     val hybridLexCte: String = hybridLexCteK(20)
 

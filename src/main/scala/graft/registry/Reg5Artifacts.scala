@@ -484,6 +484,94 @@ private[graft] object Reg5Artifacts {
     }),
 
 
+    // artifacts — EXECUTING the compaction q324 decides (r17, the
+    // q321 decide→act pattern applied to the text index): the policy
+    // row is MEASURED from the stores (chainStatsFrame — the q324
+    // inputs), then each tombstoned chain's head SERVES FROM THE
+    // LAYOUT THE POLICY CHOSE — "md" clears the 1/8 tombstone-share
+    // threshold and serves from the compacted survivors (the reclaim
+    // executed), "m3" sits under it and serves through the mask. Rows
+    // are layout-invariant by the compaction contract (q317 proved
+    // masked ≡ compacted), so the oracle pins WHICH layout served via
+    // the replayed policy flag in the layout column — an engine that
+    // compacted without the decision, or ignored it, fails the gate.
+    "q326_lex_compaction_execute" -> ((s, dir) => {
+      import s.implicits._
+      val decisions = graft.ops.LexIndex
+        .chainStatsFrame(s, dir, Seq("md", "m3"))
+        .withColumn("share",
+          expr("(n_tomb * 1000000) div (n_live + n_tomb)"))
+        .withColumn("compact",
+          col("share") >= 125000 || col("n_segments") >= 4)
+        .select("chain", "compact").collect()
+        .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      val queries = Seq(("kw_cust", "customer order value"),
+        ("kw_join", "join merge hash"),
+        ("kw_scan", "spark scan filter"),
+        ("kw_win", "window batch sort"))
+        .toDF("query_id", "query_text")
+      Seq("md", "m3").map { ch =>
+        val f =
+          if (decisions(ch))
+            graft.ops.LexIndex.compactedHeadFrames(s, dir, ch)
+          else graft.ops.LexIndex.framesAsOf(s, dir,
+            graft.ops.LexIndex.headVersion(ch), ch)
+        Text.bm25RetrieveStored(queries, f._1, f._2, f._3, f._4,
+            k = 5)
+          .select(lit(ch).as("chain"),
+            lit(if (decisions(ch)) "compacted" else "masked")
+              .as("layout"),
+            col("query_id"), col("id").as("doc_id"),
+            col("n_matched"), col("score"), col("rk"))
+      }.reduce(_.unionByName(_))
+        .orderBy("chain", "query_id", "rk")
+    }),
+
+
+    // artifacts — TIERED compaction EXECUTED (r17; q326's sibling for
+    // the policy's OTHER arm): when the segment-COUNT arm fires on an
+    // all-append chain there is nothing to reclaim, and the 100 TB
+    // cure is the LSM one — merge only the batch-sized tail segments,
+    // never touch the base ([[graft.ops.LexIndex.tieredHeadFrames]]).
+    // The policy row is MEASURED (chainStatsFrame), then "c4" (4
+    // segments — over the segs ≥ 4 threshold) serves its head through
+    // the tiered [base, merged-tail] layout while "c3" (3 segments —
+    // under it) keeps the plain N-segment fold. Rows are layout-
+    // invariant by append disjointness; the oracle pins WHICH layout
+    // served via the replayed rule in the layout column.
+    "q328_lex_tiered_execute" -> ((s, dir) => {
+      import s.implicits._
+      val decisions = graft.ops.LexIndex
+        .chainStatsFrame(s, dir, Seq("c4", "c3"))
+        .withColumn("share",
+          expr("(n_tomb * 1000000) div (n_live + n_tomb)"))
+        .withColumn("compact",
+          col("share") >= 125000 || col("n_segments") >= 4)
+        .select("chain", "compact").collect()
+        .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      val queries = Seq(("kw_cust", "customer order value"),
+        ("kw_join", "join merge hash"),
+        ("kw_scan", "spark scan filter"),
+        ("kw_win", "window batch sort"))
+        .toDF("query_id", "query_text")
+      Seq("c4", "c3").map { ch =>
+        val f =
+          if (decisions(ch))
+            graft.ops.LexIndex.tieredHeadFrames(s, dir, ch)
+          else graft.ops.LexIndex.framesAsOf(s, dir,
+            graft.ops.LexIndex.headVersion(ch), ch)
+        Text.bm25RetrieveStored(queries, f._1, f._2, f._3, f._4,
+            k = 5)
+          .select(lit(ch).as("chain"),
+            lit(if (decisions(ch)) "tiered" else "fold")
+              .as("layout"),
+            col("query_id"), col("id").as("doc_id"),
+            col("n_matched"), col("score"), col("rk"))
+      }.reduce(_.unionByName(_))
+        .orderBy("chain", "query_id", "rk")
+    }),
+
+
     // §2.5 gap — pairwise correlation MATRIX (Agg.exactCorrMatrix
     // scaladoc): all power sums for all pairs in ONE scan, closed
     // forms off the 1-row state — the feature-redundancy profile, and
@@ -927,6 +1015,49 @@ private[graft] object Reg5Artifacts {
       // contract — batch and streamed deletes, one string
       "q320_stream_takedown" ->
         bm25RetrievalOracleSqlOver("NOT (doc_id % 7 = 3)"),
+      // the compaction-EXECUTE contract: the policy rule replayed per
+      // chain picks the layout label; the serve rows are the family
+      // chain scoped to each tombstoned head's survivors (layout-
+      // invariant by the q317 compaction contract)
+      "q326_lex_compaction_execute" -> {
+        val mdRule = "((SELECT COUNT(*) FROM documents WHERE " +
+          "doc_id % 7 = 3) * 1000000) // " +
+          "(SELECT COUNT(*) FROM documents) >= 125000 OR 3 >= 4"
+        val m3Rule = "((SELECT COUNT(*) FROM documents WHERE " +
+          "doc_id % 5 <> 0 AND doc_id % 7 = 3) * 1000000) // " +
+          "(SELECT COUNT(*) FROM documents) >= 125000 OR 3 >= 4"
+        s"""SELECT 'md' AS chain,
+           |  CASE WHEN $mdRule THEN 'compacted' ELSE 'masked' END
+           |    AS layout, * FROM (
+           |${bm25RetrievalOracleSqlOver("NOT (doc_id % 7 = 3)")})
+           |UNION ALL
+           |SELECT 'm3',
+           |  CASE WHEN $m3Rule THEN 'compacted' ELSE 'masked' END,
+           |  * FROM (
+           |${bm25RetrievalOracleSqlOver(
+              "(doc_id % 5 <> 0 AND NOT (doc_id % 7 = 3)) " +
+                "OR doc_id % 5 = 0")})
+           |ORDER BY chain, query_id, rk""".stripMargin
+      },
+
+      // the tiered-EXECUTE contract: both all-append chains' heads
+      // are the full corpus (layout-invariant rows — the q176
+      // full-corpus string); the layout label replays the policy rule
+      // with each chain's structural facts (share is literally 0 — an
+      // all-append chain publishes no delete segment — and the
+      // segment counts are the chain definitions)
+      "q328_lex_tiered_execute" ->
+        s"""SELECT 'c4' AS chain,
+           |  CASE WHEN (0 >= 125000 OR 4 >= 4) THEN 'tiered'
+           |    ELSE 'fold' END AS layout, * FROM (
+           |${bm25RetrievalOracleSqlOver("TRUE")})
+           |UNION ALL
+           |SELECT 'c3',
+           |  CASE WHEN (0 >= 125000 OR 3 >= 4) THEN 'tiered'
+           |    ELSE 'fold' END, * FROM (
+           |${bm25RetrievalOracleSqlOver("TRUE")})
+           |ORDER BY chain, query_id, rk""".stripMargin,
+
       // the MIXED-chain contract: the same chain scoped to each
       // version's surviving corpus, union'd with the version column —
       // v1 is the takedown-masked standing slice, v2 adds the

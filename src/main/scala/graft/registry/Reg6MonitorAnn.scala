@@ -1333,6 +1333,137 @@ private[graft] object Reg6MonitorAnn {
     }),
 
 
+    // ANN — EXECUTING the compaction q324 decides (r17, q326's dense
+    // twin): the measured policy row routes each tombstoned chain's
+    // head to the layout it chose — "md" compacts (share ≥ 1/8, the
+    // reclaim executed), "m3" keeps serving through the mask. Rows
+    // are layout-invariant (q318's contract); the oracle pins WHICH
+    // layout served via the replayed policy flag.
+    "q327_ann_compaction_execute" -> ((s, dir) => {
+      val (k, probes) = graft.ops.AnnIndex.sizedParams(s, dir)
+      val decisions = graft.ops.AnnIndex
+        .chainStatsFrame(s, dir, Seq("md", "m3"), k = k)
+        .withColumn("share",
+          expr("(n_tomb * 1000000) div (n_live + n_tomb)"))
+        .withColumn("compact",
+          col("share") >= 125000 || col("n_segments") >= 4)
+        .select("chain", "compact").collect()
+        .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      Seq("md", "m3").map { ch =>
+        val hv = graft.ops.AnnIndex.headVersion(ch)
+        val posts =
+          if (decisions(ch))
+            graft.ops.AnnIndex.compactedHeadPostings(s, dir, k = k,
+              chain = ch)
+          else graft.ops.AnnIndex.postingsAsOf(s, dir, hv, k = k,
+            chain = ch)
+        val codes = posts.select(
+          (Seq(col("vec_id"), col("cell")) ++
+            graft.ops.AnnIndex.codeCols(4)): _*)
+        val queries = t(s, dir, "embeddings")
+          .where(col("vec_id") < 10)
+          .join(posts.select(col("vec_id"), col("cell")),
+            Seq("vec_id"))
+        Sim.topKIvfAdcCoded(queries, codes,
+            graft.ops.AnnIndex.probeCentsAsOf(s, dir, hv, k = k,
+              chain = ch),
+            graft.ops.AnnIndex.books(s, dir, tag = "base", k = k),
+            k = 5, probes = probes)
+          .select(lit(ch).as("chain"),
+            lit(if (decisions(ch)) "compacted" else "masked")
+              .as("layout"),
+            col("q_id"), col("c_id"), col("rk"))
+      }.reduce(_.unionByName(_))
+        .orderBy("chain", "q_id", "rk")
+    }),
+
+
+    // ANN — TIERED compaction EXECUTED (r17; q328's dense twin, the
+    // policy's segment-COUNT arm): an all-append chain has nothing to
+    // reclaim, so the measured decision routes "c4" (4 segments) to
+    // the LSM cure — tail segments merged into one, base bytes
+    // untouched ([[graft.ops.AnnIndex.tieredHeadPostings]]), probe
+    // geometry folded from base + merged partials (exact DECIMAL
+    // algebra) — while "c3" (3 segments, under threshold) keeps the
+    // plain fold. Rows are layout-invariant; the oracle pins WHICH
+    // layout served via the replayed rule.
+    "q329_ann_tiered_execute" -> ((s, dir) => {
+      val (k, probes) = graft.ops.AnnIndex.sizedParams(s, dir)
+      val decisions = graft.ops.AnnIndex
+        .chainStatsFrame(s, dir, Seq("c4", "c3"), k = k)
+        .withColumn("share",
+          expr("(n_tomb * 1000000) div (n_live + n_tomb)"))
+        .withColumn("compact",
+          col("share") >= 125000 || col("n_segments") >= 4)
+        .select("chain", "compact").collect()
+        .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      Seq("c4", "c3").map { ch =>
+        val hv = graft.ops.AnnIndex.headVersion(ch)
+        val (posts, cents) =
+          if (decisions(ch))
+            (graft.ops.AnnIndex.tieredHeadPostings(s, dir, k = k,
+              chain = ch),
+              graft.ops.AnnIndex.tieredProbeCents(s, dir, k = k,
+                chain = ch))
+          else
+            (graft.ops.AnnIndex.postingsAsOf(s, dir, hv, k = k,
+              chain = ch),
+              graft.ops.AnnIndex.probeCentsAsOf(s, dir, hv, k = k,
+                chain = ch))
+        val codes = posts.select(
+          (Seq(col("vec_id"), col("cell")) ++
+            graft.ops.AnnIndex.codeCols(4)): _*)
+        val queries = t(s, dir, "embeddings")
+          .where(col("vec_id") < 10)
+          .join(posts.select(col("vec_id"), col("cell")),
+            Seq("vec_id"))
+        Sim.topKIvfAdcCoded(queries, codes, cents,
+            graft.ops.AnnIndex.books(s, dir, tag = "base", k = k),
+            k = 5, probes = probes)
+          .select(lit(ch).as("chain"),
+            lit(if (decisions(ch)) "tiered" else "fold")
+              .as("layout"),
+            col("q_id"), col("c_id"), col("rk"))
+      }.reduce(_.unionByName(_))
+        .orderBy("chain", "q_id", "rk")
+    }),
+
+
+    // ANN/retrieval — the TAKEDOWN-maintained hybrid (r17; q300's
+    // post-delete form, closing the delete lifecycle across the FUSED
+    // retrieval surface): one takedown pass (doc_id/vec_id % 7 = 3 —
+    // the same entity split on both arms by design) and the RRF
+    // fusion serves with BOTH arms at their tombstoned "md" heads —
+    // the lexical arm masked by the broadcast tombstones with the
+    // delete segment's pre-folded df/stats, the dense arm's
+    // candidates, own-cells, AND probe geometry scoped to the
+    // survivors (the negated-partials fold). Victim docs vanish as
+    // queries AND candidates from both lists; the oracle re-runs the
+    // whole fusion over the surviving corpus from scratch.
+    "q330_hybrid_takedown_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .where(!graft.ops.LexIndex.deleteSplit)
+      val mdLex = graft.ops.LexIndex.framesAsOf(s, dir, 2L,
+        chain = "md")
+      val (k, probes) = graft.ops.AnnIndex.sizedParams(s, dir)
+      val head = graft.ops.AnnIndex.postingsAsOf(s, dir, version = 2L,
+        k = k, chain = "md")
+      val codes = head.select(
+        (Seq(col("vec_id"), col("cell")) ++
+          graft.ops.AnnIndex.codeCols(4)): _*)
+      val embCells = t(s, dir, "embeddings")
+        .join(head.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      Sim.hybridRrfIvfAdc(docs, embCells,
+          graft.ops.AnnIndex.books(s, dir, tag = "base", k = k),
+          cacheKey = Some(dir + "#mdlex"),
+          coded = Some((codes,
+            graft.ops.AnnIndex.probeCentsAsOf(s, dir, version = 2L,
+              k = k, chain = "md"))),
+          lexStore = Some(mdLex), probes = probes)
+        .orderBy("q_id", "rk")
+    }),
+
+
     "q302_ann_index_compact" -> ((s, dir) => {
       val (k, probes) = graft.ops.AnnIndex.sizedParams(s, dir)
       val compacted = graft.ops.AnnIndex.compactedPostings(s, dir,
@@ -2942,6 +3073,87 @@ private[graft] object Reg6MonitorAnn {
       // corpus predicates, chain topologies as contract constants,
       // integer share arithmetic, and the two-arm rule
       "q324_compaction_policy" -> compactionPolicyOracleSql,
+
+      // the compaction-EXECUTE contract (q326's dense twin): the
+      // policy rule replayed per chain picks the layout label; the
+      // serve rows are the frozen chain scoped to each tombstoned
+      // head's survivors (layout-invariant by q318's contract)
+      "q327_ann_compaction_execute" -> {
+        val mdRule = "((SELECT COUNT(*) FROM embeddings WHERE " +
+          "vec_id % 7 = 3) * 1000000) // " +
+          "(SELECT COUNT(*) FROM embeddings) >= 125000 OR 3 >= 4"
+        val m3Rule = "((SELECT COUNT(*) FROM embeddings WHERE " +
+          "vec_id % 5 <> 0 AND vec_id % 7 = 3) * 1000000) // " +
+          "(SELECT COUNT(*) FROM embeddings) >= 125000 OR 3 >= 4"
+        def serve(scope: String): String =
+          s"""WITH ${kmeansFrozenCte("NOT (vec_id % 5 = 0)",
+               annSizedKSql)},
+             |afv AS MATERIALIZED (SELECT a.vec_id, e.v, a.cell
+             |  FROM af a JOIN e ON e.vec_id = a.vec_id
+             |  WHERE $scope),
+             |${pqChainsSql(4, 8, 16, 2,
+               trainWhere = "NOT (vec_id % 5 = 0)")},
+             |${hybridDenseAdcCteOver("afv", 5, annSizedProbesSql)}
+             |SELECT q_id, c_id, rk_emb AS rk FROM dena""".stripMargin
+        s"""SELECT 'md' AS chain,
+           |  CASE WHEN $mdRule THEN 'compacted' ELSE 'masked' END
+           |    AS layout, * FROM (
+           |${serve("NOT (a.vec_id % 7 = 3)")})
+           |UNION ALL
+           |SELECT 'm3',
+           |  CASE WHEN $m3Rule THEN 'compacted' ELSE 'masked' END,
+           |  * FROM (
+           |${serve("(a.vec_id % 5 <> 0 AND NOT (a.vec_id % 7 = 3))" +
+              " OR a.vec_id % 5 = 0")})
+           |ORDER BY chain, q_id, rk""".stripMargin
+      },
+
+      // the tiered-EXECUTE contract (q328's dense twin): both
+      // all-append chains' heads are the full corpus — the q299
+      // serving chain with full-corpus membership and member-mean
+      // probe geometry — and the layout label replays the policy rule
+      // with each chain's structural facts (share is literally 0: an
+      // all-append chain publishes no delete segment)
+      "q329_ann_tiered_execute" -> {
+        val serve: String =
+          s"""WITH ${kmeansFrozenCte("NOT (vec_id % 5 = 0)",
+               annSizedKSql)},
+             |afv AS MATERIALIZED (SELECT a.vec_id, e.v, a.cell
+             |  FROM af a JOIN e ON e.vec_id = a.vec_id),
+             |${pqChainsSql(4, 8, 16, 2,
+               trainWhere = "NOT (vec_id % 5 = 0)")},
+             |${hybridDenseAdcCteOver("afv", 5, annSizedProbesSql)}
+             |SELECT q_id, c_id, rk_emb AS rk FROM dena""".stripMargin
+        s"""SELECT 'c4' AS chain,
+           |  CASE WHEN (0 >= 125000 OR 4 >= 4) THEN 'tiered'
+           |    ELSE 'fold' END AS layout, * FROM (
+           |$serve)
+           |UNION ALL
+           |SELECT 'c3',
+           |  CASE WHEN (0 >= 125000 OR 3 >= 4) THEN 'tiered'
+           |    ELSE 'fold' END, * FROM (
+           |$serve)
+           |ORDER BY chain, q_id, rk""".stripMargin
+      },
+
+      // the takedown-maintained hybrid: q300's fusion re-run from
+      // scratch over the SURVIVING corpus on both arms — victims
+      // drop as queries and candidates, the dense arm's probe
+      // geometry is the survivors' member means, the lexical arm's
+      // df/dl/stats are survivor-scoped
+      "q330_hybrid_takedown_serve" ->
+        s"""WITH ${kmeansFrozenCte("NOT (vec_id % 5 = 0)",
+             annSizedKSql)},
+           |afv AS MATERIALIZED (SELECT a.vec_id, e.v, a.cell
+           |  FROM af a JOIN e ON e.vec_id = a.vec_id
+           |  WHERE NOT (a.vec_id % 7 = 3)),
+           |${pqChainsSql(4, 8, 16, 2,
+             trainWhere = "NOT (vec_id % 5 = 0)")},
+           |${hybridDenseAdcCteOver("afv", 20, annSizedProbesSql)},
+           |${hybridLexCteOver("NOT (doc_id % 7 = 3)", 20)},
+           |${rrfFusedCte("dena", "ra")}
+           |SELECT q_id, c_id, rk_lex, rk_emb, rrf, rk
+           |FROM ra ORDER BY q_id, rk""".stripMargin,
 
       // the MIXED-chain contract: the frozen serving chain with the
       // corpus side (candidates, own-cells, probe geometry) scoped to

@@ -291,6 +291,105 @@ class Round17OpsSpec extends SparkSpec {
       === headSet)
   }
 
+  test("q326/q327 execute the compaction q324 decides: each " +
+      "tombstoned chain serves from the layout the measured policy " +
+      "chose (md compacted, m3 masked — both branches fire), no " +
+      "served row carries a captured-tombstone id, and the compacted " +
+      "md store physically drops the masked rows") {
+    Seq("q326_lex_compaction_execute" -> 3,
+        "q327_ann_compaction_execute" -> 2).foreach {
+      case (name, idCol) =>
+        val rows = SparkEntry.queries(name)(spark, dir)
+          .collect().toSeq
+        assert(rows.nonEmpty)
+        val layouts = rows.map(r =>
+          r.getString(0) -> r.getString(1)).distinct.toMap
+        assert(layouts === Map("md" -> "compacted", "m3" -> "masked"),
+          s"$name must serve each chain from the policy's layout")
+        rows.filter(_.getString(0) == "md").foreach(r =>
+          assert(r.getLong(idCol) % 7 != 3,
+            s"$name md served a tombstoned id: $r"))
+    }
+    // the reclaim is physical: the compacted md store holds no
+    // tombstoned row (mask-serving equality is the oracle's job)
+    val (k, _) = ops.AnnIndex.sizedParams(spark, dir)
+    assert(ops.AnnIndex.compactedHeadPostings(spark, dir, k = k,
+        chain = "md")
+      .where(ops.AnnIndex.deleteSplit).count() === 0L)
+    assert(ops.LexIndex.compactedHeadFrames(spark, dir, "md")._2
+      .where(col("id") % 7 === 3).count() === 0L)
+  }
+
+  test("q328/q329 execute the TIERED arm of the compaction policy: " +
+      "c4 (segs >= 4) serves through [base, merged-tail] with the " +
+      "base segment's published bytes physically reused, c3 keeps " +
+      "the plain fold, and the tiered layout is value-identical to " +
+      "the N-segment head fold on both stores") {
+    Seq("q328_lex_tiered_execute" -> 3,
+        "q329_ann_tiered_execute" -> 2).foreach {
+      case (name, _) =>
+        val rows = SparkEntry.queries(name)(spark, dir)
+          .collect().toSeq
+        assert(rows.nonEmpty)
+        val layouts = rows.map(r =>
+          r.getString(0) -> r.getString(1)).distinct.toMap
+        assert(layouts === Map("c4" -> "tiered", "c3" -> "fold"),
+          s"$name must route each chain to the policy's layout")
+    }
+    // the tiered serve READS the base segment's published files —
+    // the same bytes the chain fold reads (prefix root `std`, shared
+    // with every chain): tiering never rewrote the base
+    val baseRoot = ops.LexIndex.versionRoot(dir, 0L, "c4")
+    val (ttf, tdl, tdf, tst) =
+      ops.LexIndex.tieredHeadFrames(spark, dir, "c4")
+    assert(ttf.inputFiles.exists(_.contains(
+        baseRoot.stripPrefix("/"))),
+      "tiered tf must serve the base segment's published files")
+    // value identity with the 4-segment head fold (lex): same tf
+    // multiset, same head pre-folds
+    val (htf, hdl, hdf, hst) = ops.LexIndex.framesAsOf(spark, dir,
+      ops.LexIndex.headVersion("c4"), "c4")
+    assert(ttf.select("id", "term", "tf").except(
+        htf.select("id", "term", "tf")).isEmpty &&
+      htf.select("id", "term", "tf").except(
+        ttf.select("id", "term", "tf")).isEmpty)
+    assert(ttf.count() === htf.count() && tdl.count() === hdl.count())
+    assert(tdf.except(hdf).isEmpty && hdf.except(tdf).isEmpty)
+    assert(tst.collect().toSeq === hst.collect().toSeq)
+    // ANN: tiered postings ≡ head fold, tiered probe geometry
+    // bit-identical to the head's partial fold
+    val (k, _) = ops.AnnIndex.sizedParams(spark, dir)
+    val tp = ops.AnnIndex.tieredHeadPostings(spark, dir, k = k,
+      chain = "c4")
+    val hp = ops.AnnIndex.postingsAsOf(spark, dir,
+      ops.AnnIndex.headVersion("c4"), k = k, chain = "c4")
+    assert(tp.except(hp).isEmpty && hp.except(tp).isEmpty)
+    val tc = ops.AnnIndex.tieredProbeCents(spark, dir, k = k,
+      chain = "c4").collect().map(_.toString).sorted
+    val hc = ops.AnnIndex.probeCentsAsOf(spark, dir,
+      ops.AnnIndex.headVersion("c4"), k = k, chain = "c4")
+      .collect().map(_.toString).sorted
+    assert(tc.toSeq === hc.toSeq,
+      "tiered probe geometry must fold bit-identically")
+  }
+
+  test("q330 serves the RRF hybrid with BOTH arms at their " +
+      "tombstoned md heads: no victim appears as a query or a " +
+      "candidate on either side, and both rank lists contribute to " +
+      "the fusion") {
+    val rows = SparkEntry
+      .queries("q330_hybrid_takedown_serve")(spark, dir)
+      .collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 7 != 3 && r.getLong(1) % 7 != 3,
+        s"takedown victim served by the hybrid: $r")
+    }
+    assert(rows.exists(r => !r.isNullAt(2)) &&
+      rows.exists(r => !r.isNullAt(3)),
+      "both the lexical and dense arms must contribute ranks")
+  }
+
   test("the delete lifecycle re-expressed through the chain algebra " +
       "is value-identical to round 16's sibling-root form: " +
       "framesAfterDelete ≡ md-chain head state ≡ survivors from " +
