@@ -750,6 +750,46 @@ object AnnIndex {
       1
     }
 
+  /** TAKEDOWN on a ROTATED epoch (q331 — the lifecycle ops COMPOSE):
+    * after [[rotateIfRetrain]] publishes the resized epoch-1 store,
+    * a delete pass must land on the store that is actually serving —
+    * a takedown that only knows the epoch-0 chain would quietly keep
+    * serving victims from the rotated snapshot. This publishes the
+    * epoch-1 tombstone artifact: the victims' ids (from the stored
+    * `cells` assignment — a pushed-down predicate scan) plus the
+    * SURVIVORS' probe geometry under the resized quantizer, one
+    * atomic root. Serving masks the stored `codes` with a broadcast
+    * anti-join on the published ids and ranks probes against the
+    * published survivor geometry — pure store reads, the md-chain
+    * serving shape on the rotated epoch. (The epoch snapshot store
+    * publishes mean-only geometry, so the survivor means cost one
+    * pass over the survivors AT PUBLISH time; a production rotation
+    * would also publish decimal partials — the chain stores'
+    * `geoparts` discipline — to make this ∝ batch.)
+    * Returns (maskedCodes, survivorProbeCents). */
+  def epochTakedownStore(spark: SparkSession, dir: String, k: Int,
+                         iters: Int = 2, m: Int = 4,
+                         nCodes: Int = 8): (DataFrame, DataFrame) = {
+    val root = sys.props("java.io.tmpdir") +
+      s"/graft-annepochdel-$HV-${slug(dir)}" +
+      s"-f${StoreCommit.fingerprint(dir)}-c$k-i$iters-m$m-k$nCodes-v1"
+    val path = StoreCommit.singleFlight(appendMemo, root)(
+      StoreCommit.ensure(root) { staging =>
+        val celled = cells(spark, dir, "full", k, iters, m, nCodes)
+        celled.where(deleteSplit).select(col("vec_id"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$staging/dels")
+        Sim.cellCentroids(celled.where(!deleteSplit), "cell",
+            "embedding")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$staging/probecents")
+      })
+    val dels = broadcast(spark.read.parquet(s"$path/dels"))
+    (codes(spark, dir, "full", k, iters, m, nCodes)
+      .join(dels, Seq("vec_id"), "left_anti"),
+      spark.read.parquet(s"$path/probecents"))
+  }
+
   /** COMPACTION of the append history (q302 — the lifecycle's last
     * step): rewrite the merged head's segment fold into one fresh,
     * atomically-published snapshot store. Appends accrue per-segment

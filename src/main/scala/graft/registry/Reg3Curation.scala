@@ -910,6 +910,63 @@ private[graft] object Reg3Curation {
           lit(epoch.toLong).as("epoch"),
           col("q_id"), col("c_id"), col("rk"))
         .orderBy("q_id", "rk")
+    }),
+
+
+    // curation/ANN — the lifecycle ops COMPOSE (r17): a takedown
+    // issued AFTER q321's rotation must land on whichever epoch is
+    // serving. The query replays q314's measured decision, rotates
+    // when it says so, then applies the SAME takedown split to the
+    // serving store: the RETRAIN branch masks the rotated epoch-1
+    // snapshot with its published tombstone artifact and ranks
+    // probes against the published survivor geometry
+    // (AnnIndex.epochTakedownStore); the KEEP branch is exactly the
+    // md chain's tombstoned head (q316's contract — the takedown on
+    // the standing epoch IS the delete segment). The oracle replays
+    // the decision and BOTH survivor-scoped serving chains, selecting
+    // by the derived flag — an engine that deleted from the wrong
+    // epoch, or rotated without deleting, fails the gate.
+    "q331_epoch_takedown_serve" -> ((s, dir) => {
+      val (kSized, probes) = graft.ops.AnnIndex.sizedParams(s, dir)
+      val growth = graft.ops.AnnIndex
+        .postingsAsOf(s, dir, version = 1L, k = kSized)
+        .groupBy(col("is_delta")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      val dec = Curate.retrainDecision(
+        isEval = col("vec_id") % 97 === 0, threshold = 0.25,
+        nStanding = growth.getOrElse(false, 0L),
+        nDelta = growth.getOrElse(true, 0L),
+        staleCells = k =>
+          graft.ops.AnnIndex.cells(s, dir, "base", k = k),
+        resizedCells = k =>
+          graft.ops.AnnIndex.cells(s, dir, "full", k = k),
+        cacheKey = Some(dir)).collect()(0)
+      val epoch = graft.ops.AnnIndex.rotateIfRetrain(s, dir,
+        retrain = dec.getBoolean(10), kResized = kSized)
+      val (posts, cents, tag) =
+        if (epoch == 1) {
+          val (p, c) = graft.ops.AnnIndex.epochTakedownStore(s, dir,
+            k = kSized)
+          (p, c, "full")
+        } else
+          (graft.ops.AnnIndex.postingsAsOf(s, dir, version = 2L,
+            k = kSized, chain = "md"),
+            graft.ops.AnnIndex.probeCentsAsOf(s, dir, version = 2L,
+              k = kSized, chain = "md"), "base")
+      val codes = posts.select(
+        (Seq(col("vec_id"), col("cell")) ++
+          graft.ops.AnnIndex.codeCols(4)): _*)
+      val queries = t(s, dir, "embeddings")
+        .where(col("vec_id") < 10)
+        .join(posts.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      Sim.topKIvfAdcCoded(queries, codes, cents,
+          graft.ops.AnnIndex.books(s, dir, tag = tag, k = kSized),
+          k = 5, probes = probes)
+        .select(
+          lit(if (epoch == 1) "retrained" else "stale").as("branch"),
+          lit(epoch.toLong).as("epoch"),
+          col("q_id"), col("c_id"), col("rk"))
+        .orderBy("q_id", "rk")
     })
   )
 
@@ -1177,6 +1234,45 @@ private[graft] object Reg3Curation {
        |${kmeansChainAt(kNewSql, "rt")},
        |${pqChainsSql(4, 8, 16, 2)},
        |${hybridDenseAdcCteOver("rtaf", 5, rtProbes)}
+       |SELECT q_id, c_id, rk_emb AS rk FROM dena))
+       |SELECT 'retrained' AS branch, CAST(1 AS BIGINT) AS epoch,
+       |  q_id, c_id, rk
+       |FROM rt WHERE (SELECT retrain FROM dec)
+       |UNION ALL
+       |SELECT 'stale' AS branch, CAST(0 AS BIGINT) AS epoch,
+       |  q_id, c_id, rk
+       |FROM st WHERE NOT (SELECT retrain FROM dec)
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
+  /** The q331 epoch-takedown replay: q314's decision statement
+    * derives the flag; the KEEP branch is the md chain's tombstoned
+    * head serve verbatim (Reg6MonitorAnn.annDeleteOracleSql — the
+    * takedown on the standing epoch IS the delete segment, q316's
+    * string); the RETRAIN branch retrains the full-corpus chain at
+    * ⌈√n⌉ and serves the q299 shape from its SURVIVORS — victims out
+    * as queries and candidates, probe geometry the survivors' member
+    * means. The final SELECT picks the branch by the derived flag, so
+    * WHERE the takedown landed (rotated epoch vs standing chain) is
+    * itself the gated contract. */
+  private def epochTakedownOracleSql: String = {
+    val kNewSql =
+      "(SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM e)"
+    val rtProbes = "GREATEST(2, CAST(ceil(CAST((SELECT COUNT(*) " +
+      "FROM rtc2) AS DOUBLE) * 0.25) AS INTEGER))"
+    s"""WITH dec AS MATERIALIZED (SELECT retrain FROM (
+       |$retrainDecisionOracleSql)),
+       |st AS (SELECT q_id, c_id, rk FROM (
+       |${Reg6MonitorAnn.annDeleteOracleSql})),
+       |rt AS (SELECT q_id, c_id, rk FROM (
+       |WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |${kmeansChainAt(kNewSql, "rt")},
+       |${pqChainsSql(4, 8, 16, 2)},
+       |rtafv AS MATERIALIZED (SELECT vec_id, v, cell FROM rtaf
+       |  WHERE NOT (vec_id % 7 = 3)),
+       |${hybridDenseAdcCteOver("rtafv", 5, rtProbes)}
        |SELECT q_id, c_id, rk_emb AS rk FROM dena))
        |SELECT 'retrained' AS branch, CAST(1 AS BIGINT) AS epoch,
        |  q_id, c_id, rk
@@ -2173,6 +2269,10 @@ private[graft] object Reg3Curation {
       // arithmetic replayed — the retrain policy itself driver-gated
       "q314_ann_retrain_decision" -> retrainDecisionOracleSql,
       "q321_ann_retrain_execute" -> retrainExecuteOracleSql,
+
+      // the epoch-takedown composition: decision replayed, then the
+      // takedown's survivor serve on WHICHEVER epoch the flag picks
+      "q331_epoch_takedown_serve" -> epochTakedownOracleSql,
 
       "q285_contamination_pairs" ->
         s"""WITH cleaned AS (SELECT doc_id AS id, (doc_id % 97 = 0) AS ev,

@@ -333,6 +333,23 @@ private[graft] object Reg5Artifacts {
         .orderBy("query_id", "rk")),
 
 
+    // artifacts — STREAMING auto-compaction (r17;
+    // StreamOps.lexAutoCompactGate scaladoc): the q309 ingest with
+    // the q324 segment-count rule evaluated INSIDE every micro-batch
+    // commit — crossing the 4-segment threshold makes the same commit
+    // fold the streamed tail into one merged segment and retire the
+    // micro-segments (the q328 tiered merge as stream maintenance;
+    // the standing segment is never read). The layout column is
+    // derived from the store's PHYSICAL end state, so the oracle's
+    // pinned 'tiered' label gates that the compaction actually
+    // committed, and the rows stay bound to q176's full-corpus
+    // string.
+    "q332_stream_auto_compact" -> ((s, dir) =>
+      graft.streaming.StreamOps.docsGateResult(s, dir,
+          "q332_stream_auto_compact")
+        .orderBy("query_id", "rk")),
+
+
     // artifacts — STREAMING takedown (StreamOps.lexDeleteGate
     // scaladoc): the delete slice replayed as 3 real micro-batches,
     // each publishing its own batch-sized tombstone mini-segment
@@ -994,6 +1011,17 @@ private[graft] object Reg5Artifacts {
       "q305_bm25_index_serve" -> bm25RetrievalOracleSql,
       "q306_bm25_index_compact" -> bm25RetrievalOracleSql,
       "q309_stream_lex_append" -> bm25RetrievalOracleSql,
+
+      // the streaming auto-compaction contract: rows are the q176
+      // full-corpus serve; the layout label replays the in-commit
+      // rule (1 standing + 3 streamed segments crosses the 4-segment
+      // threshold) and the engine derives its label from the store's
+      // physical end state — 'fold' there fails this pin
+      "q332_stream_auto_compact" ->
+        s"""SELECT CASE WHEN 4 >= 4 THEN 'tiered' ELSE 'fold' END
+           |    AS layout, * FROM (
+           |$bm25RetrievalOracleSql)
+           |ORDER BY query_id, rk""".stripMargin,
       // the as-of-v0 contract: the SAME chain scoped to the standing
       // slice — what segment 0 physically stores
       "q310_lex_asof_serve" ->

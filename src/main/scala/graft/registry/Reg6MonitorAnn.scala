@@ -3245,7 +3245,10 @@ private[graft] object Reg6MonitorAnn {
        |FROM c ORDER BY side, chain""".stripMargin
   }
 
-  private val annDeleteOracleSql: String =
+  // private[registry]: q331's epoch-takedown oracle (Reg3) embeds
+  // this as its KEEP branch — the standing epoch's takedown IS the
+  // md chain's head serve; one contract, shared string
+  private[registry] val annDeleteOracleSql: String =
     s"""WITH ${kmeansFrozenCte("NOT (vec_id % 5 = 0)", annSizedKSql)},
        |afv AS MATERIALIZED (SELECT a.vec_id, e.v, a.cell
        |  FROM af a JOIN e ON e.vec_id = a.vec_id

@@ -1453,6 +1453,7 @@ object StreamOps {
         OutputMode.Append()),
       ivfAppendGate(ns, sfDir),
       lexAppendGate(ns, sfDir),
+      lexAutoCompactGate(ns, sfDir),
       lexDeleteGate(ns, sfDir),
       ccTakedownGate(ns, sfDir))
   }
@@ -1621,6 +1622,86 @@ object StreamOps {
               .toDF("query_id", "query_text"),
             tf, dl, dfreq, st, k = 5)
           .select(col("query_id"), col("id").as("doc_id"),
+            col("n_matched"), col("score"), col("rk"))
+      })
+  }
+
+  /** The q332 gate — MAINTENANCE INSIDE THE COMMIT PROTOCOL for
+    * compaction (the q325 discipline applied to q324's segment-COUNT
+    * arm): the q309 streamed ingest replayed, but every micro-batch
+    * commit also evaluates the compaction rule over the store it just
+    * grew — once the standing segment plus the committed
+    * micro-segments reach the policy's 4-segment threshold, the SAME
+    * commit folds the streamed tail into ONE merged segment and
+    * retires the micro-segments (the tiered merge: tf/dl pure unions
+    * of the tail, df/stats re-summed, the standing segment never
+    * read — a stream cannot afford a base rewrite any more than a
+    * batch can). The result closure serves from whatever the stream
+    * left on disk and derives the layout label from the PHYSICAL
+    * state (merged tail present, micro-segments gone), so an engine
+    * that kept appending without compacting fails the oracle's pinned
+    * label, not just a spec. Rows bound to q176's full-corpus string.
+    */
+  private def lexAutoCompactGate(ns: SparkSession,
+                                 sfDir: String): Gate = {
+    val delta3 = stageDocsDelta(ns, sfDir, 3)
+    val segs = tmp("graft-lexautosegs")
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def dirsIn(): Seq[String] = Option(new java.io.File(segs)
+        .listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.toString).sorted.toSeq
+    def readSeg(d: String) = (
+      ns.read.parquet(s"$d/tf"), ns.read.parquet(s"$d/dl"),
+      ns.read.parquet(s"$d/df"), ns.read.parquet(s"$d/stats"))
+    Gate("q332_stream_auto_compact",
+      () => ns.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(delta3)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("graft-lexauto-ck"))
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.ops.LexIndex.writeStreamSegment(s"$segs/b$bid",
+            graft.ops.LexIndex.buildFrames(batch))
+          // the q324 rule, inside the commit: 1 standing segment +
+          // what this store now holds
+          val micro = dirsIn().filterNot(_.endsWith("/merged"))
+          if (1 + dirsIn().length >= 4 && micro.nonEmpty) {
+            // fold the whole streamed tail (micro + any previous
+            // merged) into a fresh merged segment; publish THEN
+            // retire — the merged write is an eager action reading
+            // the retired dirs, so order is the atomicity
+            val tail = dirsIn()
+            val folded = graft.ops.LexIndex.mergeAll(tail.map(readSeg))
+            val staged = s"$segs-staged"
+            graft.ops.LexIndex.writeStreamSegment(staged, folded)
+            tail.foreach(graft.TempDirs.deleteNow)
+            new java.io.File(staged)
+              .renameTo(new java.io.File(s"$segs/merged"))
+            ()
+          }
+        }
+        .start(),
+      () => {
+        import ns.implicits._
+        val standing = graft.ops.LexIndex.framesAsOf(ns, sfDir, 0L)
+        val dirs = dirsIn()
+        val layout =
+          if (dirs == Seq(s"$segs/merged")) "tiered" else "fold"
+        val streamed = dirs.map(readSeg)
+        val (tf, dl, dfreq, st) =
+          graft.ops.LexIndex.mergeAll(standing +: streamed)
+        graft.ops.Text.bm25RetrieveStored(
+            Seq(("kw_cust", "customer order value"),
+              ("kw_join", "join merge hash"),
+              ("kw_scan", "spark scan filter"),
+              ("kw_win", "window batch sort"))
+              .toDF("query_id", "query_text"),
+            tf, dl, dfreq, st, k = 5)
+          .select(lit(layout).as("layout"),
+            col("query_id"), col("id").as("doc_id"),
             col("n_matched"), col("score"), col("rk"))
       })
   }

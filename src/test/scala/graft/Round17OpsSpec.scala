@@ -390,6 +390,43 @@ class Round17OpsSpec extends SparkSpec {
       "both the lexical and dense arms must contribute ranks")
   }
 
+  test("q331 composes the takedown with the epoch rotation: the " +
+      "delete lands on whichever epoch is serving (the sf0.001 " +
+      "fixture fires RETRAIN, so the rotated epoch-1 store serves " +
+      "masked), no victim appears as query or candidate, and the " +
+      "published epoch tombstone artifact physically masks the store") {
+    val rows = SparkEntry
+      .queries("q331_epoch_takedown_serve")(spark, dir)
+      .collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).distinct === Seq("retrained"),
+      "sf0.001 flips the measured decision to RETRAIN (q321's " +
+        "fixture note) — the takedown must land on epoch 1")
+    rows.foreach { r =>
+      assert(r.getLong(2) % 7 != 3 && r.getLong(3) % 7 != 3,
+        s"takedown victim served from the rotated epoch: $r")
+    }
+    val (k, _) = ops.AnnIndex.sizedParams(spark, dir)
+    val (posts, _) = ops.AnnIndex.epochTakedownStore(spark, dir,
+      k = k)
+    assert(posts.where(ops.AnnIndex.deleteSplit).count() === 0L,
+      "the masked epoch store must hold no victim row")
+  }
+
+  test("q332 runs the compaction rule inside the streaming commit: " +
+      "once the micro-segments cross the 4-segment threshold the " +
+      "commit folds the streamed tail into one merged segment and " +
+      "retires the micro-segments, and the served layout label is " +
+      "derived from that physical end state") {
+    val rows = SparkEntry
+      .queries("q332_stream_auto_compact")(spark, dir)
+      .collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).distinct === Seq("tiered"),
+      "the stream must leave exactly [standing, merged] on disk — " +
+        "a 'fold' label means the in-commit compaction never fired")
+  }
+
   test("the delete lifecycle re-expressed through the chain algebra " +
       "is value-identical to round 16's sibling-root form: " +
       "framesAfterDelete ≡ md-chain head state ≡ survivors from " +
