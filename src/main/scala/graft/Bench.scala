@@ -82,6 +82,18 @@ object Bench {
       //   contracts q315/q316 time through the fixed masked layout
       "q315_lex_delete_serve", // q326_lex_compaction_execute
       "q316_ann_delete_serve", // q327_ann_compaction_execute
+      // - q331 runs q321's EXACT decision measurement + rotation and
+      //   then applies the takedown to the rotated store — the same
+      //   chain that demoted q314 for q321 (the execute re-times the
+      //   decision's recall arms, the query's dominant cost)
+      "q321_ann_retrain_execute", // q331_epoch_takedown_serve
+      // - the compacted-layout serves are now timed through the
+      //   policy-routed production forms (q326/q327 serve compacted
+      //   heads); q302/q306 re-time the same serving contracts over
+      //   the "" chain's compacted snapshot under the q299/q176
+      //   strings they share
+      "q302_ann_index_compact", // q327 (compacted-layout ADC serve)
+      "q306_bm25_index_compact", // q326 (compacted-layout BM25 serve)
       // - the as-of-v0 contracts are q322/q323's version-0 arms over
       //   the SAME prefix-shared segment bytes and oracle scopes
       "q310_lex_asof_serve", // q322_lex_mixed_asof v0

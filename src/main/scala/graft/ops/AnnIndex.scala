@@ -750,44 +750,70 @@ object AnnIndex {
       1
     }
 
+  /** The rotated epoch's geometry PARTIALS — published once per
+    * epoch store (the chain stores' `geoparts` discipline applied to
+    * the snapshot): per-cell decimal sums + member counts under the
+    * resized assignment, the artifact that lets any later delete fold
+    * survivor geometry exactly by SUBTRACTION instead of re-scanning
+    * the survivors. Keyed beside the rotation record (own root: a
+    * record published by older code stays valid). */
+  private def ensureEpochGeoparts(spark: SparkSession, dir: String,
+                                  k: Int, iters: Int, m: Int,
+                                  nCodes: Int): String =
+    StoreCommit.singleFlight(appendMemo,
+      retrainEpochRoot(dir, k, iters, m, nCodes) + "-geo")(
+      StoreCommit.ensure(
+        retrainEpochRoot(dir, k, iters, m, nCodes) + "-geo") {
+        staging =>
+          Sim.cellCentroidPartials(
+              cells(spark, dir, "full", k, iters, m, nCodes), "cell",
+              "embedding")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$staging/geoparts")
+      })
+
   /** TAKEDOWN on a ROTATED epoch (q331 — the lifecycle ops COMPOSE):
     * after [[rotateIfRetrain]] publishes the resized epoch-1 store,
     * a delete pass must land on the store that is actually serving —
     * a takedown that only knows the epoch-0 chain would quietly keep
     * serving victims from the rotated snapshot. This publishes the
-    * epoch-1 tombstone artifact: the victims' ids (from the stored
-    * `cells` assignment — a pushed-down predicate scan) plus the
-    * SURVIVORS' probe geometry under the resized quantizer, one
-    * atomic root. Serving masks the stored `codes` with a broadcast
-    * anti-join on the published ids and ranks probes against the
-    * published survivor geometry — pure store reads, the md-chain
-    * serving shape on the rotated epoch. (The epoch snapshot store
-    * publishes mean-only geometry, so the survivor means cost one
-    * pass over the survivors AT PUBLISH time; a production rotation
-    * would also publish decimal partials — the chain stores'
-    * `geoparts` discipline — to make this ∝ batch.)
+    * epoch-1 tombstone artifact at cost ∝ THE BATCH: the victims'
+    * ids (from the stored `cells` assignment — a pushed-down
+    * predicate scan) plus the victims' geometry partials NEGATED —
+    * the md chain's delete-segment discipline on the snapshot store.
+    * Serving masks the stored `codes` with a broadcast anti-join on
+    * the published ids and folds probe geometry from the epoch's
+    * published partials ([[ensureEpochGeoparts]], written once at
+    * rotation) plus the negated victim partials — bit-identical to a
+    * one-pass over the survivors ([[Sim.centroidsFromPartials]]'s
+    * exactness), emptied cells dropped, no survivor byte re-read.
     * Returns (maskedCodes, survivorProbeCents). */
   def epochTakedownStore(spark: SparkSession, dir: String, k: Int,
                          iters: Int = 2, m: Int = 4,
                          nCodes: Int = 8): (DataFrame, DataFrame) = {
+    val geo = ensureEpochGeoparts(spark, dir, k, iters, m, nCodes)
     val root = sys.props("java.io.tmpdir") +
       s"/graft-annepochdel-$HV-${slug(dir)}" +
-      s"-f${StoreCommit.fingerprint(dir)}-c$k-i$iters-m$m-k$nCodes-v1"
+      s"-f${StoreCommit.fingerprint(dir)}-c$k-i$iters-m$m-k$nCodes-v2"
     val path = StoreCommit.singleFlight(appendMemo, root)(
       StoreCommit.ensure(root) { staging =>
-        val celled = cells(spark, dir, "full", k, iters, m, nCodes)
-        celled.where(deleteSplit).select(col("vec_id"))
+        val doomed = cells(spark, dir, "full", k, iters, m, nCodes)
+          .where(deleteSplit)
+        doomed.select(col("vec_id"))
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$staging/dels")
-        Sim.cellCentroids(celled.where(!deleteSplit), "cell",
-            "embedding")
+        Sim.cellCentroidPartials(doomed, "cell", "embedding")
+          .select(col("cell"), col("pos"), (-col("s")).as("s"),
+            (-col("cnt")).as("cnt"))
           .coalesce(1).write.mode("overwrite")
-          .parquet(s"$staging/probecents")
+          .parquet(s"$staging/negparts")
       })
     val dels = broadcast(spark.read.parquet(s"$path/dels"))
     (codes(spark, dir, "full", k, iters, m, nCodes)
       .join(dels, Seq("vec_id"), "left_anti"),
-      spark.read.parquet(s"$path/probecents"))
+      Sim.centroidsFromPartials(
+        spark.read.parquet(s"$geo/geoparts")
+          .unionByName(spark.read.parquet(s"$path/negparts"))))
   }
 
   /** COMPACTION of the append history (q302 — the lifecycle's last
