@@ -758,4 +758,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("bloom_might_contain_str"), p.take(1500))
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
+
+  test("q328 tiered serve keeps term-bucket pruning on BOTH physical " +
+      "layouts: the base segment's shared chain root and the merged " +
+      "tail's tiered root each scan tf with a tbkt partition filter " +
+      "and the query-term pushdown — the union never widens a scan") {
+    val p = plan("q328_lex_tiered_execute")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("graft-lexidxtier"),
+      "the tiered arm must serve from the tiered root")
+    val tfScans = p.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("/tf]")).toSeq
+    assert(tfScans.nonEmpty, p.take(1500))
+    tfScans.foreach { l =>
+      assert(l.contains("PartitionFilters: [tbkt") ||
+        l.contains("isnotnull(tbkt"),
+        s"tf scan lost its bucket pruning: ${l.take(400)}")
+      assert(l.contains("In(term"),
+        s"tf scan lost the term pushdown: ${l.take(400)}")
+    }
+  }
+
+  test("q327/q330/q331 takedown masks are BROADCAST anti-joins — " +
+      "batch-sized tombstones never shuffle the postings they mask") {
+    Seq("q327_ann_compaction_execute", "q330_hybrid_takedown_serve",
+        "q331_epoch_takedown_serve").foreach { q =>
+      val p = plan(q)
+      assert("LeftAnti, BuildRight".r.findAllIn(p).nonEmpty,
+        s"$q: no broadcast anti mask\n${p.take(1200)}")
+      assert(!p.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("LeftAnti")),
+        s"$q: a tombstone mask fell back to a shuffled anti-join")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
 }
