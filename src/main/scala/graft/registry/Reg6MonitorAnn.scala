@@ -988,6 +988,22 @@ private[graft] object Reg6MonitorAnn {
         .orderBy("cell")),
 
 
+    // ANN — STREAMING auto-compaction (r17; q332's dense twin,
+    // StreamOps.ivfAutoCompactGate scaladoc): the streamed frozen-
+    // quantizer ingest with the q324 segment-count rule inside every
+    // commit — crossing 4 segments makes that commit union the
+    // streamed tail into one merged segment and retire the
+    // micro-segments. Serves q299's exact top-5 contract from
+    // [standing, merged]; the layout label derives from the store's
+    // physical end state, so the oracle's pinned 'tiered' gates the
+    // in-commit compaction, and the rows stay bound to the q299
+    // serving string.
+    "q333_stream_ann_auto_compact" -> ((s, dir) =>
+      graft.streaming.StreamOps.docsGateResult(s, dir,
+          "q333_stream_ann_auto_compact")
+        .orderBy("q_id", "rk")),
+
+
     // ANN/retrieval — the PRODUCTION-armed hybrid (Sim.hybridRrfIvfAdc
     // scaladoc): q279's exact lexical arm + RRF fusion with the dense
     // arm swapped from the brute scan to the real index — BM25 ⊕
@@ -3000,6 +3016,16 @@ private[graft] object Reg6MonitorAnn {
       // and streaming-append (q282) engines
       "q280_ivf_frozen_append" -> ivfFrozenOracleSql,
       "q282_stream_ivf_append" -> ivfFrozenOracleSql,
+
+      // the streaming auto-compaction contract (q332's dense twin):
+      // rows are q299's serving string; the layout label replays the
+      // in-commit rule (1 standing + 3 streamed segments crosses the
+      // threshold) against the engine's physically-derived label
+      "q333_stream_ann_auto_compact" ->
+        s"""SELECT CASE WHEN 4 >= 4 THEN 'tiered' ELSE 'fold' END
+           |    AS layout, * FROM (
+           |$annServeOracleSql)
+           |ORDER BY q_id, rk""".stripMargin,
       // the stored-merge engine summarizes to the SAME contract as
       // the in-memory and streaming frozen-append engines
       "q293_ann_index_append" -> ivfFrozenOracleSql,

@@ -1452,10 +1452,88 @@ object StreamOps {
           .select("sig_key"),
         OutputMode.Append()),
       ivfAppendGate(ns, sfDir),
+      ivfAutoCompactGate(ns, sfDir),
       lexAppendGate(ns, sfDir),
       lexAutoCompactGate(ns, sfDir),
       lexDeleteGate(ns, sfDir),
       ccTakedownGate(ns, sfDir))
+  }
+
+  /** The q333 gate — [[lexAutoCompactGate]]'s dense twin: streamed
+    * ANN ingest with the q324 segment-count rule evaluated inside
+    * every commit. Each micro-batch is assigned + PQ-encoded under
+    * the FROZEN stored base quantizer at the sized k (the q299
+    * serving geometry) and committed as its own postings segment;
+    * crossing the 4-segment threshold makes the SAME commit union the
+    * streamed tail into one merged segment and retire the
+    * micro-segments — a pure union, each vector lands in exactly one
+    * batch, and the standing segment is never read. The result serves
+    * q299's exact top-5 contract from [standing, merged], with the
+    * layout label derived from the store's physical end state so the
+    * oracle's pinned 'tiered' gates that the in-commit compaction
+    * actually happened. */
+  private def ivfAutoCompactGate(ns: SparkSession,
+                                 sfDir: String): Gate = {
+    val embDelta3 = stageEmbeddingsDelta(ns, sfDir, 3)
+    val segs = tmp("graft-ivfautosegs")
+    val embSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    def dirsIn(): Seq[String] = Option(new java.io.File(segs)
+        .listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.toString).sorted.toSeq
+    Gate("q333_stream_ann_auto_compact",
+      () => ns.readStream.schema(embSchema)
+        .option("maxFilesPerTrigger", "1").parquet(embDelta3)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("graft-ivfauto-ck"))
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val (k, _) = graft.ops.AnnIndex.sizedParams(ns, sfDir)
+          graft.ops.AnnIndex.assignUnderStored(ns, sfDir, batch,
+              k = k)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$segs/b$bid")
+          val micro = dirsIn().filterNot(_.endsWith("/merged"))
+          if (1 + dirsIn().length >= 4 && micro.nonEmpty) {
+            val tail = dirsIn()
+            val staged = s"$segs-staged"
+            tail.map(d => ns.read.parquet(d))
+              .reduce(_.unionByName(_))
+              .coalesce(1).write.mode("overwrite").parquet(staged)
+            tail.foreach(graft.TempDirs.deleteNow)
+            new java.io.File(staged)
+              .renameTo(new java.io.File(s"$segs/merged"))
+            ()
+          }
+        }
+        .start(),
+      () => {
+        val (k, probes) = graft.ops.AnnIndex.sizedParams(ns, sfDir)
+        val dirs = dirsIn()
+        val layout =
+          if (dirs == Seq(s"$segs/merged")) "tiered" else "fold"
+        val cols = Seq(col("vec_id"), col("cell")) ++
+          graft.ops.AnnIndex.codeCols(4)
+        val posts = graft.ops.AnnIndex
+          .postingsAsOf(ns, sfDir, version = 0L, k = k)
+          .select(cols: _*)
+          .unionByName(dirs.map(d => ns.read.parquet(d))
+            .reduce(_.unionByName(_)).select(cols: _*))
+        val queries = graft.Tables.load(ns, sfDir, "embeddings")
+          .where(col("vec_id") < 10)
+          .join(posts.select(col("vec_id"), col("cell")),
+            Seq("vec_id"))
+        graft.ops.Sim.topKIvfAdcCoded(queries, posts,
+            graft.ops.AnnIndex.probeCentroids(ns, sfDir,
+              tag = "base", k = k),
+            graft.ops.AnnIndex.books(ns, sfDir, tag = "base", k = k),
+            k = 5, probes = probes)
+          .select(lit(layout).as("layout"), col("q_id"),
+            col("c_id"), col("rk"))
+      })
   }
 
   /** The q325 gate — the q320 streaming-takedown discipline applied to

@@ -427,6 +427,19 @@ class Round17OpsSpec extends SparkSpec {
         "a 'fold' label means the in-commit compaction never fired")
   }
 
+  test("q333 runs the compaction rule inside the streaming ANN " +
+      "commit: the threshold-crossing commit folds the streamed " +
+      "postings tail into one merged segment, retires the " +
+      "micro-segments, and the serve derives its layout label from " +
+      "that physical end state") {
+    val rows = SparkEntry
+      .queries("q333_stream_ann_auto_compact")(spark, dir)
+      .collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).distinct === Seq("tiered"),
+      "the stream must leave exactly [standing, merged] on disk")
+  }
+
   test("the delete lifecycle re-expressed through the chain algebra " +
       "is value-identical to round 16's sibling-root form: " +
       "framesAfterDelete ≡ md-chain head state ≡ survivors from " +
