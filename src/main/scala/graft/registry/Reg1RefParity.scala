@@ -12,6 +12,7 @@ import graft.sources.Sources
 
 import Shared._
 import Fragments._
+import graft.ops.Present._
 
 /** Reference-parity surface: sources/sinks, row transforms, star
   * schema, the chart/insight aggregates (SURVEY.md §2 ops 1-22).
@@ -178,7 +179,7 @@ private[graft] object Reg1RefParity {
     "q08_clean_text" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), Text.cleanText(col("text")).as("clean_text"))
-        .orderBy("doc_id")),
+        .presentBy("doc_id")),
 
 
     // op 9: regex boolean predicates (na=false semantics).
@@ -187,14 +188,14 @@ private[graft] object Reg1RefParity {
         col("doc_id"),
         Text.regexFlag(col("text")).as("dropout_mentioned"),
         Text.regexFlag(col("text"), "(?i)spark|stream").as("mentions_spark"))
-        .orderBy("doc_id")),
+        .presentBy("doc_id")),
 
 
     // op 10: lexicon-average sentiment.
     "q10_sentiment" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
           Sentiment.score(Text.cleanText(col("text"))).as("sentiment"))
-        .orderBy("doc_id")),
+        .presentBy("doc_id")),
 
 
     // op 11: CASE bucketing into sentiment labels.
@@ -204,7 +205,7 @@ private[graft] object Reg1RefParity {
           Sentiment.score(Text.cleanText(col("text"))))
         .select(col("doc_id"), col("sentiment"),
           Text.sentimentLabel(col("sentiment")).as("label"))
-        .orderBy("doc_id")),
+        .presentBy("doc_id")),
 
 
     // op 12: date-part extraction.

@@ -12,6 +12,7 @@ import graft.sources.Sources
 
 import Shared._
 import Fragments._
+import graft.ops.Present._
 
 /** LLM-curation surface: quality gates, mixtures, packing,
   * decontamination, PII, incremental ingest, CC engines, embedding
@@ -138,7 +139,7 @@ private[graft] object Reg3Curation {
           col("mean_word_len"), col("symbol_ratio"), col("top_bigram_frac"),
           Text.gopherKeep(col("n_tokens"), col("mean_word_len"),
             col("symbol_ratio"), col("top_bigram_frac")).as("keep"))
-        .orderBy("doc_id")
+        .presentBy("doc_id")
     }),
 
 
@@ -230,7 +231,7 @@ private[graft] object Reg3Curation {
           "raw")
         .select(col("doc_id"), col("n_pii"),
           md5(col("redacted")).as("redacted_md5"))
-        .orderBy("doc_id")),
+        .presentBy("doc_id")),
 
 
     // north star — incremental aggregate maintenance (materialized-view
@@ -293,7 +294,7 @@ private[graft] object Reg3Curation {
           "l_extendedprice")
         .select(col("l_returnflag"),
           (floor(col("median") * 100) / 100).as("p50"), col("n"))
-        .orderBy("l_returnflag")),
+        .presentBy("l_returnflag")),
 
 
     // north star — EXACT-recall threshold similarity join via prefix
@@ -388,14 +389,14 @@ private[graft] object Reg3Curation {
     "q126_segment_dedup" -> ((s, dir) =>
       Curate.dedupSegments(t(s, dir, "documents"), "doc_id", "text",
           segTokens = 16)
-        .orderBy("doc_id")),
+        .presentBy("doc_id")),
 
 
     // north star — unigram-LM mean log2 prob per doc (the KenLM-style
     // perplexity proxy quality filter, model-free).
     "q127_unigram_logprob" -> ((s, dir) =>
       Curate.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")),
+        .presentBy("doc_id")),
 
 
     // north star — EXACT connected components (fixpoint label propagation)
@@ -493,7 +494,7 @@ private[graft] object Reg3Curation {
             Layout.normalize(
               floor(unix_timestamp(col("o_orderdate")) / 86400), 7305L),
             bits = 16).as("zval"))
-        .orderBy("o_orderkey")),
+        .presentBy("o_orderkey")),
 
 
     // north star — deterministic corpus shuffle (the step between q78's

@@ -12,6 +12,7 @@ import graft.sources.Sources
 
 import Shared._
 import Fragments._
+import graft.ops.Present._
 
 /** Graph analytics + statistics at scale: PageRank, triangles,
   * k-core, OLS/anomalies/medians, LSH eval harness, artifact-adjacent
@@ -133,7 +134,7 @@ private[graft] object Reg4GraphStats {
     // so the 4x memory cut is measured, not assumed. Scan-local.
     "q143_int8_quant" -> ((s, dir) =>
       Sim.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
-        .orderBy("vec_id")),
+        .presentBy("vec_id")),
 
 
     // north star — per-source token-budget admission
@@ -170,7 +171,7 @@ private[graft] object Reg4GraphStats {
     // runs over its own telemetry.
     "q147_daily_anomalies" -> ((s, dir) =>
       EventsOps.dailyAnomalies(t(s, dir, "events"))
-        .orderBy("event_type", "day")),
+        .presentBy("event_type", "day")),
 
 
     // north star — join-key skew profiler (Skew.keyProfile scaladoc):

@@ -12,6 +12,7 @@ import graft.sources.Sources
 
 import Shared._
 import Fragments._
+import graft.ops.Present._
 
 /** Artifact store, multimodal codecs (PNG/WAV/aHash), splits,
   * retrieval (BM25), distribution monitors, text/statistical
@@ -71,7 +72,7 @@ private[graft] object Reg5Artifacts {
         .select(col("media_id"), col("kind"),
           col("width"), col("height"), col("n_pixels"),
           col("mean_r"), col("mean_g"), col("mean_b"))
-        .orderBy("media_id")
+        .presentBy("media_id")
     }),
 
     // north star — REAL baseline-JPEG round-trip (Jpeg scaladoc): the
@@ -90,7 +91,7 @@ private[graft] object Reg5Artifacts {
         .select(col("media_id"), col("kind"),
           col("width"), col("height"), col("n_pixels"),
           col("sum_gray"), col("mean_gray"))
-        .orderBy("media_id")
+        .presentBy("media_id")
     }),
 
 
@@ -106,7 +107,7 @@ private[graft] object Reg5Artifacts {
         .select(col("media_id"), col("kind"), col("sample_rate"),
           col("n_samples"), col("duration_ms"), col("peak_abs"),
           col("n_zero_cross"), col("mean_sample"), col("rms"))
-        .orderBy("media_id")
+        .presentBy("media_id")
     }),
 
 
@@ -680,7 +681,7 @@ private[graft] object Reg5Artifacts {
     "q184_weighted_median" -> ((s, dir) =>
       Agg.weightedMedian(t(s, dir, "lineitem"), "l_returnflag",
           "l_extendedprice", "l_quantity")
-        .orderBy("l_returnflag")),
+        .presentBy("l_returnflag")),
 
 
     // north star — mixture concentration (Agg.hhiConcentration

@@ -536,7 +536,12 @@ class PlanSpec extends SparkSpec {
   test("q216 EWMA: ONE hash exchange on user_id feeds the bounded " +
       "window — no global window, no extra shuffle") {
     val p = plan("q216_ewma")
-    assert(!p.contains("Exchange SinglePartition"), p.take(1500))
+    // the ONLY single-partition exchange allowed is the presentation
+    // sort's REPARTITION_BY_NUM (Present.presentBy, result-sized); a
+    // window collapsing to one partition would show up as an
+    // ENSURE_REQUIREMENTS SinglePartition exchange
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      p.take(1500))
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
       p.take(1500))
   }
@@ -544,7 +549,11 @@ class PlanSpec extends SparkSpec {
   test("q217 quantile normalization: the per-source rank window " +
       "never collapses to a single partition") {
     val p = plan("q217_quantile_norm")
-    assert(!p.contains("Exchange SinglePartition"), p.take(1500))
+    // presentation sort's SinglePartition exchange is deliberate
+    // (REPARTITION_BY_NUM, result-sized); the window itself must not
+    // collapse (no ENSURE_REQUIREMENTS single-partition exchange)
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      p.take(1500))
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
       p.take(1500))
   }
@@ -611,13 +620,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q234 JPEG decode is scan-local: typed mapPartitions, no joins " +
-      "beyond it, one range exchange for the final order") {
+      "beyond it, one result-sized exchange for the final order") {
     val p = plan("q234_jpeg_decode")
     assert(p.contains("MapPartitions"), p.take(1200))
     assert(!p.contains("Join"), p.take(1200))
+    // r17: the presentation order is Present.presentBy — a single
+    // 1-partition exchange + local sort instead of a range sort whose
+    // sampling pass would decode every JPEG twice (guide §2.4)
     val ex = "Exchange (hash|range)partitioning".r.findAllIn(p).toSeq
-    assert(ex.size === 1 && ex.head.contains("rangepartitioning"),
-      s"exchanges: $ex\n" + p.take(1200))
+    assert(ex.isEmpty, s"exchanges: $ex\n" + p.take(1200))
+    assert("Exchange SinglePartition, REPARTITION_BY_NUM".r
+      .findAllIn(p).size === 1, p.take(1200))
   }
 
   test("q244 MMR: every greedy-round join is broadcast (anti + " +
