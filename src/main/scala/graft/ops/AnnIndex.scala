@@ -213,7 +213,7 @@ object AnnIndex {
   /** Pure store read (no training fallback) — the spec's restart
     * simulation and any cross-process consumer. */
   def readCentroids(spark: SparkSession, path: String): Seq[Seq[Float]] =
-    spark.read.parquet(s"$path/centroids")
+    StoreRead.parquet(spark, s"$path/centroids")
       .orderBy("cell").collect()
       .map(_.getSeq[Float](1).toSeq).toSeq
 
@@ -229,7 +229,7 @@ object AnnIndex {
 
   def readBooks(spark: SparkSession,
                 path: String): IndexedSeq[IndexedSeq[Seq[Float]]] =
-    spark.read.parquet(s"$path/books")
+    StoreRead.parquet(spark, s"$path/books")
       .orderBy("sub", "code").collect()
       .groupBy(_.getInt(0)).toIndexedSeq.sortBy(_._1)
       .map(_._2.map(_.getSeq[Float](2).toSeq).toIndexedSeq)
@@ -240,7 +240,7 @@ object AnnIndex {
             k: Int = 8, iters: Int = 2, m: Int = 4,
             codes: Int = 8): DataFrame = {
     val p = path(spark, dir, tag, k, iters, m, codes)
-    spark.read.parquet(s"$p/cells")
+    StoreRead.parquet(spark, s"$p/cells")
   }
 
   /** The stored IVFADC postings: (vec_id, cell, code_0..m-1) — the
@@ -250,7 +250,7 @@ object AnnIndex {
             k: Int = 8, iters: Int = 2, m: Int = 4,
             nCodes: Int = 8): DataFrame = {
     val p = path(spark, dir, tag, k, iters, m, nCodes)
-    spark.read.parquet(s"$p/codes")
+    StoreRead.parquet(spark, s"$p/codes")
   }
 
   /** The stored probe geometry: (cell, cv, cn) per-cell member means —
@@ -259,7 +259,7 @@ object AnnIndex {
                      tag: String = "full", k: Int = 8, iters: Int = 2,
                      m: Int = 4, nCodes: Int = 8): DataFrame = {
     val p = path(spark, dir, tag, k, iters, m, nCodes)
-    spark.read.parquet(s"$p/probecents")
+    StoreRead.parquet(spark, s"$p/probecents")
   }
 
   // ---- delta-append maintenance (the q292 lifecycle for the ANN
@@ -349,7 +349,7 @@ object AnnIndex {
       val roots = ensureAppendHistory(spark, dir, k, iters, m, codes,
         ch)
       val live = roots
-        .map(r => spark.read.parquet(s"$r/geoparts"))
+        .map(r => StoreRead.parquet(spark, s"$r/geoparts"))
         .reduce(_.unionByName(_))
         .where(col("pos") === 0)
         .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_live"))
@@ -357,7 +357,7 @@ object AnnIndex {
         case (Delete(_, _), r) => r }
       val tomb =
         if (delRoots.isEmpty) live.select(lit(0L).as("n_tomb"))
-        else delRoots.map(r => spark.read.parquet(s"$r/dels"))
+        else delRoots.map(r => StoreRead.parquet(spark, s"$r/dels"))
           .reduce(_.unionByName(_))
           .agg(count(lit(1)).as("n_tomb"))
       live.crossJoin(tomb).select(
@@ -501,7 +501,7 @@ object AnnIndex {
                      codes: Int = 8, chain: String = ""): DataFrame =
     Sim.centroidsFromPartials(
       historyRoots(spark, dir, version, k, iters, m, codes, chain)
-        .map { case (_, r) => spark.read.parquet(s"$r/geoparts") }
+        .map { case (_, r) => StoreRead.parquet(spark, s"$r/geoparts") }
         .reduce(_.unionByName(_)))
 
   /** TIME-TRAVEL read of the chain history: the full postings frame
@@ -522,10 +522,10 @@ object AnnIndex {
       codes, chain)
     val folded = segRoots
       .collect { case (Append(_, _), r) =>
-        spark.read.parquet(s"$r/postings") }
+        StoreRead.parquet(spark, s"$r/postings") }
       .reduce(_.unionByName(_))
     val dels = segRoots.collect { case (Delete(_, _), r) =>
-      spark.read.parquet(s"$r/dels") }
+      StoreRead.parquet(spark, s"$r/dels") }
     if (dels.isEmpty) folded
     else folded.join(broadcast(dels.reduce(_.unionByName(_))),
       Seq("vec_id"), "left_anti")
@@ -615,7 +615,7 @@ object AnnIndex {
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$staging/postings")
       })
-    spark.read.parquet(s"$path/postings")
+    StoreRead.parquet(spark, s"$path/postings")
   }
 
   /** Delete-compaction over the "md" chain's head —
@@ -658,11 +658,11 @@ object AnnIndex {
     val path = StoreCommit.singleFlight(appendMemo, root)(
       StoreCommit.ensure(root) { staging =>
         val tails = roots.drop(1)
-        tails.map(r => spark.read.parquet(s"$r/postings"))
+        tails.map(r => StoreRead.parquet(spark, s"$r/postings"))
           .reduce(_.unionByName(_))
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$staging/postings")
-        tails.map(r => spark.read.parquet(s"$r/geoparts"))
+        tails.map(r => StoreRead.parquet(spark, s"$r/geoparts"))
           .reduce(_.unionByName(_))
           .groupBy("cell", "pos")
           .agg(sum(col("s")).cast("decimal(37,10)").as("s"),
@@ -682,8 +682,8 @@ object AnnIndex {
                          chain: String = "c4"): DataFrame = {
     val (base, tier) = ensureTiered(spark, dir, k, iters, m, codes,
       chain)
-    spark.read.parquet(s"$base/postings")
-      .unionByName(spark.read.parquet(s"$tier/postings"))
+    StoreRead.parquet(spark, s"$base/postings")
+      .unionByName(StoreRead.parquet(spark, s"$tier/postings"))
   }
 
   /** The tiered layout's probe geometry: base partials + the merged
@@ -696,8 +696,8 @@ object AnnIndex {
     val (base, tier) = ensureTiered(spark, dir, k, iters, m, codes,
       chain)
     Sim.centroidsFromPartials(
-      spark.read.parquet(s"$base/geoparts")
-        .unionByName(spark.read.parquet(s"$tier/geoparts")))
+      StoreRead.parquet(spark, s"$base/geoparts")
+        .unionByName(StoreRead.parquet(spark, s"$tier/geoparts")))
   }
 
   // ---- epoch rotation (round 17 — EXECUTING the retrain q314
@@ -808,12 +808,12 @@ object AnnIndex {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$staging/negparts")
       })
-    val dels = broadcast(spark.read.parquet(s"$path/dels"))
+    val dels = broadcast(StoreRead.parquet(spark, s"$path/dels"))
     (codes(spark, dir, "full", k, iters, m, nCodes)
       .join(dels, Seq("vec_id"), "left_anti"),
       Sim.centroidsFromPartials(
-        spark.read.parquet(s"$geo/geoparts")
-          .unionByName(spark.read.parquet(s"$path/negparts"))))
+        StoreRead.parquet(spark, s"$geo/geoparts")
+          .unionByName(StoreRead.parquet(spark, s"$path/negparts"))))
   }
 
   /** COMPACTION of the append history (q302 — the lifecycle's last

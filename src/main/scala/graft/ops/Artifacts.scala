@@ -90,7 +90,7 @@ object Artifacts {
           java.security.MessageDigest.getInstance("MD5").digest(key.getBytes("UTF-8"))
             .map("%02x".format(_)).mkString).toString
         df0.write.mode("overwrite").parquet(path)
-        val df = df0.sparkSession.read.parquet(path)
+        val df = StoreRead.parquet(df0.sparkSession, path)
         fresh.complete(df)
         df
       } catch {

@@ -84,7 +84,7 @@ object Bpe {
         vocab.write.mode("overwrite").parquet(dir)
         (dir, learned)
       })
-    (docs.sparkSession.read.parquet(path), ms)
+    (graft.ops.StoreRead.parquet(docs.sparkSession, path), ms)
   }
 
   private def learnVia(docs: DataFrame, textCol: String, merges: Int,

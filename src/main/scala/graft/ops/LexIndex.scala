@@ -76,8 +76,8 @@ object LexIndex {
   def frames(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val p = ensure(spark, dir)
-    (spark.read.parquet(s"$p/tf"), spark.read.parquet(s"$p/dl"),
-      spark.read.parquet(s"$p/df"), spark.read.parquet(s"$p/stats"))
+    (StoreRead.parquet(spark, s"$p/tf"), StoreRead.parquet(spark, s"$p/dl"),
+      StoreRead.parquet(spark, s"$p/df"), StoreRead.parquet(spark, s"$p/stats"))
   }
 
   /** BM25 retrieval served from the store — the production serving
@@ -240,13 +240,13 @@ object LexIndex {
                       chains: Seq[String]): DataFrame =
     chains.map { ch =>
       val roots = ensureAppendHistory(spark, dir, ch)
-      val live = spark.read.parquet(s"${roots.last}/statscum")
+      val live = StoreRead.parquet(spark, s"${roots.last}/statscum")
         .select(col("n_docs").as("n_live"))
       val delRoots = chainSegs(ch).zip(roots).collect {
         case (Delete(_, _), r) => r }
       val tomb =
         if (delRoots.isEmpty) live.select(lit(0L).as("n_tomb"))
-        else delRoots.map(r => spark.read.parquet(s"$r/dels"))
+        else delRoots.map(r => StoreRead.parquet(spark, s"$r/dels"))
           .reduce(_.unionByName(_))
           .agg(count(lit(1)).as("n_tomb"))
       live.crossJoin(tomb).select(
@@ -297,8 +297,8 @@ object LexIndex {
 
   private def readFrames(spark: SparkSession, p: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) =
-    (spark.read.parquet(s"$p/tf"), spark.read.parquet(s"$p/dl"),
-      spark.read.parquet(s"$p/df"), spark.read.parquet(s"$p/stats"))
+    (StoreRead.parquet(spark, s"$p/tf"), StoreRead.parquet(spark, s"$p/dl"),
+      StoreRead.parquet(spark, s"$p/df"), StoreRead.parquet(spark, s"$p/stats"))
 
   /** Ensure the segment history for fixture `dir` and `chain`
     * ([[chainSegs]]): an APPEND segment indexes its batch ALONE (cost
@@ -334,7 +334,7 @@ object LexIndex {
                     // segment's PUBLISHED cumulative — an O(vocab)
                     // read + write, so the publish cost stays
                     // ∝ batch + |vocab|
-                    val pdf = spark.read.parquet(s"${prev.last}/dfcum")
+                    val pdf = StoreRead.parquet(spark, s"${prev.last}/dfcum")
                     val pst = spark.read
                       .parquet(s"${prev.last}/statscum")
                     (pdf.unionByName(fr._3).groupBy("term")
@@ -362,7 +362,7 @@ object LexIndex {
                 deleted.select(col("doc_id").as("id"))
                   .coalesce(1).write.mode("overwrite")
                   .parquet(s"$staging/dels")
-                spark.read.parquet(s"${prev.last}/dfcum")
+                StoreRead.parquet(spark, s"${prev.last}/dfcum")
                   .join(dfNeg.withColumnRenamed("df", "dfneg"),
                     Seq("term"), "left")
                   .select(col("term"),
@@ -371,7 +371,7 @@ object LexIndex {
                   .where(col("df") > 0)
                   .coalesce(1).write.mode("overwrite")
                   .parquet(s"$staging/dfcum")
-                spark.read.parquet(s"${prev.last}/statscum")
+                StoreRead.parquet(spark, s"${prev.last}/statscum")
                   .crossJoin(stNeg.select(col("n_terms").as("tneg"),
                     col("n_docs").as("dneg")))
                   .select((col("n_terms") - col("tneg")).as("n_terms"),
@@ -406,22 +406,22 @@ object LexIndex {
     val segRoots = chainSegs(chain).zip(roots).take(version.toInt + 1)
     val apps = segRoots.collect { case (Append(_, _), r) => r }
     val dels = segRoots.collect { case (Delete(_, _), r) => r }
-    val tf0 = apps.map(r => spark.read.parquet(s"$r/tf"))
+    val tf0 = apps.map(r => StoreRead.parquet(spark, s"$r/tf"))
       .reduce(_.unionByName(_))
-    val dl0 = apps.map(r => spark.read.parquet(s"$r/dl"))
+    val dl0 = apps.map(r => StoreRead.parquet(spark, s"$r/dl"))
       .reduce(_.unionByName(_))
     val (tf, dl) =
       if (dels.isEmpty) (tf0, dl0)
       else {
         val mask = broadcast(
-          dels.map(r => spark.read.parquet(s"$r/dels"))
+          dels.map(r => StoreRead.parquet(spark, s"$r/dels"))
             .reduce(_.unionByName(_)))
         (tf0.join(mask, Seq("id"), "left_anti"),
           dl0.join(mask, Seq("id"), "left_anti"))
       }
     (tf, dl,
-      spark.read.parquet(s"${segRoots.last._2}/dfcum"),
-      spark.read.parquet(s"${segRoots.last._2}/statscum"))
+      StoreRead.parquet(spark, s"${segRoots.last._2}/dfcum"),
+      StoreRead.parquet(spark, s"${segRoots.last._2}/statscum"))
   }
 
   // ---- tombstone deletes (round 16; round 17 folds them into the
@@ -544,29 +544,29 @@ object LexIndex {
     val p = StoreCommit.singleFlight(histMemo, root)(
       StoreCommit.ensure(root) { staging =>
         val tails = roots.drop(1)
-        val tf = tails.map(r => spark.read.parquet(s"$r/tf"))
+        val tf = tails.map(r => StoreRead.parquet(spark, s"$r/tf"))
           .reduce(_.unionByName(_))
-        val dl = tails.map(r => spark.read.parquet(s"$r/dl"))
+        val dl = tails.map(r => StoreRead.parquet(spark, s"$r/dl"))
           .reduce(_.unionByName(_))
-        val df = tails.map(r => spark.read.parquet(s"$r/df"))
+        val df = tails.map(r => StoreRead.parquet(spark, s"$r/df"))
           .reduce(_.unionByName(_))
           .groupBy("term").agg(sum(col("df")).as("df"))
-        val stats = tails.map(r => spark.read.parquet(s"$r/stats"))
+        val stats = tails.map(r => StoreRead.parquet(spark, s"$r/stats"))
           .reduce(_.unionByName(_))
           .agg(sum(col("n_terms")).as("n_terms"),
             sum(col("n_docs")).as("n_docs"))
         writeFrames(staging,
           (tf.drop("tbkt"), dl.coalesce(1), df.coalesce(1), stats))
         Seq("dfcum", "statscum").foreach(f =>
-          spark.read.parquet(s"${roots.last}/$f")
+          StoreRead.parquet(spark, s"${roots.last}/$f")
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$staging/$f"))
       })
     val (mtf, mdl, _, _) = readFrames(spark, p)
-    (spark.read.parquet(s"${roots.head}/tf").unionByName(mtf),
-      spark.read.parquet(s"${roots.head}/dl").unionByName(mdl),
-      spark.read.parquet(s"$p/dfcum"),
-      spark.read.parquet(s"$p/statscum"))
+    (StoreRead.parquet(spark, s"${roots.head}/tf").unionByName(mtf),
+      StoreRead.parquet(spark, s"${roots.head}/dl").unionByName(mdl),
+      StoreRead.parquet(spark, s"$p/dfcum"),
+      StoreRead.parquet(spark, s"$p/statscum"))
   }
 
   /** One STREAMED micro-segment's write (the q309 gate): the same

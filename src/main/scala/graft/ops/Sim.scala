@@ -2025,7 +2025,7 @@ object Sim {
               .coalesce(1).write.mode("overwrite").parquet(p)
             p
           })
-        docs.sparkSession.read.parquet(path)
+        graft.ops.StoreRead.parquet(docs.sparkSession, path)
       case None =>
         hybridLexArm(docs, nQueries, listK, docId, textCol, lexStore)
     }

@@ -43,8 +43,8 @@ private[graft] object Reg5Artifacts {
       pairsBuilt.write.mode("overwrite").parquet(s"$path/pairs")
       Dedup.componentsConverged(pairsBuilt)
         .write.mode("overwrite").parquet(s"$path/components")
-      val pairs = s.read.parquet(s"$path/pairs")
-      val comp = s.read.parquet(s"$path/components")
+      val pairs = graft.ops.StoreRead.parquet(s, s"$path/pairs")
+      val comp = graft.ops.StoreRead.parquet(s, s"$path/components")
       // jaccard is floored at 4 dp upstream, so the decimal(18,4) sum
       // is exact and order-insensitive (the q01 money-sum contract)
       val pStats = pairs.agg(count(lit(1)).as("n_pairs"),

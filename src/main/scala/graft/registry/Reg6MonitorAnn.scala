@@ -828,7 +828,7 @@ private[graft] object Reg6MonitorAnn {
         .parquet(base + "/frag")
       graft.ops.Layout.compactPartitioned(s, base + "/frag",
         base + "/compact", Seq("lang"), maxRecordsPerFile = 1000000L)
-      s.read.parquet(base + "/compact")
+      graft.ops.StoreRead.parquet(s, base + "/compact")
         .groupBy("lang")
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
         .orderBy("lang")
