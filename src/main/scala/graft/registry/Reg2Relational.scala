@@ -379,7 +379,7 @@ private[graft] object Reg2Relational {
           Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
           col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
-        .orderBy(col("l_returnflag").asc_nulls_first,
+        .presentByCols(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
 
@@ -745,7 +745,7 @@ private[graft] object Reg2Relational {
     "q99_exact_corr" -> ((s, dir) =>
       Agg.exactCorr(t(s, dir, "lineitem"), "l_returnflag",
           "l_quantity", "l_extendedprice")
-        .orderBy("l_returnflag"))
+        .presentBy("l_returnflag"))
   )
 
   private val quantilesOracleSql: String =

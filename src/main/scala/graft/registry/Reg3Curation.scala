@@ -569,7 +569,7 @@ private[graft] object Reg3Curation {
         .select(col("user_id"), col("exact_cnt"), col("cms_est"),
           (col("cms_est") >= col("exact_cnt")).as("never_under"),
           (col("n_cell_diff") === 0).as("merge_equals_full"))
-        .orderBy("user_id")
+        .presentBy("user_id")
     }),
 
 

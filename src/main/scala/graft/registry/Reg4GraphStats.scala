@@ -153,7 +153,7 @@ private[graft] object Reg4GraphStats {
     "q145_group_ols" -> ((s, dir) =>
       Agg.exactOls(t(s, dir, "lineitem"), "l_returnflag",
           "l_quantity", "l_extendedprice")
-        .orderBy("l_returnflag")),
+        .presentBy("l_returnflag")),
 
 
     // north star — cross-source contamination matrix

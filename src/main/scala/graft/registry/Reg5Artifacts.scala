@@ -768,7 +768,7 @@ private[graft] object Reg5Artifacts {
         .select(col("key").as("event_type"), col("exact_distinct"),
           col("hll_estimate"), col("nz_registers"), col("v_zero"),
           col("n_cell_diff"))
-        .orderBy("event_type")
+        .presentBy("event_type")
     }),
 
 

@@ -75,7 +75,7 @@ private[graft] object Reg6MonitorAnn {
     // numbers a 100 TB clustering decision is made from.
     "q210_zonemap_audit" -> ((s, dir) =>
       Layout.zoneMapAudit(t(s, dir, "lineitem"))
-        .orderBy("layout", "predicate")),
+        .presentBy("layout", "predicate")),
 
 
     // entity resolution — multi-pass blocking union + one bounded
