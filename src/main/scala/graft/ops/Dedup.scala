@@ -1340,48 +1340,66 @@ object Dedup {
     val nodes = p.select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct().localCheckpoint()
 
-    // One star operation, in the list-free two-aggregate form (a
+    // One star operation + re-symmetrization, in the list-free form (a
     // collect_list of the neighborhood would put a whole component's
-    // node set in one row at the hub — the min+join form never
-    // materializes a neighborhood): m(u) = min(N(u) ∪ u) via a keyed
-    // agg, then each selected edge re-hangs v under m(u) via a join
-    // back on u (same key → exchange reuse).
+    // node set in one row at the hub — this never materializes a
+    // neighborhood): m(u) = min(N(u) ∪ u) as a WINDOW over u (r18: the
+    // r17 groupBy+join-back form paid a keyed agg shuffle PLUS a join
+    // of the edges against it per star op; the window computes m on
+    // the one u-exchange, and the small-star union's per-u (m, u) edge
+    // rides the same frame un-deduplicated — the final distinct eats
+    // the copies, set-identical). One u-exchange + one (u,v) distinct
+    // per star op, down from 3-4 exchanges (guide §2.4).
     //   large-star: re-hang every neighbor v > u under m(u).
     //   small-star: re-hang every neighbor v <= u, v != m, AND u itself
     //   (the paper's Γ(u) ∪ {u} \ {m} — dropping u's own link to m
     //   would disconnect the center from its re-hung leaves).
-    def star(edges: DataFrame, large: Boolean): DataFrame = {
-      val mins = edges.groupBy("u").agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val joined = edges.join(mins, Seq("u"))
+    // The output is the SYMMETRIC adjacency (u -> neighbor), deduped
+    // by the single distinct that used to run twice (star's + sym's —
+    // distinct∘union∘distinct ≡ distinct∘union).
+    def starSym(edges: DataFrame, large: Boolean): DataFrame = {
+      val withM = edges.withColumn("m",
+        least(col("u"), min(col("v")).over(Window.partitionBy("u"))))
       val rehung =
         if (large)
-          joined.where(col("v") > col("u"))
+          withM.where(col("v") > col("u"))
             .select(col("m").as("u"), col("v"))
         else
-          joined.where(col("v") <= col("u") && col("v") =!= col("m"))
+          withM.where(col("v") <= col("u") && col("v") =!= col("m"))
             .select(col("m").as("u"), col("v"))
-            .union(mins.where(col("u") =!= col("m"))
+            .union(withM.where(col("u") =!= col("m"))
               .select(col("m").as("u"), col("u").as("v")))
-      rehung.where(col("v") =!= col("u")).distinct()
-    }
-    // symmetric adjacency; star ops read (u -> its neighbor list)
-    def sym(e: DataFrame): DataFrame =
+      val e = rehung.where(col("v") =!= col("u"))
       e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+    }
 
-    var edges = sym(p.select(col("id_a").as("u"), col("id_b").as("v")))
+    val e0 = p.select(col("id_a").as("u"), col("id_b").as("v"))
+    var edges = e0
+      .union(e0.select(col("v").as("u"), col("u").as("v"))).distinct()
       .localCheckpoint()
-    def same(a: DataFrame, b: DataFrame): Boolean =
-      a.count() == b.count() && a.except(b).isEmpty
+    // joint-fixpoint check in ONE job per round (r18, guide §7.3
+    // driver-side cost): the r17 form ran count(a)+count(b)(+except)
+    // TWICE per round — 4-9 driver jobs, and ProbeFixed measured q130
+    // ~75% loop/driver-bound. All three frames are distinct() outputs
+    // with non-null keys, so each contributes its tag at most once per
+    // (u,v) and `sum(tag) == 7` ⟺ the edge is in all three sets —
+    // "edges == afterLarge && afterLarge == afterSmall" as one
+    // union+aggregate, exact set equality, no counts, no except.
+    def allSame(a: DataFrame, b: DataFrame, c: DataFrame): Boolean =
+      a.select(col("u"), col("v"), lit(1).as("__t"))
+        .unionAll(b.select(col("u"), col("v"), lit(2).as("__t")))
+        .unionAll(c.select(col("u"), col("v"), lit(4).as("__t")))
+        .groupBy("u", "v").agg(sum(col("__t")).as("__m"))
+        .where(col("__m") =!= 7).isEmpty
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
-      val afterLarge = sym(star(edges, large = true)).localCheckpoint()
-      val afterSmall = sym(star(afterLarge, large = false))
+      val afterLarge = starSym(edges, large = true).localCheckpoint()
+      val afterSmall = starSym(afterLarge, large = false)
         .localCheckpoint()
       // joint fixpoint of BOTH operations (see scaladoc: large-star
       // identity alone accepts the shared-hub non-star shape)
-      done = same(afterLarge, edges) && same(afterSmall, afterLarge)
+      done = allSame(edges, afterLarge, afterSmall)
       edges = afterSmall
       round += 1
     }

@@ -96,15 +96,16 @@ object Graph {
 
   /** `iters` rounds of damped weighted PageRank over `edges(src, dst, w)`.
     *
-    * Shuffle shape per round: one BROADCAST join of the (checkpointed,
-    * dst-partitioned, weight-summed) edge frame with the current rank
-    * frame — the rank side is |nodes| rows, far smaller than edges —
-    * then a `groupBy(dst).sum` of the integer shares that reuses the
-    * checkpoint's dst partitioning (NO per-round shuffle). No
-    * windows, no driver-side data beyond the node COUNT (a scalar, same
-    * contract as Sim's k centroids). Each round `localCheckpoint`s the new
-    * rank frame so the plan stays O(1) deep across iterations (the q128
-    * connected-components hygiene).
+    * Shuffle shape: the weight-summed edge frame is checkpointed once
+    * and hash-exchanged on `dst` ONCE (`ewD` — a standing exchange all
+    * iterations share via AQE stage reuse); each round is a BROADCAST
+    * join of that frame with the current rank frame — the rank side is
+    * |nodes| rows, far smaller than edges — then a `groupBy(dst).sum`
+    * of the integer shares that aggregates in place on the shared
+    * exchange's partitioning (no per-round exchange; rounds 2..n show
+    * as `ReusedQueryStage` over round 1's shuffle). No windows, no
+    * driver-side data beyond the node COUNT (a scalar, same contract
+    * as Sim's k centroids).
     *
     * Dangling nodes (out-degree 0) keep their base share only; callers
     * that need total-mass conservation should symmetrize edges first
@@ -119,22 +120,32 @@ object Graph {
 
     // ONE materialization of the standing edge frame (r17, guide §2.4):
     // weight-sum by (src, dst), out-weight as a WINDOW over src in the
-    // same pass (identical integer sums to the old groupBy+join), and
-    // the result checkpointed PARTITIONED BY dst — every iteration's
-    // inflow ends in groupBy(dst), a broadcast rank join preserves the
-    // child's partitioning, and LogicalRDD keeps the checkpointed
-    // plan's partitioning, so hash-partitioning the standing frame
-    // ONCE lets all `iters` aggregations skip their contribution
-    // shuffle ("two operations keyed the same way share one
-    // exchange"). The old shape paid two checkpoint jobs (edges, then
-    // edges⋈outw) plus one 1.17M-row contribution shuffle per round;
-    // r17 A/B at sf0.1 (1.17M edges, 3 iters): 5.07 → 4.38 s per rep
-    // for the dst partitioning alone, → 3.72 s with the single-pass ew.
+    // same pass (identical integer sums to the old groupBy+join).
+    //
+    // r18 (verdict #2): the r17 form repartitioned BY dst INSIDE the
+    // checkpoint and claimed the iterations reuse that partitioning —
+    // refuted: the checkpointed frame reads back as `ExistingRDD,
+    // UnknownPartitioning(0)` (Dataset.localCheckpoint snapshots the
+    // physical partitioning before AQE finalizes it), so every round
+    // still paid its own `Exchange hashpartitioning(dst)` over the
+    // join output. The shuffle-sharing mechanism that actually works
+    // is an EXPLICIT standing exchange ABOVE the checkpoint (`ewD`
+    // below): every iteration's subplan is then
+    //   HashAggregate(dst) ← BroadcastHashJoin(ranks) ←
+    //   Exchange hashpartitioning(dst) ← Scan ExistingRDD
+    // and the three Exchange subtrees are canonically IDENTICAL (the
+    // rank side rides in by broadcast, above the exchange), so AQE
+    // stage reuse materializes the edge shuffle ONCE and rounds 2..n
+    // read it back (`ReusedQueryStage`) — one edge-sized shuffle
+    // total, zero per-round exchanges ("two operations keyed the same
+    // way share one exchange").
     val ew = edges0.groupBy("src", "dst")
       .agg(sum(col("w")).as("w"))
       .withColumn("outw",
         sum(col("w")).over(Window.partitionBy("src")))
-      .repartition(col("dst")).localCheckpoint()
+      .localCheckpoint()
+    // the standing dst exchange every iteration shares (see above)
+    val ewD = ew.repartition(col("dst"))
 
     val nodes = ew.select(col("src").as("node"))
       .union(ew.select(col("dst").as("node")))
@@ -150,11 +161,21 @@ object Graph {
     for (i <- 1 to iters) {
       // per-edge share floor(r*w/outw), integer `div` — NOT `/` (Spark's
       // `/` is double division; last-ulp rounding there would diverge
-      // from the oracle's exact `//`)
-      val inflow = ew.join(ranks, ew("src") === ranks("node"))
+      // from the oracle's exact `//`). broadcast(ranks) is PINNED (r17
+      // advice): the no-per-round-exchange shape requires the rank side
+      // to ride in above the standing dst exchange — a size-estimate
+      // flip to a shuffle join would both lose ewD's partitioning and
+      // add back a per-round src exchange.
+      val inflow = ewD.join(broadcast(ranks), ewD("src") === ranks("node"))
         .select(col("dst"), expr("r * w div outw").as("share"))
         .groupBy("dst").agg(sum(col("share")).as("inflow"))
-      val next = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+      // inflow is node-sized (one row per dst with inflow) — broadcast
+      // pinned for the same reason as ranks above: an estimate-driven
+      // sort-merge join here re-exchanged the node frame EVERY round
+      // (seen in the r18 before dump: per-iteration
+      // `Exchange hashpartitioning(node)` under SortMergeJoin LeftOuter)
+      val next = nodes.join(broadcast(inflow),
+          nodes("node") === inflow("dst"), "left")
         .select(col("node"),
           (lit(base) +
             expr(s"$dampPct * coalesce(inflow, 0L) div 100")).as("r"))

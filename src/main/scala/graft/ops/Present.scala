@@ -36,12 +36,37 @@ object Present {
   implicit class PresentOps(private val df: DataFrame) extends AnyVal {
 
     /** `orderBy(cols)` with the range-sampling pass removed — same
-      * rows, same total order, one fewer pass over the child. */
+      * rows, same total order, one fewer pass over the child.
+      *
+      * ONLY for result-sized frames (top-k lists, per-group
+      * aggregates): the single-partition sort is the standard
+      * small-result shape. A per-row (corpus-sized) result MUST use
+      * [[presentLargeBy]] instead — `repartition(1)` funnels the whole
+      * corpus through one task at scale (r17 verdict #1). */
     def presentBy(cols: String*): DataFrame =
       presentByCols(cols.map(col): _*)
 
     /** [[presentBy]] for explicit sort-order columns (desc, etc.). */
     def presentByCols(order: Column*): DataFrame =
       df.repartition(1).sortWithinPartitions(order: _*)
+
+    /** Presentation `orderBy(cols)` for CORPUS-SIZED results (one row
+      * per document/event/media/vector): the scale-safe range sort is
+      * KEPT — the result stays distributed across range partitions,
+      * never funneled through one task — and the range-sampling pass's
+      * child recompute is removed instead, by materializing the child
+      * once (lazy localCheckpoint; the sampling job computes and
+      * persists the blocks, the sort reads them back — guide §3.3's
+      * "materialise an intermediate", applied to §2.4's duplicated
+      * sort child). Same rows, same total order as a plain `orderBy`;
+      * the plan shows `Exchange rangepartitioning` over a
+      * `Scan ExistingRDD` leaf instead of over a second copy of the
+      * operator pipeline. */
+    def presentLargeBy(cols: String*): DataFrame =
+      presentLargeByCols(cols.map(col): _*)
+
+    /** [[presentLargeBy]] for explicit sort-order columns. */
+    def presentLargeByCols(order: Column*): DataFrame =
+      df.localCheckpoint(eager = false).orderBy(order: _*)
   }
 }

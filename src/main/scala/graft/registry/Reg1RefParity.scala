@@ -179,7 +179,7 @@ private[graft] object Reg1RefParity {
     "q08_clean_text" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), Text.cleanText(col("text")).as("clean_text"))
-        .presentBy("doc_id")),
+        .presentLargeBy("doc_id")),
 
 
     // op 9: regex boolean predicates (na=false semantics).
@@ -188,14 +188,14 @@ private[graft] object Reg1RefParity {
         col("doc_id"),
         Text.regexFlag(col("text")).as("dropout_mentioned"),
         Text.regexFlag(col("text"), "(?i)spark|stream").as("mentions_spark"))
-        .presentBy("doc_id")),
+        .presentLargeBy("doc_id")),
 
 
     // op 10: lexicon-average sentiment.
     "q10_sentiment" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
           Sentiment.score(Text.cleanText(col("text"))).as("sentiment"))
-        .presentBy("doc_id")),
+        .presentLargeBy("doc_id")),
 
 
     // op 11: CASE bucketing into sentiment labels.
@@ -205,7 +205,7 @@ private[graft] object Reg1RefParity {
           Sentiment.score(Text.cleanText(col("text"))))
         .select(col("doc_id"), col("sentiment"),
           Text.sentimentLabel(col("sentiment")).as("label"))
-        .presentBy("doc_id")),
+        .presentLargeBy("doc_id")),
 
 
     // op 12: date-part extraction.

@@ -43,7 +43,7 @@ private[graft] object Reg2Relational {
       val b = li.where(col("l_orderkey") % 3 === 0)
       a.exceptAll(b)
         .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
-        .presentBy("l_orderkey")
+        .presentLargeBy("l_orderkey")
     }),
 
 
@@ -153,7 +153,7 @@ private[graft] object Reg2Relational {
     "q30_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
-        .presentBy("doc_id")),
+        .presentLargeBy("doc_id")),
 
 
     // north star — exact near-dup dedup via content fingerprint.
@@ -189,7 +189,7 @@ private[graft] object Reg2Relational {
       t(s, dir, "documents")
         .withColumn("t", Text.cleanTokens(col("text")))
         .select(col("doc_id"), Dedup.simhash16Native(col("t")).as("simhash"))
-        .presentBy("doc_id")),
+        .presentLargeBy("doc_id")),
 
 
     // north star — SimHash near-dup pairs via nibble banding + exact
@@ -279,7 +279,7 @@ private[graft] object Reg2Relational {
     // north star — embedding-cosine near-dup pairs within cells.
     "q42_near_dup_cosine" -> ((s, dir) =>
       Sim.nearDupPairs(t(s, dir, "embeddings"), 0.2, "label")
-        .presentBy("id_a", "id_b")),
+        .presentLargeBy("id_a", "id_b")),
 
 
     // north star — text statistics (token counts, quality, lang-id).
@@ -294,7 +294,7 @@ private[graft] object Reg2Relational {
           Text.stopwordCount(col("t")).as("n_stopwords"),
           Text.qualityScore(col("text"), col("t")).as("quality"),
           Text.langIdHeuristic(col("text"), col("t")).as("lang_id"))
-        .presentBy("doc_id")),
+        .presentLargeBy("doc_id")),
 
 
     // north star — language-ID breakdown.
@@ -321,7 +321,7 @@ private[graft] object Reg2Relational {
       Text.tfIdfTopK(t(s, dir, "documents"), "doc_id", "text", 3)
         .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
           col("tfidf"), col("rk"))
-        .presentBy("doc_id", "rk")),
+        .presentLargeBy("doc_id", "rk")),
 
 
     // north star — tumbling-window counts (batch form of streaming agg).
@@ -339,7 +339,7 @@ private[graft] object Reg2Relational {
     // north star — gap-based sessionization.
     "q62_sessionize" -> ((s, dir) =>
       EventsOps.sessionize(t(s, dir, "events"), 1800)
-        .presentBy("user_id", "session_id")),
+        .presentLargeBy("user_id", "session_id")),
 
 
     // north star — as-of join (purchase ← most recent click per user).
@@ -348,7 +348,7 @@ private[graft] object Reg2Relational {
       EventsOps.asOfJoin(
           ev.where(col("event_type") === "purchase"),
           ev.where(col("event_type") === "click"))
-        .presentBy("user_id", "event_id")
+        .presentLargeBy("user_id", "event_id")
     }),
 
 
@@ -369,7 +369,7 @@ private[graft] object Reg2Relational {
       t(s, dir, "events")
         .select(col("event_id"),
           EventsOps.jsonProp(col("props"), "k").as("k"))
-        .presentBy("event_id")),
+        .presentLargeBy("event_id")),
 
 
     // §2.5 gap — explicit GROUPING SETS (rollup/cube generalization).
@@ -386,14 +386,14 @@ private[graft] object Reg2Relational {
     // §2.5 gap — lag + moving-frame aggregates per user (ordered stream).
     "q66_moving_stats" -> ((s, dir) =>
       EventsOps.movingStats(t(s, dir, "events"))
-        .presentBy("user_id", "rn")),
+        .presentLargeBy("user_id", "rn")),
 
 
     // north star — built-in session_window sessionization (the operator
     // Structured Streaming shares; q62 is the window-function formulation).
     "q67_session_window" -> ((s, dir) =>
       EventsOps.sessionWindows(t(s, dir, "events"), 1800)
-        .presentBy("user_id", "session_start")),
+        .presentLargeBy("user_id", "session_start")),
 
 
     // §2.5 gap — ranking-function family beyond row_number: dense_rank,
@@ -409,7 +409,7 @@ private[graft] object Reg2Relational {
           ntile(4).over(w).as("quartile"),
           Num.floorAt(cume_dist().over(w), 6).as("cd"),
           row_number().over(w).as("rn"))
-        .presentBy("o_orderstatus", "rn")
+        .presentLargeBy("o_orderstatus", "rn")
     }),
 
 
@@ -526,7 +526,7 @@ private[graft] object Reg2Relational {
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("width"), col("height"), col("n_pixels"),
           col("mean_r"), col("mean_g"), col("mean_b"))
-        .presentBy("media_id")
+        .presentLargeBy("media_id")
     }),
 
 
@@ -536,7 +536,7 @@ private[graft] object Reg2Relational {
     "q71_media_frames" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
       Multimodal.frameSample(media, frameBytes = 256, everyNth = 2).toDF()
-        .presentBy("media_id", "frame_idx")
+        .presentLargeBy("media_id", "frame_idx")
     }),
 
 
@@ -548,7 +548,7 @@ private[graft] object Reg2Relational {
       Multimodal.resize(media, 64, 64).toDF()
         .select(col("media_id"), col("kind"), col("width"), col("height"),
           md5(col("payload")).as("payload_md5"))
-        .presentBy("media_id")
+        .presentLargeBy("media_id")
     }),
 
 
@@ -560,7 +560,7 @@ private[graft] object Reg2Relational {
         .select(col("doc_id"), posexplode(slice(col("t"), 1, 3)))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("col").as("tok"))
-        .presentBy("doc_id", "pos")),
+        .presentLargeBy("doc_id", "pos")),
 
 
     // §2.5 gap — correlated EXISTS / NOT EXISTS subqueries (Catalyst
@@ -597,14 +597,14 @@ private[graft] object Reg2Relational {
     // trailing 10-minute per-user moving sum.
     "q83_range_frame" -> ((s, dir) =>
       EventsOps.rangeMovingSum(t(s, dir, "events"), 600)
-        .presentBy("user_id", "event_id")),
+        .presentLargeBy("user_id", "event_id")),
 
 
     // §2.5 gap — lead/lag inter-event features (dwell time, previous
     // action) over one per-user window sort.
     "q84_lead_lag_gaps" -> ((s, dir) =>
       EventsOps.eventGaps(t(s, dir, "events"))
-        .presentBy("user_id", "event_id")),
+        .presentLargeBy("user_id", "event_id")),
 
 
     // §2.5 gap — first_value/last_value over an unbounded frame, collapsed
@@ -623,7 +623,7 @@ private[graft] object Reg2Relational {
       val open = o.where(col("o_orderstatus") === "O")
         .select(col("o_orderkey"), lit("open").as("src"))
       fin.unionByName(open, allowMissingColumns = true)
-        .presentBy("o_orderkey", "src")
+        .presentLargeBy("o_orderkey", "src")
     }),
 
 
@@ -638,7 +638,7 @@ private[graft] object Reg2Relational {
     // [valid_from, valid_to) rows per run of equal user state.
     "q88_scd2_intervals" -> ((s, dir) =>
       EventsOps.scd2Intervals(t(s, dir, "events"))
-        .presentBy("user_id", "run_id")),
+        .presentLargeBy("user_id", "run_id")),
 
 
     // data management — referential-integrity audit via broadcast anti
@@ -695,14 +695,14 @@ private[graft] object Reg2Relational {
       Text.bm25TopK(t(s, dir, "documents"), "doc_id", "text", 3)
         .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
           col("dl"), col("score"), col("rk"))
-        .presentBy("doc_id", "rk")),
+        .presentLargeBy("doc_id", "rk")),
 
 
     // north star — time-series gap fill + forward fill (dense hourly
     // per-user series generated from sparse events).
     "q94_gap_fill" -> ((s, dir) =>
       EventsOps.gapFillForwardFill(t(s, dir, "events"), 3600)
-        .presentBy("user_id", "bucket")),
+        .presentLargeBy("user_id", "bucket")),
 
 
     // §2.5 gap — share-of-total window ratios (per-source language mix).
@@ -719,7 +719,7 @@ private[graft] object Reg2Relational {
             .as("m"))
         .select(col("doc_id"), size(col("m")).as("n_matches"),
           array_join(col("m"), ",").as("matches"))
-        .presentBy("doc_id")),
+        .presentLargeBy("doc_id")),
 
 
     // north star — blocked fuzzy matching over the distinct name

@@ -139,7 +139,7 @@ private[graft] object Reg3Curation {
           col("mean_word_len"), col("symbol_ratio"), col("top_bigram_frac"),
           Text.gopherKeep(col("n_tokens"), col("mean_word_len"),
             col("symbol_ratio"), col("top_bigram_frac")).as("keep"))
-        .presentBy("doc_id")
+        .presentLargeBy("doc_id")
     }),
 
 
@@ -231,7 +231,7 @@ private[graft] object Reg3Curation {
           "raw")
         .select(col("doc_id"), col("n_pii"),
           md5(col("redacted")).as("redacted_md5"))
-        .presentBy("doc_id")),
+        .presentLargeBy("doc_id")),
 
 
     // north star — incremental aggregate maintenance (materialized-view
@@ -389,14 +389,14 @@ private[graft] object Reg3Curation {
     "q126_segment_dedup" -> ((s, dir) =>
       Curate.dedupSegments(t(s, dir, "documents"), "doc_id", "text",
           segTokens = 16)
-        .presentBy("doc_id")),
+        .presentLargeBy("doc_id")),
 
 
     // north star — unigram-LM mean log2 prob per doc (the KenLM-style
     // perplexity proxy quality filter, model-free).
     "q127_unigram_logprob" -> ((s, dir) =>
       Curate.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
-        .presentBy("doc_id")),
+        .presentLargeBy("doc_id")),
 
 
     // north star — EXACT connected components (fixpoint label propagation)
@@ -494,7 +494,7 @@ private[graft] object Reg3Curation {
             Layout.normalize(
               floor(unix_timestamp(col("o_orderdate")) / 86400), 7305L),
             bits = 16).as("zval"))
-        .presentBy("o_orderkey")),
+        .presentLargeBy("o_orderkey")),
 
 
     // north star — deterministic corpus shuffle (the step between q78's

@@ -134,7 +134,7 @@ private[graft] object Reg4GraphStats {
     // so the 4x memory cut is measured, not assumed. Scan-local.
     "q143_int8_quant" -> ((s, dir) =>
       Sim.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
-        .presentBy("vec_id")),
+        .presentLargeBy("vec_id")),
 
 
     // north star — per-source token-budget admission

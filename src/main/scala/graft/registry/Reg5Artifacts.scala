@@ -72,7 +72,7 @@ private[graft] object Reg5Artifacts {
         .select(col("media_id"), col("kind"),
           col("width"), col("height"), col("n_pixels"),
           col("mean_r"), col("mean_g"), col("mean_b"))
-        .presentBy("media_id")
+        .presentLargeBy("media_id")
     }),
 
     // north star — REAL baseline-JPEG round-trip (Jpeg scaladoc): the
@@ -91,7 +91,7 @@ private[graft] object Reg5Artifacts {
         .select(col("media_id"), col("kind"),
           col("width"), col("height"), col("n_pixels"),
           col("sum_gray"), col("mean_gray"))
-        .presentBy("media_id")
+        .presentLargeBy("media_id")
     }),
 
 
@@ -107,7 +107,7 @@ private[graft] object Reg5Artifacts {
         .select(col("media_id"), col("kind"), col("sample_rate"),
           col("n_samples"), col("duration_ms"), col("peak_abs"),
           col("n_zero_cross"), col("mean_sample"), col("rms"))
-        .presentBy("media_id")
+        .presentLargeBy("media_id")
     }),
 
 

@@ -48,7 +48,7 @@ private[graft] object Reg6MonitorAnn {
     "q207_winnowing" -> ((s, dir) =>
       Dedup.winnowingFingerprints(t(s, dir, "documents"), "doc_id",
           "text", w = 3, window = 4)
-        .presentBy("doc_id")),
+        .presentLargeBy("doc_id")),
 
 
     // dedup — candidate pairs from shared winnowing fingerprints
@@ -57,7 +57,7 @@ private[graft] object Reg6MonitorAnn {
     "q208_winnow_candidates" -> ((s, dir) =>
       Dedup.winnowingCandidatePairs(t(s, dir, "documents"), "doc_id",
           "text", w = 3, window = 4, minShared = 2)
-        .presentBy("id_a", "id_b")),
+        .presentLargeBy("id_a", "id_b")),
 
 
     // monitoring — per-group Spearman rank correlation
@@ -149,7 +149,7 @@ private[graft] object Reg6MonitorAnn {
     // events; exact binary weights make the smoother engine-portable.
     "q216_ewma" -> ((s, dir) =>
       EventsOps.ewmaBounded(t(s, dir, "events"), depth = 16)
-        .presentBy("user_id", "event_id")),
+        .presentLargeBy("user_id", "event_id")),
 
 
     // curation — within-source quantile normalization
@@ -158,7 +158,7 @@ private[graft] object Reg6MonitorAnn {
     "q217_quantile_norm" -> ((s, dir) =>
       Curate.quantileNormalize(t(s, dir, "documents"), "doc_id",
           "source", "n_chars")
-        .presentBy("doc_id")),
+        .presentLargeBy("doc_id")),
 
 
     // curation — largest-remainder mixture allocation
@@ -865,7 +865,7 @@ private[graft] object Reg6MonitorAnn {
             .withColumn("event_type", lit("merged"))
             .withColumn("value", col("value") * 2),
           Seq("event_id"))
-        .presentBy("event_id")
+        .presentLargeBy("event_id")
     }),
 
     // statistics — deterministic Poisson-bootstrap CI for the group
