@@ -998,9 +998,21 @@ object Agg {
     val threshold =
       if (minGroupsForWindow > 0) minGroupsForWindow
       else df.sparkSession.sparkContext.defaultParallelism.toLong
-    spearmanEngine(df, key, x, y, threshold) match {
-      case "windowed" => spearmanCorr(df, key, x, y)
-      case _          => spearmanCorrDomain(df, key, x, y)
+    // r18 (guide §2.4 "share one computation", r17 verdict #6): the
+    // preflight and the chosen engine both start from the same
+    // (key, x, y) null-filtered projection, and each paid its own
+    // source scan — Probe233 measured the preflight at 0.70 s of
+    // q233's 2.1 s, scan-bound. Materialize the projection ONCE
+    // (lazy: the preflight's head() computes and persists it, the
+    // engine reads the blocks back). Row set and engine arithmetic
+    // are unchanged — both engines listwise-delete the same nulls
+    // this frame already dropped.
+    val dfn = df.select(col(key), col(x), col(y))
+      .where(col(x).isNotNull && col(y).isNotNull)
+      .localCheckpoint(eager = false)
+    spearmanEngine(dfn, key, x, y, threshold) match {
+      case "windowed" => spearmanCorr(dfn, key, x, y)
+      case _          => spearmanCorrDomain(dfn, key, x, y)
     }
   }
 
@@ -1352,7 +1364,14 @@ object Agg {
                     ps: Seq[(String, Double)],
                     maxGroupForBuffer: Long = 1000000L,
                     buckets: Int = 64): DataFrame = {
+    // r18 (guide §2.4, r17 verdict #6): preflight and engine shared
+    // nothing but re-scanned the same source; materialize the
+    // null-filtered (key, value) projection once — the preflight's
+    // grouped-count head() computes and persists it, the chosen
+    // engine reads the blocks back. Same rows either way.
     val nn = df.where(col(valueCol).isNotNull)
+      .select(col(key), col(valueCol))
+      .localCheckpoint(eager = false)
     quantileEngine(nn, key, maxGroupForBuffer) match {
       case "buffer" => quantilesByBuffer(nn, key, valueCol, ps)
       case _        => quantilesByDomain(nn, key, valueCol, ps, buckets)

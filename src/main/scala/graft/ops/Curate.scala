@@ -1758,26 +1758,40 @@ object Curate {
     * UNfloored — exposed so [[qualityGate]] can score with the same
     * fit. See [[qualityProbe]] for the contract.
     */
-  private[graft] def qualityProbeWeights(docs: DataFrame, idCol: String,
-                                         textCol: String, label: Column,
-                                         buckets: Int, iters: Int)
-      : (Array[Double], Double) = {
-    require(buckets >= 1, s"need buckets >= 1, got $buckets")
-    require(iters >= 1, s"need iters >= 1, got $iters")
-    val base = docs.select(col(idCol).as("id"),
-      label.cast("long").as("y"), Text.cleanTokens(col(textCol)).as("t"))
-    val tokCnt = base
+  /** Per-doc token-feature-bucket counts — the (id, b, c) frame the
+    * trainer's Gram pass AND [[qualityGate]]'s scorer both consume
+    * (r18: previously each side re-ran tokenize+explode+groupBy over
+    * the corpus; qualityGate now materializes this once and shares it,
+    * guide §2.4).
+    */
+  private def tokenBucketCounts(docs: DataFrame, idCol: String,
+                                textCol: String, buckets: Int)
+      : DataFrame =
+    docs.select(col(idCol).as("id"),
+        Text.cleanTokens(col(textCol)).as("t"))
       .select(col("id"), explode(col("t")).as("tok"))
       .select(col("id"), tokenBucket(col("tok"), buckets).as("b"))
       .groupBy("id", "b").agg(count(lit(1)).as("c"))
+
+  private[graft] def qualityProbeWeights(docs: DataFrame, idCol: String,
+                                         textCol: String, label: Column,
+                                         buckets: Int, iters: Int,
+                                         tokCnt0: Option[DataFrame] = None)
+      : (Array[Double], Double) = {
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val tokCnt = tokCnt0.getOrElse(
+      tokenBucketCounts(docs, idCol, textCol, buckets))
+    // intercept/label rows need only (id, y) — no tokenize on this arm
+    val lab = docs.select(col(idCol).as("id"), label.cast("long").as("y"))
     val dim = buckets + 1
     // augmented sparse vector [x | y]: intercept at index `buckets`,
     // the 0/1 label at index `dim` — one self-join Gram pass then
     // carries G (indices < dim), b (the y column), and Σy² (corner)
     val feats = tokCnt
-      .unionByName(base.select(col("id"),
+      .unionByName(lab.select(col("id"),
         lit(buckets).cast("int").as("b"), lit(1L).as("c")))
-      .unionByName(base.where(col("y") =!= 0).select(col("id"),
+      .unionByName(lab.where(col("y") =!= 0).select(col("id"),
         lit(dim).cast("int").as("b"), col("y").as("c")))
     val f1 = feats.select(col("id"), col("b").as("bi"), col("c").as("ci"))
     val f2 = feats.select(col("id"), col("b").as("bj"), col("c").as("cj"))
@@ -1848,20 +1862,21 @@ object Curate {
                   label: Column, srcCol: String, buckets: Int = 32,
                   iters: Int = 8,
                   thresholdE9: Long = 500000000L): DataFrame = {
-    val (w, _) =
-      qualityProbeWeights(docs, idCol, textCol, label, buckets, iters)
+    // ONE tokenize+explode+bucket-count pass, shared by the trainer's
+    // Gram collect (which materializes it) and the scorer below (which
+    // reads the blocks back) — r18, guide §2.4; identical counts feed
+    // identical arithmetic on both sides
+    val tokCnt = tokenBucketCounts(docs, idCol, textCol, buckets)
+      .localCheckpoint(eager = false)
+    val (w, _) = qualityProbeWeights(docs, idCol, textCol, label,
+      buckets, iters, Some(tokCnt))
     val wE9: Array[Long] = w.map(x => math.floor(x * 1e9).toLong)
     val wLit = array(wE9.map(lit(_)): _*)
-    val base = docs.select(col(idCol).as("id"), col(srcCol).as("source"),
-      Text.cleanTokens(col(textCol)).as("t"))
-    val tokScore = base
-      .select(col("id"), explode(col("t")).as("tok"))
-      .select(col("id"), tokenBucket(col("tok"), buckets).as("b"))
-      .groupBy("id", "b").agg(count(lit(1)).as("c"))
+    val tokScore = tokCnt
       .select(col("id"),
         (col("c") * element_at(wLit, col("b") + 1)).as("s"))
       .groupBy("id").agg(sum(col("s")).as("ts"))
-    base.select(col("id"), col("source"))
+    docs.select(col(idCol).as("id"), col(srcCol).as("source"))
       .join(tokScore, Seq("id"), "left")
       .select(col("source"),
         (coalesce(col("ts"), lit(0L)) + lit(wE9(buckets)))

@@ -1087,13 +1087,19 @@ object Dedup {
         .as("bn"))
       .select(col("id"), col("sh"),
         col("bn.band").as("band"), col("bn.nib").as("nib"))
+    // first-match-wins dedup — see [[simhashDupPairs]]'s comment; same
+    // set-identical filter, 15-bit bands
+    val firstMatch = (0 until 3).map(j =>
+      col("a.band") <= j ||
+        shiftright(col("a.sh"), 15 * j).bitwiseAND(32767) =!=
+          shiftright(col("b.sh"), 15 * j).bitwiseAND(32767))
+      .reduce(_ && _)
     banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") && firstMatch)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** SimHash near-duplicate pairs: docs whose 16-bit SimHash signatures
@@ -1122,13 +1128,26 @@ object Dedup {
         .as("bn"))
       .select(col("id"), col("sh"),
         col("bn.band").as("band"), col("bn.nib").as("nib"))
+    // first-match-wins (r18, guide §2.4; the topKLsh trick): a pair
+    // that agrees on several bands used to emit one candidate per
+    // matching band and pay a pair-keyed DISTINCT shuffle to dedup
+    // (measured: +1.6 s of q35's 2.4 — the single most expensive node).
+    // Keeping a pair only at its FIRST matching band is a scan-local
+    // filter on the two signatures already in hand: each doc emits one
+    // row per band, so (pair, band) is unique and the minimal matching
+    // band names each pair exactly once — row set identical to the
+    // distinct, zero extra exchange.
+    val firstMatch = (0 until 3).map(j =>
+      col("a.band") <= j ||
+        shiftright(col("a.sh"), 4 * j).bitwiseAND(15) =!=
+          shiftright(col("b.sh"), 4 * j).bitwiseAND(15))
+      .reduce(_ && _)
     banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") && firstMatch)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** Blocked fuzzy matching: candidate pairs share a BLOCK KEY (first
@@ -1278,11 +1297,16 @@ object Dedup {
         .join(lbl.select(col("id").as("dst"), col("lbl").as("nlbl")),
           Seq("dst"))
         .groupBy("src").agg(min(col("nlbl")).as("nlbl"))
+      // lazy checkpoint + full-aggregate count = the round's ONE job:
+      // the count computes every partition (materializing the blocks
+      // the next round reads) and returns the convergence signal —
+      // previously a standalone eager-checkpoint job plus a count job
+      // per round (r18, guide §7.3 driver-side cost)
       val next = lbl
         .join(nbr.withColumnRenamed("src", "id"), Seq("id"))
         .select(col("id"), least(col("lbl"), col("nlbl")).as("lbl"),
           (col("nlbl") < col("lbl")).as("chg"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = next.where(col("chg")).count()
       lbl = next.drop("chg")
       round += 1

@@ -743,6 +743,16 @@ object Sim {
     * codebooks), applicable on first contact with a corpus.
     */
   def jlProject(vec: Column, signs: Seq[Array[Float]]): Column =
+    Bridge.column(graft.functions.JlProjectExpr(
+      Bridge.expression(vec), signs.toArray))
+
+  /** The unrolled array-of-dots reference form of [[jlProject]] — kept
+    * as the semantics pin (tests assert jlProject == jlProjectRef);
+    * the production path is the single native node, whose 64 embedded
+    * literal rows otherwise cost ~2.4 s of analysis + janino per
+    * construction (the PqExprs fixed-cost rule).
+    */
+  def jlProjectRef(vec: Column, signs: Seq[Array[Float]]): Column =
     array(signs.map(s => dot(vec, typedLit(s.toSeq)).cast("float")): _*)
 
   /** Measured JL recall sweep — the missing axis of the ANN matrix:
@@ -777,18 +787,24 @@ object Sim {
     // projection dots would read past its end (element_at null),
     // nulling projected coordinates and silently distorting recall —
     // demand uniform dimensions instead.
-    val dimRow = candidates.agg(max(size(col(vecCol))),
-      min(size(col(vecCol)))).head()
-    val dim = if (dimRow.isNullAt(0)) 0 else dimRow.getInt(0)
-    require(dimRow.isNullAt(0) || dimRow.getInt(1) == dim,
+    // both sides' guards in ONE job (r18 — two separate head() jobs
+    // were pure fixed cost per construction): side 0 = candidates,
+    // side 1 = queries; an empty side simply contributes no row, the
+    // same "no constraint" case the per-side isNullAt used to express
+    val dimRows = candidates
+      .select(lit(0).as("__side"), size(col(vecCol)).as("__d"))
+      .unionAll(queries
+        .select(lit(1).as("__side"), size(col(vecCol)).as("__d")))
+      .groupBy("__side")
+      .agg(max(col("__d")).as("mx"), min(col("__d")).as("mn"))
+      .collect().map(r => r.getInt(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val dim = dimRows.get(0).map(_._1).getOrElse(0)
+    require(dimRows.get(0).forall(_._2 == dim),
       s"jlRecallSweep needs uniform-dimension vectors; got sizes " +
-        s"${dimRow.getInt(1)}..$dim")
-    val qDimRow = queries.agg(max(size(col(vecCol))),
-      min(size(col(vecCol)))).head()
-    require(qDimRow.isNullAt(0) ||
-      (qDimRow.getInt(0) == dim && qDimRow.getInt(1) == dim),
+        s"${dimRows(0)._2}..$dim")
+    require(dimRows.get(1).forall(d => d._1 == dim && d._2 == dim),
       s"jlRecallSweep queries must match the candidate dimension $dim; " +
-        s"got sizes ${qDimRow.getInt(1)}..${qDimRow.getInt(0)}")
+        s"got sizes ${dimRows.get(1).map(d => s"${d._2}..${d._1}")}")
     val signs = jlSigns(outDims.max, dim)
     val truth = topK(queries, candidates, k, idCol, vecCol)
       .select(col("q_id"), col("c_id"))

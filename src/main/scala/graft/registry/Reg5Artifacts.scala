@@ -657,7 +657,7 @@ private[graft] object Reg5Artifacts {
     // standard 3.5 on the FLOORED score.
     "q182_robust_anomalies" -> ((s, dir) =>
       Agg.robustAnomalies(t(s, dir, "events"), "event_type", "value")
-        .orderBy("event_type")),
+        .presentBy("event_type")),
 
 
     // north star — ingest novelty (Curate.batchNovelty scaladoc): the

@@ -304,7 +304,7 @@ private[graft] object Reg6MonitorAnn {
           col("component").as("entity"))
         .withColumn("n_members",
           count(lit(1)).over(Window.partitionBy("entity")))
-        .orderBy("name")
+        .presentLargeBy("name")
     }),
 
 
@@ -741,7 +741,7 @@ private[graft] object Reg6MonitorAnn {
       Sim.ivfAdcRecallSweep(km.where(col("vec_id") < 10), km,
           graft.ops.AnnIndex.books(s, dir),
           5, "cell", maxProbes = 3)
-        .orderBy("probes")
+        .presentBy("probes")
     }),
 
     // ANN — IVF-ADC with EXACT re-ranking (Sim.ivfAdcRerankSweep
@@ -756,7 +756,7 @@ private[graft] object Reg6MonitorAnn {
       Sim.ivfAdcRerankSweep(emb.where(col("vec_id") < 10), emb,
           Sim.pqCodebooksCached(emb, m = 4, k = 8, iters = 2, dir),
           5, "label", probes = 2, rs = Seq(5, 10, 20))
-        .orderBy("rerank_r")
+        .presentBy("rerank_r")
     }),
 
     // ANN — PQ knob sweep (the q229/q232 extension discipline applied
@@ -1076,7 +1076,7 @@ private[graft] object Reg6MonitorAnn {
           coded = Some((graft.ops.AnnIndex.codes(s, dir),
             graft.ops.AnnIndex.probeCentroids(s, dir))),
           lexStore = Some(graft.ops.LexIndex.frames(s, dir)))
-        .orderBy("probes", "list_k")
+        .presentBy("probes", "list_k")
     }),
 
 

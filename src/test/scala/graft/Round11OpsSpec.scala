@@ -260,6 +260,19 @@ class Round11OpsSpec extends SparkSpec {
     // vec 3 is vec 1 verbatim: identical projections, so the duplicate
     // is cosine-1.0 rank-1 in the projected space at every out_dim
     assert(got.toMap.apply(1L) === got.toMap.apply(3L))
+    // r18: the single native node (JlProjectExpr) must equal the
+    // unrolled array-of-dots reference form bit-for-bit, including the
+    // all-null output on a NULL input vector
+    val withNull = df.select(col("vec_id"),
+      when(col("vec_id") === 2L, lit(null)).otherwise(col("embedding"))
+        .as("embedding"))
+    val nat = withNull.select(col("vec_id"),
+        Sim.jlProject(col("embedding"), signs).as("jl"))
+      .orderBy("vec_id").collect().map(r => r.getLong(0) -> r.get(1))
+    val ref = withNull.select(col("vec_id"),
+        Sim.jlProjectRef(col("embedding"), signs).as("jl"))
+      .orderBy("vec_id").collect().map(r => r.getLong(0) -> r.get(1))
+    assert(nat.toSeq === ref.toSeq)
     val sweep = Sim.jlRecallSweep(
       df.where(col("vec_id") === 1), df.where(col("vec_id") =!= 1),
       1, Seq(4, 8), vecCol = "embedding")
