@@ -340,7 +340,11 @@ object Agg {
       (for (i <- cols.indices; j <- i + 1 until cols.size)
         yield sum(d(cols(i)) * d(cols(j)))
           .as(s"sp_${cols(i)}_${cols(j)}"))
-    val g = df.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    // lazy: the one-row power-sum state persists at the first pair
+    // branch's read, inside the query's own action (was an eager
+    // construction-time job — q177 measured ~70% "plan"-time for what
+    // is really this scan)
+    val g = df.agg(aggs.head, aggs.tail: _*).localCheckpoint(eager = false)
     val pairs = for (i <- cols.indices; j <- i + 1 until cols.size)
       yield {
         val (a, b) = (cols(i), cols(j))

@@ -335,8 +335,11 @@ object LexIndex {
                     // read + write, so the publish cost stays
                     // ∝ batch + |vocab|
                     val pdf = StoreRead.parquet(spark, s"${prev.last}/dfcum")
-                    val pst = spark.read
-                      .parquet(s"${prev.last}/statscum")
+                    // StoreRead for the schema memo (r17 advice: this
+                    // was the one raw read left next to its converted
+                    // twins — same fingerprinted-root safety argument)
+                    val pst = StoreRead.parquet(spark,
+                      s"${prev.last}/statscum")
                     (pdf.unionByName(fr._3).groupBy("term")
                       .agg(sum(col("df")).as("df")),
                       pst.unionByName(fr._4)

@@ -37,10 +37,26 @@ object StoreRead {
   /** `spark.read.parquet(path)` with the path's schema inferred once
     * per JVM (including partition-discovery columns, e.g. the lex tf
     * stores' `tbkt` directory key — part of the inferred StructType,
-    * so the replayed read resolves partition columns identically). */
-  def parquet(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(
-        schemaMemo.computeIfAbsent(path,
-          p => spark.read.parquet(p).schema))
-      .parquet(path)
+    * so the replayed read resolves partition columns identically).
+    *
+    * CONTRACT (r17 advice, made explicit): the path's schema must be
+    * IMMUTABLE for the life of the JVM — i.e. the path is a
+    * fingerprinted StoreCommit root or an otherwise write-once
+    * location. Do NOT point this at a mode("overwrite") directory
+    * whose schema can evolve within a run (StreamOps' rewritten sink
+    * dirs are deliberately left on plain spark.read): parquet binds
+    * columns by NAME, so a stale memoized schema over a renamed or
+    * added column would read silent nulls instead of failing.
+    * `-Dgraft.storeread.check=true` (dev) re-infers on every call and
+    * fails loudly on a mismatch instead. */
+  def parquet(spark: SparkSession, path: String): DataFrame = {
+    val memo = schemaMemo.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    if (java.lang.Boolean.getBoolean("graft.storeread.check")) {
+      val fresh = spark.read.parquet(path).schema
+      require(fresh == memo,
+        s"StoreRead schema memo violated at $path:\n memo=$memo\nfresh=$fresh")
+    }
+    spark.read.schema(memo).parquet(path)
+  }
 }

@@ -124,10 +124,16 @@ object ScaleProbe {
       .split(",").map(_.trim).toSeq
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
-    val root = Files.createTempDirectory("graft-scale").toString
+    // SPARK_GRAFT_SCALE_DIR pins the replica root so several probe
+    // processes (e.g. the r18 8-vs-32-core parallelism evidence) share
+    // ONE build instead of re-replicating per process; a dir that
+    // already has the last-written table is reused as-is
+    val root = sys.env.get("SPARK_GRAFT_SCALE_DIR").getOrElse(
+      Files.createTempDirectory("graft-scale").toString)
     for (r <- scales) {
       val dir = s"$root/x$r"
-      buildScaled(spark, base, dir, r)
+      if (!Files.exists(Paths.get(s"$dir/events.parquet")))
+        buildScaled(spark, base, dir, r)
       for (q <- queries) {
         // Bench's methodology: one UNTIMED warm-up rep (codegen,
         // parquet footers), then timed reps with the artifact memo
